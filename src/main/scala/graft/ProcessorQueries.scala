@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Processors
+import graft.operators.Processors._
+import QUtil._
+
+/** Collector-processor demo queries (SURVEY §2 "Collector processors").
+  * The `events` table stands in for the telemetry stream: user_id ≈
+  * trace id, event_type ≈ span name/severity, props ≈ attributes map.
+  */
+object ProcessorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // filter processor: include + exclude predicate pair
+    "q_filter_events" -> ((s, dir) => {
+      Processors.filter(Tables(s, dir, "events"),
+          include = col("event_type") === "error" && col("value") >= 100,
+          exclude = col("user_id") % 97 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
+    // attributes processor: upsert (json attr extract + severity), keep-subset
+    "q_attributes_update" -> ((s, dir) => {
+      Processors.attributes(Tables(s, dir, "events"), Seq(
+          Upsert("severity", upper(col("event_type"))),
+          Upsert("k_int", get_json_object(col("props"), "$.k").cast("int")),
+          Delete("props"), Delete("ts"), Delete("ts_ns"), Delete("value"), Delete("user_id"),
+          Delete("event_type")))
+        .filter(col("k_int") > 80)
+    }),
+
+    // OTTL-style scalar transform suite over documents
+    "q_transform_ottl" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_uc"),
+        substring(col("text"), 1, 12).as("head"),
+        length(col("text")).as("text_len"),
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_id"),
+        concat(col("lang"), lit(":"), col("source")).as("lang_src"))
+    }),
+
+    // group-by-attributes processor
+    "q_groupbyattrs" -> ((s, dir) => {
+      Processors.groupByAttrs(Tables(s, dir, "events"), Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value")))
+    }),
+
+    // batch processor: deterministic size-based batch ids
+    "q_batch_assign" -> ((s, dir) => {
+      Processors.assignBatches(Tables(s, dir, "events"), col("event_id"), 256)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+    }),
+
+    // memory limiter: bounded deterministic admission
+    "q_memory_limiter" -> ((s, dir) => {
+      Processors.memoryLimit(Tables(s, dir, "events"),
+          Seq(col("value").desc, col("event_id").asc), 500)
+        .agg(count(lit(1)).as("n_admitted"),
+          dsum(col("value")).as("admitted_value"),
+          min(col("value")).as("min_admitted_value"))
+    }),
+
+    // hash-seeded probabilistic sampler (~25% via first md5 hex digit)
+    "q_probabilistic_sampler" -> ((s, dir) => {
+      Processors.probabilisticSample(Tables(s, dir, "events"), col("event_id"), 4)
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sampled_value"))
+    }),
+
+    // tail sampling: keep whole traces (users) containing an error
+    "q_tail_sampling" -> ((s, dir) => {
+      Processors.tailSample(Tables(s, dir, "events"), "user_id",
+          col("event_type") === "error")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // routing connector: first-match-wins route labels
+    "q_route_split" -> ((s, dir) => {
+      Processors.route(Tables(s, dir, "events"),
+          Seq("errors" -> (col("event_type") === "error"),
+              "high_value" -> (col("value") > 150)),
+          defaultRoute = "default")
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // fanout + forward connector: two pipelines over one source, merged
+    "q_fanout_union" -> ((s, dir) => {
+      Processors.fanout(Tables(s, dir, "events"), Seq(
+          d => d.filter(col("event_type") === "error")
+            .select(lit("errors").as("pipeline"), col("event_id"), col("value")),
+          d => d.filter(col("value") > 180)
+            .select(lit("big").as("pipeline"), col("event_id"), col("value"))))
+        .groupBy(col("pipeline"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // log severity normalization (plog severity_number mapping)
+    "q_span_status" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("severity_number",
+          when(col("event_type") === "error", lit(17))
+            .when(col("event_type") === "purchase", lit(9))
+            .when(col("event_type") === "signup", lit(9))
+            .otherwise(lit(5)))
+        .withColumn("severity_text",
+          when(col("severity_number") === 17, "ERROR")
+            .when(col("severity_number") === 9, "INFO")
+            .otherwise("DEBUG"))
+        .groupBy(col("severity_number"), col("severity_text"))
+        .agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_events" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'error' AND value >= 100 AND NOT (user_id % 97 = 0)""".stripMargin,
+
+    "q_attributes_update" ->
+      """SELECT event_id, severity, k_int FROM (
+        | SELECT event_id, UPPER(event_type) AS severity,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        | FROM events) WHERE k_int > 80""".stripMargin,
+
+    "q_transform_ottl" ->
+      """SELECT doc_id, UPPER(lang) AS lang_uc, SUBSTRING(text, 1, 12) AS head,
+        | LENGTH(text) AS text_len,
+        | CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) AS src_id,
+        | lang || ':' || source AS lang_src
+        |FROM documents""".stripMargin,
+
+    "q_groupbyattrs" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value,
+        | MAX(value) AS max_value, MIN(value) AS min_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_batch_assign" ->
+      """SELECT batch_id, COUNT(*) AS n, MIN(event_id) AS first_id, MAX(event_id) AS last_id
+        |FROM (SELECT event_id,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) / 256.0) AS BIGINT) AS batch_id
+        | FROM events)
+        |GROUP BY batch_id""".stripMargin,
+
+    "q_memory_limiter" ->
+      """SELECT COUNT(*) AS n_admitted,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS admitted_value,
+        | MIN(value) AS min_admitted_value
+        |FROM (SELECT * FROM events ORDER BY value DESC, event_id ASC LIMIT 500)""".stripMargin,
+
+    "q_probabilistic_sampler" ->
+      """SELECT COUNT(*) AS n_sampled, COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sampled_value
+        |FROM events
+        |WHERE SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')""".stripMargin,
+
+    "q_tail_sampling" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |GROUP BY event_type""".stripMargin,
+
+    "q_route_split" ->
+      """SELECT route, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        |FROM (SELECT CASE WHEN event_type = 'error' THEN 'errors'
+        |  WHEN value > 150 THEN 'high_value' ELSE 'default' END AS route, value
+        | FROM events)
+        |GROUP BY route""".stripMargin,
+
+    "q_fanout_union" ->
+      """SELECT pipeline, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        |FROM (
+        | SELECT 'errors' AS pipeline, event_id, value FROM events WHERE event_type = 'error'
+        | UNION ALL
+        | SELECT 'big' AS pipeline, event_id, value FROM events WHERE value > 180)
+        |GROUP BY pipeline""".stripMargin,
+
+    "q_span_status" ->
+      """SELECT severity_number, severity_text, COUNT(*) AS n FROM (
+        | SELECT CASE WHEN event_type = 'error' THEN 17
+        |   WHEN event_type IN ('purchase','signup') THEN 9 ELSE 5 END AS severity_number,
+        |  CASE WHEN event_type = 'error' THEN 'ERROR'
+        |   WHEN event_type IN ('purchase','signup') THEN 'INFO' ELSE 'DEBUG' END AS severity_text
+        | FROM events)
+        |GROUP BY severity_number, severity_text""".stripMargin
+  )
+}

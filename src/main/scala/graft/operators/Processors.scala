@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Collector-processor analogs, re-expressed as lazy DataFrame
+  * transforms so Catalyst can push/prune/fuse them.
+  *
+  * Reference behavior (not code) from /root/reference:
+  *  - processor/batchprocessor/batch_processor.go (size-based batching,
+  *    max-size splitting)
+  *  - processor/memorylimiterprocessor/memorylimiter.go (bounded
+  *    admission: refuse/drop above limits)
+  *  - connector/forwardconnector/forward.go + service fanout consumer
+  *    (route/fan pipelines)
+  *  - pdata/pcommon attribute-map mutations (upsert/rename/delete)
+  */
+object Processors {
+
+  /** Filter processor: keep rows matching `include`, then drop rows
+    * matching `exclude` — the include/exclude pair the collector's
+    * filter semantics use. Plans as a single scan-adjacent Filter, so
+    * parquet predicate pushdown applies.
+    */
+  def filter(df: DataFrame, include: Column, exclude: Column = lit(false)): DataFrame =
+    df.filter(include && !exclude)
+
+  // ---- attributes processor actions (pcommon.Map edit model) ----
+  sealed trait AttrAction
+  /** insert-or-update a column (pcommon.Map.PutStr/PutInt analog) */
+  final case class Upsert(name: String, value: Column) extends AttrAction
+  final case class Rename(from: String, to: String) extends AttrAction
+  final case class Delete(name: String) extends AttrAction
+  /** hash action of the attributes processor (value → stable digest) */
+  final case class HashAttr(name: String) extends AttrAction
+
+  def attributes(df: DataFrame, actions: Seq[AttrAction]): DataFrame =
+    actions.foldLeft(df) {
+      case (d, Upsert(n, v))  => d.withColumn(n, v)
+      case (d, Rename(f, t))  => d.withColumnRenamed(f, t)
+      case (d, Delete(n))     => d.drop(n)
+      case (d, HashAttr(n))   => d.withColumn(n, md5(col(n).cast("string")))
+    }
+
+  /** group-by-attributes processor: regroup records under the given
+    * attribute keys and aggregate the payload. One shuffle on the keys.
+    */
+  def groupByAttrs(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Batch processor: assign deterministic size-based batch ids.
+    *
+    * Scale note: a global row_number is a single-partition sort — fine
+    * for the oracle demo, wrong at 100 TB. `globalOrder=false` uses
+    * per-partition ids (monotonically_increasing_id encodes partition
+    * id in the high bits), which is the scale path: batches are formed
+    * independently per partition exactly like one batcher per
+    * collector shard.
+    */
+  def assignBatches(df: DataFrame, orderCol: Column, batchSize: Int,
+                    globalOrder: Boolean = true): DataFrame =
+    if (globalOrder) {
+      val w = Window.orderBy(orderCol)
+      df.withColumn("batch_id",
+        floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+    } else {
+      df.withColumn("batch_id",
+        floor(monotonically_increasing_id() / batchSize).cast("bigint"))
+    }
+
+  /** Memory limiter: bounded admission. The collector refuses data
+    * above a soft limit; in batch terms we keep a deterministic
+    * bounded prefix (here: earliest `limit` rows by `order`).
+    */
+  def memoryLimit(df: DataFrame, order: Seq[Column], limit: Int): DataFrame =
+    df.orderBy(order: _*).limit(limit)
+
+  /** Probabilistic sampler: deterministic, seed-stable, and portable
+    * across engines (md5 of the id — first hex digit < 16*pct).
+    * Mirrors the collector's hash-seeded sampler semantics: the same
+    * record always gets the same verdict.
+    */
+  def probabilisticSample(df: DataFrame, idCol: Column, hexDigitsKept: Int): DataFrame =
+    df.filter(substring(md5(idCol.cast("string")), 1, 1)
+      .isin("0123456789abcdef".take(hexDigitsKept).map(_.toString): _*))
+
+  /** Tail sampling: whole-trace decision — keep every record of a
+    * trace (here: user) that contains at least one record matching
+    * `keepIf`. Left-semi join on the trace key; the decision side is
+    * small (distinct keys) so Catalyst/AQE broadcasts it.
+    */
+  def tailSample(df: DataFrame, traceKey: String, keepIf: Column): DataFrame = {
+    val keep = df.filter(keepIf).select(col(traceKey)).distinct()
+    df.join(keep, Seq(traceKey), "left_semi")
+  }
+
+  /** Routing connector: label each record with the first matching
+    * route (order matters, like the collector's routing table).
+    */
+  def route(df: DataFrame, routes: Seq[(String, Column)], defaultRoute: String): DataFrame = {
+    val labeled = routes.foldRight(lit(defaultRoute): Column) {
+      case ((name, cond), els) => when(cond, lit(name)).otherwise(els)
+    }
+    df.withColumn("route", labeled)
+  }
+
+  /** Fanout + forward connector: the same source feeds N pipelines
+    * whose outputs are merged (unionByName = schema-aligned merge).
+    */
+  def fanout(df: DataFrame, pipelines: Seq[DataFrame => DataFrame]): DataFrame =
+    pipelines.map(p => p(df)).reduce(_ unionByName _)
+}
