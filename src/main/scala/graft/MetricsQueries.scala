@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.MetricsOps
+import QUtil._
+
+/** pmetric-semantics demo queries (SURVEY §2 "Metrics semantics").
+  * Series model over `events`: series key = event_type (± user_id),
+  * time = ts_ns (bigint nanos), datapoint value = value.
+  * All time buckets are integral epoch divisions (DuckDB twin:
+  * epoch_ns(ts) // k) — never double timestamp math.
+  */
+object MetricsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MinNs = "60000000000"       // nanos per minute
+  private val HourNs = "3600000000000"    // nanos per hour
+  private val histBounds = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0)
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  val queries: Map[String, Q] = Map(
+    "q_gauge_last" -> ((s, dir) => {
+      MetricsOps.gaugeLast(ev(s, dir),
+        Seq(col("event_type")), expr(s"ts_ns DIV $MinNs"),
+        col("value"), col("ts_ns"))
+    }),
+
+    "q_sum_agg" -> ((s, dir) => {
+      MetricsOps.sumAgg(ev(s, dir), Seq(col("user_id"), col("event_type")), col("value"))
+    }),
+
+    "q_delta_to_cumulative" -> ((s, dir) => {
+      val perMin = ev(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("bucket"))
+        .agg(dsum(col("value")).as("delta_value"))
+      MetricsOps.deltaToCumulative(perMin, Seq("event_type"), "bucket", "delta_value")
+    }),
+
+    "q_cumulative_to_delta" -> ((s, dir) => {
+      val perMin = ev(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("bucket"))
+        .agg(dsum(col("value")).as("delta_value"))
+      val cum = MetricsOps.deltaToCumulative(perMin, Seq("event_type"), "bucket", "delta_value")
+        .select(col("event_type"), col("bucket"), col("cum_value"))
+      MetricsOps.cumulativeToDelta(cum, Seq("event_type"), "bucket", "cum_value")
+    }),
+
+    "q_histogram_explicit" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("bucket_idx", MetricsOps.explicitBucket(col("value"), histBounds))
+        .groupBy(col("event_type"), col("bucket_idx"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_histogram_exp" -> ((s, dir) => {
+      ev(s, dir)
+        .filter(col("value") > 0)
+        .withColumn("bucket_k", MetricsOps.expBucket(col("value"), -4, 12))
+        .groupBy(col("event_type"), col("bucket_k"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_summary_quantiles" -> ((s, dir) => {
+      MetricsOps.summaryQuantiles(ev(s, dir), Seq(col("event_type")),
+        col("value"), Seq(0.5, 0.9, 0.99))
+    }),
+
+    "q_rate_per_minute" -> ((s, dir) => {
+      MetricsOps.ratePerBucket(ev(s, dir), Seq(col("event_type")),
+        expr(s"ts_ns DIV $HourNs"), col("value"), 3600)
+    }),
+
+    "q_spanmetrics" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(expr(s"ts_ns DIV $HourNs").as("bucket"))
+        .agg(
+          count(lit(1)).as("calls"),
+          count(when(col("event_type") === "error", 1)).as("errors"),
+          (count(when(col("event_type") === "error", 1)).cast("double")
+            / count(lit(1))).as("error_rate"),
+          (dsum(col("value")) / count(lit(1))).as("avg_duration"))
+    }),
+
+    "q_tumbling_window" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("window_start"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // µs granularity on both sides: DuckDB's parquet reader truncates
+    // TIMESTAMP(NANOS) to micros, so the Spark side must too.
+    "q_sessionize" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("ts_us", expr("ts_ns DIV 1000"))
+      MetricsOps.sessionize(e, "user_id", "ts_us", 1800000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L).cast("double")).as("duration_sec"),
+          dsum(col("value")).as("session_value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_gauge_last" ->
+      s"""SELECT event_type, epoch_ns(ts) // $MinNs AS bucket,
+         | max_by(value, epoch_ns(ts)) AS last_value
+         |FROM events GROUP BY event_type, epoch_ns(ts) // $MinNs""".stripMargin,
+
+    "q_sum_agg" ->
+      """SELECT user_id, event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total,
+        | COUNT(*) AS n_points
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q_delta_to_cumulative" ->
+      s"""WITH per AS (
+         | SELECT event_type, epoch_ns(ts) // $HourNs AS bucket,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS delta_value
+         | FROM events GROUP BY 1, 2)
+         |SELECT event_type, bucket, delta_value,
+         | CAST(SUM(CAST(delta_value AS DECIMAL(28,8)))
+         |   OVER (PARTITION BY event_type ORDER BY bucket
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+         |FROM per""".stripMargin,
+
+    "q_cumulative_to_delta" ->
+      s"""WITH per AS (
+         | SELECT event_type, epoch_ns(ts) // $HourNs AS bucket,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS delta_value
+         | FROM events GROUP BY 1, 2),
+         |cum AS (
+         | SELECT event_type, bucket,
+         |  CAST(SUM(CAST(delta_value AS DECIMAL(28,8)))
+         |    OVER (PARTITION BY event_type ORDER BY bucket
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+         | FROM per)
+         |SELECT event_type, bucket, cum_value,
+         | cum_value - COALESCE(LAG(cum_value, 1) OVER (PARTITION BY event_type ORDER BY bucket), 0.0) AS delta_value
+         |FROM cum""".stripMargin,
+
+    "q_histogram_explicit" ->
+      s"""SELECT event_type,
+         | ${MetricsOps.explicitBucketSql("value", histBounds)} AS bucket_idx,
+         | COUNT(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_histogram_exp" ->
+      s"""SELECT event_type,
+         | ${MetricsOps.expBucketSql("value", -4, 12)} AS bucket_k,
+         | COUNT(*) AS n
+         |FROM events WHERE value > 0 GROUP BY 1, 2""".stripMargin,
+
+    "q_summary_quantiles" -> {
+      val arr = "arr"; val n = "n"
+      s"""WITH s AS (
+         | SELECT event_type, list_sort(list(value)) AS arr, COUNT(*) AS n
+         | FROM events GROUP BY event_type)
+         |SELECT event_type, n,
+         | ${MetricsOps.quantileSql(arr, n, 0.5)} AS q50,
+         | ${MetricsOps.quantileSql(arr, n, 0.9)} AS q90,
+         | ${MetricsOps.quantileSql(arr, n, 0.99)} AS q99
+         |FROM s""".stripMargin
+    },
+
+    "q_rate_per_minute" ->
+      s"""SELECT event_type, epoch_ns(ts) // $HourNs AS bucket,
+         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / 3600.0 AS rate_per_sec,
+         | COUNT(*) AS n_points
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_spanmetrics" ->
+      s"""SELECT epoch_ns(ts) // $HourNs AS bucket,
+         | COUNT(*) AS calls,
+         | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+         | CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / COUNT(*) AS error_rate,
+         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_duration
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_tumbling_window" ->
+      s"""SELECT event_type, epoch_ns(ts) // $HourNs AS window_start,
+         | COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_us(ts) AS tsn, value,
+        |  CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1
+        |   WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+        |   ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |sess AS (
+        | SELECT user_id, tsn, value,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | (MAX(tsn) - MIN(tsn)) / CAST(1000000 AS DOUBLE) AS duration_sec,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}

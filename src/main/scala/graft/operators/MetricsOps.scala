@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** pmetric semantics re-expressed on DataFrames.
+  *
+  * Reference behavior (not code): /root/reference/pdata/pmetric —
+  * Gauge (last value), Sum (aggregation temporality delta|cumulative,
+  * monotonic), Histogram (explicit upper-inclusive bounds),
+  * ExponentialHistogram (base-2 buckets), Summary (quantiles).
+  *
+  * Scale notes: every op shuffles exactly once on the series key; the
+  * window-function ops (temporality conversion, sessionize) reuse that
+  * partitioning. Running sums go through DECIMAL so results are
+  * independent of accumulation order (and match the DuckDB oracle).
+  */
+object MetricsOps {
+  private val Dec = DecimalType(28, 8)
+
+  /** Gauge semantics: last value per series per time bucket. */
+  def gaugeLast(df: DataFrame, seriesKeys: Seq[Column], bucket: Column,
+                value: Column, order: Column): DataFrame =
+    df.groupBy(seriesKeys :+ bucket.as("bucket"): _*)
+      .agg(max_by(value, order).as("last_value"))
+
+  /** Sum semantics: spatial re-aggregation of datapoints onto a series. */
+  def sumAgg(df: DataFrame, seriesKeys: Seq[Column], value: Column): DataFrame =
+    df.groupBy(seriesKeys: _*)
+      .agg(sum(value.cast(Dec)).cast("double").as("total"),
+        count(lit(1)).as("n_points"))
+
+  /** delta → cumulative temporality: exact running sum per series. */
+  def deltaToCumulative(df: DataFrame, seriesKeys: Seq[String], order: String,
+                        delta: String): DataFrame = {
+    val w = Window.partitionBy(seriesKeys.map(col): _*).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_value", sum(col(delta).cast(Dec)).over(w).cast("double"))
+  }
+
+  /** cumulative → delta temporality: first point passes through
+    * (the collector's deltatocumulative inverse convention). */
+  def cumulativeToDelta(df: DataFrame, seriesKeys: Seq[String], order: String,
+                        cum: String): DataFrame = {
+    val w = Window.partitionBy(seriesKeys.map(col): _*).orderBy(col(order))
+    df.withColumn("delta_value",
+      col(cum) - coalesce(lag(col(cum), 1).over(w), lit(0.0)))
+  }
+
+  /** Explicit-bounds histogram, upper-inclusive buckets like OTel:
+    * bucket i counts values in (bounds(i-1), bounds(i)]; the last
+    * bucket is the +Inf overflow. Returns bucket_idx + readable `le`.
+    */
+  def explicitBucket(value: Column, bounds: Seq[Double]): Column =
+    bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+      case ((b, i), els) => when(value <= lit(b), lit(i)).otherwise(els)
+    }
+
+  /** DuckDB twin of [[explicitBucket]], generated from the same bounds. */
+  def explicitBucketSql(valueExpr: String, bounds: Seq[Double]): String =
+    bounds.zipWithIndex
+      .map { case (b, i) => s"WHEN $valueExpr <= $b THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${bounds.size} END")
+
+  /** Exponential (base-2, scale 0) histogram bucket: smallest k with
+    * value <= 2^k, via a CASE chain over exact power-of-two doubles —
+    * no transcendental log2, whose last-ULP differences across
+    * libm/JVM would flip buckets at boundaries.
+    */
+  def expBucket(value: Column, kMin: Int, kMax: Int): Column =
+    (kMin to kMax).foldRight(lit(kMax + 1): Column) {
+      case (k, els) => when(value <= lit(math.pow(2.0, k)), lit(k)).otherwise(els)
+    }
+
+  /** DuckDB twin of [[expBucket]] from the same constants. */
+  def expBucketSql(valueExpr: String, kMin: Int, kMax: Int): String =
+    (kMin to kMax)
+      .map(k => f"WHEN $valueExpr <= ${math.pow(2.0, k)}%.10e THEN $k")
+      .mkString("CASE ", " ", s" ELSE ${kMax + 1} END")
+
+  /** Summary semantics: linearly-interpolated quantiles per series.
+    *
+    * Implemented with an explicit `v_lo + frac * (v_hi - v_lo)`
+    * formula over the sorted value array so the arithmetic is
+    * bit-identical to the DuckDB oracle twin ([[quantileSql]]) —
+    * engine-built-in percentile implementations differ in the last
+    * ULP. collect_list per series is the oracle-exactness path; at
+    * 100 TB swap in percentile_approx (same API shape, sketch-based).
+    */
+  def summaryQuantiles(df: DataFrame, seriesKeys: Seq[Column], value: Column,
+                       qs: Seq[Double]): DataFrame = {
+    val base = df.groupBy(seriesKeys: _*)
+      .agg(sort_array(collect_list(value)).as("arr"), count(lit(1)).as("n"))
+    val withQs = qs.foldLeft(base) { (d, q) =>
+      d.withColumn(s"q${(q * 100).toInt}", quantileFromSorted(col("arr"), col("n"), q))
+    }
+    withQs.drop("arr")
+  }
+
+  /** value at quantile q from a sorted array (1-based element_at). */
+  private def quantileFromSorted(arr: Column, n: Column, q: Double): Column = {
+    val pos = (n - lit(1)).cast("double") * lit(q)
+    val lo = (floor(pos) + lit(1)).cast("int")
+    val frac = pos - floor(pos)
+    val vLo = element_at(arr, lo)
+    val vHi = element_at(arr, least(lo + lit(1), n.cast("int")))
+    vLo + frac * (vHi - vLo)
+  }
+
+  /** DuckDB twin of [[summaryQuantiles]]'s interpolation. */
+  def quantileSql(arrExpr: String, nExpr: String, q: Double): String = {
+    val pos = s"(CAST(($nExpr - 1) AS DOUBLE) * $q)"
+    val lo = s"CAST(FLOOR($pos) + 1 AS BIGINT)"
+    val frac = s"($pos - FLOOR($pos))"
+    s"(($arrExpr)[$lo] + $frac * (($arrExpr)[LEAST($lo + 1, $nExpr)] - ($arrExpr)[$lo]))"
+  }
+
+  /** Monotonic-counter rate: per-bucket delta sum / bucket seconds. */
+  def ratePerBucket(df: DataFrame, seriesKeys: Seq[Column], bucket: Column,
+                    value: Column, bucketSeconds: Int): DataFrame =
+    df.groupBy(seriesKeys :+ bucket.as("bucket"): _*)
+      .agg((sum(value.cast(Dec)).cast("double") / lit(bucketSeconds.toDouble)).as("rate_per_sec"),
+        count(lit(1)).as("n_points"))
+
+  /** Session windows: split a per-key ordered stream where the gap
+    * between consecutive integral timestamps exceeds `gap`. One
+    * shuffle on the key; both window passes reuse it.
+    */
+  def sessionize(df: DataFrame, key: String, tsIntegral: String, gap: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(tsIntegral))
+    val newSession = when(
+      col(tsIntegral) - lag(col(tsIntegral), 1).over(byKey) > gap, 1)
+      .otherwise(when(lag(col(tsIntegral), 1).over(byKey).isNull, 1).otherwise(0))
+    df.withColumn("session_id",
+      sum(newSession).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}
