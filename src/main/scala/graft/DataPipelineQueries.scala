@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnOps, DedupOps, TextOps}
+import QUtil._
+
+/** LLM-training-data-pipeline queries (SURVEY §2 dedup / similarity /
+  * text / multimodal). sql-oracled where the arithmetic is portable;
+  * xxhash64-based ops (minhash, simhash, hyperplane LSH) are
+  * rows-only and spec-verified instead (DuckDB lacks xxhash64).
+  */
+object DataPipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: content hash, keep the smallest doc_id per cluster
+    "q_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_copies") >= 2)
+    }),
+
+    // MinHash + LSH near-dup pairs (rows-only: xxhash64)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val sig = docs(s, dir).select(col("doc_id"),
+        DedupOps.minhashSignature(
+          DedupOps.shingles(DedupOps.tokens(col("text")), 3), 32).as("sig"))
+      DedupOps.lshNearDupPairs(sig, "doc_id", "sig",
+          bands = 8, rows = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
+    }),
+
+    // SimHash near-dup pairs (rows-only: xxhash64)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val bits = docs(s, dir).select(col("doc_id"),
+        DedupOps.simhashBits(DedupOps.tokens(col("text"))).as("bits"))
+      DedupOps.simhashNearDupPairs(bits, "doc_id", "bits", maxHamming = 6)
+    }),
+
+    // exact word-3-gram Jaccard near-dup pairs (sql-oracled)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        DedupOps.shingles(DedupOps.tokens(col("text")), 3).as("shs"))
+      DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+    }),
+
+    // brute-force exact cosine top-k (bit-identical fold arithmetic)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 10)
+        .select(col("qid"), col("nid"), col("rk"), col("sim"))
+    }),
+
+    // hyperplane-LSH bucketed ANN (rows-only: xxhash64 planes)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.lshTopK(e.filter(col("vec_id") < 10), e, planes = 4, k = 10, tables = 16)
+        .select(col("qid"), col("nid"), col("rk"))
+    }),
+
+    // per-label per-dimension centroids (array plumbing, exact sums)
+    "q_embed_stats" -> ((s, dir) => {
+      embs(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((dsum(col("col").cast("double")) / count(lit(1))).as("centroid"),
+          count(lit(1)).as("n"))
+    }),
+
+    // token counting per source
+    "q_token_count" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+    }),
+
+    // quality scoring (length / avg token len / stopword ratio)
+    "q_quality_score" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      docs(s, dir).select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.avgTokenLen(col("text")).as("avg_token_len"),
+          TextOps.wordlistRatio(toks, TextOps.EnStop).as("stopword_ratio"))
+        .withColumn("quality_class",
+          TextOps.qualityClass(col("n_tokens"), col("avg_token_len"), col("stopword_ratio")))
+    }),
+
+    // language-ID heuristic vs labeled lang (confusion counts)
+    "q_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("predicted", TextOps.langId(TextOps.tokens(col("text"))))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // bag-of-words fingerprint dup clusters
+    "q_doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(DedupOps.bagFingerprint(TextOps.tokens(col("text"))).as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") >= 2)
+    }),
+
+    // multimodal: opaque blob + typed metadata from a stubbed decode
+    "q_multimodal_meta" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          when(col("source").rlike("[02468]$"), lit("image")).otherwise(lit("audio"))
+            .as("modality"),
+          col("text").cast("binary").as("blob"))
+        .select(col("doc_id"), col("modality"),
+          length(col("blob")).as("n_bytes"),
+          (length(col("blob")) % 640).as("width"),
+          ((length(col("blob")) * 7) % 480).as("height"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+        | CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS sim
+        | FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT qid, nid, rk, sim FROM (
+        | SELECT qid, nid, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        | FROM sims) WHERE rk <= 10""".stripMargin,
+
+    "q_embed_stats" ->
+      """SELECT label, u[2] - 1 AS pos,
+        | CAST(SUM(CAST(CAST(u[1] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS centroid,
+        | COUNT(*) AS n
+        |FROM (SELECT label, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+        |      FROM embeddings)
+        |GROUP BY label, u[2] - 1""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+        | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |  regexp_replace(trim(text), '\s+', '', 'g') AS squeezed FROM documents),
+        |m AS (SELECT doc_id, len(ws) AS n_tokens,
+        |  CAST(LENGTH(squeezed) AS DOUBLE) / len(ws) AS avg_token_len,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+        |    / len(ws) AS stopword_ratio
+        | FROM t)
+        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+        | CASE WHEN n_tokens >= 60 AND avg_token_len >= 4.0 AND stopword_ratio <= 0.3 THEN 'high'
+        |  WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_class
+        |FROM m""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS en,
+        |  len(list_filter(ws, w -> w IN ('el','la','de','y','en','es','los','que'))) AS es,
+        |  len(list_filter(ws, w -> w IN ('der','die','das','und','zu','ist','den','von'))) AS de
+        | FROM t)
+        |SELECT lang,
+        | CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+        |  WHEN en >= es AND en >= de THEN 'en'
+        |  WHEN es >= de THEN 'es' ELSE 'de' END AS predicted,
+        | COUNT(*) AS n
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint,
+        | COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN regexp_matches(source, '[02468]$') THEN 'image' ELSE 'audio' END AS modality,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        | CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS height
+        |FROM documents""".stripMargin
+  )
+}

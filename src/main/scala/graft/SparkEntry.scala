@@ -8,10 +8,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ProcessorQueries.queries ++ MetricsQueries.queries
+    CoreQueries.queries ++ ProcessorQueries.queries ++ MetricsQueries.queries ++
+      DataPipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ProcessorQueries.oracles ++ MetricsQueries.oracles
+    CoreQueries.oracles ++ ProcessorQueries.oracles ++ MetricsQueries.oracles ++
+      DataPipelineQueries.oracles
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (content hash), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: signature computation is map-side only (one
+  * codegen'd pass per doc, no shuffle). The only wide operations are
+  * (a) the groupBy on content hash (exact dedup) and (b) the
+  * band-bucket self-join (LSH), which joins within buckets only —
+  * the standard way to keep near-dup detection out of O(N²).
+  * Frequent-shingle skew is capped via `maxBucket`.
+  */
+object DedupOps {
+
+  /** whitespace tokens (matches DuckDB regexp_split_to_array twin) */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** distinct word n-gram shingles; empty for docs shorter than n */
+  def shingles(words: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(words) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, (i + lit(j)).cast("int"))): _*))
+    when(size(words) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** content-normalized fingerprint: md5 of the sorted distinct token
+    * set (bag-of-words identity, order-insensitive) */
+  def bagFingerprint(words: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words))))
+
+  /** k-minhash signature: one pass per doc, k mins over the shingle
+    * set with seed-salted xxhash64. array<bigint> length k. */
+  def minhashSignature(shs: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shs,
+        s => xxhash64(concat(i.cast("string"), lit(":"), s)))))
+
+  /** estimated Jaccard from two signatures: matching positions / k */
+  def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => when(x === y, lit(1))),
+      v => v.isNotNull)).cast("double") / lit(k.toDouble)
+
+  /** LSH banding: candidate pairs whose signatures collide in ≥1 of
+    * `bands` bands of `rows` hashes. Input: (idCol, sigCol). Output:
+    * (id_a, id_b, est_sim) for estimate ≥ threshold.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, sigCol: String,
+                      bands: Int, rows: Int, threshold: Double,
+                      maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rows
+    val banded = df.select(col(idCol), col(sigCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col(sigCol), b * rows + 1, lit(rows)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    // skew guard: drop pathological buckets (a shingle shared by
+    // everything would otherwise make one bucket quadratic)
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col(sigCol).as("sig_a"))
+    val b = bucketed.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col(sigCol).as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhashEstimate(col("sig_a"), col("sig_b"), k).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token multiset: per bit, sign of the
+    * sum of ±1 votes from each token's xxhash64. One codegen'd pass
+    * per doc. Returned as array<int> of 64 bits (MSB-free form that
+    * keeps Hamming math in plain array ops).
+    */
+  def simhashBits(words: Column): Column = {
+    val votes = aggregate(
+      words,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(acc,
+        array((0 until 64).map(j =>
+          when(shiftright(xxhash64(w), j).bitwiseAND(lit(1L)) === 1L, lit(1))
+            .otherwise(lit(-1))): _*),
+        (a, v) => a + v))
+    transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
+  }
+
+  def hamming(bitsA: Column, bitsB: Column): Column =
+    size(filter(zip_with(bitsA, bitsB, (x, y) => when(x =!= y, lit(1))), _.isNotNull))
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
+    * Hamming ≤ 3 of 64 bits must agree on ≥1 of 4 chunks), verify
+    * exact Hamming ≤ maxHamming.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, bitsCol: String,
+                          maxHamming: Int): DataFrame = {
+    val chunked = df.select(col(idCol), col(bitsCol),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          c => concat_ws("", transform(slice(col(bitsCol), c * 16 + 1, lit(16)), _.cast("string"))))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_key")
+    val a = chunked.select(col("chunk"), col("chunk_key"),
+      col(idCol).as("id_a"), col(bitsCol).as("bits_a"))
+    val b = chunked.select(col("chunk"), col("chunk_key"),
+      col(idCol).as("id_b"), col(bitsCol).as("bits_b"))
+    a.join(b, Seq("chunk", "chunk_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("bits_a"), col("bits_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** exact n-gram Jaccard pairs via shingle-inverted-index join:
+    * explode shingles, join on shingle, count intersections, compute
+    * |A∩B| / (|A|+|B|−|A∩B|). Shuffles once on the shingle.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, shinglesCol: String,
+                   threshold: Double): DataFrame = {
+    val ex = df.select(col(idCol), size(col(shinglesCol)).as("sz"),
+      explode(col(shinglesCol)).as("s"))
+    val a = ex.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
+    val b = ex.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s"))
+    a.join(b, "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+}

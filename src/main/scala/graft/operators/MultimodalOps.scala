@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque binary columns with
+  * typed metadata, decoded/feature-extracted per partition.
+  *
+  * The decode step is a STUB (no image/audio codecs in this
+  * environment): `stubDecode` derives deterministic fake dimensions
+  * from the byte stream. The Spark-side plumbing — binary schema,
+  * partition-batched decoding seam, typed output — is real: swap
+  * `stubDecode` for a codec call and nothing else changes.
+  */
+object MultimodalOps {
+
+  final case class MediaRecord(doc_id: Long, modality: String, blob: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
+                                 width: Int, height: Int, checksum: Long)
+
+  /** wrap text rows as opaque blobs (stand-in for real media bytes) */
+  def asMedia(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      when(col("source").rlike("[02468]$"), lit("image")).otherwise(lit("audio"))
+        .as("modality"),
+      col("text").cast("binary").as("blob"))
+
+  /** STUB decoder: deterministic fake dimensions from byte content.
+    * Real implementation would decode the codec header here — per
+    * partition, so codec init cost amortizes over the batch.
+    */
+  private def stubDecode(r: MediaRecord): MediaFeatures = {
+    val n = r.blob.length
+    var ck = 1469598103934665603L // FNV-1a over the bytes
+    var i = 0
+    while (i < n) { ck = (ck ^ (r.blob(i) & 0xff)) * 1099511628211L; i += 1 }
+    MediaFeatures(r.doc_id, r.modality, n, n % 640, (n * 7) % 480, ck)
+  }
+
+  /** partition-batched decode: the shape a real codec needs (one
+    * expensive init per partition, streamed records). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real codec: init decoder once here, then stream the batch
+      it.map(stubDecode)
+    }
+  }
+}
