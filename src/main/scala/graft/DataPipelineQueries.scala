@@ -29,7 +29,7 @@ object DataPipelineQueries {
     "q_dedup_minhash" -> ((s, dir) => {
       val sig = docs(s, dir).select(col("doc_id"),
         DedupOps.minhashSignature(
-          DedupOps.shingles(DedupOps.tokens(col("text")), 3), 32).as("sig"))
+          DedupOps.shinglesOfText(col("text"), 3), 32).as("sig"))
       DedupOps.lshNearDupPairs(sig, "doc_id", "sig",
           bands = 8, rows = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
@@ -45,7 +45,7 @@ object DataPipelineQueries {
     // exact word-3-gram Jaccard near-dup pairs (sql-oracled)
     "q_ngram_jaccard" -> ((s, dir) => {
       val sh = docs(s, dir).select(col("doc_id"),
-        DedupOps.shingles(DedupOps.tokens(col("text")), 3).as("shs"))
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
       DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
     }),
 

@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnOps {
 
-  /** left-fold double dot product of two array<double> columns */
+  /** left-fold double dot product of two array<double> columns
+    * (HOF reference formulation; the hot path uses [[cosine]]) */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** native single-pass cosine (bit-identical to the left-fold HOF
+    * and the DuckDB oracle twin) */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine_sim(a, b)
 
   /** brute-force exact top-k cosine neighbors for each query vector */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -69,12 +73,9 @@ object AnnOps {
     def sig(df: DataFrame, idAs: String, embAs: String) = {
       val base = df.select(col("vec_id").as(idAs),
         col("embedding").cast("array<double>").as(embAs))
-      val buckets = array((0 until tables).map { t =>
-        val bits = concat_ws("",
-          transform(hyperplaneSig(col(embAs), planes, t), _.cast("string")))
-        concat(lit(s"$t:"), bits)
-      }: _*)
-      base.select(col(idAs), col(embAs), explode(buckets).as("bucket"))
+      base.select(col(idAs), col(embAs),
+        explode(graft.functions.VectorExprs.hyperplane_buckets(
+          col(embAs), tables, planes)).as("bucket"))
     }
     val q = sig(queries, "qid", "qe")
     val c = sig(corpus, "nid", "ne")

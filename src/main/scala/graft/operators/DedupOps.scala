@@ -18,25 +18,22 @@ object DedupOps {
   /** whitespace tokens (matches DuckDB regexp_split_to_array twin) */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** distinct word n-gram shingles; empty for docs shorter than n */
-  def shingles(words: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(words) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(words, (i + lit(j)).cast("int"))): _*))
-    when(size(words) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
-  }
+  /** distinct word n-gram shingles straight from the text column
+    * (native single-pass expression; empty for docs shorter than n) */
+  def shinglesOfText(text: Column, n: Int): Column =
+    graft.functions.HashExprs.word_shingles(text, n)
 
   /** content-normalized fingerprint: md5 of the sorted distinct token
     * set (bag-of-words identity, order-insensitive) */
   def bagFingerprint(words: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words))))
 
-  /** k-minhash signature: one pass per doc, k mins over the shingle
-    * set with seed-salted xxhash64. array<bigint> length k. */
+  /** k-minhash signature: native single-pass expression (one XXH64
+    * pair per shingle, k lanes by double hashing). array<bigint>
+    * length k. See graft.functions.MinHashSignature.
+    */
   def minhashSignature(shs: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shs,
-        s => xxhash64(concat(i.cast("string"), lit(":"), s)))))
+    graft.functions.HashExprs.minhash_signature(shs, k)
 
   /** estimated Jaccard from two signatures: matching positions / k */
   def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
@@ -80,17 +77,8 @@ object DedupOps {
     * per doc. Returned as array<int> of 64 bits (MSB-free form that
     * keeps Hamming math in plain array ops).
     */
-  def simhashBits(words: Column): Column = {
-    val votes = aggregate(
-      words,
-      array_repeat(lit(0), 64),
-      (acc, w) => zip_with(acc,
-        array((0 until 64).map(j =>
-          when(shiftright(xxhash64(w), j).bitwiseAND(lit(1L)) === 1L, lit(1))
-            .otherwise(lit(-1))): _*),
-        (a, v) => a + v))
-    transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
-  }
+  def simhashBits(words: Column): Column =
+    graft.functions.HashExprs.simhash_bits(words)
 
   def hamming(bitsA: Column, bitsB: Column): Column =
     size(filter(zip_with(bitsA, bitsB, (x, y) => when(x =!= y, lit(1))), _.isNotNull))
@@ -118,21 +106,31 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** exact n-gram Jaccard pairs via shingle-inverted-index join:
-    * explode shingles, join on shingle, count intersections, compute
-    * |A∩B| / (|A|+|B|−|A∩B|). Shuffles once on the shingle.
+  /** exact n-gram Jaccard pairs via posting lists: group ids per
+    * shingle, emit ordered pairs within each list, count per pair,
+    * compute |A∩B| / (|A|+|B|−|A∩B|). Shingles are computed ONCE (no
+    * self-join re-evaluating the lineage), shuffling once on the
+    * shingle and once on the pair.
+    *
+    * `maxDf`: optional document-frequency cap — a shingle present in
+    * huge numbers of docs generates quadratic pairs with little
+    * signal; cap it at scale (changes results, so the oracle demo
+    * leaves it off).
     */
   def jaccardPairs(df: DataFrame, idCol: String, shinglesCol: String,
-                   threshold: Double): DataFrame = {
-    val ex = df.select(col(idCol), size(col(shinglesCol)).as("sz"),
-      explode(col(shinglesCol)).as("s"))
-    val a = ex.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
-    val b = ex.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s"))
-    a.join(b, "s")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+                   threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sizes = df.select(col(idCol).as("id"), size(col(shinglesCol)).as("sz"))
+    val postings = df.select(explode(col(shinglesCol)).as("s"), col(idCol).as("id"))
+      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    val pairs = postings.select(explode(flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    val counted = pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    counted
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -16,14 +16,14 @@ class DedupAnnSpec extends AnyFunSuite {
 
   test("minhash LSH finds the high-jaccard pairs") {
     val sh = docs.select(col("doc_id"),
-      DedupOps.shingles(DedupOps.tokens(col("text")), 3).as("shs"))
+      DedupOps.shinglesOfText(col("text"), 3).as("shs"))
     val exact = DedupOps.jaccardPairs(sh, "doc_id", "shs", 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "test data should contain near-duplicate docs")
 
     val sig = docs.select(col("doc_id"),
       DedupOps.minhashSignature(
-        DedupOps.shingles(DedupOps.tokens(col("text")), 3), 32).as("sig"))
+        DedupOps.shinglesOfText(col("text"), 3), 32).as("sig"))
     val found = DedupOps.lshNearDupPairs(sig, "doc_id", "sig", 8, 4, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(found.contains).toDouble / exact.size
@@ -38,7 +38,7 @@ class DedupAnnSpec extends AnyFunSuite {
     // every Hamming<=2 pair should be genuinely similar in token space
     val tight = pairs.filter(col("hamming") <= 2)
     val sh = docs.select(col("doc_id"),
-      DedupOps.shingles(DedupOps.tokens(col("text")), 3).as("shs"))
+      DedupOps.shinglesOfText(col("text"), 3).as("shs"))
     val exact = DedupOps.jaccardPairs(sh, "doc_id", "shs", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val t = tight.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
