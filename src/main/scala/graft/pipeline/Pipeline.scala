@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Collector service-graph analog (reference: service/ — pipeline
+  * assembly, fanout consumer; connector/forwardconnector).
+  *
+  * A collector config wires receivers → processors → exporters, with
+  * receivers shared across pipelines through a fanout consumer that
+  * clones data when a pipeline mutates it ("exclusive ownership").
+  * DataFrames are immutable plans, so fanout is free sharing: every
+  * pipeline builds its own lazy plan over the same source, and
+  * Catalyst/AQE reuse the scan where profitable — the clone-on-fanout
+  * machinery the Go runtime needs simply disappears.
+  *
+  * Stages compose as DataFrame → DataFrame functions; `Pipeline.run`
+  * is one lazy plan, executed only by its exporter's action.
+  */
+object Pipeline {
+
+  trait Receiver { def read(spark: SparkSession): DataFrame }
+  final case class ParquetReceiver(path: String) extends Receiver {
+    def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  }
+  final case class TableReceiver(dir: String, table: String) extends Receiver {
+    def read(spark: SparkSession): DataFrame = graft.Tables(spark, dir, table)
+  }
+  final case class OtlpJsonLogReceiver(jsonPath: String) extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      graft.sources.OtlpJsonSource.parseLogs(
+        spark.read.text(jsonPath).select(col("value").as("json")))
+  }
+
+  type Stage = DataFrame => DataFrame
+
+  trait Exporter { def export(df: DataFrame): Unit }
+  final case class ParquetExporter(path: String, mode: String = "overwrite") extends Exporter {
+    def export(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
+  }
+  /** loggingexporter analog: materialize a bounded sample to stdout */
+  final case class LoggingExporter(rows: Int = 20) extends Exporter {
+    def export(df: DataFrame): Unit = df.show(rows, truncate = false)
+  }
+  /** exportertest-style sink for specs */
+  final class CollectingExporter extends Exporter {
+    @volatile var result: Array[org.apache.spark.sql.Row] = Array.empty
+    def export(df: DataFrame): Unit = result = df.collect()
+  }
+
+  final case class PipelineDef(
+      receiver: Receiver,
+      processors: Seq[Stage] = Nil,
+      exporters: Seq[Exporter] = Nil) {
+    def plan(spark: SparkSession): DataFrame =
+      processors.foldLeft(receiver.read(spark))((df, p) => p(df))
+    /** run the pipeline; each exporter gets the same lazy plan */
+    def run(spark: SparkSession): Unit = {
+      val df = plan(spark)
+      exporters.foreach(_.export(df))
+    }
+  }
+
+  /** A named set of pipelines — the `service.pipelines` block. Shared
+    * receivers are read once per pipeline plan (Spark dedups the scan
+    * via exchange/scan reuse where beneficial).
+    */
+  final case class Service(pipelines: Map[String, PipelineDef]) {
+    def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the collector pipeline — the
+  * reference IS a stream processor; these are the operators whose
+  * semantics only exist with unbounded input.
+  *
+  * - windowed aggregation with watermark ≈ the metrics pipeline's
+  *   periodic flush (batchprocessor timeout + aggregation)
+  * - stateful streaming dedup ≈ an exactly-once filter the collector
+  *   cannot express (it has no cross-batch state); state TTL bounds
+  *   memory exactly like the memory limiter bounds queues
+  * - rate metrics via flatMapGroupsWithState ≈ cumulative-counter
+  *   tracking across batches (deltatocumulative with live state)
+  */
+object StreamingPipelines {
+
+  /** tumbling-window counts/sums per key with a watermark. Input
+    * needs an event-time `ts` timestamp column. Late data beyond
+    * `lateness` is dropped — the streaming twin of q_tumbling_window.
+    */
+  def tumblingAgg(events: DataFrame, keyCol: String, window: String,
+                  lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  final case class Seen(firstSeenMs: Long)
+
+  /** streaming exact-dedup: emit only the first record per content
+    * key. `ttlMs` bounds state (memory-limiter discipline applied to
+    * dedup state) via processing-time timeout; None keeps state
+    * forever (exact dedup over the full stream).
+    */
+  def streamingDedup[T](spark: SparkSession, keyed: Dataset[(String, T)],
+                        ttlMs: Option[Long] = None)(
+                        implicit te: org.apache.spark.sql.Encoder[T],
+                        tupEnc: org.apache.spark.sql.Encoder[(String, T)]): Dataset[T] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Seen, T](OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(String, T)], state: GroupState[Seen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(Seen(System.currentTimeMillis()))
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            rows.take(1).map(_._2)
+          }
+      }
+  }
+
+  /** per-key cumulative counter across micro-batches (stateful
+    * delta→cumulative): emits (key, batch_delta, cumulative). */
+  def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(
+      implicit e: org.apache.spark.sql.Encoder[(String, Double, Double)])
+      : Dataset[(String, Double, Double)] = {
+    import spark.implicits._
+    deltas.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (String, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[Double]) =>
+          val delta = rows.map(_._2).sum
+          val cum = state.getOption.getOrElse(0.0) + delta
+          state.update(cum)
+          Iterator((key, delta, cum))
+      }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Pipeline
+import graft.pipeline.Pipeline._
+import graft.sources.OtlpJsonSource
+import graft.streaming.StreamingPipelines
+import graft.operators.Processors
+
+class StreamingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg matches the batch twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val batch = Tables(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = batch.as[(java.sql.Timestamp, String, Double)].collect()
+
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    ms.addData(rows.toSeq)
+    val streamed = ms.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingPipelines.tumblingAgg(streamed, "event_type", "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) FROM tumbling_out").head().getLong(0)
+      val want = batch.groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits one record per key across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = StreamingPipelines.streamingDedup[String](spark, ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      ms.addData(Seq("a" -> "doc-a", "b" -> "doc-b", "a" -> "doc-a-dup"))
+      q.processAllAvailable()
+      ms.addData(Seq("a" -> "doc-a-again", "c" -> "doc-c"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT value FROM dedup_out").collect().map(_.getString(0)).sorted
+      assert(got.toSeq == Seq("doc-a", "doc-b", "doc-c"))
+    } finally q.stop()
+  }
+
+  test("stateful running counter accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+    val out = StreamingPipelines.runningCounter(spark, ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("counter_out").start()
+    try {
+      ms.addData(Seq("k" -> 1.0, "k" -> 2.0))
+      q.processAllAvailable()
+      ms.addData(Seq("k" -> 4.0))
+      q.processAllAvailable()
+      val cums = spark.sql("SELECT _3 FROM counter_out ORDER BY _3").collect().map(_.getDouble(0))
+      assert(cums.toSeq == Seq(3.0, 7.0))
+    } finally q.stop()
+  }
+
+  test("service graph: fanout pipelines over one receiver") {
+    val errors = new CollectingExporter
+    val totals = new CollectingExporter
+    val svc = Service(Map(
+      "logs/errors" -> PipelineDef(
+        TableReceiver(sf, "events"),
+        Seq(df => Processors.filter(df, col("event_type") === "error"),
+          df => Processors.attributes(df, Seq(
+            Processors.Upsert("severity", lit("ERROR")),
+            Processors.Delete("props")))),
+        Seq(errors)),
+      "metrics/totals" -> PipelineDef(
+        TableReceiver(sf, "events"),
+        Seq(df => df.groupBy(col("event_type")).count()),
+        Seq(totals))))
+    svc.run(spark)
+    assert(errors.result.nonEmpty)
+    assert(errors.result.forall(_.getAs[String]("severity") == "ERROR"))
+    assert(totals.result.map(_.getAs[String]("event_type")).toSet.contains("error"))
+  }
+
+  test("OTLP-JSON log parsing flattens the resource/scope/record tree") {
+    import spark.implicits._
+    val json =
+      """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
+        |"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[
+        |{"timeUnixNano":"1700000000000000001","severityNumber":17,"severityText":"ERROR",
+        |"body":{"stringValue":"boom"},"attributes":[{"key":"http.status","value":{"intValue":"500"}}],
+        |"traceId":"abc","spanId":"def"},
+        |{"timeUnixNano":"1700000000000000002","severityNumber":9,"severityText":"INFO",
+        |"body":{"stringValue":"ok"},"attributes":[],"traceId":"abc","spanId":"0ef"}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val parsed = OtlpJsonSource.parseLogs(Seq(json).toDF("json"))
+    val rows = parsed.collect()
+    assert(rows.length == 2)
+    val err = rows.find(_.getAs[String]("severity_text") == "ERROR").get
+    assert(err.getAs[String]("body") == "boom")
+    assert(err.getAs[Long]("time_unix_nano") == 1700000000000000001L)
+    assert(err.getAs[Map[String, String]]("resource_attributes")("service.name") == "api")
+    assert(err.getAs[Map[String, String]]("attributes")("http.status") == "500")
+    assert(parsed.schema.fieldNames.contains("scope_name"))
+  }
+
+  test("events-as-logs receiver produces the canonical log schema") {
+    val logs = OtlpJsonSource.eventsAsLogs(spark, sf)
+    assert(logs.count() == Tables(spark, sf, "events").count())
+    assert(logs.schema.fieldNames.toSet ==
+      graft.model.OtelModel.logSchema.fieldNames.toSet)
+  }
+}
