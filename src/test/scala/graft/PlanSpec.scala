@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that matter at 100 TB must be
+  * visible in the plan, not assumed — filters reach the parquet scan,
+  * scans prune columns, dimension joins broadcast, and hot paths stay
+  * inside whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_filter_pushdown pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda") || p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q_filter_pushdown prunes columns at the scan") {
+    val p = plan("q_filter_pushdown")
+    // only the 4 needed columns should be read, never the full 11
+    assert(!p.contains("l_orderkey"), "scan reads un-needed columns:\n" + p)
+  }
+
+  test("q3_top_orders broadcasts the dimension side") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_join_enrich broadcasts the customer dim") {
+    val p = plan("q_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1 aggregation is whole-stage codegen with partial aggregation") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    // partial + final pair => map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_tail_sampling plans a broadcast semi join (decision side is small)") {
+    val p = plan("q_tail_sampling")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q_filter_events keeps the filter adjacent to the scan") {
+    val p = plan("q_filter_events")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||
+      p.contains("EqualTo(event_type"), p)
+  }
+}
