@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSim, HyperplaneBuckets, MinHashSignature, SimHashBits, WordShingles}
+
+/** SQL surface for the native expressions, so `spark.sql` users get
+  * the same operators as the Column API:
+  *
+  *   SELECT minhash_signature(word_shingles(text, 3), 32) FROM docs
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *
+  * Register per-session (`GraftExtensions.register(spark)`) or via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` at submit.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private[graft] val registrations: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
+    "word_shingles" -> (
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))),
+    "minhash_signature" -> (
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, intArg(args(1), "k"))),
+    "simhash_bits" -> (
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) => SimHashBits(args.head)),
+    "cosine_sim" -> (
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    "hyperplane_buckets" -> (
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (args: Seq[Expression]) =>
+        HyperplaneBuckets(args.head, intArg(args(1), "tables"), intArg(args(2), "planes"))))
+
+  /** imperative registration for an existing session */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    registrations.foreach { case (name, (info, builder)) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

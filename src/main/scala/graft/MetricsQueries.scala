@@ -89,6 +89,21 @@ object MetricsQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
     }),
 
+    // histogram datapoints with exemplars (pmetric Exemplar: the max
+    // observed value per bucket + its span id). Deterministic via an
+    // integral (value_cents, event_id) sort key.
+    "q_exemplars" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("bucket_idx", MetricsOps.explicitBucket(col("value"), histBounds))
+        .withColumn("sort_key",
+          round(col("value") * 100).cast("bigint") * lit(10000000000L) + col("event_id"))
+        .groupBy(col("event_type"), col("bucket_idx"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("sort_key")) % lit(10000000000L)).as("exemplar_event_id"),
+          (floor(max(col("sort_key")) / lit(10000000000L)).cast("double") / 100.0)
+            .as("exemplar_value"))
+    }),
+
     // µs granularity on both sides: DuckDB's parquet reader truncates
     // TIMESTAMP(NANOS) to micros, so the Spark side must too.
     "q_sessionize" -> ((s, dir) => {
@@ -182,6 +197,17 @@ object MetricsQueries {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_exemplars" ->
+      s"""WITH b AS (
+         | SELECT event_type,
+         |  ${MetricsOps.explicitBucketSql("value", histBounds)} AS bucket_idx,
+         |  CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id AS sort_key
+         | FROM events)
+         |SELECT event_type, bucket_idx, COUNT(*) AS n,
+         | MAX(sort_key) % 10000000000 AS exemplar_event_id,
+         | CAST(FLOOR(MAX(sort_key) / 10000000000) AS DOUBLE) / 100.0 AS exemplar_value
+         |FROM b GROUP BY event_type, bucket_idx""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

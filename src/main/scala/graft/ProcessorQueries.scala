@@ -108,6 +108,21 @@ object ProcessorQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
     }),
 
+    // trace assembly: spans (events) grouped into traces (user_id =
+    // trace id) → per-trace summary like a spanmetrics/servicegraph
+    // connector would need: span count, wall duration, error count,
+    // distinct operations, root span id
+    "q_trace_assembly" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .groupBy(col("user_id").as("trace_key"))
+        .agg(count(lit(1)).as("n_spans"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"),
+          countDistinct(col("event_type")).as("n_operations"),
+          min(col("event_id")).as("root_span_id"))
+    }),
+
     // log severity normalization (plog severity_number mapping)
     "q_span_status" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -191,6 +206,14 @@ object ProcessorQueries {
         | UNION ALL
         | SELECT 'big' AS pipeline, event_id, value FROM events WHERE value > 180)
         |GROUP BY pipeline""".stripMargin,
+
+    "q_trace_assembly" ->
+      """SELECT user_id AS trace_key, COUNT(*) AS n_spans,
+        | MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        | COUNT(DISTINCT event_type) AS n_operations,
+        | MIN(event_id) AS root_span_id
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_span_status" ->
       """SELECT severity_number, severity_text, COUNT(*) AS n FROM (
