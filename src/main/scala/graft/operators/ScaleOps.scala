@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-strategy operators: the shuffle/skew machinery a 100 TB run
+  * needs. None of these change results — they change plans.
+  *
+  * AQE's skew-join splitting handles sort-merge skew automatically;
+  * saltedJoin is for the cases AQE can't fix (broadcast-ineligible
+  * dimension with a hot key under a shuffled hash join, or
+  * aggregations over a hot group).
+  */
+object ScaleOps {
+
+  /** Skew-safe equi-join: replicate each right-side row `salt` times
+    * and scatter left-side hot keys across the replicas, so one hot
+    * key spreads over `salt` reducers instead of melting one.
+    *
+    * Use when the right side is small-ish but over the broadcast
+    * threshold and the left key distribution is heavy-tailed.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Pre-partition both sides identically so a *sequence* of joins /
+    * aggregations on the same key reuses one exchange instead of
+    * shuffling per operator — the poor man's bucketing when you can't
+    * write bucketed tables.
+    */
+  def coPartition(dfs: Seq[DataFrame], key: String, partitions: Int): Seq[DataFrame] =
+    dfs.map(_.repartition(partitions, col(key)))
+
+  /** Salted two-level aggregation for hot groups: partial-aggregate
+    * on (key, salt), then final-aggregate on key. Spark's partial
+    * HashAggregate usually makes this unnecessary; it matters when
+    * the partial agg state is large (e.g. collect-like buffers).
+    */
+  def saltedAgg(df: DataFrame, key: String, salt: Int,
+                partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAgg.head, finalAgg.tail: _*)
+
+  /** Sketch-based distinct counting — the only viable distinct at
+    * 100 TB (exact countDistinct shuffles every key). rsd = relative
+    * standard deviation (HyperLogLog++).
+    */
+  def approxDistinct(df: DataFrame, groupKeys: Seq[Column], target: Column,
+                     rsd: Double = 0.02): DataFrame =
+    df.groupBy(groupKeys: _*)
+      .agg(approx_count_distinct(target, rsd).as("approx_distinct"))
+
+  /** Deterministic block sample without a full scan shuffle: hash-mod
+    * on a stable id (the probabilistic sampler generalized to any
+    * fraction numerator/denominator).
+    */
+  def hashSample(df: DataFrame, idCol: Column, keepNumerator: Int,
+                 denominator: Int): DataFrame =
+    df.filter(pmod(xxhash64(idCol), lit(denominator)) < lit(keepNumerator))
+}

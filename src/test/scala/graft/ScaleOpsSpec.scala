@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleOps
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin result equals plain join") {
+    val e = Tables(spark, sf, "events").withColumnRenamed("user_id", "c_custkey")
+    val c = Tables(spark, sf, "customer")
+    val plain = e.join(c, "c_custkey")
+      .agg(count(lit(1)), sum(col("value")).cast("decimal(20,2)")).head()
+    val salted = ScaleOps.saltedJoin(e, c, "c_custkey", salt = 8)
+      .agg(count(lit(1)), sum(col("value")).cast("decimal(20,2)")).head()
+    assert(plain == salted)
+  }
+
+  test("coPartition lets a join reuse the partitioning (no extra exchange)") {
+    val Seq(a, b) = ScaleOps.coPartition(Seq(
+      Tables(spark, sf, "events").withColumnRenamed("user_id", "k"),
+      Tables(spark, sf, "customer").withColumnRenamed("c_custkey", "k")), "k", 8)
+    // the dim is broadcast-sized at test scale; hint the shuffled join
+    // this operator exists for (both sides too big to broadcast)
+    val joined = a.join(b.hint("merge"), "k")
+    val p = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected only the two repartition exchanges:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("approxDistinct within 5% of exact") {
+    val e = Tables(spark, sf, "events")
+    val approx = ScaleOps.approxDistinct(e, Seq(col("event_type")), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05, s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("hashSample is deterministic and near the target fraction") {
+    val e = Tables(spark, sf, "events")
+    val s1 = ScaleOps.hashSample(e, col("event_id"), 1, 4)
+    val s2 = ScaleOps.hashSample(e, col("event_id"), 1, 4)
+    val n1 = s1.count(); val n2 = s2.count()
+    assert(n1 == n2)
+    val frac = n1.toDouble / e.count()
+    assert(frac > 0.15 && frac < 0.35, s"fraction $frac")
+  }
+
+  test("saltedAgg two-level aggregation equals direct aggregation") {
+    val e = Tables(spark, sf, "events")
+    val direct = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = ScaleOps.saltedAgg(e, "event_type", 8,
+        partial = Seq(count(lit(1)).as("pn")),
+        finalAgg = Seq(sum(col("pn")).as("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == salted)
+  }
+}
