@@ -77,6 +77,138 @@ object OtlpJsonSource {
         col("resource_attributes"),
         col("scope_name"))
 
+  // ---- traces ----
+
+  private val spanType = StructType(Seq(
+    StructField("traceId", StringType),
+    StructField("spanId", StringType),
+    StructField("parentSpanId", StringType),
+    StructField("name", StringType),
+    StructField("kind", IntegerType),
+    StructField("startTimeUnixNano", StringType),
+    StructField("endTimeUnixNano", StringType),
+    StructField("status", StructType(Seq(StructField("code", IntegerType)))),
+    StructField("attributes", kvType)))
+
+  private val scopeSpanType = StructType(Seq(
+    StructField("scope", StructType(Seq(StructField("name", StringType)))),
+    StructField("spans", ArrayType(spanType))))
+
+  private val resourceSpanType = StructType(Seq(
+    StructField("resource", StructType(Seq(StructField("attributes", kvType)))),
+    StructField("scopeSpans", ArrayType(scopeSpanType))))
+
+  val traceRequestSchema: StructType = StructType(Seq(
+    StructField("resourceSpans", ArrayType(resourceSpanType))))
+
+  /** ExportTraceServiceRequest JSON → one row per span (ptrace tree
+    * flattened to OtelModel.spanSchema shape) */
+  def parseSpans(requests: DataFrame): DataFrame =
+    requests
+      .select(from_json(col("json"), traceRequestSchema).as("r"))
+      .select(explode(col("r.resourceSpans")).as("rs"))
+      .select(kvToMap(col("rs.resource.attributes")).as("resource_attributes"),
+        explode(col("rs.scopeSpans")).as("ss"))
+      .select(col("resource_attributes"), col("ss.scope.name").as("scope_name"),
+        explode(col("ss.spans")).as("sp"))
+      .select(
+        col("sp.traceId").as("trace_id"),
+        col("sp.spanId").as("span_id"),
+        col("sp.parentSpanId").as("parent_span_id"),
+        col("sp.name").as("name"),
+        col("sp.kind").as("kind"),
+        col("sp.startTimeUnixNano").cast("long").as("start_time_unix_nano"),
+        col("sp.endTimeUnixNano").cast("long").as("end_time_unix_nano"),
+        col("sp.status.code").as("status_code"),
+        kvToMap(col("sp.attributes")).as("attributes"),
+        col("resource_attributes"),
+        col("scope_name"))
+
+  // ---- metrics (gauge/sum number datapoints) ----
+
+  private val numberPointType = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("startTimeUnixNano", StringType),
+    StructField("asDouble", DoubleType),
+    StructField("asInt", StringType),
+    StructField("attributes", kvType)))
+
+  private val metricType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("gauge", StructType(Seq(
+      StructField("dataPoints", ArrayType(numberPointType))))),
+    StructField("sum", StructType(Seq(
+      StructField("dataPoints", ArrayType(numberPointType)),
+      StructField("aggregationTemporality", IntegerType),
+      StructField("isMonotonic", BooleanType))))))
+
+  private val scopeMetricType = StructType(Seq(
+    StructField("scope", StructType(Seq(StructField("name", StringType)))),
+    StructField("metrics", ArrayType(metricType))))
+
+  private val resourceMetricType = StructType(Seq(
+    StructField("resource", StructType(Seq(StructField("attributes", kvType)))),
+    StructField("scopeMetrics", ArrayType(scopeMetricType))))
+
+  val metricRequestSchema: StructType = StructType(Seq(
+    StructField("resourceMetrics", ArrayType(resourceMetricType))))
+
+  /** ExportMetricsServiceRequest JSON → one row per number datapoint
+    * (gauge + sum), OtelModel.metricPointSchema shape */
+  def parseMetricPoints(requests: DataFrame): DataFrame = {
+    val base = requests
+      .select(from_json(col("json"), metricRequestSchema).as("r"))
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(kvToMap(col("rm.resource.attributes")).as("resource_attributes"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("resource_attributes"), explode(col("sm.metrics")).as("m"))
+    def points(kind: String, temporality: org.apache.spark.sql.Column,
+               monotonic: org.apache.spark.sql.Column) =
+      base.filter(col(s"m.$kind").isNotNull)
+        .select(col("m.name").as("metric_name"), lit(kind).as("metric_type"),
+          temporality.as("aggregation_temporality"), monotonic.as("is_monotonic"),
+          col("resource_attributes"), explode(col(s"m.$kind.dataPoints")).as("dp"))
+        .select(col("metric_name"), col("metric_type"),
+          col("aggregation_temporality"), col("is_monotonic"),
+          col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
+          col("dp.startTimeUnixNano").cast("long").as("start_time_unix_nano"),
+          coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"),
+          kvToMap(col("dp.attributes")).as("attributes"),
+          col("resource_attributes"))
+    points("gauge", lit(null).cast("string"), lit(null).cast("boolean"))
+      .unionByName(points("sum",
+        when(col("m.sum.aggregationTemporality") === 1, "delta")
+          .when(col("m.sum.aggregationTemporality") === 2, "cumulative"),
+        col("m.sum.isMonotonic")))
+  }
+
+  // ---- export (exporter/otlphttpexporter JSON encoding analog) ----
+
+  /** logs rows (logSchema shape) → one OTLP/JSON request document per
+    * (resource_attributes, scope_name) group — the inverse of
+    * [[parseLogs]], so pipelines can round-trip. */
+  def writeLogsJson(logs: DataFrame): DataFrame = {
+    val mapToKv = (m: org.apache.spark.sql.Column) =>
+      transform(map_entries(m), e => struct(e.getField("key").as("key"),
+        struct(e.getField("value").as("stringValue")).as("value")))
+    logs
+      .groupBy(col("resource_attributes"), col("scope_name"))
+      .agg(collect_list(struct(
+        col("time_unix_nano").cast("string").as("timeUnixNano"),
+        col("observed_time_unix_nano").cast("string").as("observedTimeUnixNano"),
+        col("severity_number").as("severityNumber"),
+        col("severity_text").as("severityText"),
+        struct(col("body").as("stringValue")).as("body"),
+        mapToKv(col("attributes")).as("attributes"),
+        col("trace_id").as("traceId"),
+        col("span_id").as("spanId"))).as("logRecords"))
+      .select(to_json(struct(array(struct(
+        struct(mapToKv(col("resource_attributes")).as("attributes")).as("resource"),
+        array(struct(
+          struct(col("scope_name").as("name")).as("scope"),
+          col("logRecords"))).as("scopeLogs"))).as("resourceLogs"))).as("json"))
+  }
+
   /** events table → logSchema (the testdata stand-in receiver) */
   def eventsAsLogs(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "events")

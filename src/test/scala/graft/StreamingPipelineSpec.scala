@@ -111,6 +111,55 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(parsed.schema.fieldNames.contains("scope_name"))
   }
 
+  test("OTLP-JSON spans parsing flattens resourceSpans") {
+    import spark.implicits._
+    val json =
+      """{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
+        |"scopeSpans":[{"scope":{"name":"graft"},"spans":[
+        |{"traceId":"t1","spanId":"s1","parentSpanId":"","name":"GET /x","kind":2,
+        |"startTimeUnixNano":"100","endTimeUnixNano":"250","status":{"code":2},
+        |"attributes":[{"key":"http.route","value":{"stringValue":"/x"}}]}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = OtlpJsonSource.parseSpans(Seq(json).toDF("json")).collect()
+    assert(rows.length == 1)
+    val sp = rows.head
+    assert(sp.getAs[String]("name") == "GET /x")
+    assert(sp.getAs[Long]("end_time_unix_nano") == 250L)
+    assert(sp.getAs[Int]("status_code") == 2)
+    assert(sp.getAs[Map[String, String]]("resource_attributes")("service.name") == "api")
+  }
+
+  test("OTLP-JSON metrics parsing yields gauge and sum datapoints") {
+    import spark.implicits._
+    val json =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},
+        |"scopeMetrics":[{"scope":{"name":"graft"},"metrics":[
+        |{"name":"cpu.util","gauge":{"dataPoints":[{"timeUnixNano":"100","asDouble":0.5,"attributes":[]}]}},
+        |{"name":"requests","sum":{"aggregationTemporality":2,"isMonotonic":true,
+        |"dataPoints":[{"timeUnixNano":"200","asInt":"42","attributes":[]}]}}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = OtlpJsonSource.parseMetricPoints(Seq(json).toDF("json")).collect()
+    assert(rows.length == 2)
+    val gauge = rows.find(_.getAs[String]("metric_type") == "gauge").get
+    assert(gauge.getAs[Double]("value") == 0.5)
+    val sum = rows.find(_.getAs[String]("metric_type") == "sum").get
+    assert(sum.getAs[Double]("value") == 42.0)
+    assert(sum.getAs[String]("aggregation_temporality") == "cumulative")
+    assert(sum.getAs[Boolean]("is_monotonic"))
+  }
+
+  test("OTLP-JSON logs round-trip: write then parse preserves records") {
+    val logs = OtlpJsonSource.eventsAsLogs(spark, sf).limit(200)
+    val written = OtlpJsonSource.writeLogsJson(logs)
+    val reparsed = OtlpJsonSource.parseLogs(written.select(org.apache.spark.sql.functions.col("json")))
+    assert(reparsed.count() == 200)
+    val a = logs.select("span_id", "body", "severity_number").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val b = reparsed.select("span_id", "body", "severity_number").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
   test("events-as-logs receiver produces the canonical log schema") {
     val logs = OtlpJsonSource.eventsAsLogs(spark, sf)
     assert(logs.count() == Tables(spark, sf, "events").count())
