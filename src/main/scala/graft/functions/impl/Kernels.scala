@@ -1,0 +1,138 @@
+package graft.functions.impl
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code.
+  * doGenCode emits a single static call into these, so the expression
+  * participates in whole-stage codegen without CodegenFallback's
+  * per-row InternalRow construction.
+  */
+object Kernels {
+
+  def xxh64(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) words += s.substring(start, i)
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var w = 0
+    while (w + n <= words.length) {
+      val sb = new java.lang.StringBuilder(words(w))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(w + j)); j += 1 }
+      out.add(UTF8String.fromString(sb.toString))
+      w += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = xxh64(s, 0x9747b28cL)
+        val h2 = xxh64(s, 0x8ebc6af1L) | 1L
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = xxh64(arr.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val bits = new Array[Int](64)
+    var j = 0
+    while (j < 64) { bits(j) = if (votes(j) > 0) 1 else 0; j += 1 }
+    new GenericArrayData(bits)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val hyperplaneWeights =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Byte]]]()
+
+  def hyperplaneWeightsFor(tables: Int, planes: Int, dim: Int): Array[Array[Byte]] =
+    hyperplaneWeights.computeIfAbsent((tables, planes, dim), { case (t, p, d) =>
+      Array.tabulate(t * p) { tp =>
+        val tt = tp / p; val pp = tp % p
+        Array.tabulate(d) { i =>
+          val key = UTF8String.fromString(s"$tt/$pp:$i")
+          val h = xxh64(key, 42L)
+          if (h > 0) 1.toByte else -1.toByte
+        }
+      }
+    })
+
+  def hyperplaneBuckets(v: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val dim = v.numElements()
+    val w = hyperplaneWeightsFor(tables, planes, dim)
+    val vals = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { vals(i) = v.getDouble(i); i += 1 }
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      val sb = new java.lang.StringBuilder(planes + 4)
+      sb.append(t).append(':')
+      var p = 0
+      while (p < planes) {
+        val row = w(t * planes + p)
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += (if (row(d) == 1) vals(d) else -vals(d)); d += 1 }
+        sb.append(if (s > 0) '1' else '0')
+        p += 1
+      }
+      out(t) = UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -22,6 +22,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("tabs") == 4)
   }
 
+  test("native expressions codegen-compile (fallback disabled)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    GraftExtensions.register(s2)
+    val r = s2.sql(
+      """SELECT doc_id,
+        |  minhash_signature(word_shingles(text, 3), 8) AS sig,
+        |  simhash_bits(word_shingles(text, 1)) AS bits
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`
+        |ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5 && r.head.getSeq[Long](1).size == 8)
+    val c = s2.sql(
+      """SELECT cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)) AS cs,
+        |  hyperplane_buckets(CAST(a.embedding AS ARRAY<DOUBLE>), 4, 8) AS hb
+        |FROM parquet.`/root/testdata/sf0.001/embeddings.parquet` a
+        |JOIN parquet.`/root/testdata/sf0.001/embeddings.parquet` b ON b.vec_id = a.vec_id + 1
+        |LIMIT 3""".stripMargin).collect()
+    assert(c.length == 3 && c.head.getSeq[String](1).size == 4)
+  }
+
   test("SQL minhash matches the Column API") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
