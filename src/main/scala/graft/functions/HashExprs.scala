@@ -31,6 +31,35 @@ object HashExprs {
   /** Column API: distinct word n-gram shingles straight from text. */
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Column API: count of elements present in a fixed word list. */
+  def wordlist_hits(tokens: Column, words: Seq[String]): Column =
+    Bridge.column(WordlistHits(Bridge.expression(tokens), words))
+}
+
+/** Count of array elements contained in a fixed word list (hash-set
+  * membership per element; the OR-chain HOF filter is interpreted and
+  * rescans the list per token).
+  */
+case class WordlistHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "wordlist_hits"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordlistHits(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, classOf[java.util.HashSet[UTF8String]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.wordlistHits($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordlistHits = copy(child = c)
 }
 
 /** Distinct word n-gram shingles from raw text in one pass: split on

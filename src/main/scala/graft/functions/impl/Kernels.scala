@@ -83,6 +83,17 @@ object Kernels {
     new GenericArrayData(bits)
   }
 
+  def wordlistHits(arr: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && words.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -34,6 +34,8 @@ object Processors {
   final case class Delete(name: String) extends AttrAction
   /** hash action of the attributes processor (value → stable digest) */
   final case class HashAttr(name: String) extends AttrAction
+  /** extract action: regex capture groups become new attributes */
+  final case class Extract(from: String, regex: String, groups: Seq[(String, Int)]) extends AttrAction
 
   def attributes(df: DataFrame, actions: Seq[AttrAction]): DataFrame =
     actions.foldLeft(df) {
@@ -41,6 +43,10 @@ object Processors {
       case (d, Rename(f, t))  => d.withColumnRenamed(f, t)
       case (d, Delete(n))     => d.drop(n)
       case (d, HashAttr(n))   => d.withColumn(n, md5(col(n).cast("string")))
+      case (d, Extract(f, re, gs)) =>
+        gs.foldLeft(d) { case (dd, (name, idx)) =>
+          dd.withColumn(name, regexp_extract(col(f), re, idx))
+        }
     }
 
   /** group-by-attributes processor: regroup records under the given

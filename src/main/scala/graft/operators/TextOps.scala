@@ -23,8 +23,7 @@ object TextOps {
     wordlistHits(toks, words).cast("double") / size(toks).cast("double")
 
   def wordlistHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t =>
-      words.map(w => t === lit(w)).reduce(_ || _)))
+    graft.functions.HashExprs.wordlist_hits(toks, words)
 
   val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   val EsStop = Seq("el", "la", "de", "y", "en", "es", "los", "que")

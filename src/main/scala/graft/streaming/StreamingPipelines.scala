@@ -29,6 +29,15 @@ object StreamingPipelines {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** session-window aggregation per key (gap-based, watermarked) —
+    * the streaming twin of MetricsOps.sessionize. */
+  def sessionAgg(events: DataFrame, keyCol: String, gap: String,
+                 lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   final case class Seen(firstSeenMs: Long)
 
   /** streaming exact-dedup: emit only the first record per content
