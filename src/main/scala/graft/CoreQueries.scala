@@ -39,13 +39,16 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
     }),
 
-    // TPC-H Q3 shape: 3-way join (dims broadcast), agg, top-k.
+    // TPC-H Q3 shape: selective dims collapse first (orders ⋈
+    // broadcast customer ≈ 20% of orders), then the shrunken order
+    // set broadcasts to the fact — lineitem never shuffles.
     "q3_top_orders" -> ((s, dir) => {
       val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val co = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      l.join(broadcast(co), l("l_orderkey") === co("o_orderkey"))
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

@@ -49,6 +49,17 @@ object DataPipelineQueries {
       DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
     }),
 
+    // end-to-end dedup application: exact-jaccard pairs -> keep set
+    "q_dedup_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"), DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      DedupOps.applyDedup(d, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     // brute-force exact cosine top-k (bit-identical fold arithmetic)
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -141,6 +152,22 @@ object DataPipelineQueries {
         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5""".stripMargin,
+
+    "q_dedup_apply" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5)
+        |SELECT COUNT(*) AS n_kept, SUM(n_chars) AS total_chars,
+        | COUNT(DISTINCT lang) AS n_langs
+        |FROM documents WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

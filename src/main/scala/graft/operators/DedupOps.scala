@@ -54,23 +54,29 @@ object DedupOps {
             transform(slice(col(sigCol), b * rows + 1, lit(rows)), _.cast("string")))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    // skew guard: drop pathological buckets (a shingle shared by
-    // everything would otherwise make one bucket quadratic)
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = bucketed.select(col("band"), col("band_key"),
-      col(idCol).as("id_a"), col(sigCol).as("sig_a"))
-    val b = bucketed.select(col("band"), col("band_key"),
-      col(idCol).as("id_b"), col(sigCol).as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        minhashEstimate(col("sig_a"), col("sig_b"), k).as("est_sim"))
-      .distinct()
+    // One shuffle: collect each bucket's members, emit ordered pairs
+    // in place (signatures computed once — no self-join re-evaluating
+    // the lineage). Skew guard: a degenerate bucket (shingle shared by
+    // everything) is dropped rather than going quadratic.
+    val buckets = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col(sigCol).as("sig"))))
+        .as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    pairsWithin(buckets, "members")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        minhashEstimate(col("a.sig"), col("b.sig"), k).as("est_sim"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("est_sim") >= threshold)
   }
+
+  /** explode all ordered pairs (i < j) of a collected struct array as
+    * columns `a` and `b` */
+  private def pairsWithin(buckets: DataFrame, membersCol: String): DataFrame =
+    buckets.select(explode(flatten(transform(col(membersCol), (x, i) =>
+      transform(slice(col(membersCol), i + lit(2), size(col(membersCol))),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
 
   /** 64-bit SimHash over the token multiset: per bit, sign of the
     * sum of ±1 votes from each token's xxhash64. One codegen'd pass
@@ -88,23 +94,31 @@ object DedupOps {
     * exact Hamming ≤ maxHamming.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, bitsCol: String,
-                          maxHamming: Int): DataFrame = {
+                          maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
     val chunked = df.select(col(idCol), col(bitsCol),
         posexplode(transform(sequence(lit(0), lit(3)),
           c => concat_ws("", transform(slice(col(bitsCol), c * 16 + 1, lit(16)), _.cast("string"))))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_key")
-    val a = chunked.select(col("chunk"), col("chunk_key"),
-      col(idCol).as("id_a"), col(bitsCol).as("bits_a"))
-    val b = chunked.select(col("chunk"), col("chunk_key"),
-      col(idCol).as("id_b"), col(bitsCol).as("bits_b"))
-    a.join(b, Seq("chunk", "chunk_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming(col("bits_a"), col("bits_b")).as("hamming"))
-      .distinct()
+    val buckets = chunked
+      .groupBy(col("chunk"), col("chunk_key"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col(bitsCol).as("sig"))))
+        .as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    pairsWithin(buckets, "members")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Apply near-dup pairs as a dedup decision: greedily keep every doc
+    * that never appears as the larger id of a pair (each cluster keeps
+    * at least its smallest id; transitive chains may keep fewer than a
+    * full connected-components pass would).
+    */
+  def applyDedup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
   /** exact n-gram Jaccard pairs via posting lists: group ids per
     * shingle, emit ordered pairs within each list, count per pair,
