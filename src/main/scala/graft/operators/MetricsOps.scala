@@ -8,9 +8,12 @@ import org.apache.spark.sql.types.DecimalType
 /** pmetric semantics re-expressed on DataFrames.
   *
   * Reference behavior (not code): /root/reference/pdata/pmetric —
-  * Gauge (last value), Sum (aggregation temporality delta|cumulative,
-  * monotonic), Histogram (explicit upper-inclusive bounds),
-  * ExponentialHistogram (base-2 buckets), Summary (quantiles).
+  * Gauge (last value), Sum (aggregation temporality delta|cumulative
+  * per aggregation_temporality.go:17-20, monotonic), Histogram
+  * (explicit upper-inclusive bounds, generated_histogramdatapoint.go),
+  * ExponentialHistogram (base-2 buckets,
+  * generated_exponentialhistogramdatapoint.go), Summary (quantiles),
+  * Exemplars (generated_exemplar.go).
   *
   * Scale notes: every op shuffles exactly once on the series key; the
   * window-function ops (temporality conversion, sessionize) reuse that

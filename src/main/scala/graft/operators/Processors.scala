@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * transforms so Catalyst can push/prune/fuse them.
   *
   * Reference behavior (not code) from /root/reference:
-  *  - processor/batchprocessor/batch_processor.go (size-based batching,
-  *    max-size splitting)
-  *  - processor/memorylimiterprocessor/memorylimiter.go (bounded
-  *    admission: refuse/drop above limits)
+  *  - processor/batchprocessor/batch_processor.go:42-43,188 (size +
+  *    timeout batching triggers, max-size splitting)
+  *  - processor/memorylimiterprocessor/memorylimiter.go:252,270
+  *    (checkMemLimits → refuse/drop above soft/hard limits)
   *  - connector/forwardconnector/forward.go + service fanout consumer
   *    (route/fan pipelines)
   *  - pdata/pcommon attribute-map mutations (upsert/rename/delete)
+  *  - pdata/plog/severity_number.go:23 (severity normalization scale)
   */
 object Processors {
 
