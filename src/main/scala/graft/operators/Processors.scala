@@ -50,6 +50,26 @@ object Processors {
         }
     }
 
+  // ---- pcommon.Map operations on MapType attribute columns ----
+  // (the OtelModel keeps attributes as map<string,string>, matching
+  // the reference's pdata/pcommon/map.go mutation surface)
+
+  /** PutStr/upsert into a map column */
+  def mapPut(attrs: Column, key: String, value: Column): Column =
+    map_concat(map_filter(attrs, (k, _) => k =!= key), map(lit(key), value))
+
+  /** Remove keys from a map column */
+  def mapDelete(attrs: Column, keys: Seq[String]): Column =
+    map_filter(attrs, (k, _) => !k.isin(keys.map(x => x: Any): _*))
+
+  /** KeepKeys: retain only the allow-listed keys */
+  def mapKeepKeys(attrs: Column, keys: Seq[String]): Column =
+    map_filter(attrs, (k, _) => k.isin(keys.map(x => x: Any): _*))
+
+  /** Truncate every value to n chars (attribute size limiting) */
+  def mapTruncateValues(attrs: Column, n: Int): Column =
+    transform_values(attrs, (_, v) => substring(v, 1, n))
+
   /** group-by-attributes processor: regroup records under the given
     * attribute keys and aggregate the payload. One shuffle on the keys.
     */
