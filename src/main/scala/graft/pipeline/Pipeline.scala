@@ -35,8 +35,33 @@ object Pipeline {
   type Stage = DataFrame => DataFrame
 
   trait Exporter { def export(df: DataFrame): Unit }
-  final case class ParquetExporter(path: String, mode: String = "overwrite") extends Exporter {
-    def export(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
+  final case class ParquetExporter(path: String, mode: String = "overwrite",
+                                   codec: String = "zstd") extends Exporter {
+    // codec ≈ the otel-arrow transport compression knob
+    def export(df: DataFrame): Unit =
+      df.write.mode(mode).option("compression", codec).parquet(path)
+  }
+
+  /** exporterhelper retry semantics (reference: exporter/exporterhelper
+    * queue+retry+timeout): bounded retries with backoff around a
+    * delegate exporter. Spark actions are idempotent re-runs of the
+    * same lazy plan, so retrying the export IS retrying the batch.
+    */
+  final case class RetryingExporter(delegate: Exporter, maxRetries: Int = 3,
+                                    backoffMs: Long = 100) extends Exporter {
+    def export(df: DataFrame): Unit = {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { delegate.export(df); done = true }
+        catch {
+          case e: Throwable if attempt < maxRetries =>
+            attempt += 1
+            Thread.sleep(backoffMs * attempt)
+          case e: Throwable => throw e
+        }
+      }
+    }
   }
   /** loggingexporter analog: materialize a bounded sample to stdout */
   final case class LoggingExporter(rows: Int = 20) extends Exporter {
@@ -59,6 +84,31 @@ object Pipeline {
       val df = plan(spark)
       exporters.foreach(_.export(df))
     }
+
+    /** run with obsreport-style telemetry: received/sent row counts
+      * measured via the Observation API — metrics ride the existing
+      * job, no extra pass over the data.
+      */
+    def runObserved(spark: SparkSession): PipelineStats = {
+      import org.apache.spark.sql.Observation
+      val received = Observation("received")
+      val sent = Observation("sent")
+      val df = processors.foldLeft(
+          receiver.read(spark).observe(received, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))(
+          (d, p) => p(d))
+        .observe(sent, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      exporters.foreach(_.export(df))
+      PipelineStats(
+        received = received.get("n").asInstanceOf[Long],
+        sent = sent.get("n").asInstanceOf[Long])
+    }
+  }
+
+  /** obsreport analog: what came in, what went out (dropped = diff) */
+  final case class PipelineStats(received: Long, sent: Long) {
+    def dropped: Long = received - sent
   }
 
   /** A named set of pipelines — the `service.pipelines` block. Shared

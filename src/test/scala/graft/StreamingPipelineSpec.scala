@@ -111,6 +111,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(parsed.schema.fieldNames.contains("scope_name"))
   }
 
+  test("runObserved reports obsreport-style received/sent/dropped") {
+    val sink = new CollectingExporter
+    val stats = PipelineDef(
+      TableReceiver(sf, "events"),
+      Seq(df => Processors.filter(df, col("event_type") === "error")),
+      Seq(sink)).runObserved(spark)
+    assert(stats.received == 1000)
+    assert(stats.sent == sink.result.length.toLong)
+    assert(stats.dropped == stats.received - stats.sent && stats.dropped > 0)
+  }
+
+  test("RetryingExporter retries transient failures then succeeds") {
+    var calls = 0
+    val flaky = new Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException("transient")
+        df.collect()
+      }
+    }
+    RetryingExporter(flaky, maxRetries = 5, backoffMs = 1)
+      .export(Tables(spark, sf, "events").limit(5))
+    assert(calls == 3)
+  }
+
   test("OTLP-JSON spans parsing flattens resourceSpans") {
     import spark.implicits._
     val json =
