@@ -74,6 +74,14 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // IVF ANN: centroid cells + nprobe search (rows-only: iterative
+    // float averaging isn't portably bit-stable)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.ivfTopK(e.filter(col("vec_id") < 10), e, c = 16, nprobe = 4, k = 10)
+        .select(col("qid"), col("nid"), col("rk"))
+    }),
+
     // per-label per-dimension centroids (array plumbing, exact sums)
     "q_embed_stats" -> ((s, dir) => {
       embs(s, dir)

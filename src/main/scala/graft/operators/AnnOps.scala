@@ -59,6 +59,69 @@ object AnnOps {
       when(s > 0, lit(1)).otherwise(lit(0))
     })
 
+  /** IVF (inverted-file) ANN index: partition the corpus into `c`
+    * centroid cells (deterministic Lloyd iterations, cosine metric),
+    * probe the `nprobe` nearest cells per query, exact re-rank inside.
+    *
+    * The index-build collects c×dim floats to the driver per
+    * iteration — at 1e9+ rows you train on a sample (same as any
+    * IVF/faiss deployment); assignment and search stay distributed.
+    * Scan fraction ≈ nprobe/c, the coarse recall/cost dial.
+    */
+  def ivfCentroids(corpus: DataFrame, c: Int, iters: Int): Array[Seq[Double]] = {
+    val base = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // deterministic init: the c lowest vec_ids
+    var centroids: Array[Seq[Double]] = base.orderBy(col("vec_id")).limit(c)
+      .collect().map(_.getSeq[Double](1))
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cid", nearestCentroid(col("v"), centroids))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map { r =>
+          val dims = r.getMap[Int, Double](1)
+          (0 until dims.size).map(dims(_)).toSeq
+        }
+      it += 1
+    }
+    centroids
+  }
+
+  /** argmax-cosine cell id against broadcast centroid literals */
+  def nearestCentroid(vec: Column, centroids: Array[Seq[Double]]): Column = {
+    val sims = array(centroids.map(ct => cosine(vec, typedLit(ct))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** IVF search: assign corpus cells once, probe nprobe cells per
+    * query, exact cosine top-k within the probed cells. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,
+              k: Int, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, c, iters)
+    val cells = corpus.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("ne"))
+      .withColumn("cid", nearestCentroid(col("ne"), centroids))
+    val probes = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("sims", array(centroids.map(ct => cosine(col("qe"), typedLit(ct))): _*))
+      .withColumn("probe_cids", slice(reverse(array_sort(zip_with(
+        col("sims"), sequence(lit(0), lit(c - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+      .select(col("qid"), col("qe"), explode(col("probe_cids")).as("p"))
+      .select(col("qid"), col("qe"), col("p.i").as("cid"))
+    val cand = cells.join(broadcast(probes), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Multi-table LSH ANN: `tables` independent hyperplane tables of
     * `planes` bits; a candidate collides with the query in ≥1 table.
     * Exact cosine re-rank of the deduplicated candidate set, top-k.
