@@ -20,6 +20,52 @@ object VectorExprs {
 
   def hyperplane_buckets(vec: Column, tables: Int, planes: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec), tables, planes))
+
+  /** all ordered pairs (i<j) of an array as array<struct<a,b>> */
+  def pair_combinations(arr: Column): Column =
+    Bridge.column(PairCombinations(Bridge.expression(arr)))
+
+  /** positions differing between two equal-length int arrays */
+  def hamming_dist(a: Column, b: Column): Column =
+    Bridge.column(HammingDist(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Ordered pair expansion of a (bucket member) array in one kernel
+  * pass — the nested transform/slice/flatten HOF chain building the
+  * same pairs is interpreted per row.
+  */
+case class PairCombinations(child: Expression) extends UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType), StructField("b", elemType))),
+    containsNull = false)
+  override def prettyName: String = "pair_combinations"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.pairCombinations(input.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elemType,
+      classOf[DataType].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.pairCombinations($c, $et)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PairCombinations = copy(child = c)
+}
+
+case class HammingDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.hammingInts(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.impl.Kernels.hammingInts($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
+    copy(left = l, right = r)
 }
 
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {

@@ -94,6 +94,37 @@ object Kernels {
     hits
   }
 
+  /** all ordered pairs (i < j) of an array's elements as an array of
+    * 2-field structs; elements passed through by reference */
+  def pairCombinations(arr: ArrayData, elemType: org.apache.spark.sql.types.DataType): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.get(i, elemType)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(a, arr.get(j, elemType))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def hammingInts(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) {
+      if (a.getInt(i) != b.getInt(i)) d += 1
+      i += 1
+    }
+    d
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

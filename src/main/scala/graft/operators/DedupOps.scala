@@ -71,11 +71,10 @@ object DedupOps {
   }
 
   /** explode all ordered pairs (i < j) of a collected struct array as
-    * columns `a` and `b` */
+    * columns `a` and `b` (native kernel — the HOF chain interprets) */
   private def pairsWithin(buckets: DataFrame, membersCol: String): DataFrame =
-    buckets.select(explode(flatten(transform(col(membersCol), (x, i) =>
-      transform(slice(col(membersCol), i + lit(2), size(col(membersCol))),
-        y => struct(x.as("a"), y.as("b")))))).as("p"))
+    buckets.select(explode(
+        graft.functions.VectorExprs.pair_combinations(col(membersCol))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
 
   /** 64-bit SimHash over the token multiset: per bit, sign of the
@@ -87,7 +86,7 @@ object DedupOps {
     graft.functions.HashExprs.simhash_bits(words)
 
   def hamming(bitsA: Column, bitsB: Column): Column =
-    size(filter(zip_with(bitsA, bitsB, (x, y) => when(x =!= y, lit(1))), _.isNotNull))
+    graft.functions.VectorExprs.hamming_dist(bitsA, bitsB)
 
   /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
     * Hamming ≤ 3 of 64 bits must agree on ≥1 of 4 chunks), verify
@@ -137,10 +136,9 @@ object DedupOps {
     val postings = df.select(explode(col(shinglesCol)).as("s"), col(idCol).as("id"))
       .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
-    val pairs = postings.select(explode(flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-    val counted = pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairs = postings.select(explode(
+      graft.functions.VectorExprs.pair_combinations(col("ids"))).as("p"))
+    val counted = pairs.groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     counted
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
