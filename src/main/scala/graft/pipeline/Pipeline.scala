@@ -36,10 +36,15 @@ object Pipeline {
 
   trait Exporter { def export(df: DataFrame): Unit }
   final case class ParquetExporter(path: String, mode: String = "overwrite",
-                                   codec: String = "zstd") extends Exporter {
-    // codec ≈ the otel-arrow transport compression knob
-    def export(df: DataFrame): Unit =
-      df.write.mode(mode).option("compression", codec).parquet(path)
+                                   codec: String = "zstd",
+                                   partitionBy: Seq[String] = Nil) extends Exporter {
+    // codec ≈ the otel-arrow transport compression knob; partitionBy
+    // gives partition-pruned reads downstream (scan only the hours /
+    // services a query touches)
+    def export(df: DataFrame): Unit = {
+      val w = df.write.mode(mode).option("compression", codec)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    }
   }
 
   /** exporterhelper retry semantics (reference: exporter/exporterhelper

@@ -209,6 +209,29 @@ object OtlpJsonSource {
           col("logRecords"))).as("scopeLogs"))).as("resourceLogs"))).as("json"))
   }
 
+  /** [[parseLogs]] with a dead-letter channel: requests that don't
+    * parse (from_json → null) are routed raw instead of dropped —
+    * the collector's receiver error path. Returns (good, dlq).
+    */
+  def parseLogsWithDlq(requests: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = requests.withColumn("r", from_json(col("json"), requestSchema))
+    val good = parseLogs(tagged.filter(col("r.resourceLogs").isNotNull).select(col("json")))
+    val dlq = tagged.filter(col("r.resourceLogs").isNull)
+      .select(col("json").as("raw"), current_timestamp().as("dlq_time"))
+    (good, dlq)
+  }
+
+  /** Streaming OTLP-JSON file receiver: tail a directory of request
+    * documents (one JSON per line) with admission control
+    * (maxFilesPerTrigger ≈ the memory limiter's refusal/backpressure
+    * applied at the source).
+    */
+  def streamLogs(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    parseLogs(spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(col("value").as("json")))
+
   /** events table → logSchema (the testdata stand-in receiver) */
   def eventsAsLogs(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "events")

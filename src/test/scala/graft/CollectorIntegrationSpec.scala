@@ -71,6 +71,46 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(last.getAs[Double]("cum_value") == (0 until 30).map(_ % 5).sum.toDouble)
   }
 
+  test("malformed requests route to the dead-letter channel, not the floor") {
+    import spark.implicits._
+    val requests = Seq(
+      mkLogRequest("api", 3, 2),
+      """{"this is": "not otlp"}""",
+      "garbage{{{").toDF("json")
+    val (good, dlq) = OtlpJsonSource.parseLogsWithDlq(requests)
+    assert(good.count() == 3)
+    assert(dlq.count() == 2)
+    assert(dlq.columns.contains("raw"))
+  }
+
+  test("streaming collector: file receiver → filter → partitioned parquet sink") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("otlp_in").toString
+    val outDir = Files.createTempDirectory("otlp_out").toString + "/logs"
+    val ckDir = Files.createTempDirectory("otlp_ck").toString
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/r1.json"), mkLogRequest("api", 30, 3))
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/r2.json"), mkLogRequest("worker", 12, 2))
+
+    val logs = OtlpJsonSource.streamLogs(spark, inDir, maxFilesPerTrigger = 1)
+    val errors = Processors.filter(logs, col("severity_number") >= 17)
+      .withColumn("service", col("resource_attributes").getItem("service.name"))
+    val q = errors.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .partitionBy("service")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 10 + 6)
+    assert(out.select("service").distinct().collect().map(_.getString(0)).toSet ==
+      Set("api", "worker"))
+    // partition pruning works on the service dirs
+    val pruned = spark.read.parquet(outDir).filter(col("service") === "api")
+    assert(pruned.count() == 10)
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
