@@ -101,6 +101,16 @@ object DataPipelineQueries {
           (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
     }),
 
+    // BPE-ish subword token counting (regex pre-tokenizer shape)
+    "q_token_bpe" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("n_bpe", TextOps.bpeTokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("total_bpe_tokens"),
+          (sum(col("n_bpe")).cast("double") / count(lit(1))).as("avg_bpe_tokens"))
+    }),
+
     // quality scoring (length / avg token len / stopword ratio)
     "q_quality_score" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -203,6 +213,12 @@ object DataPipelineQueries {
         | SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
         | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS total_bpe_tokens,
+        | CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,

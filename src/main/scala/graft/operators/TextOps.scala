@@ -13,6 +13,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword segmentation: letter runs, digit runs, and
+    * punctuation runs (each optionally space-prefixed) — the GPT-2
+    * pre-tokenizer shape, minus lookahead so RE2 (DuckDB) and Java
+    * regex agree. */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** character count excluding spaces / token count */
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
