@@ -29,6 +29,19 @@ object StreamingPipelines {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Scrape receiver analog (reference: receiver/scraperhelper):
+    * a periodic pull that emits datapoints on a schedule. The rate
+    * source provides the schedule; `scrape` turns each tick into
+    * metric points (in a real deployment it reads the scraped
+    * target's state).
+    */
+  def scrapeStream(spark: SparkSession, rowsPerSecond: Int,
+                   scrape: DataFrame => DataFrame): DataFrame =
+    scrape(spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load())
+
   /** session-window aggregation per key (gap-based, watermarked) —
     * the streaming twin of MetricsOps.sessionize. */
   def sessionAgg(events: DataFrame, keyCol: String, gap: String,

@@ -13,6 +13,22 @@ class StreamingPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("scrape receiver emits metric points on the rate schedule") {
+    val points = graft.streaming.StreamingPipelines.scrapeStream(spark, 100, tick =>
+      tick.select(
+        lit("up").as("metric_name"), lit("gauge").as("metric_type"),
+        col("timestamp"), (col("value") % 2).cast("double").as("value")))
+    val q = points.writeStream.outputMode("append")
+      .format("memory").queryName("scrape_out").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM scrape_out").head().getLong(0)
+      assert(n > 0)
+      assert(spark.sql("SELECT DISTINCT metric_name FROM scrape_out").head().getString(0) == "up")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg matches the batch twin") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
