@@ -123,6 +123,16 @@ object ProcessorQueries {
           min(col("event_id")).as("root_span_id"))
     }),
 
+    // OLAP rollup over telemetry dimensions: per (event_type, cohort),
+    // per event_type subtotal, and grand total in one pass — the
+    // hierarchy a metrics backend pre-aggregates
+    "q_rollup_counts" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("cohort", (col("user_id") % 10).cast("int"))
+        .rollup(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
     // log severity normalization (plog severity_number mapping)
     "q_span_status" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -214,6 +224,13 @@ object ProcessorQueries {
         | COUNT(DISTINCT event_type) AS n_operations,
         | MIN(event_id) AS root_span_id
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_rollup_counts" ->
+      """SELECT event_type, CAST(user_id % 10 AS INTEGER) AS cohort,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS INTEGER))""".stripMargin,
 
     "q_span_status" ->
       """SELECT severity_number, severity_text, COUNT(*) AS n FROM (
