@@ -123,6 +123,22 @@ object ProcessorQueries {
           min(col("event_id")).as("root_span_id"))
     }),
 
+    // as-of join: enrich each event with the latest order state at
+    // event time (Spark lacks a native as-of join; composed from
+    // union + one window pass — see operators.AsOfJoin)
+    "q_asof_enrich" -> ((s, dir) => {
+      val e = Tables(s, dir, "events").withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val state = Tables(s, dir, "orders")
+        .withColumn("t_us", expr("CAST(unix_micros(o_orderdate) AS BIGINT)"))
+        .groupBy(col("o_custkey").as("user_id"), col("t_us"))
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.operators.AsOfJoin.asOf(e, state, "user_id", "ts_us", "t_us", Seq("o_totalprice"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("asof_o_totalprice")).as("n_with_state"),
+          dsum(coalesce(col("asof_o_totalprice"), lit(0))).as("total_state_value"))
+    }),
+
     // OLAP rollup over telemetry dimensions: per (event_type, cohort),
     // per event_type subtotal, and grand total in one pass — the
     // hierarchy a metrics backend pre-aggregates
@@ -224,6 +240,20 @@ object ProcessorQueries {
         | COUNT(DISTINCT event_type) AS n_operations,
         | MIN(event_id) AS root_span_id
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_asof_enrich" ->
+      """WITH state AS (
+        | SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t_us,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1, 2),
+        |j AS (
+        | SELECT e.event_type, s.o_totalprice
+        | FROM events e ASOF LEFT JOIN state s
+        |  ON e.user_id = s.user_id AND epoch_us(e.ts) >= s.t_us)
+        |SELECT event_type, COUNT(*) AS n_events,
+        | COUNT(o_totalprice) AS n_with_state,
+        | CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(28,8))) AS DOUBLE) AS total_state_value
+        |FROM j GROUP BY event_type""".stripMargin,
 
     "q_rollup_counts" ->
       """SELECT event_type, CAST(user_id % 10 AS INTEGER) AS cohort,
