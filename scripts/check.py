@@ -35,6 +35,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 fails, passes, rows_only = [], [], []
 names = sorted(os.listdir(OUT))
+# an oracle whose Spark query failed to write output is a FAIL, not a skip
+for name in sorted(set(oracle) - set(names)):
+    fails.append((name, "no Spark output written (query threw?)"))
 for name in names:
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):

@@ -129,7 +129,7 @@ object ProcessorQueries {
     "q_asof_enrich" -> ((s, dir) => {
       val e = Tables(s, dir, "events").withColumn("ts_us", expr("ts_ns DIV 1000"))
       val state = Tables(s, dir, "orders")
-        .withColumn("t_us", expr("CAST(unix_micros(o_orderdate) AS BIGINT)"))
+        .withColumn("t_us", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
         .groupBy(col("o_custkey").as("user_id"), col("t_us"))
         .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
       graft.operators.AsOfJoin.asOf(e, state, "user_id", "ts_us", "t_us", Seq("o_totalprice"))
