@@ -78,7 +78,8 @@ object DataPipelineQueries {
     // float averaging isn't portably bit-stable)
     "q_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      AnnOps.ivfTopK(e.filter(col("vec_id") < 10), e, c = 16, nprobe = 4, k = 10)
+      AnnOps.ivfTopK(e.filter(col("vec_id") < 10), e, c = 16, nprobe = 4, k = 10,
+          iters = 1)
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
