@@ -89,6 +89,18 @@ object CoreQueries {
         .select(col("event_type"), col("event_id"), col("value"), col("rk"))
     }),
 
+    // Top-k per group via the bounded-heap aggregate (O(k) state, one
+    // shuffle, map-side combine — the scale path vs the window sort of
+    // q_topk_per_group). Exploded to scalar rows for the oracle.
+    "q_topk_agg" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.top_k(col("value"), 5).as("tops"))
+        .select(col("event_type"), posexplode(col("tops")))
+        .select(col("event_type"), (col("pos") + 1).cast("bigint").as("rk"),
+          col("col").as("value"))
+    }),
+
     // Resource-enrichment join: fact × broadcast dim.
     "q_join_enrich" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
@@ -154,6 +166,14 @@ object CoreQueries {
         | SELECT event_type, event_id, value,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
         | FROM events) WHERE rk <= 3""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH t AS (
+        | SELECT event_type, list_slice(list(value ORDER BY value DESC), 1, 5) AS tops
+        | FROM events GROUP BY event_type)
+        |SELECT event_type, u[2] AS rk, u[1] AS value
+        |FROM (SELECT event_type,
+        |  unnest(list_zip(tops, range(1, len(tops) + 1))) AS u FROM t)""".stripMargin,
 
     "q_join_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
