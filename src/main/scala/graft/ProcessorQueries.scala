@@ -123,6 +123,34 @@ object ProcessorQueries {
           min(col("event_id")).as("root_span_id"))
     }),
 
+    // servicegraph connector analog: call-transition edges from the
+    // per-trace event sequence (prev op -> op), with edge stats
+    "q_servicegraph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // order at µs granularity (DuckDB truncates ns parquet to µs)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns DIV 1000"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_calls"), dsum(col("value")).as("total_value"))
+    }),
+
+    // compaction / upsert view: latest record per key (changelog ->
+    // current-state materialization)
+    "q_latest_by_key" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns DIV 1000").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          expr("ts_ns DIV 1000").as("last_ts_us"))
+    }),
+
     // as-of join: enrich each event with the latest order state at
     // event time (Spark lacks a native as-of join; composed from
     // union + one window pass — see operators.AsOfJoin)
@@ -240,6 +268,23 @@ object ProcessorQueries {
         | COUNT(DISTINCT event_type) AS n_operations,
         | MIN(event_id) AS root_span_id
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_servicegraph" ->
+      """WITH seq AS (
+        | SELECT event_type, value,
+        |  LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        | FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n_calls,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin,
+
+    "q_latest_by_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | value AS last_value, epoch_us(ts) AS last_ts_us
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     "q_asof_enrich" ->
       """WITH state AS (
