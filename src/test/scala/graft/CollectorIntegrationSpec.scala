@@ -71,6 +71,25 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(last.getAs[Double]("cum_value") == (0 until 30).map(_ % 5).sum.toDouble)
   }
 
+  test("declarative JSON config builds and runs a service") {
+    val out = java.nio.file.Files.createTempDirectory("cfg_out").toString + "/errors"
+    val config =
+      s"""{"pipelines": {"logs/errors": {
+         |  "receiver": {"type": "table", "dir": "/root/testdata/sf0.001", "table": "events"},
+         |  "processors": [
+         |    {"type": "filter", "where": "event_type = 'error'"},
+         |    {"type": "upsert", "name": "sev", "expr": "upper(event_type)"},
+         |    {"type": "drop", "columns": ["props", "ts", "ts_ns"]},
+         |    {"type": "select", "exprs": ["event_id", "user_id", "sev", "value"]}],
+         |  "exporters": [{"type": "parquet", "path": "$out"}]
+         |}}}""".stripMargin
+    graft.pipeline.ConfigLoader.fromJson(config).run(spark)
+    val result = spark.read.parquet(out)
+    assert(result.count() > 0)
+    assert(result.columns.toSet == Set("event_id", "user_id", "sev", "value"))
+    assert(result.select("sev").distinct().head().getString(0) == "ERROR")
+  }
+
   test("malformed requests route to the dead-letter channel, not the floor") {
     import spark.implicits._
     val requests = Seq(
