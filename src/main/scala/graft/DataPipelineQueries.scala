@@ -140,6 +140,29 @@ object DataPipelineQueries {
         .filter(col("n_docs") >= 2)
     }),
 
+    // multimodal: frame sampling — one row per sampled frame index of
+    // a "video" blob (stride sampling, the shape a frame-extraction
+    // UDF consumes per partition)
+    "q_frame_sample" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .withColumn("n_frames", (col("n_chars") % 240 + 1).cast("int"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(30))).as("frame_idx"))
+    }),
+
+    // embedding quantization: float32 → int8 by per-vector max-abs
+    // scaling (the compression step before ANN serving)
+    "q_embed_quantize" -> ((s, dir) => {
+      embs(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", greatest(array_max(col("v")), -array_min(col("v"))))
+        .select(Seq(col("vec_id"), col("scale")) ++
+          (0 until 4).map(i =>
+            round(element_at(col("v"), i + 1) / col("scale") * 127)
+              .cast("int").as(s"q$i")): _*)
+    }),
+
     // multimodal: opaque blob + typed metadata from a stubbed decode
     "q_multimodal_meta" -> ((s, dir) => {
       docs(s, dir)
@@ -253,6 +276,22 @@ object DataPipelineQueries {
         | COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents
         |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(n_chars % 240 + 1 AS INTEGER) AS n_frames,
+        | CAST(unnest(range(0, n_chars % 240 + 1, 30)) AS INTEGER) AS frame_idx
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  GREATEST(list_max(e), -list_min(e)) AS scale FROM v)
+        |SELECT vec_id, scale,
+        | CAST(round(e[1] / scale * 127) AS INTEGER) AS q0,
+        | CAST(round(e[2] / scale * 127) AS INTEGER) AS q1,
+        | CAST(round(e[3] / scale * 127) AS INTEGER) AS q2,
+        | CAST(round(e[4] / scale * 127) AS INTEGER) AS q3
+        |FROM s""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
