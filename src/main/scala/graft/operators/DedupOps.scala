@@ -133,7 +133,11 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, idCol: String, shinglesCol: String,
                    threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     val sizes = df.select(col(idCol).as("id"), size(col(shinglesCol)).as("sz"))
+    // shuffle 8-byte shingle hashes, not strings: identical counts
+    // unless XXH64 collides within one doc pair's shingle sets
+    // (P ≈ n²/2⁶⁵ — negligible), and the shuffle shrinks ~3×
     val postings = df.select(explode(col(shinglesCol)).as("s"), col(idCol).as("id"))
+      .select(xxhash64(col("s")).as("s"), col("id"))
       .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
     val pairs = postings.select(explode(
