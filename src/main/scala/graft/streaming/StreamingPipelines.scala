@@ -29,6 +29,20 @@ object StreamingPipelines {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Bridge a stream into any batch [[graft.pipeline.Pipeline.Exporter]]
+    * via foreachBatch — checkpointed micro-batch ids give the
+    * exporterhelper's effectively-once delivery (re-run batches
+    * overwrite deterministically).
+    */
+  def exportStream(stream: DataFrame, exporter: graft.pipeline.Pipeline.Exporter,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        exporter.export(batch.toDF())
+      }
+      .start()
+
   /** Scrape receiver analog (reference: receiver/scraperhelper):
     * a periodic pull that emits datapoints on a schedule. The rate
     * source provides the schedule; `scrape` turns each tick into

@@ -52,6 +52,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(frac > 0.15 && frac < 0.35, s"fraction $frac")
   }
 
+  test("writeSorted produces range-partitioned, internally sorted files") {
+    val out = java.nio.file.Files.createTempDirectory("sorted_out").toString + "/li"
+    ScaleOps.writeSorted(Tables(spark, sf, "lineitem"), out,
+      Seq("l_shipdate", "l_orderkey"), partitions = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables(spark, sf, "lineitem").count())
+    // each file is sorted on the prefix column
+    import org.apache.spark.sql.functions.{input_file_name, lag => lagF}
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(org.apache.spark.sql.functions.monotonically_increasing_id())
+    val unsortedRows = back
+      .withColumn("prev", lagF(col("l_shipdate"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("l_shipdate"))
+    assert(unsortedRows.count() == 0)
+  }
+
+  test("streaming exportStream bridges micro-batches into a batch exporter") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sink = new graft.pipeline.Pipeline.Exporter {
+      val seen = new java.util.concurrent.atomic.AtomicLong()
+      def export(df: org.apache.spark.sql.DataFrame): Unit = seen.addAndGet(df.count())
+    }
+    val ck = java.nio.file.Files.createTempDirectory("export_ck").toString
+    val q = graft.streaming.StreamingPipelines.exportStream(ms.toDF(), sink, ck)
+    try {
+      ms.addData(Seq(1L -> "a", 2L -> "b"))
+      q.processAllAvailable()
+      ms.addData(Seq(3L -> "c"))
+      q.processAllAvailable()
+      assert(sink.seen.get() == 3)
+    } finally q.stop()
+  }
+
   test("saltedAgg two-level aggregation equals direct aggregation") {
     val e = Tables(spark, sf, "events")
     val direct = e.groupBy(col("event_type"))
