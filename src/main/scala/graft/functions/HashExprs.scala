@@ -81,8 +81,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** minhash: per row, min over elements of (xxh64(e,S1) + i·xxh64(e,S2))
-  * for lane i in [0,k). Empty/short arrays yield Long.MaxValue lanes,
-  * which never collide across distinct docs in LSH banding.
+  * for lane i in [0,k). Empty/short arrays yield all-Long.MaxValue
+  * signatures — note these DO collide with each other (two empty docs
+  * are identical), so LSH candidate generation must drop empty-input
+  * rows first (DedupOps.lshNearDupPairs does).
   */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -48,7 +48,10 @@ object DedupOps {
                       bands: Int, rows: Int, threshold: Double,
                       maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
-    val banded = df.select(col(idCol), col(sigCol),
+    // docs with no shingles have all-MaxValue signatures; they'd all
+    // "match" each other, so drop them from candidate generation
+    val nonEmpty = df.filter(element_at(col(sigCol), 1) =!= Long.MaxValue)
+    val banded = nonEmpty.select(col(idCol), col(sigCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             transform(slice(col(sigCol), b * rows + 1, lit(rows)), _.cast("string")))))))

@@ -81,6 +81,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(feats.count() == docs.count())
   }
 
+  test("short docs (no shingles) never produce spurious near-dup pairs") {
+    import org.apache.spark.sql.functions.lit
+    val spark2 = spark
+    import spark2.implicits._
+    val tiny = Seq((1L, "one two"), (2L, "three four"), (3L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val sig = tiny.select(col("doc_id"),
+      DedupOps.minhashSignature(DedupOps.shinglesOfText(col("text"), 3), 32).as("sig"))
+    val pairs = DedupOps.lshNearDupPairs(sig, "doc_id", "sig", 8, 4, 0.5)
+    // docs 1 and 2 have < 3 words => no shingles => must not pair up
+    assert(pairs.count() == 0)
+  }
+
   test("langId is deterministic and covers the stopword languages") {
     val preds = docs.withColumn("p", TextOps.langId(TextOps.tokens(col("text"))))
       .select("p").distinct().collect().map(_.getString(0)).toSet
