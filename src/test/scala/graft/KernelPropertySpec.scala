@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupOps, MetricsOps}
+
+/** Property tests: the native kernels must agree with independent
+  * straight-Scala reference implementations on generated inputs
+  * (raw ScalaCheck generators, seeded for reproducibility).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val doc = Gen.listOf(word).map(_.mkString(" "))
+
+  private def refShingles(text: String, n: Int): Seq[String] = {
+    val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < n) Seq.empty
+    else ws.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  test("WordShingles matches the sliding-window reference on arbitrary docs") {
+    samples(Gen.listOfN(8, doc), 20).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"), DedupOps.shinglesOfText(col("text"), 3).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == refShingles(t, 3), s"doc: '$t'")
+      }
+    }
+  }
+
+  test("CosineSim is bit-identical to a sequential double fold") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0))
+    samples(Gen.zip(vec, vec), 20).foreach { case (a, b) =>
+      if (a.exists(_ != 0.0) && b.exists(_ != 0.0)) {
+        val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        val got = df.select(graft.functions.VectorExprs.cosine_sim(col("a"), col("b")))
+          .head().getDouble(0)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        a.zip(b).foreach { case (x, y) => dot += x * y; na += x * x; nb += y * y }
+        val want = dot / (math.sqrt(na) * math.sqrt(nb))
+        assert(java.lang.Double.doubleToLongBits(got) ==
+          java.lang.Double.doubleToLongBits(want))
+      }
+    }
+  }
+
+  test("expBucket equals smallest k with v <= 2^k") {
+    val v = Gen.chooseNum(0.01, 4000.0)
+    samples(Gen.listOfN(32, v), 10).foreach { vs =>
+      val df = vs.toDF("value")
+      val got = df.select(col("value"),
+          MetricsOps.expBucket(col("value"), -8, 13).as("k"))
+        .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+      vs.foreach { x =>
+        val want = (-8 to 13).find(k => x <= math.pow(2.0, k)).getOrElse(14)
+        assert(got(x) == want, s"value $x")
+      }
+    }
+  }
+
+  test("minhash estimate tracks true jaccard on random overlapping sets") {
+    val base = (0 until 60).map(i => s"sh$i")
+    samples(Gen.chooseNum(0, 50), 10).foreach { overlap =>
+      val aSet = base.take(50)
+      val bSet = base.slice(50 - overlap, 100 - overlap).take(50)
+      val trueJ = (aSet.toSet & bSet.toSet).size.toDouble / (aSet.toSet | bSet.toSet).size
+      val df = Seq((1L, aSet), (2L, bSet)).toDF("id", "shs")
+      val sig = df.select(col("id"), DedupOps.minhashSignature(col("shs"), 128).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sig(1L).zip(sig(2L)).count { case (x, y) => x == y }.toDouble / 128
+      assert(math.abs(est - trueJ) <= 0.2, s"overlap=$overlap est=$est true=$trueJ")
+    }
+  }
+}
