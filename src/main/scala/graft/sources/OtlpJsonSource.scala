@@ -79,6 +79,15 @@ object OtlpJsonSource {
 
   // ---- traces ----
 
+  private val spanEventType = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("name", StringType),
+    StructField("attributes", kvType)))
+
+  private val spanLinkType = StructType(Seq(
+    StructField("traceId", StringType),
+    StructField("spanId", StringType)))
+
   private val spanType = StructType(Seq(
     StructField("traceId", StringType),
     StructField("spanId", StringType),
@@ -88,7 +97,9 @@ object OtlpJsonSource {
     StructField("startTimeUnixNano", StringType),
     StructField("endTimeUnixNano", StringType),
     StructField("status", StructType(Seq(StructField("code", IntegerType)))),
-    StructField("attributes", kvType)))
+    StructField("attributes", kvType),
+    StructField("events", ArrayType(spanEventType)),
+    StructField("links", ArrayType(spanLinkType))))
 
   private val scopeSpanType = StructType(Seq(
     StructField("scope", StructType(Seq(StructField("name", StringType)))),
@@ -121,8 +132,26 @@ object OtlpJsonSource {
         col("sp.endTimeUnixNano").cast("long").as("end_time_unix_nano"),
         col("sp.status.code").as("status_code"),
         kvToMap(col("sp.attributes")).as("attributes"),
+        coalesce(size(col("sp.events")), lit(0)).as("n_events"),
+        coalesce(size(col("sp.links")), lit(0)).as("n_links"),
         col("resource_attributes"),
         col("scope_name"))
+
+  /** span events exploded to their own rows (one per event, with the
+    * owning span's ids) — the pdata SpanEventSlice flattened */
+  def parseSpanEvents(requests: DataFrame): DataFrame =
+    requests
+      .select(from_json(col("json"), traceRequestSchema).as("r"))
+      .select(explode(col("r.resourceSpans")).as("rs"))
+      .select(explode(col("rs.scopeSpans")).as("ss"))
+      .select(explode(col("ss.spans")).as("sp"))
+      .filter(col("sp.events").isNotNull)
+      .select(col("sp.traceId").as("trace_id"), col("sp.spanId").as("span_id"),
+        explode(col("sp.events")).as("ev"))
+      .select(col("trace_id"), col("span_id"),
+        col("ev.timeUnixNano").cast("long").as("time_unix_nano"),
+        col("ev.name").as("name"),
+        kvToMap(col("ev.attributes")).as("attributes"))
 
   // ---- metrics (gauge/sum number datapoints) ----
 
@@ -133,6 +162,14 @@ object OtlpJsonSource {
     StructField("asInt", StringType),
     StructField("attributes", kvType)))
 
+  private val histogramPointType = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("count", StringType),
+    StructField("sum", DoubleType),
+    StructField("bucketCounts", ArrayType(StringType)),
+    StructField("explicitBounds", ArrayType(DoubleType)),
+    StructField("attributes", kvType)))
+
   private val metricType = StructType(Seq(
     StructField("name", StringType),
     StructField("gauge", StructType(Seq(
@@ -140,7 +177,10 @@ object OtlpJsonSource {
     StructField("sum", StructType(Seq(
       StructField("dataPoints", ArrayType(numberPointType)),
       StructField("aggregationTemporality", IntegerType),
-      StructField("isMonotonic", BooleanType))))))
+      StructField("isMonotonic", BooleanType)))),
+    StructField("histogram", StructType(Seq(
+      StructField("dataPoints", ArrayType(histogramPointType)),
+      StructField("aggregationTemporality", IntegerType))))))
 
   private val scopeMetricType = StructType(Seq(
     StructField("scope", StructType(Seq(StructField("name", StringType)))),
@@ -181,6 +221,27 @@ object OtlpJsonSource {
           .when(col("m.sum.aggregationTemporality") === 2, "cumulative"),
         col("m.sum.isMonotonic")))
   }
+
+  /** ExportMetricsServiceRequest JSON → one row per histogram
+    * datapoint, with per-bucket counts exploded alongside an
+    * upper-inclusive bound (last bucket = +Inf → null bound). */
+  def parseHistogramBuckets(requests: DataFrame): DataFrame =
+    requests
+      .select(from_json(col("json"), metricRequestSchema).as("r"))
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+      .filter(col("m.histogram").isNotNull)
+      .select(col("m.name").as("metric_name"),
+        explode(col("m.histogram.dataPoints")).as("dp"))
+      .select(col("metric_name"),
+        col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
+        col("dp.count").cast("long").as("total_count"),
+        col("dp.sum").as("total_sum"),
+        posexplode(col("dp.bucketCounts")))
+      .withColumnRenamed("pos", "bucket_idx")
+      .withColumn("bucket_count", col("col").cast("long"))
+      .drop("col")
 
   // ---- export (exporter/otlphttpexporter JSON encoding analog) ----
 

@@ -189,6 +189,38 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sum.getAs[Boolean]("is_monotonic"))
   }
 
+  test("OTLP-JSON span events and histogram datapoints parse") {
+    import spark.implicits._
+    val spanJson =
+      """{"resourceSpans":[{"resource":{"attributes":[]},
+        |"scopeSpans":[{"scope":{"name":"g"},"spans":[
+        |{"traceId":"t1","spanId":"s1","name":"op","kind":1,
+        |"startTimeUnixNano":"100","endTimeUnixNano":"300","status":{"code":0},
+        |"attributes":[],
+        |"events":[{"timeUnixNano":"150","name":"exception","attributes":[{"key":"msg","value":{"stringValue":"nope"}}]},
+        |          {"timeUnixNano":"200","name":"retry","attributes":[]}],
+        |"links":[{"traceId":"t0","spanId":"s0"}]}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val spans = OtlpJsonSource.parseSpans(Seq(spanJson).toDF("json")).head()
+    assert(spans.getAs[Int]("n_events") == 2 && spans.getAs[Int]("n_links") == 1)
+    val evs = OtlpJsonSource.parseSpanEvents(Seq(spanJson).toDF("json")).collect()
+    assert(evs.length == 2)
+    assert(evs.find(_.getAs[String]("name") == "exception").get
+      .getAs[Map[String, String]]("attributes")("msg") == "nope")
+
+    val histJson =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},
+        |"scopeMetrics":[{"scope":{"name":"g"},"metrics":[
+        |{"name":"latency","histogram":{"aggregationTemporality":2,"dataPoints":[
+        |{"timeUnixNano":"500","count":"6","sum":12.5,
+        | "bucketCounts":["1","2","3"],"explicitBounds":[0.1,1.0],"attributes":[]}]}}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val buckets = OtlpJsonSource.parseHistogramBuckets(Seq(histJson).toDF("json")).collect()
+    assert(buckets.length == 3)
+    assert(buckets.map(_.getAs[Long]("bucket_count")).sum == 6)
+    assert(buckets.head.getAs[Double]("total_sum") == 12.5)
+  }
+
   test("OTLP-JSON logs round-trip: write then parse preserves records") {
     val logs = OtlpJsonSource.eventsAsLogs(spark, sf).limit(200)
     val written = OtlpJsonSource.writeLogsJson(logs)
