@@ -51,6 +51,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("dedup pipelines never degrade to cartesian products") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("ANN brute force is the only deliberate cross product (broadcast side)") {
+    val p = plan("q_ann_bruteforce")
+    // Q×N with a broadcast query set is the intended shape; it must be
+    // the broadcast nested-loop form, never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_filter_events keeps the filter adjacent to the scan") {
     val p = plan("q_filter_events")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||
