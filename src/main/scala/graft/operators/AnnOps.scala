@@ -77,9 +77,13 @@ object AnnOps {
     var it = 0
     while (it < iters) {
       val assigned = base.withColumn("cid", nearestCentroid(col("v"), centroids))
+      // decimal-exact mean: centroid values (and therefore cell
+      // assignments) are identical under any partitioning
       centroids = assigned
         .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
         .collect()
