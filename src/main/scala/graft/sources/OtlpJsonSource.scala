@@ -170,6 +170,24 @@ object OtlpJsonSource {
     StructField("explicitBounds", ArrayType(DoubleType)),
     StructField("attributes", kvType)))
 
+  private val summaryPointType = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("count", StringType),
+    StructField("sum", DoubleType),
+    StructField("quantileValues", ArrayType(StructType(Seq(
+      StructField("quantile", DoubleType),
+      StructField("value", DoubleType)))))))
+
+  private val expHistogramPointType = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("count", StringType),
+    StructField("sum", DoubleType),
+    StructField("scale", IntegerType),
+    StructField("zeroCount", StringType),
+    StructField("positive", StructType(Seq(
+      StructField("offset", IntegerType),
+      StructField("bucketCounts", ArrayType(StringType)))))))
+
   private val metricType = StructType(Seq(
     StructField("name", StringType),
     StructField("gauge", StructType(Seq(
@@ -180,6 +198,11 @@ object OtlpJsonSource {
       StructField("isMonotonic", BooleanType)))),
     StructField("histogram", StructType(Seq(
       StructField("dataPoints", ArrayType(histogramPointType)),
+      StructField("aggregationTemporality", IntegerType)))),
+    StructField("summary", StructType(Seq(
+      StructField("dataPoints", ArrayType(summaryPointType))))),
+    StructField("exponentialHistogram", StructType(Seq(
+      StructField("dataPoints", ArrayType(expHistogramPointType)),
       StructField("aggregationTemporality", IntegerType))))))
 
   private val scopeMetricType = StructType(Seq(
@@ -241,6 +264,49 @@ object OtlpJsonSource {
         posexplode(col("dp.bucketCounts")))
       .withColumnRenamed("pos", "bucket_idx")
       .withColumn("bucket_count", col("col").cast("long"))
+      .drop("col")
+
+  /** summary datapoints → one row per quantile value */
+  def parseSummaryQuantiles(requests: DataFrame): DataFrame =
+    requests
+      .select(from_json(col("json"), metricRequestSchema).as("r"))
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+      .filter(col("m.summary").isNotNull)
+      .select(col("m.name").as("metric_name"),
+        explode(col("m.summary.dataPoints")).as("dp"))
+      .select(col("metric_name"),
+        col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
+        col("dp.count").cast("long").as("total_count"),
+        col("dp.sum").as("total_sum"),
+        explode(col("dp.quantileValues")).as("qv"))
+      .select(col("metric_name"), col("time_unix_nano"),
+        col("total_count"), col("total_sum"),
+        col("qv.quantile").as("quantile"), col("qv.value").as("value"))
+
+  /** exponential histogram datapoints → one row per positive bucket,
+    * with the base-2 lower bound derived from (scale, offset+idx) */
+  def parseExpHistogramBuckets(requests: DataFrame): DataFrame =
+    requests
+      .select(from_json(col("json"), metricRequestSchema).as("r"))
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+      .filter(col("m.exponentialHistogram").isNotNull)
+      .select(col("m.name").as("metric_name"),
+        explode(col("m.exponentialHistogram.dataPoints")).as("dp"))
+      .select(col("metric_name"),
+        col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
+        col("dp.scale").as("scale"),
+        col("dp.zeroCount").cast("long").as("zero_count"),
+        col("dp.positive.offset").as("offset"),
+        posexplode(col("dp.positive.bucketCounts")))
+      .withColumnRenamed("pos", "bucket_idx")
+      .withColumn("bucket_count", col("col").cast("long"))
+      .withColumn("lower_bound",
+        pow(lit(2.0), (col("offset") + col("bucket_idx")).cast("double") /
+          pow(lit(2.0), col("scale").cast("double"))))
       .drop("col")
 
   // ---- export (exporter/otlphttpexporter JSON encoding analog) ----

@@ -221,6 +221,28 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(buckets.head.getAs[Double]("total_sum") == 12.5)
   }
 
+  test("OTLP-JSON summary and exponential-histogram datapoints parse") {
+    import spark.implicits._
+    val json =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},
+        |"scopeMetrics":[{"scope":{"name":"g"},"metrics":[
+        |{"name":"lat.summary","summary":{"dataPoints":[
+        |{"timeUnixNano":"900","count":"10","sum":55.0,
+        | "quantileValues":[{"quantile":0.5,"value":5.0},{"quantile":0.99,"value":9.9}]}]}},
+        |{"name":"lat.exp","exponentialHistogram":{"aggregationTemporality":1,"dataPoints":[
+        |{"timeUnixNano":"901","count":"4","sum":8.0,"scale":0,"zeroCount":"1",
+        | "positive":{"offset":2,"bucketCounts":["1","3"]}}]}}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val sq = OtlpJsonSource.parseSummaryQuantiles(Seq(json).toDF("json")).collect()
+    assert(sq.length == 2)
+    assert(sq.find(_.getAs[Double]("quantile") == 0.99).get.getAs[Double]("value") == 9.9)
+    val eh = OtlpJsonSource.parseExpHistogramBuckets(Seq(json).toDF("json")).collect()
+    assert(eh.length == 2)
+    assert(eh.map(_.getAs[Long]("bucket_count")).sum == 4)
+    // scale 0, offset 2: first bucket lower bound = 2^2
+    assert(eh.find(_.getAs[Int]("bucket_idx") == 0).get.getAs[Double]("lower_bound") == 4.0)
+  }
+
   test("OTLP-JSON logs round-trip: write then parse preserves records") {
     val logs = OtlpJsonSource.eventsAsLogs(spark, sf).limit(200)
     val written = OtlpJsonSource.writeLogsJson(logs)
