@@ -207,7 +207,7 @@ object DataPipelineQueries {
         | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         | GROUP BY a.doc_id, b.doc_id
         | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5)
-        |SELECT COUNT(*) AS n_kept, SUM(n_chars) AS total_chars,
+        |SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | COUNT(DISTINCT lang) AS n_langs
         |FROM documents WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
 
@@ -234,13 +234,13 @@ object DataPipelineQueries {
 
     "q_token_count" ->
       """SELECT source, COUNT(*) AS n_docs,
-        | SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+        | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
         | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
         |FROM documents GROUP BY source""".stripMargin,
 
     "q_token_bpe" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        | SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS total_bpe_tokens,
+        | CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
         | CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens
         |FROM documents GROUP BY lang""".stripMargin,
 

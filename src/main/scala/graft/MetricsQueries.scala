@@ -108,7 +108,7 @@ object MetricsQueries {
     // TIMESTAMP(NANOS) to micros, so the Spark side must too.
     "q_sessionize" -> ((s, dir) => {
       val e = ev(s, dir).withColumn("ts_us", expr("ts_ns DIV 1000"))
-      MetricsOps.sessionize(e, "user_id", "ts_us", 1800000000L)
+      MetricsOps.sessionize(e, "user_id", "ts_us", 1800000000L, tieBreak = Seq("event_id"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L).cast("double")).as("duration_sec"),
@@ -211,16 +211,16 @@ object MetricsQueries {
 
     "q_sessionize" ->
       """WITH flagged AS (
-        | SELECT user_id, epoch_us(ts) AS tsn, value,
+        | SELECT user_id, event_id, epoch_us(ts) AS tsn, value,
         |  CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1
         |   WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
         |   ELSE 0 END AS new_session
         | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sess AS (
         | SELECT user_id, tsn, value,
-        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsn
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | (MAX(tsn) - MIN(tsn)) / CAST(1000000 AS DOUBLE) AS duration_sec,

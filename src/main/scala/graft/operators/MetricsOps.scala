@@ -131,8 +131,10 @@ object MetricsOps {
     * between consecutive integral timestamps exceeds `gap`. One
     * shuffle on the key; both window passes reuse it.
     */
-  def sessionize(df: DataFrame, key: String, tsIntegral: String, gap: Long): DataFrame = {
-    val byKey = Window.partitionBy(col(key)).orderBy(col(tsIntegral))
+  def sessionize(df: DataFrame, key: String, tsIntegral: String, gap: Long,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val byKey = Window.partitionBy(col(key))
+      .orderBy(col(tsIntegral) +: tieBreak.map(col): _*)
     val newSession = when(
       col(tsIntegral) - lag(col(tsIntegral), 1).over(byKey) > gap, 1)
       .otherwise(when(lag(col(tsIntegral), 1).over(byKey).isNull, 1).otherwise(0))
