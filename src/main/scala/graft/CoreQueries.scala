@@ -39,16 +39,18 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
     }),
 
-    // TPC-H Q3 shape: selective dims collapse first (orders ⋈
-    // broadcast customer ≈ 20% of orders), then the shrunken order
-    // set broadcasts to the fact — lineitem never shuffles.
+    // TPC-H Q3 shape: only the true dimension (filtered customer)
+    // broadcasts; lineitem ⋈ (orders ⋈ customer) is left to AQE —
+    // a fact-derived set must never carry a broadcast hint (≈20% of
+    // orders: fine at sf0.1, build-side OOM at 100×), and the top-10
+    // collapses via TakeOrderedAndProject, no global sort.
     "q3_top_orders" -> ((s, dir) => {
       val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
       val co = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select(col("o_orderkey"), col("o_orderdate"))
-      l.join(broadcast(co), l("l_orderkey") === co("o_orderkey"))
+      l.join(co, l("l_orderkey") === co("o_orderkey"))
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

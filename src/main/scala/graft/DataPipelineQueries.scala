@@ -25,20 +25,23 @@ object DataPipelineQueries {
         .filter(col("n_copies") >= 2)
     }),
 
-    // MinHash + LSH near-dup pairs (rows-only: xxhash64)
+    // MinHash + LSH near-dup pairs. md5-lane signatures so the full
+    // pipeline (signature → banding → estimate) is value-verified by
+    // the DuckDB oracle; the xxhash64 kernel stays the scale path
+    // (spec-verified recall/precision vs exact jaccard).
     "q_dedup_minhash" -> ((s, dir) => {
       val sig = docs(s, dir).select(col("doc_id"),
-        DedupOps.minhashSignature(
+        DedupOps.minhashSignatureMd5(
           DedupOps.shinglesOfText(col("text"), 3), 32).as("sig"))
-      DedupOps.lshNearDupPairs(sig, "doc_id", "sig",
+      DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
           bands = 8, rows = 4, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
+        .select(col("id_a"), col("id_b"), col("est_sim"))
     }),
 
-    // SimHash near-dup pairs (rows-only: xxhash64)
+    // SimHash near-dup pairs (md5 bits — oracle value-verified)
     "q_dedup_simhash" -> ((s, dir) => {
       val bits = docs(s, dir).select(col("doc_id"),
-        DedupOps.simhashBits(DedupOps.tokens(col("text"))).as("bits"))
+        DedupOps.simhashBitsMd5(DedupOps.tokens(col("text"))).as("bits"))
       DedupOps.simhashNearDupPairs(bits, "doc_id", "bits", maxHamming = 6)
     }),
 
@@ -67,15 +70,16 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"), col("sim"))
     }),
 
-    // hyperplane-LSH bucketed ANN (rows-only: xxhash64 planes)
+    // hyperplane-LSH bucketed ANN (md5-sign planes — oracle-verified)
     "q_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      AnnOps.lshTopK(e.filter(col("vec_id") < 10), e, planes = 4, k = 10, tables = 16)
+      AnnOps.lshTopKMd5(e.filter(col("vec_id") < 10), e, planes = 4, k = 10, tables = 16)
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
-    // IVF ANN: centroid cells + nprobe search (rows-only: iterative
-    // float averaging isn't portably bit-stable)
+    // IVF ANN: centroid cells + nprobe search. Deterministic init +
+    // decimal-exact means + fixed tie rules make the whole index
+    // build/search bit-replicable in the oracle.
     "q_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       AnnOps.ivfTopK(e.filter(col("vec_id") < 10), e, c = 16, nprobe = 4, k = 10,
@@ -181,6 +185,108 @@ object DataPipelineQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, 32), i ->
+        |    list_min(list_transform(shs, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        | FROM sh WHERE len(shs) > 0),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sig sa, b.sig sb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        | CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 32 AS est_sim
+        |FROM pairs
+        |WHERE list_max(list_transform(range(0, 8), b ->
+        |   CASE WHEN sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4] THEN 1 ELSE 0 END)) = 1
+        | AND len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) >= 16""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS hex FROM t),
+        |v AS (SELECT doc_id, j,
+        |   SUM(2 * (((strpos('0123456789abcdef', substr(hex, CAST(j // 4 AS INT) + 1, 1)) - 1) >> (3 - j % 4)) & 1) - 1) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) u
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
+        |  FROM v GROUP BY doc_id),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b, a.bits ba, b.bits bb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        | len(list_filter(list_zip(ba, bb), x -> x[1] <> x[2])) AS hamming
+        |FROM p
+        |WHERE len(list_filter(list_zip(ba, bb), x -> x[1] <> x[2])) <= 6
+        | AND list_max(list_transform(range(0, 4), c ->
+        |   CASE WHEN ba[c*16+1:c*16+16] = bb[c*16+1:c*16+16] THEN 1 ELSE 0 END)) = 1""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sig AS (SELECT vec_id, e,
+        |  list_transform(range(0, 16), t ->
+        |    list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(list_zip(e, range(0, len(e))), x ->
+        |        CASE WHEN substr(md5(t::VARCHAR || '/' || p::VARCHAR || ':' || x[2]::VARCHAR), 1, 1) <= '7'
+        |         THEN x[1] ELSE -x[1] END)) > 0 THEN 1 ELSE 0 END)) AS sg
+        | FROM v),
+        |cand AS (SELECT q.vec_id qid, c.vec_id nid, q.e qe, c.e ce
+        |  FROM sig q JOIN sig c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  WHERE list_max(list_transform(list_zip(q.sg, c.sg), z ->
+        |    CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) = 1),
+        |sims AS (SELECT qid, nid,
+        |  list_sum(list_transform(list_zip(qe, ce), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(ce, x -> x * x)))) AS sim
+        | FROM cand)
+        |SELECT qid, nid, rk FROM (
+        | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        | FROM sims) WHERE rk <= 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, i.cid,
+        |   list_sum(list_transform(list_zip(v.e, i.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(i.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN init i) s0),
+        |cells0 AS (SELECT vec_id, e, cid FROM asg0 WHERE rn = 1),
+        |means AS (SELECT cid, u[2] AS pos,
+        |   CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT cid, unnest(list_zip(e, range(1, len(e) + 1))) AS u FROM cells0) x
+        |  GROUP BY cid, u[2]),
+        |newc AS (SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid),
+        |cent AS (SELECT i.cid, COALESCE(n.ce, i.ce) AS ce FROM init i LEFT JOIN newc n ON i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, c.cid,
+        |   list_sum(list_transform(list_zip(v.e, c.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN cent c) s1),
+        |cells AS (SELECT vec_id AS nid, e AS ne, cid FROM asg1 WHERE rn = 1),
+        |probes AS (SELECT qid, qe, cid FROM (
+        |   SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+        |     ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |       list_sum(list_transform(list_zip(q.e, c.ce), x -> x[1] * x[2])) /
+        |       (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |        sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid ASC) AS rn
+        |   FROM (SELECT vec_id, e FROM v WHERE vec_id < 10) q CROSS JOIN cent c) s2
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.qid, s.nid,
+        |   list_sum(list_transform(list_zip(p.qe, s.ne), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(p.qe, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(s.ne, x -> x * x)))) AS sim
+        |  FROM cells s JOIN probes p USING (cid) WHERE p.qid <> s.nid)
+        |SELECT qid, nid, rk FROM (
+        | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        | FROM cand) WHERE rk <= 10""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),

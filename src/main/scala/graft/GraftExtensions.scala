@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, HyperplaneBuckets, MinHashSignature, SimHashBits, WordShingles}
+import graft.functions.{CosineSim, HyperplaneBuckets, HyperplaneBucketsMd5, MinHashSignature, MinHashSignatureMd5, SimHashBits, SimHashBits128, SimHashBitsMd5, WordShingles}
 
 /** SQL surface for the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
@@ -45,7 +45,20 @@ object GraftExtensions {
     "hyperplane_buckets" -> (
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (args: Seq[Expression]) =>
-        HyperplaneBuckets(args.head, intArg(args(1), "tables"), intArg(args(2), "planes"))))
+        HyperplaneBuckets(args.head, intArg(args(1), "tables"), intArg(args(2), "planes"))),
+    "minhash_signature_md5" -> (
+      new ExpressionInfo(classOf[MinHashSignatureMd5].getName, "minhash_signature_md5"),
+      (args: Seq[Expression]) => MinHashSignatureMd5(args.head, intArg(args(1), "k"))),
+    "simhash_bits_md5" -> (
+      new ExpressionInfo(classOf[SimHashBitsMd5].getName, "simhash_bits_md5"),
+      (args: Seq[Expression]) => SimHashBitsMd5(args.head)),
+    "simhash_bits_128" -> (
+      new ExpressionInfo(classOf[SimHashBits128].getName, "simhash_bits_128"),
+      (args: Seq[Expression]) => SimHashBits128(args.head)),
+    "hyperplane_buckets_md5" -> (
+      new ExpressionInfo(classOf[HyperplaneBucketsMd5].getName, "hyperplane_buckets_md5"),
+      (args: Seq[Expression]) =>
+        HyperplaneBucketsMd5(args.head, intArg(args(1), "tables"), intArg(args(2), "planes"))))
 
   /** imperative registration for an existing session */
   def register(spark: SparkSession): Unit = {

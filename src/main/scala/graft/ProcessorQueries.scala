@@ -53,6 +53,49 @@ object ProcessorQueries {
         min(col("value")).as("min_value")))
     }),
 
+    // per-metadata-key batcher: batches form independently per
+    // event_type shard (batch_processor.go metadataKeys analog)
+    "q_batch_by_key" -> ((s, dir) => {
+      Processors.assignBatchesByKey(Tables(s, dir, "events"),
+          Seq("event_type"), col("event_id"), 256)
+        .groupBy(col("event_type"), col("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+    }),
+
+    // OTLP/JSON AnyValue fidelity: events → typed-attribute OTLP
+    // documents (double/bool/int values) → parseLogs → aggregate the
+    // recovered typed values. The oracle aggregates the raw table —
+    // equality proves the full parse∘marshal path loses nothing.
+    "q_otlp_roundtrip" -> ((s, dir) => {
+      val av = graft.sources.OtlpJsonSource.typedAnyValue _
+      val json = Tables(s, dir, "events").select(to_json(struct(array(struct(
+        struct(array(struct(lit("service.name").as("key"),
+          av(lit("graft"), null, null, null).as("value"))).as("attributes")).as("resource"),
+        array(struct(
+          struct(lit("graft").as("name")).as("scope"),
+          array(struct(
+            col("ts_ns").cast("string").as("timeUnixNano"),
+            when(col("event_type") === "error", 17).otherwise(9).as("severityNumber"),
+            struct(col("event_type").as("stringValue")).as("body"),
+            array(
+              struct(lit("value").as("key"),
+                av(null, null, col("value"), null).as("value")),
+              struct(lit("is_error").as("key"),
+                av(null, null, null, col("event_type") === "error").as("value")),
+              struct(lit("user").as("key"),
+                av(null, col("user_id").cast("string"), null, null).as("value"))
+            ).as("attributes"))).as("logRecords"))).as("scopeLogs"))).as("resourceLogs")))
+        .as("json"))
+      graft.sources.OtlpJsonSource.parseLogs(json)
+        .groupBy(col("severity_number"))
+        .agg(count(lit(1)).as("n"),
+          dsum(element_at(col("attributes"), "value").cast("double")).as("total_value"),
+          count(when(element_at(col("attributes"), "is_error") === "true", 1)).as("n_flagged"),
+          countDistinct(element_at(col("attributes"), "user").cast("long")).as("n_users"))
+    }),
+
     // batch processor: deterministic size-based batch ids
     "q_batch_assign" -> ((s, dir) => {
       Processors.assignBatches(Tables(s, dir, "events"), col("event_id"), 256)
@@ -217,6 +260,22 @@ object ProcessorQueries {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value,
         | MAX(value) AS max_value, MIN(value) AS min_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_batch_by_key" ->
+      """SELECT event_type, batch_id, COUNT(*) AS n,
+        | MIN(event_id) AS first_id, MAX(event_id) AS last_id
+        |FROM (SELECT event_type, event_id,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) / 256.0) AS BIGINT) AS batch_id
+        | FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_otlp_roundtrip" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 17 ELSE 9 END AS severity_number,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_flagged,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_batch_assign" ->
       """SELECT batch_id, COUNT(*) AS n, MIN(event_id) AS first_id, MAX(event_id) AS last_id

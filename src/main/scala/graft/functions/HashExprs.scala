@@ -35,6 +35,19 @@ object HashExprs {
   /** Column API: count of elements present in a fixed word list. */
   def wordlist_hits(tokens: Column, words: Seq[String]): Column =
     Bridge.column(WordlistHits(Bridge.expression(tokens), words))
+
+  /** Column API: md5-portable minhash (array<string> of hex lanes,
+    * value-verifiable by a DuckDB oracle; empty input → empty array). */
+  def minhash_signature_md5(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSignatureMd5(Bridge.expression(shingles), k))
+
+  /** Column API: md5-portable 64-bit simhash as array<int> bits. */
+  def simhash_bits_md5(tokens: Column): Column =
+    Bridge.column(SimHashBitsMd5(Bridge.expression(tokens)))
+
+  /** Column API: 128-bit simhash (scale variant — wider blocking keys). */
+  def simhash_bits_128(tokens: Column): Column =
+    Bridge.column(SimHashBits128(Bridge.expression(tokens)))
 }
 
 /** Count of array elements contained in a fixed word list (hash-set
@@ -97,6 +110,54 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.minhash($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** md5-portable minhash: lane i = lexicographic min of
+  * md5_hex(i + "|" + element). Slower than the KM double-hash variant
+  * (k digests per element) but bit-replicable in any engine with md5 —
+  * the variant the value-level oracle runs against.
+  */
+case class MinHashSignatureMd5(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_signature_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashMd5(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.minhashMd5($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureMd5 = copy(child = c)
+}
+
+/** md5-portable simhash: votes from the 64-bit MSB-first prefix of
+  * md5(token); sign → bit. array<int> of 64 bits. */
+case class SimHashBitsMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "simhash_bits_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhashMd5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.simhashMd5($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHashBitsMd5 = copy(child = c)
+}
+
+/** 128-bit simhash from two xxh64 lanes per token — the scale
+  * variant whose wider blocking keys survive 1e9+ doc corpora. */
+case class SimHashBits128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "simhash_bits_128"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhash128(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.simhash128($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHashBits128 = copy(child = c)
 }
 
 /** simhash: 64 ±1-vote counters over xxh64(token, 42) bits (same seed

@@ -26,8 +26,12 @@ object TopKAgg {
 case class TopKDoubles(child: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]] {
+    extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  // int/float/decimal inputs coerce to double during analysis instead
+  // of a runtime ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

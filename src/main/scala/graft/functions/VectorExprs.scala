@@ -21,6 +21,11 @@ object VectorExprs {
   def hyperplane_buckets(vec: Column, tables: Int, planes: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec), tables, planes))
 
+  /** md5-portable hyperplane buckets (weights from md5("t/p:d")),
+    * value-verifiable by a DuckDB oracle. */
+  def hyperplane_buckets_md5(vec: Column, tables: Int, planes: Int): Column =
+    Bridge.column(HyperplaneBucketsMd5(Bridge.expression(vec), tables, planes))
+
   /** all ordered pairs (i<j) of an array as array<struct<a,b>> */
   def pair_combinations(arr: Column): Column =
     Bridge.column(PairCombinations(Bridge.expression(arr)))
@@ -100,4 +105,23 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int)
       c => s"graft.functions.impl.Kernels.hyperplaneBuckets($c, $tables, $planes)")
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
+}
+
+/** md5-portable twin of [[HyperplaneBuckets]]: weight w(t,p,d) = +1
+  * iff md5("t/p:d") starts with a hex char in [0-7]. Same output
+  * shape; bit-replicable in SQL (the oracle path).
+  */
+case class HyperplaneBucketsMd5(child: Expression, tables: Int, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hyperplaneBucketsMd5(input.asInstanceOf[ArrayData], tables, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.impl.Kernels.hyperplaneBucketsMd5($c, $tables, $planes)")
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucketsMd5 = copy(child = c)
 }

@@ -62,6 +62,34 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  /** 128-bit simhash (two independent xxh64 lanes per token) — the
+    * scale variant: 64-bit blocking at 1e9+ docs saturates its
+    * 4×65,536 bucket key space; 128 bits banded as 4×32 (or 8×16)
+    * keeps bucket populations bounded. LSB-first per 64-bit half. */
+  def simhash128(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](128)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = xxh64(s, 42L)
+        val h2 = xxh64(s, 0x9747b28cL)
+        var j = 0
+        while (j < 64) {
+          if (((h1 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          if (((h2 >>> j) & 1L) == 1L) votes(64 + j) += 1 else votes(64 + j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val bits = new Array[Int](128)
+    var j = 0
+    while (j < 128) { bits(j) = if (votes(j) > 0) 1 else 0; j += 1 }
+    new GenericArrayData(bits)
+  }
+
   def simhash(arr: ArrayData): ArrayData = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
@@ -81,6 +109,135 @@ object Kernels {
     var j = 0
     while (j < 64) { bits(j) = if (votes(j) > 0) 1 else 0; j += 1 }
     new GenericArrayData(bits)
+  }
+
+  // ---- md5-portable kernels --------------------------------------
+  // Engine-portable twins of the xxhash64 kernels above: MD5 is
+  // bit-identical in the JVM and DuckDB, so these signatures can be
+  // value-verified by a SQL oracle. The xxhash64 variants stay the
+  // faster scale path (one 64-bit hash vs a full digest per element).
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def md5Digest(bytes: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(bytes)
+  }
+
+  /** minhash with md5 lanes: lane i = lexicographic min over elements
+    * of md5_hex(i + "|" + element). Empty input → empty array (callers
+    * must filter before pairing). DuckDB twin:
+    * list_transform(range(0,k), i -> list_min(list_transform(shs,
+    *   s -> md5(i::VARCHAR || '|' || s))))
+    */
+  def minhashMd5(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = new Array[String](k)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var lane = 0
+        while (lane < k) {
+          val h = md5Hex((lane.toString + "|" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (mins(lane) == null || h.compareTo(mins(lane)) < 0) mins(lane) = h
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** simhash with md5 bits: bit j of a token's vote vector is bit
+    * (7 - j%8) of byte j/8 of md5(token) — i.e. the 64-bit prefix of
+    * the digest read MSB-first, matching the hex-nibble arithmetic a
+    * SQL twin does on md5 strings. +1/-1 votes, sign → bit.
+    */
+  def simhashMd5(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = md5Digest(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          val bit = (d(j / 8) >> (7 - (j % 8))) & 1
+          if (bit == 1) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val bits = new Array[Int](64)
+    var j = 0
+    while (j < 64) { bits(j) = if (votes(j) > 0) 1 else 0; j += 1 }
+    new GenericArrayData(bits)
+  }
+
+  private val hyperplaneWeightsMd5Cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Byte]]]()
+
+  /** ±1 hyperplane weights from md5("t/p:d"): +1 iff the first hex
+    * char is in [0-7] (top bit of the digest clear). DuckDB twin:
+    * CASE WHEN substr(md5(t || '/' || p || ':' || d), 1, 1) <= '7'. */
+  def hyperplaneWeightsMd5(tables: Int, planes: Int, dim: Int): Array[Array[Byte]] =
+    hyperplaneWeightsMd5Cache.computeIfAbsent((tables, planes, dim), { case (t, p, d) =>
+      Array.tabulate(t * p) { tp =>
+        val tt = tp / p; val pp = tp % p
+        Array.tabulate(d) { i =>
+          val h = md5Hex(s"$tt/$pp:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (h.charAt(0) <= '7') 1.toByte else -1.toByte
+        }
+      }
+    })
+
+  def hyperplaneBucketsMd5(v: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val dim = v.numElements()
+    val w = hyperplaneWeightsMd5(tables, planes, dim)
+    val vals = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { vals(i) = v.getDouble(i); i += 1 }
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      val sb = new java.lang.StringBuilder(planes + 4)
+      sb.append(t).append(':')
+      var p = 0
+      while (p < planes) {
+        val row = w(t * planes + p)
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += (if (row(d) == 1) vals(d) else -vals(d)); d += 1 }
+        sb.append(if (s > 0) '1' else '0')
+        p += 1
+      }
+      out(t) = UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 
   def wordlistHits(arr: ArrayData, words: java.util.HashSet[UTF8String]): Int = {

@@ -24,6 +24,9 @@ object OtelModel {
     StructField("severity_text", StringType, nullable = true),
     StructField("body", StringType, nullable = true),
     StructField("attributes", attributesType, nullable = true),
+    // record-level fidelity (plog generated_logrecord.go:86-128)
+    StructField("flags", IntegerType, nullable = true),
+    StructField("dropped_attributes_count", IntegerType, nullable = true),
     StructField("trace_id", StringType, nullable = true),
     StructField("span_id", StringType, nullable = true),
     StructField("resource_attributes", attributesType, nullable = true),
@@ -33,13 +36,19 @@ object OtelModel {
   val spanSchema: StructType = StructType(Seq(
     StructField("trace_id", StringType, nullable = false),
     StructField("span_id", StringType, nullable = false),
+    StructField("trace_state", StringType, nullable = true),
     StructField("parent_span_id", StringType, nullable = true),
     StructField("name", StringType, nullable = false),
     StructField("kind", IntegerType, nullable = false),
     StructField("start_time_unix_nano", LongType, nullable = false),
     StructField("end_time_unix_nano", LongType, nullable = false),
     StructField("status_code", IntegerType, nullable = true),
+    StructField("status_message", StringType, nullable = true),
     StructField("attributes", attributesType, nullable = true),
+    // record-level fidelity (ptrace generated_span.go dropped counts)
+    StructField("dropped_attributes_count", IntegerType, nullable = true),
+    StructField("dropped_events_count", IntegerType, nullable = true),
+    StructField("dropped_links_count", IntegerType, nullable = true),
     StructField("resource_attributes", attributesType, nullable = true),
     StructField("scope_name", StringType, nullable = true)))
 

@@ -79,7 +79,7 @@ object AnnOps {
       val assigned = base.withColumn("cid", nearestCentroid(col("v"), centroids))
       // decimal-exact mean: centroid values (and therefore cell
       // assignments) are identical under any partitioning
-      centroids = assigned
+      val means = assigned
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
@@ -87,11 +87,14 @@ object AnnOps {
         .groupBy(col("cid"))
         .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
         .collect()
-        .sortBy(_.getInt(0))
         .map { r =>
           val dims = r.getMap[Int, Double](1)
-          (0 until dims.size).map(dims(_)).toSeq
+          r.getInt(0) -> (0 until dims.size).map(dims(_)).toSeq
         }
+        .toMap
+      // a cell that captured no vectors keeps its previous centroid, so
+      // the array stays exactly c entries (probe ids never go phantom)
+      centroids = Array.tabulate(c)(cid => means.getOrElse(cid, centroids(cid)))
       it += 1
     }
     centroids
@@ -114,9 +117,15 @@ object AnnOps {
     val probes = queries.select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
       .withColumn("sims", array(centroids.map(ct => cosine(col("qe"), typedLit(ct))): _*))
-      .withColumn("probe_cids", slice(reverse(array_sort(zip_with(
-        col("sims"), sequence(lit(0), lit(c - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+      // deterministic probe order: sim DESC, then LOWER cell id on ties
+      // (a comparator sort — reverse(array_sort) would break ties by
+      // higher id, which a SQL oracle's ORDER BY sim DESC, cid can't say)
+      .withColumn("probe_cids", slice(array_sort(zip_with(
+        col("sims"), sequence(lit(0), lit(centroids.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .otherwise(l.getField("i") - r.getField("i"))), 1, nprobe))
       .select(col("qid"), col("qe"), explode(col("probe_cids")).as("p"))
       .select(col("qid"), col("qe"), col("p.i").as("cid"))
     val cand = cells.join(broadcast(probes), "cid")
@@ -136,13 +145,24 @@ object AnnOps {
     * use planes≈16–24 so bucket joins stay bounded.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, planes: Int, k: Int,
-              tables: Int = 8): DataFrame = {
+              tables: Int = 8): DataFrame =
+    lshTopKImpl(queries, corpus, planes, k, tables,
+      graft.functions.VectorExprs.hyperplane_buckets)
+
+  /** md5-portable hyperplane LSH (oracle-verifiable; same shape). */
+  def lshTopKMd5(queries: DataFrame, corpus: DataFrame, planes: Int, k: Int,
+                 tables: Int = 8): DataFrame =
+    lshTopKImpl(queries, corpus, planes, k, tables,
+      graft.functions.VectorExprs.hyperplane_buckets_md5)
+
+  private def lshTopKImpl(queries: DataFrame, corpus: DataFrame, planes: Int,
+                          k: Int, tables: Int,
+                          bucketsOf: (Column, Int, Int) => Column): DataFrame = {
     def sig(df: DataFrame, idAs: String, embAs: String) = {
       val base = df.select(col("vec_id").as(idAs),
         col("embedding").cast("array<double>").as(embAs))
       base.select(col(idAs), col(embAs),
-        explode(graft.functions.VectorExprs.hyperplane_buckets(
-          col(embAs), tables, planes)).as("bucket"))
+        explode(bucketsOf(col(embAs), tables, planes)).as("bucket"))
     }
     val q = sig(queries, "qid", "qe")
     val c = sig(corpus, "nid", "ne")

@@ -35,6 +35,21 @@ object DedupOps {
   def minhashSignature(shs: Column, k: Int): Column =
     graft.functions.HashExprs.minhash_signature(shs, k)
 
+  /** md5-portable minhash (array<string> hex lanes, empty array for
+    * empty input) — the variant the value-level DuckDB oracle checks.
+    * The xxhash64 [[minhashSignature]] stays the faster scale path. */
+  def minhashSignatureMd5(shs: Column, k: Int): Column =
+    graft.functions.HashExprs.minhash_signature_md5(shs, k)
+
+  /** md5-portable simhash bits (oracle-verifiable twin of [[simhashBits]]) */
+  def simhashBitsMd5(words: Column): Column =
+    graft.functions.HashExprs.simhash_bits_md5(words)
+
+  /** 128-bit simhash — the scale variant (see [[simhashNearDupPairs]]
+    * blocking note) */
+  def simhashBits128(words: Column): Column =
+    graft.functions.HashExprs.simhash_bits_128(words)
+
   /** estimated Jaccard from two signatures: matching positions / k */
   def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => when(x === y, lit(1))),
@@ -46,11 +61,26 @@ object DedupOps {
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, sigCol: String,
                       bands: Int, rows: Int, threshold: Double,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000): DataFrame =
+    lshNearDupPairsImpl(df, idCol, sigCol, bands, rows, threshold, maxBucket,
+      // docs with no shingles have all-MaxValue signatures; they'd all
+      // "match" each other, so drop them from candidate generation
+      sig => element_at(sig, 1) =!= Long.MaxValue)
+
+  /** LSH banding over md5-portable signatures (empty array = no
+    * shingles). Identical pair semantics, value-verifiable by SQL. */
+  def lshNearDupPairsMd5(df: DataFrame, idCol: String, sigCol: String,
+                         bands: Int, rows: Int, threshold: Double,
+                         maxBucket: Int = 1000): DataFrame =
+    lshNearDupPairsImpl(df, idCol, sigCol, bands, rows, threshold, maxBucket,
+      sig => size(sig) > 0)
+
+  private def lshNearDupPairsImpl(df: DataFrame, idCol: String, sigCol: String,
+                                  bands: Int, rows: Int, threshold: Double,
+                                  maxBucket: Int,
+                                  nonEmptyGuard: Column => Column): DataFrame = {
     val k = bands * rows
-    // docs with no shingles have all-MaxValue signatures; they'd all
-    // "match" each other, so drop them from candidate generation
-    val nonEmpty = df.filter(element_at(col(sigCol), 1) =!= Long.MaxValue)
+    val nonEmpty = df.filter(nonEmptyGuard(col(sigCol)))
     val banded = nonEmpty.select(col(idCol), col(sigCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -91,15 +121,26 @@ object DedupOps {
   def hamming(bitsA: Column, bitsB: Column): Column =
     graft.functions.VectorExprs.hamming_dist(bitsA, bitsB)
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
-    * Hamming ≤ 3 of 64 bits must agree on ≥1 of 4 chunks), verify
-    * exact Hamming ≤ maxHamming.
+  /** SimHash near-dup pairs: block on bit chunks (a pair within
+    * Hamming ≤ chunks−1 must agree on ≥1 chunk — guaranteed; larger
+    * radii are caught probabilistically), verify exact Hamming ≤
+    * maxHamming.
+    *
+    * Blocking at scale: the per-chunk key space is 2^chunkBits, so
+    * expected bucket population is N/2^chunkBits — with 64-bit
+    * hashes and 16-bit chunks that saturates `maxBucket` around
+    * N≈10^8 and recall collapses. The scale configuration is the
+    * 128-bit hash ([[simhashBits128]]) with chunkBits=32: 2^32 keys
+    * keeps buckets ~1 even at 10^9+ docs (chunkBits=16 over 128 bits
+    * trades bucket size for a Hamming≤7 guarantee instead).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, bitsCol: String,
-                          maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
+                          maxHamming: Int, maxBucket: Int = 1000,
+                          nBits: Int = 64, chunkBits: Int = 16): DataFrame = {
+    val chunks = nBits / chunkBits
     val chunked = df.select(col(idCol), col(bitsCol),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          c => concat_ws("", transform(slice(col(bitsCol), c * 16 + 1, lit(16)), _.cast("string"))))))
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => concat_ws("", transform(slice(col(bitsCol), c * chunkBits + 1, lit(chunkBits)), _.cast("string"))))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_key")
     val buckets = chunked

@@ -102,6 +102,23 @@ object MetricsOps {
     withQs.drop("arr")
   }
 
+  /** Scale path for Summary quantiles: percentile_approx — a
+    * bounded-memory KLL-style sketch with map-side partial merge, so
+    * no task ever materializes a series' full value list (the exact
+    * [[summaryQuantiles]] collect_list holds every value of a series
+    * in one task — fine for the oracle demo, fatal for a 5-series
+    * 100 TB table). Same output shape; rank error ≤ 1/accuracy.
+    */
+  def summaryQuantilesApprox(df: DataFrame, seriesKeys: Seq[Column], value: Column,
+                             qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val base = df.groupBy(seriesKeys: _*)
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(value, typedLit(qs), lit(accuracy)).as("_qs"))
+    qs.zipWithIndex.foldLeft(base) { case (d, (q, i)) =>
+      d.withColumn(s"q${(q * 100).toInt}", element_at(col("_qs"), i + 1))
+    }.drop("_qs")
+  }
+
   /** value at quantile q from a sorted array (1-based element_at). */
   private def quantileFromSorted(arr: Column, n: Column, q: Double): Column = {
     val pos = (n - lit(1)).cast("double") * lit(q)

@@ -78,23 +78,86 @@ object Processors {
 
   /** Batch processor: assign deterministic size-based batch ids.
     *
-    * Scale note: a global row_number is a single-partition sort — fine
-    * for the oracle demo, wrong at 100 TB. `globalOrder=false` uses
-    * per-partition ids (monotonically_increasing_id encodes partition
-    * id in the high bits), which is the scale path: batches are formed
-    * independently per partition exactly like one batcher per
-    * collector shard.
+    * `globalOrder=true` delegates to [[assignBatchesRanged]] — globally
+    * ordered ids with no single-partition sort. `globalOrder=false`
+    * uses per-partition ids (monotonically_increasing_id encodes the
+    * partition id in the high bits): batches form independently per
+    * partition like one batcher per collector shard, no shuffle at all.
     */
   def assignBatches(df: DataFrame, orderCol: Column, batchSize: Int,
                     globalOrder: Boolean = true): DataFrame =
-    if (globalOrder) {
-      val w = Window.orderBy(orderCol)
-      df.withColumn("batch_id",
-        floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
-    } else {
-      df.withColumn("batch_id",
-        floor(monotonically_increasing_id() / batchSize).cast("bigint"))
-    }
+    if (globalOrder) assignBatchesRanged(df, orderCol, batchSize)
+    else df.withColumn("batch_id",
+      floor(monotonically_increasing_id() / batchSize).cast("bigint"))
+
+  /** Globally-ordered batch ids WITHOUT a global sort, in three
+    * bounded steps:
+    *
+    *  1. collect ~`partitions` split points of the (numeric) order key
+    *     (approx-percentile sketch — one tiny driver fetch);
+    *  2. bucket rows by those LITERAL split points — the bucket id is
+    *     a pure function of the key value, so every later pass agrees
+    *     on it by construction (a physical spark_partition_id is NOT
+    *     stable across jobs and must never be cross-referenced);
+    *  3. count rows per bucket (second tiny driver fetch), prefix-sum
+    *     into offsets, then id = offset + per-bucket row_number.
+    *
+    * Identical ids to `row_number() OVER (ORDER BY key)` for a unique
+    * key, but each bucket sorts only its own range — the
+    * single-partition WindowExec (one executor sorting the whole fact
+    * table at 100 TB) never appears. Skewed split points only affect
+    * balance, never correctness.
+    */
+  def assignBatchesRanged(df: DataFrame, orderCol: Column, batchSize: Int,
+                          partitions: Int = 0): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val qs = (1 until n).map(_.toDouble / n)
+    val cutRow = df.select(percentile_approx(orderCol, typedLit(qs), lit(10000)).as("c")).head()
+    val cuts: Seq[Any] =
+      if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Any](0).distinct
+    def bucketOf(c: Column): Column =
+      cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
+    val bucketed = df.withColumn("_bk", bucketOf(orderCol))
+    val counts = bucketed.groupBy(col("_bk")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets: Map[Int, Long] = (0 to cuts.size).map { bk =>
+      val o = bk -> acc; acc += counts.getOrElse(bk, 0L); o
+    }.toMap
+    val w = Window.partitionBy(col("_bk")).orderBy(orderCol)
+    bucketed
+      .withColumn("batch_id",
+        floor((row_number().over(w).cast("long") - 1L +
+          coalesce(element_at(typedLit(offsets), col("_bk")), lit(0L))) / batchSize)
+          .cast("bigint"))
+      .drop("_bk")
+  }
+
+  /** Per-metadata-key batching: the reference batchprocessor shards
+    * one batcher per distinct metadata-key combination
+    * (batch_processor.go:50-57, metadataKeys + metadataCardinalityLimit).
+    * Batches form independently inside each key group — one shuffle on
+    * the keys, each group's window sorts only its own rows. Compose
+    * with [[requireMetadataCardinality]] for the limit semantics.
+    */
+  def assignBatchesByKey(df: DataFrame, keys: Seq[String], orderCol: Column,
+                         batchSize: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    df.withColumn("batch_id",
+      floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+  }
+
+  /** metadataCardinalityLimit analog: the reference refuses data once
+    * the distinct metadata combinations exceed the limit (it would
+    * otherwise leak one batcher per combination). Batch form: count
+    * distinct key combinations and fail fast above the limit. */
+  def requireMetadataCardinality(df: DataFrame, keys: Seq[String], limit: Int): Unit = {
+    val n = df.select(keys.map(col): _*).distinct().count()
+    require(n <= limit,
+      s"metadata cardinality $n exceeds limit $limit for keys ${keys.mkString(",")}")
+  }
 
   /** Memory limiter: bounded admission. The collector refuses data
     * above a soft limit; in batch terms we keep a deterministic

@@ -34,7 +34,15 @@ object Pipeline {
 
   type Stage = DataFrame => DataFrame
 
-  trait Exporter { def export(df: DataFrame): Unit }
+  trait Exporter {
+    def export(df: DataFrame): Unit
+    /** Streaming delivery: export one micro-batch idempotently. A
+      * replayed batchId must overwrite its own previous output (and
+      * only that), never the whole sink — the default delegates to
+      * [[export]], which is only safe for sinks that key on batchId
+      * themselves or collect (specs). */
+    def exportBatch(df: DataFrame, batchId: Long): Unit = export(df)
+  }
   final case class ParquetExporter(path: String, mode: String = "overwrite",
                                    codec: String = "zstd",
                                    partitionBy: Seq[String] = Nil) extends Exporter {
@@ -45,6 +53,10 @@ object Pipeline {
       val w = df.write.mode(mode).option("compression", codec)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     }
+    /** each micro-batch lands in its own batchId-keyed subdirectory,
+      * overwritten whole on replay → effectively-once delivery */
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      copy(path = s"$path/batch_id=$batchId", mode = "overwrite").export(df)
   }
 
   /** exporterhelper retry semantics (reference: exporter/exporterhelper
@@ -68,6 +80,39 @@ object Pipeline {
       }
     }
   }
+  /** exporterhelper queued-retry analog (reference:
+    * exporter/exporterhelper/queued_retry.go — queue + retry +
+    * dead-letter): bounded retries with backoff; when they exhaust,
+    * the batch lands in a dead-letter parquet sink instead of
+    * failing the pipeline. The persistent-queue half of the
+    * reference maps onto the streaming checkpoint, which already
+    * replays unacked batches (see StreamingPipelines.exportStream) —
+    * this exporter adds the poison-batch exit so one bad batch can't
+    * wedge the queue forever.
+    */
+  final case class QueuedExporter(delegate: Exporter, dlqPath: String,
+                                  maxRetries: Int = 2, backoffMs: Long = 50)
+      extends Exporter {
+    def export(df: DataFrame): Unit = exportBatch(df, 0L)
+    override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+      var attempt = 0
+      var delivered = false
+      var lastErr: Throwable = null
+      while (!delivered && attempt <= maxRetries) {
+        try { delegate.exportBatch(df, batchId); delivered = true }
+        catch {
+          case e: Throwable =>
+            lastErr = e
+            attempt += 1
+            if (attempt <= maxRetries) Thread.sleep(backoffMs * attempt)
+        }
+      }
+      if (!delivered)
+        df.withColumn("dlq_error", lit(String.valueOf(lastErr.getMessage)))
+          .write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
+    }
+  }
+
   /** loggingexporter analog: materialize a bounded sample to stdout */
   final case class LoggingExporter(rows: Int = 20) extends Exporter {
     def export(df: DataFrame): Unit = df.show(rows, truncate = false)

@@ -21,19 +21,69 @@ import graft.model.OtelModel
   */
 object OtlpJsonSource {
 
+  // ---- pcommon.Value (AnyValue) model ----------------------------
+  // Reference behavior (not code): pdata/pcommon/value.go:24-31 — a
+  // value is one of Str, Int, Double, Bool, Map, Slice, Bytes; the
+  // OTLP/JSON forms are stringValue, intValue (string-encoded int64),
+  // doubleValue, boolValue, bytesValue (base64), arrayValue{values},
+  // kvlistValue{values}. Spark JSON schemas cannot recurse, so nested
+  // array/kvlist elements are scalar-typed (one nesting level —
+  // deeper trees parse as null, the documented depth limit).
+
+  private val scalarValueType = StructType(Seq(
+    StructField("stringValue", StringType),
+    StructField("intValue", StringType),
+    StructField("doubleValue", DoubleType),
+    StructField("boolValue", BooleanType),
+    StructField("bytesValue", StringType)))
+
+  private val anyValueType = StructType(scalarValueType.fields.toSeq ++ Seq(
+    StructField("arrayValue", StructType(Seq(
+      StructField("values", ArrayType(scalarValueType))))),
+    StructField("kvlistValue", StructType(Seq(
+      StructField("values", ArrayType(StructType(Seq(
+        StructField("key", StringType),
+        StructField("value", scalarValueType))))))))))
+
   private val kvType = ArrayType(StructType(Seq(
     StructField("key", StringType),
-    StructField("value", StructType(Seq(
-      StructField("stringValue", StringType),
-      StructField("intValue", StringType)))))))
+    StructField("value", anyValueType))))
+
+  /** canonical string of a scalar AnyValue (typed branches collapse
+    * to their text form; ints keep their string encoding; bools are
+    * "true"/"false"; bytes stay base64) */
+  private def scalarToString(v: org.apache.spark.sql.Column) =
+    coalesce(
+      v.getField("stringValue"),
+      v.getField("intValue"),
+      v.getField("doubleValue").cast("string"),
+      v.getField("boolValue").cast("string"),
+      v.getField("bytesValue"))
+
+  /** canonical string of a full AnyValue: scalars as above; arrayValue
+    * → JSON array of element strings; kvlistValue → JSON object. The
+    * flattened columnar model keeps attributes as map<string,string>
+    * (otel-arrow does the same dictionary-friendly normalization);
+    * nothing becomes NULL just because it wasn't a string. */
+  private def anyValueToString(v: org.apache.spark.sql.Column) =
+    coalesce(
+      scalarToString(v),
+      when(v.getField("arrayValue").isNotNull,
+        to_json(transform(v.getField("arrayValue").getField("values"), e => scalarToString(e)))),
+      when(v.getField("kvlistValue").isNotNull,
+        to_json(map_from_arrays(
+          transform(v.getField("kvlistValue").getField("values"), e => e.getField("key")),
+          transform(v.getField("kvlistValue").getField("values"), e => scalarToString(e.getField("value")))))))
 
   private val logRecordType = StructType(Seq(
     StructField("timeUnixNano", StringType),
     StructField("observedTimeUnixNano", StringType),
     StructField("severityNumber", IntegerType),
     StructField("severityText", StringType),
-    StructField("body", StructType(Seq(StructField("stringValue", StringType)))),
+    StructField("body", anyValueType),
     StructField("attributes", kvType),
+    StructField("flags", IntegerType),
+    StructField("droppedAttributesCount", IntegerType),
     StructField("traceId", StringType),
     StructField("spanId", StringType)))
 
@@ -51,9 +101,7 @@ object OtlpJsonSource {
   private def kvToMap(c: org.apache.spark.sql.Column) =
     map_from_arrays(
       transform(c, kv => kv.getField("key")),
-      transform(c, kv => coalesce(
-        kv.getField("value").getField("stringValue"),
-        kv.getField("value").getField("intValue"))))
+      transform(c, kv => anyValueToString(kv.getField("value"))))
 
   /** one JSON request document per input row (`json` column) → one
     * row per log record, OtelModel.logSchema-shaped */
@@ -70,8 +118,10 @@ object OtlpJsonSource {
         col("lr.observedTimeUnixNano").cast("long").as("observed_time_unix_nano"),
         col("lr.severityNumber").as("severity_number"),
         col("lr.severityText").as("severity_text"),
-        col("lr.body.stringValue").as("body"),
+        anyValueToString(col("lr.body")).as("body"),
         kvToMap(col("lr.attributes")).as("attributes"),
+        coalesce(col("lr.flags"), lit(0)).as("flags"),
+        coalesce(col("lr.droppedAttributesCount"), lit(0)).as("dropped_attributes_count"),
         col("lr.traceId").as("trace_id"),
         col("lr.spanId").as("span_id"),
         col("resource_attributes"),
@@ -86,18 +136,26 @@ object OtlpJsonSource {
 
   private val spanLinkType = StructType(Seq(
     StructField("traceId", StringType),
-    StructField("spanId", StringType)))
+    StructField("spanId", StringType),
+    StructField("traceState", StringType),
+    StructField("attributes", kvType)))
 
   private val spanType = StructType(Seq(
     StructField("traceId", StringType),
     StructField("spanId", StringType),
+    StructField("traceState", StringType),
     StructField("parentSpanId", StringType),
     StructField("name", StringType),
     StructField("kind", IntegerType),
     StructField("startTimeUnixNano", StringType),
     StructField("endTimeUnixNano", StringType),
-    StructField("status", StructType(Seq(StructField("code", IntegerType)))),
+    StructField("status", StructType(Seq(
+      StructField("code", IntegerType),
+      StructField("message", StringType)))),
     StructField("attributes", kvType),
+    StructField("droppedAttributesCount", IntegerType),
+    StructField("droppedEventsCount", IntegerType),
+    StructField("droppedLinksCount", IntegerType),
     StructField("events", ArrayType(spanEventType)),
     StructField("links", ArrayType(spanLinkType))))
 
@@ -125,13 +183,18 @@ object OtlpJsonSource {
       .select(
         col("sp.traceId").as("trace_id"),
         col("sp.spanId").as("span_id"),
+        col("sp.traceState").as("trace_state"),
         col("sp.parentSpanId").as("parent_span_id"),
         col("sp.name").as("name"),
         col("sp.kind").as("kind"),
         col("sp.startTimeUnixNano").cast("long").as("start_time_unix_nano"),
         col("sp.endTimeUnixNano").cast("long").as("end_time_unix_nano"),
         col("sp.status.code").as("status_code"),
+        col("sp.status.message").as("status_message"),
         kvToMap(col("sp.attributes")).as("attributes"),
+        coalesce(col("sp.droppedAttributesCount"), lit(0)).as("dropped_attributes_count"),
+        coalesce(col("sp.droppedEventsCount"), lit(0)).as("dropped_events_count"),
+        coalesce(col("sp.droppedLinksCount"), lit(0)).as("dropped_links_count"),
         coalesce(size(col("sp.events")), lit(0)).as("n_events"),
         coalesce(size(col("sp.links")), lit(0)).as("n_links"),
         col("resource_attributes"),
@@ -152,6 +215,24 @@ object OtlpJsonSource {
         col("ev.timeUnixNano").cast("long").as("time_unix_nano"),
         col("ev.name").as("name"),
         kvToMap(col("ev.attributes")).as("attributes"))
+
+  /** span links exploded to their own rows (pdata SpanLinkSlice —
+    * links are first-class rows like events, not just a count;
+    * reference shape: pdata/ptrace/generated_spanlink.go) */
+  def parseSpanLinks(requests: DataFrame): DataFrame =
+    requests
+      .select(from_json(col("json"), traceRequestSchema).as("r"))
+      .select(explode(col("r.resourceSpans")).as("rs"))
+      .select(explode(col("rs.scopeSpans")).as("ss"))
+      .select(explode(col("ss.spans")).as("sp"))
+      .filter(col("sp.links").isNotNull)
+      .select(col("sp.traceId").as("trace_id"), col("sp.spanId").as("span_id"),
+        explode(col("sp.links")).as("lk"))
+      .select(col("trace_id"), col("span_id"),
+        col("lk.traceId").as("linked_trace_id"),
+        col("lk.spanId").as("linked_span_id"),
+        col("lk.traceState").as("linked_trace_state"),
+        kvToMap(col("lk.attributes")).as("attributes"))
 
   // ---- metrics (gauge/sum number datapoints) ----
 
@@ -178,15 +259,19 @@ object OtlpJsonSource {
       StructField("quantile", DoubleType),
       StructField("value", DoubleType)))))))
 
+  private val expBucketsType = StructType(Seq(
+    StructField("offset", IntegerType),
+    StructField("bucketCounts", ArrayType(StringType))))
+
   private val expHistogramPointType = StructType(Seq(
     StructField("timeUnixNano", StringType),
     StructField("count", StringType),
     StructField("sum", DoubleType),
     StructField("scale", IntegerType),
     StructField("zeroCount", StringType),
-    StructField("positive", StructType(Seq(
-      StructField("offset", IntegerType),
-      StructField("bucketCounts", ArrayType(StringType)))))))
+    StructField("zeroThreshold", DoubleType),
+    StructField("positive", expBucketsType),
+    StructField("negative", expBucketsType)))
 
   private val metricType = StructType(Seq(
     StructField("name", StringType),
@@ -285,10 +370,15 @@ object OtlpJsonSource {
         col("total_count"), col("total_sum"),
         col("qv.quantile").as("quantile"), col("qv.value").as("value"))
 
-  /** exponential histogram datapoints → one row per positive bucket,
-    * with the base-2 lower bound derived from (scale, offset+idx) */
-  def parseExpHistogramBuckets(requests: DataFrame): DataFrame =
-    requests
+  /** exponential histogram datapoints → one row per bucket, BOTH
+    * signs (reference: pdata/pmetric
+    * generated_exponentialhistogramdatapoint.go:129-131 has
+    * Positive() and Negative() bucket slices; negative buckets count
+    * values in (-base^(i+1), -base^i]). `sign` is +1/-1; the
+    * magnitude lower bound is base-2 from (scale, offset+idx), and
+    * zero_threshold carries the width of the zero bucket. */
+  def parseExpHistogramBuckets(requests: DataFrame): DataFrame = {
+    val base = requests
       .select(from_json(col("json"), metricRequestSchema).as("r"))
       .select(explode(col("r.resourceMetrics")).as("rm"))
       .select(explode(col("rm.scopeMetrics")).as("sm"))
@@ -296,29 +386,55 @@ object OtlpJsonSource {
       .filter(col("m.exponentialHistogram").isNotNull)
       .select(col("m.name").as("metric_name"),
         explode(col("m.exponentialHistogram.dataPoints")).as("dp"))
-      .select(col("metric_name"),
-        col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
-        col("dp.scale").as("scale"),
-        col("dp.zeroCount").cast("long").as("zero_count"),
-        col("dp.positive.offset").as("offset"),
-        posexplode(col("dp.positive.bucketCounts")))
-      .withColumnRenamed("pos", "bucket_idx")
-      .withColumn("bucket_count", col("col").cast("long"))
-      .withColumn("lower_bound",
-        pow(lit(2.0), (col("offset") + col("bucket_idx")).cast("double") /
-          pow(lit(2.0), col("scale").cast("double"))))
-      .drop("col")
+    def side(name: String, sign: Int) =
+      base
+        .filter(col(s"dp.$name").isNotNull)
+        .select(col("metric_name"),
+          col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
+          col("dp.scale").as("scale"),
+          col("dp.zeroCount").cast("long").as("zero_count"),
+          coalesce(col("dp.zeroThreshold"), lit(0.0)).as("zero_threshold"),
+          lit(sign).as("sign"),
+          col(s"dp.$name.offset").as("offset"),
+          posexplode(col(s"dp.$name.bucketCounts")))
+        .withColumnRenamed("pos", "bucket_idx")
+        .withColumn("bucket_count", col("col").cast("long"))
+        .withColumn("lower_bound",
+          pow(lit(2.0), (col("offset") + col("bucket_idx")).cast("double") /
+            pow(lit(2.0), col("scale").cast("double"))))
+        .drop("col")
+    side("positive", 1).unionByName(side("negative", -1))
+  }
 
   // ---- export (exporter/otlphttpexporter JSON encoding analog) ----
+  // The reference marshals all three signals (pdata/plog/json.go,
+  // ptrace/json.go, pmetric/json.go); these are the inverse of the
+  // parsers above, so parse ∘ write = id per signal.
+
+  /** build a typed AnyValue struct column (pass null for unused
+    * branches; to_json drops them) — the marshal-side counterpart of
+    * the typed parse in [[kvToMap]]/anyValueToString */
+  def typedAnyValue(str: org.apache.spark.sql.Column, intStr: org.apache.spark.sql.Column,
+                    dbl: org.apache.spark.sql.Column, bool: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    struct(
+      Option(str).getOrElse(lit(null).cast("string")).as("stringValue"),
+      Option(intStr).getOrElse(lit(null).cast("string")).as("intValue"),
+      Option(dbl).getOrElse(lit(null).cast("double")).as("doubleValue"),
+      Option(bool).getOrElse(lit(null).cast("boolean")).as("boolValue"))
+
+  private def mapToKv(m: org.apache.spark.sql.Column) =
+    transform(map_entries(m), e => struct(e.getField("key").as("key"),
+      struct(e.getField("value").as("stringValue")).as("value")))
 
   /** logs rows (logSchema shape) → one OTLP/JSON request document per
     * (resource_attributes, scope_name) group — the inverse of
     * [[parseLogs]], so pipelines can round-trip. */
   def writeLogsJson(logs: DataFrame): DataFrame = {
-    val mapToKv = (m: org.apache.spark.sql.Column) =>
-      transform(map_entries(m), e => struct(e.getField("key").as("key"),
-        struct(e.getField("value").as("stringValue")).as("value")))
-    logs
+    val withFidelity = Seq("flags", "dropped_attributes_count")
+      .foldLeft(logs)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(0)))
+    withFidelity
       .groupBy(col("resource_attributes"), col("scope_name"))
       .agg(collect_list(struct(
         col("time_unix_nano").cast("string").as("timeUnixNano"),
@@ -327,6 +443,9 @@ object OtlpJsonSource {
         col("severity_text").as("severityText"),
         struct(col("body").as("stringValue")).as("body"),
         mapToKv(col("attributes")).as("attributes"),
+        when(col("flags") =!= 0, col("flags")).as("flags"),
+        when(col("dropped_attributes_count") =!= 0,
+          col("dropped_attributes_count")).as("droppedAttributesCount"),
         col("trace_id").as("traceId"),
         col("span_id").as("spanId"))).as("logRecords"))
       .select(to_json(struct(array(struct(
@@ -335,6 +454,66 @@ object OtlpJsonSource {
           struct(col("scope_name").as("name")).as("scope"),
           col("logRecords"))).as("scopeLogs"))).as("resourceLogs"))).as("json"))
   }
+
+  /** span rows (spanSchema shape, [[parseSpans]] output) → OTLP/JSON
+    * ExportTraceServiceRequest documents — ptrace/json.go marshal
+    * analog. Events/links travel on their own row streams
+    * ([[parseSpanEvents]]/[[parseSpanLinks]]); the span document
+    * carries the record-level fidelity fields. */
+  def writeSpansJson(spans: DataFrame): DataFrame =
+    spans
+      .groupBy(col("resource_attributes"), col("scope_name"))
+      .agg(collect_list(struct(
+        col("trace_id").as("traceId"),
+        col("span_id").as("spanId"),
+        col("trace_state").as("traceState"),
+        col("parent_span_id").as("parentSpanId"),
+        col("name").as("name"),
+        col("kind").as("kind"),
+        col("start_time_unix_nano").cast("string").as("startTimeUnixNano"),
+        col("end_time_unix_nano").cast("string").as("endTimeUnixNano"),
+        struct(col("status_code").as("code"),
+          col("status_message").as("message")).as("status"),
+        mapToKv(col("attributes")).as("attributes"),
+        when(col("dropped_attributes_count") =!= 0,
+          col("dropped_attributes_count")).as("droppedAttributesCount"),
+        when(col("dropped_events_count") =!= 0,
+          col("dropped_events_count")).as("droppedEventsCount"),
+        when(col("dropped_links_count") =!= 0,
+          col("dropped_links_count")).as("droppedLinksCount"))).as("spans"))
+      .select(to_json(struct(array(struct(
+        struct(mapToKv(col("resource_attributes")).as("attributes")).as("resource"),
+        array(struct(
+          struct(col("scope_name").as("name")).as("scope"),
+          col("spans"))).as("scopeSpans"))).as("resourceSpans"))).as("json"))
+
+  /** number datapoint rows (metricPointSchema shape,
+    * [[parseMetricPoints]] output) → OTLP/JSON
+    * ExportMetricsServiceRequest documents — pmetric/json.go marshal
+    * analog for gauge/sum metrics. to_json drops null branches, so a
+    * gauge metric document carries only `gauge`, a sum only `sum`. */
+  def writeMetricsJson(points: DataFrame): DataFrame =
+    points
+      .groupBy(col("resource_attributes"), col("metric_name"),
+        col("metric_type"), col("aggregation_temporality"), col("is_monotonic"))
+      .agg(collect_list(struct(
+        col("time_unix_nano").cast("string").as("timeUnixNano"),
+        col("start_time_unix_nano").cast("string").as("startTimeUnixNano"),
+        col("value").as("asDouble"),
+        mapToKv(col("attributes")).as("attributes"))).as("dataPoints"))
+      .select(to_json(struct(array(struct(
+        struct(mapToKv(col("resource_attributes")).as("attributes")).as("resource"),
+        array(struct(
+          struct(lit("graft").as("name")).as("scope"),
+          array(struct(
+            col("metric_name").as("name"),
+            when(col("metric_type") === "gauge",
+              struct(col("dataPoints").as("dataPoints"))).as("gauge"),
+            when(col("metric_type") === "sum", struct(
+              col("dataPoints").as("dataPoints"),
+              when(col("aggregation_temporality") === "delta", 1).otherwise(2)
+                .as("aggregationTemporality"),
+              col("is_monotonic").as("isMonotonic"))).as("sum"))).as("metrics"))).as("scopeMetrics"))).as("resourceMetrics"))).as("json"))
 
   /** [[parseLogs]] with a dead-letter channel: requests that don't
     * parse (from_json → null) are routed raw instead of dropped —
@@ -370,6 +549,8 @@ object OtlpJsonSource {
       col("event_type").as("body"),
       map(lit("value"), col("value").cast("string"),
         lit("props"), col("props")).as("attributes"),
+      lit(0).as("flags"),
+      lit(0).as("dropped_attributes_count"),
       md5(col("user_id").cast("string")).as("trace_id"),
       md5(col("event_id").cast("string")).as("span_id"),
       map(lit("service.name"), concat(lit("svc-"), (col("user_id") % 5).cast("string")))

@@ -30,16 +30,19 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
   /** Bridge a stream into any batch [[graft.pipeline.Pipeline.Exporter]]
-    * via foreachBatch — checkpointed micro-batch ids give the
-    * exporterhelper's effectively-once delivery (re-run batches
-    * overwrite deterministically).
+    * via foreachBatch. Effectively-once delivery comes from the
+    * checkpointed batchId being handed to `exportBatch`, whose
+    * contract is idempotent per-batch overwrite (ParquetExporter
+    * writes a batch_id=N subpath) — a replayed batch replaces its own
+    * previous output instead of duplicating rows or clobbering the
+    * whole sink.
     */
   def exportStream(stream: DataFrame, exporter: graft.pipeline.Pipeline.Exporter,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        exporter.export(batch.toDF())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        exporter.exportBatch(batch.toDF(), batchId)
       }
       .start()
 

@@ -130,6 +130,130 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(pruned.count() == 10)
   }
 
+  test("AnyValue: every pcommon value type parses, nothing becomes NULL") {
+    import spark.implicits._
+    val req =
+      """{"resourceLogs":[{"resource":{"attributes":[]},
+        |"scopeLogs":[{"scope":{"name":"g"},"logRecords":[
+        |{"timeUnixNano":"1","flags":1,"droppedAttributesCount":2,
+        | "body":{"doubleValue":2.5},
+        | "attributes":[
+        |  {"key":"s","value":{"stringValue":"txt"}},
+        |  {"key":"i","value":{"intValue":"42"}},
+        |  {"key":"d","value":{"doubleValue":1.5}},
+        |  {"key":"b","value":{"boolValue":true}},
+        |  {"key":"by","value":{"bytesValue":"aGk="}},
+        |  {"key":"arr","value":{"arrayValue":{"values":[{"intValue":"1"},{"stringValue":"two"}]}}},
+        |  {"key":"kv","value":{"kvlistValue":{"values":[{"key":"n","value":{"intValue":"7"}}]}}}]}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val row = OtlpJsonSource.parseLogs(Seq(req).toDF("json")).head()
+    val attrs = row.getAs[Map[String, String]]("attributes")
+    assert(attrs("s") == "txt" && attrs("i") == "42" && attrs("d") == "1.5")
+    assert(attrs("b") == "true" && attrs("by") == "aGk=")
+    assert(attrs("arr") == """["1","two"]""")
+    assert(attrs("kv") == """{"n":"7"}""")
+    assert(row.getAs[String]("body") == "2.5")
+    assert(row.getAs[Int]("flags") == 1)
+    assert(row.getAs[Int]("dropped_attributes_count") == 2)
+  }
+
+  private def mkSpanRequest(svc: String, n: Int): String = {
+    val spans = (0 until n).map { i =>
+      s"""{"traceId":"t${i % 3}","spanId":"s$i","traceState":"vendor=x",
+         |"parentSpanId":"p$i","name":"op-$i","kind":${i % 5 + 1},
+         |"startTimeUnixNano":"${1000000L + i}","endTimeUnixNano":"${2000000L + i}",
+         |"status":{"code":${i % 3},"message":"m$i"},
+         |"attributes":[{"key":"idx","value":{"intValue":"$i"}}],
+         |"droppedAttributesCount":$i,
+         |"links":[{"traceId":"lt$i","spanId":"ls$i","traceState":"w3c=1",
+         |  "attributes":[{"key":"rel","value":{"stringValue":"follows"}}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeSpans":[{"scope":{"name":"graft"},"spans":[$spans]}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("traces: parse → marshal → parse round trip preserves span fields") {
+    import spark.implicits._
+    val spans = OtlpJsonSource.parseSpans(Seq(mkSpanRequest("api", 12)).toDF("json"))
+    assert(spans.count() == 12)
+    val back = OtlpJsonSource.parseSpans(
+      OtlpJsonSource.writeSpansJson(spans).select(col("json")))
+    val cols = Seq("trace_id", "span_id", "trace_state", "parent_span_id", "name",
+      "kind", "start_time_unix_nano", "end_time_unix_nano", "status_code",
+      "status_message", "attributes", "dropped_attributes_count")
+    val a = spans.select(cols.map(col): _*).collect().map(_.toString).sorted
+    val b = back.select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("span links explode to first-class rows") {
+    import spark.implicits._
+    val links = OtlpJsonSource.parseSpanLinks(Seq(mkSpanRequest("api", 5)).toDF("json"))
+    assert(links.count() == 5)
+    val r = links.filter(col("span_id") === "s0").head()
+    assert(r.getAs[String]("linked_trace_id") == "lt0")
+    assert(r.getAs[String]("linked_trace_state") == "w3c=1")
+    assert(r.getAs[Map[String, String]]("attributes")("rel") == "follows")
+  }
+
+  test("metrics: parse → marshal → parse round trip preserves datapoints") {
+    import spark.implicits._
+    val reqs = (0 until 10).map { i =>
+      val m = if (i % 2 == 0)
+        s"""{"name":"cpu","gauge":{"dataPoints":[{"timeUnixNano":"${i}000","asDouble":$i.25,"attributes":[{"key":"core","value":{"stringValue":"c$i"}}]}]}}"""
+      else
+        s"""{"name":"req","sum":{"aggregationTemporality":2,"isMonotonic":true,"dataPoints":[{"timeUnixNano":"${i}000","asDouble":$i.5,"attributes":[]}]}}"""
+      s"""{"resourceMetrics":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
+         |"scopeMetrics":[{"scope":{"name":"graft"},"metrics":[$m]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    val points = OtlpJsonSource.parseMetricPoints(reqs.toDF("json"))
+    assert(points.count() == 10)
+    val back = OtlpJsonSource.parseMetricPoints(
+      OtlpJsonSource.writeMetricsJson(points).select(col("json")))
+    val cols = Seq("metric_name", "metric_type", "aggregation_temporality",
+      "is_monotonic", "time_unix_nano", "value", "attributes")
+    val a = points.select(cols.map(col): _*).collect().map(_.toString).sorted
+    val b = back.select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("exponential histogram parses negative buckets and zero threshold") {
+    import spark.implicits._
+    val req =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},
+        |"scopeMetrics":[{"scope":{"name":"g"},"metrics":[
+        |{"name":"lat","exponentialHistogram":{"aggregationTemporality":1,"dataPoints":[
+        |{"timeUnixNano":"1","count":"10","scale":0,"zeroCount":"2","zeroThreshold":0.001,
+        | "positive":{"offset":1,"bucketCounts":["3","4"]},
+        | "negative":{"offset":0,"bucketCounts":["1"]}}]}}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = OtlpJsonSource.parseExpHistogramBuckets(Seq(req).toDF("json"))
+    assert(rows.count() == 3)
+    val neg = rows.filter(col("sign") === -1).collect()
+    assert(neg.length == 1 && neg(0).getAs[Long]("bucket_count") == 1L)
+    assert(neg(0).getAs[Double]("lower_bound") == 1.0) // 2^0 magnitude
+    assert(rows.filter(col("sign") === 1).count() == 2)
+    assert(rows.head().getAs[Double]("zero_threshold") == 0.001)
+  }
+
+  test("per-metadata-key batching shards like the reference batcher") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    Processors.requireMetadataCardinality(e, Seq("event_type"), limit = 100)
+    val b = Processors.assignBatchesByKey(e, Seq("event_type"), col("event_id"), 64)
+    val stats = b.groupBy(col("event_type"), col("batch_id")).count()
+    // no batch exceeds the size; every key group has its own batch 0
+    assert(stats.agg(max("count")).head().getLong(0) <= 64)
+    val keyCount = e.select("event_type").distinct().count()
+    assert(stats.filter(col("batch_id") === 0).count() == keyCount)
+    // the limit refuses high-cardinality metadata like the reference
+    intercept[IllegalArgumentException] {
+      Processors.requireMetadataCardinality(e, Seq("event_id"), limit = 10)
+    }
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")

@@ -30,6 +30,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"minhash recall of jaccard>=0.9 pairs: $recall (found ${found.size})")
   }
 
+  test("128-bit simhash with 32-bit blocks keeps recall when 16-bit buckets saturate") {
+    import spark.implicits._
+    // keyspace saturation: 400k random docs give every 16-bit chunk
+    // value an expected ~6 occupants, so under a tight bucket cap the
+    // 64-bit/4×16 scheme drops nearly every bucket its planted pairs
+    // sit in — exactly what happens to ANY corpus at 1e9 docs with
+    // maxBucket sized for the pair-explosion budget. 32-bit chunk
+    // keys (128-bit hash) have a 4e9 keyspace: buckets stay ~1.
+    val rnd = new scala.util.Random(7)
+    def doc() = (0 until 10).map(_ => s"w${rnd.nextInt(1000)}").mkString(" ")
+    val base = (0 until 400000).map(i => (i.toLong, doc()))
+    val planted = (0 until 40).map(i => (1000000L + i, base(i * 1000)._2)) // exact dups
+    val all = (base ++ planted).toDF("doc_id", "text").repartition(32)
+    val wantPairs = (0 until 40).map(i => (base(i * 1000)._1, 1000000L + i)).toSet
+
+    val cap = 3 // tight bucket cap — saturated buckets are dropped
+    val bits64 = all.select(col("doc_id"), DedupOps.simhashBits(DedupOps.tokens(col("text"))).as("b"))
+    val found64 = DedupOps.simhashNearDupPairs(bits64, "doc_id", "b", maxHamming = 4,
+        maxBucket = cap, nBits = 64, chunkBits = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall64 = wantPairs.count(found64.contains).toDouble / wantPairs.size
+
+    val bits128 = all.select(col("doc_id"), DedupOps.simhashBits128(DedupOps.tokens(col("text"))).as("b"))
+    val found128 = DedupOps.simhashNearDupPairs(bits128, "doc_id", "b", maxHamming = 4,
+        maxBucket = cap, nBits = 128, chunkBits = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall128 = wantPairs.count(found128.contains).toDouble / wantPairs.size
+
+    assert(recall128 >= 0.9, s"128/32 recall under saturation: $recall128")
+    assert(recall64 <= 0.5, s"64/16 was expected to collapse under saturation: $recall64")
+  }
+
   test("simhash near-dup pairs have high jaccard") {
     val bits = docs.select(col("doc_id"),
       DedupOps.simhashBits(DedupOps.tokens(col("text"))).as("bits"))

@@ -67,6 +67,66 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5 minhash kernel matches Spark's own md5 function per lane") {
+    samples(Gen.listOfN(6, doc).map(_.filter(_.split("\\s+").length >= 3)), 10).foreach { docs =>
+      if (docs.nonEmpty) {
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+          .select(col("id"), DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+          .filter(size(col("shs")) > 0)
+        val kernel = df.select(col("id"),
+            DedupOps.minhashSignatureMd5(col("shs"), 8).as("sig"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        // independent formulation from Spark's built-in md5/HOFs
+        val hof = df.select(col("id"), transform(sequence(lit(0), lit(7)),
+            i => array_min(transform(col("shs"),
+              s => md5(concat(i.cast("string"), lit("|"), s))))).as("sig"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        kernel.foreach { case (id, sig) => assert(sig == hof(id), s"doc $id") }
+      }
+    }
+  }
+
+  test("md5 simhash kernel matches hex-nibble bit arithmetic") {
+    samples(Gen.listOfN(5, doc), 10).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val kernel = df.select(col("id"),
+          DedupOps.simhashBitsMd5(DedupOps.tokens(col("text"))).as("bits"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.trim.split("\\s+").toSeq
+        val votes = new Array[Int](64)
+        toks.foreach { tok =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (0 until 64).foreach { j =>
+            val nib = "0123456789abcdef".indexOf(hex.charAt(j / 4))
+            val bit = (nib >> (3 - j % 4)) & 1
+            if (bit == 1) votes(j) += 1 else votes(j) -= 1
+          }
+        }
+        val want = votes.map(v => if (v > 0) 1 else 0).toSeq
+        assert(kernel(i.toLong) == want, s"doc: '$t'")
+      }
+    }
+  }
+
+  test("approx summary quantiles stay within rank tolerance of exact") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val exact = MetricsOps.summaryQuantiles(ev, Seq(col("event_type")),
+        col("value"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = MetricsOps.summaryQuantilesApprox(ev, Seq(col("event_type")),
+        col("value"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (q50e, q90e)) =>
+      val (q50a, q90a) = approx(k)
+      // value tolerance: values span ~[0, 200]; rank error 1e-4 on a
+      // smooth distribution keeps the value within a few units
+      assert(math.abs(q50a - q50e) <= math.max(1.0, 0.05 * math.abs(q50e)), s"$k q50 $q50a vs $q50e")
+      assert(math.abs(q90a - q90e) <= math.max(1.0, 0.05 * math.abs(q90e)), s"$k q90 $q90a vs $q90e")
+    }
+  }
+
   test("minhash estimate tracks true jaccard on random overlapping sets") {
     val base = (0 until 60).map(i => s"sh$i")
     samples(Gen.chooseNum(0, 50), 10).foreach { overlap =>

@@ -67,6 +67,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q3_top_orders only hints the true dimension (customer) for broadcast") {
+    // a fact-derived join side must never carry a broadcast hint —
+    // at 100× the data it becomes a build-side OOM. One ResolvedHint
+    // (the filtered customer dim) and nothing else.
+    val analyzed = SparkEntry.queries("q3_top_orders")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 1, analyzed)
+  }
+
+  test("no query plans a single-partition global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_batch_assign", "q_sessionize", "q_topk_per_group")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val empty = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(empty.isEmpty,
+        s"$q moves all data to one partition for a window:\n$plan")
+    }
+  }
+
   test("q_filter_events keeps the filter adjacent to the scan") {
     val p = plan("q_filter_events")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||

@@ -88,6 +88,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("queued exporter: retries redeliver, poison batches land in the DLQ") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // flaky delegate: batches containing a poison row always fail;
+    // others fail once then succeed on retry (transient error)
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val delegate = new graft.pipeline.Pipeline.Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val rows = df.collect()
+        if (rows.exists(_.getString(1) == "poison")) sys.error("unserializable payload")
+        val n = attempts.merge(batchId, 1, (a, b) => a + b)
+        if (n == 1) sys.error("transient")
+        rows.foreach(r => delivered.add(r.getLong(0)))
+      }
+    }
+    val dlq = java.nio.file.Files.createTempDirectory("dlq").toString
+    val ck = java.nio.file.Files.createTempDirectory("queued_ck").toString
+    val q = graft.streaming.StreamingPipelines.exportStream(ms.toDF(),
+      graft.pipeline.Pipeline.QueuedExporter(delegate, dlq, maxRetries = 2, backoffMs = 1), ck)
+    try {
+      ms.addData(Seq(1L -> "a", 2L -> "b"))
+      q.processAllAvailable()
+      ms.addData(Seq(3L -> "poison", 4L -> "c"))
+      q.processAllAvailable()
+      ms.addData(Seq(5L -> "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // transient failures redelivered; the stream never died
+    assert(delivered.contains(1L) && delivered.contains(2L) && delivered.contains(5L))
+    // the poison batch is in the DLQ with its batch id and error
+    val dead = spark.read.parquet(dlq)
+    assert(dead.count() == 2)
+    assert(dead.columns.contains("dlq_error") && dead.columns.contains("batch_id"))
+    assert(dead.filter(col("_2") === "poison").count() == 1)
+  }
+
   test("saltedAgg two-level aggregation equals direct aggregation") {
     val e = Tables(spark, sf, "events")
     val direct = e.groupBy(col("event_type"))
