@@ -194,7 +194,8 @@ object DataPipelineQueries {
         |   ELSE [] END AS shs FROM w),
         |sig AS (SELECT doc_id,
         |  list_transform(range(0, 32), i ->
-        |    list_min(list_transform(shs, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |    list_min(list_transform(shs, s ->
+        |      substr(md5((i // 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
         | FROM sh WHERE len(shs) > 0),
         |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sig sa, b.sig sb
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)

@@ -144,25 +144,48 @@ object Kernels {
     md.digest(bytes)
   }
 
-  /** minhash with md5 lanes: lane i = lexicographic min over elements
-    * of md5_hex(i + "|" + element). Empty input → empty array (callers
-    * must filter before pairing). DuckDB twin:
+  /** minhash with md5 lanes, 4 lanes per digest: lane i =
+    * lexicographic min over elements of the 8-hex-char slice
+    * [8·(i%4), 8·(i%4)+8) of md5_hex((i/4) + "|" + element) — 32-bit
+    * lanes (collision-safe for per-doc shingle counts) at a quarter
+    * of the digest cost. Empty input → empty array (callers must
+    * filter before pairing). DuckDB twin:
     * list_transform(range(0,k), i -> list_min(list_transform(shs,
-    *   s -> md5(i::VARCHAR || '|' || s))))
+    *   s -> substr(md5((i // 4)::VARCHAR || '|' || s), (i % 4) * 8 + 1, 8))))
     */
   def minhashMd5(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val groups = (k + 3) / 4
+    val prefixes = Array.tabulate(groups)(g =>
+      (g.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val mins = new Array[String](k)
+    val md = md5Local.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i).toString
-        var lane = 0
-        while (lane < k) {
-          val h = md5Hex((lane.toString + "|" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          if (mins(lane) == null || h.compareTo(mins(lane)) < 0) mins(lane) = h
-          lane += 1
+        val sBytes = arr.getUTF8String(i).getBytes
+        var g = 0
+        while (g < groups) {
+          md.reset()
+          md.update(prefixes(g))
+          md.update(sBytes)
+          val d = md.digest()
+          val hex = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            hex(2 * b) = HexChars((d(b) >> 4) & 0xf)
+            hex(2 * b + 1) = HexChars(d(b) & 0xf)
+            b += 1
+          }
+          var q = 0
+          while (q < 4 && g * 4 + q < k) {
+            val lane = g * 4 + q
+            val h = new String(hex, q * 8, 8)
+            if (mins(lane) == null || h.compareTo(mins(lane)) < 0) mins(lane) = h
+            q += 1
+          }
+          g += 1
         }
       }
       i += 1

@@ -25,21 +25,40 @@ import graft.pipeline.Pipeline._
   */
 object ConfigLoader {
 
-  def fromJson(json: String): Service = {
+  /** confmap `${env:VAR}` / `${env:VAR:-default}` provider analog
+    * (reference: confmap/provider/envprovider): expanded textually
+    * before parsing, exactly like the collector resolves a config. */
+  def expandEnv(json: String,
+                env: String => Option[String] = sys.env.get): String =
+    "\\$\\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\\}".r
+      .replaceAllIn(json, m => scala.util.matching.Regex.quoteReplacement(
+        env(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+          throw new IllegalArgumentException(
+            s"env var ${m.group(1)} is unset and has no default"))))
+
+  def fromJson(json: String,
+               env: String => Option[String] = sys.env.get): Service = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readValue(json, classOf[java.util.Map[String, Object]]).asScala
+    val root = mapper.readValue(expandEnv(json, env),
+      classOf[java.util.Map[String, Object]]).asScala
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
-    Service(pipelines.map { case (name, defn0) =>
+    // two-phase so forward/union receivers can reference other
+    // pipelines by name (the collector's connector wiring)
+    var result: Map[String, PipelineDef] = null
+    def lookup(n: String): PipelineDef = result.getOrElse(n,
+      throw new IllegalArgumentException(s"pipeline '$n' not defined"))
+    result = pipelines.map { case (name, defn0) =>
       val defn = defn0.asInstanceOf[java.util.Map[String, Object]].asScala
       name -> PipelineDef(
-        receiver = buildReceiver(asMap(defn("receiver"))),
+        receiver = buildReceiver(asMap(defn("receiver")), lookup),
         processors = defn.get("processors").toSeq
           .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
           .map(p => buildProcessor(asMap(p))),
         exporters = defn.get("exporters").toSeq
           .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
           .map(e => buildExporter(asMap(e))))
-    }.toMap)
+    }.toMap
+    Service(result)
   }
 
   private def asMap(o: Object): Map[String, Object] =
@@ -47,30 +66,51 @@ object ConfigLoader {
 
   private def str(m: Map[String, Object], k: String): String = m(k).toString
 
-  private def buildReceiver(m: Map[String, Object]): Receiver = str(m, "type") match {
-    case "table"          => TableReceiver(str(m, "dir"), str(m, "table"))
-    case "parquet"        => ParquetReceiver(str(m, "path"))
-    case "otlp_json_logs" => OtlpJsonLogReceiver(str(m, "path"))
-    case other => throw new IllegalArgumentException(s"unknown receiver type: $other")
-  }
+  private def strList(o: Object): Seq[String] =
+    o.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
+
+  private def buildReceiver(m: Map[String, Object],
+                            lookup: String => PipelineDef): Receiver =
+    str(m, "type") match {
+      case "table"          => TableReceiver(str(m, "dir"), str(m, "table"))
+      case "parquet"        => ParquetReceiver(str(m, "path"))
+      case "otlp_json_logs" => OtlpJsonLogReceiver(str(m, "path"))
+      // connectors: bridge/fan pipelines by name
+      case "forward"        => ForwardReceiver(() => lookup(str(m, "from")))
+      case "union"          => UnionReceiver(() => strList(m("from")).map(lookup))
+      case other => throw new IllegalArgumentException(s"unknown receiver type: $other")
+    }
 
   private def buildProcessor(m: Map[String, Object]): Stage = str(m, "type") match {
     case "filter" => df => df.filter(expr(str(m, "where")))
     case "upsert" => df => df.withColumn(str(m, "name"), expr(str(m, "expr")))
-    case "drop" => df => df.drop(
-      m("columns").asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq: _*)
-    case "select" => df => df.selectExpr(
-      m("exprs").asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq: _*)
+    case "drop" => df => df.drop(strList(m("columns")): _*)
+    case "select" => df => df.selectExpr(strList(m("exprs")): _*)
     case "sample" => df =>
       graft.operators.Processors.probabilisticSample(df, col(str(m, "id")),
         m("hexDigits").asInstanceOf[Number].intValue())
+    // routing connector: first matching predicate labels the row
+    case "route" => df =>
+      graft.operators.Processors.route(df,
+        m("routes").asInstanceOf[java.util.List[Object]].asScala.toSeq.map { r =>
+          val rm = asMap(r)
+          str(rm, "name") -> expr(str(rm, "when"))
+        },
+        m.get("default").map(_.toString).getOrElse("other"))
+    case "batch" => df =>
+      graft.operators.Processors.assignBatchesByKey(df,
+        strList(m("keys")), expr(str(m, "order")),
+        m("size").asInstanceOf[Number].intValue())
     case other => throw new IllegalArgumentException(s"unknown processor type: $other")
   }
 
   private def buildExporter(m: Map[String, Object]): Exporter = str(m, "type") match {
     case "parquet" => ParquetExporter(str(m, "path"),
-      partitionBy = m.get("partitionBy").toSeq
-        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString)))
+      partitionBy = m.get("partitionBy").toSeq.flatMap(strList))
+    // queued-retry + dead-letter wrapping of a parquet sink
+    case "parquet_queued" => QueuedExporter(
+      ParquetExporter(str(m, "path")), str(m, "dlq"),
+      maxRetries = m.get("maxRetries").map(_.asInstanceOf[Number].intValue()).getOrElse(2))
     case "logging" => LoggingExporter()
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }

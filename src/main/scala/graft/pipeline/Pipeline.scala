@@ -31,6 +31,17 @@ object Pipeline {
       graft.sources.OtlpJsonSource.parseLogs(
         spark.read.text(jsonPath).select(col("value").as("json")))
   }
+  /** forwardconnector analog: this pipeline's source is another
+    * pipeline's (lazy) output plan — Catalyst sees one combined plan,
+    * so the bridged stages fuse and the scan is shared. */
+  final case class ForwardReceiver(resolve: () => PipelineDef) extends Receiver {
+    def read(spark: SparkSession): DataFrame = resolve().plan(spark)
+  }
+  /** fan-in: union several pipelines' outputs (schema-aligned) */
+  final case class UnionReceiver(resolve: () => Seq[PipelineDef]) extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      resolve().map(_.plan(spark)).reduce(_ unionByName _)
+  }
 
   type Stage = DataFrame => DataFrame
 

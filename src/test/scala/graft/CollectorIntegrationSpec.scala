@@ -90,6 +90,46 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(result.select("sev").distinct().head().getString(0) == "ERROR")
   }
 
+  test("config: env expansion, forward/union connectors, route processor") {
+    val out = java.nio.file.Files.createTempDirectory("cfg2_out").toString
+    val config =
+      s"""{"pipelines": {
+         | "logs/base": {
+         |  "receiver": {"type": "table", "dir": "$${env:GRAFT_SF_DIR:-/root/testdata/sf0.001}", "table": "events"},
+         |  "processors": [
+         |   {"type": "route", "routes": [
+         |     {"name": "errors", "when": "event_type = 'error'"},
+         |     {"name": "hot", "when": "value >= 150"}], "default": "rest"},
+         |   {"type": "select", "exprs": ["event_id", "user_id", "event_type", "value", "route"]}]
+         | },
+         | "logs/errors": {
+         |  "receiver": {"type": "forward", "from": "logs/base"},
+         |  "processors": [{"type": "filter", "where": "route = 'errors'"}],
+         |  "exporters": [{"type": "parquet", "path": "$out/errors"}]
+         | },
+         | "logs/hot": {
+         |  "receiver": {"type": "forward", "from": "logs/base"},
+         |  "processors": [{"type": "filter", "where": "route = 'hot'"}]
+         | },
+         | "logs/merged": {
+         |  "receiver": {"type": "union", "from": ["logs/errors", "logs/hot"]},
+         |  "exporters": [{"type": "parquet_queued", "path": "$out/merged", "dlq": "$out/dlq"}]
+         | }}}""".stripMargin
+    val svc = graft.pipeline.ConfigLoader.fromJson(config)
+    svc.pipelines("logs/merged").run(spark)
+    val merged = spark.read.parquet(s"$out/merged")
+    assert(merged.count() > 0)
+    assert(merged.select("route").distinct().collect().map(_.getString(0)).toSet ==
+      Set("errors", "hot"))
+    // expansion failed → unset var without default must throw
+    intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.expandEnv("""{"x": "${env:GRAFT_DOES_NOT_EXIST}"}""")
+    }
+    // default form expands without the var being set
+    assert(graft.pipeline.ConfigLoader.expandEnv("""${env:GRAFT_DOES_NOT_EXIST:-fallback}""")
+      == "fallback")
+  }
+
   test("malformed requests route to the dead-letter channel, not the floor") {
     import spark.implicits._
     val requests = Seq(

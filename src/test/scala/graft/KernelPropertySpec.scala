@@ -76,10 +76,12 @@ class KernelPropertySpec extends AnyFunSuite {
         val kernel = df.select(col("id"),
             DedupOps.minhashSignatureMd5(col("shs"), 8).as("sig"))
           .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-        // independent formulation from Spark's built-in md5/HOFs
+        // independent formulation from Spark's built-in md5/HOFs:
+        // lane i = 8-hex slice (i%4) of md5((i/4) + "|" + shingle)
         val hof = df.select(col("id"), transform(sequence(lit(0), lit(7)),
             i => array_min(transform(col("shs"),
-              s => md5(concat(i.cast("string"), lit("|"), s))))).as("sig"))
+              s => md5(concat((i / 4).cast("int").cast("string"), lit("|"), s))
+                .substr((i % 4) * 8 + 1, lit(8))))).as("sig"))
           .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
         kernel.foreach { case (id, sig) => assert(sig == hof(id), s"doc $id") }
       }
