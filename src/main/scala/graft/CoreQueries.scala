@@ -142,6 +142,19 @@ object CoreQueries {
           col("col").as("value"))
     }),
 
+    // Skew-safe two-level aggregation: partial agg on (key, salt),
+    // final on key. Partials stay in DECIMAL so the result is exactly
+    // the plain aggregate no matter how rows scatter across salts —
+    // the hot-group strategy when partial-agg state is large.
+    "q_salted_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      graft.operators.ScaleOps.saltedAgg(Tables(s, dir, "events"), "event_type", 8,
+        partial = Seq(sum(col("value").cast(DecimalType(28, 8))).as("pv"),
+          count(lit(1)).as("pn")),
+        finalAgg = Seq(sum(col("pv")).cast("double").as("total_value"),
+          sum(col("pn")).as("n")))
+    }),
+
     // Resource-enrichment join: fact × broadcast dim.
     "q_join_enrich" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
@@ -242,6 +255,12 @@ object CoreQueries {
         |SELECT event_type, u[2] AS rk, u[1] AS value
         |FROM (SELECT event_type,
         |  unnest(list_zip(tops, range(1, len(tops) + 1))) AS u FROM t)""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_join_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,

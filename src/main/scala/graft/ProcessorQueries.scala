@@ -65,29 +65,34 @@ object ProcessorQueries {
     }),
 
     // OTLP/JSON AnyValue fidelity: events → typed-attribute OTLP
-    // documents (double/bool/int values) → parseLogs → aggregate the
-    // recovered typed values. The oracle aggregates the raw table —
-    // equality proves the full parse∘marshal path loses nothing.
+    // request documents (double/bool/int values; ~hundreds of records
+    // per request, like a real batched export) → parseLogs →
+    // aggregate the recovered typed values. The oracle aggregates the
+    // raw table — equality proves parse∘marshal loses nothing.
     "q_otlp_roundtrip" -> ((s, dir) => {
       val av = graft.sources.OtlpJsonSource.typedAnyValue _
-      val json = Tables(s, dir, "events").select(to_json(struct(array(struct(
-        struct(array(struct(lit("service.name").as("key"),
-          av(lit("graft"), null, null, null).as("value"))).as("attributes")).as("resource"),
-        array(struct(
-          struct(lit("graft").as("name")).as("scope"),
+      val rec = struct(
+        col("ts_ns").cast("string").as("timeUnixNano"),
+        when(col("event_type") === "error", 17).otherwise(9).as("severityNumber"),
+        struct(col("event_type").as("stringValue")).as("body"),
+        array(
+          struct(lit("value").as("key"),
+            av(null, null, col("value"), null).as("value")),
+          struct(lit("is_error").as("key"),
+            av(null, null, null, col("event_type") === "error").as("value")),
+          struct(lit("user").as("key"),
+            av(null, col("user_id").cast("string"), null, null).as("value"))
+        ).as("attributes"))
+      val json = Tables(s, dir, "events")
+        .groupBy(pmod(col("event_id"), lit(64)).as("_shard"))
+        .agg(collect_list(rec).as("recs"))
+        .select(to_json(struct(array(struct(
+          struct(array(struct(lit("service.name").as("key"),
+            av(lit("graft"), null, null, null).as("value"))).as("attributes")).as("resource"),
           array(struct(
-            col("ts_ns").cast("string").as("timeUnixNano"),
-            when(col("event_type") === "error", 17).otherwise(9).as("severityNumber"),
-            struct(col("event_type").as("stringValue")).as("body"),
-            array(
-              struct(lit("value").as("key"),
-                av(null, null, col("value"), null).as("value")),
-              struct(lit("is_error").as("key"),
-                av(null, null, null, col("event_type") === "error").as("value")),
-              struct(lit("user").as("key"),
-                av(null, col("user_id").cast("string"), null, null).as("value"))
-            ).as("attributes"))).as("logRecords"))).as("scopeLogs"))).as("resourceLogs")))
-        .as("json"))
+            struct(lit("graft").as("name")).as("scope"),
+            col("recs").as("logRecords"))).as("scopeLogs"))).as("resourceLogs")))
+          .as("json"))
       graft.sources.OtlpJsonSource.parseLogs(json)
         .groupBy(col("severity_number"))
         .agg(count(lit(1)).as("n"),
