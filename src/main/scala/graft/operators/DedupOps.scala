@@ -176,21 +176,23 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, idCol: String, shinglesCol: String,
                    threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
-    val sizes = df.select(col(idCol).as("id"), size(col(shinglesCol)).as("sz"))
     // shuffle 8-byte shingle hashes, not strings: identical counts
     // unless XXH64 collides within one doc pair's shingle sets
-    // (P ≈ n²/2⁶⁵ — negligible), and the shuffle shrinks ~3×
-    val postings = df.select(explode(col(shinglesCol)).as("s"), col(idCol).as("id"))
-      .select(xxhash64(col("s")).as("s"), col("id"))
-      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    // (P ≈ n²/2⁶⁵ — negligible), and the shuffle shrinks ~3×. The doc
+    // size rides along in the posting struct so the per-pair union
+    // size needs NO join back to the docs — pair counting is the last
+    // shuffle.
+    val postings = df.select(explode(col(shinglesCol)).as("s"),
+        struct(col(idCol).as("id"), size(col(shinglesCol)).as("sz")).as("m"))
+      .select(xxhash64(col("s")).as("s"), col("m"))
+      .groupBy(col("s")).agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDf)
     val pairs = postings.select(explode(
-      graft.functions.VectorExprs.pair_combinations(col("ids"))).as("p"))
-    val counted = pairs.groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    counted
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      graft.functions.VectorExprs.pair_combinations(col("ms"))).as("p"))
+    pairs
+      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("p.a.sz")).as("sz_a"), first(col("p.b.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
