@@ -67,6 +67,38 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store (bounded-memory state)") {
+    // the HDFS-backed default keeps all state on the JVM heap; at
+    // 100 TB streaming-dedup state must live in RocksDB (off-heap +
+    // disk, incremental checkpoints) — same query, one provider conf
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, String)]
+      val out = StreamingPipelines.streamingDedup[String](spark, ms.toDS())
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_rocks_out").start()
+      try {
+        ms.addData(Seq("x" -> "doc-x", "y" -> "doc-y", "x" -> "dup"))
+        q.processAllAvailable()
+        ms.addData(Seq("x" -> "dup2", "z" -> "doc-z"))
+        q.processAllAvailable()
+        val got = spark.sql("SELECT value FROM dedup_rocks_out")
+          .collect().map(_.getString(0)).sorted
+        assert(got.toSeq == Seq("doc-x", "doc-y", "doc-z"))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful running counter accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
