@@ -112,6 +112,50 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5 hyperplane buckets match an independent md5-sign fold") {
+    val vec = Gen.listOfN(12, Gen.chooseNum(-1.0, 1.0))
+    samples(Gen.listOfN(4, vec), 6).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+      val got = df.select(col("id"),
+          graft.functions.VectorExprs.hyperplane_buckets_md5(col("v"), 3, 4).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      vecs.zipWithIndex.foreach { case (v, id) =>
+        val want = (0 until 3).map { t =>
+          val bits = (0 until 4).map { p =>
+            var s = 0.0
+            v.indices.foreach { d =>
+              val hex = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"$t/$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+              s += (if (hex.charAt(0) <= '7') v(d) else -v(d))
+            }
+            if (s > 0) '1' else '0'
+          }.mkString
+          s"$t:$bits"
+        }
+        assert(got(id.toLong) == want, s"vec $id")
+      }
+    }
+  }
+
+  test("simhash128 halves agree with two independent 64-bit vote folds") {
+    samples(Gen.listOfN(4, doc), 8).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"),
+          graft.operators.DedupOps.simhashBits128(
+            graft.operators.DedupOps.tokens(col("text"))).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      // first 64 bits use seed 42 — must equal the 64-bit kernel
+      val narrow = df.select(col("id"),
+          graft.operators.DedupOps.simhashBits(
+            graft.operators.DedupOps.tokens(col("text"))).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      got.foreach { case (id, bits) =>
+        assert(bits.length == 128)
+        assert(bits.take(64) == narrow(id), s"doc $id: low half != 64-bit simhash")
+      }
+    }
+  }
+
   test("approx summary quantiles stay within rank tolerance of exact") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
     val exact = MetricsOps.summaryQuantiles(ev, Seq(col("event_type")),
