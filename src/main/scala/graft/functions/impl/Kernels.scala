@@ -124,10 +124,7 @@ object Kernels {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
-  private def md5Hex(bytes: Array[Byte]): String = {
-    val md = md5Local.get()
-    md.reset()
-    val d = md.digest(bytes)
+  private def digestToHexChars(d: Array[Byte]): Array[Char] = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -135,7 +132,13 @@ object Kernels {
       out(2 * i + 1) = HexChars(d(i) & 0xf)
       i += 1
     }
-    new String(out)
+    out
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val md = md5Local.get()
+    md.reset()
+    new String(digestToHexChars(md.digest(bytes)))
   }
 
   private def md5Digest(bytes: Array[Byte]): Array[Byte] = {
@@ -162,22 +165,17 @@ object Kernels {
     val mins = new Array[String](k)
     val md = md5Local.get()
     var i = 0
+    var seen = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        seen += 1
         val sBytes = arr.getUTF8String(i).getBytes
         var g = 0
         while (g < groups) {
           md.reset()
           md.update(prefixes(g))
           md.update(sBytes)
-          val d = md.digest()
-          val hex = new Array[Char](32)
-          var b = 0
-          while (b < 16) {
-            hex(2 * b) = HexChars((d(b) >> 4) & 0xf)
-            hex(2 * b + 1) = HexChars(d(b) & 0xf)
-            b += 1
-          }
+          val hex = digestToHexChars(md.digest())
           var q = 0
           while (q < 4 && g * 4 + q < k) {
             val lane = g * 4 + q
@@ -190,6 +188,9 @@ object Kernels {
       }
       i += 1
     }
+    // all-null input is as signatureless as an empty array — never
+    // emit nulls into a containsNull=false array
+    if (seen == 0) return new GenericArrayData(Array.empty[Any])
     new GenericArrayData(mins.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
 

@@ -97,9 +97,17 @@ object MetricsOps {
     val base = df.groupBy(seriesKeys: _*)
       .agg(sort_array(collect_list(value)).as("arr"), count(lit(1)).as("n"))
     val withQs = qs.foldLeft(base) { (d, q) =>
-      d.withColumn(s"q${(q * 100).toInt}", quantileFromSorted(col("arr"), col("n"), q))
+      d.withColumn(qName(q), quantileFromSorted(col("arr"), col("n"), q))
     }
     withQs.drop("arr")
+  }
+
+  /** collision-free quantile column name: 0.5→q50, 0.99→q99,
+    * 0.999→q99_9 (a plain (q*100).toInt maps 0.99 and 0.999 both to
+    * q99 and one silently overwrites the other) */
+  private def qName(q: Double): String = {
+    val s = (BigDecimal(q) * 100).underlying.stripTrailingZeros.toPlainString
+    "q" + s.replace(".", "_").replace("-", "m")
   }
 
   /** Scale path for Summary quantiles: percentile_approx — a
@@ -115,7 +123,7 @@ object MetricsOps {
       .agg(count(lit(1)).as("n"),
         percentile_approx(value, typedLit(qs), lit(accuracy)).as("_qs"))
     qs.zipWithIndex.foldLeft(base) { case (d, (q, i)) =>
-      d.withColumn(s"q${(q * 100).toInt}", element_at(col("_qs"), i + 1))
+      d.withColumn(qName(q), element_at(col("_qs"), i + 1))
     }.drop("_qs")
   }
 

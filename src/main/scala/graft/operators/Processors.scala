@@ -107,6 +107,10 @@ object Processors {
     * single-partition WindowExec (one executor sorting the whole fact
     * table at 100 TB) never appears. Skewed split points only affect
     * balance, never correctness.
+    *
+    * The input plan is evaluated three times (split points, counts,
+    * final) — like every Spark recompute path it must be
+    * deterministic; persist expensive upstream plans before calling.
     */
   def assignBatchesRanged(df: DataFrame, orderCol: Column, batchSize: Int,
                           partitions: Int = 0): DataFrame = {

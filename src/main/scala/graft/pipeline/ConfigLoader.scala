@@ -58,7 +58,29 @@ object ConfigLoader {
           .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
           .map(e => buildExporter(asMap(e))))
     }.toMap
+    rejectConnectorCycles(pipelines.toMap)
     Service(result)
+  }
+
+  /** the reference collector rejects cyclic connector graphs at
+    * config validation — fail here with the cycle named instead of a
+    * StackOverflowError at plan time */
+  private def rejectConnectorCycles(pipelines: Map[String, Object]): Unit = {
+    val edges: Map[String, Seq[String]] = pipelines.map { case (name, defn0) =>
+      val recv = asMap(asMap(defn0)("receiver"))
+      name -> (recv.get("type").map(_.toString) match {
+        case Some("forward") => Seq(str(recv, "from"))
+        case Some("union")   => strList(recv("from"))
+        case _               => Nil
+      })
+    }
+    def walk(n: String, path: List[String]): Unit = {
+      if (path.contains(n))
+        throw new IllegalArgumentException(
+          s"cyclic connector graph: ${(n :: path.takeWhile(_ != n) ::: List(n)).reverse.mkString(" -> ")}")
+      edges.getOrElse(n, Nil).foreach(walk(_, n :: path))
+    }
+    edges.keys.foreach(walk(_, Nil))
   }
 
   private def asMap(o: Object): Map[String, Object] =

@@ -77,16 +77,20 @@ object Pipeline {
     */
   final case class RetryingExporter(delegate: Exporter, maxRetries: Int = 3,
                                     backoffMs: Long = 100) extends Exporter {
-    def export(df: DataFrame): Unit = {
+    def export(df: DataFrame): Unit = retry(() => delegate.export(df))
+    // forward the batchId so a retried micro-batch keeps its idempotent
+    // per-batch keying (dropping it would clobber the whole sink)
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      retry(() => delegate.exportBatch(df, batchId))
+    private def retry(f: () => Unit): Unit = {
       var attempt = 0
       var done = false
       while (!done) {
-        try { delegate.export(df); done = true }
+        try { f(); done = true }
         catch {
-          case e: Throwable if attempt < maxRetries =>
+          case scala.util.control.NonFatal(_) if attempt < maxRetries =>
             attempt += 1
             Thread.sleep(backoffMs * attempt)
-          case e: Throwable => throw e
         }
       }
     }
@@ -101,6 +105,12 @@ object Pipeline {
     * this exporter adds the poison-batch exit so one bad batch can't
     * wedge the queue forever.
     */
+  /** marker for errors the reference's exporterhelper calls permanent:
+    * retrying cannot help (bad payload, schema rejection) — go
+    * straight to the dead letter queue */
+  final class PermanentExportException(msg: String, cause: Throwable = null)
+      extends RuntimeException(msg, cause)
+
   final case class QueuedExporter(delegate: Exporter, dlqPath: String,
                                   maxRetries: Int = 2, backoffMs: Long = 50)
       extends Exporter {
@@ -112,7 +122,11 @@ object Pipeline {
       while (!delivered && attempt <= maxRetries) {
         try { delegate.exportBatch(df, batchId); delivered = true }
         catch {
-          case e: Throwable =>
+          // fatal JVM errors and interrupts propagate (a stopping
+          // stream must not divert its in-flight batch to the DLQ)
+          case e: PermanentExportException =>
+            lastErr = e; attempt = maxRetries + 1
+          case scala.util.control.NonFatal(e) =>
             lastErr = e
             attempt += 1
             if (attempt <= maxRetries) Thread.sleep(backoffMs * attempt)

@@ -386,24 +386,28 @@ object OtlpJsonSource {
       .filter(col("m.exponentialHistogram").isNotNull)
       .select(col("m.name").as("metric_name"),
         explode(col("m.exponentialHistogram.dataPoints")).as("dp"))
-    def side(name: String, sign: Int) =
-      base
-        .filter(col(s"dp.$name").isNotNull)
-        .select(col("metric_name"),
-          col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
-          col("dp.scale").as("scale"),
-          col("dp.zeroCount").cast("long").as("zero_count"),
-          coalesce(col("dp.zeroThreshold"), lit(0.0)).as("zero_threshold"),
-          lit(sign).as("sign"),
-          col(s"dp.$name.offset").as("offset"),
-          posexplode(col(s"dp.$name.bucketCounts")))
-        .withColumnRenamed("pos", "bucket_idx")
-        .withColumn("bucket_count", col("col").cast("long"))
-        .withColumn("lower_bound",
-          pow(lit(2.0), (col("offset") + col("bucket_idx")).cast("double") /
-            pow(lit(2.0), col("scale").cast("double"))))
-        .drop("col")
-    side("positive", 1).unionByName(side("negative", -1))
+    // one pass: both signs ride a single exploded (sign, buckets)
+    // array, so the request JSON is parsed once, not once per side
+    base
+      .select(col("metric_name"),
+        col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
+        col("dp.scale").as("scale"),
+        col("dp.zeroCount").cast("long").as("zero_count"),
+        coalesce(col("dp.zeroThreshold"), lit(0.0)).as("zero_threshold"),
+        explode(array(
+          struct(lit(1).as("sign"), col("dp.positive").as("b")),
+          struct(lit(-1).as("sign"), col("dp.negative").as("b")))).as("sb"))
+      .filter(col("sb.b").isNotNull)
+      .select(col("metric_name"), col("time_unix_nano"), col("scale"),
+        col("zero_count"), col("zero_threshold"),
+        col("sb.sign").as("sign"), col("sb.b.offset").as("offset"),
+        posexplode(col("sb.b.bucketCounts")))
+      .withColumnRenamed("pos", "bucket_idx")
+      .withColumn("bucket_count", col("col").cast("long"))
+      .withColumn("lower_bound",
+        pow(lit(2.0), (col("offset") + col("bucket_idx")).cast("double") /
+          pow(lit(2.0), col("scale").cast("double"))))
+      .drop("col")
   }
 
   // ---- export (exporter/otlphttpexporter JSON encoding analog) ----
