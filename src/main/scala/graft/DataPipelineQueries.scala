@@ -63,6 +63,12 @@ object DataPipelineQueries {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // embedding-cosine near-dup pairs: LSH-bucketed candidates,
+    // exact-cosine verification (md5-portable — oracle-verified)
+    "q_dedup_embed" -> ((s, dir) => {
+      AnnOps.embedNearDupPairs(embs(s, dir), planes = 4, tables = 16, threshold = 0.4)
+    }),
+
     // brute-force exact cosine top-k (bit-identical fold arithmetic)
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -223,6 +229,27 @@ object DataPipelineQueries {
         |WHERE len(list_filter(list_zip(ba, bb), x -> x[1] <> x[2])) <= 6
         | AND list_max(list_transform(range(0, 4), c ->
         |   CASE WHEN ba[c*16+1:c*16+16] = bb[c*16+1:c*16+16] THEN 1 ELSE 0 END)) = 1""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sig AS (SELECT vec_id, e,
+        |  list_transform(range(0, 16), t ->
+        |    list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(list_zip(e, range(0, len(e))), x ->
+        |        CASE WHEN substr(md5(t::VARCHAR || '/' || p::VARCHAR || ':' || x[2]::VARCHAR), 1, 1) <= '7'
+        |         THEN x[1] ELSE -x[1] END)) > 0 THEN 1 ELSE 0 END)) AS sg
+        | FROM v),
+        |cand AS (SELECT a.vec_id id_a, b.vec_id id_b, a.e ae, b.e be
+        |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        |  WHERE list_max(list_transform(list_zip(a.sg, b.sg), z ->
+        |    CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) = 1)
+        |SELECT id_a, id_b, sim FROM (
+        | SELECT id_a, id_b,
+        |  list_sum(list_transform(list_zip(ae, be), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(ae, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(be, x -> x * x)))) AS sim
+        | FROM cand)
+        |WHERE sim >= 0.4""".stripMargin,
 
     "q_ann_lsh" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

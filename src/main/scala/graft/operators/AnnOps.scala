@@ -155,6 +155,31 @@ object AnnOps {
     lshTopKImpl(queries, corpus, planes, k, tables,
       graft.functions.VectorExprs.hyperplane_buckets_md5)
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    * generation over the corpus against itself (same bucket in ≥1
+    * table, id_a < id_b), exact-cosine verification at `threshold`.
+    * The all-pairs O(N²) never materializes — only bucket-collision
+    * pairs are scored, the embedding-space twin of minhash-LSH
+    * text dedup. md5-portable (oracle-verifiable).
+    */
+  def embedNearDupPairs(corpus: DataFrame, planes: Int, tables: Int,
+                        threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    val sig = corpus.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("e"),
+        explode(graft.functions.VectorExprs.hyperplane_buckets_md5(
+          col("embedding").cast("array<double>"), tables, planes)).as("bucket"))
+    val buckets = sig
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("e")))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(
+        graft.functions.VectorExprs.pair_combinations(col("members"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.e"), col("p.b.e")).as("sim"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("sim") >= threshold)
+  }
+
   private def lshTopKImpl(queries: DataFrame, corpus: DataFrame, planes: Int,
                           k: Int, tables: Int,
                           bucketsOf: (Column, Int, Int) => Column): DataFrame = {

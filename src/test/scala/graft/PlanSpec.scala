@@ -52,7 +52,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup pipelines never degrade to cartesian products") {
-    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_apply")) {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_apply",
+        "q_dedup_embed")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
