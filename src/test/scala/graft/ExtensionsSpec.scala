@@ -41,6 +41,21 @@ class ExtensionsSpec extends AnyFunSuite {
         |JOIN parquet.`/root/testdata/sf0.001/embeddings.parquet` b ON b.vec_id = a.vec_id + 1
         |LIMIT 3""".stripMargin).collect()
     assert(c.length == 3 && c.head.getSeq[String](1).size == 4)
+    // the md5-portable kernels take the same codegen path
+    val m = s2.sql(
+      """SELECT doc_id,
+        |  minhash_signature_md5(word_shingles(text, 3), 8) AS sig,
+        |  simhash_bits_md5(word_shingles(text, 1)) AS bits,
+        |  simhash_bits_128(word_shingles(text, 1)) AS wide
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`
+        |ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(m.length == 5 && m.head.getSeq[String](1).size == 8)
+    assert(m.head.getSeq[Int](2).size == 64 && m.head.getSeq[Int](3).size == 128)
+    val hb = s2.sql(
+      """SELECT hyperplane_buckets_md5(CAST(embedding AS ARRAY<DOUBLE>), 4, 8) AS hb
+        |FROM parquet.`/root/testdata/sf0.001/embeddings.parquet` LIMIT 2""".stripMargin)
+      .collect()
+    assert(hb.length == 2 && hb.head.getSeq[String](0).size == 4)
   }
 
   test("SQL minhash matches the Column API") {
