@@ -57,6 +57,8 @@ object OtelModel {
   val metricPointSchema: StructType = StructType(Seq(
     StructField("metric_name", StringType, nullable = false),
     StructField("metric_type", StringType, nullable = false), // gauge|sum|histogram|exponential_histogram|summary
+    StructField("description", StringType, nullable = true),
+    StructField("unit", StringType, nullable = true),
     StructField("aggregation_temporality", StringType, nullable = true), // delta|cumulative
     StructField("is_monotonic", BooleanType, nullable = true),
     StructField("time_unix_nano", LongType, nullable = false),

@@ -236,12 +236,23 @@ object OtlpJsonSource {
 
   // ---- metrics (gauge/sum number datapoints) ----
 
+  /** pmetric.Exemplar (generated_exemplar.go): a sampled observation
+    * with its trace correlation riding a datapoint */
+  private val exemplarType = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("asDouble", DoubleType),
+    StructField("asInt", StringType),
+    StructField("spanId", StringType),
+    StructField("traceId", StringType),
+    StructField("filteredAttributes", kvType)))
+
   private val numberPointType = StructType(Seq(
     StructField("timeUnixNano", StringType),
     StructField("startTimeUnixNano", StringType),
     StructField("asDouble", DoubleType),
     StructField("asInt", StringType),
-    StructField("attributes", kvType)))
+    StructField("attributes", kvType),
+    StructField("exemplars", ArrayType(exemplarType))))
 
   private val histogramPointType = StructType(Seq(
     StructField("timeUnixNano", StringType),
@@ -249,7 +260,8 @@ object OtlpJsonSource {
     StructField("sum", DoubleType),
     StructField("bucketCounts", ArrayType(StringType)),
     StructField("explicitBounds", ArrayType(DoubleType)),
-    StructField("attributes", kvType)))
+    StructField("attributes", kvType),
+    StructField("exemplars", ArrayType(exemplarType))))
 
   private val summaryPointType = StructType(Seq(
     StructField("timeUnixNano", StringType),
@@ -275,6 +287,8 @@ object OtlpJsonSource {
 
   private val metricType = StructType(Seq(
     StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("unit", StringType),
     StructField("gauge", StructType(Seq(
       StructField("dataPoints", ArrayType(numberPointType))))),
     StructField("sum", StructType(Seq(
@@ -314,9 +328,11 @@ object OtlpJsonSource {
                monotonic: org.apache.spark.sql.Column) =
       base.filter(col(s"m.$kind").isNotNull)
         .select(col("m.name").as("metric_name"), lit(kind).as("metric_type"),
+          col("m.description").as("description"), col("m.unit").as("unit"),
           temporality.as("aggregation_temporality"), monotonic.as("is_monotonic"),
           col("resource_attributes"), explode(col(s"m.$kind.dataPoints")).as("dp"))
         .select(col("metric_name"), col("metric_type"),
+          col("description"), col("unit"),
           col("aggregation_temporality"), col("is_monotonic"),
           col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
           col("dp.startTimeUnixNano").cast("long").as("start_time_unix_nano"),
@@ -328,6 +344,32 @@ object OtlpJsonSource {
         when(col("m.sum.aggregationTemporality") === 1, "delta")
           .when(col("m.sum.aggregationTemporality") === 2, "cumulative"),
         col("m.sum.isMonotonic")))
+  }
+
+  /** exemplars exploded to rows: one per sampled observation across
+    * number (gauge/sum) and histogram datapoints — the trace-correlated
+    * drill-down path (pdata/pmetric/generated_exemplar.go) */
+  def parseMetricExemplars(requests: DataFrame): DataFrame = {
+    val base = requests
+      .select(from_json(col("json"), metricRequestSchema).as("r"))
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+    def side(kind: String) =
+      base.filter(col(s"m.$kind").isNotNull)
+        .select(col("m.name").as("metric_name"), lit(kind).as("metric_type"),
+          explode(col(s"m.$kind.dataPoints")).as("dp"))
+        .filter(col("dp.exemplars").isNotNull)
+        .select(col("metric_name"), col("metric_type"),
+          col("dp.timeUnixNano").cast("long").as("point_time_unix_nano"),
+          explode(col("dp.exemplars")).as("ex"))
+        .select(col("metric_name"), col("metric_type"), col("point_time_unix_nano"),
+          col("ex.timeUnixNano").cast("long").as("time_unix_nano"),
+          coalesce(col("ex.asDouble"), col("ex.asInt").cast("double")).as("value"),
+          col("ex.spanId").as("span_id"),
+          col("ex.traceId").as("trace_id"),
+          kvToMap(col("ex.filteredAttributes")).as("filtered_attributes"))
+    side("gauge").unionByName(side("sum")).unionByName(side("histogram"))
   }
 
   /** ExportMetricsServiceRequest JSON → one row per histogram
@@ -496,9 +538,12 @@ object OtlpJsonSource {
     * ExportMetricsServiceRequest documents — pmetric/json.go marshal
     * analog for gauge/sum metrics. to_json drops null branches, so a
     * gauge metric document carries only `gauge`, a sum only `sum`. */
-  def writeMetricsJson(points: DataFrame): DataFrame =
-    points
+  def writeMetricsJson(points: DataFrame): DataFrame = {
+    val withMeta = Seq("description", "unit").foldLeft(points)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
+    withMeta
       .groupBy(col("resource_attributes"), col("metric_name"),
+        col("description"), col("unit"),
         col("metric_type"), col("aggregation_temporality"), col("is_monotonic"))
       .agg(collect_list(struct(
         col("time_unix_nano").cast("string").as("timeUnixNano"),
@@ -511,6 +556,8 @@ object OtlpJsonSource {
           struct(lit("graft").as("name")).as("scope"),
           array(struct(
             col("metric_name").as("name"),
+            col("description").as("description"),
+            col("unit").as("unit"),
             when(col("metric_type") === "gauge",
               struct(col("dataPoints").as("dataPoints"))).as("gauge"),
             when(col("metric_type") === "sum", struct(
@@ -518,6 +565,7 @@ object OtlpJsonSource {
               when(col("aggregation_temporality") === "delta", 1).otherwise(2)
                 .as("aggregationTemporality"),
               col("is_monotonic").as("isMonotonic"))).as("sum"))).as("metrics"))).as("scopeMetrics"))).as("resourceMetrics"))).as("json"))
+  }
 
   /** [[parseLogs]] with a dead-letter channel: requests that don't
     * parse (from_json → null) are routed raw instead of dropped —

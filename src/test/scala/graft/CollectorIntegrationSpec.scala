@@ -242,9 +242,9 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     import spark.implicits._
     val reqs = (0 until 10).map { i =>
       val m = if (i % 2 == 0)
-        s"""{"name":"cpu","gauge":{"dataPoints":[{"timeUnixNano":"${i}000","asDouble":$i.25,"attributes":[{"key":"core","value":{"stringValue":"c$i"}}]}]}}"""
+        s"""{"name":"cpu","unit":"1","description":"cpu load","gauge":{"dataPoints":[{"timeUnixNano":"${i}000","asDouble":$i.25,"attributes":[{"key":"core","value":{"stringValue":"c$i"}}]}]}}"""
       else
-        s"""{"name":"req","sum":{"aggregationTemporality":2,"isMonotonic":true,"dataPoints":[{"timeUnixNano":"${i}000","asDouble":$i.5,"attributes":[]}]}}"""
+        s"""{"name":"req","unit":"ms","sum":{"aggregationTemporality":2,"isMonotonic":true,"dataPoints":[{"timeUnixNano":"${i}000","asDouble":$i.5,"attributes":[]}]}}"""
       s"""{"resourceMetrics":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
          |"scopeMetrics":[{"scope":{"name":"graft"},"metrics":[$m]}]}]}"""
         .stripMargin.replaceAll("\n", "")
@@ -253,11 +253,33 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(points.count() == 10)
     val back = OtlpJsonSource.parseMetricPoints(
       OtlpJsonSource.writeMetricsJson(points).select(col("json")))
-    val cols = Seq("metric_name", "metric_type", "aggregation_temporality",
-      "is_monotonic", "time_unix_nano", "value", "attributes")
+    val cols = Seq("metric_name", "metric_type", "description", "unit",
+      "aggregation_temporality", "is_monotonic", "time_unix_nano", "value", "attributes")
     val a = points.select(cols.map(col): _*).collect().map(_.toString).sorted
     val b = back.select(cols.map(col): _*).collect().map(_.toString).sorted
     assert(a.sameElements(b))
+  }
+
+  test("exemplars parse to trace-correlated rows across point kinds") {
+    import spark.implicits._
+    val req =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},
+        |"scopeMetrics":[{"scope":{"name":"g"},"metrics":[
+        |{"name":"lat","histogram":{"aggregationTemporality":1,"dataPoints":[
+        | {"timeUnixNano":"5","count":"2","bucketCounts":["1","1"],"explicitBounds":[10.0],
+        |  "exemplars":[{"timeUnixNano":"3","asDouble":7.5,"spanId":"s1","traceId":"t1",
+        |    "filteredAttributes":[{"key":"pod","value":{"stringValue":"p1"}}]}]}]}},
+        |{"name":"cpu","gauge":{"dataPoints":[
+        | {"timeUnixNano":"9","asDouble":0.4,
+        |  "exemplars":[{"timeUnixNano":"8","asInt":"4","spanId":"s2","traceId":"t2"}]}]}}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val ex = OtlpJsonSource.parseMetricExemplars(Seq(req).toDF("json"))
+    assert(ex.count() == 2)
+    val h = ex.filter(col("metric_type") === "histogram").head()
+    assert(h.getAs[Double]("value") == 7.5 && h.getAs[String]("span_id") == "s1")
+    assert(h.getAs[Map[String, String]]("filtered_attributes")("pod") == "p1")
+    val g = ex.filter(col("metric_type") === "gauge").head()
+    assert(g.getAs[Double]("value") == 4.0 && g.getAs[String]("trace_id") == "t2")
   }
 
   test("exponential histogram parses negative buckets and zero threshold") {
