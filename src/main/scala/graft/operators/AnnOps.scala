@@ -68,8 +68,16 @@ object AnnOps {
     * IVF/faiss deployment); assignment and search stay distributed.
     * Scan fraction ≈ nprobe/c, the coarse recall/cost dial.
     */
-  def ivfCentroids(corpus: DataFrame, c: Int, iters: Int): Array[Seq[Double]] = {
-    val base = corpus.select(col("vec_id"),
+  def ivfCentroids(corpus: DataFrame, c: Int, iters: Int,
+                   trainFraction: Double = 1.0): Array[Seq[Double]] = {
+    // at 1e9+ rows train on a deterministic hash-sample (standard
+    // IVF practice — the index quality needs the density shape, not
+    // every point); assignment and search always see the full corpus
+    val training =
+      if (trainFraction >= 1.0) corpus
+      else ScaleOps.hashSample(corpus, col("vec_id"),
+        keepNumerator = math.max(1, (trainFraction * 1000).toInt), denominator = 1000)
+    val base = training.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     // deterministic init: the c lowest vec_ids
     var centroids: Array[Seq[Double]] = base.orderBy(col("vec_id")).limit(c)
