@@ -567,6 +567,17 @@ object OtlpJsonSource {
               col("is_monotonic").as("isMonotonic"))).as("sum"))).as("metrics"))).as("scopeMetrics"))).as("resourceMetrics"))).as("json"))
   }
 
+  /** OTLP protobuf receiver path: binary ExportLogsServiceRequest
+    * rows (`pb` column) → the same flattened log rows as
+    * [[parseLogs]]. The wire blob converts to OTLP/JSON in one native
+    * kernel pass ([[graft.sources.OtlpProtobuf]]), then the JSON
+    * flattening (full AnyValue model) applies unchanged — one
+    * normalization path for both encodings, like the reference
+    * receiver funneling pb and JSON into one pdata model. */
+  def parseLogsPb(requests: DataFrame): DataFrame =
+    parseLogs(requests.select(
+      OtlpProtobuf.otlp_logs_pb_to_json(col("pb")).as("json")))
+
   /** [[parseLogs]] with a dead-letter channel: requests that don't
     * parse (from_json → null) are routed raw instead of dropped —
     * the collector's receiver error path. Returns (good, dlq).

@@ -316,6 +316,81 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  // minimal protobuf encoder (test-side twin of the decode kernel):
+  // varint + length-delimited are the whole wire format
+  private object Pb {
+    def varint(x: Long): Array[Byte] = {
+      var v = x; val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      while ((v & ~0x7fL) != 0) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      out += v.toByte; out.toArray
+    }
+    def tag(field: Int, wire: Int): Array[Byte] = varint((field << 3) | wire)
+    def lenDelim(field: Int, payload: Array[Byte]): Array[Byte] =
+      tag(field, 2) ++ varint(payload.length) ++ payload
+    def str(field: Int, s: String): Array[Byte] = lenDelim(field, s.getBytes("UTF-8"))
+    def fixed64(field: Int, x: Long): Array[Byte] =
+      tag(field, 1) ++ (0 until 8).map(i => ((x >>> (8 * i)) & 0xff).toByte)
+    def fixed32(field: Int, x: Int): Array[Byte] =
+      tag(field, 5) ++ (0 until 4).map(i => ((x >>> (8 * i)) & 0xff).toByte)
+    def vint(field: Int, x: Long): Array[Byte] = tag(field, 0) ++ varint(x)
+    def double(field: Int, d: Double): Array[Byte] =
+      fixed64(field, java.lang.Double.doubleToLongBits(d))
+    def kv(key: String, value: Array[Byte]): Array[Byte] =
+      str(1, key) ++ lenDelim(2, value)
+  }
+
+  test("protobuf logs decode matches the JSON path field for field") {
+    import spark.implicits._
+    import Pb._
+    // two records with the full AnyValue spread + fidelity fields
+    def record(i: Int): Array[Byte] =
+      fixed64(1, 1700000000000000000L + i) ++         // timeUnixNano
+        vint(2, if (i == 0) 17 else 9) ++             // severityNumber
+        str(3, if (i == 0) "ERROR" else "INFO") ++    // severityText
+        lenDelim(5, str(1, s"msg-$i")) ++             // body stringValue
+        lenDelim(6, kv("d", double(4, 1.5 + i))) ++   // double attr
+        lenDelim(6, kv("b", vint(2, 1))) ++           // bool attr
+        lenDelim(6, kv("i", vint(3, 42 + i))) ++      // int attr
+        lenDelim(6, kv("by", lenDelim(7, Array[Byte](104, 105)))) ++ // bytes "hi"
+        lenDelim(6, kv("arr", lenDelim(5,             // ["7","x"]
+          lenDelim(1, vint(3, 7)) ++ lenDelim(1, str(1, "x"))))) ++
+        vint(7, 3) ++                                 // droppedAttributesCount
+        fixed32(8, 1) ++                              // flags
+        lenDelim(9, Array.fill[Byte](16)(0x1a)) ++    // traceId
+        lenDelim(10, Array.fill[Byte](8)(0x2b))       // spanId
+    val resourceMsg =                                  // Resource{attributes:[kv]}
+      lenDelim(1, kv("service.name", str(1, "api")))
+    val scopeLogsMsg =                                 // ScopeLogs{scope, logRecords}
+      lenDelim(1, str(1, "graft")) ++
+        lenDelim(2, record(0)) ++ lenDelim(2, record(1))
+    val request = lenDelim(1,                          // ResourceLogs
+      lenDelim(1, resourceMsg) ++ lenDelim(2, scopeLogsMsg))
+
+    val rows = OtlpJsonSource.parseLogsPb(Seq(request).toDF("pb"))
+      .orderBy(col("time_unix_nano")).collect()
+    assert(rows.length == 2)
+    val r = rows(0)
+    assert(r.getAs[Long]("time_unix_nano") == 1700000000000000000L)
+    assert(r.getAs[Int]("severity_number") == 17)
+    assert(r.getAs[String]("severity_text") == "ERROR")
+    assert(r.getAs[String]("body") == "msg-0")
+    val attrs = r.getAs[Map[String, String]]("attributes")
+    assert(attrs("d") == "1.5" && attrs("b") == "true" && attrs("i") == "42")
+    assert(attrs("by") == "aGk=")                       // base64("hi")
+    assert(attrs("arr") == """["7","x"]""")
+    assert(r.getAs[Int]("dropped_attributes_count") == 3)
+    assert(r.getAs[Int]("flags") == 1)
+    assert(r.getAs[String]("trace_id") == "1a" * 16)
+    assert(r.getAs[String]("span_id") == "2b" * 8)
+    assert(r.getAs[Map[String, String]]("resource_attributes")("service.name") == "api")
+    assert(r.getAs[String]("scope_name") == "graft")
+    // and the pb path agrees with writeLogsJson ∘ parseLogs round trip
+    val viaJson = OtlpJsonSource.parseLogs(
+      OtlpJsonSource.writeLogsJson(
+        OtlpJsonSource.parseLogsPb(Seq(request).toDF("pb"))).select(col("json")))
+    assert(viaJson.count() == 2)
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
