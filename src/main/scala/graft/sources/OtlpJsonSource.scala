@@ -578,6 +578,16 @@ object OtlpJsonSource {
     parseLogs(requests.select(
       OtlpProtobuf.otlp_logs_pb_to_json(col("pb")).as("json")))
 
+  /** binary ExportTraceServiceRequest rows → flattened span rows */
+  def parseSpansPb(requests: DataFrame): DataFrame =
+    parseSpans(requests.select(
+      OtlpProtobuf.otlp_spans_pb_to_json(col("pb")).as("json")))
+
+  /** binary ExportMetricsServiceRequest rows → number datapoint rows */
+  def parseMetricPointsPb(requests: DataFrame): DataFrame =
+    parseMetricPoints(requests.select(
+      OtlpProtobuf.otlp_metrics_pb_to_json(col("pb")).as("json")))
+
   /** [[parseLogs]] with a dead-letter channel: requests that don't
     * parse (from_json → null) are routed raw instead of dropped —
     * the collector's receiver error path. Returns (good, dlq).

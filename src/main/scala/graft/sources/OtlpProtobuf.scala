@@ -30,6 +30,14 @@ object OtlpProtobuf {
   def otlp_logs_pb_to_json(pb: Column): Column =
     Bridge.column(OtlpLogsPbToJson(Bridge.expression(pb)))
 
+  /** Column API: binary OTLP traces request → OTLP/JSON string */
+  def otlp_spans_pb_to_json(pb: Column): Column =
+    Bridge.column(OtlpSpansPbToJson(Bridge.expression(pb)))
+
+  /** Column API: binary OTLP metrics request → OTLP/JSON string */
+  def otlp_metrics_pb_to_json(pb: Column): Column =
+    Bridge.column(OtlpMetricsPbToJson(Bridge.expression(pb)))
+
   // ---- wire-level reader ----------------------------------------
 
   private final class Reader(val b: Array[Byte], var p: Int, val end: Int) {
@@ -247,6 +255,381 @@ object OtlpProtobuf {
     s"""{"resource":$res,"scopeLogs":[${sls.mkString(",")}]}"""
   }
 
+  // ---- traces (field numbers per trace.pb.go) --------------------
+
+  /** Span.Event: 1=time 2=name 3=attributes 4=dropped */
+  private def spanEvent(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (1, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (2, 2)  => val (o, l) = r.lenDelim(); parts += s""""name":"${jsonEscape(utf8(b, o, l))}""""
+        case (3, 2)  => kvList(b, r, 3, attrs)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts.mkString("{", ",", "}")
+  }
+
+  /** Span.Link: 1=traceId 2=spanId 3=traceState 4=attributes */
+  private def spanLink(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (1, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceId":"${hex(b, o, l)}""""
+        case (2, 2)  => val (o, l) = r.lenDelim(); parts += s""""spanId":"${hex(b, o, l)}""""
+        case (3, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceState":"${jsonEscape(utf8(b, o, l))}""""
+        case (4, 2)  => kvList(b, r, 4, attrs)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts.mkString("{", ",", "}")
+  }
+
+  /** Span: 1=traceId 2=spanId 3=traceState 4=parentSpanId 5=name
+    * 6=kind 7=start(f64) 8=end(f64) 9=attributes 10=droppedAttrs
+    * 11=events 12=droppedEvents 13=links 14=droppedLinks 15=status
+    * (Status: 2=message 3=code) */
+  private def span(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
+    val events = new scala.collection.mutable.ArrayBuffer[String]()
+    val links = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (1, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceId":"${hex(b, o, l)}""""
+        case (2, 2)  => val (o, l) = r.lenDelim(); parts += s""""spanId":"${hex(b, o, l)}""""
+        case (3, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceState":"${jsonEscape(utf8(b, o, l))}""""
+        case (4, 2)  => val (o, l) = r.lenDelim(); parts += s""""parentSpanId":"${hex(b, o, l)}""""
+        case (5, 2)  => val (o, l) = r.lenDelim(); parts += s""""name":"${jsonEscape(utf8(b, o, l))}""""
+        case (6, 0)  => parts += s""""kind":${r.varint()}"""
+        case (7, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (8, 1)  => parts += s""""endTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (9, 2)  => kvList(b, r, 9, attrs)
+        case (10, 0) => parts += s""""droppedAttributesCount":${r.varint()}"""
+        case (11, 2) => val (o, l) = r.lenDelim(); events += spanEvent(b, o, l)
+        case (12, 0) => parts += s""""droppedEventsCount":${r.varint()}"""
+        case (13, 2) => val (o, l) = r.lenDelim(); links += spanLink(b, o, l)
+        case (14, 0) => parts += s""""droppedLinksCount":${r.varint()}"""
+        case (15, 2) => val (o, l) = r.lenDelim()
+          val sr = new Reader(b, o, o + l)
+          var code = 0L; var msg = ""
+          while (sr.hasNext) {
+            val t2 = sr.varint().toInt
+            (t2 >>> 3, t2 & 7) match {
+              case (2, 2)  => val (mo, ml) = sr.lenDelim(); msg = jsonEscape(utf8(b, mo, ml))
+              case (3, 0)  => code = sr.varint()
+              case (_, wt) => sr.skip(wt)
+            }
+          }
+          parts += s""""status":{"code":$code,"message":"$msg"}"""
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    if (events.nonEmpty) parts += s""""events":[${events.mkString(",")}]"""
+    if (links.nonEmpty) parts += s""""links":[${links.mkString(",")}]"""
+    parts.mkString("{", ",", "}")
+  }
+
+  /** generic Resource+Scope envelope shared by all three signals */
+  private def signalEnvelope(b: Array[Byte], off: Int, len: Int,
+                             innerName: String,
+                             inner: (Array[Byte], Int, Int) => String): String = {
+    val r = new Reader(b, off, off + len)
+    val items = new scala.collection.mutable.ArrayBuffer[String]()
+    var sc = """{"name":""}"""
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (1, 2)  => val (o, l) = r.lenDelim(); sc = scope(b, o, l)
+        case (2, 2)  => val (o, l) = r.lenDelim(); items += inner(b, o, l)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    s"""{"scope":$sc,"$innerName":[${items.mkString(",")}]}"""
+  }
+
+  /** ExportTraceServiceRequest: 1=resourceSpans
+    * (ResourceSpans: 1=resource 2=scopeSpans; ScopeSpans: 1=scope 2=spans) */
+  def spansRequestToJson(bytes: Array[Byte]): UTF8String = {
+    val rls = topLevel(bytes, (b, off, len) => {
+      val r = new Reader(b, off, off + len)
+      var res = """{"attributes":[]}"""
+      val sls = new scala.collection.mutable.ArrayBuffer[String]()
+      while (r.hasNext) {
+        val tag = r.varint().toInt
+        (tag >>> 3, tag & 7) match {
+          case (1, 2)  => val (o, l) = r.lenDelim(); res = resource(b, o, l)
+          case (2, 2)  => val (o, l) = r.lenDelim()
+            sls += signalEnvelope(b, o, l, "spans", span)
+          case (_, wt) => r.skip(wt)
+        }
+      }
+      s"""{"resource":$res,"scopeSpans":[${sls.mkString(",")}]}"""
+    })
+    UTF8String.fromString(s"""{"resourceSpans":[${rls.mkString(",")}]}""")
+  }
+
+  // ---- metrics (field numbers per metrics.pb.go) -----------------
+
+  private def zigzag32(n: Long): Int = (((n >>> 1) ^ -(n & 1)).toInt)
+
+  /** Exemplar: 7=filteredAttributes 2=time 3=asDouble 4=spanId
+    * 5=traceId 6=asInt(sfixed64) */
+  private def exemplar(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (2, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (3, 1)  => parts += s""""asDouble":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (6, 1)  => parts += s""""asInt":"${r.fixed64()}""""
+        case (4, 2)  => val (o, l) = r.lenDelim(); parts += s""""spanId":"${hex(b, o, l)}""""
+        case (5, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceId":"${hex(b, o, l)}""""
+        case (7, 2)  => kvList(b, r, 7, attrs)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    if (attrs.nonEmpty) parts += s""""filteredAttributes":[${attrs.mkString(",")}]"""
+    parts.mkString("{", ",", "}")
+  }
+
+  /** NumberDataPoint: 7=attributes 2=start(f64) 3=time(f64)
+    * 4=asDouble(f64) 6=asInt(sfixed64) 5=exemplars */
+  private def numberPoint(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
+    val exs = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (2, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (3, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (4, 1)  => parts += s""""asDouble":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (6, 1)  => parts += s""""asInt":"${r.fixed64()}""""
+        case (5, 2)  => val (o, l) = r.lenDelim(); exs += exemplar(b, o, l)
+        case (7, 2)  => kvList(b, r, 7, attrs)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    if (exs.nonEmpty) parts += s""""exemplars":[${exs.mkString(",")}]"""
+    parts.mkString("{", ",", "}")
+  }
+
+  /** packed (or unpacked) fixed64 list → JSON array of strings */
+  private def packedFixed64(b: Array[Byte], r: Reader, wireType: Int,
+                            acc: scala.collection.mutable.ArrayBuffer[String]): Unit =
+    if (wireType == 2) {
+      val (o, l) = r.lenDelim()
+      val inner = new Reader(b, o, o + l)
+      while (inner.hasNext) acc += java.lang.Long.toUnsignedString(inner.fixed64())
+    } else acc += java.lang.Long.toUnsignedString(r.fixed64())
+
+  /** HistogramDataPoint: 9=attributes 2=start 3=time 4=count(f64)
+    * 5=sum 6=bucketCounts(packed f64) 7=explicitBounds(packed f64)
+    * 8=exemplars */
+  private def histogramPoint(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
+    val exs = new scala.collection.mutable.ArrayBuffer[String]()
+    val counts = new scala.collection.mutable.ArrayBuffer[String]()
+    val bounds = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (2, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (3, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (4, 1)  => parts += s""""count":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (5, 1)  => parts += s""""sum":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (6, wt) => packedFixed64(b, r, wt, counts)
+        case (7, 2)  => val (o, l) = r.lenDelim()
+          val inner = new Reader(b, o, o + l)
+          while (inner.hasNext) bounds += java.lang.Double.longBitsToDouble(inner.fixed64()).toString
+        case (7, 1)  => bounds += java.lang.Double.longBitsToDouble(r.fixed64()).toString
+        case (8, 2)  => val (o, l) = r.lenDelim(); exs += exemplar(b, o, l)
+        case (9, 2)  => kvList(b, r, 9, attrs)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    if (counts.nonEmpty) parts += s""""bucketCounts":[${counts.map("\"" + _ + "\"").mkString(",")}]"""
+    if (bounds.nonEmpty) parts += s""""explicitBounds":[${bounds.mkString(",")}]"""
+    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    if (exs.nonEmpty) parts += s""""exemplars":[${exs.mkString(",")}]"""
+    parts.mkString("{", ",", "}")
+  }
+
+  /** ExponentialHistogramDataPoint: 1=attributes 2=start 3=time
+    * 4=count(f64) 5=sum 6=scale(zigzag) 7=zeroCount(f64) 8=positive
+    * 9=negative 14=zeroThreshold (Buckets: 1=offset(zigzag)
+    * 2=bucketCounts packed varint) */
+  private def expHistogramPoint(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    def buckets(o: Int, l: Int): String = {
+      val br = new Reader(b, o, o + l)
+      var offset = 0
+      val cs = new scala.collection.mutable.ArrayBuffer[String]()
+      while (br.hasNext) {
+        val t2 = br.varint().toInt
+        (t2 >>> 3, t2 & 7) match {
+          case (1, 0) => offset = zigzag32(br.varint())
+          case (2, 2) => val (co, cl) = br.lenDelim()
+            val inner = new Reader(b, co, co + cl)
+            while (inner.hasNext) cs += inner.varint().toString
+          case (2, 0) => cs += br.varint().toString
+          case (_, wt) => br.skip(wt)
+        }
+      }
+      s"""{"offset":$offset,"bucketCounts":[${cs.map("\"" + _ + "\"").mkString(",")}]}"""
+    }
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (2, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (3, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (4, 1)  => parts += s""""count":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (5, 1)  => parts += s""""sum":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (6, 0)  => parts += s""""scale":${zigzag32(r.varint())}"""
+        case (7, 1)  => parts += s""""zeroCount":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (8, 2)  => val (o, l) = r.lenDelim(); parts += s""""positive":${buckets(o, l)}"""
+        case (9, 2)  => val (o, l) = r.lenDelim(); parts += s""""negative":${buckets(o, l)}"""
+        case (14, 1) => parts += s""""zeroThreshold":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    parts.mkString("{", ",", "}")
+  }
+
+  /** SummaryDataPoint: 7=attributes 2=start 3=time 4=count(f64) 5=sum
+    * 6=quantileValues (1=quantile 2=value, both f64) */
+  private def summaryPoint(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val qvs = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (2, 1) => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (3, 1) => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (4, 1) => parts += s""""count":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
+        case (5, 1) => parts += s""""sum":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (6, 2) => val (o, l) = r.lenDelim()
+          val qr = new Reader(b, o, o + l)
+          var q = 0.0; var v = 0.0
+          while (qr.hasNext) {
+            val t2 = qr.varint().toInt
+            (t2 >>> 3, t2 & 7) match {
+              case (1, 1)  => q = java.lang.Double.longBitsToDouble(qr.fixed64())
+              case (2, 1)  => v = java.lang.Double.longBitsToDouble(qr.fixed64())
+              case (_, wt) => qr.skip(wt)
+            }
+          }
+          qvs += s"""{"quantile":$q,"value":$v}"""
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    if (qvs.nonEmpty) parts += s""""quantileValues":[${qvs.mkString(",")}]"""
+    parts.mkString("{", ",", "}")
+  }
+
+  /** Metric: 1=name 2=description 3=unit 5=gauge 7=sum 9=histogram
+    * 10=exponentialHistogram 11=summary (each: 1=dataPoints;
+    * Sum adds 2=aggregationTemporality 3=isMonotonic; Histogram/Exp
+    * add 2=aggregationTemporality) */
+  private def metric(b: Array[Byte], off: Int, len: Int): String = {
+    val r = new Reader(b, off, off + len)
+    val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    def dataSection(o: Int, l: Int, point: (Array[Byte], Int, Int) => String,
+                    withTemporality: Boolean, withMonotonic: Boolean): String = {
+      val dr = new Reader(b, o, o + l)
+      val pts = new scala.collection.mutable.ArrayBuffer[String]()
+      val extra = new scala.collection.mutable.ArrayBuffer[String]()
+      while (dr.hasNext) {
+        val t2 = dr.varint().toInt
+        (t2 >>> 3, t2 & 7) match {
+          case (1, 2) => val (po, pl) = dr.lenDelim(); pts += point(b, po, pl)
+          case (2, 0) if withTemporality => extra += s""""aggregationTemporality":${dr.varint()}"""
+          case (3, 0) if withMonotonic => extra += s""""isMonotonic":${dr.varint() != 0L}"""
+          case (_, wt) => dr.skip(wt)
+        }
+      }
+      (Seq(s""""dataPoints":[${pts.mkString(",")}]""") ++ extra).mkString("{", ",", "}")
+    }
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (1, 2)  => val (o, l) = r.lenDelim(); parts += s""""name":"${jsonEscape(utf8(b, o, l))}""""
+        case (2, 2)  => val (o, l) = r.lenDelim(); parts += s""""description":"${jsonEscape(utf8(b, o, l))}""""
+        case (3, 2)  => val (o, l) = r.lenDelim(); parts += s""""unit":"${jsonEscape(utf8(b, o, l))}""""
+        case (5, 2)  => val (o, l) = r.lenDelim()
+          parts += s""""gauge":${dataSection(o, l, numberPoint, withTemporality = false, withMonotonic = false)}"""
+        case (7, 2)  => val (o, l) = r.lenDelim()
+          parts += s""""sum":${dataSection(o, l, numberPoint, withTemporality = true, withMonotonic = true)}"""
+        case (9, 2)  => val (o, l) = r.lenDelim()
+          parts += s""""histogram":${dataSection(o, l, histogramPoint, withTemporality = true, withMonotonic = false)}"""
+        case (10, 2) => val (o, l) = r.lenDelim()
+          parts += s""""exponentialHistogram":${dataSection(o, l, expHistogramPoint, withTemporality = true, withMonotonic = false)}"""
+        case (11, 2) => val (o, l) = r.lenDelim()
+          parts += s""""summary":${dataSection(o, l, summaryPoint, withTemporality = false, withMonotonic = false)}"""
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    parts.mkString("{", ",", "}")
+  }
+
+  /** ExportMetricsServiceRequest: 1=resourceMetrics
+    * (ResourceMetrics: 1=resource 2=scopeMetrics;
+    * ScopeMetrics: 1=scope 2=metrics) */
+  def metricsRequestToJson(bytes: Array[Byte]): UTF8String = {
+    val rms = topLevel(bytes, (b, off, len) => {
+      val r = new Reader(b, off, off + len)
+      var res = """{"attributes":[]}"""
+      val sms = new scala.collection.mutable.ArrayBuffer[String]()
+      while (r.hasNext) {
+        val tag = r.varint().toInt
+        (tag >>> 3, tag & 7) match {
+          case (1, 2)  => val (o, l) = r.lenDelim(); res = resource(b, o, l)
+          case (2, 2)  => val (o, l) = r.lenDelim()
+            sms += signalEnvelope(b, o, l, "metrics", metric)
+          case (_, wt) => r.skip(wt)
+        }
+      }
+      s"""{"resource":$res,"scopeMetrics":[${sms.mkString(",")}]}"""
+    })
+    UTF8String.fromString(s"""{"resourceMetrics":[${rms.mkString(",")}]}""")
+  }
+
+  /** walk the request's repeated field-1 submessages */
+  private def topLevel(bytes: Array[Byte],
+                       each: (Array[Byte], Int, Int) => String): Seq[String] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (1, 2)  => val (o, l) = r.lenDelim(); out += each(bytes, o, l)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    out.toSeq
+  }
+
   /** ExportLogsServiceRequest: 1=resourceLogs */
   def logsRequestToJson(bytes: Array[Byte]): UTF8String = {
     val r = new Reader(bytes, 0, bytes.length)
@@ -275,4 +658,32 @@ case class OtlpLogsPbToJson(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtobuf.logsRequestToJson($c)")
 
   override protected def withNewChildInternal(c: Expression): OtlpLogsPbToJson = copy(child = c)
+}
+
+/** binary OTLP ExportTraceServiceRequest → OTLP/JSON string */
+case class OtlpSpansPbToJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "otlp_spans_pb_to_json"
+
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtobuf.spansRequestToJson(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtobuf.spansRequestToJson($c)")
+
+  override protected def withNewChildInternal(c: Expression): OtlpSpansPbToJson = copy(child = c)
+}
+
+/** binary OTLP ExportMetricsServiceRequest → OTLP/JSON string */
+case class OtlpMetricsPbToJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "otlp_metrics_pb_to_json"
+
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtobuf.metricsRequestToJson(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtobuf.metricsRequestToJson($c)")
+
+  override protected def withNewChildInternal(c: Expression): OtlpMetricsPbToJson = copy(child = c)
 }

@@ -391,6 +391,110 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(viaJson.count() == 2)
   }
 
+  test("protobuf spans decode: ids, status, links, typed attributes") {
+    import spark.implicits._
+    import Pb._
+    val spanMsg =
+      lenDelim(1, Array.fill[Byte](16)(0x11)) ++        // traceId
+        lenDelim(2, Array.fill[Byte](8)(0x22)) ++       // spanId
+        str(3, "vendor=x") ++                           // traceState
+        lenDelim(4, Array.fill[Byte](8)(0x33)) ++       // parentSpanId
+        str(5, "GET /api") ++                           // name
+        vint(6, 2) ++                                   // kind SERVER
+        fixed64(7, 1000L) ++ fixed64(8, 2500L) ++       // start/end
+        lenDelim(9, kv("http.status", vint(3, 200))) ++ // int attr
+        vint(10, 1) ++                                  // droppedAttributesCount
+        lenDelim(13, lenDelim(1, Array.fill[Byte](16)(0x44)) ++ // link traceId
+          lenDelim(2, Array.fill[Byte](8)(0x55)) ++ str(3, "w3c=1")) ++
+        lenDelim(15, str(2, "oops") ++ vint(3, 2))      // status{message,code}
+    val request = lenDelim(1,                           // ResourceSpans
+      lenDelim(1, lenDelim(1, kv("service.name", str(1, "api")))) ++
+        lenDelim(2, lenDelim(1, str(1, "graft")) ++ lenDelim(2, spanMsg)))
+
+    val spans = OtlpJsonSource.parseSpansPb(Seq(request).toDF("pb"))
+    val s = spans.head()
+    assert(s.getAs[String]("trace_id") == "11" * 16)
+    assert(s.getAs[String]("span_id") == "22" * 8)
+    assert(s.getAs[String]("trace_state") == "vendor=x")
+    assert(s.getAs[String]("parent_span_id") == "33" * 8)
+    assert(s.getAs[String]("name") == "GET /api")
+    assert(s.getAs[Int]("kind") == 2)
+    assert(s.getAs[Long]("start_time_unix_nano") == 1000L)
+    assert(s.getAs[Int]("status_code") == 2)
+    assert(s.getAs[String]("status_message") == "oops")
+    assert(s.getAs[Map[String, String]]("attributes")("http.status") == "200")
+    assert(s.getAs[Int]("dropped_attributes_count") == 1)
+    assert(s.getAs[Int]("n_links") == 1)
+    assert(s.getAs[Map[String, String]]("resource_attributes")("service.name") == "api")
+    val links = OtlpJsonSource.parseSpanLinks(
+      Seq(request).toDF("pb").select(
+        graft.sources.OtlpProtobuf.otlp_spans_pb_to_json(col("pb")).as("json")))
+    val lk = links.head()
+    assert(lk.getAs[String]("linked_trace_id") == "44" * 16)
+    assert(lk.getAs[String]("linked_trace_state") == "w3c=1")
+  }
+
+  test("protobuf metrics decode: gauge/sum/histogram/exp/summary points") {
+    import spark.implicits._
+    import Pb._
+    def metricMsg(name: String, body: Array[Byte]): Array[Byte] =
+      str(1, name) ++ str(3, "ms") ++ body
+    val gauge = metricMsg("cpu", lenDelim(5, lenDelim(1,
+      fixed64(3, 100L) ++ double(4, 0.75) ++
+        lenDelim(7, kv("core", str(1, "c0"))))))
+    val sum = metricMsg("req", lenDelim(7, lenDelim(1,
+      fixed64(3, 200L) ++ tag(6, 1) ++ (0 until 8).map(i => ((42L >>> (8 * i)) & 0xff).toByte).toArray) ++
+      vint(2, 2) ++ vint(3, 1)))
+    val hist = metricMsg("lat", lenDelim(9, lenDelim(1,
+      fixed64(3, 300L) ++ fixed64(4, 5L) ++ double(5, 12.5) ++
+        lenDelim(6, (0 until 8).map(i => ((3L >>> (8 * i)) & 0xff).toByte).toArray ++
+          (0 until 8).map(i => ((2L >>> (8 * i)) & 0xff).toByte).toArray) ++
+        lenDelim(7, (0 until 8).map(i => ((java.lang.Double.doubleToLongBits(10.0) >>> (8 * i)) & 0xff).toByte).toArray)) ++
+      vint(2, 1)))
+    val exph = metricMsg("elat", lenDelim(10, lenDelim(1,
+      fixed64(3, 400L) ++ fixed64(4, 7L) ++ tag(6, 0) ++ varint(0) ++
+        fixed64(7, 1L) ++
+        lenDelim(8, tag(1, 0) ++ varint(2) ++ lenDelim(2, varint(4) ++ varint(3))) ++
+        lenDelim(9, tag(1, 0) ++ varint(0) ++ lenDelim(2, varint(1)))) ++
+      vint(2, 1)))
+    val summ = metricMsg("q", lenDelim(11, lenDelim(1,
+      fixed64(3, 500L) ++ fixed64(4, 9L) ++ fixed64(5, java.lang.Double.doubleToLongBits(90.0)) ++
+        lenDelim(6, fixed64(1, java.lang.Double.doubleToLongBits(0.5)) ++
+          fixed64(2, java.lang.Double.doubleToLongBits(42.0))))))
+    def req(m: Array[Byte]): Array[Byte] = lenDelim(1,
+      lenDelim(1, lenDelim(1, kv("service.name", str(1, "api")))) ++
+        lenDelim(2, lenDelim(1, str(1, "graft")) ++ lenDelim(2, m)))
+
+    val pbs = Seq(req(gauge), req(sum), req(hist), req(exph), req(summ)).toDF("pb")
+    val json = pbs.select(
+      graft.sources.OtlpProtobuf.otlp_metrics_pb_to_json(col("pb")).as("json"))
+
+    val points = OtlpJsonSource.parseMetricPoints(json)
+    assert(points.count() == 2) // gauge + sum
+    val g = points.filter(col("metric_type") === "gauge").head()
+    assert(g.getAs[Double]("value") == 0.75 && g.getAs[String]("unit") == "ms")
+    assert(g.getAs[Map[String, String]]("attributes")("core") == "c0")
+    val sm = points.filter(col("metric_type") === "sum").head()
+    assert(sm.getAs[Double]("value") == 42.0)
+    assert(sm.getAs[String]("aggregation_temporality") == "cumulative")
+    assert(sm.getAs[Boolean]("is_monotonic"))
+
+    val hb = OtlpJsonSource.parseHistogramBuckets(json)
+    assert(hb.count() == 2)
+    assert(hb.orderBy(col("bucket_idx")).collect().map(_.getAs[Long]("bucket_count")).toSeq == Seq(3L, 2L))
+
+    val eb = OtlpJsonSource.parseExpHistogramBuckets(json)
+    assert(eb.filter(col("sign") === 1).count() == 2)
+    assert(eb.filter(col("sign") === -1).count() == 1)
+    assert(eb.filter(col("sign") === 1).orderBy(col("bucket_idx"))
+      .head().getAs[Int]("offset") == 1)
+
+    val sq = OtlpJsonSource.parseSummaryQuantiles(json)
+    val q = sq.head()
+    assert(q.getAs[Double]("quantile") == 0.5 && q.getAs[Double]("value") == 42.0)
+    assert(q.getAs[Long]("total_count") == 9L)
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
