@@ -588,6 +588,13 @@ object OtlpJsonSource {
     parseMetricPoints(requests.select(
       OtlpProtobuf.otlp_metrics_pb_to_json(col("pb")).as("json")))
 
+  /** logs rows → binary ExportLogsServiceRequest documents (the
+    * otlpexporter protobuf encoding: marshal to the JSON form, then
+    * one kernel pass to wire bytes) */
+  def writeLogsPb(logs: DataFrame): DataFrame =
+    writeLogsJson(logs).select(
+      OtlpProtobuf.otlp_logs_json_to_pb(col("json")).as("pb"))
+
   /** [[parseLogs]] with a dead-letter channel: requests that don't
     * parse (from_json → null) are routed raw instead of dropped —
     * the collector's receiver error path. Returns (good, dlq).

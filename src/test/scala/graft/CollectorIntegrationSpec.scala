@@ -391,6 +391,28 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(viaJson.count() == 2)
   }
 
+  test("protobuf logs export: decode ∘ encode round-trips the pipeline") {
+    import spark.implicits._
+    // events → logs rows → pb bytes → parse back: the full binary
+    // exporter→receiver loop (eventsAsLogs ids are md5 hex, so they
+    // survive the 16/8-byte wire form as their 32/16-hex prefixes)
+    val logs = OtlpJsonSource.eventsAsLogs(spark, "/root/testdata/sf0.001")
+      .withColumn("trace_id", substring(col("trace_id"), 1, 32))
+      .withColumn("span_id", substring(col("span_id"), 1, 16))
+      .limit(200)
+    val pb = OtlpJsonSource.writeLogsPb(logs)
+    assert(pb.schema.fields.head.dataType.typeName == "binary")
+    val back = OtlpJsonSource.parseLogsPb(pb.select(col("pb")))
+    assert(back.count() == 200)
+    val a = logs.select("time_unix_nano", "severity_number", "severity_text",
+        "body", "attributes", "trace_id", "span_id")
+      .collect().map(_.toString).sorted
+    val b = back.select("time_unix_nano", "severity_number", "severity_text",
+        "body", "attributes", "trace_id", "span_id")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("protobuf spans decode: ids, status, links, typed attributes") {
     import spark.implicits._
     import Pb._
