@@ -607,6 +607,21 @@ object OtlpJsonSource {
     (good, dlq)
   }
 
+  /** Streaming OTLP-protobuf file receiver: tail a directory of
+    * binary request files (one ExportLogsServiceRequest per file —
+    * the shape an HTTP receiver's spool directory has). */
+  def streamLogsPb(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    parseLogsPb(spark.readStream
+      .format("binaryFile")
+      .schema(StructType(Seq(  // binaryFile's fixed schema (streaming sources don't infer)
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("content").as("pb")))
+
   /** Streaming OTLP-JSON file receiver: tail a directory of request
     * documents (one JSON per line) with admission control
     * (maxFilesPerTrigger ≈ the memory limiter's refusal/backpressure

@@ -517,6 +517,28 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(q.getAs[Long]("total_count") == 9L)
   }
 
+  test("streaming protobuf receiver: binary files → filtered parquet sink") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("otlp_pb_in").toString
+    val outDir = Files.createTempDirectory("otlp_pb_out").toString + "/logs"
+    val ckDir = Files.createTempDirectory("otlp_pb_ck").toString
+    // binary request: reuse the JSON builder + the export encoder
+    val pbBytes = OtlpJsonSource.writeLogsPb(
+      OtlpJsonSource.parseLogs {
+        import spark.implicits._
+        Seq(mkLogRequest("api", 20, 4)).toDF("json")
+      }).head().getAs[Array[Byte]]("pb")
+    Files.write(Paths.get(s"$inDir/r1.pb"), pbBytes)
+
+    val logs = OtlpJsonSource.streamLogsPb(spark, inDir)
+    val q = Processors.filter(logs, col("severity_number") >= 17)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(outDir).count() == 5) // errors every 4th of 20
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
