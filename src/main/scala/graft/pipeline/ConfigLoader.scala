@@ -97,6 +97,7 @@ object ConfigLoader {
       case "table"          => TableReceiver(str(m, "dir"), str(m, "table"))
       case "parquet"        => ParquetReceiver(str(m, "path"))
       case "otlp_json_logs" => OtlpJsonLogReceiver(str(m, "path"))
+      case "otlp_pb_logs"   => OtlpPbLogReceiver(str(m, "path"))
       // connectors: bridge/fan pipelines by name
       case "forward"        => ForwardReceiver(() => lookup(str(m, "from")))
       case "union"          => UnionReceiver(() => strList(m("from")).map(lookup))

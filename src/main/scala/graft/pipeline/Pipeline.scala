@@ -31,6 +31,12 @@ object Pipeline {
       graft.sources.OtlpJsonSource.parseLogs(
         spark.read.text(jsonPath).select(col("value").as("json")))
   }
+  final case class OtlpPbLogReceiver(dir: String) extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      graft.sources.OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(dir)
+          .select(col("content").as("pb")))
+  }
   /** forwardconnector analog: this pipeline's source is another
     * pipeline's (lazy) output plan — Catalyst sees one combined plan,
     * so the bridged stages fuse and the scan is shared. */

@@ -267,6 +267,7 @@ object OtlpJsonSource {
     StructField("timeUnixNano", StringType),
     StructField("count", StringType),
     StructField("sum", DoubleType),
+    StructField("attributes", kvType),
     StructField("quantileValues", ArrayType(StructType(Seq(
       StructField("quantile", DoubleType),
       StructField("value", DoubleType)))))))
@@ -282,6 +283,7 @@ object OtlpJsonSource {
     StructField("scale", IntegerType),
     StructField("zeroCount", StringType),
     StructField("zeroThreshold", DoubleType),
+    StructField("attributes", kvType),
     StructField("positive", expBucketsType),
     StructField("negative", expBucketsType)))
 

@@ -44,11 +44,20 @@ object OtlpProtobuf {
 
   // ---- wire-level reader ----------------------------------------
 
+  private def malformed(why: String): Nothing =
+    throw new IllegalArgumentException(s"malformed protobuf: $why")
+
+  /** bounds-checked wire reader: untrusted bytes must fail fast with a
+    * diagnosable error, never read out of range or — the killer — let
+    * a negative length varint move the cursor backwards into an
+    * infinite loop */
   private final class Reader(val b: Array[Byte], var p: Int, val end: Int) {
     def hasNext: Boolean = p < end
     def varint(): Long = {
       var x = 0L; var s = 0; var done = false
       while (!done) {
+        if (p >= end) malformed("truncated varint")
+        if (s > 63) malformed("varint longer than 10 bytes")
         val v = b(p); p += 1
         x |= (v & 0x7fL) << s; s += 7
         if ((v & 0x80) == 0) done = true
@@ -56,27 +65,31 @@ object OtlpProtobuf {
       x
     }
     def fixed64(): Long = {
+      if (p + 8 > end) malformed("truncated fixed64")
       var x = 0L; var i = 0
       while (i < 8) { x |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
       p += 8; x
     }
     def fixed32(): Int = {
+      if (p + 4 > end) malformed("truncated fixed32")
       var x = 0; var i = 0
       while (i < 4) { x |= (b(p + i) & 0xff) << (8 * i); i += 1 }
       p += 4; x
     }
     def lenDelim(): (Int, Int) = {
-      val len = varint().toInt
+      val len64 = varint()
+      if (len64 < 0 || len64 > end - p) malformed(s"length $len64 out of range")
+      val len = len64.toInt
       val off = p
       p += len
       (off, len)
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => p += 8
-      case 2 => val l = varint().toInt; p += l
-      case 5 => p += 4
-      case other => throw new IllegalArgumentException(s"wire type $other")
+      case 1 => if (p + 8 > end) malformed("truncated fixed64"); p += 8
+      case 2 => lenDelim()
+      case 5 => if (p + 4 > end) malformed("truncated fixed32"); p += 4
+      case other => malformed(s"wire type $other")
     }
   }
 
@@ -89,6 +102,15 @@ object OtlpProtobuf {
     while (i < len) { out.append(f"${b(off + i) & 0xff}%02x"); i += 1 }
     out.toString
   }
+
+  /** JSON form of a double per the OTLP/JSON mapping: ordinary values
+    * are bare numbers; NaN/±Infinity are the quoted string tokens
+    * (bare NaN is invalid JSON and breaks every consumer) */
+  private def jsonDouble(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString
+    else if (java.lang.Double.isNaN(d)) "\"NaN\""
+    else if (d > 0) "\"Infinity\""
+    else "\"-Infinity\""
 
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
@@ -118,7 +140,7 @@ object OtlpProtobuf {
         case (2, 0) => out = s"""{"boolValue":${r.varint() != 0L}}"""
         case (3, 0) => out = s"""{"intValue":"${r.varint()}"}"""
         case (4, 1) =>
-          out = s"""{"doubleValue":${java.lang.Double.longBitsToDouble(r.fixed64())}}"""
+          out = s"""{"doubleValue":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}}"""
         case (5, 2) => val (o, l) = r.lenDelim()
           val inner = new Reader(b, o, o + l)
           val vals = new scala.collection.mutable.ArrayBuffer[String]()
@@ -165,7 +187,7 @@ object OtlpProtobuf {
     s"""{"key":"$key","value":$value}"""
   }
 
-  private def kvList(b: Array[Byte], r: Reader, fieldNo: Int,
+  private def kvList(b: Array[Byte], r: Reader,
                      acc: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     val (o, l) = r.lenDelim()
     acc += keyValue(b, o, l)
@@ -187,9 +209,9 @@ object OtlpProtobuf {
         case (3, 2)  => val (o, l) = r.lenDelim()
           parts += s""""severityText":"${jsonEscape(utf8(b, o, l))}""""
         case (5, 2)  => val (o, l) = r.lenDelim(); parts += s""""body":${anyValue(b, o, l)}"""
-        case (6, 2)  => kvList(b, r, 6, attrs)
+        case (6, 2)  => kvList(b, r, attrs)
         case (7, 0)  => parts += s""""droppedAttributesCount":${r.varint()}"""
-        case (8, 5)  => parts += s""""flags":${r.fixed32()}"""
+        case (8, 5)  => parts += s""""flags":${java.lang.Integer.toUnsignedLong(r.fixed32())}"""
         case (9, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceId":"${hex(b, o, l)}""""
         case (10, 2) => val (o, l) = r.lenDelim(); parts += s""""spanId":"${hex(b, o, l)}""""
         case (_, wt) => r.skip(wt)
@@ -206,7 +228,7 @@ object OtlpProtobuf {
     while (r.hasNext) {
       val tag = r.varint().toInt
       (tag >>> 3, tag & 7) match {
-        case (1, 2)  => kvList(b, r, 1, attrs)
+        case (1, 2)  => kvList(b, r, attrs)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -227,24 +249,12 @@ object OtlpProtobuf {
     s"""{"name":"$name"}"""
   }
 
-  /** ScopeLogs: 1=scope 2=logRecords */
-  private def scopeLogs(b: Array[Byte], off: Int, len: Int): String = {
-    val r = new Reader(b, off, off + len)
-    var sc = """{"name":""}"""
-    val recs = new scala.collection.mutable.ArrayBuffer[String]()
-    while (r.hasNext) {
-      val tag = r.varint().toInt
-      (tag >>> 3, tag & 7) match {
-        case (1, 2)  => val (o, l) = r.lenDelim(); sc = scope(b, o, l)
-        case (2, 2)  => val (o, l) = r.lenDelim(); recs += logRecord(b, o, l)
-        case (_, wt) => r.skip(wt)
-      }
-    }
-    s"""{"scope":$sc,"logRecords":[${recs.mkString(",")}]}"""
-  }
-
-  /** ResourceLogs: 1=resource 2=scopeLogs */
-  private def resourceLogs(b: Array[Byte], off: Int, len: Int): String = {
+  /** Resource{Logs,Spans,Metrics} share one shape: 1=resource
+    * 2=repeated scope envelope — as do Scope{Logs,Spans,Metrics}:
+    * 1=scope 2=repeated record. One walker serves all three signals. */
+  private def resourceEnvelope(b: Array[Byte], off: Int, len: Int,
+                               scopeListName: String, recordListName: String,
+                               record: (Array[Byte], Int, Int) => String): String = {
     val r = new Reader(b, off, off + len)
     var res = """{"attributes":[]}"""
     val sls = new scala.collection.mutable.ArrayBuffer[String]()
@@ -252,11 +262,12 @@ object OtlpProtobuf {
       val tag = r.varint().toInt
       (tag >>> 3, tag & 7) match {
         case (1, 2)  => val (o, l) = r.lenDelim(); res = resource(b, o, l)
-        case (2, 2)  => val (o, l) = r.lenDelim(); sls += scopeLogs(b, o, l)
+        case (2, 2)  => val (o, l) = r.lenDelim()
+          sls += signalEnvelope(b, o, l, recordListName, record)
         case (_, wt) => r.skip(wt)
       }
     }
-    s"""{"resource":$res,"scopeLogs":[${sls.mkString(",")}]}"""
+    s"""{"resource":$res,"$scopeListName":[${sls.mkString(",")}]}"""
   }
 
   // ---- traces (field numbers per trace.pb.go) --------------------
@@ -271,7 +282,7 @@ object OtlpProtobuf {
       (tag >>> 3, tag & 7) match {
         case (1, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (2, 2)  => val (o, l) = r.lenDelim(); parts += s""""name":"${jsonEscape(utf8(b, o, l))}""""
-        case (3, 2)  => kvList(b, r, 3, attrs)
+        case (3, 2)  => kvList(b, r, attrs)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -290,7 +301,7 @@ object OtlpProtobuf {
         case (1, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceId":"${hex(b, o, l)}""""
         case (2, 2)  => val (o, l) = r.lenDelim(); parts += s""""spanId":"${hex(b, o, l)}""""
         case (3, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceState":"${jsonEscape(utf8(b, o, l))}""""
-        case (4, 2)  => kvList(b, r, 4, attrs)
+        case (4, 2)  => kvList(b, r, attrs)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -319,7 +330,7 @@ object OtlpProtobuf {
         case (6, 0)  => parts += s""""kind":${r.varint()}"""
         case (7, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (8, 1)  => parts += s""""endTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
-        case (9, 2)  => kvList(b, r, 9, attrs)
+        case (9, 2)  => kvList(b, r, attrs)
         case (10, 0) => parts += s""""droppedAttributesCount":${r.varint()}"""
         case (11, 2) => val (o, l) = r.lenDelim(); events += spanEvent(b, o, l)
         case (12, 0) => parts += s""""droppedEventsCount":${r.varint()}"""
@@ -367,21 +378,8 @@ object OtlpProtobuf {
   /** ExportTraceServiceRequest: 1=resourceSpans
     * (ResourceSpans: 1=resource 2=scopeSpans; ScopeSpans: 1=scope 2=spans) */
   def spansRequestToJson(bytes: Array[Byte]): UTF8String = {
-    val rls = topLevel(bytes, (b, off, len) => {
-      val r = new Reader(b, off, off + len)
-      var res = """{"attributes":[]}"""
-      val sls = new scala.collection.mutable.ArrayBuffer[String]()
-      while (r.hasNext) {
-        val tag = r.varint().toInt
-        (tag >>> 3, tag & 7) match {
-          case (1, 2)  => val (o, l) = r.lenDelim(); res = resource(b, o, l)
-          case (2, 2)  => val (o, l) = r.lenDelim()
-            sls += signalEnvelope(b, o, l, "spans", span)
-          case (_, wt) => r.skip(wt)
-        }
-      }
-      s"""{"resource":$res,"scopeSpans":[${sls.mkString(",")}]}"""
-    })
+    val rls = topLevel(bytes, (b, off, len) =>
+      resourceEnvelope(b, off, len, "scopeSpans", "spans", span))
     UTF8String.fromString(s"""{"resourceSpans":[${rls.mkString(",")}]}""")
   }
 
@@ -399,11 +397,11 @@ object OtlpProtobuf {
       val tag = r.varint().toInt
       (tag >>> 3, tag & 7) match {
         case (2, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
-        case (3, 1)  => parts += s""""asDouble":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (3, 1)  => parts += s""""asDouble":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}"""
         case (6, 1)  => parts += s""""asInt":"${r.fixed64()}""""
         case (4, 2)  => val (o, l) = r.lenDelim(); parts += s""""spanId":"${hex(b, o, l)}""""
         case (5, 2)  => val (o, l) = r.lenDelim(); parts += s""""traceId":"${hex(b, o, l)}""""
-        case (7, 2)  => kvList(b, r, 7, attrs)
+        case (7, 2)  => kvList(b, r, attrs)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -423,10 +421,10 @@ object OtlpProtobuf {
       (tag >>> 3, tag & 7) match {
         case (2, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (3, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
-        case (4, 1)  => parts += s""""asDouble":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (4, 1)  => parts += s""""asDouble":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}"""
         case (6, 1)  => parts += s""""asInt":"${r.fixed64()}""""
         case (5, 2)  => val (o, l) = r.lenDelim(); exs += exemplar(b, o, l)
-        case (7, 2)  => kvList(b, r, 7, attrs)
+        case (7, 2)  => kvList(b, r, attrs)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -460,14 +458,14 @@ object OtlpProtobuf {
         case (2, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (3, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (4, 1)  => parts += s""""count":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
-        case (5, 1)  => parts += s""""sum":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (5, 1)  => parts += s""""sum":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}"""
         case (6, wt) => packedFixed64(b, r, wt, counts)
         case (7, 2)  => val (o, l) = r.lenDelim()
           val inner = new Reader(b, o, o + l)
-          while (inner.hasNext) bounds += java.lang.Double.longBitsToDouble(inner.fixed64()).toString
-        case (7, 1)  => bounds += java.lang.Double.longBitsToDouble(r.fixed64()).toString
+          while (inner.hasNext) bounds += jsonDouble(java.lang.Double.longBitsToDouble(inner.fixed64()))
+        case (7, 1)  => bounds += jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))
         case (8, 2)  => val (o, l) = r.lenDelim(); exs += exemplar(b, o, l)
-        case (9, 2)  => kvList(b, r, 9, attrs)
+        case (9, 2)  => kvList(b, r, attrs)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -485,6 +483,7 @@ object OtlpProtobuf {
   private def expHistogramPoint(b: Array[Byte], off: Int, len: Int): String = {
     val r = new Reader(b, off, off + len)
     val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
     def buckets(o: Int, l: Int): String = {
       val br = new Reader(b, o, o + l)
       var offset = 0
@@ -495,8 +494,8 @@ object OtlpProtobuf {
           case (1, 0) => offset = zigzag32(br.varint())
           case (2, 2) => val (co, cl) = br.lenDelim()
             val inner = new Reader(b, co, co + cl)
-            while (inner.hasNext) cs += inner.varint().toString
-          case (2, 0) => cs += br.varint().toString
+            while (inner.hasNext) cs += java.lang.Long.toUnsignedString(inner.varint())
+          case (2, 0) => cs += java.lang.Long.toUnsignedString(br.varint())
           case (_, wt) => br.skip(wt)
         }
       }
@@ -505,18 +504,20 @@ object OtlpProtobuf {
     while (r.hasNext) {
       val tag = r.varint().toInt
       (tag >>> 3, tag & 7) match {
+        case (1, 2)  => kvList(b, r, attrs)
         case (2, 1)  => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (3, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (4, 1)  => parts += s""""count":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
-        case (5, 1)  => parts += s""""sum":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (5, 1)  => parts += s""""sum":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}"""
         case (6, 0)  => parts += s""""scale":${zigzag32(r.varint())}"""
         case (7, 1)  => parts += s""""zeroCount":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (8, 2)  => val (o, l) = r.lenDelim(); parts += s""""positive":${buckets(o, l)}"""
         case (9, 2)  => val (o, l) = r.lenDelim(); parts += s""""negative":${buckets(o, l)}"""
-        case (14, 1) => parts += s""""zeroThreshold":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (14, 1) => parts += s""""zeroThreshold":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}"""
         case (_, wt) => r.skip(wt)
       }
     }
+    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
 
@@ -525,6 +526,7 @@ object OtlpProtobuf {
   private def summaryPoint(b: Array[Byte], off: Int, len: Int): String = {
     val r = new Reader(b, off, off + len)
     val parts = new scala.collection.mutable.ArrayBuffer[String]()
+    val attrs = new scala.collection.mutable.ArrayBuffer[String]()
     val qvs = new scala.collection.mutable.ArrayBuffer[String]()
     while (r.hasNext) {
       val tag = r.varint().toInt
@@ -532,7 +534,7 @@ object OtlpProtobuf {
         case (2, 1) => parts += s""""startTimeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (3, 1) => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (4, 1) => parts += s""""count":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
-        case (5, 1) => parts += s""""sum":${java.lang.Double.longBitsToDouble(r.fixed64())}"""
+        case (5, 1) => parts += s""""sum":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}"""
         case (6, 2) => val (o, l) = r.lenDelim()
           val qr = new Reader(b, o, o + l)
           var q = 0.0; var v = 0.0
@@ -544,10 +546,12 @@ object OtlpProtobuf {
               case (_, wt) => qr.skip(wt)
             }
           }
-          qvs += s"""{"quantile":$q,"value":$v}"""
+          qvs += s"""{"quantile":${jsonDouble(q)},"value":${jsonDouble(v)}}"""
+        case (7, 2) => kvList(b, r, attrs)
         case (_, wt) => r.skip(wt)
       }
     }
+    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
     if (qvs.nonEmpty) parts += s""""quantileValues":[${qvs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
@@ -601,21 +605,8 @@ object OtlpProtobuf {
     * (ResourceMetrics: 1=resource 2=scopeMetrics;
     * ScopeMetrics: 1=scope 2=metrics) */
   def metricsRequestToJson(bytes: Array[Byte]): UTF8String = {
-    val rms = topLevel(bytes, (b, off, len) => {
-      val r = new Reader(b, off, off + len)
-      var res = """{"attributes":[]}"""
-      val sms = new scala.collection.mutable.ArrayBuffer[String]()
-      while (r.hasNext) {
-        val tag = r.varint().toInt
-        (tag >>> 3, tag & 7) match {
-          case (1, 2)  => val (o, l) = r.lenDelim(); res = resource(b, o, l)
-          case (2, 2)  => val (o, l) = r.lenDelim()
-            sms += signalEnvelope(b, o, l, "metrics", metric)
-          case (_, wt) => r.skip(wt)
-        }
-      }
-      s"""{"resource":$res,"scopeMetrics":[${sms.mkString(",")}]}"""
-    })
+    val rms = topLevel(bytes, (b, off, len) =>
+      resourceEnvelope(b, off, len, "scopeMetrics", "metrics", metric))
     UTF8String.fromString(s"""{"resourceMetrics":[${rms.mkString(",")}]}""")
   }
 
@@ -677,13 +668,19 @@ object OtlpProtobuf {
 
   private type JNode = com.fasterxml.jackson.databind.JsonNode
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def encodeAnyValue(v: JNode): Array[Byte] = {
     val w = new Writer
+    if (v == null || v.isNull) return w.bytes  // unset AnyValue: empty message
     if (v.has("stringValue")) w.str(1, v.get("stringValue").asText())
     else if (v.has("boolValue")) w.vint(2, if (v.get("boolValue").asBoolean()) 1 else 0)
     else if (v.has("intValue")) w.vint(3, v.get("intValue").asText().toLong)
-    else if (v.has("doubleValue"))
-      w.fixed64(4, java.lang.Double.doubleToLongBits(v.get("doubleValue").asDouble()))
+    else if (v.has("doubleValue")) {
+      val n = v.get("doubleValue")
+      val d = if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
+      w.fixed64(4, java.lang.Double.doubleToLongBits(d))
+    }
     else if (v.has("arrayValue")) {
       val inner = new Writer
       val vals = v.get("arrayValue").get("values")
@@ -701,7 +698,7 @@ object OtlpProtobuf {
 
   private def encodeKeyValue(kv: JNode): Array[Byte] = {
     val w = new Writer
-    w.str(1, kv.get("key").asText())
+    if (kv.hasNonNull("key")) w.str(1, kv.get("key").asText())
     w.lenDelim(2, encodeAnyValue(kv.get("value")))
     w.bytes
   }
@@ -729,7 +726,7 @@ object OtlpProtobuf {
   /** OTLP/JSON logs request document → ExportLogsServiceRequest bytes.
     * Ids must be hex strings (the form our JSON path uses). */
   def logsJsonToRequest(json: UTF8String): Array[Byte] = {
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json.toString)
+    val root = mapper.readTree(json.toString)
     val w = new Writer
     val rls = root.get("resourceLogs")
     if (rls != null) rls.forEach { rl =>
@@ -761,15 +758,8 @@ object OtlpProtobuf {
 
   /** ExportLogsServiceRequest: 1=resourceLogs */
   def logsRequestToJson(bytes: Array[Byte]): UTF8String = {
-    val r = new Reader(bytes, 0, bytes.length)
-    val rls = new scala.collection.mutable.ArrayBuffer[String]()
-    while (r.hasNext) {
-      val tag = r.varint().toInt
-      (tag >>> 3, tag & 7) match {
-        case (1, 2)  => val (o, l) = r.lenDelim(); rls += resourceLogs(bytes, o, l)
-        case (_, wt) => r.skip(wt)
-      }
-    }
+    val rls = topLevel(bytes, (b, off, len) =>
+      resourceEnvelope(b, off, len, "scopeLogs", "logRecords", logRecord))
     UTF8String.fromString(s"""{"resourceLogs":[${rls.mkString(",")}]}""")
   }
 }

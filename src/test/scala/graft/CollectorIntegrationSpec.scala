@@ -413,6 +413,22 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("malformed protobuf fails fast, never loops or reads out of bounds") {
+    // negative length varint: tag 0x0A then a 10-byte varint decoding
+    // to -11 — an unchecked reader would move its cursor backwards and
+    // spin forever appending to the output buffer
+    val negativeLen = Array[Byte](0x0a,
+      0xf5.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x01)
+    val truncated = Array[Byte](0x0a, 0x7f, 0x01, 0x02) // length 127, 2 bytes present
+    for (bad <- Seq(negativeLen, truncated)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.OtlpProtobuf.logsRequestToJson(bad)
+      }
+      assert(e.getMessage.contains("malformed protobuf"), e.getMessage)
+    }
+  }
+
   test("protobuf spans decode: ids, status, links, typed attributes") {
     import spark.implicits._
     import Pb._
