@@ -580,6 +580,18 @@ object OtlpJsonSource {
     parseLogs(requests.select(
       OtlpProtobuf.otlp_logs_pb_to_json(col("pb")).as("json")))
 
+  /** [[parseLogsPb]] with the receiver's dead-letter path: malformed
+    * wire bytes route to (raw, dlq_time) rows instead of killing the
+    * batch. Returns (good, dlq). */
+  def parseLogsPbWithDlq(requests: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = requests.withColumn("json",
+      OtlpProtobuf.otlp_logs_pb_to_json_safe(col("pb")))
+    val good = parseLogs(tagged.filter(col("json").isNotNull).select(col("json")))
+    val dlq = tagged.filter(col("json").isNull)
+      .select(col("pb").as("raw"), current_timestamp().as("dlq_time"))
+    (good, dlq)
+  }
+
   /** binary ExportTraceServiceRequest rows → flattened span rows */
   def parseSpansPb(requests: DataFrame): DataFrame =
     parseSpans(requests.select(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,6 +42,18 @@ object OtlpProtobuf {
   /** Column API: OTLP/JSON logs document → binary request (export) */
   def otlp_logs_json_to_pb(json: Column): Column =
     Bridge.column(OtlpLogsJsonToPb(Bridge.expression(json)))
+
+  /** Column API: like [[otlp_logs_pb_to_json]] but malformed bytes
+    * yield NULL instead of failing the task — dead-lettering is a
+    * per-row decision (receiver error path), one bad file must not
+    * kill the batch. */
+  def otlp_logs_pb_to_json_safe(pb: Column): Column =
+    Bridge.column(OtlpLogsPbToJsonSafe(Bridge.expression(pb)))
+
+  /** nullable twin of [[logsRequestToJson]] for the DLQ path */
+  def logsRequestToJsonOrNull(bytes: Array[Byte]): UTF8String =
+    try logsRequestToJson(bytes)
+    catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
 
   // ---- wire-level reader ----------------------------------------
 
@@ -777,6 +790,31 @@ case class OtlpLogsPbToJson(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtobuf.logsRequestToJson($c)")
 
   override protected def withNewChildInternal(c: Expression): OtlpLogsPbToJson = copy(child = c)
+}
+
+/** [[OtlpLogsPbToJson]] with NULL-on-malformed semantics (DLQ path) */
+case class OtlpLogsPbToJsonSafe(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "otlp_logs_pb_to_json_safe"
+
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtobuf.logsRequestToJsonOrNull(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eval = child.genCode(ctx)
+    val code =
+      code"""${eval.code}
+         |boolean ${ev.isNull} = ${eval.isNull};
+         |UTF8String ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.sources.OtlpProtobuf.logsRequestToJsonOrNull(${eval.value});
+         |  ${ev.isNull} = ${ev.value} == null;
+         |}""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(c: Expression): OtlpLogsPbToJsonSafe = copy(child = c)
 }
 
 /** binary OTLP ExportTraceServiceRequest → OTLP/JSON string */

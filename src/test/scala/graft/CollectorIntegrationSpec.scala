@@ -429,6 +429,19 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("protobuf dead-letter path: corrupt files route to DLQ, good ones parse") {
+    import spark.implicits._
+    val goodPb = OtlpJsonSource.writeLogsPb(
+      OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 4, 2)).toDF("json")))
+      .head().getAs[Array[Byte]]("pb")
+    val badPb = Array[Byte](0x0a, 0x7f, 0x01) // truncated length-delimited
+    val (good, dlq) = OtlpJsonSource.parseLogsPbWithDlq(
+      Seq(goodPb, badPb).toDF("pb"))
+    assert(good.count() == 4)
+    assert(dlq.count() == 1)
+    assert(dlq.columns.contains("raw"))
+  }
+
   test("protobuf spans decode: ids, status, links, typed attributes") {
     import spark.implicits._
     import Pb._
