@@ -142,6 +142,15 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Rabin–Karp rolling-hash content fingerprint dup clusters
+    // (order-sensitive identity, the streaming-friendly fingerprint)
+    "q_doc_rollhash" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(graft.functions.HashExprs.rolling_hash(col("text")).as("rh"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") >= 2)
+    }),
+
     // bag-of-words fingerprint dup clusters
     "q_doc_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -404,6 +413,15 @@ object DataPipelineQueries {
         |  WHEN es >= de THEN 'es' ELSE 'de' END AS predicted,
         | COUNT(*) AS n
         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "q_doc_rollhash" ->
+      """SELECT rh, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
+        | FROM documents)
+        |GROUP BY rh HAVING COUNT(*) >= 2""".stripMargin,
 
     "q_doc_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint,

@@ -48,6 +48,24 @@ object HashExprs {
   /** Column API: 128-bit simhash (scale variant — wider blocking keys). */
   def simhash_bits_128(tokens: Column): Column =
     Bridge.column(SimHashBits128(Bridge.expression(tokens)))
+
+  /** Column API: Rabin–Karp rolling hash of a string (engine-portable). */
+  def rolling_hash(text: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
+    Bridge.column(RollingHash(Bridge.expression(text), base, mod))
+}
+
+/** polynomial rolling hash (content fingerprint; one pass per row) */
+case class RollingHash(child: Expression, base: Long, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.rollingHash(input.asInstanceOf[UTF8String], base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.rollingHash($c, ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
 }
 
 /** Count of array elements contained in a fixed word list (hash-set

@@ -264,6 +264,23 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Rabin–Karp polynomial rolling hash over Unicode code points:
+    * h = fold (acc * base + cp) mod m. Engine-portable — the DuckDB
+    * twin folds ascii(c) (code points) with list_reduce in the same
+    * order, and all arithmetic stays below 2^63 for base 31 and a
+    * 1e9-scale modulus. */
+  def rollingHash(s: UTF8String, base: Long, mod: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   def wordlistHits(arr: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
     val n = arr.numElements()
     var hits = 0
