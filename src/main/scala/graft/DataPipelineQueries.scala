@@ -182,6 +182,20 @@ object DataPipelineQueries {
               .cast("int").as(s"q$i")): _*)
     }),
 
+    // multimodal: aspect-preserving resize planning over the decoded
+    // dimensions — the Spark-side half of a media resize pipeline
+    // (pixel resampling belongs in the partition-batched decode seam)
+    "q_media_resize" -> ((s, dir) => {
+      val meta = docs(s, dir)
+        .select(col("doc_id"),
+          (length(col("text").cast("binary")) % 640).cast("int").as("width"),
+          ((length(col("text").cast("binary")) * 7) % 480).cast("int").as("height"))
+      val (ow, oh) = graft.operators.MultimodalOps.resizeDims(
+        col("width"), col("height"), maxW = 320, maxH = 240)
+      meta.select(col("doc_id"), col("width"), col("height"),
+        ow.as("out_w"), oh.as("out_h"))
+    }),
+
     // multimodal: opaque blob + typed metadata from a stubbed decode
     "q_multimodal_meta" -> ((s, dir) => {
       docs(s, dir)
@@ -444,6 +458,21 @@ object DataPipelineQueries {
         | CAST(round(e[3] / scale * 127) AS INTEGER) AS q2,
         | CAST(round(e[4] / scale * 127) AS INTEGER) AS q3
         |FROM s""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS height
+        | FROM documents)
+        |SELECT doc_id, width, height,
+        | CASE WHEN height = 0 OR width = 0 THEN 0
+        |  WHEN width * 240 <= height * 320
+        |   THEN CAST(FLOOR(width * LEAST(height, 240) / height) AS INTEGER)
+        |  ELSE LEAST(width, 320) END AS out_w,
+        | CASE WHEN height = 0 OR width = 0 THEN 0
+        |  WHEN width * 240 <= height * 320 THEN LEAST(height, 240)
+        |  ELSE CAST(FLOOR(height * LEAST(width, 320) / width) AS INTEGER) END AS out_h
+        |FROM m""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

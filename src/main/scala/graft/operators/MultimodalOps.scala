@@ -37,6 +37,28 @@ object MultimodalOps {
     MediaFeatures(r.doc_id, r.modality, n, n % 640, (n * 7) % 480, ck)
   }
 
+  /** Aspect-preserving resize planning: target dimensions for fitting
+    * (w, h) into a (maxW, maxH) box without upscaling — all-integer
+    * arithmetic (w·outH DIV h), so the plan is engine-exact; the
+    * pixel resample itself belongs in the partition-batched decode
+    * seam next to the codec. Returns (out_w, out_h) columns.
+    */
+  def resizeDims(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                 maxW: Int, maxH: Int):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    // floor(a/b) over small exact ints: IEEE division is correctly
+    // rounded, so integer-valued ratios stay exact on every engine
+    val heightBound = w * maxH <= h * maxW
+    val hB = least(h, lit(maxH))
+    val wFromH = floor(w * hB / h).cast("int")
+    val wB = least(w, lit(maxW))
+    val hFromW = floor(h * wB / w).cast("int")
+    val degenerate = h === 0 || w === 0
+    val ow = when(degenerate, 0).when(heightBound, wFromH).otherwise(wB)
+    val oh = when(degenerate, 0).when(heightBound, hB).otherwise(hFromW)
+    (ow, oh)
+  }
+
   /** partition-batched decode: the shape a real codec needs (one
     * expensive init per partition, streamed records). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
