@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, HyperplaneBuckets, HyperplaneBucketsMd5, MinHashSignature, MinHashSignatureMd5, SimHashBits, SimHashBits128, SimHashBitsMd5, WordShingles}
+import graft.functions.{CosineSim, HyperplaneBuckets, HyperplaneBucketsMd5, MinHashSignature, MinHashSignatureMd5, RollingHash, SimHashBits, SimHashBits128, SimHashBitsMd5, WordShingles}
+import graft.sources.{OtlpLogsJsonToPb, OtlpLogsPbToJson, OtlpMetricsPbToJson, OtlpSpansPbToJson}
 
 /** SQL surface for the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
@@ -58,7 +59,22 @@ object GraftExtensions {
     "hyperplane_buckets_md5" -> (
       new ExpressionInfo(classOf[HyperplaneBucketsMd5].getName, "hyperplane_buckets_md5"),
       (args: Seq[Expression]) =>
-        HyperplaneBucketsMd5(args.head, intArg(args(1), "tables"), intArg(args(2), "planes"))))
+        HyperplaneBucketsMd5(args.head, intArg(args(1), "tables"), intArg(args(2), "planes"))),
+    "rolling_hash" -> (
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args.head, 31L, 1000000007L)),
+    "otlp_logs_pb_to_json" -> (
+      new ExpressionInfo(classOf[OtlpLogsPbToJson].getName, "otlp_logs_pb_to_json"),
+      (args: Seq[Expression]) => OtlpLogsPbToJson(args.head)),
+    "otlp_spans_pb_to_json" -> (
+      new ExpressionInfo(classOf[OtlpSpansPbToJson].getName, "otlp_spans_pb_to_json"),
+      (args: Seq[Expression]) => OtlpSpansPbToJson(args.head)),
+    "otlp_metrics_pb_to_json" -> (
+      new ExpressionInfo(classOf[OtlpMetricsPbToJson].getName, "otlp_metrics_pb_to_json"),
+      (args: Seq[Expression]) => OtlpMetricsPbToJson(args.head)),
+    "otlp_logs_json_to_pb" -> (
+      new ExpressionInfo(classOf[OtlpLogsJsonToPb].getName, "otlp_logs_json_to_pb"),
+      (args: Seq[Expression]) => OtlpLogsJsonToPb(args.head)))
 
   /** imperative registration for an existing session */
   def register(spark: SparkSession): Unit = {
