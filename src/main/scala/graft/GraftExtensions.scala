@@ -30,6 +30,12 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   private[graft] val registrations: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
     "word_shingles" -> (
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
@@ -62,7 +68,12 @@ object GraftExtensions {
         HyperplaneBucketsMd5(args.head, intArg(args(1), "tables"), intArg(args(2), "planes"))),
     "rolling_hash" -> (
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args.head, 31L, 1000000007L)),
+      (args: Seq[Expression]) => args match {
+        case Seq(t)       => RollingHash(t, 31L, 1000000007L)
+        case Seq(t, b, m) => RollingHash(t, longArg(b, "base"), longArg(m, "mod"))
+        case other => throw new IllegalArgumentException(
+          s"rolling_hash takes (text) or (text, base, mod), got ${other.size} args")
+      }),
     "otlp_logs_pb_to_json" -> (
       new ExpressionInfo(classOf[OtlpLogsPbToJson].getName, "otlp_logs_pb_to_json"),
       (args: Seq[Expression]) => OtlpLogsPbToJson(args.head)),

@@ -183,8 +183,11 @@ object AnnOps {
     buckets.select(explode(
         graft.functions.VectorExprs.pair_combinations(col("members"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        cosine(col("p.a.e"), col("p.b.e")).as("sim"))
+        col("p.a.e").as("ea"), col("p.b.e").as("eb"))
+      // dedupe BEFORE scoring: a pair colliding in many tables must
+      // pay the O(dim) cosine once, not once per collision
       .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

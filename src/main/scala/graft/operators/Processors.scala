@@ -158,9 +158,11 @@ object Processors {
     * otherwise leak one batcher per combination). Batch form: count
     * distinct key combinations and fail fast above the limit. */
   def requireMetadataCardinality(df: DataFrame, keys: Seq[String], limit: Int): Unit = {
-    val n = df.select(keys.map(col): _*).distinct().count()
+    // limit+1 bounds the work: the check needs "more than limit?",
+    // never the exact global distinct count
+    val n = df.select(keys.map(col): _*).distinct().limit(limit + 1).count()
     require(n <= limit,
-      s"metadata cardinality $n exceeds limit $limit for keys ${keys.mkString(",")}")
+      s"metadata cardinality exceeds limit $limit for keys ${keys.mkString(",")}")
   }
 
   /** Memory limiter: bounded admission. The collector refuses data

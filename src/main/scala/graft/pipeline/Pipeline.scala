@@ -120,13 +120,19 @@ object Pipeline {
   final case class QueuedExporter(delegate: Exporter, dlqPath: String,
                                   maxRetries: Int = 2, backoffMs: Long = 50)
       extends Exporter {
-    def export(df: DataFrame): Unit = exportBatch(df, 0L)
-    override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+    // a batch-mode export must NOT reroute through the batchId-keyed
+    // layout — the delegate's own path/shape stays untouched
+    def export(df: DataFrame): Unit =
+      deliver(df, () => delegate.export(df), s"$dlqPath/batch")
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      deliver(df, () => delegate.exportBatch(df, batchId), s"$dlqPath/batch_id=$batchId")
+
+    private def deliver(df: DataFrame, attemptF: () => Unit, dlqDir: String): Unit = {
       var attempt = 0
       var delivered = false
       var lastErr: Throwable = null
       while (!delivered && attempt <= maxRetries) {
-        try { delegate.exportBatch(df, batchId); delivered = true }
+        try { attemptF(); delivered = true }
         catch {
           // fatal JVM errors and interrupts propagate (a stopping
           // stream must not divert its in-flight batch to the DLQ)
@@ -140,7 +146,7 @@ object Pipeline {
       }
       if (!delivered)
         df.withColumn("dlq_error", lit(String.valueOf(lastErr.getMessage)))
-          .write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
+          .write.mode("overwrite").parquet(dlqDir)
     }
   }
 

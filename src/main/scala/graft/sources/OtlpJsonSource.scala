@@ -82,8 +82,12 @@ object OtlpJsonSource {
     StructField("severityText", StringType),
     StructField("body", anyValueType),
     StructField("attributes", kvType),
-    StructField("flags", IntegerType),
-    StructField("droppedAttributesCount", IntegerType),
+    // uint32 on the wire: parse as long so a value with bit 31 set
+    // can't make from_json null the ENTIRE request document (silent
+    // loss of every record in it); the output cast to int is a
+    // bit-preserving reinterpretation (flags IS a 32-bit bitfield)
+    StructField("flags", LongType),
+    StructField("droppedAttributesCount", LongType),
     StructField("traceId", StringType),
     StructField("spanId", StringType)))
 
@@ -120,8 +124,9 @@ object OtlpJsonSource {
         col("lr.severityText").as("severity_text"),
         anyValueToString(col("lr.body")).as("body"),
         kvToMap(col("lr.attributes")).as("attributes"),
-        coalesce(col("lr.flags"), lit(0)).as("flags"),
-        coalesce(col("lr.droppedAttributesCount"), lit(0)).as("dropped_attributes_count"),
+        coalesce(col("lr.flags"), lit(0L)).cast("int").as("flags"),
+        coalesce(col("lr.droppedAttributesCount"), lit(0L)).cast("int")
+          .as("dropped_attributes_count"),
         col("lr.traceId").as("trace_id"),
         col("lr.spanId").as("span_id"),
         col("resource_attributes"),
@@ -153,9 +158,10 @@ object OtlpJsonSource {
       StructField("code", IntegerType),
       StructField("message", StringType)))),
     StructField("attributes", kvType),
-    StructField("droppedAttributesCount", IntegerType),
-    StructField("droppedEventsCount", IntegerType),
-    StructField("droppedLinksCount", IntegerType),
+    // uint32 → long (see logRecordType note)
+    StructField("droppedAttributesCount", LongType),
+    StructField("droppedEventsCount", LongType),
+    StructField("droppedLinksCount", LongType),
     StructField("events", ArrayType(spanEventType)),
     StructField("links", ArrayType(spanLinkType))))
 
@@ -192,9 +198,12 @@ object OtlpJsonSource {
         col("sp.status.code").as("status_code"),
         col("sp.status.message").as("status_message"),
         kvToMap(col("sp.attributes")).as("attributes"),
-        coalesce(col("sp.droppedAttributesCount"), lit(0)).as("dropped_attributes_count"),
-        coalesce(col("sp.droppedEventsCount"), lit(0)).as("dropped_events_count"),
-        coalesce(col("sp.droppedLinksCount"), lit(0)).as("dropped_links_count"),
+        coalesce(col("sp.droppedAttributesCount"), lit(0L)).cast("int")
+          .as("dropped_attributes_count"),
+        coalesce(col("sp.droppedEventsCount"), lit(0L)).cast("int")
+          .as("dropped_events_count"),
+        coalesce(col("sp.droppedLinksCount"), lit(0L)).cast("int")
+          .as("dropped_links_count"),
         coalesce(size(col("sp.events")), lit(0)).as("n_events"),
         coalesce(size(col("sp.links")), lit(0)).as("n_links"),
         col("resource_attributes"),

@@ -141,8 +141,15 @@ object OtlpProtobuf {
 
   // ---- message-level converters (field numbers per OTLP proto) ---
 
+  /** proto unmarshalers cap message recursion (protobuf-go uses 100);
+    * without it a crafted blob of nested 2-byte arrayValue headers
+    * drives anyValue past the JVM stack — a StackOverflowError would
+    * escape the DLQ wrapper and kill the batch */
+  private val MaxValueDepth = 100
+
   /** AnyValue: 1=string 2=bool 3=int 4=double 5=array 6=kvlist 7=bytes */
-  private def anyValue(b: Array[Byte], off: Int, len: Int): String = {
+  private def anyValue(b: Array[Byte], off: Int, len: Int, depth: Int = 0): String = {
+    if (depth > MaxValueDepth) malformed(s"AnyValue nesting deeper than $MaxValueDepth")
     val r = new Reader(b, off, off + len)
     var out = "{}"
     while (r.hasNext) {
@@ -160,7 +167,7 @@ object OtlpProtobuf {
           while (inner.hasNext) {
             val t2 = inner.varint().toInt
             if ((t2 >>> 3) == 1 && (t2 & 7) == 2) {
-              val (vo, vl) = inner.lenDelim(); vals += anyValue(b, vo, vl)
+              val (vo, vl) = inner.lenDelim(); vals += anyValue(b, vo, vl, depth + 1)
             } else inner.skip(t2 & 7)
           }
           out = s"""{"arrayValue":{"values":[${vals.mkString(",")}]}}"""
@@ -170,7 +177,7 @@ object OtlpProtobuf {
           while (inner.hasNext) {
             val t2 = inner.varint().toInt
             if ((t2 >>> 3) == 1 && (t2 & 7) == 2) {
-              val (vo, vl) = inner.lenDelim(); kvs += keyValue(b, vo, vl)
+              val (vo, vl) = inner.lenDelim(); kvs += keyValue(b, vo, vl, depth + 1)
             } else inner.skip(t2 & 7)
           }
           out = s"""{"kvlistValue":{"values":[${kvs.mkString(",")}]}}"""
@@ -185,7 +192,7 @@ object OtlpProtobuf {
   }
 
   /** KeyValue: 1=key 2=value */
-  private def keyValue(b: Array[Byte], off: Int, len: Int): String = {
+  private def keyValue(b: Array[Byte], off: Int, len: Int, depth: Int = 0): String = {
     val r = new Reader(b, off, off + len)
     var key = ""
     var value = "{}"
@@ -193,7 +200,7 @@ object OtlpProtobuf {
       val tag = r.varint().toInt
       (tag >>> 3, tag & 7) match {
         case (1, 2) => val (o, l) = r.lenDelim(); key = jsonEscape(utf8(b, o, l))
-        case (2, 2) => val (o, l) = r.lenDelim(); value = anyValue(b, o, l)
+        case (2, 2) => val (o, l) = r.lenDelim(); value = anyValue(b, o, l, depth + 1)
         case (_, wt) => r.skip(wt)
       }
     }
