@@ -442,6 +442,27 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(dlq.columns.contains("raw"))
   }
 
+  test("protobuf decode fuzz: arbitrary bytes parse or fail cleanly, never hang") {
+    val rnd = new scala.util.Random(1234)
+    var parsed = 0
+    var rejected = 0
+    (0 until 500).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(bytes)
+      val r = graft.sources.OtlpProtobuf.logsRequestToJsonOrNull(bytes)
+      if (r == null) rejected += 1 else parsed += 1
+    }
+    // deep-nesting bomb: thousands of nested arrayValue headers must
+    // reject as malformed (depth cap), not blow the stack
+    import Pb._
+    var nested: Array[Byte] = str(1, "x") // innermost AnyValue
+    (0 until 5000).foreach(_ => nested = lenDelim(5, lenDelim(1, nested)))
+    val bomb = lenDelim(1, lenDelim(2, lenDelim(2,
+      fixed64(1, 1L) ++ lenDelim(6, kv("a", nested)))))
+    assert(graft.sources.OtlpProtobuf.logsRequestToJsonOrNull(bomb) == null)
+    assert(parsed + rejected == 500)
+  }
+
   test("protobuf spans decode: ids, status, links, typed attributes") {
     import spark.implicits._
     import Pb._
