@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** OTTL → Spark mapping (reference behavior, not code: the transform
+  * processor's OpenTelemetry Transformation Language; editor and
+  * converter functions per the public OTTL function catalog).
+  *
+  * OTTL statements are scalar edits over telemetry fields; every one
+  * of them is a Catalyst column expression here, so a "transform
+  * processor" config is just a list of `withColumn`s — codegen'd,
+  * pushdown-friendly, and running on 1000 executors without a
+  * per-record interpreter. The table below is the migration map a
+  * collector user needs; each entry is tested in OttlSpec.
+  */
+object Ottl {
+
+  // ---- editors (mutate a field) ----------------------------------
+  /** set(target, value) */
+  def set(value: Column): Column = value
+  /** delete_key(map, key) */
+  def deleteKey(m: Column, key: String): Column = Processors.mapDelete(m, Seq(key))
+  /** keep_keys(map, keys) */
+  def keepKeys(m: Column, keys: Seq[String]): Column = Processors.mapKeepKeys(m, keys)
+  /** truncate_all(map, n) */
+  def truncateAll(m: Column, n: Int): Column = Processors.mapTruncateValues(m, n)
+  /** replace_pattern(field, regex, replacement) */
+  def replacePattern(c: Column, regex: String, replacement: String): Column =
+    regexp_replace(c, regex, replacement)
+  /** replace_all_patterns over map values */
+  def replaceAllPatterns(m: Column, regex: String, replacement: String): Column =
+    transform_values(m, (_, v) => regexp_replace(v, regex, replacement))
+  /** limit(map, n) — keep at most n entries (deterministic by key order) */
+  def limitKeys(m: Column, n: Int): Column =
+    map_from_entries(slice(array_sort(map_entries(m)), 1, n))
+
+  // ---- converters (pure functions) -------------------------------
+  /** Concat(vals..., sep) */
+  def concatWs(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)
+  /** Split(str, sep) */
+  def splitStr(c: Column, sep: String): Column = split(c, java.util.regex.Pattern.quote(sep))
+  /** Substring(str, start, len) — OTTL is 0-based, Spark 1-based */
+  def substringOttl(c: Column, start: Int, len: Int): Column = substring(c, start + 1, len)
+  /** Int(v) / Double(v) / String(v) */
+  def toInt(c: Column): Column = c.cast("long")
+  def toDouble(c: Column): Column = c.cast("double")
+  def toStringOttl(c: Column): Column = c.cast("string")
+  /** IsMatch(str, regex) */
+  def isMatch(c: Column, regex: String): Column = c.rlike(regex)
+  /** SHA256/SHA1/MD5/FNV */
+  def sha256Of(c: Column): Column = sha2(c, 256)
+  def sha1Of(c: Column): Column = sha1(c)
+  def md5Of(c: Column): Column = md5(c)
+  def fnvOf(c: Column): Column = xxhash64(c) // 64-bit keyed hash analog
+  /** TraceID/SpanID hex strings */
+  def spanIdHex(c: Column): Column = lower(hex(c))
+  /** ParseJSON(str)[path] */
+  def parseJsonField(c: Column, path: String): Column = get_json_object(c, s"$$.$path")
+  /** ConvertCase(str, "upper"|"lower") */
+  def convertCase(c: Column, mode: String): Column =
+    if (mode == "upper") upper(c) else lower(c)
+  /** Trim / Len */
+  def trimOttl(c: Column): Column = trim(c)
+  def len(c: Column): Column = length(c)
+  /** UnixNano→seconds and back (OTTL Time conversions on integral ns) */
+  def nanosToSeconds(c: Column): Column = c.cast("long") / lit(1000000000L)
+  def secondsToNanos(c: Column): Column = (c.cast("double") * 1e9).cast("long")
+  /** Coalesce-style default */
+  def default(c: Column, dflt: Column): Column = coalesce(c, dflt)
+  /** IsString-ish guards collapse to type checks at plan time in a
+    * typed column model — schema does statically what OTTL checks
+    * dynamically, so there is nothing to evaluate per row. */
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ottl
+
+/** Every OTTL mapping in [[graft.operators.Ottl]] evaluates with the
+  * reference language's semantics (editors over maps, converters over
+  * scalars). */
+class OttlSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("Hello World", Map("a" -> "1", "b" -> "22", "secret" -> "xyz"),
+      """{"k": 41, "s": "v"}""", 1700000000123456789L)
+  ).toDF("msg", "attrs", "js", "ts_ns")
+
+  test("editors: delete/keep/truncate/replace/limit") {
+    val r = df.select(
+      Ottl.deleteKey(col("attrs"), "secret").as("del"),
+      Ottl.keepKeys(col("attrs"), Seq("a")).as("keep"),
+      Ottl.truncateAll(col("attrs"), 1).as("trunc"),
+      Ottl.replacePattern(col("msg"), "World", "OTTL").as("rep"),
+      Ottl.replaceAllPatterns(col("attrs"), "\\d", "#").as("repall"),
+      Ottl.limitKeys(col("attrs"), 2).as("lim")).head()
+    assert(r.getAs[Map[String, String]]("del") == Map("a" -> "1", "b" -> "22"))
+    assert(r.getAs[Map[String, String]]("keep") == Map("a" -> "1"))
+    assert(r.getAs[Map[String, String]]("trunc")("b") == "2")
+    assert(r.getAs[String]("rep") == "Hello OTTL")
+    assert(r.getAs[Map[String, String]]("repall")("b") == "##")
+    assert(r.getAs[Map[String, String]]("lim").keySet == Set("a", "b"))
+  }
+
+  test("converters: string/number/hash/json/time functions") {
+    val r = df.select(
+      Ottl.concatWs("-", col("msg"), lit("x")).as("cat"),
+      Ottl.splitStr(col("msg"), " ").as("sp"),
+      Ottl.substringOttl(col("msg"), 0, 5).as("sub"),
+      Ottl.toInt(lit("42")).as("i"),
+      Ottl.isMatch(col("msg"), "^Hello").as("m"),
+      Ottl.sha256Of(lit("abc")).as("sha"),
+      Ottl.parseJsonField(col("js"), "k").as("jk"),
+      Ottl.convertCase(col("msg"), "upper").as("uc"),
+      Ottl.len(col("msg")).as("n"),
+      Ottl.nanosToSeconds(col("ts_ns")).as("secs"),
+      Ottl.default(lit(null).cast("string"), lit("dflt")).as("d")).head()
+    assert(r.getAs[String]("cat") == "Hello World-x")
+    assert(r.getSeq[String](r.fieldIndex("sp")).toSeq == Seq("Hello", "World"))
+    assert(r.getAs[String]("sub") == "Hello")
+    assert(r.getAs[Long]("i") == 42L)
+    assert(r.getAs[Boolean]("m"))
+    assert(r.getAs[String]("sha") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getAs[String]("jk") == "41")
+    assert(r.getAs[String]("uc") == "HELLO WORLD")
+    assert(r.getAs[Int]("n") == 11)
+    assert(math.abs(r.getAs[Double]("secs") - 1.700000000123456789e9) < 1)
+    assert(r.getAs[String]("d") == "dflt")
+  }
+}
