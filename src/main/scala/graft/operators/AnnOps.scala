@@ -180,14 +180,18 @@ object AnnOps {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("e")))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
+    // score per collision, dedupe after: a pair in k tables recomputes
+    // the O(dim) cosine k times, but the dedup then shuffles only
+    // (id, id, double) rows with a hash-aggregable buffer — carrying
+    // the embeddings through dropDuplicates instead forces a
+    // SortAggregate over array columns, which costs far more than the
+    // recompute (avg collision multiplicity is small; the kernel is
+    // ~dim FMAs)
     buckets.select(explode(
         graft.functions.VectorExprs.pair_combinations(col("members"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.e").as("ea"), col("p.b.e").as("eb"))
-      // dedupe BEFORE scoring: a pair colliding in many tables must
-      // pay the O(dim) cosine once, not once per collision
+        cosine(col("p.a.e"), col("p.b.e")).as("sim"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
