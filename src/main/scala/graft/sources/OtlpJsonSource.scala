@@ -618,6 +618,16 @@ object OtlpJsonSource {
     writeLogsJson(logs).select(
       OtlpProtobuf.otlp_logs_json_to_pb(col("json")).as("pb"))
 
+  /** span rows → binary ExportTraceServiceRequest documents */
+  def writeSpansPb(spans: DataFrame): DataFrame =
+    writeSpansJson(spans).select(
+      OtlpProtobuf.otlp_spans_json_to_pb(col("json")).as("pb"))
+
+  /** number datapoint rows → binary ExportMetricsServiceRequest docs */
+  def writeMetricsPb(points: DataFrame): DataFrame =
+    writeMetricsJson(points).select(
+      OtlpProtobuf.otlp_metrics_json_to_pb(col("json")).as("pb"))
+
   /** [[parseLogs]] with a dead-letter channel: requests that don't
     * parse (from_json → null) are routed raw instead of dropped —
     * the collector's receiver error path. Returns (good, dlq).

@@ -43,6 +43,14 @@ object OtlpProtobuf {
   def otlp_logs_json_to_pb(json: Column): Column =
     Bridge.column(OtlpLogsJsonToPb(Bridge.expression(json)))
 
+  /** Column API: OTLP/JSON traces document → binary request (export) */
+  def otlp_spans_json_to_pb(json: Column): Column =
+    Bridge.column(OtlpSpansJsonToPb(Bridge.expression(json)))
+
+  /** Column API: OTLP/JSON metrics document → binary request (export) */
+  def otlp_metrics_json_to_pb(json: Column): Column =
+    Bridge.column(OtlpMetricsJsonToPb(Bridge.expression(json)))
+
   /** Column API: like [[otlp_logs_pb_to_json]] but malformed bytes
     * yield NULL instead of failing the task — dead-lettering is a
     * per-row decision (receiver error path), one bad file must not
@@ -237,7 +245,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
 
@@ -306,7 +314,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
 
@@ -325,7 +333,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
 
@@ -371,7 +379,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     if (events.nonEmpty) parts += s""""events":[${events.mkString(",")}]"""
     if (links.nonEmpty) parts += s""""links":[${links.mkString(",")}]"""
     parts.mkString("{", ",", "}")
@@ -425,7 +433,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""filteredAttributes":[${attrs.mkString(",")}]"""
+    parts += s""""filteredAttributes":[${attrs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
 
@@ -448,7 +456,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     if (exs.nonEmpty) parts += s""""exemplars":[${exs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
@@ -491,7 +499,7 @@ object OtlpProtobuf {
     }
     if (counts.nonEmpty) parts += s""""bucketCounts":[${counts.map("\"" + _ + "\"").mkString(",")}]"""
     if (bounds.nonEmpty) parts += s""""explicitBounds":[${bounds.mkString(",")}]"""
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     if (exs.nonEmpty) parts += s""""exemplars":[${exs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
@@ -537,7 +545,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
 
@@ -571,7 +579,7 @@ object OtlpProtobuf {
         case (_, wt) => r.skip(wt)
       }
     }
-    if (attrs.nonEmpty) parts += s""""attributes":[${attrs.mkString(",")}]"""
+    parts += s""""attributes":[${attrs.mkString(",")}]"""
     if (qvs.nonEmpty) parts += s""""quantileValues":[${qvs.mkString(",")}]"""
     parts.mkString("{", ",", "}")
   }
@@ -743,12 +751,86 @@ object OtlpProtobuf {
     w.bytes
   }
 
-  /** OTLP/JSON logs request document → ExportLogsServiceRequest bytes.
-    * Ids must be hex strings (the form our JSON path uses). */
-  def logsJsonToRequest(json: UTF8String): Array[Byte] = {
+  private def hexField(w: Writer, field: Int, n: JNode, name: String): Unit =
+    // ids are hex in OTLP/JSON; non-hex ids (synthetic test data)
+    // cannot round-trip through raw wire bytes — drop, don't throw
+    if (n.hasNonNull(name) && isHex(n.get(name).asText()))
+      w.lenDelim(field, unhex(n.get(name).asText()))
+
+  /** Span per trace.pb.go field numbers (inverse of [[span]]) */
+  private def encodeSpan(sp: JNode): Array[Byte] = {
+    val w = new Writer
+    hexField(w, 1, sp, "traceId")
+    hexField(w, 2, sp, "spanId")
+    if (sp.hasNonNull("traceState")) w.str(3, sp.get("traceState").asText())
+    hexField(w, 4, sp, "parentSpanId")
+    if (sp.hasNonNull("name")) w.str(5, sp.get("name").asText())
+    if (sp.hasNonNull("kind")) w.vint(6, sp.get("kind").asLong())
+    if (sp.hasNonNull("startTimeUnixNano"))
+      w.fixed64(7, java.lang.Long.parseUnsignedLong(sp.get("startTimeUnixNano").asText()))
+    if (sp.hasNonNull("endTimeUnixNano"))
+      w.fixed64(8, java.lang.Long.parseUnsignedLong(sp.get("endTimeUnixNano").asText()))
+    if (sp.has("attributes")) sp.get("attributes").forEach(kv => w.lenDelim(9, encodeKeyValue(kv)))
+    if (sp.hasNonNull("droppedAttributesCount")) w.vint(10, sp.get("droppedAttributesCount").asLong())
+    if (sp.hasNonNull("droppedEventsCount")) w.vint(12, sp.get("droppedEventsCount").asLong())
+    if (sp.hasNonNull("droppedLinksCount")) w.vint(14, sp.get("droppedLinksCount").asLong())
+    if (sp.hasNonNull("status")) {
+      val st = sp.get("status")
+      val sw = new Writer
+      if (st.hasNonNull("message")) sw.str(2, st.get("message").asText())
+      if (st.hasNonNull("code")) sw.vint(3, st.get("code").asLong())
+      w.lenDelim(15, sw.bytes)
+    }
+    w.bytes
+  }
+
+  /** Metric (gauge/sum forms — what [[OtlpJsonSource.writeMetricsJson]]
+    * marshals) per metrics.pb.go field numbers */
+  private def encodeMetric(m: JNode): Array[Byte] = {
+    val w = new Writer
+    if (m.hasNonNull("name")) w.str(1, m.get("name").asText())
+    if (m.hasNonNull("description")) w.str(2, m.get("description").asText())
+    if (m.hasNonNull("unit")) w.str(3, m.get("unit").asText())
+    def numberPoint(dp: JNode): Array[Byte] = {
+      val pw = new Writer
+      if (dp.hasNonNull("startTimeUnixNano"))
+        pw.fixed64(2, java.lang.Long.parseUnsignedLong(dp.get("startTimeUnixNano").asText()))
+      if (dp.hasNonNull("timeUnixNano"))
+        pw.fixed64(3, java.lang.Long.parseUnsignedLong(dp.get("timeUnixNano").asText()))
+      if (dp.hasNonNull("asDouble")) {
+        val n = dp.get("asDouble")
+        val d = if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
+        pw.fixed64(4, java.lang.Double.doubleToLongBits(d))
+      }
+      if (dp.hasNonNull("asInt")) pw.fixed64(6, dp.get("asInt").asText().toLong)
+      if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(7, encodeKeyValue(kv)))
+      pw.bytes
+    }
+    if (m.hasNonNull("gauge")) {
+      val gw = new Writer
+      val dps = m.get("gauge").get("dataPoints")
+      if (dps != null) dps.forEach(dp => gw.lenDelim(1, numberPoint(dp)))
+      w.lenDelim(5, gw.bytes)
+    }
+    if (m.hasNonNull("sum")) {
+      val s = m.get("sum")
+      val sw = new Writer
+      val dps = s.get("dataPoints")
+      if (dps != null) dps.forEach(dp => sw.lenDelim(1, numberPoint(dp)))
+      if (s.hasNonNull("aggregationTemporality")) sw.vint(2, s.get("aggregationTemporality").asLong())
+      if (s.hasNonNull("isMonotonic")) sw.vint(3, if (s.get("isMonotonic").asBoolean()) 1 else 0)
+      w.lenDelim(7, sw.bytes)
+    }
+    w.bytes
+  }
+
+  /** shared inverse of [[resourceEnvelope]]: one request encoder for
+    * all three signals */
+  private def encodeRequest(json: UTF8String, rlName: String, slName: String,
+                            recName: String, rec: JNode => Array[Byte]): Array[Byte] = {
     val root = mapper.readTree(json.toString)
     val w = new Writer
-    val rls = root.get("resourceLogs")
+    val rls = root.get(rlName)
     if (rls != null) rls.forEach { rl =>
       val rlw = new Writer
       val res = rl.get("resource")
@@ -758,23 +840,36 @@ object OtlpProtobuf {
         if (attrs != null) attrs.forEach(kv => rw.lenDelim(1, encodeKeyValue(kv)))
         rlw.lenDelim(1, rw.bytes)
       }
-      val sls = rl.get("scopeLogs")
+      val sls = rl.get(slName)
       if (sls != null) sls.forEach { sl =>
         val slw = new Writer
         val sc = sl.get("scope")
-        if (sc != null && sc.has("name")) {
+        if (sc != null && sc.hasNonNull("name")) {
           val sw = new Writer
           sw.str(1, sc.get("name").asText())
           slw.lenDelim(1, sw.bytes)
         }
-        val recs = sl.get("logRecords")
-        if (recs != null) recs.forEach(lr => slw.lenDelim(2, encodeLogRecord(lr)))
+        val recs = sl.get(recName)
+        if (recs != null) recs.forEach(r => slw.lenDelim(2, rec(r)))
         rlw.lenDelim(2, slw.bytes)
       }
       w.lenDelim(1, rlw.bytes)
     }
     w.bytes
   }
+
+  /** OTLP/JSON logs request document → ExportLogsServiceRequest bytes.
+    * Ids must be hex strings (the form our JSON path uses). */
+  def logsJsonToRequest(json: UTF8String): Array[Byte] =
+    encodeRequest(json, "resourceLogs", "scopeLogs", "logRecords", encodeLogRecord)
+
+  /** OTLP/JSON traces request → ExportTraceServiceRequest bytes */
+  def spansJsonToRequest(json: UTF8String): Array[Byte] =
+    encodeRequest(json, "resourceSpans", "scopeSpans", "spans", encodeSpan)
+
+  /** OTLP/JSON metrics request → ExportMetricsServiceRequest bytes */
+  def metricsJsonToRequest(json: UTF8String): Array[Byte] =
+    encodeRequest(json, "resourceMetrics", "scopeMetrics", "metrics", encodeMetric)
 
   /** ExportLogsServiceRequest: 1=resourceLogs */
   def logsRequestToJson(bytes: Array[Byte]): UTF8String = {
@@ -865,4 +960,32 @@ case class OtlpLogsJsonToPb(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtobuf.logsJsonToRequest($c)")
 
   override protected def withNewChildInternal(c: Expression): OtlpLogsJsonToPb = copy(child = c)
+}
+
+/** OTLP/JSON traces document → binary ExportTraceServiceRequest */
+case class OtlpSpansJsonToPb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "otlp_spans_json_to_pb"
+
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtobuf.spansJsonToRequest(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtobuf.spansJsonToRequest($c)")
+
+  override protected def withNewChildInternal(c: Expression): OtlpSpansJsonToPb = copy(child = c)
+}
+
+/** OTLP/JSON metrics document → binary ExportMetricsServiceRequest */
+case class OtlpMetricsJsonToPb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "otlp_metrics_json_to_pb"
+
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtobuf.metricsJsonToRequest(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtobuf.metricsJsonToRequest($c)")
+
+  override protected def withNewChildInternal(c: Expression): OtlpMetricsJsonToPb = copy(child = c)
 }

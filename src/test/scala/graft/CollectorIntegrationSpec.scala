@@ -589,6 +589,43 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 5) // errors every 4th of 20
   }
 
+  test("protobuf spans export: rows → wire bytes → rows round-trips") {
+    import spark.implicits._
+    val spans = OtlpJsonSource.parseSpans(Seq(mkSpanRequest("api", 8)).toDF("json"))
+    val back = OtlpJsonSource.parseSpansPb(
+      OtlpJsonSource.writeSpansPb(spans).select(col("pb")))
+    val cols = Seq("trace_id", "span_id", "trace_state", "parent_span_id", "name",
+      "kind", "start_time_unix_nano", "end_time_unix_nano", "status_code",
+      "status_message", "attributes", "dropped_attributes_count")
+    // mkSpanRequest ids aren't hex, so compare the non-id fields plus counts
+    val keep = cols.filterNot(Set("trace_id", "span_id", "parent_span_id"))
+    assert(back.count() == 8)
+    val a = spans.select(keep.map(col): _*).collect().map(_.toString).sorted
+    val b = back.select(keep.map(col): _*).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("protobuf metrics export: rows → wire bytes → rows round-trips") {
+    import spark.implicits._
+    val reqs = (0 until 6).map { i =>
+      val m = if (i % 2 == 0)
+        s"""{"name":"cpu","unit":"1","gauge":{"dataPoints":[{"timeUnixNano":"${i}00","asDouble":$i.25,"attributes":[{"key":"core","value":{"stringValue":"c$i"}}]}]}}"""
+      else
+        s"""{"name":"req","sum":{"aggregationTemporality":1,"isMonotonic":true,"dataPoints":[{"timeUnixNano":"${i}00","asDouble":$i.5,"attributes":[]}]}}"""
+      s"""{"resourceMetrics":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
+         |"scopeMetrics":[{"scope":{"name":"graft"},"metrics":[$m]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    val points = OtlpJsonSource.parseMetricPoints(reqs.toDF("json"))
+    val back = OtlpJsonSource.parseMetricPointsPb(
+      OtlpJsonSource.writeMetricsPb(points).select(col("pb")))
+    val cols = Seq("metric_name", "metric_type", "unit", "aggregation_temporality",
+      "is_monotonic", "time_unix_nano", "value", "attributes", "resource_attributes")
+    val a = points.select(cols.map(col): _*).collect().map(_.toString).sorted
+    val b = back.select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
