@@ -169,7 +169,7 @@ object MetricsQueries {
     "q_summary_quantiles" -> {
       val arr = "arr"; val n = "n"
       s"""WITH s AS (
-         | SELECT event_type, list_sort(list(value)) AS arr, COUNT(*) AS n
+         | SELECT event_type, list_sort(list(value)) AS arr, COUNT(value) AS n
          | FROM events GROUP BY event_type)
          |SELECT event_type, n,
          | ${MetricsOps.quantileSql(arr, n, 0.5)} AS q50,

@@ -40,13 +40,19 @@ case class TopKDoubles(child: Expression, k: Int,
   override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Double] =
     new java.util.PriorityQueue[java.lang.Double](k + 1)
 
+  require(k > 0, s"top_k needs k > 0, got $k")
+
   override def update(buf: java.util.PriorityQueue[java.lang.Double],
                       input: InternalRow): java.util.PriorityQueue[java.lang.Double] = {
     val v = child.eval(input)
     if (v != null) {
       val d = v.asInstanceOf[Double]
-      if (buf.size < k) buf.add(d)
-      else if (buf.peek() < d) { buf.poll(); buf.add(d) }
+      // NaN compares false both ways: admitted early it could never be
+      // evicted and the result would depend on arrival order — skip it
+      if (!java.lang.Double.isNaN(d)) {
+        if (buf.size < k) buf.add(d)
+        else if (buf.peek() < d) { buf.poll(); buf.add(d) }
+      }
     }
     buf
   }
@@ -56,8 +62,10 @@ case class TopKDoubles(child: Expression, k: Int,
     val it = other.iterator()
     while (it.hasNext) {
       val d = it.next()
-      if (buf.size < k) buf.add(d)
-      else if (buf.peek() < d) { buf.poll(); buf.add(d) }
+      if (!java.lang.Double.isNaN(d)) {
+        if (buf.size < k) buf.add(d)
+        else if (buf.peek() < d) { buf.poll(); buf.add(d) }
+      }
     }
     buf
   }

@@ -238,31 +238,8 @@ object Kernels {
       }
     })
 
-  def hyperplaneBucketsMd5(v: ArrayData, tables: Int, planes: Int): ArrayData = {
-    val dim = v.numElements()
-    val w = hyperplaneWeightsMd5(tables, planes, dim)
-    val vals = new Array[Double](dim)
-    var i = 0
-    while (i < dim) { vals(i) = v.getDouble(i); i += 1 }
-    val out = new Array[Any](tables)
-    var t = 0
-    while (t < tables) {
-      val sb = new java.lang.StringBuilder(planes + 4)
-      sb.append(t).append(':')
-      var p = 0
-      while (p < planes) {
-        val row = w(t * planes + p)
-        var s = 0.0
-        var d = 0
-        while (d < dim) { s += (if (row(d) == 1) vals(d) else -vals(d)); d += 1 }
-        sb.append(if (s > 0) '1' else '0')
-        p += 1
-      }
-      out(t) = UTF8String.fromString(sb.toString)
-      t += 1
-    }
-    new GenericArrayData(out)
-  }
+  def hyperplaneBucketsMd5(v: ArrayData, tables: Int, planes: Int): ArrayData =
+    bucketsWith(v, tables, planes, hyperplaneWeightsMd5(tables, planes, v.numElements()))
 
   /** Rabin–Karp polynomial rolling hash over Unicode code points:
     * h = fold (acc * base + cp) mod m. Engine-portable — the DuckDB
@@ -293,10 +270,15 @@ object Kernels {
   }
 
   /** all ordered pairs (i < j) of an array's elements as an array of
-    * 2-field structs; elements passed through by reference */
+    * 2-field structs; elements passed through by reference. Guarded:
+    * Int pair-count arithmetic silently overflows near n≈65k, so an
+    * uncapped posting list must fail loudly, not corrupt. */
   def pairCombinations(arr: ArrayData, elemType: org.apache.spark.sql.types.DataType): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val pairs = n.toLong * (n - 1) / 2
+    require(pairs <= Int.MaxValue,
+      s"pair expansion of a $n-element bucket overflows — cap the bucket (maxBucket/maxDf)")
+    val out = new Array[Any](pairs.toInt)
     var idx = 0
     var i = 0
     while (i < n) {
@@ -350,9 +332,14 @@ object Kernels {
       }
     })
 
-  def hyperplaneBuckets(v: ArrayData, tables: Int, planes: Int): ArrayData = {
+  def hyperplaneBuckets(v: ArrayData, tables: Int, planes: Int): ArrayData =
+    bucketsWith(v, tables, planes, hyperplaneWeightsFor(tables, planes, v.numElements()))
+
+  /** shared bucket-string construction for both weight sources (one
+    * loop to maintain — the sign/tie rule must never diverge) */
+  private def bucketsWith(v: ArrayData, tables: Int, planes: Int,
+                          w: Array[Array[Byte]]): ArrayData = {
     val dim = v.numElements()
-    val w = hyperplaneWeightsFor(tables, planes, dim)
     val vals = new Array[Double](dim)
     var i = 0
     while (i < dim) { vals(i) = v.getDouble(i); i += 1 }

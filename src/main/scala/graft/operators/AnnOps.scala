@@ -191,8 +191,10 @@ object AnnOps {
         graft.functions.VectorExprs.pair_combinations(col("members"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         cosine(col("p.a.e"), col("p.b.e")).as("sim"))
-      .dropDuplicates("id_a", "id_b")
+      // threshold BEFORE the dedup shuffle: cosine is deterministic
+      // per pair, so only above-threshold rows need deduplicating
       .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   private def lshTopKImpl(queries: DataFrame, corpus: DataFrame, planes: Int,
@@ -206,11 +208,14 @@ object AnnOps {
     }
     val q = sig(queries, "qid", "qe")
     val c = sig(corpus, "nid", "ne")
+    // score per collision, dedup the scalar rows after — deduping
+    // while carrying the embedding arrays would force a SortAggregate
+    // over arrays (see embedNearDupPairs), far costlier than a few
+    // recomputed dim-FMA cosines
     val cand = c.join(broadcast(q), "bucket")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qe"), col("ne"))
-      .dropDuplicates("qid", "nid")
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

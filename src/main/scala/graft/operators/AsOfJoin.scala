@@ -41,9 +41,16 @@ object AsOfJoin {
     // state sorts before events at equal time => "<=" as-of semantics
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__is_event"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = stateCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"__last_$c", last(col(s"__s_$c"), ignoreNulls = true).over(w)))
+    // carry ONE struct per right row, null on event rows: per-column
+    // last(ignoreNulls) would stitch fields from different right rows
+    // whenever a state value is genuinely NULL — a composite snapshot
+    // no right row ever held. The struct keeps the match row-atomic.
+    val carried = unioned
+      .withColumn("__state", when(col("__is_event") === 0,
+        struct(stateCols.map(c => col(s"__s_$c").as(c)): _*)))
+      .withColumn("__last_state", last(col("__state"), ignoreNulls = true).over(w))
     carried.filter(col("__is_event") === 1)
-      .select(lCols.map(col) ++ stateCols.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
+      .select(lCols.map(col) ++
+        stateCols.map(c => col("__last_state").getField(c).as(s"asof_$c")): _*)
   }
 }

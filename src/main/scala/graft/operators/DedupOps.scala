@@ -81,6 +81,11 @@ object DedupOps {
                                   nonEmptyGuard: Column => Column): DataFrame = {
     val k = bands * rows
     val nonEmpty = df.filter(nonEmptyGuard(col(sigCol)))
+      // a signature built with a different k would silently band on
+      // empty slices and mis-scale est_sim — fail loudly instead
+      .withColumn(sigCol, when(size(col(sigCol)) === k, col(sigCol))
+        .otherwise(raise_error(concat(
+          lit(s"signature length != bands*rows=$k: "), size(col(sigCol)).cast("string")))))
     val banded = nonEmpty.select(col(idCol), col(sigCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -169,13 +174,16 @@ object DedupOps {
     * self-join re-evaluating the lineage), shuffling once on the
     * shingle and once on the pair.
     *
-    * `maxDf`: optional document-frequency cap — a shingle present in
-    * huge numbers of docs generates quadratic pairs with little
-    * signal; cap it at scale (changes results, so the oracle demo
-    * leaves it off).
+    * `maxDf`: document-frequency cap — a shingle present in huge
+    * numbers of docs generates quadratic pairs with little signal,
+    * and an uncapped posting list eventually overflows pair
+    * expansion. The default (50k ≈ 1.25B pairs) is the hard ceiling;
+    * set it far lower at scale. (Caps change results only when a
+    * shingle's df exceeds them — the sf0.01 oracle corpus never
+    * gets near the default.)
     */
   def jaccardPairs(df: DataFrame, idCol: String, shinglesCol: String,
-                   threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+                   threshold: Double, maxDf: Int = 50000): DataFrame = {
     // shuffle 8-byte shingle hashes, not strings: identical counts
     // unless XXH64 collides within one doc pair's shingle sets
     // (P ≈ n²/2⁶⁵ — negligible), and the shuffle shrinks ~3×. The doc

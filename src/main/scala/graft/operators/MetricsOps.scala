@@ -94,8 +94,10 @@ object MetricsOps {
     */
   def summaryQuantiles(df: DataFrame, seriesKeys: Seq[Column], value: Column,
                        qs: Seq[Double]): DataFrame = {
+    // count(value), not count(*): collect_list drops nulls, and an n
+    // that includes them indexes past the array (NULL/shifted quantiles)
     val base = df.groupBy(seriesKeys: _*)
-      .agg(sort_array(collect_list(value)).as("arr"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(value)).as("arr"), count(value).as("n"))
     val withQs = qs.foldLeft(base) { (d, q) =>
       d.withColumn(qName(q), quantileFromSorted(col("arr"), col("n"), q))
     }
@@ -120,7 +122,7 @@ object MetricsOps {
   def summaryQuantilesApprox(df: DataFrame, seriesKeys: Seq[Column], value: Column,
                              qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
     val base = df.groupBy(seriesKeys: _*)
-      .agg(count(lit(1)).as("n"),
+      .agg(count(value).as("n"),
         percentile_approx(value, typedLit(qs), lit(accuracy)).as("_qs"))
     qs.zipWithIndex.foldLeft(base) { case (d, (q, i)) =>
       d.withColumn(qName(q), element_at(col("_qs"), i + 1))

@@ -25,7 +25,10 @@ object Processors {
     * parquet predicate pushdown applies.
     */
   def filter(df: DataFrame, include: Column, exclude: Column = lit(false)): DataFrame =
-    df.filter(include && !exclude)
+    // NULL exclude (missing attribute) means "does not match the
+    // exclude rule" — keep the row. Bare !exclude would three-value
+    // the row away.
+    df.filter(include && !coalesce(exclude, lit(false)))
 
   // ---- attributes processor actions (pcommon.Map edit model) ----
   sealed trait AttrAction

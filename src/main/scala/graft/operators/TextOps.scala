@@ -11,6 +11,10 @@ object TextOps {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Deliberate cross-engine semantics: empty/whitespace-only text
+    * tokenizes to [""] (count 1) in BOTH Spark split and DuckDB
+    * regexp_split_to_array — the oracle contract pins this edge, so
+    * don't "fix" it one-sided. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword segmentation: letter runs, digit runs, and

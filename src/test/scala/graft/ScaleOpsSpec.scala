@@ -88,6 +88,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("as-of join is row-atomic: NULL state values never stitch across right rows") {
+    import spark.implicits._
+    val events = Seq((1L, 10L), (1L, 30L)).toDF("k", "ts")
+    // at t=20 the latest state row has b=NULL; the event at t=30 must
+    // see (a=3, b=NULL), never a composite (a=3, b=2) from two rows
+    val state = Seq((1L, 5L, Some(1), Some(2)), (1L, 20L, Some(3), None))
+      .toDF("k", "ts", "a", "b")
+    val out = graft.operators.AsOfJoin.asOf(events, state, "k", "ts", "ts", Seq("a", "b"))
+      .orderBy("ts").collect()
+    assert(out(0).getAs[Int]("asof_a") == 1 && out(0).getAs[Int]("asof_b") == 2)
+    assert(out(1).getAs[Int]("asof_a") == 3 && out(1).isNullAt(out(1).fieldIndex("asof_b")))
+  }
+
   test("queued exporter: retries redeliver, poison batches land in the DLQ") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
