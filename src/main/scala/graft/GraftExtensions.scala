@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CosineSim, HyperplaneBuckets, HyperplaneBucketsMd5, MinHashSignature, MinHashSignatureMd5, RollingHash, SimHashBits, SimHashBits128, SimHashBitsMd5, WordShingles}
-import graft.sources.{OtlpLogsJsonToPb, OtlpLogsPbToJson, OtlpMetricsPbToJson, OtlpSpansPbToJson}
+import graft.sources.{OtlpLogsJsonToPb, OtlpLogsPbToJson, OtlpMetricsJsonToPb, OtlpMetricsPbToJson, OtlpSpansJsonToPb, OtlpSpansPbToJson}
 
 /** SQL surface for the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
@@ -85,7 +85,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => OtlpMetricsPbToJson(args.head)),
     "otlp_logs_json_to_pb" -> (
       new ExpressionInfo(classOf[OtlpLogsJsonToPb].getName, "otlp_logs_json_to_pb"),
-      (args: Seq[Expression]) => OtlpLogsJsonToPb(args.head)))
+      (args: Seq[Expression]) => OtlpLogsJsonToPb(args.head)),
+    "otlp_spans_json_to_pb" -> (
+      new ExpressionInfo(classOf[OtlpSpansJsonToPb].getName, "otlp_spans_json_to_pb"),
+      (args: Seq[Expression]) => OtlpSpansJsonToPb(args.head)),
+    "otlp_metrics_json_to_pb" -> (
+      new ExpressionInfo(classOf[OtlpMetricsJsonToPb].getName, "otlp_metrics_json_to_pb"),
+      (args: Seq[Expression]) => OtlpMetricsJsonToPb(args.head)))
 
   /** imperative registration for an existing session */
   def register(spark: SparkSession): Unit = {

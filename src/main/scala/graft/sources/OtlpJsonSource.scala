@@ -640,11 +640,9 @@ object OtlpJsonSource {
     (good, dlq)
   }
 
-  /** Streaming OTLP-protobuf file receiver: tail a directory of
-    * binary request files (one ExportLogsServiceRequest per file —
-    * the shape an HTTP receiver's spool directory has). */
-  def streamLogsPb(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
-    parseLogsPb(spark.readStream
+  private def streamPbFiles(spark: SparkSession, dir: String,
+                            maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
       .format("binaryFile")
       .schema(StructType(Seq(  // binaryFile's fixed schema (streaming sources don't infer)
         StructField("path", StringType),
@@ -653,7 +651,19 @@ object OtlpJsonSource {
         StructField("content", BinaryType))))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .select(col("content").as("pb")))
+      .select(col("content").as("pb"))
+
+  /** Streaming OTLP-protobuf file receivers: tail a directory of
+    * binary request files (one Export*ServiceRequest per file — the
+    * shape an HTTP receiver's spool directory has). */
+  def streamLogsPb(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    parseLogsPb(streamPbFiles(spark, dir, maxFilesPerTrigger))
+
+  def streamSpansPb(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    parseSpansPb(streamPbFiles(spark, dir, maxFilesPerTrigger))
+
+  def streamMetricsPb(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    parseMetricPointsPb(streamPbFiles(spark, dir, maxFilesPerTrigger))
 
   /** Streaming OTLP-JSON file receiver: tail a directory of request
     * documents (one JSON per line) with admission control

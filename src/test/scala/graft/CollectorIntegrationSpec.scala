@@ -626,6 +626,21 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("streaming protobuf span receiver parses wire files into span rows") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("otlp_pb_spans").toString
+    val pb = OtlpJsonSource.writeSpansPb(
+      OtlpJsonSource.parseSpans(Seq(mkSpanRequest("api", 6)).toDF("json")))
+      .head().getAs[Array[Byte]]("pb")
+    Files.write(Paths.get(s"$inDir/r1.pb"), pb)
+    val q = OtlpJsonSource.streamSpansPb(spark, inDir)
+      .writeStream.format("memory").queryName("pb_spans_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM pb_spans_out").head().getLong(0) == 6)
+    assert(spark.sql("SELECT DISTINCT scope_name FROM pb_spans_out").head().getString(0) == "graft")
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
