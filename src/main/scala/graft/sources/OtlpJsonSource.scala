@@ -399,6 +399,7 @@ object OtlpJsonSource {
         col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
         col("dp.count").cast("long").as("total_count"),
         col("dp.sum").as("total_sum"),
+        kvToMap(col("dp.attributes")).as("attributes"),
         posexplode(col("dp.bucketCounts")))
       .withColumnRenamed("pos", "bucket_idx")
       .withColumn("bucket_count", col("col").cast("long"))
@@ -418,9 +419,10 @@ object OtlpJsonSource {
         col("dp.timeUnixNano").cast("long").as("time_unix_nano"),
         col("dp.count").cast("long").as("total_count"),
         col("dp.sum").as("total_sum"),
+        kvToMap(col("dp.attributes")).as("attributes"),
         explode(col("dp.quantileValues")).as("qv"))
       .select(col("metric_name"), col("time_unix_nano"),
-        col("total_count"), col("total_sum"),
+        col("total_count"), col("total_sum"), col("attributes"),
         col("qv.quantile").as("quantile"), col("qv.value").as("value"))
 
   /** exponential histogram datapoints → one row per bucket, BOTH
@@ -447,12 +449,13 @@ object OtlpJsonSource {
         col("dp.scale").as("scale"),
         col("dp.zeroCount").cast("long").as("zero_count"),
         coalesce(col("dp.zeroThreshold"), lit(0.0)).as("zero_threshold"),
+        kvToMap(col("dp.attributes")).as("attributes"),
         explode(array(
           struct(lit(1).as("sign"), col("dp.positive").as("b")),
           struct(lit(-1).as("sign"), col("dp.negative").as("b")))).as("sb"))
       .filter(col("sb.b").isNotNull)
       .select(col("metric_name"), col("time_unix_nano"), col("scale"),
-        col("zero_count"), col("zero_threshold"),
+        col("zero_count"), col("zero_threshold"), col("attributes"),
         col("sb.sign").as("sign"), col("sb.b.offset").as("offset"),
         posexplode(col("sb.b.bucketCounts")))
       .withColumnRenamed("pos", "bucket_idx")
