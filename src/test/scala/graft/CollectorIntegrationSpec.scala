@@ -641,6 +641,44 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(spark.sql("SELECT DISTINCT scope_name FROM pb_spans_out").head().getString(0) == "graft")
   }
 
+  test("wire-to-wire collector deployment: pb spool → stream → process → queued pb export → re-ingest") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val spool = Files.createTempDirectory("w2w_spool").toString
+    val outDir = Files.createTempDirectory("w2w_out").toString
+    val ck = Files.createTempDirectory("w2w_ck").toString
+    // two binary requests land in the spool (what an HTTP frontend dumps)
+    for ((svc, i) <- Seq("api" -> 1, "worker" -> 2)) {
+      val pb = OtlpJsonSource.writeLogsPb(
+        OtlpJsonSource.parseLogs(Seq(mkLogRequest(svc, 20, 4)).toDF("json")))
+        .head().getAs[Array[Byte]]("pb")
+      Files.write(Paths.get(s"$spool/r$i.pb"), pb)
+    }
+    // streaming pipeline: decode wire → filter errors → attribute
+    // hygiene → queued exporter writing BINARY requests per batch
+    val logs = OtlpJsonSource.streamLogsPb(spark, spool)
+    val processed = Processors.filter(logs, col("severity_number") >= 17)
+      .withColumn("attributes", Processors.mapDelete(col("attributes"), Seq("noisy")))
+    val pbSink = new graft.pipeline.Pipeline.Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        OtlpJsonSource.writeLogsPb(df)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+    val q = graft.streaming.StreamingPipelines.exportStream(processed,
+      graft.pipeline.Pipeline.QueuedExporter(pbSink, s"$outDir/_dlq"), ck)
+    try q.processAllAvailable() finally q.stop()
+    // the exported wire bytes re-ingest losslessly
+    val back = OtlpJsonSource.parseLogsPb(
+      spark.read.parquet(outDir).select(col("pb")))
+    assert(back.count() == 10) // 5 errors per 20-record request × 2
+    assert(back.filter(col("severity_number") >= 17).count() == 10)
+    val attrs = back.head().getAs[Map[String, String]]("attributes")
+    assert(!attrs.contains("noisy") && attrs.contains("idx"))
+    assert(back.select(col("resource_attributes").getItem("service.name"))
+      .distinct().count() == 2)
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
