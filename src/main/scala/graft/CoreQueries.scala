@@ -149,6 +149,7 @@ object CoreQueries {
     "q_salted_agg" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       graft.operators.ScaleOps.saltedAgg(Tables(s, dir, "events"), "event_type", 8,
+        saltSource = col("event_id"),
         partial = Seq(sum(col("value").cast(DecimalType(28, 8))).as("pv"),
           count(lit(1)).as("pn")),
         finalAgg = Seq(sum(col("pv")).cast("double").as("total_value"),

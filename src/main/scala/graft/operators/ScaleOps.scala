@@ -19,10 +19,17 @@ object ScaleOps {
     *
     * Use when the right side is small-ish but over the broadcast
     * threshold and the left key distribution is heavy-tailed.
+    *
+    * `saltSource` must be a STABLE left-side column (a record id).
+    * Deriving the salt from monotonically_increasing_id() would be
+    * partition-layout dependent: a task retry or upstream
+    * repartition re-salts rows differently, violating deterministic-
+    * under-recompute even when the final result collapses the salt.
     */
-  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+                 saltSource: Column): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+      pmod(xxhash64(saltSource), lit(salt)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
@@ -40,11 +47,13 @@ object ScaleOps {
     * on (key, salt), then final-aggregate on key. Spark's partial
     * HashAggregate usually makes this unnecessary; it matters when
     * the partial agg state is large (e.g. collect-like buffers).
+    * `saltSource`: stable id column — see [[saltedJoin]] on why not
+    * monotonically_increasing_id().
     */
-  def saltedAgg(df: DataFrame, key: String, salt: Int,
+  def saltedAgg(df: DataFrame, key: String, salt: Int, saltSource: Column,
                 partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
     df.withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+        pmod(xxhash64(saltSource), lit(salt)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

@@ -105,6 +105,55 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (a, b) => a != b })
   }
 
+  test("connected components: global min per component, greedy differs on stars") {
+    val spark2 = spark
+    import spark2.implicits._
+    // star: 1~3 and 2~3 but 1 and 2 not directly paired. Cluster
+    // semantics: one component {1,2,3}, keep {1}. Greedy local-minima
+    // keeps {1,2} — the over-retention CC fixes.
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val docs3 = Seq(1L, 2L, 3L, 9L).toDF("doc_id") // 9 is in no pair
+    val cc = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val keptCC = DedupOps.applyDedupCC(docs3, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    val keptGreedy = DedupOps.applyDedup(docs3, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptCC == Set(1L, 9L))
+    assert(keptGreedy == Set(1L, 2L, 9L), "greedy keeps the local min 2 — differs from CC")
+  }
+
+  test("connected components matches union-find on a random graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 2000
+    // sparse random graph: ~0.6 edges/vertex → many multi-hop chains
+    val edges = (0 until 1200).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      if (a < b) (a, b) else (b, a)
+    }.filter(p => p._1 != p._2).distinct
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = inGraph.map(v => v -> {
+      // component label = min vertex with same root
+      val root = find(v.toInt)
+      inGraph.filter(u => find(u.toInt) == root).min
+    }).toMap
+    val got = DedupOps.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val diff = (want.keySet ++ got.keySet).filter(k => want.get(k) != got.get(k))
+    assert(diff.isEmpty, s"${diff.size} mismatches, sample: " +
+      diff.take(5).map(k => s"$k: want=${want.get(k)} got=${got.get(k)}").mkString(", "))
+  }
+
   test("multimodal decodeFeatures plumbing produces typed features") {
     val media = MultimodalOps.asMedia(docs)
     val feats = MultimodalOps.decodeFeatures(spark, media)

@@ -13,9 +13,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     val c = Tables(spark, sf, "customer")
     val plain = e.join(c, "c_custkey")
       .agg(count(lit(1)), sum(col("value")).cast("decimal(20,2)")).head()
-    val salted = ScaleOps.saltedJoin(e, c, "c_custkey", salt = 8)
+    val salted = ScaleOps.saltedJoin(e, c, "c_custkey", salt = 8,
+        saltSource = col("event_id"))
       .agg(count(lit(1)), sum(col("value")).cast("decimal(20,2)")).head()
     assert(plain == salted)
+  }
+
+  test("salting is deterministic under repartition-perturbed input") {
+    val e = Tables(spark, sf, "events")
+    def saltsOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(8)).cast("int"))
+      .select("event_id", "__salt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // same rows, different physical layout → identical per-row salt
+    // (the property monotonically_increasing_id-derived salt violates:
+    // a task retry or upstream repartition re-salts those rows)
+    assert(saltsOf(e) == saltsOf(e.repartition(7, col("value"))))
+    // and the salted agg output itself is identical under perturbation
+    val a = ScaleOps.saltedAgg(e, "event_type", 8, col("event_id"),
+        partial = Seq(count(lit(1)).as("pn")),
+        finalAgg = Seq(sum(col("pn")).as("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = ScaleOps.saltedAgg(e.repartition(13), "event_type", 8, col("event_id"),
+        partial = Seq(count(lit(1)).as("pn")),
+        finalAgg = Seq(sum(col("pn")).as("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
   }
 
   test("coPartition lets a join reuse the partitioning (no extra exchange)") {
@@ -145,7 +168,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val direct = e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = ScaleOps.saltedAgg(e, "event_type", 8,
+    val salted = ScaleOps.saltedAgg(e, "event_type", 8, col("event_id"),
         partial = Seq(count(lit(1)).as("pn")),
         finalAgg = Seq(sum(col("pn")).as("n")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
