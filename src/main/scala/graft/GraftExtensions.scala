@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CosineSim, HyperplaneBuckets, HyperplaneBucketsMd5, MinHashSignature, MinHashSignatureMd5, RollingHash, SimHashBits, SimHashBits128, SimHashBitsMd5, WordShingles}
-import graft.sources.{OtlpLogsJsonToPb, OtlpLogsPbToJson, OtlpMetricsJsonToPb, OtlpMetricsPbToJson, OtlpSpansJsonToPb, OtlpSpansPbToJson}
+import graft.sources.{OtlpLogsJsonToPb, OtlpLogsPbToJson, OtlpLogsPbToJsonSafe, OtlpMetricsJsonToPb, OtlpMetricsPbToJson, OtlpMetricsPbToJsonSafe, OtlpSpansJsonToPb, OtlpSpansPbToJson, OtlpSpansPbToJsonSafe}
 
 /** SQL surface for the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
@@ -91,7 +91,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => OtlpSpansJsonToPb(args.head)),
     "otlp_metrics_json_to_pb" -> (
       new ExpressionInfo(classOf[OtlpMetricsJsonToPb].getName, "otlp_metrics_json_to_pb"),
-      (args: Seq[Expression]) => OtlpMetricsJsonToPb(args.head)))
+      (args: Seq[Expression]) => OtlpMetricsJsonToPb(args.head)),
+    "otlp_logs_pb_to_json_safe" -> (
+      new ExpressionInfo(classOf[OtlpLogsPbToJsonSafe].getName, "otlp_logs_pb_to_json_safe"),
+      (args: Seq[Expression]) => OtlpLogsPbToJsonSafe(args.head)),
+    "otlp_spans_pb_to_json_safe" -> (
+      new ExpressionInfo(classOf[OtlpSpansPbToJsonSafe].getName, "otlp_spans_pb_to_json_safe"),
+      (args: Seq[Expression]) => OtlpSpansPbToJsonSafe(args.head)),
+    "otlp_metrics_pb_to_json_safe" -> (
+      new ExpressionInfo(classOf[OtlpMetricsPbToJsonSafe].getName, "otlp_metrics_pb_to_json_safe"),
+      (args: Seq[Expression]) => OtlpMetricsPbToJsonSafe(args.head)))
 
   /** imperative registration for an existing session */
   def register(spark: SparkSession): Unit = {

@@ -576,7 +576,11 @@ object OtlpJsonSource {
               struct(col("dataPoints").as("dataPoints"))).as("gauge"),
             when(col("metric_type") === "sum", struct(
               col("dataPoints").as("dataPoints"),
-              when(col("aggregation_temporality") === "delta", 1).otherwise(2)
+              // only emit a temporality that is actually known —
+              // null (UNSPECIFIED/unrecognized) must NOT silently
+              // become CUMULATIVE on export; to_json drops the null
+              when(col("aggregation_temporality") === "delta", 1)
+                .when(col("aggregation_temporality") === "cumulative", 2)
                 .as("aggregationTemporality"),
               col("is_monotonic").as("isMonotonic"))).as("sum"))).as("metrics"))).as("scopeMetrics"))).as("resourceMetrics"))).as("json"))
   }
@@ -609,10 +613,33 @@ object OtlpJsonSource {
     parseSpans(requests.select(
       OtlpProtobuf.otlp_spans_pb_to_json(col("pb")).as("json")))
 
+  /** [[parseSpansPb]] with the dead-letter path (mirrors
+    * [[parseLogsPbWithDlq]] — one corrupt spool file must not kill a
+    * spans streaming query either). Returns (good, dlq). */
+  def parseSpansPbWithDlq(requests: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = requests.withColumn("json",
+      OtlpProtobuf.otlp_spans_pb_to_json_safe(col("pb")))
+    val good = parseSpans(tagged.filter(col("json").isNotNull).select(col("json")))
+    val dlq = tagged.filter(col("json").isNull)
+      .select(col("pb").as("raw"), current_timestamp().as("dlq_time"))
+    (good, dlq)
+  }
+
   /** binary ExportMetricsServiceRequest rows → number datapoint rows */
   def parseMetricPointsPb(requests: DataFrame): DataFrame =
     parseMetricPoints(requests.select(
       OtlpProtobuf.otlp_metrics_pb_to_json(col("pb")).as("json")))
+
+  /** [[parseMetricPointsPb]] with the dead-letter path. Returns
+    * (good, dlq). */
+  def parseMetricPointsPbWithDlq(requests: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = requests.withColumn("json",
+      OtlpProtobuf.otlp_metrics_pb_to_json_safe(col("pb")))
+    val good = parseMetricPoints(tagged.filter(col("json").isNotNull).select(col("json")))
+    val dlq = tagged.filter(col("json").isNull)
+      .select(col("pb").as("raw"), current_timestamp().as("dlq_time"))
+    (good, dlq)
+  }
 
   /** logs rows → binary ExportLogsServiceRequest documents (the
     * otlpexporter protobuf encoding: marshal to the JSON form, then
@@ -667,6 +694,44 @@ object OtlpJsonSource {
 
   def streamMetricsPb(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
     parseMetricPointsPb(streamPbFiles(spark, dir, maxFilesPerTrigger))
+
+  /** Dead-lettering streaming receivers: one corrupt spool file must
+    * not kill the whole query — malformed requests flow to the dlq
+    * stream (raw bytes + time), well-formed ones parse as usual.
+    * Returns (good, dlq); attach a sink to each. */
+  def streamLogsPbWithDlq(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Int = 10): (DataFrame, DataFrame) =
+    parseLogsPbWithDlq(streamPbFiles(spark, dir, maxFilesPerTrigger))
+
+  def streamSpansPbWithDlq(spark: SparkSession, dir: String,
+                           maxFilesPerTrigger: Int = 10): (DataFrame, DataFrame) =
+    parseSpansPbWithDlq(streamPbFiles(spark, dir, maxFilesPerTrigger))
+
+  def streamMetricsPbWithDlq(spark: SparkSession, dir: String,
+                             maxFilesPerTrigger: Int = 10): (DataFrame, DataFrame) =
+    parseMetricPointsPbWithDlq(streamPbFiles(spark, dir, maxFilesPerTrigger))
+
+  /** Socket-fed OTLP receiver: the reference's primary surface is a
+    * network server (receiver/otlpreceiver/otlp.go:42 — gRPC/HTTP
+    * push), not a file tail. Structured Streaming's socket source
+    * delivers UTF-8 lines, so binary Export*ServiceRequest frames ride
+    * base64-per-line (the same framing an HTTP receiver's JSON-lines
+    * spool uses for binary payloads); everything downstream — decode,
+    * DLQ, flatten — is the identical parse path the file receivers
+    * use. The socket source is Spark's demo source (no replay, single
+    * reader); a production push receiver fronts this with a durable
+    * log (Kafka-shape source) feeding the same `pb` column.
+    */
+  def socketLogsPb(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseLogsPb(spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(unbase64(col("value")).as("pb")))
+
+  /** [[socketLogsPb]] with the dead-letter path: returns (good, dlq) */
+  def socketLogsPbWithDlq(spark: SparkSession, host: String, port: Int): (DataFrame, DataFrame) =
+    parseLogsPbWithDlq(spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(unbase64(col("value")).as("pb")))
 
   /** Streaming OTLP-JSON file receiver: tail a directory of request
     * documents (one JSON per line) with admission control

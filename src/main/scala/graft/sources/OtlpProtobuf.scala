@@ -63,6 +63,24 @@ object OtlpProtobuf {
     try logsRequestToJson(bytes)
     catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
 
+  /** Column API: NULL-on-malformed traces decode (DLQ path) */
+  def otlp_spans_pb_to_json_safe(pb: Column): Column =
+    Bridge.column(OtlpSpansPbToJsonSafe(Bridge.expression(pb)))
+
+  /** Column API: NULL-on-malformed metrics decode (DLQ path) */
+  def otlp_metrics_pb_to_json_safe(pb: Column): Column =
+    Bridge.column(OtlpMetricsPbToJsonSafe(Bridge.expression(pb)))
+
+  /** nullable twin of [[spansRequestToJson]] for the DLQ path */
+  def spansRequestToJsonOrNull(bytes: Array[Byte]): UTF8String =
+    try spansRequestToJson(bytes)
+    catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  /** nullable twin of [[metricsRequestToJson]] for the DLQ path */
+  def metricsRequestToJsonOrNull(bytes: Array[Byte]): UTF8String =
+    try metricsRequestToJson(bytes)
+    catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
   // ---- wire-level reader ----------------------------------------
 
   private def malformed(why: String): Nothing =
@@ -461,14 +479,18 @@ object OtlpProtobuf {
     parts.mkString("{", ",", "}")
   }
 
-  /** packed (or unpacked) fixed64 list → JSON array of strings */
+  /** packed (wire type 2) or unpacked (wire type 1) fixed64 list →
+    * JSON array of strings. Any other wire type is the caller's to
+    * skip — consuming 8 raw bytes for, say, a varint-encoded field
+    * would misalign the reader and decode garbage instead of failing. */
   private def packedFixed64(b: Array[Byte], r: Reader, wireType: Int,
                             acc: scala.collection.mutable.ArrayBuffer[String]): Unit =
     if (wireType == 2) {
       val (o, l) = r.lenDelim()
       val inner = new Reader(b, o, o + l)
       while (inner.hasNext) acc += java.lang.Long.toUnsignedString(inner.fixed64())
-    } else acc += java.lang.Long.toUnsignedString(r.fixed64())
+    } else if (wireType == 1) acc += java.lang.Long.toUnsignedString(r.fixed64())
+    else malformed(s"wire type $wireType for packed fixed64")
 
   /** HistogramDataPoint: 9=attributes 2=start 3=time 4=count(f64)
     * 5=sum 6=bucketCounts(packed f64) 7=explicitBounds(packed f64)
@@ -487,7 +509,8 @@ object OtlpProtobuf {
         case (3, 1)  => parts += s""""timeUnixNano":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (4, 1)  => parts += s""""count":"${java.lang.Long.toUnsignedString(r.fixed64())}""""
         case (5, 1)  => parts += s""""sum":${jsonDouble(java.lang.Double.longBitsToDouble(r.fixed64()))}"""
-        case (6, wt) => packedFixed64(b, r, wt, counts)
+        case (6, 2)  => packedFixed64(b, r, 2, counts)
+        case (6, 1)  => packedFixed64(b, r, 1, counts)
         case (7, 2)  => val (o, l) = r.lenDelim()
           val inner = new Reader(b, o, o + l)
           while (inner.hasNext) bounds += jsonDouble(java.lang.Double.longBitsToDouble(inner.fixed64()))
@@ -656,8 +679,11 @@ object OtlpProtobuf {
   // ---- encode (otlpexporter wire format) -------------------------
   // The exporter's inverse: OTLP/JSON document → protobuf bytes.
   // Driven by Jackson (already on Spark's classpath for from_json),
-  // mirroring the decoder's field numbers, so
-  // decode ∘ encode = id on the JSON form.
+  // mirroring the decoder's field numbers, so decode ∘ encode = id on
+  // the JSON form — for EVERY section the decoders emit: all five
+  // metric data types, span events/links, exemplars (spec-verified
+  // round trips in CollectorIntegrationSpec). Unparseable numeric
+  // strings and non-hex ids drop the field rather than throw.
 
   private final class Writer {
     private val buf = new java.io.ByteArrayOutputStream(256)
@@ -684,6 +710,21 @@ object OtlpProtobuf {
       while (i < 4) { buf.write(((x >>> (8 * i)) & 0xff).toInt); i += 1 }
     }
     def vint(field: Int, x: Long): Unit = { tag(field, 0); varint(x) }
+    /** sint32 (zigzag) varint field */
+    def zint32(field: Int, x: Int): Unit =
+      vint(field, ((x.toLong << 1) ^ (x.toLong >> 31)) & 0xffffffffL)
+    def rawFixed64(x: Long): Unit = {
+      var i = 0
+      while (i < 8) { buf.write(((x >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def rawVarint(x: Long): Unit = varint(x)
+  }
+
+  /** packed fixed64 list field from a sub-writer of raw values */
+  private def packed(w: Writer, field: Int)(fill: Writer => Unit): Unit = {
+    val inner = new Writer
+    fill(inner)
+    w.lenDelim(field, inner.bytes)
   }
 
   private def unhex(s: String): Array[Byte] =
@@ -697,6 +738,21 @@ object OtlpProtobuf {
   private type JNode = com.fasterxml.jackson.databind.JsonNode
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Numeric-string guards: OTLP/JSON carries u64 timestamps/counts as
+    * strings. A negative or non-numeric string must not throw out of
+    * the encoder (one bad row would fail the whole export task) — the
+    * field is dropped instead, the same policy as non-hex ids. */
+  private def ulong(s: String): Option[Long] =
+    try Some(java.lang.Long.parseUnsignedLong(s))
+    catch { case _: NumberFormatException => None }
+
+  private def slong(s: String): Option[Long] =
+    try Some(s.toLong) catch { case _: NumberFormatException => None }
+
+  /** u64-string field n.name → fixed64, dropped when unparseable */
+  private def u64Field(w: Writer, field: Int, n: JNode, name: String): Unit =
+    if (n.hasNonNull(name)) ulong(n.get(name).asText()).foreach(w.fixed64(field, _))
 
   private def encodeAnyValue(v: JNode): Array[Byte] = {
     val w = new Writer
@@ -733,7 +789,7 @@ object OtlpProtobuf {
 
   private def encodeLogRecord(lr: JNode): Array[Byte] = {
     val w = new Writer
-    if (lr.has("timeUnixNano")) w.fixed64(1, java.lang.Long.parseUnsignedLong(lr.get("timeUnixNano").asText()))
+    u64Field(w, 1, lr, "timeUnixNano")
     if (lr.has("severityNumber")) w.vint(2, lr.get("severityNumber").asLong())
     if (lr.has("severityText")) w.str(3, lr.get("severityText").asText())
     if (lr.has("body")) w.lenDelim(5, encodeAnyValue(lr.get("body")))
@@ -746,8 +802,7 @@ object OtlpProtobuf {
       w.lenDelim(9, unhex(lr.get("traceId").asText()))
     if (lr.has("spanId") && isHex(lr.get("spanId").asText()))
       w.lenDelim(10, unhex(lr.get("spanId").asText()))
-    if (lr.has("observedTimeUnixNano"))
-      w.fixed64(11, java.lang.Long.parseUnsignedLong(lr.get("observedTimeUnixNano").asText()))
+    u64Field(w, 11, lr, "observedTimeUnixNano")
     w.bytes
   }
 
@@ -756,6 +811,29 @@ object OtlpProtobuf {
     // cannot round-trip through raw wire bytes — drop, don't throw
     if (n.hasNonNull(name) && isHex(n.get(name).asText()))
       w.lenDelim(field, unhex(n.get(name).asText()))
+
+  /** Span.Event (inverse of [[spanEvent]]): 1=time 2=name
+    * 3=attributes 4=droppedAttributesCount */
+  private def encodeSpanEvent(ev: JNode): Array[Byte] = {
+    val w = new Writer
+    u64Field(w, 1, ev, "timeUnixNano")
+    if (ev.hasNonNull("name")) w.str(2, ev.get("name").asText())
+    if (ev.has("attributes")) ev.get("attributes").forEach(kv => w.lenDelim(3, encodeKeyValue(kv)))
+    if (ev.hasNonNull("droppedAttributesCount")) w.vint(4, ev.get("droppedAttributesCount").asLong())
+    w.bytes
+  }
+
+  /** Span.Link (inverse of [[spanLink]]): 1=traceId 2=spanId
+    * 3=traceState 4=attributes 5=droppedAttributesCount */
+  private def encodeSpanLink(ln: JNode): Array[Byte] = {
+    val w = new Writer
+    hexField(w, 1, ln, "traceId")
+    hexField(w, 2, ln, "spanId")
+    if (ln.hasNonNull("traceState")) w.str(3, ln.get("traceState").asText())
+    if (ln.has("attributes")) ln.get("attributes").forEach(kv => w.lenDelim(4, encodeKeyValue(kv)))
+    if (ln.hasNonNull("droppedAttributesCount")) w.vint(5, ln.get("droppedAttributesCount").asLong())
+    w.bytes
+  }
 
   /** Span per trace.pb.go field numbers (inverse of [[span]]) */
   private def encodeSpan(sp: JNode): Array[Byte] = {
@@ -766,13 +844,13 @@ object OtlpProtobuf {
     hexField(w, 4, sp, "parentSpanId")
     if (sp.hasNonNull("name")) w.str(5, sp.get("name").asText())
     if (sp.hasNonNull("kind")) w.vint(6, sp.get("kind").asLong())
-    if (sp.hasNonNull("startTimeUnixNano"))
-      w.fixed64(7, java.lang.Long.parseUnsignedLong(sp.get("startTimeUnixNano").asText()))
-    if (sp.hasNonNull("endTimeUnixNano"))
-      w.fixed64(8, java.lang.Long.parseUnsignedLong(sp.get("endTimeUnixNano").asText()))
+    u64Field(w, 7, sp, "startTimeUnixNano")
+    u64Field(w, 8, sp, "endTimeUnixNano")
     if (sp.has("attributes")) sp.get("attributes").forEach(kv => w.lenDelim(9, encodeKeyValue(kv)))
     if (sp.hasNonNull("droppedAttributesCount")) w.vint(10, sp.get("droppedAttributesCount").asLong())
+    if (sp.has("events")) sp.get("events").forEach(ev => w.lenDelim(11, encodeSpanEvent(ev)))
     if (sp.hasNonNull("droppedEventsCount")) w.vint(12, sp.get("droppedEventsCount").asLong())
+    if (sp.has("links")) sp.get("links").forEach(ln => w.lenDelim(13, encodeSpanLink(ln)))
     if (sp.hasNonNull("droppedLinksCount")) w.vint(14, sp.get("droppedLinksCount").asLong())
     if (sp.hasNonNull("status")) {
       val st = sp.get("status")
@@ -784,43 +862,132 @@ object OtlpProtobuf {
     w.bytes
   }
 
-  /** Metric (gauge/sum forms — what [[OtlpJsonSource.writeMetricsJson]]
-    * marshals) per metrics.pb.go field numbers */
+  private def jsonDoubleOf(n: JNode): Double =
+    if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
+
+  /** Exemplar (inverse of [[exemplar]]): 7=filteredAttributes 2=time
+    * 3=asDouble 4=spanId 5=traceId 6=asInt(sfixed64) */
+  private def encodeExemplar(ex: JNode): Array[Byte] = {
+    val w = new Writer
+    u64Field(w, 2, ex, "timeUnixNano")
+    if (ex.hasNonNull("asDouble"))
+      w.fixed64(3, java.lang.Double.doubleToLongBits(jsonDoubleOf(ex.get("asDouble"))))
+    hexField(w, 4, ex, "spanId")
+    hexField(w, 5, ex, "traceId")
+    if (ex.hasNonNull("asInt"))
+      slong(ex.get("asInt").asText()).foreach(w.fixed64(6, _))
+    if (ex.has("filteredAttributes"))
+      ex.get("filteredAttributes").forEach(kv => w.lenDelim(7, encodeKeyValue(kv)))
+    w.bytes
+  }
+
+  private def encodeNumberPoint(dp: JNode): Array[Byte] = {
+    val pw = new Writer
+    u64Field(pw, 2, dp, "startTimeUnixNano")
+    u64Field(pw, 3, dp, "timeUnixNano")
+    if (dp.hasNonNull("asDouble"))
+      pw.fixed64(4, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("asDouble"))))
+    if (dp.has("exemplars")) dp.get("exemplars").forEach(ex => pw.lenDelim(5, encodeExemplar(ex)))
+    if (dp.hasNonNull("asInt")) slong(dp.get("asInt").asText()).foreach(pw.fixed64(6, _))
+    if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(7, encodeKeyValue(kv)))
+    pw.bytes
+  }
+
+  /** HistogramDataPoint (inverse of [[histogramPoint]]) */
+  private def encodeHistogramPoint(dp: JNode): Array[Byte] = {
+    val pw = new Writer
+    u64Field(pw, 2, dp, "startTimeUnixNano")
+    u64Field(pw, 3, dp, "timeUnixNano")
+    u64Field(pw, 4, dp, "count")
+    if (dp.hasNonNull("sum"))
+      pw.fixed64(5, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("sum"))))
+    if (dp.has("bucketCounts"))
+      packed(pw, 6)(inner => dp.get("bucketCounts").forEach(c =>
+        ulong(c.asText()).foreach(inner.rawFixed64)))
+    if (dp.has("explicitBounds"))
+      packed(pw, 7)(inner => dp.get("explicitBounds").forEach(bd =>
+        inner.rawFixed64(java.lang.Double.doubleToLongBits(jsonDoubleOf(bd)))))
+    if (dp.has("exemplars")) dp.get("exemplars").forEach(ex => pw.lenDelim(8, encodeExemplar(ex)))
+    if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(9, encodeKeyValue(kv)))
+    pw.bytes
+  }
+
+  /** ExponentialHistogramDataPoint (inverse of [[expHistogramPoint]]) */
+  private def encodeExpHistogramPoint(dp: JNode): Array[Byte] = {
+    val pw = new Writer
+    def buckets(field: Int, bk: JNode): Unit = {
+      val bw = new Writer
+      if (bk.hasNonNull("offset")) bw.zint32(1, bk.get("offset").asInt())
+      if (bk.has("bucketCounts"))
+        packed(bw, 2)(inner => bk.get("bucketCounts").forEach(c =>
+          ulong(c.asText()).foreach(inner.rawVarint)))
+      pw.lenDelim(field, bw.bytes)
+    }
+    if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(1, encodeKeyValue(kv)))
+    u64Field(pw, 2, dp, "startTimeUnixNano")
+    u64Field(pw, 3, dp, "timeUnixNano")
+    u64Field(pw, 4, dp, "count")
+    if (dp.hasNonNull("sum"))
+      pw.fixed64(5, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("sum"))))
+    if (dp.hasNonNull("scale")) pw.zint32(6, dp.get("scale").asInt())
+    u64Field(pw, 7, dp, "zeroCount")
+    if (dp.hasNonNull("positive")) buckets(8, dp.get("positive"))
+    if (dp.hasNonNull("negative")) buckets(9, dp.get("negative"))
+    if (dp.hasNonNull("zeroThreshold"))
+      pw.fixed64(14, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("zeroThreshold"))))
+    pw.bytes
+  }
+
+  /** SummaryDataPoint (inverse of [[summaryPoint]]) */
+  private def encodeSummaryPoint(dp: JNode): Array[Byte] = {
+    val pw = new Writer
+    u64Field(pw, 2, dp, "startTimeUnixNano")
+    u64Field(pw, 3, dp, "timeUnixNano")
+    u64Field(pw, 4, dp, "count")
+    if (dp.hasNonNull("sum"))
+      pw.fixed64(5, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("sum"))))
+    if (dp.has("quantileValues")) dp.get("quantileValues").forEach { qv =>
+      val qw = new Writer
+      if (qv.hasNonNull("quantile"))
+        qw.fixed64(1, java.lang.Double.doubleToLongBits(jsonDoubleOf(qv.get("quantile"))))
+      if (qv.hasNonNull("value"))
+        qw.fixed64(2, java.lang.Double.doubleToLongBits(jsonDoubleOf(qv.get("value"))))
+      pw.lenDelim(6, qw.bytes)
+    }
+    if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(7, encodeKeyValue(kv)))
+    pw.bytes
+  }
+
+  /** Metric — ALL five data types (gauge/sum/histogram/
+    * exponentialHistogram/summary) per metrics.pb.go field numbers,
+    * so decode ∘ encode = id holds for full documents, not just the
+    * gauge/sum subset [[OtlpJsonSource.writeMetricsJson]] marshals. */
   private def encodeMetric(m: JNode): Array[Byte] = {
     val w = new Writer
     if (m.hasNonNull("name")) w.str(1, m.get("name").asText())
     if (m.hasNonNull("description")) w.str(2, m.get("description").asText())
     if (m.hasNonNull("unit")) w.str(3, m.get("unit").asText())
-    def numberPoint(dp: JNode): Array[Byte] = {
-      val pw = new Writer
-      if (dp.hasNonNull("startTimeUnixNano"))
-        pw.fixed64(2, java.lang.Long.parseUnsignedLong(dp.get("startTimeUnixNano").asText()))
-      if (dp.hasNonNull("timeUnixNano"))
-        pw.fixed64(3, java.lang.Long.parseUnsignedLong(dp.get("timeUnixNano").asText()))
-      if (dp.hasNonNull("asDouble")) {
-        val n = dp.get("asDouble")
-        val d = if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
-        pw.fixed64(4, java.lang.Double.doubleToLongBits(d))
-      }
-      if (dp.hasNonNull("asInt")) pw.fixed64(6, dp.get("asInt").asText().toLong)
-      if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(7, encodeKeyValue(kv)))
-      pw.bytes
-    }
-    if (m.hasNonNull("gauge")) {
-      val gw = new Writer
-      val dps = m.get("gauge").get("dataPoints")
-      if (dps != null) dps.forEach(dp => gw.lenDelim(1, numberPoint(dp)))
-      w.lenDelim(5, gw.bytes)
-    }
-    if (m.hasNonNull("sum")) {
-      val s = m.get("sum")
+    def dataSection(field: Int, sec: JNode, point: JNode => Array[Byte],
+                    withTemporality: Boolean, withMonotonic: Boolean): Unit = {
       val sw = new Writer
-      val dps = s.get("dataPoints")
-      if (dps != null) dps.forEach(dp => sw.lenDelim(1, numberPoint(dp)))
-      if (s.hasNonNull("aggregationTemporality")) sw.vint(2, s.get("aggregationTemporality").asLong())
-      if (s.hasNonNull("isMonotonic")) sw.vint(3, if (s.get("isMonotonic").asBoolean()) 1 else 0)
-      w.lenDelim(7, sw.bytes)
+      val dps = sec.get("dataPoints")
+      if (dps != null) dps.forEach(dp => sw.lenDelim(1, point(dp)))
+      if (withTemporality && sec.hasNonNull("aggregationTemporality"))
+        sw.vint(2, sec.get("aggregationTemporality").asLong())
+      if (withMonotonic && sec.hasNonNull("isMonotonic"))
+        sw.vint(3, if (sec.get("isMonotonic").asBoolean()) 1 else 0)
+      w.lenDelim(field, sw.bytes)
     }
+    if (m.hasNonNull("gauge"))
+      dataSection(5, m.get("gauge"), encodeNumberPoint, withTemporality = false, withMonotonic = false)
+    if (m.hasNonNull("sum"))
+      dataSection(7, m.get("sum"), encodeNumberPoint, withTemporality = true, withMonotonic = true)
+    if (m.hasNonNull("histogram"))
+      dataSection(9, m.get("histogram"), encodeHistogramPoint, withTemporality = true, withMonotonic = false)
+    if (m.hasNonNull("exponentialHistogram"))
+      dataSection(10, m.get("exponentialHistogram"), encodeExpHistogramPoint, withTemporality = true, withMonotonic = false)
+    if (m.hasNonNull("summary"))
+      dataSection(11, m.get("summary"), encodeSummaryPoint, withTemporality = false, withMonotonic = false)
     w.bytes
   }
 
@@ -917,6 +1084,56 @@ case class OtlpLogsPbToJsonSafe(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(c: Expression): OtlpLogsPbToJsonSafe = copy(child = c)
+}
+
+/** [[OtlpSpansPbToJson]] with NULL-on-malformed semantics (DLQ path) */
+case class OtlpSpansPbToJsonSafe(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "otlp_spans_pb_to_json_safe"
+
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtobuf.spansRequestToJsonOrNull(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eval = child.genCode(ctx)
+    val code =
+      code"""${eval.code}
+         |boolean ${ev.isNull} = ${eval.isNull};
+         |UTF8String ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.sources.OtlpProtobuf.spansRequestToJsonOrNull(${eval.value});
+         |  ${ev.isNull} = ${ev.value} == null;
+         |}""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(c: Expression): OtlpSpansPbToJsonSafe = copy(child = c)
+}
+
+/** [[OtlpMetricsPbToJson]] with NULL-on-malformed semantics (DLQ path) */
+case class OtlpMetricsPbToJsonSafe(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "otlp_metrics_pb_to_json_safe"
+
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtobuf.metricsRequestToJsonOrNull(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eval = child.genCode(ctx)
+    val code =
+      code"""${eval.code}
+         |boolean ${ev.isNull} = ${eval.isNull};
+         |UTF8String ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.sources.OtlpProtobuf.metricsRequestToJsonOrNull(${eval.value});
+         |  ${ev.isNull} = ${ev.value} == null;
+         |}""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(c: Expression): OtlpMetricsPbToJsonSafe = copy(child = c)
 }
 
 /** binary OTLP ExportTraceServiceRequest → OTLP/JSON string */

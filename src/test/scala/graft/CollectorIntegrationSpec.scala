@@ -567,6 +567,145 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(q.getAs[Long]("total_count") == 9L)
   }
 
+  test("pb encode is total: histogram/exp/summary metrics round-trip decode∘encode") {
+    import spark.implicits._
+    import Pb._
+    // rebuild the five-type metrics request from the decode test
+    def metricMsg(name: String, body: Array[Byte]): Array[Byte] =
+      str(1, name) ++ str(3, "ms") ++ body
+    val hist = metricMsg("lat", lenDelim(9, lenDelim(1,
+      fixed64(3, 300L) ++ fixed64(4, 5L) ++ double(5, 12.5) ++
+        lenDelim(6, (0 until 8).map(i => ((3L >>> (8 * i)) & 0xff).toByte).toArray ++
+          (0 until 8).map(i => ((2L >>> (8 * i)) & 0xff).toByte).toArray) ++
+        lenDelim(7, (0 until 8).map(i => ((java.lang.Double.doubleToLongBits(10.0) >>> (8 * i)) & 0xff).toByte).toArray)) ++
+      vint(2, 1)))
+    val exph = metricMsg("elat", lenDelim(10, lenDelim(1,
+      fixed64(3, 400L) ++ fixed64(4, 7L) ++ tag(6, 0) ++ varint(0) ++
+        fixed64(7, 1L) ++
+        lenDelim(8, tag(1, 0) ++ varint(2) ++ lenDelim(2, varint(4) ++ varint(3))) ++
+        lenDelim(9, tag(1, 0) ++ varint(0) ++ lenDelim(2, varint(1)))) ++
+      vint(2, 1)))
+    val summ = metricMsg("q", lenDelim(11, lenDelim(1,
+      fixed64(3, 500L) ++ fixed64(4, 9L) ++ fixed64(5, java.lang.Double.doubleToLongBits(90.0)) ++
+        lenDelim(6, fixed64(1, java.lang.Double.doubleToLongBits(0.5)) ++
+          fixed64(2, java.lang.Double.doubleToLongBits(42.0))))))
+    def req(m: Array[Byte]): Array[Byte] = lenDelim(1,
+      lenDelim(1, lenDelim(1, kv("service.name", str(1, "api")))) ++
+        lenDelim(2, lenDelim(1, str(1, "graft")) ++ lenDelim(2, m)))
+
+    for (m <- Seq(hist, exph, summ)) {
+      val json1 = graft.sources.OtlpProtobuf.metricsRequestToJson(req(m)).toString
+      val pb2 = graft.sources.OtlpProtobuf.metricsJsonToRequest(
+        org.apache.spark.unsafe.types.UTF8String.fromString(json1))
+      val json2 = graft.sources.OtlpProtobuf.metricsRequestToJson(pb2).toString
+      assert(json2 == json1, s"metric section lost in encode:\n$json1\nvs\n$json2")
+    }
+    // and via the registered SQL functions on a DataFrame
+    val pbs = Seq(req(hist), req(exph), req(summ)).toDF("pb")
+    val twice = pbs
+      .select(graft.sources.OtlpProtobuf.otlp_metrics_pb_to_json(col("pb")).as("j1"))
+      .select(col("j1"), graft.sources.OtlpProtobuf.otlp_metrics_pb_to_json(
+        graft.sources.OtlpProtobuf.otlp_metrics_json_to_pb(col("j1"))).as("j2"))
+    assert(twice.filter(col("j1") =!= col("j2")).count() == 0)
+  }
+
+  test("pb encode is total: span events and links survive decode∘encode") {
+    import Pb._
+    val spanMsg =
+      lenDelim(1, Array.fill[Byte](16)(0x11)) ++
+        lenDelim(2, Array.fill[Byte](8)(0x22)) ++
+        str(5, "GET /api") ++ vint(6, 2) ++
+        fixed64(7, 1000L) ++ fixed64(8, 2500L) ++
+        lenDelim(9, kv("http.status", vint(3, 200))) ++
+        lenDelim(11, fixed64(1, 1500L) ++ str(2, "retry") ++    // event
+          lenDelim(3, kv("attempt", vint(3, 2)))) ++
+        vint(12, 1) ++                                          // droppedEventsCount
+        lenDelim(13, lenDelim(1, Array.fill[Byte](16)(0x44)) ++ // link
+          lenDelim(2, Array.fill[Byte](8)(0x55)) ++ str(3, "w3c=1")) ++
+        lenDelim(15, str(2, "oops") ++ vint(3, 2))
+    val request = lenDelim(1,
+      lenDelim(1, lenDelim(1, kv("service.name", str(1, "api")))) ++
+        lenDelim(2, lenDelim(1, str(1, "graft")) ++ lenDelim(2, spanMsg)))
+    val json1 = graft.sources.OtlpProtobuf.spansRequestToJson(request).toString
+    assert(json1.contains(""""events""") && json1.contains(""""links""""))
+    val pb2 = graft.sources.OtlpProtobuf.spansJsonToRequest(
+      org.apache.spark.unsafe.types.UTF8String.fromString(json1))
+    val json2 = graft.sources.OtlpProtobuf.spansRequestToJson(pb2).toString
+    assert(json2 == json1, s"span events/links lost in encode:\n$json1\nvs\n$json2")
+  }
+
+  test("spans/metrics dead-letter paths mirror the logs receiver") {
+    import spark.implicits._
+    import Pb._
+    val spanReq = lenDelim(1, lenDelim(2, lenDelim(2,
+      lenDelim(1, Array.fill[Byte](16)(0x11)) ++ fixed64(7, 1L) ++ fixed64(8, 2L) ++ str(5, "op"))))
+    val metricReq = lenDelim(1, lenDelim(2, lenDelim(2,
+      str(1, "cpu") ++ lenDelim(5, lenDelim(1, fixed64(3, 100L) ++ double(4, 0.5))))))
+    val badPb = Array[Byte](0x0a, 0x7f, 0x01) // truncated length-delimited
+
+    val (gs, ds) = OtlpJsonSource.parseSpansPbWithDlq(Seq(spanReq, badPb).toDF("pb"))
+    assert(gs.count() == 1 && ds.count() == 1)
+    val (gm, dm) = OtlpJsonSource.parseMetricPointsPbWithDlq(Seq(metricReq, badPb).toDF("pb"))
+    assert(gm.count() == 1 && dm.count() == 1)
+  }
+
+  test("encoders drop unparseable numeric strings instead of failing the task") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // negative and non-numeric u64 timestamps must not throw
+    val badLog = """{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":[{
+      |"scope":{"name":"g"},"logRecords":[
+      |{"timeUnixNano":"-5","severityNumber":9,"body":{"stringValue":"a"}},
+      |{"timeUnixNano":"not-a-number","severityNumber":10,"body":{"stringValue":"b"}},
+      |{"timeUnixNano":"1700000000000000000","severityNumber":11,"body":{"stringValue":"c"}}
+      |]}]}]}""".stripMargin.replaceAll("\n", "")
+    val pb = graft.sources.OtlpProtobuf.logsJsonToRequest(UTF8String.fromString(badLog))
+    val back = graft.sources.OtlpProtobuf.logsRequestToJson(pb).toString
+    // all three records survive; only the bad timestamps are dropped
+    assert(back.contains(""""severityNumber":9""") &&
+      back.contains(""""severityNumber":10""") &&
+      back.contains(""""timeUnixNano":"1700000000000000000""""))
+    val badSpan = """{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":[{
+      |"scope":{"name":"g"},"spans":[
+      |{"name":"op","startTimeUnixNano":"oops","endTimeUnixNano":"-1","kind":1}
+      |]}]}]}""".stripMargin.replaceAll("\n", "")
+    val spb = graft.sources.OtlpProtobuf.spansJsonToRequest(UTF8String.fromString(badSpan))
+    assert(graft.sources.OtlpProtobuf.spansRequestToJson(spb).toString.contains(""""name":"op""""))
+  }
+
+  test("metrics export leaves unknown temporality unset, never cumulative") {
+    import spark.implicits._
+    import Pb._
+    // a sum section with NO aggregationTemporality field → parsed
+    // points carry null temporality → export must omit the field
+    // (AGGREGATION_TEMPORALITY_UNSPECIFIED), not default it to 2
+    val sumNoTemp = lenDelim(1, lenDelim(2, lenDelim(2,
+      str(1, "req") ++ lenDelim(7, lenDelim(1, fixed64(3, 100L) ++ double(4, 1.0))))))
+    val points = OtlpJsonSource.parseMetricPointsPb(Seq(sumNoTemp).toDF("pb"))
+    assert(points.head().getAs[String]("aggregation_temporality") == null)
+    val out = OtlpJsonSource.writeMetricsJson(points).head().getAs[String]("json")
+    assert(!out.contains("aggregationTemporality"), out)
+    // known temporalities still map: delta → 1, cumulative → 2
+    val sumDelta = lenDelim(1, lenDelim(2, lenDelim(2,
+      str(1, "req") ++ lenDelim(7, lenDelim(1, fixed64(3, 100L) ++ double(4, 1.0)) ++ vint(2, 1)))))
+    val outDelta = OtlpJsonSource.writeMetricsJson(
+      OtlpJsonSource.parseMetricPointsPb(Seq(sumDelta).toDF("pb")))
+      .head().getAs[String]("json")
+    assert(outDelta.contains(""""aggregationTemporality":1"""), outDelta)
+  }
+
+  test("histogram bucketCounts with a varint wire type is skipped, not misread") {
+    import Pb._
+    // (6,0) varint-encoded field 6 in a HistogramDataPoint: the old
+    // reader consumed 8 raw bytes as fixed64, misaligning everything
+    // after it; now it falls through to skip and the point still parses
+    val histBadWire = lenDelim(1, lenDelim(2, lenDelim(2,
+      str(1, "lat") ++ lenDelim(9, lenDelim(1,
+        fixed64(3, 300L) ++ tag(6, 0) ++ varint(7) ++ fixed64(4, 5L))))))
+    val json = graft.sources.OtlpProtobuf.metricsRequestToJson(histBadWire).toString
+    assert(json.contains(""""count":"5""""), json)
+    assert(!json.contains(""""bucketCounts""""), json)
+  }
+
   test("streaming protobuf receiver: binary files → filtered parquet sink") {
     import java.nio.file.{Files, Paths}
     val inDir = Files.createTempDirectory("otlp_pb_in").toString

@@ -287,6 +287,140 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("checkpointed export survives a mid-batch kill: unacked batch redelivers idempotently") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("ck_in").toString
+    val outDir = Files.createTempDirectory("ck_out").toString + "/sink"
+    val ck = Files.createTempDirectory("ck_ck").toString
+    Files.write(Paths.get(inDir, "f1.txt"),
+      (1 to 10).map(i => s"rec-$i").mkString("\n").getBytes("UTF-8"))
+
+    // exporterhelper's persistent queue survives process death; the
+    // Spark analog is the streaming checkpoint: a batch that dies
+    // before commit is REPLAYED on restart with the same batchId, and
+    // the per-batchId overwrite contract makes redelivery idempotent.
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val exporter = new Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val dst = s"$outDir/batch_id=$batchId"
+        if (attempts.incrementAndGet() == 1) {
+          // partial write, then die mid-batch (pre-commit kill)
+          df.limit(3).write.mode("overwrite").parquet(dst)
+          throw new RuntimeException("killed mid-batch")
+        }
+        df.write.mode("overwrite").parquet(dst)
+      }
+    }
+    def src = spark.readStream.text(inDir)
+    val q1 = StreamingPipelines.exportStream(src, exporter, ck)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // batch 0 died unacked: partial output on disk, commit log empty
+    assert(spark.read.parquet(s"$outDir/batch_id=0").count() == 3)
+
+    val q2 = StreamingPipelines.exportStream(src, exporter, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(attempts.get() == 2, "restart must replay exactly the one unacked batch")
+    val rows = spark.read.parquet(s"$outDir/batch_id=0")
+      .collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == (1 to 10).map(i => s"rec-$i").sorted.toSeq,
+      "replayed batch must replace the partial output, not append to it")
+  }
+
+  test("poison batch dead-letters exactly once and stays acked across restart") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("dlq_in").toString
+    val outDir = Files.createTempDirectory("dlq_out").toString + "/sink"
+    val dlqDir = Files.createTempDirectory("dlq_dlq").toString + "/dlq"
+    val ck = Files.createTempDirectory("dlq_ck").toString
+    Files.write(Paths.get(inDir, "f1.txt"), "good-1\ngood-2".getBytes("UTF-8"))
+
+    val poisonAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val delegate = new Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val rows = df.collect()
+        if (rows.exists(_.getString(0).contains("poison"))) {
+          poisonAttempts.incrementAndGet()
+          throw new PermanentExportException("schema rejection")
+        }
+        df.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+    }
+    val queued = QueuedExporter(delegate, dlqDir, maxRetries = 1, backoffMs = 1)
+    def src = spark.readStream.option("maxFilesPerTrigger", 1).text(inDir)
+    val q1 = StreamingPipelines.exportStream(src, queued, ck)
+    try {
+      q1.processAllAvailable()
+      Files.write(Paths.get(inDir, "f2.txt"), "poison-1".getBytes("UTF-8"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // permanent error: delivered to the DLQ once, query kept running
+    assert(poisonAttempts.get() == 1)
+    val dlqRows = spark.read.parquet(dlqDir).collect()
+    assert(dlqRows.length == 1 && dlqRows.head.getString(0) == "poison-1")
+    assert(dlqRows.head.getAs[String]("dlq_error").contains("schema rejection"))
+
+    // restart from the same checkpoint: the poison batch was ACKED
+    // (DLQ counts as delivery) — it must NOT redeliver or re-DLQ
+    val q2 = StreamingPipelines.exportStream(src, queued, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(poisonAttempts.get() == 1, "acked poison batch redelivered after restart")
+    assert(spark.read.parquet(dlqDir).count() == 1)
+  }
+
+  test("socket-fed OTLP receiver: pb frames over a live network stream parse") {
+    // the receiver-as-server shape (otlpreceiver gRPC/HTTP push):
+    // binary requests arrive over a socket, base64-framed per line
+    val json =
+      """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
+        |"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[
+        |{"timeUnixNano":"1700000000000000001","severityNumber":17,"body":{"stringValue":"boom"},"attributes":[]},
+        |{"timeUnixNano":"1700000000000000002","severityNumber":9,"body":{"stringValue":"ok"},"attributes":[]}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val pb = graft.sources.OtlpProtobuf.logsJsonToRequest(
+      org.apache.spark.unsafe.types.UTF8String.fromString(json))
+    val line = java.util.Base64.getEncoder.encodeToString(pb)
+
+    val server = new java.net.ServerSocket(0)
+    val sent = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      (1 to 3).foreach(_ => out.println(line)) // 3 requests × 2 records
+      out.flush()
+      sent.countDown()
+      // keep the connection open until the query is done reading
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+
+    val stream = OtlpJsonSource.socketLogsPb(spark, "localhost", server.getLocalPort)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("socket_logs").start()
+    try {
+      assert(sent.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      val deadline = System.currentTimeMillis() + 30000
+      def count() = spark.sql("SELECT count(*) FROM socket_logs").head().getLong(0)
+      while (count() < 6 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      assert(count() == 6)
+      val sev = spark.sql("SELECT severity_number, count(*) FROM socket_logs GROUP BY 1")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sev == Map(17 -> 3L, 9 -> 3L))
+      assert(spark.sql("SELECT DISTINCT body FROM socket_logs").count() == 2)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("events-as-logs receiver produces the canonical log schema") {
     val logs = OtlpJsonSource.eventsAsLogs(spark, sf)
     assert(logs.count() == Tables(spark, sf, "events").count())
