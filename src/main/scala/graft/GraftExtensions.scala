@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, HyperplaneBuckets, HyperplaneBucketsMd5, MinHashSignature, MinHashSignatureMd5, RollingHash, SimHashBits, SimHashBits128, SimHashBitsMd5, WordShingles}
+import graft.functions.{CosineSim, GzipCompress, GzipDecompress, HyperplaneBuckets, HyperplaneBucketsMd5, MinHashSignature, MinHashSignatureMd5, RollingHash, SimHashBits, SimHashBits128, SimHashBitsMd5, WordShingles}
 import graft.sources.{OtlpLogsJsonToPb, OtlpLogsPbToJson, OtlpLogsPbToJsonSafe, OtlpMetricsJsonToPb, OtlpMetricsPbToJson, OtlpMetricsPbToJsonSafe, OtlpSpansJsonToPb, OtlpSpansPbToJson, OtlpSpansPbToJsonSafe}
 
 /** SQL surface for the native expressions, so `spark.sql` users get
@@ -92,6 +92,12 @@ object GraftExtensions {
     "otlp_metrics_json_to_pb" -> (
       new ExpressionInfo(classOf[OtlpMetricsJsonToPb].getName, "otlp_metrics_json_to_pb"),
       (args: Seq[Expression]) => OtlpMetricsJsonToPb(args.head)),
+    "gzip_compress" -> (
+      new ExpressionInfo(classOf[GzipCompress].getName, "gzip_compress"),
+      (args: Seq[Expression]) => GzipCompress(args.head)),
+    "gzip_decompress" -> (
+      new ExpressionInfo(classOf[GzipDecompress].getName, "gzip_decompress"),
+      (args: Seq[Expression]) => GzipDecompress(args.head)),
     "otlp_logs_pb_to_json_safe" -> (
       new ExpressionInfo(classOf[OtlpLogsPbToJsonSafe].getName, "otlp_logs_pb_to_json_safe"),
       (args: Seq[Expression]) => OtlpLogsPbToJsonSafe(args.head)),

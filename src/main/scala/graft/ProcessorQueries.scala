@@ -115,6 +115,19 @@ object ProcessorQueries {
           max(col("event_id")).as("last_id"))
     }),
 
+    // batch timeout in batch mode: batches bounded by BOTH size and
+    // event-time age (no batch spans >1 minute of event time) — the
+    // batchprocessor timeout trigger replayed over stored data
+    "q_batch_timeout" -> ((s, dir) => {
+      Processors.assignBatchesTimed(
+          Tables(s, dir, "events").withColumn("ts_us", expr("ts_ns DIV 1000")),
+          col("ts_us"), 60000000L, col("event_id"), 64)
+        .groupBy(col("batch_window"), col("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_id"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+    }),
+
     // memory limiter: bounded deterministic admission
     "q_memory_limiter" -> ((s, dir) => {
       Processors.memoryLimit(Tables(s, dir, "events"),
@@ -293,6 +306,16 @@ object ProcessorQueries {
         |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) / 256.0) AS BIGINT) AS batch_id
         | FROM events)
         |GROUP BY batch_id""".stripMargin,
+
+    "q_batch_timeout" ->
+      """SELECT batch_window, batch_id, COUNT(*) AS n,
+        | MIN(event_id) AS first_id,
+        | MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+        |FROM (SELECT event_id, ts,
+        |  epoch_us(ts) // 60000000 AS batch_window,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY epoch_us(ts) // 60000000 ORDER BY event_id) - 1) / 64.0) AS BIGINT) AS batch_id
+        | FROM events)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_memory_limiter" ->
       """SELECT COUNT(*) AS n_admitted,

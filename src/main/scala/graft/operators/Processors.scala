@@ -156,6 +156,27 @@ object Processors {
       floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
   }
 
+  /** Batch timeout in batch mode: the reference batcher flushes on
+    * size OR timeout (batch_processor.go:188) — the timeout bounds how
+    * stale a batch can get. Replayed over stored data, the timeout
+    * dimension is the event-time window: no batch may span more than
+    * `maxAge` of event time, and within a window batches still split
+    * at `batchSize`. Batch identity = (time window, size shard) — the
+    * same batches a timeout-flushing collector would have produced at
+    * a steady clock, and deterministic under replay. `tsCol` must be
+    * an integral event-time column (e.g. µs) and `maxAge` its units.
+    */
+  def assignBatchesTimed(df: DataFrame, tsCol: Column, maxAge: Long,
+                         orderCol: Column, batchSize: Int): DataFrame = {
+    // double division then floor: exact for integral ts below 2^53
+    // with window counts far from the half-ulp boundary (true integer
+    // quotients are correctly rounded to themselves)
+    val windowed = df.withColumn("batch_window", floor(tsCol / maxAge).cast("bigint"))
+    val w = Window.partitionBy(col("batch_window")).orderBy(orderCol)
+    windowed.withColumn("batch_id",
+      floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+  }
+
   /** metadataCardinalityLimit analog: the reference refuses data once
     * the distinct metadata combinations exceed the limit (it would
     * otherwise leak one batcher per combination). Batch form: count

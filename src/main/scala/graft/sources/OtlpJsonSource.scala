@@ -658,6 +658,18 @@ object OtlpJsonSource {
     writeMetricsJson(points).select(
       OtlpProtobuf.otlp_metrics_json_to_pb(col("json")).as("pb"))
 
+  /** Transport-compressed export/ingest: the otlphttpexporter gzips
+    * request bodies; these wrap the pb writers/parsers with the
+    * codegen'd gzip kernels so spooled request blobs travel (and land)
+    * compressed. Storage sinks keep their own parquet codec. */
+  def writeLogsPbGz(logs: DataFrame): DataFrame =
+    writeLogsPb(logs).select(
+      graft.functions.GzipExprs.gzip_compress(col("pb")).as("pb"))
+
+  def parseLogsPbGz(requests: DataFrame): DataFrame =
+    parseLogsPb(requests.select(
+      graft.functions.GzipExprs.gzip_decompress(col("pb")).as("pb")))
+
   /** [[parseLogs]] with a dead-letter channel: requests that don't
     * parse (from_json → null) are routed raw instead of dropped —
     * the collector's receiver error path. Returns (good, dlq).

@@ -46,6 +46,34 @@ object StreamingPipelines {
       }
       .start()
 
+  /** Reactive admission — the memory limiter's refuse/drop behavior
+    * (reference memorylimiterprocessor checks live memory and flips
+    * between refusing and dropping) re-expressed for Spark's
+    * execution model, where the pressure signal is the OBSERVED batch
+    * size rather than heap telemetry: each micro-batch admits at most
+    * `maxRowsPerBatch` rows (deterministic orderBy+limit — the
+    * streaming twin of Processors.memoryLimit) and hands the overflow
+    * to `refuse`, which typically respools it to the source directory
+    * so the burst spreads over later triggers — upstream
+    * backpressure, not data loss. State per trigger is bounded by a
+    * constant regardless of how large the burst is.
+    */
+  def exportStreamAdmitted(stream: DataFrame, exporter: graft.pipeline.Pipeline.Exporter,
+                           checkpoint: String, maxRowsPerBatch: Int,
+                           order: Seq[org.apache.spark.sql.Column],
+                           refuse: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sorted = batch.orderBy(order: _*).persist()
+        try {
+          if (sorted.count() > maxRowsPerBatch)
+            refuse(sorted.offset(maxRowsPerBatch))
+          exporter.exportBatch(sorted.limit(maxRowsPerBatch), batchId)
+        } finally { sorted.unpersist(); () }
+      }
+      .start()
+
   /** Scrape receiver analog (reference: receiver/scraperhelper):
     * a periodic pull that emits datapoints on a schedule. The rate
     * source provides the schedule; `scrape` turns each tick into

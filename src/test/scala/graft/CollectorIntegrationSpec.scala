@@ -706,6 +706,32 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(!json.contains(""""bucketCounts""""), json)
   }
 
+  test("gzip transport compression: compressed pb export round-trips and shrinks") {
+    import spark.implicits._
+    val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 50, 4)).toDF("json"))
+    val raw = OtlpJsonSource.writeLogsPb(logs)
+    val gz = OtlpJsonSource.writeLogsPbGz(logs)
+    val rawLen = raw.select(length(col("pb"))).head().getInt(0)
+    val gzLen = gz.select(length(col("pb"))).head().getInt(0)
+    assert(gzLen < rawLen, s"gzip must shrink the request: $gzLen vs $rawLen")
+    val back = OtlpJsonSource.parseLogsPbGz(gz)
+    assert(back.count() == logs.count())
+    assert(back.select("body").collect().map(_.getString(0)).sorted.sameElements(
+      logs.select("body").collect().map(_.getString(0)).sorted))
+    // non-gzip bytes fail with a diagnosable error, not garbage
+    val bad = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("pb")
+        .select(graft.functions.GzipExprs.gzip_decompress(col("pb"))).collect()
+    }
+    assert(bad.getMessage != null)
+    // SQL surface
+    GraftExtensions.register(spark)
+    val viaSql = gz.createOrReplaceTempView("gz_reqs")
+    assert(spark.sql(
+      "SELECT otlp_logs_pb_to_json(gzip_decompress(pb)) AS j FROM gz_reqs")
+      .head().getString(0).contains("resourceLogs"))
+  }
+
   test("streaming protobuf receiver: binary files → filtered parquet sink") {
     import java.nio.file.{Files, Paths}
     val inDir = Files.createTempDirectory("otlp_pb_in").toString

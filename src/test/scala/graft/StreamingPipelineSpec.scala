@@ -421,6 +421,44 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("reactive admission: a burst is refused down to bounded batches and respooled") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("adm_in").toString
+    val ck = Files.createTempDirectory("adm_ck").toString
+    // burst: one file with 1000 records arriving at once
+    Files.write(Paths.get(inDir, "burst.txt"),
+      (1 to 1000).map(i => f"rec-$i%04d").mkString("\n").getBytes("UTF-8"))
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val exporter = new Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val rows = df.collect().map(_.getString(0))
+        if (rows.nonEmpty) { batchSizes.add(rows.length.toLong); rows.foreach(delivered.add) }
+      }
+    }
+    // refuse = respool the overflow into the source dir: upstream
+    // backpressure — later triggers re-admit it in bounded chunks
+    val refuse: org.apache.spark.sql.DataFrame => Unit = df =>
+      df.coalesce(1).write.mode("append").text(inDir)
+
+    val q = StreamingPipelines.exportStreamAdmitted(
+      spark.readStream.text(inDir), exporter, ck,
+      maxRowsPerBatch = 300, order = Seq(col("value")), refuse)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (delivered.size() < 1000 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    assert(delivered.size() == 1000, s"all burst rows eventually admitted: ${delivered.size()}")
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(sizes.forall(_ <= 300), s"every trigger bounded: ${sizes.mkString(",")}")
+    assert(sizes.length >= 4, s"burst spread over multiple triggers: ${sizes.mkString(",")}")
+  }
+
   test("events-as-logs receiver produces the canonical log schema") {
     val logs = OtlpJsonSource.eventsAsLogs(spark, sf)
     assert(logs.count() == Tables(spark, sf, "events").count())
