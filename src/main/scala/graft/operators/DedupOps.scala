@@ -191,17 +191,61 @@ object DedupOps {
     *
     * Scale shape: each round is one shuffle-join on the vertex id
     * plus a groupBy-min — rows never exceed |V| + 2|E|, nothing is
-    * collected, and each round's labels are `localCheckpoint`ed so
-    * the logical plan stays one round deep (a persist alone caches
-    * data but leaves the nested join lineage in the plan, which blows
-    * the analyzer/optimizer up after a few rounds).
+    * collected, and each round's labels materialize through an
+    * RDD-backed frame so the loop's join lineage never reaches the
+    * optimizer.
+    *
+    * Hybrid small-graph path: the pair list is the OUTPUT of near-dup
+    * detection — tiny relative to the corpus (pairs ≪ docs on real
+    * corpora). Below `maxLocalEdges` the component labels come from a
+    * driver-side union-find over one bounded collect (same fixed
+    * point, exact; the bounded-collect discipline the IVF centroid
+    * build documents), skipping ~N_rounds × 3 shuffles of fixed
+    * per-job overhead. Above it, the distributed loop runs. Both
+    * paths produce identical labels (spec-verified on the same
+    * graphs).
     *
     * Returns (id, component): one row per id present in `pairs`,
     * component = min id of its connected component.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIters: Int = 100): DataFrame =
-    connectedComponentsImpl(pairs, idA, idB, maxIters)
+                          idB: String = "id_b", maxIters: Int = 100,
+                          maxLocalEdges: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val e = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .persist()
+    val n = e.limit((maxLocalEdges + 1).toInt).count()
+    val result =
+      if (n <= maxLocalEdges) {
+        val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        e.unpersist()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          // path compression
+          var c = x
+          while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val rows = parent.keySet().toArray(Array.empty[java.lang.Long])
+          .map(v => (v.toLong, find(v)))
+        import spark.implicits._
+        rows.toSeq.toDF("id", "component")
+      } else {
+        // the loop's result is RDD-backed (materializeRound), so the
+        // source frame's cache can release as soon as the loop ends
+        val r = connectedComponentsImpl(e, maxIters)
+        e.unpersist()
+        r
+      }
+    result
+  }
 
   /** Materialize a round's labels as a cached RDD wrapped in a FRESH
     * DataFrame. `localCheckpoint` is the obvious tool but is unusable
@@ -218,11 +262,10 @@ object DedupOps {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
-  private def connectedComponentsImpl(pairs: DataFrame, idA: String,
-                                      idB: String, maxIters: Int): DataFrame = {
-    val edges = pairs
-      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+  /** distributed min-label propagation; `pairsLong` has (src, dst) */
+  private def connectedComponentsImpl(pairsLong: DataFrame, maxIters: Int): DataFrame = {
+    val edges = pairsLong
+      .union(pairsLong.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     var (labels, labelsRdd) = materializeRound(

@@ -113,9 +113,12 @@ class DedupAnnSpec extends AnyFunSuite {
     // keeps {1,2} — the over-retention CC fixes.
     val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val docs3 = Seq(1L, 2L, 3L, 9L).toDF("doc_id") // 9 is in no pair
-    val cc = DedupOps.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // both the local union-find path and the distributed loop
+    for (localCap <- Seq(2000000L, 0L)) {
+      val cc = DedupOps.connectedComponents(pairs, maxLocalEdges = localCap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"cap=$localCap")
+    }
     val keptCC = DedupOps.applyDedupCC(docs3, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     val keptGreedy = DedupOps.applyDedup(docs3, "doc_id", pairs)
@@ -147,11 +150,18 @@ class DedupAnnSpec extends AnyFunSuite {
       val root = find(v.toInt)
       inGraph.filter(u => find(u.toInt) == root).min
     }).toMap
-    val got = DedupOps.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+    // force the DISTRIBUTED loop (maxLocalEdges=0) — the local
+    // union-find path is the same algorithm as `want` itself
+    val got = DedupOps.connectedComponents(edges.toDF("id_a", "id_b"),
+        maxLocalEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val diff = (want.keySet ++ got.keySet).filter(k => want.get(k) != got.get(k))
     assert(diff.isEmpty, s"${diff.size} mismatches, sample: " +
       diff.take(5).map(k => s"$k: want=${want.get(k)} got=${got.get(k)}").mkString(", "))
+    // and the hybrid default (local path here) agrees exactly
+    val gotLocal = DedupOps.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLocal == got)
   }
 
   test("multimodal decodeFeatures plumbing produces typed features") {
