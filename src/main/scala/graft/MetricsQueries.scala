@@ -62,6 +62,23 @@ object MetricsQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // exponential-histogram merge across mixed scales: two synthetic
+    // recorders (scale 2 from event_id, scale 1 from user_id — signed
+    // indexes included) merge down to scale 0 by floor-div index
+    // downscaling + count sum, the collector's exp-histogram
+    // aggregation semantic
+    "q_exp_downscale" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val h1 = e.select(col("event_type"),
+        (pmod(col("event_id"), lit(41)) - 20).cast("long").as("idx"),
+        lit(2).as("scale"), lit(1L).as("cnt"))
+      val h2 = e.select(col("event_type"),
+        (pmod(col("user_id"), lit(23)) - 11).cast("long").as("idx"),
+        lit(1).as("scale"), lit(1L).as("cnt"))
+      MetricsOps.expMergeToScale(h1.unionAll(h2), Seq(col("event_type")),
+        col("idx"), col("scale"), col("cnt"), toScale = 0)
+    }),
+
     "q_summary_quantiles" -> ((s, dir) => {
       MetricsOps.summaryQuantiles(ev(s, dir), Seq(col("event_type")),
         col("value"), Seq(0.5, 0.9, 0.99))
@@ -165,6 +182,16 @@ object MetricsQueries {
          | ${MetricsOps.expBucketSql("value", -4, 12)} AS bucket_k,
          | COUNT(*) AS n
          |FROM events WHERE value > 0 GROUP BY 1, 2""".stripMargin,
+
+    "q_exp_downscale" ->
+      s"""WITH h AS (
+         | SELECT event_type, CAST(event_id % 41 - 20 AS BIGINT) AS idx, 2 AS scale, 1 AS cnt FROM events
+         | UNION ALL
+         | SELECT event_type, CAST(user_id % 23 - 11 AS BIGINT) AS idx, 1 AS scale, 1 AS cnt FROM events)
+         |SELECT event_type,
+         | ${MetricsOps.expDownscaleIdxSql("idx", "scale", 0)} AS bucket_idx,
+         | CAST(SUM(cnt) AS BIGINT) AS bucket_count
+         |FROM h GROUP BY 1, 2""".stripMargin,
 
     "q_summary_quantiles" -> {
       val arr = "arr"; val n = "n"

@@ -83,6 +83,38 @@ object MetricsOps {
       .map(k => f"WHEN $valueExpr <= ${math.pow(2.0, k)}%.10e THEN $k")
       .mkString("CASE ", " ", s" ELSE ${kMax + 1} END")
 
+  /** Exponential-histogram downscaling: bucket index i at scale s
+    * covers (2^(i/2^s), 2^((i+1)/2^s)], so lowering the scale by d
+    * merges runs of 2^d buckets — new index = floor(i / 2^d). The
+    * floor matters: indexes are SIGNED (values < 1 sit at negative
+    * indexes) and SQL integer division truncates toward zero, which
+    * would merge the wrong neighbors below zero; the pmod form is
+    * floor division in both engines. `scaleCol` is per-row, so
+    * histograms recorded at mixed scales downscale in one pass.
+    * (Reference behavior: exponential histogram merge in the
+    * collector's delta-aggregation path.)
+    */
+  def expDownscaleIdx(idx: Column, scaleCol: Column, toScale: Int): Column = {
+    // 2^(s-t) as exact integer (pow is exact for these magnitudes;
+    // functions.shiftleft only takes a literal shift)
+    val m = pow(lit(2.0), (scaleCol - lit(toScale)).cast("int")).cast("long")
+    ((idx - pmod(idx, m)) / m).cast("long")
+  }
+
+  /** DuckDB twin of [[expDownscaleIdx]] (same pmod floor-div form). */
+  def expDownscaleIdxSql(idxExpr: String, scaleExpr: String, toScale: Int): String = {
+    val m = s"(1 << ($scaleExpr - $toScale))"
+    s"CAST(($idxExpr - ((($idxExpr % $m) + $m) % $m)) / $m AS BIGINT)"
+  }
+
+  /** Merge exponential histograms recorded at mixed scales down to
+    * one common scale: downscale every bucket index, then sum counts
+    * per (series, index) — one shuffle on the series keys. */
+  def expMergeToScale(df: DataFrame, seriesKeys: Seq[Column], idx: Column,
+                      scaleCol: Column, cnt: Column, toScale: Int): DataFrame =
+    df.groupBy(seriesKeys :+ expDownscaleIdx(idx, scaleCol, toScale).as("bucket_idx"): _*)
+      .agg(sum(cnt).as("bucket_count"))
+
   /** Summary semantics: linearly-interpolated quantiles per series.
     *
     * Implemented with an explicit `v_lo + frac * (v_hi - v_lo)`

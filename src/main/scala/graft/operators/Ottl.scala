@@ -68,6 +68,36 @@ object Ottl {
   def secondsToNanos(c: Column): Column = (c.cast("double") * 1e9).cast("long")
   /** Coalesce-style default */
   def default(c: Column, dflt: Column): Column = coalesce(c, dflt)
+  /** ExtractPatterns(str, regex-with-groups) → map of named captures */
+  def extractPatterns(c: Column, regex: String, groups: Seq[(String, Int)]): Column =
+    map_from_arrays(
+      array(groups.map { case (n, _) => lit(n) }: _*),
+      array(groups.map { case (_, i) => regexp_extract(c, regex, i) }: _*))
+  /** ParseKeyValue(str, pairSep, kvSep) → map */
+  def parseKeyValue(c: Column, pairSep: String, kvSep: String): Column =
+    str_to_map(c, lit(java.util.regex.Pattern.quote(pairSep)),
+      lit(java.util.regex.Pattern.quote(kvSep)))
+  /** ToKeyValueString(map, pairSep, kvSep) — deterministic key order */
+  def toKeyValueString(m: Column, pairSep: String, kvSep: String): Column =
+    array_join(transform(array_sort(map_entries(m)),
+      e => concat(e.getField("key"), lit(kvSep), e.getField("value"))), pairSep)
+  /** Base64Decode / Base64Encode */
+  def base64Decode(c: Column): Column = unbase64(c)
+  def base64Encode(c: Column): Column = base64(c)
+  /** Hex(int) */
+  def intToHex(c: Column): Column = lower(hex(c))
+  /** Log (natural) / Sqrt */
+  def logOttl(c: Column): Column = log(c)
+  def sqrtOttl(c: Column): Column = sqrt(c)
+  /** Hour/Minutes/Seconds of day from integral unix ns — pure integer
+    * arithmetic (no session-timezone dependence, matches the oracle
+    * engine bit for bit) */
+  def hourOfDay(ns: Column): Column = (ns.cast("long") / lit(3600000000000L) % 24).cast("int")
+  def minuteOfHour(ns: Column): Column = (ns.cast("long") / lit(60000000000L) % 60).cast("int")
+  def secondOfMinute(ns: Column): Column = (ns.cast("long") / lit(1000000000L) % 60).cast("int")
+  /** Sort(array) / Unique(array) */
+  def sortArr(c: Column): Column = array_sort(c)
+  def uniqueArr(c: Column): Column = array_distinct(c)
   /** IsString-ish guards collapse to type checks at plan time in a
     * typed column model — schema does statically what OTTL checks
     * dynamically, so there is nothing to evaluate per row. */

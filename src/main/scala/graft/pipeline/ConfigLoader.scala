@@ -98,6 +98,7 @@ object ConfigLoader {
       case "parquet"        => ParquetReceiver(str(m, "path"))
       case "otlp_json_logs" => OtlpJsonLogReceiver(str(m, "path"))
       case "otlp_pb_logs"   => OtlpPbLogReceiver(str(m, "path"))
+      case "otlp_pb_logs_gz" => OtlpPbGzLogReceiver(str(m, "path"))
       // connectors: bridge/fan pipelines by name
       case "forward"        => ForwardReceiver(() => lookup(str(m, "from")))
       case "union"          => UnionReceiver(() => strList(m("from")).map(lookup))
@@ -124,6 +125,11 @@ object ConfigLoader {
       graft.operators.Processors.assignBatchesByKey(df,
         strList(m("keys")), expr(str(m, "order")),
         m("size").asInstanceOf[Number].intValue())
+    // size + event-time-age bounded batches (timeout trigger, batch mode)
+    case "batch_timed" => df =>
+      graft.operators.Processors.assignBatchesTimed(df,
+        expr(str(m, "ts")), m("maxAge").asInstanceOf[Number].longValue(),
+        expr(str(m, "order")), m("size").asInstanceOf[Number].intValue())
     case other => throw new IllegalArgumentException(s"unknown processor type: $other")
   }
 

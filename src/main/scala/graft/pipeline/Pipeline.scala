@@ -37,6 +37,13 @@ object Pipeline {
         spark.read.format("binaryFile").load(dir)
           .select(col("content").as("pb")))
   }
+  /** gzip'd pb spool (otlphttp transport compression on disk) */
+  final case class OtlpPbGzLogReceiver(dir: String) extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      graft.sources.OtlpJsonSource.parseLogsPbGz(
+        spark.read.format("binaryFile").load(dir)
+          .select(col("content").as("pb")))
+  }
   /** forwardconnector analog: this pipeline's source is another
     * pipeline's (lazy) output plan — Catalyst sees one combined plan,
     * so the bridged stages fuse and the scan is shared. */

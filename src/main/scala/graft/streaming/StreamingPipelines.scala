@@ -123,6 +123,57 @@ object StreamingPipelines {
       }
   }
 
+  final case class PendingHalves(client: Option[String], server: Option[String])
+
+  /** Streaming servicegraph: the connector pairs the CLIENT and
+    * SERVER spans of one call edge, which arrive in different
+    * batches (different services export independently) — the
+    * reference holds an in-memory pairing store with expiry; here the
+    * store is flatMapGroupsWithState keyed on the edge id, with a
+    * processing-time TTL bounding state exactly like the store's
+    * expiry bounds memory. Input rows: (edgeKey, side
+    * "client"|"server", serviceName). Emits (clientService,
+    * serverService) once both halves have arrived.
+    *
+    * `ttlMs = None` keeps unmatched halves forever (and lets tests
+    * drive the query with processAllAvailable — a ProcessingTimeTimeout
+    * query schedules continuous empty batches to fire timeouts, the
+    * same trade [[streamingDedup]] documents).
+    */
+  def serviceGraphStream(spark: SparkSession,
+                         spans: Dataset[(String, String, String)],
+                         ttlMs: Option[Long] = Some(60000L))(
+      implicit e: org.apache.spark.sql.Encoder[(String, String)])
+      : Dataset[(String, String)] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    spans.groupByKey(_._1)
+      .flatMapGroupsWithState[PendingHalves, (String, String)](
+        OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(String, String, String)],
+         state: GroupState[PendingHalves]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.getOrElse(PendingHalves(None, None))
+            rows.foreach {
+              case (_, "client", svc) => cur = cur.copy(client = cur.client.orElse(Some(svc)))
+              case (_, "server", svc) => cur = cur.copy(server = cur.server.orElse(Some(svc)))
+              case _ =>
+            }
+            (cur.client, cur.server) match {
+              case (Some(c), Some(s)) =>
+                state.remove()
+                Iterator((c, s))
+              case _ =>
+                state.update(cur)
+                ttlMs.foreach(t => state.setTimeoutDuration(t))
+                Iterator.empty
+            }
+          }
+      }
+  }
+
   /** per-key cumulative counter across micro-batches (stateful
     * delta→cumulative): emits (key, batch_delta, cumulative). */
   def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(

@@ -844,6 +844,78 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       .distinct().count() == 2)
   }
 
+  test("metrics wire-to-wire: pb spool → stream → process → pb export → lossless re-ingest") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import Pb._
+    val spool = Files.createTempDirectory("w2wm_spool").toString
+    val outDir = Files.createTempDirectory("w2wm_out").toString
+    val ck = Files.createTempDirectory("w2wm_ck").toString
+    // request with every metric data type, one per service
+    def metricMsg(name: String, body: Array[Byte]): Array[Byte] =
+      str(1, name) ++ str(3, "ms") ++ body
+    def fullRequest(svc: String, base: Long): Array[Byte] = {
+      val gauge = metricMsg("cpu", lenDelim(5, lenDelim(1,
+        fixed64(3, base) ++ double(4, 0.5) ++ lenDelim(7, kv("core", str(1, "c0"))))))
+      val sum = metricMsg("req", lenDelim(7, lenDelim(1,
+        fixed64(3, base + 1) ++ double(4, 42.0)) ++ vint(2, 1) ++ vint(3, 1)))
+      val hist = metricMsg("lat", lenDelim(9, lenDelim(1,
+        fixed64(3, base + 2) ++ fixed64(4, 5L) ++ double(5, 12.5) ++
+          lenDelim(6, (0 until 8).map(i => ((3L >>> (8 * i)) & 0xff).toByte).toArray ++
+            (0 until 8).map(i => ((2L >>> (8 * i)) & 0xff).toByte).toArray) ++
+          lenDelim(7, (0 until 8).map(i => ((java.lang.Double.doubleToLongBits(10.0) >>> (8 * i)) & 0xff).toByte).toArray)) ++
+        vint(2, 2)))
+      val summ = metricMsg("q", lenDelim(11, lenDelim(1,
+        fixed64(3, base + 3) ++ fixed64(4, 9L) ++
+          lenDelim(6, fixed64(1, java.lang.Double.doubleToLongBits(0.5)) ++
+            fixed64(2, java.lang.Double.doubleToLongBits(42.0))))))
+      lenDelim(1,
+        lenDelim(1, lenDelim(1, kv("service.name", str(1, svc)))) ++
+          lenDelim(2, lenDelim(1, str(1, "graft")) ++
+            lenDelim(2, gauge) ++ lenDelim(2, sum) ++
+            lenDelim(2, hist) ++ lenDelim(2, summ)))
+    }
+    Files.write(Paths.get(s"$spool/r1.pb"), fullRequest("api", 1000L))
+    Files.write(Paths.get(s"$spool/r2.pb"), fullRequest("worker", 2000L))
+
+    // full-document fidelity across the spool (all five sections):
+    // decode ∘ encode ∘ decode = decode
+    val spoolDf = spark.read.format("binaryFile").load(spool)
+      .select(col("content").as("pb"))
+    val fidelity = spoolDf
+      .select(graft.sources.OtlpProtobuf.otlp_metrics_pb_to_json(col("pb")).as("j1"))
+      .select(col("j1"), graft.sources.OtlpProtobuf.otlp_metrics_pb_to_json(
+        graft.sources.OtlpProtobuf.otlp_metrics_json_to_pb(col("j1"))).as("j2"))
+    assert(fidelity.filter(col("j1") =!= col("j2")).count() == 0)
+
+    // streaming half: number datapoints (gauge/sum) flow through the
+    // collector pipeline and export back to wire bytes per batch
+    val points = OtlpJsonSource.streamMetricsPb(spark, spool)
+    val pbSink = new graft.pipeline.Pipeline.Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        OtlpJsonSource.writeMetricsPb(df)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+    val q = graft.streaming.StreamingPipelines.exportStream(points,
+      graft.pipeline.Pipeline.QueuedExporter(pbSink, s"$outDir/_dlq"), ck)
+    try q.processAllAvailable() finally q.stop()
+
+    val back = OtlpJsonSource.parseMetricPointsPb(
+      spark.read.parquet(outDir).select(col("pb")))
+    assert(back.count() == 4) // gauge + sum per service
+    val sums = back.filter(col("metric_type") === "sum")
+    assert(sums.count() == 2)
+    assert(sums.select("aggregation_temporality").distinct().head().getString(0) == "delta")
+    assert(sums.select("value").collect().map(_.getDouble(0)).toSeq == Seq(42.0, 42.0))
+    // gauge has no temporality — it must still be unset after the loop
+    val gauges = back.filter(col("metric_type") === "gauge")
+    assert(gauges.select("aggregation_temporality").collect().forall(_.isNullAt(0)))
+    assert(gauges.head().getAs[Map[String, String]]("attributes")("core") == "c0")
+    assert(back.select(col("resource_attributes").getItem("service.name"))
+      .distinct().count() == 2)
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")

@@ -67,6 +67,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("expDownscaleIdx is floor division on signed indexes (merges the right neighbors)") {
+    // bucket i at scale s covers (2^(i/2^s), 2^((i+1)/2^s)]; lowering
+    // to scale t merges runs of 2^(s-t) — new index MUST be
+    // floorDiv(i, 2^(s-t)), including below zero where truncating
+    // division would merge across the 1.0 boundary
+    val rows = for (i <- -20L to 20L; s <- Seq(1, 2, 3)) yield (i, s)
+    val df = rows.toDF("idx", "scale")
+    val got = df.select(col("idx"), col("scale"),
+        MetricsOps.expDownscaleIdx(col("idx"), col("scale"), 0).as("d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (i, s) =>
+      assert(got((i, s)) == Math.floorDiv(i, 1L << s), s"idx=$i scale=$s")
+    }
+  }
+
   test("md5 minhash kernel matches Spark's own md5 function per lane") {
     samples(Gen.listOfN(6, doc).map(_.filter(_.split("\\s+").length >= 3)), 10).foreach { docs =>
       if (docs.nonEmpty) {

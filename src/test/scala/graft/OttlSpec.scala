@@ -32,6 +32,36 @@ class OttlSpec extends AnyFunSuite {
     assert(r.getAs[Map[String, String]]("lim").keySet == Set("a", "b"))
   }
 
+  test("converters: patterns/kv/base64/hex/math/time-of-day/arrays") {
+    val r = df.select(
+      Ottl.extractPatterns(col("msg"), "(\\w+) (\\w+)",
+        Seq("first" -> 1, "second" -> 2)).as("pats"),
+      Ottl.parseKeyValue(lit("a=1;b=2"), ";", "=").as("kv"),
+      Ottl.toKeyValueString(col("attrs"), ",", "=").as("kvs"),
+      Ottl.base64Encode(col("msg").cast("binary")).as("b64"),
+      Ottl.base64Decode(Ottl.base64Encode(col("msg").cast("binary")))
+        .cast("string").as("b64rt"),
+      Ottl.intToHex(lit(255L)).as("hex"),
+      Ottl.logOttl(lit(math.E)).as("ln"),
+      Ottl.sqrtOttl(lit(9.0)).as("sq"),
+      Ottl.hourOfDay(col("ts_ns")).as("hh"),
+      Ottl.minuteOfHour(col("ts_ns")).as("mm"),
+      Ottl.secondOfMinute(col("ts_ns")).as("ss"),
+      Ottl.sortArr(array(lit(3), lit(1), lit(2))).as("sorted"),
+      Ottl.uniqueArr(array(lit(1), lit(1), lit(2))).as("uniq")).head()
+    assert(r.getAs[Map[String, String]]("pats") == Map("first" -> "Hello", "second" -> "World"))
+    assert(r.getAs[Map[String, String]]("kv") == Map("a" -> "1", "b" -> "2"))
+    assert(r.getAs[String]("kvs") == "a=1,b=22,secret=xyz")
+    assert(r.getAs[String]("b64rt") == "Hello World")
+    assert(r.getAs[String]("hex") == "ff") // hex(long) strips leading zeros
+    assert(math.abs(r.getAs[Double]("ln") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("sq") == 3.0)
+    // 1700000000123456789 ns = 2023-11-14T22:13:20.123Z
+    assert(r.getAs[Int]("hh") == 22 && r.getAs[Int]("mm") == 13 && r.getAs[Int]("ss") == 20)
+    assert(r.getAs[scala.collection.Seq[Int]]("sorted").toSeq == Seq(1, 2, 3))
+    assert(r.getAs[scala.collection.Seq[Int]]("uniq").toSeq == Seq(1, 2))
+  }
+
   test("converters: string/number/hash/json/time functions") {
     val r = df.select(
       Ottl.concatWs("-", col("msg"), lit("x")).as("cat"),

@@ -116,6 +116,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming servicegraph pairs client/server halves across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, String, String)]
+    val out = StreamingPipelines.serviceGraphStream(spark, ms.toDS(), ttlMs = None)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("svcgraph_out").start()
+    try {
+      // batch 1: client half of edge A, server half of edge B — no
+      // edge is complete yet, both wait in state
+      ms.addData(Seq(("edgeA", "client", "frontend"), ("edgeB", "server", "db")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM svcgraph_out").head().getLong(0) == 0)
+      // batch 2: the matching halves arrive — both edges emit
+      ms.addData(Seq(("edgeA", "server", "api"), ("edgeB", "client", "api")))
+      q.processAllAvailable()
+      val edges = spark.sql("SELECT _1, _2 FROM svcgraph_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(edges == Set("frontend" -> "api", "api" -> "db"))
+      // a completed edge's state is gone: re-sending one half alone
+      // does not re-emit
+      ms.addData(Seq(("edgeA", "client", "frontend")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM svcgraph_out").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+
   test("service graph: fanout pipelines over one receiver") {
     val errors = new CollectingExporter
     val totals = new CollectingExporter
