@@ -126,6 +126,16 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // PQ ANN: per-subspace codebooks + asymmetric distance tables —
+    // the memory-compression scale path (rows-only; recall vs exact
+    // L2 spec-verified in DedupAnnSpec)
+    "q_ann_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.pqTopK(e.filter(col("vec_id") < 10), e, m = 2, ksub = 16, k = 10,
+          rerank = 50)
+        .select(col("qid"), col("nid"), col("rk"))
+    }),
+
     // IVF ANN: centroid cells + nprobe search. Deterministic init +
     // decimal-exact means + fixed tie rules make the whole index
     // build/search bit-replicable in the oracle.

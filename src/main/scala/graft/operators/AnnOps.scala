@@ -143,6 +143,126 @@ object AnnOps {
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** squared-L2 left fold (PQ's metric) */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic Lloyd k-means under squared L2 training ALL m PQ
+    * codebooks in ONE job per iteration (the subspaces are
+    * independent, so training them in separate jobs just multiplies
+    * fixed job overhead — measured 2× on the bench). Same discipline
+    * as [[ivfCentroids]]: lowest-id init, decimal-exact means,
+    * empty-cell carry-forward, first-min tie rule. Bounded collects:
+    * m×ksub×subDim doubles per iteration. `subs` rows: (vec_id, s,
+    * sub) — one row per vector per subspace. */
+  private def kmeansL2Multi(subs: DataFrame, m: Int, ksub: Int,
+                            iters: Int): Array[Array[Seq[Double]]] = {
+    val w = Window.partitionBy(col("s")).orderBy(col("vec_id"))
+    val init = subs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ksub)
+      .select(col("s"), col("rn"), col("sub")).collect()
+    var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(s =>
+      init.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2): Seq[Double]))
+    var it = 0
+    while (it < iters) {
+      val cid = (0 until m).foldLeft(lit(-1): Column)((acc, s) =>
+        when(col("s") === s, nearestCodeCol(col("sub"), books(s))).otherwise(acc))
+      val means = subs.withColumn("cid", cid)
+        .select(col("s"), col("cid"), posexplode(col("sub")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, c), rows) =>
+          (s, c) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+        means.getOrElse((s, c), books(s)(c))))
+      it += 1
+    }
+    books
+  }
+
+  /** argmin-L2 code against broadcast codebook literals (first-min
+    * tie rule — array_position finds the lowest matching code) */
+  private def nearestCodeCol(sub: Column, codebook: Array[Seq[Double]]): Column = {
+    val dists = array(codebook.map(ct => l2sq(sub, typedLit(ct))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Product-quantization ANN (the billion-vector memory-compression
+    * path): split each embedding into `m` contiguous subvectors,
+    * train a `ksub`-entry codebook per subspace (deterministic L2
+    * Lloyd), encode the corpus as m small codes (m bytes/vector vs
+    * 4·dim — a 16× compression at dim 4, far more at real dims), and
+    * search by Asymmetric Distance Computation: the query precomputes
+    * per-subspace distance tables to every codebook entry, and a
+    * candidate's approximate distance is just m table lookups — no
+    * embedding arithmetic per candidate. At cluster scale PQ codes
+    * ride inside IVF cells (probe then ADC); here the ADC scan runs
+    * map-side against broadcast queries, mirroring bruteForceTopK's
+    * shape with the per-candidate cost collapsed.
+    *
+    * `rerank` > k enables the standard refine step: the ADC scan
+    * keeps the top `rerank` candidates per query, and only those few
+    * get an exact L2 against the stored embedding — recall close to
+    * exact search while the full corpus is still scanned code-only.
+    *
+    * Returns (qid, nid, rk, adist) — rk by ascending approx (or
+    * refined) L2, ties by nid.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, ksub: Int,
+             k: Int, iters: Int = 2, rerank: Int = 0): DataFrame = {
+    val base = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    def subCol(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
+    // all m codebooks trained together, one job per iteration
+    val subs = base.select(col("vec_id"), posexplode(
+        array((0 until m).map(s => subCol(col("v"), s)): _*)))
+      .withColumnRenamed("pos", "s")
+      .withColumnRenamed("col", "sub")
+      .persist()
+    val codebooks = kmeansL2Multi(subs, m, ksub, iters)
+    subs.unpersist()
+    // encode the corpus: m codes per vector
+    val enc = base.select(col("vec_id").as("nid"),
+      array((0 until m).map(s =>
+        nearestCodeCol(subCol(col("v"), s), codebooks(s))): _*).as("codes"))
+    // queries carry one ADC table per subspace (ksub distances each)
+    val q = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .select(Seq(col("qid")) ++ (0 until m).map(s =>
+        array(codebooks(s).map(ct =>
+          l2sq(subCol(col("qe"), s), typedLit(ct))): _*).as(s"qt$s")): _*)
+    val cand = enc.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", (0 until m).map(s =>
+        element_at(col(s"qt$s"), element_at(col("codes"), s + 1) + 1))
+        .reduce(_ + _))
+      .select(col("qid"), col("nid"), col("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    if (rerank <= k)
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    else {
+      // refine: exact L2 only for the ADC shortlist (rerank ≪ corpus)
+      val shortlist = cand.withColumn("rk0", row_number().over(w))
+        .filter(col("rk0") <= rerank).drop("rk0")
+      val qe = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      val ne = base.select(col("vec_id").as("nid"), col("v").as("ne"))
+      val refined = shortlist
+        .join(broadcast(qe), "qid").join(ne, "nid")
+        .select(col("qid"), col("nid"), l2sq(col("qe"), col("ne")).as("adist"))
+      val w2 = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+      refined.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+    }
+  }
+
   /** Multi-table LSH ANN: `tables` independent hyperplane tables of
     * `planes` bits; a candidate collides with the query in ≥1 table.
     * Exact cosine re-rank of the deduplicated candidate set, top-k.

@@ -91,6 +91,36 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"multi-table LSH recall: $recall")
   }
 
+  test("PQ ANN approximates exact-L2 top-10 with compressed codes") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    // exact L2 ground truth
+    val qd = q.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    val cd = e.select(col("vec_id").as("nid"), col("embedding").cast("array<double>").as("ne"))
+    val exact = cd.crossJoin(broadcast(qd)).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), AnnOps.l2sq(col("qe"), col("ne")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d").asc, col("nid").asc)
+    val bf = exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ADC-only ordering recovers part of the true neighbors; the
+    // refine step (exact L2 on the ADC top-50 shortlist) recovers
+    // most — the standard PQ search shape
+    val adc = AnnOps.pqTopK(q, e, m = 2, ksub = 16, k = 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = bf.count(adc.contains).toDouble / bf.size
+    assert(adcRecall >= 0.2, s"ADC-only recall vs exact L2: $adcRecall")
+    val refined = AnnOps.pqTopK(q, e, m = 2, ksub = 16, k = 10, rerank = 50)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refRecall = bf.count(refined.contains).toDouble / bf.size
+    assert(refRecall >= 0.7, s"refined recall vs exact L2: $refRecall")
+    assert(refRecall >= adcRecall)
+    val refined2 = AnnOps.pqTopK(q, e, m = 2, ksub = 16, k = 10, rerank = 50)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined2 == refined, "PQ build/search must be deterministic")
+  }
+
   test("IVF ANN recalls a meaningful share of brute-force top-10") {
     val e = Tables(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 10)

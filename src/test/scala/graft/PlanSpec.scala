@@ -53,7 +53,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup pipelines never degrade to cartesian products") {
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_apply",
-        "q_dedup_embed")) {
+        "q_dedup_embed", "q_dedup_minhash_scale", "q_dedup_simhash_scale")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
@@ -79,7 +79,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("no query plans a single-partition global window") {
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q_batch_assign", "q_sessionize", "q_topk_per_group")) {
+    for (q <- Seq("q_batch_assign", "q_sessionize", "q_topk_per_group",
+        "q_batch_timeout", "q_batch_by_key")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val empty = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       assert(empty.isEmpty,
