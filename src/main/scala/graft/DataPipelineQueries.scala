@@ -127,12 +127,14 @@ object DataPipelineQueries {
     }),
 
     // PQ ANN: per-subspace codebooks + asymmetric distance tables —
-    // the memory-compression scale path (rows-only; recall vs exact
-    // L2 spec-verified in DedupAnnSpec)
+    // the memory-compression scale path. Deterministic build
+    // (lowest-id init, decimal means, first-min ties) makes the whole
+    // codebook → encode → ADC → refine pipeline replicable in the
+    // oracle, like the IVF index build.
     "q_ann_pq" -> ((s, dir) => {
       val e = embs(s, dir)
       AnnOps.pqTopK(e.filter(col("vec_id") < 10), e, m = 2, ksub = 16, k = 10,
-          rerank = 50)
+          iters = 2, rerank = 50)
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
@@ -391,6 +393,64 @@ object DataPipelineQueries {
         |SELECT qid, nid, rk FROM (
         | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
         | FROM cand) WHERE rk <= 10""".stripMargin,
+
+    "q_ann_pq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 2)) AS s),
+        |subs AS (SELECT vec_id, s,
+        |  CASE WHEN s = 0 THEN e[1:32] ELSE e[33:64] END AS sub FROM v, ss),
+        |init AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid, sub AS ce
+        | FROM subs WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, s, sub, cid FROM (
+        |  SELECT subs.vec_id, subs.s, subs.sub, i.cid,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, i.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     i.cid ASC) AS rn
+        |  FROM subs JOIN init i ON subs.s = i.s) t WHERE rn = 1),
+        |m0 AS (SELECT s, cid, u[2] AS pos,
+        |  CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
+        | FROM (SELECT s, cid, unnest(list_zip(sub, range(1, len(sub) + 1))) AS u FROM asg0) x
+        | GROUP BY 1, 2, 3),
+        |b1m AS (SELECT s, cid, list(mval ORDER BY pos) AS ce FROM m0 GROUP BY 1, 2),
+        |b1 AS (SELECT i.s, i.cid, COALESCE(n.ce, i.ce) AS ce
+        | FROM init i LEFT JOIN b1m n ON i.s = n.s AND i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, s, sub, cid FROM (
+        |  SELECT subs.vec_id, subs.s, subs.sub, b.cid,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     b.cid ASC) AS rn
+        |  FROM subs JOIN b1 b ON subs.s = b.s) t WHERE rn = 1),
+        |m1 AS (SELECT s, cid, u[2] AS pos,
+        |  CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
+        | FROM (SELECT s, cid, unnest(list_zip(sub, range(1, len(sub) + 1))) AS u FROM asg1) x
+        | GROUP BY 1, 2, 3),
+        |b2m AS (SELECT s, cid, list(mval ORDER BY pos) AS ce FROM m1 GROUP BY 1, 2),
+        |b2 AS (SELECT b.s, b.cid, COALESCE(n.ce, b.ce) AS ce
+        | FROM b1 b LEFT JOIN b2m n ON b.s = n.s AND b.cid = n.cid),
+        |codes AS (SELECT vec_id, s, cid FROM (
+        |  SELECT subs.vec_id, subs.s, b.cid,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     b.cid ASC) AS rn
+        |  FROM subs JOIN b2 b ON subs.s = b.s) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        |qsubs AS (SELECT qid, s, CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS qsub FROM q, ss),
+        |adist AS (SELECT qs.qid, c.vec_id AS nid,
+        |  SUM(list_sum(list_transform(list_zip(qs.qsub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2])))) AS ad
+        | FROM codes c JOIN b2 b ON c.s = b.s AND c.cid = b.cid
+        |  JOIN qsubs qs ON qs.s = c.s
+        | WHERE qs.qid <> c.vec_id
+        | GROUP BY 1, 2),
+        |shortlist AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad ASC, nid ASC) AS rn
+        |  FROM adist) t WHERE rn <= 50)
+        |SELECT qid, nid, rk FROM (
+        | SELECT a.qid, a.nid,
+        |  ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY
+        |    list_sum(list_transform(list_zip(q.qe, c.e), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |    a.nid ASC) AS rk
+        | FROM shortlist a JOIN q ON q.qid = a.qid JOIN v c ON c.vec_id = a.nid) t
+        |WHERE rk <= 10""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
