@@ -251,6 +251,22 @@ object DataPipelineQueries {
         ow.as("out_w"), oh.as("out_h"))
     }),
 
+    // multimodal: tile-grid planning — the vision-preprocessing cut
+    // of each image into fixed 128px tiles (edge tiles clamped), one
+    // row per tile with its pixel rectangle
+    "q_media_tile" -> ((s, dir) => {
+      val meta = docs(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (length(col("text").cast("binary")) % 640).cast("int").as("width"),
+          ((length(col("text").cast("binary")) * 7) % 480).cast("int").as("height"))
+      graft.operators.MultimodalOps.tilePlan(meta, col("width"), col("height"), 128)
+        .select(col("doc_id"), col("tile_x").cast("int").as("tile_x"),
+          col("tile_y").cast("int").as("tile_y"),
+          col("tx").cast("int").as("tx"), col("ty").cast("int").as("ty"),
+          col("tw"), col("th"))
+    }),
+
     // multimodal: opaque blob + typed metadata from a stubbed decode
     "q_multimodal_meta" -> ((s, dir) => {
       docs(s, dir)
@@ -613,6 +629,25 @@ object DataPipelineQueries {
         |  WHEN width * 240 <= height * 320 THEN LEAST(height, 240)
         |  ELSE CAST(FLOOR(height * LEAST(width, 320) / width) AS INTEGER) END AS out_h
         |FROM m""".stripMargin,
+
+    "q_media_tile" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS height
+        | FROM documents WHERE doc_id < 200),
+        |tx AS (SELECT doc_id, width, height,
+        |  CAST(unnest(range(0, GREATEST(CAST(CEIL(width / 128.0) AS INT), 1))) AS INTEGER) AS tile_x
+        | FROM m),
+        |txy AS (SELECT doc_id, width, height, tile_x,
+        |  CAST(unnest(range(0, GREATEST(CAST(CEIL(height / 128.0) AS INT), 1))) AS INTEGER) AS tile_y
+        | FROM tx)
+        |SELECT doc_id, tile_x, tile_y,
+        | tile_x * 128 AS tx, tile_y * 128 AS ty,
+        | CAST(LEAST(128, width - tile_x * 128) AS INTEGER) AS tw,
+        | CAST(LEAST(128, height - tile_y * 128) AS INTEGER) AS th
+        |FROM txy
+        |WHERE LEAST(128, width - tile_x * 128) > 0
+        | AND LEAST(128, height - tile_y * 128) > 0""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -59,6 +59,25 @@ object MultimodalOps {
     (ow, oh)
   }
 
+  /** Tile-grid planning: the vision-preprocessing step that cuts an
+    * image into fixed-size tiles (edge tiles clamped) before a
+    * per-tile encoder — one row per tile with its pixel rectangle.
+    * All-integer arithmetic; the pixel crop itself belongs in the
+    * partition-batched decode seam. Emits (tile_x, tile_y, tx, ty,
+    * tw, th) rows per input row.
+    */
+  def tilePlan(df: DataFrame, w: org.apache.spark.sql.Column,
+               h: org.apache.spark.sql.Column, tile: Int): DataFrame =
+    df.withColumn("tile_x", explode(sequence(lit(0),
+        greatest(ceil(w / lit(tile)).cast("int") - 1, lit(0)))))
+      .withColumn("tile_y", explode(sequence(lit(0),
+        greatest(ceil(h / lit(tile)).cast("int") - 1, lit(0)))))
+      .withColumn("tx", col("tile_x") * tile)
+      .withColumn("ty", col("tile_y") * tile)
+      .withColumn("tw", least(lit(tile), w - col("tx")).cast("int"))
+      .withColumn("th", least(lit(tile), h - col("ty")).cast("int"))
+      .filter(col("tw") > 0 && col("th") > 0)
+
   /** partition-batched decode: the shape a real codec needs (one
     * expensive init per partition, streamed records). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {

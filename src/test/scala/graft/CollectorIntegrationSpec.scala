@@ -461,6 +461,18 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       fixed64(1, 1L) ++ lenDelim(6, kv("a", nested)))))
     assert(graft.sources.OtlpProtobuf.logsRequestToJsonOrNull(bomb) == null)
     assert(parsed + rejected == 500)
+    // same guarantees for the spans and metrics decoders: random
+    // bytes parse or reject cleanly, never hang or escape the task
+    val rnd2 = new scala.util.Random(4321)
+    (0 until 300).foreach { _ =>
+      val bytes = new Array[Byte](rnd2.nextInt(200))
+      rnd2.nextBytes(bytes)
+      graft.sources.OtlpProtobuf.spansRequestToJsonOrNull(bytes)
+      graft.sources.OtlpProtobuf.metricsRequestToJsonOrNull(bytes)
+    }
+    // and the nesting bomb must not blow their stacks either
+    graft.sources.OtlpProtobuf.spansRequestToJsonOrNull(bomb)
+    graft.sources.OtlpProtobuf.metricsRequestToJsonOrNull(bomb)
   }
 
   test("protobuf spans decode: ids, status, links, typed attributes") {
