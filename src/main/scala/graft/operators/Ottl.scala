@@ -98,6 +98,11 @@ object Ottl {
   /** Sort(array) / Unique(array) */
   def sortArr(c: Column): Column = array_sort(c)
   def uniqueArr(c: Column): Column = array_distinct(c)
+  /** URL(url)[part] — OTTL's URL converter; part ∈ HOST, PATH, QUERY,
+    * PROTOCOL, REF, or QUERY:<key> for one parameter */
+  def urlPart(c: Column, part: String): Column =
+    if (part.startsWith("QUERY:")) parse_url(c, lit("QUERY"), lit(part.drop(6)))
+    else parse_url(c, lit(part))
   /** IsString-ish guards collapse to type checks at plan time in a
     * typed column model — schema does statically what OTTL checks
     * dynamically, so there is nothing to evaluate per row. */

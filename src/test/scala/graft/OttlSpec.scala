@@ -60,6 +60,12 @@ class OttlSpec extends AnyFunSuite {
     assert(r.getAs[Int]("hh") == 22 && r.getAs[Int]("mm") == 13 && r.getAs[Int]("ss") == 20)
     assert(r.getAs[scala.collection.Seq[Int]]("sorted").toSeq == Seq(1, 2, 3))
     assert(r.getAs[scala.collection.Seq[Int]]("uniq").toSeq == Seq(1, 2))
+    val u = df.select(
+      Ottl.urlPart(lit("https://api.example.com/v1/traces?svc=web&env=prod"), "HOST").as("host"),
+      Ottl.urlPart(lit("https://api.example.com/v1/traces?svc=web&env=prod"), "PATH").as("path"),
+      Ottl.urlPart(lit("https://api.example.com/v1/traces?svc=web&env=prod"), "QUERY:svc").as("svc")).head()
+    assert(u.getString(0) == "api.example.com" && u.getString(1) == "/v1/traces" &&
+      u.getString(2) == "web")
   }
 
   test("converters: string/number/hash/json/time functions") {

@@ -50,6 +50,32 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped AND observable in progress metrics") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // obsreport parity: the collector counts refused/dropped points;
+    // Spark surfaces watermark drops per batch in StreamingQueryProgress
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingPipelines.tumblingAgg(
+      ms.toDF().toDF("ts", "event_type", "value"), "event_type", "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    try {
+      ms.addData(Seq((t(1), "a", 1.0), (t(5), "a", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq((t(1), "a", 99.0))) // hours behind the watermark
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, s"late row must be counted as dropped, got $dropped")
+      // and it must not have contaminated the 01:00 window's aggregate
+      val v = spark.sql(
+        "SELECT total_value FROM late_out WHERE window.start = timestamp '2024-01-01 01:00:00'")
+      assert(v.collect().forall(_.getDouble(0) == 1.0))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one record per key across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
