@@ -249,14 +249,17 @@ object AnnOps {
     if (rerank <= k)
       cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
     else {
-      // refine: exact L2 only for the ADC shortlist (rerank ≪ corpus)
+      // refine: exact L2 only for the ADC shortlist (rerank ≪ corpus).
+      // The Q×rerank shortlist is the broadcast side — joining it the
+      // other way would shuffle the whole corpus to fetch a few
+      // hundred embeddings.
       val shortlist = cand.withColumn("rk0", row_number().over(w))
         .filter(col("rk0") <= rerank).drop("rk0")
       val qe = queries.select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
       val ne = base.select(col("vec_id").as("nid"), col("v").as("ne"))
-      val refined = shortlist
-        .join(broadcast(qe), "qid").join(ne, "nid")
+      val refined = ne
+        .join(broadcast(shortlist.join(broadcast(qe), "qid")), "nid")
         .select(col("qid"), col("nid"), l2sq(col("qe"), col("ne")).as("adist"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
       refined.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
