@@ -174,6 +174,52 @@ object StreamingPipelines {
       }
   }
 
+  final case class ExpHistState(scale: Int, counts: Map[Long, Long])
+
+  /** Stateful delta→cumulative for EXPONENTIAL HISTOGRAMS: per
+    * series, bucket counts accumulate across micro-batches, and when
+    * a batch arrives at a different scale the accumulated histogram
+    * and the incoming buckets merge down to the common minimum scale
+    * (floor-division index downscale — the same semantics as
+    * MetricsOps.expDownscaleIdx, here over live state). This is the
+    * collector's delta-aggregation behavior for exp histograms, which
+    * must re-scale before merging. Input rows: (series, scale, idx,
+    * count). Each batch emits the full accumulated histogram for
+    * every series it touched: (series, scale, idx, cumulativeCount).
+    */
+  def runningExpHistogram(spark: SparkSession,
+                          points: Dataset[(String, Int, Long, Long)])(
+      implicit e: org.apache.spark.sql.Encoder[(String, Int, Long, Long)])
+      : Dataset[(String, Int, Long, Long)] = {
+    import spark.implicits._
+    def down(counts: Map[Long, Long], from: Int, to: Int): Map[Long, Long] =
+      if (from == to) counts
+      else counts.groupMapReduce { case (i, _) =>
+        Math.floorDiv(i, 1L << (from - to)) }(_._2)(_ + _)
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState[ExpHistState, (String, Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int, Long, Long)],
+         state: GroupState[ExpHistState]) =>
+          val incoming = rows.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val inScale = incoming.map(_._2).min
+            val target = state.getOption
+              .map(s => math.min(s.scale, inScale)).getOrElse(inScale)
+            val baseC = state.getOption
+              .map(s => down(s.counts, s.scale, target)).getOrElse(Map.empty[Long, Long])
+            val merged = incoming.foldLeft(baseC) { case (acc, (_, sc, idx, cnt)) =>
+              val i2 = Math.floorDiv(idx, 1L << (sc - target))
+              acc.updated(i2, acc.getOrElse(i2, 0L) + cnt)
+            }
+            state.update(ExpHistState(target, merged))
+            merged.toSeq.sortBy(_._1)
+              .map { case (i, c) => (key, target, i, c) }.iterator
+          }
+      }
+  }
+
   /** per-key cumulative counter across micro-batches (stateful
     * delta→cumulative): emits (key, batch_delta, cumulative). */
   def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(

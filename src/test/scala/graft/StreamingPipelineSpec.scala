@@ -125,6 +125,39 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful exp-histogram accumulation merges mixed scales across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Int, Long, Long)]
+    val out = StreamingPipelines.runningExpHistogram(spark, ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exphist_out").start()
+    try {
+      // batch 1 at scale 1: buckets 2→3, 3→1
+      ms.addData(Seq(("s", 1, 2L, 3L), ("s", 1, 3L, 1L)))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT _2, _3, _4 FROM exphist_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(b1 == Set((1, 2L, 3L), (1, 3L, 1L)))
+      // batch 2 arrives COARSER (scale 0): state downscales — scale-1
+      // indexes 2,3 both floor-div to index 1 (counts 3+1) — then the
+      // incoming bucket 1→2 merges on top: cumulative (0, 1, 6)
+      ms.addData(Seq(("s", 0, 1L, 2L)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT _2, _3, _4 FROM exphist_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(all.contains((0, 1L, 6L)), all.mkString(","))
+      // negative indexes keep floor semantics through the live merge
+      ms.addData(Seq(("t", 2, -5L, 1L)))
+      q.processAllAvailable()
+      ms.addData(Seq(("t", 0, -2L, 1L)))
+      q.processAllAvailable()
+      val t = spark.sql("SELECT _2, _3, _4 FROM exphist_out WHERE _1 = 't'")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(t.contains((0, -2L, 2L)), t.mkString(",")) // floorDiv(-5,4) = -2
+    } finally q.stop()
+  }
+
   test("stateful running counter accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
