@@ -243,6 +243,35 @@ object ProcessorQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
     }),
 
+    // the FULL plog severity scale: all 24 levels with band
+    // qualifiers (TRACE..FATAL4), derived deterministically per event
+    "q_severity_map" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("severity_number", (pmod(col("event_id"), lit(24)) + 1).cast("int"))
+        .withColumn("severity_text", Processors.severityText(col("severity_number")))
+        .groupBy(col("severity_number"), col("severity_text"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"))
+    }),
+
+    // W3C traceparent propagation: synthesize the header from event
+    // identity, then parse it back — field extraction + version/flags
+    // validation, the context-propagation surface of the receiver
+    "q_traceparent" -> ((s, dir) => {
+      val tp = concat(lit("00-"), md5(col("event_id").cast("string")), lit("-"),
+        substring(md5(concat(col("event_id").cast("string"), lit("s"))), 1, 16),
+        lit("-"), when(col("event_type") === "error", "01").otherwise("00"))
+      val re = "^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$"
+      Tables(s, dir, "events")
+        .withColumn("tp", tp)
+        .withColumn("trace_id", regexp_extract(col("tp"), re, 2))
+        .withColumn("span_id", regexp_extract(col("tp"), re, 3))
+        .withColumn("sampled", regexp_extract(col("tp"), re, 4) === "01")
+        .groupBy(col("sampled"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("trace_id")).as("n_traces"),
+          count(when(length(col("span_id")) === 16, 1)).as("n_valid_span_ids"))
+    }),
+
     // log severity normalization (plog severity_number mapping)
     "q_span_status" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -398,6 +427,28 @@ object ProcessorQueries {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS INTEGER))""".stripMargin,
+
+    "q_severity_map" ->
+      s"""SELECT severity_number, severity_text, COUNT(*) AS n, MIN(event_id) AS first_id
+         |FROM (SELECT event_id,
+         |  CAST(event_id % 24 + 1 AS INTEGER) AS severity_number,
+         |  ${graft.operators.Processors.severityTextSql("(event_id % 24 + 1)")} AS severity_text
+         | FROM events)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_traceparent" ->
+      """SELECT sampled, COUNT(*) AS n,
+        | COUNT(DISTINCT trace_id) AS n_traces,
+        | COUNT(CASE WHEN LENGTH(span_id) = 16 THEN 1 END) AS n_valid_span_ids
+        |FROM (SELECT
+        |  regexp_extract(tp, '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$', 2) AS trace_id,
+        |  regexp_extract(tp, '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$', 3) AS span_id,
+        |  regexp_extract(tp, '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$', 4) = '01' AS sampled
+        | FROM (SELECT '00-' || md5(CAST(event_id AS VARCHAR)) || '-' ||
+        |   substr(md5(CAST(event_id AS VARCHAR) || 's'), 1, 16) || '-' ||
+        |   CASE WHEN event_type = 'error' THEN '01' ELSE '00' END AS tp
+        |  FROM events))
+        |GROUP BY sampled""".stripMargin,
 
     "q_span_status" ->
       """SELECT severity_number, severity_text, COUNT(*) AS n FROM (

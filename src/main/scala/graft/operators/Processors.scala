@@ -196,6 +196,34 @@ object Processors {
   def memoryLimit(df: DataFrame, order: Seq[Column], limit: Int): DataFrame =
     df.orderBy(order: _*).limit(limit)
 
+  /** Full plog severity scale (severity_number.go: 24 levels in six
+    * bands of four): 1-4 TRACE, 5-8 DEBUG, 9-12 INFO, 13-16 WARN,
+    * 17-20 ERROR, 21-24 FATAL; the 2nd-4th level of each band carries
+    * a numeric qualifier (TRACE2..TRACE4 etc.), 0/out-of-range →
+    * UNSPECIFIED. Shared band table drives both the Column form and
+    * the SQL-oracle twin so they cannot drift. */
+  private val severityBands =
+    Seq("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")
+
+  def severityText(n: Column): Column = {
+    val base = severityBands.zipWithIndex.foldLeft(lit("UNSPECIFIED"): Column) {
+      case (els, (name, i)) =>
+        val lo = i * 4 + 1
+        when(n.between(lo, lo + 3),
+          concat(lit(name), when(n === lo, lit(""))
+            .otherwise((n - lo + 1).cast("int").cast("string")))).otherwise(els)
+    }
+    base
+  }
+
+  /** DuckDB twin generated from the same band table */
+  def severityTextSql(nExpr: String): String =
+    severityBands.zipWithIndex.map { case (name, i) =>
+      val lo = i * 4 + 1
+      s"WHEN $nExpr BETWEEN $lo AND ${lo + 3} THEN '$name' || " +
+        s"(CASE WHEN $nExpr = $lo THEN '' ELSE CAST($nExpr - $lo + 1 AS VARCHAR) END)"
+    }.mkString("CASE ", " ", " ELSE 'UNSPECIFIED' END")
+
   /** Probabilistic sampler: deterministic, seed-stable, and portable
     * across engines (md5 of the id — first hex digit < 16*pct).
     * Mirrors the collector's hash-seeded sampler semantics: the same
