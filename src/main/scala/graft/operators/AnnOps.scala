@@ -164,6 +164,11 @@ object AnnOps {
     var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(s =>
       init.filter(_.getInt(0) == s).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2): Seq[Double]))
+    // fail with a diagnosis, not an AIOOBE three stages later: a
+    // corpus smaller than ksub cannot seed a full codebook
+    require(books.forall(_.length == ksub),
+      s"PQ needs >= $ksub corpus vectors to seed each codebook, " +
+        s"got ${books.map(_.length).min}")
     var it = 0
     while (it < iters) {
       val cid = (0 until m).foldLeft(lit(-1): Column)((acc, s) =>

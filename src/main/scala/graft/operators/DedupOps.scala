@@ -297,6 +297,10 @@ object DedupOps {
       round += 1
     }
     edges.unpersist()
+    // the final round's cached RDD backs the returned frame, so it
+    // cannot be unpersisted here; Spark's ContextCleaner releases it
+    // once the frame becomes unreachable. A caller looping CC over
+    // many graphs in one session can force it with result.rdd.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
 

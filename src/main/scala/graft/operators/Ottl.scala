@@ -89,12 +89,18 @@ object Ottl {
   /** Log (natural) / Sqrt */
   def logOttl(c: Column): Column = log(c)
   def sqrtOttl(c: Column): Column = sqrt(c)
-  /** Hour/Minutes/Seconds of day from integral unix ns — pure integer
-    * arithmetic (no session-timezone dependence, matches the oracle
-    * engine bit for bit) */
-  def hourOfDay(ns: Column): Column = (ns.cast("long") / lit(3600000000000L) % 24).cast("int")
-  def minuteOfHour(ns: Column): Column = (ns.cast("long") / lit(60000000000L) % 60).cast("int")
-  def secondOfMinute(ns: Column): Column = (ns.cast("long") / lit(1000000000L) % 60).cast("int")
+  /** Hour/Minutes/Seconds of day from integral unix ns. Spark's `/`
+    * on longs is DOUBLE division, and epoch-ns values exceed 2^53
+    * (ulp ≈ 256 ns at 1.7e18) — dividing the raw ns would misreport
+    * timestamps within ~128 ns of a boundary. pmod first: the
+    * within-period remainder is < 8.64e13, exactly representable, so
+    * the division-then-floor is boundary-exact and timezone-free. */
+  def hourOfDay(ns: Column): Column =
+    floor(pmod(ns.cast("long"), lit(86400000000000L)) / lit(3600000000000L)).cast("int")
+  def minuteOfHour(ns: Column): Column =
+    floor(pmod(ns.cast("long"), lit(3600000000000L)) / lit(60000000000L)).cast("int")
+  def secondOfMinute(ns: Column): Column =
+    floor(pmod(ns.cast("long"), lit(60000000000L)) / lit(1000000000L)).cast("int")
   /** Sort(array) / Unique(array) */
   def sortArr(c: Column): Column = array_sort(c)
   def uniqueArr(c: Column): Column = array_distinct(c)

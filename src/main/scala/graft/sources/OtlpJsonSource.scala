@@ -739,11 +739,23 @@ object OtlpJsonSource {
       .format("socket").option("host", host).option("port", port).load()
       .select(unbase64(col("value")).as("pb")))
 
-  /** [[socketLogsPb]] with the dead-letter path: returns (good, dlq) */
-  def socketLogsPbWithDlq(spark: SparkSession, host: String, port: Int): (DataFrame, DataFrame) =
-    parseLogsPbWithDlq(spark.readStream
+  /** [[socketLogsPb]] with the dead-letter path: returns (good, dlq).
+    * Hardened end to end: a garbage line that is not even valid
+    * base64 (unbase64 itself throws on some malformed inputs) routes
+    * to the DLQ as raw bytes via try_to_binary, and a line whose
+    * bytes decode but are not a valid request routes via the
+    * NULL-on-malformed pb decode — nothing kills the query. */
+  def socketLogsPbWithDlq(spark: SparkSession, host: String, port: Int): (DataFrame, DataFrame) = {
+    val tagged = spark.readStream
       .format("socket").option("host", host).option("port", port).load()
-      .select(unbase64(col("value")).as("pb")))
+      .withColumn("pb", try_to_binary(col("value"), lit("base64")))
+      .withColumn("json",
+        OtlpProtobuf.otlp_logs_pb_to_json_safe(col("pb")))
+    val good = parseLogs(tagged.filter(col("json").isNotNull).select(col("json")))
+    val dlq = tagged.filter(col("json").isNull)
+      .select(col("value").cast("binary").as("raw"), current_timestamp().as("dlq_time"))
+    (good, dlq)
+  }
 
   /** Streaming OTLP-JSON file receiver: tail a directory of request
     * documents (one JSON per line) with admission control

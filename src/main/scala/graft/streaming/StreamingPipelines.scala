@@ -57,18 +57,24 @@ object StreamingPipelines {
     * so the burst spreads over later triggers — upstream
     * backpressure, not data loss. State per trigger is bounded by a
     * constant regardless of how large the burst is.
+    *
+    * `refuse` receives the batchId and MUST be idempotent per
+    * batchId (overwrite a batchId-derived location, never append):
+    * like exportBatch, it runs BEFORE the checkpoint commits, so a
+    * mid-batch failure replays the same batchId and an appending
+    * refuse would duplicate the overflow rows.
     */
   def exportStreamAdmitted(stream: DataFrame, exporter: graft.pipeline.Pipeline.Exporter,
                            checkpoint: String, maxRowsPerBatch: Int,
                            order: Seq[org.apache.spark.sql.Column],
-                           refuse: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                           refuse: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sorted = batch.orderBy(order: _*).persist()
         try {
           if (sorted.count() > maxRowsPerBatch)
-            refuse(sorted.offset(maxRowsPerBatch))
+            refuse(sorted.offset(maxRowsPerBatch), batchId)
           exporter.exportBatch(sorted.limit(maxRowsPerBatch), batchId)
         } finally { sorted.unpersist(); () }
       }

@@ -121,6 +121,15 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(refined2 == refined, "PQ build/search must be deterministic")
   }
 
+  test("PQ fails fast when the corpus cannot seed a full codebook") {
+    val e = Tables(spark, sf, "embeddings")
+    val tiny = e.filter(col("vec_id") < 10)
+    val err = intercept[IllegalArgumentException] {
+      AnnOps.pqTopK(tiny, tiny, m = 2, ksub = 16, k = 5)
+    }
+    assert(err.getMessage.contains("16"), err.getMessage)
+  }
+
   test("IVF ANN recalls a meaningful share of brute-force top-10") {
     val e = Tables(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 10)

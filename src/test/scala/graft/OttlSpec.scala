@@ -58,6 +58,12 @@ class OttlSpec extends AnyFunSuite {
     assert(r.getAs[Double]("sq") == 3.0)
     // 1700000000123456789 ns = 2023-11-14T22:13:20.123Z
     assert(r.getAs[Int]("hh") == 22 && r.getAs[Int]("mm") == 13 && r.getAs[Int]("ss") == 20)
+    // boundary exactness: epoch-ns exceeds 2^53, so naive double
+    // division rounds ...19.9999999 up to :20 — pmod-first must not
+    val b = df.select(
+      Ottl.secondOfMinute(lit(1699999999999999900L)).as("ss"),
+      Ottl.minuteOfHour(lit(1699999999999999900L)).as("mm")).head()
+    assert(b.getAs[Int]("ss") == 19 && b.getAs[Int]("mm") == 13)
     assert(r.getAs[scala.collection.Seq[Int]]("sorted").toSeq == Seq(1, 2, 3))
     assert(r.getAs[scala.collection.Seq[Int]]("uniq").toSeq == Seq(1, 2))
     val u = df.select(

@@ -471,38 +471,55 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val line = java.util.Base64.getEncoder.encodeToString(pb)
 
     val server = new java.net.ServerSocket(0)
-    val sent = new java.util.concurrent.CountDownLatch(1)
-    val writer = new Thread(() => {
-      val sock = server.accept()
-      val out = new java.io.PrintWriter(sock.getOutputStream, true)
-      (1 to 3).foreach(_ => out.println(line)) // 3 requests × 2 records
-      out.flush()
-      sent.countDown()
-      // keep the connection open until the query is done reading
-      Thread.sleep(30000)
-      sock.close()
+    // each streaming query opens its OWN socket connection — the
+    // good and dlq branches are two queries, so serve every
+    // connection the same lines
+    val sent = new java.util.concurrent.CountDownLatch(2)
+    val acceptor = new Thread(() => {
+      while (!server.isClosed) {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          (1 to 3).foreach(_ => out.println(line)) // 3 requests × 2 records
+          out.println("ab!cde")                    // not base64 — must dead-letter
+          out.println(java.util.Base64.getEncoder.encodeToString(
+            Array[Byte](0x0a, 0x7f, 0x01)))        // base64 but truncated pb
+          out.flush()
+          sent.countDown()
+          // keep the connection open until the query is done reading
+          Thread.sleep(30000)
+          sock.close()
+        })
+        t.setDaemon(true)
+        t.start()
+      }
     })
-    writer.setDaemon(true)
-    writer.start()
+    acceptor.setDaemon(true)
+    acceptor.start()
 
-    val stream = OtlpJsonSource.socketLogsPb(spark, "localhost", server.getLocalPort)
-    val q = stream.writeStream.outputMode("append")
+    val (good, dlq) = OtlpJsonSource.socketLogsPbWithDlq(
+      spark, "localhost", server.getLocalPort)
+    val q = good.writeStream.outputMode("append")
       .format("memory").queryName("socket_logs").start()
+    val qd = dlq.writeStream.outputMode("append")
+      .format("memory").queryName("socket_dlq").start()
     try {
       assert(sent.await(20, java.util.concurrent.TimeUnit.SECONDS))
       val deadline = System.currentTimeMillis() + 30000
       def count() = spark.sql("SELECT count(*) FROM socket_logs").head().getLong(0)
-      while (count() < 6 && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable()
+      def dead() = spark.sql("SELECT count(*) FROM socket_dlq").head().getLong(0)
+      while ((count() < 6 || dead() < 2) && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); qd.processAllAvailable()
         Thread.sleep(200)
       }
       assert(count() == 6)
+      assert(dead() == 2, "garbage base64 AND malformed pb both dead-letter")
       val sev = spark.sql("SELECT severity_number, count(*) FROM socket_logs GROUP BY 1")
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(sev == Map(17 -> 3L, 9 -> 3L))
       assert(spark.sql("SELECT DISTINCT body FROM socket_logs").count() == 2)
     } finally {
-      q.stop()
+      q.stop(); qd.stop()
       server.close()
     }
   }
@@ -525,9 +542,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
       }
     }
     // refuse = respool the overflow into the source dir: upstream
-    // backpressure — later triggers re-admit it in bounded chunks
-    val refuse: org.apache.spark.sql.DataFrame => Unit = df =>
-      df.coalesce(1).write.mode("append").text(inDir)
+    // backpressure — later triggers re-admit it in bounded chunks.
+    // Idempotent per batchId: the respool file name derives from the
+    // batchId and is REPLACED on replay, never appended — a mid-batch
+    // failure after refuse() must not duplicate the overflow.
+    val refuse: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, batchId) => {
+      val lines = df.collect().map(_.getString(0))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, f"refused-$batchId%06d.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
 
     val q = StreamingPipelines.exportStreamAdmitted(
       spark.readStream.text(inDir), exporter, ck,
