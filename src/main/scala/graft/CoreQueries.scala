@@ -39,6 +39,37 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q4 shape: order-priority counts gated on an EXISTS
+    // semi-join against the fact (orders with any line shipped >60
+    // days after the order date — the late-commit predicate adapted
+    // to the synthetic schema). The decision side distincts down
+    // before the join.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("o_orderkey")).distinct()
+      o.join(late, Seq("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — HAVING over a fact
+    // aggregation, then dimension joins and a deterministic top-100
+    // (TakeOrderedAndProject, no global sort).
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = Tables(s, dir, "orders")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     // TPC-H Q3 shape: only the true dimension (filtered customer)
     // broadcasts; lineitem ⋈ (orders ⋈ customer) is left to AQE —
     // a fact-derived set must never carry a broadcast hint (≈20% of
@@ -191,6 +222,23 @@ object CoreQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         | AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
         | AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM (
+        | SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS total_qty
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | GROUP BY 1, 2, 3
+        | HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) > 150)
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
