@@ -739,22 +739,41 @@ object OtlpJsonSource {
       .format("socket").option("host", host).option("port", port).load()
       .select(unbase64(col("value")).as("pb")))
 
-  /** [[socketLogsPb]] with the dead-letter path: returns (good, dlq).
-    * Hardened end to end: a garbage line that is not even valid
-    * base64 (unbase64 itself throws on some malformed inputs) routes
-    * to the DLQ as raw bytes via try_to_binary, and a line whose
-    * bytes decode but are not a valid request routes via the
-    * NULL-on-malformed pb decode — nothing kills the query. */
-  def socketLogsPbWithDlq(spark: SparkSession, host: String, port: Int): (DataFrame, DataFrame) = {
+  /** [[socketLogsPb]] with the dead-letter path, as a SINGLE
+    * consuming query. A socket is one non-replayable connection — the
+    * (good, dlq) two-DataFrame shape the file receivers use would
+    * start two queries that each open their OWN connection, and a
+    * server that doesn't re-broadcast every line to every connection
+    * would split records arbitrarily between the branches. Here one
+    * query reads the socket and each micro-batch is routed to the two
+    * sinks. Hardened end to end: a line that is not even valid base64
+    * dead-letters via try_to_binary (unbase64 throws on some
+    * malformed inputs), a line whose bytes are not a valid request
+    * dead-letters via the NULL-on-malformed decode — nothing kills
+    * the query. DLQ `raw` carries the decoded wire bytes when base64
+    * was valid (same semantics as the file receivers' DLQ — directly
+    * re-inspectable as pb), else the raw line bytes. */
+  def socketLogsPbRouted(spark: SparkSession, host: String, port: Int,
+                         checkpoint: String,
+                         goodSink: (DataFrame, Long) => Unit,
+                         dlqSink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val tagged = spark.readStream
       .format("socket").option("host", host).option("port", port).load()
       .withColumn("pb", try_to_binary(col("value"), lit("base64")))
-      .withColumn("json",
-        OtlpProtobuf.otlp_logs_pb_to_json_safe(col("pb")))
-    val good = parseLogs(tagged.filter(col("json").isNotNull).select(col("json")))
-    val dlq = tagged.filter(col("json").isNull)
-      .select(col("value").cast("binary").as("raw"), current_timestamp().as("dlq_time"))
-    (good, dlq)
+      .withColumn("json", OtlpProtobuf.otlp_logs_pb_to_json_safe(col("pb")))
+    tagged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          goodSink(parseLogs(b.filter(col("json").isNotNull).select(col("json"))), batchId)
+          dlqSink(b.filter(col("json").isNull)
+            .select(coalesce(col("pb"), col("value").cast("binary")).as("raw"),
+              current_timestamp().as("dlq_time")), batchId)
+        } finally { b.unpersist(); () }
+      }
+      .start()
   }
 
   /** Streaming OTLP-JSON file receiver: tail a directory of request

@@ -62,7 +62,13 @@ object StreamingPipelines {
     * batchId (overwrite a batchId-derived location, never append):
     * like exportBatch, it runs BEFORE the checkpoint commits, so a
     * mid-batch failure replays the same batchId and an appending
-    * refuse would duplicate the overflow rows.
+    * refuse would duplicate the overflow rows. `order` MUST be a
+    * TOTAL ordering (include a unique id): the admitted/refused split
+    * is limit/offset over the sort, and ties resolved differently on
+    * replay would change the split — when respooling to a file
+    * source, which tracks files by name and never re-reads an
+    * overwritten path, a changed split would lose/duplicate the
+    * difference.
     */
   def exportStreamAdmitted(stream: DataFrame, exporter: graft.pipeline.Pipeline.Exporter,
                            checkpoint: String, maxRowsPerBatch: Int,
@@ -198,10 +204,16 @@ object StreamingPipelines {
       implicit e: org.apache.spark.sql.Encoder[(String, Int, Long, Long)])
       : Dataset[(String, Int, Long, Long)] = {
     import spark.implicits._
-    def down(counts: Map[Long, Long], from: Int, to: Int): Map[Long, Long] =
+    def down(counts: Map[Long, Long], from: Int, to: Int): Map[Long, Long] = {
+      // JVM shifts are mod 64: an unvalidated scale gap >= 63 would
+      // silently divide by the WRONG power of two. OTLP scales live
+      // in [-10, 20]; anything wider is corrupt input — fail loudly.
+      require(from - to >= 0 && from - to < 63,
+        s"exp-histogram scale gap ${from - to} out of range (scales $from -> $to)")
       if (from == to) counts
       else counts.groupMapReduce { case (i, _) =>
         Math.floorDiv(i, 1L << (from - to)) }(_._2)(_ + _)
+    }
     points.groupByKey(_._1)
       .flatMapGroupsWithState[ExpHistState, (String, Int, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -216,6 +228,8 @@ object StreamingPipelines {
             val baseC = state.getOption
               .map(s => down(s.counts, s.scale, target)).getOrElse(Map.empty[Long, Long])
             val merged = incoming.foldLeft(baseC) { case (acc, (_, sc, idx, cnt)) =>
+              require(sc - target >= 0 && sc - target < 63,
+                s"exp-histogram scale gap ${sc - target} out of range")
               val i2 = Math.floorDiv(idx, 1L << (sc - target))
               acc.updated(i2, acc.getOrElse(i2, 0L) + cnt)
             }

@@ -70,9 +70,12 @@ class StreamingPipelineSpec extends AnyFunSuite {
         .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
       assert(dropped >= 1, s"late row must be counted as dropped, got $dropped")
       // and it must not have contaminated the 01:00 window's aggregate
+      // (count first — an absent window row would make forall vacuous)
       val v = spark.sql(
         "SELECT total_value FROM late_out WHERE window.start = timestamp '2024-01-01 01:00:00'")
-      assert(v.collect().forall(_.getDouble(0) == 1.0))
+        .collect()
+      assert(v.length == 1, s"01:00 window must have been emitted, got ${v.length} rows")
+      assert(v.head.getDouble(0) == 1.0)
     } finally q.stop()
   }
 
@@ -471,55 +474,50 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val line = java.util.Base64.getEncoder.encodeToString(pb)
 
     val server = new java.net.ServerSocket(0)
-    // each streaming query opens its OWN socket connection — the
-    // good and dlq branches are two queries, so serve every
-    // connection the same lines
-    val sent = new java.util.concurrent.CountDownLatch(2)
-    val acceptor = new Thread(() => {
-      while (!server.isClosed) {
-        val sock = server.accept()
-        val t = new Thread(() => {
-          val out = new java.io.PrintWriter(sock.getOutputStream, true)
-          (1 to 3).foreach(_ => out.println(line)) // 3 requests × 2 records
-          out.println("ab!cde")                    // not base64 — must dead-letter
-          out.println(java.util.Base64.getEncoder.encodeToString(
-            Array[Byte](0x0a, 0x7f, 0x01)))        // base64 but truncated pb
-          out.flush()
-          sent.countDown()
-          // keep the connection open until the query is done reading
-          Thread.sleep(30000)
-          sock.close()
-        })
-        t.setDaemon(true)
-        t.start()
-      }
+    val sent = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      val sock = server.accept() // ONE consumer = one connection
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      (1 to 3).foreach(_ => out.println(line)) // 3 requests × 2 records
+      out.println("ab!cde")                    // not base64 — must dead-letter
+      out.println(java.util.Base64.getEncoder.encodeToString(
+        Array[Byte](0x0a, 0x7f, 0x01)))        // base64 but truncated pb
+      out.flush()
+      sent.countDown()
+      // keep the connection open until the query is done reading
+      Thread.sleep(30000)
+      sock.close()
     })
-    acceptor.setDaemon(true)
-    acceptor.start()
+    writer.setDaemon(true)
+    writer.start()
 
-    val (good, dlq) = OtlpJsonSource.socketLogsPbWithDlq(
-      spark, "localhost", server.getLocalPort)
-    val q = good.writeStream.outputMode("append")
-      .format("memory").queryName("socket_logs").start()
-    val qd = dlq.writeStream.outputMode("append")
-      .format("memory").queryName("socket_dlq").start()
+    val ck = java.nio.file.Files.createTempDirectory("socket_ck").toString
+    val goodRows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val dlqRows = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val q = OtlpJsonSource.socketLogsPbRouted(spark, "localhost", server.getLocalPort, ck,
+      goodSink = (df, _) => df.select("severity_number", "body").collect()
+        .foreach(r => goodRows.add(r.getInt(0) -> r.getString(1))),
+      dlqSink = (df, _) => df.select("raw").collect()
+        .foreach(r => dlqRows.add(r.getAs[Array[Byte]](0))))
     try {
       assert(sent.await(20, java.util.concurrent.TimeUnit.SECONDS))
       val deadline = System.currentTimeMillis() + 30000
-      def count() = spark.sql("SELECT count(*) FROM socket_logs").head().getLong(0)
-      def dead() = spark.sql("SELECT count(*) FROM socket_dlq").head().getLong(0)
-      while ((count() < 6 || dead() < 2) && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable(); qd.processAllAvailable()
+      while ((goodRows.size < 6 || dlqRows.size < 2) &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
         Thread.sleep(200)
       }
-      assert(count() == 6)
-      assert(dead() == 2, "garbage base64 AND malformed pb both dead-letter")
-      val sev = spark.sql("SELECT severity_number, count(*) FROM socket_logs GROUP BY 1")
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      assert(sev == Map(17 -> 3L, 9 -> 3L))
-      assert(spark.sql("SELECT DISTINCT body FROM socket_logs").count() == 2)
+      assert(goodRows.size == 6)
+      assert(dlqRows.size == 2, "garbage base64 AND malformed pb both dead-letter")
+      val sev = goodRows.toArray(Array.empty[(Int, String)])
+        .groupBy(_._1).map { case (k, v) => k -> v.length }
+      assert(sev == Map(17 -> 3, 9 -> 3))
+      // the valid-base64-but-bad-pb row's DLQ bytes are the DECODED
+      // wire bytes (re-inspectable as pb, like the file DLQs)
+      assert(dlqRows.toArray(Array.empty[Array[Byte]])
+        .exists(_.sameElements(Array[Byte](0x0a, 0x7f, 0x01))))
     } finally {
-      q.stop(); qd.stop()
+      q.stop()
       server.close()
     }
   }
