@@ -148,6 +148,17 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // IVF-PQ ANN: PQ codes riding inside IVF cells — probe nprobe
+    // cells, ADC within, exact refine. The production billion-vector
+    // layout; both deterministic builds compose, so the full index is
+    // still bit-replicable in the oracle.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.ivfPqTopK(e.filter(col("vec_id") < 10), e, c = 16, nprobe = 4,
+          m = 2, ksub = 16, k = 10, ivfIters = 1, pqIters = 1, rerank = 50)
+        .select(col("qid"), col("nid"), col("rk"))
+    }),
+
     // per-label per-dimension centroids (array plumbing, exact sums)
     "q_embed_stats" -> ((s, dir) => {
       embs(s, dir)
@@ -456,6 +467,85 @@ object DataPipelineQueries {
         | FROM codes c JOIN b2 b ON c.s = b.s AND c.cid = b.cid
         |  JOIN qsubs qs ON qs.s = c.s
         | WHERE qs.qid <> c.vec_id
+        | GROUP BY 1, 2),
+        |shortlist AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad ASC, nid ASC) AS rn
+        |  FROM adist) t WHERE rn <= 50)
+        |SELECT qid, nid, rk FROM (
+        | SELECT a.qid, a.nid,
+        |  ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY
+        |    list_sum(list_transform(list_zip(q.qe, c.e), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |    a.nid ASC) AS rk
+        | FROM shortlist a JOIN q ON q.qid = a.qid JOIN v c ON c.vec_id = a.nid) t
+        |WHERE rk <= 10""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, i.cid,
+        |   list_sum(list_transform(list_zip(v.e, i.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(i.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN init i) s0),
+        |cells0 AS (SELECT vec_id, e, cid FROM asg0 WHERE rn = 1),
+        |means AS (SELECT cid, u[2] AS pos,
+        |   CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT cid, unnest(list_zip(e, range(1, len(e) + 1))) AS u FROM cells0) x
+        |  GROUP BY cid, u[2]),
+        |newc AS (SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid),
+        |cent AS (SELECT i.cid, COALESCE(n.ce, i.ce) AS ce FROM init i LEFT JOIN newc n ON i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, c.cid,
+        |   list_sum(list_transform(list_zip(v.e, c.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN cent c) s1),
+        |cells AS (SELECT vec_id AS nid, cid FROM asg1 WHERE rn = 1),
+        |probes AS (SELECT qid, cid FROM (
+        |   SELECT q.vec_id AS qid, c.cid,
+        |     ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |       list_sum(list_transform(list_zip(q.e, c.ce), x -> x[1] * x[2])) /
+        |       (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |        sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid ASC) AS rn
+        |   FROM (SELECT vec_id, e FROM v WHERE vec_id < 10) q CROSS JOIN cent c) s2
+        |  WHERE rn <= 4),
+        |ss AS (SELECT unnest(range(0, 2)) AS s),
+        |subs AS (SELECT vec_id, s,
+        |  CASE WHEN s = 0 THEN e[1:32] ELSE e[33:64] END AS sub FROM v, ss),
+        |pinit AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS pcid, sub AS ce
+        | FROM subs WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+        |pasg0 AS (SELECT vec_id, s, sub, pcid FROM (
+        |  SELECT subs.vec_id, subs.s, subs.sub, i.pcid,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, i.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     i.pcid ASC) AS rn
+        |  FROM subs JOIN pinit i ON subs.s = i.s) t WHERE rn = 1),
+        |pm0 AS (SELECT s, pcid, u[2] AS pos,
+        |  CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
+        | FROM (SELECT s, pcid, unnest(list_zip(sub, range(1, len(sub) + 1))) AS u FROM pasg0) x
+        | GROUP BY 1, 2, 3),
+        |pb1m AS (SELECT s, pcid, list(mval ORDER BY pos) AS ce FROM pm0 GROUP BY 1, 2),
+        |pb1 AS (SELECT i.s, i.pcid, COALESCE(n.ce, i.ce) AS ce
+        | FROM pinit i LEFT JOIN pb1m n ON i.s = n.s AND i.pcid = n.pcid),
+        |codes AS (SELECT vec_id, s, pcid FROM (
+        |  SELECT subs.vec_id, subs.s, b.pcid,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     b.pcid ASC) AS rn
+        |  FROM subs JOIN pb1 b ON subs.s = b.s) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        |qsubs AS (SELECT qid, s, CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS qsub FROM q, ss),
+        |cellcand AS (SELECT p.qid, s.nid FROM cells s JOIN probes p USING (cid) WHERE p.qid <> s.nid),
+        |adist AS (SELECT cc.qid, cc.nid,
+        |  SUM(list_sum(list_transform(list_zip(qs.qsub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2])))) AS ad
+        | FROM cellcand cc
+        |  JOIN codes c ON c.vec_id = cc.nid
+        |  JOIN pb1 b ON c.s = b.s AND c.pcid = b.pcid
+        |  JOIN qsubs qs ON qs.qid = cc.qid AND qs.s = c.s
         | GROUP BY 1, 2),
         |shortlist AS (SELECT qid, nid FROM (
         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad ASC, nid ASC) AS rn

@@ -317,6 +317,92 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** squared-L2 with the exact fold order of the HOF reference
+    * (per-element (x-y)² accumulated left to right in IEEE double) —
+    * values stay bit-identical to the DuckDB list_sum twin */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val t = a.getDouble(i) - b.getDouble(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  private def l2sqVs(a: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val t = a.getDouble(i) - c(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  private def cosineVs(a: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = c(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** distances to every codebook entry in one pass (the per-query ADC
+    * table) — replaces ksub inlined fold expressions with one call */
+  def l2Table(sub: ArrayData, codebook: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](codebook.length)
+    var i = 0
+    while (i < codebook.length) { out(i) = l2sqVs(sub, codebook(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** cosine to every centroid in one pass (probe-ordering table) */
+  def cosineTable(v: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](cents.length)
+    var i = 0
+    while (i < cents.length) { out(i) = cosineVs(v, cents(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** argmin-L2 codebook index, FIRST-min tie rule — value-identical to
+    * array_position(dists, array_min(dists)) - 1 over the same dists.
+    * One loop per row whatever ksub is (the inlined-expression
+    * formulation grows the plan O(ksub) and falls out of codegen). */
+  def nearestCodeL2(sub: ArrayData, codebook: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = l2sqVs(sub, codebook(0))
+    var i = 1
+    while (i < codebook.length) {
+      val d = l2sqVs(sub, codebook(i))
+      if (d < bd) { bd = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** argmax-cosine centroid index, FIRST-max tie rule (the
+    * array_position(sims, array_max(sims)) - 1 twin) */
+  def nearestCentroidCos(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bs = cosineVs(v, cents(0))
+    var i = 1
+    while (i < cents.length) {
+      val s = cosineVs(v, cents(i))
+      if (s > bs) { bs = s; best = i }
+      i += 1
+    }
+    best
+  }
+
   private val hyperplaneWeights =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Byte]]]()
 

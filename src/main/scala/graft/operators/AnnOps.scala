@@ -108,11 +108,12 @@ object AnnOps {
     centroids
   }
 
-  /** argmax-cosine cell id against broadcast centroid literals */
-  def nearestCentroid(vec: Column, centroids: Array[Seq[Double]]): Column = {
-    val sims = array(centroids.map(ct => cosine(vec, typedLit(ct))): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
-  }
+  /** argmax-cosine cell id against the broadcast centroid table — a
+    * single native expression whatever c is (the inlined c-wide
+    * expression-array formulation grows the plan O(c) and breaks
+    * codegen around c≈hundreds; spec-pinned at c=256) */
+  def nearestCentroid(vec: Column, centroids: Array[Seq[Double]]): Column =
+    graft.functions.VectorExprs.nearest_centroid(vec, centroids.toSeq)
 
   /** IVF search: assign corpus cells once, probe nprobe cells per
     * query, exact cosine top-k within the probed cells. */
@@ -124,7 +125,8 @@ object AnnOps {
       .withColumn("cid", nearestCentroid(col("ne"), centroids))
     val probes = queries.select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
-      .withColumn("sims", array(centroids.map(ct => cosine(col("qe"), typedLit(ct))): _*))
+      .withColumn("sims",
+        graft.functions.VectorExprs.cosine_table(col("qe"), centroids.toSeq))
       // deterministic probe order: sim DESC, then LOWER cell id on ties
       // (a comparator sort — reverse(array_sort) would break ties by
       // higher id, which a SQL oracle's ORDER BY sim DESC, cid can't say)
@@ -143,7 +145,9 @@ object AnnOps {
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** squared-L2 left fold (PQ's metric) */
+  /** squared-L2 left fold (HOF reference formulation; the hot paths
+    * use the native [[graft.functions.VectorExprs.l2_sq]] — values
+    * bit-identical, parity property-tested) */
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
@@ -153,26 +157,33 @@ object AnnOps {
     * fixed job overhead — measured 2× on the bench). Same discipline
     * as [[ivfCentroids]]: lowest-id init, decimal-exact means,
     * empty-cell carry-forward, first-min tie rule. Bounded collects:
-    * m×ksub×subDim doubles per iteration. `subs` rows: (vec_id, s,
-    * sub) — one row per vector per subspace. */
-  private def kmeansL2Multi(subs: DataFrame, m: Int, ksub: Int,
+    * m×ksub×subDim doubles per iteration.
+    *
+    * Init is the bounded TakeOrderedAndProject shape: the ksub
+    * lowest-vec_id vectors seed every subspace (their m slices) —
+    * value-identical to a per-subspace row_number window over `subs`
+    * (every vec_id appears in each subspace) but O(ksub) driver work
+    * instead of m tasks each sorting the full corpus (r3 verdict #1).
+    *
+    * `base` rows: (vec_id, v). `subs` rows: (vec_id, s, sub) — one
+    * row per vector per subspace, pre-persisted by the caller. */
+  private def kmeansL2Multi(base: DataFrame, subs: DataFrame, m: Int,
+                            subDim: Int, ksub: Int,
                             iters: Int): Array[Array[Seq[Double]]] = {
-    val w = Window.partitionBy(col("s")).orderBy(col("vec_id"))
-    val init = subs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= ksub)
-      .select(col("s"), col("rn"), col("sub")).collect()
-    var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(s =>
-      init.filter(_.getInt(0) == s).sortBy(_.getInt(1))
-        .map(_.getSeq[Double](2): Seq[Double]))
+    val seed = base.orderBy(col("vec_id")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
     // fail with a diagnosis, not an AIOOBE three stages later: a
     // corpus smaller than ksub cannot seed a full codebook
-    require(books.forall(_.length == ksub),
-      s"PQ needs >= $ksub corpus vectors to seed each codebook, " +
-        s"got ${books.map(_.length).min}")
+    require(seed.length == ksub,
+      s"PQ needs >= $ksub training vectors to seed each codebook, " +
+        s"got ${seed.length}")
+    var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(s =>
+      seed.map(v => v.slice(s * subDim, (s + 1) * subDim)))
     var it = 0
     while (it < iters) {
       val cid = (0 until m).foldLeft(lit(-1): Column)((acc, s) =>
-        when(col("s") === s, nearestCodeCol(col("sub"), books(s))).otherwise(acc))
+        when(col("s") === s, graft.functions.VectorExprs.nearest_code_l2(
+          col("sub"), books(s).toSeq)).otherwise(acc))
       val means = subs.withColumn("cid", cid)
         .select(col("s"), col("cid"), posexplode(col("sub")))
         .groupBy(col("s"), col("cid"), col("pos"))
@@ -188,13 +199,6 @@ object AnnOps {
       it += 1
     }
     books
-  }
-
-  /** argmin-L2 code against broadcast codebook literals (first-min
-    * tie rule — array_position finds the lowest matching code) */
-  private def nearestCodeCol(sub: Column, codebook: Array[Seq[Double]]): Column = {
-    val dists = array(codebook.map(ct => l2sq(sub, typedLit(ct))): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Product-quantization ANN (the billion-vector memory-compression
@@ -219,32 +223,72 @@ object AnnOps {
     * refined) L2, ties by nid.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, ksub: Int,
-             k: Int, iters: Int = 2, rerank: Int = 0): DataFrame = {
+             k: Int, iters: Int = 2, rerank: Int = 0,
+             trainFraction: Double = 1.0): DataFrame = {
     val base = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    def subCol(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
-    // all m codebooks trained together, one job per iteration
-    val subs = base.select(col("vec_id"), posexplode(
-        array((0 until m).map(s => subCol(col("v"), s)): _*)))
-      .withColumnRenamed("pos", "s")
-      .withColumnRenamed("col", "sub")
-      .persist()
-    val codebooks = kmeansL2Multi(subs, m, ksub, iters)
-    subs.unpersist()
-    // encode the corpus: m codes per vector
+    val codebooks = trainPqBooks(base, m, subDim, ksub, iters, trainFraction)
+    // encode the corpus: m codes per vector — one native argmin kernel
+    // per subspace (the inlined ksub-fold formulation interprets; r3 #2)
     val enc = base.select(col("vec_id").as("nid"),
-      array((0 until m).map(s =>
-        nearestCodeCol(subCol(col("v"), s), codebooks(s))): _*).as("codes"))
-    // queries carry one ADC table per subspace (ksub distances each)
-    val q = queries.select(col("vec_id").as("qid"),
+      pqCodes(col("v"), subDim, codebooks).as("codes"))
+    val cand = adcScan(queries, enc, subDim, codebooks)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    if (rerank <= k)
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    else
+      pqRefine(cand, queries, base, w, rerank, k)
+  }
+
+  /** IVF-PQ composition — the production billion-vector layout: PQ
+    * codes ride inside IVF cells, a query probes its `nprobe` nearest
+    * cells, ADC runs only within the probed cells (scan fraction ≈
+    * nprobe/c of an already code-compressed corpus), and the ADC
+    * shortlist gets an exact refine. Codebooks are trained on the raw
+    * vectors (not cell residuals — residual-PQ needs the coarse
+    * assignment before training can start, serializing the two builds;
+    * raw-vector PQ keeps them independent and the whole index
+    * deterministic enough to replicate in oracle SQL).
+    *
+    * Output (qid, nid, rk, adist): rk by refined exact L2, ties by nid.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,
+                m: Int, ksub: Int, k: Int, ivfIters: Int = 1, pqIters: Int = 1,
+                rerank: Int = 0, trainFraction: Double = 1.0): DataFrame = {
+    val base = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val centroids = ivfCentroids(corpus, c, ivfIters, trainFraction)
+    val codebooks = trainPqBooks(base, m, subDim, ksub, pqIters, trainFraction)
+    // one pass over the corpus emits cell id + PQ codes together
+    val enc = base.select(col("vec_id").as("nid"),
+      nearestCentroid(col("v"), centroids).as("cid"),
+      pqCodes(col("v"), subDim, codebooks).as("codes"))
+    // probes: nprobe nearest cells per query (sim DESC, cid ASC ties —
+    // same comparator as ivfTopK), each probe row carrying the ADC
+    // tables so the cell join feeds the table lookups directly
+    val probes = queries.select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
-      .select(Seq(col("qid")) ++ (0 until m).map(s =>
-        array(codebooks(s).map(ct =>
-          l2sq(subCol(col("qe"), s), typedLit(ct))): _*).as(s"qt$s")): _*)
-    val cand = enc.crossJoin(broadcast(q))
+      .withColumn("sims",
+        graft.functions.VectorExprs.cosine_table(col("qe"), centroids.toSeq))
+      .withColumn("probe_cids", slice(array_sort(zip_with(
+        col("sims"), sequence(lit(0), lit(centroids.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .otherwise(l.getField("i") - r.getField("i"))), 1, nprobe))
+      .select(col("qid"), col("qe"), explode(col("probe_cids")).as("p"))
+      .select(Seq(col("qid"), col("p.i").as("cid")) ++ (0 until m).map(s =>
+        graft.functions.VectorExprs.l2_table(
+          subCol(col("qe"), s, subDim), codebooks(s).toSeq).as(s"qt$s")): _*)
+    // a vector lives in exactly one cell, so the cell join yields each
+    // (qid, nid) at most once — no dedup shuffle needed
+    val cand = enc.join(broadcast(probes), "cid")
       .filter(col("qid") =!= col("nid"))
       .withColumn("adist", (0 until m).map(s =>
         element_at(col(s"qt$s"), element_at(col("codes"), s + 1) + 1))
@@ -253,22 +297,78 @@ object AnnOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
     if (rerank <= k)
       cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-    else {
-      // refine: exact L2 only for the ADC shortlist (rerank ≪ corpus).
-      // The Q×rerank shortlist is the broadcast side — joining it the
-      // other way would shuffle the whole corpus to fetch a few
-      // hundred embeddings.
-      val shortlist = cand.withColumn("rk0", row_number().over(w))
-        .filter(col("rk0") <= rerank).drop("rk0")
-      val qe = queries.select(col("vec_id").as("qid"),
+    else
+      pqRefine(cand, queries, base, w, rerank, k)
+  }
+
+  private def subCol(v: Column, s: Int, subDim: Int): Column =
+    slice(v, s * subDim + 1, subDim)
+
+  /** train all m codebooks (optionally on a deterministic hash-sample
+    * — at 1e9+ vectors codebook quality needs the density shape, not
+    * every point; encode and search always see the full corpus) */
+  private def trainPqBooks(base: DataFrame, m: Int, subDim: Int, ksub: Int,
+                           iters: Int,
+                           trainFraction: Double): Array[Array[Seq[Double]]] = {
+    val training =
+      if (trainFraction >= 1.0) base
+      else ScaleOps.hashSample(base, col("vec_id"),
+        keepNumerator = math.max(1, (trainFraction * 1000).toInt), denominator = 1000)
+    // all m codebooks trained together, one job per iteration
+    val subs = training.select(col("vec_id"), posexplode(
+        array((0 until m).map(s => subCol(col("v"), s, subDim)): _*)))
+      .withColumnRenamed("pos", "s")
+      .withColumnRenamed("col", "sub")
+      .persist()
+    val books = kmeansL2Multi(training, subs, m, subDim, ksub, iters)
+    subs.unpersist()
+    books
+  }
+
+  /** m PQ codes per vector, one native argmin kernel per subspace */
+  private def pqCodes(v: Column, subDim: Int,
+                      codebooks: Array[Array[Seq[Double]]]): Column =
+    array(codebooks.indices.map(s =>
+      graft.functions.VectorExprs.nearest_code_l2(
+        subCol(v, s, subDim), codebooks(s).toSeq)): _*)
+
+  /** full-corpus ADC scan against broadcast per-query distance tables
+    * (bruteForceTopK's shape with per-candidate cost collapsed to m
+    * table lookups) */
+  private def adcScan(queries: DataFrame, enc: DataFrame, subDim: Int,
+                      codebooks: Array[Array[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val q = queries.select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
-      val ne = base.select(col("vec_id").as("nid"), col("v").as("ne"))
-      val refined = ne
-        .join(broadcast(shortlist.join(broadcast(qe), "qid")), "nid")
-        .select(col("qid"), col("nid"), l2sq(col("qe"), col("ne")).as("adist"))
-      val w2 = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
-      refined.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
-    }
+      .select(Seq(col("qid")) ++ (0 until m).map(s =>
+        graft.functions.VectorExprs.l2_table(
+          subCol(col("qe"), s, subDim), codebooks(s).toSeq).as(s"qt$s")): _*)
+    enc.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", (0 until m).map(s =>
+        element_at(col(s"qt$s"), element_at(col("codes"), s + 1) + 1))
+        .reduce(_ + _))
+      .select(col("qid"), col("nid"), col("adist"))
+  }
+
+  /** refine: exact L2 only for the ADC shortlist (rerank ≪ corpus).
+    * The Q×rerank shortlist is the broadcast side — joining it the
+    * other way would shuffle the whole corpus to fetch a few hundred
+    * embeddings. */
+  private def pqRefine(cand: DataFrame, queries: DataFrame, base: DataFrame,
+                       w: org.apache.spark.sql.expressions.WindowSpec,
+                       rerank: Int, k: Int): DataFrame = {
+    val shortlist = cand.withColumn("rk0", row_number().over(w))
+      .filter(col("rk0") <= rerank).drop("rk0")
+    val qe = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val ne = base.select(col("vec_id").as("nid"), col("v").as("ne"))
+    val refined = ne
+      .join(broadcast(shortlist.join(broadcast(qe), "qid")), "nid")
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorExprs.l2_sq(col("qe"), col("ne")).as("adist"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    refined.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
   }
 
   /** Multi-table LSH ANN: `tables` independent hyperplane tables of

@@ -144,6 +144,43 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (a, b) => a != b })
   }
 
+  test("IVF-PQ composition recalls exact-L2 neighbors and is deterministic") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val qd = q.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    val cd = e.select(col("vec_id").as("nid"), col("embedding").cast("array<double>").as("ne"))
+    val exact = cd.crossJoin(broadcast(qd)).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), AnnOps.l2sq(col("qe"), col("ne")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d").asc, col("nid").asc)
+    val bf = exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = AnnOps.ivfPqTopK(q, e, c = 16, nprobe = 4, m = 2, ksub = 16,
+        k = 10, rerank = 50)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the probe prunes to ~nprobe/c of the corpus BEFORE ADC, so
+    // recall is bounded by cell recall (weakly clustered data) — the
+    // composition must still beat random and never emit self-pairs
+    val recall = bf.count(ivfpq.contains).toDouble / bf.size
+    assert(recall >= 0.2, s"IVF-PQ recall vs exact L2: $recall")
+    assert(ivfpq.forall { case (a, b) => a != b })
+    val again = AnnOps.ivfPqTopK(q, e, c = 16, nprobe = 4, m = 2, ksub = 16,
+        k = 10, rerank = 50)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivfpq, "IVF-PQ build/search must be deterministic")
+  }
+
+  test("PQ trainFraction trains codebooks on a hash-sample, search still full-corpus") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val sampled = AnnOps.pqTopK(q, e, m = 2, ksub = 16, k = 10, rerank = 50,
+      trainFraction = 0.3)
+    val perQuery = sampled.groupBy("qid").count().collect()
+    // sampled codebooks change code assignments, never the contract:
+    // every query still gets k full-corpus candidates
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 10))
+  }
+
   test("connected components: global min per component, greedy differs on stars") {
     val spark2 = spark
     import spark2.implicits._

@@ -53,6 +53,64 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("L2Sq is bit-identical to the HOF left-fold formulation") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0))
+    samples(Gen.zip(vec, vec), 20).foreach { case (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val native = df.select(
+        graft.functions.VectorExprs.l2_sq(col("a"), col("b"))).head().getDouble(0)
+      val hof = df.select(
+        graft.operators.AnnOps.l2sq(col("a"), col("b"))).head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(hof))
+    }
+  }
+
+  test("codebook-table kernels match the inlined-expression formulations") {
+    import graft.functions.VectorExprs
+    val vec = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
+    samples(Gen.zip(Gen.listOfN(6, vec), Gen.listOfN(5, vec)), 8).foreach {
+      case (rows, bookL) =>
+        val book: Seq[Seq[Double]] = bookL.map(_.toSeq)
+        val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+        // l2_table / cosine_table: element i == the pairwise kernel
+        // against entry i, bit-for-bit
+        val tbl = df.select(col("id"),
+            VectorExprs.l2_table(col("v"), book).as("lt"),
+            VectorExprs.cosine_table(col("v"), book).as("ct"))
+          .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+        val pair = df.select(Seq(col("id")) ++ book.indices.flatMap(i => Seq(
+            VectorExprs.l2_sq(col("v"), typedLit(book(i))).as(s"l$i"),
+            VectorExprs.cosine_sim(col("v"), typedLit(book(i))).as(s"c$i"))): _*)
+          .collect().map(r => r.getLong(0) ->
+            (book.indices.map(i => r.getDouble(1 + 2 * i)),
+             book.indices.map(i => r.getDouble(2 + 2 * i)))).toMap
+        tbl.foreach { case (id, (lt, ct)) =>
+          assert(lt.map(java.lang.Double.doubleToLongBits) ==
+            pair(id)._1.map(java.lang.Double.doubleToLongBits), s"l2_table row $id")
+          assert(ct.map(java.lang.Double.doubleToLongBits) ==
+            pair(id)._2.map(java.lang.Double.doubleToLongBits), s"cosine_table row $id")
+        }
+        // nearest_* argmin/argmax: identical to the array_position
+        // formulation the r3 code inlined (first-min / first-max ties)
+        val arg = df.select(col("id"),
+            VectorExprs.nearest_code_l2(col("v"), book).as("nc"),
+            VectorExprs.nearest_centroid(col("v"), book).as("nx"))
+          .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+        val ref = df.select(col("id"),
+            (array_position(
+              array(book.map(ct => VectorExprs.l2_sq(col("v"), typedLit(ct))): _*),
+              array_min(array(book.map(ct =>
+                VectorExprs.l2_sq(col("v"), typedLit(ct))): _*))) - 1).cast("int").as("nc"),
+            (array_position(
+              array(book.map(ct => VectorExprs.cosine_sim(col("v"), typedLit(ct))): _*),
+              array_max(array(book.map(ct =>
+                VectorExprs.cosine_sim(col("v"), typedLit(ct))): _*))) - 1).cast("int").as("nx"))
+          .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+        arg.foreach { case (id, got) => assert(got == ref(id), s"argmin/argmax row $id") }
+    }
+  }
+
   test("expBucket equals smallest k with v <= 2^k") {
     val v = Gen.chooseNum(0.01, 4000.0)
     samples(Gen.listOfN(32, v), 10).foreach { vs =>

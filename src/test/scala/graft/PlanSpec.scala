@@ -88,6 +88,73 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ/IVF index builds run no corpus-wide window — only per-query search windows") {
+    // r3 verdict #1: the PQ codebook init ran row_number over
+    // Window.partitionBy(s) — m partitions each sorting the full
+    // corpus. The fix is pinned here at execution level: capture every
+    // plan the PQ and IVF-PQ pipelines actually run and assert any
+    // WindowExec partitions by qid (per-query top-k), never by a
+    // low-cardinality build key.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q_ann_pq")(spark, sf).collect()
+      SparkEntry.queries("q_ann_ivfpq")(spark, sf).collect()
+      // the listener bus is async; wait for the capture to go quiet
+      var last = -1
+      var stable = 0
+      while (stable < 4 && last < 1000) {
+        Thread.sleep(250)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    // only judge the ANN pipelines' own plans (other suites may share
+    // the session concurrently): they all carry a native ANN kernel
+    val markers = Seq("nearest_code_l2", "nearest_centroid", "l2_table", "cosine_table", "l2_sq")
+    val annPlans = plans.toArray(Array.empty[String])
+      .filter(p => markers.exists(p.contains))
+    assert(annPlans.nonEmpty, "listener captured no ANN plans")
+    for (p <- annPlans; line <- p.linesIterator if line.contains("Window ")) {
+      assert(line.contains("qid#"),
+        s"ANN pipeline window not partitioned per-query:\n$line\nfull plan:\n$p")
+    }
+  }
+
+  test("nearest_centroid stays one bounded expression at c=256") {
+    // the r3 formulation inlined c cosine expressions — at c=256 the
+    // plan string alone is >100 KB and codegen falls over; the native
+    // expression keeps the centroid table a single reference object
+    import graft.operators.AnnOps
+    import org.apache.spark.sql.functions.col
+    val cents: Array[Seq[Double]] =
+      Array.tabulate(256)(i => (0 until 64).map(d => math.sin(i * 64.0 + d + 1)))
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = e.withColumn("cid", AnnOps.nearestCentroid(col("v"), cents))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.length < 20000, s"plan grows with c (${p.length} chars)")
+    assert(p.contains("nearest_centroid"), p)
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got.values.forall(c => c >= 0 && c < 256))
+    // spot-check argmax against a driver-side fold (same arithmetic)
+    val vecs = e.limit(20).collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    vecs.foreach { case (id, v) =>
+      val sims = cents.map { ct =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        v.indices.foreach { d => dot += v(d) * ct(d); na += v(d) * v(d); nb += ct(d) * ct(d) }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      assert(got(id) == sims.indexOf(sims.max), s"vec $id")
+    }
+  }
+
   test("q_filter_events keeps the filter adjacent to the scan") {
     val p = plan("q_filter_events")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||
