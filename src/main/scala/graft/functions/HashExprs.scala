@@ -52,6 +52,25 @@ object HashExprs {
   /** Column API: Rabin–Karp rolling hash of a string (engine-portable). */
   def rolling_hash(text: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
     Bridge.column(RollingHash(Bridge.expression(text), base, mod))
+
+  /** Column API: FNV-1a 64-bit hash of a string's UTF-8 bytes. */
+  def fnv_hash(text: Column): Column =
+    Bridge.column(Fnv1a64(Bridge.expression(text)))
+}
+
+/** FNV-1a 64 (OTTL's FNV converter semantics — real spec constants,
+  * not an xxhash64 stand-in) */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.fnv1a64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.fnv1a64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(child = c)
 }
 
 /** polynomial rolling hash (content fingerprint; one pass per row) */

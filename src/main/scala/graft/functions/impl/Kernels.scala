@@ -258,6 +258,21 @@ object Kernels {
     h
   }
 
+  /** FNV-1a 64-bit over the UTF-8 bytes (the real FNV spec — offset
+    * basis 0xcbf29ce484222325, prime 0x100000001b3 — matching OTTL's
+    * FNV converter, which hashes the string's bytes to an int64) */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   def wordlistHits(arr: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
     val n = arr.numElements()
     var hits = 0

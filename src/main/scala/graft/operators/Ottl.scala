@@ -52,7 +52,8 @@ object Ottl {
   def sha256Of(c: Column): Column = sha2(c, 256)
   def sha1Of(c: Column): Column = sha1(c)
   def md5Of(c: Column): Column = md5(c)
-  def fnvOf(c: Column): Column = xxhash64(c) // 64-bit keyed hash analog
+  /** real FNV-1a 64 (spec constants), matching OTTL's FNV converter */
+  def fnvOf(c: Column): Column = graft.functions.HashExprs.fnv_hash(c.cast("string"))
   /** TraceID/SpanID hex strings */
   def spanIdHex(c: Column): Column = lower(hex(c))
   /** ParseJSON(str)[path] */
@@ -109,6 +110,39 @@ object Ottl {
   def urlPart(c: Column, part: String): Column =
     if (part.startsWith("QUERY:")) parse_url(c, lit("QUERY"), lit(part.drop(6)))
     else parse_url(c, lit(part))
+  /** Flatten(struct) — nested attributes to dotted keys, the OTTL
+    * flatten converter over a TYPED nested column: recursion happens
+    * at plan time over the schema (zero per-row interpretation), the
+    * row-time work is just field extraction + one map build. */
+  def flatten(c: Column, schema: org.apache.spark.sql.types.StructType,
+              prefix: String = ""): Column = {
+    def walk(col: Column, st: org.apache.spark.sql.types.StructType,
+             pfx: String): Seq[(String, Column)] =
+      st.fields.toSeq.flatMap { f =>
+        val key = if (pfx.isEmpty) f.name else s"$pfx.${f.name}"
+        f.dataType match {
+          case nested: org.apache.spark.sql.types.StructType =>
+            walk(col.getField(f.name), nested, key)
+          case _ => Seq(key -> col.getField(f.name).cast("string"))
+        }
+      }
+    val kvs = walk(c, schema, prefix)
+    map_from_arrays(
+      array(kvs.map { case (k, _) => lit(k) }: _*),
+      array(kvs.map { case (_, v) => v }: _*))
+  }
+
+  /** ParseCSV(str, headers, delimiter) → map of header → field */
+  def parseCsv(c: Column, headers: Seq[String], delimiter: String = ","): Column = {
+    val schema = org.apache.spark.sql.types.StructType(headers.map(h =>
+      org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+    val parsed = from_csv(c, schema,
+      Map("sep" -> delimiter, "mode" -> "PERMISSIVE"))
+    map_from_arrays(
+      array(headers.map(lit): _*),
+      array(headers.map(h => parsed.getField(h)): _*))
+  }
+
   /** IsString-ish guards collapse to type checks at plan time in a
     * typed column model — schema does statically what OTTL checks
     * dynamically, so there is nothing to evaluate per row. */

@@ -759,12 +759,12 @@ object OtlpProtobuf {
     if (v == null || v.isNull) return w.bytes  // unset AnyValue: empty message
     if (v.has("stringValue")) w.str(1, v.get("stringValue").asText())
     else if (v.has("boolValue")) w.vint(2, if (v.get("boolValue").asBoolean()) 1 else 0)
-    else if (v.has("intValue")) w.vint(3, v.get("intValue").asText().toLong)
-    else if (v.has("doubleValue")) {
-      val n = v.get("doubleValue")
-      val d = if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
-      w.fixed64(4, java.lang.Double.doubleToLongBits(d))
-    }
+    // a non-numeric intValue / undecodable bytesValue drops the field
+    // instead of throwing out of the whole export task (ulong policy)
+    else if (v.has("intValue"))
+      slong(v.get("intValue").asText()).foreach(w.vint(3, _))
+    else if (v.has("doubleValue"))
+      w.fixed64(4, java.lang.Double.doubleToLongBits(jsonDoubleOf(v.get("doubleValue"))))
     else if (v.has("arrayValue")) {
       val inner = new Writer
       val vals = v.get("arrayValue").get("values")
@@ -776,7 +776,8 @@ object OtlpProtobuf {
       if (vals != null) vals.forEach(e => inner.lenDelim(1, encodeKeyValue(e)))
       w.lenDelim(6, inner.bytes)
     } else if (v.has("bytesValue"))
-      w.lenDelim(7, java.util.Base64.getDecoder.decode(v.get("bytesValue").asText()))
+      try w.lenDelim(7, java.util.Base64.getDecoder.decode(v.get("bytesValue").asText()))
+      catch { case _: IllegalArgumentException => () } // non-base64: drop the field
     w.bytes
   }
 
@@ -862,8 +863,15 @@ object OtlpProtobuf {
     w.bytes
   }
 
+  /** JSON numbers may arrive as text ("NaN"/"Infinity" per OTLP/JSON,
+    * but also arbitrary garbage) — an unparseable value evaluates to
+    * 0.0 rather than throwing out of the export task (same
+    * drop-don't-throw policy as [[ulong]]/non-hex ids) */
   private def jsonDoubleOf(n: JNode): Double =
-    if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
+    if (n.isTextual)
+      try java.lang.Double.parseDouble(n.asText())
+      catch { case _: NumberFormatException => 0.0 }
+    else n.asDouble()
 
   /** Exemplar (inverse of [[exemplar]]): 7=filteredAttributes 2=time
     * 3=asDouble 4=spanId 5=traceId 6=asInt(sfixed64) */

@@ -682,6 +682,19 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       |]}]}]}""".stripMargin.replaceAll("\n", "")
     val spb = graft.sources.OtlpProtobuf.spansJsonToRequest(UTF8String.fromString(badSpan))
     assert(graft.sources.OtlpProtobuf.spansRequestToJson(spb).toString.contains(""""name":"op""""))
+    // attribute values with garbage numerics / non-base64 bytes drop
+    // the FIELD, keep the record (same policy as timestamps/ids)
+    val badAttrs = """{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":[{
+      |"scope":{"name":"g"},"logRecords":[{"timeUnixNano":"7","attributes":[
+      |{"key":"bad_i","value":{"intValue":"twelve"}},
+      |{"key":"bad_b","value":{"bytesValue":"%%%"}},
+      |{"key":"ok","value":{"intValue":"42"}}],
+      |"body":{"stringValue":"kept"}}]}]}]}""".stripMargin.replaceAll("\n", "")
+    val apb = graft.sources.OtlpProtobuf.logsJsonToRequest(UTF8String.fromString(badAttrs))
+    val aback = graft.sources.OtlpProtobuf.logsRequestToJson(apb).toString
+    assert(aback.contains(""""stringValue":"kept"""") &&
+      aback.contains(""""intValue":"42"""") &&
+      !aback.contains("twelve"), aback)
   }
 
   test("metrics export leaves unknown temporality unset, never cumulative") {

@@ -74,6 +74,36 @@ class OttlSpec extends AnyFunSuite {
       u.getString(2) == "web")
   }
 
+  test("FNV converter is real FNV-1a 64 (spec test vectors)") {
+    val r = Seq(("", "a", "foobar")).toDF("e", "a", "f").select(
+      Ottl.fnvOf(col("e")).as("he"),
+      Ottl.fnvOf(col("a")).as("ha"),
+      Ottl.fnvOf(col("f")).as("hf")).head()
+    // published FNV-1a 64 vectors (offset basis; "a"; "foobar")
+    assert(r.getAs[Long]("he") == 0xcbf29ce484222325L)
+    assert(r.getAs[Long]("ha") == 0xaf63dc4c8601ec8cL)
+    assert(r.getAs[Long]("hf") == 0x85944171f73967e8L)
+  }
+
+  test("Flatten: nested struct attributes become dotted keys") {
+    val nested = Seq(("x", 1, "deep")).toDF("top0", "n0", "s0")
+      .select(struct(col("top0").as("top"),
+        struct(col("n0").as("n"),
+          struct(col("s0").as("s")).as("inner")).as("obj")).as("attrs"))
+    val schema = nested.schema("attrs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val got = nested.select(Ottl.flatten(col("attrs"), schema).as("m"))
+      .head().getAs[Map[String, String]]("m")
+    assert(got == Map("top" -> "x", "obj.n" -> "1", "obj.inner.s" -> "deep"))
+  }
+
+  test("ParseCSV: header-named map with a custom delimiter") {
+    val got = Seq("alice;30;nyc").toDF("line")
+      .select(Ottl.parseCsv(col("line"), Seq("name", "age", "city"), ";").as("m"))
+      .head().getAs[Map[String, String]]("m")
+    assert(got == Map("name" -> "alice", "age" -> "30", "city" -> "nyc"))
+  }
+
   test("converters: string/number/hash/json/time functions") {
     val r = df.select(
       Ottl.concatWs("-", col("msg"), lit("x")).as("cat"),
