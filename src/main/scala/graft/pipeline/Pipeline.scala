@@ -124,8 +124,20 @@ object Pipeline {
   final class PermanentExportException(msg: String, cause: Throwable = null)
       extends RuntimeException(msg, cause)
 
+  /** obsreport-style counters for a queued exporter (reference:
+    * obsreport/obsreport_exporter.go sent/failed split + DLQ depth).
+    * Thread-safe — one instance can observe a streaming query's
+    * concurrent batches. */
+  final class QueueObs {
+    val delivered = new java.util.concurrent.atomic.AtomicLong
+    val retries = new java.util.concurrent.atomic.AtomicLong
+    val deadLetteredBatches = new java.util.concurrent.atomic.AtomicLong
+    val deadLetteredRows = new java.util.concurrent.atomic.AtomicLong
+  }
+
   final case class QueuedExporter(delegate: Exporter, dlqPath: String,
-                                  maxRetries: Int = 2, backoffMs: Long = 50)
+                                  maxRetries: Int = 2, backoffMs: Long = 50,
+                                  obs: Option[QueueObs] = None)
       extends Exporter {
     // a batch-mode export must NOT reroute through the batchId-keyed
     // layout — the delegate's own path/shape stays untouched
@@ -148,12 +160,20 @@ object Pipeline {
           case scala.util.control.NonFatal(e) =>
             lastErr = e
             attempt += 1
+            obs.foreach(_.retries.incrementAndGet())
             if (attempt <= maxRetries) Thread.sleep(backoffMs * attempt)
         }
       }
-      if (!delivered)
+      if (!delivered) {
+        // row count only on the failure path — one extra job per
+        // dead-lettered batch, zero cost on healthy deliveries
+        obs.foreach { o =>
+          o.deadLetteredBatches.incrementAndGet()
+          o.deadLetteredRows.addAndGet(df.count())
+        }
         df.withColumn("dlq_error", lit(String.valueOf(lastErr.getMessage)))
           .write.mode("overwrite").parquet(dlqDir)
+      } else obs.foreach(_.delivered.incrementAndGet())
     }
   }
 
@@ -198,10 +218,71 @@ object Pipeline {
         received = received.get("n").asInstanceOf[Long],
         sent = sent.get("n").asInstanceOf[Long])
     }
+
+    /** [[runObserved]] with full obsreport depth: a row count at every
+      * stage boundary (so each processor gets an accepted/refused
+      * split), per-exporter wall + dead-letter counters. All counts
+      * ride the export job via the Observation API — no extra pass.
+      * Per-stage WALL is deliberately absent: stages fuse into one
+      * codegen span (that is the optimization), so stage timing only
+      * exists at materialization boundaries — the per-exporter walls
+      * and the Spark UI's stage metrics are the honest equivalents.
+      */
+    def runObservedStages(spark: SparkSession): ObservedRun = {
+      import org.apache.spark.sql.Observation
+      val t0 = System.nanoTime()
+      val recvObs = Observation()
+      var df = receiver.read(spark)
+        .observe(recvObs, count(lit(1)).as("n"))
+      val stageObs = processors.zipWithIndex.map { case (p, i) =>
+        val o = Observation()
+        df = p(df).observe(o, count(lit(1)).as("n"))
+        (s"stage_$i", o)
+      }
+      val exports = exporters.zipWithIndex.map { case (ex, i) =>
+        val te = System.nanoTime()
+        ex.export(df)
+        val wall = System.nanoTime() - te
+        val name = s"${ex.getClass.getSimpleName.stripSuffix("$")}_$i"
+        ex match {
+          case q: QueuedExporter if q.obs.isDefined =>
+            val o = q.obs.get
+            ExportStats(name, wall, o.delivered.get, o.deadLetteredBatches.get,
+              o.deadLetteredRows.get)
+          case _ => ExportStats(name, wall, 1L, 0L, 0L)
+        }
+      }
+      if (exporters.isEmpty) df.count() // no action yet: materialize once
+      val bounds = (("receiver", recvObs) +: stageObs)
+        .map { case (n, o) => n -> o.get("n").asInstanceOf[Long] }
+      val stages = StageStats("receiver", bounds.head._2, bounds.head._2) +:
+        bounds.sliding(2).collect {
+          case Seq((_, in), (n, out)) => StageStats(n, in, out)
+        }.toSeq
+      ObservedRun(stages, exports, System.nanoTime() - t0)
+    }
   }
 
   /** obsreport analog: what came in, what went out (dropped = diff) */
   final case class PipelineStats(received: Long, sent: Long) {
+    def dropped: Long = received - sent
+  }
+
+  /** per-stage obsreport depth: rows in/out of every processor stage
+    * (accepted/refused split per component, the
+    * obsreport_receiver/processor shape) */
+  final case class StageStats(stage: String, in: Long, out: Long) {
+    def dropped: Long = in - out
+  }
+  /** per-exporter outcome: wall time of the export action and the
+    * dead-letter counters when the exporter is a [[QueuedExporter]] */
+  final case class ExportStats(exporter: String, wallNs: Long,
+                               delivered: Long, deadLetteredBatches: Long,
+                               deadLetteredRows: Long)
+  final case class ObservedRun(stages: Seq[StageStats],
+                               exports: Seq[ExportStats], wallNs: Long) {
+    def received: Long = stages.headOption.map(_.in).getOrElse(0L)
+    def sent: Long = stages.lastOption.map(_.out).getOrElse(0L)
     def dropped: Long = received - sent
   }
 

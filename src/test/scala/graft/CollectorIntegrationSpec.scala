@@ -697,6 +697,77 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       !aback.contains("twelve"), aback)
   }
 
+  test("Arrow IPC wire-to-wire: pb → flatten → arrow spool → stream-ingest → identical rows") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // realistic wire input: hex ids (non-hex would be dropped by the
+    // pb encoder), attrs, two resources, absent observed timestamp
+    def req(svc: String, n: Int): String = {
+      val recs = (0 until n).map { i =>
+        s"""{"timeUnixNano":"${1700000000000000000L + i * 1000000L}",
+           |"severityNumber":${9 + i % 3},"severityText":"INFO",
+           |"body":{"stringValue":"m-$svc-$i"},
+           |"attributes":[{"key":"idx","value":{"intValue":"$i"}}],
+           |"traceId":"${f"$i%032x"}","spanId":"${f"$i%016x"}"}"""
+          .stripMargin.replaceAll("\n", "")
+      }.mkString(",")
+      s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+         |"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[$recs]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    val pbs = Seq(req("api", 25), req("worker", 10))
+      .map(j => graft.sources.OtlpProtobuf.logsJsonToRequest(UTF8String.fromString(j)))
+    val flat = OtlpJsonSource.parseLogsPb(pbs.toDF("pb")).persist()
+    assert(flat.count() == 35)
+
+    val spoolDir = java.nio.file.Files.createTempDirectory("arrow_spool").toString
+    // several partitions × small chunks → multiple .arrow files; the
+    // reader must also accept multi-batch streams (decode() loops)
+    graft.sources.ArrowLogsIpc.spool(flat.repartition(3), spoolDir, maxPerFile = 8)
+    val files = new java.io.File(spoolDir).listFiles().filter(_.getName.endsWith(".arrow"))
+    assert(files.length > 1, s"expected a multi-file spool, got ${files.length}")
+
+    val q = graft.sources.ArrowLogsIpc.streamSpool(spark, spoolDir, maxFilesPerTrigger = 2)
+      .writeStream.format("memory").queryName("arrow_logs_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("arrow_logs_out")
+
+    // same flattened contract: column names, types, and every row
+    assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      flat.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (Option(r.getAs[java.lang.Long]("time_unix_nano")),
+        Option(r.getAs[java.lang.Long]("observed_time_unix_nano")),
+        Option(r.getAs[java.lang.Integer]("severity_number")),
+        r.getAs[String]("severity_text"), r.getAs[String]("body"),
+        Option(r.getAs[Map[String, String]]("attributes")).map(_.toSeq.sorted),
+        r.getAs[Int]("flags"), r.getAs[Int]("dropped_attributes_count"),
+        r.getAs[String]("trace_id"), r.getAs[String]("span_id"),
+        Option(r.getAs[Map[String, String]]("resource_attributes")).map(_.toSeq.sorted),
+        r.getAs[String]("scope_name"))
+    }.sortBy(_.toString)
+    assert(norm(got).toSeq == norm(flat).toSeq)
+    flat.unpersist()
+  }
+
+  test("Arrow IPC batch read-back equals the exported frame (encode ∘ decode = id)") {
+    import spark.implicits._
+    // null-heavy corner rows: no attrs, no ids, null severity — the
+    // boxed columns must survive as NULLs, not zeros
+    val rows = Seq(
+      graft.sources.ArrowLogsIpc.ArrowFlatLog(1L, null, null, null, "only-body",
+        null, 0, 0, null, null, Map("r" -> "1"), "s"),
+      graft.sources.ArrowLogsIpc.ArrowFlatLog(2L, 3L, 5, "WARN", "full",
+        Map("a" -> "1", "b" -> null), 7, 2, "ff00", "aa11", Map(), "s2"))
+    val df = rows.toDF()
+    val dir = java.nio.file.Files.createTempDirectory("arrow_rt").toString
+    graft.sources.ArrowLogsIpc.spool(df, dir)
+    val back = graft.sources.ArrowLogsIpc.readSpool(spark, dir)
+    val a = df.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("metrics export leaves unknown temporality unset, never cumulative") {
     import spark.implicits._
     import Pb._

@@ -259,6 +259,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(stats.dropped == stats.received - stats.sent && stats.dropped > 0)
   }
 
+  test("runObservedStages: per-stage accepted/refused + DLQ counters on a failing exporter") {
+    val sink = new CollectingExporter
+    val obs = new Pipeline.QueueObs
+    val failing = new Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit =
+        throw new Pipeline.PermanentExportException("sink rejects schema")
+    }
+    val dlqDir = java.nio.file.Files.createTempDirectory("obs_dlq").toString
+    val run = PipelineDef(
+      TableReceiver(sf, "events"),
+      Seq(
+        df => Processors.filter(df, col("value") >= 0),            // keeps all
+        df => Processors.filter(df, col("event_type") === "error"), // drops most
+        df => df.withColumn("flag", lit(1))),                       // 1:1 map
+      Seq(sink,
+        Pipeline.QueuedExporter(failing, dlqDir, maxRetries = 1,
+          backoffMs = 1, obs = Some(obs)))).runObservedStages(spark)
+    // stage boundaries: receiver 1000 → stage_0 1000 → stage_1 errs → stage_2 errs
+    val byName = run.stages.map(s => s.stage -> s).toMap
+    assert(run.received == 1000)
+    assert(byName("stage_0").in == 1000 && byName("stage_0").dropped == 0)
+    assert(byName("stage_1").dropped > 0, byName.toString)
+    assert(byName("stage_1").out == sink.result.length.toLong)
+    assert(byName("stage_2").dropped == 0)
+    assert(byName("stage_2").out == run.sent)
+    assert(run.dropped == 1000 - sink.result.length)
+    // exporter split: the collecting sink delivered, the permanent
+    // failure dead-lettered the whole batch (rows counted)
+    val exp = run.exports.map(e => e.exporter -> e).toMap
+    assert(exp.exists(_._1.startsWith("CollectingExporter")))
+    val q = run.exports.find(_.exporter.startsWith("QueuedExporter")).get
+    assert(q.delivered == 0 && q.deadLetteredBatches == 1 &&
+      q.deadLetteredRows == sink.result.length.toLong, q.toString)
+    assert(run.wallNs > 0 && run.exports.forall(_.wallNs > 0))
+  }
+
   test("RetryingExporter retries transient failures then succeeds") {
     var calls = 0
     val flaky = new Exporter {
