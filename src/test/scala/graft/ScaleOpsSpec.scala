@@ -8,6 +8,60 @@ class ScaleOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("10x scale smoke: minhash→LSH→CC dedup scales sub-quadratically with bounded tasks") {
+    // the 100 TB argument, sampled: the same production pipeline
+    // (xxh64 kernels) at sf0.001 (500 docs) and sf0.1 (5000 docs).
+    // Quadratic all-pairs behavior would scale pair work ~100x; the
+    // bucketed pipeline must stay within ~linear-plus-overhead. Task
+    // shuffle volumes are captured to prove no single-task funnel.
+    import graft.operators.DedupOps
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val maxShuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          maxShuffleRead.getAndAccumulate(
+            m.shuffleReadMetrics.totalBytesRead, math.max)
+          maxShuffleWrite.getAndAccumulate(
+            m.shuffleWriteMetrics.bytesWritten, math.max)
+        }
+      }
+    }
+    def pipeline(dir: String): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val sig = Tables(spark, dir, "documents").select(col("doc_id"),
+        DedupOps.minhashSignature(
+          DedupOps.shinglesOfText(col("text"), 3), 32).as("sig"))
+      val pairs = DedupOps.lshNearDupPairs(sig, "doc_id", "sig",
+        bands = 8, rows = 4, threshold = 0.5)
+      val nPairs = pairs.count()
+      val nComps = DedupOps.connectedComponents(pairs).select(col("component"))
+        .distinct().count()
+      (nPairs, nComps, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both code paths once so neither measurement pays first-run
+    // codegen/scan setup
+    pipeline("/root/testdata/sf0.001")
+    val (_, _, wall1) = pipeline("/root/testdata/sf0.001")
+    spark.sparkContext.addSparkListener(listener)
+    val (pairs10, comps10, wall10) = try pipeline("/root/testdata/sf0.1")
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(pairs10 > 0 && comps10 > 0)
+    // sub-quadratic: 10x docs must cost far less than 100x the wall
+    // (generous 40x bound absorbs scheduler noise on a shared box)
+    assert(wall10 <= wall1 * 40,
+      f"10x corpus took ${wall10 / wall1}%.1fx the wall ($wall1%.2f s -> $wall10%.2f s)")
+    // no task funnels the corpus through one partition: per-task
+    // shuffle stays far below the total corpus footprint (~1.5 MB text
+    // at sf0.1 explodes to ~10x in shingle postings if unbounded)
+    assert(maxShuffleRead.get < (32L << 20),
+      s"a task shuffle-read ${maxShuffleRead.get} bytes")
+    assert(maxShuffleWrite.get < (32L << 20),
+      s"a task shuffle-wrote ${maxShuffleWrite.get} bytes")
+  }
+
   test("saltedJoin result equals plain join") {
     val e = Tables(spark, sf, "events").withColumnRenamed("user_id", "c_custkey")
     val c = Tables(spark, sf, "customer")
