@@ -1,0 +1,274 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, BitVector, FieldVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.complex.MapVector
+import org.apache.arrow.vector.complex.writer.BaseWriter.MapWriter
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-driven Arrow IPC codec for the flattened telemetry models —
+  * the generic engine behind [[ArrowLogsIpc]] and the span/metric
+  * Arrow seams (reference behavior, not code:
+  * receiver/otlpreceiver/internal/arrow/arrow.go:251-260,
+  * exporter/otlpexporter/internal/arrow/stream.go — one IPC record
+  * batch stream per BatchArrowRecords payload, all three signals).
+  *
+  * Supported column kinds are exactly what the flattened models use:
+  * long, int, double, boolean, string, map<string,string>. Encoding
+  * is driven by the DataFrame's own schema; decoding validates
+  * against the expected flattened contract, so the wire seam can
+  * never silently diverge from what parseLogs/parseSpans/
+  * parseMetricPoints produce.
+  *
+  * Scale: encode/decode run per executor partition (foreachPartition /
+  * flatMap) — no driver funnel; spool files land via the Hadoop FS
+  * API so the seam works on any cluster filesystem.
+  */
+object ArrowIpc {
+
+  // ---- generic encode ----------------------------------------------
+
+  /** map<varchar,varchar> vector with its entries struct declared
+    * non-nullable up front — writer-lazy child creation can mark the
+    * struct nullable (e.g. when the first row writes a NULL map),
+    * which Arrow's Map validation then rejects at serialization */
+  private def newMapVector(name: String, alloc: RootAllocator): MapVector = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val entries = new Field(MapVector.DATA_VECTOR_NAME,
+      new FieldType(false, ArrowType.Struct.INSTANCE, null),
+      Seq(
+        new Field(MapVector.KEY_NAME,
+          new FieldType(false, new ArrowType.Utf8, null), null),
+        new Field(MapVector.VALUE_NAME,
+          new FieldType(true, new ArrowType.Utf8, null), null)).asJava)
+    val mapField = new Field(name,
+      new FieldType(true, new ArrowType.Map(false), null), Seq(entries).asJava)
+    mapField.createVector(alloc).asInstanceOf[MapVector]
+  }
+
+  private def newVector(f: StructField, alloc: RootAllocator): FieldVector =
+    f.dataType match {
+      case LongType    => new BigIntVector(f.name, alloc)
+      case IntegerType => new IntVector(f.name, alloc)
+      case DoubleType  => new Float8Vector(f.name, alloc)
+      case BooleanType => new BitVector(f.name, alloc)
+      case StringType  => new VarCharVector(f.name, alloc)
+      case MapType(StringType, StringType, _) => newMapVector(f.name, alloc)
+      case dt => throw new IllegalArgumentException(
+        s"column '${f.name}': $dt has no Arrow-spool mapping " +
+          "(flattened models carry scalars and map<string,string> only)")
+    }
+
+  private def writeText(w: org.apache.arrow.vector.complex.writer.VarCharWriter,
+                        s: String, alloc: RootAllocator): Unit = {
+    val bytes = s.getBytes(UTF_8)
+    val buf = alloc.buffer(math.max(bytes.length, 1).toLong)
+    try { buf.setBytes(0, bytes); w.writeVarChar(0, bytes.length, buf) }
+    finally buf.close()
+  }
+
+  private def writeMap(w: MapWriter, m: Map[String, String],
+                       alloc: RootAllocator): Unit = {
+    w.startMap()
+    // deterministic entry order — byte-stable payloads for identical rows
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.startEntry()
+      writeText(w.key().varChar(), k, alloc)
+      if (v != null) writeText(w.value().varChar(), v, alloc)
+      w.endEntry()
+    }
+    w.endMap()
+  }
+
+  /** Encode rows (in `schema` order) as ONE record batch in an Arrow
+    * IPC stream. Callers chunk (the spool writer caps rows per file) —
+    * a single batch per stream keeps the writer trivially correct; the
+    * READER accepts any number of batches per stream, as otel-arrow
+    * producers send them. */
+  def encodeRows(schema: StructType, rows: Seq[Row]): Array[Byte] = {
+    val alloc = new RootAllocator()
+    try {
+      val vecs: Seq[FieldVector] = schema.fields.toSeq.map(newVector(_, alloc))
+      try {
+        val n = rows.length
+        vecs.foreach(_.setInitialCapacity(n))
+        val mapWriters: Map[Int, org.apache.arrow.vector.complex.impl.UnionMapWriter] =
+          vecs.zipWithIndex.collect {
+            case (mv: MapVector, i) => i -> mv.getWriter
+          }.toMap
+        rows.zipWithIndex.foreach { case (r, rowIdx) =>
+          vecs.zipWithIndex.foreach { case (v, ci) =>
+            val x = r.get(ci)
+            v match {
+              case bv: BigIntVector =>
+                if (x == null) bv.setNull(rowIdx) else bv.setSafe(rowIdx, x.asInstanceOf[Long])
+              case iv: IntVector =>
+                if (x == null) iv.setNull(rowIdx) else iv.setSafe(rowIdx, x.asInstanceOf[Int])
+              case dv: Float8Vector =>
+                if (x == null) dv.setNull(rowIdx) else dv.setSafe(rowIdx, x.asInstanceOf[Double])
+              case bitv: BitVector =>
+                if (x == null) bitv.setNull(rowIdx)
+                else bitv.setSafe(rowIdx, if (x.asInstanceOf[Boolean]) 1 else 0)
+              case sv: VarCharVector =>
+                if (x == null) sv.setNull(rowIdx)
+                else sv.setSafe(rowIdx, x.asInstanceOf[String].getBytes(UTF_8))
+              case _: MapVector =>
+                val w = mapWriters(ci)
+                w.setPosition(rowIdx)
+                if (x == null) w.writeNull()
+                else writeMap(w, r.getMap[String, String](ci).toMap, alloc)
+              case other => throw new IllegalStateException(other.getClass.getName)
+            }
+          }
+        }
+        vecs.foreach(_.setValueCount(n))
+        val root = new VectorSchemaRoot(vecs.asJava)
+        root.setRowCount(n)
+        val out = new java.io.ByteArrayOutputStream()
+        val w = new ArrowStreamWriter(root, null, out)
+        try { w.start(); w.writeBatch(); w.end() } finally w.close()
+        out.toByteArray
+      } finally vecs.foreach(_.close())
+    } finally alloc.close()
+  }
+
+  // ---- generic decode ----------------------------------------------
+
+  /** decode every record batch of an IPC stream into rows of `schema`
+    * (materialized so the off-heap allocator closes before returning) */
+  def decodeRows(schema: StructType, bytes: Array[Byte]): Seq[Row] = {
+    val alloc = new RootAllocator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        val n = root.getRowCount
+        val vecs = schema.fields.map { f =>
+          val v = root.getVector(f.name)
+          require(v != null, s"Arrow payload is missing column '${f.name}'")
+          v
+        }
+        var i = 0
+        while (i < n) {
+          val vals = new Array[Any](vecs.length)
+          var c = 0
+          while (c < vecs.length) {
+            vals(c) = vecs(c) match {
+              case bv: BigIntVector  => if (bv.isNull(i)) null else bv.get(i)
+              case iv: IntVector     => if (iv.isNull(i)) null else iv.get(i)
+              case dv: Float8Vector  => if (dv.isNull(i)) null else dv.get(i)
+              case bitv: BitVector   => if (bitv.isNull(i)) null else bitv.get(i) == 1
+              case sv: VarCharVector => if (sv.isNull(i)) null else new String(sv.get(i), UTF_8)
+              case mv: MapVector =>
+                if (mv.isNull(i)) null
+                else mv.getObject(i).asInstanceOf[java.util.List[_]].asScala.map { e =>
+                  val entry = e.asInstanceOf[java.util.Map[_, _]]
+                  String.valueOf(entry.get(MapVector.KEY_NAME)) ->
+                    Option(entry.get(MapVector.VALUE_NAME)).map(String.valueOf).orNull
+                }.toMap
+              case other => throw new IllegalArgumentException(
+                s"unexpected Arrow vector ${other.getClass.getSimpleName} " +
+                  s"for column '${schema.fields(c).name}'")
+            }
+            c += 1
+          }
+          out += Row.fromSeq(vals.toIndexedSeq)
+          i += 1
+        }
+      }
+      out.toSeq
+    } finally { reader.close(); alloc.close() }
+  }
+
+  // ---- Spark surfaces ----------------------------------------------
+
+  /** Arrow IPC spool EXPORTER: one .arrow file per (partition, chunk),
+    * written executor-side through the Hadoop FS API (works on any
+    * cluster filesystem — no driver collect). Column set/order on the
+    * wire is the DataFrame's own schema. */
+  def spool(df: DataFrame, dir: String, maxPerFile: Int = 4096): Unit = {
+    val schema = df.schema
+    schema.fields.foreach { f =>
+      val alloc = new RootAllocator()
+      try newVector(f, alloc).close() finally alloc.close() // validate up front
+    }
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var chunk = 0
+      it.grouped(maxPerFile).foreach { rows =>
+        val bytes = encodeRows(schema, rows)
+        val path = new org.apache.hadoop.fs.Path(dir,
+          f"part-$pid%05d-$chunk%04d-${java.util.UUID.randomUUID()}.arrow")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val os = fs.create(path, true)
+        try os.write(bytes) finally os.close()
+        chunk += 1
+      }
+    }
+  }
+
+  /** binary IPC payload column (`ipc`) → rows of `schema` (the pb
+    * receivers' parse* twin for the Arrow encoding) */
+  def parse(payloads: DataFrame, schema: StructType): DataFrame = {
+    val binary = payloads.select(col("ipc")).as(Encoders.BINARY)
+    binary.flatMap(decodeRows(schema, _))(Encoders.row(schema))
+  }
+
+  /** batch receiver: read a spool directory of .arrow files */
+  def readSpool(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    parse(spark.read.format("binaryFile").load(dir)
+      .select(col("content").as("ipc")), schema)
+
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** streaming receiver: tail the spool directory (the arrow.go
+    * receive loop minus gRPC framing — each file is one
+    * BatchArrowRecords payload) */
+  def streamSpool(spark: SparkSession, dir: String, schema: StructType,
+                  maxFilesPerTrigger: Int = 10): DataFrame =
+    parse(spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("content").as("ipc")), schema)
+
+  // ---- flattened-contract schemas (derived, never hand-copied) -----
+
+  private def emptyRequests(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("json")
+  }
+  /** the exact parseLogs output schema — derived from the parser so
+    * the Arrow seam cannot drift from the flattened contract */
+  def logsSchema(spark: SparkSession): StructType =
+    OtlpJsonSource.parseLogs(emptyRequests(spark)).schema
+  def spansSchema(spark: SparkSession): StructType =
+    OtlpJsonSource.parseSpans(emptyRequests(spark)).schema
+  def metricsSchema(spark: SparkSession): StructType =
+    OtlpJsonSource.parseMetricPoints(emptyRequests(spark)).schema
+
+  // ---- per-signal receivers ----------------------------------------
+
+  def streamLogsSpool(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 10): DataFrame =
+    streamSpool(spark, dir, logsSchema(spark), maxFilesPerTrigger)
+  def streamSpansSpool(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 10): DataFrame =
+    streamSpool(spark, dir, spansSchema(spark), maxFilesPerTrigger)
+  def streamMetricsSpool(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Int = 10): DataFrame =
+    streamSpool(spark, dir, metricsSchema(spark), maxFilesPerTrigger)
+}

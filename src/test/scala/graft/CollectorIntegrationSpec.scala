@@ -750,6 +750,65 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     flat.unpersist()
   }
 
+  test("Arrow IPC spans and metrics: pb → flatten → spool → re-ingest → identical rows") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.ArrowIpc
+    val spanJson =
+      s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
+         |"scopeSpans":[{"scope":{"name":"graft"},"spans":[
+         |{"traceId":"${"ab" * 16}","spanId":"${"cd" * 8}","name":"op-a","kind":2,
+         |"startTimeUnixNano":"1700000000000000000","endTimeUnixNano":"1700000000003000000",
+         |"attributes":[{"key":"http.route","value":{"stringValue":"/x"}}],
+         |"status":{"code":2,"message":"boom"}},
+         |{"traceId":"${"ab" * 16}","spanId":"${"ef" * 8}","parentSpanId":"${"cd" * 8}",
+         |"name":"op-b","kind":3,"startTimeUnixNano":"1700000000001000000",
+         |"endTimeUnixNano":"1700000000002000000","attributes":[]}
+         |]}]}]}""".stripMargin.replaceAll("\n", "")
+    val metricJson =
+      """{"resourceMetrics":[{"resource":{"attributes":[{"key":"host","value":{"stringValue":"h1"}}]},
+        |"scopeMetrics":[{"scope":{"name":"graft"},"metrics":[
+        |{"name":"cpu","unit":"1","gauge":{"dataPoints":[
+        |  {"timeUnixNano":"1700000000000000000","asDouble":0.5,
+        |   "attributes":[{"key":"core","value":{"intValue":"0"}}]}]}},
+        |{"name":"reqs","sum":{"aggregationTemporality":2,"isMonotonic":true,
+        |  "dataPoints":[{"timeUnixNano":"1700000000000000000",
+        |   "startTimeUnixNano":"1699999990000000000","asInt":"41","attributes":[]}]}}
+        |]}]}]}""".stripMargin.replaceAll("\n", "")
+    def roundTrip(flat: org.apache.spark.sql.DataFrame,
+                  schema: org.apache.spark.sql.types.StructType,
+                  tag: String): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory(s"arrow_$tag").toString
+      ArrowIpc.spool(flat.select(schema.fieldNames.map(col): _*), dir, maxPerFile = 1)
+      val q = ArrowIpc.streamSpool(spark, dir, schema)
+        .writeStream.format("memory").queryName(s"arrow_${tag}_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(s"arrow_${tag}_out")
+      assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        schema.fieldNames.map { n =>
+          r.getAs[Any](n) match {
+            case m: Map[_, _] => m.toSeq.map(_.toString).sorted.toString
+            case x => String.valueOf(x)
+          }
+        }.toSeq
+      }.sortBy(_.toString)
+      assert(norm(got).toSeq == norm(flat).toSeq, tag)
+    }
+    val spansPb = graft.sources.OtlpProtobuf.spansJsonToRequest(
+      UTF8String.fromString(spanJson))
+    val spansFlat = OtlpJsonSource.parseSpansPb(Seq(spansPb).toDF("pb")).persist()
+    assert(spansFlat.count() == 2)
+    roundTrip(spansFlat, ArrowIpc.spansSchema(spark), "spans")
+    val metricsPb = graft.sources.OtlpProtobuf.metricsJsonToRequest(
+      UTF8String.fromString(metricJson))
+    val metricsFlat = OtlpJsonSource.parseMetricPointsPb(Seq(metricsPb).toDF("pb")).persist()
+    assert(metricsFlat.count() == 2)
+    roundTrip(metricsFlat, ArrowIpc.metricsSchema(spark), "metrics")
+    spansFlat.unpersist(); metricsFlat.unpersist()
+  }
+
   test("Arrow IPC batch read-back equals the exported frame (encode ∘ decode = id)") {
     import spark.implicits._
     // null-heavy corner rows: no attrs, no ids, null severity — the
