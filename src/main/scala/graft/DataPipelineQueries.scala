@@ -208,6 +208,74 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // benchmark decontamination (the training-pipeline hygiene step):
+    // which TRAIN docs share >= 3 distinct word-5-grams with an EVAL
+    // doc. Scale shape: the eval set is small by construction, so its
+    // exploded n-gram postings BROADCAST and the train corpus scans
+    // map-side — only matching (train, eval) pairs ever shuffle.
+    "q_decontaminate" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(DedupOps.shinglesOfText(col("text"), 5)).as("s5"))
+      val evalSet = sh.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("eval_id"), col("s5"))
+      val train = sh.filter(col("doc_id") >= 25)
+        .select(col("doc_id").as("train_id"), col("s5"))
+      train.join(broadcast(evalSet), "s5")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }),
+
+    // intra-document repetition score (Gopher/C4-style quality
+    // filter): 1 - distinct-3-grams / total-3-grams
+    "q_repetition" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          size(DedupOps.shinglesOfText(col("text"), 3)).as("n_distinct_3g"))
+        .filter(col("n_tokens") >= 3)
+        .withColumn("n_3g", col("n_tokens") - 2)
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct_3g").cast("double") / col("n_3g"))
+        .withColumn("rep_class", when(col("rep_ratio") > 0.2, "high")
+          .when(col("rep_ratio") > 0.05, "medium").otherwise("low"))
+    }),
+
+    // PII scrubbing with an audit trail: emails and long digit runs
+    // redact to placeholders, per-source counts of affected docs and
+    // removed characters. The synthetic corpus carries no PII, so a
+    // deterministic contact line derived from doc fields is appended
+    // first — the operator under test is the redaction kernel, and
+    // the oracle runs the identical synthesis.
+    "q_pii_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      docs(s, dir)
+        .withColumn("synth", concat(col("text"), lit(" contact user"),
+          col("doc_id"), lit("@"), col("source"), lit(".com ref "),
+          pmod(col("doc_id") * 7919, lit(10000))))
+        .withColumn("redacted", regexp_replace(
+          regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+          "[0-9]{3,}", "<NUM>"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((length(col("synth")) - length(col("redacted"))).cast("long"))
+            .as("chars_removed"),
+          sum(when(col("redacted").contains("<EMAIL>"), 1L).otherwise(0L))
+            .as("n_email_docs"))
+    }),
+
+    // stratified training-mix sampling: downsample the dominant
+    // language to ~50% with a deterministic md5 coin (engine-portable,
+    // repartition/retry-stable — the sampling decision is a pure
+    // function of the row, never of physical placement)
+    "q_sample_stratified" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(when(col("lang") === "en",
+            substring(md5(col("doc_id").cast("string")), 1, 1) <= "7")
+          .otherwise(lit(true)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // Rabin–Karp rolling-hash content fingerprint dup clusters
     // (order-sensitive identity, the streaming-friendly fingerprint)
     "q_doc_rollhash" -> ((s, dir) => {
@@ -673,6 +741,51 @@ object DataPipelineQueries {
         |  WHEN es >= de THEN 'es' ELSE 'de' END AS predicted,
         | COUNT(*) AS n
         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 5
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |     for i in range(1, len(ws) - 3)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+        |FROM ex t JOIN ex e ON t.s = e.s AND e.doc_id < 25 AND t.doc_id >= 25
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |    for i in range(1, len(ws) - 1)])) AS INT) AS n_distinct_3g
+        | FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id, n_tokens, n_distinct_3g,
+        | n_tokens - 2 AS n_3g,
+        | 1.0 - CAST(n_distinct_3g AS DOUBLE) / (n_tokens - 2) AS rep_ratio,
+        | CASE WHEN 1.0 - CAST(n_distinct_3g AS DOUBLE) / (n_tokens - 2) > 0.2 THEN 'high'
+        |  WHEN 1.0 - CAST(n_distinct_3g AS DOUBLE) / (n_tokens - 2) > 0.05 THEN 'medium'
+        |  ELSE 'low' END AS rep_class
+        |FROM m""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH s AS (SELECT source,
+        |  text || ' contact user' || doc_id || '@' || source || '.com ref ' || (doc_id * 7919) % 10000 AS synth
+        | FROM documents),
+        |r AS (SELECT source, synth,
+        |  regexp_replace(regexp_replace(synth, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
+        | FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(LENGTH(synth) - LENGTH(redacted)) AS BIGINT) AS chars_removed,
+        | CAST(SUM(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs
+        |FROM r GROUP BY source""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE lang <> 'en' OR substr(md5(doc_id::VARCHAR), 1, 1) <= '7'
+        |GROUP BY lang""".stripMargin,
 
     "q_doc_rollhash" ->
       """SELECT rh, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
