@@ -99,6 +99,7 @@ object ConfigLoader {
       case "otlp_json_logs" => OtlpJsonLogReceiver(str(m, "path"))
       case "otlp_pb_logs"   => OtlpPbLogReceiver(str(m, "path"))
       case "otlp_pb_logs_gz" => OtlpPbGzLogReceiver(str(m, "path"))
+      case "arrow_logs"     => ArrowLogsReceiver(str(m, "path"))
       // connectors: bridge/fan pipelines by name
       case "forward"        => ForwardReceiver(() => lookup(str(m, "from")))
       case "union"          => UnionReceiver(() => strList(m("from")).map(lookup))
@@ -140,6 +141,8 @@ object ConfigLoader {
     case "parquet_queued" => QueuedExporter(
       ParquetExporter(str(m, "path")), str(m, "dlq"),
       maxRetries = m.get("maxRetries").map(_.asInstanceOf[Number].intValue()).getOrElse(2))
+    case "arrow_spool" => ArrowSpoolExporter(str(m, "path"),
+      maxPerFile = m.get("maxPerFile").map(_.asInstanceOf[Number].intValue()).getOrElse(4096))
     case "logging" => LoggingExporter()
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }

@@ -44,6 +44,11 @@ object Pipeline {
         spark.read.format("binaryFile").load(dir)
           .select(col("content").as("pb")))
   }
+  /** Arrow IPC spool (OTLP-over-Arrow wire seam, logs) */
+  final case class ArrowLogsReceiver(dir: String) extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      graft.sources.ArrowLogsIpc.readSpool(spark, dir)
+  }
   /** forwardconnector analog: this pipeline's source is another
     * pipeline's (lazy) output plan — Catalyst sees one combined plan,
     * so the bridged stages fuse and the scan is shared. */
@@ -175,6 +180,18 @@ object Pipeline {
           .write.mode("overwrite").parquet(dlqDir)
       } else obs.foreach(_.delivered.incrementAndGet())
     }
+  }
+
+  /** OTLP-over-Arrow exporter analog: the pipeline's output lands as
+    * Arrow IPC spool files (one record batch per file, executor-side
+    * writes) that an otel-arrow consumer — or [[ArrowLogsReceiver]] —
+    * ingests directly */
+  final case class ArrowSpoolExporter(dir: String, maxPerFile: Int = 4096)
+      extends Exporter {
+    def export(df: DataFrame): Unit =
+      graft.sources.ArrowIpc.spool(df, dir, maxPerFile)
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      graft.sources.ArrowIpc.spool(df, s"$dir/batch_id=$batchId", maxPerFile)
   }
 
   /** loggingexporter analog: materialize a bounded sample to stdout */

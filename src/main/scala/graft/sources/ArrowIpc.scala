@@ -223,6 +223,42 @@ object ArrowIpc {
     binary.flatMap(decodeRows(schema, _))(Encoders.row(schema))
   }
 
+  /** [[decodeRows]] that reports failure instead of throwing — one
+    * corrupt spool file must not kill a streaming query (the pb
+    * receivers' `_safe` decode policy, arrow flavor) */
+  private def decodeTry(schema: StructType,
+                        bytes: Array[Byte]): Either[String, Seq[Row]] =
+    try Right(decodeRows(schema, bytes))
+    catch {
+      case scala.util.control.NonFatal(e) => Left(
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+    }
+
+  /** [[parse]] with the receiver's dead-letter path: undecodable
+    * payloads route to (raw, dlq_error, dlq_time) rows instead of
+    * killing the batch — the exact contract of
+    * [[OtlpJsonSource.parseLogsPbWithDlq]]. Returns (good, dlq). */
+  def parseWithDlq(payloads: DataFrame,
+                   schema: StructType): (DataFrame, DataFrame) = {
+    val binary = payloads.select(col("ipc")).as(Encoders.BINARY)
+    val good = binary.flatMap(b => decodeTry(schema, b).getOrElse(Nil))(
+      Encoders.row(schema))
+    val dlq = binary.map(b => (b, decodeTry(schema, b).left.toOption.orNull))(
+        Encoders.tuple(Encoders.BINARY, Encoders.STRING))
+      .toDF("raw", "dlq_error")
+      .filter(col("dlq_error").isNotNull)
+      .select(col("raw"), col("dlq_error"), current_timestamp().as("dlq_time"))
+    (good, dlq)
+  }
+
+  def streamSpoolWithDlq(spark: SparkSession, dir: String, schema: StructType,
+                         maxFilesPerTrigger: Int = 10): (DataFrame, DataFrame) =
+    parseWithDlq(spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("content").as("ipc")), schema)
+
   /** batch receiver: read a spool directory of .arrow files */
   def readSpool(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     parse(spark.read.format("binaryFile").load(dir)

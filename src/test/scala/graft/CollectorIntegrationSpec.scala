@@ -809,6 +809,50 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     spansFlat.unpersist(); metricsFlat.unpersist()
   }
 
+  test("Arrow IPC receiver dead-letters a corrupt spool file instead of dying") {
+    import graft.sources.{ArrowIpc, ArrowLogsIpc}
+    val dir = java.nio.file.Files.createTempDirectory("arrow_dlq").toString
+    val good = Seq(ArrowLogsIpc.ArrowFlatLog(1L, null, 9, "INFO", "ok",
+      Map("k" -> "v"), 0, 0, null, null, Map("svc" -> "a"), "s"))
+    import spark.implicits._
+    ArrowLogsIpc.spool(good.toDF(), dir)
+    // a payload that is not an IPC stream at all
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "corrupt.arrow"),
+      Array.tabulate[Byte](64)(i => (i * 37).toByte))
+    val (g, d) = ArrowIpc.streamSpoolWithDlq(spark, dir, ArrowIpc.logsSchema(spark))
+    val qg = g.writeStream.format("memory").queryName("arrow_dlq_good").start()
+    val qd = d.writeStream.format("memory").queryName("arrow_dlq_bad").start()
+    try { qg.processAllAvailable(); qd.processAllAvailable() }
+    finally { qg.stop(); qd.stop() }
+    assert(spark.table("arrow_dlq_good").count() == 1)
+    val dlqRows = spark.table("arrow_dlq_bad").collect()
+    assert(dlqRows.length == 1 && dlqRows.head.getAs[String]("dlq_error") != null)
+  }
+
+  test("config wires an Arrow spool exporter into an Arrow receiver pipeline") {
+    import graft.pipeline.ConfigLoader
+    val spoolDir = java.nio.file.Files.createTempDirectory("arrow_cfg_spool").toString
+    val outDir = java.nio.file.Files.createTempDirectory("arrow_cfg_out").toString + "/p"
+    // stage 1: flattened logs → arrow spool (config-built exporter)
+    import spark.implicits._
+    val logs = Seq(
+      graft.sources.ArrowLogsIpc.ArrowFlatLog(1L, null, 9, "INFO", "a",
+        Map(), 0, 0, null, null, Map("svc" -> "x"), "s"),
+      graft.sources.ArrowLogsIpc.ArrowFlatLog(2L, null, 17, "ERROR", "b",
+        Map(), 0, 0, null, null, Map("svc" -> "x"), "s")).toDF()
+    logs.createOrReplaceTempView("cfg_logs_in")
+    graft.pipeline.Pipeline.ArrowSpoolExporter(spoolDir).export(logs)
+    // stage 2: config-declared arrow receiver → filter → parquet
+    val svc = ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/arrow": {
+         |  "receiver": {"type": "arrow_logs", "path": "$spoolDir"},
+         |  "processors": [{"type": "filter", "where": "severity_number >= 17"}],
+         |  "exporters": [{"type": "parquet", "path": "$outDir"}]}}}""".stripMargin)
+    svc.run(spark)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 1 && out.head().getAs[String]("body") == "b")
+  }
+
   test("Arrow IPC batch read-back equals the exported frame (encode ∘ decode = id)") {
     import spark.implicits._
     // null-heavy corner rows: no attrs, no ids, null severity — the
