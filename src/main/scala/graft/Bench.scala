@@ -34,12 +34,7 @@ object Bench {
       scala.concurrent.duration.Duration.Inf)
     val wall = (System.nanoTime() - t0All) / 1e9
     pool.shutdown()
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = QUtil.jsonEscape(s)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }

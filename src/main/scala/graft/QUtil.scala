@@ -26,4 +26,19 @@ object QUtil {
 
   /** epoch hour bucket as BIGINT from bigint nanos */
   def nsHour(tsNs: Column): Column = expr(s"${tsNs.toString} DIV 3600000000000").cast("bigint")
+
+  /** JSON string escape for the driver artifacts (Verify's oracle
+    * dump, Bench's result line): backslash, quote, and ALL control
+    * chars (<0x20) — a tab or CR in builder-authored SQL or an error
+    * message would otherwise break the driver's json.load. ONE
+    * definition so the two artifacts can never diverge in escaping. */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -288,12 +288,7 @@ object AnnOps {
           subCol(col("qe"), s, subDim), codebooks(s).toSeq).as(s"qt$s")): _*)
     // a vector lives in exactly one cell, so the cell join yields each
     // (qid, nid) at most once — no dedup shuffle needed
-    val cand = enc.join(broadcast(probes), "cid")
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adist", (0 until m).map(s =>
-        element_at(col(s"qt$s"), element_at(col("codes"), s + 1) + 1))
-        .reduce(_ + _))
-      .select(col("qid"), col("nid"), col("adist"))
+    val cand = scoreAdc(enc.join(broadcast(probes), "cid"), m)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
     if (rerank <= k)
       cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -332,6 +327,16 @@ object AnnOps {
       graft.functions.VectorExprs.nearest_code_l2(
         subCol(v, s, subDim), codebooks(s).toSeq)): _*)
 
+  /** ADC candidate scoring: self-pair filter + the m table lookups
+    * summed — ONE definition, shared by the full-corpus scan and the
+    * IVF-PQ cell join (a tie/self-match policy change must hit both) */
+  private def scoreAdc(cands: DataFrame, m: Int): DataFrame =
+    cands.filter(col("qid") =!= col("nid"))
+      .withColumn("adist", (0 until m).map(s =>
+        element_at(col(s"qt$s"), element_at(col("codes"), s + 1) + 1))
+        .reduce(_ + _))
+      .select(col("qid"), col("nid"), col("adist"))
+
   /** full-corpus ADC scan against broadcast per-query distance tables
     * (bruteForceTopK's shape with per-candidate cost collapsed to m
     * table lookups) */
@@ -343,12 +348,7 @@ object AnnOps {
       .select(Seq(col("qid")) ++ (0 until m).map(s =>
         graft.functions.VectorExprs.l2_table(
           subCol(col("qe"), s, subDim), codebooks(s).toSeq).as(s"qt$s")): _*)
-    enc.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adist", (0 until m).map(s =>
-        element_at(col(s"qt$s"), element_at(col("codes"), s + 1) + 1))
-        .reduce(_ + _))
-      .select(col("qid"), col("nid"), col("adist"))
+    scoreAdc(enc.crossJoin(broadcast(q)), m)
   }
 
   /** refine: exact L2 only for the ADC shortlist (rerank ≪ corpus).

@@ -190,8 +190,17 @@ object Pipeline {
       extends Exporter {
     def export(df: DataFrame): Unit =
       graft.sources.ArrowIpc.spool(df, dir, maxPerFile)
-    override def exportBatch(df: DataFrame, batchId: Long): Unit =
-      graft.sources.ArrowIpc.spool(df, s"$dir/batch_id=$batchId", maxPerFile)
+    /** replayed batchIds must OVERWRITE their previous output (the
+      * Exporter contract) — spool file names are task-unique, so the
+      * batch directory is cleared first or a crash-replay would leave
+      * the batch's rows spooled twice */
+    override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+      val batchDir = s"$dir/batch_id=$batchId"
+      val p = new org.apache.hadoop.fs.Path(batchDir)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.ArrowIpc.spool(df, batchDir, maxPerFile)
+    }
   }
 
   /** loggingexporter analog: materialize a bounded sample to stdout */
@@ -238,8 +247,13 @@ object Pipeline {
 
     /** [[runObserved]] with full obsreport depth: a row count at every
       * stage boundary (so each processor gets an accepted/refused
-      * split), per-exporter wall + dead-letter counters. All counts
-      * ride the export job via the Observation API — no extra pass.
+      * split), per-exporter wall + dead-letter counters. The stage
+      * counts latch on a dedicated counting action BEFORE exporters
+      * run — an Observation keeps its FIRST action's values, and an
+      * exporter running a limited action (LoggingExporter's show is a
+      * CollectLimit that short-circuits the scan) would latch partial
+      * counts. One counting pass is the price of exact stats; the
+      * lighter [[runObserved]] rides the export job instead.
       * Per-stage WALL is deliberately absent: stages fuse into one
       * codegen span (that is the optimization), so stage timing only
       * exists at materialization boundaries — the per-exporter walls
@@ -256,7 +270,16 @@ object Pipeline {
         df = p(df).observe(o, count(lit(1)).as("n"))
         (s"stage_$i", o)
       }
+      df.count() // latch every stage observation on a FULL pass
       val exports = exporters.zipWithIndex.map { case (ex, i) =>
+        // QueueObs counters are process-lifetime totals (a shared obs
+        // may span runs/exporters) — report this run's DELTAS
+        val before = ex match {
+          case q: QueuedExporter if q.obs.isDefined =>
+            val o = q.obs.get
+            (o.delivered.get, o.deadLetteredBatches.get, o.deadLetteredRows.get)
+          case _ => (0L, 0L, 0L)
+        }
         val te = System.nanoTime()
         ex.export(df)
         val wall = System.nanoTime() - te
@@ -264,12 +287,12 @@ object Pipeline {
         ex match {
           case q: QueuedExporter if q.obs.isDefined =>
             val o = q.obs.get
-            ExportStats(name, wall, o.delivered.get, o.deadLetteredBatches.get,
-              o.deadLetteredRows.get)
+            ExportStats(name, wall, o.delivered.get - before._1,
+              o.deadLetteredBatches.get - before._2,
+              o.deadLetteredRows.get - before._3)
           case _ => ExportStats(name, wall, 1L, 0L, 0L)
         }
       }
-      if (exporters.isEmpty) df.count() // no action yet: materialize once
       val bounds = (("receiver", recvObs) +: stageObs)
         .map { case (n, o) => n -> o.get("n").asInstanceOf[Long] }
       val stages = StageStats("receiver", bounds.head._2, bounds.head._2) +:

@@ -162,22 +162,29 @@ object ArrowIpc {
           val vals = new Array[Any](vecs.length)
           var c = 0
           while (c < vecs.length) {
-            vals(c) = vecs(c) match {
-              case bv: BigIntVector  => if (bv.isNull(i)) null else bv.get(i)
-              case iv: IntVector     => if (iv.isNull(i)) null else iv.get(i)
-              case dv: Float8Vector  => if (dv.isNull(i)) null else dv.get(i)
-              case bitv: BitVector   => if (bitv.isNull(i)) null else bitv.get(i) == 1
-              case sv: VarCharVector => if (sv.isNull(i)) null else new String(sv.get(i), UTF_8)
-              case mv: MapVector =>
+            // dispatch on the EXPECTED Spark type, not the concrete
+            // vector class: a type-drifted (but structurally valid)
+            // payload must fail HERE — inside decodeTry's reach, so
+            // the DLQ path catches it — never later in the row
+            // encoder where it would kill the whole query
+            def typeError(): Nothing = throw new IllegalArgumentException(
+              s"column '${schema.fields(c).name}': Arrow payload carries " +
+                s"${vecs(c).getClass.getSimpleName}, expected " +
+                s"${schema.fields(c).dataType.simpleString}")
+            vals(c) = (schema.fields(c).dataType, vecs(c)) match {
+              case (LongType, bv: BigIntVector) => if (bv.isNull(i)) null else bv.get(i)
+              case (IntegerType, iv: IntVector) => if (iv.isNull(i)) null else iv.get(i)
+              case (DoubleType, dv: Float8Vector) => if (dv.isNull(i)) null else dv.get(i)
+              case (BooleanType, bitv: BitVector) => if (bitv.isNull(i)) null else bitv.get(i) == 1
+              case (StringType, sv: VarCharVector) => if (sv.isNull(i)) null else new String(sv.get(i), UTF_8)
+              case (MapType(StringType, StringType, _), mv: MapVector) =>
                 if (mv.isNull(i)) null
                 else mv.getObject(i).asInstanceOf[java.util.List[_]].asScala.map { e =>
                   val entry = e.asInstanceOf[java.util.Map[_, _]]
                   String.valueOf(entry.get(MapVector.KEY_NAME)) ->
                     Option(entry.get(MapVector.VALUE_NAME)).map(String.valueOf).orNull
                 }.toMap
-              case other => throw new IllegalArgumentException(
-                s"unexpected Arrow vector ${other.getClass.getSimpleName} " +
-                  s"for column '${schema.fields(c).name}'")
+              case _ => typeError()
             }
             c += 1
           }

@@ -754,6 +754,11 @@ object OtlpProtobuf {
   private def u64Field(w: Writer, field: Int, n: JNode, name: String): Unit =
     if (n.hasNonNull(name)) ulong(n.get(name).asText()).foreach(w.fixed64(field, _))
 
+  /** double field n.name → fixed64 IEEE bits, dropped when unparseable */
+  private def dblField(w: Writer, field: Int, n: JNode, name: String): Unit =
+    if (n.hasNonNull(name)) jsonDoubleOpt(n.get(name)).foreach(d =>
+      w.fixed64(field, java.lang.Double.doubleToLongBits(d)))
+
   private def encodeAnyValue(v: JNode): Array[Byte] = {
     val w = new Writer
     if (v == null || v.isNull) return w.bytes  // unset AnyValue: empty message
@@ -764,7 +769,8 @@ object OtlpProtobuf {
     else if (v.has("intValue"))
       slong(v.get("intValue").asText()).foreach(w.vint(3, _))
     else if (v.has("doubleValue"))
-      w.fixed64(4, java.lang.Double.doubleToLongBits(jsonDoubleOf(v.get("doubleValue"))))
+      jsonDoubleOpt(v.get("doubleValue")).foreach(d =>
+        w.fixed64(4, java.lang.Double.doubleToLongBits(d)))
     else if (v.has("arrayValue")) {
       val inner = new Writer
       val vals = v.get("arrayValue").get("values")
@@ -864,22 +870,23 @@ object OtlpProtobuf {
   }
 
   /** JSON numbers may arrive as text ("NaN"/"Infinity" per OTLP/JSON,
-    * but also arbitrary garbage) — an unparseable value evaluates to
-    * 0.0 rather than throwing out of the export task (same
-    * drop-don't-throw policy as [[ulong]]/non-hex ids) */
-  private def jsonDoubleOf(n: JNode): Double =
+    * but also arbitrary garbage) — an unparseable value DROPS the
+    * field (same policy as [[ulong]]/[[slong]]/non-hex ids); turning
+    * garbage into a fabricated 0.0 measurement would silently corrupt
+    * downstream sums/histograms */
+  private def jsonDoubleOpt(n: JNode): Option[Double] =
     if (n.isTextual)
-      try java.lang.Double.parseDouble(n.asText())
-      catch { case _: NumberFormatException => 0.0 }
-    else n.asDouble()
+      try Some(java.lang.Double.parseDouble(n.asText()))
+      catch { case _: NumberFormatException => None }
+    else if (n.isNumber) Some(n.asDouble())
+    else None
 
   /** Exemplar (inverse of [[exemplar]]): 7=filteredAttributes 2=time
     * 3=asDouble 4=spanId 5=traceId 6=asInt(sfixed64) */
   private def encodeExemplar(ex: JNode): Array[Byte] = {
     val w = new Writer
     u64Field(w, 2, ex, "timeUnixNano")
-    if (ex.hasNonNull("asDouble"))
-      w.fixed64(3, java.lang.Double.doubleToLongBits(jsonDoubleOf(ex.get("asDouble"))))
+    dblField(w, 3, ex, "asDouble")
     hexField(w, 4, ex, "spanId")
     hexField(w, 5, ex, "traceId")
     if (ex.hasNonNull("asInt"))
@@ -893,8 +900,7 @@ object OtlpProtobuf {
     val pw = new Writer
     u64Field(pw, 2, dp, "startTimeUnixNano")
     u64Field(pw, 3, dp, "timeUnixNano")
-    if (dp.hasNonNull("asDouble"))
-      pw.fixed64(4, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("asDouble"))))
+    dblField(pw, 4, dp, "asDouble")
     if (dp.has("exemplars")) dp.get("exemplars").forEach(ex => pw.lenDelim(5, encodeExemplar(ex)))
     if (dp.hasNonNull("asInt")) slong(dp.get("asInt").asText()).foreach(pw.fixed64(6, _))
     if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(7, encodeKeyValue(kv)))
@@ -907,14 +913,14 @@ object OtlpProtobuf {
     u64Field(pw, 2, dp, "startTimeUnixNano")
     u64Field(pw, 3, dp, "timeUnixNano")
     u64Field(pw, 4, dp, "count")
-    if (dp.hasNonNull("sum"))
-      pw.fixed64(5, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("sum"))))
+    dblField(pw, 5, dp, "sum")
     if (dp.has("bucketCounts"))
       packed(pw, 6)(inner => dp.get("bucketCounts").forEach(c =>
         ulong(c.asText()).foreach(inner.rawFixed64)))
     if (dp.has("explicitBounds"))
       packed(pw, 7)(inner => dp.get("explicitBounds").forEach(bd =>
-        inner.rawFixed64(java.lang.Double.doubleToLongBits(jsonDoubleOf(bd)))))
+        jsonDoubleOpt(bd).foreach(d =>
+          inner.rawFixed64(java.lang.Double.doubleToLongBits(d)))))
     if (dp.has("exemplars")) dp.get("exemplars").forEach(ex => pw.lenDelim(8, encodeExemplar(ex)))
     if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(9, encodeKeyValue(kv)))
     pw.bytes
@@ -935,14 +941,12 @@ object OtlpProtobuf {
     u64Field(pw, 2, dp, "startTimeUnixNano")
     u64Field(pw, 3, dp, "timeUnixNano")
     u64Field(pw, 4, dp, "count")
-    if (dp.hasNonNull("sum"))
-      pw.fixed64(5, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("sum"))))
+    dblField(pw, 5, dp, "sum")
     if (dp.hasNonNull("scale")) pw.zint32(6, dp.get("scale").asInt())
     u64Field(pw, 7, dp, "zeroCount")
     if (dp.hasNonNull("positive")) buckets(8, dp.get("positive"))
     if (dp.hasNonNull("negative")) buckets(9, dp.get("negative"))
-    if (dp.hasNonNull("zeroThreshold"))
-      pw.fixed64(14, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("zeroThreshold"))))
+    dblField(pw, 14, dp, "zeroThreshold")
     pw.bytes
   }
 
@@ -952,14 +956,11 @@ object OtlpProtobuf {
     u64Field(pw, 2, dp, "startTimeUnixNano")
     u64Field(pw, 3, dp, "timeUnixNano")
     u64Field(pw, 4, dp, "count")
-    if (dp.hasNonNull("sum"))
-      pw.fixed64(5, java.lang.Double.doubleToLongBits(jsonDoubleOf(dp.get("sum"))))
+    dblField(pw, 5, dp, "sum")
     if (dp.has("quantileValues")) dp.get("quantileValues").forEach { qv =>
       val qw = new Writer
-      if (qv.hasNonNull("quantile"))
-        qw.fixed64(1, java.lang.Double.doubleToLongBits(jsonDoubleOf(qv.get("quantile"))))
-      if (qv.hasNonNull("value"))
-        qw.fixed64(2, java.lang.Double.doubleToLongBits(jsonDoubleOf(qv.get("value"))))
+      dblField(qw, 1, qv, "quantile")
+      dblField(qw, 2, qv, "value")
       pw.lenDelim(6, qw.bytes)
     }
     if (dp.has("attributes")) dp.get("attributes").forEach(kv => pw.lenDelim(7, encodeKeyValue(kv)))

@@ -688,6 +688,7 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       |"scope":{"name":"g"},"logRecords":[{"timeUnixNano":"7","attributes":[
       |{"key":"bad_i","value":{"intValue":"twelve"}},
       |{"key":"bad_b","value":{"bytesValue":"%%%"}},
+      |{"key":"bad_d","value":{"doubleValue":"garbage"}},
       |{"key":"ok","value":{"intValue":"42"}}],
       |"body":{"stringValue":"kept"}}]}]}]}""".stripMargin.replaceAll("\n", "")
     val apb = graft.sources.OtlpProtobuf.logsJsonToRequest(UTF8String.fromString(badAttrs))
@@ -695,6 +696,8 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(aback.contains(""""stringValue":"kept"""") &&
       aback.contains(""""intValue":"42"""") &&
       !aback.contains("twelve"), aback)
+    // an unparseable doubleValue DROPS — it must never fabricate 0.0
+    assert(!aback.contains(""""doubleValue":0""") && !aback.contains("garbage"), aback)
   }
 
   test("Arrow IPC wire-to-wire: pb → flatten → arrow spool → stream-ingest → identical rows") {
@@ -819,6 +822,21 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     // a payload that is not an IPC stream at all
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "corrupt.arrow"),
       Array.tabulate[Byte](64)(i => (i * 37).toByte))
+    // a structurally VALID payload whose column type drifted (int64
+    // severity where the contract says int32) must ALSO dead-letter —
+    // the decode dispatches on the expected type, so drift fails
+    // inside the DLQ's reach, not later in the row encoder
+    val drifted = org.apache.spark.sql.types.StructType(
+      ArrowIpc.logsSchema(spark).fields.map(f =>
+        if (f.name == "severity_number") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    import spark.implicits._
+    val driftRow = Seq(ArrowLogsIpc.ArrowFlatLog(9L, null, 17, "E", "drift",
+      null, 0, 0, null, null, null, "s")).toDF()
+      .withColumn("severity_number", col("severity_number").cast("long"))
+      .select(drifted.fieldNames.map(col): _*)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "drifted.arrow"),
+      ArrowIpc.encodeRows(drifted, driftRow.collect().toSeq))
     val (g, d) = ArrowIpc.streamSpoolWithDlq(spark, dir, ArrowIpc.logsSchema(spark))
     val qg = g.writeStream.format("memory").queryName("arrow_dlq_good").start()
     val qd = d.writeStream.format("memory").queryName("arrow_dlq_bad").start()
@@ -826,7 +844,23 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     finally { qg.stop(); qd.stop() }
     assert(spark.table("arrow_dlq_good").count() == 1)
     val dlqRows = spark.table("arrow_dlq_bad").collect()
-    assert(dlqRows.length == 1 && dlqRows.head.getAs[String]("dlq_error") != null)
+    assert(dlqRows.length == 2 && dlqRows.forall(_.getAs[String]("dlq_error") != null),
+      dlqRows.mkString("\n"))
+    assert(dlqRows.exists(_.getAs[String]("dlq_error").contains("expected int")),
+      dlqRows.mkString("\n"))
+  }
+
+  test("ArrowSpoolExporter replayed batchId overwrites, never duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("arrow_replay").toString
+    val logs = Seq(graft.sources.ArrowLogsIpc.ArrowFlatLog(1L, null, 9, "I", "x",
+      Map(), 0, 0, null, null, Map(), "s")).toDF()
+    val ex = graft.pipeline.Pipeline.ArrowSpoolExporter(dir)
+    ex.exportBatch(logs, 7L)
+    ex.exportBatch(logs, 7L) // crash-replay of the same micro-batch
+    val back = graft.sources.ArrowIpc.readSpool(spark,
+      s"$dir/batch_id=7", graft.sources.ArrowIpc.logsSchema(spark))
+    assert(back.count() == 1, "replayed batch duplicated its rows")
   }
 
   test("config wires an Arrow spool exporter into an Arrow receiver pipeline") {

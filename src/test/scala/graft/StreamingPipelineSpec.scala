@@ -293,6 +293,13 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(q.delivered == 0 && q.deadLetteredBatches == 1 &&
       q.deadLetteredRows == sink.result.length.toLong, q.toString)
     assert(run.wallNs > 0 && run.exports.forall(_.wallNs > 0))
+    // a LIMITED first exporter (show's CollectLimit) must not latch
+    // partial counts: the stage observations ride a dedicated full
+    // counting pass, not whatever the first exporter happens to scan
+    val limited = PipelineDef(
+      TableReceiver(sf, "events"), Nil, Seq(LoggingExporter(1)))
+      .runObservedStages(spark)
+    assert(limited.received == 1000, limited.stages.toString)
   }
 
   test("RetryingExporter retries transient failures then succeeds") {
