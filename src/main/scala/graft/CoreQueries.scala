@@ -70,6 +70,61 @@ object CoreQueries {
         .limit(100)
     }),
 
+    // TPC-H Q12 shape (adapted: the synthetic lineitem carries no
+    // shipmode, so returnflag stands in as the routing column):
+    // date-windowed fact⋈fact join, conditional high/low priority
+    // counts — both sides SF-scaled, so NO broadcast hint; AQE picks
+    // the join strategy.
+    "q12_ship_priority" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val o = Tables(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share — a ratio of two
+    // decimal-routed conditional sums over one month of the fact
+    // joined to part. part is SF-scaled (NOT a broadcastable dim at
+    // 100 TB): no hint, AQE decides.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("promo_revenue"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity clauses — the
+    // OR-of-ANDs predicate the optimizer must split across the scan
+    // sides (part clauses prune part, quantity ranges prune lineitem)
+    // instead of evaluating post-join.
+    "q19_disjunctive" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#12" && col("p_size").between(10, 30)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(20, 50)
+            && col("l_quantity").between(20, 30)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q3 shape: only the true dimension (filtered customer)
     // broadcasts; lineitem ⋈ (orders ⋈ customer) is left to AQE —
     // a fact-derived set must never carry a broadcast hint (≈20% of
@@ -200,6 +255,32 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT 100.0 *
+        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE) /
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+        | AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
