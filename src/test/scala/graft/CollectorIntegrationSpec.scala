@@ -1039,6 +1039,39 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(spark.sql("SELECT DISTINCT scope_name FROM pb_spans_out").head().getString(0) == "graft")
   }
 
+  test("Arrow capstone: arrow spool → stream → filter/enrich → arrow spool out → re-ingest") {
+    import spark.implicits._
+    import graft.sources.{ArrowIpc, ArrowLogsIpc}
+    // an otel-arrow PRODUCER's spool: 30 flattened logs, 1/3 errors
+    val inDir = java.nio.file.Files.createTempDirectory("arrow_cap_in").toString
+    val logs = (0 until 30).map(i => ArrowLogsIpc.ArrowFlatLog(
+      1700000000000000000L + i * 1000000L, null,
+      if (i % 3 == 0) 17 else 9, if (i % 3 == 0) "ERROR" else "INFO",
+      s"m-$i", Map("idx" -> i.toString), 0, 0, null, null,
+      Map("service.name" -> "api"), "graft")).toDF()
+    ArrowLogsIpc.spool(logs.repartition(2), inDir, maxPerFile = 7)
+    // collector pipeline: arrow stream in → filter errors + hygiene →
+    // arrow spool out (checkpointed, idempotent per-batch delivery)
+    val outDir = java.nio.file.Files.createTempDirectory("arrow_cap_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("arrow_cap_ck").toString
+    val processed = ArrowIpc.streamLogsSpool(spark, inDir, maxFilesPerTrigger = 3)
+      .filter(col("severity_number") >= 17)
+      .withColumn("attributes",
+        graft.operators.Processors.mapPut(col("attributes"), "pipeline", lit("errors")))
+    val q = graft.streaming.StreamingPipelines.exportStream(processed,
+      graft.pipeline.Pipeline.ArrowSpoolExporter(outDir), ck)
+    try q.processAllAvailable() finally q.stop()
+    // a downstream otel-arrow CONSUMER re-ingests the exported spool
+    val back = ArrowIpc.readSpool(spark, s"$outDir/batch_id=*",
+      ArrowIpc.logsSchema(spark))
+    val rows = back.collect()
+    assert(rows.length == 10, s"expected the 10 errors, got ${rows.length}")
+    assert(rows.forall(_.getAs[Int]("severity_number") == 17))
+    assert(rows.forall(_.getAs[Map[String, String]]("attributes")("pipeline") == "errors"))
+    assert(rows.map(_.getAs[String]("body")).sorted.toSeq ==
+      (0 until 30 by 3).map(i => s"m-$i").sorted.toSeq)
+  }
+
   test("wire-to-wire collector deployment: pb spool → stream → process → queued pb export → re-ingest") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

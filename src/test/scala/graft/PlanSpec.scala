@@ -155,6 +155,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q19's OR-of-ANDs predicate splits across BOTH scan sides") {
+    // the Q19 point: (brandᵢ ∧ sizeᵢ ∧ qtyᵢ) disjunctions must not be
+    // evaluated post-join — the per-side disjunctions (qty ranges →
+    // lineitem, brand/size → part) each reach their parquet scan
+    val p = plan("q19_disjunctive")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(") ||
+      p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), p)
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    // and both scans prune to only the needed columns
+    assert(!p.contains("l_shipdate") && !p.contains("p_name"), p)
+  }
+
   test("q_filter_events keeps the filter adjacent to the scan") {
     val p = plan("q_filter_events")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||
