@@ -125,16 +125,18 @@ object CoreQueries {
           count(lit(1)).as("n_lines"))
     }),
 
-    // TPC-H Q3 shape: only the true dimension (filtered customer)
-    // broadcasts; lineitem ⋈ (orders ⋈ customer) is left to AQE —
-    // a fact-derived set must never carry a broadcast hint (≈20% of
-    // orders: fine at sf0.1, build-side OOM at 100×), and the top-10
-    // collapses via TakeOrderedAndProject, no global sort.
+    // TPC-H Q3 shape: NO broadcast hint anywhere — customer is
+    // SF-scaled, and filtering to one mktsegment keeps ~20% of it, so
+    // it grows linearly with SF just like orders/lineitem (fine at
+    // sf0.1, build-side OOM at 100× if hinted). AQE broadcasts it at
+    // small SF on observed size and falls back to shuffle when it
+    // doesn't fit; the top-10 collapses via TakeOrderedAndProject,
+    // no global sort.
     "q3_top_orders" -> ((s, dir) => {
       val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
-      val co = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val co = o.join(c, o("o_custkey") === c("c_custkey"))
         .select(col("o_orderkey"), col("o_orderdate"))
       l.join(co, l("l_orderkey") === co("o_orderkey"))
         .groupBy(col("o_orderkey"),
@@ -144,8 +146,11 @@ object CoreQueries {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: 6-table star join — all dimensions broadcast,
-    // the single fact (lineitem) never shuffles before aggregation.
+    // TPC-H Q5 shape: 6-table star join. Only the fixed-cardinality
+    // dims carry hints (nation: 25 rows, region: 5 — constant at any
+    // SF). customer/supplier are SF-scaled, so they get NO hint: AQE
+    // broadcasts them at small SF on observed size and falls back to
+    // shuffle joins when they outgrow the build-side budget at 100×.
     "q5_local_supplier" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -156,8 +161,8 @@ object CoreQueries {
       val n = Tables(s, dir, "nation")
       val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey")
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey")
           && c("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -178,7 +183,9 @@ object CoreQueries {
     }),
 
     // TPC-H Q7 shape: bilateral nation-pair trade volume by year —
-    // two independent dimension chains onto one fact row.
+    // two independent dimension chains onto one fact row. nation (25
+    // rows, fixed) is hinted; customer/supplier are SF-scaled so the
+    // join strategy is AQE's call.
     "q7_nation_volume" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -189,8 +196,8 @@ object CoreQueries {
       val n2 = Tables(s, dir, "nation").select(
         col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(n1), sup("s_nationkey") === n1("s_nk"))
         .join(broadcast(n2), c("c_nationkey") === n2("c_nk"))
         .filter(col("supp_nation") =!= col("cust_nation"))
@@ -201,13 +208,15 @@ object CoreQueries {
     }),
 
     // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    // customer is SF-scaled → no hint (AQE decides); nation is the
+    // only true dim here.
     "q10_returned_items" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val o = Tables(s, dir, "orders")
       val c = Tables(s, dir, "customer")
       val n = Tables(s, dir, "nation")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
@@ -242,11 +251,13 @@ object CoreQueries {
           sum(col("pn")).as("n")))
     }),
 
-    // Resource-enrichment join: fact × broadcast dim.
+    // Resource-enrichment join: events × customer. customer is
+    // SF-scaled (NOT a fixed dim), so no broadcast hint — AQE
+    // broadcasts it while small and shuffle-joins when it isn't.
     "q_join_enrich" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
       val c = Tables(s, dir, "customer")
-      e.join(broadcast(c), e("user_id") === c("c_custkey"))
+      e.join(c, e("user_id") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("total_value"),

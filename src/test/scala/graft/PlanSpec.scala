@@ -26,12 +26,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), "scan reads un-needed columns:\n" + p)
   }
 
-  test("q3_top_orders broadcasts the dimension side") {
+  test("q3_top_orders still gets a broadcast join at small SF — from stats, not a hint") {
+    // customer is SF-scaled so the query carries NO hint (r4 verdict #1);
+    // at sf0.001 Spark's size-based planning must still pick broadcast
+    // on its own — proving that dropping the hint costs nothing small
+    // while AQE keeps the right to fall back at 100×.
     val p = plan("q3_top_orders")
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q_join_enrich broadcasts the customer dim") {
+  test("q_join_enrich gets a broadcast join at small SF — from stats, not a hint") {
     val p = plan("q_join_enrich")
     assert(p.contains("BroadcastHashJoin"), p)
   }
@@ -68,13 +72,65 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q3_top_orders only hints the true dimension (customer) for broadcast") {
-    // a fact-derived join side must never carry a broadcast hint —
-    // at 100× the data it becomes a build-side OOM. One ResolvedHint
-    // (the filtered customer dim) and nothing else.
+  test("q3_top_orders carries no broadcast hint at all") {
+    // r4 verdict #1: even the mktsegment-filtered customer keeps ~20%
+    // of an SF-proportional table — it scales like the facts, so a
+    // forced broadcast is a 100× build-side OOM AND removes AQE's
+    // fallback. Zero ResolvedHints; strategy is entirely AQE's.
     val analyzed = SparkEntry.queries("q3_top_orders")(spark, sf)
       .queryExecution.analyzed.toString
-    assert("ResolvedHint".r.findAllIn(analyzed).size == 1, analyzed)
+    assert("ResolvedHint".r.findAllIn(analyzed).isEmpty, analyzed)
+  }
+
+  test("no query hints a broadcast on an unbounded SF-scaled table (mechanical)") {
+    // The q12/q14 discipline, enforced like the no-global-window rule:
+    // a broadcast hint is legitimate ONLY on (a) fixed-cardinality
+    // dims (nation: 25 rows, region: 5 — constant at any SF), (b)
+    // in-memory bounded sets (LocalRelation), or (c) subtrees of an
+    // SF-scaled table that are explicitly bounded to a constant-size
+    // set — a Limit, or a literal filter on a key/rank column
+    // (vec_id < 10 query sets, doc_id < 25 eval sets, rk <= R
+    // shortlists). customer/supplier/part/orders/lineitem/events grow
+    // linearly with SF and admit no such bound in a hint subtree.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sfScaled = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    val boundKeys = Set("vec_id", "doc_id", "qid", "rk")
+    var inspected = 0
+    for ((name, q) <- SparkEntry.queries) {
+      val analyzed = q(spark, sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val leafPaths = h.child.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toString)
+          }.flatten
+          val scaledLeaves = leafPaths.filter(p =>
+            sfScaled.exists(t => p.contains(s"/$t.parquet") || p.endsWith(s"/$t")))
+          if (scaledLeaves.nonEmpty) {
+            inspected += 1
+            val bounded = h.child.collect {
+              case _: GlobalLimit => true
+              case _: LocalLimit => true
+              case f: Filter
+                  if f.condition.references.exists(a => boundKeys(a.name)) &&
+                    f.condition.collect { case l: Literal => l }.nonEmpty => true
+            }
+            assert(bounded.nonEmpty,
+              s"$name: broadcast hint over unbounded SF-scaled leaves " +
+                s"${scaledLeaves.mkString(", ")} — at 100× this is a " +
+                s"build-side OOM and disables AQE fallback:\n${h.child}")
+          }
+        case _ => ()
+      }
+    }
+    // self-teeth: the ANN query/probe sets are hinted bounded subtrees
+    // of embeddings — if leaf matching ever silently breaks (e.g. a
+    // move to DSv2 relations), this trips instead of going vacuous
+    assert(inspected >= 3,
+      s"rule inspected only $inspected hinted SF-scaled subtrees — leaf matching broke")
   }
 
   test("no query plans a single-partition global window") {
