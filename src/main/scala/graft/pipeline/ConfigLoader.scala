@@ -141,6 +141,11 @@ object ConfigLoader {
     case "parquet_queued" => QueuedExporter(
       ParquetExporter(str(m, "path")), str(m, "dlq"),
       maxRetries = m.get("maxRetries").map(_.asInstanceOf[Number].intValue()).getOrElse(2))
+    // crash-durable queue wrapping a parquet sink (persistent_queue.go)
+    case "parquet_persistent" => PersistentQueueExporter(
+      ParquetExporter(str(m, "path")), str(m, "queue"),
+      maxAttemptsPerBatch =
+        m.get("maxAttempts").map(_.asInstanceOf[Number].intValue()).getOrElse(6))
     case "arrow_spool" => ArrowSpoolExporter(str(m, "path"),
       maxPerFile = m.get("maxPerFile").map(_.asInstanceOf[Number].intValue()).getOrElse(4096))
     case "logging" => LoggingExporter()

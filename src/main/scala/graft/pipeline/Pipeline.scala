@@ -182,6 +182,172 @@ object Pipeline {
     }
   }
 
+  /** What a [[PersistentQueueExporter.recover]] pass did: batches
+    * redelivered, batches that failed again and stay queued, batches
+    * whose attempt budget exhausted and moved to the DLQ. */
+  final case class RecoveryStats(redelivered: Long, stillPending: Long,
+                                 deadLettered: Long)
+
+  /** exporterhelper persistent-queue analog (reference:
+    * exporter/exporterhelper/internal/persistent_queue.go:25 +
+    * persistent_storage.go — the file-storage-backed queue that
+    * survives a collector crash with accepted-but-undelivered
+    * batches). Accepting a batch durably SPOOLS it to parquet BEFORE
+    * the first delivery attempt; only successful delivery dequeues it,
+    * so a crash anywhere between accept and final retry redelivers on
+    * restart instead of losing the batch.
+    *
+    * Layout under queueDir:
+    *  - `seq` — persistent monotonic batch-id counter (the queue's
+    *    write index; never reused, so a redelivered id can only
+    *    overwrite ITS OWN prior output downstream)
+    *  - `pending/batch_id=<id>/` — the spooled batch. The parquet
+    *    `_SUCCESS` marker is the enqueue commit: a crash mid-spool
+    *    leaves no marker and the accept never happened (the caller
+    *    never saw success), so recover() deletes it.
+    *  - `pending/batch_id=<id>.attempts` — delivery attempts so far,
+    *    persisted ACROSS restarts; when it exceeds
+    *    maxAttemptsPerBatch the batch is a poison pill and moves to
+    *  - `dlq/batch_id=<id>/` — instead of wedging the queue forever.
+    *
+    * A crash AFTER delegate delivery but BEFORE dequeue redelivers on
+    * restart — safe because the Exporter contract keys on batchId
+    * (replay overwrites its own previous output only), the same
+    * effectively-once discipline the streaming checkpoint path relies
+    * on. Queue METADATA (seq, attempt counters) is driver-local and
+    * tiny, like the collector's storage client; the batch DATA is a
+    * distributed parquet spool — executors never serialize through
+    * the driver.
+    */
+  final case class PersistentQueueExporter(
+      delegate: Exporter, queueDir: String,
+      maxAttemptsPerBatch: Int = 6, retriesPerRun: Int = 1,
+      backoffMs: Long = 25, capacity: Int = 1024,
+      obs: Option[QueueObs] = None) extends Exporter {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+
+    private def fs(spark: SparkSession): FileSystem =
+      new Path(queueDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def pendingDir(id: Long) = new Path(s"$queueDir/pending/batch_id=$id")
+    private def attemptsFile(id: Long) = new Path(s"$queueDir/pending/batch_id=$id.attempts")
+    private def dlqDir(id: Long) = new Path(s"$queueDir/dlq/batch_id=$id")
+
+    def export(df: DataFrame): Unit =
+      enqueueAndAttempt(df, nextId(df.sparkSession))
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      enqueueAndAttempt(df, batchId)
+
+    /** accept = durable enqueue (throws only on queue-full — the
+      * reference's refused-data backpressure signal); a delivery
+      * failure after a successful enqueue does NOT throw: the batch
+      * is safe on disk and recover() will redeliver it. */
+    private def enqueueAndAttempt(df: DataFrame, id: Long): Unit = {
+      val f = fs(df.sparkSession)
+      val pend = new Path(s"$queueDir/pending")
+      if (f.exists(pend) &&
+          f.listStatus(pend).count(_.isDirectory) >= capacity)
+        throw new IllegalStateException(
+          s"persistent queue full ($capacity batches pending) — refusing data")
+      df.write.mode("overwrite").parquet(pendingDir(id).toString)
+      attemptDelivery(df.sparkSession, id, () => delegate.exportBatch(df, id))
+    }
+
+    /** redeliver every complete pending spool (call on restart — the
+      * persistent_storage "requeue unprocessed items" pass). Partial
+      * spools (no _SUCCESS: crash mid-enqueue, accept never returned)
+      * are deleted, not delivered. */
+    def recover(spark: SparkSession): RecoveryStats = {
+      val f = fs(spark)
+      val pend = new Path(s"$queueDir/pending")
+      if (!f.exists(pend)) return RecoveryStats(0, 0, 0)
+      var re = 0L; var still = 0L; var dead = 0L
+      val ids = f.listStatus(pend).filter(_.isDirectory).map(s =>
+        s.getPath.getName.stripPrefix("batch_id=").toLong).sorted
+      for (id <- ids) {
+        if (!f.exists(new Path(pendingDir(id), "_SUCCESS"))) {
+          f.delete(pendingDir(id), true)
+          f.delete(attemptsFile(id), false)
+        } else {
+          val df = spark.read.parquet(pendingDir(id).toString)
+          attemptDelivery(spark, id, () => delegate.exportBatch(df, id)) match {
+            case Delivered    => re += 1
+            case StillPending => still += 1
+            case DeadLettered => dead += 1
+          }
+        }
+      }
+      RecoveryStats(re, still, dead)
+    }
+
+    private sealed trait Outcome
+    private case object Delivered extends Outcome
+    private case object StillPending extends Outcome
+    private case object DeadLettered extends Outcome
+
+    private def attemptDelivery(spark: SparkSession, id: Long,
+                                attemptF: () => Unit): Outcome = {
+      val f = fs(spark)
+      var triesThisRun = 0
+      while (triesThisRun <= retriesPerRun) {
+        val total = bumpAttempts(f, id)
+        if (total > maxAttemptsPerBatch) return deadLetter(spark, id)
+        try {
+          attemptF()
+          f.delete(pendingDir(id), true)
+          f.delete(attemptsFile(id), false)
+          obs.foreach(_.delivered.incrementAndGet())
+          return Delivered
+        } catch {
+          case _: PermanentExportException => return deadLetter(spark, id)
+          case scala.util.control.NonFatal(_) =>
+            obs.foreach(_.retries.incrementAndGet())
+            triesThisRun += 1
+            if (triesThisRun <= retriesPerRun) Thread.sleep(backoffMs * triesThisRun)
+        }
+      }
+      StillPending // durable on disk; the next recover() retries it
+    }
+
+    private def deadLetter(spark: SparkSession, id: Long): Outcome = {
+      val f = fs(spark)
+      obs.foreach { o =>
+        o.deadLetteredBatches.incrementAndGet()
+        o.deadLetteredRows.addAndGet(
+          spark.read.parquet(pendingDir(id).toString).count())
+      }
+      f.mkdirs(new Path(s"$queueDir/dlq"))
+      if (f.exists(dlqDir(id))) f.delete(dlqDir(id), true)
+      f.rename(pendingDir(id), dlqDir(id))
+      f.delete(attemptsFile(id), false)
+      DeadLettered
+    }
+
+    private def bumpAttempts(f: FileSystem, id: Long): Int = synchronized {
+      val p = attemptsFile(id)
+      val cur = readNum(f, p, 0L).toInt + 1
+      writeNum(f, p, cur.toLong)
+      cur
+    }
+    private def nextId(spark: SparkSession): Long = synchronized {
+      val f = fs(spark)
+      val p = new Path(s"$queueDir/seq")
+      val cur = readNum(f, p, 0L)
+      writeNum(f, p, cur + 1) // bump BEFORE spooling: ids are never reused
+      cur
+    }
+    private def readNum(f: FileSystem, p: Path, dflt: Long): Long =
+      if (!f.exists(p)) dflt
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    private def writeNum(f: FileSystem, p: Path, v: Long): Unit = {
+      val out = f.create(p, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** OTLP-over-Arrow exporter analog: the pipeline's output lands as
     * Arrow IPC spool files (one record batch per file, executor-side
     * writes) that an otel-arrow consumer — or [[ArrowLogsReceiver]] —

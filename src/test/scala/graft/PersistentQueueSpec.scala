@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Pipeline._
+
+/** Crash-durability contract of [[PersistentQueueExporter]] (reference:
+  * exporter/exporterhelper/internal/persistent_queue.go +
+  * persistent_storage.go): a batch accepted while the downstream is
+  * unreachable survives a collector "crash" (a fresh exporter instance
+  * over the same queue dir) and is redelivered exactly once on
+  * recovery — the checkpoint-survival discipline extended to batch
+  * mode.
+  */
+class PersistentQueueSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  /** endpoint stand-in: unreachable until `up`, records per-batchId
+    * delivery counts and last-delivered contents (keyed by batchId —
+    * the idempotent-replay contract a real sink implements) */
+  private final class GatedExporter extends Exporter {
+    @volatile var up = false
+    val deliveries = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val contents = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+    def export(df: DataFrame): Unit = exportBatch(df, -1L)
+    override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+      if (!up) throw new RuntimeException("endpoint down")
+      deliveries.merge(batchId, 1, (a, b) => a + b)
+      contents.put(batchId, df.select("id").collect().map(_.getLong(0)).sorted)
+    }
+  }
+
+  private def batch(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id"), (col("id") * 2).as("v"))
+
+  test("batches accepted while the endpoint is down survive a crash and redeliver exactly once") {
+    val dir = Files.createTempDirectory("pq_crash").toString
+    val gate = new GatedExporter
+    val obs = new QueueObs
+    val q1 = PersistentQueueExporter(gate, dir, maxAttemptsPerBatch = 10,
+      retriesPerRun = 1, backoffMs = 1, obs = Some(obs))
+
+    // accept 3 batches against the dead endpoint: no throw (accept is
+    // the durable spool, not the delivery), all three stay pending
+    q1.export(batch(0, 5))
+    q1.export(batch(5, 9))
+    q1.export(batch(9, 10))
+    assert(gate.deliveries.isEmpty)
+    val pend = new java.io.File(s"$dir/pending")
+    assert(pend.listFiles().count(_.isDirectory) == 3)
+
+    // "crash": a brand-new exporter instance over the same queue dir
+    // (no shared in-memory state), endpoint back up
+    gate.up = true
+    val q2 = PersistentQueueExporter(gate, dir, maxAttemptsPerBatch = 10,
+      retriesPerRun = 1, backoffMs = 1, obs = Some(obs))
+    val stats = q2.recover(spark)
+    assert(stats == RecoveryStats(redelivered = 3, stillPending = 0, deadLettered = 0))
+    assert(pend.listFiles().count(_.isDirectory) == 0)
+    // every batch delivered exactly once, contents intact
+    assert(gate.deliveries.size == 3)
+    gate.deliveries.forEach((_, n) => assert(n == 1))
+    assert(gate.contents.values().stream().mapToInt(_.length).sum() == 10)
+
+    // a second recovery pass finds nothing — no double delivery
+    assert(q2.recover(spark) == RecoveryStats(0, 0, 0))
+    assert(gate.deliveries.size == 3)
+  }
+
+  test("healthy delivery dequeues immediately and queue ids never reuse across restarts") {
+    val dir = Files.createTempDirectory("pq_ok").toString
+    val gate = new GatedExporter
+    gate.up = true
+    val q1 = PersistentQueueExporter(gate, dir, backoffMs = 1)
+    q1.export(batch(0, 4))
+    assert(!new java.io.File(s"$dir/pending").exists() ||
+      new java.io.File(s"$dir/pending").listFiles().count(_.isDirectory) == 0)
+    // restart: the persistent seq continues, so the next batch cannot
+    // overwrite the delivered one's downstream output
+    val q2 = PersistentQueueExporter(gate, dir, backoffMs = 1)
+    q2.export(batch(4, 6))
+    assert(gate.deliveries.size == 2)
+    assert(gate.deliveries.keySet().stream().distinct().count() == 2)
+  }
+
+  test("poison batch exhausts its persistent attempt budget across restarts and dead-letters") {
+    val dir = Files.createTempDirectory("pq_poison").toString
+    val gate = new GatedExporter // stays down: every attempt fails
+    val obs = new QueueObs
+    // budget 3 total attempts, one per run: enqueue burns #1, two
+    // recover passes burn #2 and #3 (the counter PERSISTS across
+    // instances), the third recover trips the budget → DLQ
+    val q = PersistentQueueExporter(gate, dir, maxAttemptsPerBatch = 3,
+      retriesPerRun = 0, backoffMs = 1, obs = Some(obs))
+    q.export(batch(0, 7))
+    assert(q.recover(spark) == RecoveryStats(0, 1, 0)) // attempt 2, still queued
+    val q2 = PersistentQueueExporter(gate, dir, maxAttemptsPerBatch = 3,
+      retriesPerRun = 0, backoffMs = 1, obs = Some(obs))
+    assert(q2.recover(spark) == RecoveryStats(0, 1, 0)) // attempt 3, still queued
+    assert(q2.recover(spark) == RecoveryStats(0, 0, 1)) // budget gone → DLQ
+    val dlq = new java.io.File(s"$dir/dlq")
+    assert(dlq.listFiles().count(_.isDirectory) == 1)
+    assert(new java.io.File(s"$dir/pending").listFiles().count(_.isDirectory) == 0)
+    assert(obs.deadLetteredBatches.get == 1 && obs.deadLetteredRows.get == 7)
+    // the dead-lettered payload is intact for replay tooling
+    assert(spark.read.parquet(dlq.listFiles().filter(_.isDirectory).head.toString)
+      .count() == 7)
+  }
+
+  test("a permanent error skips the retry budget and dead-letters at once") {
+    val dir = Files.createTempDirectory("pq_perm").toString
+    val poison = new Exporter {
+      def export(df: DataFrame): Unit =
+        throw new PermanentExportException("schema rejected")
+    }
+    val q = PersistentQueueExporter(poison, dir, maxAttemptsPerBatch = 10,
+      retriesPerRun = 5, backoffMs = 1)
+    q.export(batch(0, 3))
+    assert(new java.io.File(s"$dir/dlq").listFiles().count(_.isDirectory) == 1)
+  }
+
+  test("partial spool (crash mid-enqueue, no _SUCCESS) is discarded, not delivered") {
+    val dir = Files.createTempDirectory("pq_partial").toString
+    val gate = new GatedExporter
+    gate.up = true
+    // fake a torn write: a pending dir with data but no commit marker
+    val torn = new java.io.File(s"$dir/pending/batch_id=99")
+    torn.mkdirs()
+    Files.write(torn.toPath.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    val q = PersistentQueueExporter(gate, dir, backoffMs = 1)
+    assert(q.recover(spark) == RecoveryStats(0, 0, 0))
+    assert(!torn.exists())
+    assert(gate.deliveries.isEmpty)
+  }
+
+  test("crash after delivery but before dequeue replays idempotently (keyed overwrite)") {
+    val dir = Files.createTempDirectory("pq_replay").toString
+    val out = Files.createTempDirectory("pq_replay_out").toString
+    val q = PersistentQueueExporter(ParquetExporter(out), dir, backoffMs = 1)
+    q.exportBatch(batch(0, 6), 7L)
+    // resurrect the spool: as if the crash hit between delegate
+    // success and dequeue — recovery MUST redeliver (it cannot know),
+    // and the batchId-keyed sink absorbs the replay as an overwrite
+    batch(0, 6).write.parquet(s"$dir/pending/batch_id=7")
+    assert(q.recover(spark).redelivered == 1)
+    val sink = spark.read.parquet(s"$out/batch_id=7")
+    assert(sink.count() == 6) // overwritten, not doubled
+  }
+
+  test("queue-full refuses new data (backpressure), pending batches unharmed") {
+    val dir = Files.createTempDirectory("pq_full").toString
+    val gate = new GatedExporter // down
+    val q = PersistentQueueExporter(gate, dir, capacity = 2,
+      retriesPerRun = 0, backoffMs = 1)
+    q.export(batch(0, 2))
+    q.export(batch(2, 4))
+    intercept[IllegalStateException] { q.export(batch(4, 6)) }
+    assert(new java.io.File(s"$dir/pending").listFiles().count(_.isDirectory) == 2)
+  }
+}
