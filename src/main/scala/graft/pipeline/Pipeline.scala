@@ -352,10 +352,11 @@ object Pipeline {
     * Arrow IPC spool files (one record batch per file, executor-side
     * writes) that an otel-arrow consumer — or [[ArrowLogsReceiver]] —
     * ingests directly */
-  final case class ArrowSpoolExporter(dir: String, maxPerFile: Int = 4096)
+  final case class ArrowSpoolExporter(dir: String, maxPerFile: Int = 4096,
+                                      dictCap: Int = 0)
       extends Exporter {
     def export(df: DataFrame): Unit =
-      graft.sources.ArrowIpc.spool(df, dir, maxPerFile)
+      graft.sources.ArrowIpc.spool(df, dir, maxPerFile, dictCap)
     /** replayed batchIds must OVERWRITE their previous output (the
       * Exporter contract) — spool file names are task-unique, so the
       * batch directory is cleared first or a crash-replay would leave
@@ -365,7 +366,7 @@ object Pipeline {
       val p = new org.apache.hadoop.fs.Path(batchDir)
       val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      graft.sources.ArrowIpc.spool(df, batchDir, maxPerFile)
+      graft.sources.ArrowIpc.spool(df, batchDir, maxPerFile, dictCap)
     }
   }
 

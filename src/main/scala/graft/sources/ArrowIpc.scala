@@ -93,10 +93,33 @@ object ArrowIpc {
     * a single batch per stream keeps the writer trivially correct; the
     * READER accepts any number of batches per stream, as otel-arrow
     * producers send them. */
-  def encodeRows(schema: StructType, rows: Seq[Row]): Array[Byte] = {
+  def encodeRows(schema: StructType, rows: Seq[Row]): Array[Byte] =
+    encodeRows(schema, rows, dictCap = 0)
+
+  /** [[encodeRows]] with the otel-arrow encoder's core compression
+    * trick (reference behavior:
+    * exporter/otlpexporter/internal/arrow/stream.go — dictionary-
+    * encoded attribute columns with schema reset on dictionary
+    * overflow): a string column whose stream-local distinct-value
+    * count stays within `dictCap` ships as int32 indices plus ONE
+    * dictionary batch; a column that overflows the cap falls back to
+    * plain utf8 FOR THIS STREAM. Each spool file is its own stream
+    * with its own per-column decision, so "reset on overflow" is a
+    * per-file property — no cross-file dictionary state to corrupt,
+    * and a reader sees the choice in the field metadata, never by
+    * convention. dictCap = 0 disables (plain utf8 everywhere).
+    * map<string,string> children stay plain: re-nesting an encoded
+    * child inside Arrow's Map validation buys little here because the
+    * parquet sink both spool ends use already dictionary-encodes
+    * key/value pages — the wire win is the flat attribute columns.
+    */
+  def encodeRows(schema: StructType, rows: Seq[Row], dictCap: Int): Array[Byte] = {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}
     val alloc = new RootAllocator()
     try {
       val vecs: Seq[FieldVector] = schema.fields.toSeq.map(newVector(_, alloc))
+      val extra = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
       try {
         val n = rows.length
         vecs.foreach(_.setInitialCapacity(n))
@@ -130,13 +153,48 @@ object ArrowIpc {
           }
         }
         vecs.foreach(_.setValueCount(n))
-        val root = new VectorSchemaRoot(vecs.asJava)
+        val provider = new DictionaryProvider.MapDictionaryProvider()
+        val wireVecs: Seq[FieldVector] = vecs.zipWithIndex.map {
+          case (sv: VarCharVector, ci) if dictCap > 0 =>
+            // stream-local distinct scan with an overflow short-circuit
+            val distinct = scala.collection.mutable.SortedSet.empty[String]
+            var i = 0
+            var fits = true
+            while (i < n && fits) {
+              if (!sv.isNull(i)) {
+                distinct += new String(sv.get(i), UTF_8)
+                if (distinct.size > dictCap) fits = false
+              }
+              i += 1
+            }
+            if (!fits || distinct.isEmpty) sv // overflow (or all-null) → plain
+            else {
+              val dv = new VarCharVector(s"${schema.fields(ci).name}__dict", alloc)
+              dv.setInitialCapacity(distinct.size)
+              distinct.toSeq.zipWithIndex.foreach { case (s, j) =>
+                dv.setSafe(j, s.getBytes(UTF_8))
+              }
+              dv.setValueCount(distinct.size)
+              val dict = new Dictionary(dv,
+                new DictionaryEncoding(ci.toLong, false, new ArrowType.Int(32, true)))
+              provider.put(dict)
+              val enc = DictionaryEncoder.encode(sv, dict).asInstanceOf[FieldVector]
+              extra += enc
+              extra += dv
+              enc
+            }
+          case (v, _) => v
+        }
+        val root = new VectorSchemaRoot(wireVecs.asJava)
         root.setRowCount(n)
         val out = new java.io.ByteArrayOutputStream()
-        val w = new ArrowStreamWriter(root, null, out)
+        val w = new ArrowStreamWriter(root, provider, out)
         try { w.start(); w.writeBatch(); w.end() } finally w.close()
         out.toByteArray
-      } finally vecs.foreach(_.close())
+      } finally {
+        extra.foreach(_.close())
+        vecs.foreach(_.close())
+      }
     } finally alloc.close()
   }
 
@@ -173,6 +231,18 @@ object ArrowIpc {
                 s"${schema.fields(c).dataType.simpleString}")
             vals(c) = (schema.fields(c).dataType, vecs(c)) match {
               case (LongType, bv: BigIntVector) => if (bv.isNull(i)) null else bv.get(i)
+              // dict-encoded string column: the field metadata names
+              // its dictionary; resolve index → utf8 from the stream's
+              // dictionary batch (plain and dict files interleave
+              // freely in one spool — the decision is per-stream)
+              case (StringType, iv: IntVector) if iv.getField.getDictionary != null =>
+                if (iv.isNull(i)) null
+                else {
+                  val d = reader.getDictionaryVectors.get(iv.getField.getDictionary.getId)
+                  require(d != null, s"column '${schema.fields(c).name}': " +
+                    "dictionary-encoded field but the stream carries no dictionary batch")
+                  new String(d.getVector.asInstanceOf[VarCharVector].get(iv.get(i)), UTF_8)
+                }
               case (IntegerType, iv: IntVector) => if (iv.isNull(i)) null else iv.get(i)
               case (DoubleType, dv: Float8Vector) => if (dv.isNull(i)) null else dv.get(i)
               case (BooleanType, bitv: BitVector) => if (bitv.isNull(i)) null else bitv.get(i) == 1
@@ -202,7 +272,8 @@ object ArrowIpc {
     * written executor-side through the Hadoop FS API (works on any
     * cluster filesystem — no driver collect). Column set/order on the
     * wire is the DataFrame's own schema. */
-  def spool(df: DataFrame, dir: String, maxPerFile: Int = 4096): Unit = {
+  def spool(df: DataFrame, dir: String, maxPerFile: Int = 4096,
+            dictCap: Int = 0): Unit = {
     val schema = df.schema
     schema.fields.foreach { f =>
       val alloc = new RootAllocator()
@@ -212,7 +283,7 @@ object ArrowIpc {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var chunk = 0
       it.grouped(maxPerFile).foreach { rows =>
-        val bytes = encodeRows(schema, rows)
+        val bytes = encodeRows(schema, rows, dictCap)
         val path = new org.apache.hadoop.fs.Path(dir,
           f"part-$pid%05d-$chunk%04d-${java.util.UUID.randomUUID()}.arrow")
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
