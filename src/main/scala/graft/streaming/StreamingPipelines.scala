@@ -240,6 +240,61 @@ object StreamingPipelines {
       }
   }
 
+  final case class LastCum(value: Double)
+
+  /** Stateful cumulative→delta across micro-batches — the inverse of
+    * [[runningCounter]] and the streaming story of the reference's
+    * cumulativetodelta processor: per series the delta is this
+    * point's cumulative minus the last cumulative seen in ANY prior
+    * batch. The FIRST point of a series passes through (baseline 0 —
+    * the batch operator's convention, MetricsOps.cumulativeToDelta),
+    * and a RESET (cumulative below the last seen value: the emitting
+    * process restarted its counter) re-baselines, so the point's own
+    * value IS its delta — monotonic-sum reset detection. `ttlMs`
+    * bounds state the streamingDedup way: an idle series' baseline
+    * times out and its next point re-enters as first-point-passes-
+    * through (exactly what the reference does when its tracker
+    * evicts a stale series).
+    *
+    * Input (series, order, cum); rows sort by `order` within a batch,
+    * cross-batch ordering comes from the source (spool/file sources
+    * deliver in file order). Emits (series, order, cum, delta).
+    */
+  def cumulativeToDeltaStream(spark: SparkSession,
+                              points: Dataset[(String, Long, Double)],
+                              ttlMs: Option[Long] = None)(
+      implicit e: org.apache.spark.sql.Encoder[(String, Long, Double, Double)])
+      : Dataset[(String, Long, Double, Double)] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState[LastCum, (String, Long, Double, Double)](
+        OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[LastCum]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var last = state.getOption.map(_.value)
+              val out = sorted.map { case (_, o, c) =>
+                val delta = last match {
+                  case Some(prev) if c >= prev => c - prev
+                  case _ => c // first point of the series, or a reset
+                }
+                last = Some(c)
+                (key, o, c, delta)
+              }
+              state.update(LastCum(last.get))
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              out.iterator
+            }
+          }
+      }
+  }
+
   /** per-key cumulative counter across micro-batches (stateful
     * delta→cumulative): emits (key, batch_delta, cumulative). */
   def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(

@@ -178,6 +178,69 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful cumulative→delta handles a mid-stream counter reset across batch boundaries") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val out = StreamingPipelines.cumulativeToDeltaStream(spark, ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("c2d_out").start()
+    try {
+      // batch 1: first point passes through (batch-operator
+      // convention), then in-batch deltas; an independent series too
+      ms.addData(Seq(("a", 1L, 10.0), ("a", 2L, 15.0), ("b", 1L, 100.0)))
+      q.processAllAvailable()
+      // batch 2: the baseline survives the batch boundary (18-15=3),
+      // then the counter RESETS (4 < 18): its own value is the delta,
+      // and the rebased baseline carries forward (9-4=5)
+      ms.addData(Seq(("a", 3L, 18.0), ("a", 4L, 4.0), ("a", 5L, 9.0)))
+      q.processAllAvailable()
+      // batch 3: series b also survives across batches (101-100=1)
+      ms.addData(Seq(("b", 2L, 101.0)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT _1, _2, _4 FROM c2d_out ORDER BY _1, _2")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq(
+        ("a", 1L, 10.0), ("a", 2L, 5.0), ("a", 3L, 3.0),
+        ("a", 4L, 4.0), ("a", 5L, 5.0),
+        ("b", 1L, 100.0), ("b", 2L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("cumulative→delta TTL evicts an idle series' baseline (re-enters as first point)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    // a ProcessingTimeTimeout query schedules continuous batches to
+    // fire timeouts, so processAllAvailable never quiesces (the trade
+    // the streamingDedup scaladoc documents) — drive this test by
+    // POLLING the sink with a deadline instead
+    val out = StreamingPipelines.cumulativeToDeltaStream(spark, ms.toDS(),
+      ttlMs = Some(200L))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("c2d_ttl_out").start()
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("c2d_ttl_out").count() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("c2d_ttl_out").count() >= n, s"sink never reached $n rows")
+    }
+    try {
+      ms.addData(Seq(("a", 1L, 50.0)))
+      awaitRows(1)
+      // idle past the TTL: the continuous empty batches fire the
+      // timeout and evict series a's baseline
+      Thread.sleep(800)
+      ms.addData(Seq(("a", 2L, 60.0)))
+      awaitRows(2)
+      val got = spark.sql("SELECT _2, _4 FROM c2d_ttl_out ORDER BY _2")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // after eviction the 60.0 point re-enters as first-point-passes-
+      // through (60.0), NOT as a delta vs the dead baseline (10.0)
+      assert(got == Seq((1L, 50.0), (2L, 60.0)), got)
+    } finally q.stop()
+  }
+
   test("streaming servicegraph pairs client/server halves across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
