@@ -463,4 +463,48 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Go-style duration string → nanoseconds (OTTL's Duration
+    * converter semantics: time.ParseDuration — optional sign, one or
+    * more decimal[.fraction]unit tokens, units ns/us/µs/μs/ms/s/m/h,
+    * "0" allowed bare). Returns null (boxed) on malformed input so
+    * one bad record degrades to NULL instead of killing the query —
+    * the transform processor's error_mode=ignore. Accumulates in
+    * double: exact to the ns for magnitudes < ~104 days, plenty for
+    * telemetry durations. */
+  def goDurationNs(s: UTF8String): java.lang.Long = {
+    if (s == null) return null
+    val str = s.toString.trim
+    if (str.isEmpty) return null
+    var i = 0
+    var sign = 1L
+    if (str.charAt(0) == '-') { sign = -1L; i = 1 }
+    else if (str.charAt(0) == '+') i = 1
+    if (str.substring(i) == "0") return java.lang.Long.valueOf(0L)
+    var total = 0.0
+    var any = false
+    val n = str.length
+    while (i < n) {
+      val numStart = i
+      while (i < n && (str.charAt(i).isDigit || str.charAt(i) == '.')) i += 1
+      if (i == numStart) return null // token must start with a number
+      val num =
+        try str.substring(numStart, i).toDouble
+        catch { case _: NumberFormatException => return null }
+      val unitStart = i
+      while (i < n && !str.charAt(i).isDigit && str.charAt(i) != '.') i += 1
+      val unitNs: Double = str.substring(unitStart, i) match {
+        case "ns" => 1.0
+        case "us" | "µs" | "μs" => 1e3
+        case "ms" => 1e6
+        case "s"  => 1e9
+        case "m"  => 6e10
+        case "h"  => 3.6e12
+        case _    => return null // unknown or missing unit
+      }
+      total += num * unitNs
+      any = true
+    }
+    if (!any) null else java.lang.Long.valueOf(sign * Math.round(total))
+  }
 }

@@ -143,6 +143,98 @@ object Ottl {
       array(headers.map(h => parsed.getField(h)): _*))
   }
 
+  // ---- time & duration converters (OTTL Duration/Time/Unix*) ------
+
+  /** Duration("1h30m") → nanoseconds (time.ParseDuration semantics:
+    * sign, decimal fractions, ns/us/µs/ms/s/m/h units, multiple
+    * tokens). Codegen'd native kernel; malformed input → NULL (the
+    * transform processor's error_mode=ignore), never a killed query. */
+  def duration(c: Column): Column = graft.functions.TimeExprs.go_duration_ns(c)
+
+  /** Duration accessors (OTTL Hours/Minutes/Seconds/Milliseconds/
+    * Microseconds/Nanoseconds over a duration): ns → double in the
+    * requested unit. */
+  def hours(ns: Column): Column = ns.cast("double") / lit(3.6e12)
+  def minutes(ns: Column): Column = ns.cast("double") / lit(6e10)
+  def seconds(ns: Column): Column = ns.cast("double") / lit(1e9)
+  def milliseconds(ns: Column): Column = ns.cast("double") / lit(1e6)
+  def microseconds(ns: Column): Column = ns.cast("double") / lit(1e3)
+  def nanoseconds(ns: Column): Column = ns.cast("long")
+
+  /** Time(str, ctimeFormat) → timestamp: the OTTL Time converter's
+    * strptime-style format, translated to Spark's pattern AT PLAN
+    * TIME (the per-row work is one codegen'd to_timestamp). Supported
+    * directives are the common telemetry subset; an unknown directive
+    * fails at plan time, not per row. */
+  def time(c: Column, ctimeFormat: String): Column =
+    to_timestamp(c, ctimeToJavaPattern(ctimeFormat))
+
+  /** [[time]] straight to integral unix nanos (the pipeline's native
+    * time representation; sub-microsecond digits are not representable
+    * by the timestamp type and read as 0). */
+  def timeUnixNano(c: Column, ctimeFormat: String): Column =
+    unix_micros(time(c, ctimeFormat)) * lit(1000L)
+
+  /** ctime → java.time pattern, validated at plan time. */
+  private[graft] def ctimeToJavaPattern(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def quote(ch: Char): Unit =
+      if (ch.isLetter) sb.append('\'').append(ch).append('\'')
+      else sb.append(ch)
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'I' => sb.append("hh")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS") // microseconds
+          case 'L' => sb.append("SSS")    // milliseconds
+          case 'p' => sb.append("a")
+          case 'b' => sb.append("MMM")
+          case 'B' => sb.append("MMMM")
+          case 'a' => sb.append("EEE")
+          case 'A' => sb.append("EEEE")
+          case 'j' => sb.append("DDD")
+          case 'z' => sb.append("xx") // ±hhmm, the strptime %z shape
+          case 'Z' => sb.append("zzz")
+          case 'T' => sb.append("HH:mm:ss")
+          case 'F' => sb.append("yyyy-MM-dd")
+          case '%' => sb.append('%')
+          case other => throw new IllegalArgumentException(
+            s"unsupported ctime directive %$other in '$fmt'")
+        }
+        i += 2
+      } else { quote(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** UnixNano/UnixMicro/UnixMilli/UnixSeconds(time) — timestamp →
+    * integral epoch in the requested unit (truncating division, the
+    * Go time.Time accessors' behavior). */
+  def unixNano(ts: Column): Column = unix_micros(ts) * lit(1000L)
+  def unixMicro(ts: Column): Column = unix_micros(ts)
+  def unixMilli(ts: Column): Column = unix_millis(ts)
+  def unixSeconds(ts: Column): Column = unix_seconds(ts)
+  /** inverse: integral unix nanos → timestamp (µs precision — the
+    * timestamp type's resolution) */
+  def timeFromUnixNano(ns: Column): Column =
+    timestamp_micros((ns.cast("long") / lit(1000L)).cast("long"))
+
+  /** TruncateTime over integral unix ns: floor to a duration bucket.
+    * pmod keeps the arithmetic in exactly-representable territory
+    * (same rationale as [[hourOfDay]]) and handles pre-epoch
+    * timestamps correctly (floor, not trunc-toward-zero). */
+  def truncateTime(ns: Column, durationNs: Long): Column =
+    ns.cast("long") - pmod(ns.cast("long"), lit(durationNs))
+
   /** IsString-ish guards collapse to type checks at plan time in a
     * typed column model — schema does statically what OTTL checks
     * dynamically, so there is nothing to evaluate per row. */

@@ -130,4 +130,63 @@ class OttlSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("secs") - 1.700000000123456789e9) < 1)
     assert(r.getAs[String]("d") == "dflt")
   }
+
+  test("Duration converter: time.ParseDuration vectors, codegen'd, NULL on malformed") {
+    val vectors = Seq(
+      "0" -> 0L, "1h" -> 3600000000000L, "1h30m" -> 5400000000000L,
+      "-1.5h" -> -5400000000000L, "250ms" -> 250000000L,
+      "2h45m10s500ms" -> 9910500000000L, "100ns" -> 100L,
+      "1.5us" -> 1500L, "3µs" -> 3000L, "+2m" -> 120000000000L)
+    val df2 = vectors.map(_._1).toDF("d")
+    val got = df2.select(col("d"), Ottl.duration(col("d")).as("ns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vectors.foreach { case (s, want) => assert(got(s) == want, s) }
+    // malformed inputs degrade to NULL (error_mode=ignore), never throw
+    val bad = Seq("abc", "1x", "h", "1.2.3s", "5 m", "").toDF("d")
+      .select(Ottl.duration(col("d")).as("ns")).collect()
+    assert(bad.forall(_.isNullAt(0)), bad.mkString(","))
+    // the kernel call stays inside whole-stage codegen (a non-local
+    // source — a local Seq folds to LocalTableScan at optimize time)
+    val plan = spark.range(8)
+      .select(Ottl.duration(concat(col("id").cast("string"), lit("s"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), plan)
+  }
+
+  test("Time converter: ctime format parse to timestamp and unix nanos") {
+    val r = Seq(("2024-03-05 17:30:45", "05/Mar/2024:17:30:45 +0000"))
+      .toDF("iso", "clf")
+      .select(
+        Ottl.timeUnixNano(col("iso"), "%Y-%m-%d %H:%M:%S").as("ns"),
+        Ottl.time(col("clf"), "%d/%b/%Y:%T %z").as("ts"))
+      .head()
+    assert(r.getLong(0) == 1709659845000000000L)
+    assert(r.getTimestamp(1).toInstant.getEpochSecond == 1709659845L)
+    // unknown directive fails at PLAN time with the directive named
+    val e = intercept[IllegalArgumentException] {
+      Ottl.ctimeToJavaPattern("%Y-%Q")
+    }
+    assert(e.getMessage.contains("%Q"))
+  }
+
+  test("UnixNano family, duration accessors, and TruncateTime") {
+    val r = df.select(
+      Ottl.unixNano(Ottl.timeFromUnixNano(col("ts_ns"))).as("ns"),
+      Ottl.unixMilli(Ottl.timeFromUnixNano(col("ts_ns"))).as("ms"),
+      Ottl.unixSeconds(Ottl.timeFromUnixNano(col("ts_ns"))).as("s"),
+      Ottl.hours(lit(5400000000000L)).as("h"),
+      Ottl.minutes(lit(5400000000000L)).as("m"),
+      Ottl.seconds(lit(1500000000L)).as("sec"),
+      Ottl.truncateTime(col("ts_ns"), 3600000000000L).as("trunc")).head()
+    // ns→timestamp→ns round-trips at µs resolution (the type's limit)
+    assert(r.getAs[Long]("ns") == 1700000000123456000L)
+    assert(r.getAs[Long]("ms") == 1700000000123L)
+    assert(r.getAs[Long]("s") == 1700000000L)
+    assert(r.getAs[Double]("h") == 1.5)
+    assert(r.getAs[Double]("m") == 90.0)
+    assert(r.getAs[Double]("sec") == 1.5)
+    assert(r.getAs[Long]("trunc") % 3600000000000L == 0L)
+    assert(r.getAs[Long]("trunc") <= 1700000000123456789L &&
+      1700000000123456789L - r.getAs[Long]("trunc") < 3600000000000L)
+  }
 }
