@@ -125,6 +125,29 @@ object CoreQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q17 shape: correlated scalar subquery per group — each
+    // line compares against 0.2 × the average quantity OF ITS PART.
+    // Decorrelated the scale way: aggregate once per partkey over the
+    // part-restricted fact, then join BACK on the grouping key — no
+    // window (a per-partkey window resorts the whole fact for one
+    // scalar), no hint (part is SF-scaled). Both branches shuffle on
+    // l_partkey, so the exchange is computed once and reused.
+    "q17_small_quantity" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#11" && col("p_size") < 20)
+        .select(col("p_partkey"))
+      val rel = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgq = rel.groupBy(col("l_partkey"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      rel.join(avgq, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q3 shape: NO broadcast hint anywhere — customer is
     // SF-scaled, and filtering to one mktsegment keeps ~20% of it, so
     // it grows linearly with SF just like orders/lineitem (fine at
@@ -291,6 +314,16 @@ object CoreQueries {
         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0 AS avg_yearly,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#11' AND p_size < 20
+        | AND l_quantity < 0.2 * (
+        |  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -211,6 +211,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q17 decorrelates with agg + join-back: no window, shared partkey exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q17_small_quantity")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan
+    // the correlated subquery must NOT become a per-partkey window
+    // over the fact (that resorts every partition group for one
+    // scalar) — it is an aggregate joined back on the grouping key
+    assert(plan.toString.linesIterator.forall(!_.contains("Window ")), plan)
+    // both branches shuffle on l_partkey → the exchange is computed
+    // once and reused, not scanned twice
+    assert(plan.toString.contains("ReusedExchange") ||
+      plan.toString.contains("ReusedQueryStage") ||
+      plan.toString.contains("TableCacheQueryStage"), plan)
+    val empty = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(empty.isEmpty)
+  }
+
   test("q19's OR-of-ANDs predicate splits across BOTH scan sides") {
     // the Q19 point: (brandᵢ ∧ sizeᵢ ∧ qtyᵢ) disjunctions must not be
     // evaluated post-join — the per-side disjunctions (qty ranges →
