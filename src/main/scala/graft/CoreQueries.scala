@@ -125,6 +125,94 @@ object CoreQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q13 shape: outer-join fan-out distribution — how many
+    // customers placed k orders, INCLUDING k=0 (the left outer join
+    // is the point; an inner join silently drops the zero bucket).
+    // count(o_orderkey) skips the nulls the outer join manufactures.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey"))
+      val o = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q20 shape: nested semi-join chain — suppliers who shipped
+    // enough of a name-filtered part set in a date window. part-set
+    // membership prunes lineitem (semi 1), the HAVING threshold
+    // prunes suppliers, and supplier membership is a second semi —
+    // no row of supplier ever duplicates through the fact join.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val pk = Tables(s, dir, "part")
+        .filter(col("p_name").startsWith("cold"))
+        .select(col("p_partkey"))
+      val shipped = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 100.0)
+        .select(col("l_suppkey"))
+      Tables(s, dir, "supplier")
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    }),
+
+    // TPC-H Q21 shape: multi-correlated EXISTS / NOT EXISTS over the
+    // same fact — suppliers whose late line was the ONLY late one in
+    // a multi-supplier order. Both correlations decorrelate to
+    // per-order aggregates joined back on the order key (count of
+    // distinct suppliers; count of distinct LATE suppliers), so the
+    // fact shuffles on l_orderkey once per aggregate and never
+    // explodes into a per-row subquery.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val lRaw = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = lRaw.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val nSupp = lRaw.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .withColumnRenamed("l_orderkey", "ns_orderkey")
+      val nLate = late.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_late"))
+        .withColumnRenamed("l_orderkey", "nl_orderkey")
+      late
+        .join(nSupp, col("l_orderkey") === col("ns_orderkey"))
+        .join(nLate, col("l_orderkey") === col("nl_orderkey"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q22 shape: scalar subquery + anti join — above-average-
+    // balance customers with no RECENT orders (the synthetic data
+    // gives every customer some order, so the dormancy window keeps
+    // the anti join non-vacuous). The global average is a one-row
+    // aggregate cross-joined in (stats broadcast it without a hint);
+    // the NOT EXISTS is a left anti join on the filtered order fact.
+    "q22_no_order_customers" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(avgBal)
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
     // TPC-H Q17 shape: correlated scalar subquery per group — each
     // line compares against 0.2 × the average quantity OF ITS PART.
     // Decorrelated the scale way: aggregate once per partkey over the
@@ -314,6 +402,47 @@ object CoreQueries {
         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        | SELECT l_suppkey FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY l_suppkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) > 100.0)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        | AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 10""".stripMargin,
+
+    "q22_no_order_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+        |  FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q17_small_quantity" ->
       """SELECT
