@@ -200,7 +200,8 @@ object ConfigLoader {
         m.get("maxAttempts").map(_.asInstanceOf[Number].intValue()).getOrElse(6))
     case "arrow_spool" => ArrowSpoolExporter(str(m, "path"),
       maxPerFile = m.get("maxPerFile").map(_.asInstanceOf[Number].intValue()).getOrElse(4096),
-      dictCap = m.get("dictCap").map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+      dictCap = m.get("dictCap").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+      codec = m.get("codec").map(_.toString).getOrElse("none"))
     case "logging" => LoggingExporter()
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }

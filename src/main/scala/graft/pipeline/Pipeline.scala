@@ -182,6 +182,45 @@ object Pipeline {
     }
   }
 
+  /** exporterhelper timeout sender (reference: exporter/exporterhelper
+    * — the timeout half of queue+retry+timeout): bound the wall clock
+    * of ONE delivery attempt. The export action runs on a daemon
+    * thread under a dedicated job group; on budget exhaustion the job
+    * group is cancelled (running Spark stages abort — a hung scan
+    * cannot wedge the pipeline) and a retryable error surfaces to the
+    * wrapping retry/queue layer, which composes exactly like the
+    * reference's sender chain:
+    * PersistentQueueExporter(TimeoutExporter(sink)). */
+  final case class TimeoutExporter(delegate: Exporter, timeoutMs: Long)
+      extends Exporter {
+    def export(df: DataFrame): Unit =
+      run(df.sparkSession, () => delegate.export(df))
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      run(df.sparkSession, () => delegate.exportBatch(df, batchId))
+    private def run(spark: SparkSession, f: () => Unit): Unit = {
+      val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, "timeout-bounded export",
+            interruptOnCancel = true)
+          f()
+        } catch { case e: Throwable => err.set(e) }
+        finally spark.sparkContext.clearJobGroup()
+      })
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutMs)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        throw new RuntimeException(
+          s"export exceeded its ${timeoutMs} ms budget — job group cancelled, " +
+            "error is retryable by the wrapping queue")
+      }
+      if (err.get != null) throw err.get
+    }
+  }
+
   /** What a [[PersistentQueueExporter.recover]] pass did: batches
     * redelivered, batches that failed again and stay queued, batches
     * whose attempt budget exhausted and moved to the DLQ. */
@@ -353,10 +392,10 @@ object Pipeline {
     * writes) that an otel-arrow consumer — or [[ArrowLogsReceiver]] —
     * ingests directly */
   final case class ArrowSpoolExporter(dir: String, maxPerFile: Int = 4096,
-                                      dictCap: Int = 0)
+                                      dictCap: Int = 0, codec: String = "none")
       extends Exporter {
     def export(df: DataFrame): Unit =
-      graft.sources.ArrowIpc.spool(df, dir, maxPerFile, dictCap)
+      graft.sources.ArrowIpc.spool(df, dir, maxPerFile, dictCap, codec)
     /** replayed batchIds must OVERWRITE their previous output (the
       * Exporter contract) — spool file names are task-unique, so the
       * batch directory is cleared first or a crash-replay would leave
@@ -366,7 +405,7 @@ object Pipeline {
       val p = new org.apache.hadoop.fs.Path(batchDir)
       val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      graft.sources.ArrowIpc.spool(df, batchDir, maxPerFile, dictCap)
+      graft.sources.ArrowIpc.spool(df, batchDir, maxPerFile, dictCap, codec)
     }
   }
 

@@ -96,106 +96,173 @@ object ArrowIpc {
   def encodeRows(schema: StructType, rows: Seq[Row]): Array[Byte] =
     encodeRows(schema, rows, dictCap = 0)
 
-  /** [[encodeRows]] with the otel-arrow encoder's core compression
-    * trick (reference behavior:
-    * exporter/otlpexporter/internal/arrow/stream.go — dictionary-
-    * encoded attribute columns with schema reset on dictionary
-    * overflow): a string column whose stream-local distinct-value
-    * count stays within `dictCap` ships as int32 indices plus ONE
-    * dictionary batch; a column that overflows the cap falls back to
-    * plain utf8 FOR THIS STREAM. Each spool file is its own stream
-    * with its own per-column decision, so "reset on overflow" is a
-    * per-file property — no cross-file dictionary state to corrupt,
-    * and a reader sees the choice in the field metadata, never by
-    * convention. dictCap = 0 disables (plain utf8 everywhere).
-    * map<string,string> children stay plain: re-nesting an encoded
-    * child inside Arrow's Map validation buys little here because the
-    * parquet sink both spool ends use already dictionary-encodes
-    * key/value pages — the wire win is the flat attribute columns.
+  def encodeRows(schema: StructType, rows: Seq[Row], dictCap: Int): Array[Byte] =
+    encodeRows(schema, rows, dictCap, batchRows = 0, codec = "none")
+
+  /** [[encodeRows]] with the otel-arrow stream's compression tricks
+    * (reference behavior, not code:
+    * exporter/otlpexporter/internal/arrow/stream.go):
+    *
+    *  - `dictCap` — dictionary-encoded attribute columns with
+    *    overflow fallback: a string column whose STREAM-WIDE distinct
+    *    count stays within the cap ships as int32 indices plus one
+    *    dictionary batch shared by every record batch in the stream
+    *    (the long-lived-stream dictionary shape); a column that
+    *    overflows falls back to plain utf8 for this stream. Each
+    *    spool file is its own stream with its own per-column
+    *    decision, so "schema reset on overflow" is a per-file
+    *    property a reader sees in field metadata, never by
+    *    convention. 0 disables. map<string,string> children stay
+    *    plain: the parquet sink both spool ends use already
+    *    dictionary-encodes key/value pages — the wire win is the
+    *    flat attribute columns.
+    *  - `batchRows` — multiple record batches per stream (what a
+    *    long-lived gRPC stream sends): one schema header, one
+    *    dictionary, N batches. 0 = single batch.
+    *  - `codec` — IPC buffer compression ("zstd" | "lz4" | "none"),
+    *    the transport-compression knob of the Arrow exporter; decode
+    *    auto-detects from the buffer headers.
     */
-  def encodeRows(schema: StructType, rows: Seq[Row], dictCap: Int): Array[Byte] = {
-    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
-    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}
+  def encodeRows(schema: StructType, rows: Seq[Row], dictCap: Int,
+                 batchRows: Int, codec: String): Array[Byte] = {
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType}
+    val idx = rows.toIndexedSeq
+    val n = idx.length
     val alloc = new RootAllocator()
     try {
-      val vecs: Seq[FieldVector] = schema.fields.toSeq.map(newVector(_, alloc))
-      val extra = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
-      try {
-        val n = rows.length
-        vecs.foreach(_.setInitialCapacity(n))
-        val mapWriters: Map[Int, org.apache.arrow.vector.complex.impl.UnionMapWriter] =
-          vecs.zipWithIndex.collect {
-            case (mv: MapVector, i) => i -> mv.getWriter
-          }.toMap
-        rows.zipWithIndex.foreach { case (r, rowIdx) =>
-          vecs.zipWithIndex.foreach { case (v, ci) =>
-            val x = r.get(ci)
-            v match {
-              case bv: BigIntVector =>
-                if (x == null) bv.setNull(rowIdx) else bv.setSafe(rowIdx, x.asInstanceOf[Long])
-              case iv: IntVector =>
-                if (x == null) iv.setNull(rowIdx) else iv.setSafe(rowIdx, x.asInstanceOf[Int])
-              case dv: Float8Vector =>
-                if (x == null) dv.setNull(rowIdx) else dv.setSafe(rowIdx, x.asInstanceOf[Double])
-              case bitv: BitVector =>
-                if (x == null) bitv.setNull(rowIdx)
-                else bitv.setSafe(rowIdx, if (x.asInstanceOf[Boolean]) 1 else 0)
-              case sv: VarCharVector =>
-                if (x == null) sv.setNull(rowIdx)
-                else sv.setSafe(rowIdx, x.asInstanceOf[String].getBytes(UTF_8))
-              case _: MapVector =>
-                val w = mapWriters(ci)
-                w.setPosition(rowIdx)
-                if (x == null) w.writeNull()
-                else writeMap(w, r.getMap[String, String](ci).toMap, alloc)
-              case other => throw new IllegalStateException(other.getClass.getName)
-            }
-          }
-        }
-        vecs.foreach(_.setValueCount(n))
-        val provider = new DictionaryProvider.MapDictionaryProvider()
-        val wireVecs: Seq[FieldVector] = vecs.zipWithIndex.map {
-          case (sv: VarCharVector, ci) if dictCap > 0 =>
-            // stream-local distinct scan with an overflow short-circuit
+      // dictionary plan: distinct scan per string column with an
+      // overflow short-circuit, BEFORE any vector is built
+      val dictIndex: Map[Int, (IndexedSeq[String], java.util.HashMap[String, Integer])] =
+        if (dictCap <= 0) Map.empty
+        else schema.fields.toSeq.zipWithIndex.flatMap {
+          case (f, ci) if f.dataType == StringType =>
             val distinct = scala.collection.mutable.SortedSet.empty[String]
-            var i = 0
             var fits = true
-            while (i < n && fits) {
-              if (!sv.isNull(i)) {
-                distinct += new String(sv.get(i), UTF_8)
+            val it = idx.iterator
+            while (it.hasNext && fits) {
+              val x = it.next().get(ci)
+              if (x != null) {
+                distinct += x.asInstanceOf[String]
                 if (distinct.size > dictCap) fits = false
               }
-              i += 1
             }
-            if (!fits || distinct.isEmpty) sv // overflow (or all-null) → plain
+            if (!fits || distinct.isEmpty) None
             else {
-              val dv = new VarCharVector(s"${schema.fields(ci).name}__dict", alloc)
-              dv.setInitialCapacity(distinct.size)
-              distinct.toSeq.zipWithIndex.foreach { case (s, j) =>
-                dv.setSafe(j, s.getBytes(UTF_8))
-              }
-              dv.setValueCount(distinct.size)
-              val dict = new Dictionary(dv,
-                new DictionaryEncoding(ci.toLong, false, new ArrowType.Int(32, true)))
-              provider.put(dict)
-              val enc = DictionaryEncoder.encode(sv, dict).asInstanceOf[FieldVector]
-              extra += enc
-              extra += dv
-              enc
+              val values = distinct.toIndexedSeq
+              val m = new java.util.HashMap[String, Integer]()
+              values.zipWithIndex.foreach { case (s, j) => m.put(s, j) }
+              Some(ci -> (values, m))
             }
-          case (v, _) => v
+          case _ => None
+        }.toMap
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val dictVecs = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
+      val vecs: Seq[FieldVector] = schema.fields.toSeq.zipWithIndex.map { case (f, ci) =>
+        dictIndex.get(ci) match {
+          case Some((values, _)) =>
+            val dv = new VarCharVector(s"${f.name}__dict", alloc)
+            dv.setInitialCapacity(values.length)
+            values.zipWithIndex.foreach { case (s, j) => dv.setSafe(j, s.getBytes(UTF_8)) }
+            dv.setValueCount(values.length)
+            val enc = new DictionaryEncoding(ci.toLong, false, new ArrowType.Int(32, true))
+            provider.put(new Dictionary(dv, enc))
+            dictVecs += dv
+            new Field(f.name, new FieldType(true, new ArrowType.Int(32, true), enc), null)
+              .createVector(alloc)
+          case None => newVector(f, alloc)
         }
-        val root = new VectorSchemaRoot(wireVecs.asJava)
-        root.setRowCount(n)
-        val out = new java.io.ByteArrayOutputStream()
-        val w = new ArrowStreamWriter(root, provider, out)
-        try { w.start(); w.writeBatch(); w.end() } finally w.close()
-        out.toByteArray
-      } finally {
-        extra.foreach(_.close())
-        vecs.foreach(_.close())
       }
+      try {
+        val root = new VectorSchemaRoot(vecs.asJava)
+        val out = new java.io.ByteArrayOutputStream()
+        val ch = java.nio.channels.Channels.newChannel(out)
+        val w = codec match {
+          case "none" | null => new ArrowStreamWriter(root, provider, ch)
+          case c =>
+            val codecType = c match {
+              case "zstd" => CompressionUtil.CodecType.ZSTD
+              case "lz4"  => CompressionUtil.CodecType.LZ4_FRAME
+              case other => throw new IllegalArgumentException(
+                s"unknown arrow codec '$other' (zstd | lz4 | none)")
+            }
+            new ArrowStreamWriter(root, provider, ch, IpcOption.DEFAULT,
+              CommonsCompressionFactory.INSTANCE, codecType)
+        }
+        try {
+          w.start()
+          if (n == 0) { root.setRowCount(0); w.writeBatch() }
+          else {
+            val step = if (batchRows > 0) batchRows else n
+            var off = 0
+            while (off < n) {
+              val hi = math.min(off + step, n)
+              fillBatch(vecs, idx, off, hi, dictIndex, alloc)
+              root.setRowCount(hi - off)
+              w.writeBatch()
+              off = hi
+            }
+          }
+          w.end()
+        } finally w.close()
+        out.toByteArray
+      } finally { vecs.foreach(_.close()); dictVecs.foreach(_.close()) }
     } finally alloc.close()
+  }
+
+  /** populate the reusable batch vectors with rows [lo, hi) */
+  private def fillBatch(vecs: Seq[FieldVector], rows: IndexedSeq[Row],
+                        lo: Int, hi: Int,
+                        dictIndex: Map[Int, (IndexedSeq[String], java.util.HashMap[String, Integer])],
+                        alloc: RootAllocator): Unit = {
+    val m = hi - lo
+    vecs.foreach { v => v.reset(); v.setInitialCapacity(m) }
+    val mapWriters: Map[Int, org.apache.arrow.vector.complex.impl.UnionMapWriter] =
+      vecs.zipWithIndex.collect {
+        case (mv: MapVector, i) => i -> mv.getWriter
+      }.toMap
+    var r = lo
+    while (r < hi) {
+      val row = rows(r)
+      val rowIdx = r - lo
+      var ci = 0
+      while (ci < vecs.length) {
+        val v = vecs(ci)
+        val x = row.get(ci)
+        dictIndex.get(ci) match {
+          case Some((_, lookup)) =>
+            val iv = v.asInstanceOf[IntVector]
+            if (x == null) iv.setNull(rowIdx)
+            else iv.setSafe(rowIdx, lookup.get(x.asInstanceOf[String]).intValue())
+          case None => v match {
+            case bv: BigIntVector =>
+              if (x == null) bv.setNull(rowIdx) else bv.setSafe(rowIdx, x.asInstanceOf[Long])
+            case iv: IntVector =>
+              if (x == null) iv.setNull(rowIdx) else iv.setSafe(rowIdx, x.asInstanceOf[Int])
+            case dv: Float8Vector =>
+              if (x == null) dv.setNull(rowIdx) else dv.setSafe(rowIdx, x.asInstanceOf[Double])
+            case bitv: BitVector =>
+              if (x == null) bitv.setNull(rowIdx)
+              else bitv.setSafe(rowIdx, if (x.asInstanceOf[Boolean]) 1 else 0)
+            case sv: VarCharVector =>
+              if (x == null) sv.setNull(rowIdx)
+              else sv.setSafe(rowIdx, x.asInstanceOf[String].getBytes(UTF_8))
+            case _: MapVector =>
+              val w = mapWriters(ci)
+              w.setPosition(rowIdx)
+              if (x == null) w.writeNull()
+              else writeMap(w, row.getMap[String, String](ci).toMap, alloc)
+            case other => throw new IllegalStateException(other.getClass.getName)
+          }
+        }
+        ci += 1
+      }
+      r += 1
+    }
+    vecs.foreach(_.setValueCount(m))
   }
 
   // ---- generic decode ----------------------------------------------
@@ -205,7 +272,10 @@ object ArrowIpc {
   def decodeRows(schema: StructType, bytes: Array[Byte]): Seq[Row] = {
     val alloc = new RootAllocator()
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    // the compression factory recognizes uncompressed, zstd, and lz4
+    // buffers from their headers — one reader for every spool flavor
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
     try {
       val root = reader.getVectorSchemaRoot
       while (reader.loadNextBatch()) {
@@ -273,7 +343,7 @@ object ArrowIpc {
     * cluster filesystem — no driver collect). Column set/order on the
     * wire is the DataFrame's own schema. */
   def spool(df: DataFrame, dir: String, maxPerFile: Int = 4096,
-            dictCap: Int = 0): Unit = {
+            dictCap: Int = 0, codec: String = "none"): Unit = {
     val schema = df.schema
     schema.fields.foreach { f =>
       val alloc = new RootAllocator()
@@ -283,7 +353,7 @@ object ArrowIpc {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var chunk = 0
       it.grouped(maxPerFile).foreach { rows =>
-        val bytes = encodeRows(schema, rows, dictCap)
+        val bytes = encodeRows(schema, rows, dictCap, batchRows = 0, codec = codec)
         val path = new org.apache.hadoop.fs.Path(dir,
           f"part-$pid%05d-$chunk%04d-${java.util.UUID.randomUUID()}.arrow")
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())

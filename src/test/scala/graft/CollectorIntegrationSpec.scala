@@ -1321,6 +1321,76 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(back.toSeq == want)
   }
 
+  test("Arrow multi-batch stream shares one dictionary; zstd/lz4 compression round-trips") {
+    import graft.sources.ArrowIpc
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("service", StringType), StructField("n", LongType),
+      StructField("attributes", MapType(StringType, StringType))))
+    val rows = (0 until 1000).map { i =>
+      Row(s"padded-service-name-${"y" * 24}-${i % 4}", i.toLong,
+        Map("k" -> s"v${i % 3}"))
+    }
+    // one stream, several record batches, ONE dictionary spanning all
+    // (the long-lived gRPC stream shape: schema + dictionary once,
+    // then batch after batch)
+    val multi = ArrowIpc.encodeRows(schema, rows, dictCap = 64,
+      batchRows = 128, codec = "none")
+    assert(ArrowIpc.decodeRows(schema, multi) == rows)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(multi), alloc)
+    try {
+      var batches = 0
+      while (rdr.loadNextBatch()) batches += 1
+      assert(batches == 8, s"expected 8 record batches, got $batches")
+      assert(rdr.getDictionaryVectors.size() == 1, "one shared dictionary")
+    } finally { rdr.close(); alloc.close() }
+
+    // transport compression: zstd and lz4 round-trip transparently
+    // (decode detects the codec from buffer headers) and zstd beats
+    // plain on this repetitive payload
+    val plain = ArrowIpc.encodeRows(schema, rows)
+    for (codec <- Seq("zstd", "lz4")) {
+      val c = ArrowIpc.encodeRows(schema, rows, dictCap = 0,
+        batchRows = 0, codec = codec)
+      assert(ArrowIpc.decodeRows(schema, c) == rows, codec)
+    }
+    val zstd = ArrowIpc.encodeRows(schema, rows, dictCap = 0, batchRows = 0, codec = "zstd")
+    assert(zstd.length < plain.length / 2, s"zstd=${zstd.length} plain=${plain.length}")
+    // dict + multi-batch + zstd compose
+    val all = ArrowIpc.encodeRows(schema, rows, dictCap = 64,
+      batchRows = 256, codec = "zstd")
+    assert(ArrowIpc.decodeRows(schema, all) == rows)
+  }
+
+  test("TimeoutExporter bounds a hung delivery and composes with the persistent queue") {
+    import graft.pipeline.Pipeline._
+    val fast = new CollectingExporter
+    TimeoutExporter(fast, timeoutMs = 30000).export(
+      spark.range(5).toDF("id"))
+    assert(fast.result.length == 5) // under budget: passes through
+
+    val hung = new Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = Thread.sleep(120000)
+    }
+    val t0 = System.nanoTime()
+    val e = intercept[RuntimeException] {
+      TimeoutExporter(hung, timeoutMs = 300).export(spark.range(1).toDF("id"))
+    }
+    assert(e.getMessage.contains("budget"))
+    assert((System.nanoTime() - t0) / 1e9 < 30, "timeout must not hang")
+
+    // sender chain: queue(timeout(sink)) — a timed-out delivery is
+    // retryable, so the batch stays durably pending, not lost
+    val qdir = java.nio.file.Files.createTempDirectory("pq_timeout").toString
+    val q = PersistentQueueExporter(TimeoutExporter(hung, timeoutMs = 200), qdir,
+      retriesPerRun = 0, backoffMs = 1)
+    q.export(spark.range(3).toDF("id"))
+    assert(new java.io.File(s"$qdir/pending").listFiles().count(_.isDirectory) == 1)
+  }
+
   test("map ops: put/delete/keepKeys/truncate behave like pcommon.Map") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1", "b" -> "22", "c" -> "333")).toDF("attrs")
