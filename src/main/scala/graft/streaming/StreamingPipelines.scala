@@ -240,6 +240,75 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming near-duplicate detection — the batch MinHash→LSH
+    * pipeline (DedupOps.lshNearDupPairs) re-expressed over an
+    * unbounded document stream: each doc's signature is banded, each
+    * band key addresses a bucket whose MEMBERSHIP IS THE STATE, and a
+    * new doc emits a pair for every prior member whose lane-agreement
+    * estimate clears the threshold — across micro-batches, so a doc
+    * arriving today pairs with one seen yesterday. Per-bucket state
+    * is capped at `maxBucket` members (the batch path's skew cap:
+    * a degenerate bucket — empty docs, boilerplate — stops absorbing
+    * comparisons instead of going quadratic) and `ttlMs` expires idle
+    * buckets (the dedup-window retention knob).
+    *
+    * Emission is at-least-once per band: a pair discovered through
+    * two different bands emits twice (exactly what the batch pipeline
+    * produces before its final distinct — and Spark does not allow a
+    * second stateful dedup behind flatMapGroupsWithState). Callers
+    * dedupe downstream where needed; the canonical consumer (drop the
+    * higher doc id) is idempotent, so duplicates cost nothing.
+    *
+    * Input (docId, signature); output (loId, hiId, laneAgreement).
+    */
+  def streamingNearDup(spark: SparkSession, docs: Dataset[(Long, Seq[Long])],
+                       bands: Int, rowsPerBand: Int, threshold: Double,
+                       maxBucket: Int = 64, ttlMs: Option[Long] = None)(
+      implicit e: org.apache.spark.sql.Encoder[(Long, Long, Double)])
+      : Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    val banded = docs.flatMap { case (id, sig) =>
+      (0 until bands).iterator.map { b =>
+        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+        // value-derived bucket key (never hashCode: must be stable
+        // across JVMs for checkpoint recovery)
+        (s"$b:${slice.mkString(",")}", id, sig)
+      }
+    }
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(String, Long, Seq[Long])],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+              if (!members.exists(_._1 == id)) {
+                members.foreach { case (mid, msig) =>
+                  var eq = 0
+                  var i = 0
+                  while (i < sig.length && i < msig.length) {
+                    if (sig(i) == msig(i)) eq += 1
+                    i += 1
+                  }
+                  val sim = if (sig.isEmpty) 0.0 else eq.toDouble / sig.length
+                  if (sim >= threshold)
+                    out += ((math.min(mid, id), math.max(mid, id), sim))
+                }
+                if (members.size < maxBucket) members = members :+ ((id, sig))
+              }
+            }
+            state.update(members)
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            out.iterator
+          }
+      }
+  }
+
   final case class LastCum(value: Double)
 
   /** Stateful cumulative→delta across micro-batches — the inverse of

@@ -178,6 +178,62 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs a new doc with one seen in an earlier batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // 8-lane signatures, 4 bands × 2 rows: docs 1/2/4 share 7 of 8
+    // lanes (near-dups, several identical bands), doc 3 is disjoint
+    val sigA  = Seq(11L, 12L, 21L, 22L, 31L, 32L, 41L, 42L)
+    val sigA2 = Seq(11L, 12L, 21L, 22L, 31L, 32L, 41L, 99L) // last lane differs
+    val sigB  = Seq(91L, 92L, 93L, 94L, 95L, 96L, 97L, 98L)
+    val ms = MemoryStream[(Long, Seq[Long])]
+    val out = StreamingPipelines.streamingNearDup(spark, ms.toDS(),
+      bands = 4, rowsPerBand = 2, threshold = 0.8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      ms.addData(Seq((1L, sigA), (2L, sigA2), (3L, sigB)))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT DISTINCT _1, _2 FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b1 == Set((1L, 2L))) // 7/8 lanes = 0.875 ≥ 0.8; doc 3 pairs with nothing
+      // batch 2: doc 4 (identical to doc 1) pairs with BOTH earlier
+      // docs through the bucket state — the cross-batch point
+      ms.addData(Seq((4L, sigA)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT DISTINCT _1, _2 FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((1L, 2L), (1L, 4L), (2L, 4L)), all)
+      // similarity estimate rides along: identical docs agree on 8/8
+      val sim14 = spark.sql("SELECT max(_3) FROM neardup_out WHERE _1 = 1 AND _2 = 4")
+        .head().getDouble(0)
+      assert(sim14 == 1.0)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup bucket cap bounds state (degenerate bucket stops absorbing)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Long])]
+    // every doc identical → all land in the same buckets
+    val sig = Seq(7L, 7L, 7L, 7L)
+    val out = StreamingPipelines.streamingNearDup(spark, ms.toDS(),
+      bands = 2, rowsPerBand = 2, threshold = 0.5, maxBucket = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_cap_out").start()
+    try {
+      ms.addData((1L to 10L).map(i => (i, sig)))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT _1, _2 FROM neardup_cap_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only the 2 capped members generate comparisons: every later
+      // doc compares against AT MOST those two — the pair set is the
+      // 9+8 pairs against members 1 and 2, never the quadratic 45
+      assert(pairs == (2L to 10L).map(i => (1L, i)).toSet ++
+        (3L to 10L).map(i => (2L, i)).toSet, pairs)
+    } finally q.stop()
+  }
+
   test("stateful cumulative→delta handles a mid-stream counter reset across batch boundaries") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
