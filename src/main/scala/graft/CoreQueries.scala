@@ -170,20 +170,24 @@ object CoreQueries {
     // explodes into a per-row subquery.
     "q21_waiting_suppliers" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-      val lRaw = Tables(s, dir, "lineitem")
+      // ONE fact⋈orders join feeds both the candidate rows and the
+      // per-order facts; both distinct-supplier counts fuse into a
+      // single aggregate (one l_orderkey shuffle, not two), with the
+      // late flag as a conditional distinct
+      val lo = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val late = lRaw.join(o, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("is_late"))
+      val late = lo.filter(col("is_late"))
         .select(col("l_orderkey"), col("l_suppkey"))
-      val nSupp = lRaw.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-        .withColumnRenamed("l_orderkey", "ns_orderkey")
-      val nLate = late.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_late"))
-        .withColumnRenamed("l_orderkey", "nl_orderkey")
+      val perOrder = lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+        .withColumnRenamed("l_orderkey", "po_orderkey")
       late
-        .join(nSupp, col("l_orderkey") === col("ns_orderkey"))
-        .join(nLate, col("l_orderkey") === col("nl_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)
         .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
