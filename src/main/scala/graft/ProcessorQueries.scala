@@ -32,6 +32,23 @@ object ProcessorQueries {
         .filter(col("k_int") > 80)
     }),
 
+    // redaction processor: blocked-value masking over the attribute
+    // map plus the redaction-summary count; emitted as a sorted kv
+    // string so the oracle compares engine-portably (map columns
+    // don't hash stably across engines)
+    "q_redact_attrs" -> ((s, dir) => {
+      val attrs = map(
+        lit("etype"), col("event_type"),
+        lit("props"), col("props"),
+        lit("uid"), col("user_id").cast("string"))
+      Tables(s, dir, "events")
+        .filter(col("event_id") % 37 === 0)
+        .select(col("event_id"),
+          graft.operators.Ottl.toKeyValueString(
+            Processors.mapRedact(attrs, "\\d{2,}"), ",", "=").as("redacted"),
+          Processors.mapRedactCount(attrs, "\\d{2,}").as("n_redacted"))
+    }),
+
     // OTTL-style scalar transform suite over documents
     "q_transform_ottl" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
@@ -299,6 +316,17 @@ object ProcessorQueries {
         | SELECT event_id, UPPER(event_type) AS severity,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
         | FROM events) WHERE k_int > 80""".stripMargin,
+
+    "q_redact_attrs" ->
+      """SELECT event_id,
+        | 'etype=' || (CASE WHEN regexp_matches(event_type, '\d{2,}') THEN '****' ELSE event_type END)
+        | || ',props=' || (CASE WHEN regexp_matches(props, '\d{2,}') THEN '****' ELSE props END)
+        | || ',uid=' || (CASE WHEN regexp_matches(CAST(user_id AS VARCHAR), '\d{2,}') THEN '****' ELSE CAST(user_id AS VARCHAR) END)
+        | AS redacted,
+        | CAST((CASE WHEN regexp_matches(event_type, '\d{2,}') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN regexp_matches(props, '\d{2,}') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN regexp_matches(CAST(user_id AS VARCHAR), '\d{2,}') THEN 1 ELSE 0 END) AS INTEGER) AS n_redacted
+        |FROM events WHERE event_id % 37 = 0""".stripMargin,
 
     "q_transform_ottl" ->
       """SELECT doc_id, UPPER(lang) AS lang_uc, SUBSTRING(text, 1, 12) AS head,

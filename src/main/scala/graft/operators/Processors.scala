@@ -73,6 +73,22 @@ object Processors {
   def mapTruncateValues(attrs: Column, n: Int): Column =
     transform_values(attrs, (_, v) => substring(v, 1, n))
 
+  /** Redaction processor analog (reference behavior: the redaction
+    * processor masks attribute VALUES matching blocked patterns;
+    * allow-listing keys is [[mapKeepKeys]]): every value matching the
+    * pattern becomes `mask`, everything else passes through. */
+  def mapRedact(attrs: Column, blockedValueRe: String,
+                mask: String = "****"): Column =
+    transform_values(attrs, (_, v) =>
+      when(v.rlike(blockedValueRe), lit(mask)).otherwise(v))
+
+  /** how many values [[mapRedact]] would touch — the processor's
+    * redaction summary attribute */
+  def mapRedactCount(attrs: Column, blockedValueRe: String): Column =
+    // qualified: this object's DataFrame `filter` shadows the HOF
+    size(org.apache.spark.sql.functions.filter(
+      map_values(attrs), (v: Column) => v.rlike(blockedValueRe)))
+
   /** group-by-attributes processor: regroup records under the given
     * attribute keys and aggregate the payload. One shuffle on the keys.
     */
