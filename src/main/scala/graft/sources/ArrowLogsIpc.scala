@@ -51,9 +51,10 @@ object ArrowLogsIpc {
 
   /** Arrow IPC spool EXPORTER for flattened logs (column order pinned
     * to the parseLogs contract) */
-  def spool(logs: DataFrame, dir: String, maxPerFile: Int = 4096): Unit = {
+  def spool(logs: DataFrame, dir: String, maxPerFile: Int = 4096,
+            dictCap: Int = 0, codec: String = "none"): Unit = {
     val names = ArrowIpc.logsSchema(logs.sparkSession).fieldNames.toSeq
-    ArrowIpc.spool(logs.select(names.map(col): _*), dir, maxPerFile)
+    ArrowIpc.spool(logs.select(names.map(col): _*), dir, maxPerFile, dictCap, codec)
   }
 
   /** binary IPC payload column → flattened log rows (the pb receivers'

@@ -1124,9 +1124,14 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       if (i % 3 == 0) 17 else 9, if (i % 3 == 0) "ERROR" else "INFO",
       s"m-$i", Map("idx" -> i.toString), 0, 0, null, null,
       Map("service.name" -> "api"), "graft")).toDF()
-    ArrowLogsIpc.spool(logs.repartition(2), inDir, maxPerFile = 7)
+    // producer side uses the full wire feature set: dictionary-encoded
+    // attribute columns AND zstd buffer compression — the consumer
+    // stream must decode both transparently from the file metadata
+    ArrowLogsIpc.spool(logs.repartition(2), inDir, maxPerFile = 7,
+      dictCap = 32, codec = "zstd")
     // collector pipeline: arrow stream in → filter errors + hygiene →
-    // arrow spool out (checkpointed, idempotent per-batch delivery)
+    // arrow spool out (checkpointed, idempotent per-batch delivery),
+    // re-exported dict+zstd as well
     val outDir = java.nio.file.Files.createTempDirectory("arrow_cap_out").toString
     val ck = java.nio.file.Files.createTempDirectory("arrow_cap_ck").toString
     val processed = ArrowIpc.streamLogsSpool(spark, inDir, maxFilesPerTrigger = 3)
@@ -1134,7 +1139,7 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       .withColumn("attributes",
         graft.operators.Processors.mapPut(col("attributes"), "pipeline", lit("errors")))
     val q = graft.streaming.StreamingPipelines.exportStream(processed,
-      graft.pipeline.Pipeline.ArrowSpoolExporter(outDir), ck)
+      graft.pipeline.Pipeline.ArrowSpoolExporter(outDir, dictCap = 32, codec = "zstd"), ck)
     try q.processAllAvailable() finally q.stop()
     // a downstream otel-arrow CONSUMER re-ingests the exported spool
     val back = ArrowIpc.readSpool(spark, s"$outDir/batch_id=*",

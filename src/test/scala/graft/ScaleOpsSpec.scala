@@ -62,6 +62,43 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"a task shuffle-wrote ${maxShuffleWrite.get} bytes")
   }
 
+  test("10x scale smoke: IVF-PQ search scales sub-quadratically with bounded task shuffles") {
+    // same 2-SF discipline as the dedup smoke, for the ANN capstone:
+    // the whole q_ann_ivfpq pipeline (deterministic double index
+    // build + probe + ADC + refine) at sf0.001 vs sf0.1. The builds
+    // are fixed driver-job overhead and the search side must scan
+    // ~nprobe/c of a code-compressed corpus — 100x rows may NOT cost
+    // anywhere near 100x wall, and no task may funnel the corpus.
+    import graft.operators.AnnOps
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) maxShuffleRead.getAndAccumulate(
+          m.shuffleReadMetrics.totalBytesRead, math.max)
+      }
+    }
+    def search(dir: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val e = Tables(spark, dir, "embeddings")
+      val n = AnnOps.ivfPqTopK(e.filter(col("vec_id") < 10), e, c = 16,
+        nprobe = 4, m = 2, ksub = 16, k = 10, ivfIters = 1, pqIters = 1,
+        rerank = 50).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    search("/root/testdata/sf0.001") // warm codegen + scan setup
+    val (n1, wall1) = search("/root/testdata/sf0.001")
+    spark.sparkContext.addSparkListener(listener)
+    val (n100, wall100) = try search("/root/testdata/sf0.1")
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(n1 > 0 && n100 > 0)
+    assert(wall100 <= wall1 * 40,
+      f"100x corpus took ${wall100 / wall1}%.1fx the wall ($wall1%.2f s -> $wall100%.2f s)")
+    assert(maxShuffleRead.get < (32L << 20),
+      s"a task shuffle-read ${maxShuffleRead.get} bytes — corpus funneled")
+  }
+
   test("saltedJoin result equals plain join") {
     val e = Tables(spark, sf, "events").withColumnRenamed("user_id", "c_custkey")
     val c = Tables(spark, sf, "customer")
