@@ -34,6 +34,20 @@ object Ottl {
   /** limit(map, n) — keep at most n entries (deterministic by key order) */
   def limitKeys(m: Column, n: Int): Column =
     map_from_entries(slice(array_sort(map_entries(m)), 1, n))
+  /** merge_maps(target, source, strategy) — "upsert": source wins on
+    * key conflicts; "insert": existing target keys are kept. */
+  def mergeMaps(target: Column, source: Column, strategy: String): Column =
+    strategy match {
+      case "upsert" => map_concat(
+        map_filter(target, (k, _) => !map_contains_key(source, k)), source)
+      case "insert" => map_concat(target,
+        map_filter(source, (k, _) => !map_contains_key(target, k)))
+      case other => throw new IllegalArgumentException(
+        s"merge_maps strategy '$other' (upsert | insert)")
+    }
+  /** append(arr, value) — OTTL's append editor over array fields */
+  def append(arr: Column, value: Column): Column =
+    concat(coalesce(arr, array()), array(value))
 
   // ---- converters (pure functions) -------------------------------
   /** Concat(vals..., sep) */

@@ -131,6 +131,25 @@ class OttlSpec extends AnyFunSuite {
     assert(r.getAs[String]("d") == "dflt")
   }
 
+  test("editors: merge_maps strategies and append") {
+    val r = df.select(
+      Ottl.mergeMaps(col("attrs"), map(lit("a"), lit("9"), lit("z"), lit("26")),
+        "upsert").as("up"),
+      Ottl.mergeMaps(col("attrs"), map(lit("a"), lit("9"), lit("z"), lit("26")),
+        "insert").as("ins"),
+      Ottl.append(array(lit("x")), lit("y")).as("app"),
+      Ottl.append(lit(null).cast("array<string>"), lit("y")).as("app_null")).head()
+    assert(r.getAs[Map[String, String]]("up") ==
+      Map("a" -> "9", "b" -> "22", "secret" -> "xyz", "z" -> "26"))
+    assert(r.getAs[Map[String, String]]("ins") ==
+      Map("a" -> "1", "b" -> "22", "secret" -> "xyz", "z" -> "26"))
+    assert(r.getSeq[String](r.fieldIndex("app")).toSeq == Seq("x", "y"))
+    assert(r.getSeq[String](r.fieldIndex("app_null")).toSeq == Seq("y"))
+    intercept[IllegalArgumentException] {
+      Ottl.mergeMaps(col("attrs"), col("attrs"), "replace")
+    }
+  }
+
   test("Duration converter: time.ParseDuration vectors, codegen'd, NULL on malformed") {
     val vectors = Seq(
       "0" -> 0L, "1h" -> 3600000000000L, "1h30m" -> 5400000000000L,
