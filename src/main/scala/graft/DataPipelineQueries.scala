@@ -276,6 +276,42 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
+    // deterministic global shuffle for training-data order: shard and
+    // within-shard position derive ONLY from a seeded content hash,
+    // so the layout is identical however rows arrive (repartition/
+    // retry stable — the q_sample_stratified discipline applied to
+    // ordering); at 100 TB every shard sorts and writes independently
+    // (a partitioned window, never a global sort).
+    "q_shuffle_shard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"))
+        .withColumn("h", md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // sequence packing for pretraining: greedy contiguous fill of
+    // maxLen-token packs per hash shard — pack id = tokens-before
+    // DIV maxLen over a deterministic within-shard order. Shards
+    // pack independently (no global state), so the operator is
+    // embarrassingly parallel at any scale; boundary-straddling docs
+    // belong to the pack they start in (the consumer splits them).
+    "q_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shard",
+          substring(md5(concat(lit("pack7:"), col("doc_id").cast("string"))), 1, 1))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tokens) DIV 512"))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+    }),
+
     // Rabin–Karp rolling-hash content fingerprint dup clusters
     // (order-sensitive identity, the streaming-friendly fingerprint)
     "q_doc_rollhash" -> ((s, dir) => {
@@ -786,6 +822,27 @@ object DataPipelineQueries {
         |FROM documents
         |WHERE lang <> 'en' OR substr(md5(doc_id::VARCHAR), 1, 1) <= '7'
         |GROUP BY lang""".stripMargin,
+
+    "q_shuffle_shard" ->
+      """SELECT doc_id, shard,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM (SELECT doc_id, md5('shuf42:' || doc_id::VARCHAR) AS h,
+        |   substr(md5('shuf42:' || doc_id::VARCHAR), 1, 1) AS shard
+        | FROM documents)""".stripMargin,
+
+    "q_pack_sequences" ->
+      """SELECT shard, pack_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM (SELECT shard, n_tokens,
+        |   CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        | FROM (SELECT shard, n_tokens,
+        |   CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    substr(md5('pack7:' || doc_id::VARCHAR), 1, 1) AS shard
+        |   FROM documents)))
+        |GROUP BY shard, pack_id""".stripMargin,
 
     "q_doc_rollhash" ->
       """SELECT rh, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
