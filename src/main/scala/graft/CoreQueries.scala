@@ -39,18 +39,21 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
     }),
 
-    // TPC-H Q4 shape: order-priority counts gated on an EXISTS
-    // semi-join against the fact (orders with any line shipped >60
-    // days after the order date — the late-commit predicate adapted
-    // to the synthetic schema). The decision side distincts down
-    // before the join.
+    // TPC-H Q4 shape: order-priority counts gated on an EXISTS over
+    // the fact (orders with any line shipped >60 days after the
+    // order date — the late-commit predicate adapted to the synthetic
+    // schema). The EXISTS decorrelates WITHOUT a second orders scan:
+    // the priority rides through the one join, so distinct
+    // (orderkey, priority) pairs collapse the multi-line orders and
+    // the final agg groups them — one fact join, no semi join back.
     "q4_order_priority" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       val l = Tables(s, dir, "lineitem")
-      val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select(col("o_orderkey")).distinct()
-      o.join(late, Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderpriority")).distinct()
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
     }),
