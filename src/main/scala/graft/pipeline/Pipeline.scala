@@ -538,5 +538,27 @@ object Pipeline {
     */
   final case class Service(pipelines: Map[String, PipelineDef]) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
+
+    /** Collector startup semantics for persistent queues: before new
+      * data flows, every [[PersistentQueueExporter]] in the service —
+      * at any depth of the sender chain (retry/queue/timeout
+      * wrappers) — redelivers its accepted-but-undelivered batches
+      * (the persistent_queue initialization pass). Returns per-
+      * pipeline stats; call before [[run]] after a crash. */
+    def recover(spark: SparkSession): Map[String, RecoveryStats] =
+      pipelines.toSeq.flatMap { case (name, p) =>
+        p.exporters.flatMap(findPersistent).map(q => name -> q.recover(spark))
+      }.groupMapReduce(_._1)(_._2)((a, b) => RecoveryStats(
+        a.redelivered + b.redelivered, a.stillPending + b.stillPending,
+        a.deadLettered + b.deadLettered))
+
+    private def findPersistent(e: Exporter): Seq[PersistentQueueExporter] =
+      e match {
+        case q: PersistentQueueExporter => q +: findPersistent(q.delegate)
+        case RetryingExporter(d, _, _) => findPersistent(d)
+        case QueuedExporter(d, _, _, _, _) => findPersistent(d)
+        case TimeoutExporter(d, _) => findPersistent(d)
+        case _ => Nil
+      }
   }
 }

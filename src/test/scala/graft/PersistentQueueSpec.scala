@@ -149,6 +149,27 @@ class PersistentQueueSpec extends AnyFunSuite {
     assert(sink.count() == 6) // overwritten, not doubled
   }
 
+  test("service startup recovers every persistent queue in the sender chain") {
+    val qdir = Files.createTempDirectory("pq_svc").toString
+    val out = Files.createTempDirectory("pq_svc_out").toString
+    // a crashed collector left one accepted-but-undelivered batch
+    // (enqueue against a dead endpoint, then the process dies)
+    val dead = new GatedExporter
+    PersistentQueueExporter(dead, qdir, retriesPerRun = 0, backoffMs = 1)
+      .export(batch(0, 4))
+    // restart: a config-built service whose sender chain nests the
+    // queue around a timeout-wrapped parquet sink
+    val svc = Service(Map("logs/out" -> graft.pipeline.Pipeline.PipelineDef(
+      receiver = ParquetReceiver("/root/testdata/sf0.001/events.parquet"),
+      exporters = Seq(PersistentQueueExporter(
+        TimeoutExporter(ParquetExporter(out), timeoutMs = 60000), qdir,
+        backoffMs = 1)))))
+    val stats = svc.recover(spark)
+    assert(stats == Map("logs/out" -> RecoveryStats(1, 0, 0)), stats)
+    assert(spark.read.parquet(s"$out/batch_id=0").count() == 4)
+    assert(svc.recover(spark) == Map("logs/out" -> RecoveryStats(0, 0, 0)))
+  }
+
   test("queue-full refuses new data (backpressure), pending batches unharmed") {
     val dir = Files.createTempDirectory("pq_full").toString
     val gate = new GatedExporter // down
