@@ -364,6 +364,55 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming exemplar reservoir — the SDK/collector behavior of
+    * keeping a BOUNDED set of exemplar datapoints per series over an
+    * unbounded stream. Classic reservoir sampling needs an RNG,
+    * which breaks replay (a recomputed batch would keep different
+    * exemplars); instead each point's priority is a deterministic
+    * hash of its identity and the reservoir is bottom-k by
+    * (priority, ts): order-independent, replay-stable, and mergeable
+    * — the same decision whatever batch boundaries or arrival order
+    * the stream happens to have. Each batch emits the post-batch
+    * reservoir for every series it touched (the
+    * [[runningExpHistogram]] emission contract).
+    *
+    * Input (series, ts, value); output (series, ts, value) of the
+    * retained exemplars. `ttlMs` expires idle series' reservoirs.
+    */
+  def exemplarReservoir(spark: SparkSession,
+                        points: Dataset[(String, Long, Double)], k: Int,
+                        ttlMs: Option[Long] = None)(
+      implicit e: org.apache.spark.sql.Encoder[(String, Long, Double)])
+      : Dataset[(String, Long, Double)] = {
+    import spark.implicits._
+    def priority(series: String, ts: Long, v: Double): Long =
+      // pure function of the point's identity — stable across JVMs
+      // and replays (never an RNG)
+      scala.util.hashing.MurmurHash3.stringHash(s"$series|$ts|$v").toLong & 0x7fffffffL
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Double)], (String, Long, Double)](
+        OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[List[(Long, Long, Double)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val incoming = rows.map { case (_, ts, v) =>
+              (priority(key, ts, v), ts, v)
+            }.toList
+            if (incoming.isEmpty) Iterator.empty
+            else {
+              val merged = (state.getOption.getOrElse(Nil) ++ incoming)
+                .distinct.sortBy(p => (p._1, p._2)).take(k)
+              state.update(merged)
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              merged.iterator.map { case (_, ts, v) => (key, ts, v) }
+            }
+          }
+      }
+  }
+
   /** per-key cumulative counter across micro-batches (stateful
     * delta→cumulative): emits (key, batch_delta, cumulative). */
   def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(

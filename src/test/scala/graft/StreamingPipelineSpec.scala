@@ -297,6 +297,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exemplar reservoir is bounded, deterministic, and arrival-order independent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val pts = (1L to 20L).map(i => ("cpu", 1000L + i, i * 1.5))
+    def finalReservoir(batches: Seq[Seq[(String, Long, Double)]],
+                       name: String): Set[(Long, Double)] = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val out = StreamingPipelines.exemplarReservoir(spark, ms.toDS(), k = 4)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        var lastCount = 0L
+        var last: Set[(Long, Double)] = Set.empty
+        batches.foreach { b =>
+          ms.addData(b)
+          q.processAllAvailable()
+          // the emission after the final batch IS the reservoir; track
+          // the rows added by this batch
+          val all = spark.table(name).collect()
+            .map(r => (r.getLong(1), r.getDouble(2)))
+          last = all.drop(lastCount.toInt).toSet
+          lastCount = all.length.toLong
+        }
+        last
+      } finally q.stop()
+    }
+    // same 20 points, three different batchings/orders → identical
+    // bottom-k reservoir (replay/arrival-order stability — the reason
+    // priorities are hashes, not an RNG)
+    val a = finalReservoir(Seq(pts.take(10), pts.drop(10)), "ex_a")
+    val b = finalReservoir(Seq(pts.reverse), "ex_b")
+    val c = finalReservoir(Seq(pts.drop(10), pts.take(10).reverse), "ex_c")
+    assert(a.size == 4, a)
+    assert(a == b && b == c, s"$a vs $b vs $c")
+  }
+
   test("streaming servicegraph pairs client/server halves across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
