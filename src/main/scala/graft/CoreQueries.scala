@@ -166,35 +166,35 @@ object CoreQueries {
 
     // TPC-H Q21 shape: multi-correlated EXISTS / NOT EXISTS over the
     // same fact — suppliers whose late line was the ONLY late one in
-    // a multi-supplier order. Both correlations decorrelate to
-    // per-order aggregates joined back on the order key (count of
-    // distinct suppliers; count of distinct LATE suppliers), so the
-    // fact shuffles on l_orderkey once per aggregate and never
-    // explodes into a per-row subquery.
+    // a multi-supplier order. Both correlations decorrelate into ONE
+    // per-order aggregate over a single fact⋈orders pass: the
+    // supplier sets ride as collect_set (bounded by suppliers per
+    // order — a handful of rows), and the late-ROW count rides along
+    // so the qualifying supplier gets credited once per late line,
+    // exactly like the oracle's COUNT(*) over l1. One lineitem scan,
+    // one orders scan, one l_orderkey shuffle (PlanSpec pins the
+    // single-leaf shape — the r5 formulation scanned the fact twice).
     "q21_waiting_suppliers" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-      // ONE fact⋈orders join feeds both the candidate rows and the
-      // per-order facts; both distinct-supplier counts fuse into a
-      // single aggregate (one l_orderkey shuffle, not two), with the
-      // late flag as a conditional distinct
       val lo = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("is_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"), col("is_late"))
-      val late = lo.filter(col("is_late"))
-        .select(col("l_orderkey"), col("l_suppkey"))
+      // collect_set drops the nulls from when(...) with no otherwise,
+      // so late_set is exactly the distinct LATE suppliers; a plain
+      // hash aggregate (partial+final, no countDistinct Expand)
       val perOrder = lo.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
-        .withColumnRenamed("l_orderkey", "po_orderkey")
-      late
-        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
-        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .agg(collect_set(col("l_suppkey")).as("supp_set"),
+          collect_set(when(col("is_late"), col("l_suppkey"))).as("late_set"),
+          sum(when(col("is_late"), lit(1L)).otherwise(lit(0L))).as("n_late_rows"))
+      perOrder
+        .filter(size(col("supp_set")) > 1 && size(col("late_set")) === 1)
+        .select(element_at(col("late_set"), 1).as("l_suppkey"), col("n_late_rows"))
         .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_late_rows")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(10)
     }),

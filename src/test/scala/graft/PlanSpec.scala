@@ -229,6 +229,29 @@ class PlanSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("q21 scans lineitem and orders exactly ONCE (fused per-order aggregate)") {
+    // r5 verdict #1: the two-branch formulation (late candidates ∨
+    // per-order counts) scanned lineitem AND orders twice with zero
+    // exchange reuse — 2× the dominant I/O at 100 TB. The fused shape
+    // carries the late-supplier set and late-row count through ONE
+    // aggregate; this pins a single leaf per table in the FINAL
+    // adaptive plan.
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val full = df.queryExecution.executedPlan.toString
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — only
+    // judge the final one
+    val finalPlan = full.split("== Initial Plan ==")(0)
+    def scans(prefix: String): Int =
+      finalPlan.linesIterator.count(l => l.contains("FileScan parquet") &&
+        l.contains(s"[$prefix"))
+    assert(scans("l_") == 1, s"lineitem scanned ${scans("l_")} times:\n$finalPlan")
+    assert(scans("o_") == 1, s"orders scanned ${scans("o_")} times:\n$finalPlan")
+    // and the fused aggregate must stay a plain hash aggregate — no
+    // countDistinct Expand re-widening the fact
+    assert(!finalPlan.contains("Expand"), finalPlan)
+  }
+
   test("q19's OR-of-ANDs predicate splits across BOTH scan sides") {
     // the Q19 point: (brandᵢ ∧ sizeᵢ ∧ qtyᵢ) disjunctions must not be
     // evaluated post-join — the per-side disjunctions (qty ranges →
