@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnOps, DedupOps, TextOps}
+import graft.operators.{AnnOps, DedupOps, ScaleOps, TextOps}
 import QUtil._
 
 /** LLM-training-data-pipeline queries (SURVEY §2 dedup / similarity /
@@ -276,41 +276,26 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
-    // deterministic global shuffle for training-data order: shard and
-    // within-shard position derive ONLY from a seeded content hash,
-    // so the layout is identical however rows arrive (repartition/
-    // retry stable — the q_sample_stratified discipline applied to
-    // ordering); at 100 TB every shard sorts and writes independently
-    // (a partitioned window, never a global sort).
-    "q_shuffle_shard" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-      docs(s, dir).select(col("doc_id"))
-        .withColumn("h", md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos", row_number().over(w))
-        .select(col("doc_id"), col("shard"), col("pos"))
-    }),
+    // deterministic global shuffle for training-data order — the
+    // ScaleOps.shuffleShard operator (md5-portable twin for the
+    // oracle; the xxh64 path is the production kernel). nShards is a
+    // parameter — 37 here to prove nothing depends on a power-of-2 or
+    // hex-digit constant; ≥4096 at 100 TB so every shard's window
+    // sort is its own task.
+    "q_shuffle_shard" -> ((s, dir) =>
+      ScaleOps.shuffleShard(docs(s, dir).select(col("doc_id")), "doc_id",
+        nShards = 37, seed = "shuf42", portable = true)),
 
-    // sequence packing for pretraining: greedy contiguous fill of
-    // maxLen-token packs per hash shard — pack id = tokens-before
-    // DIV maxLen over a deterministic within-shard order. Shards
-    // pack independently (no global state), so the operator is
-    // embarrassingly parallel at any scale; boundary-straddling docs
-    // belong to the pack they start in (the consumer splits them).
-    "q_pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("shard",
-          substring(md5(concat(lit("pack7:"), col("doc_id").cast("string"))), 1, 1))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id", expr("(cum - n_tokens) DIV 512"))
+    // sequence packing for pretraining — ScaleOps.packSequences
+    // (per-shard contiguous fill, parallelism = nShards parameter),
+    // aggregated to per-pack stats for the oracle.
+    "q_pack_sequences" -> ((s, dir) =>
+      ScaleOps.packSequences(
+        docs(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", maxLen = 512, nShards = 37, seed = "pack7",
+        portable = true)
         .groupBy(col("shard"), col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
-    }),
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
 
     // Rabin–Karp rolling-hash content fingerprint dup clusters
     // (order-sensitive identity, the streaming-friendly fingerprint)
@@ -827,7 +812,7 @@ object DataPipelineQueries {
       """SELECT doc_id, shard,
         | CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
         |FROM (SELECT doc_id, md5('shuf42:' || doc_id::VARCHAR) AS h,
-        |   substr(md5('shuf42:' || doc_id::VARCHAR), 1, 1) AS shard
+        |   CAST(('0x' || substr(md5('shuf42:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
         | FROM documents)""".stripMargin,
 
     "q_pack_sequences" ->
@@ -840,7 +825,7 @@ object DataPipelineQueries {
         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |    substr(md5('pack7:' || doc_id::VARCHAR), 1, 1) AS shard
+        |    CAST(('0x' || substr(md5('pack7:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
         |   FROM documents)))
         |GROUP BY shard, pack_id""".stripMargin,
 

@@ -87,4 +87,74 @@ object ScaleOps {
   def hashSample(df: DataFrame, idCol: Column, keepNumerator: Int,
                  denominator: Int): DataFrame =
     df.filter(pmod(xxhash64(idCol), lit(denominator)) < lit(keepNumerator))
+
+  /** Deterministic shard id in [0, nShards): seeded content hash mod
+    * the shard count. Derives ONLY from a stable id, so the layout is
+    * replay/repartition-stable — and nShards is a PARAMETER: the
+    * per-shard work downstream (window sort, pack fill, file write)
+    * fans out to nShards tasks, so at 100 TB it must be ≥4096, never
+    * a constant baked into the key (a 16-way key caps the heaviest
+    * stage at 16 tasks ≈ 6 TB sorts each). xxhash64 kernel — the
+    * production path.
+    */
+  def shardId(id: Column, nShards: Int, seed: String): Column =
+    pmod(xxhash64(lit(seed), id.cast("string")), lit(nShards.toLong)).cast("int")
+
+  /** md5-portable twin of [[shardId]] for oracle-checked queries —
+    * bit-identical in DuckDB as
+    * `('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT % nShards`.
+    */
+  def shardIdPortable(id: Column, nShards: Int, seed: String): Column =
+    pmod(conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(nShards.toLong)).cast("int")
+
+  /** Deterministic global shuffle for training-data order: shard and
+    * within-shard position derive only from the seeded content hash of
+    * a stable id, so the layout is identical however rows arrive
+    * (repartition/retry stable), and every shard sorts and writes
+    * independently — a partitioned window over nShards tasks, never a
+    * global sort. Adds (shard, pos) to the input columns.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int, seed: String,
+                   portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    // the within-shard order key: md5 hex for the oracle-portable
+    // path; zero-padded hex of xxhash64 for the production path (the
+    // padding makes string order = unsigned numeric order)
+    val h = if (portable) md5(concat(lit(seed + ":"), id.cast("string")))
+            else lpad(hex(xxhash64(lit(seed), id.cast("string"))), 16, "0")
+    val shard = if (portable) shardIdPortable(id, nShards, seed)
+                else shardId(id, nShards, seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), id)
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** Sequence packing for pretraining: greedy contiguous fill of
+    * maxLen-token packs per hash shard — pack id = tokens-before DIV
+    * maxLen over the deterministic within-shard id order. Shards pack
+    * independently (no global state), so the operator is
+    * embarrassingly parallel at any scale — parallelism = nShards,
+    * a parameter, not a baked-in constant. Boundary-straddling docs
+    * belong to the pack they start in (the consumer splits them).
+    * Adds (shard, pack_id) to the input columns.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String, maxLen: Int,
+                    nShards: Int, seed: String, portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val shard = if (portable) shardIdPortable(id, nShards, seed)
+                else shardId(id, nShards, seed)
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      // integral DIV — double division loses exactness once shard
+      // token prefixes pass 2^53
+      .withColumn("pack_id", expr(s"(__cum - $tokensCol) DIV $maxLen"))
+      .drop("__cum")
+  }
 }

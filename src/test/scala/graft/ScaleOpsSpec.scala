@@ -254,6 +254,65 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(dead.filter(col("_2") === "poison").count() == 1)
   }
 
+  test("shuffleShard: parameterized fan-out, per-shard permutation, repartition-stable") {
+    // r5 verdict #2: the inline query hard-coded a 16-way hex-char
+    // shard key, capping the heaviest stage at 16 tasks forever. The
+    // operator takes nShards; this pins (a) the fan-out actually
+    // exceeds 16, (b) positions are a permutation per shard, (c) the
+    // layout is identical however rows arrive — for BOTH kernels.
+    val d = Tables(spark, sf, "documents").select(col("doc_id"))
+    for (portable <- Seq(false, true)) {
+      val out = ScaleOps.shuffleShard(d, "doc_id", nShards = 64, seed = "s1",
+          portable = portable)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(out.map(_._1).distinct.length == out.length, "a doc appears twice")
+      assert(out.forall(t => t._2 >= 0 && t._2 < 64))
+      assert(out.map(_._2).distinct.length > 16,
+        s"fan-out ${out.map(_._2).distinct.length} — the 16-way cap is back")
+      out.groupBy(_._2).foreach { case (sh, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+          s"shard $sh positions not a 1..n permutation") }
+      val out2 = ScaleOps.shuffleShard(d.repartition(7, col("doc_id")), "doc_id",
+          nShards = 64, seed = "s1", portable = portable)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
+        "layout depends on physical arrival order")
+    }
+  }
+
+  test("packSequences: totals invariant across shard counts; fill rule matches a driver replica") {
+    import graft.operators.TextOps
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    val rows = d.collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+    val totalTokens = rows.map(_._2).sum
+    for (n <- Seq(4, 64, 1024); portable <- Seq(false, true)) {
+      val out = ScaleOps.packSequences(d, "doc_id", "n_tokens", maxLen = 512,
+          nShards = n, seed = "p", portable = portable)
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("doc_id")),
+          r.getInt(r.fieldIndex("n_tokens")).toLong,
+          r.getInt(r.fieldIndex("shard")), r.getLong(r.fieldIndex("pack_id"))))
+      // conservation at ANY shard count: every doc packed exactly once
+      assert(out.length == rows.length)
+      assert(out.map(_._2).sum == totalTokens)
+      assert(out.forall(t => t._3 >= 0 && t._3 < n && t._4 >= 0))
+      // the greedy fill rule, replicated on the driver per shard:
+      // pack_id = (tokens before this doc in doc_id order) DIV maxLen
+      out.groupBy(_._3).foreach { case (sh, docs) =>
+        var cum = 0L
+        docs.sortBy(_._1).foreach { case (id, tok, _, packId) =>
+          assert(packId == cum / 512, s"shard $sh doc $id: $packId != ${cum / 512}")
+          cum += tok
+        }
+      }
+    }
+    // fan-out at nShards=64 exceeds the old 16-way cap
+    val shards = ScaleOps.packSequences(d, "doc_id", "n_tokens", 512, 64, "p")
+      .select(col("shard")).distinct().count()
+    assert(shards > 16, s"fan-out $shards")
+  }
+
   test("saltedAgg two-level aggregation equals direct aggregation") {
     val e = Tables(spark, sf, "events")
     val direct = e.groupBy(col("event_type"))
