@@ -28,11 +28,18 @@ case class GoDurationNs(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     Kernels.goDurationNs(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long graftDur = graft.functions.impl.Kernels.goDurationNs($c);
-      if (graftDur == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftDur.longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, not a fixed identifier: two instances of this
+      // expression in one whole-stage-codegen scope would otherwise
+      // declare the same local twice, fail janino, and silently drop
+      // the stage to interpreted execution
+      val dur = ctx.freshName("graftDur")
+      s"""
+      java.lang.Long $dur = graft.functions.impl.Kernels.goDurationNs($c);
+      if ($dur == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $dur.longValue(); }
+    """
+    })
   override protected def withNewChildInternal(newChild: Expression): GoDurationNs =
     copy(child = newChild)
 }

@@ -238,9 +238,17 @@ object Ottl {
   def unixMilli(ts: Column): Column = unix_millis(ts)
   def unixSeconds(ts: Column): Column = unix_seconds(ts)
   /** inverse: integral unix nanos → timestamp (µs precision — the
-    * timestamp type's resolution) */
-  def timeFromUnixNano(ns: Column): Column =
-    timestamp_micros((ns.cast("long") / lit(1000L)).cast("long"))
+    * timestamp type's resolution). Exact integer arithmetic: Column
+    * `/` is DOUBLE division, and at current-epoch magnitudes
+    * (~1.75e18 ns) doubles space 256 ns apart, so ~12% of inputs
+    * truncate into the WRONG microsecond. Floor to a multiple of
+    * 1000 first (pmod — floor semantics, correct pre-epoch too),
+    * then the decimal division is remainder-free, hence exact. */
+  def timeFromUnixNano(ns: Column): Column = {
+    val l = ns.cast("long")
+    val floored = l - pmod(l, lit(1000L))
+    timestamp_micros((floored.cast("decimal(38,0)") / lit(1000)).cast("long"))
+  }
 
   /** TruncateTime over integral unix ns: floor to a duration bucket.
     * pmod keeps the arithmetic in exactly-representable territory

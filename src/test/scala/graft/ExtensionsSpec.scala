@@ -58,6 +58,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hb.length == 2 && hb.head.getSeq[String](0).size == 4)
   }
 
+  test("two Duration converters share one codegen stage (freshName, no janino collision)") {
+    // the doGenCode used to hardcode a local named `graftDur`: two
+    // instances in the same whole-stage scope generated a duplicate
+    // declaration, janino failed, and the stage silently dropped to
+    // interpreted execution. Fallback is disabled here so a collision
+    // FAILS instead of hiding.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val r = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy(col("doc_id")).limit(3)
+      .select(
+        graft.operators.Ottl.duration(concat((col("doc_id") % 5 + 1).cast("string"), lit("h"))).as("h"),
+        graft.operators.Ottl.duration(concat((col("doc_id") % 7 + 1).cast("string"), lit("m"))).as("m"))
+      .collect()
+    assert(r.length == 3)
+    assert(r.head.getLong(0) % 3600000000000L == 0 && r.head.getLong(0) > 0)
+    assert(r.head.getLong(1) % 60000000000L == 0 && r.head.getLong(1) > 0)
+  }
+
   test("SQL minhash matches the Column API") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._

@@ -188,6 +188,30 @@ class OttlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("%Q"))
   }
 
+  test("timeFromUnixNano lands every input in the RIGHT microsecond (exact integer division)") {
+    // the double-division formulation spaced ~256 ns apart at
+    // current-epoch magnitudes — ~12% of inputs truncated into the
+    // wrong µs. Sweep a dense grid of awkward nanos around now-ish
+    // epochs plus pre-epoch values, and demand unix_micros equals the
+    // driver's Math.floorDiv exactly.
+    val base = 1754000000000000000L // ~2025-08, where doubles space 256 ns
+    val vecs: Seq[Long] =
+      (0 until 20000).map(i => base + i.toLong * 937L + (i % 1000)) ++
+      (0 until 2000).map(i => -621355968000000000L + i.toLong * 777L) ++
+      Seq(-1L, -999L, -1000L, -1001L, 0L, 999L, 1000L, 1754000001999999999L)
+    val got = vecs.toDF("ns")
+      .select(col("ns"), Ottl.unixMicro(Ottl.timeFromUnixNano(col("ns"))).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bad = got.filter { case (ns, us) => us != Math.floorDiv(ns, 1000L) }
+    assert(bad.isEmpty,
+      s"${bad.length}/${got.length} in the wrong µs, e.g. ${bad.take(3).mkString(", ")}")
+    // and ns→ts→ns round-trips exactly on µs-aligned inputs
+    val rt = Seq(base, base + 123456000L).toDF("ns")
+      .select(Ottl.unixNano(Ottl.timeFromUnixNano(col("ns"))).as("back"), col("ns"))
+      .collect()
+    rt.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("UnixNano family, duration accessors, and TruncateTime") {
     val r = df.select(
       Ottl.unixNano(Ottl.timeFromUnixNano(col("ts_ns"))).as("ns"),
