@@ -70,8 +70,14 @@ object ConfigLoader {
         (env(name).getOrElse(throw new IllegalArgumentException(
           s"env var $name is unset (env: config provider)")), u)
       case u if u.startsWith("http://") || u.startsWith("https://") =>
-        val in = java.net.URI.create(u).toURL.openStream()
-        try (scala.io.Source.fromInputStream(in, "UTF-8").mkString, u)
+        // a hung or slow config endpoint must not block service
+        // startup forever, and a runaway response must not buffer
+        // unbounded — connect/read timeouts plus a byte cap
+        val conn = java.net.URI.create(u).toURL.openConnection()
+        conn.setConnectTimeout(httpTimeoutMs)
+        conn.setReadTimeout(httpTimeoutMs)
+        val in = conn.getInputStream
+        try (readCapped(in, httpMaxBytes, u), u)
         finally in.close()
       case u =>
         val path = u.stripPrefix("file:")
@@ -83,6 +89,26 @@ object ConfigLoader {
       else if (hint.endsWith(".json")) false
       else !text.dropWhile(_.isWhitespace).startsWith("{")
     fromText(text, isYaml, env)
+  }
+
+  /** http provider guards: a config document is small by contract —
+    * 4 MiB is far past any real pipeline graph, and 10 s covers a
+    * slow link without wedging startup. */
+  private[pipeline] val httpTimeoutMs: Int = 10000
+  private[pipeline] val httpMaxBytes: Int = 4 << 20
+
+  private def readCapped(in: java.io.InputStream, cap: Int,
+                         source: String): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size > cap) throw new IllegalStateException(
+        s"config document from $source exceeds $cap bytes — refusing to buffer")
+      n = in.read(chunk)
+    }
+    buf.toString("UTF-8")
   }
 
   private def fromText(doc: String, yaml: Boolean,

@@ -367,20 +367,55 @@ object Pipeline {
       writeNum(f, p, cur.toLong)
       cur
     }
+    /** Id allocation is arbitrated by the FILESYSTEM, not a JVM lock:
+      * create(path, overwrite=false) on a per-id claim file is atomic
+      * on HDFS-like stores, so two exporter instances over the same
+      * queueDir (a service rebuilt from config racing a still-live
+      * instance) can never both win one id — the instance-level
+      * synchronized only serializes threads within this instance.
+      * Claim files are never deleted (they are the ledger that makes
+      * ids unreusable — deleting one would let a stale-hint instance
+      * re-issue the id and overwrite a delivered batch downstream);
+      * `seq` is just a fast-path hint past the claimed prefix. */
     private def nextId(spark: SparkSession): Long = synchronized {
       val f = fs(spark)
-      val p = new Path(s"$queueDir/seq")
-      val cur = readNum(f, p, 0L)
-      writeNum(f, p, cur + 1) // bump BEFORE spooling: ids are never reused
-      cur
+      val hint = new Path(s"$queueDir/seq")
+      f.mkdirs(new Path(s"$queueDir/ids"))
+      var id = readNum(f, hint, 0L)
+      while (!claimId(f, id)) id += 1
+      // best-effort hint; claims arbitrate — a concurrent writer may
+      // collide here and that's fine
+      try writeNum(f, hint, id + 1)
+      catch { case scala.util.control.NonFatal(_) => () }
+      id
     }
+    /** one atomic exclusive-create per id; Hadoop's LocalFileSystem
+      * create(overwrite=false) is check-then-create, so the file:
+      * scheme goes through NIO's O_EXCL createFile instead */
+    private def claimId(f: FileSystem, id: Long): Boolean = {
+      val claim = new Path(s"$queueDir/ids/id_$id")
+      if ("file" == f.getUri.getScheme)
+        try { java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(claim.toUri.getPath)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try { f.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    /** best-effort read: another live instance may be overwriting the
+      * file this instant (torn read / checksum mismatch on local FS)
+      * — fall back to the default rather than fail; correctness never
+      * rests on these values (ids are arbitrated by claim files, and
+      * an attempt undercount only grants a retry). */
     private def readNum(f: FileSystem, p: Path, dflt: Long): Long =
-      if (!f.exists(p)) dflt
-      else {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
+      try {
+        if (!f.exists(p)) dflt
+        else {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => dflt }
     private def writeNum(f: FileSystem, p: Path, v: Long): Unit = {
       val out = f.create(p, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()

@@ -142,10 +142,25 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       try ex.getResponseBody.write(body) finally ex.close()
     })
     server.start()
+    // and a runaway response body is refused at the byte cap instead
+    // of buffering unbounded (the endpoint streams forever via
+    // chunked encoding; fromUri must abort, not hang or OOM)
+    server.createContext("/huge.yaml", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, 0L) // chunked: no declared length
+      val junk = new Array[Byte](1 << 20)
+      try { var i = 0; while (i < 8) { ex.getResponseBody.write(junk); i += 1 } }
+      catch { case _: java.io.IOException => () } // client hung up at the cap
+      finally ex.close()
+    })
     try {
       ConfigLoader.fromUri(
         s"http://127.0.0.1:${server.getAddress.getPort}/cfg.yaml").run(spark)
       check("from_http")
+      val e = intercept[IllegalStateException] {
+        ConfigLoader.fromUri(
+          s"http://127.0.0.1:${server.getAddress.getPort}/huge.yaml")
+      }
+      assert(e.getMessage.contains("exceeds"))
     } finally server.stop(0)
 
     // a JSON document through the URI path still parses (sniffed)

@@ -85,6 +85,33 @@ class PersistentQueueSpec extends AnyFunSuite {
     assert(gate.deliveries.keySet().stream().distinct().count() == 2)
   }
 
+  test("two live instances over one queue dir never hand out the same batch id") {
+    // a service rebuilt from config can race a still-live old
+    // instance on the same queueDir; id allocation must be arbitrated
+    // by the filesystem (atomic claim files), not each instance's JVM
+    // lock — a duplicate id would overwrite another batch's pending
+    // spool and its downstream batch_id-keyed output
+    val dir = Files.createTempDirectory("pq_twin").toString
+    val gate = new GatedExporter
+    gate.up = true
+    val qa = PersistentQueueExporter(gate, dir, backoffMs = 1)
+    val qb = PersistentQueueExporter(gate, dir, backoffMs = 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          val q = if (t % 2 == 0) qa else qb
+          for (i <- 0 until 4) q.export(batch(t * 10 + i, t * 10 + i + 2))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    // 16 exports → 16 DISTINCT ids, every one delivered
+    assert(gate.deliveries.size == 16, s"ids collided: ${gate.deliveries.keySet()}")
+    gate.deliveries.forEach((_, n) => assert(n == 1))
+  }
+
   test("poison batch exhausts its persistent attempt budget across restarts and dead-letters") {
     val dir = Files.createTempDirectory("pq_poison").toString
     val gate = new GatedExporter // stays down: every attempt fails
