@@ -39,7 +39,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // contention self-diagnosis (r5 verdict #6): per-query durations
+    // are measured under `slots`-way concurrency, so on an idle
+    // machine sum(queries)/wall ≈ slots. A co-scheduled machine
+    // inflates every duration uniformly — sum_over_wall > slots × 1.2
+    // means the artifact is contended and per-query numbers are not
+    // isolated runtimes.
+    val sumOverWall = results.map(_._2).sum / wall
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) {
       System.err.println(s"[bench] ${results.count(_._3.isDefined)} queries FAILED")
