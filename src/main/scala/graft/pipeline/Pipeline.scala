@@ -129,6 +129,20 @@ object Pipeline {
   final class PermanentExportException(msg: String, cause: Throwable = null)
       extends RuntimeException(msg, cause)
 
+  /** OTLP partial success (reference: the Export*PartialSuccess
+    * response message — `rejected_log_records`/`rejected_data_points`
+    * + error_message — which exporterhelper surfaces instead of
+    * all-or-nothing): a sink throws this from exportBatch AFTER
+    * durably accepting every row NOT selected by `rejected`. The
+    * wrapping queue then re-enqueues ONLY the rejected slice —
+    * re-sending accepted rows would duplicate them server-side.
+    * `rejected` must be a deterministic predicate of the data (the
+    * same rows reject on a replay), like every split in the replay
+    * path. */
+  final class PartialSuccessException(val rejected: org.apache.spark.sql.Column,
+                                      msg: String)
+      extends RuntimeException(msg)
+
   /** obsreport-style counters for a queued exporter (reference:
     * obsreport/obsreport_exporter.go sent/failed split + DLQ depth).
     * Thread-safe — one instance can observe a streaming query's
@@ -147,21 +161,31 @@ object Pipeline {
     // a batch-mode export must NOT reroute through the batchId-keyed
     // layout — the delegate's own path/shape stays untouched
     def export(df: DataFrame): Unit =
-      deliver(df, () => delegate.export(df), s"$dlqPath/batch")
+      deliver(df, d => delegate.export(d), s"$dlqPath/batch")
     override def exportBatch(df: DataFrame, batchId: Long): Unit =
-      deliver(df, () => delegate.exportBatch(df, batchId), s"$dlqPath/batch_id=$batchId")
+      deliver(df, d => delegate.exportBatch(d, batchId), s"$dlqPath/batch_id=$batchId")
 
-    private def deliver(df: DataFrame, attemptF: () => Unit, dlqDir: String): Unit = {
+    private def deliver(df0: DataFrame, attemptF: DataFrame => Unit,
+                        dlqDir: String): Unit = {
+      var df = df0
       var attempt = 0
       var delivered = false
       var lastErr: Throwable = null
       while (!delivered && attempt <= maxRetries) {
-        try { attemptF(); delivered = true }
+        try { attemptF(df); delivered = true }
         catch {
           // fatal JVM errors and interrupts propagate (a stopping
           // stream must not divert its in-flight batch to the DLQ)
           case e: PermanentExportException =>
             lastErr = e; attempt = maxRetries + 1
+          case e: PartialSuccessException =>
+            // the sink accepted the rest — only the rejected slice
+            // retries (and only it may dead-letter)
+            lastErr = e
+            df = df.filter(e.rejected)
+            attempt += 1
+            obs.foreach(_.retries.incrementAndGet())
+            if (attempt <= maxRetries) Thread.sleep(backoffMs * attempt)
           case scala.util.control.NonFatal(e) =>
             lastErr = e
             attempt += 1
@@ -288,27 +312,43 @@ object Pipeline {
         throw new IllegalStateException(
           s"persistent queue full ($capacity batches pending) — refusing data")
       df.write.mode("overwrite").parquet(pendingDir(id).toString)
-      attemptDelivery(df.sparkSession, id, () => delegate.exportBatch(df, id))
+      attemptDelivery(df.sparkSession, id, df)
     }
 
     /** redeliver every complete pending spool (call on restart — the
       * persistent_storage "requeue unprocessed items" pass). Partial
       * spools (no _SUCCESS: crash mid-enqueue, accept never returned)
-      * are deleted, not delivered. */
+      * are deleted, not delivered. Interrupted partial-success spool
+      * swaps finish FIRST: a committed `.swap` (it has _SUCCESS, so
+      * the sink already accepted everything outside it) replaces the
+      * full spool; an uncommitted one is discarded and the full spool
+      * redelivers — the sink's idempotent keying absorbs the rows it
+      * already accepted. */
     def recover(spark: SparkSession): RecoveryStats = {
       val f = fs(spark)
       val pend = new Path(s"$queueDir/pending")
       if (!f.exists(pend)) return RecoveryStats(0, 0, 0)
+      for (s <- f.listStatus(pend) if s.isDirectory
+           && s.getPath.getName.endsWith(".swap")) {
+        val id = s.getPath.getName
+          .stripPrefix("batch_id=").stripSuffix(".swap").toLong
+        if (!f.exists(new Path(s.getPath, "_SUCCESS"))) f.delete(s.getPath, true)
+        else {
+          f.delete(pendingDir(id), true)
+          f.rename(s.getPath, pendingDir(id))
+        }
+      }
       var re = 0L; var still = 0L; var dead = 0L
-      val ids = f.listStatus(pend).filter(_.isDirectory).map(s =>
-        s.getPath.getName.stripPrefix("batch_id=").toLong).sorted
+      val ids = f.listStatus(pend).filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(_.endsWith(".swap"))
+        .map(_.stripPrefix("batch_id=").toLong).sorted
       for (id <- ids) {
         if (!f.exists(new Path(pendingDir(id), "_SUCCESS"))) {
           f.delete(pendingDir(id), true)
           f.delete(attemptsFile(id), false)
         } else {
-          val df = spark.read.parquet(pendingDir(id).toString)
-          attemptDelivery(spark, id, () => delegate.exportBatch(df, id)) match {
+          attemptDelivery(spark, id,
+              spark.read.parquet(pendingDir(id).toString)) match {
             case Delivered    => re += 1
             case StillPending => still += 1
             case DeadLettered => dead += 1
@@ -324,19 +364,30 @@ object Pipeline {
     private case object DeadLettered extends Outcome
 
     private def attemptDelivery(spark: SparkSession, id: Long,
-                                attemptF: () => Unit): Outcome = {
+                                df0: DataFrame): Outcome = {
       val f = fs(spark)
+      var df = df0
       var triesThisRun = 0
       while (triesThisRun <= retriesPerRun) {
         val total = bumpAttempts(f, id)
         if (total > maxAttemptsPerBatch) return deadLetter(spark, id)
         try {
-          attemptF()
+          delegate.exportBatch(df, id)
           f.delete(pendingDir(id), true)
           f.delete(attemptsFile(id), false)
           obs.foreach(_.delivered.incrementAndGet())
           return Delivered
         } catch {
+          case e: PartialSuccessException =>
+            // the sink durably accepted everything outside
+            // e.rejected — shrink the pending spool to just the
+            // rejected slice so ONLY it redelivers (this run or after
+            // a restart); re-sending accepted rows would duplicate
+            // them at the sink
+            df = shrinkSpool(spark, id, df.filter(e.rejected))
+            obs.foreach(_.retries.incrementAndGet())
+            triesThisRun += 1
+            if (triesThisRun <= retriesPerRun) Thread.sleep(backoffMs * triesThisRun)
           case _: PermanentExportException => return deadLetter(spark, id)
           case scala.util.control.NonFatal(_) =>
             obs.foreach(_.retries.incrementAndGet())
@@ -345,6 +396,23 @@ object Pipeline {
         }
       }
       StillPending // durable on disk; the next recover() retries it
+    }
+
+    /** crash-safe spool shrink (the partial-success re-enqueue):
+      * write the remainder to `batch_id=<id>.swap` (its _SUCCESS is
+      * the commit), then swap it in. A crash anywhere leaves either
+      * the full spool (uncommitted swap — discarded on recover, full
+      * redelivery, idempotent at the sink) or the committed swap
+      * (recover finishes the rename) — the remainder is never lost
+      * and accepted rows never redeliver after the commit point. */
+    private def shrinkSpool(spark: SparkSession, id: Long,
+                            remainder: DataFrame): DataFrame = {
+      val f = fs(spark)
+      val swap = new Path(s"$queueDir/pending/batch_id=$id.swap")
+      remainder.write.mode("overwrite").parquet(swap.toString)
+      f.delete(pendingDir(id), true)
+      f.rename(swap, pendingDir(id))
+      spark.read.parquet(pendingDir(id).toString)
     }
 
     private def deadLetter(spark: SparkSession, id: Long): Outcome = {
@@ -441,6 +509,104 @@ object Pipeline {
       val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       graft.sources.ArrowIpc.spool(df, batchDir, maxPerFile, dictCap, codec)
+    }
+  }
+
+  /** OTLP-over-Arrow stream RUNTIME analog (reference:
+    * exporter/otlpexporter/internal/arrow/exporter.go:120-233 —
+    * numStreams concurrent Arrow streams; prioritizer.go:27 — a
+    * first-available prioritizer handing each batch to whichever
+    * stream is ready; exporter.go:158-165 — downgrade to standard
+    * OTLP when Arrow fails). Each pool slot is a long-lived stream
+    * identity with its own spool subdirectory (the per-stream gRPC
+    * channel); export blocks until a slot frees (SendAndWait on the
+    * ready channel — natural backpressure), writes the batch as an
+    * Arrow IPC payload on that stream, and returns the slot.
+    *
+    * Downgrade, two granularities like the reference:
+    *  - a batch whose Arrow encode fails falls back to the plain-pb
+    *    spool for THAT batch (partial output is cleaned first so a
+    *    half-written Arrow batch can never double-ingest);
+    *  - `downgradeAfter` CONSECUTIVE failures downgrade the whole
+    *    pool (the stream controller closing the prioritizer channel),
+    *    after which every batch takes the pb path without attempting
+    *    Arrow. A pool-wide downgrade never loses data — both spools
+    *    re-ingest into one dataset via [[ArrowStreamPoolExporter.readLogs]].
+    *
+    * `arrowWrite`/`pbEncode` are injectable for fault-injection specs
+    * and for non-log signals (writeSpansPb / writeMetricsPb). */
+  final class ArrowStreamPoolExporter(
+      dir: String, numStreams: Int = 4,
+      dictCap: Int = 0, codec: String = "none", maxPerFile: Int = 4096,
+      downgradeAfter: Int = 3,
+      pbEncode: DataFrame => DataFrame = graft.sources.OtlpJsonSource.writeLogsPb,
+      arrowWrite: (DataFrame, String, Int, Int, String) => Unit =
+        graft.sources.ArrowIpc.spool(_, _, _, _, _)) extends Exporter {
+    private val ready = new java.util.concurrent.LinkedBlockingQueue[Integer]()
+    (0 until numStreams).foreach(i => ready.put(i))
+    private val seq = new java.util.concurrent.atomic.AtomicLong
+    private val consecutiveFailures = new java.util.concurrent.atomic.AtomicInteger
+    @volatile private var poolDowngraded = false
+    /** telemetry: batches per path, pool state */
+    val arrowBatches = new java.util.concurrent.atomic.AtomicLong
+    val pbBatches = new java.util.concurrent.atomic.AtomicLong
+    def isDowngraded: Boolean = poolDowngraded
+
+    def export(df: DataFrame): Unit = exportBatch(df, seq.getAndIncrement())
+    override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+      if (!poolDowngraded) {
+        val slot = ready.take() // first-available; blocks = backpressure
+        val target = s"$dir/arrow/stream-$slot/batch_id=$batchId"
+        try {
+          deleteDir(df.sparkSession, target) // replay overwrites itself
+          arrowWrite(df, target, maxPerFile, dictCap, codec)
+          consecutiveFailures.set(0)
+          arrowBatches.incrementAndGet()
+          return
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            // a failed encode may have spooled partial files — remove
+            // them or the pb fallback would double-deliver those rows
+            deleteDir(df.sparkSession, target)
+            if (consecutiveFailures.incrementAndGet() >= downgradeAfter)
+              poolDowngraded = true
+        } finally ready.put(slot)
+      }
+      pbEncode(df).write.mode("overwrite").parquet(s"$dir/pb/batch_id=$batchId")
+      pbBatches.incrementAndGet()
+    }
+
+    private def deleteDir(spark: SparkSession, path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+  object ArrowStreamPoolExporter {
+    /** re-ingest BOTH spools as one logs dataset — the receiving side
+      * of a mixed arrow/pb export (a downgraded peer sees standard
+      * OTLP; an arrow-capable one decodes IPC; rows are identical). */
+    def readLogs(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.hadoop.fs.Path
+      val schema = graft.sources.ArrowIpc.logsSchema(spark)
+      val conf = spark.sparkContext.hadoopConfiguration
+      def empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      val arrowDir = new Path(s"$dir/arrow")
+      val arrow =
+        if (arrowDir.getFileSystem(conf).exists(arrowDir))
+          graft.sources.ArrowIpc.parse(
+            spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true").load(arrowDir.toString)
+              .select(col("content").as("ipc")), schema)
+        else empty
+      val pbDir = new Path(s"$dir/pb")
+      val pb =
+        if (pbDir.getFileSystem(conf).exists(pbDir))
+          graft.sources.OtlpJsonSource.parseLogsPb(
+            spark.read.parquet(pbDir.toString).select(col("pb")))
+        else empty
+      arrow.unionByName(pb)
     }
   }
 

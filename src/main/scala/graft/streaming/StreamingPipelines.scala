@@ -86,6 +86,123 @@ object StreamingPipelines {
       }
       .start()
 
+  /** memorylimiterprocessor counters (reference:
+    * processor/memorylimiterprocessor/memorylimiter.go — the
+    * refused/dropped split its obsreport publishes). */
+  final class LimiterObs {
+    val admittedRows = new java.util.concurrent.atomic.AtomicLong
+    val admittedBytes = new java.util.concurrent.atomic.AtomicLong
+    val refusedRows = new java.util.concurrent.atomic.AtomicLong
+    val refusedBytes = new java.util.concurrent.atomic.AtomicLong
+    val droppedRows = new java.util.concurrent.atomic.AtomicLong
+    val droppedBytes = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  /** Memory limiter with a BYTES budget — the soft/hard-watermark
+    * admission of the reference memorylimiterprocessor
+    * (memorylimiter.go: above the soft limit new data is REFUSED —
+    * a retryable error, the receiver backs off; above the hard limit
+    * the processor sheds load) re-expressed for Spark, where the
+    * pressure signal is the OBSERVED bytes of the micro-batch rather
+    * than live heap telemetry (a lazy plan holds no data; what heap
+    * pressure is to the Go runtime, admitted-batch volume is here):
+    *
+    *  - rows whose running total (in the `orderCol` total order) fits
+    *    `softBytes` are admitted downstream;
+    *  - the slice between soft and hard is REFUSED — handed to
+    *    `refuse`, which respools it to the source so later triggers
+    *    re-admit it in budget-sized chunks (backpressure, no loss);
+    *  - beyond `hardBytes` the batch is shed: rows are DROPPED with
+    *    counters (the hard-limit emergency, load too large to even
+    *    queue).
+    *
+    * Progress guarantee: the head row of each trigger is always
+    * admitted (unless it alone exceeds hardBytes — a poison payload,
+    * dropped), so a respooled slice always drains and a single
+    * over-soft row cannot livelock the queue.
+    *
+    * The running sum never plans a single-partition window: rows
+    * bucket by literal percentile cuts of `orderCol` (numeric, unique
+    * — the assignBatchesRanged discipline), per-bucket byte sums
+    * prefix-sum on the driver (≤ shuffle.partitions rows), and each
+    * bucket cumsums only its own range in parallel.
+    *
+    * Same idempotence contract as [[exportStreamAdmitted]]: `refuse`
+    * must overwrite a batchId-derived location, and `orderCol` must
+    * be a total order, or a replayed batchId would change the split.
+    */
+  def exportStreamBytesBudget(stream: DataFrame,
+                              exporter: graft.pipeline.Pipeline.Exporter,
+                              checkpoint: String,
+                              softBytes: Long, hardBytes: Long,
+                              orderCol: org.apache.spark.sql.Column,
+                              sizeOf: org.apache.spark.sql.Column,
+                              refuse: (DataFrame, Long) => Unit,
+                              obs: LimiterObs = new LimiterObs)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(softBytes > 0 && softBytes <= hardBytes,
+      s"need 0 < softBytes <= hardBytes, got $softBytes/$hardBytes")
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = batch.toDF().withColumn("__sz", sizeOf.cast("long")).persist()
+        try {
+          if (base.isEmpty) exporter.exportBatch(batch.toDF(), batchId)
+          else {
+            val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+            val qs = (1 until n).map(_.toDouble / n)
+            val cutRow = base.select(
+              percentile_approx(orderCol, typedLit(qs), lit(10000)).as("c")).head()
+            val cuts: Seq[Any] =
+              if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Any](0).distinct
+            def bucketOf(c: org.apache.spark.sql.Column) =
+              cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
+            val bucketed = base.withColumn("__bk", bucketOf(orderCol))
+            val sums = bucketed.groupBy(col("__bk")).agg(sum(col("__sz")).as("b"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            var acc = 0L
+            val offsets: Map[Int, Long] = (0 to cuts.size).map { bk =>
+              val o = bk -> acc; acc += sums.getOrElse(bk, 0L); o
+            }.toMap
+            val w = Window.partitionBy(col("__bk")).orderBy(orderCol)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val tagged = bucketed
+              .withColumn("__cum", sum(col("__sz")).over(w) +
+                coalesce(element_at(typedLit(offsets), col("__bk")), lit(0L)))
+              .withColumn("__cls",
+                when(col("__cum") - col("__sz") === 0 && col("__sz") > hardBytes, "drop")
+                  .when(col("__cum") - col("__sz") === 0, "admit")
+                  .when(col("__cum") <= softBytes, "admit")
+                  .when(col("__cum") <= hardBytes, "refuse")
+                  .otherwise("drop"))
+              .persist()
+            try {
+              val tallies = tagged.groupBy(col("__cls"))
+                .agg(count(lit(1)).as("n"), sum(col("__sz")).as("b"))
+                .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+              def bump(cls: String, rows: java.util.concurrent.atomic.AtomicLong,
+                       bytes: java.util.concurrent.atomic.AtomicLong): Unit =
+                tallies.get(cls).foreach { case (r, b) =>
+                  rows.addAndGet(r); bytes.addAndGet(b)
+                }
+              bump("admit", obs.admittedRows, obs.admittedBytes)
+              bump("refuse", obs.refusedRows, obs.refusedBytes)
+              bump("drop", obs.droppedRows, obs.droppedBytes)
+              val helperCols = Seq("__sz", "__bk", "__cum", "__cls")
+              if (tallies.contains("refuse"))
+                refuse(tagged.filter(col("__cls") === "refuse")
+                  .drop(helperCols: _*), batchId)
+              exporter.exportBatch(tagged.filter(col("__cls") === "admit")
+                .drop(helperCols: _*), batchId)
+            } finally { tagged.unpersist(); () }
+          }
+        } finally { base.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Scrape receiver analog (reference: receiver/scraperhelper):
     * a periodic pull that emits datapoints on a schedule. The rate
     * source provides the schedule; `scrape` turns each tick into

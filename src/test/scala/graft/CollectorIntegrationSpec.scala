@@ -503,6 +503,76 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("arrow stream pool: concurrent writers, pb downgrade on encode failure, lossless mixed re-ingest") {
+    import graft.pipeline.Pipeline.ArrowStreamPoolExporter
+    val logs = OtlpJsonSource.eventsAsLogs(spark, "/root/testdata/sf0.001")
+      .withColumn("trace_id", substring(col("trace_id"), 1, 32))
+      .withColumn("span_id", substring(col("span_id"), 1, 16))
+      .limit(120)
+      .cache()
+    val batches = (0 until 6).map(i =>
+      logs.filter(pmod(col("time_unix_nano"), lit(6)) === i))
+    val total = logs.count()
+    assert(batches.map(_.count()).sum == total)
+
+    // injected failure: batches 2 and 4 cannot arrow-encode; the
+    // writer spools a PARTIAL junk file first to prove cleanup (a
+    // leftover would corrupt or double-ingest the arrow spool)
+    val dir = java.nio.file.Files.createTempDirectory("arrow_pool").toString
+    val failIds = Set(2L, 4L)
+    val injected: (org.apache.spark.sql.DataFrame, String, Int, Int, String) => Unit =
+      (df, target, mpf, dc, cdc) => {
+        val id = target.split("batch_id=").last.toLong
+        if (failIds.contains(id)) {
+          val p = java.nio.file.Paths.get(target)
+          java.nio.file.Files.createDirectories(p)
+          java.nio.file.Files.write(p.resolve("partial.arrow"), Array[Byte](1, 2, 3))
+          throw new RuntimeException("injected arrow encode failure")
+        }
+        graft.sources.ArrowIpc.spool(df, target, mpf, dc, cdc)
+      }
+    val pool = new ArrowStreamPoolExporter(dir, numStreams = 2,
+      downgradeAfter = 100, arrowWrite = injected)
+    // drive from 3 concurrent senders — the prioritizer hands slots
+    // first-available; excess senders block instead of colliding
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 6).grouped(2).zipWithIndex.map { case (ids, _) =>
+      new Thread(() => {
+        try ids.foreach(i => pool.exportBatch(batches(i), i.toLong))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }.toSeq
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    assert(pool.arrowBatches.get() == 4 && pool.pbBatches.get() == 2)
+    assert(!pool.isDowngraded)
+    // the failed batches' partial files are gone; their data is pb
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/arrow/stream-0/batch_id=2/partial.arrow")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/arrow/stream-1/batch_id=2/partial.arrow")))
+    // mixed arrow/pb spool re-ingests to exactly the input rows
+    val back = ArrowStreamPoolExporter.readLogs(spark, dir)
+    assert(back.count() == total)
+    val cols = Seq("time_unix_nano", "severity_number", "body", "trace_id", "span_id")
+    assert(back.select(cols.map(col): _*).collect().map(_.toString).sorted
+      .sameElements(logs.select(cols.map(col): _*).collect().map(_.toString).sorted))
+
+    // pool-level downgrade: consecutive failures close the ready
+    // channel — everything after flows standard-OTLP, still lossless
+    val dir2 = java.nio.file.Files.createTempDirectory("arrow_pool_dg").toString
+    val alwaysFail: (org.apache.spark.sql.DataFrame, String, Int, Int, String) => Unit =
+      (_, _, _, _, _) => throw new RuntimeException("peer lacks arrow support")
+    val pool2 = new ArrowStreamPoolExporter(dir2, numStreams = 2,
+      downgradeAfter = 2, arrowWrite = alwaysFail)
+    (0 until 4).foreach(i => pool2.exportBatch(batches(i), i.toLong))
+    assert(pool2.isDowngraded)
+    assert(pool2.arrowBatches.get() == 0 && pool2.pbBatches.get() == 4)
+    assert(ArrowStreamPoolExporter.readLogs(spark, dir2).count() ==
+      batches.take(4).map(_.count()).sum)
+    logs.unpersist()
+  }
+
   test("malformed protobuf fails fast, never loops or reads out of bounds") {
     // negative length varint: tag 0x0A then a 10-byte varint decoding
     // to -11 — an unchecked reader would move its cursor backwards and

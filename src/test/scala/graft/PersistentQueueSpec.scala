@@ -85,6 +85,72 @@ class PersistentQueueSpec extends AnyFunSuite {
     assert(gate.deliveries.keySet().stream().distinct().count() == 2)
   }
 
+  test("partial success re-enqueues ONLY the rejected slice; everything lands exactly once across a restart") {
+    // sink with OTLP partial-success semantics: while `rejecting`, ids
+    // >= 6 are refused (deterministic subset) and the rest durably
+    // accepted; acceptance is keyed per id so a duplicate delivery
+    // would show as a count > 1
+    val dir = Files.createTempDirectory("pq_partial").toString
+    val acceptCounts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    @volatile var rejecting = true
+    val sink = new Exporter {
+      def export(df: DataFrame): Unit = exportBatch(df, -1L)
+      override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+        val rows = df.select("id").collect().map(_.getLong(0))
+        val (rej, acc) = rows.partition(id => rejecting && id >= 6)
+        acc.foreach(id => acceptCounts.merge(id, 1, (a, b) => a + b))
+        if (rej.nonEmpty) throw new PartialSuccessException(
+          col("id") >= 6, s"${rej.length} records rejected")
+      }
+    }
+    // retriesPerRun = 0: the rejected slice must survive AS THE SPOOL
+    // into the next instance, not drain in-run
+    val q1 = PersistentQueueExporter(sink, dir, maxAttemptsPerBatch = 10,
+      retriesPerRun = 0, backoffMs = 1)
+    q1.export(batch(0, 10))
+    // accepted prefix landed once; spool holds ONLY the rejected slice
+    assert((0L until 6L).forall(acceptCounts.get(_) == 1))
+    val pend = new java.io.File(s"$dir/pending")
+    assert(pend.listFiles().count(_.isDirectory) == 1)
+    val spooled = spark.read.parquet(s"$dir/pending/batch_id=0")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(spooled.sameElements(6L until 10L),
+      s"spool should hold only the rejected slice: ${spooled.mkString(",")}")
+
+    // "crash" → new instance; the endpoint stops rejecting
+    rejecting = false
+    val q2 = PersistentQueueExporter(sink, dir, maxAttemptsPerBatch = 10,
+      retriesPerRun = 0, backoffMs = 1)
+    assert(q2.recover(spark) == RecoveryStats(1, 0, 0))
+    // exactly once: every row accepted exactly once, nothing pending
+    assert(acceptCounts.size() == 10)
+    acceptCounts.forEach((id, n) => assert(n == 1, s"row $id delivered $n times"))
+    assert(pend.listFiles().count(_.isDirectory) == 0)
+
+    // and with an in-run retry budget the remainder drains without a
+    // restart: one export call, two sink deliveries, zero duplicates
+    rejecting = true
+    val acceptCounts2 = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val sink2 = new Exporter {
+      def export(df: DataFrame): Unit = exportBatch(df, -1L)
+      override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+        val rows = df.select("id").collect().map(_.getLong(0))
+        val (rej, acc) = rows.partition(id => rejecting && id >= 16)
+        acc.foreach(id => acceptCounts2.merge(id, 1, (a, b) => a + b))
+        if (rej.nonEmpty) { rejecting = false; throw new PartialSuccessException(
+          col("id") >= 16, s"${rej.length} rejected") }
+      }
+    }
+    val dir2 = Files.createTempDirectory("pq_partial2").toString
+    val q3 = PersistentQueueExporter(sink2, dir2, maxAttemptsPerBatch = 10,
+      retriesPerRun = 1, backoffMs = 1)
+    q3.export(batch(10, 20))
+    assert(acceptCounts2.size() == 10)
+    acceptCounts2.forEach((id, n) => assert(n == 1, s"row $id delivered $n times"))
+    assert(!new java.io.File(s"$dir2/pending").exists() ||
+      new java.io.File(s"$dir2/pending").listFiles().count(_.isDirectory) == 0)
+  }
+
   test("two live instances over one queue dir never hand out the same batch id") {
     // a service rebuilt from config can race a still-live old
     // instance on the same queueDir; id allocation must be arbitrated

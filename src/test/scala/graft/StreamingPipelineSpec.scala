@@ -765,6 +765,60 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sizes.length >= 4, s"burst spread over multiple triggers: ${sizes.mkString(",")}")
   }
 
+  test("bytes-budget memory limiter: soft slice refused and drained, hard overflow dropped with counters") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("mlim_in").toString
+    val ck = Files.createTempDirectory("mlim_ck").toString
+    // burst: 1000 records × 8 bytes = 8000 observed bytes against a
+    // soft budget of 800 (admit ≤100 rows/trigger) and a hard budget
+    // of 4000 (anything past row 500 in the first trigger is shed)
+    Files.write(Paths.get(inDir, "burst.txt"),
+      (1 to 1000).map(i => f"rec-$i%04d").mkString("\n").getBytes("UTF-8"))
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val exporter = new Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val rows = df.collect().map(_.getString(0))
+        if (rows.nonEmpty) { batchSizes.add(rows.length.toLong); rows.foreach(delivered.add) }
+      }
+    }
+    val refuse: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, batchId) => {
+      val lines = df.collect().map(_.getString(0))
+      Files.write(Paths.get(inDir, f"refused-$batchId%06d.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val obs = new StreamingPipelines.LimiterObs
+    val q = StreamingPipelines.exportStreamBytesBudget(
+      spark.readStream.text(inDir), exporter, ck,
+      softBytes = 800, hardBytes = 4000,
+      orderCol = substring(col("value"), 5, 4).cast("int"),
+      sizeOf = length(col("value")), refuse, obs)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (delivered.size() < 500 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    // refuse-then-drain: the soft slice (rows 101-500 of trigger 1)
+    // respooled and re-admitted in ≤100-row budget chunks
+    assert(delivered.size() == 500, s"soft slice fully drained: ${delivered.size()}")
+    assert((1 to 500).forall(i => delivered.contains(f"rec-$i%04d")),
+      "admitted set is exactly the in-budget prefix")
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(sizes.forall(_ <= 100), s"every trigger within the soft budget: ${sizes.mkString(",")}")
+    assert(sizes.length >= 5, s"burst spread over multiple triggers: ${sizes.mkString(",")}")
+    // the hard-limit shed is counted, not silent
+    assert(obs.droppedRows.get() == 500, s"dropped ${obs.droppedRows.get()}")
+    assert(obs.droppedBytes.get() == 4000, s"dropped bytes ${obs.droppedBytes.get()}")
+    assert(obs.admittedRows.get() == 500)
+    assert(obs.refusedRows.get() == 400 + 300 + 200 + 100,
+      s"refused ${obs.refusedRows.get()}") // each trigger respools the remainder
+  }
+
   test("events-as-logs receiver produces the canonical log schema") {
     val logs = OtlpJsonSource.eventsAsLogs(spark, sf)
     assert(logs.count() == Tables(spark, sf, "events").count())
