@@ -49,6 +49,81 @@ object Ottl {
   def append(arr: Column, value: Column): Column =
     concat(coalesce(arr, array()), array(value))
 
+  // ---- context paths (resource / scope / record) ------------------
+  /** OTTL context path → Column over the flattened schemas. OTTL
+    * statements address THREE levels of the pdata tree — the record
+    * (log/span/datapoint), its instrumentation scope, and its
+    * resource (e.g. `resource.attributes["service.name"]`,
+    * `instrumentation_scope.name`, `attributes["http.route"]`,
+    * `body`); graft flattens that tree into per-record columns
+    * (resource_attributes, scope_name, ...), so path resolution is a
+    * plan-time rewrite, zero per-row cost. Unknown segments resolve
+    * as plain column names (record-context fields); a genuinely
+    * missing field fails at ANALYSIS time like any bad column — the
+    * collector's config-validation stage, not a runtime surprise. */
+  def path(p: String): Column = p match {
+    case MapEntryPath(base, key) => element_at(mapPathCol(base), key)
+    // pdata accessor suffixes: ids are already hex strings here
+    case "trace_id.string"       => col("trace_id")
+    case "span_id.string"        => col("span_id")
+    case "parent_span_id.string" => col("parent_span_id")
+    case "resource.attributes"   => col("resource_attributes")
+    case "resource.dropped_attributes_count" =>
+      col("resource_dropped_attributes_count")
+    case "instrumentation_scope.name" | "scope.name"       => col("scope_name")
+    case "instrumentation_scope.version" | "scope.version" => col("scope_version")
+    case "instrumentation_scope.attributes" | "scope.attributes" =>
+      col("scope_attributes")
+    // datapoint context: the enclosing metric's fields ride flattened
+    case "metric.name"        => col("metric_name")
+    case "metric.description" => col("description")
+    case "metric.unit"        => col("unit")
+    case "metric.type"        => col("metric_type")
+    case bare => col(bare)
+  }
+
+  /** set(path, value) at statement level: editors that write INTO a
+    * map entry rewrite the backing map column; plain paths rewrite
+    * their column. Returns the transformed frame (OTTL statements
+    * compose as withColumns). */
+  def setPath(df: org.apache.spark.sql.DataFrame, p: String,
+              value: Column): org.apache.spark.sql.DataFrame = p match {
+    case MapEntryPath(base, key) =>
+      val name = mapPathName(base)
+      df.withColumn(name, Processors.mapPut(col(name), key, value))
+    case other => df.withColumn(pathColumnName(other), value)
+  }
+
+  /** delete_key at statement level, any context:
+    * `deleteAtPath(df, "resource.attributes", "internal.tag")` */
+  def deleteAtPath(df: org.apache.spark.sql.DataFrame, mapPath: String,
+                   key: String): org.apache.spark.sql.DataFrame = {
+    val name = mapPathName(mapPath)
+    df.withColumn(name, Processors.mapDelete(col(name), Seq(key)))
+  }
+
+  private val MapEntryPath = """^([A-Za-z_.]+)\["([^"]+)"\]$""".r
+  private def mapPathName(base: String): String = base match {
+    case "attributes" => "attributes"
+    case "resource.attributes" => "resource_attributes"
+    case "instrumentation_scope.attributes" | "scope.attributes" =>
+      "scope_attributes"
+    case other => throw new IllegalArgumentException(
+      s"'$other' is not an OTTL map path (attributes | resource.attributes" +
+        " | instrumentation_scope.attributes)")
+  }
+  private def mapPathCol(base: String): Column = col(mapPathName(base))
+  private def pathColumnName(p: String): String = p match {
+    case "instrumentation_scope.name" | "scope.name"       => "scope_name"
+    case "instrumentation_scope.version" | "scope.version" => "scope_version"
+    case "metric.name" => "metric_name"
+    case "metric.description" => "description"
+    case "metric.unit" => "unit"
+    case bare if !bare.contains('.') => bare
+    case other => throw new IllegalArgumentException(
+      s"cannot write to OTTL path '$other'")
+  }
+
   // ---- converters (pure functions) -------------------------------
   /** Concat(vals..., sep) */
   def concatWs(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)

@@ -188,6 +188,63 @@ class OttlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("%Q"))
   }
 
+  test("context paths address record, scope, and resource levels") {
+    val logRow = Seq((
+      "payment failed", 17, Map("http.route" -> "/pay", "retry" -> "2"),
+      Map("service.name" -> "api", "internal.tag" -> "x"),
+      "graft-instr", "1a2b"))
+      .toDF("body", "severity_number", "attributes",
+        "resource_attributes", "scope_name", "trace_id")
+    // reads at all three levels resolve to the flattened columns
+    val r = logRow.select(
+      Ottl.path("body").as("b"),
+      Ottl.path("severity_number").as("sev"),
+      Ottl.path("""attributes["http.route"]""").as("route"),
+      Ottl.path("""resource.attributes["service.name"]""").as("svc"),
+      Ottl.path("instrumentation_scope.name").as("scope"),
+      Ottl.path("scope.name").as("scope2"),
+      Ottl.path("trace_id.string").as("tid")).head()
+    assert(r.getAs[String]("b") == "payment failed")
+    assert(r.getAs[Int]("sev") == 17)
+    assert(r.getAs[String]("route") == "/pay")
+    assert(r.getAs[String]("svc") == "api")
+    assert(r.getAs[String]("scope") == "graft-instr")
+    assert(r.getAs[String]("scope2") == "graft-instr")
+    assert(r.getAs[String]("tid") == "1a2b")
+
+    // statement-level writes: set into maps at record AND resource
+    // level, set a scope field, delete a resource attribute
+    val out = Ottl.deleteAtPath(
+      Ottl.setPath(
+        Ottl.setPath(
+          Ottl.setPath(logRow, """resource.attributes["deployment"]""", lit("prod")),
+          """attributes["sampled"]""", lit("true")),
+        "scope.name", lit("graft-renamed")),
+      "resource.attributes", "internal.tag").head()
+    val resAttrs = out.getAs[Map[String, String]]("resource_attributes")
+    assert(resAttrs("deployment") == "prod" && !resAttrs.contains("internal.tag"))
+    assert(resAttrs("service.name") == "api")
+    assert(out.getAs[Map[String, String]]("attributes")("sampled") == "true")
+    assert(out.getAs[String]("scope_name") == "graft-renamed")
+
+    // datapoint context: the enclosing metric's flattened fields
+    val point = Seq(("req_total", "sum", "1", 4.0))
+      .toDF("metric_name", "metric_type", "unit", "value")
+      .select(Ottl.path("metric.name").as("n"), Ottl.path("metric.type").as("t"),
+        Ottl.path("metric.unit").as("u")).head()
+    assert(point.getString(0) == "req_total" && point.getString(1) == "sum" &&
+      point.getString(2) == "1")
+
+    // bad paths fail at PLAN time with the path named — config
+    // validation, not a runtime surprise
+    assert(intercept[IllegalArgumentException] {
+      Ottl.setPath(logRow, "resource.weird", lit(1))
+    }.getMessage.contains("resource.weird"))
+    assert(intercept[IllegalArgumentException] {
+      Ottl.deleteAtPath(logRow, "body", "k")
+    }.getMessage.contains("not an OTTL map path"))
+  }
+
   test("timeFromUnixNano lands every input in the RIGHT microsecond (exact integer division)") {
     // the double-division formulation spaced ~256 ns apart at
     // current-epoch magnitudes — ~12% of inputs truncated into the
