@@ -27,6 +27,29 @@ object Plans {
       "one per-partkey aggregate joined BACK on the grouping key: no " +
       "per-group window over the fact, and both branches hash-partition " +
       "on l_partkey so the exchange is computed once and reused."),
+    "q13_customer_distribution" -> ("Outer-join fan-out distribution " +
+      "keeping the zero bucket: customer LEFT OUTER orders, count " +
+      "non-null orderkeys per customer, then the tiny histogram " +
+      "aggregate. One o_custkey shuffle; no hint on either SF-scaled " +
+      "side — strategy is AQE's."),
+    "q20_excess_suppliers" -> ("Nested semi-join chain with a HAVING " +
+      "threshold: part filter → LEFT SEMI into lineitem (the fact " +
+      "never widens), per-supplier quantity aggregate, threshold, then " +
+      "LEFT SEMI into supplier. Semi joins all the way down — no " +
+      "row multiplication at any step."),
+    "q21_waiting_suppliers" -> ("Multi-correlated EXISTS / NOT EXISTS " +
+      "fused into ONE per-order aggregate over a single fact⋈orders " +
+      "pass: supplier sets ride as collect_set (bounded by suppliers " +
+      "per order) and the late-row count rides alongside, so the plan " +
+      "shows exactly one lineitem leaf, one orders leaf, one " +
+      "l_orderkey shuffle, and a plain partial+final HashAggregate — " +
+      "no countDistinct Expand, no second scan (r5's formulation " +
+      "scanned the fact twice; PlanSpec pins the single-leaf shape)."),
+    "q22_no_order_customers" -> ("Global scalar subquery + dormancy " +
+      "anti join: the one-row average cross-joins in (stats broadcast " +
+      "it without a hint), the NOT EXISTS is a LEFT ANTI against the " +
+      "date-filtered orders scan — both SF-scaled sides stay " +
+      "hint-free."),
     "q_batch_assign" -> ("Globally-ordered batch ids with NO " +
       "single-partition window: literal split points bucket the key, the " +
       "window partitions by bucket."),
