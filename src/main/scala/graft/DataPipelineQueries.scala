@@ -297,6 +297,16 @@ object DataPipelineQueries {
         .groupBy(col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
 
+    // BM25 relevance mining: rank the corpus against a bounded seed
+    // query (domain mining / relevance filtering for training mixes).
+    // Rational idf — see TextOps.bm25 for the libm-free exactness
+    // argument; top-20 with a doc_id tie-break.
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)),
+
     // Rabin–Karp rolling-hash content fingerprint dup clusters
     // (order-sensitive identity, the streaming-friendly fingerprint)
     "q_doc_rollhash" -> ((s, dir) => {
@@ -828,6 +838,35 @@ object DataPipelineQueries {
         |    CAST(('0x' || substr(md5('pack7:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
         |   FROM documents)))
         |GROUP BY shard, pack_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH dl AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+        | FROM documents),
+        |stats AS (
+        | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        | FROM dl),
+        |hits AS (
+        | SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        | FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |       FROM documents)
+        | WHERE term IN ('spark', 'join', 'window')
+        | GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY term)
+        |SELECT h.doc_id, COUNT(*) AS n_terms,
+        | CAST(SUM(CAST(
+        |  (((s.n - d.dft) + 0.5) / (d.dft + 0.5)) * (h.tf * (1.2 + 1.0)) /
+        |   (h.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+        |  AS DECIMAL(28,8))) AS DOUBLE) AS score
+        |FROM hits h
+        |JOIN dft d USING (term)
+        |JOIN dl l USING (doc_id)
+        |CROSS JOIN stats s
+        |GROUP BY h.doc_id
+        |ORDER BY score DESC, h.doc_id ASC
+        |LIMIT 20""".stripMargin,
 
     "q_doc_rollhash" ->
       """SELECT rh, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token counting, quality
@@ -61,4 +61,52 @@ object TextOps {
     when(nTokens >= lit(60) && avgLen >= lit(4.0) && stopRatio <= lit(0.3), lit("high"))
       .when(nTokens >= lit(20), lit("medium"))
       .otherwise(lit("low"))
+
+  /** BM25 relevance scoring of every document against a bounded query
+    * term set — the retrieval/mining primitive of a training-data
+    * pipeline (mine a 100 TB corpus for documents relevant to a seed
+    * query, rank domain matches). Shape at scale: tokenize+explode is
+    * map-side, and the posting FILTER to the query terms sits inside
+    * it, so the one wide op (groupBy doc,term) carries only hits —
+    * proportional to matches, never to corpus tokens; document length
+    * stays exact integer; the corpus scalars (N, avgdl) are one tiny
+    * aggregate cross-joined in (stats broadcast it, q22 discipline).
+    *
+    * idf uses the RATIONAL form (N - df + 0.5)/(df + 0.5): BM25's
+    * log-idf is monotone in it, so per-term ranking is unchanged, and
+    * staying libm-free keeps every operation IEEE-exact and
+    * bit-identical in the DuckDB oracle (JVM Math.log is not
+    * correctly rounded — ln() would drift in the last ulp). The
+    * per-doc sum routes through DECIMAL(28,8) like every cross-row
+    * double sum in the repo.
+    *
+    * k1/b arrive as separate literal terms (k1 + 1.0 is computed in
+    * the PLAN, mirroring the oracle's text) so both engines run the
+    * identical float expression tree.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val dl = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
+    // N and avgdl: integer-exact inputs, one one-row aggregate
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+    val hits = toks.select(col(idCol), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dft = hits.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__dft"))
+    hits.join(dft, "__term")
+      .join(dl, idCol)
+      .crossJoin(stats)
+      .withColumn("__idf",
+        (col("__n") - col("__dft") + lit(0.5)) / (col("__dft") + lit(0.5)))
+      .withColumn("__s",
+        col("__idf") * (col("__tf") * (lit(k1) + lit(1.0))) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * (col("__dl").cast("double") / col("__avgdl")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), graft.QUtil.dsum(col("__s")).as("score"))
+  }
 }

@@ -26,6 +26,40 @@ class KernelPropertySpec extends AnyFunSuite {
     else ws.sliding(n).map(_.mkString(" ")).toSeq.distinct
   }
 
+  test("bm25 matches a driver-side reference implementation (rational idf)") {
+    import org.apache.spark.sql.functions.col
+    val terms = Seq("spark", "join", "window")
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = graft.operators.TextOps.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent reference: plain Scala over the collected corpus
+    val corpus = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / n
+    val dfT = terms.map(t => t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    val expect = corpus.flatMap { case (id, toks) =>
+      val scores = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(((n - dfT(t)) + 0.5) / (dfT(t) + 0.5) * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * (toks.length.toDouble / avgdl))))
+      }
+      if (scores.isEmpty) None
+      else Some(id -> (scores.length.toLong,
+        scores.map(BigDecimal(_).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (nt, s)) =>
+      assert(nt == expect(id)._1, s"doc $id n_terms")
+      assert(math.abs(s - expect(id)._2) < 1e-9, s"doc $id: $s vs ${expect(id)._2}")
+    }
+    // every scored doc actually contains a query term; none missed
+    assert(got.nonEmpty && got.keySet == corpus
+      .filter(_._2.exists(terms.contains)).map(_._1).toSet)
+  }
+
   test("WordShingles matches the sliding-window reference on arbitrary docs") {
     samples(Gen.listOfN(8, doc), 20).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
