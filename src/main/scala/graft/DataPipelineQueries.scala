@@ -119,6 +119,13 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"), col("sim"))
     }),
 
+    // cosine-threshold range search (radius primitive; tau picked to
+    // exercise a non-trivial match set at test SFs)
+    "q_ann_range" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.rangeSearch(e.filter(col("vec_id") < 10), e, tau = 0.3)
+    }),
+
     // hyperplane-LSH bucketed ANN (md5-sign planes — oracle-verified)
     "q_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -712,6 +719,16 @@ object DataPipelineQueries {
         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
         |SELECT component, COUNT(*) AS n_members, MAX(id) AS max_id
         |FROM comp GROUP BY component""".stripMargin,
+
+    "q_ann_range" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS sim
+        | FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT qid, nid, sim FROM sims WHERE sim >= 0.3""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -45,6 +45,26 @@ object AnnOps {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** cosine-threshold RANGE search: every corpus neighbor with
+    * sim ≥ tau per query — the radius primitive (recall-set
+    * construction, embedding filtering at a similarity bar, the
+    * query-side twin of embedding near-dup). Same broadcast-query
+    * map-side shape as [[bruteForceTopK]]: O(Q·N), the corpus never
+    * shuffles, and the threshold filter runs inside the scan-side
+    * projection — output is proportional to matches. The filter
+    * decision is safe to cross-check against an oracle because the
+    * native cosine is bit-identical across engines. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val c = corpus.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("ne"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+      .filter(col("sim") >= lit(tau))
+  }
+
   /** random-hyperplane signature: bit p = sign(Σ_d w_pd · v_d) with
     * deterministic pseudo-random ±1 weights from xxhash64(table, p, d).
     * One codegen'd pass per vector.

@@ -286,6 +286,7 @@ object Pipeline {
       delegate: Exporter, queueDir: String,
       maxAttemptsPerBatch: Int = 6, retriesPerRun: Int = 1,
       backoffMs: Long = 25, capacity: Int = 1024,
+      capacityBytes: Long = 0L,
       obs: Option[QueueObs] = None) extends Exporter {
     import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -301,16 +302,29 @@ object Pipeline {
       enqueueAndAttempt(df, batchId)
 
     /** accept = durable enqueue (throws only on queue-full — the
-      * reference's refused-data backpressure signal); a delivery
-      * failure after a successful enqueue does NOT throw: the batch
-      * is safe on disk and recover() will redeliver it. */
+      * reference's refused-data backpressure signal, with BOTH sizers
+      * of the exporterhelper queue: item count and, when
+      * capacityBytes > 0, spooled bytes); a delivery failure after a
+      * successful enqueue does NOT throw: the batch is safe on disk
+      * and recover() will redeliver it. */
     private def enqueueAndAttempt(df: DataFrame, id: Long): Unit = {
       val f = fs(df.sparkSession)
       val pend = new Path(s"$queueDir/pending")
-      if (f.exists(pend) &&
-          f.listStatus(pend).count(_.isDirectory) >= capacity)
-        throw new IllegalStateException(
-          s"persistent queue full ($capacity batches pending) — refusing data")
+      if (f.exists(pend)) {
+        if (f.listStatus(pend).count(_.isDirectory) >= capacity)
+          throw new IllegalStateException(
+            s"persistent queue full ($capacity batches pending) — refusing data")
+        if (capacityBytes > 0) {
+          // the bytes sizer measures what is actually spooled —
+          // observed on-disk size, the only portable batch-bytes
+          // signal (one FS content scan per accept, driver-side tiny)
+          val used = f.getContentSummary(pend).getLength
+          if (used >= capacityBytes)
+            throw new IllegalStateException(
+              s"persistent queue full ($used of $capacityBytes bytes" +
+                " pending) — refusing data")
+        }
+      }
       df.write.mode("overwrite").parquet(pendingDir(id).toString)
       attemptDelivery(df.sparkSession, id, df)
     }

@@ -263,6 +263,28 @@ class PersistentQueueSpec extends AnyFunSuite {
     assert(svc.recover(spark) == Map("logs/out" -> RecoveryStats(0, 0, 0)))
   }
 
+  test("bytes sizer: a full-by-bytes queue refuses accepts and admits again after draining") {
+    // the exporterhelper queue sizes by items AND bytes; graft's item
+    // cap alone would let a few huge batches exhaust the spool disk
+    val dir = Files.createTempDirectory("pq_bytes").toString
+    val gate = new GatedExporter // down: everything stays pending
+    val q = PersistentQueueExporter(gate, dir, maxAttemptsPerBatch = 10,
+      retriesPerRun = 0, backoffMs = 1, capacity = 1000, capacityBytes = 1)
+    // capacityBytes=1: the FIRST accept spools fine (queue empty),
+    // the second sees pending bytes >= 1 and refuses
+    q.export(batch(0, 5))
+    val e = intercept[IllegalStateException] { q.export(batch(5, 9)) }
+    assert(e.getMessage.contains("bytes"), e.getMessage)
+    // the refused batch was NOT spooled
+    assert(new java.io.File(s"$dir/pending").listFiles()
+      .count(_.isDirectory) == 1)
+    // drain: endpoint up, recover delivers; accepts flow again
+    gate.up = true
+    assert(q.recover(spark) == RecoveryStats(1, 0, 0))
+    q.export(batch(5, 9))
+    assert(gate.deliveries.size == 2)
+  }
+
   test("queue-full refuses new data (backpressure), pending batches unharmed") {
     val dir = Files.createTempDirectory("pq_full").toString
     val gate = new GatedExporter // down
