@@ -304,6 +304,11 @@ object DataPipelineQueries {
         .groupBy(col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
 
+    // bigram-LM fluency score (the CCNet-style LM quality filter,
+    // self-trained on the corpus — see TextOps.lmBigramScore)
+    "q_lm_bigram" -> ((s, dir) =>
+      TextOps.lmBigramScore(docs(s, dir), "doc_id", "text")),
+
     // BM25 relevance mining: rank the corpus against a bounded seed
     // query (domain mining / relevance filtering for training mixes).
     // Rational idf — see TextOps.bm25 for the libm-free exactness
@@ -855,6 +860,28 @@ object DataPipelineQueries {
         |    CAST(('0x' || substr(md5('pack7:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
         |   FROM documents)))
         |GROUP BY shard, pack_id""".stripMargin,
+
+    "q_lm_bigram" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |big AS (
+        | SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        | FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |uc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vocab
+        |      FROM (SELECT unnest(t) AS term FROM toks)),
+        |scored AS (
+        | SELECT b.doc_id,
+        |  (CAST(c.c12 AS DOUBLE) + 1.0) / (CAST(u.c1 AS DOUBLE) + v.vocab) AS p
+        | FROM big b
+        | JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+        | JOIN uc u ON b.w1 = u.w1
+        | CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q_bm25" ->
       """WITH dl AS (

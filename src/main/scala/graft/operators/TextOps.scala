@@ -62,6 +62,42 @@ object TextOps {
       .when(nTokens >= lit(20), lit("medium"))
       .otherwise(lit("low"))
 
+  /** Self-trained bigram-LM fluency score — the CCNet/Gopher-style
+    * language-model quality filter: add-one-smoothed
+    * p(w_i | w_{i-1}) from the corpus's OWN bigram/prefix counts,
+    * averaged per document. Predictable prose scores high; word soup
+    * and boilerplate glue score low. The arithmetic-mean form (not
+    * log-perplexity) keeps every operation libm-free so the DuckDB
+    * oracle is bit-exact; a geometric mean ranks the same way, the
+    * class boundary just moves.
+    *
+    * Scale shape: the bigram explode is map-side; the two count
+    * tables are plain aggregates shuffled on their own keys, and the
+    * join-back co-partitions on those keys; vocab is one exact
+    * distinct count (swap ScaleOps.approxDistinct in at 100 TB —
+    * smoothing doesn't care about the last few vocab entries).
+    */
+  def lmBigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val big = toks
+      .withColumn("__a", slice(col("__t"), lit(1), size(col("__t")) - 1))
+      .withColumn("__b", slice(col("__t"), lit(2), size(col("__t")) - 1))
+      .select(col(idCol), explode(arrays_zip(col("__a"), col("__b"))).as("__pr"))
+      .select(col(idCol), col("__pr.__a").as("__w1"), col("__pr.__b").as("__w2"))
+    val bc = big.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val uc = big.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("__term"))
+      .agg(countDistinct(col("__term")).cast("double").as("__v"))
+    big.join(bc, Seq("__w1", "__w2")).join(uc, Seq("__w1")).crossJoin(vocab)
+      .withColumn("__p",
+        (col("__c12").cast("double") + lit(1.0)) /
+          (col("__c1").cast("double") + col("__v")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.QUtil.dsum(col("__p")) / count(lit(1)).cast("double")).as("lm_score"))
+  }
+
   /** BM25 relevance scoring of every document against a bounded query
     * term set — the retrieval/mining primitive of a training-data
     * pipeline (mine a 100 TB corpus for documents relevant to a seed

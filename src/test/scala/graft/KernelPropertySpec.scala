@@ -60,6 +60,31 @@ class KernelPropertySpec extends AnyFunSuite {
       .filter(_._2.exists(terms.contains)).map(_._1).toSet)
   }
 
+  test("lmBigramScore matches a driver-side reference implementation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = graft.operators.TextOps.lmBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val corpus = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val bigrams = corpus.flatMap { case (_, t) => t.zip(t.tail) }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val vocab = corpus.flatMap(_._2).distinct.length.toDouble
+    val expect = corpus.filter(_._2.length >= 2).map { case (id, t) =>
+      val ps = t.zip(t.tail).map(b => (c12(b) + 1.0) / (c1(b._1) + vocab))
+      id -> (ps.length.toLong,
+        ps.map(BigDecimal(_).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / ps.length)
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, s)) =>
+      assert(n == expect(id)._1, s"doc $id n_bigrams")
+      assert(math.abs(s - expect(id)._2) < 1e-9, s"doc $id: $s vs ${expect(id)._2}")
+    }
+    // sanity: scores are probabilities-ish, strictly inside (0, 1)
+    assert(got.values.forall { case (_, s) => s > 0.0 && s < 1.0 })
+  }
+
   test("WordShingles matches the sliding-window reference on arbitrary docs") {
     samples(Gen.listOfN(8, doc), 20).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
