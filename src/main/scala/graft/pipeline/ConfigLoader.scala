@@ -64,7 +64,19 @@ object ConfigLoader {
     * every case — the resolver chain order of the collector. */
   def fromUri(uri: String,
               env: String => Option[String] = sys.env.get): Service = {
-    val (text, hint) = uri match {
+    val (text, hint) = retrieve(uri, env)
+    val isYaml =
+      if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
+      else if (hint.endsWith(".json")) false
+      else !text.dropWhile(_.isWhitespace).startsWith("{")
+    fromText(text, isYaml, env)
+  }
+
+  /** one provider dispatch: fetch the raw document for a config URI
+    * (shared by [[fromUri]] and the [[watch]] poll loop) */
+  private def retrieve(uri: String,
+                       env: String => Option[String]): (String, String) = {
+    uri match {
       case u if u.startsWith("env:") =>
         val name = u.stripPrefix("env:")
         (env(name).getOrElse(throw new IllegalArgumentException(
@@ -84,11 +96,71 @@ object ConfigLoader {
         (new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8"), path)
     }
-    val isYaml =
-      if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
-      else if (hint.endsWith(".json")) false
-      else !text.dropWhile(_.isWhitespace).startsWith("{")
-    fromText(text, isYaml, env)
+  }
+
+  /** confmap watcher analog (reference: confmap/resolver.go's Watch
+    * channel + the collector's reload loop — a provider signals
+    * change, the whole config re-resolves and the service rebuilds):
+    * poll the URI every `intervalMs`; when the retrieved document
+    * CHANGES, rebuild and hand the new Service to `onReload`. The
+    * initial document loads immediately (the collector's startup
+    * resolve). A changed document that fails validation is REJECTED —
+    * counted, reported to `onError`, and the previous service keeps
+    * running (the collector refuses a bad reload rather than dying);
+    * the same bad text is not re-attempted until it changes again.
+    * close() stops the loop. */
+  def watch(uri: String, intervalMs: Long,
+            env: String => Option[String] = sys.env.get,
+            onError: Throwable => Unit = _ => ())(
+            onReload: Service => Unit): ConfigWatcher =
+    new ConfigWatcher(uri, intervalMs, env, onReload, onError)
+
+  final class ConfigWatcher private[ConfigLoader] (
+      uri: String, intervalMs: Long, env: String => Option[String],
+      onReload: Service => Unit, onError: Throwable => Unit)
+      extends AutoCloseable {
+    val reloads = new java.util.concurrent.atomic.AtomicLong
+    val rejected = new java.util.concurrent.atomic.AtomicLong
+    @volatile private var running = true
+    @volatile private var lastText: String = null
+
+    private def poll(): Unit = {
+      val (text, hint) = retrieve(uri, env)
+      if (text != lastText) {
+        lastText = text // a bad doc is not retried until it changes
+        try {
+          val isYaml =
+            if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
+            else if (hint.endsWith(".json")) false
+            else !text.dropWhile(_.isWhitespace).startsWith("{")
+          val svc = fromText(text, isYaml, env)
+          reloads.incrementAndGet()
+          onReload(svc)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            rejected.incrementAndGet()
+            onError(e)
+        }
+      }
+    }
+
+    // startup resolve happens synchronously so callers hold a valid
+    // service before the watcher thread exists
+    poll()
+    private val t = new Thread(() => {
+      try {
+        while (running) {
+          Thread.sleep(intervalMs)
+          if (running)
+            try poll()
+            catch { case scala.util.control.NonFatal(e) => onError(e) }
+        }
+      } catch { case _: InterruptedException => () } // close()
+    }, s"graft-config-watch")
+    t.setDaemon(true)
+    t.start()
+
+    def close(): Unit = { running = false; t.interrupt() }
   }
 
   /** http provider guards: a config document is small by contract —

@@ -88,19 +88,39 @@ object Pipeline {
       copy(path = s"$path/batch_id=$batchId", mode = "overwrite").export(df)
   }
 
+  /** exporterhelper retry backoff (reference: the retry sender's
+    * configurable exponential backoff — initial interval, multiplier,
+    * max interval, randomization factor): delay for attempt n is
+    * min(max, initial·multiplier^n) scaled by a DETERMINISTIC jitter
+    * in [1−r, 1+r] derived from (seed, attempt) — the jitter's
+    * purpose (de-synchronizing a fleet of retriers) only needs
+    * per-sender variation, and a seeded value keeps replays
+    * reproducible where a shared RNG would not be. */
+  def backoffDelayMs(initialMs: Long, attempt: Int, multiplier: Double = 2.0,
+                     maxMs: Long = 30000, randomization: Double = 0.5,
+                     seed: Long = 0L): Long = {
+    val base = math.min(maxMs.toDouble,
+      initialMs.toDouble * math.pow(multiplier, (attempt - 1).max(0)))
+    val u = new java.util.SplittableRandom(seed * 31L + attempt).nextDouble()
+    math.max(0L, math.round(base * (1.0 - randomization + 2.0 * randomization * u)))
+  }
+
   /** exporterhelper retry semantics (reference: exporter/exporterhelper
-    * queue+retry+timeout): bounded retries with backoff around a
-    * delegate exporter. Spark actions are idempotent re-runs of the
-    * same lazy plan, so retrying the export IS retrying the batch.
+    * queue+retry+timeout): bounded retries with exponential backoff
+    * around a delegate exporter. Spark actions are idempotent re-runs
+    * of the same lazy plan, so retrying the export IS retrying the
+    * batch.
     */
   final case class RetryingExporter(delegate: Exporter, maxRetries: Int = 3,
-                                    backoffMs: Long = 100) extends Exporter {
-    def export(df: DataFrame): Unit = retry(() => delegate.export(df))
+                                    backoffMs: Long = 100,
+                                    multiplier: Double = 2.0,
+                                    maxBackoffMs: Long = 30000) extends Exporter {
+    def export(df: DataFrame): Unit = retry(() => delegate.export(df), 0L)
     // forward the batchId so a retried micro-batch keeps its idempotent
     // per-batch keying (dropping it would clobber the whole sink)
     override def exportBatch(df: DataFrame, batchId: Long): Unit =
-      retry(() => delegate.exportBatch(df, batchId))
-    private def retry(f: () => Unit): Unit = {
+      retry(() => delegate.exportBatch(df, batchId), batchId)
+    private def retry(f: () => Unit, seed: Long): Unit = {
       var attempt = 0
       var done = false
       while (!done) {
@@ -108,7 +128,8 @@ object Pipeline {
         catch {
           case scala.util.control.NonFatal(_) if attempt < maxRetries =>
             attempt += 1
-            Thread.sleep(backoffMs * attempt)
+            Thread.sleep(backoffDelayMs(backoffMs, attempt, multiplier,
+              maxBackoffMs, seed = seed))
         }
       }
     }
@@ -770,7 +791,7 @@ object Pipeline {
     private def findPersistent(e: Exporter): Seq[PersistentQueueExporter] =
       e match {
         case q: PersistentQueueExporter => q +: findPersistent(q.delegate)
-        case RetryingExporter(d, _, _) => findPersistent(d)
+        case RetryingExporter(d, _, _, _, _) => findPersistent(d)
         case QueuedExporter(d, _, _, _, _) => findPersistent(d)
         case TimeoutExporter(d, _) => findPersistent(d)
         case _ => Nil

@@ -503,6 +503,70 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("config watcher: reload on change, bad documents rejected while the old service keeps running") {
+    import graft.pipeline.ConfigLoader
+    val out = java.nio.file.Files.createTempDirectory("cfg_watch_out").toString
+    def doc(sub: String) =
+      s"""pipelines:
+         |  logs/errors:
+         |    receiver: {type: table, dir: /root/testdata/sf0.001, table: events}
+         |    processors:
+         |      - {type: filter, where: "event_type = 'error'"}
+         |    exporters:
+         |      - {type: parquet, path: $out/$sub}
+         |""".stripMargin
+    val cfg = java.nio.file.Files.createTempFile("graft_watch", ".yaml")
+    java.nio.file.Files.write(cfg, doc("v1").getBytes("UTF-8"))
+    val services = new java.util.concurrent.ConcurrentLinkedQueue[graft.pipeline.Pipeline.Service]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val w = ConfigLoader.watch(s"file:$cfg", intervalMs = 50,
+      onError = errs.add(_))(services.add(_))
+    try {
+      // startup resolve is synchronous
+      assert(w.reloads.get() == 1 && services.size() == 1)
+      services.peek().run(spark)
+      assert(spark.read.parquet(s"$out/v1").count() > 0)
+      def awaitCount(c: java.util.concurrent.atomic.AtomicLong, n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (c.get() < n && System.currentTimeMillis() < deadline) Thread.sleep(25)
+        assert(c.get() == n, s"expected $n, got ${c.get()}")
+      }
+      // change → one reload with the NEW wiring
+      java.nio.file.Files.write(cfg, doc("v2").getBytes("UTF-8"))
+      awaitCount(w.reloads, 2)
+      services.toArray(Array.empty[graft.pipeline.Pipeline.Service]).last.run(spark)
+      assert(spark.read.parquet(s"$out/v2").count() > 0)
+      // a bad document is rejected, not adopted, and not re-attempted
+      // until it changes; the reload count stays put
+      java.nio.file.Files.write(cfg, "pipelines: [broken".getBytes("UTF-8"))
+      awaitCount(w.rejected, 1)
+      Thread.sleep(200)
+      assert(w.reloads.get() == 2 && w.rejected.get() == 1, "bad doc retried or adopted")
+      assert(errs.size() == 1)
+      // a fixed document reloads again
+      java.nio.file.Files.write(cfg, doc("v3").getBytes("UTF-8"))
+      awaitCount(w.reloads, 3)
+    } finally w.close()
+  }
+
+  test("retry backoff is exponential, capped, jittered within bounds, and deterministic") {
+    import graft.pipeline.Pipeline.backoffDelayMs
+    val r = 0.5
+    for (attempt <- 1 to 10) {
+      val d = backoffDelayMs(100, attempt, multiplier = 2.0, maxMs = 3000,
+        randomization = r, seed = 7L)
+      val base = math.min(3000.0, 100.0 * math.pow(2.0, attempt - 1))
+      assert(d >= (base * (1 - r)).floor && d <= (base * (1 + r)).ceil,
+        s"attempt $attempt: $d outside [${base * (1 - r)}, ${base * (1 + r)}]")
+      // deterministic: same (seed, attempt) → same delay
+      assert(d == backoffDelayMs(100, attempt, 2.0, 3000, r, 7L))
+    }
+    // different seeds de-synchronize (the jitter's purpose)
+    val spread = (0 until 20).map(s =>
+      backoffDelayMs(100, 3, 2.0, 3000, r, s.toLong)).distinct
+    assert(spread.size > 10, s"jitter too uniform: $spread")
+  }
+
   test("arrow stream pool: concurrent writers, pb downgrade on encode failure, lossless mixed re-ingest") {
     import graft.pipeline.Pipeline.ArrowStreamPoolExporter
     val logs = OtlpJsonSource.eventsAsLogs(spark, "/root/testdata/sf0.001")
