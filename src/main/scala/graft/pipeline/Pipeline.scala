@@ -796,5 +796,46 @@ object Pipeline {
         case TimeoutExporter(d, _) => findPersistent(d)
         case _ => Nil
       }
+
+    /** healthcheck-extension analog: per-pipeline persistent-queue
+      * depth (batches + spooled bytes) and DLQ depth, read straight
+      * off the queue dirs. A healthy service has empty pendings; a
+      * growing pending count under a live endpoint is the signal the
+      * reference's health endpoint turns red on. */
+    def status(spark: SparkSession): Seq[QueueStatus] =
+      pipelines.toSeq.flatMap { case (name, p) =>
+        p.exporters.flatMap(findPersistent).map { q =>
+          import org.apache.hadoop.fs.Path
+          val pend = new Path(s"${q.queueDir}/pending")
+          val dlq = new Path(s"${q.queueDir}/dlq")
+          val f = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def dirs(p: Path): Long =
+            if (f.exists(p)) f.listStatus(p).count(_.isDirectory).toLong else 0L
+          val bytes = if (f.exists(pend)) f.getContentSummary(pend).getLength else 0L
+          QueueStatus(name, q.queueDir, pending = dirs(pend),
+            pendingBytes = bytes, deadLettered = dirs(dlq))
+        }
+      }
+
+    /** graceful shutdown drain (the collector flushes its queues on
+      * Shutdown before exiting): run recovery passes until every
+      * persistent queue is empty or `budgetMs` elapses. Returns true
+      * if fully drained — false means durable batches remain for the
+      * next start (nothing is lost either way). */
+    def drain(spark: SparkSession, budgetMs: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + budgetMs
+      var clean = status(spark).forall(s => s.pending == 0)
+      while (!clean && System.currentTimeMillis() < deadline) {
+        recover(spark)
+        clean = status(spark).forall(s => s.pending == 0)
+        if (!clean) Thread.sleep(25)
+      }
+      clean
+    }
   }
+
+  /** one persistent queue's live depth, per [[Service.status]] */
+  final case class QueueStatus(pipeline: String, queueDir: String,
+                               pending: Long, pendingBytes: Long,
+                               deadLettered: Long)
 }

@@ -263,6 +263,30 @@ class PersistentQueueSpec extends AnyFunSuite {
     assert(svc.recover(spark) == Map("logs/out" -> RecoveryStats(0, 0, 0)))
   }
 
+  test("service status reports queue depths; drain flushes on graceful shutdown") {
+    val qdir = Files.createTempDirectory("pq_health").toString
+    val gate = new GatedExporter // down: batches pile up
+    val q = PersistentQueueExporter(gate, qdir, retriesPerRun = 0, backoffMs = 1)
+    val svc = Service(Map("logs/out" -> graft.pipeline.Pipeline.PipelineDef(
+      receiver = ParquetReceiver("/root/testdata/sf0.001/events.parquet"),
+      exporters = Seq(q))))
+    q.export(batch(0, 4))
+    q.export(batch(4, 7))
+    // the health surface sees two pending batches with real bytes
+    val s1 = svc.status(spark)
+    assert(s1.map(s => (s.pipeline, s.pending, s.deadLettered)) ==
+      Seq(("logs/out", 2L, 0L)), s1)
+    assert(s1.head.pendingBytes > 0)
+    // drain against a dead endpoint times out, queues intact
+    assert(!svc.drain(spark, budgetMs = 300))
+    assert(svc.status(spark).head.pending == 2)
+    // endpoint back → drain flushes everything within budget
+    gate.up = true
+    assert(svc.drain(spark, budgetMs = 30000))
+    assert(svc.status(spark).head.pending == 0)
+    assert(gate.deliveries.size == 2)
+  }
+
   test("bytes sizer: a full-by-bytes queue refuses accepts and admits again after draining") {
     // the exporterhelper queue sizes by items AND bytes; graft's item
     // cap alone would let a few huge batches exhaust the spool disk
