@@ -1263,6 +1263,63 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(spark.sql("SELECT DISTINCT scope_name FROM pb_spans_out").head().getString(0) == "graft")
   }
 
+  test("spans wire-to-wire: pb spool → stream → process → pb export → lossless re-ingest") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val spool = Files.createTempDirectory("w2ws_spool").toString
+    val outDir = Files.createTempDirectory("w2ws_out").toString
+    val ck = Files.createTempDirectory("w2ws_ck").toString
+    // hex ids so the 16/8-byte wire form round-trips exactly
+    def hexReq(svc: String, n: Int): String = {
+      val spans = (0 until n).map { i =>
+        val tid = f"${i % 3}%032x"; val sid = f"${i + 1}%016x"
+        val pid = f"${i + 100}%016x"
+        s"""{"traceId":"$tid","spanId":"$sid","parentSpanId":"$pid",""" +
+          s""""name":"op-$i","kind":${i % 5 + 1},""" +
+          s""""startTimeUnixNano":"${1000000L + i}","endTimeUnixNano":"${2000000L + i}",""" +
+          s""""status":{"code":${i % 3},"message":"m$i"},""" +
+          s""""attributes":[{"key":"idx","value":{"intValue":"$i"}},""" +
+          s"""{"key":"noisy","value":{"stringValue":"x"}}]}"""
+      }.mkString(",")
+      s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},""" +
+        s""""scopeSpans":[{"scope":{"name":"graft"},"spans":[$spans]}]}]}"""
+    }
+    for ((svc, i) <- Seq("api" -> 1, "worker" -> 2)) {
+      val pb = OtlpJsonSource.writeSpansPb(
+        OtlpJsonSource.parseSpans(Seq(hexReq(svc, 10)).toDF("json")))
+        .head().getAs[Array[Byte]]("pb")
+      Files.write(Paths.get(s"$spool/r$i.pb"), pb)
+    }
+    // streaming pipeline: wire decode → keep ERROR spans → attribute
+    // hygiene → queued pb export per batch (the logs/metrics capstone
+    // shape, traces flavor — all three signals now go wire to wire)
+    val spans = OtlpJsonSource.streamSpansPb(spark, spool)
+    val processed = spans.filter(col("status_code") === 2)
+      .withColumn("attributes",
+        graft.operators.Processors.mapDelete(col("attributes"), Seq("noisy")))
+    val pbSink = new graft.pipeline.Pipeline.Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        OtlpJsonSource.writeSpansPb(df)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+    val q = graft.streaming.StreamingPipelines.exportStream(processed,
+      graft.pipeline.Pipeline.QueuedExporter(pbSink, s"$outDir/_dlq"), ck)
+    try q.processAllAvailable() finally q.stop()
+    val back = OtlpJsonSource.parseSpansPb(
+      spark.read.parquet(outDir).select(col("pb")))
+    assert(back.count() == 6) // status codes cycle 0,1,2 → 3 errors × 2 services
+    assert(back.filter(col("status_code") === 2).count() == 6)
+    val r = back.orderBy(col("span_id")).head()
+    assert(r.getAs[String]("trace_id").length == 32 &&
+      r.getAs[String]("parent_span_id").length == 16)
+    val attrs = r.getAs[Map[String, String]]("attributes")
+    assert(!attrs.contains("noisy") && attrs.contains("idx"))
+    assert(back.select(col("resource_attributes").getItem("service.name"))
+      .distinct().count() == 2)
+    assert(back.select(col("scope_name")).distinct().head().getString(0) == "graft")
+  }
+
   test("Arrow capstone: arrow spool → stream → filter/enrich → arrow spool out → re-ingest") {
     import spark.implicits._
     import graft.sources.{ArrowIpc, ArrowLogsIpc}

@@ -264,6 +264,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_shipdate") && !p.contains("p_name"), p)
   }
 
+  test("bm25/lm-bigram: posting filters stay map-side, no cartesian blowup") {
+    // q_bm25's isin filter must run in the explode stage (before the
+    // doc,term aggregate's exchange) — at 100 TB the wide op carries
+    // query-term hits only, never corpus tokens
+    val p = plan("q_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("spark"))
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(filterIdx >= 0 && genIdx >= 0, p)
+    // toString prints consumers above producers: the term filter must
+    // sit directly on the explode output (adjacent, no exchange between)
+    val between = lines.slice(math.min(filterIdx, genIdx), math.max(filterIdx, genIdx))
+    assert(!between.exists(_.contains("Exchange")),
+      s"posting filter separated from explode by an exchange:\n$p")
+    val p2 = plan("q_lm_bigram")
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("q_filter_events keeps the filter adjacent to the scan") {
     val p = plan("q_filter_events")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||

@@ -99,6 +99,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"a task shuffle-read ${maxShuffleRead.get} bytes — corpus funneled")
   }
 
+  test("10x scale smoke: training-layout ops (shuffle-shard + packing) scale linearly, no task funnel") {
+    import graft.operators.TextOps
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) maxShuffleRead.getAndAccumulate(
+          m.shuffleReadMetrics.totalBytesRead, math.max)
+      }
+    }
+    def layout(dir: String): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      val shuffled = ScaleOps.shuffleShard(d.select(col("doc_id")), "doc_id",
+        nShards = 4096, seed = "smoke")
+      val packed = ScaleOps.packSequences(d, "doc_id", "n_tokens",
+        maxLen = 512, nShards = 4096, seed = "smoke")
+      val n = shuffled.count()
+      val shards = packed.select(col("shard")).distinct().count()
+      (n, shards, (System.nanoTime() - t0) / 1e9)
+    }
+    layout("/root/testdata/sf0.001") // warm
+    val (n1, _, wall1) = layout("/root/testdata/sf0.001")
+    spark.sparkContext.addSparkListener(listener)
+    val (n10, shards10, wall10) = try layout("/root/testdata/sf0.1")
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(n10 == n1 * 10)
+    // parameterized fan-out actually spreads at scale: with 4096
+    // shards, 5000 docs land in far more than the old 16 buckets
+    assert(shards10 > 1000, s"only $shards10 shards at sf0.1")
+    // linear-ish: 10x docs nowhere near 100x wall
+    assert(wall10 <= wall1 * 40,
+      f"10x corpus took ${wall10 / wall1}%.1fx the wall ($wall1%.2f s -> $wall10%.2f s)")
+    // per-shard window state never funnels the corpus through one task
+    assert(maxShuffleRead.get < (32L << 20),
+      s"a task shuffle-read ${maxShuffleRead.get} bytes")
+  }
+
   test("saltedJoin result equals plain join") {
     val e = Tables(spark, sf, "events").withColumnRenamed("user_id", "c_custkey")
     val c = Tables(spark, sf, "customer")
