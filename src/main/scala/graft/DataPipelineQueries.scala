@@ -155,6 +155,12 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // deterministic k-means clustering of the embedding corpus (the
+    // IVF build as a first-class curation operator; same build as
+    // q_ann_ivf so the oracle replicates bit-exactly)
+    "q_embed_cluster" -> ((s, dir) =>
+      AnnOps.clusterStats(embs(s, dir), c = 16, iters = 1)),
+
     // IVF-PQ ANN: PQ codes riding inside IVF cells — probe nprobe
     // cells, ADC within, exact refine. The production billion-vector
     // layout; both deterministic builds compose, so the full index is
@@ -303,6 +309,12 @@ object DataPipelineQueries {
         portable = true)
         .groupBy(col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
+
+    // windowed duplicated-substring detection (the suffix-array-dedup
+    // approximation — see DedupOps.duplicatedWindows)
+    "q_dedup_substring" -> ((s, dir) =>
+      DedupOps.duplicatedWindows(docs(s, dir), "doc_id", "text",
+        w = 8, stride = 4)),
 
     // bigram-LM fluency score (the CCNet-style LM quality filter,
     // self-trained on the corpus — see TextOps.lmBigramScore)
@@ -488,6 +500,35 @@ object DataPipelineQueries {
         |SELECT qid, nid, rk FROM (
         | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
         | FROM sims) WHERE rk <= 10""".stripMargin,
+
+    "q_embed_cluster" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, i.cid,
+        |   list_sum(list_transform(list_zip(v.e, i.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(i.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN init i) s0),
+        |cells0 AS (SELECT vec_id, e, cid FROM asg0 WHERE rn = 1),
+        |means AS (SELECT cid, u[2] AS pos,
+        |   CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT cid, unnest(list_zip(e, range(1, len(e) + 1))) AS u FROM cells0) x
+        |  GROUP BY cid, u[2]),
+        |newc AS (SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid),
+        |cent AS (SELECT i.cid, COALESCE(n.ce, i.ce) AS ce FROM init i LEFT JOIN newc n ON i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, c.cid,
+        |   list_sum(list_transform(list_zip(v.e, c.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN cent c) s1)
+        |SELECT cid, COUNT(*) AS n_vecs, MIN(vec_id) AS rep_id
+        |FROM asg1 WHERE rn = 1
+        |GROUP BY cid""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -860,6 +901,19 @@ object DataPipelineQueries {
         |    CAST(('0x' || substr(md5('pack7:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
         |   FROM documents)))
         |GROUP BY shard, pack_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, unnest(list_transform(generate_series(0, (len(t)-8)//4),
+        |   i -> md5(array_to_string(t[i*4+1 : i*4+8], ' ')))) AS fp
+        | FROM toks WHERE len(t) >= 8),
+        |dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2)
+        |SELECT doc_id, COUNT(*) AS dup_windows
+        |FROM wins WHERE fp IN (SELECT fp FROM dup)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_lm_bigram" ->
       """WITH toks AS (

@@ -135,6 +135,23 @@ object AnnOps {
   def nearestCentroid(vec: Column, centroids: Array[Seq[Double]]): Column =
     graft.functions.VectorExprs.nearest_centroid(vec, centroids.toSeq)
 
+  /** K-means-style corpus clustering for data-mix curation (topic
+    * balancing, cluster-based sampling, per-topic quality review):
+    * the deterministic IVF build doubles as the clusterer, then one
+    * map-side native argmax assigns every vector and a plain
+    * aggregate yields per-cluster membership stats. At corpus scale
+    * the build trains on a hash-sample (trainFraction) while
+    * assignment always sees every vector. */
+  def clusterStats(corpus: DataFrame, c: Int, iters: Int,
+                   trainFraction: Double = 1.0): DataFrame = {
+    val centroids = ivfCentroids(corpus, c, iters, trainFraction)
+    corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v"))
+      .withColumn("cid", nearestCentroid(col("__v"), centroids))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep_id"))
+  }
+
   /** IVF search: assign corpus cells once, probe nprobe cells per
     * query, exact cosine top-k within the probed cells. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,

@@ -28,6 +28,39 @@ object DedupOps {
   def bagFingerprint(words: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words))))
 
+  /** Windowed duplicated-substring detection — the distributable
+    * approximation of exact substring dedup (the suffix-array dedup
+    * of "Deduplicating Training Data Makes Language Models Better"):
+    * every w-token window at `stride` is fingerprinted (md5 of the
+    * joined window — engine-portable); a fingerprint occurring ≥2
+    * times anywhere in the corpus marks a duplicated span, including
+    * repeats WITHIN one document. Returns (id, dup_windows) for
+    * documents containing at least one duplicated span; span offsets
+    * are implied by window index × stride for the consumer's cut.
+    *
+    * Scale: windows/doc = len/stride, emitted by one map-side
+    * transform+explode; the wide ops are the fingerprint count and a
+    * semi join back — both shuffle fingerprints (16 bytes/window),
+    * never text. A suffix array finds duplicates at EVERY offset;
+    * the windowed form trades offsets divisible by `stride` for
+    * embarrassing parallelism — the standard corpus-scale variant.
+    */
+  def duplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int, stride: Int): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= w)
+    // (size - w) / stride: double division then int cast — truncation
+    // equals floor for non-negative, matching the oracle's `//`
+    val wins = toks.select(col(idCol), explode(transform(
+        sequence(lit(0), ((size(col("__t")) - lit(w)) / lit(stride)).cast("int")),
+        i => md5(concat_ws(" ", slice(col("__t"), i * stride + 1, lit(w)))))).as("__fp"))
+    val dupFp = wins.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__fp"))
+    wins.join(dupFp, Seq("__fp"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_windows"))
+  }
+
   /** k-minhash signature: native single-pass expression (one XXH64
     * pair per shingle, k lanes by double hashing). array<bigint>
     * length k. See graft.functions.MinHashSignature.
