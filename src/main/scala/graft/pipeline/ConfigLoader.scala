@@ -295,11 +295,21 @@ object ConfigLoader {
     case "parquet_persistent" => PersistentQueueExporter(
       ParquetExporter(str(m, "path")), str(m, "queue"),
       maxAttemptsPerBatch =
-        m.get("maxAttempts").map(_.asInstanceOf[Number].intValue()).getOrElse(6))
+        m.get("maxAttempts").map(_.asInstanceOf[Number].intValue()).getOrElse(6),
+      capacityBytes =
+        m.get("capacityBytes").map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
     case "arrow_spool" => ArrowSpoolExporter(str(m, "path"),
       maxPerFile = m.get("maxPerFile").map(_.asInstanceOf[Number].intValue()).getOrElse(4096),
       dictCap = m.get("dictCap").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
       codec = m.get("codec").map(_.toString).getOrElse("none"))
+    // the otel-arrow exporter's stream pool: N concurrent arrow
+    // writers with downgrade-to-pb (prioritizer.go/exporter.go)
+    case "arrow_pool" => new ArrowStreamPoolExporter(str(m, "path"),
+      numStreams = m.get("streams").map(_.asInstanceOf[Number].intValue()).getOrElse(4),
+      dictCap = m.get("dictCap").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+      codec = m.get("codec").map(_.toString).getOrElse("none"),
+      downgradeAfter =
+        m.get("downgradeAfter").map(_.asInstanceOf[Number].intValue()).getOrElse(3))
     case "logging" => LoggingExporter()
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }

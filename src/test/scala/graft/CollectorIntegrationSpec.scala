@@ -549,6 +549,28 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     } finally w.close()
   }
 
+  test("config-built arrow_pool exporter runs a pipeline end to end") {
+    import graft.pipeline.{ConfigLoader, Pipeline}
+    val inDir = java.nio.file.Files.createTempDirectory("cfg_pool_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cfg_pool_out").toString
+    val logs = OtlpJsonSource.eventsAsLogs(spark, "/root/testdata/sf0.001")
+      .withColumn("trace_id", substring(col("trace_id"), 1, 32))
+      .withColumn("span_id", substring(col("span_id"), 1, 16))
+      .limit(50)
+    OtlpJsonSource.writeLogsJson(logs).select(col("json"))
+      .coalesce(1).write.mode("overwrite").text(inDir)
+    ConfigLoader.fromYaml(
+      s"""pipelines:
+         |  logs/arrow:
+         |    receiver: {type: otlp_json_logs, path: $inDir}
+         |    exporters:
+         |      - {type: arrow_pool, path: $outDir, streams: 2, dictCap: 32, codec: zstd}
+         |""".stripMargin).run(spark)
+    val back = Pipeline.ArrowStreamPoolExporter.readLogs(spark, outDir)
+    assert(back.count() == 50)
+    assert(back.select(col("body")).distinct().count() > 1)
+  }
+
   test("retry backoff is exponential, capped, jittered within bounds, and deterministic") {
     import graft.pipeline.Pipeline.backoffDelayMs
     val r = 0.5
