@@ -305,6 +305,18 @@ object Ottl {
     sb.toString
   }
 
+  /** Year/Month/Day/Weekday(time) — calendar accessors over the
+    * timestamp type (OTTL's time field converters): Spark's
+    * codegen'd datetime expressions, UTC session calendar. Weekday
+    * follows Go's time.Weekday numbering (Sunday = 0), so the Spark
+    * 1-based dayofweek shifts by one. */
+  def yearOf(ts: Column): Column = year(ts)
+  def monthOf(ts: Column): Column = month(ts)
+  def dayOf(ts: Column): Column = dayofmonth(ts)
+  def weekdayOf(ts: Column): Column = dayofweek(ts) - lit(1)
+  /** Format(fmt, args...) — the printf-style Format converter */
+  def format(fmt: String, args: Column*): Column = format_string(fmt, args: _*)
+
   /** UnixNano/UnixMicro/UnixMilli/UnixSeconds(time) — timestamp →
     * integral epoch in the requested unit (truncating division, the
     * Go time.Time accessors' behavior). */

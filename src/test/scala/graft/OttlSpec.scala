@@ -188,6 +188,19 @@ class OttlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("%Q"))
   }
 
+  test("calendar accessors and Format") {
+    // 2024-03-05 is a Tuesday → Go weekday 2
+    val r = df.select(
+      Ottl.yearOf(Ottl.timeFromUnixNano(lit(1709659845000000000L))).as("y"),
+      Ottl.monthOf(Ottl.timeFromUnixNano(lit(1709659845000000000L))).as("mo"),
+      Ottl.dayOf(Ottl.timeFromUnixNano(lit(1709659845000000000L))).as("d"),
+      Ottl.weekdayOf(Ottl.timeFromUnixNano(lit(1709659845000000000L))).as("wd"),
+      Ottl.format("%s=%d", lit("sev"), lit(17)).as("f")).head()
+    assert(r.getAs[Int]("y") == 2024 && r.getAs[Int]("mo") == 3 &&
+      r.getAs[Int]("d") == 5 && r.getAs[Int]("wd") == 2)
+    assert(r.getAs[String]("f") == "sev=17")
+  }
+
   test("context paths address record, scope, and resource levels") {
     val logRow = Seq((
       "payment failed", 17, Map("http.route" -> "/pay", "retry" -> "2"),
