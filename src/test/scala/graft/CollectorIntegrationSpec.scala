@@ -516,7 +516,17 @@ class CollectorIntegrationSpec extends AnyFunSuite {
          |      - {type: parquet, path: $out/$sub}
          |""".stripMargin
     val cfg = java.nio.file.Files.createTempFile("graft_watch", ".yaml")
-    java.nio.file.Files.write(cfg, doc("v1").getBytes("UTF-8"))
+    // atomic replace: the watcher polls concurrently and must never
+    // observe a half-written document (exactly how a real config
+    // deployer should update a watched file)
+    def put(text: String): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("graft_watch_tmp", ".yaml")
+      java.nio.file.Files.write(tmp, text.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, cfg,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    put(doc("v1"))
     val services = new java.util.concurrent.ConcurrentLinkedQueue[graft.pipeline.Pipeline.Service]()
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val w = ConfigLoader.watch(s"file:$cfg", intervalMs = 50,
@@ -532,19 +542,19 @@ class CollectorIntegrationSpec extends AnyFunSuite {
         assert(c.get() == n, s"expected $n, got ${c.get()}")
       }
       // change → one reload with the NEW wiring
-      java.nio.file.Files.write(cfg, doc("v2").getBytes("UTF-8"))
+      put(doc("v2"))
       awaitCount(w.reloads, 2)
       services.toArray(Array.empty[graft.pipeline.Pipeline.Service]).last.run(spark)
       assert(spark.read.parquet(s"$out/v2").count() > 0)
       // a bad document is rejected, not adopted, and not re-attempted
       // until it changes; the reload count stays put
-      java.nio.file.Files.write(cfg, "pipelines: [broken".getBytes("UTF-8"))
+      put("pipelines: [broken")
       awaitCount(w.rejected, 1)
       Thread.sleep(200)
       assert(w.reloads.get() == 2 && w.rejected.get() == 1, "bad doc retried or adopted")
       assert(errs.size() == 1)
       // a fixed document reloads again
-      java.nio.file.Files.write(cfg, doc("v3").getBytes("UTF-8"))
+      put(doc("v3"))
       awaitCount(w.reloads, 3)
     } finally w.close()
   }
