@@ -161,6 +161,12 @@ object DataPipelineQueries {
     "q_embed_cluster" -> ((s, dir) =>
       AnnOps.clusterStats(embs(s, dir), c = 16, iters = 1)),
 
+    // cluster-balanced sampling: per-topic cap after clustering (the
+    // curation step q_embed_cluster feeds — same deterministic build)
+    "q_sample_cluster" -> ((s, dir) =>
+      AnnOps.clusterCappedSample(embs(s, dir), c = 16, iters = 1,
+        cap = 10, seed = "mix42")),
+
     // IVF-PQ ANN: PQ codes riding inside IVF cells — probe nprobe
     // cells, ADC within, exact refine. The production billion-vector
     // layout; both deterministic builds compose, so the full index is
@@ -529,6 +535,38 @@ object DataPipelineQueries {
         |SELECT cid, COUNT(*) AS n_vecs, MIN(vec_id) AS rep_id
         |FROM asg1 WHERE rn = 1
         |GROUP BY cid""".stripMargin,
+
+    "q_sample_cluster" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, i.cid,
+        |   list_sum(list_transform(list_zip(v.e, i.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(i.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN init i) s0),
+        |cells0 AS (SELECT vec_id, e, cid FROM asg0 WHERE rn = 1),
+        |means AS (SELECT cid, u[2] AS pos,
+        |   CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT cid, unnest(list_zip(e, range(1, len(e) + 1))) AS u FROM cells0) x
+        |  GROUP BY cid, u[2]),
+        |newc AS (SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid),
+        |cent AS (SELECT i.cid, COALESCE(n.ce, i.ce) AS ce FROM init i LEFT JOIN newc n ON i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, c.cid,
+        |   list_sum(list_transform(list_zip(v.e, c.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN cent c) s1),
+        |cells AS (SELECT vec_id, cid FROM asg1 WHERE rn = 1)
+        |SELECT vec_id, cid, rk FROM (
+        | SELECT vec_id, cid,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY cid
+        |    ORDER BY md5('mix42:' || vec_id::VARCHAR), vec_id) AS INTEGER) AS rk
+        | FROM cells) WHERE rk <= 10""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -152,6 +152,29 @@ object AnnOps {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep_id"))
   }
 
+  /** Cluster-balanced sampling — the data-mix curation step after
+    * clustering: cap every cluster at `cap` members, chosen by a
+    * deterministic md5 rank (seeded content coin, so the sample is
+    * replay/repartition-stable like q_sample_stratified). Equalizes
+    * topic mass: a dominant cluster contributes `cap` docs, a rare
+    * one contributes all of itself. Per-cluster window only — each
+    * cluster ranks its own members in parallel. Returns the KEPT
+    * rows (id, cid, rk). */
+  def clusterCappedSample(corpus: DataFrame, c: Int, iters: Int,
+                          cap: Int, seed: String): DataFrame = {
+    val centroids = ivfCentroids(corpus, c, iters)
+    val assigned = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v"))
+      .withColumn("cid", nearestCentroid(col("__v"), centroids))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(md5(concat(lit(seed + ":"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("vec_id"), col("cid"), col("rk"))
+  }
+
   /** IVF search: assign corpus cells once, probe nprobe cells per
     * query, exact cosine top-k within the probed cells. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,

@@ -173,6 +173,10 @@ object Pipeline {
     val retries = new java.util.concurrent.atomic.AtomicLong
     val deadLetteredBatches = new java.util.concurrent.atomic.AtomicLong
     val deadLetteredRows = new java.util.concurrent.atomic.AtomicLong
+    /** batches that came back as OTLP partial success (some rows
+      * rejected, remainder re-enqueued) — the obsreport split the
+      * reference surfaces for send_failed vs enqueue_failed */
+    val partialSuccesses = new java.util.concurrent.atomic.AtomicLong
   }
 
   final case class QueuedExporter(delegate: Exporter, dlqPath: String,
@@ -205,7 +209,10 @@ object Pipeline {
             lastErr = e
             df = df.filter(e.rejected)
             attempt += 1
-            obs.foreach(_.retries.incrementAndGet())
+            obs.foreach { o =>
+              o.partialSuccesses.incrementAndGet()
+              o.retries.incrementAndGet()
+            }
             if (attempt <= maxRetries) Thread.sleep(backoffMs * attempt)
           case scala.util.control.NonFatal(e) =>
             lastErr = e
@@ -420,7 +427,10 @@ object Pipeline {
             // a restart); re-sending accepted rows would duplicate
             // them at the sink
             df = shrinkSpool(spark, id, df.filter(e.rejected))
-            obs.foreach(_.retries.incrementAndGet())
+            obs.foreach { o =>
+              o.partialSuccesses.incrementAndGet()
+              o.retries.incrementAndGet()
+            }
             triesThisRun += 1
             if (triesThisRun <= retriesPerRun) Thread.sleep(backoffMs * triesThisRun)
           case _: PermanentExportException => return deadLetter(spark, id)

@@ -105,11 +105,14 @@ class PersistentQueueSpec extends AnyFunSuite {
     }
     // retriesPerRun = 0: the rejected slice must survive AS THE SPOOL
     // into the next instance, not drain in-run
+    val pObs = new QueueObs
     val q1 = PersistentQueueExporter(sink, dir, maxAttemptsPerBatch = 10,
-      retriesPerRun = 0, backoffMs = 1)
+      retriesPerRun = 0, backoffMs = 1, obs = Some(pObs))
     q1.export(batch(0, 10))
-    // accepted prefix landed once; spool holds ONLY the rejected slice
+    // accepted prefix landed once; spool holds ONLY the rejected
+    // slice; the partial success is counted, not silent
     assert((0L until 6L).forall(acceptCounts.get(_) == 1))
+    assert(pObs.partialSuccesses.get() == 1)
     val pend = new java.io.File(s"$dir/pending")
     assert(pend.listFiles().count(_.isDirectory) == 1)
     val spooled = spark.read.parquet(s"$dir/pending/batch_id=0")
