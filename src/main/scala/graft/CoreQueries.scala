@@ -289,6 +289,60 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q8 shape: national market share — one nation's slice of
+    // the revenue that customers of one region generate, by order
+    // year. Two independent dimension chains (customer→nation→region;
+    // supplier→nation) onto the fact, then a conditional/total
+    // decimal-sum ratio (the q14 ratio discipline). Only the
+    // fixed-cardinality nation/region dims are hinted.
+    "q8_market_share" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = Tables(s, dir, "customer")
+      val cn = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val sup = Tables(s, dir, "supplier")
+      val sn = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), c("c_nationkey") === cn("c_nk"))
+        .join(broadcast(r), cn("n_regionkey") === r("r_regionkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(sn), sup("s_nationkey") === sn("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+          dsum(vol)).as("mkt_share"))
+    }),
+
+    // TPC-H Q15 shape: top supplier — max over an aggregated revenue
+    // view, ties kept. The max is a second consumer of the SAME
+    // per-supplier aggregate, so the l_suppkey exchange is computed
+    // once and reused (q17 discipline — PlanSpec pins the single
+    // lineitem leaf), never a global window over the view.
+    "q15_top_supplier" -> ((s, dir) => {
+      // the explicit isNotNull matches the constraint the supplier
+      // join would inject into ITS branch only — with it in the
+      // shared view both consumers canonicalize identically and the
+      // l_suppkey exchange is reused instead of re-scanning the fact
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+          && col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+      Tables(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(maxRev)
+        .filter(col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+
     // Top-k per group via window row_number (deterministic tie-break).
     "q_topk_per_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -409,6 +463,34 @@ object CoreQueries {
         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE) /
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+        | AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS total_rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
 
     "q13_customer_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

@@ -252,6 +252,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan.contains("Expand"), finalPlan)
   }
 
+  test("q15 computes the revenue view once: single lineitem leaf, exchange reused") {
+    // the max-over-view consumer and the supplier join consume the
+    // SAME per-supplier aggregate; the l_suppkey exchange must be
+    // computed once (q17/q21 discipline), not re-derived from a
+    // second fact scan
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("[l_"))
+    assert(scans == 1, s"lineitem scanned $scans times:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("ReusedQueryStage") ||
+      finalPlan.contains("TableCacheQueryStage"), finalPlan)
+  }
+
   test("q19's OR-of-ANDs predicate splits across BOTH scan sides") {
     // the Q19 point: (brandᵢ ∧ sizeᵢ ∧ qtyᵢ) disjunctions must not be
     // evaluated post-join — the per-side disjunctions (qty ranges →
