@@ -80,6 +80,21 @@ object ScaleOps {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").option("compression", codec).parquet(path)
 
+  /** Bucketed table write — the real co-located-join lever (the
+    * durable form of [[coPartition]]): rows hash into `buckets` files
+    * per partition keyed on `key`, recorded in the catalog, so EVERY
+    * later join/aggregation on that key skips its exchange — at
+    * 100 TB the difference between re-shuffling the lake per query
+    * and never shuffling it again. Optional sortBy adds in-bucket
+    * order for sort-merge joins without a sort step. Both sides of a
+    * co-located join must use the same bucket count. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Deterministic block sample without a full scan shuffle: hash-mod
     * on a stable id (the probabilistic sampler generalized to any
     * fraction numerator/denominator).

@@ -172,6 +172,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    // the durable co-location lever: both sides bucketed on the join
+    // key with the same count — the sort-merge join reads bucket
+    // pairs directly, no Exchange anywhere in the plan. coPartition
+    // saves the per-query re-shuffle; bucketing saves it FOREVER.
+    ScaleOps.writeBucketed(
+      Tables(spark, sf, "events").withColumnRenamed("user_id", "k"),
+      "graft_bspec_events", "k", buckets = 4)
+    ScaleOps.writeBucketed(
+      Tables(spark, sf, "customer").withColumnRenamed("c_custkey", "k"),
+      "graft_bspec_cust", "k", buckets = 4)
+    try {
+      val joined = spark.table("graft_bspec_events")
+        .join(spark.table("graft_bspec_cust").hint("merge"), "k")
+      val agg = joined.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the join itself must be exchange-free; the only exchange in
+      // the whole plan is the final groupBy's (different key)
+      assert(p.contains("SortMergeJoin"), p)
+      assert("Exchange hashpartitioning\\(k#".r.findAllIn(p).isEmpty,
+        s"join on the bucket key still shuffles:\n$p")
+      // and results equal the plain join
+      val plain = Tables(spark, sf, "events").withColumnRenamed("user_id", "k")
+        .join(Tables(spark, sf, "customer").withColumnRenamed("c_custkey", "k"), "k")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == plain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bspec_events")
+      spark.sql("DROP TABLE IF EXISTS graft_bspec_cust")
+    }
+  }
+
   test("coPartition lets a join reuse the partitioning (no extra exchange)") {
     val Seq(a, b) = ScaleOps.coPartition(Seq(
       Tables(spark, sf, "events").withColumnRenamed("user_id", "k"),
