@@ -589,7 +589,6 @@ object Pipeline {
         graft.sources.ArrowIpc.spool(_, _, _, _, _)) extends Exporter {
     private val ready = new java.util.concurrent.LinkedBlockingQueue[Integer]()
     (0 until numStreams).foreach(i => ready.put(i))
-    private val seq = new java.util.concurrent.atomic.AtomicLong
     private val consecutiveFailures = new java.util.concurrent.atomic.AtomicInteger
     @volatile private var poolDowngraded = false
     /** telemetry: batches per path, pool state */
@@ -597,11 +596,18 @@ object Pipeline {
     val pbBatches = new java.util.concurrent.atomic.AtomicLong
     def isDowngraded: Boolean = poolDowngraded
 
-    def export(df: DataFrame): Unit = exportBatch(df, seq.getAndIncrement())
-    override def exportBatch(df: DataFrame, batchId: Long): Unit = {
+    // ad-hoc exports get a globally unique name — an instance-local
+    // counter would collide across two instances over one dir and
+    // the overwrite semantics would silently drop a batch. Streaming
+    // replay keeps the deterministic batch_id=N keying.
+    def export(df: DataFrame): Unit =
+      deliver(df, s"adhoc-${java.util.UUID.randomUUID()}")
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      deliver(df, s"batch_id=$batchId")
+    private def deliver(df: DataFrame, batchDir: String): Unit = {
       if (!poolDowngraded) {
         val slot = ready.take() // first-available; blocks = backpressure
-        val target = s"$dir/arrow/stream-$slot/batch_id=$batchId"
+        val target = s"$dir/arrow/stream-$slot/$batchDir"
         try {
           deleteDir(df.sparkSession, target) // replay overwrites itself
           arrowWrite(df, target, maxPerFile, dictCap, codec)
@@ -617,7 +623,7 @@ object Pipeline {
               poolDowngraded = true
         } finally ready.put(slot)
       }
-      pbEncode(df).write.mode("overwrite").parquet(s"$dir/pb/batch_id=$batchId")
+      pbEncode(df).write.mode("overwrite").parquet(s"$dir/pb/$batchDir")
       pbBatches.incrementAndGet()
     }
 
