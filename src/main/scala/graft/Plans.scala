@@ -50,6 +50,12 @@ object Plans {
       "it without a hint), the NOT EXISTS is a LEFT ANTI against the " +
       "date-filtered orders scan — both SF-scaled sides stay " +
       "hint-free."),
+    "q15_top_supplier" -> ("Max over an aggregated view with ties: " +
+      "both consumers (supplier join; global max) canonicalize to the " +
+      "SAME per-supplier aggregate — the shared view carries the " +
+      "join-key isNotNull explicitly, so the plan shows ONE lineitem " +
+      "leaf and a ReusedExchange on l_suppkey instead of a second " +
+      "fact scan."),
     "q_batch_assign" -> ("Globally-ordered batch ids with NO " +
       "single-partition window: literal split points bucket the key, the " +
       "window partitions by bucket."),
