@@ -584,7 +584,8 @@ object Pipeline {
       dir: String, numStreams: Int = 4,
       dictCap: Int = 0, codec: String = "none", maxPerFile: Int = 4096,
       downgradeAfter: Int = 3,
-      pbEncode: DataFrame => DataFrame = graft.sources.OtlpJsonSource.writeLogsPb,
+      pbEncode: DataFrame => DataFrame =
+        df => graft.sources.OtlpJsonSource.writeLogsPb(df),
       arrowWrite: (DataFrame, String, Int, Int, String) => Unit =
         graft.sources.ArrowIpc.spool(_, _, _, _, _)) extends Exporter {
     private val ready = new java.util.concurrent.LinkedBlockingQueue[Integer]()

