@@ -49,6 +49,30 @@ object ProcessorQueries {
           Processors.mapRedactCount(attrs, "\\d{2,}").as("n_redacted"))
     }),
 
+    // resource detection processor (reference:
+    // resourcedetectionprocessor): environment-detected resource
+    // attributes merge into the existing resource map under BOTH
+    // precedence modes — override=false (existing keys win; `insert`)
+    // and override=true (detected wins; `upsert`). Detected values
+    // are plan-time constants per run, exactly like the processor's
+    // one-time detection at collector start. Sorted kv strings keep
+    // the map oracle-portable (the q_redact_attrs discipline).
+    "q_resource_detect" -> ((s, dir) => {
+      val existing = map(
+        lit("source"), col("source"),
+        lit("host.name"), concat(lit("doc-host-"), (col("doc_id") % 3).cast("string")))
+      val detected = map(
+        lit("host.name"), lit("detected-host"),
+        lit("os.type"), lit("linux"))
+      Tables(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Ottl.toKeyValueString(
+          graft.operators.Ottl.mergeMaps(existing, detected, "insert"), ",", "=")
+          .as("res_keep_existing"),
+        graft.operators.Ottl.toKeyValueString(
+          graft.operators.Ottl.mergeMaps(existing, detected, "upsert"), ",", "=")
+          .as("res_override"))
+    }),
+
     // OTTL-style scalar transform suite over documents
     "q_transform_ottl" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
@@ -327,6 +351,13 @@ object ProcessorQueries {
         |  + (CASE WHEN regexp_matches(props, '\d{2,}') THEN 1 ELSE 0 END)
         |  + (CASE WHEN regexp_matches(CAST(user_id AS VARCHAR), '\d{2,}') THEN 1 ELSE 0 END) AS INTEGER) AS n_redacted
         |FROM events WHERE event_id % 37 = 0""".stripMargin,
+
+    "q_resource_detect" ->
+      """SELECT doc_id,
+        | 'host.name=doc-host-' || CAST(doc_id % 3 AS VARCHAR)
+        |  || ',os.type=linux,source=' || source AS res_keep_existing,
+        | 'host.name=detected-host,os.type=linux,source=' || source AS res_override
+        |FROM documents""".stripMargin,
 
     "q_transform_ottl" ->
       """SELECT doc_id, UPPER(lang) AS lang_uc, SUBSTRING(text, 1, 12) AS head,
