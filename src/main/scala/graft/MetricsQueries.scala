@@ -54,6 +54,22 @@ object MetricsQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // histogram temporality: delta→cumulative over BUCKET COUNT
+    // series — each (series, bucket) runs its own cumulative sum over
+    // time windows, the histogram flavor of deltatocumulative (the
+    // scalar version only covers sums). Sparse buckets stay sparse,
+    // matching the point stream a collector would emit.
+    "q_hist_delta_to_cum" -> ((s, dir) => {
+      val deltas = ev(s, dir)
+        .withColumn("bucket_idx", MetricsOps.explicitBucket(col("value"), histBounds))
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("win"),
+          col("bucket_idx"))
+        .agg(count(lit(1)).cast("double").as("delta_n"))
+      MetricsOps.deltaToCumulative(deltas, Seq("event_type", "bucket_idx"),
+          "win", "delta_n")
+        .withColumnRenamed("cum_value", "cum_n")
+    }),
+
     "q_histogram_exp" -> ((s, dir) => {
       ev(s, dir)
         .filter(col("value") > 0)
@@ -176,6 +192,18 @@ object MetricsQueries {
          | ${MetricsOps.explicitBucketSql("value", histBounds)} AS bucket_idx,
          | COUNT(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_hist_delta_to_cum" ->
+      s"""WITH deltas AS (
+         | SELECT event_type, epoch_ns(ts) // $HourNs AS win,
+         |  ${MetricsOps.explicitBucketSql("value", histBounds)} AS bucket_idx,
+         |  CAST(COUNT(*) AS DOUBLE) AS delta_n
+         | FROM events GROUP BY 1, 2, 3)
+         |SELECT event_type, win, bucket_idx, delta_n,
+         | CAST(SUM(CAST(delta_n AS DECIMAL(28,8)))
+         |   OVER (PARTITION BY event_type, bucket_idx ORDER BY win
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_n
+         |FROM deltas""".stripMargin,
 
     "q_histogram_exp" ->
       s"""SELECT event_type,
