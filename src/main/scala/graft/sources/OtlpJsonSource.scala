@@ -525,9 +525,10 @@ object OtlpJsonSource {
     * analog. Events/links travel on their own row streams
     * ([[parseSpanEvents]]/[[parseSpanLinks]]); the span document
     * carries the record-level fidelity fields. */
-  def writeSpansJson(spans: DataFrame): DataFrame =
+  def writeSpansJson(spans: DataFrame, shardKeys: Seq[String] = Nil): DataFrame =
     spans
-      .groupBy(col("resource_attributes"), col("scope_name"))
+      .groupBy((Seq(col("resource_attributes"), col("scope_name")) ++
+        shardKeys.map(col)): _*)
       .agg(collect_list(struct(
         col("trace_id").as("traceId"),
         col("span_id").as("spanId"),
@@ -557,13 +558,14 @@ object OtlpJsonSource {
     * ExportMetricsServiceRequest documents — pmetric/json.go marshal
     * analog for gauge/sum metrics. to_json drops null branches, so a
     * gauge metric document carries only `gauge`, a sum only `sum`. */
-  def writeMetricsJson(points: DataFrame): DataFrame = {
+  def writeMetricsJson(points: DataFrame, shardKeys: Seq[String] = Nil): DataFrame = {
     val withMeta = Seq("description", "unit").foldLeft(points)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
     withMeta
-      .groupBy(col("resource_attributes"), col("metric_name"),
-        col("description"), col("unit"),
-        col("metric_type"), col("aggregation_temporality"), col("is_monotonic"))
+      .groupBy((Seq(col("resource_attributes"), col("metric_name"),
+        col("description"), col("unit"), col("metric_type"),
+        col("aggregation_temporality"), col("is_monotonic")) ++
+        shardKeys.map(col)): _*)
       .agg(collect_list(struct(
         col("time_unix_nano").cast("string").as("timeUnixNano"),
         col("start_time_unix_nano").cast("string").as("startTimeUnixNano"),
@@ -666,14 +668,32 @@ object OtlpJsonSource {
     * place over a live receiver's source. Returns (filesIn, filesOut).
     */
   def compactLogsPbSpool(spark: SparkSession, inDir: String, outDir: String,
-                         maxRecords: Int): (Long, Long) = {
+                         maxRecords: Int): (Long, Long) =
+    compactPbSpool(spark, inDir, outDir, maxRecords,
+      parseLogsPb, "time_unix_nano", writeLogsPb(_, _))
+
+  /** [[compactLogsPbSpool]] for the other two signals */
+  def compactSpansPbSpool(spark: SparkSession, inDir: String, outDir: String,
+                          maxRecords: Int): (Long, Long) =
+    compactPbSpool(spark, inDir, outDir, maxRecords,
+      parseSpansPb, "start_time_unix_nano", writeSpansPb(_, _))
+  def compactMetricsPbSpool(spark: SparkSession, inDir: String, outDir: String,
+                            maxRecords: Int): (Long, Long) =
+    compactPbSpool(spark, inDir, outDir, maxRecords,
+      parseMetricPointsPb, "time_unix_nano", writeMetricsPb(_, _))
+
+  private def compactPbSpool(spark: SparkSession, inDir: String, outDir: String,
+                             maxRecords: Int,
+                             parse: DataFrame => DataFrame, orderCol: String,
+                             encode: (DataFrame, Seq[String]) => DataFrame)
+      : (Long, Long) = {
     val raw = spark.read.format("binaryFile").load(inDir)
       .select(col("content").as("pb"))
     val filesIn = raw.count()
-    val rows = parseLogsPb(raw)
+    val rows = parse(raw)
     val batched = graft.operators.Processors.assignBatchesRanged(
-      rows, col("time_unix_nano"), maxRecords)
-    val requests = writeLogsPb(batched, shardKeys = Seq("batch_id"))
+      rows, col(orderCol), maxRecords)
+    val requests = encode(batched, Seq("batch_id"))
     requests.select(col("pb")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -694,13 +714,13 @@ object OtlpJsonSource {
   }
 
   /** span rows → binary ExportTraceServiceRequest documents */
-  def writeSpansPb(spans: DataFrame): DataFrame =
-    writeSpansJson(spans).select(
+  def writeSpansPb(spans: DataFrame, shardKeys: Seq[String] = Nil): DataFrame =
+    writeSpansJson(spans, shardKeys).select(
       OtlpProtobuf.otlp_spans_json_to_pb(col("json")).as("pb"))
 
   /** number datapoint rows → binary ExportMetricsServiceRequest docs */
-  def writeMetricsPb(points: DataFrame): DataFrame =
-    writeMetricsJson(points).select(
+  def writeMetricsPb(points: DataFrame, shardKeys: Seq[String] = Nil): DataFrame =
+    writeMetricsJson(points, shardKeys).select(
       OtlpProtobuf.otlp_metrics_json_to_pb(col("json")).as("pb"))
 
   /** Transport-compressed export/ingest: the otlphttpexporter gzips

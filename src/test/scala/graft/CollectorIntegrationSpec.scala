@@ -1337,6 +1337,50 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(counts == 40)
   }
 
+  test("pb spool compaction: spans and metrics twins") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    def spanJson(i: Int) =
+      s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},""" +
+        s""""scopeSpans":[{"scope":{"name":"graft"},"spans":[{"traceId":"${f"$i%032x"}",""" +
+        s""""spanId":"${f"${i + 1}%016x"}","name":"op-$i","kind":1,""" +
+        s""""startTimeUnixNano":"${1000 + i}","endTimeUnixNano":"${2000 + i}",""" +
+        s""""status":{"code":0},"attributes":[]}]}]}]}"""
+    val sIn = Files.createTempDirectory("compact_sp_in").toString
+    val sOut = Files.createTempDirectory("compact_sp_out").toString
+    (0 until 12).foreach { i =>
+      val pb = OtlpJsonSource.writeSpansPb(
+        OtlpJsonSource.parseSpans(Seq(spanJson(i)).toDF("json")))
+        .head().getAs[Array[Byte]]("pb")
+      Files.write(Paths.get(f"$sIn/r$i%03d.pb"), pb)
+    }
+    val (si, so) = OtlpJsonSource.compactSpansPbSpool(spark, sIn, sOut, maxRecords = 10)
+    assert(si == 12 && so >= 2 && so <= 4, s"$si -> $so")
+    val spansBack = OtlpJsonSource.parseSpansPb(
+      spark.read.format("binaryFile").load(sOut).select(col("content").as("pb")))
+    assert(spansBack.count() == 12)
+    assert(spansBack.select(col("span_id")).distinct().count() == 12)
+
+    def metricJson(i: Int) =
+      s"""{"resourceMetrics":[{"resource":{"attributes":[]},""" +
+        s""""scopeMetrics":[{"scope":{"name":"graft"},"metrics":[{"name":"cpu",""" +
+        s""""gauge":{"dataPoints":[{"timeUnixNano":"${100 + i}","asDouble":0.5,"attributes":[]}]}}]}]}]}"""
+    val mIn = Files.createTempDirectory("compact_m_in").toString
+    val mOut = Files.createTempDirectory("compact_m_out").toString
+    (0 until 9).foreach { i =>
+      val pb = OtlpJsonSource.writeMetricsPb(
+        OtlpJsonSource.parseMetricPoints(Seq(metricJson(i)).toDF("json")))
+        .head().getAs[Array[Byte]]("pb")
+      Files.write(Paths.get(f"$mIn/r$i%03d.pb"), pb)
+    }
+    val (mi, mo) = OtlpJsonSource.compactMetricsPbSpool(spark, mIn, mOut, maxRecords = 4)
+    assert(mi == 9 && mo >= 3 && mo <= 5, s"$mi -> $mo")
+    val ptsBack = OtlpJsonSource.parseMetricPointsPb(
+      spark.read.format("binaryFile").load(mOut).select(col("content").as("pb")))
+    assert(ptsBack.count() == 9)
+    assert(ptsBack.select(col("time_unix_nano")).distinct().count() == 9)
+  }
+
   test("spans wire-to-wire: pb spool → stream → process → pb export → lossless re-ingest") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
