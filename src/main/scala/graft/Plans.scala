@@ -62,6 +62,11 @@ object Plans {
     "q_dedup_minhash" -> ("Signature computed once per doc (single " +
       "project over the scan), one shuffle on (band, bucket); pair " +
       "expansion stays inside the bucket — no cartesian anywhere."),
+    "q_bm25" -> ("Relevance mining: the query-term filter sits INSIDE " +
+      "the map-side explode (no exchange between them, PlanSpec-pinned), " +
+      "so the (doc, term) aggregate shuffles only query-term hits — " +
+      "proportional to matches, never corpus tokens; N/avgdl ride one " +
+      "broadcast one-row aggregate."),
     "q_ann_bruteforce" -> ("The deliberate O(Q·N): BroadcastNestedLoopJoin " +
       "with the 10-query side broadcast — map-side similarity, no " +
       "shuffle of the corpus."),
