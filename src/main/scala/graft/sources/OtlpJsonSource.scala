@@ -841,6 +841,17 @@ object OtlpJsonSource {
       .start()
   }
 
+  /** [[socketLogsPb]] for the other two signals — the push receiver
+    * matrix covers every OTLP service, not just logs. */
+  def socketSpansPb(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseSpansPb(spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(unbase64(col("value")).as("pb")))
+  def socketMetricsPb(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseMetricPointsPb(spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(unbase64(col("value")).as("pb")))
+
   /** Streaming OTLP-JSON file receiver: tail a directory of request
     * documents (one JSON per line) with admission control
     * (maxFilesPerTrigger ≈ the memory limiter's refusal/backpressure

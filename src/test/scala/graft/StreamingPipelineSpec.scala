@@ -720,6 +720,57 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("socket-fed span and metric receivers complete the push matrix") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def serve(lines: Seq[String]): java.net.ServerSocket = {
+      val server = new java.net.ServerSocket(0)
+      val writer = new Thread(() => {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(out.println)
+        out.flush()
+        Thread.sleep(30000)
+        sock.close()
+      })
+      writer.setDaemon(true); writer.start()
+      server
+    }
+    val spanJson =
+      """{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":[{"scope":{"name":"graft"},""" +
+        """"spans":[{"traceId":"000102030405060708090a0b0c0d0e0f","spanId":"0001020304050607",""" +
+        """"name":"op","kind":2,"startTimeUnixNano":"100","endTimeUnixNano":"250","status":{"code":2},"attributes":[]}]}]}]}"""
+    val spanLine = java.util.Base64.getEncoder.encodeToString(
+      graft.sources.OtlpProtobuf.spansJsonToRequest(UTF8String.fromString(spanJson)))
+    val s1 = serve(Seq(spanLine, spanLine))
+    val q1 = OtlpJsonSource.socketSpansPb(spark, "localhost", s1.getLocalPort)
+      .writeStream.format("memory").queryName("socket_spans_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.sql("SELECT count(*) FROM socket_spans_out").head().getLong(0) < 2 &&
+          System.currentTimeMillis() < deadline) { q1.processAllAvailable(); Thread.sleep(100) }
+      val r = spark.sql("SELECT name, kind, status_code FROM socket_spans_out").collect()
+      assert(r.length == 2 && r.forall(x =>
+        x.getString(0) == "op" && x.getInt(1) == 2 && x.getInt(2) == 2))
+    } finally { q1.stop(); s1.close() }
+
+    val metricJson =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":[{"scope":{"name":"graft"},""" +
+        """"metrics":[{"name":"cpu","gauge":{"dataPoints":[{"timeUnixNano":"100","asDouble":0.5,"attributes":[]}]}}]}]}]}"""
+    val metricLine = java.util.Base64.getEncoder.encodeToString(
+      graft.sources.OtlpProtobuf.metricsJsonToRequest(UTF8String.fromString(metricJson)))
+    val s2 = serve(Seq(metricLine, metricLine, metricLine))
+    val q2 = OtlpJsonSource.socketMetricsPb(spark, "localhost", s2.getLocalPort)
+      .writeStream.format("memory").queryName("socket_metrics_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.sql("SELECT count(*) FROM socket_metrics_out").head().getLong(0) < 3 &&
+          System.currentTimeMillis() < deadline) { q2.processAllAvailable(); Thread.sleep(100) }
+      val m = spark.sql("SELECT metric_name, metric_type, value FROM socket_metrics_out").collect()
+      assert(m.length == 3 && m.forall(x =>
+        x.getString(0) == "cpu" && x.getString(1) == "gauge" && x.getDouble(2) == 0.5))
+    } finally { q2.stop(); s2.close() }
+  }
+
   test("reactive admission: a burst is refused down to bounded batches and respooled") {
     import java.nio.file.{Files, Paths}
     val inDir = Files.createTempDirectory("adm_in").toString
