@@ -115,11 +115,17 @@ object Pipeline {
                                     backoffMs: Long = 100,
                                     multiplier: Double = 2.0,
                                     maxBackoffMs: Long = 30000) extends Exporter {
-    def export(df: DataFrame): Unit = retry(() => delegate.export(df), 0L)
+    // instance-unique jitter nonce: two sender instances retrying the
+    // SAME batch must compute DIFFERENT delays, or the jitter never
+    // de-synchronizes the fleet — (batchId, attempt) alone is shared
+    // state across every instance
+    private val jitterNonce: Long =
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()
+    def export(df: DataFrame): Unit = retry(() => delegate.export(df), jitterNonce)
     // forward the batchId so a retried micro-batch keeps its idempotent
     // per-batch keying (dropping it would clobber the whole sink)
     override def exportBatch(df: DataFrame, batchId: Long): Unit =
-      retry(() => delegate.exportBatch(df, batchId), batchId)
+      retry(() => delegate.exportBatch(df, batchId), jitterNonce ^ batchId)
     private def retry(f: () => Unit, seed: Long): Unit = {
       var attempt = 0
       var done = false
@@ -159,7 +165,19 @@ object Pipeline {
     * re-sending accepted rows would duplicate them server-side.
     * `rejected` must be a deterministic predicate of the data (the
     * same rows reject on a replay), like every split in the replay
-    * path. */
+    * path.
+    *
+    * CONTRACT — partial success is for APPEND/MERGE sinks only: the
+    * retry re-invokes exportBatch with the SAME batchId on the
+    * rejected-only slice, so a sink following the batchId-keyed
+    * OVERWRITE replay idiom (e.g. ParquetExporter's
+    * `batch_id=N` overwrite) would clobber the rows it just accepted
+    * with only the rejected slice. That is not a composition bug but
+    * a contradiction in the sink itself: throwing this exception IS
+    * the claim "I durably keep accepted rows across subsequent
+    * deliveries of this batch" — a sink whose replay semantics are
+    * whole-batch overwrite cannot truthfully make it, and must use
+    * plain failure (full-batch retry) instead. */
   final class PartialSuccessException(val rejected: org.apache.spark.sql.Column,
                                       msg: String)
       extends RuntimeException(msg)
@@ -315,7 +333,8 @@ object Pipeline {
       maxAttemptsPerBatch: Int = 6, retriesPerRun: Int = 1,
       backoffMs: Long = 25, capacity: Int = 1024,
       capacityBytes: Long = 0L,
-      obs: Option[QueueObs] = None) extends Exporter {
+      obs: Option[QueueObs] = None,
+      ledgerCompactEvery: Long = 1024L) extends Exporter {
     import org.apache.hadoop.fs.{FileSystem, Path}
 
     private def fs(spark: SparkSession): FileSystem =
@@ -490,21 +509,55 @@ object Pipeline {
       * ids unreusable — deleting one would let a stale-hint instance
       * re-issue the id and overwrite a delivered batch downstream);
       * `seq` is just a fast-path hint past the claimed prefix. */
+    private def floorFile = new Path(s"$queueDir/ids/floor")
     private def nextId(spark: SparkSession): Long = synchronized {
       val f = fs(spark)
       val hint = new Path(s"$queueDir/seq")
       f.mkdirs(new Path(s"$queueDir/ids"))
-      var id = readNum(f, hint, 0L)
-      while (!claimId(f, id)) id += 1
+      var floor = readNum(f, floorFile, 0L)
+      var id = math.max(readNum(f, hint, 0L), floor)
+      var claimed = false
+      while (!claimed) {
+        if (claimId(f, id)) {
+          // re-check the floor AFTER a successful claim: a concurrent
+          // compaction may have deleted this id's ORIGINAL claim file
+          // (making our exclusive-create succeed on an already-used
+          // id). The compactor writes the floor BEFORE deleting, so a
+          // claim that lands below the re-read floor is void.
+          val fl = readNum(f, floorFile, 0L)
+          if (id >= fl) claimed = true
+          else { floor = fl; id = fl }
+        } else id += 1
+      }
       // best-effort hint; claims arbitrate — a concurrent writer may
       // collide here and that's fine
       try writeNum(f, hint, id + 1)
       catch { case scala.util.control.NonFatal(_) => () }
+      // ledger compaction: ids are claimed in a gap-free scan from the
+      // hint (a claim at N implies every id < N was observed claimed),
+      // so raising the floor to the just-claimed id and dropping the
+      // claim files below it loses no information — ids below the
+      // floor are permanently claimed by the marker alone. Floor
+      // first, delete second: a crash between the two leaves extra
+      // claim files, never a reusable id.
+      if (id - floor >= ledgerCompactEvery) {
+        try {
+          writeNum(f, floorFile, id)
+          for (s <- f.listStatus(new Path(s"$queueDir/ids"));
+               n = s.getPath.getName
+               if n.startsWith("id_") && n.stripPrefix("id_").toLong < id)
+            f.delete(s.getPath, false)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
       id
     }
     /** one atomic exclusive-create per id; Hadoop's LocalFileSystem
       * create(overwrite=false) is check-then-create, so the file:
-      * scheme goes through NIO's O_EXCL createFile instead */
+      * scheme goes through NIO's O_EXCL createFile instead. ONLY an
+      * already-exists outcome means "claimed" — any other IOException
+      * is a real FS failure (outage, auth) and must propagate, or id
+      * allocation would spin forever burning ids with no backoff
+      * while the store is down. */
     private def claimId(f: FileSystem, id: Long): Boolean = {
       val claim = new Path(s"$queueDir/ids/id_$id")
       if ("file" == f.getUri.getScheme)
@@ -513,7 +566,7 @@ object Pipeline {
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       else
         try { f.create(claim, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     }
     /** best-effort read: another live instance may be overwriting the
       * file this instant (torn read / checksum mismatch on local FS)

@@ -19,6 +19,23 @@ import graft.model.OtelModel
   * columnar log schema. Pure column ops (from_json + explode), so the
   * same code serves batch reads and readStream file sources.
   */
+/** Java-serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is private[spark]): ships the DRIVER's
+  * filesystem config — defaultFS, object-store credentials — to
+  * executor-side writers that open filesystems directly. */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object OtlpJsonSource {
 
   // ---- pcommon.Value (AnyValue) model ----------------------------
@@ -694,17 +711,31 @@ object OtlpJsonSource {
     val batched = graft.operators.Processors.assignBatchesRanged(
       rows, col(orderCol), maxRecords)
     val requests = encode(batched, Seq("batch_id"))
+    // the executor-side writer must see the DRIVER's Hadoop config
+    // (defaultFS, object-store credentials) — a fresh Configuration()
+    // would resolve the wrong/unauthenticated filesystem off-local
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     requests.select(col("pb")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        var i = 0
         it.foreach { r =>
+          val pb = r.getAs[Array[Byte]]("pb")
+          // attempt-stable, content-addressed name: the partition's
+          // row SET is deterministic across task retries (the shuffle
+          // repartitioning is a pure hash of batch keys) even though
+          // fetch ORDER is not, so a retried or speculative attempt
+          // rewrites exactly the same paths with the same bytes — no
+          // duplicate files, no commit protocol needed. A name
+          // collision requires byte-identical requests in one
+          // partition, impossible across disjoint ranged batches.
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(pb).map("%02x".format(_)).mkString
           val path = new org.apache.hadoop.fs.Path(outDir,
-            f"compact-$pid%05d-$i%05d-${java.util.UUID.randomUUID()}.pb")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            f"compact-$pid%05d-${pb.length}%08x-$digest.pb")
+          val fs = path.getFileSystem(hconf.value.value)
           val os = fs.create(path, true)
-          try os.write(r.getAs[Array[Byte]]("pb")) finally os.close()
-          i += 1
+          try os.write(pb) finally os.close()
         }
     }
     val outPath = new org.apache.hadoop.fs.Path(outDir)

@@ -322,4 +322,30 @@ class PersistentQueueSpec extends AnyFunSuite {
     intercept[IllegalStateException] { q.export(batch(4, 6)) }
     assert(new java.io.File(s"$dir/pending").listFiles().count(_.isDirectory) == 2)
   }
+
+  test("claim ledger compacts above the high-water mark; compacted ids never reissue") {
+    // the never-deleted ids/ ledger would otherwise grow one file per
+    // batch forever; compaction must keep the no-reuse guarantee even
+    // for an instance whose seq hint is stale or gone
+    val dir = Files.createTempDirectory("pq_ledger").toString
+    val gate = new GatedExporter
+    gate.up = true
+    val q = PersistentQueueExporter(gate, dir, backoffMs = 1,
+      ledgerCompactEvery = 4)
+    for (i <- 0 until 10) q.export(batch(i, i + 1))
+    assert(gate.deliveries.size == 10)
+    gate.deliveries.forEach((_, n) => assert(n == 1))
+    val claims = new java.io.File(s"$dir/ids").listFiles()
+      .map(_.getName).filter(_.startsWith("id_"))
+    assert(claims.length < 10, s"ledger never compacted: ${claims.length} claim files")
+    assert(new java.io.File(s"$dir/ids/floor").exists())
+    // stale-hint instance: seq gone, only the floor marker + surviving
+    // claims arbitrate — it must allocate a FRESH id past the floor
+    assert(new java.io.File(s"$dir/seq").delete())
+    val q2 = PersistentQueueExporter(gate, dir, backoffMs = 1,
+      ledgerCompactEvery = 4)
+    q2.export(batch(100, 101))
+    assert(gate.deliveries.size == 11, "a compacted id was reissued")
+    gate.deliveries.forEach((_, n) => assert(n == 1))
+  }
 }
