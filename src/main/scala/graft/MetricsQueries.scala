@@ -95,6 +95,20 @@ object MetricsQueries {
         col("idx"), col("scale"), col("cnt"), toScale = 0)
     }),
 
+    // exp-histogram quantile estimation: build the base-2 bucket
+    // table (the compressed form a collector ships), then answer
+    // q50/q90/q99 from bucket counts alone — rank walk + linear
+    // interpolation between exact power-of-two bounds
+    "q_exp_quantiles" -> ((s, dir) => {
+      val buckets = ev(s, dir)
+        .filter(col("value") > 0)
+        .withColumn("bucket_k", MetricsOps.expBucket(col("value"), -4, 12))
+        .groupBy(col("event_type"), col("bucket_k"))
+        .agg(count(lit(1)).as("cnt"))
+      MetricsOps.expQuantiles(buckets, Seq(col("event_type")),
+        col("bucket_k"), col("cnt"), Seq(0.5, 0.9, 0.99), -4, 12)
+    }),
+
     "q_summary_quantiles" -> ((s, dir) => {
       MetricsOps.summaryQuantiles(ev(s, dir), Seq(col("event_type")),
         col("value"), Seq(0.5, 0.9, 0.99))
@@ -220,6 +234,24 @@ object MetricsQueries {
          | ${MetricsOps.expDownscaleIdxSql("idx", "scale", 0)} AS bucket_idx,
          | CAST(SUM(cnt) AS BIGINT) AS bucket_count
          |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "q_exp_quantiles" ->
+      s"""WITH b AS (
+         | SELECT event_type,
+         |  ${MetricsOps.expBucketSql("value", -4, 12)} AS bucket_k,
+         |  COUNT(*) AS cnt
+         | FROM events WHERE value > 0 GROUP BY 1, 2),
+         |c AS (
+         | SELECT event_type, bucket_k, cnt,
+         |  CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_k
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         | FROM b)
+         |SELECT event_type, MAX(total) AS n,
+         | ${MetricsOps.expQuantileEstSql("bucket_k", "cum", "cnt", "total", 0.5, -4, 12)} AS q50,
+         | ${MetricsOps.expQuantileEstSql("bucket_k", "cum", "cnt", "total", 0.9, -4, 12)} AS q90,
+         | ${MetricsOps.expQuantileEstSql("bucket_k", "cum", "cnt", "total", 0.99, -4, 12)} AS q99
+         |FROM c GROUP BY event_type""".stripMargin,
 
     "q_summary_quantiles" -> {
       val arr = "arr"; val n = "n"

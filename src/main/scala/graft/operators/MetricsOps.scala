@@ -115,6 +115,95 @@ object MetricsOps {
     df.groupBy(seriesKeys :+ expDownscaleIdx(idx, scaleCol, toScale).as("bucket_idx"): _*)
       .agg(sum(cnt).as("bucket_count"))
 
+  /** Exponential-histogram quantile estimation — the query the
+    * reference's ExponentialHistogram data model exists to answer
+    * (behavior: pdata/internal/data/protogen/metrics/v1/metrics.pb.go
+    * — base-2 scale buckets carry enough shape to estimate any
+    * quantile from compressed series): cumulative bucket counts →
+    * target rank r = q·N → the bucket whose cumulative range contains
+    * r → linear interpolation between the bucket's power-of-two
+    * bounds.
+    *
+    * Bucket semantics follow [[expBucket]] (scale 0): bucket k=kMin
+    * is the zero/underflow bucket covering [0, 2^kMin]; kMin<k≤kMax
+    * covers (2^(k-1), 2^k]; k=kMax+1 is the overflow bucket, clamped
+    * to its lower bound 2^kMax (no upper bound to interpolate
+    * toward). All bounds are EXACT power-of-two doubles emitted as
+    * literals — no transcendental log/pow in the data path, so the
+    * DuckDB oracle twin ([[expQuantileEstSql]]) is bit-identical.
+    *
+    * One shuffle on the series keys: the rank windows and the final
+    * group-by share the partitioning, and the input is already a
+    * bucket table (tiny — ≤ kMax-kMin+2 rows per series), not raw
+    * datapoints. qs must lie in (0, 1].
+    */
+  def expQuantiles(df: DataFrame, seriesKeys: Seq[Column], idx: Column,
+                   cnt: Column, qs: Seq[Double], kMin: Int, kMax: Int): DataFrame = {
+    val wOrd = Window.partitionBy(seriesKeys: _*).orderBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(seriesKeys: _*)
+    val base = df.select(seriesKeys ++ Seq(idx.as("_k"), cnt.as("_cnt")): _*)
+      .withColumn("_cum", sum(col("_cnt")).over(wOrd))
+      .withColumn("_total", sum(col("_cnt")).over(wAll))
+    val lo = expBucketLower(col("_k"), kMin, kMax)
+    val hi = expBucketUpper(col("_k"), kMin, kMax)
+    val cumD = col("_cum").cast("double")
+    val beforeD = (col("_cum") - col("_cnt")).cast("double")
+    val cntD = col("_cnt").cast("double")
+    val aggs = qs.map { q =>
+      val r = lit(q) * col("_total").cast("double")
+      val est = lo + ((r - beforeD) / cntD) * (hi - lo)
+      max(when(beforeD < r && cumD >= r, est)).as(qName(q))
+    }
+    val names = seriesKeys.map(_.toString)
+    base.groupBy(names.map(col): _*)
+      .agg(max(col("_total")).as("n"), aggs: _*)
+  }
+
+  /** bucket k's lower bound under [[expBucket]] semantics (see
+    * [[expQuantiles]]): 0 for the underflow bucket, else 2^(k-1). */
+  def expBucketLower(k: Column, kMin: Int, kMax: Int): Column =
+    (kMin + 1 to kMax + 1).foldLeft(when(k <= lit(kMin), lit(0.0))) {
+      (acc, kk) => acc.when(k === lit(kk), lit(pow2(kk - 1)))
+    }.otherwise(lit(pow2(kMax)))
+
+  /** bucket k's upper bound: 2^k, clamped to 2^kMax for overflow. */
+  def expBucketUpper(k: Column, kMin: Int, kMax: Int): Column =
+    (kMin to kMax).foldLeft(when(k < lit(kMin), lit(pow2(kMin)))) {
+      (acc, kk) => acc.when(k === lit(kk), lit(pow2(kk)))
+    }.otherwise(lit(pow2(kMax)))
+
+  private def pow2(k: Int): Double = math.pow(2.0, k)
+  /** shortest round-trip decimal for a double — both engines parse it
+    * back to the identical bit pattern (%.10e truncation would not) */
+  private def fmtD(d: Double): String = java.lang.Double.toString(d)
+
+  /** DuckDB twins of the bound tables, same CASE structure and the
+    * same round-trip-printed literals. */
+  def expBucketLowerSql(kExpr: String, kMin: Int, kMax: Int): String =
+    (s"WHEN $kExpr <= $kMin THEN 0.0" +:
+      (kMin + 1 to kMax + 1).map(kk =>
+        s"WHEN $kExpr = $kk THEN ${fmtD(pow2(kk - 1))}"))
+      .mkString("CASE ", " ", s" ELSE ${fmtD(pow2(kMax))} END")
+  def expBucketUpperSql(kExpr: String, kMin: Int, kMax: Int): String =
+    (s"WHEN $kExpr < $kMin THEN ${fmtD(pow2(kMin))}" +:
+      (kMin to kMax).map(kk => s"WHEN $kExpr = $kk THEN ${fmtD(pow2(kk))}"))
+      .mkString("CASE ", " ", s" ELSE ${fmtD(pow2(kMax))} END")
+
+  /** DuckDB twin of [[expQuantiles]]'s per-bucket estimate: identical
+    * parenthesization so every IEEE op rounds identically. Operands
+    * are expression strings over the bucket table (cum/cnt/total as
+    * BIGINT columns). */
+  def expQuantileEstSql(kExpr: String, cumExpr: String, cntExpr: String,
+                        totalExpr: String, q: Double, kMin: Int, kMax: Int): String = {
+    val lo = s"(${expBucketLowerSql(kExpr, kMin, kMax)})"
+    val hi = s"(${expBucketUpperSql(kExpr, kMin, kMax)})"
+    val r = s"($q * CAST($totalExpr AS DOUBLE))"
+    val before = s"CAST($cumExpr - $cntExpr AS DOUBLE)"
+    val est = s"($lo + (($r - $before) / CAST($cntExpr AS DOUBLE)) * ($hi - $lo))"
+    s"MAX(CASE WHEN $before < $r AND CAST($cumExpr AS DOUBLE) >= $r THEN $est END)"
+  }
+
   /** Summary semantics: linearly-interpolated quantiles per series.
     *
     * Implemented with an explicit `v_lo + frac * (v_hi - v_lo)`

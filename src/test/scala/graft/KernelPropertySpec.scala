@@ -305,6 +305,58 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exp-histogram quantiles: exact interpolation on a known bucket table") {
+    // two buckets of 10: idx 3 covers (4,8], idx 4 covers (8,16] —
+    // rank walk + linear interpolation has closed-form answers
+    val b = Seq(("s", 3L, 10L), ("s", 4L, 10L)).toDF("series", "k", "cnt")
+    val got = MetricsOps.expQuantiles(b, Seq(col("series")), col("k"),
+      col("cnt"), Seq(0.5, 0.75, 1.0), -4, 12).collect().head
+    assert(got.getAs[Long]("n") == 20L)
+    assert(got.getAs[Double]("q50") == 8.0)   // r=10 tops out bucket 3
+    assert(got.getAs[Double]("q75") == 12.0)  // halfway into (8,16]
+    assert(got.getAs[Double]("q100") == 16.0) // the max bound
+    // underflow bucket interpolates inside [0, 2^kMin]; overflow
+    // clamps to 2^kMax (it has no upper bound to interpolate toward)
+    val edges = Seq(("e", -4L, 10L), ("e", 13L, 10L)).toDF("series", "k", "cnt")
+    val e = MetricsOps.expQuantiles(edges, Seq(col("series")), col("k"),
+      col("cnt"), Seq(0.25, 0.99), -4, 12).collect().head
+    assert(e.getAs[Double]("q25") == 0.5 * math.pow(2.0, -4))
+    assert(e.getAs[Double]("q99") == math.pow(2.0, 12))
+  }
+
+  test("exp-histogram quantile estimates stay within one base-2 bucket of exact percentiles") {
+    // the estimate's defining error bound: rank q·N lands in the same
+    // (or, at a rank-convention tie, an adjacent) bucket as the exact
+    // quantile value, and base-2 bucket bounds are a factor 2 apart —
+    // so estimate/exact is confined to [1/4, 4]
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("value") > 0)
+    val buckets = ev
+      .withColumn("k", MetricsOps.expBucket(col("value"), -4, 12))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = MetricsOps.expQuantiles(buckets, Seq(col("event_type")),
+        col("k"), col("cnt"), Seq(0.5, 0.9, 0.99), -4, 12)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val exact = MetricsOps.summaryQuantiles(ev, Seq(col("event_type")),
+        col("value"), Seq(0.5, 0.9, 0.99))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    exact.foreach { case (series, (e50, e90, e99)) =>
+      val (a50, a90, a99) = est(series)
+      assert(a50 <= a90 && a90 <= a99, s"$series: estimates not monotone")
+      for (((a, e), q) <- Seq(a50 -> e50, a90 -> e90, a99 -> e99)
+             .zip(Seq("q50", "q90", "q99"))) {
+        assert(a / e >= 0.25 && a / e <= 4.0,
+          s"$series $q: estimate $a vs exact $e outside the bucket bound")
+      }
+    }
+  }
+
   test("minhash estimate tracks true jaccard on random overlapping sets") {
     val base = (0 until 60).map(i => s"sh$i")
     samples(Gen.chooseNum(0, 50), 10).foreach { overlap =>
