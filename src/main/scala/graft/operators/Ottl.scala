@@ -79,6 +79,23 @@ object Ottl {
     case "metric.description" => col("description")
     case "metric.unit"        => col("unit")
     case "metric.type"        => col("metric_type")
+    // spanevent context (reference behavior: the transform processor's
+    // spanevent context over pdata SpanEventSlice) — statements run on
+    // the EXPLODED event frame (sources/OtlpJsonSource.parseSpanEvents:
+    // one row per event, owning span ids alongside), so event fields
+    // are plain columns and the owning span is the `span.` prefix
+    case "spanevent.name"           => col("name")
+    case "spanevent.time_unix_nano" => col("time_unix_nano")
+    case "spanevent.attributes"     => col("attributes")
+    // link context (pdata SpanLinkSlice exploded by parseSpanLinks):
+    // `link.trace_id` is the LINKED trace, not the owning span's
+    case "link.trace_id"    => col("linked_trace_id")
+    case "link.span_id"     => col("linked_span_id")
+    case "link.trace_state" => col("linked_trace_state")
+    case "link.attributes"  => col("attributes")
+    // owning-span addressing from within spanevent/link context
+    case "span.trace_id" => col("trace_id")
+    case "span.span_id"  => col("span_id")
     case bare => col(bare)
   }
 
@@ -108,9 +125,13 @@ object Ottl {
     case "resource.attributes" => "resource_attributes"
     case "instrumentation_scope.attributes" | "scope.attributes" =>
       "scope_attributes"
+    // event/link attributes are THE attributes column of their
+    // exploded frames (see [[path]])
+    case "spanevent.attributes" | "link.attributes" => "attributes"
     case other => throw new IllegalArgumentException(
       s"'$other' is not an OTTL map path (attributes | resource.attributes" +
-        " | instrumentation_scope.attributes)")
+        " | instrumentation_scope.attributes | spanevent.attributes" +
+        " | link.attributes)")
   }
   private def mapPathCol(base: String): Column = col(mapPathName(base))
   private def pathColumnName(p: String): String = p match {
@@ -119,6 +140,11 @@ object Ottl {
     case "metric.name" => "metric_name"
     case "metric.description" => "description"
     case "metric.unit" => "unit"
+    case "spanevent.name"           => "name"
+    case "spanevent.time_unix_nano" => "time_unix_nano"
+    case "link.trace_id"    => "linked_trace_id"
+    case "link.span_id"     => "linked_span_id"
+    case "link.trace_state" => "linked_trace_state"
     case bare if !bare.contains('.') => bare
     case other => throw new IllegalArgumentException(
       s"cannot write to OTTL path '$other'")

@@ -258,6 +258,69 @@ class OttlSpec extends AnyFunSuite {
     }.getMessage.contains("not an OTTL map path"))
   }
 
+  test("spanevent and link contexts: statement-level reads, sets, and deletes over the exploded frames") {
+    import graft.sources.OtlpJsonSource
+    // one span with an event and a link, through the real source path
+    val req =
+      """{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"api"}}]},
+        |"scopeSpans":[{"scope":{"name":"graft"},"spans":[{
+        |"traceId":"t1","spanId":"s1","name":"op","kind":2,
+        |"startTimeUnixNano":"100","endTimeUnixNano":"200",
+        |"status":{"code":1,"message":"ok"},
+        |"attributes":[],
+        |"events":[{"timeUnixNano":"150","name":"exception",
+        |  "attributes":[{"key":"exception.type","value":{"stringValue":"IOError"}},
+        |               {"key":"exception.stacktrace","value":{"stringValue":"at ..."}}]}],
+        |"links":[{"traceId":"lt9","spanId":"ls9","traceState":"w3c=1",
+        |  "attributes":[{"key":"rel","value":{"stringValue":"follows"}}]}]}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val events = OtlpJsonSource.parseSpanEvents(Seq(req).toDF("json"))
+    val links = OtlpJsonSource.parseSpanLinks(Seq(req).toDF("json"))
+
+    // spanevent context reads: event fields AND the owning span
+    val er = events.select(
+      Ottl.path("spanevent.name").as("n"),
+      Ottl.path("spanevent.time_unix_nano").as("t"),
+      Ottl.path("""spanevent.attributes["exception.type"]""").as("et"),
+      Ottl.path("span.span_id").as("own")).head()
+    assert(er.getAs[String]("n") == "exception")
+    assert(er.getAs[Long]("t") == 150L)
+    assert(er.getAs[String]("et") == "IOError")
+    assert(er.getAs[String]("own") == "s1")
+
+    // spanevent statement-level set + delete (the transform
+    // processor's `context: spanevent` statements): rename the event,
+    // stamp an attribute, drop the stacktrace
+    val eOut = Ottl.deleteAtPath(
+      Ottl.setPath(
+        Ottl.setPath(events, "spanevent.name", lit("exception.redacted")),
+        """spanevent.attributes["handled"]""", lit("true")),
+      "spanevent.attributes", "exception.stacktrace").head()
+    assert(eOut.getAs[String]("name") == "exception.redacted")
+    val eAttrs = eOut.getAs[Map[String, String]]("attributes")
+    assert(eAttrs("handled") == "true" && !eAttrs.contains("exception.stacktrace"))
+    assert(eAttrs("exception.type") == "IOError")
+
+    // link context: `link.trace_id` is the LINKED trace, the owning
+    // span stays addressable via `span.`
+    val lr = links.select(
+      Ottl.path("link.trace_id").as("lt"),
+      Ottl.path("link.span_id").as("ls"),
+      Ottl.path("link.trace_state").as("st"),
+      Ottl.path("""link.attributes["rel"]""").as("rel"),
+      Ottl.path("span.trace_id").as("own")).head()
+    assert(lr.getAs[String]("lt") == "lt9" && lr.getAs[String]("ls") == "ls9")
+    assert(lr.getAs[String]("st") == "w3c=1")
+    assert(lr.getAs[String]("rel") == "follows")
+    assert(lr.getAs[String]("own") == "t1")
+
+    val lOut = Ottl.deleteAtPath(
+      Ottl.setPath(links, "link.trace_state", lit("")),
+      "link.attributes", "rel").head()
+    assert(lOut.getAs[String]("linked_trace_state") == "")
+    assert(!lOut.getAs[Map[String, String]]("attributes").contains("rel"))
+  }
+
   test("timeFromUnixNano lands every input in the RIGHT microsecond (exact integer division)") {
     // the double-division formulation spaced ~256 ns apart at
     // current-epoch magnitudes — ~12% of inputs truncated into the
