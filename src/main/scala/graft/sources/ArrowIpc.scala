@@ -349,14 +349,24 @@ object ArrowIpc {
       val alloc = new RootAllocator()
       try newVector(f, alloc).close() finally alloc.close() // validate up front
     }
+    // executor-side writes need the DRIVER's filesystem config
+    // (defaultFS, object-store credentials), not a fresh default one
+    val hconf = df.sparkSession.sparkContext.broadcast(
+      new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration))
+    // DRIVER-side nonce, fixed per spool() call: task retries and
+    // speculative attempts close over the same value and overwrite
+    // their own (pid, chunk) names instead of duplicating files under
+    // per-attempt randomness, while two spool() calls into one dir
+    // still never collide
+    val callId = java.util.UUID.randomUUID().toString.take(8)
     df.foreachPartition { (it: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var chunk = 0
       it.grouped(maxPerFile).foreach { rows =>
         val bytes = encodeRows(schema, rows, dictCap, batchRows = 0, codec = codec)
         val path = new org.apache.hadoop.fs.Path(dir,
-          f"part-$pid%05d-$chunk%04d-${java.util.UUID.randomUUID()}.arrow")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          f"part-$callId-$pid%05d-$chunk%04d.arrow")
+        val fs = path.getFileSystem(hconf.value.value)
         val os = fs.create(path, true)
         try os.write(bytes) finally os.close()
         chunk += 1
@@ -443,6 +453,38 @@ object ArrowIpc {
     OtlpJsonSource.parseSpans(emptyRequests(spark)).schema
   def metricsSchema(spark: SparkSession): StructType =
     OtlpJsonSource.parseMetricPoints(emptyRequests(spark)).schema
+
+  /** Socket-fed Arrow IPC push receiver — the live-stream analog of
+    * [[OtlpJsonSource.socketLogsPb]] for the fork's namesake
+    * transport (reference behavior: the OTLP-Arrow gRPC stream —
+    * each stream message carries one batch of Arrow-encoded records;
+    * here each base64 line carries one complete IPC stream payload:
+    * schema + dictionaries + record batches + EOS, exactly what
+    * [[encodeRows]]/[[spool]] emit, dictionary-encoded and
+    * compressed payloads included). Decode is the identical
+    * [[parse]] path the spool receivers use, so re-ingesting an
+    * [[graft.pipeline.Pipeline.ArrowStreamPoolExporter]]'s output no
+    * longer requires the filesystem. Same caveats as the pb socket
+    * receivers: Spark's socket source is single-connection,
+    * no-replay — a production push receiver fronts this with a
+    * durable log feeding the same `ipc` column. */
+  def socketArrow(spark: SparkSession, host: String, port: Int,
+                  schema: StructType): DataFrame =
+    parse(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(unbase64(col("value")).as("ipc")), schema)
+
+  /** [[socketArrow]] per signal, over the derived flattened-contract
+    * schemas. (For a dead-letter path, wrap the payload frame with
+    * [[parseWithDlq]] inside a single foreachBatch router — two
+    * streaming frames over ONE socket source would open two
+    * connections, the [[OtlpJsonSource.socketLogsPbRouted]] caveat.) */
+  def socketLogsArrow(spark: SparkSession, host: String, port: Int): DataFrame =
+    socketArrow(spark, host, port, logsSchema(spark))
+  def socketSpansArrow(spark: SparkSession, host: String, port: Int): DataFrame =
+    socketArrow(spark, host, port, spansSchema(spark))
+  def socketMetricsArrow(spark: SparkSession, host: String, port: Int): DataFrame =
+    socketArrow(spark, host, port, metricsSchema(spark))
 
   // ---- per-signal receivers ----------------------------------------
 

@@ -771,6 +771,99 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally { q2.stop(); s2.close() }
   }
 
+  test("arrow IPC socket push receiver: pool-exporter payloads over a live socket, all three signals") {
+    import graft.sources.ArrowIpc
+    import spark.implicits._
+    def serveFiles(payloads: Seq[Array[Byte]]): java.net.ServerSocket = {
+      val server = new java.net.ServerSocket(0)
+      val writer = new Thread(() => {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        payloads.foreach(p =>
+          out.println(java.util.Base64.getEncoder.encodeToString(p)))
+        out.flush()
+        Thread.sleep(30000)
+        sock.close()
+      })
+      writer.setDaemon(true); writer.start()
+      server
+    }
+    def arrowPayloads(dir: String): Seq[Array[Byte]] = {
+      val b = Seq.newBuilder[Array[Byte]]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (p.toString.endsWith(".arrow"))
+          b += java.nio.file.Files.readAllBytes(p)
+      }
+      b.result()
+    }
+
+    // logs ride the REAL pool exporter (dict+zstd — the namesake
+    // transport shape), then its spooled stream payloads are served
+    // over a live socket instead of re-read from the filesystem
+    val logs = OtlpJsonSource.eventsAsLogs(spark, "/root/testdata/sf0.001")
+      .withColumn("trace_id", substring(col("trace_id"), 1, 32))
+      .withColumn("span_id", substring(col("span_id"), 1, 16))
+      .limit(40)
+    val poolDir = java.nio.file.Files.createTempDirectory("arrow_sock").toString
+    val pool = new Pipeline.ArrowStreamPoolExporter(poolDir, numStreams = 2,
+      dictCap = 32, codec = "zstd")
+    pool.export(logs)
+    assert(pool.arrowBatches.get() == 1 && !pool.isDowngraded)
+    val s1 = serveFiles(arrowPayloads(s"$poolDir/arrow"))
+    val q1 = ArrowIpc.socketLogsArrow(spark, "localhost", s1.getLocalPort)
+      .writeStream.format("memory").queryName("arrow_sock_logs").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.sql("SELECT count(*) FROM arrow_sock_logs").head().getLong(0) < 40 &&
+          System.currentTimeMillis() < deadline) { q1.processAllAvailable(); Thread.sleep(100) }
+      // rows identical to the pb transport of the SAME frame
+      val cols = Seq("time_unix_nano", "severity_number", "severity_text",
+        "body", "trace_id", "span_id")
+      val viaSocket = spark.sql("SELECT * FROM arrow_sock_logs")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted
+      val viaPb = OtlpJsonSource.parseLogsPb(OtlpJsonSource.writeLogsPb(logs))
+        .select(cols.map(col): _*).collect().map(_.toString).sorted
+      assert(viaSocket.length == 40)
+      assert(viaSocket.sameElements(viaPb), "socket-arrow rows != pb-path rows")
+    } finally { q1.stop(); s1.close() }
+
+    // spans + metrics complete the push matrix over the same seam
+    val spanReq =
+      """{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":[{"scope":{"name":"graft"},""" +
+        """"spans":[{"traceId":"t1","spanId":"s1","name":"op","kind":2,"startTimeUnixNano":"100",""" +
+        """"endTimeUnixNano":"250","status":{"code":2},"attributes":[]}]}]}]}"""
+    val spans = OtlpJsonSource.parseSpans(Seq(spanReq).toDF("json"))
+    val spanDir = java.nio.file.Files.createTempDirectory("arrow_sock_sp").toString
+    ArrowIpc.spool(spans, spanDir, dictCap = 8)
+    val s2 = serveFiles(arrowPayloads(spanDir))
+    val q2 = ArrowIpc.socketSpansArrow(spark, "localhost", s2.getLocalPort)
+      .writeStream.format("memory").queryName("arrow_sock_spans").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.sql("SELECT count(*) FROM arrow_sock_spans").head().getLong(0) < 1 &&
+          System.currentTimeMillis() < deadline) { q2.processAllAvailable(); Thread.sleep(100) }
+      val r = spark.sql("SELECT name, kind, status_code FROM arrow_sock_spans").head()
+      assert(r.getString(0) == "op" && r.getInt(1) == 2 && r.getInt(2) == 2)
+    } finally { q2.stop(); s2.close() }
+
+    val metricReq =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":[{"scope":{"name":"graft"},""" +
+        """"metrics":[{"name":"cpu","gauge":{"dataPoints":[{"timeUnixNano":"100","asDouble":0.5,"attributes":[]}]}}]}]}]}"""
+    val points = OtlpJsonSource.parseMetricPoints(Seq(metricReq).toDF("json"))
+    val metricDir = java.nio.file.Files.createTempDirectory("arrow_sock_mx").toString
+    ArrowIpc.spool(points, metricDir)
+    val s3 = serveFiles(arrowPayloads(metricDir))
+    val q3 = ArrowIpc.socketMetricsArrow(spark, "localhost", s3.getLocalPort)
+      .writeStream.format("memory").queryName("arrow_sock_metrics").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.sql("SELECT count(*) FROM arrow_sock_metrics").head().getLong(0) < 1 &&
+          System.currentTimeMillis() < deadline) { q3.processAllAvailable(); Thread.sleep(100) }
+      val m = spark.sql("SELECT metric_name, metric_type, value FROM arrow_sock_metrics").head()
+      assert(m.getString(0) == "cpu" && m.getString(1) == "gauge" && m.getDouble(2) == 0.5)
+    } finally { q3.stop(); s3.close() }
+  }
+
   test("reactive admission: a burst is refused down to bounded batches and respooled") {
     import java.nio.file.{Files, Paths}
     val inDir = Files.createTempDirectory("adm_in").toString
