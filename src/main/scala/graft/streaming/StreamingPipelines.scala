@@ -546,4 +546,166 @@ object StreamingPipelines {
           Iterator((key, delta, cum))
       }
   }
+
+  // ---- streaming corpus statistics (incremental BM25 / bigram LM) --
+
+  /** running BM25 corpus stats: docs seen, total length, per-query-
+    * term document frequency — O(|queryTerms|) state, never
+    * vocab-sized */
+  final case class Bm25CorpusState(n: Long, totalDl: Long, df: Map[String, Long])
+
+  /** Streaming incremental BM25 (the live form of
+    * [[graft.operators.TextOps.bm25]]): corpus statistics — N, total
+    * document length, per-query-term df — accumulate in
+    * flatMapGroupsWithState across micro-batches, and every arriving
+    * doc is scored against the RUNNING stats as of its own trigger
+    * (update-then-score, so a doc sees a corpus that includes itself,
+    * matching the batch operator on a fully-replayed corpus).
+    *
+    * Input columns: id (long), text, and a boolean `update` flag —
+    * rows with update=false score WITHOUT contributing to the stats
+    * (the re-score/query path; replaying a corpus with update=false
+    * after feeding it with update=true reproduces the batch twin's
+    * scores exactly, which is what the convergence spec pins).
+    *
+    * Scale shape: tokenize + query-term filter run MAP-SIDE as column
+    * kernels — the grouped payload per doc is (id, dl, hit-terms),
+    * proportional to query-term hits, never the text. The single
+    * stats group is the global-scalar reduce any engine needs for
+    * corpus-level stats; its state is O(|queryTerms|) and its
+    * per-trigger work is O(batch hits). `ttlMs` expires an idle
+    * corpus' stats (the reference's stale-tracker eviction).
+    *
+    * Output (id, n_terms, score, updated) — score arithmetic mirrors
+    * the batch twin term by term (rational idf, identical op order,
+    * per-term DECIMAL(28,8) rounding before the sum).
+    */
+  def streamingBm25(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, updateCol: String,
+                    queryTerms: Seq[String], k1: Double = 1.2,
+                    b: Double = 0.75, ttlMs: Option[Long] = None)
+      : Dataset[(Long, Long, Double, Boolean)] = {
+    import spark.implicits._
+    val toks = graft.operators.TextOps.tokens(col(textCol))
+    val prepped = docs.select(
+        col(idCol).cast("long").as("id"),
+        size(toks).cast("long").as("dl"),
+        filter(toks, t => t.isInCollection(queryTerms)).as("hits"),
+        col(updateCol).cast("boolean").as("upd"))
+      .as[(Long, Long, Seq[String], Boolean)]
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    prepped.groupByKey(_ => 0)
+      .flatMapGroupsWithState[Bm25CorpusState, (Long, Long, Double, Boolean)](
+        OutputMode.Append, timeout) {
+        (_: Int, rows: Iterator[(Long, Long, Seq[String], Boolean)],
+         state: GroupState[Bm25CorpusState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(Bm25CorpusState(0L, 0L, Map.empty))
+            val batch = rows.toSeq.sortBy(_._1) // deterministic fold order
+            batch.foreach { case (_, dl, hits, upd) =>
+              if (upd) {
+                var df = st.df
+                hits.distinct.foreach(t => df = df.updated(t, df.getOrElse(t, 0L) + 1L))
+                st = Bm25CorpusState(st.n + 1L, st.totalDl + dl, df)
+              }
+            }
+            state.update(st)
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            val n = st.n.toDouble
+            val avgdl = st.totalDl.toDouble / n
+            batch.iterator.map { case (id, dl, hits, upd) =>
+              val tf = hits.groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
+              if (st.n == 0L || tf.isEmpty) (id, 0L, 0.0, upd)
+              else {
+                // the batch twin's expression tree, term by term: each
+                // term rounds through DECIMAL(28,8) before the sum
+                // (QUtil.dsum — shortest-string + HALF_UP, the Spark
+                // double→decimal cast), so replayed scores are
+                // bit-identical, not merely close
+                val acc = tf.toSeq.sortBy(_._1).foldLeft(java.math.BigDecimal.ZERO) {
+                  case (sum, (term, tfd)) =>
+                    val dft = st.df.getOrElse(term, 0L).toDouble
+                    val idf = (n - dft + 0.5) / (dft + 0.5)
+                    val s = idf * (tfd * (k1 + 1.0)) /
+                      (tfd + k1 * (1.0 - b + b * (dl.toDouble / avgdl)))
+                    sum.add(new java.math.BigDecimal(java.lang.Double.toString(s))
+                      .setScale(8, java.math.RoundingMode.HALF_UP))
+                }
+                (id, tf.size.toLong, acc.doubleValue, upd)
+              }
+            }
+          }
+      }
+  }
+
+  /** running bigram-LM stats: bigram counts, left-unigram counts, and
+    * the vocab — bounded by `maxVocab` (the memory-limiter
+    * discipline: terms beyond the cap stop growing the vocab/count
+    * maps and scores become approximations, they never OOM the task) */
+  final case class LmCorpusState(c12: Map[String, Long], c1: Map[String, Long],
+                                 vocab: Set[String])
+
+  /** Streaming incremental add-one bigram LM (the live form of
+    * [[graft.operators.TextOps.lmBigramScore]]): bigram/unigram/vocab
+    * counts accumulate across micro-batches; arriving docs score
+    * against the running tables (update-then-score). Same input/flag
+    * contract as [[streamingBm25]]; docs with <2 tokens emit nothing
+    * (the batch twin's filter). Output (id, n_bigrams, score, updated).
+    */
+  def streamingLmBigram(spark: SparkSession, docs: DataFrame, idCol: String,
+                        textCol: String, updateCol: String,
+                        maxVocab: Int = 1000000, ttlMs: Option[Long] = None)
+      : Dataset[(Long, Long, Double, Boolean)] = {
+    import spark.implicits._
+    val prepped = docs.select(
+        col(idCol).cast("long").as("id"),
+        graft.operators.TextOps.tokens(col(textCol)).as("toks"),
+        col(updateCol).cast("boolean").as("upd"))
+      .as[(Long, Seq[String], Boolean)]
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val SEP = " " // tokens are whitespace-split, NUL never occurs
+    prepped.groupByKey(_ => 0)
+      .flatMapGroupsWithState[LmCorpusState, (Long, Long, Double, Boolean)](
+        OutputMode.Append, timeout) {
+        (_: Int, rows: Iterator[(Long, Seq[String], Boolean)],
+         state: GroupState[LmCorpusState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              LmCorpusState(Map.empty, Map.empty, Set.empty))
+            val batch = rows.toSeq.sortBy(_._1)
+            batch.foreach { case (_, toks, upd) =>
+              if (upd) {
+                var c12 = st.c12; var c1 = st.c1; var vocab = st.vocab
+                toks.foreach(t => if (vocab.size < maxVocab) vocab = vocab + t)
+                if (toks.length >= 2) toks.sliding(2).foreach { pair =>
+                  val key = pair.head + SEP + pair(1)
+                  c12 = c12.updated(key, c12.getOrElse(key, 0L) + 1L)
+                  c1 = c1.updated(pair.head, c1.getOrElse(pair.head, 0L) + 1L)
+                }
+                st = LmCorpusState(c12, c1, vocab)
+              }
+            }
+            state.update(st)
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            val v = st.vocab.size.toDouble
+            batch.iterator.filter(_._2.length >= 2).map { case (id, toks, upd) =>
+              // batch twin: __p = (c12 + 1.0) / (c1 + V), score =
+              // decimal-sum(p) / n_bigrams — identical op order
+              val ps = toks.sliding(2).map { pair =>
+                val c12 = st.c12.getOrElse(pair.head + SEP + pair(1), 0L).toDouble
+                val c1 = st.c1.getOrElse(pair.head, 0L).toDouble
+                (c12 + 1.0) / (c1 + v)
+              }.toSeq
+              val acc = ps.foldLeft(java.math.BigDecimal.ZERO)((sum, p) =>
+                sum.add(new java.math.BigDecimal(java.lang.Double.toString(p))
+                  .setScale(8, java.math.RoundingMode.HALF_UP)))
+              (id, ps.size.toLong, acc.doubleValue / ps.size.toDouble, upd)
+            }
+          }
+      }
+  }
 }

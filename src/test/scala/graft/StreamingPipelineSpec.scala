@@ -864,6 +864,67 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally { q3.stop(); s3.close() }
   }
 
+  test("streaming incremental BM25 and bigram-LM converge to the batch twins on a replayed corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark streaming corpus stats converge on replay"),
+      (2L, "bm25 scores spark documents against query terms"),
+      (3L, "query terms filter map side spark spark"),
+      (4L, "unrelated text with no relevant words at all"),
+      (5L, "streaming stats update then score each trigger"),
+      (6L, "spark query terms spark query terms"))
+    val queryTerms = Seq("spark", "query", "terms", "streaming")
+
+    // --- BM25: feed the corpus as stat updates in two triggers, then
+    // replay it flagged update=false — the re-scored pass must equal
+    // the batch operator on the same corpus, bit for bit
+    val ms = MemoryStream[(Long, String, Boolean)]
+    val scored = StreamingPipelines.streamingBm25(spark,
+      ms.toDF().toDF("id", "text", "upd"), "id", "text", "upd", queryTerms)
+    val q = scored.toDF("id", "n_terms", "score", "updated")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sbm25_out").start()
+    try {
+      ms.addData(corpus.take(3).map { case (i, t) => (i, t, true) })
+      q.processAllAvailable()
+      ms.addData(corpus.drop(3).map { case (i, t) => (i, t, true) })
+      q.processAllAvailable()
+      ms.addData(corpus.map { case (i, t) => (i, t, false) }) // re-score pass
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT id, n_terms, score FROM sbm25_out WHERE NOT updated AND n_terms > 0")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = graft.operators.TextOps.bm25(
+          corpus.toDF("id", "text"), "id", "text", queryTerms)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == want, s"streaming $got vs batch $want")
+    } finally q.stop()
+
+    // --- bigram LM: same two-phase replay contract
+    val ms2 = MemoryStream[(Long, String, Boolean)]
+    val lm = StreamingPipelines.streamingLmBigram(spark,
+      ms2.toDF().toDF("id", "text", "upd"), "id", "text", "upd")
+    val q2 = lm.toDF("id", "n_bigrams", "score", "updated")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slm_out").start()
+    try {
+      ms2.addData(corpus.take(4).map { case (i, t) => (i, t, true) })
+      q2.processAllAvailable()
+      ms2.addData(corpus.drop(4).map { case (i, t) => (i, t, true) })
+      q2.processAllAvailable()
+      ms2.addData(corpus.map { case (i, t) => (i, t, false) })
+      q2.processAllAvailable()
+      val got = spark.sql(
+        "SELECT id, n_bigrams, score FROM slm_out WHERE NOT updated")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = graft.operators.TextOps.lmBigramScore(
+          corpus.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == want, s"streaming $got vs batch $want")
+    } finally q2.stop()
+  }
+
   test("reactive admission: a burst is refused down to bounded batches and respooled") {
     import java.nio.file.{Files, Paths}
     val inDir = Files.createTempDirectory("adm_in").toString
