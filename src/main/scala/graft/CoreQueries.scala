@@ -423,6 +423,37 @@ object CoreQueries {
           sum(col("pn")).as("n")))
     }),
 
+    // Bucketed co-located join: both fact tables land as bucketed
+    // tables on the join key (ScaleOps.writeBucketed — the durable
+    // layout lever), then join + aggregate. The join itself runs with
+    // ZERO exchanges (PlanSpec pins it): at 100 TB this is the
+    // difference between re-shuffling the lake per query and never
+    // shuffling it again. The bucketed write happens inside the query
+    // (idempotent overwrite into the session warehouse) so the gate
+    // exercises write → catalog → exchange-free read every run; a
+    // production lake writes once and joins forever. merge hint, NOT
+    // broadcast: bucketing only pays off in the sort-merge plan.
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.operators.ScaleOps
+      val tag = math.abs(dir.hashCode).toString
+      val lt = s"graft_bkt_lineitem_$tag"
+      val ot = s"graft_bkt_orders_$tag"
+      ScaleOps.writeBucketed(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice",
+          "l_discount"),
+        lt, "l_orderkey", buckets = 8, sortCols = Seq("l_orderkey"))
+      ScaleOps.writeBucketed(
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot, "o_orderkey", buckets = 8, sortCols = Seq("o_orderkey"))
+      s.table(lt)
+        .join(s.table(ot).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+    }),
+
     // Resource-enrichment join: events × customer. customer is
     // SF-scaled (NOT a fixed dim), so no broadcast hint — AQE
     // broadcasts it while small and shuffle-joins when it isn't.
@@ -659,6 +690,14 @@ object CoreQueries {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the bucketed layout is a Spark-side physical optimization; the
+    // oracle joins the plain tables — results must be identical
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -16,6 +16,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // events.ts is TIMESTAMP(NANOS) parquet — read as bigint nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (bucketed layouts) land in tmp, not the repo
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
     val s = builder(cpus).getOrCreate()

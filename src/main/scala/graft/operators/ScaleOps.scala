@@ -90,6 +90,17 @@ object ScaleOps {
     * co-located join must use the same bucket count. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sortCols: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    // a session with an ephemeral in-memory catalog can find the
+    // managed location on disk without the table in the catalog (a
+    // previous JVM wrote it) — saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS. Drop the entry AND clear the stale
+    // location so the write is idempotent across sessions.
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)

@@ -269,6 +269,21 @@ class PlanSpec extends AnyFunSuite {
       finalPlan.contains("TableCacheQueryStage"), finalPlan)
   }
 
+  test("q_bucketed_join joins with ZERO exchanges on the bucket key") {
+    // the durable-layout lever must actually show up in the executed
+    // plan: both sides read bucket pairs directly into the sort-merge
+    // join, no Exchange on either join key anywhere — the only
+    // exchange allowed is the final groupBy's (different key)
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("SortMergeJoin"), finalPlan)
+    assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)#".r
+      .findAllIn(finalPlan).isEmpty,
+      s"join on the bucket key still shuffles:\n$finalPlan")
+  }
+
   test("q19's OR-of-ANDs predicate splits across BOTH scan sides") {
     // the Q19 point: (brandᵢ ∧ sizeᵢ ∧ qtyᵢ) disjunctions must not be
     // evaluated post-join — the per-side disjunctions (qty ranges →
