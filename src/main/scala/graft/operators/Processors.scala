@@ -193,6 +193,32 @@ object Processors {
       floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
   }
 
+  /** [[assignBatchesByKey]] fed by client.Info request metadata (the
+    * reference's actual wiring: multiShardBatcher reads the metadata
+    * keys out of the propagated context, batch_processor.go:291-308,
+    * and refuses above the cardinality limit, :313). The shard
+    * identity is the per-key value-list id ([[ClientInfo.metadataId]]
+    * — sorted-set semantics via attach-time normalization), with
+    * unset ≠ empty preserved. Emits one `meta_<key>` column per key
+    * (the "copy it into the outgoing metadata" half) so exporters can
+    * deliver per-combination without re-deriving the lookup. */
+  def assignBatchesByMetadata(df: DataFrame, metaKeys: Seq[String],
+                              orderCol: Column, batchSize: Int,
+                              cardinalityLimit: Int = 0): DataFrame = {
+    import graft.pipeline.ClientInfo
+    val out = metaKeys.foldLeft(df)((d, k) =>
+      d.withColumn(s"meta_${k.toLowerCase}", ClientInfo.metadataId(k)))
+    val idCols = metaKeys.map(k => col(s"meta_${k.toLowerCase}"))
+    if (cardinalityLimit > 0) {
+      val n = out.select(idCols: _*).distinct().limit(cardinalityLimit + 1).count()
+      require(n <= cardinalityLimit,
+        s"too many batcher metadata-value combinations (> $cardinalityLimit)")
+    }
+    val w = Window.partitionBy(idCols: _*).orderBy(orderCol)
+    out.withColumn("batch_id",
+      floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+  }
+
   /** metadataCardinalityLimit analog: the reference refuses data once
     * the distinct metadata combinations exceed the limit (it would
     * otherwise leak one batcher per combination). Batch form: count

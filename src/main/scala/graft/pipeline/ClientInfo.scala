@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** client.Info analog (reference client/client.go:88-103): per-request
+  * context produced by receivers and authenticators, consumed by
+  * processors and exporters for batching, tenancy, routing, and
+  * tagging decisions.
+  *
+  * The reference carries Info in the Go context propagated alongside
+  * the data. A Spark pipeline has no side channel — the frame IS the
+  * flow — so the info rides as ONE struct column `_client`
+  * (addr, auth map, metadata map<string,array<string>>) attached at
+  * the receiver. A constant-per-request struct costs nothing at rest
+  * (dictionary/RLE encodes to a handful of bytes per row group) and
+  * survives every declarative stage untouched, which is exactly the
+  * reference's "provided the pipeline does not discard the context"
+  * contract (client.go:33-36) made structural.
+  *
+  * Semantics carried over:
+  *  - Metadata.Get is case-insensitive (client.go:149-170 EqualFold
+  *    fallback). Normalizing keys to lowercase once at attach time
+  *    replaces the per-lookup scan; [[ClientInfo.metadataCol]]
+  *    lowercases the probe key to match.
+  *  - Empty value and unset key are DISTINCT cases (reference
+  *    batchprocessor config.go:37): an unset key reads as NULL, a
+  *    set-but-empty key as an empty array.
+  *  - AuthData (client.go:110-122) is a flat attribute bag published
+  *    by authenticators (e.g. an OIDC "subject"); string-valued here,
+  *    which covers the documented attribute contract.
+  */
+final case class ClientInfo(
+    addr: Option[String] = None,
+    auth: Map[String, String] = Map.empty,
+    metadata: Map[String, Seq[String]] = Map.empty) {
+  /** lowercased metadata keys; last writer wins on a case collision
+    * (the reference treats such keys as equal already) */
+  def normalized: ClientInfo =
+    copy(metadata = metadata.map { case (k, v) => k.toLowerCase -> v })
+}
+
+object ClientInfo {
+  /** the carrier column; leading underscore keeps it out of the way
+    * of signal schemas (attributes flatten to bare names) */
+  val ColName = "_client"
+
+  /** client.MetadataHostName (client.go:122), normalized */
+  val MetadataHostName = "host"
+
+  /** Attach the info to every row of the request frame. */
+  def attach(df: DataFrame, info: ClientInfo): DataFrame = {
+    val n = info.normalized
+    df.withColumn(ColName, struct(
+      lit(n.addr.orNull).cast("string").as("addr"),
+      typedLit(n.auth).as("auth"),
+      typedLit(n.metadata).as("metadata")))
+  }
+
+  /** Metadata.Get analog: NULL when unset, empty array when set
+    * empty, case-insensitive via the attach-time normalization. */
+  def metadataCol(key: String): Column =
+    element_at(col(s"$ColName.metadata"), key.toLowerCase)
+
+  /** single-valued convenience: first value of the key (request
+    * metadata is single-valued for the common tenant/token cases) */
+  def metadataHead(key: String): Column = metadataCol(key).getItem(0)
+
+  def addrCol: Column = col(s"$ColName.addr")
+
+  /** AuthData.GetAttribute analog */
+  def authCol(attr: String): Column = element_at(col(s"$ColName.auth"), attr)
+
+  /** a deterministic single-string identity for one metadata key's
+    * value list — the attribute-set member the reference builds for
+    * shard lookup (batch_processor.go:296-308); unset stays NULL so
+    * it remains distinct from set-empty */
+  def metadataId(key: String): Column =
+    when(metadataCol(key).isNotNull, array_join(metadataCol(key), ","))
+
+  /** strip the carrier before handing data to a sink that should not
+    * see transport context */
+  def strip(df: DataFrame): DataFrame = df.drop(ColName)
+}

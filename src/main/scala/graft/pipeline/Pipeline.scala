@@ -60,6 +60,16 @@ object Pipeline {
     def read(spark: SparkSession): DataFrame =
       resolve().map(_.plan(spark)).reduce(_ unionByName _)
   }
+  /** client.Info producer seam (client/client.go:15-19: "receivers are
+    * responsible for … storing a new client.Info into the context that
+    * it passes down"): wrap any receiver and its request frame carries
+    * the info as the `_client` column. An authenticator is the same
+    * wrapper with `auth` populated (client.go:26-30). */
+  final case class ClientInfoReceiver(inner: Receiver, info: ClientInfo)
+      extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      ClientInfo.attach(inner.read(spark), info)
+  }
 
   type Stage = DataFrame => DataFrame
 
@@ -86,6 +96,29 @@ object Pipeline {
       * overwritten whole on replay → effectively-once delivery */
     override def exportBatch(df: DataFrame, batchId: Long): Unit =
       copy(path = s"$path/batch_id=$batchId", mode = "overwrite").export(df)
+  }
+
+  /** client.Info consumer seam: deliver each metadata-value
+    * combination to its own partition directory — the batch
+    * processor's per-shard export with the metadata in the outgoing
+    * context (batch_processor.go:297-299 "copy it into the outgoing
+    * metadata"), re-expressed as the lake's native per-tenant layout.
+    * Values are recoverable from the path; the `_client` carrier
+    * itself is stripped (a sink sees data + the metadata it was keyed
+    * by, not the whole transport context). One job writes every
+    * combination — no per-tenant loop, no cardinality-many actions. */
+  final case class MetadataPartitionedExporter(path: String,
+                                               metaKeys: Seq[String],
+                                               codec: String = "zstd")
+      extends Exporter {
+    private def inner = ParquetExporter(path, codec = codec,
+      partitionBy = metaKeys.map(k => s"meta_${k.toLowerCase}"))
+    private def materialize(df: DataFrame): DataFrame =
+      ClientInfo.strip(metaKeys.foldLeft(df)((d, k) =>
+        d.withColumn(s"meta_${k.toLowerCase}", ClientInfo.metadataId(k))))
+    def export(df: DataFrame): Unit = inner.export(materialize(df))
+    override def exportBatch(df: DataFrame, batchId: Long): Unit =
+      inner.exportBatch(materialize(df), batchId)
   }
 
   /** exporterhelper retry backoff (reference: the retry sender's

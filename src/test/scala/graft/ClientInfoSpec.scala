@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{ClientInfo, Pipeline}
+import graft.pipeline.Pipeline._
+import graft.operators.Processors
+
+/** client.Info propagation (reference client/client.go): receivers
+  * produce it, the pipeline carries it, processors/exporters consume
+  * it — batching per metadata combination and per-tenant delivery. */
+class ClientInfoSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tenant(name: String, addr: String): ClientInfo =
+    ClientInfo(addr = Some(addr),
+      auth = Map("subject" -> s"user-$name"),
+      metadata = Map("Tenant" -> Seq(name), "X-Scope-OrgID" -> Seq(name, "eu")))
+
+  test("metadata Get is case-insensitive; unset is NULL, set-empty is empty") {
+    val df = ClientInfo.attach(
+      Tables(spark, sf, "region"),
+      ClientInfo(metadata = Map("TeNaNt" -> Seq("acme"), "empty" -> Nil)))
+    val r = df.select(
+      ClientInfo.metadataHead("tenant").as("low"),
+      ClientInfo.metadataHead("TENANT").as("up"),
+      ClientInfo.metadataCol("absent").as("unset"),
+      ClientInfo.metadataCol("EMPTY").as("empty")).head()
+    assert(r.getAs[String]("low") == "acme")
+    assert(r.getAs[String]("up") == "acme")
+    assert(r.isNullAt(r.fieldIndex("unset")))
+    assert(r.getAs[scala.collection.Seq[String]]("empty").isEmpty)
+    // metadataId keeps unset ≠ empty distinct (batch config.go:37)
+    val ids = df.select(ClientInfo.metadataId("absent").as("a"),
+      ClientInfo.metadataId("empty").as("e")).head()
+    assert(ids.isNullAt(0) && ids.getString(1) == "")
+  }
+
+  test("auth attributes flow from the receiver wrapper to any stage") {
+    val recv = ClientInfoReceiver(TableReceiver(sf, "nation"),
+      ClientInfo(auth = Map("subject" -> "oidc-user", "membership" -> "admins")))
+    val got = recv.read(spark)
+      .select(ClientInfo.authCol("subject"), ClientInfo.authCol("membership"))
+      .distinct().collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("oidc-user", "admins")))
+  }
+
+  test("per-metadata-key batching + per-tenant partitioned delivery") {
+    val out = java.nio.file.Files.createTempDirectory("graft_clientinfo").toString
+    // two requests from two tenants over the same pipeline (the
+    // multi-client receiver shape: each connection's frame carries its
+    // own info, fan-in unions them)
+    def req(t: String, addr: String) = PipelineDef(
+      ClientInfoReceiver(TableReceiver(sf, "events"), tenant(t, addr)))
+    val pipe = PipelineDef(
+      receiver = UnionReceiver(() => Seq(req("acme", "10.0.0.1:4317"),
+                                         req("globex", "10.0.0.2:4317"))),
+      processors = Seq(
+        df => df.filter(col("event_type").isNotNull), // _client survives stages
+        df => Processors.assignBatchesByMetadata(df, Seq("Tenant"),
+          orderCol = col("event_id"), batchSize = 100, cardinalityLimit = 8)),
+      exporters = Seq(MetadataPartitionedExporter(out, Seq("Tenant"))))
+    pipe.run(spark)
+
+    val back = spark.read.parquet(out)
+    // per-tenant directories, only that tenant's rows, carrier stripped
+    assert(back.columns.contains("meta_tenant"))
+    assert(!back.columns.contains(ClientInfo.ColName))
+    val perTenant = back.groupBy("meta_tenant").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTenant.keySet == Set("acme", "globex"))
+    assert(perTenant.values.toSet.size == 1) // same source → same count
+    // batches numbered independently per tenant (one shard per
+    // combination, batch_processor.go:279-308), bounded by batchSize
+    val batches = back.groupBy("meta_tenant", "batch_id").count().collect()
+    assert(batches.forall(_.getLong(2) <= 100))
+    val perTenantBatchIds = batches.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    perTenantBatchIds.values.foreach { ids =>
+      assert(ids == (0L until ids.length).toSeq) // contiguous from 0
+    }
+    // partition pruning reaches the scan: a one-tenant read plans only
+    // that tenant's files (the point of per-tenant layout at 100 TB)
+    val pruned = spark.read.parquet(out).filter(col("meta_tenant") === "acme")
+    assert(pruned.count() == perTenant("acme"))
+  }
+
+  test("metadata cardinality limit refuses, like errTooManyBatchers") {
+    val df = ClientInfo.attach(Tables(spark, sf, "events"),
+      ClientInfo(metadata = Map("tenant" -> Seq("a"))))
+      .withColumn("_client", // forge per-row tenants to blow the limit
+        struct(lit(null).cast("string").as("addr"),
+          typedLit(Map.empty[String, String]).as("auth"),
+          map(lit("tenant"), array(col("event_type").cast("string")))
+            .as("metadata")))
+    val e = intercept[IllegalArgumentException] {
+      Processors.assignBatchesByMetadata(df, Seq("tenant"),
+        col("event_id"), 100, cardinalityLimit = 1).count()
+    }
+    assert(e.getMessage.contains("metadata-value combinations"))
+  }
+}
