@@ -37,8 +37,9 @@ object ConfigLoader {
             s"env var ${m.group(1)} is unset and has no default"))))
 
   def fromJson(json: String,
-               env: String => Option[String] = sys.env.get): Service =
-    fromText(json, yaml = false, env)
+               env: String => Option[String] = sys.env.get,
+               gates: FeatureGate.Registry = FeatureGate.global): Service =
+    fromText(json, yaml = false, env, gates)
 
   /** yamlprovider analog (reference: confmap/provider/yamlprovider):
     * the same pipeline document in YAML — parsed with the Jackson
@@ -46,8 +47,9 @@ object ConfigLoader {
     * processor/exporter type and the env expansion behave exactly as
     * in JSON. */
   def fromYaml(yaml: String,
-               env: String => Option[String] = sys.env.get): Service =
-    fromText(yaml, yaml = true, env)
+               env: String => Option[String] = sys.env.get,
+               gates: FeatureGate.Registry = FeatureGate.global): Service =
+    fromText(yaml, yaml = true, env, gates)
 
   /** confmap resolver analog: dispatch a config URI to its provider
     * (reference: confmap/resolver.go +
@@ -63,25 +65,33 @@ object ConfigLoader {
     * JSON); `${env:VAR}` expansion applies to the retrieved text in
     * every case — the resolver chain order of the collector. */
   def fromUri(uri: String,
-              env: String => Option[String] = sys.env.get): Service = {
-    val (text, hint) = retrieve(uri, env)
+              env: String => Option[String] = sys.env.get,
+              gates: FeatureGate.Registry = FeatureGate.global): Service = {
+    val (text, hint) = retrieve(uri, env, gates)
     val isYaml =
       if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
       else if (hint.endsWith(".json")) false
       else !text.dropWhile(_.isWhitespace).startsWith("{")
-    fromText(text, isYaml, env)
+    fromText(text, isYaml, env, gates)
   }
 
   /** one provider dispatch: fetch the raw document for a config URI
     * (shared by [[fromUri]] and the [[watch]] poll loop) */
   private def retrieve(uri: String,
-                       env: String => Option[String]): (String, String) = {
+                       env: String => Option[String],
+                       gates: FeatureGate.Registry): (String, String) = {
     uri match {
       case u if u.startsWith("env:") =>
         val name = u.stripPrefix("env:")
         (env(name).getOrElse(throw new IllegalArgumentException(
           s"env var $name is unset (env: config provider)")), u)
       case u if u.startsWith("http://") || u.startsWith("https://") =>
+        // remote config is gate-closeable: an operator that disables
+        // graft.confmap.httpProvider shuts this surface entirely
+        if (!gates.isEnabled(FeatureGate.HttpConfigProvider.id))
+          throw new IllegalStateException(
+            s"http(s) config provider is disabled by feature gate " +
+              s"${FeatureGate.HttpConfigProvider.id}")
         // a hung or slow config endpoint must not block service
         // startup forever, and a runaway response must not buffer
         // unbounded — connect/read timeouts plus a byte cap
@@ -111,13 +121,19 @@ object ConfigLoader {
     * close() stops the loop. */
   def watch(uri: String, intervalMs: Long,
             env: String => Option[String] = sys.env.get,
-            onError: Throwable => Unit = _ => ())(
-            onReload: Service => Unit): ConfigWatcher =
-    new ConfigWatcher(uri, intervalMs, env, onReload, onError)
+            onError: Throwable => Unit = _ => (),
+            gates: FeatureGate.Registry = FeatureGate.global)(
+            onReload: Service => Unit): ConfigWatcher = {
+    if (!gates.isEnabled(FeatureGate.ConfigWatch.id))
+      throw new IllegalStateException(
+        s"config watch is disabled by feature gate ${FeatureGate.ConfigWatch.id}")
+    new ConfigWatcher(uri, intervalMs, env, onReload, onError, gates)
+  }
 
   final class ConfigWatcher private[ConfigLoader] (
       uri: String, intervalMs: Long, env: String => Option[String],
-      onReload: Service => Unit, onError: Throwable => Unit)
+      onReload: Service => Unit, onError: Throwable => Unit,
+      gates: FeatureGate.Registry)
       extends AutoCloseable {
     val reloads = new java.util.concurrent.atomic.AtomicLong
     val rejected = new java.util.concurrent.atomic.AtomicLong
@@ -125,7 +141,7 @@ object ConfigLoader {
     @volatile private var lastText: String = null
 
     private def poll(): Unit = {
-      val (text, hint) = retrieve(uri, env)
+      val (text, hint) = retrieve(uri, env, gates)
       if (text != lastText) {
         lastText = text // a bad doc is not retried until it changes
         try {
@@ -133,7 +149,7 @@ object ConfigLoader {
             if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
             else if (hint.endsWith(".json")) false
             else !text.dropWhile(_.isWhitespace).startsWith("{")
-          val svc = fromText(text, isYaml, env)
+          val svc = fromText(text, isYaml, env, gates)
           reloads.incrementAndGet()
           onReload(svc)
         } catch {
@@ -184,13 +200,20 @@ object ConfigLoader {
   }
 
   private def fromText(doc: String, yaml: Boolean,
-                       env: String => Option[String]): Service = {
+                       env: String => Option[String],
+                       gates: FeatureGate.Registry = FeatureGate.global): Service = {
     val mapper =
       if (yaml) new com.fasterxml.jackson.databind.ObjectMapper(
         new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
       else new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readValue(expandEnv(doc, env),
       classOf[java.util.Map[String, Object]]).asScala
+    // featuregate config override: same `-`/`+` item syntax as the
+    // --feature-gates flag; an unknown gate or a terminal-stage
+    // violation REJECTS the whole document (config validation, not a
+    // silent no-op), before any pipeline is built
+    root.get("featuregates").toSeq.flatMap(strList)
+      .foreach(item => gates.applyFlags(item))
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)

@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.jdk.CollectionConverters._
+
+/** featuregate analog (reference featuregate/gate.go, stage.go,
+  * registry.go, flag.go): a registry of named feature gates, each with
+  * a lifecycle stage that fixes its default and what an operator may
+  * override.
+  *
+  *  - Alpha: disabled by default, must be explicitly enabled
+  *  - Beta: enabled by default, may be disabled
+  *  - Stable: permanently on — disabling is an error, and a removal
+  *    version is mandatory at registration (registry.go:99-101)
+  *  - Deprecated: permanently off — enabling is an error, removal
+  *    version mandatory
+  *
+  * Overrides arrive through the same two surfaces as the collector:
+  * the `--feature-gates` flag syntax (`gate,+gate,-gate` —
+  * flag.go:35-56) and the service config (a `featuregates` list,
+  * applied by [[ConfigLoader]] at resolve time with unknown-gate
+  * rejection, so a typo'd gate id refuses the config instead of
+  * silently doing nothing).
+  */
+object FeatureGate {
+
+  sealed abstract class Stage(val name: String) {
+    override def toString: String = name
+  }
+  case object Alpha extends Stage("Alpha")
+  case object Beta extends Stage("Beta")
+  case object Stable extends Stage("Stable")
+  case object Deprecated extends Stage("Deprecated")
+
+  final class Gate private[FeatureGate] (
+      val id: String,
+      val stage: Stage,
+      val description: String,
+      val referenceUrl: String,
+      val fromVersion: String,
+      val toVersion: String) {
+    private[FeatureGate] val on = new AtomicBoolean(
+      stage == Beta || stage == Stable)
+    def isEnabled: Boolean = on.get
+  }
+
+  final class Registry {
+    private val gates = new ConcurrentHashMap[String, Gate]()
+
+    /** Register a gate (registry.go:81-106): duplicate ids and
+      * missing removal versions on terminal stages are errors. */
+    def register(id: String, stage: Stage, description: String = "",
+                 referenceUrl: String = "", fromVersion: String = "",
+                 toVersion: String = ""): Gate = {
+      require(id.nonEmpty, "empty gate id")
+      if ((stage == Stable || stage == Deprecated) && toVersion.isEmpty)
+        throw new IllegalArgumentException(
+          s"no removal version set for $stage gate \"$id\"")
+      val g = new Gate(id, stage, description, referenceUrl,
+        fromVersion, toVersion)
+      if (gates.putIfAbsent(id, g) != null)
+        throw new IllegalArgumentException(
+          s"attempted to add pre-existing gate \"$id\"")
+      g
+    }
+
+    def get(id: String): Option[Gate] = Option(gates.get(id))
+
+    def isEnabled(id: String): Boolean =
+      get(id).map(_.isEnabled).getOrElse(
+        throw new IllegalArgumentException(s"no such feature gate \"$id\""))
+
+    /** Set the enabled value (registry.go:109-133): unknown gates and
+      * overrides against a terminal stage are errors — except the
+      * no-op direction (enabling Stable / disabling Deprecated), which
+      * the reference accepts with a removal warning. */
+    def set(id: String, enabled: Boolean): Unit = {
+      val g = get(id).getOrElse(throw new IllegalArgumentException(
+        s"no such feature gate \"$id\""))
+      g.stage match {
+        case Stable if !enabled => throw new IllegalStateException(
+          s"feature gate \"$id\" is stable, can not be disabled")
+        case Deprecated if enabled => throw new IllegalStateException(
+          s"feature gate \"$id\" is deprecated, can not be enabled")
+        case Stable | Deprecated => () // no-op direction, gate is fixed
+        case _ => g.on.set(enabled)
+      }
+    }
+
+    /** gates in lexicographical id order (registry.go VisitAll) */
+    def visitAll: Seq[Gate] =
+      gates.values.asScala.toSeq.sortBy(_.id)
+
+    /** `--feature-gates` flag syntax (flag.go:35-56): comma-separated
+      * ids, optional `+`/`-` prefix; every id must resolve. */
+    def applyFlags(s: String): Unit =
+      if (s.nonEmpty) s.split(",").foreach { raw =>
+        val (id, v) = raw.charAt(0) match {
+          case '-' => (raw.substring(1), false)
+          case '+' => (raw.substring(1), true)
+          case _   => (raw, true)
+        }
+        set(id, v)
+      }
+
+    /** the flag's String() form: every gate id, disabled ones with a
+      * `-` prefix (flag.go:23-33) — round-trips through applyFlags */
+    def flagString: String =
+      visitAll.map(g => if (g.isEnabled) g.id else s"-${g.id}").mkString(",")
+  }
+
+  /** the process-wide registry (registry.go GlobalRegistry) */
+  val global = new Registry
+
+  /** graft-owned gates, registered at class load like the reference's
+    * package-init MustRegister calls. */
+
+  /** remote config retrieval is powerful and off-by-choice-able: an
+    * operator can close the http(s) provider surface entirely. */
+  val HttpConfigProvider: Gate = global.register(
+    "graft.confmap.httpProvider", Beta,
+    description = "allow http(s):// config URIs in ConfigLoader.fromUri/watch",
+    fromVersion = "r7")
+
+  /** config hot-reload (the watch loop) as a disable-able surface */
+  val ConfigWatch: Gate = global.register(
+    "graft.confmap.watch", Beta,
+    description = "allow ConfigLoader.watch polling reload loops",
+    fromVersion = "r7")
+}
