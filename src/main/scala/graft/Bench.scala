@@ -1,17 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+  /** run the whole suite under `slots`-way concurrency; returns
+    * (wall sec, per-query (name, sec, err)) */
+  private def runSuite(spark: SparkSession, sfDir: String, slots: Int)
+      : (Double, Seq[(String, Double, Option[String])]) = {
     // warm-up: JVM/codegen/parquet-footer costs land here, not on the
     // first measured query
     Tables.names.foreach(t => Tables(spark, sfDir, t).count())
-    // Queries are independent pipelines; run them in concurrent slots
-    // (the way a collector runs pipelines) so the scheduler keeps all
-    // cores busy. `value` = wall-clock of the whole suite; per-query
-    // numbers are individual durations under that concurrency.
-    val slots = math.min(4, Runtime.getRuntime.availableProcessors())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -34,11 +31,24 @@ object Bench {
       scala.concurrent.duration.Duration.Inf)
     val wall = (System.nanoTime() - t0All) / 1e9
     pool.shutdown()
+    (wall, results)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Queries are independent pipelines; run them in concurrent slots
+    // (the way a collector runs pipelines) so the scheduler keeps all
+    // cores busy. `value` = wall-clock of the whole suite; per-query
+    // numbers are individual durations under that concurrency.
+    val slots = math.min(4, Runtime.getRuntime.availableProcessors())
+    val (wall, results) = runSuite(spark, sfDir, slots)
     def jstr(s: String): String = QUtil.jsonEscape(s)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def ejson(rs: Seq[(String, Double, Option[String])]): String =
+      rs.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+        .mkString("{", ",", "}")
     // contention self-diagnosis (r5 verdict #6): per-query durations
     // are measured under `slots`-way concurrency, so on an idle
     // machine sum(queries)/wall ≈ slots. A co-scheduled machine
@@ -46,7 +56,33 @@ object Bench {
     // means the artifact is contended and per-query numbers are not
     // isolated runtimes.
     val sumOverWall = results.map(_._2).sum / wall
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"sf":"$sfDir"}""")
+
+    // Measured scaling slope (r6 verdict #8): replicate the SF by an
+    // integer factor with join-consistent key offsets, run the FULL
+    // suite again, and report wall_ratio = wall(F×SF)/wall(SF).
+    // Perfectly scan-bound work rides the slope toward F; fixed
+    // overheads (index builds, dim broadcasts, driver-side setup)
+    // hold it below F — the per-query ratios say which is which.
+    // SPARK_GRAFT_SLOPE=0 disables; any other integer is the factor.
+    val slopeFactor = sys.env.getOrElse("SPARK_GRAFT_SLOPE", "3").toInt
+    val slopeJson: String =
+      if (slopeFactor < 2) ""
+      else {
+        val (dir2, buildSec) = BenchSlope.ensure(spark, sfDir, slopeFactor)
+        val (wall2, results2) = runSuite(spark, dir2, slots)
+        val sow2 = results2.map(_._2).sum / wall2
+        val ratios = results.map { case (k, v, _) =>
+          val v2 = results2.find(_._1 == k).map(_._2).getOrElse(Double.NaN)
+          s"\"" + k + "\":" + f"${v2 / v}%.3f"
+        }.mkString("{", ",", "}")
+        s""","slope":{"factor":$slopeFactor,"build_sec":${f"$buildSec%.1f"},""" +
+          s""""wall_sf":$wall,"wall_sfx":$wall2,""" +
+          s""""wall_ratio":${f"${wall2 / wall}%.3f"},""" +
+          s""""sum_over_wall_sfx":${f"$sow2%.3f"},""" +
+          s""""contended_sfx":${sow2 > slots * 1.2},""" +
+          s""""errors_sfx":${ejson(results2)},"query_ratios":$ratios}"""
+      }
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":${qjson(results)},"errors":${ejson(results)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"sf":"$sfDir"$slopeJson}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) {
       System.err.println(s"[bench] ${results.count(_._3.isDefined)} queries FAILED")
