@@ -441,10 +441,10 @@ object CoreQueries {
       ScaleOps.writeBucketed(
         Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice",
           "l_discount"),
-        lt, "l_orderkey", buckets = 8, sortCols = Seq("l_orderkey"))
+        lt, "l_orderkey", buckets = 32, sortCols = Seq("l_orderkey"))
       ScaleOps.writeBucketed(
         Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        ot, "o_orderkey", buckets = 8, sortCols = Seq("o_orderkey"))
+        ot, "o_orderkey", buckets = 32, sortCols = Seq("o_orderkey"))
       s.table(lt)
         .join(s.table(ot).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))

@@ -101,7 +101,15 @@ object ScaleOps {
       s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    // bucket-align the shuffle: repartition(buckets, key) uses the
+    // same pmod(murmur3, n) placement as the bucket-id expression, so
+    // each write task holds EXACTLY one bucket → one file per bucket,
+    // not numShufflePartitions × buckets small files. At 100 TB the
+    // same alignment holds with thousands of buckets; without it a
+    // 2000-partition × 4096-bucket write is 8M files.
+    val aligned = df.repartition(buckets, col(key))
+    val w = aligned.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
