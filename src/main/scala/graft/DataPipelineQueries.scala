@@ -327,6 +327,41 @@ object DataPipelineQueries {
     "q_lm_bigram" -> ((s, dir) =>
       TextOps.lmBigramScore(docs(s, dir), "doc_id", "text")),
 
+    // cross-document segment dedup, first occurrence wins, documents
+    // reassembled from surviving segments (C4/RefinedWeb line-dedup —
+    // see DedupOps.lineDedup)
+    "q_line_dedup" -> ((s, dir) =>
+      DedupOps.lineDedup(docs(s, dir), "doc_id", "text", window = 8)),
+
+    // DSIR-shaped importance weights toward a target distribution
+    // (here: lang='en' as the target corpus) — see TextOps.dsirWeights
+    "q_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en")),
+
+    // domain/source-level curation rollup: per-source volume, language
+    // spread, exact-dup share, and the keep/drop decision — the
+    // URL/domain filtering pass of a web-scale pipeline (drop sources
+    // dominated by duplicated boilerplate). Wide ops: one corpus hash
+    // count + one groupBy on source; text never shuffles (the dup
+    // verdict joins back on the 16-byte hash).
+    "q_domain_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dup = d.groupBy(md5(col("text")).as("__h"))
+        .agg(count(lit(1)).as("__n"))
+      d.withColumn("__h", md5(col("text")))
+        .join(dup, "__h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+        .withColumn("dup_share",
+          col("dup_docs").cast("double") / col("n_docs").cast("double"))
+        .withColumn("keep",
+          col("dup_share") <= lit(0.5) && col("n_docs") >= lit(3))
+    }),
+
     // BM25 relevance mining: rank the corpus against a bounded seed
     // query (domain mining / relevance filtering for training mixes).
     // Rational idf — see TextOps.bm25 for the libm-free exactness
@@ -974,6 +1009,65 @@ object DataPipelineQueries {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         | CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // segments zip via DuckDB's row-wise parallel unnest; the
+    // composite key doc_id*1e6+pos is integer-exact both engines
+    "q_line_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents
+        | WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |segs AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range((len(t)+7)//8),
+        |    i -> array_to_string(t[i*8+1 : i*8+8], ' '))) AS seg,
+        |  unnest(range((len(t)+7)//8)) AS pos
+        | FROM toks),
+        |f AS (SELECT md5(seg) AS h, MIN(doc_id*1000000+pos) AS fk
+        |      FROM segs GROUP BY 1),
+        |k AS (SELECT s.doc_id, s.pos, s.seg,
+        |        (s.doc_id*1000000+s.pos = f.fk) AS keep
+        |      FROM segs s JOIN f ON md5(s.seg) = f.h)
+        |SELECT doc_id, COUNT(*) AS n_segments,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep) AS text_dedup
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        | SELECT doc_id, (lang = 'en') AS tgt,
+        |  regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |feats AS (
+        | SELECT doc_id, tgt,
+        |  ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 4096 AS f
+        | FROM (SELECT doc_id, tgt, unnest(t[1:len(t)-1]) AS w1,
+        |         unnest(t[2:len(t)]) AS w2
+        |       FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT f,
+        |        CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |        CAST(COUNT(*) AS BIGINT) AS na
+        |      FROM feats GROUP BY f)
+        |SELECT doc_id, COUNT(*) AS n_feats,
+        | CAST(SUM(nt) + 1 AS BIGINT) AS target_mass,
+        | CAST(SUM(na) + 2 AS BIGINT) AS total_mass,
+        | CAST(SUM(nt) + 1 AS DOUBLE) / CAST(SUM(na) + 2 AS DOUBLE) AS weight
+        |FROM feats JOIN c USING (f)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_domain_stats" ->
+      """WITH h AS (SELECT md5(text) AS ch, COUNT(*) AS n
+        |           FROM documents GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(SUM(CASE WHEN h.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        | CAST(SUM(CASE WHEN h.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS dup_share,
+        | (CAST(SUM(CASE WHEN h.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) <= 0.5 AND COUNT(*) >= 3) AS keep
+        |FROM documents d JOIN h ON md5(d.text) = h.ch
+        |GROUP BY source""".stripMargin,
 
     "q_bm25" ->
       """WITH dl AS (

@@ -98,6 +98,56 @@ object TextOps {
         (graft.QUtil.dsum(col("__p")) / count(lit(1)).cast("double")).as("lm_score"))
   }
 
+  /** DSIR-shaped importance weights (public method: "Data Selection
+    * for Language Models via Importance Resampling", Xie et al. 2023):
+    * hashed n-gram features estimate how target-like each document
+    * is, and the weights drive resampling of a raw corpus toward a
+    * target distribution (e.g. books+wiki) at 100 TB, where training
+    * a classifier per candidate doc is infeasible but counting hashed
+    * bigrams is one aggregate.
+    *
+    * Features are word bigrams hashed into `buckets` via the
+    * md5-portable 32-bit kernel (engine-identical; the xxh64 swap is
+    * the scale path, same discipline as shardId). One pass builds
+    * BOTH count tables — target mass as a conditional sum riding the
+    * total count. Each document then scores
+    * (Σ_f target(f) + 1) / (Σ_f total(f) + 2) over its own feature
+    * multiset — the ratio-of-sums surrogate for DSIR's mean log
+    * ratio: integer sums stay exact, the single final division is
+    * correctly-rounded IEEE, so the oracle is bit-exact where a
+    * log-space estimator would drift in the last ulp.
+    *
+    * Scale shape: the bigram explode is map-side; the feature-count
+    * aggregate shuffles (bucket id, two longs); the join-back carries
+    * (doc id, bucket id) pairs — 16 bytes per feature occurrence,
+    * never text. `buckets` bounds the count table at any corpus size.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 4096): DataFrame = {
+    val toks = docs.select(col(idCol), targetPred.as("__target"),
+        tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val feats = toks
+      .withColumn("__a", slice(col("__t"), lit(1), size(col("__t")) - 1))
+      .withColumn("__b", slice(col("__t"), lit(2), size(col("__t")) - 1))
+      .select(col(idCol), col("__target"),
+        explode(arrays_zip(col("__a"), col("__b"))).as("__pr"))
+      .select(col(idCol), col("__target"),
+        pmod(conv(substring(md5(concat_ws(" ",
+            col("__pr.__a"), col("__pr.__b"))), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("__f"))
+    val counts = feats.groupBy(col("__f")).agg(
+      sum(when(col("__target"), 1L).otherwise(0L)).as("__nt"),
+      count(lit(1)).as("__na"))
+    feats.join(counts, Seq("__f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("__nt")) + lit(1L)).as("target_mass"),
+        (sum(col("__na")) + lit(2L)).as("total_mass"))
+      .withColumn("weight",
+        col("target_mass").cast("double") / col("total_mass").cast("double"))
+  }
+
   /** BM25 relevance scoring of every document against a bounded query
     * term set — the retrieval/mining primitive of a training-data
     * pipeline (mine a 100 TB corpus for documents relevant to a seed

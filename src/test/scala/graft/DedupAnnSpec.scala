@@ -266,4 +266,37 @@ class DedupAnnSpec extends AnyFunSuite {
       .select("p").distinct().collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("en", "es", "de", "und")))
   }
+
+  test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
+    val spark2 = spark
+    import spark2.implicits._
+    // w=4 segments: doc0 = [s1][s2]; doc1 = [s1][unique]; doc2 = doc0
+    val s1 = "a b c d"; val s2 = "e f g h"
+    val docs3 = Seq(
+      (0L, s"$s1 $s2"),
+      (1L, s"$s1 p q r s"),
+      (2L, s"$s1 $s2")).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs3, "doc_id", "text", window = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[String]("text_dedup"))).toMap
+    assert(out(0L) == ((2L, 2L, s"$s1 $s2")))     // first owner keeps all
+    assert(out(1L) == ((2L, 1L, "p q r s")))      // shared head segment drops
+    assert(out(2L) == ((2L, 0L, null)))           // full duplicate → nothing left
+  }
+
+  test("dsirWeights: ratio of target to total feature mass, hand-checked") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bigrams: A(en) = xy, yx, xy;  B(fr) = xy
+    // counts: nt(xy)=2 na(xy)=3; nt(yx)=1 na(yx)=1
+    val d = Seq((1L, "x y x y", "en"), (2L, "x y", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val w = TextOps.dsirWeights(d, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(w(1L) == ((3L, 6L, 9L, 6.0 / 9.0)))    // (5+1)/(7+2)
+    assert(w(2L) == ((1L, 3L, 5L, 3.0 / 5.0)))    // (2+1)/(3+2)
+    // target docs outrank the non-target doc that shares their features
+    assert(w(1L)._4 > w(2L)._4)
+  }
 }
