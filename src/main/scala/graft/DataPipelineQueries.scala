@@ -333,6 +333,20 @@ object DataPipelineQueries {
     "q_line_dedup" -> ((s, dir) =>
       DedupOps.lineDedup(docs(s, dir), "doc_id", "text", window = 8)),
 
+    // incremental dedup of an incoming batch against the historical
+    // fingerprint store (daily-ingest pattern — see
+    // DedupOps.dedupAgainstStore). Modulo split keeps the history/
+    // incoming partition SF-invariant.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = d.filter(col("doc_id") % 4 < 2)
+        .select(md5(col("text")).as("content_hash"))
+      DedupOps.dedupAgainstStore(
+          d.filter(col("doc_id") % 4 >= 2), "doc_id", "text", store)
+        .select(col("doc_id"), col("dup_of_store"), col("dup_in_batch"),
+          col("admit"))
+    }),
+
     // DSIR-shaped importance weights toward a target distribution
     // (here: lang='en' as the target corpus) — see TextOps.dsirWeights
     "q_dsir_weights" -> ((s, dir) =>
@@ -1032,6 +1046,20 @@ object DataPipelineQueries {
         | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep) AS text_dedup
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH store AS (
+        | SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 < 2),
+        |inc AS (
+        | SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 >= 2),
+        |fb AS (SELECT h, MIN(doc_id) AS first_id FROM inc GROUP BY h)
+        |SELECT i.doc_id,
+        | (s.h IS NOT NULL) AS dup_of_store,
+        | (i.doc_id <> f.first_id) AS dup_in_batch,
+        | (s.h IS NULL AND i.doc_id = f.first_id) AS admit
+        |FROM inc i
+        |LEFT JOIN store s ON i.h = s.h
+        |JOIN fb f ON i.h = f.h""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH toks AS (

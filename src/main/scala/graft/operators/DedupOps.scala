@@ -116,6 +116,36 @@ object DedupOps {
         when(col("n_kept") > 0, col("__joined")).as("text_dedup"))
   }
 
+  /** Incremental dedup — admit a NEW batch against a historical
+    * fingerprint STORE (the daily-ingest pattern: dedup today's crawl
+    * against the accumulated corpus without touching its text). A doc
+    * duplicates the store if its content hash is already there, and
+    * duplicates the batch if an earlier incoming doc (smaller id)
+    * carries the same hash; `admit` = neither. Admitted hashes are
+    * what the caller appends back to the store for tomorrow.
+    *
+    * Scale shape: the store is fingerprints only (16 B/doc — a 1e10
+    * doc corpus is a 160 GB store, not 100 TB of text); the probe is
+    * hash⋈hash with text riding only the incoming side; bucketing
+    * the store table by hash makes the probe exchange-free, and at
+    * 100 TB that bucketed store IS the dedup index.
+    *
+    * `storeHashes` needs one column `content_hash`.
+    */
+  def dedupAgainstStore(incoming: DataFrame, idCol: String, textCol: String,
+                        storeHashes: DataFrame): DataFrame = {
+    val h = incoming.withColumn("__h", md5(col(textCol)))
+    val st = storeHashes.select(col("content_hash").as("__h")).distinct()
+      .withColumn("__in_store", lit(true))
+    val firstInBatch = h.groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
+    h.join(st, Seq("__h"), "left")
+      .join(firstInBatch, Seq("__h"))
+      .withColumn("dup_of_store", coalesce(col("__in_store"), lit(false)))
+      .withColumn("dup_in_batch", col(idCol) =!= col("__first"))
+      .withColumn("admit", !col("dup_of_store") && !col("dup_in_batch"))
+      .drop("__h", "__in_store", "__first")
+  }
+
   /** k-minhash signature: native single-pass expression (one XXH64
     * pair per shingle, k lanes by double hashing). array<bigint>
     * length k. See graft.functions.MinHashSignature.

@@ -81,4 +81,34 @@ object ClientInfo {
   /** strip the carrier before handing data to a sink that should not
     * see transport context */
   def strip(df: DataFrame): DataFrame = df.drop(ColName)
+
+  /** Server-authenticator analog (reference client.go:26-30 — an
+    * authenticator reads the incoming context, validates, and stores
+    * AuthData back into client.Info; a failed authentication rejects
+    * the request at the receiver, so the data NEVER enters the
+    * pipeline). `validate` judges each request row (NULL = reject —
+    * absent credentials are not valid ones); `attrs` are the
+    * authenticator's published attributes (the documented public API
+    * of an authenticator, e.g. an OIDC "subject"), written into
+    * `_client.auth` with authenticator-wins override. Returns
+    * (authenticated, rejected) — wire the rejected side to a deny
+    * counter or DLQ exporter. */
+  def authenticate(df: DataFrame, validate: Column,
+                   attrs: Map[String, Column]): (DataFrame, DataFrame) = {
+    val ok = coalesce(validate, lit(false))
+    val attrKeys = attrs.keys.toSeq
+    val published =
+      if (attrs.isEmpty) col(s"$ColName.auth")
+      else map_concat(
+        // authenticator wins on key collision (a client cannot spoof
+        // an attribute the authenticator publishes)
+        map_filter(col(s"$ColName.auth"),
+          (k, _) => !k.isInCollection(attrKeys)),
+        map(attrs.toSeq.flatMap { case (k, v) => Seq(lit(k), v) }: _*))
+    val accepted = df.filter(ok).withColumn(ColName, struct(
+      col(s"$ColName.addr").as("addr"),
+      published.as("auth"),
+      col(s"$ColName.metadata").as("metadata")))
+    (accepted, df.filter(!ok))
+  }
 }

@@ -872,6 +872,24 @@ object OtlpJsonSource {
       .start()
   }
 
+  /** [[socketLogsPb]]'s OTLP/JSON siblings — the reference receiver
+    * serves BOTH encodings on its push surface (otlpreceiver:
+    * protobuf and JSON over HTTP), so the socket matrix does too: one
+    * Export*ServiceRequest JSON document per line, identical parse
+    * path to the file receivers. */
+  def socketLogsJson(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseLogs(spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(col("value").as("json")))
+  def socketSpansJson(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseSpans(spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(col("value").as("json")))
+  def socketMetricsJson(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseMetricPoints(spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(col("value").as("json")))
+
   /** [[socketLogsPb]] for the other two signals — the push receiver
     * matrix covers every OTLP service, not just logs. */
   def socketSpansPb(spark: SparkSession, host: String, port: Int): DataFrame =

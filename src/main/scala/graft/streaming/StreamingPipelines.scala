@@ -426,6 +426,56 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming line dedup — [[graft.operators.DedupOps.lineDedup]]'s
+    * first-occurrence verdict over an unbounded corpus stream: state
+    * keyed by segment hash remembers the composite key
+    * (docId·10⁶ + pos) of the first owner ever seen; every arrival
+    * of that exact segment instance keeps (idempotent under replay),
+    * every other copy — later in the same micro-batch or any later
+    * batch — drops. Within a batch the smallest composite key wins,
+    * so replayed batches reach identical verdicts, and a full replay
+    * in doc order converges to the batch operator's keep set exactly.
+    * `ttlMs` bounds state like every stateful op here: an idle
+    * segment's ownership expires, trading unbounded memory for a
+    * dedup window — the production retention knob.
+    *
+    * Input (docId, pos, segment); output (docId, pos, segment, keep).
+    * Reassembly (groupBy doc, sort by pos, join) is a stateless
+    * downstream agg, same as the batch operator's final regroup.
+    */
+  def streamingLineDedup(spark: SparkSession,
+                         segs: Dataset[(Long, Int, String)],
+                         ttlMs: Option[Long] = None)(
+      implicit e: org.apache.spark.sql.Encoder[(Long, Int, String, Boolean)])
+      : Dataset[(Long, Int, String, Boolean)] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    segs.groupByKey { case (_, _, seg) =>
+        // value-derived bounded key (never the raw text: state keys
+        // should be 32 B, not a 10 kB boilerplate block; never
+        // hashCode: checkpoint recovery needs cross-JVM stability)
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(seg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      .flatMapGroupsWithState[Long, (Long, Int, String, Boolean)](
+        OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(Long, Int, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy { case (d, p, _) => d * 1000000L + p }
+            val owner = state.getOption.getOrElse(
+              batch.head._1 * 1000000L + batch.head._2)
+            state.update(owner)
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            batch.iterator.map { case (d, p, seg) =>
+              (d, p, seg, d * 1000000L + p == owner)
+            }
+          }
+      }
+  }
+
   final case class LastCum(value: Double)
 
   /** Stateful cumulative→delta across micro-batches — the inverse of

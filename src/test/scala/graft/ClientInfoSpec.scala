@@ -87,6 +87,28 @@ class ClientInfoSpec extends AnyFunSuite {
     assert(pruned.count() == perTenant("acme"))
   }
 
+  test("authenticator validates, publishes auth attrs, rejects the rest") {
+    // two "requests": one bearing a valid bearer token, one without
+    val good = ClientInfo.attach(Tables(spark, sf, "region"),
+      ClientInfo(auth = Map("subject" -> "client-claimed"), // gets overridden
+        metadata = Map("Authorization" -> Seq("Bearer tok-42"))))
+    val bad = ClientInfo.attach(Tables(spark, sf, "region"), ClientInfo())
+    val df = good.unionByName(bad)
+    val (accepted, rejected) = ClientInfo.authenticate(df,
+      validate = ClientInfo.metadataHead("authorization").startsWith("Bearer "),
+      attrs = Map("subject" ->
+        regexp_extract(ClientInfo.metadataHead("authorization"),
+          "^Bearer (.+)$", 1)))
+    val n = Tables(spark, sf, "region").count()
+    assert(accepted.count() == n && rejected.count() == n)
+    // authenticator-published subject wins over the client-claimed one
+    val subj = accepted.select(ClientInfo.authCol("subject")).distinct().collect()
+    assert(subj.map(_.getString(0)).toSeq == Seq("tok-42"))
+    // absent credentials reject (NULL validate is not a pass)
+    assert(rejected.filter(ClientInfo.metadataCol("authorization").isNull)
+      .count() == n)
+  }
+
   test("metadata cardinality limit refuses, like errTooManyBatchers") {
     val df = ClientInfo.attach(Tables(spark, sf, "events"),
       ClientInfo(metadata = Map("tenant" -> Seq("a"))))

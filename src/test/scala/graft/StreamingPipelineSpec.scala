@@ -771,6 +771,41 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally { q2.stop(); s2.close() }
   }
 
+  test("socket-fed OTLP/JSON receivers: the reference's second push encoding") {
+    def serve(lines: Seq[String]): java.net.ServerSocket = {
+      val server = new java.net.ServerSocket(0)
+      val writer = new Thread(() => {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(out.println)
+        out.flush()
+        Thread.sleep(30000)
+        sock.close()
+      })
+      writer.setDaemon(true); writer.start()
+      server
+    }
+    // JSON rides the socket DIRECTLY (one request document per line —
+    // no base64: that's the pb framing); identical parse path to the
+    // json-lines file receiver
+    val logJson =
+      """{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":[{"scope":{"name":"graft"},""" +
+        """"logRecords":[{"timeUnixNano":"100","severityNumber":9,"severityText":"INFO",""" +
+        """"body":{"stringValue":"hello"},"attributes":[]}]}]}]}"""
+    val s = serve(Seq(logJson, logJson))
+    val q = OtlpJsonSource.socketLogsJson(spark, "localhost", s.getLocalPort)
+      .writeStream.format("memory").queryName("socket_json_logs_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.sql("SELECT count(*) FROM socket_json_logs_out").head().getLong(0) < 2 &&
+          System.currentTimeMillis() < deadline) { q.processAllAvailable(); Thread.sleep(100) }
+      val r = spark.sql(
+        "SELECT severity_text, body FROM socket_json_logs_out").collect()
+      assert(r.length == 2 && r.forall(x =>
+        x.getString(0) == "INFO" && x.getString(1) == "hello"))
+    } finally { q.stop(); s.close() }
+  }
+
   test("arrow IPC socket push receiver: pool-exporter payloads over a live socket, all three signals") {
     import graft.sources.ArrowIpc
     import spark.implicits._
@@ -1029,5 +1064,40 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(logs.count() == Tables(spark, sf, "events").count())
     assert(logs.schema.fieldNames.toSet ==
       graft.model.OtelModel.logSchema.fieldNames.toSet)
+  }
+
+  test("streaming line dedup: first owner keeps across batches, replay idempotent") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, Int, String)]
+    val out = graft.streaming.StreamingPipelines.streamingLineDedup(spark, ms.toDS())
+    val q = out.toDF("doc_id", "pos", "seg", "keep").writeStream
+      .outputMode("append").format("memory").queryName("sld_out").start()
+    try {
+      // batch 1: doc 0 owns both segments; doc 2's copy drops in-batch
+      ms.addData((0L, 0, "a b c d"), (0L, 1, "e f g h"), (2L, 0, "a b c d"))
+      q.processAllAvailable()
+      // batch 2: doc 1 re-sends a seen segment (drops ACROSS batches),
+      // adds a unique one (keeps); the owner instance replays → keeps
+      ms.addData((1L, 0, "a b c d"), (1L, 1, "p q r s"), (0L, 0, "a b c d"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, pos, keep FROM sld_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      val verdict = rows.groupBy(t => (t._1, t._2))
+        .view.mapValues(_.map(_._3).toSet).toMap
+      assert(verdict((0L, 0)) == Set(true))  // owner, incl. its replay
+      assert(verdict((0L, 1)) == Set(true))
+      assert(verdict((2L, 0)) == Set(false))
+      assert(verdict((1L, 0)) == Set(false)) // seen in an earlier batch
+      assert(verdict((1L, 1)) == Set(true))
+      // converges to the batch twin replayed in doc order
+      val batchDocs = Seq((0L, "a b c d e f g h"), (1L, "a b c d p q r s"),
+        (2L, "a b c d e f g h")).toDF("doc_id", "text")
+      val twinKept = graft.operators.DedupOps
+        .lineDedup(batchDocs, "doc_id", "text", window = 4)
+        .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+      assert(verdict.count(_._2 == Set(true)).toLong == twinKept)
+    } finally q.stop()
   }
 }
