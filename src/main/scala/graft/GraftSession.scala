@@ -19,6 +19,13 @@ object GraftSession {
       // managed tables (bucketed layouts) land in tmp, not the repo
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // sorted-bucketed scans report their sort order, eliminating
+      // both SMJ sorts of a co-located join. Spark gates this behind
+      // a legacy flag because it requires ONE file per bucket —
+      // which ScaleOps.writeBucketed's bucket-aligned repartition
+      // guarantees (multi-file buckets silently fall back to sorting,
+      // so the flag is safe for any other table)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
     val s = builder(cpus).getOrCreate()

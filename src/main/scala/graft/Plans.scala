@@ -93,7 +93,21 @@ object Plans {
       "Above the threshold the distributed min-label loop runs; its " +
       "plan reads from RDD-backed frames (one bounded shuffle-join + " +
       "groupBy-min per round, lineage never compounds in the " +
-      "optimizer), which is what survives a dup-heavy 100 TB corpus."))
+      "optimizer), which is what survives a dup-heavy 100 TB corpus."),
+    "q_bucketed_join" -> ("The durable-layout lever: both fact " +
+      "projections land as bucketed+sorted tables on the join key, " +
+      "then the sort-merge join reads bucket pairs DIRECTLY — no " +
+      "Exchange on either side of the join (PlanSpec pins the " +
+      "executed adaptive plan; the only exchange is the final " +
+      "groupBy's, a different key). At 100 TB this is write-once, " +
+      "join-forever: every later query on the key skips the lake " +
+      "reshuffle."),
+    "q_line_dedup" -> ("C4-style corpus line dedup: segmentation is " +
+      "one map-side transform+explode; the first-occurrence decision " +
+      "aggregates 16-byte hashes + an int64 composite key. Text " +
+      "crosses the wire only in the verdict join and the per-doc " +
+      "reassembly regroup — both co-partition under doc-id bucketing, " +
+      "and a stats-only consumer drops the second move entirely."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

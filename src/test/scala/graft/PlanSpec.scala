@@ -282,6 +282,11 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)#".r
       .findAllIn(finalPlan).isEmpty,
       s"join on the bucket key still shuffles:\n$finalPlan")
+    // sortBy metadata + one-file-per-bucket (the aligned write) +
+    // the sorted-scan flag: the SMJ runs with ZERO Sort nodes too —
+    // the lake layout carries the order, nothing re-sorts at read
+    assert(!finalPlan.contains(") Sort ["),
+      s"bucketed-sorted scan still re-sorts:\n$finalPlan")
   }
 
   test("q19's OR-of-ANDs predicate splits across BOTH scan sides") {
