@@ -41,7 +41,12 @@ object Bench {
     // (the way a collector runs pipelines) so the scheduler keeps all
     // cores busy. `value` = wall-clock of the whole suite; per-query
     // numbers are individual durations under that concurrency.
-    val slots = math.min(4, Runtime.getRuntime.availableProcessors())
+    // SPARK_GRAFT_SLOTS=1 gives the serial, contention-free artifact
+    // (clean per-query durations and slope ratios); the default
+    // 4-slot run measures suite throughput the way a collector runs
+    // pipelines
+    val slots = sys.env.get("SPARK_GRAFT_SLOTS").map(_.toInt).getOrElse(
+      math.min(4, Runtime.getRuntime.availableProcessors()))
     val (wall, results) = runSuite(spark, sfDir, slots)
     def jstr(s: String): String = QUtil.jsonEscape(s)
     def qjson(rs: Seq[(String, Double, Option[String])]): String =

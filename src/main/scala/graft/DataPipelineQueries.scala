@@ -353,6 +353,19 @@ object DataPipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // the resample step completing DSIR: systematic weighted sampling
+    // over the importance weights — n evenly-spaced points on the
+    // cumulative weight axis, copies = points in the doc's interval
+    // (deterministic, RNG-free — see ScaleOps.systematicResample)
+    "q_dsir_resample" -> ((s, dir) => {
+      val w = TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en")
+      ScaleOps.systematicResample(w.select(col("doc_id"), col("weight")),
+          orderCol = col("doc_id"), weightCol = col("weight"), nTarget = 100)
+        .filter(col("copies") > 0)
+        .select(col("doc_id"), col("__wq").as("wq"), col("copies"))
+    }),
+
     // domain/source-level curation rollup: per-source volume, language
     // spread, exact-dup share, and the keep/drop decision — the
     // URL/domain filtering pass of a web-scale pipeline (drop sources
@@ -1082,6 +1095,36 @@ object DataPipelineQueries {
         | CAST(SUM(nt) + 1 AS DOUBLE) / CAST(SUM(na) + 2 AS DOUBLE) AS weight
         |FROM feats JOIN c USING (f)
         |GROUP BY doc_id""".stripMargin,
+
+    // the weight CTE repeats q_dsir_weights; cum sums stay integral
+    // (window SUM(BIGINT) is HUGEINT in DuckDB — cast back), and //
+    // on non-negative operands floors exactly like Spark's DIV
+    "q_dsir_resample" ->
+      """WITH toks AS (
+        | SELECT doc_id, (lang = 'en') AS tgt,
+        |  regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |feats AS (
+        | SELECT doc_id, tgt,
+        |  ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 4096 AS f
+        | FROM (SELECT doc_id, tgt, unnest(t[1:len(t)-1]) AS w1,
+        |         unnest(t[2:len(t)]) AS w2
+        |       FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT f,
+        |        CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |        CAST(COUNT(*) AS BIGINT) AS na
+        |      FROM feats GROUP BY f),
+        |w AS (SELECT doc_id,
+        |        CAST(SUM(nt) + 1 AS DOUBLE) / CAST(SUM(na) + 2 AS DOUBLE) AS weight
+        |      FROM feats JOIN c USING (f) GROUP BY doc_id),
+        |q AS (SELECT doc_id, CAST(round(weight * 1000000) AS BIGINT) AS wq FROM w),
+        |cu AS (SELECT doc_id, wq,
+        |         CAST(SUM(wq) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM q),
+        |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot FROM q)
+        |SELECT doc_id, wq,
+        | ((200*cum + tot - 1) // (2*tot)) - ((200*(cum - wq) + tot - 1) // (2*tot)) AS copies
+        |FROM cu, t
+        |WHERE ((200*cum + tot - 1) // (2*tot)) - ((200*(cum - wq) + tot - 1) // (2*tot)) > 0""".stripMargin,
 
     "q_domain_stats" ->
       """WITH h AS (SELECT md5(text) AS ch, COUNT(*) AS n

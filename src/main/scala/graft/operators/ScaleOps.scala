@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-strategy operators: the shuffle/skew machinery a 100 TB run
@@ -112,6 +113,75 @@ object ScaleOps {
       .bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Global prefix sum WITHOUT a single-partition window (the
+    * q_batch_assign discipline applied to values instead of row
+    * numbers): percentile cuts bucket the order column, per-bucket
+    * sums collect (#partitions rows on the driver), bucket offsets
+    * add to an in-bucket running sum. Returns the frame + `cumCol`
+    * (INCLUSIVE running total of `valueCol` in `orderCol` order). */
+  def prefixSumRanged(df: DataFrame, orderCol: Column, valueCol: Column,
+                      cumCol: String, partitions: Int = 0): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val qs = (1 until n).map(_.toDouble / n)
+    val cutRow = df.select(
+      percentile_approx(orderCol, typedLit(qs), lit(10000)).as("c")).head()
+    val cuts: Seq[Any] =
+      if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Any](0).distinct
+    def bucketOf(c: Column): Column =
+      cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
+    val bucketed = df.withColumn("_bk", bucketOf(orderCol))
+    val sums = bucketed.groupBy(col("_bk"))
+      .agg(sum(valueCol).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets: Map[Int, Long] = (0 to cuts.size).map { bk =>
+      val o = bk -> acc; acc += sums.getOrElse(bk, 0L); o
+    }.toMap
+    val w = Window.partitionBy(col("_bk")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn(cumCol,
+        sum(valueCol).over(w) +
+          coalesce(element_at(typedLit(offsets), col("_bk")), lit(0L)))
+      .drop("_bk")
+  }
+
+  /** Systematic (low-variance) weighted resampling — the resample
+    * step of DSIR-style data selection: n evenly-spaced points over
+    * the cumulative weight axis; each document receives one copy per
+    * point falling in its weight interval (multiplicity ≥ 0, the
+    * with-replacement semantics of systematic resampling, entirely
+    * deterministic). Weights quantize to integer `unit`s first, so
+    * the cumulative axis, the sample points p_k = ⌊(2k+1)·W / (2n)⌋,
+    * and the per-doc copy count
+    * g(cum) − g(cum − w), g(x) = ⌊(2n·x + W − 1) / (2W)⌋
+    * are pure integer arithmetic — engine-exact, no RNG, replayable.
+    *
+    * Scale: the only non-map work is [[prefixSumRanged]] (bounded
+    * driver collect, no global window). int64 bounds: 2n·W must stay
+    * under 2^63 — at 1e10 docs × 1e6 units, resample per shard or
+    * coarsen `unit`.
+    */
+  def systematicResample(df: DataFrame, orderCol: Column, weightCol: Column,
+                         nTarget: Int, unit: Long = 1000000L): DataFrame = {
+    val wq = df.withColumn("__wq",
+      round(weightCol * lit(unit.toDouble)).cast("long"))
+    val cum = prefixSumRanged(wq, orderCol, col("__wq"), "__cum")
+    val total = cum.agg(sum(col("__wq"))).head().getLong(0)
+    // g(x) inlined twice on the materialized cum columns (DIV keeps
+    // the arithmetic integral; all operands non-negative, so Spark's
+    // truncating DIV == the oracle's floor division)
+    cum
+      .withColumn("__gc",
+        expr(s"(${2L * nTarget} * __cum + ${total} - 1) DIV ${2L * total}"))
+      .withColumn("__gp",
+        expr(s"(${2L * nTarget} * (__cum - __wq) + ${total} - 1) DIV ${2L * total}"))
+      .withColumn("copies", (col("__gc") - col("__gp")).cast("bigint"))
+      .drop("__gc", "__gp")
   }
 
   /** Deterministic block sample without a full scan shuffle: hash-mod

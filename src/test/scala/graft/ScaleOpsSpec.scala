@@ -429,4 +429,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(direct == salted)
   }
+
+  test("systematic resample: exactly nTarget copies, weight-proportional") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one heavy doc among uniform light ones
+    val w = ((1L to 50L).map(i => (i, 0.1)) :+ (51L, 5.0)).toDF("id", "weight")
+    val out = ScaleOps.systematicResample(w, col("id"), col("weight"),
+      nTarget = 20).collect().map(r => r.getLong(0) -> r.getAs[Long]("copies")).toMap
+    // every sample point lands in exactly one interval → Σcopies == n
+    assert(out.values.sum == 20L)
+    // the heavy doc (half the total mass) draws about half the points
+    assert(out(51L) >= 9L && out(51L) <= 11L, s"heavy=${out(51L)}")
+    // deterministic: a second run reproduces the exact multiset
+    val again = ScaleOps.systematicResample(w, col("id"), col("weight"),
+      nTarget = 20).collect().map(r => r.getLong(0) -> r.getAs[Long]("copies")).toMap
+    assert(again == out)
+    // prefix-sum path: Σcopies holds on a real table through the
+    // ranged (bucketed, no-global-window) cumulative sum
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), (col("value") + 1.0).as("weight"))
+    val evOut = ScaleOps.systematicResample(ev, col("event_id"),
+      col("weight"), nTarget = 137)
+    assert(evOut.agg(sum(col("copies"))).head().getLong(0) == 137L)
+  }
 }
