@@ -265,7 +265,30 @@ object ConfigLoader {
     o.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
 
   private def buildReceiver(m: Map[String, Object],
-                            lookup: String => PipelineDef): Receiver =
+                            lookup: String => PipelineDef): Receiver = {
+    val inner = buildReceiverInner(m, lookup)
+    // any receiver may declare its client.Info: {"client": {"addr":
+    // .., "auth": {..}, "metadata": {"k": ["v", ..] | "v"}}} — the
+    // config form of ClientInfoReceiver
+    m.get("client").map(asMap) match {
+      case None => inner
+      case Some(c) =>
+        val md: Map[String, Seq[String]] =
+          c.get("metadata").map(asMap).getOrElse(Map.empty).map {
+            case (k, v: java.util.List[_]) =>
+              k -> v.asScala.toSeq.map(_.toString)
+            case (k, v) => k -> Seq(v.toString)
+          }
+        val auth: Map[String, String] =
+          c.get("auth").map(asMap).getOrElse(Map.empty)
+            .map { case (k, v) => k -> v.toString }
+        ClientInfoReceiver(inner,
+          ClientInfo(c.get("addr").map(_.toString), auth, md))
+    }
+  }
+
+  private def buildReceiverInner(m: Map[String, Object],
+                                 lookup: String => PipelineDef): Receiver =
     str(m, "type") match {
       case "table"          => TableReceiver(str(m, "dir"), str(m, "table"))
       case "parquet"        => ParquetReceiver(str(m, "path"))
@@ -299,6 +322,13 @@ object ConfigLoader {
       graft.operators.Processors.assignBatchesByKey(df,
         strList(m("keys")), expr(str(m, "order")),
         m("size").asInstanceOf[Number].intValue())
+    // client.Info-driven batching (the reference's metadata_keys +
+    // metadata_cardinality_limit knobs)
+    case "batch_by_metadata" => df =>
+      graft.operators.Processors.assignBatchesByMetadata(df,
+        strList(m("metadataKeys")), expr(str(m, "order")),
+        m("size").asInstanceOf[Number].intValue(),
+        m.get("cardinalityLimit").map(_.asInstanceOf[Number].intValue()).getOrElse(0))
     // size + event-time-age bounded batches (timeout trigger, batch mode)
     case "batch_timed" => df =>
       graft.operators.Processors.assignBatchesTimed(df,
@@ -310,6 +340,9 @@ object ConfigLoader {
   private def buildExporter(m: Map[String, Object]): Exporter = str(m, "type") match {
     case "parquet" => ParquetExporter(str(m, "path"),
       partitionBy = m.get("partitionBy").toSeq.flatMap(strList))
+    // per-metadata-combination delivery off the _client carrier
+    case "parquet_by_metadata" => MetadataPartitionedExporter(
+      str(m, "path"), strList(m("metadataKeys")))
     // queued-retry + dead-letter wrapping of a parquet sink
     case "parquet_queued" => QueuedExporter(
       ParquetExporter(str(m, "path")), str(m, "dlq"),

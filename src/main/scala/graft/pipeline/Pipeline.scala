@@ -920,6 +920,44 @@ object Pipeline {
         }
       }
 
+    /** zpages analog (reference extension/zpagesextension — live
+      * debug pages: pipelinez's receiver→processor→exporter tables,
+      * servicez's runtime state): one renderable text report of the
+      * pipeline graph, exporter chains (sender wrappers unwrapped in
+      * order), feature gate states, and live queue depths. The
+      * reference serves this over its own HTTP server; here the
+      * report is the value — print it, log it, or serve it from
+      * anything. */
+    def zpages(spark: SparkSession,
+               gates: FeatureGate.Registry = FeatureGate.global): String = {
+      def chain(e: Exporter): String = e match {
+        case q: PersistentQueueExporter =>
+          s"persistent_queue(${q.queueDir}) -> ${chain(q.delegate)}"
+        case RetryingExporter(d, n, _, _, _) => s"retry(max=$n) -> ${chain(d)}"
+        case QueuedExporter(d, dlq, _, _, _) => s"queue(dlq=$dlq) -> ${chain(d)}"
+        case TimeoutExporter(d, ms) => s"timeout(${ms}ms) -> ${chain(d)}"
+        case other => other.getClass.getSimpleName.stripSuffix("$")
+      }
+      val sb = new StringBuilder
+      sb.append("== pipelinez ==\n")
+      pipelines.toSeq.sortBy(_._1).foreach { case (name, p) =>
+        sb.append(s"pipeline $name\n")
+        sb.append(s"  receiver:  ${p.receiver.getClass.getSimpleName.stripSuffix("$")}\n")
+        sb.append(s"  stages:    ${p.processors.size}\n")
+        p.exporters.foreach(e => sb.append(s"  exporter:  ${chain(e)}\n"))
+      }
+      sb.append("== servicez ==\n")
+      status(spark).foreach { s =>
+        sb.append(s"queue ${s.pipeline}: pending=${s.pending} " +
+          s"bytes=${s.pendingBytes} dlq=${s.deadLettered}\n")
+      }
+      sb.append("== featuregatez ==\n")
+      gates.visitAll.foreach { g =>
+        sb.append(s"${g.id} [${g.stage}] enabled=${g.isEnabled}\n")
+      }
+      sb.toString
+    }
+
     /** graceful shutdown drain (the collector flushes its queues on
       * Shutdown before exiting): run recovery passes until every
       * persistent queue is empty or `budgetMs` elapses. Returns true

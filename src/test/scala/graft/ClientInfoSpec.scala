@@ -109,6 +109,42 @@ class ClientInfoSpec extends AnyFunSuite {
       .count() == n)
   }
 
+  test("config-built multi-tenant pipeline: client info → metadata batch → partitioned delivery") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_tenant").toString
+    val cfg = s"""{
+      "pipelines": {
+        "t/acme": {
+          "receiver": {"type": "table", "dir": "$sf", "table": "events",
+            "client": {"addr": "10.0.0.1:4317",
+              "auth": {"subject": "user-acme"},
+              "metadata": {"Tenant": "acme", "X-Scope-OrgID": ["acme", "eu"]}}},
+          "exporters": []
+        },
+        "t/globex": {
+          "receiver": {"type": "table", "dir": "$sf", "table": "events",
+            "client": {"metadata": {"tenant": ["globex"]}}},
+          "exporters": []
+        },
+        "t/all": {
+          "receiver": {"type": "union", "from": ["t/acme", "t/globex"]},
+          "processors": [
+            {"type": "batch_by_metadata", "metadataKeys": ["Tenant"],
+             "order": "event_id", "size": 100, "cardinalityLimit": 8}],
+          "exporters": [{"type": "parquet_by_metadata", "path": "$out",
+            "metadataKeys": ["Tenant"]}]
+        }
+      }
+    }"""
+    graft.pipeline.ConfigLoader.fromJson(cfg).pipelines("t/all").run(spark)
+    val back = spark.read.parquet(out)
+    val tenants = back.groupBy("meta_tenant").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tenants.keySet == Set("acme", "globex"))
+    assert(back.groupBy("meta_tenant", "batch_id").count().collect()
+      .forall(_.getLong(2) <= 100))
+    assert(!back.columns.contains(ClientInfo.ColName))
+  }
+
   test("metadata cardinality limit refuses, like errTooManyBatchers") {
     val df = ClientInfo.attach(Tables(spark, sf, "events"),
       ClientInfo(metadata = Map("tenant" -> Seq("a"))))

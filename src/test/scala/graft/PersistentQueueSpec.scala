@@ -288,6 +288,13 @@ class PersistentQueueSpec extends AnyFunSuite {
     assert(svc.drain(spark, budgetMs = 30000))
     assert(svc.status(spark).head.pending == 0)
     assert(gate.deliveries.size == 2)
+    // zpages: the debug report names the pipeline, unwraps the sender
+    // chain, and carries live queue + feature-gate state
+    val z = svc.zpages(spark)
+    assert(z.contains("pipeline logs/out"), z)
+    assert(z.contains(s"persistent_queue($qdir)"), z)
+    assert(z.contains("queue logs/out: pending=0"), z)
+    assert(z.contains("graft.confmap.httpProvider [Beta] enabled=true"), z)
   }
 
   test("bytes sizer: a full-by-bytes queue refuses accepts and admits again after draining") {
