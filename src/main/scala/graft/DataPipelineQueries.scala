@@ -353,6 +353,19 @@ object DataPipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // PCA dimension reduction of the embedding corpus (rows-only:
+    // eigendecomposition has no DuckDB twin; DedupAnnSpec pins
+    // orthonormality, eigenvalue ordering, captured variance,
+    // projection-variance agreement, and determinism)
+    "q_embed_pca" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val (mean, basis, _) = AnnOps.pcaBasis(e, "embedding", d = 64, k = 8)
+      AnnOps.pcaProject(e, "embedding", mean, basis, "proj")
+        .select(col("vec_id"), col("label"),
+          element_at(col("proj"), 1).as("p0"),
+          element_at(col("proj"), 2).as("p1"))
+    }),
+
     // the resample step completing DSIR: systematic weighted sampling
     // over the importance weights — n evenly-spaced points on the
     // cumulative weight axis, copies = points in the doc's interval

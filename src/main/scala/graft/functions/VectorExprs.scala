@@ -50,6 +50,13 @@ object VectorExprs {
   def nearest_code_l2(sub: Column, codebook: Seq[Seq[Double]]): Column =
     Bridge.column(NearestCodeL2(Bridge.expression(sub), codebook))
 
+  /** centered projection onto every basis row in one pass:
+    * out[r] = x·basis[r] − offsets[r] (offsets = μ·basis[r] makes it
+    * (x−μ)·basis[r]) — the PCA/whitening transform hot path */
+  def project_table(vec: Column, basis: Seq[Seq[Double]],
+                    offsets: Seq[Double]): Column =
+    Bridge.column(ProjectTable(Bridge.expression(vec), basis, offsets))
+
   /** argmax-cosine centroid index (first-max ties) — IVF assign hot path */
   def nearest_centroid(vec: Column, cents: Seq[Seq[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), cents))
@@ -120,6 +127,27 @@ case class CosineTable(child: Expression, table: Seq[Seq[Double]])
   }
 
   override protected def withNewChildInternal(c: Expression): CosineTable = copy(child = c)
+}
+
+case class ProjectTable(child: Expression, table: Seq[Seq[Double]],
+                        offsets: Seq[Double])
+    extends CodebookExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "project_table"
+  @transient private lazy val offArr: Array[Double] = offsets.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.projectTable(input.asInstanceOf[ArrayData], tableArr, offArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = refTo(ctx)
+    val offRef = ctx.addReferenceObj("offsets", offArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.impl.Kernels.projectTable($c, $ref, $offRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProjectTable =
+    copy(child = c)
 }
 
 case class NearestCodeL2(child: Expression, table: Seq[Seq[Double]])

@@ -371,6 +371,24 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** centered projection onto every basis row in one pass —
+    * out[r] = v·basis(r) − offsets(r) (PCA/whitening transform) */
+  def projectTable(v: ArrayData, basis: Array[Array[Double]],
+                   offsets: Array[Double]): ArrayData = {
+    val out = new Array[Double](basis.length)
+    var r = 0
+    while (r < basis.length) {
+      val row = basis(r)
+      val n = math.min(v.numElements(), row.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * row(i); i += 1 }
+      out(r) = dot - offsets(r)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** distances to every codebook entry in one pass (the per-query ADC
     * table) — replaces ksub inlined fold expressions with one call */
   def l2Table(sub: ArrayData, codebook: Array[Array[Double]]): ArrayData = {

@@ -128,6 +128,124 @@ object AnnOps {
     centroids
   }
 
+  /** PCA basis of an embedding corpus — the dimension-reduction /
+    * whitening front of a vector pipeline (faiss's PCAMatrix role:
+    * shrink 64→k dims before IVF/PQ, or decorrelate before
+    * quantization). Training statistics come from ONE pass of
+    * [[graft.functions.CovAgg.vec_moments]] — a d²/2 map-side buffer
+    * per partition, never an exploded (i,j) amplification — on a
+    * deterministic hash-sample (the ivfCentroids train-on-sample
+    * discipline). The d×d eigenproblem is driver-side cyclic Jacobi:
+    * deterministic sweep order, no RNG, no LAPACK.
+    *
+    * Returns (mean, basis rows (k×d, orthonormal, descending
+    * eigenvalue), eigenvalues (k)).
+    */
+  def pcaBasis(corpus: DataFrame, vecCol: String, d: Int, k: Int,
+               trainFraction: Double = 1.0)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(k <= d, s"k=$k must be <= d=$d")
+    val training =
+      if (trainFraction >= 1.0) corpus
+      else ScaleOps.hashSample(corpus, col("vec_id"),
+        keepNumerator = math.max(1, (trainFraction * 1000).toInt), denominator = 1000)
+    val row = training
+      .select(graft.functions.CovAgg.vec_moments(
+        col(vecCol).cast("array<double>"), d).as("m"))
+      .select(col("m.n"), col("m.sum"), col("m.tri")).head()
+    val n = row.getLong(0).toDouble
+    require(n >= 2, s"PCA needs >= 2 training vectors, got ${n.toLong}")
+    val sum = row.getSeq[Double](1).toArray
+    val tri = row.getSeq[Double](2).toArray
+    val mean = sum.map(_ / n)
+    // covariance C = M/n − μμᵀ from the upper triangle
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = tri(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    // sort eigenpairs by descending eigenvalue (stable: index tiebreak)
+    val order = values.indices.sortBy(idx => (-values(idx), idx))
+    val basis = order.take(k).map(idx => vectors.map(_(idx))).toArray
+    (mean, basis, order.take(k).map(values(_)).toArray)
+  }
+
+  /** cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * deterministic sweeps over the upper triangle until off-diagonal
+    * mass vanishes. Returns (eigenvalues, eigenvector COLUMNS). */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tt = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var x = 0
+      while (x < d - 1) {
+        var y = x + 1
+        while (y < d) { off += a(x)(y) * a(x)(y); y += 1 }
+        x += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** project every vector onto the PCA basis, mean-centered — one
+    * native kernel pass, basis as a codegen reference object (plan
+    * size independent of k·d) */
+  def pcaProject(df: DataFrame, vecCol: String, mean: Array[Double],
+                 basis: Array[Array[Double]], outCol: String): DataFrame = {
+    val offsets = basis.map(row =>
+      row.zip(mean).map { case (b, m) => b * m }.sum).toSeq
+    df.withColumn(outCol, graft.functions.VectorExprs.project_table(
+      col(vecCol).cast("array<double>"),
+      basis.map(_.toSeq).toSeq, offsets))
+  }
+
   /** argmax-cosine cell id against the broadcast centroid table — a
     * single native expression whatever c is (the inlined c-wide
     * expression-array formulation grows the plan O(c) and breaks

@@ -267,6 +267,39 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(preds.subsetOf(Set("en", "es", "de", "und")))
   }
 
+  test("PCA: orthonormal descending basis, variance agreement, deterministic") {
+    val e = Tables(spark, sf, "embeddings")
+    val (mean, basis, values) = AnnOps.pcaBasis(e, "embedding", d = 64, k = 8)
+    assert(mean.length == 64 && basis.length == 8 && values.length == 8)
+    // orthonormal rows
+    for (i <- basis.indices; j <- i until basis.length) {
+      val dot = basis(i).zip(basis(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"basis[$i]·basis[$j]=$dot")
+    }
+    // eigenvalues descending and non-negative (covariance is PSD)
+    assert(values.sameElements(values.sorted.reverse))
+    assert(values.forall(_ >= -1e-9))
+    // the sample variance of each projected component equals its
+    // eigenvalue (the defining property of PCA)
+    val proj = AnnOps.pcaProject(e, "embedding", mean, basis, "proj")
+    val n = proj.count().toDouble
+    val varRow = proj.select((0 until 8).map(i =>
+      (sum(pow(element_at(col("proj"), i + 1), 2)) / n).as(s"v$i")): _*).head()
+    for (i <- 0 until 8)
+      assert(math.abs(varRow.getDouble(i) - values(i)) <
+        math.max(1e-6, values(i) * 1e-6),
+        s"component $i variance ${varRow.getDouble(i)} vs eigenvalue ${values(i)}")
+    // deterministic rebuild
+    val (mean2, basis2, values2) = AnnOps.pcaBasis(e, "embedding", 64, 8)
+    assert(mean.sameElements(mean2) && values.sameElements(values2))
+    assert(basis.zip(basis2).forall { case (a, b) => a.sameElements(b) })
+    // train-on-sample path still yields an orthonormal descending basis
+    val (_, basisS, valuesS) =
+      AnnOps.pcaBasis(e, "embedding", 64, 4, trainFraction = 0.5)
+    assert(basisS.length == 4 && valuesS.sameElements(valuesS.sorted.reverse))
+  }
+
   test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
     val spark2 = spark
     import spark2.implicits._
