@@ -353,6 +353,14 @@ object DataPipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // PCA-accelerated ANN: shortlist by reduced-space L2, exact
+    // rerank (rows-only; recall spec-pinned vs brute force)
+    "q_ann_pca" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.pcaTopK(e.filter(col("vec_id") < 10), e,
+        kDim = 16, k = 10, shortlist = 150)
+    }),
+
     // PCA dimension reduction of the embedding corpus (rows-only:
     // eigendecomposition has no DuckDB twin; DedupAnnSpec pins
     // orthonormality, eigenvalue ordering, captured variance,

