@@ -353,6 +353,33 @@ object DataPipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // the curation FUNNEL: the filters composed in pipeline order
+    // with per-stage survivor counts — the yield report every corpus
+    // curation run publishes (how many docs each gate removed).
+    // Stages: token-length floor → language → char-length band →
+    // exact-dup first-occurrence. One pass computes every flag; the
+    // only wide ops are the dup-hash count and the final one-row agg.
+    "q_curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dup = d.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("__keep"))
+      val flagged = d.withColumn("__h", md5(col("text")))
+        .join(dup, "__h")
+        .withColumn("len_ok", size(split(trim(col("text")), "\\s+")) >= 20)
+        .withColumn("lang_ok", col("lang") === "en")
+        .withColumn("chars_ok", col("n_chars").between(150, 10000))
+        .withColumn("dedup_ok", col("doc_id") === col("__keep"))
+      flagged.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("len_ok"), 1L).otherwise(0L)).as("after_length"),
+        sum(when(col("len_ok") && col("lang_ok"), 1L).otherwise(0L))
+          .as("after_lang"),
+        sum(when(col("len_ok") && col("lang_ok") && col("chars_ok"), 1L)
+          .otherwise(0L)).as("after_chars"),
+        sum(when(col("len_ok") && col("lang_ok") && col("chars_ok")
+          && col("dedup_ok"), 1L).otherwise(0L)).as("kept"))
+    }),
+
     // PCA-accelerated ANN: shortlist by reduced-space L2, exact
     // rerank (rows-only; recall spec-pinned vs brute force)
     "q_ann_pca" -> ((s, dir) => {
@@ -1116,6 +1143,24 @@ object DataPipelineQueries {
         | CAST(SUM(nt) + 1 AS DOUBLE) / CAST(SUM(na) + 2 AS DOUBLE) AS weight
         |FROM feats JOIN c USING (f)
         |GROUP BY doc_id""".stripMargin,
+
+    "q_curation_funnel" ->
+      """WITH dup AS (
+        | SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+        | FROM documents GROUP BY 1),
+        |f AS (
+        | SELECT d.doc_id,
+        |  len(regexp_split_to_array(trim(d.text), '\s+')) >= 20 AS len_ok,
+        |  d.lang = 'en' AS lang_ok,
+        |  d.n_chars BETWEEN 150 AND 10000 AS chars_ok,
+        |  d.doc_id = dup.keep_id AS dedup_ok
+        | FROM documents d JOIN dup ON md5(d.text) = dup.h)
+        |SELECT COUNT(*) AS total,
+        | CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS after_length,
+        | CAST(SUM(CASE WHEN len_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+        | CAST(SUM(CASE WHEN len_ok AND lang_ok AND chars_ok THEN 1 ELSE 0 END) AS BIGINT) AS after_chars,
+        | CAST(SUM(CASE WHEN len_ok AND lang_ok AND chars_ok AND dedup_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM f""".stripMargin,
 
     // the weight CTE repeats q_dsir_weights; cum sums stay integral
     // (window SUM(BIGINT) is HUGEINT in DuckDB — cast back), and //

@@ -292,6 +292,20 @@ object AnnOps {
       basis.map(_.toSeq).toSeq, offsets))
   }
 
+  /** whitening projection: components scaled to unit variance
+    * (row/√λ folded into the basis — still ONE kernel pass). The
+    * standard pre-quantization decorrelation; eigenvalues below
+    * `floor` are clamped so near-null directions don't explode. */
+  def pcaWhiten(df: DataFrame, vecCol: String, mean: Array[Double],
+                basis: Array[Array[Double]], eigenvalues: Array[Double],
+                outCol: String, floor: Double = 1e-9): DataFrame = {
+    val scaled = basis.zip(eigenvalues).map { case (row, ev) =>
+      val s = 1.0 / math.sqrt(math.max(ev, floor))
+      row.map(_ * s)
+    }
+    pcaProject(df, vecCol, mean, scaled, outCol)
+  }
+
   /** argmax-cosine cell id against the broadcast centroid table — a
     * single native expression whatever c is (the inlined c-wide
     * expression-array formulation grows the plan O(c) and breaks

@@ -168,8 +168,16 @@ object ScaleOps {
     */
   def systematicResample(df: DataFrame, orderCol: Column, weightCol: Column,
                          nTarget: Int, unit: Long = 1000000L): DataFrame = {
+    // the resampler needs FOUR actions over its input (percentile
+    // cuts, bucket sums, total, the consumer's own) — localCheckpoint
+    // materializes the quantized (order, weight) projection ONCE so
+    // an expensive upstream lineage (e.g. the DSIR weight join) never
+    // re-executes per action. One-shot checkpoint, no loop — the CC
+    // stats-squaring trap does not apply; blocks are context-cleaned
+    // when the plan is dropped.
     val wq = df.withColumn("__wq",
       round(weightCol * lit(unit.toDouble)).cast("long"))
+      .localCheckpoint()
     val cum = prefixSumRanged(wq, orderCol, col("__wq"), "__cum")
     val total = cum.agg(sum(col("__wq"))).head().getLong(0)
     // g(x) inlined twice on the materialized cum columns (DIV keeps

@@ -298,6 +298,13 @@ class DedupAnnSpec extends AnyFunSuite {
     val (_, basisS, valuesS) =
       AnnOps.pcaBasis(e, "embedding", 64, 4, trainFraction = 0.5)
     assert(basisS.length == 4 && valuesS.sameElements(valuesS.sorted.reverse))
+    // whitening: every component lands at unit sample variance
+    val white = AnnOps.pcaWhiten(e, "embedding", mean, basis, values, "w")
+    val wVar = white.select((0 until 8).map(i =>
+      (sum(pow(element_at(col("w"), i + 1), 2)) / n).as(s"v$i")): _*).head()
+    for (i <- 0 until 8)
+      assert(math.abs(wVar.getDouble(i) - 1.0) < 1e-6,
+        s"whitened component $i variance ${wVar.getDouble(i)}")
   }
 
   test("PCA-accelerated ANN recalls most brute-force top-10 neighbors") {
