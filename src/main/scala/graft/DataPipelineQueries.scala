@@ -353,6 +353,29 @@ object DataPipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // corpus vocabulary statistics: the Zipf head/tail report a
+    // tokenizer or mix decision reads — vocab size, token mass, the
+    // head share captured by the top-k terms, hapax (df=1) share.
+    // One token explode → one term-count aggregate (shuffles terms
+    // once); the head set is a bounded top-k, the scalars one row.
+    "q_vocab_stats" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val counts = terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val topMass = counts.orderBy(col("tf").desc, col("term").asc)
+        .limit(100).agg(sum(col("tf")).as("head_tf"))
+      counts.agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("tf")).as("total_tokens"),
+          sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax_terms"))
+        .crossJoin(topMass)
+        .select(col("vocab_size"), col("total_tokens"), col("hapax_terms"),
+          col("head_tf"),
+          (col("head_tf").cast("double") / col("total_tokens").cast("double"))
+            .as("head_share"))
+    }),
+
     // the curation FUNNEL: the filters composed in pipeline order
     // with per-stage survivor counts — the yield report every corpus
     // curation run publishes (how many docs each gate removed).
@@ -1143,6 +1166,22 @@ object DataPipelineQueries {
         | CAST(SUM(nt) + 1 AS DOUBLE) / CAST(SUM(na) + 2 AS DOUBLE) AS weight
         |FROM feats JOIN c USING (f)
         |GROUP BY doc_id""".stripMargin,
+
+    "q_vocab_stats" ->
+      """WITH t AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        | FROM documents),
+        |c AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+        |head AS (
+        | SELECT CAST(SUM(tf) AS BIGINT) AS head_tf
+        | FROM (SELECT tf FROM c ORDER BY tf DESC, term ASC LIMIT 100))
+        |SELECT COUNT(*) AS vocab_size,
+        | CAST(SUM(c.tf) AS BIGINT) AS total_tokens,
+        | CAST(SUM(CASE WHEN c.tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+        | head.head_tf AS head_tf,
+        | CAST(head.head_tf AS DOUBLE) / CAST(SUM(c.tf) AS DOUBLE) AS head_share
+        |FROM c, head
+        |GROUP BY head.head_tf""".stripMargin,
 
     "q_curation_funnel" ->
       """WITH dup AS (

@@ -107,7 +107,15 @@ object Plans {
       "aggregates 16-byte hashes + an int64 composite key. Text " +
       "crosses the wire only in the verdict join and the per-doc " +
       "reassembly regroup — both co-partition under doc-id bucketing, " +
-      "and a stats-only consumer drops the second move entirely."))
+      "and a stats-only consumer drops the second move entirely."),
+    "q_dsir_resample" -> ("Systematic weighted resampling with NO " +
+      "global window: the cumulative weight axis is prefixSumRanged " +
+      "(percentile-cut buckets, per-bucket driver offsets), the " +
+      "quantized weights ride a one-shot localCheckpoint (the " +
+      "resampler's four actions would otherwise re-execute the DSIR " +
+      "feature join each time — measured 6.0 s → 3.3 s serial), and " +
+      "every copy count is integer DIV arithmetic in the projection — " +
+      "the plan shows bucketed windows only, nothing single-partition."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

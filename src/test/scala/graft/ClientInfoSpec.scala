@@ -145,6 +145,37 @@ class ClientInfoSpec extends AnyFunSuite {
     assert(!back.columns.contains(ClientInfo.ColName))
   }
 
+  test("client info rides a STREAMING pipeline into per-tenant delivery") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_tenant").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // the receiver-side attach is the same column transform in
+    // streaming — context flows through micro-batches untouched
+    val withInfo = ClientInfo.attach(ms.toDF().toDF("id", "payload"),
+      ClientInfo(metadata = Map("Tenant" -> Seq("acme"))))
+    val exporter = Pipeline.MetadataPartitionedExporter(out, Seq("Tenant"))
+    val q = withInfo.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_stream_ck").toString)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => exporter.exportBatch(b, id))
+      .start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      assert(back.select("meta_tenant").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("acme"))
+      assert(!back.columns.contains(ClientInfo.ColName))
+    } finally q.stop()
+  }
+
   test("metadata cardinality limit refuses, like errTooManyBatchers") {
     val df = ClientInfo.attach(Tables(spark, sf, "events"),
       ClientInfo(metadata = Map("tenant" -> Seq("a"))))
