@@ -59,7 +59,8 @@ object BenchSlope {
     def raw(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
     val stride: Map[(String, String), Long] = domains.flatMap { domain =>
       val s = domain.map { case (t, c) =>
-        raw(t).agg(max(col(c))).head().getLong(0)
+        val r = raw(t).agg(max(col(c))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) // empty/all-null → 0
       }.max + 1L
       domain.map(tc => tc -> s)
     }.toMap

@@ -120,7 +120,10 @@ object ScaleOps {
     * numbers): percentile cuts bucket the order column, per-bucket
     * sums collect (#partitions rows on the driver), bucket offsets
     * add to an in-bucket running sum. Returns the frame + `cumCol`
-    * (INCLUSIVE running total of `valueCol` in `orderCol` order). */
+    * (INCLUSIVE running total of `valueCol` in `orderCol` order).
+    * `orderCol` must be UNIQUE per row — under ties the in-bucket
+    * running sum attributes tied rows in nondeterministic order (use
+    * a composed unique key, the convention everywhere in this repo). */
   def prefixSumRanged(df: DataFrame, orderCol: Column, valueCol: Column,
                       cumCol: String, partitions: Int = 0): DataFrame = {
     val n =
@@ -179,7 +182,12 @@ object ScaleOps {
       round(weightCol * lit(unit.toDouble)).cast("long"))
       .localCheckpoint()
     val cum = prefixSumRanged(wq, orderCol, col("__wq"), "__cum")
-    val total = cum.agg(sum(col("__wq"))).head().getLong(0)
+    val totalRow = cum.agg(sum(col("__wq"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    // an all-zero or EMPTY weight axis has no interval for any sample
+    // point — refuse loudly instead of DIV-by-zero NULL copies
+    require(total > 0,
+      s"systematicResample needs positive total weight, got $total")
     // g(x) inlined twice on the materialized cum columns (DIV keeps
     // the arithmetic integral; all operands non-negative, so Spark's
     // truncating DIV == the oracle's floor division)

@@ -93,9 +93,10 @@ object FeatureGate {
       gates.values.asScala.toSeq.sortBy(_.id)
 
     /** `--feature-gates` flag syntax (flag.go:35-56): comma-separated
-      * ids, optional `+`/`-` prefix; every id must resolve. */
+      * ids, optional `+`/`-` prefix; every id must resolve. Empty
+      * items (trailing/double commas) are skipped, not errors. */
     def applyFlags(s: String): Unit =
-      if (s.nonEmpty) s.split(",").foreach { raw =>
+      if (s.nonEmpty) s.split(",").iterator.filter(_.nonEmpty).foreach { raw =>
         val (id, v) = raw.charAt(0) match {
           case '-' => (raw.substring(1), false)
           case '+' => (raw.substring(1), true)
