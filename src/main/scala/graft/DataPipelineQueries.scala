@@ -333,6 +333,19 @@ object DataPipelineQueries {
     "q_line_dedup" -> ((s, dir) =>
       DedupOps.lineDedup(docs(s, dir), "doc_id", "text", window = 8)),
 
+    // incremental NEAR-dup: probe the incoming batch's minhash
+    // signatures against the historical signature store (see
+    // DedupOps.lshNearDupAgainstStoreMd5); same modulo split
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      val sig = docs(s, dir).select(col("doc_id"),
+        DedupOps.minhashSignatureMd5(
+          DedupOps.shinglesOfText(col("text"), 3), 32).as("sig"))
+      DedupOps.lshNearDupAgainstStoreMd5(
+        sig.filter(col("doc_id") % 4 >= 2),
+        sig.filter(col("doc_id") % 4 < 2),
+        "doc_id", "sig", bands = 8, rows = 4, threshold = 0.5)
+    }),
+
     // incremental dedup of an incoming batch against the historical
     // fingerprint store (daily-ingest pattern — see
     // DedupOps.dedupAgainstStore). Modulo split keeps the history/
@@ -1130,6 +1143,29 @@ object DataPipelineQueries {
         | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep) AS text_dedup
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // same signature CTE as q_dedup_minhash; candidates = any band
+    // slice equal, verified at >= 16/32 lanes (threshold 0.5)
+    "q_dedup_minhash_incr" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, 32), i ->
+        |    list_min(list_transform(shs, s ->
+        |      substr(md5((i // 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
+        | FROM sh WHERE len(shs) > 0),
+        |pairs AS (SELECT i.doc_id id_in, s.doc_id id_store, i.sig sa, s.sig sb
+        |  FROM (SELECT * FROM sig WHERE doc_id % 4 >= 2) i
+        |  JOIN (SELECT * FROM sig WHERE doc_id % 4 < 2) s ON true)
+        |SELECT id_in, id_store,
+        | CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 32 AS est_sim
+        |FROM pairs
+        |WHERE list_max(list_transform(range(0, 8), b ->
+        |   CASE WHEN sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4] THEN 1 ELSE 0 END)) = 1
+        | AND len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) >= 16""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH store AS (

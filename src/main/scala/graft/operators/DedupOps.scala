@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines:
@@ -144,6 +145,49 @@ object DedupOps {
       .withColumn("dup_in_batch", col(idCol) =!= col("__first"))
       .withColumn("admit", !col("dup_of_store") && !col("dup_in_batch"))
       .drop("__h", "__in_store", "__first")
+  }
+
+  /** Incremental NEAR-dup — [[dedupAgainstStore]]'s minhash sibling:
+    * probe an incoming batch's signatures against the historical
+    * SIGNATURE store (the persisted index of everything already
+    * ingested; signatures, never text). Both sides band identically;
+    * candidates are band-key collisions (incoming ⋈ store — one
+    * shuffle keyed on (band, bucket)), verified by lane agreement ≥
+    * threshold. Store buckets are capped deterministically (smallest
+    * ids win — the lshNearDupPairs skew discipline): a boilerplate
+    * bucket stops absorbing probes instead of going quadratic.
+    * Returns (id_in, id_store, est_sim); admitted = incoming ids
+    * absent from the result, and admitted signatures are what the
+    * caller appends to the store.
+    *
+    * md5-lane variant (value-oracled); swap the xxh64 signature for
+    * the scale path exactly as with lshNearDupPairs.
+    */
+  def lshNearDupAgainstStoreMd5(incoming: DataFrame, store: DataFrame,
+                                idCol: String, sigCol: String,
+                                bands: Int, rows: Int, threshold: Double,
+                                maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rows
+    def banded(df: DataFrame, idOut: String, sigOut: String): DataFrame =
+      df.filter(size(col(sigCol)) === k)
+        .select(col(idCol).as(idOut), col(sigCol).as(sigOut),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              transform(slice(col(sigCol), b * rows + 1, lit(rows)),
+                x => x.cast("string")))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    val stBands = banded(store, "id_store", "sig_store")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("band"), col("band_key"))
+          .orderBy(col("id_store"))))
+      .filter(col("__rk") <= maxBucket).drop("__rk")
+    banded(incoming, "id_in", "sig_in")
+      .join(stBands, Seq("band", "band_key"))
+      .select(col("id_in"), col("id_store"),
+        minhashEstimate(col("sig_in"), col("sig_store"), k).as("est_sim"))
+      .filter(col("est_sim") >= threshold)
+      .distinct()
   }
 
   /** k-minhash signature: native single-pass expression (one XXH64
