@@ -327,6 +327,36 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("incremental near-dup probe finds planted store duplicates, caps buckets") {
+    val spark2 = spark
+    import spark2.implicits._
+    def sigs(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      DedupOps.minhashSignatureMd5(
+        DedupOps.shinglesOfText(col("text"), 3), 32).as("sig"))
+    val storeDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (11L, "unrelated words entirely different content here now"),
+      (12L, "one two three four five six seven nine")          // near 2
+    ).toDF("doc_id", "text")
+    val hits = DedupOps.lshNearDupAgainstStoreMd5(sigs(incoming),
+        sigs(storeDocs), "doc_id", "sig", bands = 8, rows = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 1L)), s"exact store copy must hit: $hits")
+    assert(!hits.exists(_._1 == 11L), s"unrelated doc must be admitted: $hits")
+    // bucket cap: with maxBucket=0-like tiny cap of 1 and two
+    // identical store docs, the probe still matches exactly one
+    val bigStore = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val capped = DedupOps.lshNearDupAgainstStoreMd5(sigs(incoming.limit(1)),
+        sigs(bigStore), "doc_id", "sig", 8, 4, 0.5, maxBucket = 1)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(capped == Set(1L), s"cap keeps the smallest store id: $capped")
+  }
+
   test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
     val spark2 = spark
     import spark2.implicits._
