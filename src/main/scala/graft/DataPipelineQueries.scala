@@ -316,6 +316,27 @@ object DataPipelineQueries {
         .groupBy(col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
 
+    // packing-efficiency report: fill rate of the packed layout —
+    // the utilization metric every training run tracks (wasted pad
+    // tokens = wasted accelerator time). One aggregate over the pack
+    // ids; 'full' packs are those the NEXT doc could not extend.
+    "q_pack_stats" -> ((s, dir) => {
+      val packs = ScaleOps.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", maxLen = 512, nShards = 37, seed = "pack7",
+        portable = true)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(sum(col("n_tokens")).as("pack_tokens"))
+      packs.agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        sum(when(col("pack_tokens") >= 512, 1L).otherwise(0L))
+          .as("at_capacity_packs"),
+        (sum(col("pack_tokens")).cast("double") /
+          (count(lit(1)) * lit(512)).cast("double")).as("fill_rate"))
+    }),
+
     // windowed duplicated-substring detection (the suffix-array-dedup
     // approximation — see DedupOps.duplicatedWindows)
     "q_dedup_substring" -> ((s, dir) =>
@@ -1085,6 +1106,25 @@ object DataPipelineQueries {
         |    CAST(('0x' || substr(md5('pack7:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
         |   FROM documents)))
         |GROUP BY shard, pack_id""".stripMargin,
+
+    "q_pack_stats" ->
+      """WITH packs AS (
+        | SELECT shard, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        | FROM (SELECT shard, n_tokens,
+        |    CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        |  FROM (SELECT shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |   FROM (SELECT doc_id,
+        |     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |     CAST(('0x' || substr(md5('pack7:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
+        |    FROM documents)))
+        | GROUP BY shard, pack_id)
+        |SELECT COUNT(*) AS n_packs,
+        | CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+        | CAST(SUM(CASE WHEN pack_tokens >= 512 THEN 1 ELSE 0 END) AS BIGINT) AS at_capacity_packs,
+        | CAST(SUM(pack_tokens) AS DOUBLE) / CAST(COUNT(*) * 512 AS DOUBLE) AS fill_rate
+        |FROM packs""".stripMargin,
 
     "q_dedup_substring" ->
       """WITH toks AS (
