@@ -414,17 +414,23 @@ object DataPipelineQueries {
     // with per-stage survivor counts — the yield report every corpus
     // curation run publishes (how many docs each gate removed).
     // Stages: token-length floor → language → char-length band →
-    // exact-dup first-occurrence. One pass computes every flag; the
-    // only wide ops are the dup-hash count and the final one-row agg.
+    // exact-dup first-occurrence. Every per-doc flag (and the 16-byte
+    // text hash) is computed MAP-SIDE before any wide op, so only
+    // scalars ever cross an exchange: at 100× the dup side has corpus
+    // cardinality and AQE must sort-merge — shuffling full text there
+    // to produce a five-number report would be the scale killer.
+    // PlanSpec pins (broadcast disabled) that no Exchange carries text.
     "q_curation_funnel" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val dup = d.groupBy(md5(col("text")).as("__h"))
+      val perDoc = docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("__h"),
+        (size(split(trim(col("text")), "\\s+")) >= 20).as("len_ok"),
+        (col("lang") === "en").as("lang_ok"),
+        col("n_chars").between(150, 10000).as("chars_ok"))
+      val dup = perDoc.groupBy(col("__h"))
         .agg(min(col("doc_id")).as("__keep"))
-      val flagged = d.withColumn("__h", md5(col("text")))
+      val flagged = perDoc
         .join(dup, "__h")
-        .withColumn("len_ok", size(split(trim(col("text")), "\\s+")) >= 20)
-        .withColumn("lang_ok", col("lang") === "en")
-        .withColumn("chars_ok", col("n_chars").between(150, 10000))
         .withColumn("dedup_ok", col("doc_id") === col("__keep"))
       flagged.agg(
         count(lit(1)).as("total"),
@@ -451,7 +457,8 @@ object DataPipelineQueries {
     // projection-variance agreement, and determinism)
     "q_embed_pca" -> ((s, dir) => {
       val e = embs(s, dir)
-      val (mean, basis, _) = AnnOps.pcaBasis(e, "embedding", d = 64, k = 8)
+      val (mean, basis, _) =
+        AnnOps.pcaBasis(e, "embedding", d = AnnOps.vecDim(e, "embedding"), k = 8)
       AnnOps.pcaProject(e, "embedding", mean, basis, "proj")
         .select(col("vec_id"), col("label"),
           element_at(col("proj"), 1).as("p0"),

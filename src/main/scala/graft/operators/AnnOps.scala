@@ -27,6 +27,11 @@ object AnnOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** dimensionality of an array-vector column, read from one row — a
+    * bounded driver fetch (the pq/ivfpq dim-derivation discipline) */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** native single-pass cosine (bit-identical to the left-fold HOF
     * and the DuckDB oracle twin) */
   def cosine(a: Column, b: Column): Column =
@@ -151,7 +156,11 @@ object AnnOps {
       val nrm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
       df.withColumn("__nrme", transform(v, x => x / nrm))
     }
-    val (mean, basis, _) = pcaBasis(normed(corpus), "__nrme", d = 64,
+    // derive the input dimensionality from the data (r7 verdict #2:
+    // a hardcoded d=64 silently mis-sizes the moments buffer on any
+    // non-64-dim corpus; pq/ivfpq already derive dim this way)
+    val d = vecDim(corpus, "embedding")
+    val (mean, basis, _) = pcaBasis(normed(corpus), "__nrme", d = d,
       k = kDim, trainFraction = trainFraction)
     val cp = pcaProject(normed(corpus), "__nrme", mean, basis, "cproj")
       .select(col("vec_id").as("nid"),
@@ -243,7 +252,13 @@ object AnnOps {
           val apq = a(p)(q)
           if (math.abs(apq) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val tt = math.signum(theta) /
+            // sign(0) must be 1 (Numerical Recipes): for equal
+            // diagonal entries theta is 0 and signum(0)=0 would make
+            // the rotation the identity — a duplicated embedding
+            // dimension (cov block [[v,v],[v,v]]) then never
+            // annihilates and the sweep cap exits with wrong vectors
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val tt = sgn /
               (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(tt * tt + 1.0)
             val s = tt * c
@@ -277,6 +292,12 @@ object AnnOps {
       }
       sweep += 1
     }
+    // never return silently-wrong eigenpairs: the sweep cap is a
+    // safety net, not an accepted exit — cyclic Jacobi converges
+    // quadratically, so d=64 finishes in ~6 sweeps; tripping this
+    // means the input wasn't symmetric-real or the rotation broke
+    require(off <= 1e-9,
+      s"Jacobi eigensolver failed to converge: off-diagonal mass $off after $sweep sweeps (d=$d)")
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 

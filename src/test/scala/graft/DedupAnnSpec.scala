@@ -307,6 +307,45 @@ class DedupAnnSpec extends AnyFunSuite {
         s"whitened component $i variance ${wVar.getDouble(i)}")
   }
 
+  test("PCA derives dim from the corpus; Jacobi converges on equal-diagonal blocks") {
+    val e = Tables(spark, sf, "embeddings")
+    // non-64-dim corpus (first 12 dims): the r7 hardcoded d=64 fed
+    // vec_moments a wrong-length buffer here — dim must come from data
+    val e12 = e.select(col("vec_id"), col("label"),
+      slice(col("embedding"), 1, 12).as("embedding"))
+    val d12 = AnnOps.vecDim(e12, "embedding")
+    assert(d12 == 12)
+    val (mean12, basis12, values12) = AnnOps.pcaBasis(e12, "embedding", d12, 4)
+    assert(mean12.length == 12 && basis12.length == 4 && basis12.forall(_.length == 12))
+    for (i <- basis12.indices; j <- i until basis12.length) {
+      val dot = basis12(i).zip(basis12(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"basis12[$i]·basis12[$j]=$dot")
+    }
+    assert(values12.sameElements(values12.sorted.reverse))
+    // pcaTopK end-to-end on the 12-dim frame (crashed pre-r8)
+    val res = AnnOps.pcaTopK(e12.filter(col("vec_id") < 5), e12,
+      kDim = 4, k = 5, shortlist = 50)
+    assert(res.groupBy("qid").count().collect().forall(_.getLong(1) == 5))
+    // duplicated dimension => covariance carries [[v,v],[v,v]] blocks
+    // where theta=0: signum(0)=0 made the rotation the identity and the
+    // sweep cap exited silently unconverged (ADVICE r7); sign(0)=1 (the
+    // 45-degree rotation) annihilates it, and the convergence require
+    // would now surface any residual off-diagonal mass
+    val dup = e.select(col("vec_id"),
+      concat(slice(col("embedding"), 1, 6), slice(col("embedding"), 1, 1))
+        .as("embedding"))
+    val (_, basisD, valuesD) = AnnOps.pcaBasis(dup, "embedding", 7, 7)
+    for (i <- basisD.indices; j <- i until basisD.length) {
+      val dot = basisD(i).zip(basisD(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"basisD[$i]·basisD[$j]=$dot")
+    }
+    // a duplicated dim makes the covariance singular: the smallest
+    // eigenvalue must be ~0 while the spectrum stays non-negative
+    assert(valuesD.last.abs < 1e-9 && valuesD.forall(_ >= -1e-9))
+  }
+
   test("PCA-accelerated ANN recalls most brute-force top-10 neighbors") {
     // the synthetic embeddings are near-isotropic (top-16 dims carry
     // only ~38% of variance — measured), the WORST case for PCA

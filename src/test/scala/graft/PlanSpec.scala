@@ -325,4 +325,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||
       p.contains("EqualTo(event_type"), p)
   }
+
+  test("stats-report queries never put text through an Exchange (mechanical, broadcast disabled)") {
+    // r7 verdict #1: q_curation_funnel referenced `text` above its
+    // dup-hash join — fine at small SF where the dup side broadcasts,
+    // but at 100× the dup table has corpus cardinality, AQE must
+    // sort-merge, and the docs side then shuffles FULL TEXT to produce
+    // a five-number report. The discipline (already followed by
+    // q_domain_stats): compute per-doc scalars map-side, join/aggregate
+    // only scalars. Enforced here the way the broadcast-hint rule is:
+    // with every broadcast path disabled, walk the final physical plan
+    // and assert no Exchange's input attribute set contains `text` —
+    // so a broadcast at tiny SF can never mask a latent text shuffle.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    def exchanges(p: SparkPlan): Seq[Exchange] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Exchange]()
+      def go(n: SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec => go(q.plan)
+        case e: Exchange => buf += e; e.children.foreach(go)
+        case other => other.children.foreach(go)
+      }
+      go(p)
+      buf.toSeq
+    }
+    var sawExchange = 0
+    for (q <- Seq("q_curation_funnel", "q_domain_stats", "q_vocab_stats")) {
+      val df = SparkEntry.queries(q)(s2, sf)
+      df.collect() // finalize the adaptive plan
+      val exs = exchanges(df.queryExecution.executedPlan)
+      sawExchange += exs.size
+      for (e <- exs) {
+        val carried = e.child.output.map(_.name)
+        assert(!carried.exists(_.equalsIgnoreCase("text")),
+          s"$q shuffles full text to produce a stats report " +
+            s"(exchange input: ${carried.mkString(", ")}):\n${e.child}")
+      }
+    }
+    // self-teeth: with broadcast off these queries MUST shuffle
+    // something (the hash/term aggregates) — zero exchanges means the
+    // walk silently broke, not that the rule passed
+    assert(sawExchange >= 3,
+      s"rule inspected only $sawExchange exchanges — plan walk broke")
+  }
 }
