@@ -538,16 +538,37 @@ object Pipeline {
       * queueDir (a service rebuilt from config racing a still-live
       * instance) can never both win one id — the instance-level
       * synchronized only serializes threads within this instance.
-      * Claim files are never deleted (they are the ledger that makes
-      * ids unreusable — deleting one would let a stale-hint instance
-      * re-issue the id and overwrite a delivered batch downstream);
-      * `seq` is just a fast-path hint past the claimed prefix. */
-    private def floorFile = new Path(s"$queueDir/ids/floor")
+      * Claim files are the ledger that makes ids unreusable —
+      * deleting one would let a stale-hint instance re-issue the id
+      * and overwrite a delivered batch downstream; compaction may
+      * delete them ONLY below a monotone floor marker that asserts
+      * the same claim permanently. `seq` is just a fast-path hint
+      * past the claimed prefix. */
+    /** legacy single-file floor (pre-r8 layout): still read (max'd in)
+      * so an upgraded instance over an old queueDir keeps its floor */
+    private def legacyFloorFile = new Path(s"$queueDir/ids/floor")
+    /** effective floor = max over exclusive-create `floor_<id>`
+      * markers. Markers are never overwritten, so the floor is
+      * MONOTONE by construction: a slow compactor that lost the race
+      * can only add a *lower* marker, which max-of-markers ignores —
+      * it can never drag the floor back below ids whose claim files a
+      * faster peer already deleted (the r7 overwriting single-file
+      * floor allowed exactly that regression, re-opening id reuse). */
+    private def readFloor(f: FileSystem): Long = {
+      val markers =
+        try f.listStatus(new Path(s"$queueDir/ids")).iterator
+          .map(_.getPath.getName)
+          .filter(_.startsWith("floor_"))
+          .map(_.stripPrefix("floor_").toLong)
+          .foldLeft(0L)(math.max)
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      math.max(markers, readNum(f, legacyFloorFile, 0L))
+    }
     private def nextId(spark: SparkSession): Long = synchronized {
       val f = fs(spark)
       val hint = new Path(s"$queueDir/seq")
       f.mkdirs(new Path(s"$queueDir/ids"))
-      var floor = readNum(f, floorFile, 0L)
+      var floor = readFloor(f)
       var id = math.max(readNum(f, hint, 0L), floor)
       var claimed = false
       while (!claimed) {
@@ -557,7 +578,7 @@ object Pipeline {
           // (making our exclusive-create succeed on an already-used
           // id). The compactor writes the floor BEFORE deleting, so a
           // claim that lands below the re-read floor is void.
-          val fl = readNum(f, floorFile, 0L)
+          val fl = readFloor(f)
           if (id >= fl) claimed = true
           else { floor = fl; id = fl }
         } else id += 1
@@ -570,16 +591,23 @@ object Pipeline {
       // hint (a claim at N implies every id < N was observed claimed),
       // so raising the floor to the just-claimed id and dropping the
       // claim files below it loses no information — ids below the
-      // floor are permanently claimed by the marker alone. Floor
+      // floor are permanently claimed by the marker alone. Marker
       // first, delete second: a crash between the two leaves extra
-      // claim files, never a reusable id.
+      // claim files, never a reusable id. Lower floor markers (and a
+      // lower legacy floor file) are retired in the same sweep — the
+      // effective floor is the max, so dropping them changes nothing.
       if (id - floor >= ledgerCompactEvery) {
         try {
-          writeNum(f, floorFile, id)
+          exclusiveCreate(f, new Path(s"$queueDir/ids/floor_$id"))
           for (s <- f.listStatus(new Path(s"$queueDir/ids"));
-               n = s.getPath.getName
-               if n.startsWith("id_") && n.stripPrefix("id_").toLong < id)
-            f.delete(s.getPath, false)
+               n = s.getPath.getName) {
+            if (n.startsWith("id_") && n.stripPrefix("id_").toLong < id)
+              f.delete(s.getPath, false)
+            else if (n.startsWith("floor_") && n.stripPrefix("floor_").toLong < id)
+              f.delete(s.getPath, false)
+          }
+          if (readNum(f, legacyFloorFile, 0L) < id)
+            f.delete(legacyFloorFile, false)
         } catch { case scala.util.control.NonFatal(_) => () }
       }
       id
@@ -591,16 +619,16 @@ object Pipeline {
       * is a real FS failure (outage, auth) and must propagate, or id
       * allocation would spin forever burning ids with no backoff
       * while the store is down. */
-    private def claimId(f: FileSystem, id: Long): Boolean = {
-      val claim = new Path(s"$queueDir/ids/id_$id")
+    private def claimId(f: FileSystem, id: Long): Boolean =
+      exclusiveCreate(f, new Path(s"$queueDir/ids/id_$id"))
+    private def exclusiveCreate(f: FileSystem, p: Path): Boolean =
       if ("file" == f.getUri.getScheme)
         try { java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(claim.toUri.getPath)); true }
+          java.nio.file.Paths.get(p.toUri.getPath)); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       else
-        try { f.create(claim, false).close(); true }
+        try { f.create(p, false).close(); true }
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-    }
     /** best-effort read: another live instance may be overwriting the
       * file this instant (torn read / checksum mismatch on local FS)
       * — fall back to the default rather than fail; correctness never

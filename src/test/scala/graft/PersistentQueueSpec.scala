@@ -345,7 +345,9 @@ class PersistentQueueSpec extends AnyFunSuite {
     val claims = new java.io.File(s"$dir/ids").listFiles()
       .map(_.getName).filter(_.startsWith("id_"))
     assert(claims.length < 10, s"ledger never compacted: ${claims.length} claim files")
-    assert(new java.io.File(s"$dir/ids/floor").exists())
+    val floors = new java.io.File(s"$dir/ids").listFiles()
+      .map(_.getName).filter(_.startsWith("floor_"))
+    assert(floors.length == 1, s"expected one floor marker, got ${floors.mkString(",")}")
     // stale-hint instance: seq gone, only the floor marker + surviving
     // claims arbitrate — it must allocate a FRESH id past the floor
     assert(new java.io.File(s"$dir/seq").delete())
@@ -353,6 +355,38 @@ class PersistentQueueSpec extends AnyFunSuite {
       ledgerCompactEvery = 4)
     q2.export(batch(100, 101))
     assert(gate.deliveries.size == 11, "a compacted id was reissued")
+    gate.deliveries.forEach((_, n) => assert(n == 1))
+  }
+
+  test("a stale compactor's lower floor cannot regress the ledger (monotone markers)") {
+    // r7 ADVICE (high): with a single overwritable floor file, a slow
+    // compactor in a second instance could write a LOWER floor after a
+    // faster peer had raised it and deleted the claim files above — a
+    // stale-hint allocator then re-claims an already-delivered id and a
+    // later batch silently overwrites it. Markers are exclusive-create
+    // and the effective floor is their max, so the lower write is inert.
+    val dir = Files.createTempDirectory("pq_floor").toString
+    val gate = new GatedExporter
+    gate.up = true
+    val q = PersistentQueueExporter(gate, dir, backoffMs = 1,
+      ledgerCompactEvery = 4)
+    for (i <- 0 until 10) q.export(batch(i, i + 1))
+    assert(gate.deliveries.size == 10)
+    val ids = new java.io.File(s"$dir/ids")
+    val hi = ids.listFiles().map(_.getName).filter(_.startsWith("floor_"))
+      .map(_.stripPrefix("floor_").toLong).max
+    // the stale compactor races in: a lower marker AND a lower legacy
+    // floor file land after the high marker
+    assert(new java.io.File(ids, "floor_2").createNewFile())
+    java.nio.file.Files.write(new java.io.File(ids, "floor").toPath,
+      "2".getBytes("UTF-8"))
+    // stale hint too — worst case: allocation restarts from the floor
+    assert(new java.io.File(s"$dir/seq").delete())
+    val q2 = PersistentQueueExporter(gate, dir, backoffMs = 1,
+      ledgerCompactEvery = 1024)
+    q2.export(batch(100, 101))
+    assert(gate.deliveries.size == 11,
+      s"an id below the high floor $hi was reissued and overwrote a delivered batch")
     gate.deliveries.forEach((_, n) => assert(n == 1))
   }
 }
