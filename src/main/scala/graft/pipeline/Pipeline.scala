@@ -165,14 +165,48 @@ object Pipeline {
       while (!done) {
         try { f(); done = true }
         catch {
-          case scala.util.control.NonFatal(_) if attempt < maxRetries =>
+          // permanent errors skip the retry budget (exporterhelper's
+          // consumererror.Permanent): re-sending a rejected payload
+          // burns maxRetries delays to reach the same 4xx
+          case scala.util.control.NonFatal(e)
+              if attempt < maxRetries && findInCauses[PermanentExportException](e).isEmpty =>
             attempt += 1
-            Thread.sleep(backoffDelayMs(backoffMs, attempt, multiplier,
-              maxBackoffMs, seed = seed))
+            // a throttling server's Retry-After (OTLP 429/503)
+            // OVERRIDES the local backoff — the server knows its own
+            // recovery horizon better than our exponential guess
+            val delay = findInCauses[ThrottledExportException](e)
+              .map(_.retryAfterMs).filter(_ > 0L)
+              .getOrElse(backoffDelayMs(backoffMs, attempt, multiplier,
+                maxBackoffMs, seed = seed))
+            Thread.sleep(delay)
         }
       }
     }
   }
+
+  /** walk the cause chain (Spark wraps task failures) for a marker
+    * exception type */
+  private def findInCauses[T <: Throwable](e: Throwable)(
+      implicit ct: scala.reflect.ClassTag[T]): Option[T] = {
+    var c: Throwable = e
+    var hops = 0
+    while (c != null && hops < 20) {
+      c match {
+        case t: T => return Some(t)
+        case _ => ()
+      }
+      c = c.getCause
+      hops += 1
+    }
+    None
+  }
+
+  /** OTLP throttling (429/503 + Retry-After): retryable, and the
+    * server-provided delay should replace the local backoff — the
+    * reference's exporterhelper.NewThrottleRetry. retryAfterMs == 0
+    * means "retryable, no server hint" (502/504). */
+  final class ThrottledExportException(msg: String, val retryAfterMs: Long)
+      extends RuntimeException(msg)
   /** exporterhelper queued-retry analog (reference:
     * exporter/exporterhelper/queued_retry.go — queue + retry +
     * dead-letter): bounded retries with backoff; when they exhaust,

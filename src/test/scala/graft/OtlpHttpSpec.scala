@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Pipeline
+import graft.sources.{OtlpHttp, OtlpJsonSource}
+import graft.sources.OtlpHttp.{OtlpHttpExporter, OtlpHttpReceiver}
+
+/** Live loopback specs for the OTLP/HTTP transport: exporter POSTs →
+  * JDK HttpServer receiver → spool → the SAME parse path the socket
+  * and file receivers use — plus the OTLP status-code mapping
+  * (throttle with Retry-After, permanent 4xx, partial success).
+  */
+class OtlpHttpSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def mkLogRequest(svc: String, n: Int): String = {
+    val recs = (0 until n).map { i =>
+      s"""{"timeUnixNano":"${1700000000000000000L + i * 1000000L}",
+         |"severityNumber":9,"severityText":"INFO",
+         |"body":{"stringValue":"msg-$i"},
+         |"attributes":[{"key":"idx","value":{"intValue":"$i"}}],
+         |"traceId":"t${i % 7}","spanId":"s$i"}""".stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[$recs]}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  private def mkSpanRequest(svc: String, n: Int): String = {
+    val sp = (0 until n).map { i =>
+      s"""{"traceId":"0102030405060708090a0b0c0d0e0f${"%02d".format(i)}",
+         |"spanId":"010203040506070$i","name":"op-$i","kind":2,
+         |"startTimeUnixNano":"${1000 + i}","endTimeUnixNano":"${2000 + i}",
+         |"status":{"code":2,"message":"boom"},"attributes":[]}"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeSpans":[{"scope":{"name":"graft"},"spans":[$sp]}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  private def mkMetricRequest(n: Int): String = {
+    val ms = (0 until n).map { i =>
+      s"""{"name":"cpu$i","gauge":{"dataPoints":[{"timeUnixNano":"${i}00","asDouble":$i.5,"attributes":[]}]}}"""
+    }.mkString(",")
+    s"""{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":[{"scope":{"name":"graft"},"metrics":[$ms]}]}]}"""
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("HTTP loopback pb+gzip: all three signals land on the socket-identical parse path") {
+    import spark.implicits._
+    val spool = tmpDir("otlp_http_spool")
+    val rx = new OtlpHttpReceiver(0, spool)
+    try {
+      val base = s"http://localhost:${rx.boundPort}"
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 12)).toDF("json"))
+      val spans = OtlpJsonSource.parseSpans(Seq(mkSpanRequest("api", 6)).toDF("json"))
+      val points = OtlpJsonSource.parseMetricPoints(Seq(mkMetricRequest(5)).toDF("json"))
+      OtlpHttpExporter(base, "logs", gzipBody = true).export(logs)
+      OtlpHttpExporter(base, "traces", gzipBody = true).export(spans)
+      OtlpHttpExporter(base, "metrics", gzipBody = true).export(points)
+      // one request per encoder group: 1 logs + 1 traces + 5 metrics
+      // (the metrics encoder groups per metric name)
+      assert(rx.obs.requests.get == 7)
+
+      // the receiver's spool feeds the IDENTICAL pb parse path the
+      // socket receivers use — rows must match the pre-wire frames
+      val backLogs = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs", pb = true))
+          .select(col("content").as("pb")))
+      assert(backLogs.count() == 12)
+      assert(backLogs.select("body").collect().map(_.getString(0)).sorted
+        .sameElements(logs.select("body").collect().map(_.getString(0)).sorted))
+
+      val backSpans = OtlpJsonSource.parseSpansPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("traces", pb = true))
+          .select(col("content").as("pb")))
+      assert(backSpans.count() == 6)
+      assert(backSpans.select("name").collect().map(_.getString(0)).sorted
+        .sameElements(spans.select("name").collect().map(_.getString(0)).sorted))
+
+      val backPoints = OtlpJsonSource.parseMetricPointsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("metrics", pb = true))
+          .select(col("content").as("pb")))
+      assert(backPoints.count() == 5)
+      assert(backPoints.select("value").collect().map(_.getDouble(0)).sorted
+        .sameElements(points.select("value").collect().map(_.getDouble(0)).sorted))
+    } finally rx.stop()
+  }
+
+  test("HTTP loopback JSON body + streaming ingestion of the spool") {
+    import spark.implicits._
+    val spool = tmpDir("otlp_http_json")
+    val rx = new OtlpHttpReceiver(0, spool)
+    try {
+      val base = s"http://localhost:${rx.boundPort}"
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 8)).toDF("json"))
+      OtlpHttpExporter(base, "logs", useJson = true).export(logs)
+      // batch: JSON spool parses on the JSON path
+      val back = OtlpJsonSource.parseLogs(
+        spark.read.textFile(rx.spoolPath("logs", pb = false)).toDF("json"))
+      assert(back.count() == 8)
+      // streaming: a second pb export is tailed by the streaming file
+      // receiver — the HTTP receiver is a push front for readStream
+      OtlpHttpExporter(base, "logs").export(logs)
+      val q = OtlpJsonSource.streamLogsPb(spark, rx.spoolPath("logs", pb = true))
+        .writeStream.format("memory").queryName("http_rx_logs").start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.sql("SELECT count(*) FROM http_rx_logs").head().getLong(0) == 8)
+    } finally rx.stop()
+  }
+
+  test("429/503 throttling: Retry-After overrides the retry exporter's backoff") {
+    import spark.implicits._
+    val spool = tmpDir("otlp_http_thr")
+    val fails = new java.util.concurrent.atomic.AtomicInteger(2)
+    val rx = new OtlpHttpReceiver(0, spool,
+      admission = (_, _) =>
+        if (fails.getAndDecrement() > 0)
+          Some((if (fails.get() % 2 == 0) 429 else 503, 1))
+        else None)
+    try {
+      val base = s"http://localhost:${rx.boundPort}"
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 3)).toDF("json"))
+      // huge local backoff: if the 1-second Retry-After did NOT
+      // override it, this test would sleep minutes — wall-clock is
+      // the assertion that the server's hint won
+      val sender = Pipeline.RetryingExporter(
+        OtlpHttpExporter(base, "logs"), maxRetries = 3,
+        backoffMs = 600000, maxBackoffMs = 600000)
+      val t0 = System.nanoTime()
+      sender.export(logs)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(rx.obs.throttled.get == 2 && rx.obs.requests.get == 1)
+      assert(elapsedMs >= 1800, s"two 1s Retry-After waits expected, got ${elapsedMs}ms")
+      assert(elapsedMs < 60000, s"local backoff was not overridden: ${elapsedMs}ms")
+    } finally rx.stop()
+  }
+
+  test("permanent statuses skip the retry budget entirely") {
+    import spark.implicits._
+    val spool = tmpDir("otlp_http_perm")
+    val rx = new OtlpHttpReceiver(0, spool,
+      admission = (_, _) => Some((401, 0))) // unauthenticated: permanent
+    try {
+      val base = s"http://localhost:${rx.boundPort}"
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 2)).toDF("json"))
+      val sender = Pipeline.RetryingExporter(
+        OtlpHttpExporter(base, "logs"), maxRetries = 3, backoffMs = 60000)
+      val t0 = System.nanoTime()
+      intercept[Pipeline.PermanentExportException] { sender.export(logs) }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(rx.obs.throttled.get == 1, "exactly one attempt must reach the server")
+      assert(elapsedMs < 10000, s"permanent error slept a retry backoff: ${elapsedMs}ms")
+    } finally rx.stop()
+  }
+
+  test("partial-success response bodies are parsed and recorded in both encodings") {
+    import spark.implicits._
+    val spool = tmpDir("otlp_http_ps")
+    val rx = new OtlpHttpReceiver(0, spool,
+      partial = (_, _) => Some((2L, "quota exceeded")))
+    try {
+      val base = s"http://localhost:${rx.boundPort}"
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 4)).toDF("json"))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val obs = new OtlpHttp.HttpExportObs
+      OtlpHttpExporter(base, "logs", obs = Some(obs),
+        onPartialSuccess = (r, m) => seen.add((r, m))).export(logs)
+      OtlpHttpExporter(base, "logs", useJson = true, obs = Some(obs),
+        onPartialSuccess = (r, m) => seen.add((r, m))).export(logs)
+      assert(obs.sentRequests.get == 2 && obs.partialSuccesses.get == 2)
+      assert(obs.rejectedItems.get == 4)
+      assert(seen.toArray(Array.empty[(Long, String)]).toSet ==
+        Set((2L, "quota exceeded")))
+      // partial success is NOT an error: both requests landed in the spool
+      assert(rx.obs.requests.get == 2)
+    } finally rx.stop()
+  }
+
+  test("receiver status mapping: 405 / 404 / 415 / corrupt-gzip 400") {
+    val spool = tmpDir("otlp_http_codes")
+    val rx = new OtlpHttpReceiver(0, spool)
+    try {
+      def request(method: String, path: String, ct: String,
+                  body: Array[Byte], gz: Boolean = false): Int = {
+        val c = new java.net.URL(s"http://localhost:${rx.boundPort}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        if (body.nonEmpty || method == "POST") {
+          c.setDoOutput(true)
+          c.setRequestProperty("Content-Type", ct)
+          if (gz) c.setRequestProperty("Content-Encoding", "gzip")
+          val o = c.getOutputStream
+          try o.write(body) finally o.close()
+        }
+        val code = c.getResponseCode
+        c.disconnect()
+        code
+      }
+      assert(request("GET", "/v1/logs", "application/json", Array.empty) == 405)
+      assert(request("POST", "/v1/nope", "application/json", "{}".getBytes) == 404)
+      assert(request("POST", "/v1/logs", "text/plain", "{}".getBytes) == 415)
+      assert(request("POST", "/v1/logs", "application/x-protobuf",
+        Array[Byte](1, 2, 3), gz = true) == 400)
+      assert(rx.obs.badRequests.get == 1 && rx.obs.requests.get == 0)
+    } finally rx.stop()
+  }
+
+  test("partial-success pb codec round-trips through the hand-rolled walk") {
+    val pb = OtlpHttp.partialSuccessPb(123456789L, "some items rejected")
+    assert(OtlpHttp.parsePartialSuccess(pb, "application/x-protobuf")
+      .contains((123456789L, "some items rejected")))
+    val json = OtlpHttp.partialSuccessJson("metrics", 7L, "m")
+    assert(OtlpHttp.parsePartialSuccess(json.getBytes("UTF-8"), "application/json")
+      .contains((7L, "m")))
+    // empty / zero-rejected bodies mean full success
+    assert(OtlpHttp.parsePartialSuccess(Array.empty, "application/x-protobuf").isEmpty)
+    assert(OtlpHttp.parsePartialSuccess("{}".getBytes, "application/json").isEmpty)
+    assert(OtlpHttp.parsePartialSuccess(
+      OtlpHttp.partialSuccessPb(0L, ""), "application/x-protobuf").isEmpty)
+  }
+}
