@@ -277,6 +277,35 @@ object ArrowIpc {
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc,
       org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
     try {
+      readerRows(reader, schema, out)
+      out.toSeq
+    } finally { reader.close(); alloc.close() }
+  }
+
+  /** decode a byte sequence that may carry SEVERAL back-to-back IPC
+    * streams — the shape a long-lived delta-dictionary stream takes
+    * after a schema reset ([[DeltaStreamEncoder]]): EOS ends the old
+    * stream and a fresh schema message starts the next one. Delta
+    * dictionary batches WITHIN a stream are handled by the Arrow
+    * reader itself (it appends them to the live dictionary). */
+  def decodeRowsMulti(schema: StructType, bytes: Array[Byte]): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val in = new ByteArrayInputStream(bytes)
+    while (in.available() > 0) {
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(in, alloc,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+      // close(false) keeps the shared InputStream open for the next
+      // stream segment
+      try readerRows(reader, schema, out)
+      finally { reader.close(false); alloc.close() }
+    }
+    out.toSeq
+  }
+
+  private def readerRows(reader: ArrowStreamReader, schema: StructType,
+                         out: scala.collection.mutable.ArrayBuffer[Row]): Unit = {
+    {
       val root = reader.getVectorSchemaRoot
       while (reader.loadNextBatch()) {
         val n = root.getRowCount
@@ -332,8 +361,196 @@ object ArrowIpc {
           i += 1
         }
       }
-      out.toSeq
-    } finally { reader.close(); alloc.close() }
+    }
+  }
+
+  // ---- long-lived streams: delta dictionaries ----------------------
+
+  /** Long-lived multi-batch IPC stream encoder with dictionary
+    * DELTAS and schema-reset-on-overflow — the namesake transport's
+    * memory/ratio story at long stream lifetimes (reference behavior:
+    * receiver/otlpreceiver/internal/arrow/arrow.go:269-300 and the
+    * exporter's stream.go keep one gRPC stream alive across many
+    * batches, growing dictionaries by delta messages and resetting
+    * the schema when a dictionary overflows).
+    *
+    * Usage: one encoder per stream; each [[writeBatch]] returns the
+    * IPC bytes to append to the wire for that batch —
+    *
+    *  - first batch: schema message + one full dictionary batch per
+    *    dictionary-encoded string column + the record batch
+    *  - later batches: one DELTA dictionary batch per column that saw
+    *    NEW values (only the new entries travel — never the
+    *    accumulated dictionary) + the record batch
+    *  - a column whose accumulated dictionary would exceed `dictCap`
+    *    triggers the reference's fallback: the stream ends (EOS) and
+    *    a NEW stream starts in-line whose schema carries that column
+    *    as plain utf8 (surviving columns keep their accumulated
+    *    dictionaries, re-sent full once) — a reader sees the reset in
+    *    the schema message, never by convention
+    *  - [[end]] closes the stream (EOS)
+    *
+    * Decode with [[decodeRowsMulti]]: the Arrow reader applies delta
+    * batches natively (VectorBatchAppender), and the multi-stream
+    * loop handles resets. Index assignment is append-only, so record
+    * batches decoded before a delta arrived are unaffected by it.
+    */
+  final class DeltaStreamEncoder(schema: StructType, dictCap: Int) {
+    import org.apache.arrow.vector.VectorUnloader
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.{ArrowDictionaryBatch, IpcOption, MessageSerializer}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ASchema}
+    require(dictCap > 0, "DeltaStreamEncoder needs dictCap > 0 (plain streams: encodeRows)")
+
+    private val alloc = new RootAllocator()
+    // accumulated dictionary per column (values in index order + lookup)
+    private val dictValues = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[String]]
+    private val dictLookup = scala.collection.mutable.Map.empty[Int, java.util.HashMap[String, Integer]]
+    private val plainCols = scala.collection.mutable.Set.empty[Int]
+    private var started = false
+    private var vecs: Seq[FieldVector] = Nil
+    private var root: VectorSchemaRoot = null
+    private var closed = false
+    /** streams emitted so far (1 + number of schema resets) */
+    def streamCount: Int = resets + (if (started) 1 else 0)
+    private var resets = 0
+
+    schema.fields.zipWithIndex.foreach { case (f, ci) =>
+      if (f.dataType == StringType) {
+        dictValues(ci) = scala.collection.mutable.ArrayBuffer.empty[String]
+        dictLookup(ci) = new java.util.HashMap[String, Integer]()
+      } else plainCols += ci
+    }
+
+    private def isDictCol(ci: Int): Boolean = !plainCols.contains(ci)
+
+    private def encoding(ci: Int): DictionaryEncoding =
+      new DictionaryEncoding(ci.toLong, false, new ArrowType.Int(32, true))
+
+    private def buildVectors(): Unit = {
+      if (root != null) { root.close(); vecs.foreach(_.close()) }
+      vecs = schema.fields.toSeq.zipWithIndex.map { case (f, ci) =>
+        if (isDictCol(ci))
+          new Field(f.name, new FieldType(true, new ArrowType.Int(32, true),
+            encoding(ci)), null).createVector(alloc)
+        else newVector(f, alloc)
+      }
+      root = new VectorSchemaRoot(vecs.asJava)
+    }
+
+    /** message-format schema: a dictionary-encoded field is declared
+      * with its VALUE type (utf8) + the encoding — what an IPC schema
+      * message carries on the wire (the reader derives the int32
+      * index vector and the dictionary vector from it) */
+    private def messageSchema(): ASchema = {
+      val fields = schema.fields.toSeq.zipWithIndex.map { case (f, ci) =>
+        if (isDictCol(ci))
+          new Field(f.name,
+            new FieldType(true, ArrowType.Utf8.INSTANCE, encoding(ci)), null)
+        else vecs(ci).getField
+      }
+      new ASchema(fields.asJava)
+    }
+
+    private def writeDictBatch(ch: WriteChannel, ci: Int, values: Seq[String],
+                               isDelta: Boolean): Unit = {
+      val dv = new VarCharVector(s"${schema.fields(ci).name}__dict", alloc)
+      try {
+        dv.setInitialCapacity(values.length)
+        values.zipWithIndex.foreach { case (s, j) => dv.setSafe(j, s.getBytes(UTF_8)) }
+        dv.setValueCount(values.length)
+        val droot = new VectorSchemaRoot(
+          java.util.Collections.singletonList(dv.getField),
+          java.util.Collections.singletonList(dv.asInstanceOf[FieldVector]), values.length)
+        val rb = new VectorUnloader(droot).getRecordBatch
+        val db = new ArrowDictionaryBatch(ci.toLong, rb, isDelta)
+        try MessageSerializer.serialize(ch, db, IpcOption.DEFAULT)
+        finally db.close() // closes the wrapped record batch too
+      } finally dv.close()
+    }
+
+    /** append a batch to the stream; returns the wire bytes this
+      * batch contributes (empty input contributes an empty record
+      * batch — a heartbeat) */
+    def writeBatch(rows: Seq[Row]): Array[Byte] = {
+      require(!closed, "stream already ended")
+      val idx = rows.toIndexedSeq
+      val out = new java.io.ByteArrayOutputStream()
+      val ch = new WriteChannel(java.nio.channels.Channels.newChannel(out))
+      // 1. new values per live dictionary column, in first-seen order
+      val newValues: Map[Int, IndexedSeq[String]] =
+        dictValues.keys.toSeq.sorted.flatMap { ci =>
+          val lookup = dictLookup(ci)
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          idx.foreach { r =>
+            val x = r.get(ci)
+            if (x != null) {
+              val s = x.asInstanceOf[String]
+              if (!lookup.containsKey(s)) seen += s
+            }
+          }
+          if (seen.isEmpty) None else Some(ci -> seen.toIndexedSeq)
+        }.toMap
+      // 2. overflow check → schema reset: the overflowed column goes
+      // plain for the REST OF THE STREAM'S LIFE; end the stream here
+      // and let the restart below re-declare the schema
+      val overflowed = newValues.filter { case (ci, nv) =>
+        dictValues(ci).length + nv.length > dictCap
+      }.keys.toSeq.sorted
+      if (overflowed.nonEmpty) {
+        if (started) {
+          ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
+          started = false
+          resets += 1
+        }
+        overflowed.foreach { ci =>
+          plainCols += ci; dictValues -= ci; dictLookup -= ci
+        }
+      }
+      // 3. admit the surviving new values into the dictionaries
+      val admitted = newValues.view.filterKeys(dictValues.contains).toMap
+      admitted.foreach { case (ci, nv) =>
+        val values = dictValues(ci); val lookup = dictLookup(ci)
+        nv.foreach { s => lookup.put(s, values.length); values += s }
+      }
+      // 4. (re)start: schema + FULL dictionaries (accumulated)
+      if (!started) {
+        buildVectors()
+        MessageSerializer.serialize(ch, messageSchema(), IpcOption.DEFAULT)
+        dictValues.keys.toSeq.sorted.foreach { ci =>
+          writeDictBatch(ch, ci, dictValues(ci).toSeq, isDelta = false)
+        }
+        started = true
+      } else {
+        // 5. live stream: DELTAS only — just the new entries
+        admitted.keys.toSeq.sorted.foreach { ci =>
+          writeDictBatch(ch, ci, admitted(ci), isDelta = true)
+        }
+      }
+      // 6. the record batch itself (indices reference the accumulated
+      // dictionary — append-only, so old batches stay valid)
+      val dictIndex = dictValues.keys.map { ci =>
+        ci -> (dictValues(ci).toIndexedSeq, dictLookup(ci))
+      }.toMap
+      fillBatch(vecs, idx, 0, idx.length, dictIndex, alloc)
+      root.setRowCount(idx.length)
+      val rb = new VectorUnloader(root).getRecordBatch
+      try MessageSerializer.serialize(ch, rb, IpcOption.DEFAULT)
+      finally rb.close()
+      out.toByteArray
+    }
+
+    /** end the stream; returns the EOS bytes */
+    def end(): Array[Byte] = {
+      require(!closed, "stream already ended")
+      closed = true
+      val out = new java.io.ByteArrayOutputStream()
+      val ch = new WriteChannel(java.nio.channels.Channels.newChannel(out))
+      if (started) ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
+      if (root != null) { root.close(); vecs.foreach(_.close()) }
+      alloc.close()
+      out.toByteArray
+    }
   }
 
   // ---- Spark surfaces ----------------------------------------------
