@@ -1020,6 +1020,61 @@ object Pipeline {
       sb.toString
     }
 
+    /** Self-telemetry as DATA (reference service/telemetry.go +
+      * obsreport: the collector publishes its own accepted/refused/
+      * sent counters as OTLP metrics a pipeline can scrape): the
+      * zpages/queue numbers land here as a metrics-schema DataFrame —
+      * [[graft.model.OtelModel.metricPointSchema]], the exact shape
+      * every §2 metrics operator consumes — closing the dogfooding
+      * loop: graft processes its own health with the same operators
+      * it offers (q_gauge_last over queue depth, rate-per-minute over
+      * sent batches, ...).
+      *
+      * Queue DEPTHS are point-in-time gauges; the optional per-
+      * pipeline [[QueueObs]] counters are process-lifetime totals and
+      * publish as cumulative monotonic sums (start = service scrape
+      * epoch). Timestamps are caller-provided so scrapes are
+      * deterministic under test and monotone under a real clock. */
+    def healthFrame(spark: SparkSession,
+                    timeUnixNano: Long,
+                    startTimeUnixNano: Long = 0L,
+                    obs: Map[String, QueueObs] = Map.empty): DataFrame = {
+      import org.apache.spark.sql.Row
+      import scala.jdk.CollectionConverters._
+      val res = Map("service.name" -> "graft-collector")
+      def gauge(name: String, unit: String, value: Double,
+                attrs: Map[String, String]): Row =
+        Row(name, "gauge", null, unit, null, null, timeUnixNano, null,
+          value, attrs, res)
+      def sum(name: String, unit: String, value: Double,
+              attrs: Map[String, String]): Row =
+        Row(name, "sum", null, unit, "cumulative", true, timeUnixNano,
+          startTimeUnixNano, value, attrs, res)
+      val queueRows = status(spark).flatMap { s =>
+        val attrs = Map("pipeline" -> s.pipeline, "queue_dir" -> s.queueDir)
+        Seq(
+          gauge("otelcol_exporter_queue_size", "{batches}", s.pending.toDouble, attrs),
+          gauge("otelcol_exporter_queue_bytes", "By", s.pendingBytes.toDouble, attrs),
+          gauge("otelcol_exporter_dlq_depth", "{batches}", s.deadLettered.toDouble, attrs))
+      }
+      val obsRows = obs.toSeq.sortBy(_._1).flatMap { case (pipeline, o) =>
+        val attrs = Map("pipeline" -> pipeline)
+        Seq(
+          sum("otelcol_exporter_sent_batches", "{batches}",
+            o.delivered.get.toDouble, attrs),
+          sum("otelcol_exporter_send_retries", "{retries}",
+            o.retries.get.toDouble, attrs),
+          sum("otelcol_exporter_dead_lettered_batches", "{batches}",
+            o.deadLetteredBatches.get.toDouble, attrs),
+          sum("otelcol_exporter_dead_lettered_rows", "{records}",
+            o.deadLetteredRows.get.toDouble, attrs),
+          sum("otelcol_exporter_partial_successes", "{batches}",
+            o.partialSuccesses.get.toDouble, attrs))
+      }
+      spark.createDataFrame(
+        (queueRows ++ obsRows).asJava, graft.model.OtelModel.metricPointSchema)
+    }
+
     /** graceful shutdown drain (the collector flushes its queues on
       * Shutdown before exiting): run recovery passes until every
       * persistent queue is empty or `budgetMs` elapses. Returns true

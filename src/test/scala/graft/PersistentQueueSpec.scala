@@ -297,6 +297,60 @@ class PersistentQueueSpec extends AnyFunSuite {
     assert(z.contains("graft.confmap.httpProvider [Beta] enabled=true"), z)
   }
 
+  test("self-telemetry: healthFrame publishes queue/obs counters as metric points the §2 operators consume") {
+    val qdir = Files.createTempDirectory("pq_self").toString
+    val gate = new GatedExporter // down: batches pile up as pending
+    val obs = new QueueObs
+    val q = PersistentQueueExporter(gate, qdir, retriesPerRun = 0,
+      backoffMs = 1, obs = Some(obs))
+    val svc = Service(Map("logs/out" -> graft.pipeline.Pipeline.PipelineDef(
+      receiver = ParquetReceiver("/root/testdata/sf0.001/events.parquet"),
+      exporters = Seq(q))))
+    q.export(batch(0, 4))
+    q.export(batch(4, 7))
+
+    // scrape #1: two pending batches, nothing delivered yet
+    val t1 = 1700000000000000000L
+    val f1 = svc.healthFrame(spark, t1, startTimeUnixNano = t1 - 1L,
+      obs = Map("logs/out" -> obs))
+    // the frame IS the standard metric-point shape — schema-identical
+    assert(f1.schema == graft.model.OtelModel.metricPointSchema)
+    def point(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.Row =
+      df.filter(col("metric_name") === name).head()
+    val qs1 = point(f1, "otelcol_exporter_queue_size")
+    assert(qs1.getAs[Double]("value") == 2.0)
+    assert(qs1.getAs[String]("metric_type") == "gauge")
+    assert(qs1.getAs[Map[String, String]]("attributes")("pipeline") == "logs/out")
+    assert(qs1.getAs[Map[String, String]]("resource_attributes")("service.name") ==
+      "graft-collector")
+    val sent1 = point(f1, "otelcol_exporter_sent_batches")
+    assert(sent1.getAs[Double]("value") == 0.0)
+    assert(sent1.getAs[String]("aggregation_temporality") == "cumulative" &&
+      sent1.getAs[Boolean]("is_monotonic"))
+
+    // deliver, then scrape #2
+    gate.up = true
+    assert(svc.drain(spark, budgetMs = 30000))
+    val t2 = t1 + 60000000000L
+    val f2 = svc.healthFrame(spark, t2, startTimeUnixNano = t1 - 1L,
+      obs = Map("logs/out" -> obs))
+    assert(point(f2, "otelcol_exporter_queue_size").getAs[Double]("value") == 0.0)
+    assert(point(f2, "otelcol_exporter_sent_batches").getAs[Double]("value") == 2.0)
+
+    // the dogfood loop: run the q_gauge_last OPERATOR over the
+    // service's own scrapes — last queue depth per series must be the
+    // post-drain value, not the backlog
+    val scrapes = f1.unionAll(f2)
+    val lastDepth = graft.operators.MetricsOps.gaugeLast(
+      scrapes.filter(col("metric_type") === "gauge"),
+      Seq(col("metric_name")), expr("time_unix_nano DIV 3600000000000"),
+      col("value"), col("time_unix_nano"))
+    val m = lastDepth.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("last_value")).toMap
+    assert(m("otelcol_exporter_queue_size") == 0.0, m)
+    assert(m("otelcol_exporter_dlq_depth") == 0.0, m)
+  }
+
   test("bytes sizer: a full-by-bytes queue refuses accepts and admits again after draining") {
     // the exporterhelper queue sizes by items AND bytes; graft's item
     // cap alone would let a few huge batches exhaust the spool disk
