@@ -85,7 +85,11 @@ object DedupOps {
     *
     * The composite first-occurrence key is id·10⁶ + position —
     * exact in int64 up to 9.2e12 documents per corpus and 10⁶
-    * segments per document (a 100 TB corpus is ~1e10 docs).
+    * segments per document (a 100 TB corpus is ~1e10 docs). Both
+    * bounds are ENFORCED: a negative id (would invert the min-key
+    * ordering) or a document beyond 10⁶ segments (keys would collide
+    * into the next id) raises at execution instead of silently
+    * producing wrong first-occurrence verdicts.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 window: Int): DataFrame = {
@@ -98,7 +102,15 @@ object DedupOps {
         sequence(lit(0), nSeg - 1),
         i => concat_ws(" ", slice(col("__t"), i * window + 1, lit(window))))))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__seg")
-    val key = col(idCol).cast("long") * lit(1000000L) + col("__pos")
+    val idL = col(idCol).cast("long")
+    // guarded composite key: violations raise (codegen'd when/raise_error
+    // per segment — branch-predicted away on the valid path)
+    val key = when(idL >= 0 && col("__pos") < 1000000L,
+        idL * lit(1000000L) + col("__pos"))
+      .otherwise(raise_error(concat(
+        lit("lineDedup composite key out of domain: id="), idL.cast("string"),
+        lit(" pos="), col("__pos").cast("string"),
+        lit(" (requires id >= 0 and < 1e6 segments per document)"))))
     val firsts = segs.groupBy(md5(col("__seg")).as("__h"))
       .agg(min(key).as("__fk"))
     segs.withColumn("__h", md5(col("__seg")))

@@ -78,6 +78,26 @@ object ClientInfo {
   def metadataId(key: String): Column =
     when(metadataCol(key).isNotNull, array_join(metadataCol(key), ","))
 
+  /** Partition-directory-safe encoding of [[metadataId]]: Spark's
+    * partitioned parquet writer maps BOTH NULL and the empty string to
+    * `__HIVE_DEFAULT_PARTITION__`, which would erase the unset-vs-
+    * set-empty distinction this layer explicitly preserves. Unset →
+    * the literal sentinel `__unset__`; a set value v → `v_` + v — the
+    * prefix makes set-empty a non-empty directory name (`v_`) and
+    * keeps a tenant literally named "__unset__" unambiguous
+    * (`v___unset__`). Values stay recoverable from the path via
+    * [[metadataPartitionDecode]]. */
+  def metadataPartitionValue(key: String): Column =
+    when(metadataCol(key).isNull, lit("__unset__"))
+      .otherwise(concat(lit("v_"), array_join(metadataCol(key), ",")))
+
+  /** inverse of [[metadataPartitionValue]] over a partition column
+    * read back from the path: sentinel → NULL, `v_`-prefixed → the
+    * original value */
+  def metadataPartitionDecode(c: Column): Column =
+    when(c === "__unset__", lit(null).cast("string"))
+      .otherwise(c.substr(lit(3), length(c) - 2))
+
   /** strip the carrier before handing data to a sink that should not
     * see transport context */
   def strip(df: DataFrame): DataFrame = df.drop(ColName)

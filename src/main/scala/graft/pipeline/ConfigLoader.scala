@@ -211,9 +211,15 @@ object ConfigLoader {
     // featuregate config override: same `-`/`+` item syntax as the
     // --feature-gates flag; an unknown gate or a terminal-stage
     // violation REJECTS the whole document (config validation, not a
-    // silent no-op), before any pipeline is built
-    root.get("featuregates").toSeq.flatMap(strList)
-      .foreach(item => gates.applyFlags(item))
+    // silent no-op). Validation happens HERE, but the flips commit
+    // only after the whole Service builds — a document rejected later
+    // (unknown processor, bad wiring, connector cycle) must leave the
+    // live registry untouched, or a watch-loop reload of a bad config
+    // would mutate gate state it claims to have rejected.
+    val gateFlips: Seq[(String, Boolean)] =
+      root.get("featuregates").toSeq.flatMap(strList)
+        .flatMap(item => FeatureGate.parseFlags(item))
+    gateFlips.foreach { case (id, v) => gates.validateSet(id, v) }
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -232,12 +238,17 @@ object ConfigLoader {
           .map(e => buildExporter(asMap(e))))
     }.toMap
     rejectConnectorCycles(pipelines.toMap)
+    // whole document validated and built — NOW commit the gate flips
+    gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result)
   }
 
-  /** the reference collector rejects cyclic connector graphs at
-    * config validation — fail here with the cycle named instead of a
-    * StackOverflowError at plan time */
+  /** the reference collector rejects bad connector graphs at config
+    * validation — fail here with the defect named (a dangling
+    * pipeline reference, or a cycle) instead of a lookup error /
+    * StackOverflowError at plan time. ForwardReceiver resolves
+    * lazily by design (two-phase wiring), so load time is the only
+    * chance to refuse a dangling `from`. */
   private def rejectConnectorCycles(pipelines: Map[String, Object]): Unit = {
     val edges: Map[String, Seq[String]] = pipelines.map { case (name, defn0) =>
       val recv = asMap(asMap(defn0)("receiver"))
@@ -247,6 +258,9 @@ object ConfigLoader {
         case _               => Nil
       })
     }
+    for ((name, tos) <- edges; to <- tos if !edges.contains(to))
+      throw new IllegalArgumentException(
+        s"pipeline '$name' forwards from undefined pipeline '$to'")
     def walk(n: String, path: List[String]): Unit = {
       if (path.contains(n))
         throw new IllegalArgumentException(

@@ -76,6 +76,20 @@ object FeatureGate {
       * no-op direction (enabling Stable / disabling Deprecated), which
       * the reference accepts with a removal warning. */
     def set(id: String, enabled: Boolean): Unit = {
+      validateSet(id, enabled)
+      val g = gates.get(id)
+      g.stage match {
+        case Stable | Deprecated => () // no-op direction, gate is fixed
+        case _ => g.on.set(enabled)
+      }
+    }
+
+    /** the validation half of [[set]] — same unknown-gate and
+      * terminal-stage checks, NO mutation. Lets a config loader
+      * validate every flip in a document and reject the whole thing
+      * before any gate state changes (parse must not be a
+      * side-effecting operation). */
+    def validateSet(id: String, enabled: Boolean): Unit = {
       val g = get(id).getOrElse(throw new IllegalArgumentException(
         s"no such feature gate \"$id\""))
       g.stage match {
@@ -83,8 +97,7 @@ object FeatureGate {
           s"feature gate \"$id\" is stable, can not be disabled")
         case Deprecated if enabled => throw new IllegalStateException(
           s"feature gate \"$id\" is deprecated, can not be enabled")
-        case Stable | Deprecated => () // no-op direction, gate is fixed
-        case _ => g.on.set(enabled)
+        case _ => ()
       }
     }
 
@@ -96,20 +109,27 @@ object FeatureGate {
       * ids, optional `+`/`-` prefix; every id must resolve. Empty
       * items (trailing/double commas) are skipped, not errors. */
     def applyFlags(s: String): Unit =
-      if (s.nonEmpty) s.split(",").iterator.filter(_.nonEmpty).foreach { raw =>
-        val (id, v) = raw.charAt(0) match {
-          case '-' => (raw.substring(1), false)
-          case '+' => (raw.substring(1), true)
-          case _   => (raw, true)
-        }
-        set(id, v)
-      }
+      FeatureGate.parseFlags(s).foreach { case (id, v) => set(id, v) }
 
     /** the flag's String() form: every gate id, disabled ones with a
       * `-` prefix (flag.go:23-33) — round-trips through applyFlags */
     def flagString: String =
       visitAll.map(g => if (g.isEnabled) g.id else s"-${g.id}").mkString(",")
   }
+
+  /** Decompose one `--feature-gates`-syntax string into (id, enabled)
+    * pairs without touching any registry — the pure half of
+    * [[Registry.applyFlags]], so callers can validate a whole document
+    * of flips before committing any of them. */
+  def parseFlags(s: String): Seq[(String, Boolean)] =
+    if (s.isEmpty) Nil
+    else s.split(",").iterator.filter(_.nonEmpty).map { raw =>
+      raw.charAt(0) match {
+        case '-' => (raw.substring(1), false)
+        case '+' => (raw.substring(1), true)
+        case _   => (raw, true)
+      }
+    }.toSeq
 
   /** the process-wide registry (registry.go GlobalRegistry) */
   val global = new Registry

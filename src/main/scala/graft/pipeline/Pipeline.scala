@@ -106,7 +106,12 @@ object Pipeline {
     * Values are recoverable from the path; the `_client` carrier
     * itself is stripped (a sink sees data + the metadata it was keyed
     * by, not the whole transport context). One job writes every
-    * combination — no per-tenant loop, no cardinality-many actions. */
+    * combination — no per-tenant loop, no cardinality-many actions.
+    * Partition values use ClientInfo.metadataPartitionValue's
+    * sentinel+prefix encoding: the parquet writer folds both NULL and
+    * "" into __HIVE_DEFAULT_PARTITION__, which would otherwise erase
+    * the unset-vs-set-empty distinction the ClientInfo layer
+    * preserves; decode paths with metadataPartitionDecode. */
   final case class MetadataPartitionedExporter(path: String,
                                                metaKeys: Seq[String],
                                                codec: String = "zstd")
@@ -115,7 +120,8 @@ object Pipeline {
       partitionBy = metaKeys.map(k => s"meta_${k.toLowerCase}"))
     private def materialize(df: DataFrame): DataFrame =
       ClientInfo.strip(metaKeys.foldLeft(df)((d, k) =>
-        d.withColumn(s"meta_${k.toLowerCase}", ClientInfo.metadataId(k))))
+        d.withColumn(s"meta_${k.toLowerCase}",
+          ClientInfo.metadataPartitionValue(k))))
     def export(df: DataFrame): Unit = inner.export(materialize(df))
     override def exportBatch(df: DataFrame, batchId: Long): Unit =
       inner.exportBatch(materialize(df), batchId)

@@ -68,7 +68,11 @@ class ClientInfoSpec extends AnyFunSuite {
     // per-tenant directories, only that tenant's rows, carrier stripped
     assert(back.columns.contains("meta_tenant"))
     assert(!back.columns.contains(ClientInfo.ColName))
-    val perTenant = back.groupBy("meta_tenant").count().collect()
+    // directory values carry the partition-safe encoding; decode
+    // recovers the original tenant names
+    val perTenant = back.groupBy(ClientInfo
+        .metadataPartitionDecode(col("meta_tenant")).as("tenant"))
+      .count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perTenant.keySet == Set("acme", "globex"))
     assert(perTenant.values.toSet.size == 1) // same source → same count
@@ -83,8 +87,44 @@ class ClientInfoSpec extends AnyFunSuite {
     }
     // partition pruning reaches the scan: a one-tenant read plans only
     // that tenant's files (the point of per-tenant layout at 100 TB)
-    val pruned = spark.read.parquet(out).filter(col("meta_tenant") === "acme")
+    val pruned = spark.read.parquet(out).filter(col("meta_tenant") === "v_acme")
     assert(pruned.count() == perTenant("acme"))
+  }
+
+  test("partitioned delivery keeps unset distinct from set-empty in the path") {
+    // the parquet writer folds both NULL and "" into
+    // __HIVE_DEFAULT_PARTITION__ — the sentinel+prefix encoding is
+    // what lets the unset-vs-empty distinction (metadata Get's
+    // contract) survive the round trip through a directory name
+    val out = java.nio.file.Files.createTempDirectory("graft_unset_empty").toString
+    val base = Tables(spark, sf, "region")
+    val unset = ClientInfo.attach(base, ClientInfo())                       // no Tenant key
+    val empty = ClientInfo.attach(base, ClientInfo(metadata = Map("Tenant" -> Nil)))
+    val named = ClientInfo.attach(base, ClientInfo(metadata = Map("Tenant" -> Seq("acme"))))
+    MetadataPartitionedExporter(out, Seq("Tenant"))
+      .export(unset.unionByName(empty).unionByName(named))
+    val back = spark.read.parquet(out)
+    val n = base.count()
+    // three distinguishable directories, none hive-default
+    val dirs = back.select("meta_tenant").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(dirs == Set("__unset__", "v_", "v_acme"))
+    // decode round-trips: unset → NULL, set-empty → "", named → value
+    val decoded = back.groupBy(ClientInfo
+        .metadataPartitionDecode(col("meta_tenant")).as("t")).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(decoded == Map(None -> n, Some("") -> n, Some("acme") -> n))
+    // a tenant literally named "__unset__" stays unambiguous
+    val tricky = java.nio.file.Files.createTempDirectory("graft_tricky").toString
+    MetadataPartitionedExporter(tricky, Seq("Tenant")).export(
+      ClientInfo.attach(base, ClientInfo(metadata = Map("Tenant" -> Seq("__unset__"))))
+        .unionByName(unset))
+    val trickyBack = spark.read.parquet(tricky)
+    assert(trickyBack.select("meta_tenant").distinct().collect()
+      .map(_.getString(0)).toSet == Set("v___unset__", "__unset__"))
+    assert(trickyBack.filter(ClientInfo
+        .metadataPartitionDecode(col("meta_tenant")) === "__unset__")
+      .count() == n)
   }
 
   test("authenticator validates, publishes auth attrs, rejects the rest") {
@@ -137,7 +177,9 @@ class ClientInfoSpec extends AnyFunSuite {
     }"""
     graft.pipeline.ConfigLoader.fromJson(cfg).pipelines("t/all").run(spark)
     val back = spark.read.parquet(out)
-    val tenants = back.groupBy("meta_tenant").count().collect()
+    val tenants = back.groupBy(ClientInfo
+        .metadataPartitionDecode(col("meta_tenant")).as("tenant"))
+      .count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tenants.keySet == Set("acme", "globex"))
     assert(back.groupBy("meta_tenant", "batch_id").count().collect()
@@ -170,7 +212,8 @@ class ClientInfoSpec extends AnyFunSuite {
       q.processAllAvailable()
       val back = spark.read.parquet(out)
       assert(back.count() == 3)
-      assert(back.select("meta_tenant").distinct().collect()
+      assert(back.select(ClientInfo
+          .metadataPartitionDecode(col("meta_tenant"))).distinct().collect()
         .map(_.getString(0)).toSeq == Seq("acme"))
       assert(!back.columns.contains(ClientInfo.ColName))
     } finally q.stop()

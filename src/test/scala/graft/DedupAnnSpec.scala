@@ -413,6 +413,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, null)))           // full duplicate → nothing left
   }
 
+  test("lineDedup raises on composite-key domain violations instead of silently colliding") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a negative id would invert the min-key first-occurrence ordering
+    val negId = Seq((-1L, "a b c d"), (0L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      DedupOps.lineDedup(negId, "doc_id", "text", window = 4).collect()
+    }
+    assert(e.getMessage.contains("composite key out of domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("composite key out of domain")))
+    // valid ids including 0 still work (guard is not over-eager)
+    val ok = DedupOps.lineDedup(
+      Seq((0L, "a b c d"), (1L, "e f g h")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 4).collect()
+    assert(ok.length == 2)
+  }
+
   test("dsirWeights: ratio of target to total feature mass, hand-checked") {
     val spark2 = spark
     import spark2.implicits._

@@ -76,6 +76,31 @@ class FeatureGateSpec extends AnyFunSuite {
     }.getMessage.contains("no such feature gate"))
   }
 
+  test("a document rejected after the gate list leaves gate state untouched") {
+    // parse must not be a side-effecting operation: a config that flips
+    // a gate but fails LATER validation (here: a receiver forwarding
+    // from an undefined pipeline) must leave the live registry exactly
+    // as it was — otherwise a watch-loop reload of a bad document
+    // mutates gate state it claims to have rejected.
+    val r = reg()
+    r.register("graft.test.alpha", Alpha)
+    r.register("graft.test.beta", Beta)
+    val bad = s"""{"featuregates": ["graft.test.alpha,-graft.test.beta"],
+      "pipelines": {"p": {
+        "receiver": {"type": "forward", "from": "no_such_pipeline"},
+        "exporters": []}}}"""
+    intercept[IllegalArgumentException] { ConfigLoader.fromJson(bad, gates = r) }
+    assert(!r.isEnabled("graft.test.alpha"), "alpha flip leaked from a rejected document")
+    assert(r.isEnabled("graft.test.beta"), "beta flip leaked from a rejected document")
+    // the same flips in a VALID document do commit
+    val good = s"""{"featuregates": ["graft.test.alpha,-graft.test.beta"],
+      "pipelines": {"p": {
+        "receiver": {"type": "table", "dir": "$sf", "table": "region"},
+        "exporters": []}}}"""
+    ConfigLoader.fromJson(good, gates = r)
+    assert(r.isEnabled("graft.test.alpha") && !r.isEnabled("graft.test.beta"))
+  }
+
   test("disabling graft.confmap.httpProvider closes the http config surface") {
     FeatureGate.global.set(FeatureGate.HttpConfigProvider.id, false)
     try {
