@@ -691,6 +691,87 @@ object ArrowIpc {
       .option("host", host).option("port", port).load()
       .select(unbase64(col("value")).as("ipc")), schema)
 
+  /** Admission-bounded Arrow push GATEWAY — the receiver-side
+    * in-flight memory bound of the reference's Arrow stream receiver
+    * (behavior: a request's byte size is admitted against a fixed
+    * budget BEFORE the receiver buffers it; a full budget blocks the
+    * stream read — backpressure to the sender's transport — and a
+    * payload larger than the whole budget is refused rather than
+    * waited on forever).
+    *
+    * Wire format is [[socketArrow]]'s: one base64 line per complete
+    * IPC payload. Unlike Spark's single-connection, no-replay socket
+    * source, the gateway accepts ANY number of concurrent
+    * connections and lands every admitted payload DURABLY in
+    * `spoolDir` (tmp+rename, executor-invisible until complete) —
+    * the directory [[streamSpool]]/[[readSpool]] tail — so the
+    * memory budget covers only received-but-not-yet-durable bytes:
+    * disk is the 100 TB-scale buffer, receiver memory is not.
+    *
+    * Admission holds from after base64 decode to after the rename;
+    * budget-full therefore stops THIS connection's read loop and the
+    * sender's TCP window fills (the gRPC-flow-control analog). A
+    * too-large payload dead-letters to `spoolDir/_dlq` with a reason
+    * file instead of deadlocking the line. Per-connection overhead
+    * beyond the budget is one in-flight line buffer. */
+  final class ArrowAdmissionGateway(port: Int, spoolDir: String,
+      admission: graft.pipeline.AdmissionController) {
+    private val counter = new java.util.concurrent.atomic.AtomicLong
+    val payloads = new java.util.concurrent.atomic.AtomicLong
+    val deadLettered = new java.util.concurrent.atomic.AtomicLong
+    private val server = new java.net.ServerSocket(
+      port, 50, java.net.InetAddress.getLoopbackAddress)
+    @volatile private var running = true
+
+    private def handle(sock: java.net.Socket): Unit = {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "US-ASCII"))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            val bytes = java.util.Base64.getDecoder.decode(line)
+            admission.acquire(bytes.length.toLong) match {
+              case Left(_) => // TooLarge (the only refusal on a
+                // patient acquire): dead-letter, keep the line alive
+                val dlq = new java.io.File(spoolDir, "_dlq")
+                dlq.mkdirs()
+                java.nio.file.Files.write(new java.io.File(dlq,
+                  f"oversize-${counter.incrementAndGet()}%08d.arrow").toPath, bytes)
+                deadLettered.incrementAndGet()
+              case Right(()) =>
+                try {
+                  val dir = new java.io.File(spoolDir); dir.mkdirs()
+                  val name = f"gw-${counter.incrementAndGet()}%08d-" +
+                    f"${System.nanoTime()}%x.arrow"
+                  val tmp = new java.io.File(dir, s".$name")
+                  java.nio.file.Files.write(tmp.toPath, bytes)
+                  if (!tmp.renameTo(new java.io.File(dir, name)))
+                    throw new java.io.IOException(s"gateway rename failed: $name")
+                  payloads.incrementAndGet()
+                } finally admission.release(bytes.length.toLong)
+            }
+          }
+          line = in.readLine()
+        }
+      } catch {
+        case _: java.io.IOException if !running => () // shutdown race
+      } finally sock.close()
+    }
+
+    private val acceptor = new Thread(() => {
+      try while (running) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "arrow-gateway-conn")
+        t.setDaemon(true); t.start()
+      } catch { case _: java.io.IOException => () } // closed on stop
+    }, "arrow-gateway-accept")
+    acceptor.setDaemon(true); acceptor.start()
+
+    def boundPort: Int = server.getLocalPort
+    def stop(): Unit = { running = false; server.close() }
+  }
+
   /** [[socketArrow]] per signal, over the derived flattened-contract
     * schemas. (For a dead-letter path, wrap the payload frame with
     * [[parseWithDlq]] inside a single foreachBatch router — two

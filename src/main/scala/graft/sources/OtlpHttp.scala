@@ -161,10 +161,20 @@ object OtlpHttp {
     *
     * Status mapping (receiver side): 405 non-POST, 404 unknown path,
     * 415 unknown Content-Type, 400 corrupt gzip, 200 otherwise.
+    *
+    * `controller` adds the otel-arrow receiver's bounded in-flight
+    * memory budget (see [[graft.pipeline.AdmissionController]]): each
+    * request's decoded body is admitted against the budget before
+    * spooling and released once durable. Too-large-for-the-whole-
+    * budget → 413 (waiting can never help); budget full past the
+    * waiting patience → 429 + Retry-After (the retryable throttle the
+    * exporter already honors).
     */
   final class OtlpHttpReceiver(port: Int, spoolDir: String,
       admission: (String, Int) => Option[(Int, Int)] = (_, _) => None,
-      partial: (String, Array[Byte]) => Option[(Long, String)] = (_, _) => None) {
+      partial: (String, Array[Byte]) => Option[(Long, String)] = (_, _) => None,
+      controller: Option[graft.pipeline.AdmissionController] = None,
+      admissionWaitMs: Long = 1000L) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server =
@@ -212,15 +222,36 @@ object OtlpHttp {
             return
           case None => ()
         }
-        val sub = if (isPb) s"${signal.get}_pb" else s"${signal.get}_json"
-        val dir = new java.io.File(spoolDir, sub)
-        dir.mkdirs()
-        val name = f"req-${counter.incrementAndGet()}%08d-${System.nanoTime()}%x" +
-          (if (isPb) ".pb" else ".json")
-        val tmp = new java.io.File(dir, s".$name")
-        java.nio.file.Files.write(tmp.toPath, body)
-        if (!tmp.renameTo(new java.io.File(dir, name)))
-          throw new java.io.IOException(s"spool rename failed: $name")
+        // bounded in-flight memory: admit the decoded body before
+        // holding it for the spool write, release once durable
+        controller match {
+          case Some(ctl) =>
+            ctl.acquire(body.length.toLong, admissionWaitMs) match {
+              case Left(graft.pipeline.AdmissionController.TooLarge) =>
+                obs.throttled.incrementAndGet()
+                respond(413, """{"message":"request exceeds admission budget"}"""
+                  .getBytes("UTF-8"), Map("Content-Type" -> "application/json"))
+                return
+              case Left(_) => // Timeout | TooManyWaiters: retryable
+                obs.throttled.incrementAndGet()
+                respond(429, """{"message":"server overwhelmed"}""".getBytes("UTF-8"),
+                  Map("Content-Type" -> "application/json", "Retry-After" -> "1"))
+                return
+              case Right(()) => ()
+            }
+          case None => ()
+        }
+        try {
+          val sub = if (isPb) s"${signal.get}_pb" else s"${signal.get}_json"
+          val dir = new java.io.File(spoolDir, sub)
+          dir.mkdirs()
+          val name = f"req-${counter.incrementAndGet()}%08d-${System.nanoTime()}%x" +
+            (if (isPb) ".pb" else ".json")
+          val tmp = new java.io.File(dir, s".$name")
+          java.nio.file.Files.write(tmp.toPath, body)
+          if (!tmp.renameTo(new java.io.File(dir, name)))
+            throw new java.io.IOException(s"spool rename failed: $name")
+        } finally controller.foreach(_.release(body.length.toLong))
         obs.requests.incrementAndGet()
         partial(signal.get, body) match {
           case Some((rejected, msg)) =>
