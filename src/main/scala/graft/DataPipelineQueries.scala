@@ -501,6 +501,46 @@ object DataPipelineQueries {
           col("dup_share") <= lit(0.5) && col("n_docs") >= lit(3))
     }),
 
+    // CCNet-style head/middle/tail fluency split by INTEGER rank over
+    // the corpus-trained LM score (see TextOps.perplexityBuckets —
+    // no fp percentile boundary; ranking via ScaleOps.globalRank, no
+    // single-partition window)
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(docs(s, dir), "doc_id", "text")),
+
+    // temperature-weighted domain mixture (τ=1/2: sqrt is IEEE-exact
+    // cross-engine) with capped per-domain epochs — see
+    // TextOps.domainMixture
+    "q_domain_mixture" -> ((s, dir) =>
+      TextOps.domainMixture(docs(s, dir), "source", "text")),
+
+    // per-near-dup-cluster representative selection: connected
+    // components over the jaccard pair graph, keep the largest doc
+    // (n_chars, then smallest id) per cluster — one max-struct
+    // aggregate over the membership, integer-only comparisons
+    "q_dedup_representative" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      DedupOps.connectedComponents(pairs)
+        .join(d.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("c"),
+            negate(col("id")).as("negid"))).as("__m"))
+        .select(col("component"), col("n_members"),
+          negate(col("__m.negid")).cast("long").as("rep_id"),
+          col("__m.c").as("rep_chars"))
+    }),
+
+    // SemDedup: within-embedding-cluster cosine pruning against
+    // smaller-id members (see AnnOps.semDedup — cluster key bounds
+    // the quadratic, maxCluster refuses degenerate clusterings)
+    "q_semdedup" -> ((s, dir) =>
+      AnnOps.semDedup(embs(s, dir), "vec_id", "embedding", "label",
+        threshold = 0.35)),
+
     // BM25 relevance mining: rank the corpus against a bounded seed
     // query (domain mining / relevance filtering for training mixes).
     // Rational idf — see TextOps.bm25 for the libm-free exactness
@@ -1327,6 +1367,104 @@ object DataPipelineQueries {
         |   / CAST(COUNT(*) AS DOUBLE) <= 0.5 AND COUNT(*) >= 3) AS keep
         |FROM documents d JOIN h ON md5(d.text) = h.ch
         |GROUP BY source""".stripMargin,
+
+    // the q_lm_bigram pipeline + integer-rank thirds (no fp
+    // percentile boundary crosses engines)
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |big AS (
+        | SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        | FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |uc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vocab
+        |      FROM (SELECT unnest(t) AS term FROM toks)),
+        |scored AS (
+        | SELECT b.doc_id,
+        |  (CAST(c.c12 AS DOUBLE) + 1.0) / (CAST(u.c1 AS DOUBLE) + v.vocab) AS p
+        | FROM big b
+        | JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+        | JOIN uc u ON b.w1 = u.w1
+        | CROSS JOIN v),
+        |lm AS (
+        | SELECT doc_id,
+        |  CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        | FROM scored GROUP BY doc_id),
+        |r AS (
+        | SELECT doc_id, lm_score,
+        |  ROW_NUMBER() OVER (ORDER BY lm_score DESC, doc_id) AS ppl_rank,
+        |  COUNT(*) OVER () AS n
+        | FROM lm)
+        |SELECT doc_id, lm_score, CAST(ppl_rank AS BIGINT) AS ppl_rank,
+        | CASE WHEN ppl_rank * 3 <= n THEN 'head'
+        |  WHEN ppl_rank * 3 <= 2 * n THEN 'middle'
+        |  ELSE 'tail' END AS ppl_bucket
+        |FROM r""".stripMargin,
+
+    // τ=1/2 (sqrt — IEEE-exact) temperature mixture; Σwᵗ through
+    // DECIMAL(28,8) on both sides
+    "q_domain_mixture" ->
+      """WITH d AS (
+        | SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        | FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS tot FROM d),
+        |w AS (SELECT source, n_docs, total_tokens,
+        |  CAST(total_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share
+        | FROM d, t),
+        |w2 AS (SELECT *, sqrt(token_share) AS wt FROM w),
+        |s AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(28,8))) AS DOUBLE) AS sw FROM w2)
+        |SELECT source, n_docs, total_tokens, token_share,
+        | wt / sw AS mix_weight,
+        | LEAST(4.0, (wt / sw) / token_share) AS epochs
+        |FROM w2, s""".stripMargin,
+
+    // the q_dedup_cc component CTE + per-cluster representative
+    // (largest doc, smallest id) — integer-only comparisons
+    "q_dedup_representative" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        | SELECT s AS id, d AS r FROM edges
+        | UNION
+        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        |m AS (SELECT c.component, c.id, d.n_chars
+        |      FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |sel AS (SELECT component, id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY component) AS nm
+        | FROM m)
+        |SELECT component, CAST(nm AS BIGINT) AS n_members,
+        | CAST(id AS BIGINT) AS rep_id, CAST(n_chars AS BIGINT) AS rep_chars
+        |FROM sel WHERE rn = 1""".stripMargin,
+
+    // within-label pairwise cosine to smaller-id members — the exact
+    // left-fold kernel the q_dedup_embed oracle already pins
+    "q_semdedup" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT b.vec_id AS vid,
+        |  list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS sim
+        | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |m AS (SELECT vid, MAX(sim) AS max_prior_sim FROM p GROUP BY vid)
+        |SELECT v.vec_id, v.label, m.max_prior_sim,
+        | CASE WHEN m.max_prior_sim IS NULL OR m.max_prior_sim < 0.35
+        |  THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM v LEFT JOIN m ON m.vid = v.vec_id""".stripMargin,
 
     "q_bm25" ->
       """WITH dl AS (

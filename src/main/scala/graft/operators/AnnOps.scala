@@ -684,6 +684,50 @@ object AnnOps {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SemDedup (public method: "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", Abbas et al. 2023):
+    * semantic near-duplicate pruning WITHIN embedding clusters — a
+    * document is dropped when its cosine similarity to any
+    * smaller-id document of the SAME cluster exceeds `threshold`
+    * (the paper's keep-one-per-semantic-neighborhood, with the
+    * deterministic smallest-id-wins convention this repo uses
+    * everywhere; the non-chained prior-id variant keeps verdicts
+    * independent per pair, i.e. parallelizable, where the paper's
+    * greedy chain is sequential within a cluster).
+    *
+    * Scale shape: the pairwise comparison is confined to one cluster
+    * (the point of SemDedup — the cluster granularity bounds the
+    * quadratic; pick the clustering's k so cells stay ~10³-10⁴ at
+    * your corpus size, and raise k rather than this cap when cells
+    * outgrow it). The join shuffles both sides once on the cluster
+    * key; output rows are one per document. `maxCluster` refuses a
+    * degenerate clustering (one mega-cell would go quadratic
+    * silently) the way LSH's maxBucket caps boilerplate buckets.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               clusterCol: String, threshold: Double,
+               maxCluster: Int = 100000): DataFrame = {
+    val v = corpus.select(col(clusterCol).as("__cl"), col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__e"))
+    val sizes = v.groupBy(col("__cl")).agg(count(lit(1)).as("__n"))
+    val guarded = v.join(sizes, Seq("__cl"))
+      .withColumn("__ok", when(col("__n") <= maxCluster, true)
+        .otherwise(raise_error(concat(lit("semDedup cluster "), col("__cl"),
+          lit(s" exceeds maxCluster=$maxCluster — re-cluster with larger k")))))
+      .filter(col("__ok")).drop("__n", "__ok")
+    val prior = guarded.select(col("__cl").as("__pcl"),
+      col("__id").as("__pid"), col("__e").as("__pe"))
+    val sims = guarded.join(prior,
+        col("__pcl") === col("__cl") && col("__pid") < col("__id"))
+      .select(col("__id"), cosine(col("__pe"), col("__e")).as("__sim"))
+      .groupBy(col("__id")).agg(max(col("__sim")).as("max_prior_sim"))
+    v.join(sims, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cl").as(clusterCol),
+        col("max_prior_sim"),
+        when(col("max_prior_sim").isNull || col("max_prior_sim") < threshold,
+          lit("keep")).otherwise(lit("drop")).as("verdict"))
+  }
+
   private def lshTopKImpl(queries: DataFrame, corpus: DataFrame, planes: Int,
                           k: Int, tables: Int,
                           bucketsOf: (Column, Int, Int) => Column): DataFrame = {

@@ -153,6 +153,46 @@ object ScaleOps {
       .drop("_bk")
   }
 
+  /** Global 1-based rank WITHOUT a single-partition window — the
+    * [[prefixSumRanged]] discipline applied to row numbering with a
+    * deterministic tie-break: percentile cuts over `orderCol` bucket
+    * the frame, per-bucket counts collect (#buckets rows on the
+    * driver), and an in-bucket row_number over (`orderCol`,
+    * `tieCol`) adds the bucket offset. Ties on a cut value all land
+    * in ONE bucket (strict `>` bucketing), so the (orderCol, tieCol)
+    * total order is respected globally as long as (orderCol, tieCol)
+    * is unique per row — the same uniqueness convention as
+    * prefixSumRanged, here satisfied by passing a row-unique tieCol.
+    * Rank semantics = ROW_NUMBER() OVER (ORDER BY orderCol, tieCol):
+    * integer-exact, oracle-safe. */
+  def globalRank(df: DataFrame, orderCol: Column, tieCol: Column,
+                 rankCol: String, partitions: Int = 0): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val qs = (1 until n).map(_.toDouble / n)
+    val cutRow = df.select(
+      percentile_approx(orderCol, typedLit(qs), lit(10000)).as("c")).head()
+    val cuts: Seq[Any] =
+      if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Any](0).distinct
+    def bucketOf(c: Column): Column =
+      cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
+    val bucketed = df.withColumn("_bk", bucketOf(orderCol))
+    val counts = bucketed.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets: Map[Int, Long] = (0 to cuts.size).map { bk =>
+      val o = bk -> acc; acc += counts.getOrElse(bk, 0L); o
+    }.toMap
+    val w = Window.partitionBy(col("_bk")).orderBy(orderCol, tieCol)
+    bucketed
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") +
+          coalesce(element_at(typedLit(offsets), col("_bk")), lit(0L)))
+      .drop("_bk")
+  }
+
   /** Systematic (low-variance) weighted resampling — the resample
     * step of DSIR-style data selection: n evenly-spaced points over
     * the cumulative weight axis; each document receives one copy per

@@ -170,6 +170,73 @@ object TextOps {
     * the PLAN, mirroring the oracle's text) so both engines run the
     * identical float expression tree.
     */
+  /** CCNet-style perplexity bucketing (public method: "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", Wenzek et al. 2020): score every document with the
+    * corpus-trained LM and split the corpus into head / middle /
+    * tail THIRDS by fluency rank — the standard crawl-curation cut
+    * that keeps the head, samples the middle, drops the tail.
+    *
+    * The score is [[lmBigramScore]]'s arithmetic-mean bigram
+    * probability (monotone in fluency, libm-free — CCNet's perplexity
+    * is exp of a mean log prob; a monotone transform preserves every
+    * rank, so the BUCKETS are identical while staying bit-exact under
+    * the oracle). Assignment is by integer rank, not by score
+    * thresholds: rank r of n (ordered score DESC, id ASC) → head if
+    * 3r ≤ n, middle if 3r ≤ 2n, else tail — no floating-point
+    * percentile boundary to disagree across engines.
+    *
+    * Scale shape: ranking is [[ScaleOps.globalRank]] (percentile
+    * buckets + driver offsets — no single-partition window); the
+    * total count rides a 1-row broadcast crossJoin. Only (id, score,
+    * rank) move — never text. */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val scored = lmBigramScore(docs, idCol, textCol)
+    val n = scored.agg(count(lit(1)).as("__n"))
+    val ranked = ScaleOps.globalRank(scored.crossJoin(n),
+      negate(col("lm_score")), col(idCol), "ppl_rank")
+    ranked.select(col(idCol), col("lm_score"), col("ppl_rank"),
+      when(col("ppl_rank") * 3 <= col("__n"), lit("head"))
+        .when(col("ppl_rank") * 3 <= col("__n") * 2, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /** Temperature-weighted domain mixture (public method: the
+    * multinomial sampling-rate computation of multilingual/multi-
+    * domain pretraining — e.g. "Cross-lingual Language Model
+    * Pretraining", Conneau & Lample 2019, §3.1): per-domain token
+    * share p_i, re-weighted q_i = p_i^τ / Σ p_j^τ, and the implied
+    * per-domain epoch factor q_i / p_i capped at `epochCap` (a small
+    * domain must not repeat unboundedly). τ is FIXED at 1/2 — sqrt
+    * is correctly-rounded IEEE (bit-exact in every engine) where
+    * pow(x, τ) is libm and is not; τ=0.5 is also squarely in the
+    * published range (0.3–0.7).
+    *
+    * Scale shape: one aggregate per domain (token counting is
+    * map-side), then arithmetic over the #domains-row frame with the
+    * grand totals riding 1-row broadcast crossJoins. The Σ p_j^τ
+    * normalizer goes through DECIMAL(28,8) ([[graft.QUtil.dsum]]) so
+    * the cross-row double sum is order-independent. */
+  def domainMixture(docs: DataFrame, domainCol: String, textCol: String,
+                    epochCap: Double = 4.0): DataFrame = {
+    val perDomain = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"))
+    val grand = perDomain.agg(sum(col("total_tokens")).as("__tot"))
+    val shared = perDomain.crossJoin(grand)
+      .withColumn("token_share",
+        col("total_tokens").cast("double") / col("__tot").cast("double"))
+      .withColumn("__w", sqrt(col("token_share")))
+    val norm = shared.agg(graft.QUtil.dsum(col("__w")).as("__sw"))
+    shared.crossJoin(norm)
+      .withColumn("mix_weight", col("__w") / col("__sw"))
+      .select(col(domainCol), col("n_docs"), col("total_tokens"),
+        col("token_share"), col("mix_weight"),
+        least(lit(epochCap),
+          col("mix_weight") / col("token_share")).as("epochs"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

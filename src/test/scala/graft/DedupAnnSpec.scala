@@ -430,6 +430,85 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ok.length == 2)
   }
 
+  test("semDedup: within-cluster prior-id pruning, cross-cluster blindness, degenerate-cluster guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster 0: ids 1,2 near-identical (2 drops vs 1), id 3 orthogonal
+    // cluster 1: id 4 IDENTICAL to id 1 — different cluster, never compared
+    val e = Seq(
+      (1L, Array(1.0, 0.0, 0.0), 0),
+      (2L, Array(0.999, 0.04, 0.0), 0),
+      (3L, Array(0.0, 1.0, 0.0), 0),
+      (4L, Array(1.0, 0.0, 0.0), 1)).toDF("vec_id", "embedding", "label")
+    val out = AnnOps.semDedup(e, "vec_id", "embedding", "label", threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3))).toMap
+    assert(out(1L)._2 == "keep" && out(1L)._1.isEmpty)  // no prior
+    assert(out(2L)._2 == "drop" && out(2L)._1.get > 0.99) // near-dup of 1
+    assert(out(3L)._2 == "keep")                          // orthogonal
+    assert(out(4L)._2 == "keep" && out(4L)._1.isEmpty)    // other cluster
+    // a cluster over maxCluster refuses instead of going quadratic
+    val big = (1L to 20L).map(i => (i, Array(1.0, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val err = intercept[Exception] {
+      AnnOps.semDedup(big, "vec_id", "embedding", "label", 0.9,
+        maxCluster = 10).collect()
+    }
+    assert(err.getMessage.contains("maxCluster") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxCluster")))
+  }
+
+  test("perplexityBuckets: thirds by rank, ordering matches the LM score") {
+    val spark2 = spark
+    import spark2.implicits._
+    // six docs, distinct fluency levels → 2/2/2 split
+    val docs6 = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b c d"), (3L, "a b c d e f"),
+      (4L, "f e d c b a"), (5L, "a a a a a a"), (6L, "b a b a b a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.perplexityBuckets(docs6, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getString(3))).toMap
+    // ranks are 1..6 and buckets split 2/2/2 in rank order
+    assert(out.values.map(_._2).toSeq.sorted == (1L to 6L))
+    val byRank = out.values.toSeq.sortBy(_._2)
+    assert(byRank.map(_._3) ==
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    // rank order IS score-descending order (ties broken by id)
+    val scoreSorted = out.toSeq.sortBy { case (id, (s, _, _)) => (-s, id) }
+    assert(scoreSorted.map(_._2._2) == (1L to 6L))
+  }
+
+  test("domainMixture: τ=1/2 flattens toward small domains, epochs capped") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 9:1 token split across two domains
+    val docs10 = ((1 to 9).map(i => (i.toLong, "big", ("w " * 10).trim)) :+
+      (10L, "small", ("w " * 10).trim)).toDF("doc_id", "source", "text")
+    val out = TextOps.domainMixture(docs10, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("token_share"), r.getAs[Double]("mix_weight"),
+         r.getAs[Double]("epochs"))).toMap
+    val (pBig, wBig, eBig) = out("big")
+    val (pSmall, wSmall, eSmall) = out("small")
+    assert(math.abs(pBig - 0.9) < 1e-12 && math.abs(pSmall - 0.1) < 1e-12)
+    // τ=1/2 mixture: q_i = sqrt(p_i)/Σsqrt — small domain upweighted
+    val norm = math.sqrt(0.9) + math.sqrt(0.1)
+    assert(math.abs(wBig - math.sqrt(0.9) / norm) < 1e-7)   // Σw quantizes at DECIMAL(28,8)
+    assert(math.abs(wSmall - math.sqrt(0.1) / norm) < 1e-7)
+    assert(wSmall > pSmall && wBig < pBig)
+    // epochs = q/p capped at 4: small domain's 2.5x repeat, big <1
+    assert(math.abs(eSmall - wSmall / 0.1) < 1e-7 && eSmall < 4.0)
+    assert(eBig < 1.0)
+    // the cap binds under an extreme split (1:999)
+    val extreme = ((1 to 999).map(i => (i.toLong, "big", "w w")) :+
+      (1000L, "tiny", "w w")).toDF("doc_id", "source", "text")
+    val capped = TextOps.domainMixture(extreme, "source", "text")
+      .filter(col("source") === "tiny")
+      .head().getAs[Double]("epochs")
+    assert(capped == 4.0)
+  }
+
   test("dsirWeights: ratio of target to total feature mass, hand-checked") {
     val spark2 = spark
     import spark2.implicits._

@@ -355,7 +355,8 @@ class PlanSpec extends AnyFunSuite {
       buf.toSeq
     }
     var sawExchange = 0
-    for (q <- Seq("q_curation_funnel", "q_domain_stats", "q_vocab_stats")) {
+    for (q <- Seq("q_curation_funnel", "q_domain_stats", "q_vocab_stats",
+                  "q_domain_mixture", "q_ppl_buckets")) {
       val df = SparkEntry.queries(q)(s2, sf)
       df.collect() // finalize the adaptive plan
       val exs = exchanges(df.queryExecution.executedPlan)

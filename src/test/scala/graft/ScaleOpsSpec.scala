@@ -453,4 +453,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       col("weight"), nTarget = 137)
     assert(evOut.agg(sum(col("copies"))).head().getLong(0) == 137L)
   }
+
+  test("globalRank equals a single-window ROW_NUMBER, without the single partition") {
+    val spark2 = spark
+    import spark2.implicits._
+    // real table, ties included: value repeats across events, the
+    // tie-break column makes (order, tie) unique
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), floor(col("value")).as("v"))
+    val ranked = ScaleOps.globalRank(ev, col("v"), col("event_id"), "rk")
+      .select(col("event_id"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(ranked == expected)
+    // ranks are a permutation of 1..n
+    assert(ranked.values.toSeq.sorted == (1L to ranked.size).toSeq)
+    // repartition-stable (the prefixSumRanged determinism contract)
+    val again = ScaleOps.globalRank(ev.repartition(7), col("v"),
+      col("event_id"), "rk").select(col("event_id"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == ranked)
+  }
 }
