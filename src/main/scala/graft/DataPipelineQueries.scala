@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnOps, DedupOps, ScaleOps, TextOps}
+import graft.operators.{AnnOps, DedupOps, MultimodalOps, ScaleOps, TextOps}
 import QUtil._
 
 /** LLM-training-data-pipeline queries (SURVEY §2 dedup / similarity /
@@ -622,6 +622,30 @@ object DataPipelineQueries {
     }),
 
     // multimodal: opaque blob + typed metadata from a stubbed decode
+    // training-sequence chunking: maxLen-token windows advancing by
+    // stride (overlapping context for long docs) — see
+    // TextOps.chunkDocs; map-side only, zero shuffles
+    "q_doc_chunk" -> ((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir), "doc_id", "text",
+        maxLen = 32, stride = 24)),
+
+    // magic-byte content-type sniffing over the multimodal blob
+    // column (deterministic signatures prepended by doc_id band —
+    // the media-ingest triage; see MultimodalOps.sniffMime)
+    "q_mime_sniff" -> ((s, dir) => {
+      val magic = when(pmod(col("doc_id"), lit(4)) === 0,
+          unhex(lit("89504E470D0A1A0A")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, unhex(lit("FFD8FFE0")))
+        .when(pmod(col("doc_id"), lit(4)) === 2, unhex(lit("474946383961")))
+        .otherwise(lit(Array.empty[Byte]))
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(magic, col("text").cast("binary")).as("blob"))
+        .groupBy(MultimodalOps.sniffMime(col("blob")).as("mime"))
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(length(col("blob"))).as("total_bytes"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"),
@@ -1566,6 +1590,46 @@ object DataPipelineQueries {
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
         | CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // integer window arithmetic + DuckDB's inclusive 1-based list
+    // slice as the twin of Spark's slice(arr, start, len)
+    "q_doc_chunk" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        | FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |  CASE WHEN len(tk) > 32 THEN (len(tk) - 32 + 23) // 24 ELSE 0 END AS extra
+        | FROM t WHERE len(tk) >= 1),
+        |u AS (SELECT doc_id, tk, n, unnest(range(0, extra + 1)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        | CAST(ci * 24 AS BIGINT) AS start_tok,
+        | CAST(LEAST(32, n - ci * 24) AS BIGINT) AS n_tok,
+        | array_to_string(tk[ci * 24 + 1 : ci * 24 + LEAST(32, n - ci * 24)], ' ') AS chunk_text
+        |FROM u""".stripMargin,
+
+    // the same magic prefixes prepended by doc_id band, sniffed back
+    // from hex of the blob head (engine-exact byte compares)
+    "q_mime_sniff" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  (CASE doc_id % 4
+        |    WHEN 0 THEN unhex('89504E470D0A1A0A')
+        |    WHEN 1 THEN unhex('FFD8FFE0')
+        |    WHEN 2 THEN unhex('474946383961')
+        |    ELSE ''::BLOB END) || encode(text) AS blob
+        | FROM documents),
+        |s AS (SELECT doc_id, blob, left(upper(hex(blob)), 24) AS h FROM b)
+        |SELECT
+        | CASE WHEN h LIKE '89504E470D0A1A0A%' THEN 'image/png'
+        |  WHEN h LIKE 'FFD8FF%' THEN 'image/jpeg'
+        |  WHEN h LIKE '474946383761%' OR h LIKE '474946383961%' THEN 'image/gif'
+        |  WHEN h LIKE '52494646%' THEN 'audio/wav'
+        |  WHEN h LIKE '1A45DFA3%' THEN 'video/webm'
+        |  WHEN h LIKE '494433%' THEN 'audio/mpeg'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | COUNT(*) AS n_blobs,
+        | CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
+        |FROM s GROUP BY 1""".stripMargin
   )
 }

@@ -78,6 +78,24 @@ object MultimodalOps {
       .withColumn("th", least(lit(tile), h - col("ty")).cast("int"))
       .filter(col("tw") > 0 && col("th") > 0)
 
+  /** Content-type sniffing from magic bytes — the media-ingest
+    * triage step (route/validate blobs by what they ARE, not what
+    * their path claims, before handing them to a per-modality decode
+    * seam). Checks the canonical signatures over only the first 12
+    * bytes (hex of a 12-byte slice — never the whole blob), falling
+    * back to application/octet-stream. Pure column expression,
+    * codegen'd, engine-exact (byte compares). */
+  def sniffMime(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = upper(hex(substring(blob, 1, 12)))
+    when(h.startsWith("89504E470D0A1A0A"), "image/png")
+      .when(h.startsWith("FFD8FF"), "image/jpeg")
+      .when(h.startsWith("474946383761") || h.startsWith("474946383961"), "image/gif")
+      .when(h.startsWith("52494646"), "audio/wav") // RIFF container
+      .when(h.startsWith("1A45DFA3"), "video/webm") // EBML
+      .when(h.startsWith("494433"), "audio/mpeg") // ID3
+      .otherwise("application/octet-stream")
+  }
+
   /** partition-batched decode: the shape a real codec needs (one
     * expensive init per partition, streamed records). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {

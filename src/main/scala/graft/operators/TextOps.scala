@@ -237,6 +237,45 @@ object TextOps {
           col("mix_weight") / col("token_share")).as("epochs"))
   }
 
+  /** Training-sequence chunking: split every document into
+    * `maxLen`-token windows advancing by `stride` tokens (stride <
+    * maxLen → overlapping context, the standard long-document prep
+    * before packing; [[graft.operators.ScaleOps.packSequences]] is
+    * the complementary op for SHORT documents). Emits one row per
+    * chunk with its position metadata and reassembled text.
+    *
+    * Chunk count is 1 + ⌈max(0, n − maxLen) / stride⌉ — the final
+    * window is allowed to be short rather than dropping tail tokens
+    * (lossless coverage; a trainer that wants full windows filters
+    * n_tok = maxLen). All-integer arithmetic, engine-exact.
+    *
+    * Scale shape: tokenize + explode is one map-side transform —
+    * chunking shuffles NOTHING (no aggregate, no join); output size
+    * is corpus × (1 + overlap share). */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                maxLen: Int, stride: Int): DataFrame = {
+    require(maxLen > 0 && stride > 0 && stride <= maxLen,
+      s"need 0 < stride <= maxLen, got maxLen=$maxLen stride=$stride")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 1)
+    val n = size(col("__t"))
+    // ⌈(n - maxLen) / stride⌉ via the exact double-division trick the
+    // segmenters use (int-sized counts, truncation = floor)
+    val extra = when(n > maxLen,
+      ((n - lit(maxLen) + lit(stride - 1)) / lit(stride)).cast("int"))
+      .otherwise(lit(0))
+    toks.select(col(idCol), col("__t"), n.as("__n"),
+        explode(sequence(lit(0), extra)).as("__ci"))
+      .select(col(idCol),
+        col("__ci").cast("long").as("chunk_id"),
+        (col("__ci") * stride).cast("long").as("start_tok"),
+        least(lit(maxLen), col("__n") - col("__ci") * stride).cast("long")
+          .as("n_tok"),
+        concat_ws(" ", slice(col("__t"), col("__ci") * stride + 1,
+          least(lit(maxLen), col("__n") - col("__ci") * stride)))
+          .as("chunk_text"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

@@ -509,6 +509,64 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(capped == 4.0)
   }
 
+  test("chunkDocs: stride windows cover every token, short tail kept, no-overlap reassembles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val one = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    // maxLen=4 stride=3: starts 0,3,6 — overlapping windows, the last
+    // ends exactly at n
+    val out = TextOps.chunkDocs(one, "doc_id", "text", maxLen = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t4 t5 t6 t7"),
+      (2L, 6L, 4L, "t7 t8 t9 t10")))
+    // a doc shorter than maxLen yields one short chunk, not zero
+    val short = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val s = TextOps.chunkDocs(short, "doc_id", "text", 4, 3).collect()
+    assert(s.length == 1 && s.head.getLong(3) == 3L &&
+      s.head.getString(4) == "a b c")
+    // stride == maxLen (no overlap): chunks concatenate back to the doc
+    val re = TextOps.chunkDocs(one, "doc_id", "text", 4, 4)
+      .orderBy("chunk_id").collect().map(_.getString(4)).mkString(" ")
+    assert(re == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    // every chunk's end stays within the doc; the last ends AT n —
+    // lossless coverage on a real table
+    val d = Tables(spark, sf, "documents")
+    val chunks = TextOps.chunkDocs(d, "doc_id", "text", 32, 24)
+    val n = d.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val joined = chunks.join(n, "doc_id")
+    assert(joined.filter(col("start_tok") + col("n_tok") > col("n")).count() == 0)
+    assert(joined.groupBy(col("doc_id"), col("n"))
+      .agg(max(col("start_tok") + col("n_tok")).as("covered"))
+      .filter(col("covered") =!= col("n")).count() == 0)
+  }
+
+  test("sniffMime: magic signatures route, text falls back to octet-stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      ("png", Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2)),
+      ("jpg", Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte, 9)),
+      ("gif", "GIF89a-data".getBytes("US-ASCII")),
+      ("wav", "RIFF1234WAVE".getBytes("US-ASCII")),
+      ("mp3", "ID3rest".getBytes("US-ASCII")),
+      ("txt", "plain words here".getBytes("US-ASCII")),
+      ("tiny", Array[Byte](0x41)))
+    val out = cases.toDF("name", "blob")
+      .select(col("name"), MultimodalOps.sniffMime(col("blob")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("png") == "image/png")
+    assert(out("jpg") == "image/jpeg")
+    assert(out("gif") == "image/gif")
+    assert(out("wav") == "audio/wav")
+    assert(out("mp3") == "audio/mpeg")
+    assert(out("txt") == "application/octet-stream")
+    assert(out("tiny") == "application/octet-stream")
+  }
+
   test("dsirWeights: ratio of target to total feature mass, hand-checked") {
     val spark2 = spark
     import spark2.implicits._
