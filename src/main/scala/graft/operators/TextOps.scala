@@ -192,7 +192,11 @@ object TextOps {
     * rank) move — never text. */
   def perplexityBuckets(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val scored = lmBigramScore(docs, idCol, textCol)
+    // globalRank needs two driver actions (percentile cuts + bucket
+    // counts) before the consumer's own — localCheckpoint the scored
+    // frame once so the LM pipeline (two corpus-count joins) never
+    // re-executes per action (the systematicResample discipline)
+    val scored = lmBigramScore(docs, idCol, textCol).localCheckpoint()
     val n = scored.agg(count(lit(1)).as("__n"))
     val ranked = ScaleOps.globalRank(scored.crossJoin(n),
       negate(col("lm_score")), col(idCol), "ppl_rank")
