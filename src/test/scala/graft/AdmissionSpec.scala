@@ -127,6 +127,48 @@ class AdmissionSpec extends AnyFunSuite {
     } finally gw.stop()
   }
 
+  test("arrow gateway feeds a live streaming query: admission-bounded ingest to micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val spool = java.nio.file.Files.createTempDirectory("graft_gw_stream").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    val payload = ArrowIpc.encodeRows(df.schema,
+      df.collect().toSeq, 0, 0, "none")
+    val ctl = new AdmissionController(maxBytes = payload.length * 2L + 8)
+    val gw = new ArrowIpc.ArrowAdmissionGateway(0, spool, ctl)
+    // the streaming receiver tails the gateway's durable spool — the
+    // full push path: socket → admission → durable file → micro-batch
+    val q = ArrowIpc.streamSpool(spark, spool, df.schema, maxFilesPerTrigger = 5)
+      .writeStream.format("memory").queryName("gw_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_gw_ck").toString)
+      .start()
+    try {
+      val line = java.util.Base64.getEncoder.encodeToString(payload)
+      val s = new java.net.Socket("127.0.0.1", gw.boundPort)
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      (1 to 5).foreach(_ => out.println(line))
+      out.flush(); s.close()
+      val deadline = System.currentTimeMillis() + 30000
+      while (gw.payloads.get < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      q.processAllAvailable()
+      // a second wave while the query is live lands in later batches
+      val s2 = new java.net.Socket("127.0.0.1", gw.boundPort)
+      val out2 = new java.io.PrintWriter(s2.getOutputStream, true)
+      (1 to 3).foreach(_ => out2.println(line))
+      out2.flush(); s2.close()
+      while (gw.payloads.get < 8 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM gw_stream")
+      assert(got.count() == 8 * 2)
+      assert(got.groupBy("id", "name").count().collect()
+        .forall(_.getLong(2) == 8))
+      assert(ctl.highWater.get <= ctl.maxBytes && ctl.inFlightBytes == 0)
+    } finally { q.stop(); gw.stop() }
+  }
+
   test("http receiver: budget-full throttles 429, oversize 413, drained accepts") {
     import graft.sources.OtlpHttp
     val spool = java.nio.file.Files.createTempDirectory("graft_http_adm").toString
