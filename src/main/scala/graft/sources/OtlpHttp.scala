@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** OTLP/HTTP transport — the reference's most-used integration path
   * (exporter/otlphttpexporter/otlp.go:115-186 and the HTTP half of
   * receiver/otlpreceiver): POST /v1/{logs,metrics,traces} with
-  * protobuf or JSON bodies, optional gzip Content-Encoding, the
+  * protobuf or JSON bodies, the full configcompression codec set on
+  * Content-Encoding (gzip/zlib/deflate/snappy/zstd), the
   * OTLP status-code mapping (2xx success incl. partial-success
   * bodies; 429/502/503/504 retryable, with Retry-After honored on
   * 429/503; everything else permanent), and partial-success
@@ -52,6 +53,53 @@ object OtlpHttp {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
     try in.readAllBytes() finally in.close()
+  }
+
+  /** The reference's compression codec set for HTTP bodies
+    * (config/configcompression/compressionType.go:11-15 — gzip, zlib,
+    * deflate, snappy, zstd; confighttp/compression.go treats
+    * `deflate` as an alias for the zlib stream, and rejects unknown
+    * Content-Encodings with 400). zstd and snappy ride the codec
+    * jars Spark itself ships (zstd-jni, snappy-java) — no new
+    * dependency. */
+  object Codec {
+    val names: Set[String] = Set("gzip", "zlib", "deflate", "snappy", "zstd")
+
+    def encode(name: String, b: Array[Byte]): Array[Byte] = name match {
+      case "gzip" => gzip(b)
+      case "zlib" | "deflate" => // RFC1950 zlib wrapper for both
+        val d = new java.util.zip.Deflater()
+        d.setInput(b); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+      case "snappy" => org.xerial.snappy.Snappy.compress(b)
+      case "zstd" =>
+        val out = new java.io.ByteArrayOutputStream()
+        val z = new com.github.luben.zstd.ZstdOutputStream(out)
+        try z.write(b) finally z.close()
+        out.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression '$other' (${names.mkString("|")})")
+    }
+
+    /** throws on corrupt input (mapped to 400 by the receiver) */
+    def decode(name: String, b: Array[Byte]): Array[Byte] = name match {
+      case "gzip" => gunzip(b)
+      case "zlib" | "deflate" =>
+        val inf = new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try inf.readAllBytes() finally inf.close()
+      case "snappy" => org.xerial.snappy.Snappy.uncompress(b)
+      case "zstd" =>
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try in.readAllBytes() finally in.close()
+      case other => throw new IllegalArgumentException(
+        s"unsupported Content-Encoding: $other")
+    }
   }
 
   // ---- partial-success response codec ----------------------------
@@ -144,8 +192,8 @@ object OtlpHttp {
   }
 
   /** OTLP/HTTP push receiver: accepts POST /v1/{logs,metrics,traces}
-    * in both OTLP encodings (protobuf and JSON) with optional gzip
-    * Content-Encoding, and spools each request body to
+    * in both OTLP encodings (protobuf and JSON) with any supported
+    * Content-Encoding ([[Codec]]), and spools each request body to
     * `<spoolDir>/<signal>_pb` / `<signal>_json` — the directories the
     * streaming file receivers ([[OtlpJsonSource.streamLogsPb]] etc.)
     * tail, so HTTP lands on the identical parse/DLQ path as sockets
@@ -160,7 +208,8 @@ object OtlpHttp {
     * carries an Export*PartialSuccess body in the request encoding.
     *
     * Status mapping (receiver side): 405 non-POST, 404 unknown path,
-    * 415 unknown Content-Type, 400 corrupt gzip, 200 otherwise.
+    * 415 unknown Content-Type, 400 corrupt or unknown
+    * Content-Encoding, 200 otherwise.
     *
     * `controller` adds the otel-arrow receiver's bounded in-flight
     * memory budget (see [[graft.pipeline.AdmissionController]]): each
@@ -202,13 +251,23 @@ object OtlpHttp {
         val isJson = ct == "application/json"
         if (!isPb && !isJson) { respond(415, Array.empty); return }
         val raw = ex.getRequestBody.readAllBytes()
-        val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding")).getOrElse("")
+        val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .getOrElse("").trim.toLowerCase
+        // reference confighttp: "" = identity; a known codec is
+        // decoded; an UNKNOWN Content-Encoding is a 400, not silently
+        // treated as identity (compression.go newBodyReader)
+        if (enc.nonEmpty && !Codec.names.contains(enc)) {
+          obs.badRequests.incrementAndGet()
+          respond(400, s"""{"message":"unsupported Content-Encoding: $enc"}"""
+            .getBytes("UTF-8"), Map("Content-Type" -> "application/json"))
+          return
+        }
         val body =
-          if (enc.equalsIgnoreCase("gzip"))
-            try gunzip(raw)
-            catch { case _: java.io.IOException | _: java.util.zip.ZipException =>
+          if (enc.nonEmpty)
+            try Codec.decode(enc, raw)
+            catch { case scala.util.control.NonFatal(_) =>
               obs.badRequests.incrementAndGet()
-              respond(400, """{"message":"corrupt gzip body"}""".getBytes("UTF-8"),
+              respond(400, s"""{"message":"corrupt $enc body"}""".getBytes("UTF-8"),
                 Map("Content-Type" -> "application/json"))
               return
             }
@@ -319,6 +378,7 @@ object OtlpHttp {
     */
   final case class OtlpHttpExporter(endpoint: String, signal: String,
       useJson: Boolean = false, gzipBody: Boolean = false,
+      compression: String = "", // "" none | gzip|zlib|deflate|snappy|zstd
       shardKeys: Seq[String] = Nil,
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
       obs: Option[HttpExportObs] = None,
@@ -343,8 +403,14 @@ object OtlpHttp {
       conn.setDoOutput(true)
       val ct = if (useJson) "application/json" else "application/x-protobuf"
       conn.setRequestProperty("Content-Type", ct)
-      val body = if (gzipBody) {
-        conn.setRequestProperty("Content-Encoding", "gzip"); gzip(body0)
+      // configured codec wins; the legacy gzipBody flag means "gzip".
+      // The codec name doubles as the Content-Encoding token, the
+      // compressRoundTripper contract (confighttp/compression.go).
+      val codec = if (compression.nonEmpty) compression
+                  else if (gzipBody) "gzip" else ""
+      val body = if (codec.nonEmpty) {
+        conn.setRequestProperty("Content-Encoding", codec)
+        Codec.encode(codec, body0)
       } else body0
       val out = conn.getOutputStream
       try out.write(body) finally out.close()

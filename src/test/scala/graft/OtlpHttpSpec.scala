@@ -210,6 +210,65 @@ class OtlpHttpSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("configcompression codec matrix: every codec round-trips the loopback identically") {
+    import spark.implicits._
+    // reference config/configcompression/compressionType.go:11-15 —
+    // the exporter picks any of the five codecs, the receiver decodes
+    // by Content-Encoding; rows after the wire must be identical.
+    val spool = tmpDir("otlp_http_codecs")
+    val rx = new OtlpHttpReceiver(0, spool)
+    try {
+      val base = s"http://localhost:${rx.boundPort}"
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 10)).toDF("json"))
+      val codecs = Seq("gzip", "zlib", "deflate", "snappy", "zstd")
+      codecs.foreach { c =>
+        OtlpHttpExporter(base, "logs", compression = c).export(logs)
+      }
+      assert(rx.obs.requests.get == codecs.size && rx.obs.badRequests.get == 0)
+      val back = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs", pb = true))
+          .select(col("content").as("pb")))
+      // every codec delivered the same 10 records
+      assert(back.count() == 10L * codecs.size)
+      assert(back.select("body").distinct().count() == 10)
+    } finally rx.stop()
+  }
+
+  test("unknown Content-Encoding is a 400, not silently treated as identity") {
+    val spool = tmpDir("otlp_http_badenc")
+    val rx = new OtlpHttpReceiver(0, spool)
+    try {
+      def post(enc: String, body: Array[Byte]): Int = {
+        val c = new java.net.URL(s"http://localhost:${rx.boundPort}/v1/logs")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.setRequestProperty("Content-Type", "application/x-protobuf")
+        c.setRequestProperty("Content-Encoding", enc)
+        val o = c.getOutputStream
+        try o.write(body) finally o.close()
+        val code = c.getResponseCode
+        c.disconnect(); code
+      }
+      // reference confighttp newBodyReader: unknown encoding → 400
+      assert(post("br", "anything".getBytes) == 400)
+      // corrupt bodies in a KNOWN codec are 400 too, for each codec
+      assert(post("zstd", Array[Byte](9, 9, 9, 9)) == 400)
+      assert(post("zlib", Array[Byte](9, 9, 9, 9)) == 400)
+      assert(post("snappy", Array[Byte](-1, -1, -1, -1)) == 400)
+      assert(rx.obs.badRequests.get == 4 && rx.obs.requests.get == 0)
+    } finally rx.stop()
+  }
+
+  test("Codec.encode∘decode = id and compresses redundant payloads") {
+    val payload = ("repetitive telemetry body " * 400).getBytes("UTF-8")
+    for (c <- Seq("gzip", "zlib", "deflate", "snappy", "zstd")) {
+      val enc = OtlpHttp.Codec.encode(c, payload)
+      assert(OtlpHttp.Codec.decode(c, enc).sameElements(payload), c)
+      assert(enc.length < payload.length, s"$c did not compress")
+    }
+    intercept[IllegalArgumentException] { OtlpHttp.Codec.encode("br", payload) }
+  }
+
   test("partial-success pb codec round-trips through the hand-rolled walk") {
     val pb = OtlpHttp.partialSuccessPb(123456789L, "some items rejected")
     assert(OtlpHttp.parsePartialSuccess(pb, "application/x-protobuf")
