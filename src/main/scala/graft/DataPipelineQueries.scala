@@ -381,6 +381,20 @@ object DataPipelineQueries {
           col("admit"))
     }),
 
+    // the same probe behind a Bloom pre-filter on the store scan —
+    // result bit-identical (no false negatives), shuffle ∝ matches
+    // instead of ∝ store. Shares q_dedup_incremental's oracle: the
+    // filter being invisible to the answer IS the spec.
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = d.filter(col("doc_id") % 4 < 2)
+        .select(md5(col("text")).as("content_hash"))
+      DedupOps.dedupAgainstStoreBloom(
+          d.filter(col("doc_id") % 4 >= 2), "doc_id", "text", store)
+        .select(col("doc_id"), col("dup_of_store"), col("dup_in_batch"),
+          col("admit"))
+    }),
+
     // DSIR-shaped importance weights toward a target distribution
     // (here: lang='en' as the target corpus) — see TextOps.dsirWeights
     "q_dsir_weights" -> ((s, dir) =>
@@ -1279,6 +1293,22 @@ object DataPipelineQueries {
         | AND len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) >= 16""".stripMargin,
 
     "q_dedup_incremental" ->
+      """WITH store AS (
+        | SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 < 2),
+        |inc AS (
+        | SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 >= 2),
+        |fb AS (SELECT h, MIN(doc_id) AS first_id FROM inc GROUP BY h)
+        |SELECT i.doc_id,
+        | (s.h IS NOT NULL) AS dup_of_store,
+        | (i.doc_id <> f.first_id) AS dup_in_batch,
+        | (s.h IS NULL AND i.doc_id = f.first_id) AS admit
+        |FROM inc i
+        |LEFT JOIN store s ON i.h = s.h
+        |JOIN fb f ON i.h = f.h""".stripMargin,
+
+    // Bloom pre-filtering is result-transparent: same oracle as the
+    // unfiltered probe.
+    "q_dedup_bloom" ->
       """WITH store AS (
         | SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 < 2),
         |inc AS (

@@ -525,4 +525,42 @@ object Kernels {
     }
     if (!any) null else java.lang.Long.valueOf(sign * Math.round(total))
   }
+
+  // ---- bloom filter (shared by BloomBuild agg + BloomMightContain) --
+  // Guava-style double hashing from one 64-bit input: h2 is the
+  // murmur3 fmix64 finalizer of h1, probe i tests bit (h1 + i*h2)
+  // mod numBits. Build and probe MUST use this same function — it is
+  // the filter's only contract.
+  private def bloomMix(v0: Long): Long = {
+    var v = v0
+    v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+    v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
+    v ^= v >>> 33
+    v
+  }
+
+  /** set the numHashes probe bits of value v in the word array */
+  def bloomSet(v: Long, bits: Array[Long], numHashes: Int): Unit = {
+    val numBits = bits.length.toLong * 64L
+    val h2 = bloomMix(v)
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((v + i.toLong * h2) & Long.MaxValue) % numBits
+      bits((pos >>> 6).toInt) |= 1L << (pos & 63L)
+      i += 1
+    }
+  }
+
+  /** true iff every probe bit of v is set (no false negatives) */
+  def bloomContains(v: Long, bits: Array[Long], numHashes: Int): Boolean = {
+    val numBits = bits.length.toLong * 64L
+    val h2 = bloomMix(v)
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((v + i.toLong * h2) & Long.MaxValue) % numBits
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }

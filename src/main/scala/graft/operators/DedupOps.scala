@@ -159,6 +159,39 @@ object DedupOps {
       .drop("__h", "__in_store", "__first")
   }
 
+  /** [[dedupAgainstStore]] with a Bloom pre-filter on the STORE scan —
+    * the shape that matters when the fingerprint store is the big
+    * side (it is: the store accumulates every day ever ingested,
+    * the increment is one day). Build direction is the point:
+    * the filter is built over the INCREMENT's hashes (small — one
+    * distributed partial aggregate, ~`numBits/8` bytes to the
+    * driver once), then probes ride into the store scan as a
+    * map-side codegen'd Filter — store rows that can't match any
+    * increment hash never enter the store's distinct/join shuffle.
+    * At 10 bits/key the false-positive rate is <1%, so the shuffle
+    * carries ≈ the true matches; with no false negatives the LEFT
+    * probe join's result is bit-identical to the unfiltered probe
+    * (same oracle), which the spec pins.
+    *
+    * `numBits` sizes the filter: ~10× the expected increment
+    * cardinality, rounded up to a multiple of 64. The two extra jobs
+    * (bloom build) scan only the increment. */
+  def dedupAgainstStoreBloom(incoming: DataFrame, idCol: String, textCol: String,
+                             storeHashes: DataFrame,
+                             numBits: Int = 1 << 20,
+                             numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomExprs
+    val bytes = incoming
+      .select(BloomExprs.bloom_build(
+        xxhash64(md5(col(textCol))), numBits, numHashes).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val words = BloomExprs.wordsOf(bytes)
+    val prefiltered = storeHashes.filter(
+      BloomExprs.bloom_might_contain(words, numHashes,
+        xxhash64(col("content_hash"))))
+    dedupAgainstStore(incoming, idCol, textCol, prefiltered)
+  }
+
   /** Incremental NEAR-dup — [[dedupAgainstStore]]'s minhash sibling:
     * probe an incoming batch's signatures against the historical
     * SIGNATURE store (the persisted index of everything already

@@ -396,6 +396,47 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(capped == Set(1L), s"cap keeps the smallest store id: $capped")
   }
 
+  test("bloom-prefiltered store probe: bit-identical verdicts, selective scan, no false negatives") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs
+    val store = d.filter(col("doc_id") % 4 < 2)
+      .select(md5(col("text")).as("content_hash"))
+    val inc = d.filter(col("doc_id") % 4 >= 2)
+    // 1) transparency: the Bloom path answers EXACTLY what the
+    //    unfiltered probe answers (no false negatives by construction)
+    val exact = DedupOps.dedupAgainstStore(inc, "doc_id", "text", store)
+      .select("doc_id", "dup_of_store", "dup_in_batch", "admit")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toSet
+    val bloomed = DedupOps.dedupAgainstStoreBloom(inc, "doc_id", "text", store)
+      .select("doc_id", "dup_of_store", "dup_in_batch", "admit")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toSet
+    assert(bloomed == exact, "bloom pre-filter changed the probe's answer")
+
+    // 2) selectivity: against a store DISJOINT from the increment the
+    //    pre-filter passes only false positives — a small fraction at
+    //    10 bits/key — while the exact path would shuffle every row
+    val bigStore = spark2.range(50000)
+      .select(md5(concat(lit("store-only-"), col("id"))).as("content_hash"))
+    val bytes = inc.select(graft.functions.BloomExprs.bloom_build(
+        xxhash64(md5(col("text"))), 1 << 20, 5).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val words = graft.functions.BloomExprs.wordsOf(bytes)
+    val survivors = bigStore.filter(graft.functions.BloomExprs
+      .bloom_might_contain(words, 5, xxhash64(col("content_hash")))).count()
+    assert(survivors < 2500, // <5% at 5 hashes / ~4 bits-per-key worst case here
+      s"bloom passed $survivors of 50000 disjoint store rows")
+
+    // 3) kernel property: every inserted value is found (zero false
+    //    negatives), exercised off the query path too
+    val bits = new Array[Long](1024)
+    val vs = (0 until 5000).map(i => i * 2654435761L)
+    vs.foreach(v => graft.functions.impl.Kernels.bloomSet(v, bits, 7))
+    assert(vs.forall(v => graft.functions.impl.Kernels.bloomContains(v, bits, 7)))
+  }
+
   test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
     val spark2 = spark
     import spark2.implicits._

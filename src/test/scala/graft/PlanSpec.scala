@@ -374,4 +374,35 @@ class PlanSpec extends AnyFunSuite {
     assert(sawExchange >= 3,
       s"rule inspected only $sawExchange exchanges — plan walk broke")
   }
+
+  test("q_dedup_bloom: the bloom probe filters the store scan MAP-SIDE (below every Exchange)") {
+    // the whole point of the bloom pre-filter is to shrink the store
+    // shuffle: if the bloom_might_contain Filter ever floats above an
+    // Exchange, the store shuffles unfiltered and the filter is
+    // decorative. Walk the executed plan: every Filter mentioning
+    // bloom_might_contain must have an exchange-free subtree.
+    // asserted on the compiled physical plan (pre-AQE): at sf0.001
+    // the filter is selective enough that AQE propagates the EMPTY
+    // store branch away entirely (the join collapses to a null
+    // literal — the pre-filter working maximally), so the final
+    // adaptive plan may not contain the Filter at all. Placement is
+    // decided by Catalyst, which AQE never reverses.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = SparkEntry.queries("q_dedup_bloom")(spark, sf)
+    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p); p.children.foreach(walk(_)(f))
+    }
+    var bloomFilters = 0
+    walk(df.queryExecution.sparkPlan) {
+      case fe: FilterExec if fe.condition.toString.contains("bloom_might_contain") =>
+        bloomFilters += 1
+        var exchangesBelow = 0
+        walk(fe.child) { case _: Exchange => exchangesBelow += 1; case _ => () }
+        assert(exchangesBelow == 0,
+          s"bloom filter sits ABOVE an exchange — store shuffles unfiltered:\n$fe")
+      case _ => ()
+    }
+    assert(bloomFilters >= 1, "no bloom_might_contain Filter in the physical plan")
+  }
 }
