@@ -401,6 +401,17 @@ object DataPipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // BPE tokenizer training — first-iteration pair statistics
+    // (value-oracled: the distributed pair-count kernel every merge
+    // round reuses) and the full merge-table training loop
+    // (rows-only: iterative argmax has no SQL twin; the Sennrich
+    // worked example is spec-pinned in DedupAnnSpec). Corpus is
+    // touched once for word counts; iterations run on the vocab.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(docs(s, dir), "text", topK = 100)),
+    "q_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), "text", nMerges = 12)),
+
     // corpus vocabulary statistics: the Zipf head/tail report a
     // tokenizer or mix decision reads — vocab size, token mass, the
     // head share captured by the top-k terms, hapax (df=1) share.
@@ -1343,6 +1354,20 @@ object DataPipelineQueries {
         | CAST(SUM(nt) + 1 AS DOUBLE) / CAST(SUM(na) + 2 AS DOUBLE) AS weight
         |FROM feats JOIN c USING (f)
         |GROUP BY doc_id""".stripMargin,
+
+    // parallel unnest zips the two shifted slices row-wise — the
+    // DuckDB twin of explode(transform(sequence, struct(l, r)))
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        | FROM documents),
+        |fw AS (SELECT word FROM w WHERE regexp_matches(word, '^[!-~]+$')),
+        |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt FROM fw GROUP BY word),
+        |s AS (SELECT wcnt, string_split(word, '') AS sy FROM wc),
+        |p AS (SELECT wcnt, unnest(sy[1:len(sy)-1]) AS l, unnest(sy[2:len(sy)]) AS r
+        |      FROM s WHERE len(sy) >= 2),
+        |pc AS (SELECT l, r, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM p GROUP BY l, r)
+        |SELECT l, r, cnt FROM pc ORDER BY cnt DESC, l, r LIMIT 100""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH t AS (

@@ -56,6 +56,34 @@ object HashExprs {
   /** Column API: FNV-1a 64-bit hash of a string's UTF-8 bytes. */
   def fnv_hash(text: Column): Column =
     Bridge.column(Fnv1a64(Bridge.expression(text)))
+
+  /** Column API: one greedy BPE merge step over a symbol array. */
+  def merge_pair(syms: Column, a: String, b: String): Column =
+    Bridge.column(MergePair(Bridge.expression(syms), a, b))
+}
+
+/** one BPE merge step — the per-iteration vocab rewrite of
+  * [[graft.operators.TextOps.bpeTrain]]; the pair rides in as two
+  * plan-time constants, the row work is one kernel scan. */
+case class MergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "merge_pair"
+
+  @transient private lazy val aU = UTF8String.fromString(a)
+  @transient private lazy val bU = UTF8String.fromString(b)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.mergePair(input.asInstanceOf[ArrayData], aU, bU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mergeA", aU, classOf[UTF8String].getName)
+    val bRef = ctx.addReferenceObj("mergeB", bU, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.impl.Kernels.mergePair($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MergePair = copy(child = c)
 }
 
 /** FNV-1a 64 (OTTL's FNV converter semantics — real spec constants,

@@ -551,6 +551,24 @@ object Kernels {
     }
   }
 
+  /** greedy left-to-right BPE merge: every non-overlapping adjacent
+    * (a,b) in the symbol array becomes the single symbol a+b — the
+    * classic subword-merge step (Sennrich et al. 2016, applied on
+    * the vocab frame each training iteration). [a,a,a] merging (a,a)
+    * → [aa,a]: after consuming a pair the scan resumes AFTER it. */
+  def mergePair(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.equals(syms.getUTF8String(i)) &&
+          b.equals(syms.getUTF8String(i + 1))) {
+        out += UTF8String.concat(a, b); i += 2
+      } else { out += syms.getUTF8String(i); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** true iff every probe bit of v is set (no false negatives) */
   def bloomContains(v: Long, bits: Array[Long], numHashes: Int): Boolean = {
     val numBits = bits.length.toLong * 64L

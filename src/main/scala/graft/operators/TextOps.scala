@@ -305,4 +305,82 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), graft.QUtil.dsum(col("__s")).as("score"))
   }
+
+  /** Printable-ASCII word filter shared by the BPE surfaces so the
+    * char-split semantics match DuckDB's code-point split exactly
+    * (Java chars are UTF-16 units; outside ASCII the two engines
+    * would disagree on "characters"). */
+  private val asciiWord = "^[!-~]+$"
+
+  /** per-word symbol-pair counts weighted by word frequency — BPE
+    * training's inner statistic, exposed for the oracle-checked
+    * first iteration (q_bpe_pairs) and reused each [[bpeTrain]]
+    * round. `words` = (wc, syms). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+                    element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("cnt"))
+
+  /** word-frequency vocab of a corpus, chars as initial symbols */
+  def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(asciiWord))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), split(col("word"), "").as("syms"))
+
+  /** first-iteration pair statistics, the sql-oracled slice */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    pairCounts(bpeVocab(docs, textCol))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      .limit(topK)
+
+  /** Distributed BPE merge training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — the
+    * algorithm, from the paper). Scale shape: the CORPUS is touched
+    * exactly once (the word-frequency aggregate — at 100 TB that is
+    * the only data-sized pass); every merge iteration then runs on
+    * the VOCAB frame (distinct words × symbol arrays, orders of
+    * magnitude smaller and still distributed — never collected).
+    * Per iteration: one pair-count aggregate, one bounded
+    * argmax-row fetch (count desc, then lexicographic pair — fully
+    * deterministic), one map-side [[graft.functions.HashExprs
+    * .merge_pair]] rewrite, localCheckpoint to keep lineage flat
+    * across iterations.
+    *
+    * Returns the merge table (rank, left, right, merged, pair_count)
+    * — the training artifact a tokenizer consumes, in merge order.
+    * Stops early when no pair reaches `minCount`.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+               minCount: Long = 2L): DataFrame = {
+    val sp = docs.sparkSession
+    var words = bpeVocab(docs, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var done = false
+    var rank = 1L
+    while (!done && rank <= nMerges) {
+      val best = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank, l, r, l + r, cnt))
+        val next = words.withColumn("syms",
+          graft.functions.HashExprs.merge_pair(col("syms"), l, r))
+          .localCheckpoint()
+        words.unpersist(blocking = false)
+        words = next
+        rank += 1L
+      }
+    }
+    words.unpersist(blocking = false)
+    import sp.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
 }

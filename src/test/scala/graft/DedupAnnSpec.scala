@@ -437,6 +437,35 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(vs.forall(v => graft.functions.impl.Kernels.bloomContains(v, bits, 7)))
   }
 
+  test("bpeTrain reproduces the Sennrich worked example; merge kernel is greedy left-to-right") {
+    val spark2 = spark
+    import spark2.implicits._
+    // classic corpus: low×5 lower×2 newest×6 widest×3. Hand-derived
+    // merge order with the (count desc, lexicographic pair) tie-break:
+    //   es(9, beats st by 'e'<'s') → est(9) → lo(7, beats ow) →
+    //   low(7) → ew(6, beats ne/w-est lexicographically)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", nMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L)), merges.toSeq.toString)
+
+    // early stop: once no pair reaches minCount the table ends
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m2 = TextOps.bpeTrain(tiny, "text", nMerges = 10, minCount = 2L)
+    assert(m2.count() == 1) // only (a,b)×2 qualifies
+
+    // kernel greedy overlap: [a,a,a] merging (a,a) → [aa, a]
+    val out = Seq(Seq("a", "a", "a")).toDF("syms")
+      .select(graft.functions.HashExprs.merge_pair(col("syms"), "a", "a"))
+      .head().getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+  }
+
   test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
     val spark2 = spark
     import spark2.implicits._
