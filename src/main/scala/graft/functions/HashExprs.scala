@@ -60,6 +60,38 @@ object HashExprs {
   /** Column API: one greedy BPE merge step over a symbol array. */
   def merge_pair(syms: Column, a: String, b: String): Column =
     Bridge.column(MergePair(Bridge.expression(syms), a, b))
+
+  /** Column API: BPE-encode a symbol array with a trained merge
+    * table (rank order). */
+  def bpe_apply(syms: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeApply(Bridge.expression(syms), merges))
+}
+
+/** BPE encoding with the whole merge table as ONE codegen reference
+  * object (the codebook discipline — a 50k-merge vocabulary must not
+  * inline into plan strings or generated source). */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  @transient private lazy val flat: Array[UTF8String] =
+    merges.flatMap { case (a, b) =>
+      Seq(UTF8String.fromString(a), UTF8String.fromString(b)) }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bpeApply(input.asInstanceOf[ArrayData], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.bpeApply($c, $ref)")
+  }
+
+  override def toString: String = s"$prettyName($child, [${merges.length} merges])"
+  override def sql: String = s"$prettyName(${child.sql}, [${merges.length} merges])"
+
+  override protected def withNewChildInternal(c: Expression): BpeApply = copy(child = c)
 }
 
 /** one BPE merge step — the per-iteration vocab rewrite of

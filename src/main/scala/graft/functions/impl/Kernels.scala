@@ -569,6 +569,33 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** apply a trained merge table (rank order, flattened [l0,r0,l1,r1,…])
+    * to one symbol array — BPE encoding of a word. Each merge is the
+    * same greedy scan as [[mergePair]]; merges.length/2 passes over an
+    * array that only shrinks. */
+  def bpeApply(syms: ArrayData, merges: Array[UTF8String]): ArrayData = {
+    var cur = new Array[AnyRef](syms.numElements())
+    var n = cur.length
+    var i = 0
+    while (i < n) { cur(i) = syms.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < merges.length) {
+      val a = merges(m); val b = merges(m + 1)
+      var r = 0; var w = 0
+      while (r < n) {
+        if (r + 1 < n && a.equals(cur(r)) && b.equals(cur(r + 1))) {
+          cur(w) = UTF8String.concat(a, b); r += 2
+        } else { cur(w) = cur(r); r += 1 }
+        w += 1
+      }
+      n = w
+      m += 2
+    }
+    val out = new Array[AnyRef](n)
+    System.arraycopy(cur, 0, out, 0, n)
+    new GenericArrayData(out)
+  }
+
   /** true iff every probe bit of v is set (no false negatives) */
   def bloomContains(v: Long, bits: Array[Long], numHashes: Int): Boolean = {
     val numBits = bits.length.toLong * 64L

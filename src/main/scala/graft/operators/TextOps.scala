@@ -383,4 +383,29 @@ object TextOps {
     import sp.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** BPE-encode a corpus with a trained merge table: per document,
+    * tokenize, char-split each word, apply the merges in rank order
+    * (one [[graft.functions.HashExprs.bpe_apply]] kernel call per
+    * word — the table rides as a single codegen reference object),
+    * and report the compression the subword vocabulary achieves.
+    * Map-side only: no shuffle except the final count-free projection
+    * the caller adds; the merge table is driver-held and broadcast
+    * with the plan (50k merges ≈ a few hundred KB).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val enc = explode(transform(
+      filter(tokens(col(textCol)), w => w.rlike(asciiWord)),
+      w => graft.functions.HashExprs.bpe_apply(split(w, ""), merges)))
+    docs.select(col(idCol), enc.as("subwords"))
+      .select(col(idCol),
+        size(col("subwords")).as("n_subwords"),
+        aggregate(col("subwords"), lit(0),
+          (acc, s) => acc + length(s)).as("n_chars"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+  }
 }
