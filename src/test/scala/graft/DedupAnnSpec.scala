@@ -466,6 +466,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out == Seq("aa", "a"))
   }
 
+  test("bpeTrain job count is O(1), independent of nMerges") {
+    val spark2 = spark
+    import spark2.implicits._
+    // enough distinct words that hundreds of merges are available
+    val text = (0 until 400).map(i => s"w${i}abcdefgh w${i}abcdxyz").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+
+    class JobCounter extends org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsFor(nMerges: Int): Int = {
+      val l = new JobCounter
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val m = TextOps.bpeTrain(docs, "text", nMerges = nMerges)
+        val n = m.count() // materialize the (driver-local) merge table
+        assert(n > 0L)
+        // listener events are posted async; give the bus a beat
+        Thread.sleep(500)
+        l.jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val j16 = jobsFor(16)
+    val j256 = jobsFor(256)
+    assert(j256 <= j16 + 1 && j256 <= 6,
+      s"training must not scale Spark jobs with nMerges: j16=$j16 j256=$j256")
+  }
+
   test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
     val spark2 = spark
     import spark2.implicits._
