@@ -241,9 +241,25 @@ object AnnOps {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // convergence thresholds scale with the matrix: quadratic
+    // convergence bottoms out near machine epsilon RELATIVE to the
+    // Frobenius norm, so for unnormalized large-magnitude covariance
+    // (pcaBasis runs on raw embeddings) an absolute cutoff would
+    // reject a legitimately converged decomposition
+    val frobSq = {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { acc += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      acc
+    }
+    val tol = 1e-20 * math.max(1.0, frobSq)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 64 && off > 1e-12) {
+    while (sweep < 64 && off > tol) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
@@ -296,8 +312,9 @@ object AnnOps {
     // safety net, not an accepted exit — cyclic Jacobi converges
     // quadratically, so d=64 finishes in ~6 sweeps; tripping this
     // means the input wasn't symmetric-real or the rotation broke
-    require(off <= 1e-9,
-      s"Jacobi eigensolver failed to converge: off-diagonal mass $off after $sweep sweeps (d=$d)")
+    require(off <= 1e-12 * math.max(1.0, frobSq),
+      s"Jacobi eigensolver failed to converge: off-diagonal mass $off " +
+        s"(frobSq $frobSq) after $sweep sweeps (d=$d)")
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 

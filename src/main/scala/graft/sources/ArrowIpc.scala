@@ -731,26 +731,39 @@ object ArrowIpc {
         while (line != null) {
           if (line.nonEmpty) {
             val bytes = java.util.Base64.getDecoder.decode(line)
-            admission.acquire(bytes.length.toLong) match {
-              case Left(_) => // TooLarge (the only refusal on a
-                // patient acquire): dead-letter, keep the line alive
-                val dlq = new java.io.File(spoolDir, "_dlq")
-                dlq.mkdirs()
-                java.nio.file.Files.write(new java.io.File(dlq,
-                  f"oversize-${counter.incrementAndGet()}%08d.arrow").toPath, bytes)
-                deadLettered.incrementAndGet()
-              case Right(()) =>
-                try {
-                  val dir = new java.io.File(spoolDir); dir.mkdirs()
-                  val name = f"gw-${counter.incrementAndGet()}%08d-" +
-                    f"${System.nanoTime()}%x.arrow"
-                  val tmp = new java.io.File(dir, s".$name")
-                  java.nio.file.Files.write(tmp.toPath, bytes)
-                  if (!tmp.renameTo(new java.io.File(dir, name)))
-                    throw new java.io.IOException(s"gateway rename failed: $name")
-                  payloads.incrementAndGet()
-                } finally admission.release(bytes.length.toLong)
+            // Only TooLarge (waiting can never help) is dead-lettered.
+            // TooManyWaiters is a transient connection pile-up: the
+            // budget-full contract is "block THIS read loop", so we
+            // keep this payload and retry — the sender sees a stalled
+            // TCP window, not silent diversion of valid data.
+            var admitted = false
+            var dead = false
+            while (!admitted && !dead) {
+              admission.acquire(bytes.length.toLong) match {
+                case Right(()) => admitted = true
+                case Left(graft.pipeline.AdmissionController.TooLarge) =>
+                  val dlq = new java.io.File(spoolDir, "_dlq")
+                  dlq.mkdirs()
+                  java.nio.file.Files.write(new java.io.File(dlq,
+                    f"too-large-${counter.incrementAndGet()}%08d.arrow").toPath,
+                    bytes)
+                  deadLettered.incrementAndGet()
+                  dead = true
+                case Left(_) => // TooManyWaiters (or Timeout): back off
+                  Thread.sleep(5)
+              }
             }
+            if (admitted)
+              try {
+                val dir = new java.io.File(spoolDir); dir.mkdirs()
+                val name = f"gw-${counter.incrementAndGet()}%08d-" +
+                  f"${System.nanoTime()}%x.arrow"
+                val tmp = new java.io.File(dir, s".$name")
+                java.nio.file.Files.write(tmp.toPath, bytes)
+                if (!tmp.renameTo(new java.io.File(dir, name)))
+                  throw new java.io.IOException(s"gateway rename failed: $name")
+                payloads.incrementAndGet()
+              } finally admission.release(bytes.length.toLong)
           }
           line = in.readLine()
         }

@@ -85,6 +85,45 @@ object OtlpHttp {
         s"unsupported compression '$other' (${names.mkString("|")})")
     }
 
+    /** decoded payload would exceed the receiver's cap — mapped to
+      * 413, distinct from corrupt-input (400) */
+    final class DecodedTooLarge(val limit: Long) extends java.io.IOException(
+      s"decoded body exceeds $limit bytes")
+
+    /** [[decode]] through a size-capped drain: decompression stops
+      * the moment the output passes `maxDecoded`, so a small
+      * zstd/deflate bomb can never materialize an unbounded payload
+      * before admission runs (the budget must bound PEAK receiver
+      * memory, not just post-decode memory). */
+    def decodeCapped(name: String, b: Array[Byte], maxDecoded: Long): Array[Byte] = {
+      def drain(in: java.io.InputStream): Array[Byte] =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n != -1) {
+            out.write(buf, 0, n)
+            if (out.size() > maxDecoded) throw new DecodedTooLarge(maxDecoded)
+            n = in.read(buf)
+          }
+          out.toByteArray
+        } finally in.close()
+      name match {
+        case "gzip" => drain(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b)))
+        case "zlib" | "deflate" => drain(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b)))
+        case "snappy" => // block format carries the decoded length up front
+          if (org.xerial.snappy.Snappy.uncompressedLength(b) > maxDecoded)
+            throw new DecodedTooLarge(maxDecoded)
+          org.xerial.snappy.Snappy.uncompress(b)
+        case "zstd" => drain(new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(b)))
+        case other => throw new IllegalArgumentException(
+          s"unsupported compression '$other' (${names.mkString("|")})")
+      }
+    }
+
     /** throws on corrupt input (mapped to 400 by the receiver) */
     def decode(name: String, b: Array[Byte]): Array[Byte] = name match {
       case "gzip" => gunzip(b)
@@ -121,9 +160,26 @@ object OtlpHttp {
     Array[Byte](0x0a) ++ varint(inner.length.toLong) ++ inner
   }
 
+  /** escape for embedding in a JSON string literal (RFC 8259: quote,
+    * backslash, and control chars) — response bodies interpolate
+    * caller- and client-supplied text */
+  def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   def partialSuccessJson(signal: String, rejected: Long,
                                           msg: String): String =
-    s"""{"partialSuccess":{"${rejectedField(signal)}":"$rejected","errorMessage":"$msg"}}"""
+    s"""{"partialSuccess":{"${rejectedField(signal)}":"$rejected","errorMessage":"${jsonEscape(msg)}"}}"""
 
   /** parse (rejected, message) from a 2xx response body in either
     * encoding; proto3 JSON prints int64 as a quoted string but plain
@@ -223,7 +279,8 @@ object OtlpHttp {
       admission: (String, Int) => Option[(Int, Int)] = (_, _) => None,
       partial: (String, Array[Byte]) => Option[(Long, String)] = (_, _) => None,
       controller: Option[graft.pipeline.AdmissionController] = None,
-      admissionWaitMs: Long = 1000L) {
+      admissionWaitMs: Long = 1000L,
+      maxDecodedBytes: Long = 64L * 1024 * 1024) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server =
@@ -258,18 +315,28 @@ object OtlpHttp {
         // treated as identity (compression.go newBodyReader)
         if (enc.nonEmpty && !Codec.names.contains(enc)) {
           obs.badRequests.incrementAndGet()
-          respond(400, s"""{"message":"unsupported Content-Encoding: $enc"}"""
+          respond(400, s"""{"message":"unsupported Content-Encoding: ${jsonEscape(enc)}"}"""
             .getBytes("UTF-8"), Map("Content-Type" -> "application/json"))
           return
         }
+        // decode through the size cap BEFORE anything buffers the
+        // decoded payload: the admission budget must bound peak
+        // memory, so a compression bomb fails here with 413, never
+        // materializing past maxDecodedBytes
         val body =
           if (enc.nonEmpty)
-            try Codec.decode(enc, raw)
-            catch { case scala.util.control.NonFatal(_) =>
-              obs.badRequests.incrementAndGet()
-              respond(400, s"""{"message":"corrupt $enc body"}""".getBytes("UTF-8"),
-                Map("Content-Type" -> "application/json"))
-              return
+            try Codec.decodeCapped(enc, raw, maxDecodedBytes)
+            catch {
+              case e: Codec.DecodedTooLarge =>
+                obs.throttled.incrementAndGet()
+                respond(413, s"""{"message":"decoded body exceeds ${e.limit} bytes"}"""
+                  .getBytes("UTF-8"), Map("Content-Type" -> "application/json"))
+                return
+              case scala.util.control.NonFatal(_) =>
+                obs.badRequests.incrementAndGet()
+                respond(400, s"""{"message":"corrupt ${jsonEscape(enc)} body"}""".getBytes("UTF-8"),
+                  Map("Content-Type" -> "application/json"))
+                return
             }
           else raw
         admission(signal.get, body.length) match {

@@ -645,11 +645,19 @@ object StreamingPipelines {
         val next = merge(prev)
         val tmp = new java.io.File(d, s".tmp_snapshot_$batchId")
         java.nio.file.Files.write(tmp.toPath, ser(next).getBytes("UTF-8"))
-        if (!tmp.renameTo(cur) && !cur.exists())
-          throw new java.io.IOException(s"snapshot rename failed: $cur")
+        val out =
+          if (tmp.renameTo(cur)) next
+          else if (cur.exists()) {
+            // lost the rename race to a concurrent writer (e.g. two
+            // queries sharing a stateDir): the DURABLE snapshot is
+            // authoritative — return it, not our divergent local
+            // merge, and clean up the orphaned temp file
+            tmp.delete()
+            de(readAll(cur))
+          } else throw new java.io.IOException(s"snapshot rename failed: $cur")
         for (i <- snapshotIds() if i < prevId.getOrElse(batchId))
           new java.io.File(d, s"snapshot_$i").delete()
-        next
+        out
       }
     }
     private def snapshotIds(): Seq[Long] =
