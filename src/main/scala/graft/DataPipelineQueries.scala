@@ -411,6 +411,19 @@ object DataPipelineQueries {
       TextOps.bpePairCounts(docs(s, dir), "text", topK = 100)),
     "q_bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(docs(s, dir), "text", nMerges = 12)),
+    // tokenizer APPLICATION — what a training run actually does with
+    // the merge table: train (one corpus pass + in-memory loop), then
+    // encode every document map-side with the merges riding as one
+    // codegen reference object. Per-doc word/subword/char counts
+    // report the compression the subword vocab achieves. Rows-only:
+    // the merge table is data-derived, so there is no static SQL
+    // twin; the encode kernel is spec-pinned on the Sennrich corpus.
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = TextOps.bpeTrain(docs(s, dir), "text", nMerges = 12)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs(s, dir), "doc_id", "text", merges)
+    }),
 
     // corpus vocabulary statistics: the Zipf head/tail report a
     // tokenizer or mix decision reads — vocab size, token mass, the

@@ -466,6 +466,24 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out == Seq("aa", "a"))
   }
 
+  test("bpeEncode applies trained merges greedily in rank order (Sennrich corpus)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val train = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(train, "text", nMerges = 5)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // "lowest" → [low, est]; "newest" → [n, ew, est]
+    val out = TextOps.bpeEncode(
+      Seq((7L, "lowest newest")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 5L, 12L)),
+      s"got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)})")
+  }
+
   test("bpeTrain job count is O(1), independent of nMerges") {
     val spark2 = spark
     import spark2.implicits._
