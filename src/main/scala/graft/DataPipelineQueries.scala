@@ -16,6 +16,17 @@ object DataPipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
+  /** deterministic page template for q_html_extract — shared with
+    * the oracle SQL so both engines synthesize the identical page
+    * (no quotes/apostrophes: the string is embedded in SQL literals) */
+  private val HtmlPrefix =
+    "<html><head><title>d</title><style>body{margin:0}</style>" +
+      "<script>var x=1&&2;</script></head><body><nav><ul><li>Home</li>" +
+      "<li>About</li><li>Contact</li></ul></nav><h1>Section One</h1><p>"
+  private val HtmlSuffix =
+    "</p><div>Share on social media</div>" +
+      "<footer>Copyright 2024 Example Corp</footer></body></html>"
+
   val queries: Map[String, Q] = Map(
     // exact dedup: content hash, keep the smallest doc_id per cluster
     "q_dedup_exact" -> ((s, dir) => {
@@ -243,6 +254,20 @@ object DataPipelineQueries {
         .groupBy(col("train_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
+    }),
+
+    // HTML→text extraction (the trafilatura/C4 stage upstream of
+    // every web-corpus operator): the synthetic corpus is plain
+    // text, so each doc is first wrapped in a deterministic page
+    // template (nav, script/style payloads, per-sentence <p> blocks,
+    // social/footer boilerplate — the oracle runs the identical
+    // synthesis), then tag-stripped, entity-decoded, and put through
+    // the line-density boilerplate filter. Fully map-side.
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(lit(HtmlPrefix),
+        regexp_replace(col("text"), "\\. ", ".</p><p>"), lit(HtmlSuffix))
+      TextOps.htmlExtract(
+        docs(s, dir).select(col("doc_id"), html.as("html")), "doc_id", "html")
     }),
 
     // intra-document repetition score (Gopher/C4-style quality
@@ -1175,6 +1200,27 @@ object DataPipelineQueries {
         |  WHEN 1.0 - CAST(n_distinct_3g AS DOUBLE) / (n_tokens - 2) > 0.05 THEN 'medium'
         |  ELSE 'low' END AS rep_class
         |FROM m""".stripMargin,
+
+    "q_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  '$HtmlPrefix' || regexp_replace(text, '\\. ', '.</p><p>', 'g') || '$HtmlSuffix' AS html
+        | FROM documents),
+        |t AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+        |   '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |   '<(/?)(p|div|br|h1|h2|h3|li|ul|ol|tr|table|nav|footer|header)[^>]*>', chr(10), 'g'),
+        |   '<[^>]*>', '', 'g') AS txt FROM h),
+        |d AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(txt,
+        |   '&lt;','<'),'&gt;','>'),'&quot;',chr(34)),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&') AS txt FROM t),
+        |l AS (SELECT doc_id,
+        |   list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM d),
+        |k AS (SELECT doc_id, lines,
+        |   list_filter(lines, x -> len(string_split_regex(x, ' +')) >= 5) AS kept FROM l)
+        |SELECT doc_id,
+        |   CAST(len(lines) AS BIGINT) AS n_lines,
+        |   CAST(len(kept) AS BIGINT) AS n_kept,
+        |   CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS n_chars,
+        |   md5(array_to_string(kept, chr(10))) AS text_md5
+        |FROM k""".stripMargin,
 
     "q_pii_redact" ->
       """WITH s AS (SELECT source,

@@ -280,6 +280,48 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** HTML→clean-text extraction — the stage UPSTREAM of every
+    * web-corpus operator in the pipeline (the trafilatura/C4 step):
+    * drop script/style payloads, convert block-level tags to line
+    * breaks, strip remaining tags, decode the common entities.
+    * Pure regex column kernels: map-side, zero shuffle, and every
+    * pattern is RE2-and-Java-identical so the DuckDB oracle can run
+    * the same extraction verbatim. (The collector reference has no
+    * analog — it consumes structured signals; this serves the
+    * LLM-data-pipeline side.) */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val blocks = regexp_replace(noScript,
+      "<(/?)(p|div|br|h1|h2|h3|li|ul|ol|tr|table|nav|footer|header)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", "")
+    // entity decode; &amp; LAST so &amp;lt; decodes to the literal <
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+  }
+
+  /** [[htmlToText]] plus the line-level boilerplate filter: split on
+    * the block-break lines, trim, drop empties, keep only lines with
+    * at least `minWords` whitespace-words (nav items, footers, and
+    * button labels die here — the C4 line filter). Reports per-doc
+    * raw/kept line counts, kept-text length, and an md5 of the kept
+    * text (portable exactness witness). Map-side only. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  minWords: Int = 5): DataFrame = {
+    val txt = htmlToText(col(htmlCol))
+    val lines = filter(transform(split(txt, "\n"), l => trim(l)),
+      l => l =!= "")
+    val kept = filter(lines, l => size(split(l, " +")) >= minWords)
+    df.select(col(idCol), lines.as("__lines"), kept.as("__kept"))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        length(array_join(col("__kept"), "\n")).cast("long").as("n_chars"),
+        md5(array_join(col("__kept"), "\n")).as("text_md5"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

@@ -320,6 +320,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("q_html_extract and q_doc_chunk stay map-side: zero exchanges") {
+    // HTML extraction and chunking are per-doc rewrites — at 100 TB
+    // neither may shuffle anything, least of all page bodies
+    for (q <- Seq("q_html_extract", "q_doc_chunk")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
   test("q_filter_events keeps the filter adjacent to the scan") {
     val p = plan("q_filter_events")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||
