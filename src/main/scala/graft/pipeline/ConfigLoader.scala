@@ -381,6 +381,14 @@ object ConfigLoader {
       downgradeAfter =
         m.get("downgradeAfter").map(_.asInstanceOf[Number].intValue()).getOrElse(3))
     case "logging" => LoggingExporter()
+    // OTLP/HTTP push exporter; optional configtls `tls:` block
+    // ({cert_file, key_file, ca_file, client_auth, min_version,
+    //   max_version, insecure_skip_verify})
+    case "otlp_http" => graft.sources.OtlpHttp.OtlpHttpExporter(
+      endpoint = str(m, "endpoint"), signal = str(m, "signal"),
+      useJson = m.get("encoding").exists(_.toString == "json"),
+      compression = m.get("compression").map(_.toString).getOrElse(""),
+      tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))))
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }
 }

@@ -715,12 +715,23 @@ object ArrowIpc {
     * file instead of deadlocking the line. Per-connection overhead
     * beyond the budget is one in-flight line buffer. */
   final class ArrowAdmissionGateway(port: Int, spoolDir: String,
-      admission: graft.pipeline.AdmissionController) {
+      admission: graft.pipeline.AdmissionController,
+      tls: Option[TlsConfig] = None) {
     private val counter = new java.util.concurrent.atomic.AtomicLong
     val payloads = new java.util.concurrent.atomic.AtomicLong
     val deadLettered = new java.util.concurrent.atomic.AtomicLong
-    private val server = new java.net.ServerSocket(
-      port, 50, java.net.InetAddress.getLoopbackAddress)
+    private val server: java.net.ServerSocket = tls match {
+      case None => new java.net.ServerSocket(
+        port, 50, java.net.InetAddress.getLoopbackAddress)
+      case Some(cfg) => // configtls on the socket transport: identity
+        // + optional mTLS, same config surface as the HTTP receiver
+        val ss = cfg.sslContext().getServerSocketFactory
+          .createServerSocket(port, 50,
+            java.net.InetAddress.getLoopbackAddress)
+          .asInstanceOf[javax.net.ssl.SSLServerSocket]
+        ss.setSSLParameters(cfg.serverParameters(ss.getSSLParameters))
+        ss
+    }
     @volatile private var running = true
 
     private def handle(sock: java.net.Socket): Unit = {

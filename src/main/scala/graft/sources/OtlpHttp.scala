@@ -280,12 +280,28 @@ object OtlpHttp {
       partial: (String, Array[Byte]) => Option[(Long, String)] = (_, _) => None,
       controller: Option[graft.pipeline.AdmissionController] = None,
       admissionWaitMs: Long = 1000L,
-      maxDecodedBytes: Long = 64L * 1024 * 1024) {
+      maxDecodedBytes: Long = 64L * 1024 * 1024,
+      tls: Option[TlsConfig] = None) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
-    private val server =
-      com.sun.net.httpserver.HttpServer.create(
-        new java.net.InetSocketAddress("localhost", port), 0)
+    private val server: com.sun.net.httpserver.HttpServer = tls match {
+      case None =>
+        com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("localhost", port), 0)
+      case Some(cfg) => // configtls server side: identity + optional mTLS
+        val s = com.sun.net.httpserver.HttpsServer.create(
+          new java.net.InetSocketAddress("localhost", port), 0)
+        val ctx = cfg.sslContext()
+        s.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(ctx) {
+            override def configure(
+                params: com.sun.net.httpserver.HttpsParameters): Unit = {
+              val ssl = cfg.serverParameters(ctx.getDefaultSSLParameters)
+              params.setSSLParameters(ssl)
+            }
+          })
+        s
+    }
 
     private def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
       try {
@@ -449,8 +465,12 @@ object OtlpHttp {
       shardKeys: Seq[String] = Nil,
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
       obs: Option[HttpExportObs] = None,
-      onPartialSuccess: (Long, String) => Unit = (_, _) => ())
+      onPartialSuccess: (Long, String) => Unit = (_, _) => (),
+      tls: Option[TlsConfig] = None)
       extends graft.pipeline.Pipeline.Exporter {
+
+    // one context per exporter, not per request
+    @transient private lazy val clientSsl = tls.map(_.sslContext())
 
     def export(df: DataFrame): Unit = {
       val requests =
@@ -464,6 +484,15 @@ object OtlpHttp {
     private def post(body0: Array[Byte]): Unit = {
       val url = new java.net.URL(endpoint + pathOf(signal))
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn match {
+        case https: javax.net.ssl.HttpsURLConnection =>
+          tls.foreach { cfg =>
+            clientSsl.foreach(ctx => https.setSSLSocketFactory(
+              new Tls.BoundedSocketFactory(ctx.getSocketFactory, cfg.protocols)))
+            if (cfg.insecureSkipVerify) https.setHostnameVerifier(Tls.anyHost)
+          }
+        case _ => ()
+      }
       conn.setConnectTimeout(connectTimeoutMs)
       conn.setReadTimeout(readTimeoutMs)
       conn.setRequestMethod("POST")
