@@ -1,0 +1,674 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** OTLP/gRPC transport — the collector's PRIMARY protocol
+  * (receiver/otlpreceiver/otlp.go serves gRPC next to HTTP;
+  * config/configgrpc/configgrpc.go is the knob surface). Implemented
+  * from the public wire specs, not any gRPC library: HTTP/2 cleartext
+  * (h2c, RFC 9113 — connection preface, SETTINGS/HEADERS/DATA/
+  * WINDOW_UPDATE/PING/RST_STREAM/GOAWAY frames), an HPACK subset
+  * (RFC 7541 — full static table, dynamic-table decode, raw-string
+  * literals; our encoder emits literal-without-indexing with raw
+  * strings only, so Huffman decode is out of scope for this
+  * loopback pair and raises if seen), the gRPC 5-byte message frame
+  * (1-byte compressed flag + 4-byte BE length), grpc-status /
+  * grpc-message trailers including the trailers-only error form, and
+  * google.rpc.Status + RetryInfo in `grpc-status-details-bin`
+  * (hand-rolled pb like the rest of OtlpProtobuf) so
+  * RESOURCE_EXHAUSTED carries the server's retry pushback the way
+  * the reference's otlp exporter consumes it.
+  *
+  * Scope honesty: this is the unary Export* loopback subset — one
+  * request per stream, identity/gzip grpc-encoding, no server flow-
+  * control enforcement (both ends announce 1 GiB windows up front so
+  * unary exchanges never block); stream-lifecycle (the otel-arrow
+  * bidirectional stream) stays on the Arrow IPC transport.
+  */
+object GrpcOtlp {
+
+  /** gRPC status codes used on this path (public grpc spec) */
+  object Status {
+    val Ok = 0
+    val InvalidArgument = 3
+    val ResourceExhausted = 8
+    val Unimplemented = 12
+    val Internal = 13
+    val Unavailable = 14
+  }
+
+  private val services = Map(
+    "logs" -> "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+    "traces" -> "/opentelemetry.proto.collector.trace.v1.TraceService/Export",
+    "metrics" -> "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export")
+  private val byPath = services.map(_.swap)
+
+  def pathOf(signal: String): String = services(signal)
+
+  // ---- HTTP/2 framing ----------------------------------------------
+
+  private[sources] object H2 {
+    val Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII")
+    val DATA = 0x0; val HEADERS = 0x1; val RST_STREAM = 0x3
+    val SETTINGS = 0x4; val PING = 0x6; val GOAWAY = 0x7
+    val WINDOW_UPDATE = 0x8; val CONTINUATION = 0x9
+    val FlagEndStream = 0x1; val FlagAck = 0x1; val FlagEndHeaders = 0x4
+    val MaxFrame = 16384
+
+    final case class Frame(tpe: Int, flags: Int, streamId: Int, payload: Array[Byte])
+
+    def write(out: java.io.OutputStream, tpe: Int, flags: Int,
+              streamId: Int, payload: Array[Byte]): Unit = {
+      val len = payload.length
+      out.write(Array[Byte](
+        ((len >> 16) & 0xFF).toByte, ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte,
+        tpe.toByte, flags.toByte,
+        ((streamId >> 24) & 0x7F).toByte, ((streamId >> 16) & 0xFF).toByte,
+        ((streamId >> 8) & 0xFF).toByte, (streamId & 0xFF).toByte))
+      out.write(payload)
+    }
+
+    /** null at clean EOF */
+    def read(in: java.io.InputStream): Frame = {
+      val head = in.readNBytes(9)
+      if (head.length == 0) return null
+      require(head.length == 9, "truncated h2 frame header")
+      val len = ((head(0) & 0xFF) << 16) | ((head(1) & 0xFF) << 8) | (head(2) & 0xFF)
+      val payload = in.readNBytes(len)
+      require(payload.length == len, "truncated h2 frame payload")
+      Frame(head(3) & 0xFF, head(4) & 0xFF,
+        ((head(5) & 0x7F) << 24) | ((head(6) & 0xFF) << 16) |
+          ((head(7) & 0xFF) << 8) | (head(8) & 0xFF), payload)
+    }
+
+    /** SETTINGS payload: INITIAL_WINDOW_SIZE(0x4)=1 GiB so unary
+      * exchanges never hit stream flow control on this loopback pair */
+    def settingsPayload(): Array[Byte] = {
+      val w = 1 << 30
+      Array[Byte](0x0, 0x4,
+        ((w >> 24) & 0xFF).toByte, ((w >> 16) & 0xFF).toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte)
+    }
+
+    /** connection-level WINDOW_UPDATE to match (stream 0) */
+    def bigWindowUpdate(out: java.io.OutputStream): Unit = {
+      val inc = (1 << 30) - 65535
+      write(out, WINDOW_UPDATE, 0, 0, Array[Byte](
+        ((inc >> 24) & 0x7F).toByte, ((inc >> 16) & 0xFF).toByte,
+        ((inc >> 8) & 0xFF).toByte, (inc & 0xFF).toByte))
+    }
+
+    /** open the h2c conversation from either side */
+    def handshakeClient(out: java.io.OutputStream): Unit = {
+      out.write(Preface)
+      write(out, SETTINGS, 0, 0, settingsPayload())
+      bigWindowUpdate(out)
+      out.flush()
+    }
+    def handshakeServer(in: java.io.InputStream, out: java.io.OutputStream): Unit = {
+      val p = in.readNBytes(Preface.length)
+      require(java.util.Arrays.equals(p, Preface), "bad h2c preface")
+      write(out, SETTINGS, 0, 0, settingsPayload())
+      bigWindowUpdate(out)
+      out.flush()
+    }
+
+    /** DATA chunked at the default max frame size */
+    def writeData(out: java.io.OutputStream, streamId: Int,
+                  body: Array[Byte], endStream: Boolean): Unit = {
+      var off = 0
+      if (body.isEmpty)
+        write(out, DATA, if (endStream) FlagEndStream else 0, streamId, body)
+      else while (off < body.length) {
+        val n = math.min(MaxFrame, body.length - off)
+        val last = off + n == body.length
+        write(out, DATA, if (endStream && last) FlagEndStream else 0,
+          streamId, java.util.Arrays.copyOfRange(body, off, off + n))
+        off += n
+      }
+    }
+  }
+
+  // ---- HPACK subset (RFC 7541) -------------------------------------
+
+  private[sources] object Hpack {
+    /** Appendix A static table (1-based) */
+    val Static: Array[(String, String)] = Array(
+      ":authority" -> "", ":method" -> "GET", ":method" -> "POST",
+      ":path" -> "/", ":path" -> "/index.html", ":scheme" -> "http",
+      ":scheme" -> "https", ":status" -> "200", ":status" -> "204",
+      ":status" -> "206", ":status" -> "304", ":status" -> "400",
+      ":status" -> "404", ":status" -> "500", "accept-charset" -> "",
+      "accept-encoding" -> "gzip, deflate", "accept-language" -> "",
+      "accept-ranges" -> "", "accept" -> "", "access-control-allow-origin" -> "",
+      "age" -> "", "allow" -> "", "authorization" -> "", "cache-control" -> "",
+      "content-disposition" -> "", "content-encoding" -> "",
+      "content-language" -> "", "content-length" -> "", "content-location" -> "",
+      "content-range" -> "", "content-type" -> "", "cookie" -> "", "date" -> "",
+      "etag" -> "", "expect" -> "", "expires" -> "", "from" -> "", "host" -> "",
+      "if-match" -> "", "if-modified-since" -> "", "if-none-match" -> "",
+      "if-range" -> "", "if-unmodified-since" -> "", "last-modified" -> "",
+      "link" -> "", "location" -> "", "max-forwards" -> "",
+      "proxy-authenticate" -> "", "proxy-authorization" -> "", "range" -> "",
+      "referer" -> "", "refresh" -> "", "retry-after" -> "", "server" -> "",
+      "set-cookie" -> "", "strict-transport-security" -> "",
+      "transfer-encoding" -> "", "user-agent" -> "", "vary" -> "", "via" -> "",
+      "www-authenticate" -> "")
+
+    def encodeInt(prefixBits: Int, firstByteHigh: Int, v0: Int,
+                  out: java.io.ByteArrayOutputStream): Unit = {
+      val max = (1 << prefixBits) - 1
+      if (v0 < max) out.write(firstByteHigh | v0)
+      else {
+        out.write(firstByteHigh | max)
+        var v = v0 - max
+        while (v >= 128) { out.write((v & 0x7F) | 0x80); v >>= 7 }
+        out.write(v)
+      }
+    }
+
+    /** all headers as literal-without-indexing, raw strings — the
+      * simplest spec-legal block, decodable by any conformant peer */
+    def encode(headers: Seq[(String, String)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      headers.foreach { case (name, value) =>
+        out.write(0x00) // literal without indexing, new name
+        val n = name.getBytes("US-ASCII"); val v = value.getBytes("US-ASCII")
+        encodeInt(7, 0x00, n.length, out); out.write(n)
+        encodeInt(7, 0x00, v.length, out); out.write(v)
+      }
+      out.toByteArray
+    }
+
+    final class Decoder {
+      private val dynamic = new java.util.ArrayDeque[(String, String)]()
+      private def entry(idx: Int): (String, String) = {
+        require(idx >= 1, "hpack index 0")
+        if (idx <= Static.length) Static(idx - 1)
+        else {
+          val di = idx - Static.length - 1
+          val it = dynamic.iterator()
+          var i = 0
+          while (it.hasNext) {
+            val e = it.next()
+            if (i == di) return e
+            i += 1
+          }
+          throw new IllegalArgumentException(s"hpack dynamic index $idx out of range")
+        }
+      }
+      def decode(block: Array[Byte]): Seq[(String, String)] = {
+        var p = 0
+        def readInt(prefixBits: Int): Int = {
+          val max = (1 << prefixBits) - 1
+          var v = block(p) & max; p += 1
+          if (v == max) {
+            var shift = 0; var b = 0
+            do {
+              b = block(p) & 0xFF; p += 1
+              v += (b & 0x7F) << shift; shift += 7
+            } while ((b & 0x80) != 0)
+          }
+          v
+        }
+        def readStr(): String = {
+          val huff = (block(p) & 0x80) != 0
+          val len = readInt(7)
+          require(!huff, "Huffman strings not in the loopback subset")
+          val s = new String(block, p, len, "US-ASCII"); p += len; s
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        while (p < block.length) {
+          val b = block(p) & 0xFF
+          if ((b & 0x80) != 0) { // indexed
+            out += entry(readInt(7))
+          } else if ((b & 0xC0) == 0x40) { // literal, incremental indexing
+            val idx = readInt(6)
+            val name = if (idx == 0) readStr() else entry(idx)._1
+            val value = readStr()
+            dynamic.addFirst(name -> value)
+            while (dynamic.size > 128) dynamic.removeLast()
+            out += (name -> value)
+          } else if ((b & 0xE0) == 0x20) { // dynamic table size update
+            readInt(5); ()
+          } else { // without indexing (0000) / never indexed (0001)
+            val idx = readInt(4)
+            val name = if (idx == 0) readStr() else entry(idx)._1
+            out += (name -> readStr())
+          }
+        }
+        out.toSeq
+      }
+    }
+  }
+
+  // ---- google.rpc.Status + RetryInfo (grpc-status-details-bin) -----
+
+  private def varint(v0: Long): Array[Byte] = {
+    var v = v0
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    while ((v & ~0x7FL) != 0L) { out += ((v & 0x7F) | 0x80).toByte; v >>>= 7 }
+    out += (v & 0x7F).toByte
+    out.toArray
+  }
+  private def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+    varint((field << 3) | 2L) ++ varint(body.length.toLong) ++ body
+
+  /** google.rpc.Status{code, message, details=[Any{RetryInfo{Duration}}]}
+    * — the reference exporter's retry pushback carrier (OTLP spec:
+    * servers SHOULD attach RetryInfo to RESOURCE_EXHAUSTED) */
+  def statusDetailsBin(code: Int, message: String, retryDelayMs: Long): String = {
+    val duration = varint(0x08L) ++ varint(retryDelayMs / 1000) ++
+      varint(0x10L) ++ varint((retryDelayMs % 1000) * 1000000L)
+    val retryInfo = lenDelim(1, duration)
+    val any = lenDelim(1, "type.googleapis.com/google.rpc.RetryInfo".getBytes("US-ASCII")) ++
+      lenDelim(2, retryInfo)
+    val status = varint(0x08L) ++ varint(code.toLong) ++
+      lenDelim(2, message.getBytes("UTF-8")) ++ lenDelim(3, any)
+    java.util.Base64.getEncoder.withoutPadding.encodeToString(status)
+  }
+
+  /** parse the RetryInfo delay out of grpc-status-details-bin; 0 when
+    * absent/unparseable (the exporter then uses its own backoff) */
+  def retryDelayMsOf(detailsBin: String): Long = {
+    try {
+      // tolerate missing padding (the spec allows both)
+      val pad = detailsBin.length % 4 match {
+        case 2 => detailsBin + "=="
+        case 3 => detailsBin + "="
+        case _ => detailsBin
+      }
+      val body = java.util.Base64.getDecoder.decode(pad)
+      var p = 0
+      def rv(): Long = {
+        var shift = 0; var v = 0L; var b = 0
+        do { b = body(p) & 0xFF; p += 1; v |= (b & 0x7FL) << shift; shift += 7 }
+        while ((b & 0x80) != 0)
+        v
+      }
+      def walk(end: Int, target: Long => Unit, path: List[Int]): Unit = {
+        while (p < end) {
+          val tag = rv(); val field = (tag >> 3).toInt; val wire = (tag & 7).toInt
+          (wire, path) match {
+            case (2, Nil) if field == 3 => // Status.details
+              val len = rv().toInt; val e = p + len; walk(e, target, List(3))
+            case (2, List(3)) if field == 2 => // Any.value
+              val len = rv().toInt; val e = p + len; walk(e, target, List(3, 2))
+            case (2, List(3, 2)) if field == 1 => // RetryInfo.retry_delay
+              val len = rv().toInt; val e = p + len; walk(e, target, List(3, 2, 1))
+            case (0, List(3, 2, 1)) if field == 1 => target(rv() * 1000L)
+            case (0, List(3, 2, 1)) if field == 2 => target(rv() / 1000000L)
+            case (0, _) => rv()
+            case (2, _) =>
+              // NB: `p += rv()` would read p BEFORE rv() advances it
+              val skip = rv().toInt; p += skip
+            case (5, _) => p += 4
+            case (1, _) => p += 8
+            case _ => p = end
+          }
+        }
+      }
+      var ms = 0L
+      walk(body.length, v => ms += v, Nil)
+      ms
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  // ---- receiver ----------------------------------------------------
+
+  final class GrpcObs {
+    val requests = new java.util.concurrent.atomic.AtomicLong
+    val throttled = new java.util.concurrent.atomic.AtomicLong
+    val badRequests = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  /** OTLP/gRPC receiver: unary Export* over h2c loopback. Spools each
+    * request's pb body into the SAME `<signal>_pb` layout the HTTP
+    * receiver and the streaming file receivers share, so gRPC lands
+    * on the identical parse/DLQ path. `throttle(signal)` returning
+    * Some(delayMs) refuses the request with RESOURCE_EXHAUSTED +
+    * RetryInfo; `partial` returns (rejected, message) to attach an
+    * Export*PartialSuccess to the 0-status response. */
+  final class OtlpGrpcReceiver(port: Int, spoolDir: String,
+      throttle: String => Option[Long] = _ => None,
+      partial: (String, Array[Byte]) => Option[(Long, String)] = (_, _) => None,
+      controller: Option[graft.pipeline.AdmissionController] = None,
+      admissionWaitMs: Long = 1000L,
+      tls: Option[TlsConfig] = None) {
+    val obs = new GrpcObs
+    private val counter = new java.util.concurrent.atomic.AtomicLong
+    private val server: java.net.ServerSocket = tls match {
+      case None => new java.net.ServerSocket(
+        port, 50, java.net.InetAddress.getLoopbackAddress)
+      case Some(cfg) => // configgrpc + configtls: TLS-wrapped h2
+        val ss = cfg.sslContext().getServerSocketFactory
+          .createServerSocket(port, 50,
+            java.net.InetAddress.getLoopbackAddress)
+          .asInstanceOf[javax.net.ssl.SSLServerSocket]
+        ss.setSSLParameters(cfg.serverParameters(ss.getSSLParameters))
+        ss
+    }
+    @volatile private var running = true
+
+    private final class StreamBuf {
+      var headers: Map[String, String] = Map.empty
+      val data = new java.io.ByteArrayOutputStream()
+      var headerBlock = new java.io.ByteArrayOutputStream()
+      var headersDone = false
+    }
+
+    private def handle(sock: java.net.Socket): Unit = {
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val decoder = new Hpack.Decoder
+      val streams = scala.collection.mutable.HashMap[Int, StreamBuf]()
+      try {
+        H2.handshakeServer(in, out)
+        var open = true
+        while (open) {
+          val f = H2.read(in)
+          if (f == null) open = false
+          else f.tpe match {
+            case H2.SETTINGS =>
+              if ((f.flags & H2.FlagAck) == 0)
+                H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty)
+              out.flush()
+            case H2.PING =>
+              if ((f.flags & H2.FlagAck) == 0) {
+                H2.write(out, H2.PING, H2.FlagAck, 0, f.payload); out.flush()
+              }
+            case H2.WINDOW_UPDATE => ()
+            case H2.GOAWAY => open = false
+            case H2.RST_STREAM => streams.remove(f.streamId)
+            case H2.HEADERS | H2.CONTINUATION =>
+              val sb = streams.getOrElseUpdate(f.streamId, new StreamBuf)
+              // strip optional priority/padding only when flagged
+              val payload =
+                if (f.tpe == H2.HEADERS && (f.flags & 0x20) != 0)
+                  java.util.Arrays.copyOfRange(f.payload, 5, f.payload.length)
+                else if (f.tpe == H2.HEADERS && (f.flags & 0x8) != 0) {
+                  val pad = f.payload(0) & 0xFF
+                  java.util.Arrays.copyOfRange(f.payload, 1, f.payload.length - pad)
+                } else f.payload
+              sb.headerBlock.write(payload)
+              if ((f.flags & H2.FlagEndHeaders) != 0) {
+                sb.headers = sb.headers ++
+                  decoder.decode(sb.headerBlock.toByteArray).toMap
+                sb.headerBlock = new java.io.ByteArrayOutputStream()
+                sb.headersDone = true
+              }
+              if ((f.flags & H2.FlagEndStream) != 0 && sb.headersDone)
+                respondStream(out, f.streamId, streams.remove(f.streamId).get)
+            case H2.DATA =>
+              streams.get(f.streamId).foreach { sb =>
+                sb.data.write(f.payload)
+                if ((f.flags & H2.FlagEndStream) != 0) {
+                  streams.remove(f.streamId)
+                  respondStream(out, f.streamId, sb)
+                }
+              }
+            case _ => () // unknown frame types are ignored per RFC
+          }
+        }
+      } catch {
+        case _: java.io.IOException if !running => ()
+        case scala.util.control.NonFatal(_) => ()
+      } finally sock.close()
+    }
+
+    private def trailersOnly(out: java.io.OutputStream, streamId: Int,
+        status: Int, msg: String, retryDelayMs: Long = -1L): Unit = {
+      val base = Seq(":status" -> "200", "content-type" -> "application/grpc",
+        "grpc-status" -> status.toString, "grpc-message" -> msg)
+      val hs = if (retryDelayMs >= 0L)
+        base :+ ("grpc-status-details-bin" ->
+          statusDetailsBin(status, msg, retryDelayMs))
+      else base
+      H2.write(out, H2.HEADERS, H2.FlagEndHeaders | H2.FlagEndStream,
+        streamId, Hpack.encode(hs))
+      out.flush()
+    }
+
+    private def respondStream(out: java.io.OutputStream, streamId: Int,
+                              sb: StreamBuf): Unit = {
+      val path = sb.headers.getOrElse(":path", "")
+      val signal = byPath.get(path)
+      if (sb.headers.getOrElse(":method", "") != "POST" || signal.isEmpty) {
+        obs.badRequests.incrementAndGet()
+        trailersOnly(out, streamId, Status.Unimplemented, s"unknown method $path")
+        return
+      }
+      if (!sb.headers.getOrElse("content-type", "").startsWith("application/grpc")) {
+        obs.badRequests.incrementAndGet()
+        trailersOnly(out, streamId, Status.Internal, "content-type must be application/grpc")
+        return
+      }
+      val raw = sb.data.toByteArray
+      if (raw.length < 5) {
+        obs.badRequests.incrementAndGet()
+        trailersOnly(out, streamId, Status.InvalidArgument, "truncated grpc frame")
+        return
+      }
+      val compressed = raw(0) != 0
+      val mlen = ((raw(1) & 0xFF) << 24) | ((raw(2) & 0xFF) << 16) |
+        ((raw(3) & 0xFF) << 8) | (raw(4) & 0xFF)
+      if (raw.length < 5 + mlen) {
+        obs.badRequests.incrementAndGet()
+        trailersOnly(out, streamId, Status.InvalidArgument, "truncated grpc message")
+        return
+      }
+      val framed = java.util.Arrays.copyOfRange(raw, 5, 5 + mlen)
+      val body =
+        if (!compressed) framed
+        else sb.headers.get("grpc-encoding") match {
+          case Some("gzip") =>
+            try OtlpHttp.Codec.decode("gzip", framed)
+            catch { case scala.util.control.NonFatal(_) =>
+              obs.badRequests.incrementAndGet()
+              trailersOnly(out, streamId, Status.InvalidArgument, "corrupt gzip message")
+              return
+            }
+          case other =>
+            obs.badRequests.incrementAndGet()
+            trailersOnly(out, streamId, Status.Unimplemented,
+              s"grpc-encoding ${other.getOrElse("")} unsupported")
+            return
+        }
+      throttle(signal.get) match {
+        case Some(delayMs) =>
+          obs.throttled.incrementAndGet()
+          trailersOnly(out, streamId, Status.ResourceExhausted,
+            "server overwhelmed", retryDelayMs = delayMs)
+          return
+        case None => ()
+      }
+      controller match {
+        case Some(ctl) =>
+          ctl.acquire(body.length.toLong, admissionWaitMs) match {
+            case Left(graft.pipeline.AdmissionController.TooLarge) =>
+              obs.throttled.incrementAndGet()
+              trailersOnly(out, streamId, Status.ResourceExhausted,
+                "message exceeds admission budget")
+              return
+            case Left(_) =>
+              obs.throttled.incrementAndGet()
+              trailersOnly(out, streamId, Status.ResourceExhausted,
+                "server overwhelmed", retryDelayMs = 1000L)
+              return
+            case Right(()) => ()
+          }
+        case None => ()
+      }
+      try {
+        val dir = new java.io.File(spoolDir, s"${signal.get}_pb")
+        dir.mkdirs()
+        val name = f"grpc-${counter.incrementAndGet()}%08d-${System.nanoTime()}%x.pb"
+        val tmp = new java.io.File(dir, s".$name")
+        java.nio.file.Files.write(tmp.toPath, body)
+        if (!tmp.renameTo(new java.io.File(dir, name)))
+          throw new java.io.IOException(s"spool rename failed: $name")
+      } finally controller.foreach(_.release(body.length.toLong))
+      obs.requests.incrementAndGet()
+      // success: response HEADERS + one framed response message + trailers
+      val respMsg = partial(signal.get, body) match {
+        case Some((rejected, msg)) => OtlpHttp.partialSuccessPb(rejected, msg)
+        case None => Array.empty[Byte]
+      }
+      H2.write(out, H2.HEADERS, H2.FlagEndHeaders, streamId, Hpack.encode(
+        Seq(":status" -> "200", "content-type" -> "application/grpc")))
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(0)
+      frame.write(Array[Byte](
+        ((respMsg.length >> 24) & 0xFF).toByte, ((respMsg.length >> 16) & 0xFF).toByte,
+        ((respMsg.length >> 8) & 0xFF).toByte, (respMsg.length & 0xFF).toByte))
+      frame.write(respMsg)
+      H2.writeData(out, streamId, frame.toByteArray, endStream = false)
+      H2.write(out, H2.HEADERS, H2.FlagEndHeaders | H2.FlagEndStream,
+        streamId, Hpack.encode(Seq("grpc-status" -> "0")))
+      out.flush()
+    }
+
+    private val acceptor = new Thread(() => {
+      try while (running) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "grpc-conn")
+        t.setDaemon(true); t.start()
+      } catch { case _: java.io.IOException => () }
+    }, "grpc-accept")
+    acceptor.setDaemon(true); acceptor.start()
+
+    def boundPort: Int = server.getLocalPort
+    def stop(): Unit = { running = false; server.close() }
+    def spoolPath(signal: String): String =
+      new java.io.File(spoolDir, s"${signal}_pb").toString
+  }
+
+  // ---- exporter ----------------------------------------------------
+
+  final class GrpcExportObs {
+    val sentRequests = new java.util.concurrent.atomic.AtomicLong
+    val partialSuccesses = new java.util.concurrent.atomic.AtomicLong
+    val rejectedItems = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  /** thrown for non-OK, non-retryable grpc-status */
+  final class GrpcStatusException(val status: Int, val message: String)
+    extends RuntimeException(s"grpc-status $status: $message")
+
+  /** OTLP/gRPC exporter: encodes the batch as Export*ServiceRequest
+    * pb (one request per shard group, like the HTTP exporter) and
+    * performs unary Export calls over h2c. Status mapping per the
+    * OTLP spec: 0 OK (response message parsed for partial success);
+    * RESOURCE_EXHAUSTED/UNAVAILABLE retryable — RetryInfo pushback
+    * from grpc-status-details-bin rides the throttle exception the
+    * queued-retry exporter already honors; everything else permanent. */
+  final case class OtlpGrpcExporter(host: String, port: Int, signal: String,
+      gzipBody: Boolean = false,
+      shardKeys: Seq[String] = Nil,
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
+      obs: Option[GrpcExportObs] = None,
+      onPartialSuccess: (Long, String) => Unit = (_, _) => (),
+      pathOverride: String = "", // custom service path (gateway prefixes)
+      tls: Option[TlsConfig] = None)
+      extends graft.pipeline.Pipeline.Exporter {
+
+    private def encodePb(df: DataFrame): DataFrame = signal match {
+      case "logs" => OtlpJsonSource.writeLogsPb(df, shardKeys)
+      case "traces" => OtlpJsonSource.writeSpansPb(df, shardKeys)
+      case "metrics" => OtlpJsonSource.writeMetricsPb(df, shardKeys)
+    }
+
+    def export(df: DataFrame): Unit = {
+      val it = encodePb(df).select(col("pb").as("body")).toLocalIterator()
+      while (it.hasNext) post(it.next().getAs[Array[Byte]]("body"))
+    }
+
+    private def post(msg0: Array[Byte]): Unit = {
+      val sock = tls match {
+        case None =>
+          val s = new java.net.Socket()
+          s.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+          s
+        case Some(cfg) => Tls.clientSocket(cfg, host, port)
+      }
+      sock.setSoTimeout(readTimeoutMs)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        H2.handshakeClient(out)
+        val msg = if (gzipBody) OtlpHttp.Codec.encode("gzip", msg0) else msg0
+        val headers = Seq(
+          ":method" -> "POST", ":scheme" -> "http",
+          ":path" -> (if (pathOverride.nonEmpty) pathOverride else pathOf(signal)),
+          ":authority" -> s"$host:$port",
+          "content-type" -> "application/grpc", "te" -> "trailers") ++
+          (if (gzipBody) Seq("grpc-encoding" -> "gzip") else Nil)
+        H2.write(out, H2.HEADERS, H2.FlagEndHeaders, 1, Hpack.encode(headers))
+        val frame = new java.io.ByteArrayOutputStream()
+        frame.write(if (gzipBody) 1 else 0)
+        frame.write(Array[Byte](
+          ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
+          ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))
+        frame.write(msg)
+        H2.writeData(out, 1, frame.toByteArray, endStream = true)
+        out.flush()
+
+        // read until trailers (END_STREAM) for stream 1
+        val decoder = new Hpack.Decoder
+        var headersIn = Map.empty[String, String]
+        val data = new java.io.ByteArrayOutputStream()
+        var done = false
+        while (!done) {
+          val f = H2.read(in)
+          require(f != null, "connection closed before grpc trailers")
+          f.tpe match {
+            case H2.SETTINGS =>
+              if ((f.flags & H2.FlagAck) == 0)
+                H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty)
+              out.flush()
+            case H2.PING =>
+              if ((f.flags & H2.FlagAck) == 0) {
+                H2.write(out, H2.PING, H2.FlagAck, 0, f.payload); out.flush()
+              }
+            case H2.WINDOW_UPDATE | H2.GOAWAY => ()
+            case H2.HEADERS | H2.CONTINUATION if f.streamId == 1 =>
+              headersIn = headersIn ++ decoder.decode(f.payload).toMap
+              if ((f.flags & H2.FlagEndStream) != 0) done = true
+            case H2.DATA if f.streamId == 1 =>
+              data.write(f.payload)
+              if ((f.flags & H2.FlagEndStream) != 0) done = true
+            case H2.RST_STREAM =>
+              throw new java.io.IOException("stream reset by server")
+            case _ => ()
+          }
+        }
+        val status = headersIn.getOrElse("grpc-status", "2").toInt
+        val message = headersIn.getOrElse("grpc-message", "")
+        if (status == Status.Ok) {
+          obs.foreach(_.sentRequests.incrementAndGet())
+          val resp = data.toByteArray
+          if (resp.length > 5) {
+            val body = java.util.Arrays.copyOfRange(resp, 5, resp.length)
+            OtlpHttp.parsePartialSuccess(body, "application/x-protobuf").foreach {
+              case (rejected, m) =>
+                obs.foreach { o =>
+                  o.partialSuccesses.incrementAndGet()
+                  o.rejectedItems.addAndGet(rejected)
+                }
+                onPartialSuccess(rejected, m)
+            }
+          }
+        } else if (status == Status.ResourceExhausted || status == Status.Unavailable) {
+          val delay = headersIn.get("grpc-status-details-bin")
+            .map(retryDelayMsOf).getOrElse(0L)
+          throw new graft.pipeline.Pipeline.ThrottledExportException(
+            s"grpc-status $status from $host:$port: $message", delay)
+        } else {
+          throw new graft.pipeline.Pipeline.PermanentExportException(
+            s"grpc-status $status from $host:$port: $message")
+        }
+      } finally sock.close()
+    }
+  }
+}

@@ -220,7 +220,7 @@ object OtlpHttp {
                 // unknown inner field: skip by wire type
                 (other & 0x7) match {
                   case 0 => varint()
-                  case 2 => p += varint().toInt
+                  case 2 => val skip = varint().toInt; p += skip
                   case 5 => p += 4
                   case 1 => p += 8
                   case _ => p = end
@@ -229,7 +229,7 @@ object OtlpHttp {
           }
         } else (tag & 0x7) match {
           case 0 => varint()
-          case 2 => p += varint().toInt
+          case 2 => val skip = varint().toInt; p += skip
           case 5 => p += 4
           case 1 => p += 8
           case _ => p = body.length

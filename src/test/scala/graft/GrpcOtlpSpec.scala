@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Pipeline
+import graft.sources.{GrpcOtlp, OtlpJsonSource}
+import graft.sources.GrpcOtlp.{OtlpGrpcExporter, OtlpGrpcReceiver}
+
+/** Live loopback specs for the OTLP/gRPC transport: unary Export*
+  * over hand-rolled h2c + HPACK + gRPC framing — rows identical to
+  * the other transports, gzip message compression, partial success
+  * in the response message, RESOURCE_EXHAUSTED + RetryInfo honored
+  * by the retry exporter, and the grpc-status error mapping.
+  */
+class GrpcOtlpSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def mkLogRequest(svc: String, n: Int): String = {
+    val recs = (0 until n).map { i =>
+      s"""{"timeUnixNano":"${1700000000000000000L + i * 1000000L}",
+         |"severityNumber":9,"severityText":"INFO",
+         |"body":{"stringValue":"msg-$i"},
+         |"attributes":[{"key":"idx","value":{"intValue":"$i"}}],
+         |"traceId":"t${i % 7}","spanId":"s$i"}""".stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[$recs]}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  private def mkSpanRequest(svc: String, n: Int): String = {
+    val sp = (0 until n).map { i =>
+      s"""{"traceId":"0102030405060708090a0b0c0d0e0f${"%02d".format(i)}",
+         |"spanId":"010203040506070$i","name":"op-$i","kind":2,
+         |"startTimeUnixNano":"${1000 + i}","endTimeUnixNano":"${2000 + i}",
+         |"status":{"code":2,"message":"boom"},"attributes":[]}"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeSpans":[{"scope":{"name":"graft"},"spans":[$sp]}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("gRPC loopback: logs and traces land on the pb-identical parse path") {
+    import spark.implicits._
+    val spool = tmpDir("grpc_spool")
+    val rx = new OtlpGrpcReceiver(0, spool)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 12)).toDF("json"))
+      val spans = OtlpJsonSource.parseSpans(Seq(mkSpanRequest("api", 6)).toDF("json"))
+      OtlpGrpcExporter("localhost", rx.boundPort, "logs").export(logs)
+      OtlpGrpcExporter("localhost", rx.boundPort, "traces").export(spans)
+      assert(rx.obs.requests.get == 2)
+
+      val backLogs = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs"))
+          .select(col("content").as("pb")))
+      assert(backLogs.count() == 12)
+      assert(backLogs.select("body").collect().map(_.getString(0)).sorted
+        .sameElements(logs.select("body").collect().map(_.getString(0)).sorted))
+
+      val backSpans = OtlpJsonSource.parseSpansPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("traces"))
+          .select(col("content").as("pb")))
+      assert(backSpans.count() == 6)
+      assert(backSpans.select("name").collect().map(_.getString(0)).sorted
+        .sameElements(spans.select("name").collect().map(_.getString(0)).sorted))
+    } finally rx.stop()
+  }
+
+  test("gRPC gzip message compression decodes identically") {
+    import spark.implicits._
+    val spool = tmpDir("grpc_gzip")
+    val rx = new OtlpGrpcReceiver(0, spool)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("gz", 9)).toDF("json"))
+      OtlpGrpcExporter("localhost", rx.boundPort, "logs", gzipBody = true).export(logs)
+      val back = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs"))
+          .select(col("content").as("pb")))
+      assert(back.count() == 9)
+    } finally rx.stop()
+  }
+
+  test("partial success rides the response message") {
+    import spark.implicits._
+    val spool = tmpDir("grpc_partial")
+    val rx = new OtlpGrpcReceiver(0, spool,
+      partial = (_, _) => Some((3L, "three rejected")))
+    try {
+      val obs = new GrpcOtlp.GrpcExportObs
+      var seen: Option[(Long, String)] = None
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("p", 5)).toDF("json"))
+      OtlpGrpcExporter("localhost", rx.boundPort, "logs", obs = Some(obs),
+        onPartialSuccess = (r, m) => seen = Some((r, m))).export(logs)
+      assert(seen.contains((3L, "three rejected")))
+      assert(obs.rejectedItems.get == 3)
+    } finally rx.stop()
+  }
+
+  test("google.rpc.Status RetryInfo encode/decode roundtrip") {
+    assert(GrpcOtlp.retryDelayMsOf(GrpcOtlp.statusDetailsBin(8, "x", 250L)) == 250L)
+    assert(GrpcOtlp.retryDelayMsOf(GrpcOtlp.statusDetailsBin(8, "x", 3500L)) == 3500L)
+    assert(GrpcOtlp.retryDelayMsOf("!!!not-base64!!!") == 0L)
+  }
+
+  test("RESOURCE_EXHAUSTED with RetryInfo: pushback honored by the retry exporter") {
+    import spark.implicits._
+    val spool = tmpDir("grpc_throttle")
+    val throttles = new java.util.concurrent.atomic.AtomicInteger(2)
+    val rx = new OtlpGrpcReceiver(0, spool,
+      throttle = _ => if (throttles.getAndDecrement() > 0) Some(250L) else None)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("t", 4)).toDF("json"))
+      // raw exporter surfaces the throttle + server delay
+      val ex = intercept[Pipeline.ThrottledExportException] {
+        OtlpGrpcExporter("localhost", rx.boundPort, "logs").export(logs)
+      }
+      assert(ex.retryAfterMs == 250L, s"RetryInfo delay lost: ${ex.retryAfterMs}")
+      // wrapped in the retry exporter: second throttle consumed, then delivered
+      val t0 = System.nanoTime()
+      Pipeline.RetryingExporter(
+        OtlpGrpcExporter("localhost", rx.boundPort, "logs"), maxRetries = 3)
+        .export(logs)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(rx.obs.requests.get == 1)
+      assert(rx.obs.throttled.get == 2)
+      assert(elapsedMs >= 250L, s"server pushback not applied: ${elapsedMs}ms")
+    } finally rx.stop()
+  }
+
+  test("grpc-status mapping: unknown method is UNIMPLEMENTED = permanent, not retried") {
+    import spark.implicits._
+    val spool = tmpDir("grpc_status")
+    val rx = new OtlpGrpcReceiver(0, spool)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("x", 1)).toDF("json"))
+      val ex = intercept[Pipeline.PermanentExportException] {
+        OtlpGrpcExporter("localhost", rx.boundPort, "logs",
+          pathOverride = "/no.such.Service/Export").export(logs)
+      }
+      assert(ex.getMessage.contains("grpc-status 12"), ex.getMessage)
+      assert(rx.obs.badRequests.get == 1)
+      assert(rx.obs.requests.get == 0)
+    } finally rx.stop()
+  }
+
+  test("admission budget: oversize message refused with RESOURCE_EXHAUSTED") {
+    import spark.implicits._
+    val spool = tmpDir("grpc_adm")
+    val rx = new OtlpGrpcReceiver(0, spool,
+      controller = Some(new graft.pipeline.AdmissionController(64L)))
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("big", 20)).toDF("json"))
+      val ex = intercept[Pipeline.ThrottledExportException] {
+        OtlpGrpcExporter("localhost", rx.boundPort, "logs").export(logs)
+      }
+      assert(ex.getMessage.contains("grpc-status 8"), ex.getMessage)
+      assert(rx.obs.requests.get == 0)
+    } finally rx.stop()
+  }
+}

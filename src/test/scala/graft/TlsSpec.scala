@@ -165,6 +165,28 @@ class TlsSpec extends AnyFunSuite {
     } finally gw.stop()
   }
 
+  test("gRPC over TLS: rows land; wrong-CA client refused") {
+    import spark.implicits._
+    val spool = tmpDir("tls_grpc")
+    val rx = new graft.sources.GrpcOtlp.OtlpGrpcReceiver(0, spool,
+      tls = Some(TlsConfig(certFile = serverCert, keyFile = serverKey)))
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("g", 5)).toDF("json"))
+      graft.sources.GrpcOtlp.OtlpGrpcExporter("localhost", rx.boundPort, "logs",
+        tls = Some(TlsConfig(caFile = serverCert))).export(logs)
+      assert(rx.obs.requests.get == 1)
+      val back = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs"))
+          .select(col("content").as("pb")))
+      assert(back.count() == 5)
+      intercept[Exception] {
+        graft.sources.GrpcOtlp.OtlpGrpcExporter("localhost", rx.boundPort, "logs",
+          tls = Some(TlsConfig(caFile = otherCert))).export(logs)
+      }
+      assert(rx.obs.requests.get == 1)
+    } finally rx.stop()
+  }
+
   test("protocol bounds: TLSv1.3-only server refuses a TLSv1.2-max client") {
     import spark.implicits._
     val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 1)).toDF("json"))
