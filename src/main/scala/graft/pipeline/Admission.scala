@@ -35,6 +35,11 @@ object AdmissionController {
   /** the budget did not free up within the caller's patience —
     * retryable throttle */
   case object Timeout extends Refusal
+  /** the PROCESS heap is above the limiter's soft limit — retryable
+    * (the reference memory limiter's refuse-data verdict); distinct
+    * from the byte-budget refusals because no release will clear it,
+    * only falling heap usage */
+  case object MemoryPressure extends Refusal
 }
 
 final class AdmissionController(val maxBytes: Long, val maxWaiters: Int = 64) {
@@ -54,12 +59,21 @@ final class AdmissionController(val maxBytes: Long, val maxWaiters: Int = 64) {
   /** current admitted-but-unreleased bytes */
   def inFlightBytes: Long = lock.synchronized(inFlight)
 
+  /** optional process-heap trigger (reference memorylimiter wired
+    * into receiver admission): while the limiter refuses, EVERY
+    * acquire refuses retryably regardless of the byte budget */
+  @volatile private var heapGate: () => Boolean = () => false
+  def withHeapLimiter(hl: HeapLimiter): this.type = {
+    heapGate = () => hl.mustRefuse; this
+  }
+
   /** Admit `bytes`, waiting up to `waitMs` for the budget to free.
     * Left(refusal) never admitted anything; Right(()) must be paired
     * with exactly one [[release]] of the same size. */
   def acquire(bytes: Long, waitMs: Long = Long.MaxValue): Either[Refusal, Unit] = {
     require(bytes >= 0, "negative payload size")
     if (bytes > maxBytes) { refused.incrementAndGet(); return Left(TooLarge) }
+    if (heapGate()) { refused.incrementAndGet(); return Left(MemoryPressure) }
     val deadline =
       if (waitMs == Long.MaxValue) Long.MaxValue
       else System.nanoTime() + waitMs * 1000000L

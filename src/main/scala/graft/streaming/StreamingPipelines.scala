@@ -73,16 +73,25 @@ object StreamingPipelines {
   def exportStreamAdmitted(stream: DataFrame, exporter: graft.pipeline.Pipeline.Exporter,
                            checkpoint: String, maxRowsPerBatch: Int,
                            order: Seq[org.apache.spark.sql.Column],
-                           refuse: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                           refuse: (DataFrame, Long) => Unit,
+                           heap: Option[graft.pipeline.HeapLimiter] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sorted = batch.orderBy(order: _*).persist()
-        try {
-          if (sorted.count() > maxRowsPerBatch)
-            refuse(sorted.offset(maxRowsPerBatch), batchId)
-          exporter.exportBatch(sorted.limit(maxRowsPerBatch), batchId)
-        } finally { sorted.unpersist(); () }
+        // process-heap trigger (reference memorylimiter): while the
+        // PROCESS is under pressure the whole trigger is refused —
+        // respooled to the source, nothing lost, re-admitted once the
+        // limiter clears (refuse is idempotent per batchId, so a
+        // pressured batch replayed after recovery re-splits cleanly)
+        if (heap.exists(_.mustRefuse)) refuse(batch.orderBy(order: _*), batchId)
+        else {
+          val sorted = batch.orderBy(order: _*).persist()
+          try {
+            if (sorted.count() > maxRowsPerBatch)
+              refuse(sorted.offset(maxRowsPerBatch), batchId)
+            exporter.exportBatch(sorted.limit(maxRowsPerBatch), batchId)
+          } finally { sorted.unpersist(); () }
+        }
       }
       .start()
 
