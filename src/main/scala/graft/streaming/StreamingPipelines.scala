@@ -767,32 +767,41 @@ object StreamingPipelines {
         obs.foreach { o =>
           o.docsIn.addAndGet(prepped.count()); o.triggers.incrementAndGet()
         }
-        val bc = s.sparkContext.broadcast(st)
-        val n = st.n.toDouble
-        val avgdl = st.totalDl.toDouble / n
-        val scored = prepped.as[(Long, Long, Seq[String], Boolean)]
-          .map { case (id, dl, hits, upd) =>
-            val stv = bc.value
-            val tf = hits.groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
-            if (stv.n == 0L || tf.isEmpty) (id, 0L, 0.0, upd)
-            else {
-              // the batch twin's expression tree, term by term: each
-              // term rounds through DECIMAL(28,8) before the sum
-              // (QUtil.dsum — shortest-string + HALF_UP, the Spark
-              // double→decimal cast), so replayed scores are
-              // bit-identical, not merely close
-              val acc = tf.toSeq.sortBy(_._1).foldLeft(java.math.BigDecimal.ZERO) {
-                case (sum, (term, tfd)) =>
-                  val dft = stv.df.getOrElse(term, 0L).toDouble
-                  val idf = (n - dft + 0.5) / (dft + 0.5)
-                  val sc = idf * (tfd * (k1 + 1.0)) /
-                    (tfd + k1 * (1.0 - b + b * (dl.toDouble / avgdl)))
-                  sum.add(new java.math.BigDecimal(java.lang.Double.toString(sc))
-                    .setScale(8, java.math.RoundingMode.HALF_UP))
-              }
-              (id, tf.size.toLong, acc.doubleValue, upd)
+        // scoring: pure column kernels (codegen'd, no per-row
+        // encode/decode) — the per-term df table is O(|queryTerms|)
+        // and rides as a literal map in the plan; each term's score
+        // rounds through DECIMAL(28,8) before the exact decimal sum
+        // (the Spark double→decimal cast = shortest-string + HALF_UP,
+        // QUtil.dsum's contract), so replayed scores stay
+        // bit-identical to the batch twin
+        val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+        val scored =
+          if (st.n == 0L)
+            prepped.select(col("id"), lit(0L).as("n_terms"),
+              lit(0.0).as("score"), col("upd").as("updated"))
+          else {
+            val n = st.n.toDouble
+            val avgdl = st.totalDl.toDouble / n
+            val dfMap =
+              if (st.df.isEmpty) typedLit(Map.empty[String, Double])
+              else typedLit(st.df.map { case (k, v) => k -> v.toDouble })
+            val terms = array_sort(array_distinct(col("hits")))
+            def termScore(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+              val tfd = size(filter(col("hits"), h => h === t)).cast("double")
+              val dft = coalesce(element_at(dfMap, t), lit(0.0))
+              val idf = (lit(n) - dft + lit(0.5)) / (dft + lit(0.5))
+              idf * (tfd * lit(k1 + 1.0)) /
+                (tfd + lit(k1) * (lit(1.0 - b) +
+                  lit(b) * (col("dl").cast("double") / lit(avgdl))))
             }
-          }.toDF("id", "n_terms", "score", "updated")
+            prepped.select(col("id"),
+              size(terms).cast("long").as("n_terms"),
+              when(size(terms) === 0, lit(0.0)).otherwise(
+                aggregate(terms, lit(java.math.BigDecimal.ZERO).cast(dec),
+                  (acc, t) => (acc + termScore(t).cast(dec)).cast(dec))
+                  .cast("double")).as("score"),
+              col("upd").as("updated"))
+          }
         sink(scored, batchId)
       } finally prepped.unpersist()
     }.start()
@@ -890,24 +899,36 @@ object StreamingPipelines {
         obs.foreach { o =>
           o.docsIn.addAndGet(prepped.count()); o.triggers.incrementAndGet()
         }
-        val bc = s.sparkContext.broadcast(st)
+        // scoring: column kernels over a bigram explode + broadcast
+        // joins against the snapshot tables (the batch twin's own
+        // shape — no per-row encode/decode). The state tables are
+        // driver-held frames; Spark broadcasts them, so scoring
+        // stays distributed. Per-pair p rounds through
+        // DECIMAL(28,8) before the exact decimal sum (QUtil.dsum's
+        // double→decimal cast), divided by n_bigrams in double —
+        // bit-identical to the batch twin's op order.
         val v = st.vocab.size.toDouble
-        val scored = prepped.as[(Long, Seq[String], Boolean)]
-          .filter(_._2.length >= 2)
-          .map { case (id, toks, upd) =>
-            val stv = bc.value
-            // batch twin: __p = (c12 + 1.0) / (c1 + V), score =
-            // decimal-sum(p) / n_bigrams — identical op order
-            val ps = toks.sliding(2).map { pair =>
-              val c12 = stv.c12.getOrElse(pair.head + SEP + pair(1), 0L).toDouble
-              val c1 = stv.c1.getOrElse(pair.head, 0L).toDouble
-              (c12 + 1.0) / (c1 + v)
-            }.toSeq
-            val acc = ps.foldLeft(java.math.BigDecimal.ZERO)((sum, p) =>
-              sum.add(new java.math.BigDecimal(java.lang.Double.toString(p))
-                .setScale(8, java.math.RoundingMode.HALF_UP)))
-            (id, ps.size.toLong, acc.doubleValue / ps.size.toDouble, upd)
-          }.toDF("id", "n_bigrams", "score", "updated")
+        val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+        val c12df = st.c12.toSeq.toDF("bg", "c12")
+        val c1df = st.c1.toSeq.toDF("h", "c1")
+        val pairs = prepped.filter(size(col("toks")) >= 2)
+          .select(col("id"), col("upd"), explode(
+            transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
+              (t, i) => concat(t, lit(SEP), element_at(col("toks"), i + 2))))
+            .as("bg"))
+          .withColumn("h", substring_index(col("bg"), SEP, 1))
+        val scored = pairs
+          .join(broadcast(c12df), Seq("bg"), "left")
+          .join(broadcast(c1df), Seq("h"), "left")
+          .withColumn("p",
+            (coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+              (coalesce(col("c1"), lit(0L)).cast("double") + lit(v)))
+          .groupBy(col("id"), col("upd"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("p").cast(dec)).cast("double").as("__psum"))
+          .select(col("id"), col("n_bigrams"),
+            (col("__psum") / col("n_bigrams").cast("double")).as("score"),
+            col("upd").as("updated"))
         sink(scored, batchId)
       } finally prepped.unpersist()
     }.start()
