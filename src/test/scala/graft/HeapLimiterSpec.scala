@@ -77,8 +77,13 @@ class HeapLimiterSpec extends AnyFunSuite {
   }
 
   test("real JVM allocation pressure flips the gate; release + GC recovers it") {
+    // settle the baseline first: prior suites leave collectable
+    // garbage, and an inflated used0 would put the soft limit above
+    // the post-GC live set, letting the limiter's own GC "recover"
+    // the pressured check
+    HeapLimiter.jvmGc(); Thread.sleep(200)
     val used0 = HeapLimiter.jvmHeapUsed()
-    // soft limit ~48 MiB above current usage, spike 16 MiB
+    // soft limit ~48 MiB above the settled live set, spike 16 MiB
     val hl = new HeapLimiter(limitBytes = used0 + (64L << 20),
       spikeBytes = 16L << 20, minGcIntervalMs = 0L)
     hl.checkMemLimits()
