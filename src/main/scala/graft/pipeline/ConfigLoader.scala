@@ -388,7 +388,10 @@ object ConfigLoader {
       endpoint = str(m, "endpoint"), signal = str(m, "signal"),
       useJson = m.get("encoding").exists(_.toString == "json"),
       compression = m.get("compression").map(_.toString).getOrElse(""),
-      tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))))
+      tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+      // configauth client half ({bearer_token} | {basic: {username,
+      // password}} | {api_key_header, api_key})
+      auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))))
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }
 }

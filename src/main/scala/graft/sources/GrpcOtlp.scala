@@ -36,6 +36,7 @@ object GrpcOtlp {
     val Unimplemented = 12
     val Internal = 13
     val Unavailable = 14
+    val Unauthenticated = 16
   }
 
   private val services = Map(
@@ -321,6 +322,8 @@ object GrpcOtlp {
     val requests = new java.util.concurrent.atomic.AtomicLong
     val throttled = new java.util.concurrent.atomic.AtomicLong
     val badRequests = new java.util.concurrent.atomic.AtomicLong
+    /** requests refused by the server authenticator (UNAUTHENTICATED) */
+    val denied = new java.util.concurrent.atomic.AtomicLong
   }
 
   /** OTLP/gRPC receiver: unary Export* over h2c loopback. Spools each
@@ -335,7 +338,9 @@ object GrpcOtlp {
       partial: (String, Array[Byte]) => Option[(Long, String)] = (_, _) => None,
       controller: Option[graft.pipeline.AdmissionController] = None,
       admissionWaitMs: Long = 1000L,
-      tls: Option[TlsConfig] = None) {
+      tls: Option[TlsConfig] = None,
+      auth: Option[Auth.ServerAuthenticator] = None,
+      onAuthenticated: (String, Map[String, String]) => Unit = (_, _) => ()) {
     val obs = new GrpcObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: java.net.ServerSocket = tls match {
@@ -444,6 +449,21 @@ object GrpcOtlp {
         trailersOnly(out, streamId, Status.Internal, "content-type must be application/grpc")
         return
       }
+      // configauth server authenticator (configgrpc authUnaryServer-
+      // Interceptor behavior: validate request metadata before the
+      // handler; failure = UNAUTHENTICATED, never retried)
+      var authAttrs = Map.empty[String, String]
+      auth match {
+        case Some(a) =>
+          a.authenticate(sb.headers.map { case (k, v) => k -> Seq(v) }) match {
+            case Left(reason) =>
+              obs.denied.incrementAndGet()
+              trailersOnly(out, streamId, Status.Unauthenticated, reason)
+              return
+            case Right(attrs) => authAttrs = attrs
+          }
+        case None => ()
+      }
       val raw = sb.data.toByteArray
       if (raw.length < 5) {
         obs.badRequests.incrementAndGet()
@@ -510,6 +530,7 @@ object GrpcOtlp {
           throw new java.io.IOException(s"spool rename failed: $name")
       } finally controller.foreach(_.release(body.length.toLong))
       obs.requests.incrementAndGet()
+      if (auth.isDefined) onAuthenticated(signal.get, authAttrs)
       // success: response HEADERS + one framed response message + trailers
       val respMsg = partial(signal.get, body) match {
         case Some((rejected, msg)) => OtlpHttp.partialSuccessPb(rejected, msg)
@@ -570,7 +591,8 @@ object GrpcOtlp {
       obs: Option[GrpcExportObs] = None,
       onPartialSuccess: (Long, String) => Unit = (_, _) => (),
       pathOverride: String = "", // custom service path (gateway prefixes)
-      tls: Option[TlsConfig] = None)
+      tls: Option[TlsConfig] = None,
+      auth: Option[Auth.ClientAuthenticator] = None)
       extends graft.pipeline.Pipeline.Exporter {
 
     private def encodePb(df: DataFrame): DataFrame = signal match {
@@ -603,7 +625,10 @@ object GrpcOtlp {
           ":path" -> (if (pathOverride.nonEmpty) pathOverride else pathOf(signal)),
           ":authority" -> s"$host:$port",
           "content-type" -> "application/grpc", "te" -> "trailers") ++
-          (if (gzipBody) Seq("grpc-encoding" -> "gzip") else Nil)
+          (if (gzipBody) Seq("grpc-encoding" -> "gzip") else Nil) ++
+          // PerRPCCredentials half of auth/client.go: credentials as
+          // request metadata (HTTP/2 requires lowercase names)
+          auth.toSeq.flatMap(_.headers().map { case (k, v) => k.toLowerCase -> v })
         H2.write(out, H2.HEADERS, H2.FlagEndHeaders, 1, Hpack.encode(headers))
         val frame = new java.io.ByteArrayOutputStream()
         frame.write(if (gzipBody) 1 else 0)

@@ -245,6 +245,8 @@ object OtlpHttp {
     val requests = new java.util.concurrent.atomic.AtomicLong
     val throttled = new java.util.concurrent.atomic.AtomicLong
     val badRequests = new java.util.concurrent.atomic.AtomicLong
+    /** requests refused by the server authenticator (401) */
+    val denied = new java.util.concurrent.atomic.AtomicLong
   }
 
   /** OTLP/HTTP push receiver: accepts POST /v1/{logs,metrics,traces}
@@ -281,7 +283,9 @@ object OtlpHttp {
       controller: Option[graft.pipeline.AdmissionController] = None,
       admissionWaitMs: Long = 1000L,
       maxDecodedBytes: Long = 64L * 1024 * 1024,
-      tls: Option[TlsConfig] = None) {
+      tls: Option[TlsConfig] = None,
+      auth: Option[Auth.ServerAuthenticator] = None,
+      onAuthenticated: (String, Map[String, String]) => Unit = (_, _) => ()) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: com.sun.net.httpserver.HttpServer = tls match {
@@ -318,6 +322,29 @@ object OtlpHttp {
         }
         if (ex.getRequestMethod != "POST") { respond(405, Array.empty); return }
         if (signal.isEmpty) { respond(404, Array.empty); return }
+        // configauth server authenticator (confighttp authInterceptor:
+        // runs before the payload is touched; failure is 401 and the
+        // data NEVER enters the pipeline — server.go:21-22 "the caller
+        // must not retry", hence a permanent status)
+        var authAttrs = Map.empty[String, String]
+        auth match {
+          case Some(a) =>
+            val headers = scala.jdk.CollectionConverters
+              .MapHasAsScala(ex.getRequestHeaders).asScala.map { case (k, vs) =>
+                k.toLowerCase -> scala.jdk.CollectionConverters
+                  .ListHasAsScala(vs).asScala.toSeq
+              }.toMap
+            a.authenticate(headers) match {
+              case Left(reason) =>
+                obs.denied.incrementAndGet()
+                respond(401, s"""{"message":"${jsonEscape(reason)}"}""".getBytes("UTF-8"),
+                  Map("Content-Type" -> "application/json",
+                    "WWW-Authenticate" -> a.challenge))
+                return
+              case Right(attrs) => authAttrs = attrs
+            }
+          case None => ()
+        }
         val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
           .getOrElse("").split(";")(0).trim
         val isPb = ct == "application/x-protobuf"
@@ -395,6 +422,7 @@ object OtlpHttp {
             throw new java.io.IOException(s"spool rename failed: $name")
         } finally controller.foreach(_.release(body.length.toLong))
         obs.requests.incrementAndGet()
+        if (auth.isDefined) onAuthenticated(signal.get, authAttrs)
         partial(signal.get, body) match {
           case Some((rejected, msg)) =>
             if (isPb)
@@ -466,7 +494,8 @@ object OtlpHttp {
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
       obs: Option[HttpExportObs] = None,
       onPartialSuccess: (Long, String) => Unit = (_, _) => (),
-      tls: Option[TlsConfig] = None)
+      tls: Option[TlsConfig] = None,
+      auth: Option[Auth.ClientAuthenticator] = None)
       extends graft.pipeline.Pipeline.Exporter {
 
     // one context per exporter, not per request
@@ -499,6 +528,10 @@ object OtlpHttp {
       conn.setDoOutput(true)
       val ct = if (useJson) "application/json" else "application/x-protobuf"
       conn.setRequestProperty("Content-Type", ct)
+      // configauth client authenticator (the RoundTripper half of
+      // auth/client.go): credentials join the request headers
+      auth.foreach(_.headers().foreach { case (k, v) =>
+        conn.setRequestProperty(k, v) })
       // configured codec wins; the legacy gzipBody flag means "gzip".
       // The codec name doubles as the Content-Encoding token, the
       // compressRoundTripper contract (confighttp/compression.go).
