@@ -719,6 +719,114 @@ object DataPipelineQueries {
           length(col("blob")).as("n_bytes"),
           (length(col("blob")) % 640).as("width"),
           ((length(col("blob")) * 7) % 480).as("height"))
+    }),
+
+    // Gopher document-quality rules (Rae et al. 2021, §A1.1 subset):
+    // word-count bounds, mean-word-length band, symbol-to-word ratio
+    // (# and ellipsis), alphabetic-word fraction, minimum stopword
+    // hits. Every flag computes MAP-SIDE from the text; only the
+    // source key and five booleans reach the aggregate exchange (the
+    // stats-report rule — text never shuffles).
+    "q_gopher_rules" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val nW = size(ws)
+      val meanLen = TextOps.avgTokenLen(col("text"))
+      val hashes = length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))
+      val ellipses = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+      val symRatio = (hashes + ellipses) / nW
+      val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nW
+      val stopCount = size(filter(ws, w => w.isInCollection(TextOps.EnStop)))
+      docs(s, dir).select(col("source"),
+          (nW >= 50 && nW <= 100000).as("r_wc"),
+          (meanLen >= 3.0 && meanLen <= 10.0).as("r_mwl"),
+          (symRatio <= 0.1).as("r_sym"),
+          (alphaFrac >= 0.8).as("r_alpha"),
+          (stopCount >= 2).as("r_stop"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
+            col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("r_wc"), 1L).otherwise(0L)).as("v_word_count"),
+          sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("v_mean_len"),
+          sum(when(!col("r_sym"), 1L).otherwise(0L)).as("v_symbol"),
+          sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("v_alpha"),
+          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("v_stop"))
+    }),
+
+    // TF-IDF-style keyword extraction: top-3 terms per doc ranked by
+    // (tf desc, rarity = df asc, term asc) — integer-only ordering,
+    // no libm in the ranking key (the BM25 rational-idf discipline).
+    // Scale shape: tf and df are term-keyed aggregates; the per-doc
+    // window is keyed by doc_id — never a single-partition window.
+    "q_tfidf_topk" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term").rlike("^[a-z]+$") &&
+          !col("term").isInCollection(TextOps.EnStop))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, "term")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+    }),
+
+    // PMI collocation mining (Manning & Schütze ch. 5): top-25 word
+    // bigrams by pointwise-mutual-information LIFT — the monotone
+    // libm-free PMI surrogate c_xy*N/(c_x*c_y) (PMI = ln(lift), so
+    // the ranking is identical and the oracle is bit-exact).
+    // Scale shape: bigram/unigram counts are term-keyed aggregates;
+    // the corpus-total is a 1-row crossJoin (the domain-mixture
+    // grand-total pattern — a scalar aggregate broadcasts on its
+    // own, no hint needed); only the surviving (c_xy >= 5) pairs
+    // join the vocab tables.
+    "q_collocations" -> ((s, dir) => {
+      val toks = docs(s, dir).select(TextOps.tokens(col("text")).as("__t"))
+      val bigrams = toks.filter(size(col("__t")) >= 2)
+        .withColumn("__a", slice(col("__t"), lit(1), size(col("__t")) - 1))
+        .withColumn("__b", slice(col("__t"), lit(2), size(col("__t")) - 1))
+        .select(explode(arrays_zip(col("__a"), col("__b"))).as("bg"))
+        .select(col("bg.__a").as("x"), col("bg.__b").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val uni = toks.select(explode(col("__t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val total = toks.select(sum(size(col("__t"))).cast("long").as("n_total"))
+      bigrams
+        .join(uni.select(col("w").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("w").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(total)
+        .withColumn("pmi_lift",
+          col("c_xy").cast("double") * col("n_total") / col("c_x") / col("c_y"))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          col("pmi_lift"))
+        .orderBy(col("pmi_lift").desc, col("x"), col("y"))
+        .limit(25)
+    }),
+
+    // C4-style URL hygiene: host blocklist + keep-first dedup by
+    // normalized URL (the refetch-dedup every web crawl needs). The
+    // corpus carries no URLs, so a deterministic one derives from doc
+    // fields (the pii_redact synthesis discipline — the oracle builds
+    // the SAME urls). Scale shape: flags are map-side; the only
+    // exchange keys on the url for the keyed min-window.
+    "q_url_filter" -> ((s, dir) => {
+      val host = concat(col("source"), lit("-"), pmod(col("doc_id"), lit(7)),
+        lit(".example.com"))
+      val url = concat(lit("http://"), col("host"), lit("/p"),
+        pmod(col("doc_id"), lit(50)))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+      docs(s, dir).select(col("doc_id"), host.as("host"))
+        .withColumn("url", url)
+        .withColumn("blocked", col("host").isin(
+          "src0-0.example.com", "src7-3.example.com", "src12-5.example.com"))
+        .withColumn("keep", !col("blocked") && col("doc_id") ===
+          min(when(!col("blocked"), col("doc_id"))).over(w))
+        .select(col("doc_id"), col("host"), col("blocked"), col("keep"))
     })
   )
 
@@ -1744,6 +1852,75 @@ object DataPipelineQueries {
         |  ELSE 'application/octet-stream' END AS mime,
         | COUNT(*) AS n_blobs,
         | CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
-        |FROM s GROUP BY 1""".stripMargin
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT source, text, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |  regexp_replace(trim(text), '\s+', '', 'g') AS squeezed FROM documents),
+        |m AS (SELECT source, len(ws) AS n,
+        |  CAST(LENGTH(squeezed) AS DOUBLE) / len(ws) AS mwl,
+        |  (LENGTH(text) - LENGTH(replace(text, '#', '')) +
+        |   (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3) / len(ws) AS sym_ratio,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS stop_cnt
+        | FROM t),
+        |r AS (SELECT source,
+        |  n >= 50 AND n <= 100000 AS r_wc,
+        |  mwl >= 3.0 AND mwl <= 10.0 AS r_mwl,
+        |  sym_ratio <= 0.1 AS r_sym,
+        |  alpha_frac >= 0.8 AS r_alpha,
+        |  stop_cnt >= 2 AS r_stop
+        | FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS v_word_count,
+        | CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS v_mean_len,
+        | CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS v_symbol,
+        | CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha,
+        | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS v_stop
+        |FROM r GROUP BY source""".stripMargin,
+
+    "q_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |f AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        |      WHERE regexp_matches(term, '^[a-z]+$')
+        |        AND term NOT IN ('the','a','of','and','to','in','is','on')
+        |      GROUP BY 1, 2),
+        |d AS (SELECT term, COUNT(*) AS df FROM f GROUP BY 1)
+        |SELECT doc_id, rnk, term, tf, df FROM (
+        |  SELECT f.doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY f.doc_id
+        |    ORDER BY f.tf DESC, d.df ASC, f.term ASC) AS INT) AS rnk,
+        |   f.term, f.tf, d.df
+        |  FROM f JOIN d USING (term))
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_collocations" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS tok FROM w),
+        |u AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM uni),
+        |bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |p AS (SELECT string_split(b, ' ')[1] AS x, string_split(b, ' ')[2] AS y,
+        |       COUNT(*) AS c_xy FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT p.x, p.y, p.c_xy, ux.c AS c_x, uy.c AS c_y,
+        | CAST(p.c_xy AS DOUBLE) * n.n_total / ux.c / uy.c AS pmi_lift
+        |FROM p CROSS JOIN n
+        | JOIN u ux ON p.x = ux.tok
+        | JOIN u uy ON p.y = uy.tok
+        |ORDER BY pmi_lift DESC, x, y LIMIT 25""".stripMargin,
+
+    "q_url_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  source || '-' || (doc_id % 7) || '.example.com' AS host,
+        |  'http://' || source || '-' || (doc_id % 7) || '.example.com/p' || (doc_id % 50) AS url
+        | FROM documents),
+        |f AS (SELECT doc_id, host, url,
+        |  host IN ('src0-0.example.com','src7-3.example.com','src12-5.example.com') AS blocked
+        | FROM u)
+        |SELECT doc_id, host, blocked,
+        | (NOT blocked) AND doc_id = MIN(CASE WHEN NOT blocked THEN doc_id END)
+        |   OVER (PARTITION BY url) AS keep
+        |FROM f""".stripMargin
   )
 }
