@@ -199,6 +199,57 @@ object ConfigLoader {
     buf.toString("UTF-8")
   }
 
+  /** configopaque analog (reference config/configopaque/opaque.go:
+    * a declared-sensitive field marshals as `[REDACTED]`) applied to
+    * the collector's print-config surface: render the RESOLVED
+    * document (env expanded — what the service actually runs) with
+    * every opaque field masked, so the effective config is safe to
+    * log, ship to support, or publish on a debug endpoint.
+    *
+    * Opaque fields are DECLARED, not guessed — the reference redacts
+    * by declared type (configopaque.String), not name sniffing; the
+    * set below is every credential-carrying key a graft component
+    * defines. A scalar masks in place; a list masks element-wise
+    * (cardinality is not sensitive — the reference renders each
+    * opaque list element as its own `[REDACTED]`); a map collapses
+    * entirely because its KEYS may be the secrets (api_keys). */
+  val OpaqueKeys: Set[String] =
+    Set("bearer_token", "bearer_tokens", "password", "api_key",
+        "basic_users", "api_keys")
+
+  def effectiveConfig(doc: String, yaml: Boolean = false,
+                      env: String => Option[String] = sys.env.get): String = {
+    val inMapper =
+      if (yaml) new com.fasterxml.jackson.databind.ObjectMapper(
+        new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+      else new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = inMapper.readValue(expandEnv(doc, env),
+      classOf[java.util.Map[String, Object]])
+    val Mask = "[REDACTED]"
+    def walk(o: Object): Object = o match {
+      case m: java.util.Map[_, _] =>
+        val out = new java.util.LinkedHashMap[String, Object]()
+        m.asInstanceOf[java.util.Map[String, Object]].forEach { (k, v) =>
+          out.put(k,
+            if (OpaqueKeys(k)) v match {
+              case l: java.util.List[_] =>
+                val r = new java.util.ArrayList[Object]()
+                l.forEach(_ => r.add(Mask))
+                r
+              case _ => Mask
+            } else walk(v))
+        }
+        out
+      case l: java.util.List[_] =>
+        val r = new java.util.ArrayList[Object]()
+        l.asInstanceOf[java.util.List[Object]].forEach(v => r.add(walk(v)))
+        r
+      case other => other
+    }
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writerWithDefaultPrettyPrinter().writeValueAsString(walk(root))
+  }
+
   private def fromText(doc: String, yaml: Boolean,
                        env: String => Option[String],
                        gates: FeatureGate.Registry = FeatureGate.global): Service = {

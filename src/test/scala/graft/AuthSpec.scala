@@ -186,4 +186,32 @@ class AuthSpec extends AnyFunSuite {
       assert(rx.obs.requests.get == 1 && rx.obs.denied.get == 0)
     } finally rx.stop()
   }
+
+  test("effectiveConfig: env resolved, opaque credential fields [REDACTED]") {
+    val doc = """{
+      "pipelines": {"logs/x": {
+        "receiver": {"type": "parquet", "path": "${env:DATA_DIR}/logs"},
+        "exporters": [
+          {"type": "otlp_http", "endpoint": "http://h:1", "signal": "logs",
+           "auth": {"bearer_token": "hunter2-secret"}},
+          {"type": "otlp_http", "endpoint": "http://h:2", "signal": "logs",
+           "auth": {"basic": {"username": "alice", "password": "pw-secret"}}},
+          {"type": "otlp_http", "endpoint": "http://h:3", "signal": "logs",
+           "auth": {"api_key_header": "X-Api-Key",
+                    "api_keys": {"key-secret-1": "tenantA"}}}
+        ]}}}"""
+    val out = graft.pipeline.ConfigLoader.effectiveConfig(doc,
+      env = { case "DATA_DIR" => Some("/data"); case _ => None })
+    // env is RESOLVED (the effective config, not the template)
+    assert(out.contains("/data/logs") && !out.contains("${env:"))
+    // every declared-opaque value is masked; nothing sensitive leaks
+    assert(!out.contains("hunter2-secret"))
+    assert(!out.contains("pw-secret"))
+    assert(!out.contains("key-secret-1"))
+    assert(out.contains("[REDACTED]"))
+    // non-sensitive structure survives: endpoints, usernames, header
+    // names, the api-key header name
+    assert(out.contains("http://h:1") && out.contains("alice")
+      && out.contains("X-Api-Key"))
+  }
 }
