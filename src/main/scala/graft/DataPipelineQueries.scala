@@ -808,6 +808,64 @@ object DataPipelineQueries {
         .limit(25)
     }),
 
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): hash every positional
+    // word-4-gram, slide a w=4 window, select each window's minimal
+    // hash breaking ties RIGHTMOST, dedup the selections. The
+    // rightmost-min rule computes exactly with ONE integer key:
+    // c = h*POSCAP + (POSCAP-1-pos), so min(c) over the forward
+    // window IS (min h, rightmost pos) — both engines run the same
+    // integer window-MIN and the oracle is bit-exact (h is the
+    // md5-slice portable hash; c < 2^53). Scale shape: the only
+    // window is keyed per doc_id over in-doc positions.
+    "q_winnowing" -> ((s, dir) => {
+      val POSCAP = 2097152L // 2^21 in-doc positions; h < 2^32
+      docs(s, dir)
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .filter(size(col("__ws")) >= 7) // >= 1 full window: k+w-1
+        .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
+        .select(col("doc_id"), col("n_grams"), posexplode(
+          expr("transform(sequence(1, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i, 4)))"))
+          .as(Seq("p0", "gram")))
+        .withColumn("pos", (col("p0") + 1).cast("long"))
+        .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+        .withColumn("c", col("h") * POSCAP + (lit(POSCAP - 1) - col("pos")))
+        .withColumn("wmin", min(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("pos")).rowsBetween(0, 3)))
+        .filter(col("pos") <= col("n_grams") - 3) // full windows only
+        .select(col("doc_id"), col("n_grams"),
+          expr(s"wmin DIV $POSCAP").as("h_sel"))
+        .distinct()
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_fp"),
+          expr("md5(concat_ws(',', transform(sort_array(collect_list(h_sel)), x -> cast(x as string))))")
+            .as("fp_md5"))
+    }),
+
+    // Embedding-space outlier detection for curation: squared
+    // distance to the per-label centroid, flagged past 2.25x the
+    // label mean (1.5x RMS). Every cross-row sum (centroid,
+    // per-vector dist2, label mean) routes through DECIMAL(28,8) so
+    // the oracle is bit-exact. Scale shape: two keyed aggregates and
+    // a (label,pos)-keyed join — no windows, no collects.
+    "q_embed_outliers" -> ((s, dir) => {
+      val ex = embs(s, dir).select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val cen = ex.groupBy(col("label"), col("pos"))
+        .agg((dsum(col("x")) / count(lit(1))).as("centroid"))
+      val dist = ex.join(cen, Seq("label", "pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(dsum((col("x") - col("centroid")) * (col("x") - col("centroid")))
+          .as("dist2"))
+      val means = dist.groupBy(col("label"))
+        .agg((dsum(col("dist2")) / count(lit(1))).as("mean_dist2"))
+      dist.join(means, "label")
+        .select(col("vec_id"), col("label"), col("dist2"),
+          (col("dist2") > col("mean_dist2") * 2.25).as("is_outlier"))
+    }),
+
     // C4-style URL hygiene: host blocklist + keep-first dedup by
     // normalized URL (the refetch-dedup every web crawl needs). The
     // corpus carries no URLs, so a deterministic one derives from doc
@@ -1909,6 +1967,42 @@ object DataPipelineQueries {
         | JOIN u ux ON p.x = ux.tok
         | JOIN u uy ON p.y = uy.tok
         |ORDER BY pmi_lift DESC, x, y LIMIT 25""".stripMargin,
+
+    "q_winnowing" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM t WHERE len(ws) >= 7),
+        |g AS (SELECT doc_id, n_grams,
+        |   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |     for i in range(1, len(ws) - 2)]) AS gram,
+        |   unnest(range(1, len(ws) - 2)) AS pos
+        |  FROM f),
+        |h AS (SELECT doc_id, n_grams, pos,
+        |   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hh FROM g),
+        |w AS (SELECT doc_id, n_grams, pos,
+        |   MIN(hh * 2097152 + (2097151 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM h),
+        |sel AS (SELECT DISTINCT doc_id, n_grams, wmin // 2097152 AS h_sel
+        |  FROM w WHERE pos <= n_grams - 3)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, COUNT(*) AS n_fp,
+        | md5(array_to_string(list_sort(list(h_sel)), ',')) AS fp_md5
+        |FROM sel GROUP BY 1, 2""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH ex AS (SELECT vec_id, label, u[2] - 1 AS pos, CAST(u[1] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label,
+        |    unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u FROM embeddings)),
+        |cen AS (SELECT label, pos,
+        |  CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS centroid
+        | FROM ex GROUP BY 1, 2),
+        |d AS (SELECT vec_id, ex.label,
+        |  CAST(SUM(CAST((x - centroid) * (x - centroid) AS DECIMAL(28,8))) AS DOUBLE) AS dist2
+        | FROM ex JOIN cen ON ex.label = cen.label AND ex.pos = cen.pos
+        | GROUP BY 1, 2),
+        |m AS (SELECT label, CAST(SUM(CAST(dist2 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS mean_dist2
+        | FROM d GROUP BY 1)
+        |SELECT d.vec_id, d.label, d.dist2, d.dist2 > m.mean_dist2 * 2.25 AS is_outlier
+        |FROM d JOIN m ON d.label = m.label""".stripMargin,
 
     "q_url_filter" ->
       """WITH u AS (SELECT doc_id,
