@@ -250,15 +250,66 @@ object ConfigLoader {
       .writerWithDefaultPrettyPrinter().writeValueAsString(walk(root))
   }
 
-  private def fromText(doc: String, yaml: Boolean,
-                       env: String => Option[String],
-                       gates: FeatureGate.Registry = FeatureGate.global): Service = {
+  private def parseRoot(doc: String, yaml: Boolean,
+                        env: String => Option[String]): java.util.Map[String, Object] = {
     val mapper =
       if (yaml) new com.fasterxml.jackson.databind.ObjectMapper(
         new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
       else new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readValue(expandEnv(doc, env),
-      classOf[java.util.Map[String, Object]]).asScala
+    mapper.readValue(expandEnv(doc, env),
+      classOf[java.util.Map[String, Object]])
+  }
+
+  /** confmap.Conf.Merge semantics (reference confmap/confmap.go via
+    * resolver.go:55-57,123: later documents win; nested MAPS merge
+    * recursively, every other value — scalars AND lists — is
+    * replaced wholesale by the later document). */
+  private def deepMerge(a: java.util.Map[String, Object],
+                        b: java.util.Map[String, Object]): java.util.Map[String, Object] = {
+    val out = new java.util.LinkedHashMap[String, Object](a)
+    b.forEach { (k, v) =>
+      (out.get(k), v) match {
+        case (pm: java.util.Map[_, _], vm: java.util.Map[_, _]) =>
+          out.put(k, deepMerge(
+            pm.asInstanceOf[java.util.Map[String, Object]],
+            vm.asInstanceOf[java.util.Map[String, Object]]))
+          ()
+        case _ => out.put(k, v); ()
+      }
+    }
+    out
+  }
+
+  /** Multi-URI resolve-and-merge — the collector's REPEATABLE
+    * `--config` flag (confmap/resolver.go:40 "URIs ... merged in the
+    * given order"): retrieve every URI through its provider, merge
+    * the parsed documents with [[deepMerge]], then validate and
+    * build ONCE on the result — a later overlay can retune one
+    * nested knob (a receiver path, an exporter's auth) while the
+    * base document supplies everything else. Formats may mix (a JSON
+    * base with a YAML overlay). */
+  def fromUris(uris: Seq[String],
+               env: String => Option[String] = sys.env.get,
+               gates: FeatureGate.Registry = FeatureGate.global): Service = {
+    require(uris.nonEmpty, "at least one config URI required")
+    val roots = uris.map { u =>
+      val (text, hint) = retrieve(u, env, gates)
+      val isYaml =
+        if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
+        else if (hint.endsWith(".json")) false
+        else !text.dropWhile(_.isWhitespace).startsWith("{")
+      parseRoot(text, isYaml, env)
+    }
+    buildFromRoot(roots.reduce(deepMerge).asScala, gates)
+  }
+
+  private def fromText(doc: String, yaml: Boolean,
+                       env: String => Option[String],
+                       gates: FeatureGate.Registry = FeatureGate.global): Service =
+    buildFromRoot(parseRoot(doc, yaml, env).asScala, gates)
+
+  private def buildFromRoot(root: scala.collection.Map[String, Object],
+                            gates: FeatureGate.Registry): Service = {
     // featuregate config override: same `-`/`+` item syntax as the
     // --feature-gates flag; an unknown gate or a terminal-stage
     // violation REJECTS the whole document (config validation, not a
