@@ -240,6 +240,34 @@ object OtlpHttp {
   }
 
   // ---- receiver ---------------------------------------------------
+
+  /** confighttp CORSSettings (confighttp.go:353-373, served through
+    * rs/cors with AllowCredentials=true — confighttp.go:303-311):
+    * `allowedOrigins` entries may contain `*` replacing 0+ chars
+    * (a scheme + `*.domain.com`, or `*` for any); Accept/Accept-Language/
+    * Content-Type/Content-Language are implicitly allowed headers,
+    * X-Requested-With joins them when no explicit list is given, and
+    * a literal "*" allows any requested header; `maxAge` is the
+    * preflight cache lifetime. Matching the rs/cors contract: a
+    * disallowed actual request is NOT blocked server-side — the CORS
+    * headers are simply omitted and the BROWSER enforces. */
+  final case class CorsConfig(allowedOrigins: Seq[String],
+                              allowedHeaders: Seq[String] = Nil,
+                              maxAge: Int = 0) {
+    private val originRes = allowedOrigins.map(p =>
+      p.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*").r)
+    def originAllowed(origin: String): Boolean =
+      originRes.exists(_.pattern.matcher(origin).matches())
+    private val implicitHeaders = Set("accept", "accept-language",
+      "content-type", "content-language", "origin")
+    private val allowAnyHeader = allowedHeaders.contains("*")
+    private val allowed: Set[String] =
+      (if (allowedHeaders.isEmpty) Seq("X-Requested-With") else allowedHeaders)
+        .map(_.toLowerCase).toSet ++ implicitHeaders
+    def headersAllowed(requested: Seq[String]): Boolean =
+      allowAnyHeader || requested.forall(h => allowed(h.trim.toLowerCase))
+  }
+
   /** per-signal request counters for specs and zpages */
   final class HttpObs {
     val requests = new java.util.concurrent.atomic.AtomicLong
@@ -285,7 +313,9 @@ object OtlpHttp {
       maxDecodedBytes: Long = 64L * 1024 * 1024,
       tls: Option[TlsConfig] = None,
       auth: Option[Auth.ServerAuthenticator] = None,
-      onAuthenticated: (String, Map[String, String]) => Unit = (_, _) => ()) {
+      onAuthenticated: (String, Map[String, String]) => Unit = (_, _) => (),
+      cors: Option[CorsConfig] = None,
+      responseHeaders: Map[String, String] = Map.empty) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: com.sun.net.httpserver.HttpServer = tls match {
@@ -313,12 +343,48 @@ object OtlpHttp {
         val signal = signals.collectFirst {
           case (s, (p, _)) if p == path => s
         }
+        val origin = Option(ex.getRequestHeaders.getFirst("Origin"))
         def respond(code: Int, body: Array[Byte],
                     headers: Map[String, String] = Map.empty): Unit = {
+          responseHeaders.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+          // actual-request CORS: echo the allowed origin (credentials
+          // mode forbids a literal `*`); a DISALLOWED origin is not
+          // blocked — headers are omitted and the browser enforces
+          // (the rs/cors contract confighttp wraps)
+          for (c <- cors; o <- origin if c.originAllowed(o)) {
+            ex.getResponseHeaders.set("Access-Control-Allow-Origin", o)
+            ex.getResponseHeaders.set("Access-Control-Allow-Credentials", "true")
+            ex.getResponseHeaders.add("Vary", "Origin")
+          }
           headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
           ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
           if (body.nonEmpty) ex.getResponseBody.write(body)
           ex.close()
+        }
+        // CORS preflight terminates here (cors.Handler wraps the mux):
+        // allowed → the allow/max-age header set; disallowed → a bare
+        // 204 with no CORS headers, the browser refuses the real call
+        if (cors.isDefined && ex.getRequestMethod == "OPTIONS" &&
+            ex.getRequestHeaders.getFirst("Access-Control-Request-Method") != null) {
+          val c = cors.get
+          val reqMethod = ex.getRequestHeaders.getFirst("Access-Control-Request-Method")
+          val reqHeaders = Option(
+            ex.getRequestHeaders.getFirst("Access-Control-Request-Headers"))
+            .map(_.split(",").toSeq).getOrElse(Nil)
+          responseHeaders.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+          if (origin.exists(c.originAllowed) && reqMethod == "POST" &&
+              c.headersAllowed(reqHeaders)) {
+            ex.getResponseHeaders.set("Access-Control-Allow-Origin", origin.get)
+            ex.getResponseHeaders.set("Access-Control-Allow-Methods", "POST")
+            if (reqHeaders.nonEmpty)
+              ex.getResponseHeaders.set("Access-Control-Allow-Headers",
+                reqHeaders.map(_.trim).mkString(", "))
+            ex.getResponseHeaders.set("Access-Control-Allow-Credentials", "true")
+            if (c.maxAge > 0)
+              ex.getResponseHeaders.set("Access-Control-Max-Age", c.maxAge.toString)
+          }
+          ex.getResponseHeaders.add("Vary", "Origin")
+          ex.sendResponseHeaders(204, -1); ex.close(); return
         }
         if (ex.getRequestMethod != "POST") { respond(405, Array.empty); return }
         if (signal.isEmpty) { respond(404, Array.empty); return }
