@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The collector CLI surface: validate / print-config / components /
+  * run, the repeatable --config flag, and the registry-matches-
+  * builder pin. */
+class CollectorCliSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def exec(args: String*): (Int, String) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(bos, true, "UTF-8")
+    val code = Collector.execute(args.toSeq, ps)
+    (code, bos.toString("UTF-8"))
+  }
+
+  private def write(name: String, content: String): String = {
+    val f = java.nio.file.Files.createTempFile("cli_", name)
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("components lists the registry, and every listed type is known to the builder") {
+    val (code, outStr) = exec("components")
+    assert(code == 0)
+    for ((kind, types) <- Collector.componentTypes; t <- types)
+      assert(outStr.contains(s"  - $t"), s"$kind $t missing from output")
+
+    // mechanical teeth: a config using each listed type must never
+    // fail with "unknown ... type" — wrong field errors are fine,
+    // an unknown name means the registry lies
+    def tryCfg(cfg: String): Unit =
+      try { graft.pipeline.ConfigLoader.fromJson(cfg); () }
+      catch {
+        case e: Exception =>
+          assert(e.getMessage == null || !e.getMessage.contains("unknown"),
+            s"registry lists a type the builder rejects: ${e.getMessage}")
+      }
+    for (t <- Collector.componentTypes("receivers"))
+      tryCfg(s"""{"pipelines": {"p": {"receiver": {"type": "$t"},
+                |"exporters": [{"type": "logging"}]}}}""".stripMargin)
+    for (t <- Collector.componentTypes("processors"))
+      tryCfg(s"""{"pipelines": {"p": {"receiver": {"type": "parquet", "path": "x"},
+                |"processors": [{"type": "$t"}],
+                |"exporters": [{"type": "logging"}]}}}""".stripMargin)
+    for (t <- Collector.componentTypes("exporters"))
+      tryCfg(s"""{"pipelines": {"p": {"receiver": {"type": "parquet", "path": "x"},
+                |"exporters": [{"type": "$t"}]}}}""".stripMargin)
+  }
+
+  test("validate: green config OK(0); unknown component and missing --config are errors(1)") {
+    val good = write(".json",
+      """{"pipelines": {"logs/v": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    val (c1, o1) = exec("validate", "--config", good)
+    assert(c1 == 0 && o1.contains("OK"))
+
+    val bad = write(".json",
+      """{"pipelines": {"logs/v": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "no_such_exporter"}]}}}""".stripMargin)
+    val (c2, o2) = exec("validate", "--config", bad)
+    assert(c2 == 1 && o2.contains("unknown exporter"))
+
+    val (c3, o3) = exec("validate")
+    assert(c3 == 1 && o3.contains("--config"))
+
+    val (c4, o4) = exec("no-such-command")
+    assert(c4 == 1 && o4.contains("unknown command"))
+  }
+
+  test("print-config validates first and renders with credentials redacted") {
+    val cfg = write(".json",
+      """{"pipelines": {"logs/pc": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "otlp_http", "endpoint": "http://h:1",
+        |    "signal": "logs", "auth": {"bearer_token": "cli-secret"}}]}}}"""
+        .stripMargin)
+    val (code, outStr) = exec("print-config", "--config", cfg)
+    assert(code == 0)
+    assert(outStr.contains("[REDACTED]") && !outStr.contains("cli-secret"))
+    assert(outStr.contains("http://h:1"))
+  }
+
+  test("run executes the configured pipelines; a second --config overlay retunes the sink") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("cli_in").toString
+    val outA = java.nio.file.Files.createTempDirectory("cli_outA").toString + "/a"
+    val outB = java.nio.file.Files.createTempDirectory("cli_outB").toString + "/b"
+    (1 to 7).map(i => (i.toLong, s"m$i")).toDF("id", "msg")
+      .write.mode("overwrite").parquet(in)
+
+    val base = write(".json",
+      s"""{"pipelines": {"logs/cp": {
+         |  "receiver": {"type": "parquet", "path": "$in"},
+         |  "exporters": [{"type": "parquet", "path": "$outA"}]}}}""".stripMargin)
+    val (c1, o1) = exec("run", "--config", base)
+    assert(c1 == 0 && o1.contains("ran 1 pipeline(s)"))
+    assert(spark.read.parquet(outA).count() == 7)
+
+    // overlay ONLY the exporter path (recursive merge via fromUris)
+    val overlay = write(".yaml",
+      s"""pipelines:
+         |  logs/cp:
+         |    exporters:
+         |      - {type: parquet, path: $outB}
+         |""".stripMargin)
+    val (c2, _) = exec("run", "--config", base, "--config", overlay)
+    assert(c2 == 0)
+    assert(spark.read.parquet(outB).count() == 7)
+  }
+}
