@@ -16,6 +16,32 @@ object DataPipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
+  /** Shared winnowing selection (q_winnowing / q_winnow_pairs): one
+    * row per (doc, distinct selected hash) with the doc's gram count.
+    * The packed key c = h*POSCAP + (POSCAP-1-pos) makes min(c) over
+    * the forward window equal (min h, rightmost pos) — Schleimer's
+    * tie rule as a plain integer window MIN. */
+  private def winnowSelect(s: SparkSession, dir: String): DataFrame = {
+    val POSCAP = 2097152L // 2^21 in-doc positions; h < 2^32 → c < 2^53
+    docs(s, dir)
+      .withColumn("__ws", TextOps.tokens(col("text")))
+      .filter(size(col("__ws")) >= 7) // >= 1 full window: k+w-1
+      .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
+      .select(col("doc_id"), col("n_grams"), posexplode(
+        expr("transform(sequence(1, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i, 4)))"))
+        .as(Seq("p0", "gram")))
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+      .withColumn("c", col("h") * POSCAP + (lit(POSCAP - 1) - col("pos")))
+      .withColumn("wmin", min(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos")).rowsBetween(0, 3)))
+      .filter(col("pos") <= col("n_grams") - 3) // full windows only
+      .select(col("doc_id"), col("n_grams"),
+        expr(s"wmin DIV $POSCAP").as("h_sel"))
+      .distinct()
+  }
+
   /** deterministic page template for q_html_extract — shared with
     * the oracle SQL so both engines synthesize the identical page
     * (no quotes/apostrophes: the string is embedded in SQL literals) */
@@ -819,28 +845,29 @@ object DataPipelineQueries {
     // md5-slice portable hash; c < 2^53). Scale shape: the only
     // window is keyed per doc_id over in-doc positions.
     "q_winnowing" -> ((s, dir) => {
-      val POSCAP = 2097152L // 2^21 in-doc positions; h < 2^32
-      docs(s, dir)
-        .withColumn("__ws", TextOps.tokens(col("text")))
-        .filter(size(col("__ws")) >= 7) // >= 1 full window: k+w-1
-        .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
-        .select(col("doc_id"), col("n_grams"), posexplode(
-          expr("transform(sequence(1, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i, 4)))"))
-          .as(Seq("p0", "gram")))
-        .withColumn("pos", (col("p0") + 1).cast("long"))
-        .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
-        .withColumn("c", col("h") * POSCAP + (lit(POSCAP - 1) - col("pos")))
-        .withColumn("wmin", min(col("c")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-            .orderBy(col("pos")).rowsBetween(0, 3)))
-        .filter(col("pos") <= col("n_grams") - 3) // full windows only
-        .select(col("doc_id"), col("n_grams"),
-          expr(s"wmin DIV $POSCAP").as("h_sel"))
-        .distinct()
+      winnowSelect(s, dir)
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(lit(1)).as("n_fp"),
           expr("md5(concat_ws(',', transform(sort_array(collect_list(h_sel)), x -> cast(x as string))))")
             .as("fp_md5"))
+    }),
+
+    // The winnowing USE case (MOSS): cross-doc near-dup candidates —
+    // pairs sharing >= 3 selected fingerprints. Over-common
+    // fingerprints (boilerplate appearing in > 50 docs) drop before
+    // the pair join, the maxDf cap every fingerprint joiner here
+    // carries; only 8-byte hashes shuffle, text never does.
+    "q_winnow_pairs" -> ((s, dir) => {
+      val sel = winnowSelect(s, dir).select(col("doc_id"), col("h_sel"))
+      val rare = sel.groupBy(col("h_sel"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
+      val capped = sel.join(rare.select(col("h_sel")), "h_sel")
+      capped.as("a")
+        .join(capped.as("b"), col("a.h_sel") === col("b.h_sel") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
     }),
 
     // Embedding-space outlier detection for curation: squared
@@ -1987,6 +2014,28 @@ object DataPipelineQueries {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, COUNT(*) AS n_fp,
         | md5(array_to_string(list_sort(list(h_sel)), ',')) AS fp_md5
         |FROM sel GROUP BY 1, 2""".stripMargin,
+
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM t WHERE len(ws) >= 7),
+        |g AS (SELECT doc_id, n_grams,
+        |   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |     for i in range(1, len(ws) - 2)]) AS gram,
+        |   unnest(range(1, len(ws) - 2)) AS pos
+        |  FROM f),
+        |h AS (SELECT doc_id, n_grams, pos,
+        |   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hh FROM g),
+        |w AS (SELECT doc_id, n_grams, pos,
+        |   MIN(hh * 2097152 + (2097151 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM h),
+        |sel AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h_sel
+        |  FROM w WHERE pos <= n_grams - 3),
+        |rare AS (SELECT h_sel FROM sel GROUP BY 1 HAVING COUNT(*) <= 50),
+        |capped AS (SELECT doc_id, h_sel FROM sel JOIN rare USING (h_sel))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM capped a JOIN capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
     "q_embed_outliers" ->
       """WITH ex AS (SELECT vec_id, label, u[2] - 1 AS pos, CAST(u[1] AS DOUBLE) AS x
