@@ -858,7 +858,11 @@ object DataPipelineQueries {
     // the pair join, the maxDf cap every fingerprint joiner here
     // carries; only 8-byte hashes shuffle, text never does.
     "q_winnow_pairs" -> ((s, dir) => {
+      // the selection feeds FOUR plan references (df count, cap join,
+      // both pair-join sides) — localCheckpoint so the windowed
+      // derivation runs once (the perplexityBuckets discipline)
       val sel = winnowSelect(s, dir).select(col("doc_id"), col("h_sel"))
+        .localCheckpoint()
       val rare = sel.groupBy(col("h_sel"))
         .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
       val capped = sel.join(rare.select(col("h_sel")), "h_sel")
