@@ -1044,7 +1044,16 @@ object Pipeline {
     def healthFrame(spark: SparkSession,
                     timeUnixNano: Long,
                     startTimeUnixNano: Long = 0L,
-                    obs: Map[String, QueueObs] = Map.empty): DataFrame = {
+                    obs: Map[String, QueueObs] = Map.empty,
+                    // obsreport receiver/transport counters
+                    // (obsreport/obsreport_receiver.go: accepted/
+                    // refused per receiver+transport): component name
+                    // → counter name → lifetime total, published as
+                    // otelcol_receiver_<counter> cumulative sums with
+                    // the component as the `receiver` attribute. The
+                    // transports' HttpObs/GrpcObs/ScraperObs all
+                    // expose `counters` in this shape.
+                    transports: Map[String, Map[String, Long]] = Map.empty): DataFrame = {
       import org.apache.spark.sql.Row
       import scala.jdk.CollectionConverters._
       val res = Map("service.name" -> "graft-collector")
@@ -1077,8 +1086,16 @@ object Pipeline {
           sum("otelcol_exporter_partial_successes", "{batches}",
             o.partialSuccesses.get.toDouble, attrs))
       }
+      val transportRows = transports.toSeq.sortBy(_._1).flatMap {
+        case (receiver, counters) =>
+          val attrs = Map("receiver" -> receiver)
+          counters.toSeq.sortBy(_._1).map { case (counter, v) =>
+            sum(s"otelcol_receiver_$counter", "{requests}", v.toDouble, attrs)
+          }
+      }
       spark.createDataFrame(
-        (queueRows ++ obsRows).asJava, graft.model.OtelModel.metricPointSchema)
+        (queueRows ++ obsRows ++ transportRows).asJava,
+        graft.model.OtelModel.metricPointSchema)
     }
 
     /** graceful shutdown drain (the collector flushes its queues on

@@ -324,6 +324,10 @@ object GrpcOtlp {
     val badRequests = new java.util.concurrent.atomic.AtomicLong
     /** requests refused by the server authenticator (UNAUTHENTICATED) */
     val denied = new java.util.concurrent.atomic.AtomicLong
+    /** snapshot in the Service.healthFrame transports shape */
+    def counters: Map[String, Long] = Map(
+      "accepted_requests" -> requests.get, "refused_requests" -> throttled.get,
+      "bad_requests" -> badRequests.get, "denied_requests" -> denied.get)
   }
 
   /** OTLP/gRPC receiver: unary Export* over h2c loopback. Spools each
@@ -340,7 +344,11 @@ object GrpcOtlp {
       admissionWaitMs: Long = 1000L,
       tls: Option[TlsConfig] = None,
       auth: Option[Auth.ServerAuthenticator] = None,
-      onAuthenticated: (String, Map[String, String]) => Unit = (_, _) => ()) {
+      onAuthenticated: (String, Map[String, String]) => Unit = (_, _) => (),
+      // configgrpc max_recv_msg_size_mib behavior (configgrpc.go:302:
+      // grpc.MaxRecvMsgSize); gRPC's own default is 4 MiB, refused as
+      // RESOURCE_EXHAUSTED "received message larger than max"
+      maxRecvMsgBytes: Long = 4L * 1024 * 1024) {
     val obs = new GrpcObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: java.net.ServerSocket = tls match {
@@ -473,6 +481,12 @@ object GrpcOtlp {
       val compressed = raw(0) != 0
       val mlen = ((raw(1) & 0xFF) << 24) | ((raw(2) & 0xFF) << 16) |
         ((raw(3) & 0xFF) << 8) | (raw(4) & 0xFF)
+      if (mlen.toLong > maxRecvMsgBytes) {
+        obs.throttled.incrementAndGet()
+        trailersOnly(out, streamId, Status.ResourceExhausted,
+          s"received message larger than max ($mlen vs $maxRecvMsgBytes)")
+        return
+      }
       if (raw.length < 5 + mlen) {
         obs.badRequests.incrementAndGet()
         trailersOnly(out, streamId, Status.InvalidArgument, "truncated grpc message")

@@ -275,6 +275,10 @@ object OtlpHttp {
     val badRequests = new java.util.concurrent.atomic.AtomicLong
     /** requests refused by the server authenticator (401) */
     val denied = new java.util.concurrent.atomic.AtomicLong
+    /** snapshot in the Service.healthFrame transports shape */
+    def counters: Map[String, Long] = Map(
+      "accepted_requests" -> requests.get, "refused_requests" -> throttled.get,
+      "bad_requests" -> badRequests.get, "denied_requests" -> denied.get)
   }
 
   /** OTLP/HTTP push receiver: accepts POST /v1/{logs,metrics,traces}
@@ -315,7 +319,12 @@ object OtlpHttp {
       auth: Option[Auth.ServerAuthenticator] = None,
       onAuthenticated: (String, Map[String, String]) => Unit = (_, _) => (),
       cors: Option[CorsConfig] = None,
-      responseHeaders: Map[String, String] = Map.empty) {
+      responseHeaders: Map[String, String] = Map.empty,
+      // confighttp max_request_body_size behavior (confighttp.go:289:
+      // http.MaxBytesReader around the body): 0 = unlimited, past the
+      // cap the request is refused with 413 WITHOUT buffering the
+      // excess (the read stops at the limit)
+      maxRequestBodyBytes: Long = 0L) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: com.sun.net.httpserver.HttpServer = tls match {
@@ -416,7 +425,20 @@ object OtlpHttp {
         val isPb = ct == "application/x-protobuf"
         val isJson = ct == "application/json"
         if (!isPb && !isJson) { respond(415, Array.empty); return }
-        val raw = ex.getRequestBody.readAllBytes()
+        val raw =
+          if (maxRequestBodyBytes <= 0L) ex.getRequestBody.readAllBytes()
+          else {
+            // MaxBytesReader semantics: stop reading AT the cap; one
+            // byte more means the wire payload is too large
+            val capped = ex.getRequestBody.readNBytes(maxRequestBodyBytes.toInt + 1)
+            if (capped.length > maxRequestBodyBytes) {
+              obs.throttled.incrementAndGet()
+              respond(413, s"""{"message":"request body exceeds $maxRequestBodyBytes bytes"}"""
+                .getBytes("UTF-8"), Map("Content-Type" -> "application/json"))
+              return
+            }
+            capped
+          }
         val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
           .getOrElse("").trim.toLowerCase
         // reference confighttp: "" = identity; a known codec is

@@ -52,6 +52,12 @@ object Scrape {
     val erroredPoints = new java.util.concurrent.atomic.AtomicLong
     val failedScrapes = new java.util.concurrent.atomic.AtomicLong
     val timedOutScrapes = new java.util.concurrent.atomic.AtomicLong
+    /** snapshot in the Service.healthFrame transports shape */
+    def counters: Map[String, Long] = Map(
+      "scraped_points" -> scrapedPoints.get,
+      "errored_points" -> erroredPoints.get,
+      "failed_scrapes" -> failedScrapes.get,
+      "timed_out_scrapes" -> timedOutScrapes.get)
   }
 
   final class Controller(
