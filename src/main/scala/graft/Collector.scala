@@ -33,7 +33,8 @@ object Collector {
     * matches by CollectorCliSpec) */
   val componentTypes: Map[String, Seq[String]] = Map(
     "receivers" -> Seq("table", "parquet", "otlp_json_logs", "otlp_pb_logs",
-      "otlp_pb_logs_gz", "arrow_logs", "forward", "union"),
+      "otlp_pb_logs_gz", "arrow_logs", "stream_json_logs", "stream_pb_logs",
+      "forward", "union"),
     "processors" -> Seq("filter", "upsert", "drop", "select", "sample",
       "route", "batch", "batch_by_metadata", "batch_timed"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
@@ -110,7 +111,22 @@ object Collector {
             out.println(s"recovered $name: redelivered=${st.redelivered} " +
               s"dlq=${st.deadLettered}")
           }
-          svc.run(spark)
+          // batch pipelines run to completion; streaming pipelines
+          // start, drain everything currently spooled, and stop —
+          // the CLI's run is "process what's there" (a daemon keeps
+          // the queries via Service.runStreaming directly)
+          val (streamingDefs, batchDefs) =
+            svc.pipelines.partition(_._2.plan(spark).isStreaming)
+          batchDefs.values.foreach(_.run(spark))
+          if (streamingDefs.nonEmpty) {
+            val ckpt = java.nio.file.Files
+              .createTempDirectory("graft_cli_ckpt").toString
+            val queries = svc.runStreaming(spark, ckpt)
+            queries.values.flatten.foreach { q =>
+              q.processAllAvailable(); q.stop()
+            }
+            out.println(s"drained ${queries.size} streaming pipeline(s)")
+          }
           out.println(s"ran ${svc.pipelines.size} pipeline(s)")
           0
         case other =>

@@ -411,6 +411,11 @@ object ConfigLoader {
       case "otlp_json_logs" => OtlpJsonLogReceiver(str(m, "path"))
       case "otlp_pb_logs"   => OtlpPbLogReceiver(str(m, "path"))
       case "otlp_pb_logs_gz" => OtlpPbGzLogReceiver(str(m, "path"))
+      // continuous (readStream) receivers — Service.runStreaming
+      case "stream_json_logs" => StreamJsonLogsReceiver(str(m, "path"),
+        m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10))
+      case "stream_pb_logs" => StreamPbLogsReceiver(str(m, "path"),
+        m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10))
       case "arrow_logs"     => ArrowLogsReceiver(str(m, "path"))
       // connectors: bridge/fan pipelines by name
       case "forward"        => ForwardReceiver(() => lookup(str(m, "from")))

@@ -37,6 +37,22 @@ object Pipeline {
         spark.read.format("binaryFile").load(dir)
           .select(col("content").as("pb")))
   }
+  /** CONTINUOUS receivers — the same declarative pipeline under
+    * readStream (the collector's always-on mode, config-reachable):
+    * the Stage transforms are column transforms, so a streaming
+    * receiver slots into the identical PipelineDef;
+    * [[Service.runStreaming]] starts the queries. */
+  final case class StreamJsonLogsReceiver(dir: String,
+      maxFilesPerTrigger: Int = 10) extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      graft.sources.OtlpJsonSource.streamLogs(spark, dir, maxFilesPerTrigger)
+  }
+  final case class StreamPbLogsReceiver(dir: String,
+      maxFilesPerTrigger: Int = 10) extends Receiver {
+    def read(spark: SparkSession): DataFrame =
+      graft.sources.OtlpJsonSource.streamLogsPb(spark, dir, maxFilesPerTrigger)
+  }
+
   /** gzip'd pb spool (otlphttp transport compression on disk) */
   final case class OtlpPbGzLogReceiver(dir: String) extends Receiver {
     def read(spark: SparkSession): DataFrame =
@@ -945,6 +961,30 @@ object Pipeline {
     */
   final case class Service(pipelines: Map[String, PipelineDef]) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
+
+    /** Start every STREAMING pipeline (one whose receiver plan is
+      * continuous) as live queries — the collector's always-on mode,
+      * declared in the same config document. Each exporter gets its
+      * own query with its own checkpoint subdir; exportBatch's
+      * idempotent per-batchId delivery makes replay safe. Batch
+      * pipelines in the same service are untouched — run them with
+      * [[run]]. Returns pipeline name → its queries. */
+    def runStreaming(spark: SparkSession, checkpointRoot: String):
+        Map[String, Seq[org.apache.spark.sql.streaming.StreamingQuery]] =
+      pipelines.flatMap { case (name, p) =>
+        val df = p.plan(spark)
+        if (!df.isStreaming) None
+        else Some(name -> p.exporters.zipWithIndex.map { case (e, i) =>
+          df.writeStream
+            .option("checkpointLocation",
+              s"$checkpointRoot/${name.replace('/', '_')}/e$i")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) => e.exportBatch(batch.toDF(), batchId)
+            }
+            .start()
+        })
+      }
 
     /** Collector startup semantics for persistent queues: before new
       * data flows, every [[PersistentQueueExporter]] in the service —

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.ConfigLoader
+
+/** Config-declared CONTINUOUS pipelines: a streaming receiver in the
+  * same document, started by Service.runStreaming and drained by the
+  * CLI's run — the collector's always-on mode, config-reachable. */
+class ConfigStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def mkLogRequest(svc: String, n: Int, base: Int = 0): String = {
+    val recs = (0 until n).map { i =>
+      s"""{"timeUnixNano":"${1700000000000000000L + base + i}","severityNumber":9,
+         |"body":{"stringValue":"m${base + i}"},"attributes":[]}"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[$recs]}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("a stream_json_logs pipeline declared in config drains through the CLI run") {
+    val spool = java.nio.file.Files.createTempDirectory("cfg_stream_in")
+    val outDir = java.nio.file.Files.createTempDirectory("cfg_stream_out").toString + "/sink"
+    // two spooled requests, one JSON document per line
+    java.nio.file.Files.write(spool.resolve("r1.json"),
+      (mkLogRequest("api", 3) + "\n" + mkLogRequest("web", 2)).getBytes("UTF-8"))
+
+    val cfg = java.nio.file.Files.createTempFile("cfg_stream", ".json")
+    java.nio.file.Files.write(cfg,
+      s"""{"pipelines": {"logs/stream": {
+         |  "receiver": {"type": "stream_json_logs", "path": "$spool",
+         |               "maxFilesPerTrigger": 4},
+         |  "processors": [{"type": "filter",
+         |                  "where": "severity_number >= 9"}],
+         |  "exporters": [{"type": "parquet", "path": "$outDir"}]
+         |}}}""".stripMargin.getBytes("UTF-8"))
+
+    val bos = new java.io.ByteArrayOutputStream()
+    val code = Collector.execute(
+      Seq("run", "--config", cfg.toString),
+      new java.io.PrintStream(bos, true, "UTF-8"))
+    assert(code == 0, bos.toString("UTF-8"))
+    assert(bos.toString("UTF-8").contains("drained 1 streaming pipeline(s)"))
+
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 5)
+    assert(back.select(countDistinct(
+      element_at(col("resource_attributes"), "service.name"))).head.getLong(0) == 2)
+  }
+
+  test("Service.runStreaming starts ONLY the continuous pipelines; batch ones stay for run()") {
+    import spark.implicits._
+    val spool = java.nio.file.Files.createTempDirectory("api_stream_in")
+    java.nio.file.Files.write(spool.resolve("r1.json"),
+      mkLogRequest("api", 4).getBytes("UTF-8"))
+    val streamOut = java.nio.file.Files.createTempDirectory("api_stream_out").toString + "/s"
+    val batchIn = java.nio.file.Files.createTempDirectory("api_batch_in").toString
+    val batchOut = java.nio.file.Files.createTempDirectory("api_batch_out").toString + "/b"
+    (1 to 3).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(batchIn)
+
+    val svc = ConfigLoader.fromJson(
+      s"""{"pipelines": {
+         |  "logs/live": {
+         |    "receiver": {"type": "stream_json_logs", "path": "$spool"},
+         |    "exporters": [{"type": "parquet", "path": "$streamOut"}]},
+         |  "logs/batch": {
+         |    "receiver": {"type": "parquet", "path": "$batchIn"},
+         |    "exporters": [{"type": "parquet", "path": "$batchOut"}]}
+         |}}""".stripMargin)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("api_ckpt").toString
+    val queries = svc.runStreaming(spark, ckpt)
+    try {
+      assert(queries.keySet == Set("logs/live"), "batch pipeline must not start a query")
+      queries.values.flatten.foreach(_.processAllAvailable())
+      assert(spark.read.parquet(streamOut).count() == 4)
+      // the batch pipeline still runs the classic way
+      svc.pipelines("logs/batch").run(spark)
+      assert(spark.read.parquet(batchOut).count() == 3)
+    } finally queries.values.flatten.foreach(_.stop())
+  }
+}
