@@ -39,7 +39,8 @@ object Collector {
       "route", "batch", "batch_by_metadata", "batch_timed"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
       "parquet_persistent", "arrow_spool", "arrow_pool", "logging",
-      "otlp_http"))
+      "otlp_http"),
+    "extensions" -> Seq("file_storage", "memory_ballast"))
 
   def main(args: Array[String]): Unit =
     sys.exit(execute(args.toSeq, System.out))
@@ -106,6 +107,10 @@ object Collector {
           if (!requireConfigs()) return 1
           val svc = ConfigLoader.fromUris(configs.toSeq)
           val spark = GraftSession.get()
+          // extension lifecycle brackets the data path (reference
+          // service.go: extensions start first, stop last)
+          svc.startExtensions()
+          svc.extensions.foreach(e => out.println(s"started extension ${e.name}"))
           val recovered = svc.recover(spark)
           recovered.foreach { case (name, st) =>
             out.println(s"recovered $name: redelivered=${st.redelivered} " +
@@ -127,6 +132,7 @@ object Collector {
             }
             out.println(s"drained ${queries.size} streaming pipeline(s)")
           }
+          svc.shutdownExtensions()
           out.println(s"ran ${svc.pipelines.size} pipeline(s)")
           0
         case other =>

@@ -322,6 +322,36 @@ object ConfigLoader {
       root.get("featuregates").toSeq.flatMap(strList)
         .flatMap(item => FeatureGate.parseFlags(item))
     gateFlips.foreach { case (id, v) => gates.validateSet(id, v) }
+    // extensions: a top-level `extensions:` section DECLARES
+    // instances; `service: {extensions: [names]}` ENABLES them in
+    // start order (reference service/config.go two-sided validation:
+    // an enabled-but-undeclared name rejects the document; a
+    // declared-but-unlisted extension is never built)
+    val declaredExt: Map[String, Map[String, Object]] =
+      root.get("extensions").map(asMap).getOrElse(Map.empty)
+        .map { case (k, v) => k -> asMap(v) }
+    val svcBlock: Map[String, Object] =
+      root.get("service").map(asMap).getOrElse(Map.empty)
+    val enabledExt: Seq[String] = svcBlock.get("extensions").toSeq.flatMap(strList)
+    for (n <- enabledExt if !declaredExt.contains(n))
+      throw new IllegalArgumentException(
+        s"service.extensions references undeclared extension '$n'")
+    val extInstances: Seq[Extensions.Extension] =
+      enabledExt.map(n => buildExtension(n, declaredExt(n)))
+    def extLookup(name: String): Extensions.Extension =
+      extInstances.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          if (declaredExt.contains(name))
+            s"extension '$name' is declared but not enabled under service.extensions"
+          else s"unknown extension '$name'"))
+    // service::telemetry::metrics::level (config/configtelemetry):
+    // internal-telemetry verbosity, default basic
+    val telemetryLevel: Extensions.TelemetryLevel =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("metrics")).map(asMap)
+        .flatMap(_.get("level"))
+        .map(v => Extensions.TelemetryLevel.parse(v.toString))
+        .getOrElse(Extensions.TelemetryLevel.default)
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -337,13 +367,30 @@ object ConfigLoader {
           .map(p => buildProcessor(asMap(p))),
         exporters = defn.get("exporters").toSeq
           .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
-          .map(e => buildExporter(asMap(e))))
+          .zipWithIndex
+          .map { case (e, i) => buildExporter(asMap(e), name, i, extLookup) })
     }.toMap
     rejectConnectorCycles(pipelines.toMap)
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
-    Service(result)
+    Service(result, extInstances, telemetryLevel)
   }
+
+  /** extension factory: the instance name's type prefix (before an
+    * optional `/instance` suffix — the collector's `type/name` id
+    * form) selects the implementation */
+  private def buildExtension(name: String,
+                             cfg: Map[String, Object]): Extensions.Extension =
+    name.split("/", 2)(0) match {
+      case "file_storage" =>
+        new Extensions.FileStorage(str(cfg, "directory"), name)
+      case "memory_ballast" =>
+        new Extensions.MemoryBallast(
+          cfg.get("size_mib").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+          name)
+      case other =>
+        throw new IllegalArgumentException(s"unknown extension type: $other")
+    }
 
   /** the reference collector rejects bad connector graphs at config
     * validation — fail here with the defect named (a dangling
@@ -458,7 +505,11 @@ object ConfigLoader {
     case other => throw new IllegalArgumentException(s"unknown processor type: $other")
   }
 
-  private def buildExporter(m: Map[String, Object]): Exporter = str(m, "type") match {
+  private def buildExporter(m: Map[String, Object],
+                            pipeline: String = "", exporterIdx: Int = 0,
+                            ext: String => Extensions.Extension =
+                              n => throw new IllegalArgumentException(
+                                s"unknown extension '$n'")): Exporter = str(m, "type") match {
     case "parquet" => ParquetExporter(str(m, "path"),
       partitionBy = m.get("partitionBy").toSeq.flatMap(strList))
     // per-metadata-combination delivery off the _client carrier
@@ -468,9 +519,26 @@ object ConfigLoader {
     case "parquet_queued" => QueuedExporter(
       ParquetExporter(str(m, "path")), str(m, "dlq"),
       maxRetries = m.get("maxRetries").map(_.asInstanceOf[Number].intValue()).getOrElse(2))
-    // crash-durable queue wrapping a parquet sink (persistent_queue.go)
+    // crash-durable queue wrapping a parquet sink (persistent_queue.go).
+    // The durable location is EITHER an explicit `queue` dir or a
+    // `storage` reference to a file_storage extension (the reference
+    // queue's storageID: the extension owns the location, the queue
+    // asks for its component scope) — exactly one must be given.
     case "parquet_persistent" => PersistentQueueExporter(
-      ParquetExporter(str(m, "path")), str(m, "queue"),
+      ParquetExporter(str(m, "path")),
+      (m.get("queue"), m.get("storage")) match {
+        case (Some(q), None) => q.toString
+        case (None, Some(s)) => ext(s.toString) match {
+          case fsx: Extensions.FileStorage =>
+            fsx.scopeDirectory("exporter", s"$pipeline/$exporterIdx", "queue")
+          case other => throw new IllegalArgumentException(
+            s"extension '${other.name}' is not a storage extension")
+        }
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "parquet_persistent: give `queue` OR `storage`, not both")
+        case (None, None) => throw new IllegalArgumentException(
+          "parquet_persistent requires a `queue` dir or a `storage` extension reference")
+      },
       maxAttemptsPerBatch =
         m.get("maxAttempts").map(_.asInstanceOf[Number].intValue()).getOrElse(6),
       capacityBytes =

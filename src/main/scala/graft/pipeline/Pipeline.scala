@@ -959,8 +959,22 @@ object Pipeline {
     * receivers are read once per pipeline plan (Spark dedups the scan
     * via exchange/scan reuse where beneficial).
     */
-  final case class Service(pipelines: Map[String, PipelineDef]) {
+  final case class Service(pipelines: Map[String, PipelineDef],
+                           extensions: Seq[Extensions.Extension] = Nil,
+                           telemetryLevel: Extensions.TelemetryLevel =
+                             Extensions.TelemetryLevel.default) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
+
+    /** extension lifecycle (reference service/extensions/extensions.go:
+      * Start in declared order BEFORE any pipeline; Shutdown in
+      * REVERSE order after they stop; ConfigWatcher extensions get the
+      * resolved config via NotifyConfig) */
+    def startExtensions(): Unit = extensions.foreach(_.start())
+    def shutdownExtensions(): Unit = extensions.reverse.foreach(_.shutdown())
+    def notifyConfig(effectiveConfig: String): Unit =
+      extensions.foreach(_.notifyConfig(effectiveConfig))
+    def extension(name: String): Option[Extensions.Extension] =
+      extensions.find(_.name == name)
 
     /** Start every STREAMING pipeline (one whose receiver plan is
       * continuous) as live queries — the collector's always-on mode,
@@ -1093,9 +1107,18 @@ object Pipeline {
                     // the component as the `receiver` attribute. The
                     // transports' HttpObs/GrpcObs/ScraperObs all
                     // expose `counters` in this shape.
-                    transports: Map[String, Map[String, Long]] = Map.empty): DataFrame = {
+                    transports: Map[String, Map[String, Long]] = Map.empty,
+                    // configtelemetry verbosity (reference config/
+                    // configtelemetry Level, default = the service's
+                    // configured `service::telemetry::metrics::level`):
+                    // none → nothing; basic → queue gauges + delivery/
+                    // dead-letter totals; normal → + retry and
+                    // partial-success indicators; detailed → + the
+                    // per-transport dimensioned counters
+                    level: Extensions.TelemetryLevel = null): DataFrame = {
       import org.apache.spark.sql.Row
       import scala.jdk.CollectionConverters._
+      val lvl = if (level == null) telemetryLevel else level
       val res = Map("service.name" -> "graft-collector")
       def gauge(name: String, unit: String, value: Double,
                 attrs: Map[String, String]): Row =
@@ -1105,34 +1128,44 @@ object Pipeline {
               attrs: Map[String, String]): Row =
         Row(name, "sum", null, unit, "cumulative", true, timeUnixNano,
           startTimeUnixNano, value, attrs, res)
-      val queueRows = status(spark).flatMap { s =>
-        val attrs = Map("pipeline" -> s.pipeline, "queue_dir" -> s.queueDir)
-        Seq(
-          gauge("otelcol_exporter_queue_size", "{batches}", s.pending.toDouble, attrs),
-          gauge("otelcol_exporter_queue_bytes", "By", s.pendingBytes.toDouble, attrs),
-          gauge("otelcol_exporter_dlq_depth", "{batches}", s.deadLettered.toDouble, attrs))
-      }
-      val obsRows = obs.toSeq.sortBy(_._1).flatMap { case (pipeline, o) =>
-        val attrs = Map("pipeline" -> pipeline)
-        Seq(
-          sum("otelcol_exporter_sent_batches", "{batches}",
-            o.delivered.get.toDouble, attrs),
-          sum("otelcol_exporter_send_retries", "{retries}",
-            o.retries.get.toDouble, attrs),
-          sum("otelcol_exporter_dead_lettered_batches", "{batches}",
-            o.deadLetteredBatches.get.toDouble, attrs),
-          sum("otelcol_exporter_dead_lettered_rows", "{records}",
-            o.deadLetteredRows.get.toDouble, attrs),
-          sum("otelcol_exporter_partial_successes", "{batches}",
-            o.partialSuccesses.get.toDouble, attrs))
-      }
-      val transportRows = transports.toSeq.sortBy(_._1).flatMap {
-        case (receiver, counters) =>
-          val attrs = Map("receiver" -> receiver)
-          counters.toSeq.sortBy(_._1).map { case (counter, v) =>
-            sum(s"otelcol_receiver_$counter", "{requests}", v.toDouble, attrs)
-          }
-      }
+      val queueRows =
+        if (lvl.rank < Extensions.LevelBasic.rank) Nil
+        else status(spark).flatMap { s =>
+          val attrs = Map("pipeline" -> s.pipeline, "queue_dir" -> s.queueDir)
+          Seq(
+            gauge("otelcol_exporter_queue_size", "{batches}", s.pending.toDouble, attrs),
+            gauge("otelcol_exporter_queue_bytes", "By", s.pendingBytes.toDouble, attrs),
+            gauge("otelcol_exporter_dlq_depth", "{batches}", s.deadLettered.toDouble, attrs))
+        }
+      val obsRows =
+        if (lvl.rank < Extensions.LevelBasic.rank) Nil
+        else obs.toSeq.sortBy(_._1).flatMap { case (pipeline, o) =>
+          val attrs = Map("pipeline" -> pipeline)
+          val basic = Seq(
+            sum("otelcol_exporter_sent_batches", "{batches}",
+              o.delivered.get.toDouble, attrs),
+            sum("otelcol_exporter_dead_lettered_batches", "{batches}",
+              o.deadLetteredBatches.get.toDouble, attrs))
+          val normal =
+            if (lvl.rank < Extensions.LevelNormal.rank) Nil
+            else Seq(
+              sum("otelcol_exporter_send_retries", "{retries}",
+                o.retries.get.toDouble, attrs),
+              sum("otelcol_exporter_dead_lettered_rows", "{records}",
+                o.deadLetteredRows.get.toDouble, attrs),
+              sum("otelcol_exporter_partial_successes", "{batches}",
+                o.partialSuccesses.get.toDouble, attrs))
+          basic ++ normal
+        }
+      val transportRows =
+        if (lvl.rank < Extensions.LevelDetailed.rank) Nil
+        else transports.toSeq.sortBy(_._1).flatMap {
+          case (receiver, counters) =>
+            val attrs = Map("receiver" -> receiver)
+            counters.toSeq.sortBy(_._1).map { case (counter, v) =>
+              sum(s"otelcol_receiver_$counter", "{requests}", v.toDouble, attrs)
+            }
+        }
       spark.createDataFrame(
         (queueRows ++ obsRows ++ transportRows).asJava,
         graft.model.OtelModel.metricPointSchema)

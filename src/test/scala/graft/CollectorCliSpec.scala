@@ -47,6 +47,11 @@ class CollectorCliSpec extends AnyFunSuite {
     for (t <- Collector.componentTypes("exporters"))
       tryCfg(s"""{"pipelines": {"p": {"receiver": {"type": "parquet", "path": "x"},
                 |"exporters": [{"type": "$t"}]}}}""".stripMargin)
+    for (t <- Collector.componentTypes("extensions"))
+      tryCfg(s"""{"extensions": {"$t": {"directory": "/tmp/x", "size_mib": 1}},
+                |"service": {"extensions": ["$t"]},
+                |"pipelines": {"p": {"receiver": {"type": "parquet", "path": "x"},
+                |"exporters": [{"type": "logging"}]}}}""".stripMargin)
   }
 
   test("validate: green config OK(0); unknown component and missing --config are errors(1)") {

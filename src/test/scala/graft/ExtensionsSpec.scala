@@ -1,96 +1,204 @@
 package graft
 
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{ConfigLoader, Extensions}
+import graft.pipeline.Pipeline._
 
-/** SQL surface: the native expressions must be usable from spark.sql. */
+/** Service extensions (reference extension/extension.go +
+  * service/extensions/extensions.go), the experimental storage
+  * contract (extension/experimental/storage/storage.go), the memory
+  * ballast, and configtelemetry levels applied to healthFrame. */
 class ExtensionsSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
-  test("registered SQL functions evaluate") {
-    GraftExtensions.register(spark)
-    val r = spark.sql(
-      """SELECT size(word_shingles('a b c d', 3)) AS n_sh,
-        |  size(minhash_signature(word_shingles('a b c d', 3), 16)) AS k,
-        |  size(simhash_bits(array('a','b'))) AS bits,
-        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
-        |  size(hyperplane_buckets(array(0.1d, 0.2d), 4, 8)) AS tabs
-        |""".stripMargin).head()
-    assert(r.getAs[Int]("n_sh") == 2)
-    assert(r.getAs[Int]("k") == 16)
-    assert(r.getAs[Int]("bits") == 64)
-    assert(r.getAs[Double]("cs") == 1.0)
-    assert(r.getAs[Int]("tabs") == 4)
+  // ---------------- storage client contract (storage.go) ----------------
+
+  test("storage client: golang-map semantics — get miss None, set overwrites, delete no-ops") {
+    val dir = Files.createTempDirectory("stor").toString
+    val ext = new Extensions.FileStorage(dir)
+    ext.start()
+    val c = ext.getClient("exporter", "logs/out", "queue")
+    assert(c.get("k") == None)                      // miss is not an error
+    c.set("k", "v1".getBytes)
+    assert(c.get("k").map(new String(_)) == Some("v1"))
+    c.set("k", "v2".getBytes)                       // silent overwrite
+    assert(c.get("k").map(new String(_)) == Some("v2"))
+    c.delete("k")
+    assert(c.get("k") == None)
+    c.delete("k")                                   // delete miss no-ops
+    // keys with arbitrary characters are fine (encoded file names)
+    c.set("a/b:c d%e", Array[Byte](0, 1, 2))
+    assert(c.get("a/b:c d%e").get.toSeq == Seq[Byte](0, 1, 2))
+    c.close()
+    intercept[IllegalStateException](c.get("k"))    // use-after-close is a bug
   }
 
-  test("native expressions codegen-compile (fallback disabled)") {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.codegen.fallback", "false")
-    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    GraftExtensions.register(s2)
-    val r = s2.sql(
-      """SELECT doc_id,
-        |  minhash_signature(word_shingles(text, 3), 8) AS sig,
-        |  simhash_bits(word_shingles(text, 1)) AS bits
-        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`
-        |ORDER BY doc_id LIMIT 5""".stripMargin).collect()
-    assert(r.length == 5 && r.head.getSeq[Long](1).size == 8)
-    val c = s2.sql(
-      """SELECT cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)) AS cs,
-        |  hyperplane_buckets(CAST(a.embedding AS ARRAY<DOUBLE>), 4, 8) AS hb
-        |FROM parquet.`/root/testdata/sf0.001/embeddings.parquet` a
-        |JOIN parquet.`/root/testdata/sf0.001/embeddings.parquet` b ON b.vec_id = a.vec_id + 1
-        |LIMIT 3""".stripMargin).collect()
-    assert(c.length == 3 && c.head.getSeq[String](1).size == 4)
-    // the md5-portable kernels take the same codegen path
-    val m = s2.sql(
-      """SELECT doc_id,
-        |  minhash_signature_md5(word_shingles(text, 3), 8) AS sig,
-        |  simhash_bits_md5(word_shingles(text, 1)) AS bits,
-        |  simhash_bits_128(word_shingles(text, 1)) AS wide
-        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`
-        |ORDER BY doc_id LIMIT 5""".stripMargin).collect()
-    assert(m.length == 5 && m.head.getSeq[String](1).size == 8)
-    assert(m.head.getSeq[Int](2).size == 64 && m.head.getSeq[Int](3).size == 128)
-    val hb = s2.sql(
-      """SELECT hyperplane_buckets_md5(CAST(embedding AS ARRAY<DOUBLE>), 4, 8) AS hb
-        |FROM parquet.`/root/testdata/sf0.001/embeddings.parquet` LIMIT 2""".stripMargin)
-      .collect()
-    assert(hb.length == 2 && hb.head.getSeq[String](0).size == 4)
+  test("storage batch: operations run in order, Get results land in-place") {
+    val ext = new Extensions.FileStorage(
+      Files.createTempDirectory("stor_b").toString)
+    ext.start()
+    val c = ext.getClient("processor", "p", "state")
+    val g1 = Extensions.Operation.get("x")
+    val s1 = Extensions.Operation.set("x", "after".getBytes)
+    val g2 = Extensions.Operation.get("x")
+    val d = Extensions.Operation.delete("x")
+    val g3 = Extensions.Operation.get("x")
+    c.batch(g1, s1, g2, d, g3)
+    assert(g1.value == null)                         // before the set
+    assert(new String(g2.value) == "after")          // sees the set
+    assert(g3.value == null)                         // after the delete
+    c.close()
   }
 
-  test("two Duration converters share one codegen stage (freshName, no janino collision)") {
-    // the doGenCode used to hardcode a local named `graftDur`: two
-    // instances in the same whole-stage scope generated a duplicate
-    // declaration, janino failed, and the stage silently dropped to
-    // interpreted execution. Fallback is disabled here so a collision
-    // FAILS instead of hiding.
-    import org.apache.spark.sql.functions._
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.codegen.fallback", "false")
-    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    val r = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .orderBy(col("doc_id")).limit(3)
-      .select(
-        graft.operators.Ottl.duration(concat((col("doc_id") % 5 + 1).cast("string"), lit("h"))).as("h"),
-        graft.operators.Ottl.duration(concat((col("doc_id") % 7 + 1).cast("string"), lit("m"))).as("m"))
-      .collect()
-    assert(r.length == 3)
-    assert(r.head.getLong(0) % 3600000000000L == 0 && r.head.getLong(0) > 0)
-    assert(r.head.getLong(1) % 60000000000L == 0 && r.head.getLong(1) > 0)
+  test("storage isolation + restart: components never see each other; a new instance over the same dir serves the same data") {
+    val dir = Files.createTempDirectory("stor_iso").toString
+    val ext = new Extensions.FileStorage(dir)
+    ext.start()
+    val a = ext.getClient("exporter", "logs/out", "queue")
+    val b = ext.getClient("exporter", "metrics/out", "queue")
+    val a2 = ext.getClient("exporter", "logs/out", "dlq") // same comp, other storageName
+    a.set("k", "A".getBytes)
+    assert(b.get("k") == None && a2.get("k") == None)
+    a.close(); b.close(); a2.close()
+    // "restart": a brand-new extension instance over the same directory
+    val ext2 = new Extensions.FileStorage(dir)
+    ext2.start()
+    val c = ext2.getClient("exporter", "logs/out", "queue")
+    assert(c.get("k").map(new String(_)) == Some("A"))
+    c.close()
   }
 
-  test("SQL minhash matches the Column API") {
-    GraftExtensions.register(spark)
-    import org.apache.spark.sql.functions._
-    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
-    docs.createOrReplaceTempView("docs_ext_spec")
-    val viaSql = spark.sql(
-      "SELECT doc_id, minhash_signature(word_shingles(text, 3), 8) AS sig FROM docs_ext_spec")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val viaCol = docs.select(col("doc_id"),
-        operators.DedupOps.minhashSignature(
-          operators.DedupOps.shinglesOfText(col("text"), 3), 8).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(viaSql == viaCol)
+  // ------------- config wiring + service lifecycle -------------
+
+  test("config: declared+enabled extensions build, start in order, shut down in reverse; validation is two-sided") {
+    val dir = Files.createTempDirectory("stor_cfg").toString
+    val svc = ConfigLoader.fromJson(
+      s"""{"extensions": {
+         |  "file_storage": {"directory": "$dir"},
+         |  "memory_ballast": {"size_mib": 1}},
+         |"service": {"extensions": ["file_storage", "memory_ballast"]},
+         |"pipelines": {"p": {
+         |  "receiver": {"type": "parquet", "path": "/in"},
+         |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    assert(svc.extensions.map(_.name) == Seq("file_storage", "memory_ballast"))
+    svc.startExtensions()
+    val ballast = svc.extension("memory_ballast").get
+      .asInstanceOf[Extensions.MemoryBallast]
+    assert(ballast.allocatedBytes == (1L << 20))
+    svc.shutdownExtensions()
+    assert(ballast.allocatedBytes == 0L)
+
+    // enabled-but-undeclared rejects the document
+    val e1 = intercept[IllegalArgumentException](ConfigLoader.fromJson(
+      """{"service": {"extensions": ["file_storage"]},
+        |"pipelines": {"p": {"receiver": {"type": "parquet", "path": "/in"},
+        |"exporters": [{"type": "logging"}]}}}""".stripMargin))
+    assert(e1.getMessage.contains("undeclared"))
+
+    // declared-but-unlisted is never built
+    val svc2 = ConfigLoader.fromJson(
+      s"""{"extensions": {"file_storage": {"directory": "$dir"}},
+         |"pipelines": {"p": {"receiver": {"type": "parquet", "path": "/in"},
+         |"exporters": [{"type": "logging"}]}}}""".stripMargin)
+    assert(svc2.extensions.isEmpty)
+  }
+
+  test("lifecycle order: start in declared order, shutdown in reverse (service/extensions.go)") {
+    val events = scala.collection.mutable.ArrayBuffer[String]()
+    final class Probe(val name: String) extends Extensions.Extension {
+      override def start(): Unit = events += s"start:$name"
+      override def shutdown(): Unit = events += s"stop:$name"
+      override def notifyConfig(cfg: String): Unit = events += s"notify:$name"
+    }
+    val svc = Service(Map.empty, extensions = Seq(new Probe("a"), new Probe("b")))
+    svc.startExtensions()
+    svc.notifyConfig("{}")
+    svc.shutdownExtensions()
+    assert(events.toSeq ==
+      Seq("start:a", "start:b", "notify:a", "notify:b", "stop:b", "stop:a"))
+  }
+
+  test("storage-backed persistent queue: the extension owns the durable location; batches survive a crash through it") {
+    val stor = Files.createTempDirectory("stor_q").toString
+    val sink = Files.createTempDirectory("stor_sink").toString
+    def doc =
+      s"""{"extensions": {"file_storage": {"directory": "$stor"}},
+         |"service": {"extensions": ["file_storage"]},
+         |"pipelines": {"logs/out": {
+         |  "receiver": {"type": "parquet", "path": "IN"},
+         |  "exporters": [{"type": "parquet_persistent", "path": "$sink/out",
+         |                 "storage": "file_storage"}]}}}""".stripMargin
+    // seed an input file
+    val in = Files.createTempDirectory("stor_in").toString + "/in.parquet"
+    spark.range(0, 7).select(col("id"), (col("id") * 3).as("v"))
+      .write.parquet(in)
+    val svc = ConfigLoader.fromJson(doc.replace("IN", in))
+    svc.startExtensions()
+    svc.run(spark)
+    // the queue dir lives under the storage extension's component
+    // scope — the extension owns the location, not the exporter config
+    val scopes = new java.io.File(stor).listFiles().filter(_.isDirectory)
+    assert(scopes.length == 1 && scopes.head.getName.startsWith("exporter_"),
+      scopes.map(_.getName).toSeq)
+    assert(spark.read.parquet(s"$sink/out").count() == 7)
+    // a REBUILT service from the same document recovers the same queue
+    // (crash-restart: nothing pending here, but the dir resolves
+    // identically — recovery finds the same scope)
+    val svc2 = ConfigLoader.fromJson(doc.replace("IN", in))
+    svc2.startExtensions()
+    assert(svc2.recover(spark).values.forall(_.stillPending == 0))
+
+    // misconfig: both queue and storage, or a non-storage reference
+    val e = intercept[IllegalArgumentException](ConfigLoader.fromJson(
+      s"""{"extensions": {"memory_ballast": {"size_mib": 1}},
+         |"service": {"extensions": ["memory_ballast"]},
+         |"pipelines": {"p": {
+         |  "receiver": {"type": "parquet", "path": "/in"},
+         |  "exporters": [{"type": "parquet_persistent", "path": "/o",
+         |                 "storage": "memory_ballast"}]}}}""".stripMargin))
+    assert(e.getMessage.contains("not a storage extension"))
+  }
+
+  // ---------------- configtelemetry levels ----------------
+
+  test("telemetry level: parse + config default basic; healthFrame row sets widen with the level") {
+    import Extensions._
+    assert(TelemetryLevel.parse("Detailed") == LevelDetailed)
+    assert(TelemetryLevel.parse("none") == LevelNone)
+    intercept[IllegalArgumentException](TelemetryLevel.parse("verbose"))
+
+    val base =
+      """{"pipelines": {"p": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "logging"}]}}""".stripMargin
+    assert(ConfigLoader.fromJson(base + "}").telemetryLevel == LevelBasic)
+    val svcN = ConfigLoader.fromJson(base +
+      ""","service": {"telemetry": {"metrics": {"level": "normal"}}}}""")
+    assert(svcN.telemetryLevel == LevelNormal)
+
+    // row sets: one obs map + one transport map, scraped at each level
+    val obs = new QueueObs
+    obs.delivered.set(3); obs.retries.set(2)
+    val transports = Map("otlp_http/logs" -> Map("accepted_requests" -> 5L))
+    val svc = Service(Map.empty)
+    def names(level: TelemetryLevel): Set[String] =
+      svc.healthFrame(spark, 1000L, obs = Map("p" -> obs),
+          transports = transports, level = level)
+        .select("metric_name").collect().map(_.getString(0)).toSet
+
+    assert(names(LevelNone).isEmpty)
+    val basic = names(LevelBasic)
+    assert(basic.contains("otelcol_exporter_sent_batches"))
+    assert(!basic.contains("otelcol_exporter_send_retries"))
+    assert(!basic.exists(_.startsWith("otelcol_receiver_")))
+    val normal = names(LevelNormal)
+    assert(normal.contains("otelcol_exporter_send_retries"))
+    assert(!normal.exists(_.startsWith("otelcol_receiver_")))
+    val detailed = names(LevelDetailed)
+    assert(detailed.contains("otelcol_receiver_accepted_requests"))
+    assert(basic.subsetOf(normal) && normal.subsetOf(detailed))
   }
 }

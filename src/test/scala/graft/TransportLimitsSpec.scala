@@ -63,7 +63,10 @@ class TransportLimitsSpec extends AnyFunSuite {
       val svc = Pipeline.Service(Map.empty)
       val frame = svc.healthFrame(spark, timeUnixNano = 2000L,
         startTimeUnixNano = 1000L,
-        transports = Map("otlp_http/logs" -> rx.obs.counters))
+        transports = Map("otlp_http/logs" -> rx.obs.counters),
+        // per-transport dimensioned counters are DETAILED-level
+        // telemetry (configtelemetry Level semantics)
+        level = graft.pipeline.Extensions.LevelDetailed)
       val rows = frame
         .filter(col("metric_name") === "otelcol_receiver_accepted_requests")
         .select(col("value"), element_at(col("attributes"), "receiver").as("r"))
