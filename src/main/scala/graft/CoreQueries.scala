@@ -454,6 +454,23 @@ object CoreQueries {
             .as("revenue"))
     }),
 
+    // Z-order layout stats: lineitem keyed on two predicate columns
+    // at once (partkey, suppkey mod 256), files = aligned 16×16
+    // Morton tiles, per-file min/max footer stats + which files a box
+    // query must read. The 100 TB story is read amplification: under
+    // this layout an aligned box touches ONE file; under an x-only
+    // sort the same box touches every file whose x range matches
+    // (ZorderSpec pins both counts). Everything before the single
+    // 256-group aggregate is map-side integer codegen.
+    "q_zorder_layout" -> ((s, dir) => {
+      graft.operators.ScaleOps.zorderFileStats(
+        Tables(s, dir, "lineitem"),
+        pmod(col("l_partkey"), lit(256)).cast("long"),
+        pmod(col("l_suppkey"), lit(256)).cast("long"),
+        bits = 8, fileShift = 8,
+        x1 = 32, x2 = 47, y1 = 0, y2 = 15)
+    }),
+
     // Resource-enrichment join: events × customer. customer is
     // SF-scaled (NOT a fixed dim), so no broadcast hint — AQE
     // broadcasts it while small and shuffle-joins when it isn't.
@@ -468,7 +485,29 @@ object CoreQueries {
     })
   )
 
+  /** the Morton interleave as portable SQL: Σ ((x>>i)&1)·2^(2i) +
+    * ((y>>i)&1)·2^(2i+1) — pure integer shift/mask terms, identical
+    * in Spark and DuckDB */
+  private def mortonSql(bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"(((x >> $i) & 1) * ${1L << (2 * i)})",
+      s"(((y >> $i) & 1) * ${1L << (2 * i + 1)})")).mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH xy AS (
+         | SELECT CAST(l_partkey % 256 AS BIGINT) AS x,
+         |        CAST(l_suppkey % 256 AS BIGINT) AS y
+         | FROM lineitem),
+         |z AS (SELECT x, y, ${mortonSql(8)} AS z FROM xy),
+         |f AS (SELECT z // 256 AS file_id, CAST(COUNT(*) AS BIGINT) AS rows,
+         |        MIN(x) AS min_x, MAX(x) AS max_x,
+         |        MIN(y) AS min_y, MAX(y) AS max_y
+         |      FROM z GROUP BY z // 256)
+         |SELECT file_id, rows, min_x, max_x, min_y, max_y,
+         | (max_x >= 32 AND min_x <= 47 AND max_y >= 0 AND min_y <= 15) AS hit
+         |FROM f""".stripMargin,
+
     "q12_ship_priority" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

@@ -452,6 +452,16 @@ object DataPipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // Trained quality classifier (the fastText-filter role): even
+    // doc_ids train a capped-vocab df-posterior model against the
+    // quality heuristic label; odd doc_ids are scored and the
+    // confusion table reports how the trained filter would gate the
+    // held-out corpus — see TextOps.qualityClassifier
+    "q_quality_classifier" -> ((s, dir) =>
+      TextOps.qualityClassifier(docs(s, dir), "doc_id", "text",
+        labelPred = col("lang") === "en" && col("n_chars") >= 200,
+        trainPred = col("doc_id") % 2 === 0)),
+
     // BPE tokenizer training — first-iteration pair statistics
     // (value-oracled: the distributed pair-count kernel every merge
     // round reuses) and the full merge-table training loop
@@ -1588,6 +1598,38 @@ object DataPipelineQueries {
         |FROM inc i
         |LEFT JOIN store s ON i.h = s.h
         |JOIN fb f ON i.h = f.h""".stripMargin,
+
+    // integer-only NB-shaped classifier: fixed-point posterior
+    // weights, integer mean score, confusion table — every step
+    // portable, so training AND application are value-verified
+    "q_quality_classifier" ->
+      """WITH base AS (
+        | SELECT doc_id, (lang = 'en' AND n_chars >= 200) AS label,
+        |  (doc_id % 2 = 0) AS train,
+        |  regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |tok AS (
+        | SELECT DISTINCT doc_id, label, train, tok
+        | FROM (SELECT doc_id, label, train, unnest(t) AS tok FROM base)),
+        |dfs AS (
+        | SELECT tok, CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS dfl,
+        |  CAST(COUNT(*) AS BIGINT) AS dfa
+        | FROM tok WHERE train GROUP BY tok),
+        |vocab AS (
+        | SELECT tok, (1000000 * (dfl + 1)) // (dfa + 2) AS w
+        | FROM dfs ORDER BY dfa DESC, tok ASC LIMIT 5000),
+        |sc AS (
+        | SELECT t.doc_id, t.label, COUNT(v.w) AS m,
+        |  CAST(COALESCE(SUM(v.w), 0) AS BIGINT) AS sw
+        | FROM tok t LEFT JOIN vocab v USING (tok) WHERE NOT t.train
+        | GROUP BY t.doc_id, t.label),
+        |s2 AS (
+        | SELECT label, CASE WHEN m = 0 THEN 500000 ELSE sw // m END AS score
+        | FROM sc)
+        |SELECT (score > 500000) AS predicted, label AS actual,
+        | CAST(COUNT(*) AS BIGINT) AS docs,
+        | CAST(SUM(score) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_score
+        |FROM s2 GROUP BY 1, 2""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH toks AS (

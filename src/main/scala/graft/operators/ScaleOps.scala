@@ -317,4 +317,46 @@ object ScaleOps {
       .withColumn("pack_id", expr(s"(__cum - $tokensCol) DIV $maxLen"))
       .drop("__cum")
   }
+
+  /** Morton/Z-order bit interleave of two `bits`-bit non-negative
+    * ints (Morton 1966 — the multi-dimensional data-LAYOUT primitive
+    * behind file skipping on two predicate columns at once, the
+    * Delta/Iceberg OPTIMIZE ZORDER idea). Pure integer Column
+    * arithmetic: 2·bits shift/mask terms folded by codegen into one
+    * projection — no UDF, no shuffle. Requires 2·bits ≤ 62. */
+  def mortonInterleave(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Per-file min/max statistics of a Z-ordered layout: rows are
+    * assigned to files by their Morton code's high bits (one file =
+    * one aligned 2^(fileShift/2) × 2^(fileShift/2) tile of the
+    * (x, y) grid when fileShift is even), and each file carries the
+    * column min/max a lake's footer stats would — exactly what a
+    * reader consults to SKIP files for a box predicate. `hit` marks
+    * the files a [x1,x2]×[y1,y2] box query would actually read.
+    * One shuffle, ≤ 2^(2·bits − fileShift) groups; everything else
+    * is map-side integer math. At 100 TB the difference between this
+    * layout and a single-column sort is the read amplification on
+    * the second predicate column — the spec pins it (1 file hit
+    * z-ordered vs 2^(bits/?) under an x-only sort for an aligned
+    * tile box). */
+  def zorderFileStats(df: DataFrame, x: Column, y: Column, bits: Int,
+                      fileShift: Int,
+                      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
+    val z = mortonInterleave(x, y, bits)
+    df.select(x.cast("long").as("__x"), y.cast("long").as("__y"),
+        z.cast("long").as("__z"))
+      .groupBy(expr(s"__z DIV ${1L << fileShift}").as("file_id"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+      .withColumn("hit",
+        col("max_x") >= x1 && col("min_x") <= x2 &&
+          col("max_y") >= y1 && col("min_y") <= y2)
+  }
 }

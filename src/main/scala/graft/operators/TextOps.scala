@@ -518,4 +518,57 @@ object TextOps {
         sum(col("n_subwords")).as("n_subwords"),
         sum(col("n_chars")).as("n_chars"))
   }
+
+  /** Trained quality classifier — the classifier-based filtering
+    * stage of a curation pipeline (the role fastText quality models
+    * play in public web-corpus recipes: train on labeled seed docs,
+    * score the rest, keep the confident slice). The model is a
+    * Bernoulli-NB-shaped document-frequency posterior kept entirely
+    * in libm-free integer arithmetic so training AND application are
+    * value-oracle-able:
+    *
+    *  - train split (`trainPred`): per distinct (doc, token), count
+    *    df_label (docs matching `labelPred` containing the token) and
+    *    df_all;
+    *  - vocabulary = top `maxVocab` tokens by (df_all desc, token) —
+    *    an explicit bound, so the model is broadcast-sized at ANY
+    *    corpus scale (the capped-vocab discipline of the bigram LM);
+    *  - token weight = fixed-point smoothed posterior
+    *    w = (10^6 · (df_label+1)) DIV (df_all+2) ∈ [0, 10^6];
+    *  - a held-out doc scores the integer mean of w over its distinct
+    *    in-vocab tokens (m=0 falls back to the 500000 prior), and is
+    *    predicted positive above the prior;
+    *  - output = the confusion table (predicted × actual, doc counts,
+    *    mean score) — the report a pipeline gates a corpus on.
+    *
+    * Scale shape: tokenize+explode+distinct is one shuffle of
+    * (doc_id, token) pairs; the df aggregate shuffles tokens once;
+    * the capped vocab joins back broadcast-sized; the per-doc score
+    * groups (doc_id) with two longs. Text itself never shuffles. */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        labelPred: Column, trainPred: Column,
+                        maxVocab: Int = 5000): DataFrame = {
+    val tok = docs.select(col(idCol).as("__id"), labelPred.as("__label"),
+        trainPred.as("__train"), explode(tokens(col(textCol))).as("__tok"))
+      .distinct()
+    val dfs = tok.filter(col("__train"))
+      .groupBy(col("__tok"))
+      .agg(sum(when(col("__label"), 1L).otherwise(0L)).as("__dfl"),
+        count(lit(1)).as("__dfa"))
+    val vocab = dfs.orderBy(col("__dfa").desc, col("__tok").asc)
+      .limit(maxVocab)
+      .withColumn("__w", expr("(1000000 * (__dfl + 1)) DIV (__dfa + 2)"))
+      .select(col("__tok"), col("__w"))
+    tok.filter(!col("__train"))
+      .join(vocab, Seq("__tok"), "left")
+      .groupBy(col("__id"), col("__label"))
+      .agg(count(col("__w")).as("__m"), sum(col("__w")).as("__sw"))
+      .withColumn("score", when(col("__m") === 0L, lit(500000L))
+        .otherwise(expr("__sw DIV __m")))
+      .groupBy((col("score") > 500000L).as("predicted"),
+        col("__label").as("actual"))
+      .agg(count(lit(1)).as("docs"), sum(col("score")).as("__ss"))
+      .withColumn("avg_score", expr("__ss DIV docs"))
+      .drop("__ss")
+  }
 }

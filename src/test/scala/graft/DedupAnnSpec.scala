@@ -701,4 +701,42 @@ class DedupAnnSpec extends AnyFunSuite {
     // target docs outrank the non-target doc that shares their features
     assert(w(1L)._4 > w(2L)._4)
   }
+
+  test("qualityClassifier: hand-checked training, scoring, prior fallback, and vocab cap") {
+    import graft.operators.TextOps
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (0L, "alpha beta", true),        // train +
+      (2L, "alpha zork", false),       // train −
+      (4L, "beta beta gamma", true),   // train + (distinct: beta, gamma)
+      (1L, "beta gamma", true),        // test
+      (3L, "zork", false),             // test
+      (5L, "unknowntoken", false)      // test, fully out-of-vocab
+    ).toDF("doc_id", "text", "label")
+    // weights: alpha (1+1)e6/(2+2)=500000; beta (2+1)e6/(2+2)=750000;
+    //          zork (0+1)e6/(1+2)=333333; gamma (1+1)e6/(1+2)=666666
+    val out = TextOps.qualityClassifier(docs, "doc_id", "text",
+        labelPred = col("label"), trainPred = col("doc_id") % 2 === 0)
+      .collect()
+      .map(r => (r.getAs[Boolean]("predicted"), r.getAs[Boolean]("actual")) ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("avg_score"))).toMap
+    // doc1 (750000+666666)/2=708333 → positive (TP); doc3 333333 →
+    // negative; doc5 no vocab hit → the 500000 prior → negative
+    assert(out == Map(
+      (true, true) -> ((1L, 708333L)),
+      (false, false) -> ((2L, (333333L + 500000L) / 2))))
+
+    // cap the vocab at 2: (df desc, token asc) keeps alpha+beta only —
+    // doc3's "zork" evidence is gone, it scores the prior like doc5
+    val capped = TextOps.qualityClassifier(docs, "doc_id", "text",
+        labelPred = col("label"), trainPred = col("doc_id") % 2 === 0,
+        maxVocab = 2)
+      .collect()
+      .map(r => (r.getAs[Boolean]("predicted"), r.getAs[Boolean]("actual")) ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("avg_score"))).toMap
+    assert(capped == Map(
+      (true, true) -> ((1L, 750000L)),
+      (false, false) -> ((2L, 500000L))))
+  }
 }

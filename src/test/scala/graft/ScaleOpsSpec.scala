@@ -476,4 +476,50 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == ranked)
   }
+
+  test("mortonInterleave: hand-checked bit interleave") {
+    val df = spark.range(1).select(
+      ScaleOps.mortonInterleave(lit(3L), lit(5L), 8).as("a"),   // x=011,y=101
+      ScaleOps.mortonInterleave(lit(0L), lit(0L), 8).as("b"),
+      ScaleOps.mortonInterleave(lit(255L), lit(255L), 8).as("c"),
+      ScaleOps.mortonInterleave(lit(255L), lit(0L), 8).as("d"))
+    val r = df.head()
+    // z(3,5): x0→1, y0→2, x1→4, y2→32 = 39
+    assert(r.getLong(0) == 39L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 65535L)
+    // all-x bits land on even positions: 0101...01 = 0x5555
+    assert(r.getLong(3) == 0x5555L)
+  }
+
+  test("z-order layout prunes a box query to ONE file where an x-sorted layout reads 16") {
+    // full 256×256 grid, one row per cell → 256 files of 256 rows
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val stats = ScaleOps.zorderFileStats(grid, col("x"), col("y"),
+      bits = 8, fileShift = 8, x1 = 32, x2 = 47, y1 = 64, y2 = 79)
+      .collect()
+    assert(stats.length == 256)
+    assert(stats.forall(_.getAs[Long]("rows") == 256L))
+    // fileShift=8 on an 8-bit interleave → every file is an ALIGNED
+    // 16×16 tile, so the aligned 16×16 box lives in exactly one file
+    val zHits = stats.count(_.getAs[Boolean]("hit"))
+    assert(zHits == 1, s"z-order hit files: $zHits")
+    val hitFile = stats.find(_.getAs[Boolean]("hit")).get
+    assert(hitFile.getAs[Long]("min_x") == 32 && hitFile.getAs[Long]("max_x") == 47)
+    assert(hitFile.getAs[Long]("min_y") == 64 && hitFile.getAs[Long]("max_y") == 79)
+
+    // the single-column-sort baseline: files = one x value each (256
+    // files of 256 rows, same file count/size). Every file's y range
+    // is [0,255], so footer stats cannot prune on y at all — the box
+    // reads every file in x∈[32,47]: 16 files, 16× the bytes
+    val linHits = grid
+      .groupBy(col("x").as("file_id"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .filter(col("file_id") >= 32 && col("file_id") <= 47 &&
+        col("max_y") >= 64 && col("min_y") <= 79)
+      .count()
+    assert(linHits == 16L, s"x-sort hit files: $linHits")
+  }
 }
