@@ -217,6 +217,12 @@ object ConfigLoader {
     Set("bearer_token", "bearer_tokens", "password", "api_key",
         "basic_users", "api_keys")
 
+  /** map-valued opaque fields whose KEYS are structural (header
+    * names) but whose VALUES are credentials — masked element-wise
+    * with names kept, exactly how the reference marshals
+    * `map[string]configopaque.String` (confighttp Headers) */
+  val OpaqueValueMaps: Set[String] = Set("headers")
+
   def effectiveConfig(doc: String, yaml: Boolean = false,
                       env: String => Option[String] = sys.env.get): String = {
     val inMapper =
@@ -231,7 +237,14 @@ object ConfigLoader {
         val out = new java.util.LinkedHashMap[String, Object]()
         m.asInstanceOf[java.util.Map[String, Object]].forEach { (k, v) =>
           out.put(k,
-            if (OpaqueKeys(k)) v match {
+            if (OpaqueValueMaps(k)) v match {
+              case vm: java.util.Map[_, _] =>
+                val r = new java.util.LinkedHashMap[String, Object]()
+                vm.asInstanceOf[java.util.Map[String, Object]]
+                  .forEach((hk, _) => r.put(hk, Mask))
+                r
+              case _ => Mask
+            } else if (OpaqueKeys(k)) v match {
               case l: java.util.List[_] =>
                 val r = new java.util.ArrayList[Object]()
                 l.forEach(_ => r.add(Mask))
@@ -566,7 +579,11 @@ object ConfigLoader {
       tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
       // configauth client half ({bearer_token} | {basic: {username,
       // password}} | {api_key_header, api_key})
-      auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))))
+      auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))),
+      // confighttp client Headers: fixed headers on every request
+      // (values render [REDACTED] in print-config)
+      headers = m.get("headers").map(asMap).getOrElse(Map.empty)
+        .map { case (k, v) => k -> v.toString })
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }
 }

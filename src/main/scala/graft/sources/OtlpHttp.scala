@@ -177,6 +177,24 @@ object OtlpHttp {
     sb.toString
   }
 
+  /** read the IncludeMetadata sidecars of one spool subdir:
+    * spooled request file name → lowercased header name → values
+    * (the client.Metadata shape a ClientInfo attach consumes) */
+  def readSpoolMetadata(spoolDir: String,
+                        sub: String): Map[String, Map[String, Seq[String]]] = {
+    import scala.jdk.CollectionConverters._
+    val d = new java.io.File(spoolDir, sub)
+    val metas = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".meta"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    metas.map { f =>
+      val parsed = mapper.readValue(f,
+        classOf[java.util.Map[String, java.util.List[String]]])
+      f.getName.stripSuffix(".meta") ->
+        parsed.asScala.map { case (k, vs) => k -> vs.asScala.toSeq }.toMap
+    }.toMap
+  }
+
   def partialSuccessJson(signal: String, rejected: Long,
                                           msg: String): String =
     s"""{"partialSuccess":{"${rejectedField(signal)}":"$rejected","errorMessage":"${jsonEscape(msg)}"}}"""
@@ -324,7 +342,13 @@ object OtlpHttp {
       // http.MaxBytesReader around the body): 0 = unlimited, past the
       // cap the request is refused with 413 WITHOUT buffering the
       // excess (the read stops at the limit)
-      maxRequestBodyBytes: Long = 0L) {
+      maxRequestBodyBytes: Long = 0L,
+      // confighttp IncludeMetadata (confighttp.go:220-222): when set,
+      // the incoming request's headers propagate as client metadata —
+      // written as a durable `.meta` JSON sidecar next to each
+      // spooled request (lowercased names, multi-values preserved),
+      // the client.Metadata shape ClientInfoReceiver attaches
+      includeMetadata: Boolean = false) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: com.sun.net.httpserver.HttpServer = tls match {
@@ -508,6 +532,29 @@ object OtlpHttp {
           java.nio.file.Files.write(tmp.toPath, body)
           if (!tmp.renameTo(new java.io.File(dir, name)))
             throw new java.io.IOException(s"spool rename failed: $name")
+          // IncludeMetadata: request headers → durable client-metadata
+          // sidecar, AFTER the payload commits (a sidecar never
+          // exists without its request; a crash in between degrades
+          // to include_metadata=false for that one request). Names
+          // lowercase, multi-values preserved — client.Metadata's
+          // canonical shape. Auth attributes ride the same sidecar
+          // under `auth.` keys, the _client.auth merge the attach
+          // performs.
+          if (includeMetadata) {
+            import scala.jdk.CollectionConverters._
+            val hdrs = ex.getRequestHeaders.asScala.toSeq
+              .map { case (k, vs) =>
+                k.toLowerCase -> vs.asScala.toSeq }
+              .sortBy(_._1)
+            val authKv = authAttrs.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"auth.$k" -> Seq(v) }
+            val json = (hdrs ++ authKv).map { case (k, vs) =>
+              s""""${jsonEscape(k)}":[${vs.map(v => s""""${jsonEscape(v)}"""").mkString(",")}]"""
+            }.mkString("{", ",", "}")
+            java.nio.file.Files.write(
+              new java.io.File(dir, s"$name.meta").toPath,
+              json.getBytes("UTF-8"))
+          }
         } finally controller.foreach(_.release(body.length.toLong))
         obs.requests.incrementAndGet()
         if (auth.isDefined) onAuthenticated(signal.get, authAttrs)
@@ -583,7 +630,12 @@ object OtlpHttp {
       obs: Option[HttpExportObs] = None,
       onPartialSuccess: (Long, String) => Unit = (_, _) => (),
       tls: Option[TlsConfig] = None,
-      auth: Option[Auth.ClientAuthenticator] = None)
+      auth: Option[Auth.ClientAuthenticator] = None,
+      // confighttp client Headers (confighttp.go:50): fixed headers
+      // attached to every outgoing request; values are configopaque
+      // (masked in print-config) because tenant/routing headers
+      // routinely carry credentials
+      headers: Map[String, String] = Map.empty)
       extends graft.pipeline.Pipeline.Exporter {
 
     // one context per exporter, not per request
@@ -614,6 +666,9 @@ object OtlpHttp {
       conn.setReadTimeout(readTimeoutMs)
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
+      // configured fixed headers first — the protocol-critical
+      // Content-Type/Content-Encoding below win on collision
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       val ct = if (useJson) "application/json" else "application/x-protobuf"
       conn.setRequestProperty("Content-Type", ct)
       // configauth client authenticator (the RoundTripper half of

@@ -282,4 +282,45 @@ class OtlpHttpSpec extends AnyFunSuite {
     assert(OtlpHttp.parsePartialSuccess(
       OtlpHttp.partialSuccessPb(0L, ""), "application/x-protobuf").isEmpty)
   }
+
+  test("client headers + include_metadata: configured headers ride every request and land as durable client metadata") {
+    import spark.implicits._
+    val spool = tmpDir("otlp_http_meta")
+    val rx = new OtlpHttpReceiver(0, spool, includeMetadata = true)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 3)).toDF("json"))
+      OtlpHttpExporter(s"http://localhost:${rx.boundPort}", "logs",
+        headers = Map("X-Tenant" -> "acme", "X-Scope-OrgID" -> "org-42"))
+        .export(logs)
+      // sidecar: lowercased names, values preserved, one per request
+      val meta = OtlpHttp.readSpoolMetadata(spool, "logs_pb")
+      assert(meta.size == 1, meta.keys)
+      val hdrs = meta.values.head
+      assert(hdrs("x-tenant") == Seq("acme"))
+      assert(hdrs("x-scope-orgid") == Seq("org-42"))
+      assert(hdrs.contains("content-type"))
+    } finally rx.stop()
+
+    // include_metadata off (the default): no sidecars — header
+    // propagation is OPT-IN, exactly the confighttp contract
+    val spool2 = tmpDir("otlp_http_nometa")
+    val rx2 = new OtlpHttpReceiver(0, spool2)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 1)).toDF("json"))
+      OtlpHttpExporter(s"http://localhost:${rx2.boundPort}", "logs",
+        headers = Map("X-Tenant" -> "acme")).export(logs)
+      assert(OtlpHttp.readSpoolMetadata(spool2, "logs_pb").isEmpty)
+    } finally rx2.stop()
+
+    // print-config: header NAMES survive, VALUES mask — the
+    // map[string]configopaque.String marshaling
+    val rendered = graft.pipeline.ConfigLoader.effectiveConfig(
+      """{"pipelines": {"p": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "otlp_http", "endpoint": "http://h", "signal": "logs",
+        |    "headers": {"X-Scope-OrgID": "org-42"}}]}}}""".stripMargin)
+    assert(rendered.contains("X-Scope-OrgID"))
+    assert(!rendered.contains("org-42"))
+    assert(rendered.contains("[REDACTED]"))
+  }
 }
