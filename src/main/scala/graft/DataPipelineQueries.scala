@@ -75,6 +75,45 @@ object DataPipelineQueries {
         .select(col("id_a"), col("id_b"), col("est_sim"))
     }),
 
+    // Sketch-accuracy report: how closely the 32-lane MinHash
+    // estimate tracks EXACT shingle Jaccard over the banding
+    // candidates — the measurement that justifies a sketch threshold
+    // before trusting it at 100 TB (tune lanes/bands until the error
+    // histogram is acceptable). The exact-verify join carries shingle
+    // arrays for CANDIDATE pairs only (∝ banding collisions, never
+    // all pairs); every aggregate is an integer sum (lanes,
+    // intersection, union) — the only doubles are two IEEE-exact
+    // divisions and the 1/8-wide bucketing, so the whole report is
+    // value-oracled.
+    "q_minhash_accuracy" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+          DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+        .filter(size(col("shs")) > 0)
+      val sig = sh.select(col("doc_id"),
+        DedupOps.minhashSignatureMd5(col("shs"), 32).as("sig"))
+      val cand = DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
+          bands = 8, rows = 4, threshold = 0.0)
+        // est_sim = k/32 with 32 = 2^5: the product is the exact
+        // integer lane count, no fp residue
+        .withColumn("lanes", (col("est_sim") * 32).cast("long"))
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .withColumn("un",
+          (size(col("shs_a")) + size(col("shs_b"))).cast("long") - col("inter"))
+        .withColumn("err_bucket", floor(abs(
+          col("lanes").cast("double") / lit(32.0) -
+            col("inter").cast("double") / col("un").cast("double")) * lit(8.0))
+          .cast("long"))
+        .groupBy(col("err_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("lanes")).as("sum_lanes"),
+          sum(col("inter")).as("sum_inter"),
+          sum(col("un")).as("sum_union"))
+    }),
+
     // SimHash near-dup pairs (md5 bits — oracle value-verified)
     "q_dedup_simhash" -> ((s, dir) => {
       val bits = docs(s, dir).select(col("doc_id"),
@@ -953,6 +992,41 @@ object DataPipelineQueries {
         |WHERE list_max(list_transform(range(0, 8), b ->
         |   CASE WHEN sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4] THEN 1 ELSE 0 END)) = 1
         | AND len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) >= 16""".stripMargin,
+
+    // candidates = banding collisions (no est threshold), exact
+    // verify via list_contains; integer sums only
+    "q_minhash_accuracy" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |sh2 AS (SELECT doc_id, shs FROM sh WHERE len(shs) > 0),
+        |sig AS (SELECT doc_id, shs,
+        |  list_transform(range(0, 32), i ->
+        |    list_min(list_transform(shs, s ->
+        |      substr(md5((i // 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
+        | FROM sh2),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sig sa, b.sig sb,
+        |   a.shs shsa, b.shs shsb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+        |cand AS (SELECT id_a, id_b,
+        |  CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS BIGINT) AS lanes,
+        |  CAST(len(list_filter(shsa, s -> list_contains(shsb, s))) AS BIGINT) AS inter,
+        |  CAST(len(shsa) + len(shsb) AS BIGINT) AS sz
+        | FROM pairs
+        | WHERE list_max(list_transform(range(0, 8), b ->
+        |    CASE WHEN sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4] THEN 1 ELSE 0 END)) = 1),
+        |e AS (SELECT lanes, inter, sz - inter AS un FROM cand),
+        |b AS (SELECT lanes, inter, un,
+        |  CAST(FLOOR(ABS(CAST(lanes AS DOUBLE) / 32.0 -
+        |    CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)) * 8.0) AS BIGINT) AS err_bucket
+        | FROM e)
+        |SELECT err_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(SUM(lanes) AS BIGINT) AS sum_lanes,
+        | CAST(SUM(inter) AS BIGINT) AS sum_inter,
+        | CAST(SUM(un) AS BIGINT) AS sum_union
+        |FROM b GROUP BY err_bucket""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),

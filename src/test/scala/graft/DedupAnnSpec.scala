@@ -739,4 +739,38 @@ class DedupAnnSpec extends AnyFunSuite {
       (true, true) -> ((1L, 750000L)),
       (false, false) -> ((2L, 500000L))))
   }
+
+  test("minhash accuracy composition: an identical pair lands in error bucket 0 with full lane agreement") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // identical
+      (3L, "completely different words that share no threegram overlap at all")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sig = sh.select(col("doc_id"),
+      DedupOps.minhashSignatureMd5(col("shs"), 32).as("sig"))
+    val cand = DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
+        bands = 8, rows = 4, threshold = 0.0)
+      .withColumn("lanes", (col("est_sim") * 32).cast("long"))
+      .join(sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("un",
+        (size(col("shs_a")) + size(col("shs_b"))).cast("long") - col("inter"))
+      .collect()
+    // the identical pair MUST be a banding candidate (every band
+    // collides) with all 32 lanes matching and exact jaccard 1
+    val p = cand.find(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L).get
+    assert(p.getAs[Long]("lanes") == 32L)
+    assert(p.getAs[Long]("inter") == p.getAs[Long]("un"))
+    // err = |32/32 − inter/un| = 0 → bucket 0
+    assert(math.floor(math.abs(32.0 / 32.0 -
+      p.getAs[Long]("inter").toDouble / p.getAs[Long]("un").toDouble) * 8.0) == 0.0)
+  }
 }
