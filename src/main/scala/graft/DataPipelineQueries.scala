@@ -209,6 +209,25 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // ANN recall report: per-query overlap of the hyperplane-LSH
+    // top-10 against the brute-force top-10 — the measurement that
+    // justifies an index's planes/tables before trusting it at scale
+    // (the companion of q_minhash_accuracy for the embedding side).
+    // Integer hit counts; the one division is IEEE-exact.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val bf = AnnOps.bruteForceTopK(q, e, k = 10)
+        .select(col("qid"), col("nid"))
+      val ann = AnnOps.lshTopKMd5(q, e, planes = 4, k = 10, tables = 16)
+        .select(col("qid"), col("nid"), lit(1).as("__hit"))
+      bf.join(ann, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"),
+          count(lit(1)).as("n_true"))
+        .withColumn("recall", col("hits").cast("double") / lit(10.0))
+    }),
+
     // PQ ANN: per-subspace codebooks + asymmetric distance tables —
     // the memory-compression scale path. Deterministic build
     // (lowest-id init, decimal means, first-min ties) makes the whole
@@ -1066,6 +1085,46 @@ object DataPipelineQueries {
         |   sqrt(list_sum(list_transform(be, x -> x * x)))) AS sim
         | FROM cand)
         |WHERE sim >= 0.4""".stripMargin,
+
+    // recall@10 of the LSH index vs exact: the bf and lsh CTEs are
+    // the two oracled pipelines verbatim, joined on (qid, nid)
+    "q_ann_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bsims AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS sim
+        | FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |bf AS (SELECT qid, nid FROM (
+        | SELECT qid, nid,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        | FROM bsims) WHERE rk <= 10),
+        |sig AS (SELECT vec_id, e,
+        |  list_transform(range(0, 16), t ->
+        |    list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(list_zip(e, range(0, len(e))), x ->
+        |        CASE WHEN substr(md5(t::VARCHAR || '/' || p::VARCHAR || ':' || x[2]::VARCHAR), 1, 1) <= '7'
+        |         THEN x[1] ELSE -x[1] END)) > 0 THEN 1 ELSE 0 END)) AS sg
+        | FROM v),
+        |cand AS (SELECT q.vec_id qid, c.vec_id nid, q.e qe, c.e ce
+        |  FROM sig q JOIN sig c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  WHERE list_max(list_transform(list_zip(q.sg, c.sg), z ->
+        |    CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) = 1),
+        |asims AS (SELECT qid, nid,
+        |  list_sum(list_transform(list_zip(qe, ce), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(ce, x -> x * x)))) AS sim
+        | FROM cand),
+        |ann AS (SELECT qid, nid FROM (
+        | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        | FROM asims) WHERE rk <= 10)
+        |SELECT b.qid,
+        | CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        | CAST(COUNT(*) AS BIGINT) AS n_true,
+        | CAST(CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / 10.0 AS recall
+        |FROM bf b LEFT JOIN ann a ON b.qid = a.qid AND b.nid = a.nid
+        |GROUP BY b.qid""".stripMargin,
 
     "q_ann_lsh" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
