@@ -21,6 +21,14 @@ import graft.pipeline.{ConfigLoader, FeatureGate}
   *                      service lifecycle: queue redelivery precedes
   *                      new data — collector.go setupConfiguration →
   *                      Run)
+  *  - `builder`       — the ocb analog (cmd/builder): a manifest
+  *                      names the components a DISTRIBUTION contains;
+  *                      builder validates every entry against the
+  *                      registry and emits the distribution file.
+  *                      `validate`/`run --distribution <file>` then
+  *                      refuse configs referencing components outside
+  *                      it — a built collector simply does not
+  *                      contain them.
   *
   * `execute` is the testable core: args in, exit code out, all
   * output on the supplied stream. `main` adapts it to the process
@@ -42,6 +50,18 @@ object Collector {
       "otlp_http"),
     "extensions" -> Seq("file_storage", "memory_ballast"))
 
+  /** load a builder-emitted distribution file: kind → allowed types */
+  private def readDistribution(path: String): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(new java.io.File(path), classOf[java.util.Map[String, Object]])
+    Option(root.get("components")).map(_.asInstanceOf[java.util.Map[String, Object]])
+      .map(_.asScala.map { case (k, v) =>
+        k -> v.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSet
+      }.toMap)
+      .getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit =
     sys.exit(execute(args.toSeq, System.out))
 
@@ -54,16 +74,39 @@ object Collector {
     // --feature-gates takes the registry flag syntax
     val configs = scala.collection.mutable.ArrayBuffer[String]()
     val gateFlags = scala.collection.mutable.ArrayBuffer[String]()
+    var manifest: Option[String] = None
+    var output: Option[String] = None
+    var distribution: Option[String] = None
     var i = 0
     val it = rest.toIndexedSeq
     while (i < it.size) {
       it(i) match {
         case "--config" if i + 1 < it.size => configs += it(i + 1); i += 2
         case "--feature-gates" if i + 1 < it.size => gateFlags += it(i + 1); i += 2
+        case "--manifest" if i + 1 < it.size => manifest = Some(it(i + 1)); i += 2
+        case "--output" if i + 1 < it.size => output = Some(it(i + 1)); i += 2
+        case "--distribution" if i + 1 < it.size => distribution = Some(it(i + 1)); i += 2
         case other =>
           out.println(s"unknown flag: $other")
           return 1
       }
+    }
+
+    /** distribution gate: every component type the config uses must
+      * be in the built distribution's manifest */
+    def checkDistribution(): Boolean = distribution match {
+      case None => true
+      case Some(path) =>
+        val dist = readDistribution(path)
+        val used = ConfigLoader.usedComponentTypes(configs.toSeq)
+        val missing = used.toSeq.sortBy(_._1).flatMap { case (kind, types) =>
+          (types -- dist.getOrElse(kind, Set.empty)).toSeq.sorted
+            .map(t => s"$kind/$t")
+        }
+        if (missing.nonEmpty)
+          out.println(s"Error: config uses components not in the " +
+            s"distribution: ${missing.mkString(", ")}")
+        missing.isEmpty
     }
 
     def requireConfigs(): Boolean = {
@@ -80,8 +123,59 @@ object Collector {
             types.foreach(t => out.println(s"  - $t"))
           }
           0
+        case "builder" =>
+          manifest match {
+            case None => out.println("builder requires --manifest"); 1
+            case Some(mf) =>
+              val text = new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(mf)), "UTF-8")
+              val mapper =
+                if (text.dropWhile(_.isWhitespace).startsWith("{"))
+                  new com.fasterxml.jackson.databind.ObjectMapper()
+                else new com.fasterxml.jackson.databind.ObjectMapper(
+                  new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+              val root = mapper.readValue(text,
+                classOf[java.util.Map[String, Object]])
+              import scala.jdk.CollectionConverters._
+              val name = Option(root.get("dist"))
+                .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+                .flatMap(_.get("name")).map(_.toString).getOrElse("graft-custom")
+              val kinds = Seq("receivers", "processors", "exporters", "extensions")
+              val requested: Map[String, Seq[String]] = kinds.map { k =>
+                k -> Option(root.get(k)).toSeq
+                  .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+                  .map(_.toString)
+              }.toMap
+              // the build fails on a component the registry cannot
+              // provide — ocb's unresolvable-module error
+              val unknown = requested.toSeq.sortBy(_._1).flatMap {
+                case (k, types) =>
+                  types.filterNot(componentTypes.getOrElse(k, Nil).contains)
+                    .map(t => s"$k/$t")
+              }
+              if (unknown.nonEmpty) {
+                out.println(s"Error: manifest requests unknown components: " +
+                  unknown.mkString(", "))
+                return 1
+              }
+              val json = new com.fasterxml.jackson.databind.ObjectMapper()
+                .writerWithDefaultPrettyPrinter()
+                .writeValueAsString(Map(
+                  "name" -> name,
+                  "components" -> requested.map { case (k, v) =>
+                    k -> v.asJava }.asJava).asJava)
+              output match {
+                case Some(o) =>
+                  java.nio.file.Files.write(java.nio.file.Paths.get(o),
+                    json.getBytes("UTF-8"))
+                  out.println(s"built distribution '$name' -> $o")
+                case None => out.println(json)
+              }
+              0
+          }
         case "validate" =>
           if (!requireConfigs()) return 1
+          if (!checkDistribution()) return 1
           ConfigLoader.fromUris(configs.toSeq)
           out.println("OK")
           0
@@ -105,6 +199,7 @@ object Collector {
           0
         case "run" =>
           if (!requireConfigs()) return 1
+          if (!checkDistribution()) return 1
           val svc = ConfigLoader.fromUris(configs.toSeq)
           val spark = GraftSession.get()
           // extension lifecycle brackets the data path (reference
@@ -136,7 +231,8 @@ object Collector {
           out.println(s"ran ${svc.pipelines.size} pipeline(s)")
           0
         case other =>
-          out.println(s"unknown command: $other (validate | print-config | components | run)")
+          out.println(s"unknown command: $other " +
+            "(validate | print-config | components | run | builder)")
           1
       }
     } catch {

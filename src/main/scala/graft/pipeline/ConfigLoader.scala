@@ -321,6 +321,47 @@ object ConfigLoader {
                        gates: FeatureGate.Registry = FeatureGate.global): Service =
     buildFromRoot(parseRoot(doc, yaml, env).asScala, gates)
 
+  /** Static component-type inventory of a resolved config: kind →
+    * the set of component types the document references. This is the
+    * surface a BUILT DISTRIBUTION (cmd/builder) checks a config
+    * against — an ocb-built collector simply does not contain
+    * components outside its manifest, so referencing one must fail
+    * at validation, not at run time. */
+  def usedComponentTypes(uris: Seq[String],
+                         env: String => Option[String] = sys.env.get,
+                         gates: FeatureGate.Registry = FeatureGate.global):
+      Map[String, Set[String]] = {
+    require(uris.nonEmpty, "at least one config URI required")
+    val roots = uris.map { u =>
+      val (text, hint) = retrieve(u, env, gates)
+      val isYaml =
+        if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
+        else if (hint.endsWith(".json")) false
+        else !text.dropWhile(_.isWhitespace).startsWith("{")
+      parseRoot(text, isYaml, env)
+    }
+    val root = roots.reduce(deepMerge).asScala
+    val pipelines = root.get("pipelines").map(asMap).getOrElse(Map.empty)
+    var recv = Set.empty[String]; var proc = Set.empty[String]
+    var expo = Set.empty[String]
+    pipelines.values.foreach { p0 =>
+      val p = asMap(p0)
+      p.get("receiver").map(asMap).flatMap(_.get("type"))
+        .foreach(t => recv += t.toString)
+      p.get("processors").toSeq
+        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+        .foreach(m => asMap(m).get("type").foreach(t => proc += t.toString))
+      p.get("exporters").toSeq
+        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+        .foreach(m => asMap(m).get("type").foreach(t => expo += t.toString))
+    }
+    // extension instance names carry their type as the `/`-prefix
+    val ext = root.get("extensions").map(asMap).getOrElse(Map.empty)
+      .keySet.map(_.split("/", 2)(0)).toSet
+    Map("receivers" -> recv, "processors" -> proc,
+        "exporters" -> expo, "extensions" -> ext)
+  }
+
   private def buildFromRoot(root: scala.collection.Map[String, Object],
                             gates: FeatureGate.Registry): Service = {
     // featuregate config override: same `-`/`+` item syntax as the

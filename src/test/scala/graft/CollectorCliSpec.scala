@@ -54,6 +54,45 @@ class CollectorCliSpec extends AnyFunSuite {
                 |"exporters": [{"type": "logging"}]}}}""".stripMargin)
   }
 
+  test("builder: manifest → distribution; validate enforces the built component set") {
+    // a minimal logs-only distribution
+    val mf = write(".yaml",
+      """dist:
+        |  name: graft-logs-only
+        |receivers: [parquet, otlp_json_logs]
+        |processors: [filter]
+        |exporters: [parquet, logging]
+        |""".stripMargin)
+    val distFile = java.nio.file.Files.createTempFile("dist_", ".json").toString
+    val (bc, bo) = exec("builder", "--manifest", mf, "--output", distFile)
+    assert(bc == 0 && bo.contains("graft-logs-only"), bo)
+
+    // a config inside the distribution validates
+    val okCfg = write(".json",
+      """{"pipelines": {"logs/x": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "processors": [{"type": "filter", "where": "1=1"}],
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    val (c1, o1) = exec("validate", "--config", okCfg, "--distribution", distFile)
+    assert(c1 == 0 && o1.contains("OK"), o1)
+
+    // a config using a component the distribution was built WITHOUT
+    // fails validation, naming the missing component — the ocb-built
+    // binary simply does not contain it
+    val badCfg = write(".json",
+      """{"pipelines": {"logs/x": {
+        |  "receiver": {"type": "otlp_pb_logs", "path": "/in"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    val (c2, o2) = exec("validate", "--config", badCfg, "--distribution", distFile)
+    assert(c2 == 1 && o2.contains("receivers/otlp_pb_logs"), o2)
+
+    // a manifest requesting a component the registry cannot provide
+    // fails the BUILD (ocb's unresolvable module)
+    val badMf = write(".yaml", "receivers: [no_such_receiver]\n")
+    val (c3, o3) = exec("builder", "--manifest", badMf)
+    assert(c3 == 1 && o3.contains("receivers/no_such_receiver"), o3)
+  }
+
   test("validate: green config OK(0); unknown component and missing --config are errors(1)") {
     val good = write(".json",
       """{"pipelines": {"logs/v": {
