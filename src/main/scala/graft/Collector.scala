@@ -42,7 +42,7 @@ object Collector {
   val componentTypes: Map[String, Seq[String]] = Map(
     "receivers" -> Seq("table", "parquet", "otlp_json_logs", "otlp_pb_logs",
       "otlp_pb_logs_gz", "arrow_logs", "stream_json_logs", "stream_pb_logs",
-      "forward", "union"),
+      "scrape_jvm", "forward", "union"),
     "processors" -> Seq("filter", "upsert", "drop", "select", "sample",
       "route", "batch", "batch_by_metadata", "batch_timed"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
@@ -226,6 +226,7 @@ object Collector {
               q.processAllAvailable(); q.stop()
             }
             out.println(s"drained ${queries.size} streaming pipeline(s)")
+            svc.stopReceivers()
           }
           svc.shutdownExtensions()
           out.println(s"ran ${svc.pipelines.size} pipeline(s)")

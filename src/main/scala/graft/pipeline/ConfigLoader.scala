@@ -517,6 +517,11 @@ object ConfigLoader {
         m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10))
       case "stream_pb_logs" => StreamPbLogsReceiver(str(m, "path"),
         m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10))
+      // scraperhelper controller as a config receiver: interval-pulled
+      // JVM runtime metrics → spool → streaming metric-point source
+      case "scrape_jvm" => ScrapeJvmReceiver(str(m, "spool"),
+        intervalMs = m.get("interval_ms").map(_.asInstanceOf[Number].longValue()).getOrElse(10000L),
+        timeoutMs = m.get("timeout_ms").map(_.asInstanceOf[Number].longValue()).getOrElse(30000L))
       case "arrow_logs"     => ArrowLogsReceiver(str(m, "path"))
       // connectors: bridge/fan pipelines by name
       case "forward"        => ForwardReceiver(() => lookup(str(m, "from")))

@@ -53,6 +53,51 @@ object Pipeline {
       graft.sources.OtlpJsonSource.streamLogsPb(spark, dir, maxFilesPerTrigger)
   }
 
+  /** a receiver with out-of-band machinery to run (a scrape
+    * schedule, a socket listener): [[Service.runStreaming]] starts it
+    * before the queries; [[Service.stopReceivers]] tears it down
+    * after they stop — the component Start/Shutdown lifecycle
+    * receivers get in the reference host. */
+  trait ReceiverLifecycle { def start(spark: SparkSession): Unit; def stop(): Unit }
+
+  /** scraperhelper made config-reachable: a scrape controller pulls
+    * JVM runtime metrics (the hostmetrics-style self-observation
+    * scraper that needs no external target) onto a parquet spool on
+    * `interval_ms`; the pipeline reads that spool as a STREAM with
+    * the standard metric-point schema, so scraped points flow through
+    * the same processors/exporters as pushed OTLP. The scrape itself
+    * is a bounded driver-side snapshot (the scraper contract); the
+    * distributed half is the streaming read downstream. */
+  final case class ScrapeJvmReceiver(spoolDir: String,
+      intervalMs: Long = 10000L, timeoutMs: Long = 30000L,
+      maxFilesPerTrigger: Int = 10) extends Receiver with ReceiverLifecycle {
+    @transient @volatile private var controller: graft.streaming.Scrape.Controller = _
+    def read(spark: SparkSession): DataFrame = {
+      new java.io.File(spoolDir).mkdirs()
+      spark.readStream
+        .schema(graft.model.OtelModel.metricPointSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(spoolDir)
+    }
+    def start(spark: SparkSession): Unit = synchronized {
+      if (controller == null) {
+        controller = new graft.streaming.Scrape.Controller(spark,
+          Seq(new graft.streaming.Scrape.JvmScraper),
+          spoolDir, collectionIntervalMs = intervalMs, timeoutMs = timeoutMs)
+        controller.start() // immediate first scrape (scraperhelper)
+      }
+    }
+    def stop(): Unit = synchronized {
+      if (controller != null) { controller.stop(); controller = null }
+    }
+    /** WithTickerChannel surface for deterministic tests */
+    def tickNow(): Long = {
+      val c = controller
+      require(c != null, "receiver not started")
+      c.tick()
+    }
+  }
+
   /** gzip'd pb spool (otlphttp transport compression on disk) */
   final case class OtlpPbGzLogReceiver(dir: String) extends Receiver {
     def read(spark: SparkSession): DataFrame =
@@ -984,7 +1029,10 @@ object Pipeline {
       * pipelines in the same service are untouched — run them with
       * [[run]]. Returns pipeline name → its queries. */
     def runStreaming(spark: SparkSession, checkpointRoot: String):
-        Map[String, Seq[org.apache.spark.sql.streaming.StreamingQuery]] =
+        Map[String, Seq[org.apache.spark.sql.streaming.StreamingQuery]] = {
+      // receivers with out-of-band machinery (scrape schedules)
+      // start BEFORE their queries, the component Start order
+      lifecycleReceivers.foreach(_.start(spark))
       pipelines.flatMap { case (name, p) =>
         val df = p.plan(spark)
         if (!df.isStreaming) None
@@ -999,6 +1047,17 @@ object Pipeline {
             .start()
         })
       }
+    }
+
+    private def lifecycleReceivers: Seq[ReceiverLifecycle] =
+      pipelines.values.map(_.receiver).map {
+        case ClientInfoReceiver(inner, _) => inner
+        case r => r
+      }.collect { case l: ReceiverLifecycle => l }.toSeq
+
+    /** tear down lifecycle receivers after their queries stop (the
+      * component Shutdown half) */
+    def stopReceivers(): Unit = lifecycleReceivers.foreach(_.stop())
 
     /** Collector startup semantics for persistent queues: before new
       * data flows, every [[PersistentQueueExporter]] in the service —

@@ -45,6 +45,45 @@ object Scrape {
     def scrape(spark: SparkSession): ScrapeResult
   }
 
+  /** Concrete scraper with no external target: JVM runtime metrics
+    * (the hostmetrics-receiver shape applied to the collector's own
+    * process — heap gauges + cumulative GC sums from the platform MX
+    * beans), emitted in the standard metric-point schema so every §2
+    * metrics operator consumes them directly. */
+  final class JvmScraper(override val id: String = "jvm") extends Scraper {
+    private val startNanos = System.currentTimeMillis() * 1000000L
+    def scrape(spark: SparkSession): ScrapeResult = {
+      import org.apache.spark.sql.Row
+      import scala.jdk.CollectionConverters._
+      val now = System.currentTimeMillis() * 1000000L
+      val res = Map("service.name" -> "graft-collector")
+      val heap = java.lang.management.ManagementFactory
+        .getMemoryMXBean.getHeapMemoryUsage
+      def gauge(name: String, unit: String, v: Double,
+                attrs: Map[String, String]): Row =
+        Row(name, "gauge", null, unit, null, null, now, null, v, attrs, res)
+      def sum(name: String, unit: String, v: Double,
+              attrs: Map[String, String]): Row =
+        Row(name, "sum", null, unit, "cumulative", true, now, startNanos,
+          v, attrs, res)
+      val gcRows = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.toSeq.flatMap { gc =>
+          val attrs = Map("gc" -> gc.getName)
+          Seq(
+            sum("jvm.gc.collections", "{collections}",
+              math.max(gc.getCollectionCount, 0L).toDouble, attrs),
+            sum("jvm.gc.duration_ms", "ms",
+              math.max(gc.getCollectionTime, 0L).toDouble, attrs))
+        }
+      val rows = Seq(
+        gauge("jvm.memory.heap.used", "By", heap.getUsed.toDouble, Map.empty),
+        gauge("jvm.memory.heap.committed", "By",
+          heap.getCommitted.toDouble, Map.empty)) ++ gcRows
+      ScrapeResult(spark.createDataFrame(rows.asJava,
+        graft.model.OtelModel.metricPointSchema))
+    }
+  }
+
   /** obsreport.Scraper analog: per-scraper scraped/errored tallies */
   final class ScraperObs {
     val ticks = new java.util.concurrent.atomic.AtomicLong

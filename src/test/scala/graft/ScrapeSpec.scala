@@ -102,4 +102,47 @@ class ScrapeSpec extends AnyFunSuite {
         "first scrape must fire at start, not after collection_interval")
     } finally ctl.stop()
   }
+
+  test("config-declared scrape pipeline: scrape_jvm receiver streams self-metrics through processors to a sink") {
+    val spool = java.nio.file.Files.createTempDirectory("scrape_spool").toString
+    val sink = java.nio.file.Files.createTempDirectory("scrape_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scrape_ckpt").toString
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"metrics/self": {
+         |  "receiver": {"type": "scrape_jvm", "spool": "$spool",
+         |               "interval_ms": 500},
+         |  "processors": [{"type": "filter",
+         |                  "where": "metric_name LIKE 'jvm.%'"}],
+         |  "exporters": [{"type": "parquet", "path": "$sink/out"}]}}}""".stripMargin)
+    val spark2 = TestSession.spark
+    val queries = svc.runStreaming(spark2, ckpt)
+    try {
+      // the controller's IMMEDIATE first scrape + the streaming read
+      // must land rows at the sink without any external push
+      val deadline = System.currentTimeMillis() + 30000
+      def sinkRows(): Long =
+        try spark2.read.parquet(s"$sink/out")
+          .filter(org.apache.spark.sql.functions.col("metric_name") ===
+            "jvm.memory.heap.used").count()
+        catch { case _: Exception => 0L }
+      while (sinkRows() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(sinkRows() > 0, "no scraped jvm metrics reached the sink")
+      val row = spark2.read.parquet(s"$sink/out")
+        .filter(org.apache.spark.sql.functions.col("metric_name") ===
+          "jvm.memory.heap.used").head()
+      assert(row.getAs[Double]("value") > 0.0)
+      assert(row.getAs[Map[String, String]]("resource_attributes")(
+        "service.name") == "graft-collector")
+      // gc sums carry cumulative temporality — §2 operators consume
+      // them directly (q_rate_per_minute / delta conversion shapes)
+      assert(spark2.read.parquet(s"$sink/out")
+        .filter(org.apache.spark.sql.functions.col("metric_name") ===
+          "jvm.gc.collections")
+        .head().getAs[String]("aggregation_temporality") == "cumulative")
+    } finally {
+      queries.values.flatten.foreach(_.stop())
+      svc.stopReceivers()
+    }
+  }
 }
