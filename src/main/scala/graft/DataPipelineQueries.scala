@@ -256,6 +256,32 @@ object DataPipelineQueries {
     "q_embed_cluster" -> ((s, dir) =>
       AnnOps.clusterStats(embs(s, dir), c = 16, iters = 1)),
 
+    // Cluster topic labeling: the kmeans assignment (same
+    // deterministic build as q_embed_cluster) joined to the documents
+    // by id, top-3 terms per cluster by frequency — "what is this
+    // embedding cluster ABOUT", the review surface of cluster-driven
+    // curation. Terms explode map-side BEFORE the join, so the
+    // shuffle carries (doc_id, term) pairs and cluster-id ints —
+    // never document text.
+    "q_cluster_topics" -> ((s, dir) => {
+      val centroids = AnnOps.ivfCentroids(embs(s, dir), c = 16, iters = 1)
+      val assigned = embs(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .withColumn("cid", AnnOps.nearestCentroid(col("__v"), centroids))
+        .select(col("vec_id"), col("cid"))
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term").rlike("^[a-z]+$") &&
+          !col("term").isInCollection(TextOps.EnStop))
+      val tf = terms.join(assigned, terms("doc_id") === assigned("vec_id"))
+        .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+        .orderBy(col("tf").desc, col("term").asc)
+      tf.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("cid"), col("rnk"), col("term"), col("tf"))
+    }),
+
     // cluster-balanced sampling: per-topic cap after clustering (the
     // curation step q_embed_cluster feeds — same deterministic build)
     "q_sample_cluster" -> ((s, dir) =>
@@ -1176,6 +1202,46 @@ object DataPipelineQueries {
         |SELECT cid, COUNT(*) AS n_vecs, MIN(vec_id) AS rep_id
         |FROM asg1 WHERE rn = 1
         |GROUP BY cid""".stripMargin,
+
+    // the q_embed_cluster assignment CTE verbatim, joined to the
+    // documents' term frequencies — top-3 terms per kmeans cluster
+    "q_cluster_topics" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, i.cid,
+        |   list_sum(list_transform(list_zip(v.e, i.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(i.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN init i) s0),
+        |cells0 AS (SELECT vec_id, e, cid FROM asg0 WHERE rn = 1),
+        |means AS (SELECT cid, u[2] AS pos,
+        |   CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT cid, unnest(list_zip(e, range(1, len(e) + 1))) AS u FROM cells0) x
+        |  GROUP BY cid, u[2]),
+        |newc AS (SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid),
+        |cent AS (SELECT i.cid, COALESCE(n.ce, i.ce) AS ce FROM init i LEFT JOIN newc n ON i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, c.cid,
+        |   list_sum(list_transform(list_zip(v.e, c.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN cent c) s1),
+        |cl AS (SELECT vec_id, cid FROM asg1 WHERE rn = 1),
+        |w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT c.cid, w.term, COUNT(*) AS tf
+        |  FROM w JOIN cl c ON w.doc_id = c.vec_id
+        |  WHERE regexp_matches(w.term, '^[a-z]+$')
+        |    AND w.term NOT IN ('the','a','of','and','to','in','is','on')
+        |  GROUP BY c.cid, w.term)
+        |SELECT cid, rnk, term, tf FROM (
+        |  SELECT cid, term, tf, CAST(ROW_NUMBER() OVER (PARTITION BY cid
+        |    ORDER BY tf DESC, term ASC) AS INT) AS rnk
+        |  FROM tf)
+        |WHERE rnk <= 3""".stripMargin,
 
     "q_sample_cluster" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
