@@ -517,6 +517,24 @@ object ConfigLoader {
         m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10))
       case "stream_pb_logs" => StreamPbLogsReceiver(str(m, "path"),
         m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10))
+      // the LIVE OTLP transports as config receivers (the reference's
+      // `receivers: otlp: protocols:` block): wire server → spool →
+      // streaming pb parse; optional configtls/configauth blocks
+      case "otlp_http" => OtlpHttpServerReceiver(
+        port = m.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(4318),
+        spoolDir = str(m, "spool"),
+        maxFilesPerTrigger =
+          m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
+        tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))),
+        includeMetadata = m.get("include_metadata").exists(_.toString == "true"))
+      case "otlp_grpc" => OtlpGrpcServerReceiver(
+        port = m.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(4317),
+        spoolDir = str(m, "spool"),
+        maxFilesPerTrigger =
+          m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
+        tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
       // scraperhelper controller as a config receiver: interval-pulled
       // JVM runtime metrics → spool → streaming metric-point source
       case "scrape_jvm" => ScrapeJvmReceiver(str(m, "spool"),

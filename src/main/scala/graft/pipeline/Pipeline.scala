@@ -98,6 +98,72 @@ object Pipeline {
     }
   }
 
+  /** The LIVE OTLP transports as config-declared pipeline receivers —
+    * the reference's `receivers: otlp: protocols: {http, grpc}` block
+    * (otlpreceiver/config.go): the wire server starts with the
+    * pipeline (ReceiverLifecycle), spools payloads, and the pipeline
+    * plan is the STREAMING pb parse of that spool — wire → spool →
+    * stream, the exact seam the live transport specs pin. Logs
+    * signal; `tls:`/`auth:` blocks reuse the configtls/configauth
+    * builders. Port 0 binds ephemerally ([[boundPort]] after start —
+    * test/loopback use; a deployment declares the real port). */
+  final case class OtlpHttpServerReceiver(port: Int, spoolDir: String,
+      maxFilesPerTrigger: Int = 10,
+      tls: Option[graft.sources.TlsConfig] = None,
+      auth: Option[graft.sources.Auth.ServerAuthenticator] = None,
+      includeMetadata: Boolean = false)
+      extends Receiver with ReceiverLifecycle {
+    @transient @volatile private var server: graft.sources.OtlpHttp.OtlpHttpReceiver = _
+    def read(spark: SparkSession): DataFrame = {
+      val dir = new java.io.File(spoolDir, "logs_pb")
+      dir.mkdirs()
+      graft.sources.OtlpJsonSource.streamLogsPb(spark, dir.toString,
+        maxFilesPerTrigger)
+    }
+    def start(spark: SparkSession): Unit = synchronized {
+      if (server == null)
+        server = new graft.sources.OtlpHttp.OtlpHttpReceiver(port, spoolDir,
+          tls = tls, auth = auth, includeMetadata = includeMetadata)
+    }
+    def stop(): Unit = synchronized {
+      if (server != null) { server.stop(); server = null }
+    }
+    def boundPort: Int = {
+      val s = server
+      require(s != null, "receiver not started")
+      s.boundPort
+    }
+  }
+
+  /** gRPC twin of [[OtlpHttpServerReceiver]] (the collector's primary
+    * protocol as a config-declared receiver) */
+  final case class OtlpGrpcServerReceiver(port: Int, spoolDir: String,
+      maxFilesPerTrigger: Int = 10,
+      tls: Option[graft.sources.TlsConfig] = None,
+      auth: Option[graft.sources.Auth.ServerAuthenticator] = None)
+      extends Receiver with ReceiverLifecycle {
+    @transient @volatile private var server: graft.sources.GrpcOtlp.OtlpGrpcReceiver = _
+    def read(spark: SparkSession): DataFrame = {
+      val dir = new java.io.File(spoolDir, "logs_pb")
+      dir.mkdirs()
+      graft.sources.OtlpJsonSource.streamLogsPb(spark, dir.toString,
+        maxFilesPerTrigger)
+    }
+    def start(spark: SparkSession): Unit = synchronized {
+      if (server == null)
+        server = new graft.sources.GrpcOtlp.OtlpGrpcReceiver(port, spoolDir,
+          tls = tls, auth = auth)
+    }
+    def stop(): Unit = synchronized {
+      if (server != null) { server.stop(); server = null }
+    }
+    def boundPort: Int = {
+      val s = server
+      require(s != null, "receiver not started")
+      s.boundPort
+    }
+  }
+
   /** gzip'd pb spool (otlphttp transport compression on disk) */
   final case class OtlpPbGzLogReceiver(dir: String) extends Receiver {
     def read(spark: SparkSession): DataFrame =

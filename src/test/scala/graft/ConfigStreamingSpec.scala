@@ -83,4 +83,50 @@ class ConfigStreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(batchOut).count() == 3)
     } finally queries.values.flatten.foreach(_.stop())
   }
+
+  test("config-declared LIVE transports: otlp_http and otlp_grpc receivers serve the wire and stream to the sink") {
+    import spark.implicits._
+    val spoolH = java.nio.file.Files.createTempDirectory("cfg_live_http").toString
+    val spoolG = java.nio.file.Files.createTempDirectory("cfg_live_grpc").toString
+    val sinkH = java.nio.file.Files.createTempDirectory("cfg_live_outh").toString + "/h"
+    val sinkG = java.nio.file.Files.createTempDirectory("cfg_live_outg").toString + "/g"
+    val ckpt = java.nio.file.Files.createTempDirectory("cfg_live_ckpt").toString
+    val svc = ConfigLoader.fromJson(
+      s"""{"pipelines": {
+         |"logs/http": {
+         |  "receiver": {"type": "otlp_http", "port": 0, "spool": "$spoolH"},
+         |  "exporters": [{"type": "parquet", "path": "$sinkH"}]},
+         |"logs/grpc": {
+         |  "receiver": {"type": "otlp_grpc", "port": 0, "spool": "$spoolG"},
+         |  "exporters": [{"type": "parquet", "path": "$sinkG"}]}}}""".stripMargin)
+    val queries = svc.runStreaming(spark, ckpt)
+    try {
+      val httpPort = svc.pipelines("logs/http").receiver
+        .asInstanceOf[graft.pipeline.Pipeline.OtlpHttpServerReceiver].boundPort
+      val grpcPort = svc.pipelines("logs/grpc").receiver
+        .asInstanceOf[graft.pipeline.Pipeline.OtlpGrpcServerReceiver].boundPort
+      val logs = graft.sources.OtlpJsonSource.parseLogs(
+        Seq(mkLogRequest("api", 4)).toDF("json"))
+      graft.sources.OtlpHttp.OtlpHttpExporter(
+        s"http://localhost:$httpPort", "logs").export(logs)
+      graft.sources.GrpcOtlp.OtlpGrpcExporter(
+        "localhost", grpcPort, "logs").export(logs)
+      def rows(p: String): Long =
+        try spark.read.parquet(p).count() catch { case _: Exception => 0L }
+      val deadline = System.currentTimeMillis() + 30000
+      while ((rows(sinkH) < 4 || rows(sinkG) < 4) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(rows(sinkH) == 4, s"http sink rows: ${rows(sinkH)}")
+      assert(rows(sinkG) == 4, s"grpc sink rows: ${rows(sinkG)}")
+      // wire-identical content through both transports
+      val h = spark.read.parquet(sinkH).select("body").collect()
+        .map(_.getString(0)).sorted.toSeq
+      val g = spark.read.parquet(sinkG).select("body").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(h == g)
+    } finally {
+      queries.values.flatten.foreach(_.stop())
+      svc.stopReceivers()
+    }
+  }
 }
