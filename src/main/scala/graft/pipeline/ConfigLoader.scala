@@ -348,6 +348,9 @@ object ConfigLoader {
       val p = asMap(p0)
       p.get("receiver").map(asMap).flatMap(_.get("type"))
         .foreach(t => recv += t.toString)
+      p.get("receivers").toSeq
+        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+        .foreach(m => asMap(m).get("type").foreach(t => recv += t.toString))
       p.get("processors").toSeq
         .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
         .foreach(m => asMap(m).get("type").foreach(t => proc += t.toString))
@@ -406,6 +409,15 @@ object ConfigLoader {
         .flatMap(_.get("level"))
         .map(v => Extensions.TelemetryLevel.parse(v.toString))
         .getOrElse(Extensions.TelemetryLevel.default)
+    // service::telemetry::resource (telemetry.Config.Resource): extra
+    // resource attributes stamped on the service's OWN telemetry —
+    // overriding keys wins (the reference lets you override
+    // service.name); a null value would delete, we keep it simple:
+    // string values only
+    val telemetryResource: Map[String, String] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("resource")).map(asMap).getOrElse(Map.empty)
+        .map { case (k, v) => k -> v.toString }
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -415,7 +427,19 @@ object ConfigLoader {
     result = pipelines.map { case (name, defn0) =>
       val defn = defn0.asInstanceOf[java.util.Map[String, Object]].asScala
       name -> PipelineDef(
-        receiver = buildReceiver(asMap(defn("receiver")), lookup),
+        // a pipeline declares ONE `receiver` or a `receivers` LIST
+        // (the reference shape — every receiver feeds the same
+        // processor chain); the list builds a union-by-name fanin
+        receiver = (defn.get("receiver"), defn.get("receivers")) match {
+          case (Some(r), None) => buildReceiver(asMap(r), lookup)
+          case (None, Some(rs)) => MultiReceiver(
+            rs.asInstanceOf[java.util.List[Object]].asScala.toSeq
+              .map(r => buildReceiver(asMap(r), lookup)))
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            s"pipeline '$name': give `receiver` OR `receivers`, not both")
+          case (None, None) => throw new IllegalArgumentException(
+            s"pipeline '$name' declares no receiver")
+        },
         processors = defn.get("processors").toSeq
           .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
           .map(p => buildProcessor(asMap(p))),
@@ -427,7 +451,7 @@ object ConfigLoader {
     rejectConnectorCycles(pipelines.toMap)
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
-    Service(result, extInstances, telemetryLevel)
+    Service(result, extInstances, telemetryLevel, telemetryResource)
   }
 
   /** extension factory: the instance name's type prefix (before an
@@ -454,12 +478,19 @@ object ConfigLoader {
     * chance to refuse a dangling `from`. */
   private def rejectConnectorCycles(pipelines: Map[String, Object]): Unit = {
     val edges: Map[String, Seq[String]] = pipelines.map { case (name, defn0) =>
-      val recv = asMap(asMap(defn0)("receiver"))
-      name -> (recv.get("type").map(_.toString) match {
-        case Some("forward") => Seq(str(recv, "from"))
-        case Some("union")   => strList(recv("from"))
-        case _               => Nil
-      })
+      val defn = asMap(defn0)
+      val recvs: Seq[Map[String, Object]] =
+        defn.get("receiver").map(r => Seq(asMap(r))).getOrElse(Nil) ++
+          defn.get("receivers").toSeq
+            .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+            .map(asMap)
+      name -> recvs.flatMap { recv =>
+        recv.get("type").map(_.toString) match {
+          case Some("forward") => Seq(str(recv, "from"))
+          case Some("union")   => strList(recv("from"))
+          case _               => Nil
+        }
+      }
     }
     for ((name, tos) <- edges; to <- tos if !edges.contains(to))
       throw new IllegalArgumentException(

@@ -176,6 +176,26 @@ object Pipeline {
     def read(spark: SparkSession): DataFrame =
       graft.sources.ArrowLogsIpc.readSpool(spark, dir)
   }
+  /** a reference pipeline's `receivers:` is a LIST — every receiver
+    * feeds the same processor chain (service/pipelines: the fanin).
+    * Frames union BY NAME so schema-compatible sources merge
+    * regardless of column order; lifecycle members start/stop with
+    * the pipeline. */
+  final case class MultiReceiver(members: Seq[Receiver])
+      extends Receiver with ReceiverLifecycle {
+    require(members.nonEmpty, "receivers list must not be empty")
+    def read(spark: SparkSession): DataFrame =
+      members.map(_.read(spark)).reduce(_.unionByName(_))
+    def start(spark: SparkSession): Unit = members.foreach {
+      case l: ReceiverLifecycle => l.start(spark)
+      case _ => ()
+    }
+    def stop(): Unit = members.foreach {
+      case l: ReceiverLifecycle => l.stop()
+      case _ => ()
+    }
+  }
+
   /** forwardconnector analog: this pipeline's source is another
     * pipeline's (lazy) output plan — Catalyst sees one combined plan,
     * so the bridged stages fuse and the scan is shared. */
@@ -1073,7 +1093,11 @@ object Pipeline {
   final case class Service(pipelines: Map[String, PipelineDef],
                            extensions: Seq[Extensions.Extension] = Nil,
                            telemetryLevel: Extensions.TelemetryLevel =
-                             Extensions.TelemetryLevel.default) {
+                             Extensions.TelemetryLevel.default,
+                           // service::telemetry::resource: extra
+                           // resource attributes on self-telemetry
+                           // (override wins, incl. service.name)
+                           telemetryResource: Map[String, String] = Map.empty) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 
     /** extension lifecycle (reference service/extensions/extensions.go:
@@ -1244,7 +1268,7 @@ object Pipeline {
       import org.apache.spark.sql.Row
       import scala.jdk.CollectionConverters._
       val lvl = if (level == null) telemetryLevel else level
-      val res = Map("service.name" -> "graft-collector")
+      val res = Map("service.name" -> "graft-collector") ++ telemetryResource
       def gauge(name: String, unit: String, value: Double,
                 attrs: Map[String, String]): Row =
         Row(name, "gauge", null, unit, null, null, timeUnixNano, null,

@@ -201,4 +201,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(detailed.contains("otelcol_receiver_accepted_requests"))
     assert(basic.subsetOf(normal) && normal.subsetOf(detailed))
   }
+
+  test("service telemetry resource: configured attributes stamp self-telemetry, override wins") {
+    val svc = ConfigLoader.fromJson(
+      """{"service": {"telemetry": {"resource": {
+        |  "service.name": "edge-east", "deployment.environment": "prod"}}},
+        |"pipelines": {"p": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    val obs = new QueueObs
+    obs.delivered.set(1)
+    val res = svc.healthFrame(spark, 1000L, obs = Map("p" -> obs))
+      .head().getAs[Map[String, String]]("resource_attributes")
+    assert(res("service.name") == "edge-east")     // override wins
+    assert(res("deployment.environment") == "prod")
+  }
+
+  test("receivers LIST: every member feeds the same processor chain; lifecycle members start/stop with the pipeline") {
+    val inA = Files.createTempDirectory("multi_a").toString + "/a.parquet"
+    val inB = Files.createTempDirectory("multi_b").toString + "/b.parquet"
+    spark.range(0, 3).select(col("id"), lit("a").as("src")).write.parquet(inA)
+    spark.range(3, 8).select(col("id"), lit("b").as("src")).write.parquet(inB)
+    val sink = Files.createTempDirectory("multi_out").toString + "/out"
+    val svc = ConfigLoader.fromJson(
+      s"""{"pipelines": {"p": {
+         |  "receivers": [{"type": "parquet", "path": "$inA"},
+         |                {"type": "parquet", "path": "$inB"}],
+         |  "processors": [{"type": "filter", "where": "id >= 2"}],
+         |  "exporters": [{"type": "parquet", "path": "$sink"}]}}}""".stripMargin)
+    svc.run(spark)
+    val back = spark.read.parquet(sink)
+    assert(back.count() == 6) // id 2 from a, 3..7 from b
+    assert(back.select("src").distinct().count() == 2)
+
+    // declaring both singular and list forms is a config error
+    val e = intercept[IllegalArgumentException](ConfigLoader.fromJson(
+      """{"pipelines": {"p": {
+        |  "receiver": {"type": "parquet", "path": "/x"},
+        |  "receivers": [{"type": "parquet", "path": "/y"}],
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin))
+    assert(e.getMessage.contains("not both"))
+  }
 }
