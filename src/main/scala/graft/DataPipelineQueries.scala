@@ -717,6 +717,29 @@ object DataPipelineQueries {
           col("__m.c").as("rep_chars"))
     }),
 
+    // Source-priority dedup: when near-duplicates span SOURCES, keep
+    // by source quality rank (the curated-beats-crawled rule public
+    // pipeline recipes apply: wiki over web over CC), doc_id as the
+    // tie-break — the quality-aware sibling of the size-based
+    // q_dedup_representative, same CC clusters, different keep rule.
+    // One min-struct aggregate; integer-only comparisons.
+    "q_dedup_priority" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      DedupOps.connectedComponents(pairs)
+        .join(d.select(col("doc_id").as("id"),
+          // source rank = the numeric suffix (src0 ranks best)
+          substring(col("source"), 4, 8).cast("long").as("prio")), "id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("prio").as("p"), col("id").as("i"))).as("__m"))
+        .select(col("component"), col("n_members"),
+          col("__m.i").cast("long").as("keep_id"),
+          col("__m.p").as("keep_prio"))
+    }),
+
     // SemDedup: within-embedding-cluster cosine pruning against
     // smaller-id members (see AnnOps.semDedup — cluster key bounds
     // the quadratic, maxCluster refuses degenerate clusterings)
@@ -2025,6 +2048,37 @@ object DataPipelineQueries {
         | FROM m)
         |SELECT component, CAST(nm AS BIGINT) AS n_members,
         | CAST(id AS BIGINT) AS rep_id, CAST(n_chars AS BIGINT) AS rep_chars
+        |FROM sel WHERE rn = 1""".stripMargin,
+
+    // the representative oracle's CC chain with the priority keep
+    // rule: min (source rank, id) per component
+    "q_dedup_priority" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        | SELECT s AS id, d AS r FROM edges
+        | UNION
+        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        |m AS (SELECT c.component, c.id,
+        |       CAST(substr(d.source, 4, 8) AS BIGINT) AS prio
+        |      FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |sel AS (SELECT component, id, prio,
+        |  ROW_NUMBER() OVER (PARTITION BY component ORDER BY prio ASC, id ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY component) AS nm
+        | FROM m)
+        |SELECT component, CAST(nm AS BIGINT) AS n_members,
+        | CAST(id AS BIGINT) AS keep_id, prio AS keep_prio
         |FROM sel WHERE rn = 1""".stripMargin,
 
     // within-label pairwise cosine to smaller-id members — the exact
