@@ -115,7 +115,20 @@ object Plans {
       "resampler's four actions would otherwise re-execute the DSIR " +
       "feature join each time — measured 6.0 s → 3.3 s serial), and " +
       "every copy count is integer DIV arithmetic in the projection — " +
-      "the plan shows bucketed windows only, nothing single-partition."))
+      "the plan shows bucketed windows only, nothing single-partition."),
+    "q_zorder_layout" -> ("Z-order layout stats: the Morton interleave " +
+      "is 32 shift/mask terms constant-folded into ONE codegen'd " +
+      "projection on the scan, then a single 256-group hash aggregate " +
+      "— at 100 TB the same plan writes the layout whose per-file " +
+      "min/max stats let a two-column box predicate skip all but one " +
+      "file per aligned tile (ZorderSpec pins 1 vs 16 read " +
+      "amplification against an x-only sort)."),
+    "q_quality_classifier" -> ("Trained quality filter: the token " +
+      "explode+distinct is the only corpus-sized shuffle and carries " +
+      "(doc_id, token) pairs — never text (PlanSpec rule); the vocab " +
+      "caps at 5000 rows by construction, so its join back is " +
+      "broadcast-sized at ANY corpus scale; scoring and the confusion " +
+      "rollup are integer aggregates."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
