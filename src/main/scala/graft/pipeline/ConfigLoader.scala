@@ -650,7 +650,9 @@ object ConfigLoader {
       maxAttemptsPerBatch =
         m.get("maxAttempts").map(_.asInstanceOf[Number].intValue()).getOrElse(6),
       capacityBytes =
-        m.get("capacityBytes").map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+        m.get("capacityBytes").map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+      numConsumers =
+        m.get("num_consumers").map(_.asInstanceOf[Number].intValue()).getOrElse(1))
     case "arrow_spool" => ArrowSpoolExporter(str(m, "path"),
       maxPerFile = m.get("maxPerFile").map(_.asInstanceOf[Number].intValue()).getOrElse(4096),
       dictCap = m.get("dictCap").map(_.asInstanceOf[Number].intValue()).getOrElse(0),

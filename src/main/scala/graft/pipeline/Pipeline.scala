@@ -554,7 +554,13 @@ object Pipeline {
       backoffMs: Long = 25, capacity: Int = 1024,
       capacityBytes: Long = 0L,
       obs: Option[QueueObs] = None,
-      ledgerCompactEvery: Long = 1024L) extends Exporter {
+      ledgerCompactEvery: Long = 1024L,
+      // QueueSettings.NumConsumers (exporterhelper/queued_retry.go:39):
+      // parallel drain of INDEPENDENT pending batches on recovery.
+      // Safe because every batch is its own spool dir + attempts file
+      // and the sink contract keys on batchId — consumers never touch
+      // the same state.
+      numConsumers: Int = 1) extends Exporter {
     import org.apache.hadoop.fs.{FileSystem, Path}
 
     private def fs(spark: SparkSession): FileSystem =
@@ -619,24 +625,43 @@ object Pipeline {
           f.rename(s.getPath, pendingDir(id))
         }
       }
-      var re = 0L; var still = 0L; var dead = 0L
       val ids = f.listStatus(pend).filter(_.isDirectory)
         .map(_.getPath.getName).filterNot(_.endsWith(".swap"))
         .map(_.stripPrefix("batch_id=").toLong).sorted
-      for (id <- ids) {
-        if (!f.exists(new Path(pendingDir(id), "_SUCCESS"))) {
+      // partial spools (crash mid-enqueue) are discarded serially —
+      // cheap metadata checks — so the consumer pool sees only
+      // complete, independent batches
+      val complete = ids.filter { id =>
+        if (f.exists(new Path(pendingDir(id), "_SUCCESS"))) true
+        else {
           f.delete(pendingDir(id), true)
           f.delete(attemptsFile(id), false)
-        } else {
-          attemptDelivery(spark, id,
-              spark.read.parquet(pendingDir(id).toString)) match {
-            case Delivered    => re += 1
-            case StillPending => still += 1
-            case DeadLettered => dead += 1
-          }
+          false
         }
       }
-      RecoveryStats(re, still, dead)
+      val re = new java.util.concurrent.atomic.AtomicLong
+      val still = new java.util.concurrent.atomic.AtomicLong
+      val dead = new java.util.concurrent.atomic.AtomicLong
+      def deliver(id: Long): Unit =
+        attemptDelivery(spark, id,
+            spark.read.parquet(pendingDir(id).toString)) match {
+          case Delivered    => re.incrementAndGet(); ()
+          case StillPending => still.incrementAndGet(); ()
+          case DeadLettered => dead.incrementAndGet(); ()
+        }
+      if (numConsumers <= 1 || complete.length <= 1) complete.foreach(deliver)
+      else {
+        // NumConsumers parallel drain: batches are independent by
+        // construction (own spool dir, own attempts file, batchId-keyed
+        // sink), so consumers share nothing but the instance counters
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(numConsumers, complete.length))
+        try complete.map(id => pool.submit(new Runnable {
+            def run(): Unit = deliver(id)
+          })).foreach(_.get())
+        finally pool.shutdown()
+      }
+      RecoveryStats(re.get, still.get, dead.get)
     }
 
     private sealed trait Outcome
