@@ -617,7 +617,36 @@ object ConfigLoader {
                             pipeline: String = "", exporterIdx: Int = 0,
                             ext: String => Extensions.Extension =
                               n => throw new IllegalArgumentException(
-                                s"unknown extension '$n'")): Exporter = str(m, "type") match {
+                                s"unknown extension '$n'")): Exporter = {
+    val base = buildExporterBase(m, pipeline, exporterIdx, ext)
+    // exporterhelper sender-chain blocks, applied in the reference
+    // order retry(timeout(sink)) (queued_retry.go: the retry sender
+    // wraps the timeout sender): any exporter entry may declare
+    //   "timeout_ms": N            — one-attempt wall-clock bound
+    //   "retry_on_failure": {      — RetrySettings
+    //      max_retries, initial_interval_ms, multiplier,
+    //      max_interval_ms }
+    val withTimeout = m.get("timeout_ms")
+      .map(t => TimeoutExporter(base, t.asInstanceOf[Number].longValue())
+        : Exporter)
+      .getOrElse(base)
+    m.get("retry_on_failure").map(asMap) match {
+      case None => withTimeout
+      case Some(r) => RetryingExporter(withTimeout,
+        maxRetries = r.get("max_retries")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(3),
+        backoffMs = r.get("initial_interval_ms")
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(100L),
+        multiplier = r.get("multiplier")
+          .map(_.asInstanceOf[Number].doubleValue()).getOrElse(2.0),
+        maxBackoffMs = r.get("max_interval_ms")
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(30000L))
+    }
+  }
+
+  private def buildExporterBase(m: Map[String, Object],
+                                pipeline: String, exporterIdx: Int,
+                                ext: String => Extensions.Extension): Exporter = str(m, "type") match {
     case "parquet" => ParquetExporter(str(m, "path"),
       partitionBy = m.get("partitionBy").toSeq.flatMap(strList))
     // per-metadata-combination delivery off the _client carrier
@@ -681,6 +710,15 @@ object ConfigLoader {
       // (values render [REDACTED] in print-config)
       headers = m.get("headers").map(asMap).getOrElse(Map.empty)
         .map { case (k, v) => k -> v.toString })
+    // OTLP/gRPC push exporter (the collector's primary protocol,
+    // client half) — same optional tls/auth blocks
+    case "otlp_grpc" => graft.sources.GrpcOtlp.OtlpGrpcExporter(
+      host = m.get("host").map(_.toString).getOrElse("localhost"),
+      port = m("port").asInstanceOf[Number].intValue(),
+      signal = str(m, "signal"),
+      gzipBody = m.get("compression").exists(_.toString == "gzip"),
+      tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+      auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))))
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }
 }

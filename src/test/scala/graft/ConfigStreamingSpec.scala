@@ -129,4 +129,38 @@ class ConfigStreamingSpec extends AnyFunSuite {
       svc.stopReceivers()
     }
   }
+
+  test("sender-chain config blocks: retry_on_failure + timeout_ms wrap any exporter in reference order; otlp_grpc exporter is config-reachable") {
+    // chain shape: retry(timeout(sink)) — visible on the zpages report
+    val svc = ConfigLoader.fromJson(
+      """{"pipelines": {"logs/x": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "parquet", "path": "/out",
+        |    "timeout_ms": 250,
+        |    "retry_on_failure": {"max_retries": 5,
+        |      "initial_interval_ms": 10, "max_interval_ms": 100}}]}}}""".stripMargin)
+    val z = svc.zpages(spark)
+    assert(z.contains("retry(max=5) -> timeout(250ms) -> ParquetExporter"), z)
+
+    // live loopback: a config-declared otlp_grpc exporter delivers to
+    // a running gRPC receiver
+    import spark.implicits._
+    val spool = java.nio.file.Files.createTempDirectory("cfg_grpc_out").toString
+    val rx = new graft.sources.GrpcOtlp.OtlpGrpcReceiver(0, spool)
+    try {
+      val in = java.nio.file.Files.createTempDirectory("cfg_grpc_in").toString + "/in.parquet"
+      graft.sources.OtlpJsonSource.parseLogs(
+        Seq(mkLogRequest("api", 5)).toDF("json")).write.parquet(in)
+      val svc2 = ConfigLoader.fromJson(
+        s"""{"pipelines": {"logs/push": {
+           |  "receiver": {"type": "parquet", "path": "$in"},
+           |  "exporters": [{"type": "otlp_grpc", "port": ${rx.boundPort},
+           |                 "signal": "logs"}]}}}""".stripMargin)
+      svc2.run(spark)
+      val landed = graft.sources.OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(s"$spool/logs_pb")
+          .select(col("content").as("pb")))
+      assert(landed.count() == 5)
+    } finally rx.stop()
+  }
 }
