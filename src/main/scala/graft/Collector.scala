@@ -48,7 +48,7 @@ object Collector {
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
       "parquet_persistent", "arrow_spool", "arrow_pool", "logging",
       "otlp_http", "otlp_grpc"),
-    "extensions" -> Seq("file_storage", "memory_ballast"))
+    "extensions" -> Seq("file_storage", "memory_ballast", "zpages"))
 
   /** load a builder-emitted distribution file: kind → allowed types */
   private def readDistribution(path: String): Map[String, Set[String]] = {
@@ -206,6 +206,20 @@ object Collector {
           // service.go: extensions start first, stop last)
           svc.startExtensions()
           svc.extensions.foreach(e => out.println(s"started extension ${e.name}"))
+          // host wiring: the zpages extension observes the built
+          // service (and the first config document for /debug/configz)
+          svc.extensions.collect {
+            case z: graft.pipeline.Extensions.ZpagesExtension =>
+              val doc = configs.headOption
+                .filterNot(u => u.startsWith("env:") || u.startsWith("http"))
+                .flatMap { u =>
+                  try Some(new String(java.nio.file.Files.readAllBytes(
+                    java.nio.file.Paths.get(u.stripPrefix("file:"))), "UTF-8"))
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }
+              z.bind(svc, spark, doc)
+              out.println(s"zpages serving on localhost:${z.boundPort}")
+          }
           val recovered = svc.recover(spark)
           recovered.foreach { case (name, st) =>
             out.println(s"recovered $name: redelivered=${st.redelivered} " +

@@ -466,6 +466,10 @@ object ConfigLoader {
         new Extensions.MemoryBallast(
           cfg.get("size_mib").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
           name)
+      case "zpages" =>
+        new Extensions.ZpagesExtension(
+          cfg.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+          name)
       case other =>
         throw new IllegalArgumentException(s"unknown extension type: $other")
     }

@@ -186,6 +186,42 @@ object Extensions {
   }
 
   // ----------------------------------------------------------------
+  // zpages (reference: extension/zpagesextension)
+  // ----------------------------------------------------------------
+
+  /** zpagesextension as a config-declared extension: the debug-page
+    * HTTP server, declared `extensions: {zpages: {port: N}}` and
+    * enabled via service.extensions. The reference extension receives
+    * the serving host from the component Host at Start; graft's
+    * equivalent seam is [[bind]] — the collector binds the built
+    * Service (and the resolved config for /debug/configz) once it
+    * exists, which is when the pages have something to show.
+    * Shutdown stops the server. */
+  final class ZpagesExtension(val port: Int,
+                              override val name: String = "zpages")
+      extends Extension {
+    @volatile private var server: ZpagesServer = null
+    def bind(service: Pipeline.Service,
+             spark: org.apache.spark.sql.SparkSession,
+             configDoc: Option[String] = None,
+             gates: FeatureGate.Registry = FeatureGate.global): Unit =
+      synchronized {
+        if (server == null)
+          server = new ZpagesServer(service, spark, port, gates,
+            extensions = service.extensions.map(_.name),
+            configDoc = configDoc)
+      }
+    def boundPort: Int = {
+      val s = server
+      require(s != null, "zpages extension not bound to a service yet")
+      s.boundPort
+    }
+    override def shutdown(): Unit = synchronized {
+      if (server != null) { server.stop(); server = null }
+    }
+  }
+
+  // ----------------------------------------------------------------
   // configtelemetry (reference: config/configtelemetry)
   // ----------------------------------------------------------------
 

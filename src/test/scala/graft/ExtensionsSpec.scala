@@ -202,6 +202,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(basic.subsetOf(normal) && normal.subsetOf(detailed))
   }
 
+  test("zpages extension: config-declared debug server binds to the built service and stops on shutdown") {
+    val svc = ConfigLoader.fromJson(
+      """{"extensions": {"zpages": {"port": 0}},
+        |"service": {"extensions": ["zpages"]},
+        |"pipelines": {"logs/zp": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    svc.startExtensions()
+    val z = svc.extension("zpages").get
+      .asInstanceOf[Extensions.ZpagesExtension]
+    z.bind(svc, spark)
+    def get(path: String): (Int, String) = {
+      val c = java.net.URI.create(s"http://localhost:${z.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = c.getResponseCode
+      val body = new String(
+        (if (code >= 400) c.getErrorStream else c.getInputStream).readAllBytes(),
+        "UTF-8")
+      (code, body)
+    }
+    val (pc, pb) = get("/debug/pipelinez")
+    assert(pc == 200 && pb.contains("logs/zp"))
+    val (ec, eb) = get("/debug/extensionz")
+    assert(ec == 200 && eb.contains("zpages"))
+    val port = z.boundPort
+    svc.shutdownExtensions()
+    intercept[Exception] {
+      java.net.URI.create(s"http://localhost:$port/debug/servicez")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        .getResponseCode
+    }
+  }
+
   test("service telemetry resource: configured attributes stamp self-telemetry, override wins") {
     val svc = ConfigLoader.fromJson(
       """{"service": {"telemetry": {"resource": {
