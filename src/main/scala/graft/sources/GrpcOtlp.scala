@@ -324,10 +324,15 @@ object GrpcOtlp {
     val badRequests = new java.util.concurrent.atomic.AtomicLong
     /** requests refused by the server authenticator (UNAUTHENTICATED) */
     val denied = new java.util.concurrent.atomic.AtomicLong
+    /** netstats (otel-arrow internal/netstats): decoded message bytes
+      * vs bytes in the gRPC frame as transmitted (grpc-encoding) */
+    val recvBytes = new java.util.concurrent.atomic.AtomicLong
+    val recvWireBytes = new java.util.concurrent.atomic.AtomicLong
     /** snapshot in the Service.healthFrame transports shape */
     def counters: Map[String, Long] = Map(
       "accepted_requests" -> requests.get, "refused_requests" -> throttled.get,
-      "bad_requests" -> badRequests.get, "denied_requests" -> denied.get)
+      "bad_requests" -> badRequests.get, "denied_requests" -> denied.get,
+      "recv_bytes" -> recvBytes.get, "recv_wire_bytes" -> recvWireBytes.get)
   }
 
   /** OTLP/gRPC receiver: unary Export* over h2c loopback. Spools each
@@ -544,6 +549,9 @@ object GrpcOtlp {
           throw new java.io.IOException(s"spool rename failed: $name")
       } finally controller.foreach(_.release(body.length.toLong))
       obs.requests.incrementAndGet()
+      // netstats: framed length is the wire axis, decoded the logical
+      obs.recvWireBytes.addAndGet(mlen.toLong)
+      obs.recvBytes.addAndGet(body.length.toLong)
       if (auth.isDefined) onAuthenticated(signal.get, authAttrs)
       // success: response HEADERS + one framed response message + trailers
       val respMsg = partial(signal.get, body) match {
@@ -585,6 +593,15 @@ object GrpcOtlp {
     val sentRequests = new java.util.concurrent.atomic.AtomicLong
     val partialSuccesses = new java.util.concurrent.atomic.AtomicLong
     val rejectedItems = new java.util.concurrent.atomic.AtomicLong
+    /** netstats: logical payload bytes vs gRPC-frame wire bytes */
+    val sentBytes = new java.util.concurrent.atomic.AtomicLong
+    val sentWireBytes = new java.util.concurrent.atomic.AtomicLong
+    /** snapshot in the Service.healthFrame transports shape */
+    def counters: Map[String, Long] = Map(
+      "sent_requests" -> sentRequests.get,
+      "partial_successes" -> partialSuccesses.get,
+      "rejected_items" -> rejectedItems.get,
+      "sent_bytes" -> sentBytes.get, "sent_wire_bytes" -> sentWireBytes.get)
   }
 
   /** thrown for non-OK, non-retryable grpc-status */
@@ -685,7 +702,11 @@ object GrpcOtlp {
         val status = headersIn.getOrElse("grpc-status", "2").toInt
         val message = headersIn.getOrElse("grpc-message", "")
         if (status == Status.Ok) {
-          obs.foreach(_.sentRequests.incrementAndGet())
+          obs.foreach { o =>
+            o.sentRequests.incrementAndGet()
+            o.sentBytes.addAndGet(msg0.length.toLong)      // logical
+            o.sentWireBytes.addAndGet(msg.length.toLong)   // on the wire
+          }
           val resp = data.toByteArray
           if (resp.length > 5) {
             val body = java.util.Arrays.copyOfRange(resp, 5, resp.length)

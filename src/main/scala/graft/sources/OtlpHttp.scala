@@ -293,10 +293,17 @@ object OtlpHttp {
     val badRequests = new java.util.concurrent.atomic.AtomicLong
     /** requests refused by the server authenticator (401) */
     val denied = new java.util.concurrent.atomic.AtomicLong
+    /** netstats (otel-arrow internal/netstats): logical payload bytes
+      * vs bytes on the wire — the compression-win measurement. recv =
+      * decoded request bytes; recv_wire = as-transmitted (including
+      * Content-Encoding compression). */
+    val recvBytes = new java.util.concurrent.atomic.AtomicLong
+    val recvWireBytes = new java.util.concurrent.atomic.AtomicLong
     /** snapshot in the Service.healthFrame transports shape */
     def counters: Map[String, Long] = Map(
       "accepted_requests" -> requests.get, "refused_requests" -> throttled.get,
-      "bad_requests" -> badRequests.get, "denied_requests" -> denied.get)
+      "bad_requests" -> badRequests.get, "denied_requests" -> denied.get,
+      "recv_bytes" -> recvBytes.get, "recv_wire_bytes" -> recvWireBytes.get)
   }
 
   /** OTLP/HTTP push receiver: accepts POST /v1/{logs,metrics,traces}
@@ -557,6 +564,9 @@ object OtlpHttp {
           }
         } finally controller.foreach(_.release(body.length.toLong))
         obs.requests.incrementAndGet()
+        // netstats: wire bytes as transmitted vs decoded payload bytes
+        obs.recvWireBytes.addAndGet(raw.length.toLong)
+        obs.recvBytes.addAndGet(body.length.toLong)
         if (auth.isDefined) onAuthenticated(signal.get, authAttrs)
         partial(signal.get, body) match {
           case Some((rejected, msg)) =>
@@ -595,6 +605,16 @@ object OtlpHttp {
     val sentRequests = new java.util.concurrent.atomic.AtomicLong
     val partialSuccesses = new java.util.concurrent.atomic.AtomicLong
     val rejectedItems = new java.util.concurrent.atomic.AtomicLong
+    /** netstats (otel-arrow internal/netstats): logical payload bytes
+      * vs bytes on the wire (after compression) */
+    val sentBytes = new java.util.concurrent.atomic.AtomicLong
+    val sentWireBytes = new java.util.concurrent.atomic.AtomicLong
+    /** snapshot in the Service.healthFrame transports shape */
+    def counters: Map[String, Long] = Map(
+      "sent_requests" -> sentRequests.get,
+      "partial_successes" -> partialSuccesses.get,
+      "rejected_items" -> rejectedItems.get,
+      "sent_bytes" -> sentBytes.get, "sent_wire_bytes" -> sentWireBytes.get)
   }
 
   /** OTLP/HTTP exporter (reference otlphttpexporter/otlp.go:115-186):
@@ -693,7 +713,11 @@ object OtlpHttp {
           if (s == null) Array.empty[Byte] else try s.readAllBytes() finally s.close()
         } catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
       if (code >= 200 && code <= 299) {
-        obs.foreach(_.sentRequests.incrementAndGet())
+        obs.foreach { o =>
+          o.sentRequests.incrementAndGet()
+          o.sentBytes.addAndGet(body0.length.toLong)      // logical
+          o.sentWireBytes.addAndGet(body.length.toLong)   // on the wire
+        }
         parsePartialSuccess(respBody,
           Option(conn.getHeaderField("Content-Type")).getOrElse(ct)).foreach {
           case (rejected, msg) =>

@@ -283,6 +283,50 @@ class OtlpHttpSpec extends AnyFunSuite {
       OtlpHttp.partialSuccessPb(0L, ""), "application/x-protobuf").isEmpty)
   }
 
+  test("netstats: logical vs wire bytes track compression on both halves") {
+    import spark.implicits._
+    val spool = tmpDir("otlp_http_netstats")
+    val rx = new OtlpHttpReceiver(0, spool)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 50)).toDF("json"))
+      val obs = new graft.sources.OtlpHttp.HttpExportObs
+      OtlpHttpExporter(s"http://localhost:${rx.boundPort}", "logs",
+        compression = "gzip", obs = Some(obs)).export(logs)
+      // exporter: logical > wire (gzip wins on a redundant payload)
+      assert(obs.sentBytes.get > 0)
+      assert(obs.sentWireBytes.get < obs.sentBytes.get,
+        s"wire ${obs.sentWireBytes.get} !< logical ${obs.sentBytes.get}")
+      // receiver mirror: what left the exporter arrived byte-exact on
+      // both axes — wire bytes match the compressed body, logical the
+      // decoded payload
+      assert(rx.obs.counters("recv_wire_bytes") == obs.sentWireBytes.get)
+      assert(rx.obs.counters("recv_bytes") == obs.sentBytes.get)
+
+      // uncompressed: the two axes coincide
+      val rx2 = new OtlpHttpReceiver(0, tmpDir("otlp_http_netstats2"))
+      try {
+        val obs2 = new graft.sources.OtlpHttp.HttpExportObs
+        OtlpHttpExporter(s"http://localhost:${rx2.boundPort}", "logs",
+          obs = Some(obs2)).export(logs)
+        assert(obs2.sentBytes.get == obs2.sentWireBytes.get)
+        assert(rx2.obs.counters("recv_bytes") ==
+          rx2.obs.counters("recv_wire_bytes"))
+      } finally rx2.stop()
+
+      // gRPC twin: same axes over the gRPC frame encoding
+      val spoolG = tmpDir("grpc_netstats")
+      val rxg = new graft.sources.GrpcOtlp.OtlpGrpcReceiver(0, spoolG)
+      try {
+        val obsg = new graft.sources.GrpcOtlp.GrpcExportObs
+        graft.sources.GrpcOtlp.OtlpGrpcExporter("localhost", rxg.boundPort,
+          "logs", gzipBody = true, obs = Some(obsg)).export(logs)
+        assert(obsg.sentWireBytes.get < obsg.sentBytes.get)
+        assert(rxg.obs.counters("recv_wire_bytes") == obsg.sentWireBytes.get)
+        assert(rxg.obs.counters("recv_bytes") == obsg.sentBytes.get)
+      } finally rxg.stop()
+    } finally rx.stop()
+  }
+
   test("client headers + include_metadata: configured headers ride every request and land as durable client metadata") {
     import spark.implicits._
     val spool = tmpDir("otlp_http_meta")

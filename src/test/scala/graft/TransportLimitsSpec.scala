@@ -73,9 +73,10 @@ class TransportLimitsSpec extends AnyFunSuite {
         .collect()
       assert(rows.length == 1)
       assert(rows(0).getDouble(0) == 1.0 && rows(0).getString(1) == "otlp_http/logs")
-      // the refused/denied counters ride too, all zero here
+      // the refused/denied counters ride too (zero here), plus the
+      // netstats recv/recv_wire byte counters
       assert(frame.filter(col("metric_name").startsWith("otelcol_receiver_"))
-        .count() == 4)
+        .count() == 6)
     } finally rx.stop()
   }
 }
