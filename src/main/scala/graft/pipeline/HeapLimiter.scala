@@ -99,4 +99,33 @@ object HeapLimiter {
     r.totalMemory() - r.freeMemory()
   }
   def jvmGc(): Unit = System.gc()
+
+  /** total memory available to the process — the iruntime/cgroups
+    * TotalMemory analog (memorylimiter config.go limit_percentage
+    * base). `Runtime.maxMemory` is the JVM's -Xmx, which modern JVMs
+    * derive cgroup-aware (UseContainerSupport), so a containerized
+    * collector sees its actual ceiling, exactly the reference's
+    * cgroup read. */
+  def totalMemory(): Long = Runtime.getRuntime.maxMemory()
+
+  /** percentage-based construction (memorylimiterprocessor config.go:
+    * limit_percentage / spike_limit_percentage against total process
+    * memory; Validate pins (0,100] and spike < limit) */
+  def fromPercentages(limitPercentage: Int, spikeLimitPercentage: Int,
+                      total: Long = totalMemory(),
+                      checkIntervalMs: Long = 1000L,
+                      minGcIntervalMs: Long = 10000L,
+                      readHeap: () => Long = jvmHeapUsed,
+                      forceGc: () => Unit = jvmGc): HeapLimiter = {
+    require(limitPercentage > 0 && limitPercentage <= 100,
+      s"limit_percentage must be in (0, 100]: $limitPercentage")
+    require(spikeLimitPercentage >= 0 && spikeLimitPercentage < limitPercentage,
+      s"spike_limit_percentage must be below limit_percentage: " +
+        s"$spikeLimitPercentage >= $limitPercentage")
+    new HeapLimiter(
+      limitBytes = total / 100L * limitPercentage,
+      spikeBytes = total / 100L * spikeLimitPercentage,
+      checkIntervalMs = checkIntervalMs, minGcIntervalMs = minGcIntervalMs,
+      readHeap = readHeap, forceGc = forceGc)
+  }
 }

@@ -161,4 +161,28 @@ class HeapLimiterSpec extends AnyFunSuite {
     assert(delivered.size() == 200, s"all rows after recovery: ${delivered.size()}")
     assert(pressuredDeliveries.get == 0, "no delivery while pressured")
   }
+
+  test("percentage limits: limit_percentage/spike_limit_percentage derive bytes from total memory; config validation pins the ranges") {
+    import graft.pipeline.HeapLimiter
+    // deterministic: a fake 1000-byte "total memory"
+    var heap = 0L
+    val lim = HeapLimiter.fromPercentages(80, 25, total = 1000L,
+      readHeap = () => heap, forceGc = () => ())
+    // soft = 80% − 25% of total = 550 bytes
+    assert(lim.softLimitBytes == 550L)
+    heap = 540L; lim.checkMemLimits()
+    assert(!lim.mustRefuse)
+    heap = 560L; lim.checkMemLimits()
+    assert(lim.mustRefuse)
+
+    // Validate semantics (memorylimiter config.go)
+    intercept[IllegalArgumentException](
+      HeapLimiter.fromPercentages(0, 0, total = 1000L))
+    intercept[IllegalArgumentException](
+      HeapLimiter.fromPercentages(101, 10, total = 1000L))
+    intercept[IllegalArgumentException](
+      HeapLimiter.fromPercentages(50, 50, total = 1000L))
+    // the real total-memory base is positive and cgroup-aware (-Xmx)
+    assert(HeapLimiter.totalMemory() > 0)
+  }
 }
