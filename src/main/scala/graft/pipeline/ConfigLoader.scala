@@ -424,6 +424,16 @@ object ConfigLoader {
     var result: Map[String, PipelineDef] = null
     def lookup(n: String): PipelineDef = result.getOrElse(n,
       throw new IllegalArgumentException(s"pipeline '$n' not defined"))
+    // sharedcomponent semantics (internal/sharedcomponent: one
+    // component instance per id, shared across the pipelines that
+    // reference it): IDENTICAL receiver declarations in one document
+    // resolve to the SAME instance — two pipelines declaring the same
+    // otlp_http port get one server, not a bind conflict; lifecycle
+    // start is idempotent so the shared instance starts once.
+    val receiverInstances =
+      scala.collection.mutable.HashMap[Map[String, Object], Receiver]()
+    def buildReceiverShared(m: Map[String, Object]): Receiver =
+      receiverInstances.getOrElseUpdate(m, buildReceiver(m, lookup))
     result = pipelines.map { case (name, defn0) =>
       val defn = defn0.asInstanceOf[java.util.Map[String, Object]].asScala
       name -> PipelineDef(
@@ -431,10 +441,10 @@ object ConfigLoader {
         // (the reference shape — every receiver feeds the same
         // processor chain); the list builds a union-by-name fanin
         receiver = (defn.get("receiver"), defn.get("receivers")) match {
-          case (Some(r), None) => buildReceiver(asMap(r), lookup)
+          case (Some(r), None) => buildReceiverShared(asMap(r))
           case (None, Some(rs)) => MultiReceiver(
             rs.asInstanceOf[java.util.List[Object]].asScala.toSeq
-              .map(r => buildReceiver(asMap(r), lookup)))
+              .map(r => buildReceiverShared(asMap(r))))
           case (Some(_), Some(_)) => throw new IllegalArgumentException(
             s"pipeline '$name': give `receiver` OR `receivers`, not both")
           case (None, None) => throw new IllegalArgumentException(

@@ -130,6 +130,43 @@ class ConfigStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sharedcomponent: identical receiver declarations share ONE instance across pipelines — one server, both sinks fed") {
+    import spark.implicits._
+    val spool = java.nio.file.Files.createTempDirectory("shared_rx").toString
+    val sinkA = java.nio.file.Files.createTempDirectory("shared_a").toString + "/a"
+    val sinkB = java.nio.file.Files.createTempDirectory("shared_b").toString + "/b"
+    val ckpt = java.nio.file.Files.createTempDirectory("shared_ck").toString
+    val svc = ConfigLoader.fromJson(
+      s"""{"pipelines": {
+         |"logs/a": {
+         |  "receiver": {"type": "otlp_http", "port": 0, "spool": "$spool"},
+         |  "exporters": [{"type": "parquet", "path": "$sinkA"}]},
+         |"logs/b": {
+         |  "receiver": {"type": "otlp_http", "port": 0, "spool": "$spool"},
+         |  "processors": [{"type": "filter", "where": "severity_number >= 9"}],
+         |  "exporters": [{"type": "parquet", "path": "$sinkB"}]}}}""".stripMargin)
+    // the sharedcomponent contract: same id ⇒ same INSTANCE
+    assert(svc.pipelines("logs/a").receiver eq svc.pipelines("logs/b").receiver)
+    val queries = svc.runStreaming(spark, ckpt)
+    try {
+      val port = svc.pipelines("logs/a").receiver
+        .asInstanceOf[graft.pipeline.Pipeline.OtlpHttpServerReceiver].boundPort
+      graft.sources.OtlpHttp.OtlpHttpExporter(s"http://localhost:$port", "logs")
+        .export(graft.sources.OtlpJsonSource.parseLogs(
+          Seq(mkLogRequest("api", 3)).toDF("json")))
+      def rows(p: String): Long =
+        try spark.read.parquet(p).count() catch { case _: Exception => 0L }
+      val deadline = System.currentTimeMillis() + 30000
+      while ((rows(sinkA) < 3 || rows(sinkB) < 3) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(rows(sinkA) == 3 && rows(sinkB) == 3,
+        s"one wire POST must feed both pipelines (a=${rows(sinkA)} b=${rows(sinkB)})")
+    } finally {
+      queries.values.flatten.foreach(_.stop())
+      svc.stopReceivers()
+    }
+  }
+
   test("sender-chain config blocks: retry_on_failure + timeout_ms wrap any exporter in reference order; otlp_grpc exporter is config-reachable") {
     // chain shape: retry(timeout(sink)) — visible on the zpages report
     val svc = ConfigLoader.fromJson(
