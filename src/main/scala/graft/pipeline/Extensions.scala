@@ -146,6 +146,13 @@ object Extensions {
         ()
       }
 
+      // honest divergence from the bbolt-backed reference: each
+      // OPERATION is atomic (tmp+rename), the batch as a whole is
+      // NOT a transaction — a crash mid-batch leaves the completed
+      // prefix applied. The components using this store (queue
+      // metadata, counters) write independent keys, so the weaker
+      // guarantee is sufficient; a component needing multi-key
+      // atomicity must encode its state in ONE key.
       def batch(ops: Operation*): Unit = {
         check()
         ops.foreach { op =>
