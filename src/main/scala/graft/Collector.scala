@@ -44,7 +44,7 @@ object Collector {
       "otlp_pb_logs_gz", "arrow_logs", "stream_json_logs", "stream_pb_logs",
       "scrape_jvm", "otlp_http", "otlp_grpc", "forward", "union"),
     "processors" -> Seq("filter", "upsert", "drop", "select", "sample",
-      "route", "batch", "batch_by_metadata", "batch_timed"),
+      "route", "batch", "batch_by_metadata", "batch_timed", "aggregate"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
       "parquet_persistent", "arrow_spool", "arrow_pool", "logging",
       "otlp_http", "otlp_grpc"),

@@ -619,6 +619,30 @@ object ConfigLoader {
         strList(m("metadataKeys")), expr(str(m, "order")),
         m("size").asInstanceOf[Number].intValue(),
         m.get("cardinalityLimit").map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+    // declarative aggregation stage — the connector-class transform
+    // (spanmetrics/count shape) in config: group by key EXPRESSIONS
+    // (a `ts_ns DIV 3600000000000` key is a tumbling window) and
+    // apply named aggregates. Keys use `expr AS name` SQL aliasing.
+    case "aggregate" => df => {
+      val keys = strList(m("keys")).map(expr)
+      val aggs = m("aggs").asInstanceOf[java.util.List[Object]].asScala.toSeq
+        .map { a0 =>
+          val a = asMap(a0)
+          val e = a.get("expr").map(_.toString).getOrElse("1")
+          val c = str(a, "fn") match {
+            case "count" => org.apache.spark.sql.functions.count(expr(e))
+            case "sum"   => org.apache.spark.sql.functions.sum(expr(e))
+            case "min"   => org.apache.spark.sql.functions.min(expr(e))
+            case "max"   => org.apache.spark.sql.functions.max(expr(e))
+            case "countDistinct" =>
+              org.apache.spark.sql.functions.count_distinct(expr(e))
+            case other => throw new IllegalArgumentException(
+              s"unknown aggregate fn: $other")
+          }
+          c.as(str(a, "as"))
+        }
+      df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
     // size + event-time-age bounded batches (timeout trigger, batch mode)
     case "batch_timed" => df =>
       graft.operators.Processors.assignBatchesTimed(df,

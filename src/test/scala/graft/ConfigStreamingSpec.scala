@@ -130,6 +130,28 @@ class ConfigStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregate processor: declarative tumbling-window aggregation matches the programmatic operator") {
+    val sink = java.nio.file.Files.createTempDirectory("agg_out").toString + "/o"
+    val svc = ConfigLoader.fromJson(
+      s"""{"pipelines": {"metrics/win": {
+         |  "receiver": {"type": "table", "dir": "/root/testdata/sf0.001",
+         |               "table": "events"},
+         |  "processors": [{"type": "aggregate",
+         |    "keys": ["event_type", "ts_ns DIV 3600000000000 AS window_start"],
+         |    "aggs": [{"fn": "count", "as": "n"},
+         |             {"fn": "countDistinct", "expr": "user_id", "as": "users"}]}],
+         |  "exporters": [{"type": "parquet", "path": "$sink"}]}}}""".stripMargin)
+    svc.run(spark)
+    val back = spark.read.parquet(sink)
+    val direct = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_ns DIV 3600000000000").as("window_start"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.count_distinct(col("user_id")).as("users"))
+    assert(back.count() == direct.count())
+    assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty)
+  }
+
   test("sharedcomponent: identical receiver declarations share ONE instance across pipelines — one server, both sinks fed") {
     import spark.implicits._
     val spool = java.nio.file.Files.createTempDirectory("shared_rx").toString
