@@ -114,6 +114,35 @@ object DataPipelineQueries {
           sum(col("un")).as("sum_union"))
     }),
 
+    // Sketch DECISION quality: precision/recall of the banded-MinHash
+    // ≥0.5 verdict against exact shingle Jaccard ≥0.5 — the
+    // confusion-level companion of q_minhash_accuracy's error
+    // histogram, and the number that says whether banding parameters
+    // lose real duplicates (FN counts banding misses too, not just
+    // estimate noise). Integer set algebra; two exact divisions.
+    "q_dedup_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      val exact = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val sig = sh.filter(size(col("shs")) > 0)
+        .select(col("doc_id"), DedupOps.minhashSignatureMd5(col("shs"), 32).as("sig"))
+      val pred = DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
+          bands = 8, rows = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val tp = exact.intersect(pred).count()
+      val fp = pred.exceptAll(exact).count()
+      val fn = exact.exceptAll(pred).count()
+      val s2 = s
+      import s2.implicits._
+      Seq((tp, fp, fn)).toDF("tp", "fp", "fn")
+        .withColumn("precision",
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+        .withColumn("recall",
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+    }),
+
     // SimHash near-dup pairs (md5 bits — oracle value-verified)
     "q_dedup_simhash" -> ((s, dir) => {
       val bits = docs(s, dir).select(col("doc_id"),
@@ -1060,6 +1089,46 @@ object DataPipelineQueries {
         |WHERE list_max(list_transform(range(0, 8), b ->
         |   CASE WHEN sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4] THEN 1 ELSE 0 END)) = 1
         | AND len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) >= 16""".stripMargin,
+
+    // the exact-pair CTE (q_ngram_jaccard) against the predicted-pair
+    // CTE (q_dedup_minhash) — confusion counts by set algebra
+    "q_dedup_eval" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |exact AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, 32), i ->
+        |    list_min(list_transform(shs, s ->
+        |      substr(md5((i // 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
+        | FROM sh WHERE len(shs) > 0),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sig sa, b.sig sb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+        |pred AS (SELECT id_a, id_b
+        | FROM pairs
+        | WHERE list_max(list_transform(range(0, 8), b ->
+        |    CASE WHEN sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4] THEN 1 ELSE 0 END)) = 1
+        |  AND len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) >= 16),
+        |c AS (SELECT
+        |  CAST((SELECT COUNT(*) FROM exact e JOIN pred p
+        |        ON e.id_a = p.id_a AND e.id_b = p.id_b) AS BIGINT) AS tp,
+        |  CAST((SELECT COUNT(*) FROM pred p LEFT JOIN exact e
+        |        ON e.id_a = p.id_a AND e.id_b = p.id_b
+        |        WHERE e.id_a IS NULL) AS BIGINT) AS fp,
+        |  CAST((SELECT COUNT(*) FROM exact e LEFT JOIN pred p
+        |        ON e.id_a = p.id_a AND e.id_b = p.id_b
+        |        WHERE p.id_a IS NULL) AS BIGINT) AS fn)
+        |SELECT tp, fp, fn,
+        | CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        | CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall
+        |FROM c""".stripMargin,
 
     // candidates = banding collisions (no est threshold), exact
     // verify via list_contains; integer sums only
