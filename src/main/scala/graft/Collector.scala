@@ -74,6 +74,7 @@ object Collector {
     // --feature-gates takes the registry flag syntax
     val configs = scala.collection.mutable.ArrayBuffer[String]()
     val gateFlags = scala.collection.mutable.ArrayBuffer[String]()
+    val sets = scala.collection.mutable.ArrayBuffer[String]()
     var manifest: Option[String] = None
     var output: Option[String] = None
     var distribution: Option[String] = None
@@ -83,6 +84,8 @@ object Collector {
       it(i) match {
         case "--config" if i + 1 < it.size => configs += it(i + 1); i += 2
         case "--feature-gates" if i + 1 < it.size => gateFlags += it(i + 1); i += 2
+        case flag if flag.startsWith("--set=") => sets += flag.stripPrefix("--set="); i += 1
+        case "--set" if i + 1 < it.size => sets += it(i + 1); i += 2
         case "--manifest" if i + 1 < it.size => manifest = Some(it(i + 1)); i += 2
         case "--output" if i + 1 < it.size => output = Some(it(i + 1)); i += 2
         case "--distribution" if i + 1 < it.size => distribution = Some(it(i + 1)); i += 2
@@ -176,7 +179,7 @@ object Collector {
         case "validate" =>
           if (!requireConfigs()) return 1
           if (!checkDistribution()) return 1
-          ConfigLoader.fromUris(configs.toSeq)
+          ConfigLoader.fromUris(configs.toSeq, sets = sets.toSeq)
           out.println("OK")
           0
         case "print-config" =>
@@ -200,7 +203,7 @@ object Collector {
         case "run" =>
           if (!requireConfigs()) return 1
           if (!checkDistribution()) return 1
-          val svc = ConfigLoader.fromUris(configs.toSeq)
+          val svc = ConfigLoader.fromUris(configs.toSeq, sets = sets.toSeq)
           val spark = GraftSession.get()
           // extension lifecycle brackets the data path (reference
           // service.go: extensions start first, stop last)

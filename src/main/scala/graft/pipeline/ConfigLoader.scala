@@ -303,7 +303,11 @@ object ConfigLoader {
     * base with a YAML overlay). */
   def fromUris(uris: Seq[String],
                env: String => Option[String] = sys.env.get,
-               gates: FeatureGate.Registry = FeatureGate.global): Service = {
+               gates: FeatureGate.Registry = FeatureGate.global,
+               // the `--set` flag (otelcol/flags.go:40-52): dotted
+               // property paths merged LAST, so they take precedence
+               // over every config document
+               sets: Seq[String] = Nil): Service = {
     require(uris.nonEmpty, "at least one config URI required")
     val roots = uris.map { u =>
       val (text, hint) = retrieve(u, env, gates)
@@ -313,7 +317,32 @@ object ConfigLoader {
         else !text.dropWhile(_.isWhitespace).startsWith("{")
       parseRoot(text, isYaml, env)
     }
-    buildFromRoot(roots.reduce(deepMerge).asScala, gates)
+    val merged = (roots ++ sets.map(setOverlay)).reduce(deepMerge)
+    buildFromRoot(merged.asScala, gates)
+  }
+
+  /** one `--set key.path=value` as a nested single-entry document;
+    * scalar typing follows YAML rules (ints/bools/doubles type, the
+    * rest stays a string) — merged after the config files, maps join,
+    * scalars/arrays override (flags.go precedence contract) */
+  private[pipeline] def setOverlay(set: String): java.util.Map[String, Object] = {
+    val eq = set.indexOf('=')
+    require(eq > 0, s"--set requires key=value, got: '$set'")
+    val pathParts = set.substring(0, eq).split("\\.").toSeq
+    require(pathParts.forall(_.nonEmpty), s"--set has an empty path segment: '$set'")
+    val raw = set.substring(eq + 1)
+    val value: Object = {
+      def toLong = scala.util.Try(java.lang.Long.valueOf(raw)).toOption
+      def toDouble = scala.util.Try(java.lang.Double.valueOf(raw)).toOption
+      if (raw == "true") java.lang.Boolean.TRUE
+      else if (raw == "false") java.lang.Boolean.FALSE
+      else toLong.orElse(toDouble).getOrElse(raw)
+    }
+    pathParts.foldRight(value) { (seg, inner) =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      m.put(seg, inner)
+      m
+    }.asInstanceOf[java.util.Map[String, Object]]
   }
 
   private def fromText(doc: String, yaml: Boolean,
