@@ -114,6 +114,28 @@ object DataPipelineQueries {
           sum(col("un")).as("sum_union"))
     }),
 
+    // WARC ingestion seam (Warc.scala — the Common Crawl wire format):
+    // synthesize one WARC/1.0 response record per document (the
+    // encode expression), parse the bytes back with the native record
+    // walker, and report corpus-ingest stats. Rows-only (binary
+    // framing has no SQL twin); the codec roundtrip + multi-record +
+    // gzip paths are WarcSpec-pinned. Everything is map-side until
+    // the one stats aggregate.
+    "q_warc_extract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          explode(graft.sources.Warc.warc_records(
+            graft.sources.Warc.warc_response(
+              concat(lit("http://corpus.local/doc/"), col("doc_id")),
+              lit("2024-01-01T00:00:00Z"),
+              concat(lit("<html><body><p>"), col("text"),
+                lit("</p></body></html>"))))).as("r"))
+        .agg(count(lit(1)).as("records"),
+          sum(when(col("r.http_status") === 200, 1L).otherwise(0L)).as("http_200"),
+          sum(length(col("r.payload")).cast("long")).as("payload_chars"),
+          countDistinct(col("r.content_type")).as("content_types"))
+    }),
+
     // Sketch DECISION quality: precision/recall of the banded-MinHash
     // ≥0.5 verdict against exact shingle Jaccard ≥0.5 — the
     // confusion-level companion of q_minhash_accuracy's error

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Warc
+
+/** WARC/1.0 codec (ISO 28500 — the Common Crawl wire format): record
+  * framing, HTTP payload stripping, multi-record buffers, the
+  * record-per-gzip-member layout, and the Spark-side explode path. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def mkBuffer: Array[Byte] = {
+    val warcinfo = ("WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/warc-fields\r\n" +
+      "Content-Length: 15\r\n\r\n" +
+      "software: graft" + "\r\n\r\n").getBytes("UTF-8")
+    val request = ("WARC/1.0\r\n" +
+      "WARC-Type: request\r\n" +
+      "WARC-Target-URI: http://example.com/a\r\n" +
+      "WARC-Date: 2024-01-01T00:00:01Z\r\n" +
+      "Content-Type: application/http;msgtype=request\r\n" +
+      "Content-Length: 40\r\n\r\n" +
+      "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n" +
+      "\r\n\r\n").getBytes("UTF-8")
+    val response = Warc.encodeResponse("http://example.com/a",
+      "2024-01-01T00:00:02Z", "<html><body><p>hello warc</p></body></html>")
+    warcinfo ++ request ++ response
+  }
+
+  test("multi-record buffer parses: types, uris, http payload stripped of headers") {
+    val rs = Warc.parseRecords(mkBuffer)
+    assert(rs.map(_.recordType) == Seq("warcinfo", "request", "response"))
+    assert(rs(0).payload == "software: graft")
+    assert(rs(0).httpStatus == -1)
+    assert(rs(1).targetUri == "http://example.com/a")
+    val resp = rs(2)
+    assert(resp.httpStatus == 200)
+    assert(resp.contentType.startsWith("application/http"))
+    assert(resp.payload == "<html><body><p>hello warc</p></body></html>")
+    assert(resp.warcDate == "2024-01-01T00:00:02Z")
+  }
+
+  test(".warc.gz: record-per-gzip-member (concatenated members) parses identically") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    // one member per record — the Common Crawl layout
+    val members = gz(mkBuffer.slice(0, 0)) // empty leading member is legal
+    val whole = gz(mkBuffer)
+    val rs = Warc.parseRecords(members ++ whole)
+    assert(rs.map(_.recordType) == Seq("warcinfo", "request", "response"))
+    assert(rs(2).payload.contains("hello warc"))
+  }
+
+  test("truncated record never yields a partial row; trailing junk stops cleanly") {
+    val buf = mkBuffer
+    val truncated = buf.slice(0, buf.length - 30)
+    val rs = Warc.parseRecords(truncated)
+    // the complete records parse; the cut one is dropped whole
+    assert(rs.length == 2)
+    val junk = buf ++ "NOT-A-WARC-HEADER".getBytes("UTF-8")
+    assert(Warc.parseRecords(junk).length == 3)
+  }
+
+  test("Spark path: binary column → exploded records; encode∘parse is the identity on payloads; html extract composes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "body")
+    val parsed = docs.select(col("doc_id"),
+        explode(Warc.warc_records(Warc.warc_response(
+          concat(lit("http://c/"), col("doc_id")),
+          lit("2024-01-01T00:00:00Z"),
+          concat(lit("<html><body><p>"), col("body"), lit("</p></body></html>")))))
+          .as("r"))
+    val rows = parsed.select(col("doc_id"), col("r.target_uri"),
+        col("r.http_status"), col("r.payload")).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getInt(2) == 200))
+    assert(rows.map(r => r.getLong(0) -> r.getString(3)).toMap == Map(
+      1L -> "<html><body><p>alpha beta gamma</p></body></html>",
+      2L -> "<html><body><p>delta epsilon</p></body></html>"))
+    assert(rows.forall(r => r.getString(1) == s"http://c/${r.getLong(0)}"))
+    // the ingestion composition: WARC payload → the oracled
+    // html-to-text extraction stage
+    val text = parsed.select(col("doc_id"),
+        graft.operators.TextOps.htmlToText(col("r.payload")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(text(1L).contains("alpha beta gamma"))
+  }
+}
