@@ -42,7 +42,7 @@ object Collector {
   val componentTypes: Map[String, Seq[String]] = Map(
     "receivers" -> Seq("table", "parquet", "otlp_json_logs", "otlp_pb_logs",
       "otlp_pb_logs_gz", "arrow_logs", "stream_json_logs", "stream_pb_logs",
-      "scrape_jvm", "otlp_http", "otlp_grpc", "forward", "union"),
+      "scrape_jvm", "otlp_http", "otlp_grpc", "warc", "forward", "union"),
     "processors" -> Seq("filter", "upsert", "drop", "select", "sample",
       "route", "batch", "batch_by_metadata", "batch_timed", "aggregate"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",

@@ -609,6 +609,15 @@ object ConfigLoader {
           m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
         auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
+      // WARC corpus ingestion (Warc.scala): a directory of .warc[.gz]
+      // files exploded into record rows — the Common Crawl entry
+      case "warc" => new Receiver {
+        private val path = str(m, "path")
+        def read(spark: org.apache.spark.sql.SparkSession)
+            : org.apache.spark.sql.DataFrame =
+          graft.sources.Warc.parseFiles(
+            spark.read.format("binaryFile").load(path))
+      }
       // scraperhelper controller as a config receiver: interval-pulled
       // JVM runtime metrics → spool → streaming metric-point source
       case "scrape_jvm" => ScrapeJvmReceiver(str(m, "spool"),

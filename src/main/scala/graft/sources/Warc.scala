@@ -124,7 +124,11 @@ object Warc {
           p = e + 2
         }
       }
-      if (clen < 0 || p + clen > bytes.length) return out.toSeq // truncated
+      // truncated or absurd (a block can't exceed the buffer, and a
+      // single record past 2 GiB would break the Int slice — stop
+      // cleanly rather than wrap)
+      if (clen < 0 || clen > Int.MaxValue || p + clen > bytes.length)
+        return out.toSeq
       val block = java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
       p += clen.toInt
       // http payload: strip the status line + headers of the block

@@ -93,4 +93,21 @@ class WarcSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(text(1L).contains("alpha beta gamma"))
   }
+
+  test("config receiver: a warc directory pipeline extracts response payloads to the sink") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_in").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "crawl-0.warc"),
+      mkBuffer)
+    val sink = java.nio.file.Files.createTempDirectory("warc_out").toString + "/o"
+    graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"corpus/warc": {
+         |  "receiver": {"type": "warc", "path": "$dir"},
+         |  "processors": [{"type": "filter",
+         |                  "where": "record_type = 'response' AND http_status = 200"}],
+         |  "exporters": [{"type": "parquet", "path": "$sink"}]}}}""".stripMargin)
+      .run(spark)
+    val back = spark.read.parquet(sink).collect()
+    assert(back.length == 1)
+    assert(back(0).getAs[String]("payload").contains("hello warc"))
+  }
 }
