@@ -47,7 +47,7 @@ object Collector {
       "route", "batch", "batch_by_metadata", "batch_timed", "aggregate"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
       "parquet_persistent", "arrow_spool", "arrow_pool", "logging",
-      "otlp_http", "otlp_grpc"),
+      "otlp_http", "otlp_grpc", "jsonl"),
     "extensions" -> Seq("file_storage", "memory_ballast", "zpages"))
 
   /** load a builder-emitted distribution file: kind → allowed types */

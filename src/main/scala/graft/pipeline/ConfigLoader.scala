@@ -770,6 +770,35 @@ object ConfigLoader {
       codec = m.get("codec").map(_.toString).getOrElse("none"),
       downgradeAfter =
         m.get("downgradeAfter").map(_.asInstanceOf[Number].intValue()).getOrElse(3))
+    // JSONL corpus export — the handoff format external training
+    // stacks consume: one JSON object per line, optional gzip,
+    // optional partition columns (a shuffle_shard column makes the
+    // deterministic training-shard layout)
+    case "jsonl" => new Exporter {
+      private val path = str(m, "path")
+      private val compression = m.get("compression").map(_.toString).getOrElse("none")
+      private val partitionBy = m.get("partitionBy").toSeq.flatMap(strList)
+      def export(df: org.apache.spark.sql.DataFrame): Unit = {
+        val json = df.select(
+          org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct(
+              df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+            .as("value") +: partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        val w = json.write.mode("overwrite").option("compression", compression)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).text(path)
+      }
+      // idempotent streaming delivery: a replayed batch overwrites
+      // only its own subdir (the parquet exporters' keying discipline)
+      override def exportBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val json = df.select(
+          org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct(
+              df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+            .as("value"))
+        json.write.mode("overwrite").option("compression", compression)
+          .text(s"$path/batch_id=$batchId")
+      }
+    }
     case "logging" => LoggingExporter()
     // OTLP/HTTP push exporter; optional configtls `tls:` block
     // ({cert_file, key_file, ca_file, client_auth, min_version,

@@ -110,4 +110,29 @@ class WarcSpec extends AnyFunSuite {
     assert(back.length == 1)
     assert(back(0).getAs[String]("payload").contains("hello warc"))
   }
+
+  test("jsonl exporter: gzip'd line-JSON corpus export round-trips, partitioned by shard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val in = java.nio.file.Files.createTempDirectory("jsonl_in").toString + "/in.parquet"
+    Seq((1L, "alpha", 0), (2L, "beta", 1), (3L, "gamma", 0))
+      .toDF("doc_id", "text", "shard").write.parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("jsonl_out").toString + "/corpus"
+    graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"corpus/export": {
+         |  "receiver": {"type": "parquet", "path": "$in"},
+         |  "exporters": [{"type": "jsonl", "path": "$out",
+         |    "compression": "gzip", "partitionBy": ["shard"]}]}}}""".stripMargin)
+      .run(spark)
+    // shard layout on disk, lossless JSON lines inside
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shards.toSeq == Seq("shard=0", "shard=1"))
+    val back = spark.read.json(s"$out/shard=*/")
+    assert(back.count() == 3)
+    assert(back.filter(col("doc_id") === 2L).head().getAs[String]("text") == "beta")
+    // gzip actually applied
+    assert(new java.io.File(s"$out/shard=0").listFiles()
+      .exists(_.getName.endsWith(".gz")))
+  }
 }
