@@ -42,7 +42,7 @@ object Collector {
   val componentTypes: Map[String, Seq[String]] = Map(
     "receivers" -> Seq("table", "parquet", "otlp_json_logs", "otlp_pb_logs",
       "otlp_pb_logs_gz", "arrow_logs", "stream_json_logs", "stream_pb_logs",
-      "scrape_jvm", "otlp_http", "otlp_grpc", "warc", "forward", "union"),
+      "scrape_jvm", "otlp_http", "otlp_grpc", "warc", "jsonl", "forward", "union"),
     "processors" -> Seq("filter", "upsert", "drop", "select", "sample",
       "route", "batch", "batch_by_metadata", "batch_timed", "aggregate"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
@@ -183,6 +183,10 @@ object Collector {
           out.println("OK")
           0
         case "print-config" =>
+          // note: prints each resolved DOCUMENT; --set overrides apply
+          // at build time (validate/run) and are visible there — the
+          // documents themselves are the render unit, as in the
+          // reference's per-source print
           if (!requireConfigs()) return 1
           // validate first (a broken document should not pretty-print
           // as if it were deployable), then render redacted

@@ -609,6 +609,13 @@ object ConfigLoader {
           m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
         auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
+      // JSONL corpus source — the inverse of the jsonl exporter
+      // (schema inferred; .gz transparent via Spark's text codecs)
+      case "jsonl" => new Receiver {
+        private val path = str(m, "path")
+        def read(spark: org.apache.spark.sql.SparkSession)
+            : org.apache.spark.sql.DataFrame = spark.read.json(path)
+      }
       // WARC corpus ingestion (Warc.scala): a directory of .warc[.gz]
       // files exploded into record rows — the Common Crawl entry
       case "warc" => new Receiver {
@@ -663,6 +670,8 @@ object ConfigLoader {
     // apply named aggregates. Keys use `expr AS name` SQL aliasing.
     case "aggregate" => df => {
       val keys = strList(m("keys")).map(expr)
+      require(m("aggs").asInstanceOf[java.util.List[Object]].size() > 0,
+        "aggregate processor requires at least one entry in `aggs`")
       val aggs = m("aggs").asInstanceOf[java.util.List[Object]].asScala.toSeq
         .map { a0 =>
           val a = asMap(a0)

@@ -134,5 +134,13 @@ class WarcSpec extends AnyFunSuite {
     // gzip actually applied
     assert(new java.io.File(s"$out/shard=0").listFiles()
       .exists(_.getName.endsWith(".gz")))
+    // and the jsonl RECEIVER reads the exported corpus back
+    val sink2 = java.nio.file.Files.createTempDirectory("jsonl_rt").toString + "/p"
+    graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"corpus/reimport": {
+         |  "receiver": {"type": "jsonl", "path": "$out/shard=*/"},
+         |  "exporters": [{"type": "parquet", "path": "$sink2"}]}}}""".stripMargin)
+      .run(spark)
+    assert(spark.read.parquet(sink2).count() == 3)
   }
 }
