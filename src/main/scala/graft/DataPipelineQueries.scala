@@ -114,6 +114,26 @@ object DataPipelineQueries {
           sum(col("un")).as("sum_union"))
     }),
 
+    // REAL image-header dimension parsing (no codec needed — PNG
+    // IHDR / JPEG SOFn / GIF descriptor): synthesize a VALID minimal
+    // PNG per document (deterministic dims from its fields), parse it
+    // back with the native header walker, and report the dimension
+    // census a media-lake ingest runs. Rows-only (binary headers have
+    // no SQL twin); the parser is spec-pinned on hand-built PNG/JPEG/
+    // GIF bytes incl. corrupt-input nulls.
+    "q_media_dims" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          MultimodalOps.imageDims(MultimodalOps.pngHeader(
+            (pmod(col("n_chars"), lit(1024)) + 1).cast("int"),
+            (pmod(col("doc_id"), lit(512)) + 1).cast("int"))).as("dm"))
+        .agg(count(lit(1)).as("blobs"),
+          sum(when(col("dm").isNotNull, 1L).otherwise(0L)).as("parsed"),
+          countDistinct(col("dm.format")).as("formats"),
+          sum(col("dm.width").cast("long")).as("total_width"),
+          max(col("dm.height")).as("max_height"))
+    }),
+
     // WARC ingestion seam (Warc.scala — the Common Crawl wire format):
     // synthesize one WARC/1.0 response record per document (the
     // encode expression), parse the bytes back with the native record

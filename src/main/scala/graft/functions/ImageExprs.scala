@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Image container-header kernels (see MultimodalOps: PNG IHDR /
+  * JPEG SOFn walk / GIF screen descriptor — dimensions without a
+  * codec): native expressions so header extraction over a media lake
+  * is one codegen'd map-side pass. */
+case class ImageDims(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dims"
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.MultimodalOps.imageDimsKernel(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.MultimodalOps.imageDimsKernel($c);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(c: Expression): ImageDims =
+    copy(child = c)
+}
+
+case class PngHeader(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_header"
+  override def nullSafeEval(w: Any, h: Any): Any =
+    graft.operators.MultimodalOps.pngHeaderKernel(
+      w.asInstanceOf[Number].intValue(), h.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, h) =>
+      s"graft.operators.MultimodalOps.pngHeaderKernel((int)$w, (int)$h)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PngHeader =
+    copy(left = l, right = r)
+}

@@ -143,4 +143,40 @@ class WarcSpec extends AnyFunSuite {
       .run(spark)
     assert(spark.read.parquet(sink2).count() == 3)
   }
+
+  test("image header parsing: PNG/JPEG/GIF dimensions from real container bytes; corrupt input is null") {
+    import graft.operators.MultimodalOps
+    // a REAL minimal PNG via the synthesis kernel
+    val png = MultimodalOps.pngHeaderKernel(640, 480)
+    val dPng = MultimodalOps.imageDimsKernel(png)
+    assert(dPng != null && dPng.getInt(0) == 640 && dPng.getInt(1) == 480)
+    assert(dPng.getUTF8String(2).toString == "png")
+
+    // a minimal JPEG: SOI + APP0 stub + SOF0 frame header (h=33, w=49)
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val jpeg = b(0xFF, 0xD8) ++
+      b(0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00) ++             // APP0 len 4
+      b(0xFF, 0xC0, 0x00, 0x0B, 8, 0x00, 33, 0x00, 49, 1, 0x11, 0x00, 0x00)
+    val dJpeg = MultimodalOps.imageDimsKernel(jpeg)
+    assert(dJpeg != null && dJpeg.getInt(0) == 49 && dJpeg.getInt(1) == 33)
+    assert(dJpeg.getUTF8String(2).toString == "jpeg")
+
+    // GIF89a logical screen 320×200 (little-endian)
+    val gif = "GIF89a".getBytes("UTF-8") ++ b(0x40, 0x01, 0xC8, 0x00)
+    val dGif = MultimodalOps.imageDimsKernel(gif)
+    assert(dGif != null && dGif.getInt(0) == 320 && dGif.getInt(1) == 200)
+
+    // corrupt/unknown bytes parse to null, never to garbage dims
+    assert(MultimodalOps.imageDimsKernel("not an image".getBytes) == null)
+    assert(MultimodalOps.imageDimsKernel(jpeg.slice(0, 6)) == null)
+
+    // Spark path: synthesize → parse, codegen'd end to end
+    val dims = spark.range(1, 4).select(
+        MultimodalOps.imageDims(MultimodalOps.pngHeader(
+          (col("id") * 10).cast("int"), (col("id") * 7).cast("int"))).as("d"))
+      .select(col("d.width"), col("d.height"), col("d.format")).collect()
+    assert(dims.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((10, 7), (20, 14), (30, 21)))
+    assert(dims.forall(_.getString(2) == "png"))
+  }
 }
