@@ -134,6 +134,22 @@ object DataPipelineQueries {
           max(col("dm.height")).as("max_height"))
     }),
 
+    // audio twin of q_media_dims: RIFF/WAVE fmt-chunk walk (channels,
+    // sample rate, bits) — valid-WAV synthesis → parse → census
+    "q_audio_meta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          MultimodalOps.audioMeta(MultimodalOps.wavHeader(
+            (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
+            when(col("lang") === "en", 44100).otherwise(16000).cast("int")))
+            .as("am"))
+        .agg(count(lit(1)).as("blobs"),
+          sum(when(col("am").isNotNull, 1L).otherwise(0L)).as("parsed"),
+          sum(when(col("am.channels") === 2, 1L).otherwise(0L)).as("stereo"),
+          countDistinct(col("am.sample_rate")).as("sample_rates"),
+          max(col("am.bits_per_sample")).as("max_bits"))
+    }),
+
     // WARC ingestion seam (Warc.scala — the Common Crawl wire format):
     // synthesize one WARC/1.0 response record per document (the
     // encode expression), parse the bytes back with the native record

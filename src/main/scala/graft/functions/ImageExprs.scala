@@ -25,6 +25,36 @@ case class ImageDims(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_meta"
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.MultimodalOps.audioMetaKernel(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.MultimodalOps.audioMetaKernel($c);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(c: Expression): AudioMeta =
+    copy(child = c)
+}
+
+case class WavHeader(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_header"
+  override def nullSafeEval(c: Any, r: Any): Any =
+    graft.operators.MultimodalOps.wavHeaderKernel(
+      c.asInstanceOf[Number].intValue(), r.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"graft.operators.MultimodalOps.wavHeaderKernel((int)$c, (int)$r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WavHeader =
+    copy(left = l, right = r)
+}
+
 case class PngHeader(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "png_header"

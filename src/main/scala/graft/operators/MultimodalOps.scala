@@ -166,6 +166,63 @@ object MultimodalOps {
     else null
   }
 
+  /** (channels, sample_rate, bits_per_sample) from a RIFF/WAVE fmt
+    * chunk (the audio twin of [[imageDims]] — metadata without a
+    * codec); null for non-WAV or truncated bytes */
+  def audioMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.AudioMeta(
+        org.apache.spark.sql.graftbridge.Bridge.expression(blob)))
+
+  def wavHeader(channels: org.apache.spark.sql.Column,
+                sampleRate: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WavHeader(
+        org.apache.spark.sql.graftbridge.Bridge.expression(channels),
+        org.apache.spark.sql.graftbridge.Bridge.expression(sampleRate)))
+
+  def audioMetaKernel(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return null
+    // chunk walk to `fmt `
+    var p = 12
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = le32(p + 4)
+      if (id == "fmt ") {
+        if (size < 16 || p + 8 + 16 > b.length) return null
+        return org.apache.spark.sql.catalyst.InternalRow(
+          le16(p + 10), le32(p + 12).toInt, le16(p + 22))
+      }
+      if (size < 0 || size > Int.MaxValue - 8) return null
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    null
+  }
+
+  def wavHeaderKernel(channels: Int, sampleRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    ascii("RIFF"); le32(36); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1) /* PCM */; le16(channels); le32(sampleRate.toLong)
+    le32(sampleRate.toLong * channels * 2) /* byte rate */
+    le16(channels * 2) /* block align */; le16(16) /* bits */
+    ascii("data"); le32(0)
+    out.toByteArray
+  }
+
   def pngHeaderKernel(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)

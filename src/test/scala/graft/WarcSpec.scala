@@ -179,4 +179,22 @@ class WarcSpec extends AnyFunSuite {
       Seq((10, 7), (20, 14), (30, 21)))
     assert(dims.forall(_.getString(2) == "png"))
   }
+
+  test("audio header parsing: WAV fmt chunk yields channels/rate/bits; non-WAV is null") {
+    import graft.operators.MultimodalOps
+    val wav = MultimodalOps.wavHeaderKernel(2, 44100)
+    val m = MultimodalOps.audioMetaKernel(wav)
+    assert(m != null && m.getInt(0) == 2 && m.getInt(1) == 44100 && m.getInt(2) == 16)
+    // a RIFF that is not WAVE (the webp/avi container family) is null
+    val avi = "RIFF".getBytes ++ Array.fill(4)(0.toByte) ++ "AVI ".getBytes
+    assert(MultimodalOps.audioMetaKernel(avi) == null)
+    assert(MultimodalOps.audioMetaKernel(wav.slice(0, 10)) == null)
+    // Spark path roundtrip
+    val metas = spark.range(1, 3).select(
+        MultimodalOps.audioMeta(MultimodalOps.wavHeader(
+          col("id").cast("int"), lit(16000))).as("m"))
+      .select(col("m.channels"), col("m.sample_rate")).collect()
+    assert(metas.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 16000), (2, 16000)))
+  }
 }
