@@ -150,6 +150,21 @@ object DataPipelineQueries {
           max(col("am.bits_per_sample")).as("max_bits"))
     }),
 
+    // video leg of the header-parsing triple: MP4 moov/mvhd box walk
+    // (timescale → wall-clock duration) — valid-MP4 synthesis →
+    // parse → duration census
+    "q_video_meta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          MultimodalOps.videoMeta(MultimodalOps.mp4Header(
+            lit(1000).cast("int"),
+            (col("n_chars") * 10).cast("long"))).as("vm"))
+        .agg(count(lit(1)).as("blobs"),
+          sum(when(col("vm").isNotNull, 1L).otherwise(0L)).as("parsed"),
+          sum(col("vm.duration_ms")).as("total_duration_ms"),
+          max(col("vm.duration_ms")).as("max_duration_ms"))
+    }),
+
     // WARC ingestion seam (Warc.scala — the Common Crawl wire format):
     // synthesize one WARC/1.0 response record per document (the
     // encode expression), parse the bytes back with the native record

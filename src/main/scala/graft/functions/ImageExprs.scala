@@ -55,6 +55,36 @@ case class WavHeader(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+case class VideoMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ticks", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_meta"
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.MultimodalOps.videoMetaKernel(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.MultimodalOps.videoMetaKernel($c);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(c: Expression): VideoMeta =
+    copy(child = c)
+}
+
+case class Mp4Header(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mp4_header"
+  override def nullSafeEval(ts: Any, dur: Any): Any =
+    graft.operators.MultimodalOps.mp4HeaderKernel(
+      ts.asInstanceOf[Number].intValue(), dur.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ts, dur) =>
+      s"graft.operators.MultimodalOps.mp4HeaderKernel((int)$ts, (long)$dur)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Mp4Header =
+    copy(left = l, right = r)
+}
+
 case class PngHeader(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "png_header"

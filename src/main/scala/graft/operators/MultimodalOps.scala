@@ -223,6 +223,81 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  /** (timescale, duration_ticks, duration_ms) from an MP4 moov/mvhd
+    * box walk (ISO 14496-12 §8.2.2 — the container header, no codec);
+    * null for non-MP4/truncated bytes. Completes the image/audio/
+    * video header-parsing triple. */
+  def videoMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.VideoMeta(
+        org.apache.spark.sql.graftbridge.Bridge.expression(blob)))
+
+  def mp4Header(timescale: org.apache.spark.sql.Column,
+                durationTicks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Mp4Header(
+        org.apache.spark.sql.graftbridge.Bridge.expression(timescale),
+        org.apache.spark.sql.graftbridge.Bridge.expression(durationTicks)))
+
+  def videoMetaKernel(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    // top-level box walk: [size type payload]*, ftyp first by spec
+    if (b.length < 8) return null
+    var p = 0
+    var sawFtyp = false
+    while (p + 8 <= b.length) {
+      val size = be32(p)
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      if (size < 8 || p + size > b.length) return null
+      if (typ == "ftyp") sawFtyp = true
+      else if (typ == "moov" && sawFtyp) {
+        // child walk inside moov for mvhd
+        var q = p + 8
+        while (q + 8 <= p + size) {
+          val csize = be32(q)
+          val ctyp = new String(b, q + 4, 4, "US-ASCII")
+          if (csize < 8 || q + csize > p + size) return null
+          if (ctyp == "mvhd") {
+            val version = u8(q + 8)
+            if (version != 0 || csize < 8 + 4 + 16) return null // v0 only
+            val timescale = be32(q + 8 + 4 + 8)
+            val duration = be32(q + 8 + 4 + 12)
+            if (timescale <= 0) return null
+            return org.apache.spark.sql.catalyst.InternalRow(
+              timescale.toInt, duration,
+              duration * 1000L / timescale)
+          }
+          q += csize.toInt
+        }
+        return null
+      }
+      p += size.toInt
+    }
+    null
+  }
+
+  def mp4HeaderKernel(timescale: Int, durationTicks: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    be32(16); ascii("ftyp"); ascii("isom"); be32(0)
+    // moov{ mvhd v0: version/flags + created/modified + timescale +
+    // duration + the fixed trailer the spec sizes at 100 bytes }
+    val mvhdSize = 8 + 100
+    be32(8L + mvhdSize); ascii("moov")
+    be32(mvhdSize.toLong); ascii("mvhd")
+    be32(0) // version 0 + flags
+    be32(0); be32(0) // created/modified
+    be32(timescale.toLong); be32(durationTicks)
+    (0 until (100 - 4 - 16) / 4).foreach(_ => be32(0)) // rate..next_track
+    out.toByteArray
+  }
+
   def pngHeaderKernel(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)

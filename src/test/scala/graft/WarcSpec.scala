@@ -197,4 +197,24 @@ class WarcSpec extends AnyFunSuite {
     assert(metas.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
       Seq((1, 16000), (2, 16000)))
   }
+
+  test("video header parsing: MP4 mvhd box walk yields timescale and duration; non-MP4 is null") {
+    import graft.operators.MultimodalOps
+    val mp4 = MultimodalOps.mp4HeaderKernel(600, 3000L) // 5 s at 600 tps
+    val m = MultimodalOps.videoMetaKernel(mp4)
+    assert(m != null && m.getInt(0) == 600 && m.getLong(1) == 3000L)
+    assert(m.getLong(2) == 5000L)
+    assert(MultimodalOps.videoMetaKernel("not a video at all".getBytes) == null)
+    assert(MultimodalOps.videoMetaKernel(mp4.slice(0, 20)) == null)
+    // a moov with no mvhd parses to null, not garbage
+    val noMvhd = mp4.clone()
+    noMvhd(16 + 4 + 4) = 'x'.toByte // corrupt the mvhd type tag start
+    assert(MultimodalOps.videoMetaKernel(noMvhd) == null)
+    // Spark path
+    val ms = spark.range(1, 3).select(
+        MultimodalOps.videoMeta(MultimodalOps.mp4Header(
+          lit(1000), col("id") * 1500)).as("v"))
+      .select(col("v.duration_ms")).collect().map(_.getLong(0)).toSeq
+    assert(ms == Seq(1500L, 3000L))
+  }
 }
