@@ -471,6 +471,27 @@ object CoreQueries {
         x1 = 32, x2 = 47, y1 = 0, y2 = 15)
     }),
 
+    // Interval-enrichment range join: lineitem quantities against a
+    // tier interval table via the BUCKETIZED range join — the naive
+    // `l_quantity BETWEEN lo AND hi` join plans a nested loop
+    // (fact×dim comparisons); this plans an EQUI-join on the interval
+    // chunk + a residual filter (PlanSpec pins no nested-loop
+    // operator). The tier dim is built in-plan from spark.range so
+    // the shape is self-contained and the oracle mirrors it.
+    "q_range_enrich" -> ((s, dir) => {
+      val tiers = s.range(0, 5).select(
+        concat(lit("tier"), col("id")).as("tier"),
+        (col("id") * 10 + 1).as("lo"),
+        ((col("id") + 1) * 10).as("hi"))
+      graft.operators.ScaleOps.rangeJoinBucketized(
+          Tables(s, dir, "lineitem"), tiers,
+          col("l_quantity").cast("long"), "lo", "hi", chunk = 10L)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+    }),
+
     // Resource-enrichment join: events × customer. customer is
     // SF-scaled (NOT a fixed dim), so no broadcast hint — AQE
     // broadcasts it while small and shuffle-joins when it isn't.
@@ -494,6 +515,16 @@ object CoreQueries {
       s"(((y >> $i) & 1) * ${1L << (2 * i + 1)})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_range_enrich" ->
+      """WITH tiers AS (
+        | SELECT 'tier' || i AS tier, i * 10 + 1 AS lo, (i + 1) * 10 AS hi
+        | FROM (SELECT unnest(range(0, 5)) AS i))
+        |SELECT tier, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN tiers
+        | ON CAST(l_quantity AS BIGINT) BETWEEN lo AND hi
+        |GROUP BY tier""".stripMargin,
+
     "q_zorder_layout" ->
       s"""WITH xy AS (
          | SELECT CAST(l_partkey % 256 AS BIGINT) AS x,

@@ -318,6 +318,35 @@ object ScaleOps {
       .drop("__cum")
   }
 
+  /** Bucketized range join — interval enrichment (value → tier,
+    * IP → geo, time → maintenance-window) WITHOUT the
+    * BroadcastNestedLoopJoin a naive `BETWEEN` join plans: each
+    * interval explodes to the `chunk`-sized buckets it covers
+    * (intervals are short relative to chunk by design — pick chunk ≈
+    * the p99 interval width), the fact maps to its single bucket, and
+    * the match becomes an EQUI-join on the bucket id plus a residual
+    * bounds filter. At 100 TB a nested-loop against even a 10k-row
+    * interval table is fact×dim row comparisons; this is one shuffle
+    * (or a broadcast if the exploded dim is tiny) and O(fact)
+    * comparisons. PlanSpec pins the absence of any nested-loop
+    * operator. */
+  def rangeJoinBucketized(fact: DataFrame, dim: DataFrame, factKey: Column,
+                          loCol: String, hiCol: String,
+                          chunk: Long): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    // integral DIV on both sides (double division drifts past 2^53);
+    // non-negative key domain assumed (truncating DIV = floor there)
+    val dimExp = dim
+      .withColumn("__chunk", explode(sequence(
+        expr(s"$loCol DIV $chunk"), expr(s"$hiCol DIV $chunk"))))
+    fact
+      .withColumn("__k", factKey.cast("long"))
+      .withColumn("__chunk", expr(s"__k DIV $chunk"))
+      .join(dimExp, Seq("__chunk"))
+      .filter(col("__k") >= col(loCol) && col("__k") <= col(hiCol))
+      .drop("__chunk", "__k")
+  }
+
   /** Morton/Z-order bit interleave of two `bits`-bit non-negative
     * ints (Morton 1966 — the multi-dimensional data-LAYOUT primitive
     * behind file skipping on two predicate columns at once, the
