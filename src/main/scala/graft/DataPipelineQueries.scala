@@ -2379,7 +2379,9 @@ object DataPipelineQueries {
         | CASE WHEN h LIKE '89504E470D0A1A0A%' THEN 'image/png'
         |  WHEN h LIKE 'FFD8FF%' THEN 'image/jpeg'
         |  WHEN h LIKE '474946383761%' OR h LIKE '474946383961%' THEN 'image/gif'
+        |  WHEN h LIKE '52494646%' AND substr(h, 17, 8) = '57454250' THEN 'image/webp'
         |  WHEN h LIKE '52494646%' THEN 'audio/wav'
+        |  WHEN substr(h, 9, 8) = '66747970' THEN 'video/mp4'
         |  WHEN h LIKE '1A45DFA3%' THEN 'video/webm'
         |  WHEN h LIKE '494433%' THEN 'audio/mpeg'
         |  ELSE 'application/octet-stream' END AS mime,

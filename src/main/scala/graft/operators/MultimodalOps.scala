@@ -90,7 +90,11 @@ object MultimodalOps {
     when(h.startsWith("89504E470D0A1A0A"), "image/png")
       .when(h.startsWith("FFD8FF"), "image/jpeg")
       .when(h.startsWith("474946383761") || h.startsWith("474946383961"), "image/gif")
-      .when(h.startsWith("52494646"), "audio/wav") // RIFF container
+      // RIFF container: the form type at bytes 9-12 disambiguates
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57454250",
+        "image/webp")
+      .when(h.startsWith("52494646"), "audio/wav")
+      .when(substring(h, 9, 8) === "66747970", "video/mp4") // ....ftyp
       .when(h.startsWith("1A45DFA3"), "video/webm") // EBML
       .when(h.startsWith("494433"), "audio/mpeg") // ID3
       .otherwise("application/octet-stream")
@@ -163,6 +167,22 @@ object MultimodalOps {
     }
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
       row(le16(6).toLong, le16(8).toLong, "gif")
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+             b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+             b(11) == 'P') {
+      // WebP: VP8X extended header (canvas = 24-bit LE minus-one
+      // fields) or VP8L lossless (14-bit packed minus-one fields);
+      // plain lossy VP8 needs the frame decoder → null, honestly
+      def le24(i: Int): Long = u8(i).toLong | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      if (b.length >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == 'X')
+        row(le24(24) + 1, le24(27) + 1, "webp")
+      else if (b.length >= 25 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+               b(15) == 'L' && u8(20) == 0x2F) {
+        val bits = le24(21) | (u8(24).toLong << 24)
+        row((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp")
+      } else null
+    }
     else null
   }
 

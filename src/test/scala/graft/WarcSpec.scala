@@ -166,6 +166,29 @@ class WarcSpec extends AnyFunSuite {
     val dGif = MultimodalOps.imageDimsKernel(gif)
     assert(dGif != null && dGif.getInt(0) == 320 && dGif.getInt(1) == 200)
 
+    // WebP VP8X: canvas 160×90 encoded as minus-one 24-bit LE fields
+    val webp = "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBPVP8X".getBytes ++
+      b(0, 0, 0, 0) ++ // chunk size (unchecked)
+      b(0x00, 0, 0, 0) ++ // flags + reserved
+      b(159, 0, 0) ++ b(89, 0, 0) ++ b(0, 0) // canvas-1 fields + pad
+    val dWebp = MultimodalOps.imageDimsKernel(webp)
+    assert(dWebp != null && dWebp.getInt(0) == 160 && dWebp.getInt(1) == 90)
+    assert(dWebp.getUTF8String(2).toString == "webp")
+
+    // the sniffer agrees with the parsers across the container family
+    val spark2b = spark
+    import spark2b.implicits._
+    val blobs = Seq(
+      ("png", MultimodalOps.pngHeaderKernel(1, 1)),
+      ("wav", MultimodalOps.wavHeaderKernel(1, 8000)),
+      ("mp4", MultimodalOps.mp4HeaderKernel(1000, 1000L)),
+      ("webp", webp)).toDF("kind", "blob")
+    val sniffed = blobs.select(col("kind"),
+        MultimodalOps.sniffMime(col("blob")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sniffed == Map("png" -> "image/png", "wav" -> "audio/wav",
+      "mp4" -> "video/mp4", "webp" -> "image/webp"))
+
     // corrupt/unknown bytes parse to null, never to garbage dims
     assert(MultimodalOps.imageDimsKernel("not an image".getBytes) == null)
     assert(MultimodalOps.imageDimsKernel(jpeg.slice(0, 6)) == null)
