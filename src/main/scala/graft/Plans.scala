@@ -128,7 +128,15 @@ object Plans {
       "(doc_id, token) pairs — never text (PlanSpec rule); the vocab " +
       "caps at 5000 rows by construction, so its join back is " +
       "broadcast-sized at ANY corpus scale; scoring and the confusion " +
-      "rollup are integer aggregates."))
+      "rollup are integer aggregates."),
+    "q_range_enrich" -> ("Bucketized range join: a naive BETWEEN " +
+      "join plans BroadcastNestedLoopJoin (or CartesianProduct with " +
+      "broadcast off) — fact×dim comparisons. Here each interval " +
+      "explodes to its covered chunks and the match is an EQUI-join " +
+      "on the chunk id plus a residual bounds filter: O(fact) " +
+      "comparisons, a plan Spark can hash/merge/broadcast like any " +
+      "equi-join. ScaleOpsSpec pins both directions (this plan has " +
+      "no nested-loop/cartesian; the naive one does)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
