@@ -101,7 +101,8 @@ object Collector {
       case None => true
       case Some(path) =>
         val dist = readDistribution(path)
-        val used = ConfigLoader.usedComponentTypes(configs.toSeq)
+        val used = ConfigLoader.usedComponentTypes(configs.toSeq,
+          sets = sets.toSeq)
         val missing = used.toSeq.sortBy(_._1).flatMap { case (kind, types) =>
           (types -- dist.getOrElse(kind, Set.empty)).toSeq.sorted
             .map(t => s"$kind/$t")
@@ -227,29 +228,38 @@ object Collector {
               z.bind(svc, spark, doc)
               out.println(s"zpages serving on localhost:${z.boundPort}")
           }
-          val recovered = svc.recover(spark)
-          recovered.foreach { case (name, st) =>
-            out.println(s"recovered $name: redelivered=${st.redelivered} " +
-              s"dlq=${st.deadLettered}")
-          }
-          // batch pipelines run to completion; streaming pipelines
-          // start, drain everything currently spooled, and stop —
-          // the CLI's run is "process what's there" (a daemon keeps
-          // the queries via Service.runStreaming directly)
-          val (streamingDefs, batchDefs) =
-            svc.pipelines.partition(_._2.plan(spark).isStreaming)
-          batchDefs.values.foreach(_.run(spark))
-          if (streamingDefs.nonEmpty) {
-            val ckpt = java.nio.file.Files
-              .createTempDirectory("graft_cli_ckpt").toString
-            val queries = svc.runStreaming(spark, ckpt)
-            queries.values.flatten.foreach { q =>
-              q.processAllAvailable(); q.stop()
+          // the data path brackets: a failing recovery/pipeline/query
+          // must still stop receivers and shut extensions down, or the
+          // zpages server / socket listeners / scrape threads leak in
+          // the embedding JVM (reference collector.go shuts down on
+          // failure paths too)
+          try {
+            val recovered = svc.recover(spark)
+            recovered.foreach { case (name, st) =>
+              out.println(s"recovered $name: redelivered=${st.redelivered} " +
+                s"dlq=${st.deadLettered}")
             }
-            out.println(s"drained ${queries.size} streaming pipeline(s)")
-            svc.stopReceivers()
+            // batch pipelines run to completion; streaming pipelines
+            // start, drain everything currently spooled, and stop —
+            // the CLI's run is "process what's there" (a daemon keeps
+            // the queries via Service.runStreaming directly)
+            val (streamingDefs, batchDefs) =
+              svc.pipelines.partition(_._2.plan(spark).isStreaming)
+            batchDefs.values.foreach(_.run(spark))
+            if (streamingDefs.nonEmpty) {
+              val ckpt = java.nio.file.Files
+                .createTempDirectory("graft_cli_ckpt").toString
+              val queries = svc.runStreaming(spark, ckpt)
+              queries.values.flatten.foreach { q =>
+                q.processAllAvailable(); q.stop()
+              }
+              out.println(s"drained ${queries.size} streaming pipeline(s)")
+            }
+          } finally {
+            try svc.stopReceivers()
+            catch { case scala.util.control.NonFatal(_) => () }
+            svc.shutdownExtensions()
           }
-          svc.shutdownExtensions()
           out.println(s"ran ${svc.pipelines.size} pipeline(s)")
           0
         case other =>

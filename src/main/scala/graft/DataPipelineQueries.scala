@@ -369,9 +369,12 @@ object DataPipelineQueries {
     // deterministic build as q_embed_cluster) joined to the documents
     // by id, top-3 terms per cluster by frequency — "what is this
     // embedding cluster ABOUT", the review surface of cluster-driven
-    // curation. Terms explode map-side BEFORE the join, so the
-    // shuffle carries (doc_id, term) pairs and cluster-id ints —
-    // never document text.
+    // curation. Terms explode map-side and collapse to per-doc
+    // (doc_id, term, doc_tf) BEFORE the assignment join — the
+    // map-side combine runs ahead of the join exchange, so what
+    // shuffles is bounded by per-doc VOCABULARY, never the raw
+    // corpus-token instance stream (PlanSpec pins the join input is
+    // the aggregated frame).
     "q_cluster_topics" -> ((s, dir) => {
       val centroids = AnnOps.ivfCentroids(embs(s, dir), c = 16, iters = 1)
       val assigned = embs(s, dir).select(col("vec_id"),
@@ -382,8 +385,11 @@ object DataPipelineQueries {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .filter(col("term").rlike("^[a-z]+$") &&
           !col("term").isInCollection(TextOps.EnStop))
-      val tf = terms.join(assigned, terms("doc_id") === assigned("vec_id"))
-        .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+      val docTf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("doc_tf"))
+      val tf = docTf.join(assigned, docTf("doc_id") === assigned("vec_id"))
+        .groupBy(col("cid"), col("term"))
+        .agg(sum(col("doc_tf")).cast("long").as("tf"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
         .orderBy(col("tf").desc, col("term").asc)
       tf.withColumn("rnk", row_number().over(w))
@@ -839,8 +845,16 @@ object DataPipelineQueries {
       val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
       DedupOps.connectedComponents(pairs)
         .join(d.select(col("doc_id").as("id"),
-          // source rank = the numeric suffix (src0 ranks best)
-          substring(col("source"), 4, 8).cast("long").as("prio")), "id")
+          // source rank = the numeric suffix (src0 ranks best);
+          // domain-guarded (the lineDedup key discipline): a label
+          // outside the srcN domain fails LOUD — a silent null rank
+          // would win every min-struct and corrupt the keep rule
+          when(col("source").rlike("^src[0-9]+$"),
+              substring(col("source"), 4, 8).cast("long"))
+            .otherwise(raise_error(concat(
+              lit("q_dedup_priority source label out of domain: '"),
+              col("source"),
+              lit("' (requires srcN, N numeric)")))).as("prio")), "id")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"),
           min(struct(col("prio").as("p"), col("id").as("i"))).as("__m"))

@@ -358,7 +358,12 @@ object ConfigLoader {
     * at validation, not at run time. */
   def usedComponentTypes(uris: Seq[String],
                          env: String => Option[String] = sys.env.get,
-                         gates: FeatureGate.Registry = FeatureGate.global):
+                         gates: FeatureGate.Registry = FeatureGate.global,
+                         // --set overlays participate: a `--set
+                         // pipelines.X.receiver.type=...` override
+                         // must face the same distribution gate as
+                         // the documents it overrides
+                         sets: Seq[String] = Nil):
       Map[String, Set[String]] = {
     require(uris.nonEmpty, "at least one config URI required")
     val roots = uris.map { u =>
@@ -369,7 +374,7 @@ object ConfigLoader {
         else !text.dropWhile(_.isWhitespace).startsWith("{")
       parseRoot(text, isYaml, env)
     }
-    val root = roots.reduce(deepMerge).asScala
+    val root = (roots ++ sets.map(setOverlay)).reduce(deepMerge).asScala
     val pipelines = root.get("pipelines").map(asMap).getOrElse(Map.empty)
     var recv = Set.empty[String]; var proc = Set.empty[String]
     var expo = Set.empty[String]

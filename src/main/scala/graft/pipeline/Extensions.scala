@@ -120,7 +120,11 @@ object Extensions {
       private def check(): Unit =
         if (closed) throw new IllegalStateException(
           s"storage client for $scope is closed")
-      private def fileFor(key: String): Path = scope.resolve(enc(key))
+      // `k_` keeps key files and `.tmp_*` scratch in disjoint
+      // namespaces: '.', '_' and letters all pass enc() unencoded, so
+      // a key literally named ".tmp_x_1" must not resolve to another
+      // key's in-flight tmp file and break the atomic publish
+      private def fileFor(key: String): Path = scope.resolve("k_" + enc(key))
 
       def get(key: String): Option[Array[Byte]] = {
         check()

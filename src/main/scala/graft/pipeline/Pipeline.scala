@@ -34,7 +34,9 @@ object Pipeline {
   final case class OtlpPbLogReceiver(dir: String) extends Receiver {
     def read(spark: SparkSession): DataFrame =
       graft.sources.OtlpJsonSource.parseLogsPb(
-        spark.read.format("binaryFile").load(dir)
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.pb") // skip `.meta` sidecars
+          .load(dir)
           .select(col("content").as("pb")))
   }
   /** CONTINUOUS receivers — the same declarative pipeline under

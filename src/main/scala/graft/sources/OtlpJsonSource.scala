@@ -788,6 +788,9 @@ object OtlpJsonSource {
         StructField("length", LongType),
         StructField("content", BinaryType))))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // spool dirs may hold non-payload siblings (IncludeMetadata
+      // `.meta` sidecars); only committed request payloads are pb
+      .option("pathGlobFilter", "*.pb")
       .load(dir)
       .select(col("content").as("pb"))
 

@@ -118,6 +118,14 @@ class CollectorCliSpec extends AnyFunSuite {
     val badMf = write(".yaml", "receivers: [no_such_receiver]\n")
     val (c3, o3) = exec("builder", "--manifest", badMf)
     assert(c3 == 1 && o3.contains("receivers/no_such_receiver"), o3)
+
+    // a --set override steering a component OUTSIDE the distribution
+    // faces the same gate — the overlay participates in the
+    // distribution check, not just the build
+    val (c4, o4) = exec("validate", "--config", okCfg,
+      "--distribution", distFile,
+      "--set", "pipelines.logs/x.receiver.type=otlp_pb_logs")
+    assert(c4 == 1 && o4.contains("receivers/otlp_pb_logs"), o4)
   }
 
   test("validate: green config OK(0); unknown component and missing --config are errors(1)") {
@@ -181,5 +189,33 @@ class CollectorCliSpec extends AnyFunSuite {
     val (c2, _) = exec("run", "--config", base, "--config", overlay)
     assert(c2 == 0)
     assert(spark.read.parquet(outB).count() == 7)
+  }
+
+  test("run shuts extensions down when the data path fails — no leaked zpages server") {
+    // the pipeline plan fails (nonexistent input); zpages started
+    // before it and must be stopped by the failure path, or the
+    // debug server leaks in the embedding JVM
+    val cfg = write(".json",
+      """{"extensions": {"zpages": {"port": 0}},
+        |"service": {"extensions": ["zpages"]},
+        |"pipelines": {"logs/fail": {
+        |  "receiver": {"type": "parquet", "path": "/nonexistent_graft_cli"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(bos, true, "UTF-8")
+    intercept[Exception] {
+      Collector.execute(Seq("run", "--config", cfg), ps)
+    }
+    val outStr = bos.toString("UTF-8")
+    val port = "zpages serving on localhost:(\\d+)".r
+      .findFirstMatchIn(outStr).map(_.group(1).toInt)
+      .getOrElse(fail(s"zpages never started: $outStr"))
+    // the server must be DOWN: a fresh connection is refused
+    intercept[java.io.IOException] {
+      val c = java.net.URI.create(s"http://localhost:$port/debug/servicez")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setConnectTimeout(2000)
+      c.getResponseCode
+    }
   }
 }

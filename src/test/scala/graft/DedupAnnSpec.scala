@@ -773,4 +773,24 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(math.floor(math.abs(32.0 / 32.0 -
       p.getAs[Long]("inter").toDouble / p.getAs[Long]("un").toDouble) * 8.0) == 0.0)
   }
+
+  test("q_dedup_priority source-rank domain guard: a label outside srcN fails loud, never null-ranks") {
+    // a null prio would silently WIN every min-struct comparison and
+    // corrupt the keep rule — out-of-domain labels must raise instead
+    val dir = java.nio.file.Files.createTempDirectory("prio_guard").toString
+    docs.withColumn("source",
+        when(col("doc_id") === docs.select(min(col("doc_id"))).head().getLong(0),
+          lit("web-crawl")).otherwise(col("source")))
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_dedup_priority")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("source label out of domain")),
+      messages(e).mkString(" | "))
+    // and the real corpus (valid srcN domain) still runs clean
+    assert(SparkEntry.queries("q_dedup_priority")(spark, sf).count() > 0)
+  }
 }

@@ -36,6 +36,23 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[IllegalStateException](c.get("k"))    // use-after-close is a bug
   }
 
+  test("storage keys and tmp scratch live in disjoint namespaces: a key named like an in-flight tmp file is just a key") {
+    val ext = new Extensions.FileStorage(
+      Files.createTempDirectory("stor_ns").toString)
+    ext.start()
+    val c = ext.getClient("exporter", "e", "q")
+    // '.', '_', letters and digits all pass enc() unencoded, so this
+    // key's file name used to be exactly another key's tmp name
+    val hostile = s".tmp_real_${Thread.currentThread().getId}"
+    c.set(hostile, "hostile".getBytes)
+    c.set("real", "value".getBytes) // writes + renames its tmp
+    assert(c.get(hostile).map(new String(_)) == Some("hostile"))
+    assert(c.get("real").map(new String(_)) == Some("value"))
+    c.delete("real")
+    assert(c.get(hostile).map(new String(_)) == Some("hostile"))
+    c.close()
+  }
+
   test("storage batch: operations run in order, Get results land in-place") {
     val ext = new Extensions.FileStorage(
       Files.createTempDirectory("stor_b").toString)

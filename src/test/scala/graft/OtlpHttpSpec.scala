@@ -343,6 +343,19 @@ class OtlpHttpSpec extends AnyFunSuite {
       assert(hdrs("x-tenant") == Seq("acme"))
       assert(hdrs("x-scope-orgid") == Seq("org-42"))
       assert(hdrs.contains("content-type"))
+      // the sidecar must NOT poison the pb parse paths reading the
+      // same spool dir (payload readers skip non-`.pb` siblings)
+      val batchRows = graft.pipeline.Pipeline
+        .OtlpPbLogReceiver(s"$spool/logs_pb").read(spark).count()
+      assert(batchRows == 3L)
+      val q = OtlpJsonSource.streamLogsPb(spark, s"$spool/logs_pb")
+        .writeStream.format("memory").queryName("meta_spool_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, q.exception)
+        assert(spark.table("meta_spool_stream").count() == 3L)
+      } finally q.stop()
     } finally rx.stop()
 
     // include_metadata off (the default): no sidecars — header

@@ -385,6 +385,52 @@ class PlanSpec extends AnyFunSuite {
       s"rule inspected only $sawExchange exchanges — plan walk broke")
   }
 
+  test("q_cluster_topics joins per-doc term AGGREGATES to the assignment, never the raw token stream") {
+    // r9 verdict #1: the assignment join used to take the exploded
+    // token INSTANCES as input — at 100 TB that is a corpus-token-
+    // sized shuffle with zero partial aggregation ahead of it. The
+    // fix pre-aggregates (doc_id, term) -> doc_tf so map-side combine
+    // collapses within-doc duplicates before the join exchange. Pin:
+    // every physical join whose inputs carry `term` must have an
+    // aggregate grouped on (doc_id, term) below that side.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("q_cluster_topics")(s2, sf)
+    df.collect() // finalize the adaptive plan
+    def kids(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def collectJoins(n: SparkPlan): Seq[BaseJoinExec] = (n match {
+      case j: BaseJoinExec => Seq(j)
+      case _ => Seq.empty
+    }) ++ kids(n).flatMap(collectJoins)
+    def hasDocTermAgg(n: SparkPlan): Boolean = {
+      val grouping: Option[Seq[String]] = n match {
+        case h: HashAggregateExec => Some(h.groupingExpressions.map(_.name))
+        case o: ObjectHashAggregateExec => Some(o.groupingExpressions.map(_.name))
+        case s: SortAggregateExec => Some(s.groupingExpressions.map(_.name))
+        case _ => None
+      }
+      grouping.exists(g => g.contains("doc_id") && g.contains("term")) ||
+        kids(n).exists(hasDocTermAgg)
+    }
+    val termJoins = collectJoins(df.queryExecution.executedPlan)
+      .filter(j => (j.left.output ++ j.right.output).exists(_.name == "term"))
+    assert(termJoins.nonEmpty, "no join carrying `term` found — plan walk broke")
+    for (j <- termJoins; side <- Seq(j.left, j.right)
+         if side.output.exists(_.name == "term"))
+      assert(hasDocTermAgg(side),
+        s"raw token stream feeds the assignment join (no (doc_id, term) " +
+          s"aggregate below it):\n$side")
+  }
+
   test("q_dedup_bloom: the bloom probe filters the store scan MAP-SIDE (below every Exchange)") {
     // the whole point of the bloom pre-filter is to shrink the store
     // shuffle: if the bloom_might_contain Filter ever floats above an
