@@ -101,11 +101,52 @@ object ConfigLoader {
         val in = conn.getInputStream
         try (readCapped(in, httpMaxBytes, u), u)
         finally in.close()
+      case u if u.startsWith("yaml:") =>
+        // yamlprovider (confmap/provider/yamlprovider/provider.go):
+        // the bytes AFTER the scheme are an inline YAML document;
+        // `::` inside a key is confmap's KeyDelimiter, so
+        // `yaml:exporters::0::path: /x` addresses nested maps the way
+        // the reference Conf does. Parsed here and re-emitted as JSON
+        // with the delimited keys expanded to real nesting, so the
+        // overlay deep-merges like any other document.
+        val body = u.stripPrefix("yaml:")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper(
+            new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+          .readValue(body, classOf[java.util.Map[String, Object]])
+        (new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(expandKeyDelims(root)), "yaml_inline.json")
       case u =>
         val path = u.stripPrefix("file:")
         (new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8"), path)
     }
+  }
+
+  /** expand confmap KeyDelimiter keys (`a::b::c`) into real map
+    * nesting, recursively; sibling delimited keys deep-merge */
+  private def expandKeyDelims(
+      m: java.util.Map[String, Object]): java.util.Map[String, Object] = {
+    var out = new java.util.LinkedHashMap[String, Object]()
+      : java.util.Map[String, Object]
+    m.forEach { (k, v0) =>
+      val v: Object = v0 match {
+        case mm: java.util.Map[_, _] =>
+          expandKeyDelims(mm.asInstanceOf[java.util.Map[String, Object]])
+        case other => other
+      }
+      val parts = k.split("::").toSeq
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"yaml: provider key has an empty `::` segment: '$k'")
+      val nested: Object = parts.tail.foldRight(v) { (seg, inner) =>
+        val one = new java.util.LinkedHashMap[String, Object]()
+        one.put(seg, inner)
+        one
+      }
+      val wrap = new java.util.LinkedHashMap[String, Object]()
+      wrap.put(parts.head, nested)
+      out = deepMerge(out, wrap)
+    }
+    out
   }
 
   /** confmap watcher analog (reference: confmap/resolver.go's Watch
@@ -813,7 +854,17 @@ object ConfigLoader {
           .text(s"$path/batch_id=$batchId")
       }
     }
-    case "logging" => LoggingExporter()
+    // verbosity basic|normal|detailed (none rejected) + zap-sampler
+    // knobs, the loggingexporter config surface (config.go:30-39)
+    case "logging" => LoggingExporter(
+      rows = m.get("rows").map(_.asInstanceOf[Number].intValue()).getOrElse(20),
+      verbosity = m.get("verbosity")
+        .map(v => Extensions.TelemetryLevel.parse(v.toString))
+        .getOrElse(Extensions.LevelNormal),
+      samplingInitial = m.get("sampling_initial")
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(2),
+      samplingThereafter = m.get("sampling_thereafter")
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(500))
     // OTLP/HTTP push exporter; optional configtls `tls:` block
     // ({cert_file, key_file, ca_file, client_auth, min_version,
     //   max_version, insecure_skip_verify})

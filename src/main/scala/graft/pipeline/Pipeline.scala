@@ -990,9 +990,45 @@ object Pipeline {
     }
   }
 
-  /** loggingexporter analog: materialize a bounded sample to stdout */
-  final case class LoggingExporter(rows: Int = 20) extends Exporter {
-    def export(df: DataFrame): Unit = df.show(rows, truncate = false)
+  /** loggingexporter analog (exporter/loggingexporter/config.go:30-39
+    * + logging_exporter.go:62-75): EVERY admitted export logs one
+    * summary line (the record counts the reference has in hand);
+    * `detailed` additionally dumps a bounded sample of the data.
+    * `basic` and `normal` both produce the summary only — exactly the
+    * reference, whose only verbosity gate is `!= detailed`
+    * (logging_exporter.go:66); `none` is rejected at build
+    * (config.go:17-24 supportedLevels). Log volume follows the zap
+    * sampler the reference installs (factory.go createLogger):
+    * the first sampling_initial messages of each one-second window
+    * pass, thereafter every sampling_thereafter-th. */
+  final case class LoggingExporter(rows: Int = 20,
+      verbosity: Extensions.TelemetryLevel = Extensions.LevelNormal,
+      samplingInitial: Int = 2,
+      samplingThereafter: Int = 500,
+      out: java.io.PrintStream = System.out,
+      nowMs: () => Long = () => System.currentTimeMillis()) extends Exporter {
+    require(verbosity.rank >= 0, s"verbosity '${verbosity.label}' is not " +
+      "supported by the logging exporter (basic|normal|detailed)")
+    require(samplingInitial >= 0, "sampling_initial must be >= 0")
+    require(samplingThereafter >= 1, "sampling_thereafter must be >= 1")
+    private var windowOpen = false
+    private var windowStart = 0L
+    private var seen = 0L
+    /** zap sampler admission (per-second window; 1 = log everything) */
+    private def admit(): Boolean = synchronized {
+      val now = nowMs()
+      if (!windowOpen || now - windowStart >= 1000L) {
+        windowOpen = true; windowStart = now; seen = 0L
+      }
+      seen += 1
+      seen <= samplingInitial ||
+        (seen - samplingInitial) % samplingThereafter == 0
+    }
+    def export(df: DataFrame): Unit = if (admit()) {
+      out.println(s"LoggingExporter rows=${df.count()}")
+      if (verbosity == Extensions.LevelDetailed)
+        Console.withOut(out)(df.show(rows, truncate = false))
+    }
   }
   /** exportertest-style sink for specs */
   final class CollectingExporter extends Exporter {

@@ -89,4 +89,32 @@ class ConfigMergeSpec extends AnyFunSuite {
   test("zero URIs is a config error") {
     intercept[IllegalArgumentException] { ConfigLoader.fromUris(Nil) }
   }
+
+  test("yaml: inline provider — `::`-delimited keys address nested maps (confmap/provider/yamlprovider)") {
+    val base = write(".json",
+      """{"pipelines": {"logs/y": {
+        |  "receiver": {"type": "parquet", "path": "/base/in"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    // one nested knob retuned through an inline yaml: URI — no file
+    val svc = ConfigLoader.fromUris(Seq(base,
+      "yaml:pipelines::logs/y::receiver::path: /inline/in"))
+    assert(svc.pipelines("logs/y").receiver
+      .asInstanceOf[Pipeline.ParquetReceiver].path == "/inline/in")
+    // the bytes are a full YAML document: nested YAML under a
+    // delimited key works too, and YAML scalar typing applies
+    val svc2 = ConfigLoader.fromUris(Seq(base,
+      "yaml:pipelines::logs/y::receiver: {type: parquet, path: /deep/in}"))
+    assert(svc2.pipelines("logs/y").receiver
+      .asInstanceOf[Pipeline.ParquetReceiver].path == "/deep/in")
+    // merge order still holds: the LAST yaml: overlay wins
+    val svc3 = ConfigLoader.fromUris(Seq(base,
+      "yaml:pipelines::logs/y::receiver::path: /a",
+      "yaml:pipelines::logs/y::receiver::path: /b"))
+    assert(svc3.pipelines("logs/y").receiver
+      .asInstanceOf[Pipeline.ParquetReceiver].path == "/b")
+    // an empty `::` segment is a config error, not a silent key
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromUris(Seq(base, "yaml:pipelines::::x: 1"))
+    }
+  }
 }

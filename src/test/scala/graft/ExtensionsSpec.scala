@@ -219,6 +219,57 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(basic.subsetOf(normal) && normal.subsetOf(detailed))
   }
 
+  test("logging exporter: verbosity gates the data dump, zap sampling bounds log volume, none is rejected (loggingexporter/config.go)") {
+    import graft.pipeline.Pipeline.LoggingExporter
+    val df = spark.range(0, 5).toDF("id")
+    def mk(v: Extensions.TelemetryLevel, init: Int = 2, after: Int = 500,
+           clock: () => Long = () => 0L) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      (bos, LoggingExporter(rows = 10, verbosity = v,
+        samplingInitial = init, samplingThereafter = after,
+        out = new java.io.PrintStream(bos, true, "UTF-8"), nowMs = clock))
+    }
+    // basic/normal: the one summary line, never the data (the
+    // reference's only verbosity gate is `!= detailed`)
+    for (v <- Seq(Extensions.LevelBasic, Extensions.LevelNormal)) {
+      val (bos, exp) = mk(v)
+      exp.export(df)
+      val outStr = bos.toString("UTF-8")
+      assert(outStr.contains("rows=5"), outStr)
+      assert(!outStr.contains("| id|") && !outStr.contains("|id |"), outStr)
+    }
+    // detailed: summary + the bounded data dump
+    val (bosD, expD) = mk(Extensions.LevelDetailed)
+    expD.export(df)
+    val outD = bosD.toString("UTF-8")
+    assert(outD.contains("rows=5") && outD.contains("id"), outD)
+    assert(outD.linesIterator.count(_.startsWith("|")) == 6, outD) // header + 5 rows
+    // zap sampling, fixed clock: initial 2 pass, then every 3rd
+    var now = 0L
+    val (bosS, expS) = mk(Extensions.LevelBasic, init = 2, after = 3,
+      clock = () => now)
+    (1 to 8).foreach(_ => expS.export(df))
+    assert(bosS.toString("UTF-8").linesIterator.size == 4) // #1 #2 #5 #8
+    // window rollover resets the counters
+    now = 1000L
+    expS.export(df)
+    assert(bosS.toString("UTF-8").linesIterator.size == 5)
+    // LevelNone is not a supported verbosity (config.go supportedLevels)
+    intercept[IllegalArgumentException](mk(Extensions.LevelNone))
+    // config wiring: the knobs parse; a bad verbosity is a config error
+    val svc = ConfigLoader.fromJson(
+      """{"pipelines": {"p": {"receiver": {"type": "parquet", "path": "/in"},
+        |"exporters": [{"type": "logging", "verbosity": "detailed",
+        |  "sampling_initial": 1, "sampling_thereafter": 7}]}}}""".stripMargin)
+    val built = svc.pipelines.values.head.exporters.head
+      .asInstanceOf[LoggingExporter]
+    assert(built.verbosity == Extensions.LevelDetailed)
+    assert(built.samplingInitial == 1 && built.samplingThereafter == 7)
+    intercept[IllegalArgumentException](ConfigLoader.fromJson(
+      """{"pipelines": {"p": {"receiver": {"type": "parquet", "path": "/in"},
+        |"exporters": [{"type": "logging", "verbosity": "nope"}]}}}""".stripMargin))
+  }
+
   test("zpages extension: config-declared debug server binds to the built service and stops on shutdown") {
     val svc = ConfigLoader.fromJson(
       """{"extensions": {"zpages": {"port": 0}},
