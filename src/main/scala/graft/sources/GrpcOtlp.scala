@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * from the public wire specs, not any gRPC library: HTTP/2 cleartext
   * (h2c, RFC 9113 — connection preface, SETTINGS/HEADERS/DATA/
   * WINDOW_UPDATE/PING/RST_STREAM/GOAWAY frames), an HPACK subset
-  * (RFC 7541 — full static table, dynamic-table decode, raw-string
-  * literals; our encoder emits literal-without-indexing with raw
-  * strings only, so Huffman decode is out of scope for this
-  * loopback pair and raises if seen), the gRPC 5-byte message frame
+  * (RFC 7541 — full static table, dynamic-table decode, and §5.2
+  * Huffman string coding with the Appendix B code table: the decoder
+  * accepts Huffman literals the way every real gRPC client emits
+  * them, and the encoder Huffman-codes a string when that is
+  * strictly shorter, raw otherwise), the gRPC 5-byte message frame
   * (1-byte compressed flag + 4-byte BE length), grpc-status /
   * grpc-message trailers including the trailers-only error form, and
   * google.rpc.Status + RetryInfo in `grpc-status-details-bin`
@@ -133,7 +134,7 @@ object GrpcOtlp {
 
   // ---- HPACK subset (RFC 7541) -------------------------------------
 
-  private[sources] object Hpack {
+  private[graft] object Hpack {
     /** Appendix A static table (1-based) */
     val Static: Array[(String, String)] = Array(
       ":authority" -> "", ":method" -> "GET", ":method" -> "POST",
@@ -157,6 +158,137 @@ object GrpcOtlp {
       "transfer-encoding" -> "", "user-agent" -> "", "vary" -> "", "via" -> "",
       "www-authenticate" -> "")
 
+    // ---- RFC 7541 §5.2 Huffman coding --------------------------------
+    // Appendix B code table: HuffCodes(sym) is the code value in the
+    // LOW HuffBits(sym) bits; index 256 is EOS. Spec data, pinned by
+    // the Appendix C example vectors in GrpcOtlpSpec.
+    private val HuffCodes: Array[Int] = Array(
+      0x1ff8, 0x7fffd8, 0xfffffe2, 0xfffffe3, 0xfffffe4, 0xfffffe5,
+      0xfffffe6, 0xfffffe7, 0xfffffe8, 0xffffea, 0x3ffffffc, 0xfffffe9,
+      0xfffffea, 0x3ffffffd, 0xfffffeb, 0xfffffec, 0xfffffed, 0xfffffee,
+      0xfffffef, 0xffffff0, 0xffffff1, 0xffffff2, 0x3ffffffe, 0xffffff3,
+      0xffffff4, 0xffffff5, 0xffffff6, 0xffffff7, 0xffffff8, 0xffffff9,
+      0xffffffa, 0xffffffb, 0x14, 0x3f8, 0x3f9, 0xffa, 0x1ff9, 0x15,
+      0xf8, 0x7fa, 0x3fa, 0x3fb, 0xf9, 0x7fb, 0xfa, 0x16, 0x17, 0x18,
+      0x0, 0x1, 0x2, 0x19, 0x1a, 0x1b, 0x1c, 0x1d, 0x1e, 0x1f, 0x5c,
+      0xfb, 0x7ffc, 0x20, 0xffb, 0x3fc, 0x1ffa, 0x21, 0x5d, 0x5e, 0x5f,
+      0x60, 0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a,
+      0x6b, 0x6c, 0x6d, 0x6e, 0x6f, 0x70, 0x71, 0x72, 0xfc, 0x73, 0xfd,
+      0x1ffb, 0x7fff0, 0x1ffc, 0x3ffc, 0x22, 0x7ffd, 0x3, 0x23, 0x4,
+      0x24, 0x5, 0x25, 0x26, 0x27, 0x6, 0x74, 0x75, 0x28, 0x29, 0x2a,
+      0x7, 0x2b, 0x76, 0x2c, 0x8, 0x9, 0x2d, 0x77, 0x78, 0x79, 0x7a,
+      0x7b, 0x7ffe, 0x7fc, 0x3ffd, 0x1ffd, 0xffffffc, 0xfffe6, 0x3fffd2,
+      0xfffe7, 0xfffe8, 0x3fffd3, 0x3fffd4, 0x3fffd5, 0x7fffd9,
+      0x3fffd6, 0x7fffda, 0x7fffdb, 0x7fffdc, 0x7fffdd, 0x7fffde,
+      0xffffeb, 0x7fffdf, 0xffffec, 0xffffed, 0x3fffd7, 0x7fffe0,
+      0xffffee, 0x7fffe1, 0x7fffe2, 0x7fffe3, 0x7fffe4, 0x1fffdc,
+      0x3fffd8, 0x7fffe5, 0x3fffd9, 0x7fffe6, 0x7fffe7, 0xffffef,
+      0x3fffda, 0x1fffdd, 0xfffe9, 0x3fffdb, 0x3fffdc, 0x7fffe8,
+      0x7fffe9, 0x1fffde, 0x7fffea, 0x3fffdd, 0x3fffde, 0xfffff0,
+      0x1fffdf, 0x3fffdf, 0x7fffeb, 0x7fffec, 0x1fffe0, 0x1fffe1,
+      0x3fffe0, 0x1fffe2, 0x7fffed, 0x3fffe1, 0x7fffee, 0x7fffef,
+      0xfffea, 0x3fffe2, 0x3fffe3, 0x3fffe4, 0x7ffff0, 0x3fffe5,
+      0x3fffe6, 0x7ffff1, 0x3ffffe0, 0x3ffffe1, 0xfffeb, 0x7fff1,
+      0x3fffe7, 0x7ffff2, 0x3fffe8, 0x1ffffec, 0x3ffffe2, 0x3ffffe3,
+      0x3ffffe4, 0x7ffffde, 0x7ffffdf, 0x3ffffe5, 0xfffff1, 0x1ffffed,
+      0x7fff2, 0x1fffe3, 0x3ffffe6, 0x7ffffe0, 0x7ffffe1, 0x3ffffe7,
+      0x7ffffe2, 0xfffff2, 0x1fffe4, 0x1fffe5, 0x3ffffe8, 0x3ffffe9,
+      0xffffffd, 0x7ffffe3, 0x7ffffe4, 0x7ffffe5, 0xfffec, 0xfffff3,
+      0xfffed, 0x1fffe6, 0x3fffe9, 0x1fffe7, 0x1fffe8, 0x7ffff3,
+      0x3fffea, 0x3fffeb, 0x1ffffee, 0x1ffffef, 0xfffff4, 0xfffff5,
+      0x3ffffea, 0x7ffff4, 0x3ffffeb, 0x7ffffe6, 0x3ffffec, 0x3ffffed,
+      0x7ffffe7, 0x7ffffe8, 0x7ffffe9, 0x7ffffea, 0x7ffffeb, 0xffffffe,
+      0x7ffffec, 0x7ffffed, 0x7ffffee, 0x7ffffef, 0x7fffff0, 0x3ffffee,
+      0x3fffffff)
+    private val HuffBits: Array[Int] = Array(
+      13, 23, 28, 28, 28, 28, 28, 28, 28, 24, 30, 28, 28, 30, 28, 28,
+      28, 28, 28, 28, 28, 28, 30, 28, 28, 28, 28, 28, 28, 28, 28, 28, 6,
+      10, 10, 12, 13, 6, 8, 11, 10, 10, 8, 11, 8, 6, 6, 6, 5, 5, 5, 6,
+      6, 6, 6, 6, 6, 6, 7, 8, 15, 6, 12, 10, 13, 6, 7, 7, 7, 7, 7, 7, 7,
+      7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 8, 7, 8, 13, 19, 13,
+      14, 6, 15, 5, 6, 5, 6, 5, 6, 6, 6, 5, 7, 7, 6, 6, 6, 5, 6, 7, 6,
+      5, 5, 6, 7, 7, 7, 7, 7, 15, 11, 14, 13, 28, 20, 22, 20, 20, 22,
+      22, 22, 23, 22, 23, 23, 23, 23, 23, 24, 23, 24, 24, 22, 23, 24,
+      23, 23, 23, 23, 21, 22, 23, 22, 23, 23, 24, 22, 21, 20, 22, 22,
+      23, 23, 21, 23, 22, 22, 24, 21, 22, 23, 23, 21, 21, 22, 21, 23,
+      22, 23, 23, 20, 22, 22, 22, 23, 22, 22, 23, 26, 26, 20, 19, 22,
+      23, 22, 25, 26, 26, 26, 27, 27, 26, 24, 25, 19, 21, 26, 27, 27,
+      26, 27, 24, 21, 21, 26, 26, 28, 27, 27, 27, 20, 24, 20, 21, 22,
+      21, 21, 23, 22, 22, 25, 25, 24, 24, 26, 23, 26, 27, 26, 26, 27,
+      27, 27, 27, 27, 28, 27, 27, 27, 27, 27, 26, 30)
+
+    // decode trie built once from the code table: flat parallel
+    // arrays (node → 0-child / 1-child / symbol), root = node 0
+    private val (huffZero, huffOne, huffSym) = {
+      val zero = scala.collection.mutable.ArrayBuffer(-1)
+      val one = scala.collection.mutable.ArrayBuffer(-1)
+      val sym = scala.collection.mutable.ArrayBuffer(-1)
+      def newNode(): Int = { zero += -1; one += -1; sym += -1; zero.size - 1 }
+      for (s <- HuffCodes.indices) {
+        var n = 0
+        var b = HuffBits(s) - 1
+        while (b >= 0) {
+          val arr = if (((HuffCodes(s) >>> b) & 1) == 0) zero else one
+          if (arr(n) == -1) arr(n) = newNode()
+          n = arr(n)
+          b -= 1
+        }
+        sym(n) = s
+      }
+      (zero.toArray, one.toArray, sym.toArray)
+    }
+
+    /** Huffman-decode a string literal (§5.2.2): EOS inside the data
+      * is a decoding error, and trailing padding must be the ≤7-bit
+      * all-ones prefix of EOS — anything else is a decoding error */
+    def huffmanDecode(block: Array[Byte], off: Int, len: Int): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      var node = 0
+      var pathBits = 0
+      var pathAllOnes = true
+      var i = off
+      while (i < off + len) {
+        val byte = block(i) & 0xFF
+        var b = 7
+        while (b >= 0) {
+          val bit = (byte >>> b) & 1
+          node = if (bit == 0) huffZero(node) else huffOne(node)
+          require(node != -1, "invalid huffman code")
+          pathBits += 1
+          if (bit == 0) pathAllOnes = false
+          if (huffSym(node) >= 0) {
+            require(huffSym(node) != 256, "EOS inside huffman data")
+            out.write(huffSym(node))
+            node = 0; pathBits = 0; pathAllOnes = true
+          }
+          b -= 1
+        }
+        i += 1
+      }
+      require(pathBits <= 7 && pathAllOnes, "invalid huffman padding")
+      new String(out.toByteArray, "ISO-8859-1")
+    }
+
+    /** Huffman-encode (§5.2.1): codes packed MSB-first, the final
+      * partial byte padded with the 1-bits of the EOS prefix */
+    def huffmanEncode(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nbits = 0
+      for (c <- raw) {
+        val sym = c & 0xFF
+        acc = (acc << HuffBits(sym)) | (HuffCodes(sym) & 0xFFFFFFFFL)
+        nbits += HuffBits(sym)
+        while (nbits >= 8) {
+          out.write(((acc >>> (nbits - 8)) & 0xFF).toInt)
+          nbits -= 8
+        }
+      }
+      if (nbits > 0)
+        out.write((((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF).toInt)
+      out.toByteArray
+    }
+
     def encodeInt(prefixBits: Int, firstByteHigh: Int, v0: Int,
                   out: java.io.ByteArrayOutputStream): Unit = {
       val max = (1 << prefixBits) - 1
@@ -169,15 +301,24 @@ object GrpcOtlp {
       }
     }
 
-    /** all headers as literal-without-indexing, raw strings — the
-      * simplest spec-legal block, decodable by any conformant peer */
+    /** all headers as literal-without-indexing — the simplest
+      * spec-legal block, decodable by any conformant peer; each
+      * string Huffman-codes when strictly shorter (H bit set), the
+      * choice real encoders make per string */
     def encode(headers: Seq[(String, String)]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
+      def writeStr(raw: Array[Byte]): Unit = {
+        val h = huffmanEncode(raw)
+        if (h.length < raw.length) {
+          encodeInt(7, 0x80, h.length, out); out.write(h)
+        } else {
+          encodeInt(7, 0x00, raw.length, out); out.write(raw)
+        }
+      }
       headers.foreach { case (name, value) =>
         out.write(0x00) // literal without indexing, new name
-        val n = name.getBytes("US-ASCII"); val v = value.getBytes("US-ASCII")
-        encodeInt(7, 0x00, n.length, out); out.write(n)
-        encodeInt(7, 0x00, v.length, out); out.write(v)
+        writeStr(name.getBytes("US-ASCII"))
+        writeStr(value.getBytes("US-ASCII"))
       }
       out.toByteArray
     }
@@ -216,8 +357,10 @@ object GrpcOtlp {
         def readStr(): String = {
           val huff = (block(p) & 0x80) != 0
           val len = readInt(7)
-          require(!huff, "Huffman strings not in the loopback subset")
-          val s = new String(block, p, len, "US-ASCII"); p += len; s
+          val s =
+            if (huff) huffmanDecode(block, p, len)
+            else new String(block, p, len, "US-ASCII")
+          p += len; s
         }
         val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
         while (p < block.length) {

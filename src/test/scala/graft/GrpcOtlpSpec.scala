@@ -162,4 +162,70 @@ class GrpcOtlpSpec extends AnyFunSuite {
       assert(rx.obs.requests.get == 0)
     } finally rx.stop()
   }
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("HPACK Huffman decode matches the RFC 7541 Appendix C example vectors") {
+    import graft.sources.GrpcOtlp.Hpack
+    // C.4.1 / C.4.3 / C.6.1 huffman-coded string literals
+    val vectors = Seq(
+      "f1e3 c2e5 f23a 6ba0 ab90 f4ff" -> "www.example.com",
+      "a8eb 1064 9cbf" -> "no-cache",
+      "25a8 49e9 5ba9 7d7f" -> "custom-key",
+      "25a8 49e9 5bb8 e8b4 bf" -> "custom-value",
+      "6402" -> "302",
+      "aec3 771a 4b" -> "private",
+      "d07a be94 1054 d444 a820 0595 040b 8166 e082 a62d 1bff" ->
+        "Mon, 21 Oct 2013 20:13:21 GMT",
+      "9d29 ad17 1863 c78f 0b97 c8e9 ae82 ae43 d3" ->
+        "https://www.example.com")
+    for ((h, expect) <- vectors) {
+      val b = hex(h)
+      assert(Hpack.huffmanDecode(b, 0, b.length) == expect, expect)
+      // and our encoder produces the RFC's exact bytes back
+      assert(Hpack.huffmanEncode(expect.getBytes("US-ASCII")).toSeq == b.toSeq,
+        s"encode($expect)")
+    }
+  }
+
+  test("HPACK Huffman: decode∘encode = id over all byte values; malformed padding and EOS are decoding errors") {
+    import graft.sources.GrpcOtlp.Hpack
+    // every symbol 0-255 once (exercises the long tail codes), plus
+    // typical header-ish strings
+    val allBytes = Array.tabulate[Byte](256)(_.toByte)
+    for (raw <- Seq(allBytes, "te".getBytes("US-ASCII"),
+        "application/grpc+proto".getBytes("US-ASCII"),
+        Array.empty[Byte])) {
+      val enc = Hpack.huffmanEncode(raw)
+      assert(Hpack.huffmanDecode(enc, 0, enc.length)
+        .getBytes("ISO-8859-1").toSeq == raw.toSeq)
+    }
+    // padding with 0-bits is NOT the EOS prefix: '0' (00000) + 000
+    intercept[IllegalArgumentException] {
+      Hpack.huffmanDecode(Array[Byte](0x00), 0, 1)
+    }
+    // 32 one-bits decode the 30-bit EOS code inside the data
+    intercept[IllegalArgumentException] {
+      Hpack.huffmanDecode(Array[Byte](-1, -1, -1, -1), 0, 4)
+    }
+  }
+
+  test("HPACK header block with Huffman literals round-trips, and Huffman engages only when shorter") {
+    import graft.sources.GrpcOtlp.Hpack
+    val headers = Seq(
+      ":method" -> "POST",
+      ":path" -> "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+      "content-type" -> "application/grpc",
+      "grpc-encoding" -> "identity",
+      "x-rare" -> "\\`{<^") // all ≥14-bit codes: huffman would EXPAND this
+    val block = Hpack.encode(headers)
+    val decoded = new Hpack.Decoder().decode(block)
+    assert(decoded == headers)
+    // the compressible strings actually went down the huffman path:
+    // a raw-only block (what the old encoder emitted) must be longer
+    val rawLen = headers.map { case (n, v) => 1 + 1 + n.length + 1 + v.length }.sum
+    assert(block.length < rawLen, s"huffman never engaged: ${block.length} vs $rawLen")
+  }
 }
