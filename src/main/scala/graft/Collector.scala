@@ -42,12 +42,13 @@ object Collector {
   val componentTypes: Map[String, Seq[String]] = Map(
     "receivers" -> Seq("table", "parquet", "otlp_json_logs", "otlp_pb_logs",
       "otlp_pb_logs_gz", "arrow_logs", "stream_json_logs", "stream_pb_logs",
-      "scrape_jvm", "otlp_http", "otlp_grpc", "warc", "jsonl", "forward", "union"),
+      "scrape_jvm", "otlp_http", "otlp_grpc", "otlp_arrow", "warc", "jsonl",
+      "forward", "union"),
     "processors" -> Seq("filter", "upsert", "drop", "select", "sample",
       "route", "batch", "batch_by_metadata", "batch_timed", "aggregate"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
       "parquet_persistent", "arrow_spool", "arrow_pool", "logging",
-      "otlp_http", "otlp_grpc", "jsonl"),
+      "otlp_http", "otlp_grpc", "otlp_arrow", "jsonl"),
     "extensions" -> Seq("file_storage", "memory_ballast", "zpages"))
 
   /** load a builder-emitted distribution file: kind → allowed types */

@@ -655,6 +655,15 @@ object ConfigLoader {
           m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
         auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
+      // Arrow-over-gRPC stream receiver (the otel-arrow transport):
+      // ArrowStreamService server → IPC spool → streaming Arrow parse
+      case "otlp_arrow" => OtlpArrowServerReceiver(
+        port = m.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(4317),
+        spoolDir = str(m, "spool"),
+        maxFilesPerTrigger =
+          m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
+        tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
       // JSONL corpus source — the inverse of the jsonl exporter
       // (schema inferred; .gz transparent via Spark's text codecs)
       case "jsonl" => new Receiver {
@@ -889,6 +898,28 @@ object ConfigLoader {
       gzipBody = m.get("compression").exists(_.toString == "gzip"),
       tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
       auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))))
+    // Arrow-over-gRPC stream exporter: long-lived ArrowStreamService
+    // streams with per-batch acks; downgrades to the standard OTLP
+    // gRPC exporter when the peer answers UNIMPLEMENTED
+    case "otlp_arrow" =>
+      val host = m.get("host").map(_.toString).getOrElse("localhost")
+      val port = m("port").asInstanceOf[Number].intValue()
+      val signal = str(m, "signal")
+      new graft.sources.ArrowGrpc.ArrowGrpcStreamExporter(
+        host = host, port = port, signal = signal,
+        numStreams = m.get("num_streams")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(2),
+        maxStreamLifetimeMs = m.get("max_stream_lifetime_ms")
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        dictCap = m.get("dict_cap")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(64),
+        codec = m.get("codec").map(_.toString).getOrElse("zstd"),
+        tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+        auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))),
+        fallback = Some(graft.sources.GrpcOtlp.OtlpGrpcExporter(
+          host = host, port = port, signal = signal,
+          tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+          auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))))))
     case other => throw new IllegalArgumentException(s"unknown exporter type: $other")
   }
 }

@@ -166,6 +166,37 @@ object Pipeline {
     }
   }
 
+  /** Arrow-over-gRPC stream receiver as a config component: the
+    * ArrowStreamService server spools self-contained IPC payloads
+    * which stream through the Arrow parse path (the `<sig>_arrow`
+    * twin of the pb spool receivers) */
+  final case class OtlpArrowServerReceiver(port: Int, spoolDir: String,
+      maxFilesPerTrigger: Int = 10,
+      tls: Option[graft.sources.TlsConfig] = None,
+      auth: Option[graft.sources.Auth.ServerAuthenticator] = None)
+      extends Receiver with ReceiverLifecycle {
+    @transient @volatile private var server: graft.sources.ArrowGrpc.ArrowGrpcReceiver = _
+    def read(spark: SparkSession): DataFrame = {
+      val dir = new java.io.File(spoolDir, "logs_arrow")
+      dir.mkdirs()
+      graft.sources.ArrowIpc.streamLogsSpool(spark, dir.toString,
+        maxFilesPerTrigger)
+    }
+    def start(spark: SparkSession): Unit = synchronized {
+      if (server == null)
+        server = new graft.sources.ArrowGrpc.ArrowGrpcReceiver(port, spoolDir,
+          tls = tls, auth = auth)
+    }
+    def stop(): Unit = synchronized {
+      if (server != null) { server.stop(); server = null }
+    }
+    def boundPort: Int = {
+      val s = server
+      require(s != null, "receiver not started")
+      s.boundPort
+    }
+  }
+
   /** gzip'd pb spool (otlphttp transport compression on disk) */
   final case class OtlpPbGzLogReceiver(dir: String) extends Receiver {
     def read(spark: SparkSession): DataFrame =

@@ -1,0 +1,759 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** OTLP-over-Arrow gRPC STREAMS — the otel-arrow fork's defining
+  * transport, composed from graft's two existing halves: ArrowIpc's
+  * dict+zstd payloads ride as length-prefixed gRPC messages on ONE
+  * long-lived h2c stream per connection, batch_id in, per-batch
+  * BatchStatus ack out.
+  *
+  * Reference behavior (not code):
+  *  - receiver/otlpreceiver/internal/arrow/arrow.go:273-361
+  *    (`anyStream`): Recv BatchArrowRecords → optional per-batch
+  *    HPACK headers → auth → consume → Send BatchStatus{batch_id,
+  *    OK | INVALID_ARGUMENT (permanent) | UNAVAILABLE/
+  *    RESOURCE_EXHAUSTED (retryable)}. A DATA error acks only the
+  *    offending batch — the stream lives; only transport or
+  *    header-parse failures break it.
+  *  - exporter/otlpexporter/internal/arrow/stream.go: one writer
+  *    registers each batch_id before Send, one reader resolves the
+  *    matching waiter per BatchStatus; max_stream_lifetime →
+  *    graceful CloseSend + reopen (stream.go:279-283); Unimplemented
+  *    from the server → client=nil → downgrade to standard OTLP
+  *    (stream.go:175-194, exporter.go:158-165).
+  *  - wire messages per the PUBLIC otel-arrow proto
+  *    (api/experimental/arrow/v1/arrow_service.proto):
+  *    BatchArrowRecords{batch_id=1, arrow_payloads=2, headers=3},
+  *    ArrowPayload{schema_id=1, type=2, record=3},
+  *    BatchStatus{batch_id=1, status_code=2, status_message=3};
+  *    StatusCode mirrors the gRPC code space.
+  *
+  * Scope honesty: each BatchArrowRecords carries ONE self-contained
+  * IPC payload (schema + dictionaries + batches + EOS — exactly what
+  * [[ArrowIpc.encodeRows]] emits, dictionary-encoded and
+  * zstd-compressed included). The reference keeps one stateful Arrow
+  * consumer per stream so dictionary DELTAS can span batches; graft's
+  * receiver lands every batch durably and decodes in Spark later, and
+  * a refused batch must never poison a later one's dictionaries — so
+  * payloads are self-delimiting here and cross-batch delta continuity
+  * stays on the concatenated-wire path (ArrowDeltaSpec). */
+object ArrowGrpc {
+  import GrpcOtlp.{H2, Hpack, Status}
+
+  // ---- arrowpb codec (hand-rolled like OtlpProtobuf) ---------------
+
+  /** ArrowPayloadType values for the three OTLP signals (the proto
+    * spaces signal families a decade apart; related-data types in
+    * between are not used by this self-contained-payload transport) */
+  object PayloadType {
+    val Unknown = 0
+    val Metrics = 10
+    val Logs = 30
+    val Spans = 40
+    def of(signal: String): Int = signal match {
+      case "metrics" => Metrics
+      case "logs" => Logs
+      case "traces" => Spans
+      case other => throw new IllegalArgumentException(s"unknown signal $other")
+    }
+    def signalOf(t: Int): Option[String] = t match {
+      case Metrics => Some("metrics")
+      case Logs => Some("logs")
+      case Spans => Some("traces")
+      case _ => None
+    }
+  }
+
+  final case class ArrowPayload(schemaId: String, tpe: Int, record: Array[Byte])
+  final case class BatchArrowRecords(batchId: Long, payloads: Seq[ArrowPayload],
+                                     headers: Array[Byte])
+  final case class BatchStatus(batchId: Long, statusCode: Int,
+                               statusMessage: String)
+
+  private def varint(v0: Long): Array[Byte] = {
+    var v = v0
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    while ((v & ~0x7FL) != 0L) { out += ((v & 0x7F) | 0x80).toByte; v >>>= 7 }
+    out += (v & 0x7F).toByte
+    out.toArray
+  }
+  private def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+    varint((field << 3) | 2L) ++ varint(body.length.toLong) ++ body
+  private def varintField(field: Int, v: Long): Array[Byte] =
+    if (v == 0L) Array.empty else varint((field << 3).toLong) ++ varint(v)
+
+  def encodeBatch(b: BatchArrowRecords): Array[Byte] = {
+    val payloads = b.payloads.flatMap { p =>
+      lenDelim(2, varintField(2, p.tpe.toLong) ++
+        lenDelim(1, p.schemaId.getBytes("UTF-8")) ++
+        lenDelim(3, p.record)).toSeq
+    }.toArray
+    varintField(1, b.batchId) ++ payloads ++
+      (if (b.headers.nonEmpty) lenDelim(3, b.headers) else Array.empty[Byte])
+  }
+
+  def encodeStatus(s: BatchStatus): Array[Byte] =
+    varintField(1, s.batchId) ++ varintField(2, s.statusCode.toLong) ++
+      (if (s.statusMessage.nonEmpty)
+        lenDelim(3, s.statusMessage.getBytes("UTF-8"))
+      else Array.empty[Byte])
+
+  private final class PbReader(body: Array[Byte], var p: Int, val end: Int) {
+    def hasMore: Boolean = p < end
+    def readVarint(): Long = {
+      var shift = 0; var v = 0L; var b = 0
+      do { b = body(p) & 0xFF; p += 1; v |= (b & 0x7FL) << shift; shift += 7 }
+      while ((b & 0x80) != 0)
+      v
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      val out = java.util.Arrays.copyOfRange(body, p, p + len)
+      p += len
+      out
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint(); ()
+      case 1 => p += 8
+      case 2 => val len = readVarint().toInt; p += len
+      case 5 => p += 4
+      case _ => throw new IllegalArgumentException(s"bad wire type $wire")
+    }
+  }
+
+  def decodeBatch(body: Array[Byte]): BatchArrowRecords = {
+    val r = new PbReader(body, 0, body.length)
+    var batchId = 0L
+    val payloads = scala.collection.mutable.ArrayBuffer[ArrowPayload]()
+    var headers = Array.empty[Byte]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val field = (tag >> 3).toInt; val wire = (tag & 7).toInt
+      (field, wire) match {
+        case (1, 0) => batchId = r.readVarint()
+        case (2, 2) =>
+          // read the length varint FIRST — it advances r.p, so the
+          // end offset must be computed after (the p-advance clobber
+          // class the r9 pb fix covered)
+          val len = r.readVarint().toInt
+          val end2 = r.p + len
+          var schemaId = ""; var tpe = 0; var record = Array.empty[Byte]
+          while (r.p < end2) {
+            val t2 = r.readVarint()
+            ((t2 >> 3).toInt, (t2 & 7).toInt) match {
+              case (1, 2) => schemaId = new String(r.readBytes(), "UTF-8")
+              case (2, 0) => tpe = r.readVarint().toInt
+              case (3, 2) => record = r.readBytes()
+              case (_, w) => r.skip(w)
+            }
+          }
+          payloads += ArrowPayload(schemaId, tpe, record)
+        case (3, 2) => headers = r.readBytes()
+        case (_, w) => r.skip(w)
+      }
+    }
+    BatchArrowRecords(batchId, payloads.toSeq, headers)
+  }
+
+  def decodeStatus(body: Array[Byte]): BatchStatus = {
+    val r = new PbReader(body, 0, body.length)
+    var batchId = 0L; var code = 0; var msg = ""
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 0) => batchId = r.readVarint()
+        case (2, 0) => code = r.readVarint().toInt
+        case (3, 2) => msg = new String(r.readBytes(), "UTF-8")
+        case (_, w) => r.skip(w)
+      }
+    }
+    BatchStatus(batchId, code, msg)
+  }
+
+  // ---- service paths ----------------------------------------------
+
+  /** the mixed-signal stream plus the per-signal services the
+    * reference registers (arrow.go:251-266) */
+  val StreamPath = "/opentelemetry.proto.experimental.arrow.v1.ArrowStreamService/ArrowStream"
+  val PathsBySignal: Map[String, String] = Map(
+    "logs" -> "/opentelemetry.proto.experimental.arrow.v1.ArrowLogsService/ArrowLogs",
+    "traces" -> "/opentelemetry.proto.experimental.arrow.v1.ArrowTracesService/ArrowTraces",
+    "metrics" -> "/opentelemetry.proto.experimental.arrow.v1.ArrowMetricsService/ArrowMetrics")
+  private val arrowPaths: Set[String] = PathsBySignal.values.toSet + StreamPath
+
+  // ---- receiver ----------------------------------------------------
+
+  final class ArrowGrpcObs {
+    val batches = new java.util.concurrent.atomic.AtomicLong
+    val refused = new java.util.concurrent.atomic.AtomicLong
+    val badBatches = new java.util.concurrent.atomic.AtomicLong
+    val streams = new java.util.concurrent.atomic.AtomicLong
+    val recvBytes = new java.util.concurrent.atomic.AtomicLong
+    def counters: Map[String, Long] = Map(
+      "accepted_requests" -> batches.get, "refused_requests" -> refused.get,
+      "bad_requests" -> badBatches.get, "streams" -> streams.get,
+      "recv_bytes" -> recvBytes.get)
+  }
+
+  /** ArrowStreamService receiver on the hand-rolled h2c transport:
+    * each connection carries long-lived bidirectional streams; every
+    * complete BatchArrowRecords is admitted, landed DURABLY in
+    * `<signal>_arrow/` (tmp+rename — the gateway discipline; ack
+    * strictly after durability), and acked with its own BatchStatus.
+    * An admission refusal acks ONLY the refused batch with
+    * RESOURCE_EXHAUSTED and the stream stays open; a client
+    * half-close (END_STREAM) gets OK trailers — the exporter's
+    * max_stream_lifetime rollover path. The spool is the same layout
+    * [[ArrowIpc.readSpool]]/[[ArrowIpc.streamSpool]] tail. */
+  final class ArrowGrpcReceiver(port: Int, spoolDir: String,
+      controller: Option[graft.pipeline.AdmissionController] = None,
+      admissionWaitMs: Long = 1000L,
+      tls: Option[TlsConfig] = None,
+      auth: Option[Auth.ServerAuthenticator] = None,
+      onBatchHeaders: Map[String, Seq[String]] => Unit = _ => (),
+      maxRecvMsgBytes: Long = 64L * 1024 * 1024) {
+    val obs = new ArrowGrpcObs
+    private val counter = new java.util.concurrent.atomic.AtomicLong
+    private val server: java.net.ServerSocket = tls match {
+      case None => new java.net.ServerSocket(
+        port, 50, java.net.InetAddress.getLoopbackAddress)
+      case Some(cfg) =>
+        val ss = cfg.sslContext().getServerSocketFactory
+          .createServerSocket(port, 50,
+            java.net.InetAddress.getLoopbackAddress)
+          .asInstanceOf[javax.net.ssl.SSLServerSocket]
+        ss.setSSLParameters(cfg.serverParameters(ss.getSSLParameters))
+        ss
+    }
+    @volatile private var running = true
+
+    private final class StreamState {
+      var headers: Map[String, String] = Map.empty
+      var headerBlock = new java.io.ByteArrayOutputStream()
+      var headersDone = false
+      var responded = false // response HEADERS sent → errors go via trailers
+      val buf = new java.io.ByteArrayOutputStream() // unparsed gRPC bytes
+      // per-batch metadata headers get their OWN hpack decoder, like
+      // the reference headerReceiver (arrow.go:120-139)
+      val batchHeaderDecoder = new Hpack.Decoder
+    }
+
+    private def handle(sock: java.net.Socket): Unit = {
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val decoder = new Hpack.Decoder
+      val streams = scala.collection.mutable.HashMap[Int, StreamState]()
+      try {
+        H2.handshakeServer(in, out)
+        var open = true
+        while (open) {
+          val f = H2.read(in)
+          if (f == null) open = false
+          else f.tpe match {
+            case H2.SETTINGS =>
+              if ((f.flags & H2.FlagAck) == 0)
+                H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty)
+              out.flush()
+            case H2.PING =>
+              if ((f.flags & H2.FlagAck) == 0) {
+                H2.write(out, H2.PING, H2.FlagAck, 0, f.payload); out.flush()
+              }
+            case H2.WINDOW_UPDATE => ()
+            case H2.GOAWAY => open = false
+            case H2.RST_STREAM => streams.remove(f.streamId)
+            case H2.HEADERS | H2.CONTINUATION =>
+              val st = streams.getOrElseUpdate(f.streamId, new StreamState)
+              val payload =
+                if (f.tpe == H2.HEADERS && (f.flags & 0x20) != 0)
+                  java.util.Arrays.copyOfRange(f.payload, 5, f.payload.length)
+                else if (f.tpe == H2.HEADERS && (f.flags & 0x8) != 0) {
+                  val pad = f.payload(0) & 0xFF
+                  java.util.Arrays.copyOfRange(f.payload, 1, f.payload.length - pad)
+                } else f.payload
+              st.headerBlock.write(payload)
+              if ((f.flags & H2.FlagEndHeaders) != 0) {
+                st.headers = st.headers ++
+                  decoder.decode(st.headerBlock.toByteArray).toMap
+                st.headerBlock = new java.io.ByteArrayOutputStream()
+                st.headersDone = true
+                openStream(out, f.streamId, st, streams)
+              }
+              if ((f.flags & H2.FlagEndStream) != 0 && streams.contains(f.streamId))
+                finishStream(out, f.streamId, streams)
+            case H2.DATA =>
+              streams.get(f.streamId).foreach { st =>
+                st.buf.write(f.payload)
+                if (st.responded) drainMessages(out, f.streamId, st)
+                if ((f.flags & H2.FlagEndStream) != 0)
+                  finishStream(out, f.streamId, streams)
+              }
+            case _ => ()
+          }
+        }
+      } catch {
+        case _: java.io.IOException if !running => ()
+        case scala.util.control.NonFatal(_) => ()
+      } finally sock.close()
+    }
+
+    private def trailersOnly(out: java.io.OutputStream, streamId: Int,
+                             status: Int, msg: String): Unit = {
+      H2.write(out, H2.HEADERS, H2.FlagEndHeaders | H2.FlagEndStream,
+        streamId, Hpack.encode(Seq(":status" -> "200",
+          "content-type" -> "application/grpc",
+          "grpc-status" -> status.toString, "grpc-message" -> msg)))
+      out.flush()
+    }
+    private def trailers(out: java.io.OutputStream, streamId: Int,
+                         status: Int, msg: String): Unit = {
+      val hs = Seq("grpc-status" -> status.toString) ++
+        (if (msg.nonEmpty) Seq("grpc-message" -> msg) else Nil)
+      H2.write(out, H2.HEADERS, H2.FlagEndHeaders | H2.FlagEndStream,
+        streamId, Hpack.encode(hs))
+      out.flush()
+    }
+
+    /** validate the request headers and send response HEADERS — the
+      * stream is then live for any number of batches */
+    private def openStream(out: java.io.OutputStream, streamId: Int,
+        st: StreamState,
+        streams: scala.collection.mutable.HashMap[Int, StreamState]): Unit = {
+      if (st.responded) return
+      val path = st.headers.getOrElse(":path", "")
+      if (st.headers.getOrElse(":method", "") != "POST" ||
+          !arrowPaths.contains(path)) {
+        // the downgrade trigger: a plain-OTLP peer answers the
+        // Arrow service with Unimplemented (stream.go:175-182)
+        streams.remove(streamId)
+        trailersOnly(out, streamId, Status.Unimplemented,
+          s"unknown method $path")
+        return
+      }
+      if (!st.headers.getOrElse("content-type", "").startsWith("application/grpc")) {
+        streams.remove(streamId)
+        trailersOnly(out, streamId, Status.Internal,
+          "content-type must be application/grpc")
+        return
+      }
+      val denied: Option[String] = auth.flatMap(
+        _.authenticate(st.headers.map { case (k, v) => k -> Seq(v) })
+          .left.toOption)
+      if (denied.isDefined) {
+        streams.remove(streamId)
+        trailersOnly(out, streamId, Status.Unauthenticated, denied.get)
+        return
+      }
+      obs.streams.incrementAndGet()
+      H2.write(out, H2.HEADERS, H2.FlagEndHeaders, streamId, Hpack.encode(
+        Seq(":status" -> "200", "content-type" -> "application/grpc")))
+      out.flush()
+      st.responded = true
+      drainMessages(out, streamId, st)
+    }
+
+    /** consume every COMPLETE gRPC message buffered so far; each one
+      * is a BatchArrowRecords → durable spool → BatchStatus ack */
+    private def drainMessages(out: java.io.OutputStream, streamId: Int,
+                              st: StreamState): Unit = {
+      var bytes = st.buf.toByteArray
+      var consumed = 0
+      var go = true
+      while (go && bytes.length - consumed >= 5) {
+        val base = consumed
+        val compressed = bytes(base) != 0
+        val mlen = ((bytes(base + 1) & 0xFF) << 24) | ((bytes(base + 2) & 0xFF) << 16) |
+          ((bytes(base + 3) & 0xFF) << 8) | (bytes(base + 4) & 0xFF)
+        if (mlen.toLong > maxRecvMsgBytes) {
+          // without a decodable batch_id there is nothing to ack —
+          // this is the transport-level failure that DOES break the
+          // stream (gRPC's own max_recv_msg_size behavior)
+          trailers(out, streamId, Status.ResourceExhausted,
+            s"received message larger than max ($mlen vs $maxRecvMsgBytes)")
+          st.buf.reset()
+          return
+        }
+        if (bytes.length - base - 5 < mlen) go = false
+        else {
+          val framed = java.util.Arrays.copyOfRange(bytes, base + 5, base + 5 + mlen)
+          consumed = base + 5 + mlen
+          val body =
+            if (!compressed) framed
+            else st.headers.get("grpc-encoding") match {
+              case Some("gzip") => OtlpHttp.Codec.decode("gzip", framed)
+              case other => throw new IllegalArgumentException(
+                s"grpc-encoding ${other.getOrElse("")} unsupported")
+            }
+          processBatch(out, streamId, st, body)
+        }
+      }
+      st.buf.reset()
+      if (consumed < bytes.length)
+        st.buf.write(bytes, consumed, bytes.length - consumed)
+    }
+
+    private def processBatch(out: java.io.OutputStream, streamId: Int,
+                             st: StreamState, body: Array[Byte]): Unit = {
+      val batch =
+        try decodeBatch(body)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            // an undecodable envelope has no batch_id to ack — like a
+            // header-parse failure it breaks the stream (arrow.go:309)
+            obs.badBatches.incrementAndGet()
+            trailers(out, streamId, Status.Internal, "undecodable batch")
+            return
+        }
+      def ack(code: Int, msg: String = ""): Unit = {
+        val enc = encodeStatus(BatchStatus(batch.batchId, code, msg))
+        val frame = new java.io.ByteArrayOutputStream()
+        frame.write(0)
+        frame.write(Array[Byte](
+          ((enc.length >> 24) & 0xFF).toByte, ((enc.length >> 16) & 0xFF).toByte,
+          ((enc.length >> 8) & 0xFF).toByte, (enc.length & 0xFF).toByte))
+        frame.write(enc)
+        H2.writeData(out, streamId, frame.toByteArray, endStream = false)
+        out.flush()
+      }
+      // per-batch metadata headers (client.Metadata over the stream);
+      // a parse failure here breaks the stream per the reference
+      if (batch.headers.nonEmpty) {
+        val hdrs =
+          try st.batchHeaderDecoder.decode(batch.headers)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              obs.badBatches.incrementAndGet()
+              trailers(out, streamId, Status.Internal, "arrow metadata error")
+              return
+          }
+        onBatchHeaders(hdrs.groupBy(_._1.toLowerCase)
+          .map { case (k, vs) => k -> vs.map(_._2) })
+      }
+      if (batch.payloads.isEmpty) { ack(Status.Ok); return } // arrow.go:363
+      val signal = PayloadType.signalOf(batch.payloads.head.tpe)
+      if (signal.isEmpty) {
+        obs.badBatches.incrementAndGet()
+        ack(Status.InvalidArgument,
+          s"unknown payload type ${batch.payloads.head.tpe}")
+        return
+      }
+      val totalBytes = batch.payloads.map(_.record.length.toLong).sum
+      controller match {
+        case Some(ctl) =>
+          ctl.acquire(totalBytes, admissionWaitMs) match {
+            case Left(graft.pipeline.AdmissionController.TooLarge) =>
+              obs.refused.incrementAndGet()
+              ack(Status.ResourceExhausted, "batch exceeds admission budget")
+              return
+            case Left(_) =>
+              obs.refused.incrementAndGet()
+              ack(Status.ResourceExhausted, "server overwhelmed")
+              return
+            case Right(()) => ()
+          }
+        case None => ()
+      }
+      try {
+        val dir = new java.io.File(spoolDir, s"${signal.get}_arrow")
+        dir.mkdirs()
+        batch.payloads.foreach { p =>
+          val name = f"agrpc-${counter.incrementAndGet()}%08d-" +
+            f"${System.nanoTime()}%x.arrow"
+          val tmp = new java.io.File(dir, s".$name")
+          java.nio.file.Files.write(tmp.toPath, p.record)
+          if (!tmp.renameTo(new java.io.File(dir, name)))
+            throw new java.io.IOException(s"spool rename failed: $name")
+        }
+      } finally controller.foreach(_.release(totalBytes))
+      obs.batches.incrementAndGet()
+      obs.recvBytes.addAndGet(totalBytes)
+      ack(Status.Ok)
+    }
+
+    /** client half-closed: drain, then OK trailers — the graceful EOS
+      * of the exporter's max_stream_lifetime rollover */
+    private def finishStream(out: java.io.OutputStream, streamId: Int,
+        streams: scala.collection.mutable.HashMap[Int, StreamState]): Unit = {
+      streams.remove(streamId).foreach { st =>
+        if (st.responded) trailers(out, streamId, Status.Ok, "")
+      }
+    }
+
+    private val acceptor = new Thread(() => {
+      try while (running) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "arrow-grpc-conn")
+        t.setDaemon(true); t.start()
+      } catch { case _: java.io.IOException => () }
+    }, "arrow-grpc-accept")
+    acceptor.setDaemon(true); acceptor.start()
+
+    def boundPort: Int = server.getLocalPort
+    def stop(): Unit = { running = false; server.close() }
+    def spoolPath(signal: String): String =
+      new java.io.File(spoolDir, s"${signal}_arrow").toString
+  }
+
+  // ---- exporter ----------------------------------------------------
+
+  /** thrown when the server answers the Arrow service with
+    * UNIMPLEMENTED — the standard-OTLP downgrade trigger */
+  private final class ArrowUnimplementedException(msg: String)
+    extends RuntimeException(msg)
+
+  /** one live h2c connection carrying one Arrow stream */
+  private final class StreamConn(host: String, port: Int, path: String,
+      connectTimeoutMs: Int, readTimeoutMs: Int,
+      tls: Option[TlsConfig], auth: Option[Auth.ClientAuthenticator],
+      gzipMessages: Boolean) {
+    val openedAtMs: Long = System.currentTimeMillis()
+    private var nextBatchId = 0L
+    private val sock = tls match {
+      case None =>
+        val s = new java.net.Socket()
+        s.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+        s
+      case Some(cfg) => Tls.clientSocket(cfg, host, port)
+    }
+    sock.setSoTimeout(readTimeoutMs)
+    private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    private val in = new java.io.BufferedInputStream(sock.getInputStream)
+    private val decoder = new GrpcOtlp.Hpack.Decoder
+    private val recvBuf = new java.io.ByteArrayOutputStream()
+    private var trailersSeen: Option[(Int, String)] = None
+
+    H2.handshakeClient(out)
+    H2.write(out, H2.HEADERS, H2.FlagEndHeaders, 1, GrpcOtlp.Hpack.encode(
+      Seq(":method" -> "POST", ":scheme" -> "http", ":path" -> path,
+        ":authority" -> s"$host:$port",
+        "content-type" -> "application/grpc", "te" -> "trailers") ++
+        (if (gzipMessages) Seq("grpc-encoding" -> "gzip") else Nil) ++
+        auth.toSeq.flatMap(_.headers().map { case (k, v) => k.toLowerCase -> v })))
+    out.flush()
+
+    def ageMs: Long = System.currentTimeMillis() - openedAtMs
+    def takeBatchId(): Long = { val id = nextBatchId; nextBatchId += 1; id }
+
+    /** send one BatchArrowRecords as a length-prefixed gRPC message */
+    def send(b: BatchArrowRecords): Unit = {
+      val raw = ArrowGrpc.encodeBatch(b)
+      val msg = if (gzipMessages) OtlpHttp.Codec.encode("gzip", raw) else raw
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(if (gzipMessages) 1 else 0)
+      frame.write(Array[Byte](
+        ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
+        ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))
+      frame.write(msg)
+      H2.writeData(out, 1, frame.toByteArray, endStream = false)
+      out.flush()
+    }
+
+    /** block until the BatchStatus for `batchId` arrives (one batch
+      * in flight per stream slot — SendAndWait semantics) */
+    def await(batchId: Long): BatchStatus = {
+      while (true) {
+        // complete message already buffered?
+        val bytes = recvBuf.toByteArray
+        if (bytes.length >= 5) {
+          val mlen = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+            ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+          if (bytes.length >= 5 + mlen) {
+            val body = java.util.Arrays.copyOfRange(bytes, 5, 5 + mlen)
+            recvBuf.reset()
+            recvBuf.write(bytes, 5 + mlen, bytes.length - 5 - mlen)
+            val st = ArrowGrpc.decodeStatus(body)
+            if (st.batchId == batchId) return st
+            // an ack for a batch nobody waits on breaks the stream
+            // (stream.go:381 unrecognized batch ID)
+            throw new java.io.IOException(
+              s"unexpected batch ack ${st.batchId} (awaiting $batchId)")
+          }
+        }
+        val f = H2.read(in)
+        if (f == null) throw new java.io.IOException("connection closed mid-stream")
+        f.tpe match {
+          case H2.SETTINGS =>
+            if ((f.flags & H2.FlagAck) == 0) {
+              H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty); out.flush()
+            }
+          case H2.PING =>
+            if ((f.flags & H2.FlagAck) == 0) {
+              H2.write(out, H2.PING, H2.FlagAck, 0, f.payload); out.flush()
+            }
+          case H2.WINDOW_UPDATE | H2.GOAWAY => ()
+          case H2.HEADERS | H2.CONTINUATION if f.streamId == 1 =>
+            val hs = decoder.decode(f.payload).toMap
+            if ((f.flags & H2.FlagEndStream) != 0) {
+              val status = hs.getOrElse("grpc-status", "2").toInt
+              val msg = hs.getOrElse("grpc-message", "")
+              trailersSeen = Some((status, msg))
+              if (status == Status.Unimplemented)
+                throw new ArrowUnimplementedException(msg)
+              throw new java.io.IOException(
+                s"stream ended by server: grpc-status $status $msg")
+            }
+          case H2.DATA if f.streamId == 1 => recvBuf.write(f.payload)
+          case H2.RST_STREAM =>
+            throw new java.io.IOException("stream reset by server")
+          case _ => ()
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** graceful CloseSend: END_STREAM, then read the OK trailers —
+      * the max_stream_lifetime rollover (stream.go:279-283) */
+    def closeGraceful(): Unit = {
+      try {
+        H2.writeData(out, 1, Array.empty, endStream = true)
+        out.flush()
+        var done = trailersSeen.isDefined
+        while (!done) {
+          val f = H2.read(in)
+          if (f == null) done = true
+          else if ((f.tpe == H2.HEADERS || f.tpe == H2.CONTINUATION) &&
+              f.streamId == 1) {
+            decoder.decode(f.payload)
+            if ((f.flags & H2.FlagEndStream) != 0) done = true
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      finally close()
+    }
+    def close(): Unit =
+      try sock.close() catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Arrow-over-gRPC stream EXPORTER: a pool of long-lived streams
+    * (exporter.go numStreams + the first-available prioritizer), each
+    * batch sent as BatchArrowRecords and held until its BatchStatus
+    * (SendAndWait). RESOURCE_EXHAUSTED / UNAVAILABLE acks are
+    * retryable (the queued-retry exporter redelivers) and leave the
+    * stream OPEN; INVALID_ARGUMENT is permanent. `maxStreamLifetimeMs`
+    * rolls a stream over with a graceful EOS before the next batch.
+    * UNIMPLEMENTED from the peer downgrades the pool to the standard
+    * OTLP `fallback` exporter (exporter.go:158-165). */
+  final class ArrowGrpcStreamExporter(
+      host: String, port: Int, signal: String = "logs",
+      numStreams: Int = 2,
+      maxStreamLifetimeMs: Long = 0L, // 0 = unbounded
+      dictCap: Int = 64, codec: String = "zstd",
+      rowsPerBatch: Int = 4096,
+      gzipMessages: Boolean = false,
+      batchHeaders: Map[String, String] = Map.empty,
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
+      tls: Option[TlsConfig] = None,
+      auth: Option[Auth.ClientAuthenticator] = None,
+      fallback: Option[graft.pipeline.Pipeline.Exporter] = None,
+      useStreamPath: Boolean = false)
+      extends graft.pipeline.Pipeline.Exporter {
+
+    private val path =
+      if (useStreamPath) StreamPath
+      else PathsBySignal.getOrElse(signal,
+        throw new IllegalArgumentException(s"unknown signal $signal"))
+    private val slots =
+      new java.util.concurrent.LinkedBlockingQueue[SlotRef]()
+    (0 until numStreams).foreach(_ => slots.put(new SlotRef))
+    private final class SlotRef { var conn: Option[StreamConn] = None }
+
+    @volatile private var poolDowngraded = false
+    def isDowngraded: Boolean = poolDowngraded
+    /** telemetry: batches per path + stream rollovers */
+    val arrowBatches = new java.util.concurrent.atomic.AtomicLong
+    val refusedBatches = new java.util.concurrent.atomic.AtomicLong
+    val rollovers = new java.util.concurrent.atomic.AtomicLong
+
+    def export(df: DataFrame): Unit = {
+      if (poolDowngraded) { fallbackFor(df); return }
+      val schema = df.schema
+      val it = df.toLocalIterator()
+      val chunk = scala.collection.mutable.ArrayBuffer[Row]()
+      var acked = 0L
+      try {
+        while (it.hasNext) {
+          chunk += it.next()
+          if (chunk.length >= rowsPerBatch) {
+            sendChunk(schema, chunk.toSeq); acked += 1; chunk.clear()
+          }
+        }
+        if (chunk.nonEmpty) { sendChunk(schema, chunk.toSeq); acked += 1 }
+      } catch {
+        case e: ArrowUnimplementedException =>
+          // the peer does not speak Arrow: downgrade the POOL. If no
+          // batch was acked yet the whole frame re-exports on the
+          // standard path losslessly; mid-export downgrade surfaces
+          // as retryable so the queued exporter redelivers (sink
+          // idempotence absorbs the overlap, like any retry).
+          poolDowngraded = true
+          if (acked == 0L) fallbackFor(df)
+          else throw new graft.pipeline.Pipeline.ThrottledExportException(
+            s"arrow downgrade mid-export after $acked batches: ${e.getMessage}", 0L)
+      }
+    }
+
+    private def fallbackFor(df: DataFrame): Unit = fallback match {
+      case Some(e) => e.export(df)
+      case None => throw new graft.pipeline.Pipeline.PermanentExportException(
+        s"arrow not supported by $host:$port and no fallback configured")
+    }
+
+    private def sendChunk(schema: StructType, rows: Seq[Row]): Unit = {
+      val payload = ArrowIpc.encodeRows(schema, rows, dictCap,
+        batchRows = 0, codec = codec)
+      val slot = slots.take() // first-available prioritizer; blocks = backpressure
+      try {
+        // lifetime rollover BETWEEN batches: nothing is in flight
+        slot.conn.filter(c => maxStreamLifetimeMs > 0L &&
+            c.ageMs >= maxStreamLifetimeMs).foreach { c =>
+          c.closeGraceful(); slot.conn = None; rollovers.incrementAndGet()
+        }
+        val conn = slot.conn.getOrElse {
+          val c = new StreamConn(host, port, path, connectTimeoutMs,
+            readTimeoutMs, tls, auth, gzipMessages)
+          slot.conn = Some(c)
+          c
+        }
+        val batchId = conn.takeBatchId()
+        val headers =
+          if (batchHeaders.isEmpty) Array.empty[Byte]
+          else GrpcOtlp.Hpack.encode(batchHeaders.toSeq)
+        try {
+          conn.send(BatchArrowRecords(batchId,
+            Seq(ArrowPayload("graft", PayloadType.of(signal), payload)), headers))
+          val st = conn.await(batchId)
+          st.statusCode match {
+            case Status.Ok => arrowBatches.incrementAndGet()
+            case Status.ResourceExhausted | Status.Unavailable =>
+              // refusal acks only this batch; the stream stays OPEN
+              refusedBatches.incrementAndGet()
+              throw new graft.pipeline.Pipeline.ThrottledExportException(
+                s"batch $batchId refused: ${st.statusMessage}", 0L)
+            case other =>
+              throw new graft.pipeline.Pipeline.PermanentExportException(
+                s"batch $batchId failed: code $other ${st.statusMessage}")
+          }
+        } catch {
+          case e: java.io.IOException =>
+            // transport failure: sever this stream; the batch is
+            // unacked → retryable (ErrStreamRestarting semantics)
+            slot.conn.foreach(_.close()); slot.conn = None
+            throw new graft.pipeline.Pipeline.ThrottledExportException(
+              s"arrow stream restarting: ${e.getMessage}", 0L)
+          case e: ArrowUnimplementedException =>
+            slot.conn.foreach(_.close()); slot.conn = None
+            throw e
+        }
+      } finally slots.put(slot)
+    }
+
+    /** drain every live stream with a graceful EOS */
+    def shutdown(): Unit = {
+      val held = scala.collection.mutable.ArrayBuffer[SlotRef]()
+      while ({ val s = slots.poll(); if (s != null) held += s; s != null }) ()
+      held.foreach { s => s.conn.foreach(_.closeGraceful()); s.conn = None }
+      held.foreach(slots.put)
+    }
+  }
+}

@@ -50,7 +50,7 @@ object GrpcOtlp {
 
   // ---- HTTP/2 framing ----------------------------------------------
 
-  private[sources] object H2 {
+  private[graft] object H2 {
     val Preface: Array[Byte] = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII")
     val DATA = 0x0; val HEADERS = 0x1; val RST_STREAM = 0x3
     val SETTINGS = 0x4; val PING = 0x6; val GOAWAY = 0x7
@@ -558,8 +558,22 @@ object GrpcOtlp {
                   decoder.decode(sb.headerBlock.toByteArray).toMap
                 sb.headerBlock = new java.io.ByteArrayOutputStream()
                 sb.headersDone = true
+                // an unknown method is answered at HEADERS time (what
+                // a real gRPC server does) — a STREAMING caller, e.g.
+                // the Arrow exporter probing for ArrowStreamService,
+                // never half-closes, so waiting for END_STREAM would
+                // stall its downgrade probe until timeout
+                val p = sb.headers.getOrElse(":path", "")
+                if (sb.headers.getOrElse(":method", "") != "POST" ||
+                    !byPath.contains(p)) {
+                  streams.remove(f.streamId)
+                  obs.badRequests.incrementAndGet()
+                  trailersOnly(out, f.streamId, Status.Unimplemented,
+                    s"unknown method $p")
+                }
               }
-              if ((f.flags & H2.FlagEndStream) != 0 && sb.headersDone)
+              if (streams.contains(f.streamId) &&
+                  (f.flags & H2.FlagEndStream) != 0 && sb.headersDone)
                 respondStream(out, f.streamId, streams.remove(f.streamId).get)
             case H2.DATA =>
               streams.get(f.streamId).foreach { sb =>

@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{ArrowGrpc, ArrowIpc, GrpcOtlp, OtlpJsonSource}
+import graft.sources.ArrowGrpc._
+
+/** Arrow-over-gRPC stream composition: the ArrowStreamService shape
+  * (long-lived stream, BatchArrowRecords in, per-batch BatchStatus
+  * out) on the hand-rolled h2c transport, reusing ArrowIpc's
+  * dict+zstd payloads. Covers the reference semantics that make the
+  * transport distinct: a mid-stream admission refusal acks ONLY the
+  * refused batch; max_stream_lifetime rolls the stream over without
+  * losing anything; UNIMPLEMENTED downgrades to standard OTLP. */
+class ArrowGrpcSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def mkLogRequest(svc: String, n: Int): String = {
+    val recs = (0 until n).map { i =>
+      s"""{"timeUnixNano":"${1700000000000000000L + i}","severityNumber":9,
+         |"severityText":"INFO","body":{"stringValue":"log-$i"}}"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[$recs]}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("arrowpb codec: BatchArrowRecords and BatchStatus round-trip") {
+    val b = BatchArrowRecords(42L, Seq(
+      ArrowPayload("s1", PayloadType.Logs, Array[Byte](1, 2, 3)),
+      ArrowPayload("s2", PayloadType.Metrics, Array[Byte](9))),
+      headers = Array[Byte](0x40, 0x01, 0x61, 0x01, 0x62))
+    val d = decodeBatch(encodeBatch(b))
+    assert(d.batchId == 42L)
+    assert(d.payloads.map(_.schemaId) == Seq("s1", "s2"))
+    assert(d.payloads.map(_.tpe) == Seq(PayloadType.Logs, PayloadType.Metrics))
+    assert(d.payloads.head.record.toSeq == Seq[Byte](1, 2, 3))
+    assert(d.headers.toSeq == b.headers.toSeq)
+    // zero-valued / empty fields encode as ABSENT and decode to defaults
+    val z = decodeBatch(encodeBatch(BatchArrowRecords(0L, Nil, Array.empty)))
+    assert(z.batchId == 0L && z.payloads.isEmpty && z.headers.isEmpty)
+    val s = decodeStatus(encodeStatus(BatchStatus(7L, 8, "busy")))
+    assert(s == BatchStatus(7L, 8, "busy"))
+    assert(decodeStatus(encodeStatus(BatchStatus(0L, 0, ""))) ==
+      BatchStatus(0L, 0, ""))
+  }
+
+  test("arrow-over-grpc loopback: rows land identical to the direct frame, dict+zstd payloads included") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_spool")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      val logs = OtlpJsonSource.parseLogs(
+        Seq(mkLogRequest("api", 7), mkLogRequest("db", 5)).toDF("json"))
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1, dictCap = 64, codec = "zstd",
+        rowsPerBatch = 5)
+      exp.export(logs)
+      exp.shutdown()
+      assert(exp.arrowBatches.get == 3) // 12 rows at 5/batch
+      assert(rx.obs.batches.get == 3 && rx.obs.streams.get == 1)
+      val back = ArrowIpc.readSpool(spark, rx.spoolPath("logs"), logs.schema)
+      assert(back.count() == 12)
+      // rows identical to the exported frame (the socket-Arrow pin);
+      // full-row JSON because set ops refuse MAP columns
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("j"))
+          .collect().map(_.getString(0)).toSeq.sorted
+      assert(rows(back) == rows(logs))
+    } finally rx.stop()
+  }
+
+  test("mid-stream admission refusal acks ONLY the refused batch; the stream stays open (arrow.go:326-346)") {
+    val spool = tmpDir("agrpc_adm")
+    // budget refuses any single batch over 4 KiB as TooLarge
+    val rx = new ArrowGrpcReceiver(0, spool,
+      controller = Some(new graft.pipeline.AdmissionController(4096L)))
+    try {
+      // drive the wire directly: three batches on ONE stream, the
+      // middle one oversized
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType)))
+      def payload(s: String, n: Int): Array[Byte] =
+        ArrowIpc.encodeRows(schema,
+          (0 until n).map(i => org.apache.spark.sql.Row(s"$s-$i")))
+      val small1 = payload("a", 3)
+      val big = ArrowIpc.encodeRows(schema,
+        Seq(org.apache.spark.sql.Row("x" * 8192)))
+      val small2 = payload("b", 2)
+
+      val sock = new java.net.Socket("localhost", rx.boundPort)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        GrpcOtlp.H2.handshakeClient(out)
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS, GrpcOtlp.H2.FlagEndHeaders,
+          1, GrpcOtlp.Hpack.encode(Seq(
+            ":method" -> "POST", ":scheme" -> "http",
+            ":path" -> ArrowGrpc.StreamPath, ":authority" -> "localhost",
+            "content-type" -> "application/grpc", "te" -> "trailers")))
+        out.flush()
+        def send(id: Long, rec: Array[Byte]): Unit = {
+          val msg = encodeBatch(BatchArrowRecords(id,
+            Seq(ArrowPayload("s", PayloadType.Logs, rec)), Array.empty))
+          val frame = new java.io.ByteArrayOutputStream()
+          frame.write(0)
+          frame.write(Array[Byte](
+            ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
+            ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))
+          frame.write(msg)
+          GrpcOtlp.H2.writeData(out, 1, frame.toByteArray, endStream = false)
+          out.flush()
+        }
+        val recvBuf = new java.io.ByteArrayOutputStream()
+        def awaitStatus(): BatchStatus = {
+          while (true) {
+            val bytes = recvBuf.toByteArray
+            if (bytes.length >= 5) {
+              val mlen = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+                ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+              if (bytes.length >= 5 + mlen) {
+                val body = java.util.Arrays.copyOfRange(bytes, 5, 5 + mlen)
+                recvBuf.reset()
+                recvBuf.write(bytes, 5 + mlen, bytes.length - 5 - mlen)
+                return decodeStatus(body)
+              }
+            }
+            val f = GrpcOtlp.H2.read(in)
+            require(f != null, "connection closed")
+            if (f.tpe == GrpcOtlp.H2.DATA && f.streamId == 1)
+              recvBuf.write(f.payload)
+            else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+                (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+              GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+                GrpcOtlp.H2.FlagAck, 0, Array.empty)
+              out.flush()
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+        send(1L, small1)
+        val s1 = awaitStatus()
+        send(2L, big)
+        val s2 = awaitStatus()
+        send(3L, small2) // the SAME stream must still accept batches
+        val s3 = awaitStatus()
+        assert(s1 == BatchStatus(1L, GrpcOtlp.Status.Ok, ""))
+        assert(s2.batchId == 2L &&
+          s2.statusCode == GrpcOtlp.Status.ResourceExhausted, s2)
+        assert(s3 == BatchStatus(3L, GrpcOtlp.Status.Ok, ""))
+      } finally sock.close()
+      assert(rx.obs.batches.get == 2 && rx.obs.refused.get == 1)
+      // only the admitted batches are durable: 3 + 2 rows, no "x"*8192
+      val schema2 = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType)))
+      val back = ArrowIpc.readSpool(spark, rx.spoolPath("logs"), schema2)
+      assert(back.count() == 5)
+      assert(back.filter(length(col("body")) > 100).count() == 0)
+    } finally rx.stop()
+  }
+
+  test("max_stream_lifetime: graceful EOS + reopen loses nothing (stream.go:279-283)") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_roll")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 4)).toDF("json"))
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1, maxStreamLifetimeMs = 1L, rowsPerBatch = 100)
+      exp.export(logs)
+      Thread.sleep(10) // age the stream past its lifetime
+      exp.export(logs)
+      exp.shutdown()
+      assert(exp.rollovers.get >= 1, "stream never rolled over")
+      assert(rx.obs.streams.get >= 2, "no second stream opened")
+      val back = ArrowIpc.readSpool(spark, rx.spoolPath("logs"), logs.schema)
+      assert(back.count() == 8) // both exports, nothing lost
+    } finally rx.stop()
+  }
+
+  test("per-batch HPACK metadata headers reach the receiver (headerReceiver semantics)") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_md")
+    @volatile var seen = Map.empty[String, Seq[String]]
+    val rx = new ArrowGrpcReceiver(0, spool, onBatchHeaders = h => seen = h)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 2)).toDF("json"))
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1,
+        batchHeaders = Map("X-Tenant" -> "acme"))
+      exp.export(logs)
+      exp.shutdown()
+      assert(seen.get("x-tenant").contains(Seq("acme")), seen)
+    } finally rx.stop()
+  }
+
+  test("config-declared otlp_arrow receiver serves the wire and streams to the sink") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_cfg")
+    val sink = tmpDir("agrpc_cfg_out") + "/o"
+    val ckpt = tmpDir("agrpc_cfg_ckpt")
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/arrow": {
+         |  "receiver": {"type": "otlp_arrow", "port": 0, "spool": "$spool"},
+         |  "exporters": [{"type": "parquet", "path": "$sink"}]}}}""".stripMargin)
+    val queries = svc.runStreaming(spark, ckpt)
+    try {
+      val port = svc.pipelines("logs/arrow").receiver
+        .asInstanceOf[graft.pipeline.Pipeline.OtlpArrowServerReceiver].boundPort
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 4)).toDF("json"))
+      val exp = new ArrowGrpcStreamExporter("localhost", port, "logs",
+        numStreams = 1)
+      exp.export(logs)
+      exp.shutdown()
+      def rows(): Long =
+        try spark.read.parquet(sink).count() catch { case _: Exception => 0L }
+      val deadline = System.currentTimeMillis() + 30000
+      while (rows() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(rows() == 4, s"sink rows: ${rows()}")
+    } finally {
+      queries.values.flatten.foreach(_.stop())
+      svc.stopReceivers()
+    }
+  }
+
+  test("UNIMPLEMENTED peer downgrades the pool to standard OTLP; rows still land (exporter.go:158-165)") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_down")
+    // a plain unary OTLP/gRPC receiver: no ArrowStreamService
+    val rx = new GrpcOtlp.OtlpGrpcReceiver(0, spool)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 6)).toDF("json"))
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1,
+        fallback = Some(GrpcOtlp.OtlpGrpcExporter(
+          "localhost", rx.boundPort, "logs")))
+      exp.export(logs)
+      assert(exp.isDowngraded, "pool never downgraded")
+      assert(exp.arrowBatches.get == 0)
+      // the fallback delivered over standard OTLP pb (fresh read per
+      // check — binaryFile snapshots its file listing at plan time)
+      def pbRows(): Long = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.pb")
+          .load(rx.spoolPath("logs"))
+          .select(col("content").as("pb"))).count()
+      assert(pbRows() == 6)
+      // a second export skips Arrow entirely (goes straight to pb)
+      exp.export(logs)
+      assert(pbRows() == 12)
+    } finally rx.stop()
+  }
+}
