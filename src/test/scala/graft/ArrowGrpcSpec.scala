@@ -230,6 +230,46 @@ class ArrowGrpcSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Arrow-gRPC capstone: pb spool → stream → process → Arrow-over-gRPC export → lossless re-ingest") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_cap_in")
+    val rxSpool = tmpDir("agrpc_cap_rx")
+    val dlq = tmpDir("agrpc_cap_dlq")
+    val ck = tmpDir("agrpc_cap_ck")
+    // two wire pb request files land on the ingest spool
+    for ((svc, i) <- Seq("api" -> 1, "worker" -> 2)) {
+      val pb = OtlpJsonSource.writeLogsPb(
+        OtlpJsonSource.parseLogs(Seq(mkLogRequest(svc, 9)).toDF("json")))
+        .head().getAs[Array[Byte]]("pb")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$spool/r$i.pb"), pb)
+    }
+    val rx = new ArrowGrpcReceiver(0, rxSpool)
+    try {
+      // wire decode → drop two-thirds by body suffix → export each
+      // micro-batch over the live Arrow stream transport
+      val logs = OtlpJsonSource.streamLogsPb(spark, spool)
+      val processed = logs.filter(col("body").endsWith("0") ||
+        col("body").endsWith("3") || col("body").endsWith("6"))
+      val arrowOut = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1, rowsPerBatch = 3)
+      val q = graft.streaming.StreamingPipelines.exportStream(processed,
+        graft.pipeline.Pipeline.QueuedExporter(arrowOut, dlq), ck)
+      try q.processAllAvailable() finally q.stop()
+      arrowOut.shutdown()
+      // re-ingest the receiver's durable Arrow spool: bodies 0,3,6
+      // per service, nothing else, attributes intact
+      val back = ArrowIpc.readSpool(spark, rx.spoolPath("logs"),
+        processed.schema)
+      assert(back.count() == 6)
+      assert(back.select("body").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("log-0", "log-0", "log-3", "log-3", "log-6", "log-6"))
+      assert(back.select(col("resource_attributes").getItem("service.name"))
+        .distinct().count() == 2)
+      assert(rx.obs.batches.get == arrowOut.arrowBatches.get)
+    } finally rx.stop()
+  }
+
   test("UNIMPLEMENTED peer downgrades the pool to standard OTLP; rows still land (exporter.go:158-165)") {
     import spark.implicits._
     val spool = tmpDir("agrpc_down")
