@@ -1362,7 +1362,7 @@ object Pipeline {
       import org.apache.spark.sql.Row
       import scala.jdk.CollectionConverters._
       val lvl = if (level == null) telemetryLevel else level
-      val res = Map("service.name" -> "graft-collector") ++ telemetryResource
+      val res = Map(graft.model.SemConv.AttributeServiceName -> "graft-collector") ++ telemetryResource
       def gauge(name: String, unit: String, value: Double,
                 attrs: Map[String, String]): Row =
         Row(name, "gauge", null, unit, null, null, timeUnixNano, null,

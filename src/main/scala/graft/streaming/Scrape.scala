@@ -56,7 +56,7 @@ object Scrape {
       import org.apache.spark.sql.Row
       import scala.jdk.CollectionConverters._
       val now = System.currentTimeMillis() * 1000000L
-      val res = Map("service.name" -> "graft-collector")
+      val res = Map(graft.model.SemConv.AttributeServiceName -> "graft-collector")
       val heap = java.lang.management.ManagementFactory
         .getMemoryMXBean.getHeapMemoryUsage
       def gauge(name: String, unit: String, v: Double,

@@ -303,6 +303,23 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("semconv: the catalog names match the published conventions and self-telemetry uses them") {
+    import graft.model.SemConv
+    assert(SemConv.AttributeServiceName == "service.name")
+    assert(SemConv.AttributeServiceInstanceId == "service.instance.id")
+    assert(SemConv.AttributeProcessRuntimeName == "process.runtime.name")
+    assert(SemConv.SchemaUrl.endsWith("/1.18.0"))
+    // every constant is a dotted lowercase key — the convention shape
+    for (m <- SemConv.getClass.getMethods
+         if m.getParameterCount == 0 && m.getReturnType == classOf[String]
+           && m.getName.startsWith("Attribute")) {
+      val v = m.invoke(SemConv).asInstanceOf[String]
+      assert(v.matches("[a-z0-9_.]+") && v.contains("."), s"${m.getName}=$v")
+    }
+    val frame = Service(Map.empty).healthFrame(spark, 1000L)
+    assert(frame.columns.contains("resource_attributes"))
+  }
+
   test("service telemetry resource: configured attributes stamp self-telemetry, override wins") {
     val svc = ConfigLoader.fromJson(
       """{"service": {"telemetry": {"resource": {
