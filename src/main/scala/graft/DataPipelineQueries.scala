@@ -1156,6 +1156,118 @@ object DataPipelineQueries {
         .withColumn("keep", !col("blocked") && col("doc_id") ===
           min(when(!col("blocked"), col("doc_id"))).over(w))
         .select(col("doc_id"), col("host"), col("blocked"), col("keep"))
+    }),
+
+    // LSH S-curve parameter tuner: P(candidate | jaccard=s) =
+    // 1−(1−s^r)^b over an s grid for the (bands, rows) layouts a
+    // deployment would choose between — the analytic companion of
+    // q_minhash_accuracy (which measures the REALIZED error on this
+    // corpus). All arithmetic is IEEE mult/sub with identical
+    // left-assoc chains in both engines (integer exponents as
+    // explicit products — zero libm), so the table value-oracles.
+    "q_lsh_tune" -> ((s, dir) => {
+      def chain(e: org.apache.spark.sql.Column, n: Int) =
+        (2 to n).foldLeft(e)((acc, _) => acc * e)
+      val grid = s.range(1, 20)
+        .select(col("id").cast("int").as("s_num"))
+      val combos = {
+        import s.implicits._
+        Seq((4, 8), (8, 4), (16, 2)).toDF("bands", "rows_per_band")
+      }
+      val x = grid.crossJoin(broadcast(combos))
+        .withColumn("sv", col("s_num").cast("double") / lit(20.0))
+      def p(b: Int, r: Int) =
+        lit(1.0) - chain(lit(1.0) - chain(col("sv"), r), b)
+      x.withColumn("p_collide",
+          when(col("rows_per_band") === 8, p(4, 8))
+            .when(col("rows_per_band") === 4, p(8, 4))
+            .otherwise(p(16, 2)))
+        .select(col("s_num"), col("bands"), col("rows_per_band"),
+          col("p_collide"))
+    }),
+
+    // Shingle CONTAINMENT mining: |A∩B| / min(|A|,|B|) over the LSH
+    // banding candidates — the asymmetric twin of Jaccard that
+    // catches SUB-document duplication (a doc quoted or embedded
+    // inside a larger one scores near-1 containment while symmetric
+    // Jaccard stays low and the minhash dedup never fires). Same
+    // candidate discipline as q_minhash_accuracy: shingle arrays
+    // join back only for banding collisions, integer set sums, the
+    // one division IEEE-exact.
+    "q_containment" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+          DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+        .filter(size(col("shs")) > 0)
+      val sig = sh.select(col("doc_id"),
+        DedupOps.minhashSignatureMd5(col("shs"), 32).as("sig"))
+      DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
+          bands = 8, rows = 4, threshold = 0.0)
+        .select(col("id_a"), col("id_b"))
+        .join(sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .withColumn("sz_a", size(col("shs_a")).cast("long"))
+        .withColumn("sz_b", size(col("shs_b")).cast("long"))
+        .withColumn("containment", col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+        .filter(col("containment") >= 0.8)
+        .withColumn("jaccard_misses", (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")) < 0.5)
+        .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+          col("sz_b"), col("containment"), col("jaccard_misses"))
+    }),
+
+    // Mutual-kNN graph statistics: k=5 cosine neighbors per node
+    // from the LSH bucket-collision candidates (the scale path — the
+    // corpus-vs-itself candidate join is a bucket groupBy, never a
+    // broadcast or an all-pairs matrix), an edge where the relation
+    // is SYMMETRIC, then the degree histogram — the substrate of
+    // graph-based curation (SemDedup clusters, diversity pruning,
+    // label propagation) and the density check run before trusting
+    // any of them. Nodes with no mutual edge land in the 0 bucket.
+    // maxBucket is lifted so the oracle needs no cap replica at gate
+    // SFs; production re-caps it.
+    "q_knn_graph" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val pairs = AnnOps.embedNearDupPairs(e, planes = 4, tables = 16,
+        threshold = -2.0, maxBucket = 1 << 20)
+      val sym = pairs
+        .select(col("id_a").as("qid"), col("id_b").as("nid"), col("sim"))
+        .unionAll(pairs
+          .select(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      val knn = sym.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+      val edges = knn.as("x").join(knn.as("y"),
+          col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
+            col("x.qid") < col("x.nid"))
+        .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
+      val deg = edges.select(col("id_a").as("vid"))
+        .unionAll(edges.select(col("id_b").as("vid")))
+        .groupBy(col("vid")).agg(count(lit(1)).as("d"))
+      e.select(col("vec_id").as("vid")).join(deg, Seq("vid"), "left")
+        .select(coalesce(col("d"), lit(0L)).as("mutual_degree"))
+        .groupBy(col("mutual_degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // Duplicate-5-gram coverage: the share of the corpus's distinct
+    // word 5-grams that appear in MORE THAN ONE document — the
+    // memorization-risk / dedup-efficacy scalar a curation run
+    // reports before and after dedup (C4/Gopher report the same
+    // statistic). Per-doc-distinct grams explode map-side; the gram
+    // aggregate is the only shuffle; integer counts + one IEEE-exact
+    // division.
+    "q_dup_ngram_coverage" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(DedupOps.shinglesOfText(col("text"), 5)).as("g"))
+      grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("shared_share",
+          col("n_shared").cast("double") / col("n_grams").cast("double"))
     })
   )
 
@@ -2528,6 +2640,102 @@ object DataPipelineQueries {
         |SELECT doc_id, host, blocked,
         | (NOT blocked) AND doc_id = MIN(CASE WHEN NOT blocked THEN doc_id END)
         |   OVER (PARTITION BY url) AS keep
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // integer-exponent powers as explicit left-assoc product chains —
+    // IEEE mult/sub is bit-identical across engines when the
+    // expression TREE is identical, which pow()/libm is not
+    "q_lsh_tune" -> {
+      def mulChain(e: String, n: Int): String =
+        (2 to n).foldLeft(e)((acc, _) => s"($acc * $e)")
+      def p(b: Int, r: Int): String =
+        s"1.0 - ${mulChain(s"(1.0 - ${mulChain("sv", r)})", b)}"
+      s"""WITH g AS (SELECT CAST(i AS INT) AS s_num FROM range(1, 20) t(i)),
+         |c AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2)) v(bands, rows_per_band)),
+         |x AS (SELECT s_num, bands, rows_per_band,
+         |      CAST(s_num AS DOUBLE) / 20.0 AS sv FROM g CROSS JOIN c)
+         |SELECT s_num, bands, rows_per_band,
+         | CASE WHEN rows_per_band = 8 THEN ${p(4, 8)}
+         |      WHEN rows_per_band = 4 THEN ${p(8, 4)}
+         |      ELSE ${p(16, 2)} END AS p_collide
+         |FROM x""".stripMargin
+    },
+
+    // the q_minhash_accuracy candidate CTEs with the asymmetric
+    // containment verdict instead of the error histogram
+    "q_containment" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |sh2 AS (SELECT doc_id, shs FROM sh WHERE len(shs) > 0),
+        |sig AS (SELECT doc_id, shs,
+        |  list_transform(range(0, 32), i ->
+        |    list_min(list_transform(shs, s ->
+        |      substr(md5((i // 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
+        | FROM sh2),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sig sa, b.sig sb,
+        |   a.shs shsa, b.shs shsb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+        |cand AS (SELECT id_a, id_b,
+        |  CAST(len(list_filter(shsa, s -> list_contains(shsb, s))) AS BIGINT) AS inter,
+        |  CAST(len(shsa) AS BIGINT) AS sz_a,
+        |  CAST(len(shsb) AS BIGINT) AS sz_b
+        | FROM pairs
+        | WHERE list_max(list_transform(range(0, 8), b ->
+        |    CASE WHEN sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4] THEN 1 ELSE 0 END)) = 1)
+        |SELECT id_a, id_b, inter, sz_a, sz_b,
+        | CAST(inter AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE) AS containment,
+        | (CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)) < 0.5 AS jaccard_misses
+        |FROM cand
+        |WHERE CAST(inter AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE) >= 0.8""".stripMargin,
+
+    // the q_dedup_embed bucket-collision candidate CTEs, symmetrized
+    // into per-node top-5 ranks, then the mutual-edge degree census
+    "q_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sig AS (SELECT vec_id, e,
+        |  list_transform(range(0, 16), t ->
+        |    list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(list_zip(e, range(0, len(e))), x ->
+        |        CASE WHEN substr(md5(t::VARCHAR || '/' || p::VARCHAR || ':' || x[2]::VARCHAR), 1, 1) <= '7'
+        |         THEN x[1] ELSE -x[1] END)) > 0 THEN 1 ELSE 0 END)) AS sg
+        | FROM v),
+        |cand AS (SELECT a.vec_id id_a, b.vec_id id_b,
+        |  list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS sim
+        |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        |  WHERE list_max(list_transform(list_zip(a.sg, b.sg), z ->
+        |    CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) = 1),
+        |sym AS (SELECT id_a AS qid, id_b AS nid, sim FROM cand
+        |  UNION ALL SELECT id_b AS qid, id_a AS nid, sim FROM cand),
+        |knn AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        |  FROM sym) WHERE rk <= 5),
+        |edges AS (SELECT x.qid id_a, x.nid id_b FROM knn x JOIN knn y
+        |  ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid),
+        |deg AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |  SELECT id_a AS vid FROM edges UNION ALL SELECT id_b AS vid FROM edges)
+        | GROUP BY vid)
+        |SELECT COALESCE(d, CAST(0 AS BIGINT)) AS mutual_degree,
+        | CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM v LEFT JOIN deg ON v.vec_id = deg.vid
+        |GROUP BY COALESCE(d, CAST(0 AS BIGINT))""".stripMargin,
+
+    "q_dup_ngram_coverage" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 5
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] for i in range(1, len(ws) - 3)])
+        |   ELSE [] END AS shs FROM w),
+        |gr AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+        |byg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs FROM gr GROUP BY g),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared FROM byg)
+        |SELECT n_grams, n_shared,
+        | CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_share FROM r""".stripMargin
   )
 }
