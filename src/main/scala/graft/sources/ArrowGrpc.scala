@@ -590,8 +590,16 @@ object ArrowGrpc {
               trailersSeen = Some((status, msg))
               if (status == Status.Unimplemented)
                 throw new ArrowUnimplementedException(msg)
-              throw new java.io.IOException(
-                s"stream ended by server: grpc-status $status $msg")
+              // stream severed by the server: transient statuses are
+              // ErrStreamRestarting (retryable); a refusal like
+              // UNAUTHENTICATED/INVALID_ARGUMENT retried forever
+              // would loop — permanent, like the unary exporter
+              if (status == Status.ResourceExhausted ||
+                  status == Status.Unavailable)
+                throw new java.io.IOException(
+                  s"stream ended by server: grpc-status $status $msg")
+              throw new graft.pipeline.Pipeline.PermanentExportException(
+                s"stream refused by server: grpc-status $status $msg")
             }
           case H2.DATA if f.streamId == 1 => recvBuf.write(f.payload)
           case H2.RST_STREAM =>
@@ -741,6 +749,11 @@ object ArrowGrpc {
             slot.conn.foreach(_.close()); slot.conn = None
             throw new graft.pipeline.Pipeline.ThrottledExportException(
               s"arrow stream restarting: ${e.getMessage}", 0L)
+          case e: graft.pipeline.Pipeline.PermanentExportException =>
+            // server refused the stream (auth, bad data): sever it —
+            // the next batch gets a fresh stream, the refusal is not
+            slot.conn.foreach(_.close()); slot.conn = None
+            throw e
           case e: ArrowUnimplementedException =>
             slot.conn.foreach(_.close()); slot.conn = None
             throw e

@@ -143,6 +143,35 @@ class AuthSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("Arrow-gRPC stream bearer: valid streams; missing token is UNAUTHENTICATED permanent, no data spools") {
+    import spark.implicits._
+    import graft.sources.ArrowGrpc
+    val spool = tmpDir("auth_agrpc")
+    val rx = new ArrowGrpc.ArrowGrpcReceiver(0, spool,
+      auth = Some(Auth.BearerTokenServer(Set("tok-1"))))
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 3)).toDF("json"))
+      val ok = new ArrowGrpc.ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1, auth = Some(Auth.BearerTokenClient("tok-1")))
+      ok.export(logs)
+      ok.shutdown()
+      assert(rx.obs.batches.get == 1)
+
+      // anonymous client: the stream is refused before any batch and
+      // the refusal is PERMANENT (a retry loop can never fix auth)
+      val anon = new ArrowGrpc.ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1)
+      val e = intercept[Pipeline.PermanentExportException] {
+        anon.export(logs)
+      }
+      assert(e.getMessage.contains("grpc-status 16"), e.getMessage)
+      assert(rx.obs.batches.get == 1)
+      val back = graft.sources.ArrowIpc.readSpool(
+        spark, rx.spoolPath("logs"), logs.schema)
+      assert(back.count() == 3) // only the authenticated stream's rows
+    } finally rx.stop()
+  }
+
   test("configauth blocks build both halves; exporter auth is config-reachable") {
     // client: the three accepted block shapes
     val bearer = Auth.clientFromMap(Map("bearer_token" -> "t1"))

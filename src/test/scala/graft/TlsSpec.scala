@@ -187,6 +187,32 @@ class TlsSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("Arrow-over-gRPC over TLS: stream rows land; wrong-CA client refused") {
+    import spark.implicits._
+    val spool = tmpDir("tls_agrpc")
+    val rx = new graft.sources.ArrowGrpc.ArrowGrpcReceiver(0, spool,
+      tls = Some(TlsConfig(certFile = serverCert, keyFile = serverKey)))
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("a", 5)).toDF("json"))
+      val exp = new graft.sources.ArrowGrpc.ArrowGrpcStreamExporter(
+        "localhost", rx.boundPort, "logs", numStreams = 1,
+        tls = Some(TlsConfig(caFile = serverCert)))
+      exp.export(logs)
+      exp.shutdown()
+      assert(rx.obs.batches.get == 1)
+      val back = graft.sources.ArrowIpc.readSpool(
+        spark, rx.spoolPath("logs"), logs.schema)
+      assert(back.count() == 5)
+      // wrong CA: the handshake fails before any batch; classified
+      // retryable (stream restart), never delivered
+      val bad = new graft.sources.ArrowGrpc.ArrowGrpcStreamExporter(
+        "localhost", rx.boundPort, "logs", numStreams = 1,
+        tls = Some(TlsConfig(caFile = otherCert)))
+      intercept[Exception] { bad.export(logs) }
+      assert(rx.obs.batches.get == 1)
+    } finally rx.stop()
+  }
+
   test("protocol bounds: TLSv1.3-only server refuses a TLSv1.2-max client") {
     import spark.implicits._
     val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 1)).toDF("json"))
