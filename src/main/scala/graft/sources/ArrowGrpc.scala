@@ -234,6 +234,9 @@ object ArrowGrpc {
       var headerBlock = new java.io.ByteArrayOutputStream()
       var headersDone = false
       var responded = false // response HEADERS sent → errors go via trailers
+      // trailers sent (stream-breaking error): anything the client
+      // still has in flight is dropped, never processed or acked
+      var dead = false
       val buf = new java.io.ByteArrayOutputStream() // unparsed gRPC bytes
       // per-batch metadata headers get their OWN hpack decoder, like
       // the reference headerReceiver (arrow.go:120-139)
@@ -284,8 +287,10 @@ object ArrowGrpc {
                 finishStream(out, f.streamId, streams)
             case H2.DATA =>
               streams.get(f.streamId).foreach { st =>
-                st.buf.write(f.payload)
-                if (st.responded) drainMessages(out, f.streamId, st)
+                if (!st.dead) {
+                  st.buf.write(f.payload)
+                  if (st.responded) drainMessages(out, f.streamId, st)
+                }
                 if ((f.flags & H2.FlagEndStream) != 0)
                   finishStream(out, f.streamId, streams)
               }
@@ -371,6 +376,7 @@ object ArrowGrpc {
           // stream (gRPC's own max_recv_msg_size behavior)
           trailers(out, streamId, Status.ResourceExhausted,
             s"received message larger than max ($mlen vs $maxRecvMsgBytes)")
+          st.dead = true
           st.buf.reset()
           return
         }
@@ -386,6 +392,7 @@ object ArrowGrpc {
                 s"grpc-encoding ${other.getOrElse("")} unsupported")
             }
           processBatch(out, streamId, st, body)
+          if (st.dead) { st.buf.reset(); return }
         }
       }
       st.buf.reset()
@@ -403,6 +410,7 @@ object ArrowGrpc {
             // header-parse failure it breaks the stream (arrow.go:309)
             obs.badBatches.incrementAndGet()
             trailers(out, streamId, Status.Internal, "undecodable batch")
+            st.dead = true
             return
         }
       def ack(code: Int, msg: String = ""): Unit = {
@@ -425,6 +433,7 @@ object ArrowGrpc {
             case scala.util.control.NonFatal(_) =>
               obs.badBatches.incrementAndGet()
               trailers(out, streamId, Status.Internal, "arrow metadata error")
+              st.dead = true
               return
           }
         onBatchHeaders(hdrs.groupBy(_._1.toLowerCase)
@@ -476,7 +485,7 @@ object ArrowGrpc {
     private def finishStream(out: java.io.OutputStream, streamId: Int,
         streams: scala.collection.mutable.HashMap[Int, StreamState]): Unit = {
       streams.remove(streamId).foreach { st =>
-        if (st.responded) trailers(out, streamId, Status.Ok, "")
+        if (st.responded && !st.dead) trailers(out, streamId, Status.Ok, "")
       }
     }
 

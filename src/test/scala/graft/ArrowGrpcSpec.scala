@@ -165,6 +165,79 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("oversize message breaks the stream with trailers; in-flight data after them is never processed or acked") {
+    val spool = tmpDir("agrpc_dead")
+    val rx = new ArrowGrpcReceiver(0, spool, maxRecvMsgBytes = 8192L)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType)))
+      val sock = new java.net.Socket("localhost", rx.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        GrpcOtlp.H2.handshakeClient(out)
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS, GrpcOtlp.H2.FlagEndHeaders,
+          1, GrpcOtlp.Hpack.encode(Seq(
+            ":method" -> "POST", ":scheme" -> "http",
+            ":path" -> ArrowGrpc.StreamPath, ":authority" -> "localhost",
+            "content-type" -> "application/grpc", "te" -> "trailers")))
+        def send(id: Long, rec: Array[Byte]): Unit = {
+          val msg = encodeBatch(BatchArrowRecords(id,
+            Seq(ArrowPayload("s", PayloadType.Logs, rec)), Array.empty))
+          val frame = new java.io.ByteArrayOutputStream()
+          frame.write(0)
+          frame.write(Array[Byte](
+            ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
+            ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))
+          frame.write(msg)
+          GrpcOtlp.H2.writeData(out, 1, frame.toByteArray, endStream = false)
+        }
+        // oversize message (> 8 KiB gRPC frame), then a small valid
+        // batch IN THE SAME WRITE — both arrive after the trailers
+        send(1L, ArrowIpc.encodeRows(schema,
+          Seq(org.apache.spark.sql.Row("x" * 32768))))
+        send(2L, ArrowIpc.encodeRows(schema,
+          Seq(org.apache.spark.sql.Row("small"))))
+        out.flush()
+        // the server's first and ONLY answer is the stream-breaking
+        // trailers (grpc-status 8): no response headers preceded any
+        // ack, and batch 2 is neither processed nor acked
+        var trailersStatus = ""
+        var sawData = false
+        var done = false
+        while (!done) {
+          val f = GrpcOtlp.H2.read(in)
+          if (f == null) done = true
+          else if (f.tpe == GrpcOtlp.H2.DATA && f.streamId == 1 &&
+              f.payload.nonEmpty) sawData = true
+          else if ((f.tpe == GrpcOtlp.H2.HEADERS ||
+              f.tpe == GrpcOtlp.H2.CONTINUATION) && f.streamId == 1) {
+            val hs = new GrpcOtlp.Hpack.Decoder().decode(f.payload).toMap
+            hs.get("grpc-status").foreach(trailersStatus = _)
+            if ((f.flags & GrpcOtlp.H2.FlagEndStream) != 0) done = true
+          } else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          }
+        }
+        assert(trailersStatus == "8", s"trailers status: $trailersStatus")
+        assert(!sawData, "an ack escaped after stream-breaking trailers")
+      } finally sock.close()
+      assert(rx.obs.batches.get == 0)
+      // the receiver itself is fine: a FRESH stream delivers
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1)
+      import spark.implicits._
+      exp.export(OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 2)).toDF("json")))
+      exp.shutdown()
+      assert(rx.obs.batches.get == 1)
+    } finally rx.stop()
+  }
+
   test("max_stream_lifetime: graceful EOS + reopen loses nothing (stream.go:279-283)") {
     import spark.implicits._
     val spool = tmpDir("agrpc_roll")
