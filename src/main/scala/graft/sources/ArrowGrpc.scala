@@ -190,11 +190,15 @@ object ArrowGrpc {
     val refused = new java.util.concurrent.atomic.AtomicLong
     val badBatches = new java.util.concurrent.atomic.AtomicLong
     val streams = new java.util.concurrent.atomic.AtomicLong
+    /** netstats (otel-arrow internal/netstats): logical = admitted
+      * IPC payload bytes, wire = the gRPC message as transmitted
+      * (BatchArrowRecords envelope, post-compression) */
     val recvBytes = new java.util.concurrent.atomic.AtomicLong
+    val recvWireBytes = new java.util.concurrent.atomic.AtomicLong
     def counters: Map[String, Long] = Map(
       "accepted_requests" -> batches.get, "refused_requests" -> refused.get,
       "bad_requests" -> badBatches.get, "streams" -> streams.get,
-      "recv_bytes" -> recvBytes.get)
+      "recv_bytes" -> recvBytes.get, "recv_wire_bytes" -> recvWireBytes.get)
   }
 
   /** ArrowStreamService receiver on the hand-rolled h2c transport:
@@ -391,7 +395,7 @@ object ArrowGrpc {
               case other => throw new IllegalArgumentException(
                 s"grpc-encoding ${other.getOrElse("")} unsupported")
             }
-          processBatch(out, streamId, st, body)
+          processBatch(out, streamId, st, body, wireBytes = mlen.toLong)
           if (st.dead) { st.buf.reset(); return }
         }
       }
@@ -401,7 +405,8 @@ object ArrowGrpc {
     }
 
     private def processBatch(out: java.io.OutputStream, streamId: Int,
-                             st: StreamState, body: Array[Byte]): Unit = {
+                             st: StreamState, body: Array[Byte],
+                             wireBytes: Long): Unit = {
       val batch =
         try decodeBatch(body)
         catch {
@@ -477,6 +482,7 @@ object ArrowGrpc {
       } finally controller.foreach(_.release(totalBytes))
       obs.batches.incrementAndGet()
       obs.recvBytes.addAndGet(totalBytes)
+      obs.recvWireBytes.addAndGet(wireBytes)
       ack(Status.Ok)
     }
 
@@ -544,10 +550,13 @@ object ArrowGrpc {
     def ageMs: Long = System.currentTimeMillis() - openedAtMs
     def takeBatchId(): Long = { val id = nextBatchId; nextBatchId += 1; id }
 
+    /** gRPC message bytes of the last send (the wire axis) */
+    var lastWireBytes: Long = 0L
     /** send one BatchArrowRecords as a length-prefixed gRPC message */
     def send(b: BatchArrowRecords): Unit = {
       val raw = ArrowGrpc.encodeBatch(b)
       val msg = if (gzipMessages) OtlpHttp.Codec.encode("gzip", raw) else raw
+      lastWireBytes = msg.length.toLong
       val frame = new java.io.ByteArrayOutputStream()
       frame.write(if (gzipMessages) 1 else 0)
       frame.write(Array[Byte](
@@ -677,10 +686,18 @@ object ArrowGrpc {
 
     @volatile private var poolDowngraded = false
     def isDowngraded: Boolean = poolDowngraded
-    /** telemetry: batches per path + stream rollovers */
+    /** telemetry: batches per path + stream rollovers; netstats
+      * sent/sent_wire mirror the receiver's recv/recv_wire */
     val arrowBatches = new java.util.concurrent.atomic.AtomicLong
     val refusedBatches = new java.util.concurrent.atomic.AtomicLong
     val rollovers = new java.util.concurrent.atomic.AtomicLong
+    val sentBytes = new java.util.concurrent.atomic.AtomicLong
+    val sentWireBytes = new java.util.concurrent.atomic.AtomicLong
+    def counters: Map[String, Long] = Map(
+      "sent_requests" -> arrowBatches.get,
+      "refused_requests" -> refusedBatches.get,
+      "stream_rollovers" -> rollovers.get,
+      "sent_bytes" -> sentBytes.get, "sent_wire_bytes" -> sentWireBytes.get)
 
     def export(df: DataFrame): Unit = {
       if (poolDowngraded) { fallbackFor(df); return }
@@ -741,7 +758,10 @@ object ArrowGrpc {
             Seq(ArrowPayload("graft", PayloadType.of(signal), payload)), headers))
           val st = conn.await(batchId)
           st.statusCode match {
-            case Status.Ok => arrowBatches.incrementAndGet()
+            case Status.Ok =>
+              arrowBatches.incrementAndGet()
+              sentBytes.addAndGet(payload.length.toLong)
+              sentWireBytes.addAndGet(conn.lastWireBytes)
             case Status.ResourceExhausted | Status.Unavailable =>
               // refusal acks only this batch; the stream stays OPEN
               refusedBatches.incrementAndGet()

@@ -257,6 +257,30 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("netstats: exporter sent/sent_wire mirror receiver recv/recv_wire byte-exactly; gzip wins on the wire") {
+    val spool = tmpDir("agrpc_net")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      // redundant payload, uncompressed IPC (codec none) so the gzip
+      // grpc-encoding win is visible on the wire axis
+      val spark2 = spark
+      import spark2.implicits._
+      val df = (0 until 200).map(i => ("a" * 400) + (i % 3)).toDF("body")
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1, dictCap = 0, codec = "none",
+        gzipMessages = true, rowsPerBatch = 100)
+      exp.export(df)
+      exp.shutdown()
+      val sent = exp.counters
+      val recv = rx.obs.counters
+      assert(sent("sent_requests") == 2 && recv("accepted_requests") == 2)
+      assert(sent("sent_bytes") == recv("recv_bytes"), (sent, recv))
+      assert(sent("sent_wire_bytes") == recv("recv_wire_bytes"), (sent, recv))
+      assert(sent("sent_wire_bytes") < sent("sent_bytes"),
+        s"gzip never engaged on the wire: $sent")
+    } finally rx.stop()
+  }
+
   test("per-batch HPACK metadata headers reach the receiver (headerReceiver semantics)") {
     import spark.implicits._
     val spool = tmpDir("agrpc_md")
