@@ -160,6 +160,40 @@ object MetricsQueries {
         .agg(count(lit(1)).as("n_events"),
           ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L).cast("double")).as("duration_sec"),
           dsum(col("value")).as("session_value"))
+    }),
+
+    // DataPointFlags.NoRecordedValue (metric_data_point_flags.go:15 —
+    // the staleness marker Prometheus→OTLP carries): a flagged point
+    // has NO value, so last-value aggregation must SKIP it, a window
+    // of only markers publishes nothing, and the marker count is the
+    // series-health signal. The events table carries no flags, so
+    // they derive deterministically from point identity.
+    "q_staleness" -> ((s, dir) => {
+      val pts = ev(s, dir).withColumn("flags",
+        when(pmod(col("user_id") + col("ts_ns"), lit(37)) === 0, 1)
+          .otherwise(0))
+      val recorded = MetricsOps.gaugeLast(pts.filter(col("flags") === 0),
+        Seq(col("event_type")), expr(s"ts_ns DIV $MinNs"),
+        col("value"), col("ts_ns"))
+      val stale = pts.filter(col("flags") === 1)
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $MinNs").as("bucket"))
+        .agg(count(lit(1)).as("n_stale"))
+      recorded.join(stale, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"), col("last_value"),
+          coalesce(col("n_stale"), lit(0L)).as("n_stale"))
+    }),
+
+    // HistogramDataPoint's scalar field set (metrics.proto: count,
+    // sum, and the OPTIONAL min/max added in OTLP 0.9) per series
+    // window — q_histogram_explicit covers the bucket axis; this is
+    // the datapoint-scalar axis every OTLP histogram carries
+    "q_hist_minmax" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
     })
   )
 
@@ -312,6 +346,28 @@ object MetricsQueries {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | (MAX(tsn) - MIN(tsn)) / CAST(1000000 AS DOUBLE) AS duration_sec,
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q_staleness" ->
+      s"""WITH p AS (SELECT event_type, user_id, epoch_ns(ts) AS tns, value,
+         |  CASE WHEN (user_id + epoch_ns(ts)) % 37 = 0 THEN 1 ELSE 0 END AS flags
+         | FROM events),
+         |rec AS (SELECT event_type, tns // $MinNs AS bucket,
+         |  max_by(value, tns) AS last_value
+         | FROM p WHERE flags = 0 GROUP BY event_type, tns // $MinNs),
+         |st AS (SELECT event_type, tns // $MinNs AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_stale
+         | FROM p WHERE flags = 1 GROUP BY event_type, tns // $MinNs)
+         |SELECT rec.event_type, rec.bucket, rec.last_value,
+         | COALESCE(st.n_stale, CAST(0 AS BIGINT)) AS n_stale
+         |FROM rec LEFT JOIN st
+         | ON rec.event_type = st.event_type AND rec.bucket = st.bucket""".stripMargin,
+
+    "q_hist_minmax" ->
+      s"""SELECT event_type, epoch_ns(ts) // $HourNs AS bucket,
+         | COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+         | MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM events GROUP BY event_type, epoch_ns(ts) // $HourNs""".stripMargin
   )
 }
