@@ -47,7 +47,7 @@ object Collector {
     "processors" -> Seq("filter", "upsert", "drop", "select", "sample",
       "route", "batch", "batch_by_metadata", "batch_timed", "aggregate"),
     "exporters" -> Seq("parquet", "parquet_by_metadata", "parquet_queued",
-      "parquet_persistent", "arrow_spool", "arrow_pool", "logging",
+      "parquet_persistent", "arrow_spool", "arrow_pool", "logging", "debug",
       "otlp_http", "otlp_grpc", "otlp_arrow", "jsonl"),
     "extensions" -> Seq("file_storage", "memory_ballast", "zpages"))
 

@@ -864,8 +864,10 @@ object ConfigLoader {
       }
     }
     // verbosity basic|normal|detailed (none rejected) + zap-sampler
-    // knobs, the loggingexporter config surface (config.go:30-39)
-    case "logging" => LoggingExporter(
+    // knobs, the loggingexporter config surface (config.go:30-39);
+    // `debug` is the reference's rename of the same component
+    // (loggingexporter → debugexporter), accepted as an alias
+    case "logging" | "debug" => LoggingExporter(
       rows = m.get("rows").map(_.asInstanceOf[Number].intValue()).getOrElse(20),
       verbosity = m.get("verbosity")
         .map(v => Extensions.TelemetryLevel.parse(v.toString))

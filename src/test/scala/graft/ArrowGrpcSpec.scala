@@ -367,6 +367,45 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("stream pool under concurrent exporters: slots serialize per stream, every batch lands exactly once") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_conc")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 2, rowsPerBatch = 3)
+      // 4 threads × 12 rows, 2 stream slots: the first-available
+      // prioritizer serializes senders per stream; acks must never
+      // cross batches (await throws on a mismatched batch_id)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { t =>
+        new Thread(() => {
+          try {
+            val logs = OtlpJsonSource.parseLogs(
+              Seq(mkLogRequest(s"svc$t", 12)).toDF("json"))
+            exp.export(logs)
+          } catch { case e: Throwable => errs.add(e) }
+        }, s"conc-exp-$t")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(errs.isEmpty, errs)
+      exp.shutdown()
+      assert(exp.arrowBatches.get == 16) // 4 threads × 4 batches of ≤3
+      assert(rx.obs.batches.get == 16)
+      assert(rx.obs.streams.get == 2) // exactly the pool's slots
+      val schema = OtlpJsonSource.parseLogs(
+        Seq(mkLogRequest("x", 1)).toDF("json")).schema
+      val back = ArrowIpc.readSpool(spark, rx.spoolPath("logs"), schema)
+      assert(back.count() == 48)
+      // per-service rows intact (no cross-thread interleaving loss)
+      assert(back
+        .select(col("resource_attributes").getItem("service.name").as("svc"))
+        .groupBy(col("svc")).count()
+        .collect().map(_.getLong(1)).toSeq == Seq(12L, 12L, 12L, 12L))
+    } finally rx.stop()
+  }
+
   test("UNIMPLEMENTED peer downgrades the pool to standard OTLP; rows still land (exporter.go:158-165)") {
     import spark.implicits._
     val spool = tmpDir("agrpc_down")

@@ -268,6 +268,12 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ConfigLoader.fromJson(
       """{"pipelines": {"p": {"receiver": {"type": "parquet", "path": "/in"},
         |"exporters": [{"type": "logging", "verbosity": "nope"}]}}}""".stripMargin))
+    // `debug` = the reference's rename of the same component
+    val dbg = ConfigLoader.fromJson(
+      """{"pipelines": {"p": {"receiver": {"type": "parquet", "path": "/in"},
+        |"exporters": [{"type": "debug", "verbosity": "basic"}]}}}""".stripMargin)
+      .pipelines.values.head.exporters.head.asInstanceOf[LoggingExporter]
+    assert(dbg.verbosity == Extensions.LevelBasic)
   }
 
   test("zpages extension: config-declared debug server binds to the built service and stops on shutdown") {
