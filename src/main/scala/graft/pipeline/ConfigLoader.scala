@@ -913,6 +913,8 @@ object ConfigLoader {
           .map(_.asInstanceOf[Number].intValue()).getOrElse(2),
         maxStreamLifetimeMs = m.get("max_stream_lifetime_ms")
           .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        keepaliveMs = m.get("keepalive_ms")
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         dictCap = m.get("dict_cap")
           .map(_.asInstanceOf[Number].intValue()).getOrElse(64),
         codec = m.get("codec").map(_.toString).getOrElse("zstd"),

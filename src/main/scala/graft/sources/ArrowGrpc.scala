@@ -108,8 +108,15 @@ object ArrowGrpc {
       while ((b & 0x80) != 0)
       v
     }
+    /** a length must be a sane forward distance — a negative or
+      * overflowing varint would walk p BACKWARDS and loop forever */
+    def readLen(): Int = {
+      val len = readVarint()
+      require(len >= 0 && len <= end - p, s"bad length $len at $p")
+      len.toInt
+    }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
+      val len = readLen()
       val out = java.util.Arrays.copyOfRange(body, p, p + len)
       p += len
       out
@@ -117,7 +124,7 @@ object ArrowGrpc {
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint(); ()
       case 1 => p += 8
-      case 2 => val len = readVarint().toInt; p += len
+      case 2 => p += readLen()
       case 5 => p += 4
       case _ => throw new IllegalArgumentException(s"bad wire type $wire")
     }
@@ -137,7 +144,7 @@ object ArrowGrpc {
           // read the length varint FIRST — it advances r.p, so the
           // end offset must be computed after (the p-advance clobber
           // class the r9 pb fix covered)
-          val len = r.readVarint().toInt
+          val len = r.readLen()
           val end2 = r.p + len
           var schemaId = ""; var tpe = 0; var record = Array.empty[Byte]
           while (r.p < end2) {
@@ -495,17 +502,30 @@ object ArrowGrpc {
       }
     }
 
+    private val conns =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
     private val acceptor = new Thread(() => {
       try while (running) {
         val sock = server.accept()
-        val t = new Thread(() => handle(sock), "arrow-grpc-conn")
+        conns.add(sock)
+        val t = new Thread(() => {
+          try handle(sock) finally conns.remove(sock)
+        }, "arrow-grpc-conn")
         t.setDaemon(true); t.start()
       } catch { case _: java.io.IOException => () }
     }, "arrow-grpc-accept")
     acceptor.setDaemon(true); acceptor.start()
 
     def boundPort: Int = server.getLocalPort
-    def stop(): Unit = { running = false; server.close() }
+    /** shutdown severs LIVE streams too, not just the listener — a
+      * long-lived stream would otherwise outlive the component */
+    def stop(): Unit = {
+      running = false
+      server.close()
+      conns.forEach { c =>
+        try c.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
     def spoolPath(signal: String): String =
       new java.io.File(spoolDir, s"${signal}_arrow").toString
   }
@@ -548,7 +568,33 @@ object ArrowGrpc {
     out.flush()
 
     def ageMs: Long = System.currentTimeMillis() - openedAtMs
+    /** last send/ack activity — the keepalive idle axis */
+    var lastUsedMs: Long = System.currentTimeMillis()
+    def idleMs: Long = System.currentTimeMillis() - lastUsedMs
     def takeBatchId(): Long = { val id = nextBatchId; nextBatchId += 1; id }
+
+    /** configgrpc client keepalive (keepalive.ClientParameters.Time
+      * behavior): an h2 PING probes a stream idle past the keepalive
+      * time BEFORE the next batch is written into it — a dead TCP
+      * path fails here, cheaply, instead of after a full send */
+    def ping(): Unit = {
+      val token = Array.tabulate[Byte](8)(i =>
+        ((openedAtMs >> (i * 8)) & 0xFF).toByte)
+      H2.write(out, H2.PING, 0, 0, token)
+      out.flush()
+      var acked = false
+      while (!acked) {
+        val f = H2.read(in)
+        if (f == null) throw new java.io.IOException("connection closed on keepalive ping")
+        if (f.tpe == H2.PING && (f.flags & H2.FlagAck) != 0 &&
+            java.util.Arrays.equals(f.payload, token)) acked = true
+        else if (f.tpe == H2.SETTINGS && (f.flags & H2.FlagAck) == 0) {
+          H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty); out.flush()
+        } else if (f.tpe == H2.GOAWAY || f.tpe == H2.RST_STREAM)
+          throw new java.io.IOException("stream closed on keepalive ping")
+      }
+      lastUsedMs = System.currentTimeMillis()
+    }
 
     /** gRPC message bytes of the last send (the wire axis) */
     var lastWireBytes: Long = 0L
@@ -664,6 +710,9 @@ object ArrowGrpc {
       host: String, port: Int, signal: String = "logs",
       numStreams: Int = 2,
       maxStreamLifetimeMs: Long = 0L, // 0 = unbounded
+      // configgrpc client keepalive time: a stream idle past this is
+      // PING-probed before the next batch rides it (0 = off)
+      keepaliveMs: Long = 0L,
       dictCap: Int = 64, codec: String = "zstd",
       rowsPerBatch: Int = 4096,
       gzipMessages: Boolean = false,
@@ -743,6 +792,17 @@ object ArrowGrpc {
             c.ageMs >= maxStreamLifetimeMs).foreach { c =>
           c.closeGraceful(); slot.conn = None; rollovers.incrementAndGet()
         }
+        // keepalive probe: a dead TCP path fails the cheap PING here,
+        // not a full batch send + ack timeout; a failed probe severs
+        // the slot and the batch rides a fresh stream transparently
+        slot.conn.filter(c => keepaliveMs > 0L && c.idleMs >= keepaliveMs)
+          .foreach { c =>
+            try c.ping()
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                c.close(); slot.conn = None
+            }
+          }
         val conn = slot.conn.getOrElse {
           val c = new StreamConn(host, port, path, connectTimeoutMs,
             readTimeoutMs, tls, auth, gzipMessages)
@@ -757,6 +817,7 @@ object ArrowGrpc {
           conn.send(BatchArrowRecords(batchId,
             Seq(ArrowPayload("graft", PayloadType.of(signal), payload)), headers))
           val st = conn.await(batchId)
+          conn.lastUsedMs = System.currentTimeMillis()
           st.statusCode match {
             case Status.Ok =>
               arrowBatches.incrementAndGet()

@@ -49,6 +49,49 @@ class ArrowGrpcSpec extends AnyFunSuite {
       BatchStatus(0L, 0, ""))
   }
 
+  test("arrowpb decode fuzz: arbitrary bytes parse or fail cleanly, never hang or over-read") {
+    // the protobuf-decode-fuzz discipline: a hand-rolled walk must be
+    // total — deterministic seeds, bounded time, exception or result
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val bytes = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      try { decodeBatch(bytes); () }
+      catch { case _: RuntimeException => () } // incl. AIOOBE/IAE
+      try { decodeStatus(bytes); () }
+      catch { case _: RuntimeException => () }
+    }
+    // truncated VALID prefixes of a real message fail cleanly too
+    val full = encodeBatch(BatchArrowRecords(9L,
+      Seq(ArrowPayload("s", PayloadType.Logs, Array.fill(16)(7.toByte))),
+      Array[Byte](1, 2)))
+    for (n <- 0 until full.length) {
+      try { decodeBatch(java.util.Arrays.copyOfRange(full, 0, n)); () }
+      catch { case _: RuntimeException => () }
+    }
+  }
+
+  test("all three signals ride the Arrow stream transport to their own spools") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_sig")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      for ((signal, n) <- Seq("logs" -> 4, "traces" -> 3, "metrics" -> 5)) {
+        // signal-shaped payloads are not needed to pin the ROUTING —
+        // the payload TYPE decides the spool; a tiny one-column frame
+        // stands in for each signal's flattened schema
+        val df = (0 until n).map(i => s"$signal-$i").toDF("body")
+        val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+          signal, numStreams = 1)
+        exp.export(df)
+        exp.shutdown()
+        val back = ArrowIpc.readSpool(spark, rx.spoolPath(signal), df.schema)
+        assert(back.count() == n, signal)
+        assert(back.collect().map(_.getString(0)).forall(_.startsWith(signal)))
+      }
+      assert(rx.obs.batches.get == 3)
+    } finally rx.stop()
+  }
+
   test("arrow-over-grpc loopback: rows land identical to the direct frame, dict+zstd payloads included") {
     import spark.implicits._
     val spool = tmpDir("agrpc_spool")
@@ -365,6 +408,43 @@ class ArrowGrpcSpec extends AnyFunSuite {
         .distinct().count() == 2)
       assert(rx.obs.batches.get == arrowOut.arrowBatches.get)
     } finally rx.stop()
+  }
+
+  test("keepalive: an idle stream is PING-probed; a dead path severs and the batch rides a fresh stream transparently") {
+    import spark.implicits._
+    val spool1 = tmpDir("agrpc_ka1")
+    val rx1 = new ArrowGrpcReceiver(0, spool1)
+    val port = rx1.boundPort
+    val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 2)).toDF("json"))
+    val exp = new ArrowGrpcStreamExporter("localhost", port, "logs",
+      numStreams = 1, keepaliveMs = 1L)
+    try {
+      exp.export(logs) // establish the stream
+      // live path: the probe is invisible — same stream keeps serving
+      Thread.sleep(5)
+      exp.export(logs)
+      assert(rx1.obs.streams.get == 1, "keepalive probe killed a live stream")
+      assert(rx1.obs.batches.get == 2)
+    } finally rx1.stop() // severs the live stream too (conns close)
+    // the SERVER died; a new one takes the same port — with keepalive
+    // the stale slot fails the cheap PING and reopens, so the export
+    // SUCCEEDS instead of burning a batch send into a dead socket
+    val spool2 = tmpDir("agrpc_ka2")
+    val deadline = System.currentTimeMillis() + 10000
+    var rx2: ArrowGrpcReceiver = null
+    while (rx2 == null && System.currentTimeMillis() < deadline) {
+      try rx2 = new ArrowGrpcReceiver(port, spool2)
+      catch { case _: java.net.BindException => Thread.sleep(50) }
+    }
+    assert(rx2 != null, "could not rebind test port")
+    try {
+      Thread.sleep(5)
+      exp.export(logs) // no exception: probe → sever → fresh stream
+      exp.shutdown()
+      assert(rx2.obs.batches.get == 1)
+      val back = ArrowIpc.readSpool(spark, rx2.spoolPath("logs"), logs.schema)
+      assert(back.count() == 2)
+    } finally rx2.stop()
   }
 
   test("stream pool under concurrent exporters: slots serialize per stream, every batch lands exactly once") {
