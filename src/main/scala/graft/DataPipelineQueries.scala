@@ -1253,6 +1253,44 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // Shard-balance QA for the training layout: per-shard doc counts
+    // → min/max/total + the straggler ratio max/(total/liveShards) —
+    // the check a 4096-shard write runs before a straggling task
+    // burns a cluster-night. Integer counts; the one ratio is two
+    // IEEE mults and a division.
+    "q_shard_skew" -> ((s, dir) => {
+      ScaleOps.shuffleShard(docs(s, dir).select(col("doc_id")), "doc_id",
+          nShards = 37, seed = "shuf42", portable = true)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_live_shards"),
+          min(col("n")).as("min_docs"), max(col("n")).as("max_docs"),
+          sum(col("n")).cast("long").as("total_docs"))
+        .withColumn("skew_ratio",
+          col("max_docs").cast("double") * col("n_live_shards").cast("double") /
+            col("total_docs").cast("double"))
+    }),
+
+    // Per-source length percentiles by the EXACT nearest-rank method
+    // (rank = ceil(p·N), pure integer arithmetic — no fp percentile
+    // boundary, the q_ppl_buckets discipline): the length-profile
+    // report a curation run reads before choosing truncation/packing
+    // parameters. Windows are keyed per source, never global.
+    "q_length_percentiles" -> ((s, dir) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      def atP(p: Int) = max(when(
+        col("rn") <= expr(s"(cnt * $p + 99) DIV 100"), col("n_chars")))
+      docs(s, dir).select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          atP(50).as("p50_chars"), atP(90).as("p90_chars"),
+          atP(99).as("p99_chars"), max(col("n_chars")).as("max_chars"))
+    }),
+
     // Duplicate-5-gram coverage: the share of the corpus's distinct
     // word 5-grams that appear in MORE THAN ONE document — the
     // memorization-risk / dedup-efficacy scalar a curation run
@@ -2724,6 +2762,28 @@ object DataPipelineQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM v LEFT JOIN deg ON v.vec_id = deg.vid
         |GROUP BY COALESCE(d, CAST(0 AS BIGINT))""".stripMargin,
+
+    "q_shard_skew" ->
+      """WITH s AS (SELECT CAST(('0x' || substr(md5('shuf42:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
+        | FROM documents),
+        |g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY shard)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_live_shards,
+        | CAST(MIN(n) AS BIGINT) AS min_docs, CAST(MAX(n) AS BIGINT) AS max_docs,
+        | CAST(SUM(n) AS BIGINT) AS total_docs,
+        | CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS skew_ratio
+        |FROM g""".stripMargin,
+
+    "q_length_percentiles" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS cnt
+        | FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | MAX(CASE WHEN rn <= (cnt * 50 + 99) // 100 THEN n_chars END) AS p50_chars,
+        | MAX(CASE WHEN rn <= (cnt * 90 + 99) // 100 THEN n_chars END) AS p90_chars,
+        | MAX(CASE WHEN rn <= (cnt * 99 + 99) // 100 THEN n_chars END) AS p99_chars,
+        | MAX(n_chars) AS max_chars
+        |FROM r GROUP BY source""".stripMargin,
 
     "q_dup_ngram_coverage" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
