@@ -136,7 +136,20 @@ object Plans {
       "on the chunk id plus a residual bounds filter: O(fact) " +
       "comparisons, a plan Spark can hash/merge/broadcast like any " +
       "equi-join. ScaleOpsSpec pins both directions (this plan has " +
-      "no nested-loop/cartesian; the naive one does)."))
+      "no nested-loop/cartesian; the naive one does)."),
+    "q_cluster_topics" -> ("The assignment join's input is the " +
+      "AGGREGATED (doc_id, term, doc_tf) frame, never the raw " +
+      "exploded token stream: the partial HashAggregate sits below " +
+      "the join exchange, so what shuffles is bounded by per-doc " +
+      "vocabulary while token INSTANCES collapse map-side " +
+      "(PlanSpec pins an aggregate grouped on (doc_id, term) below " +
+      "every join side carrying `term`)."),
+    "q_knn_graph" -> ("Mutual-kNN from LSH bucket collisions: the " +
+      "corpus-vs-itself candidate join is a bucket groupBy with " +
+      "capped members — NO broadcast of an SF-scaled side, no " +
+      "all-pairs sim matrix (the mechanical PlanSpec broadcast rule " +
+      "rejected the brute-force draft). Downstream the mutual join " +
+      "and degree census shuffle only (id, id) pairs."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
