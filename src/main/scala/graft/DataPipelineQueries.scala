@@ -1253,6 +1253,37 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // Perceptual-hash image near-dup (dHash): an 8×9 "decoded"
+    // grayscale grid → 64 gradient bits (pixel < right-neighbor) →
+    // the simhash 16-bit chunk blocking → Hamming ≤ 2 pairs — the
+    // image twin of text minhash dedup (pHash/dHash is how real
+    // media pipelines dedup screenshots/thumbnails). The container
+    // has no codecs, so the decode is the DETERMINISTIC stub the
+    // multimodal discipline prescribes: pixels derive from an
+    // md5 walk over (doc_id%40, row, col), which both engines can
+    // compute — docs sharing a seed are identical images and
+    // alternate variants differ in ONE pixel (≤1 gradient bit), so
+    // the expected near-dup pairs are known. Everything downstream
+    // of the stub — bit extraction, blocking, banded pair join,
+    // Hamming verify — is the real operator.
+    "q_media_phash" -> ((s, dir) => {
+      def pix(r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(
+          pmod(col("doc_id"), lit(40)).cast("string"), lit("/"),
+          r.cast("string"), lit("/"), c.cast("string"))), 1, 4), 16, 10)
+          .cast("long")
+      val bits = docs(s, dir).select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)), b => {
+          val row = shiftright(b, 3)
+          val c = b.bitwiseAND(lit(7))
+          val p1 = pix(row, c) +
+            when(expr("(doc_id DIV 40) % 2 = 1") && b === 0, lit(65536L))
+              .otherwise(lit(0L))
+          (p1 < pix(row, c + 1)).cast("int")
+        }).as("bits"))
+      DedupOps.simhashNearDupPairs(bits, "doc_id", "bits", maxHamming = 2)
+    }),
+
     // Shard-balance QA for the training layout: per-shard doc counts
     // → min/max/total + the straggler ratio max/(total/liveShards) —
     // the check a 4096-shard write runs before a straggling task
@@ -2762,6 +2793,25 @@ object DataPipelineQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM v LEFT JOIN deg ON v.vec_id = deg.vid
         |GROUP BY COALESCE(d, CAST(0 AS BIGINT))""".stripMargin,
+
+    // the q_dedup_simhash oracle shape with dHash gradient bits from
+    // the deterministic pixel walk instead of token votes
+    "q_media_phash" ->
+      """WITH bits AS (SELECT doc_id,
+        |  list_transform(range(0, 64), b -> CASE WHEN
+        |    (('0x' || substr(md5((doc_id % 40)::VARCHAR || '/' || (b // 8)::VARCHAR || '/' || (b % 8)::VARCHAR), 1, 4))::BIGINT
+        |      + CASE WHEN (doc_id // 40) % 2 = 1 AND b = 0 THEN 65536 ELSE 0 END)
+        |    < ('0x' || substr(md5((doc_id % 40)::VARCHAR || '/' || (b // 8)::VARCHAR || '/' || ((b % 8) + 1)::VARCHAR), 1, 4))::BIGINT
+        |   THEN 1 ELSE 0 END) AS bits
+        | FROM documents),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b, a.bits ba, b.bits bb
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        | len(list_filter(list_zip(ba, bb), x -> x[1] <> x[2])) AS hamming
+        |FROM p
+        |WHERE len(list_filter(list_zip(ba, bb), x -> x[1] <> x[2])) <= 2
+        | AND list_max(list_transform(range(0, 4), c ->
+        |   CASE WHEN ba[c*16+1:c*16+16] = bb[c*16+1:c*16+16] THEN 1 ELSE 0 END)) = 1""".stripMargin,
 
     "q_shard_skew" ->
       """WITH s AS (SELECT CAST(('0x' || substr(md5('shuf42:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard
