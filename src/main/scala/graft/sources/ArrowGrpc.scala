@@ -38,7 +38,15 @@ import org.apache.spark.sql.types.StructType
   * receiver lands every batch durably and decodes in Spark later, and
   * a refused batch must never poison a later one's dictionaries — so
   * payloads are self-delimiting here and cross-batch delta continuity
-  * stays on the concatenated-wire path (ArrowDeltaSpec). */
+  * stays on the concatenated-wire path (ArrowDeltaSpec).
+  *
+  * Delivery is AT-LEAST-ONCE like every OTLP transport here: a
+  * refused/severed batch surfaces retryable, and the queued-retry
+  * exporter redelivers the whole frame — already-acked chunks of a
+  * partially delivered frame appear again in the spool (the unary
+  * exporters share this property; OTLP receivers own dedup). The
+  * reference's per-batch waiter map retries at batch granularity
+  * instead; frame granularity is the batch-engine analog. */
 object ArrowGrpc {
   import GrpcOtlp.{H2, Hpack, Status}
 
