@@ -1230,7 +1230,7 @@ object DataPipelineQueries {
     // SFs; production re-caps it.
     "q_knn_graph" -> ((s, dir) => {
       val e = embs(s, dir)
-      val pairs = AnnOps.embedNearDupPairs(e, planes = 4, tables = 16,
+      val pairs = AnnOps.embedNearDupPairs(e, planes = 5, tables = 16,
         threshold = -2.0, maxBucket = 1 << 20)
       val sym = pairs
         .select(col("id_a").as("qid"), col("id_b").as("nid"), col("sim"))
@@ -2766,7 +2766,7 @@ object DataPipelineQueries {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sig AS (SELECT vec_id, e,
         |  list_transform(range(0, 16), t ->
-        |    list_transform(range(0, 4), p ->
+        |    list_transform(range(0, 5), p ->
         |      CASE WHEN list_sum(list_transform(list_zip(e, range(0, len(e))), x ->
         |        CASE WHEN substr(md5(t::VARCHAR || '/' || p::VARCHAR || ':' || x[2]::VARCHAR), 1, 1) <= '7'
         |         THEN x[1] ELSE -x[1] END)) > 0 THEN 1 ELSE 0 END)) AS sg
