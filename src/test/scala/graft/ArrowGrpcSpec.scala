@@ -486,6 +486,43 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("config-declared otlp_arrow auth block gates the wire: bearer streams, anonymous refused") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_cfg_auth")
+    val sink = tmpDir("agrpc_cfg_auth_out") + "/o"
+    val ckpt = tmpDir("agrpc_cfg_auth_ckpt")
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/arrow": {
+         |  "receiver": {"type": "otlp_arrow", "port": 0, "spool": "$spool",
+         |    "auth": {"bearer_tokens": ["tok-9"]}},
+         |  "exporters": [{"type": "parquet", "path": "$sink"}]}}}""".stripMargin)
+    val queries = svc.runStreaming(spark, ckpt)
+    try {
+      val port = svc.pipelines("logs/arrow").receiver
+        .asInstanceOf[graft.pipeline.Pipeline.OtlpArrowServerReceiver].boundPort
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 3)).toDF("json"))
+      val ok = new ArrowGrpcStreamExporter("localhost", port, "logs",
+        numStreams = 1,
+        auth = Some(graft.sources.Auth.BearerTokenClient("tok-9")))
+      ok.export(logs)
+      ok.shutdown()
+      val anon = new ArrowGrpcStreamExporter("localhost", port, "logs",
+        numStreams = 1)
+      intercept[graft.pipeline.Pipeline.PermanentExportException] {
+        anon.export(logs)
+      }
+      def rows(): Long =
+        try spark.read.parquet(sink).count() catch { case _: Exception => 0L }
+      val deadline = System.currentTimeMillis() + 30000
+      while (rows() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(rows() == 3, s"sink rows: ${rows()}") // authed stream only
+    } finally {
+      queries.values.flatten.foreach(_.stop())
+      svc.stopReceivers()
+    }
+  }
+
   test("UNIMPLEMENTED peer downgrades the pool to standard OTLP; rows still land (exporter.go:158-165)") {
     import spark.implicits._
     val spool = tmpDir("agrpc_down")
