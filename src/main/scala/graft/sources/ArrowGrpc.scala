@@ -305,6 +305,25 @@ object ArrowGrpc {
               if ((f.flags & H2.FlagEndStream) != 0 && streams.contains(f.streamId))
                 finishStream(out, f.streamId, streams)
             case H2.DATA =>
+              // flow-control replenishment (RFC 9113 §5.2) FIRST —
+              // the frame is consumed into the stream buffer the
+              // moment it arrives, so the grant precedes the ack.
+              // Unary exchanges never exhaust the big initial window,
+              // but this receiver's streams are LONG-LIVED — a
+              // conformant peer that respects flow control would
+              // stall for good once cumulative DATA passes the
+              // initial window if nothing ever re-opens it.
+              if (f.payload.nonEmpty) {
+                val inc = Array[Byte](
+                  ((f.payload.length >> 24) & 0x7F).toByte,
+                  ((f.payload.length >> 16) & 0xFF).toByte,
+                  ((f.payload.length >> 8) & 0xFF).toByte,
+                  (f.payload.length & 0xFF).toByte)
+                H2.write(out, H2.WINDOW_UPDATE, 0, 0, inc)
+                if (streams.contains(f.streamId))
+                  H2.write(out, H2.WINDOW_UPDATE, 0, f.streamId, inc)
+                out.flush()
+              }
               streams.get(f.streamId).foreach { st =>
                 if (!st.dead) {
                   st.buf.write(f.payload)

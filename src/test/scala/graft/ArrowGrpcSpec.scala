@@ -208,6 +208,69 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("flow control: the receiver grants consumed DATA back as WINDOW_UPDATEs on connection and stream") {
+    val spool = tmpDir("agrpc_fc")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType)))
+      val rec = ArrowIpc.encodeRows(schema,
+        (0 until 50).map(i => org.apache.spark.sql.Row(s"row-$i")))
+      val sock = new java.net.Socket("localhost", rx.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        GrpcOtlp.H2.handshakeClient(out)
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS, GrpcOtlp.H2.FlagEndHeaders,
+          1, GrpcOtlp.Hpack.encode(Seq(
+            ":method" -> "POST", ":scheme" -> "http",
+            ":path" -> ArrowGrpc.StreamPath, ":authority" -> "localhost",
+            "content-type" -> "application/grpc", "te" -> "trailers")))
+        val msg = encodeBatch(BatchArrowRecords(1L,
+          Seq(ArrowPayload("s", PayloadType.Logs, rec)), Array.empty))
+        val frame = new java.io.ByteArrayOutputStream()
+        frame.write(0)
+        frame.write(Array[Byte](
+          ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
+          ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))
+        frame.write(msg)
+        val dataBytes = frame.size().toLong
+        GrpcOtlp.H2.writeData(out, 1, frame.toByteArray, endStream = false)
+        out.flush()
+        // read until the BatchStatus ack; account every WINDOW_UPDATE
+        var grantedConn = 0L
+        var grantedStream = 0L
+        var acked = false
+        while (!acked) {
+          val f = GrpcOtlp.H2.read(in)
+          require(f != null, "connection closed")
+          if (f.tpe == GrpcOtlp.H2.WINDOW_UPDATE) {
+            val inc = (((f.payload(0) & 0x7F) << 24) | ((f.payload(1) & 0xFF) << 16) |
+              ((f.payload(2) & 0xFF) << 8) | (f.payload(3) & 0xFF)).toLong
+            if (f.streamId == 0) grantedConn += inc else grantedStream += inc
+          } else if (f.tpe == GrpcOtlp.H2.DATA && f.streamId == 1 &&
+              f.payload.nonEmpty) acked = true
+          else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          }
+        }
+        // a conformant sender gets every consumed byte back — a
+        // long-lived stream's window never starves. The connection
+        // axis also carries the handshake's one-time big-window
+        // announcement; replenishment is what exceeds it.
+        val announce = (1L << 30) - 65535L
+        assert(grantedConn == announce + dataBytes,
+          s"conn grants $grantedConn vs ${announce + dataBytes}")
+        assert(grantedStream == dataBytes, s"stream grants $grantedStream vs $dataBytes")
+      } finally sock.close()
+    } finally rx.stop()
+  }
+
   test("oversize message breaks the stream with trailers; in-flight data after them is never processed or acked") {
     val spool = tmpDir("agrpc_dead")
     val rx = new ArrowGrpcReceiver(0, spool, maxRecvMsgBytes = 8192L)
