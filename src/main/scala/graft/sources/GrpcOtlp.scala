@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * RESOURCE_EXHAUSTED carries the server's retry pushback the way
   * the reference's otlp exporter consumes it.
   *
-  * Scope honesty: this is the unary Export* loopback subset — one
-  * request per stream, identity/gzip grpc-encoding, no server flow-
-  * control enforcement (both ends announce 1 GiB windows up front so
-  * unary exchanges never block); stream-lifecycle (the otel-arrow
-  * bidirectional stream) stays on the Arrow IPC transport.
+  * Scope honesty: this file is the unary Export* loopback subset —
+  * one request per stream, identity/gzip grpc-encoding, no flow-
+  * control bookkeeping (both ends announce 1 GiB windows up front so
+  * unary exchanges never block). The otel-arrow BIDIRECTIONAL stream
+  * lifecycle — long-lived streams, per-batch acks, window
+  * replenishment for sustained flows — lives in [[ArrowGrpc]] on
+  * this same h2c/HPACK layer.
   */
 object GrpcOtlp {
 
