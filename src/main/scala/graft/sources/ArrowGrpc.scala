@@ -30,15 +30,18 @@ import org.apache.spark.sql.types.StructType
   *    BatchStatus{batch_id=1, status_code=2, status_message=3};
   *    StatusCode mirrors the gRPC code space.
   *
-  * Scope honesty: each BatchArrowRecords carries ONE self-contained
-  * IPC payload (schema + dictionaries + batches + EOS — exactly what
-  * [[ArrowIpc.encodeRows]] emits, dictionary-encoded and
-  * zstd-compressed included). The reference keeps one stateful Arrow
-  * consumer per stream so dictionary DELTAS can span batches; graft's
-  * receiver lands every batch durably and decodes in Spark later, and
-  * a refused batch must never poison a later one's dictionaries — so
-  * payloads are self-delimiting here and cross-batch delta continuity
-  * stays on the concatenated-wire path (ArrowDeltaSpec).
+  * Payload modes: by default each BatchArrowRecords carries ONE
+  * self-contained IPC payload (schema + dictionaries + batches +
+  * EOS — exactly what [[ArrowIpc.encodeRows]] emits, dict+zstd
+  * included) so every batch decodes independently of its stream.
+  * With `deltaDict` the exporter holds one [[ArrowIpc.DeltaStreamEncoder]]
+  * per stream — the reference's stateful per-stream producer — and
+  * batches ride as CONTINUATION fragments of one IPC byte sequence
+  * (dictionary deltas only after the first); the receiver lands
+  * fragments keyed (stream, seq) and [[readStreamedSpool]]
+  * reassembles per stream before decode. A refused fragment's deltas
+  * never landed, so the encoder ends the segment and restarts with
+  * full dictionaries — a lost batch can never poison a later one.
   *
   * Delivery is AT-LEAST-ONCE like every OTLP transport here: a
   * refused/severed batch surfaces retryable, and the queued-retry
@@ -197,6 +200,44 @@ object ArrowGrpc {
     "traces" -> "/opentelemetry.proto.experimental.arrow.v1.ArrowTracesService/ArrowTraces",
     "metrics" -> "/opentelemetry.proto.experimental.arrow.v1.ArrowMetricsService/ArrowMetrics")
   private val arrowPaths: Set[String] = PathsBySignal.values.toSet + StreamPath
+
+  /** schema_id convention for delta fragments: `stream:<uuid>:<seq>`
+    * (the reference keys consumer state by schema id the same way) */
+  private[sources] object FragmentId {
+    private val Pat = "stream:([0-9a-f-]{36}):(\\d{1,12})".r
+    def unapply(schemaId: String): Option[(String, String)] = schemaId match {
+      case Pat(uuid, seq) => Some((uuid, seq))
+      case _ => None
+    }
+  }
+
+  /** Re-ingest a `<signal>_arrowstream` fragment spool: fragments
+    * group per stream uuid, concatenate in seq order into the
+    * stream's original IPC byte sequence, and decode with the
+    * multi-segment reader — dictionary DELTAS apply natively and an
+    * encoder reset (refused fragment) appears as a new segment
+    * boundary. One task holds one stream's bytes: bounded by
+    * max_stream_lifetime rollover, which caps how much one stream
+    * can ever accumulate. */
+  def readStreamedSpool(spark: SparkSession, dir: String,
+                        schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    val pat = "frag-([0-9a-f-]+)-(\\d+)\\.arrowfrag"
+    val frags = spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), pat, 1).as("stream"),
+        regexp_extract(col("path"), pat, 2).cast("long").as("seq"),
+        col("content"))
+      .filter(col("stream") =!= "")
+    val perStream = frags.groupBy(col("stream"))
+      .agg(array_sort(collect_list(struct(col("seq"), col("content"))))
+        .as("frags"))
+      .select(aggregate(col("frags"),
+        lit(Array.empty[Byte]),
+        (acc, x) => concat(acc, x.getField("content"))).as("ipc"))
+    perStream.select(col("ipc")).as(Encoders.BINARY)
+      .flatMap(b => ArrowIpc.decodeRowsMulti(schema, b))(Encoders.row(schema))
+  }
 
   // ---- receiver ----------------------------------------------------
 
@@ -503,15 +544,32 @@ object ArrowGrpc {
         case None => ()
       }
       try {
-        val dir = new java.io.File(spoolDir, s"${signal.get}_arrow")
-        dir.mkdirs()
         batch.payloads.foreach { p =>
-          val name = f"agrpc-${counter.incrementAndGet()}%08d-" +
-            f"${System.nanoTime()}%x.arrow"
-          val tmp = new java.io.File(dir, s".$name")
-          java.nio.file.Files.write(tmp.toPath, p.record)
-          if (!tmp.renameTo(new java.io.File(dir, name)))
-            throw new java.io.IOException(s"spool rename failed: $name")
+          p.schemaId match {
+            // delta-fragment payload: a CONTINUATION of one stream's
+            // IPC byte sequence — lands keyed by (stream, seq) so
+            // [[readStreamedSpool]] can reassemble in order; the
+            // REPLACE move makes a retransmitted fragment idempotent
+            case FragmentId(uuid, seq) =>
+              val dir = new java.io.File(spoolDir, s"${signal.get}_arrowstream")
+              dir.mkdirs()
+              val name = f"frag-$uuid-${seq.toLong}%012d.arrowfrag"
+              val tmp = new java.io.File(dir, s".$name")
+              java.nio.file.Files.write(tmp.toPath, p.record)
+              java.nio.file.Files.move(tmp.toPath,
+                new java.io.File(dir, name).toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            case _ =>
+              val dir = new java.io.File(spoolDir, s"${signal.get}_arrow")
+              dir.mkdirs()
+              val name = f"agrpc-${counter.incrementAndGet()}%08d-" +
+                f"${System.nanoTime()}%x.arrow"
+              val tmp = new java.io.File(dir, s".$name")
+              java.nio.file.Files.write(tmp.toPath, p.record)
+              if (!tmp.renameTo(new java.io.File(dir, name)))
+                throw new java.io.IOException(s"spool rename failed: $name")
+          }
         }
       } finally controller.foreach(_.release(totalBytes))
       obs.batches.incrementAndGet()
@@ -599,6 +657,38 @@ object ArrowGrpc {
     var lastUsedMs: Long = System.currentTimeMillis()
     def idleMs: Long = System.currentTimeMillis() - lastUsedMs
     def takeBatchId(): Long = { val id = nextBatchId; nextBatchId += 1; id }
+
+    // ---- delta-dictionary fragment state (one encoder per stream,
+    // the reference's stateful per-stream producer) ----------------
+    val streamUuid: String = java.util.UUID.randomUUID().toString
+    private var deltaEnc: ArrowIpc.DeltaStreamEncoder = null
+    private var fragSeq: Long = 0L
+    private var pendingEos: Array[Byte] = Array.empty
+
+    /** encode this batch as a CONTINUATION fragment of the stream's
+      * IPC byte sequence: schema + full dictionaries on the first
+      * fragment (or after a reset), dictionary DELTAS only afterward.
+      * A prior reset's EOS bytes prefix the next fragment so segment
+      * boundaries are explicit on the receiver's concatenation. */
+    def deltaPayload(schema: StructType, rows: Seq[Row],
+                     dictCap: Int): (String, Array[Byte]) = {
+      if (deltaEnc == null)
+        deltaEnc = new ArrowIpc.DeltaStreamEncoder(schema, dictCap)
+      val body = pendingEos ++ deltaEnc.writeBatch(rows)
+      pendingEos = Array.empty
+      (s"stream:$streamUuid:$fragSeq", body)
+    }
+    /** the fragment was ACKED durable — advance the sequence */
+    def commitFragment(): Unit = fragSeq += 1
+    /** a fragment was REFUSED: its dictionary deltas never landed, so
+      * the segment ends here (EOS rides the next fragment) and the
+      * next batch restarts with schema + full dictionaries — a lost
+      * batch can never poison a later one's dictionaries */
+    def resetDelta(): Unit = if (deltaEnc != null) {
+      pendingEos = pendingEos ++ deltaEnc.end()
+      deltaEnc = null
+      fragSeq += 1 // the refused seq is burned, gaps are harmless
+    }
 
     /** configgrpc client keepalive (keepalive.ClientParameters.Time
       * behavior): an h2 PING probes a stream idle past the keepalive
@@ -740,6 +830,12 @@ object ArrowGrpc {
       // configgrpc client keepalive time: a stream idle past this is
       // PING-probed before the next batch rides it (0 = off)
       keepaliveMs: Long = 0L,
+      // dictionary DELTAS across batches (the reference's stateful
+      // per-stream producer): batches ride as continuation fragments
+      // of one IPC byte stream per gRPC stream; re-ingest with
+      // [[ArrowGrpc.readStreamedSpool]]. false = each batch is a
+      // self-contained payload ([[ArrowIpc.readSpool]] layout)
+      deltaDict: Boolean = false,
       dictCap: Int = 64, codec: String = "zstd",
       rowsPerBatch: Int = 4096,
       gzipMessages: Boolean = false,
@@ -810,8 +906,6 @@ object ArrowGrpc {
     }
 
     private def sendChunk(schema: StructType, rows: Seq[Row]): Unit = {
-      val payload = ArrowIpc.encodeRows(schema, rows, dictCap,
-        batchRows = 0, codec = codec)
       val slot = slots.take() // first-available prioritizer; blocks = backpressure
       try {
         // lifetime rollover BETWEEN batches: nothing is in flight
@@ -837,21 +931,30 @@ object ArrowGrpc {
           c
         }
         val batchId = conn.takeBatchId()
+        val (schemaId, payload) =
+          if (deltaDict)
+            conn.deltaPayload(schema, rows, math.max(dictCap, 1))
+          else ("graft", ArrowIpc.encodeRows(schema, rows, dictCap,
+            batchRows = 0, codec = codec))
         val headers =
           if (batchHeaders.isEmpty) Array.empty[Byte]
           else GrpcOtlp.Hpack.encode(batchHeaders.toSeq)
         try {
           conn.send(BatchArrowRecords(batchId,
-            Seq(ArrowPayload("graft", PayloadType.of(signal), payload)), headers))
+            Seq(ArrowPayload(schemaId, PayloadType.of(signal), payload)), headers))
           val st = conn.await(batchId)
           conn.lastUsedMs = System.currentTimeMillis()
           st.statusCode match {
             case Status.Ok =>
+              if (deltaDict) conn.commitFragment()
               arrowBatches.incrementAndGet()
               sentBytes.addAndGet(payload.length.toLong)
               sentWireBytes.addAndGet(conn.lastWireBytes)
             case Status.ResourceExhausted | Status.Unavailable =>
-              // refusal acks only this batch; the stream stays OPEN
+              // refusal acks only this batch; the stream stays OPEN,
+              // but a refused fragment's dictionary deltas are lost —
+              // the delta encoder resets so later batches stay sound
+              if (deltaDict) conn.resetDelta()
               refusedBatches.incrementAndGet()
               throw new graft.pipeline.Pipeline.ThrottledExportException(
                 s"batch $batchId refused: ${st.statusMessage}", 0L)

@@ -473,6 +473,65 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("delta-dictionary fragments: batches continue ONE IPC stream, deltas beat re-sending, and re-ingest is lossless") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_delta")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      // heavy shared vocabulary: after fragment 0 carries the full
+      // dictionary, later fragments ship deltas (here: none) + indices
+      def batch(tag: String) = (0 until 200)
+        .map(i => s"service-instance-${i % 64}-of-the-production-fleet")
+        .toDF("body")
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+      exp.export(batch("a"))
+      exp.export(batch("b"))
+      exp.export(batch("c"))
+      exp.shutdown()
+      val dir = new java.io.File(spool, "logs_arrowstream")
+      val frags = dir.listFiles().filter(_.getName.endsWith(".arrowfrag"))
+        .sortBy(_.getName)
+      assert(frags.length == 3, frags.map(_.getName).toSeq)
+      // continuation fragments carry NO schema/dictionary re-send
+      assert(frags(1).length < frags(0).length / 2,
+        s"fragment 1 is not a delta: ${frags.map(_.length).toSeq}")
+      assert(frags(2).length < frags(0).length / 2)
+      // no new vocabulary → identical continuation fragments
+      assert(frags(1).length == frags(2).length)
+      val schema = batch("x").schema
+      val back = ArrowGrpc.readStreamedSpool(spark,
+        dir.toString, schema)
+      assert(back.count() == 600)
+      assert(back.select("body").distinct().count() == 64)
+    } finally rx.stop()
+  }
+
+  test("delta fragments: a REFUSED fragment's lost deltas cannot poison later batches — the encoder resets the segment") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_delta_rst")
+    val rx = new ArrowGrpcReceiver(0, spool,
+      controller = Some(new graft.pipeline.AdmissionController(8192L)))
+    try {
+      val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+      exp.export((0 until 3).map(i => s"ok-a-$i").toDF("body"))
+      // oversized middle batch: refused with RESOURCE_EXHAUSTED; its
+      // fragment (with any dictionary deltas) never lands
+      intercept[graft.pipeline.Pipeline.ThrottledExportException] {
+        exp.export(Seq("x" * 32768).toDF("body"))
+      }
+      exp.export((0 until 2).map(i => s"ok-b-$i").toDF("body"))
+      exp.shutdown()
+      val dir = new java.io.File(spool, "logs_arrowstream")
+      assert(dir.listFiles().count(_.getName.endsWith(".arrowfrag")) == 2)
+      val schema = Seq("s").toDF("body").schema
+      val back = ArrowGrpc.readStreamedSpool(spark, dir.toString, schema)
+        .select("body").collect().map(_.getString(0)).sorted.toSeq
+      assert(back == Seq("ok-a-0", "ok-a-1", "ok-a-2", "ok-b-0", "ok-b-1"))
+    } finally rx.stop()
+  }
+
   test("keepalive: an idle stream is PING-probed; a dead path severs and the batch rides a fresh stream transparently") {
     import spark.implicits._
     val spool1 = tmpDir("agrpc_ka1")
