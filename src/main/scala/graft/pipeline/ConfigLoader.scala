@@ -915,6 +915,9 @@ object ConfigLoader {
           .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
         keepaliveMs = m.get("keepalive_ms")
           .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+        // stateful per-stream delta dictionaries; the fragment spool
+        // re-ingests via ArrowGrpc.readStreamedSpool (batch reassembly)
+        deltaDict = m.get("delta_dict").exists(_.toString == "true"),
         dictCap = m.get("dict_cap")
           .map(_.asInstanceOf[Number].intValue()).getOrElse(64),
         codec = m.get("codec").map(_.toString).getOrElse("zstd"),
