@@ -642,6 +642,91 @@ object ArrowGrpc {
     private val decoder = new GrpcOtlp.Hpack.Decoder
     private val recvBuf = new java.io.ByteArrayOutputStream()
     private var trailersSeen: Option[(Int, String)] = None
+    // send-direction flow control (RFC 9113 §5.2): ENFORCED, not just
+    // announced — both axes start at the protocol default 65535 and
+    // only the peer's SETTINGS/WINDOW_UPDATEs open them; a stingy
+    // conformant server is honored instead of overrun
+    private var connWindow: Long = 65535L
+    private var streamWindow: Long = 65535L
+    private var peerInitialWindow: Long = 65535L
+
+    /** one peer frame, every direction-agnostic effect applied:
+      * settings (incl. INITIAL_WINDOW_SIZE deltas), ping acks, window
+      * grants, response headers/trailers, ack DATA into recvBuf */
+    private def handleFrame(f: H2.Frame): Unit = f.tpe match {
+      case H2.SETTINGS =>
+        if ((f.flags & H2.FlagAck) == 0) {
+          var i = 0
+          while (i + 6 <= f.payload.length) {
+            val id = ((f.payload(i) & 0xFF) << 8) | (f.payload(i + 1) & 0xFF)
+            val v = ((f.payload(i + 2) & 0xFFL) << 24) |
+              ((f.payload(i + 3) & 0xFFL) << 16) |
+              ((f.payload(i + 4) & 0xFFL) << 8) | (f.payload(i + 5) & 0xFFL)
+            if (id == 0x4) { // INITIAL_WINDOW_SIZE: delta on STREAM windows
+              streamWindow += v - peerInitialWindow
+              peerInitialWindow = v
+            }
+            i += 6
+          }
+          H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty); out.flush()
+        }
+      case H2.PING =>
+        if ((f.flags & H2.FlagAck) == 0) {
+          H2.write(out, H2.PING, H2.FlagAck, 0, f.payload); out.flush()
+        }
+      case H2.WINDOW_UPDATE =>
+        val inc = (((f.payload(0) & 0x7F) << 24) | ((f.payload(1) & 0xFF) << 16) |
+          ((f.payload(2) & 0xFF) << 8) | (f.payload(3) & 0xFF)).toLong
+        if (f.streamId == 0) connWindow += inc
+        else if (f.streamId == 1) streamWindow += inc
+      case H2.HEADERS | H2.CONTINUATION if f.streamId == 1 =>
+        val hs = decoder.decode(f.payload).toMap
+        if ((f.flags & H2.FlagEndStream) != 0) {
+          val status = hs.getOrElse("grpc-status", "2").toInt
+          val msg = hs.getOrElse("grpc-message", "")
+          trailersSeen = Some((status, msg))
+          if (status == Status.Unimplemented)
+            throw new ArrowUnimplementedException(msg)
+          // stream severed by the server: transient statuses are
+          // ErrStreamRestarting (retryable); a refusal like
+          // UNAUTHENTICATED/INVALID_ARGUMENT retried forever
+          // would loop — permanent, like the unary exporter
+          if (status == Status.ResourceExhausted ||
+              status == Status.Unavailable)
+            throw new java.io.IOException(
+              s"stream ended by server: grpc-status $status $msg")
+          throw new graft.pipeline.Pipeline.PermanentExportException(
+            s"stream refused by server: grpc-status $status $msg")
+        }
+      case H2.DATA if f.streamId == 1 => recvBuf.write(f.payload)
+      case H2.RST_STREAM =>
+        throw new java.io.IOException("stream reset by server")
+      case _ => ()
+    }
+
+    /** DATA chunked within BOTH send windows: when the window is
+      * shut, block reading peer frames until a grant arrives (ack
+      * DATA buffers for the later await) */
+    private def writeDataFlowControlled(body: Array[Byte]): Unit = {
+      var off = 0
+      while (off < body.length) {
+        while (math.min(connWindow, streamWindow) <= 0L) {
+          out.flush()
+          val f = H2.read(in)
+          if (f == null)
+            throw new java.io.IOException("connection closed awaiting window")
+          handleFrame(f)
+        }
+        val n = math.min(
+          math.min(H2.MaxFrame.toLong, (body.length - off).toLong),
+          math.min(connWindow, streamWindow)).toInt
+        H2.write(out, H2.DATA, 0, 1,
+          java.util.Arrays.copyOfRange(body, off, off + n))
+        connWindow -= n; streamWindow -= n
+        off += n
+      }
+      out.flush()
+    }
 
     H2.handshakeClient(out)
     H2.write(out, H2.HEADERS, H2.FlagEndHeaders, 1, GrpcOtlp.Hpack.encode(
@@ -705,10 +790,9 @@ object ArrowGrpc {
         if (f == null) throw new java.io.IOException("connection closed on keepalive ping")
         if (f.tpe == H2.PING && (f.flags & H2.FlagAck) != 0 &&
             java.util.Arrays.equals(f.payload, token)) acked = true
-        else if (f.tpe == H2.SETTINGS && (f.flags & H2.FlagAck) == 0) {
-          H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty); out.flush()
-        } else if (f.tpe == H2.GOAWAY || f.tpe == H2.RST_STREAM)
+        else if (f.tpe == H2.GOAWAY)
           throw new java.io.IOException("stream closed on keepalive ping")
+        else handleFrame(f) // window grants etc. must not be dropped
       }
       lastUsedMs = System.currentTimeMillis()
     }
@@ -726,8 +810,7 @@ object ArrowGrpc {
         ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
         ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))
       frame.write(msg)
-      H2.writeData(out, 1, frame.toByteArray, endStream = false)
-      out.flush()
+      writeDataFlowControlled(frame.toByteArray)
     }
 
     /** block until the BatchStatus for `batchId` arrives (one batch
@@ -753,40 +836,7 @@ object ArrowGrpc {
         }
         val f = H2.read(in)
         if (f == null) throw new java.io.IOException("connection closed mid-stream")
-        f.tpe match {
-          case H2.SETTINGS =>
-            if ((f.flags & H2.FlagAck) == 0) {
-              H2.write(out, H2.SETTINGS, H2.FlagAck, 0, Array.empty); out.flush()
-            }
-          case H2.PING =>
-            if ((f.flags & H2.FlagAck) == 0) {
-              H2.write(out, H2.PING, H2.FlagAck, 0, f.payload); out.flush()
-            }
-          case H2.WINDOW_UPDATE | H2.GOAWAY => ()
-          case H2.HEADERS | H2.CONTINUATION if f.streamId == 1 =>
-            val hs = decoder.decode(f.payload).toMap
-            if ((f.flags & H2.FlagEndStream) != 0) {
-              val status = hs.getOrElse("grpc-status", "2").toInt
-              val msg = hs.getOrElse("grpc-message", "")
-              trailersSeen = Some((status, msg))
-              if (status == Status.Unimplemented)
-                throw new ArrowUnimplementedException(msg)
-              // stream severed by the server: transient statuses are
-              // ErrStreamRestarting (retryable); a refusal like
-              // UNAUTHENTICATED/INVALID_ARGUMENT retried forever
-              // would loop — permanent, like the unary exporter
-              if (status == Status.ResourceExhausted ||
-                  status == Status.Unavailable)
-                throw new java.io.IOException(
-                  s"stream ended by server: grpc-status $status $msg")
-              throw new graft.pipeline.Pipeline.PermanentExportException(
-                s"stream refused by server: grpc-status $status $msg")
-            }
-          case H2.DATA if f.streamId == 1 => recvBuf.write(f.payload)
-          case H2.RST_STREAM =>
-            throw new java.io.IOException("stream reset by server")
-          case _ => ()
-        }
+        handleFrame(f)
       }
       throw new IllegalStateException("unreachable")
     }

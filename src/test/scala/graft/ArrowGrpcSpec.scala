@@ -473,6 +473,108 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("flow-control ENFORCEMENT: the exporter never overruns a stingy peer's 64 KiB windows and drains on grants") {
+    // a conformant server that does NOT announce big windows: the
+    // protocol-default 65535 governs, grants come back only as data
+    // is consumed, and any overrun is flagged as a violation
+    @volatile var violated = false
+    @volatile var maxOutstanding = 0L
+    @volatile var ackedBatch = -1L
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val srv = new Thread(() => {
+      val sock = server.accept()
+      try {
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        require(in.readNBytes(24).length == 24) // client preface
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS, 0, 0, Array.empty)
+        out.flush() // EMPTY settings: windows stay at 65535
+        var granted = 0L
+        var received = 0L
+        val msg = new java.io.ByteArrayOutputStream()
+        var done = false
+        while (!done) {
+          val f = GrpcOtlp.H2.read(in)
+          if (f == null) done = true
+          else f.tpe match {
+            case GrpcOtlp.H2.SETTINGS =>
+              if ((f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+                GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+                  GrpcOtlp.H2.FlagAck, 0, Array.empty)
+                out.flush()
+              }
+            case GrpcOtlp.H2.HEADERS =>
+              GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS,
+                GrpcOtlp.H2.FlagEndHeaders, 1, GrpcOtlp.Hpack.encode(Seq(
+                  ":status" -> "200", "content-type" -> "application/grpc")))
+              out.flush()
+            case GrpcOtlp.H2.DATA =>
+              received += f.payload.length
+              val outstanding = received - granted
+              maxOutstanding = math.max(maxOutstanding, outstanding)
+              if (outstanding > 65535L) violated = true
+              msg.write(f.payload)
+              // STINGY grants: nothing until the client exhausts the
+              // whole window — forces a real stall/drain cycle per
+              // 64 KiB instead of a grant per frame
+              if (outstanding >= 65535L) {
+                val g = outstanding
+                val inc = Array[Byte](
+                  ((g >> 24) & 0x7F).toByte, ((g >> 16) & 0xFF).toByte,
+                  ((g >> 8) & 0xFF).toByte, (g & 0xFF).toByte)
+                GrpcOtlp.H2.write(out, GrpcOtlp.H2.WINDOW_UPDATE, 0, 0, inc)
+                GrpcOtlp.H2.write(out, GrpcOtlp.H2.WINDOW_UPDATE, 0, 1, inc)
+                out.flush()
+                granted += g
+              }
+              val b = msg.toByteArray
+              if (b.length >= 5) {
+                val mlen = ((b(1) & 0xFF) << 24) | ((b(2) & 0xFF) << 16) |
+                  ((b(3) & 0xFF) << 8) | (b(4) & 0xFF)
+                if (b.length >= 5 + mlen) { // complete message → ack OK
+                  val batch = decodeBatch(
+                    java.util.Arrays.copyOfRange(b, 5, 5 + mlen))
+                  ackedBatch = batch.batchId
+                  val enc = encodeStatus(BatchStatus(batch.batchId, 0, ""))
+                  val fr = new java.io.ByteArrayOutputStream()
+                  fr.write(0)
+                  fr.write(Array[Byte](
+                    ((enc.length >> 24) & 0xFF).toByte,
+                    ((enc.length >> 16) & 0xFF).toByte,
+                    ((enc.length >> 8) & 0xFF).toByte,
+                    (enc.length & 0xFF).toByte))
+                  fr.write(enc)
+                  GrpcOtlp.H2.writeData(out, 1, fr.toByteArray, endStream = false)
+                  out.flush()
+                  done = true
+                }
+              }
+            case _ => ()
+          }
+        }
+      } catch { case _: Throwable => () } finally sock.close()
+    }, "stingy-server")
+    srv.setDaemon(true); srv.start()
+    try {
+      import spark.implicits._
+      // ~200 KiB of incompressible-ish payload: forces ≥3 stall/grant
+      // cycles through the 64 KiB windows
+      val rnd = new scala.util.Random(7)
+      val df = (0 until 400)
+        .map(_ => rnd.alphanumeric.take(512).mkString).toDF("body")
+      val exp = new ArrowGrpcStreamExporter("localhost",
+        server.getLocalPort, "logs", numStreams = 1, codec = "none")
+      exp.export(df)
+      exp.shutdown()
+      srv.join(10000)
+      assert(!violated, s"window overrun: max outstanding $maxOutstanding")
+      assert(maxOutstanding == 65535L, // hit the wall, never past it
+        s"window never exercised to its edge: $maxOutstanding")
+      assert(ackedBatch == 0L)
+    } finally server.close()
+  }
+
   test("delta-dictionary fragments: batches continue ONE IPC stream, deltas beat re-sending, and re-ingest is lossless") {
     import spark.implicits._
     val spool = tmpDir("agrpc_delta")
