@@ -1201,7 +1201,7 @@ object DataPipelineQueries {
       val sig = sh.select(col("doc_id"),
         DedupOps.minhashSignatureMd5(col("shs"), 32).as("sig"))
       DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
-          bands = 8, rows = 4, threshold = 0.0)
+          bands = 8, rows = 4, threshold = 0.0, maxBucket = 1 << 20)
         .select(col("id_a"), col("id_b"))
         .join(sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
@@ -1281,7 +1281,13 @@ object DataPipelineQueries {
               .otherwise(lit(0L))
           (p1 < pix(row, c + 1)).cast("int")
         }).as("bits"))
-      DedupOps.simhashNearDupPairs(bits, "doc_id", "bits", maxHamming = 2)
+      // maxBucket lifted: the stub's ~80 identity classes grow
+      // linearly with the corpus, and the capless oracle must stay
+      // twin-exact (at real scale the CC/representative pass consumes
+      // these pairs — pair listing within a dup cluster is quadratic
+      // by definition, the §4 interpretation note)
+      DedupOps.simhashNearDupPairs(bits, "doc_id", "bits", maxHamming = 2,
+        maxBucket = 1 << 20)
     }),
 
     // Shard-balance QA for the training layout: per-shard doc counts

@@ -178,7 +178,10 @@ object MetricsQueries {
       val stale = pts.filter(col("flags") === 1)
         .groupBy(col("event_type"), expr(s"ts_ns DIV $MinNs").as("bucket"))
         .agg(count(lit(1)).as("n_stale"))
-      recorded.join(stale, Seq("event_type", "bucket"), "left")
+      // FULL outer: a window of ONLY markers (the strongest health
+      // alarm) keeps its n_stale with a null last_value — a left join
+      // from the recorded side would drop it exactly when it matters
+      recorded.join(stale, Seq("event_type", "bucket"), "full")
         .select(col("event_type"), col("bucket"), col("last_value"),
           coalesce(col("n_stale"), lit(0L)).as("n_stale"))
     }),
@@ -358,9 +361,10 @@ object MetricsQueries {
          |st AS (SELECT event_type, tns // $MinNs AS bucket,
          |  CAST(COUNT(*) AS BIGINT) AS n_stale
          | FROM p WHERE flags = 1 GROUP BY event_type, tns // $MinNs)
-         |SELECT rec.event_type, rec.bucket, rec.last_value,
+         |SELECT COALESCE(rec.event_type, st.event_type) AS event_type,
+         | COALESCE(rec.bucket, st.bucket) AS bucket, rec.last_value,
          | COALESCE(st.n_stale, CAST(0 AS BIGINT)) AS n_stale
-         |FROM rec LEFT JOIN st
+         |FROM rec FULL JOIN st
          | ON rec.event_type = st.event_type AND rec.bucket = st.bucket""".stripMargin,
 
     "q_hist_minmax" ->

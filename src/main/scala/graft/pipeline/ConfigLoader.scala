@@ -134,7 +134,7 @@ object ConfigLoader {
           expandKeyDelims(mm.asInstanceOf[java.util.Map[String, Object]])
         case other => other
       }
-      val parts = k.split("::").toSeq
+      val parts = k.split("::", -1).toSeq // -1 keeps trailing empties loud
       require(parts.nonEmpty && parts.forall(_.nonEmpty),
         s"yaml: provider key has an empty `::` segment: '$k'")
       val nested: Object = parts.tail.foldRight(v) { (seg, inner) =>
@@ -663,7 +663,10 @@ object ConfigLoader {
         maxFilesPerTrigger =
           m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
-        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
+        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))),
+        // the receive half of the exporter's delta_dict (batch
+        // reassembly of the fragment spool)
+        deltaStream = m.get("delta_stream").exists(_.toString == "true"))
       // JSONL corpus source — the inverse of the jsonl exporter
       // (schema inferred; .gz transparent via Spark's text codecs)
       case "jsonl" => new Receiver {

@@ -99,7 +99,12 @@ object Extensions {
       }
 
     def getClient(kind: String, id: String, storageName: String): Client = {
-      new FileClient(Paths.get(scopeDirectory(kind, id, storageName)))
+      val scope = Paths.get(scopeDirectory(kind, id, storageName))
+      // layout migration belongs to the KV surface ONLY: a queue
+      // scope (scopeDirectory as a spool root) has its own layout
+      // that a rename sweep would corrupt
+      migrateLayout(scope)
+      new FileClient(scope)
     }
 
     /** graft-specific bridge for components whose DATA plane is a
@@ -113,6 +118,25 @@ object Extensions {
         s"${enc(kind)}_${enc(id)}_${enc(storageName)}")
       Files.createDirectories(scope)
       scope.toString
+    }
+
+    /** one-time migration to the v2 layout (key files prefixed `k_`
+      * so they are namespace-disjoint from `.tmp_*` scratch): a
+      * pre-existing scope written by the v1 layout is re-prefixed
+      * once, marked, and never touched again — an upgrade must not
+      * silently reset queue metadata / recovery counters to empty */
+    private def migrateLayout(scope: Path): Unit = {
+      val marker = scope.resolve("_layout_v2")
+      if (Files.exists(marker)) return
+      val legacy = Option(scope.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+      legacy.foreach { f =>
+        Files.move(f.toPath, scope.resolve("k_" + f.getName),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.write(marker, Array.empty[Byte])
+      ()
     }
 
     private final class FileClient(scope: Path) extends Client {

@@ -173,14 +173,26 @@ object Pipeline {
   final case class OtlpArrowServerReceiver(port: Int, spoolDir: String,
       maxFilesPerTrigger: Int = 10,
       tls: Option[graft.sources.TlsConfig] = None,
-      auth: Option[graft.sources.Auth.ServerAuthenticator] = None)
+      auth: Option[graft.sources.Auth.ServerAuthenticator] = None,
+      // pair with an exporter's delta_dict: the plan becomes a BATCH
+      // reassembly of the fragment spool (stream-grouped, seq-ordered
+      // — fragments are not independently decodable, so a streaming
+      // file tail cannot serve them; run-once pipelines fit)
+      deltaStream: Boolean = false)
       extends Receiver with ReceiverLifecycle {
     @transient @volatile private var server: graft.sources.ArrowGrpc.ArrowGrpcReceiver = _
     def read(spark: SparkSession): DataFrame = {
-      val dir = new java.io.File(spoolDir, "logs_arrow")
-      dir.mkdirs()
-      graft.sources.ArrowIpc.streamLogsSpool(spark, dir.toString,
-        maxFilesPerTrigger)
+      if (deltaStream) {
+        val dir = new java.io.File(spoolDir, "logs_arrowstream")
+        dir.mkdirs()
+        graft.sources.ArrowGrpc.readStreamedSpool(spark, dir.toString,
+          graft.sources.ArrowIpc.logsSchema(spark))
+      } else {
+        val dir = new java.io.File(spoolDir, "logs_arrow")
+        dir.mkdirs()
+        graft.sources.ArrowIpc.streamLogsSpool(spark, dir.toString,
+          maxFilesPerTrigger)
+      }
     }
     def start(spark: SparkSession): Unit = synchronized {
       if (server == null)

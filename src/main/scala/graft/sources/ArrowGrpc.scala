@@ -447,9 +447,12 @@ object ArrowGrpc {
       while (go && bytes.length - consumed >= 5) {
         val base = consumed
         val compressed = bytes(base) != 0
-        val mlen = ((bytes(base + 1) & 0xFF) << 24) | ((bytes(base + 2) & 0xFF) << 16) |
-          ((bytes(base + 3) & 0xFF) << 8) | (bytes(base + 4) & 0xFF)
-        if (mlen.toLong > maxRecvMsgBytes) {
+        // UNSIGNED 32-bit length: a high-bit prefix must hit the size
+        // gate as the huge number it claims to be, not wrap negative
+        // and sneak past both checks into an array-bounds crash
+        val mlen = ((bytes(base + 1) & 0xFFL) << 24) | ((bytes(base + 2) & 0xFFL) << 16) |
+          ((bytes(base + 3) & 0xFFL) << 8) | (bytes(base + 4) & 0xFFL)
+        if (mlen > maxRecvMsgBytes) {
           // without a decodable batch_id there is nothing to ack —
           // this is the transport-level failure that DOES break the
           // stream (gRPC's own max_recv_msg_size behavior)
@@ -461,8 +464,9 @@ object ArrowGrpc {
         }
         if (bytes.length - base - 5 < mlen) go = false
         else {
-          val framed = java.util.Arrays.copyOfRange(bytes, base + 5, base + 5 + mlen)
-          consumed = base + 5 + mlen
+          val framed = java.util.Arrays.copyOfRange(
+            bytes, base + 5, base + 5 + mlen.toInt)
+          consumed = base + 5 + mlen.toInt
           val body =
             if (!compressed) framed
             else st.headers.get("grpc-encoding") match {
@@ -493,6 +497,11 @@ object ArrowGrpc {
             st.dead = true
             return
         }
+      // scope note: ack writes skip send-window bookkeeping — a
+      // BatchStatus is ~20 bytes, far below any practical window
+      // pressure, and blocking the single per-connection thread on a
+      // client grant here could deadlock against incoming DATA; the
+      // EXPORTER side (the direction that moves real volume) enforces
       def ack(code: Int, msg: String = ""): Unit = {
         val enc = encodeStatus(BatchStatus(batch.batchId, code, msg))
         val frame = new java.io.ByteArrayOutputStream()
@@ -749,6 +758,9 @@ object ArrowGrpc {
     private var deltaEnc: ArrowIpc.DeltaStreamEncoder = null
     private var fragSeq: Long = 0L
     private var pendingEos: Array[Byte] = Array.empty
+    // has any fragment of the CURRENT segment landed durably? An EOS
+    // is only valid for a segment whose schema message was delivered
+    private var segmentCommitted = false
 
     /** encode this batch as a CONTINUATION fragment of the stream's
       * IPC byte sequence: schema + full dictionaries on the first
@@ -757,21 +769,28 @@ object ArrowGrpc {
       * boundaries are explicit on the receiver's concatenation. */
     def deltaPayload(schema: StructType, rows: Seq[Row],
                      dictCap: Int): (String, Array[Byte]) = {
-      if (deltaEnc == null)
+      if (deltaEnc == null) {
         deltaEnc = new ArrowIpc.DeltaStreamEncoder(schema, dictCap)
+        segmentCommitted = false
+      }
       val body = pendingEos ++ deltaEnc.writeBatch(rows)
       pendingEos = Array.empty
       (s"stream:$streamUuid:$fragSeq", body)
     }
     /** the fragment was ACKED durable — advance the sequence */
-    def commitFragment(): Unit = fragSeq += 1
+    def commitFragment(): Unit = { fragSeq += 1; segmentCommitted = true }
     /** a fragment was REFUSED: its dictionary deltas never landed, so
       * the segment ends here (EOS rides the next fragment) and the
       * next batch restarts with schema + full dictionaries — a lost
       * batch can never poison a later one's dictionaries */
     def resetDelta(): Unit = if (deltaEnc != null) {
-      pendingEos = pendingEos ++ deltaEnc.end()
+      val eos = deltaEnc.end() // always: frees the encoder's allocators
+      // EOS only if the segment's opener (schema message) LANDED —
+      // a refused FIRST fragment took the schema down with it, and a
+      // bare EOS at the head of the reassembly would break decode
+      if (segmentCommitted) pendingEos = pendingEos ++ eos
       deltaEnc = null
+      segmentCommitted = false
       fragSeq += 1 // the refused seq is burned, gaps are harmless
     }
 

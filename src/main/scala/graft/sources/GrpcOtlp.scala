@@ -643,9 +643,11 @@ object GrpcOtlp {
         return
       }
       val compressed = raw(0) != 0
-      val mlen = ((raw(1) & 0xFF) << 24) | ((raw(2) & 0xFF) << 16) |
-        ((raw(3) & 0xFF) << 8) | (raw(4) & 0xFF)
-      if (mlen.toLong > maxRecvMsgBytes) {
+      // UNSIGNED 32-bit length (a high-bit prefix must hit the size
+      // gate, not wrap negative past it into an array-bounds crash)
+      val mlen = ((raw(1) & 0xFFL) << 24) | ((raw(2) & 0xFFL) << 16) |
+        ((raw(3) & 0xFFL) << 8) | (raw(4) & 0xFFL)
+      if (mlen > maxRecvMsgBytes) {
         obs.throttled.incrementAndGet()
         trailersOnly(out, streamId, Status.ResourceExhausted,
           s"received message larger than max ($mlen vs $maxRecvMsgBytes)")
@@ -656,7 +658,7 @@ object GrpcOtlp {
         trailersOnly(out, streamId, Status.InvalidArgument, "truncated grpc message")
         return
       }
-      val framed = java.util.Arrays.copyOfRange(raw, 5, 5 + mlen)
+      val framed = java.util.Arrays.copyOfRange(raw, 5, 5 + mlen.toInt)
       val body =
         if (!compressed) framed
         else sb.headers.get("grpc-encoding") match {
@@ -709,7 +711,7 @@ object GrpcOtlp {
       } finally controller.foreach(_.release(body.length.toLong))
       obs.requests.incrementAndGet()
       // netstats: framed length is the wire axis, decoded the logical
-      obs.recvWireBytes.addAndGet(mlen.toLong)
+      obs.recvWireBytes.addAndGet(mlen)
       obs.recvBytes.addAndGet(body.length.toLong)
       if (auth.isDefined) onAuthenticated(signal.get, authAttrs)
       // success: response HEADERS + one framed response message + trailers

@@ -271,6 +271,50 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("a high-bit gRPC length prefix hits the size gate as the huge number it claims, never wraps negative") {
+    val spool = tmpDir("agrpc_neg")
+    val rx = new ArrowGrpcReceiver(0, spool, maxRecvMsgBytes = 8192L)
+    try {
+      val sock = new java.net.Socket("localhost", rx.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        GrpcOtlp.H2.handshakeClient(out)
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS, GrpcOtlp.H2.FlagEndHeaders,
+          1, GrpcOtlp.Hpack.encode(Seq(
+            ":method" -> "POST", ":scheme" -> "http",
+            ":path" -> ArrowGrpc.StreamPath, ":authority" -> "localhost",
+            "content-type" -> "application/grpc", "te" -> "trailers")))
+        // 5-byte prefix declaring length 0x80000000 (negative as Int)
+        GrpcOtlp.H2.writeData(out, 1,
+          Array[Byte](0, 0x80.toByte, 0, 0, 0), endStream = false)
+        out.flush()
+        var status = ""
+        var done = false
+        while (!done) {
+          val f = GrpcOtlp.H2.read(in)
+          if (f == null) done = true
+          else if ((f.tpe == GrpcOtlp.H2.HEADERS ||
+              f.tpe == GrpcOtlp.H2.CONTINUATION) && f.streamId == 1) {
+            new GrpcOtlp.Hpack.Decoder().decode(f.payload).toMap
+              .get("grpc-status").foreach(status = _)
+            if ((f.flags & GrpcOtlp.H2.FlagEndStream) != 0) done = true
+          } else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          }
+        }
+        // the documented contract: RESOURCE_EXHAUSTED trailers, not a
+        // connection-killing array-bounds crash
+        assert(status == "8", s"grpc-status: '$status'")
+      } finally sock.close()
+      assert(rx.obs.batches.get == 0)
+    } finally rx.stop()
+  }
+
   test("oversize message breaks the stream with trailers; in-flight data after them is never processed or acked") {
     val spool = tmpDir("agrpc_dead")
     val rx = new ArrowGrpcReceiver(0, spool, maxRecvMsgBytes = 8192L)
@@ -632,6 +676,27 @@ class ArrowGrpcSpec extends AnyFunSuite {
         .select("body").collect().map(_.getString(0)).sorted.toSeq
       assert(back == Seq("ok-a-0", "ok-a-1", "ok-a-2", "ok-b-0", "ok-b-1"))
     } finally rx.stop()
+
+    // refusal of the very FIRST fragment: the refused segment's
+    // schema never landed, so NO bare EOS may lead the reassembly —
+    // the next delivered fragment must open a clean segment
+    val spool2 = tmpDir("agrpc_delta_first")
+    val rx2 = new ArrowGrpcReceiver(0, spool2,
+      controller = Some(new graft.pipeline.AdmissionController(8192L)))
+    try {
+      val exp2 = new ArrowGrpcStreamExporter("localhost", rx2.boundPort,
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+      intercept[graft.pipeline.Pipeline.ThrottledExportException] {
+        exp2.export(Seq("y" * 32768).toDF("body"))
+      }
+      exp2.export((0 until 2).map(i => s"after-$i").toDF("body"))
+      exp2.shutdown()
+      val dir2 = new java.io.File(spool2, "logs_arrowstream")
+      val schema2 = Seq("s").toDF("body").schema
+      val back2 = ArrowGrpc.readStreamedSpool(spark, dir2.toString, schema2)
+        .select("body").collect().map(_.getString(0)).sorted.toSeq
+      assert(back2 == Seq("after-0", "after-1"))
+    } finally rx2.stop()
   }
 
   test("keepalive: an idle stream is PING-probed; a dead path severs and the batch rides a fresh stream transparently") {
@@ -708,6 +773,31 @@ class ArrowGrpcSpec extends AnyFunSuite {
         .groupBy(col("svc")).count()
         .collect().map(_.getLong(1)).toSeq == Seq(12L, 12L, 12L, 12L))
     } finally rx.stop()
+  }
+
+  test("config-declared otlp_arrow with delta_stream re-ingests the fragment spool (no acked-durable blackhole)") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_cfg_delta")
+    val sink = tmpDir("agrpc_cfg_delta_out") + "/o"
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/arrow": {
+         |  "receiver": {"type": "otlp_arrow", "port": 0, "spool": "$spool",
+         |    "delta_stream": true},
+         |  "exporters": [{"type": "parquet", "path": "$sink"}]}}}""".stripMargin)
+    val rxRecv = svc.pipelines("logs/arrow").receiver
+      .asInstanceOf[graft.pipeline.Pipeline.OtlpArrowServerReceiver]
+    rxRecv.start(spark)
+    try {
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 5)).toDF("json"))
+      val exp = new ArrowGrpcStreamExporter("localhost", rxRecv.boundPort,
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+      exp.export(logs)
+      exp.shutdown()
+      // the delta receiver's plan is a BATCH reassembly of the
+      // fragment spool — run the pipeline once, rows reach the sink
+      svc.pipelines("logs/arrow").run(spark)
+      assert(spark.read.parquet(sink).count() == 5)
+    } finally rxRecv.stop()
   }
 
   test("config-declared otlp_arrow auth block gates the wire: bearer streams, anonymous refused") {

@@ -112,9 +112,13 @@ class ConfigMergeSpec extends AnyFunSuite {
       "yaml:pipelines::logs/y::receiver::path: /b"))
     assert(svc3.pipelines("logs/y").receiver
       .asInstanceOf[Pipeline.ParquetReceiver].path == "/b")
-    // an empty `::` segment is a config error, not a silent key
+    // an empty `::` segment is a config error, not a silent key —
+    // including a TRAILING delimiter (split must keep empties)
     intercept[IllegalArgumentException] {
       ConfigLoader.fromUris(Seq(base, "yaml:pipelines::::x: 1"))
+    }
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromUris(Seq(base, "yaml:pipelines::: 1"))
     }
   }
 }

@@ -53,6 +53,28 @@ class ExtensionsSpec extends AnyFunSuite {
     c.close()
   }
 
+  test("storage layout migration: v1 (unprefixed) key files survive the upgrade to the k_ namespace") {
+    val dir = Files.createTempDirectory("stor_mig").toString
+    // hand-build a v1-layout scope: key files with NO k_ prefix
+    val scope = java.nio.file.Paths.get(dir, "exporter_e_q")
+    Files.createDirectories(scope)
+    Files.write(scope.resolve("alpha"), "v1-alpha".getBytes)
+    Files.write(scope.resolve("k_tricky"), "v1-k-tricky".getBytes) // key literally "k_tricky"
+    val ext = new Extensions.FileStorage(dir)
+    ext.start()
+    val c = ext.getClient("exporter", "e", "q")
+    assert(c.get("alpha").map(new String(_)) == Some("v1-alpha"))
+    assert(c.get("k_tricky").map(new String(_)) == Some("v1-k-tricky"))
+    // migration runs ONCE: new-format writes are not re-prefixed by a
+    // second client over the same dir
+    c.set("beta", "v2".getBytes)
+    c.close()
+    val c2 = ext.getClient("exporter", "e", "q")
+    assert(c2.get("alpha").map(new String(_)) == Some("v1-alpha"))
+    assert(c2.get("beta").map(new String(_)) == Some("v2"))
+    c2.close()
+  }
+
   test("storage batch: operations run in order, Get results land in-place") {
     val ext = new Extensions.FileStorage(
       Files.createTempDirectory("stor_b").toString)
