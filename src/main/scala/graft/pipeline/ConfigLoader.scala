@@ -923,7 +923,12 @@ object ConfigLoader {
         deltaDict = m.get("delta_dict").exists(_.toString == "true"),
         dictCap = m.get("dict_cap")
           .map(_.asInstanceOf[Number].intValue()).getOrElse(64),
-        codec = m.get("codec").map(_.toString).getOrElse("zstd"),
+        // delta fragments carry no IPC buffer compression (the
+        // exporter refuses the combination loudly) — default the
+        // codec off when delta_dict is on, instead of tripping it
+        codec = m.get("codec").map(_.toString).getOrElse(
+          if (m.get("delta_dict").exists(_.toString == "true")) "none"
+          else "zstd"),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
         auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))),
         fallback = Some(graft.sources.GrpcOtlp.OtlpGrpcExporter(

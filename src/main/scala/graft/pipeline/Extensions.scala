@@ -129,8 +129,21 @@ object Extensions {
       val marker = scope.resolve("_layout_v2")
       if (Files.exists(marker)) return
       val legacy = Option(scope.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") &&
-          !f.getName.startsWith("_"))
+        .filter { f =>
+          f.isFile &&
+            // already in the k_ namespace = already v2 (also makes a
+            // crash-interrupted sweep idempotent on re-run: moved
+            // files are never re-prefixed to k_k_*; the cost is that
+            // a hypothetical V1 key whose name itself began with
+            // `k_` reads back without that prefix — the ambiguity is
+            // unresolvable and this direction never corrupts v2 data)
+            !f.getName.startsWith("k_") &&
+            // v1 tmp scratch and the marker are not keys; every other
+            // dot/underscore name IS a legitimate v1 key (enc passes
+            // '.' and '_' through)
+            !f.getName.startsWith(".tmp_") &&
+            f.getName != "_layout_v2"
+        }
       legacy.foreach { f =>
         Files.move(f.toPath, scope.resolve("k_" + f.getName),
           StandardCopyOption.ATOMIC_MOVE)

@@ -197,7 +197,11 @@ object Pipeline {
     def start(spark: SparkSession): Unit = synchronized {
       if (server == null)
         server = new graft.sources.ArrowGrpc.ArrowGrpcReceiver(port, spoolDir,
-          tls = tls, auth = auth)
+          tls = tls, auth = auth,
+          // a payload mode this receiver cannot re-ingest is refused
+          // LOUDLY (InvalidArgument, permanent) — never acked durable
+          // into a spool nothing reads
+          expectDelta = Some(deltaStream))
     }
     def stop(): Unit = synchronized {
       if (server != null) { server.stop(); server = null }
@@ -1227,9 +1231,15 @@ object Pipeline {
     def runStreaming(spark: SparkSession, checkpointRoot: String):
         Map[String, Seq[org.apache.spark.sql.streaming.StreamingQuery]] = {
       // receivers with out-of-band machinery (scrape schedules)
-      // start BEFORE their queries, the component Start order
-      lifecycleReceivers.foreach(_.start(spark))
-      pipelines.flatMap { case (name, p) =>
+      // start BEFORE their queries, the component Start order — but
+      // ONLY for pipelines whose plan is actually continuous: a
+      // batch-plan pipeline (e.g. otlp_arrow delta_stream, which
+      // reassembles its spool in `run` mode) must not get a live wire
+      // server here that acks data no query will ever drain
+      val streamingPipes = pipelines.filter(
+        _._2.plan(spark).isStreaming)
+      lifecycleReceiversOf(streamingPipes).foreach(_.start(spark))
+      streamingPipes.flatMap { case (name, p) =>
         val df = p.plan(spark)
         if (!df.isStreaming) None
         else Some(name -> p.exporters.zipWithIndex.map { case (e, i) =>
@@ -1246,7 +1256,10 @@ object Pipeline {
     }
 
     private def lifecycleReceivers: Seq[ReceiverLifecycle] =
-      pipelines.values.map(_.receiver).map {
+      lifecycleReceiversOf(pipelines)
+    private def lifecycleReceiversOf(
+        pipes: Map[String, PipelineDef]): Seq[ReceiverLifecycle] =
+      pipes.values.map(_.receiver).map {
         case ClientInfoReceiver(inner, _) => inner
         case r => r
       }.collect { case l: ReceiverLifecycle => l }.toSeq

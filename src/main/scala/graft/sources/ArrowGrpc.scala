@@ -229,14 +229,21 @@ object ArrowGrpc {
         regexp_extract(col("path"), pat, 2).cast("long").as("seq"),
         col("content"))
       .filter(col("stream") =!= "")
+    // linear JVM-side join of the sorted fragments (a column-level
+    // aggregate/concat fold would copy the accumulated prefix once
+    // per fragment — quadratic in stream size)
     val perStream = frags.groupBy(col("stream"))
       .agg(array_sort(collect_list(struct(col("seq"), col("content"))))
         .as("frags"))
-      .select(aggregate(col("frags"),
-        lit(Array.empty[Byte]),
-        (acc, x) => concat(acc, x.getField("content"))).as("ipc"))
-    perStream.select(col("ipc")).as(Encoders.BINARY)
-      .flatMap(b => ArrowIpc.decodeRowsMulti(schema, b))(Encoders.row(schema))
+      .select(col("frags").getField("content").as("parts"))
+    import spark.implicits._
+    perStream.select(col("parts"))
+      .as[Seq[Array[Byte]]]
+      .flatMap { parts =>
+        val buf = new java.io.ByteArrayOutputStream()
+        parts.foreach(buf.write)
+        ArrowIpc.decodeRowsMulti(schema, buf.toByteArray)
+      }(Encoders.row(schema))
   }
 
   // ---- receiver ----------------------------------------------------
@@ -273,7 +280,13 @@ object ArrowGrpc {
       tls: Option[TlsConfig] = None,
       auth: Option[Auth.ServerAuthenticator] = None,
       onBatchHeaders: Map[String, Seq[String]] => Unit = _ => (),
-      maxRecvMsgBytes: Long = 64L * 1024 * 1024) {
+      maxRecvMsgBytes: Long = 64L * 1024 * 1024,
+      // Some(true): serve ONLY delta fragments; Some(false): ONLY
+      // self-contained payloads; None: both. The config receiver
+      // pins this to its read mode so a mismatched exporter gets a
+      // LOUD permanent refusal instead of acked-durable data landing
+      // in a spool nothing reads
+      expectDelta: Option[Boolean] = None) {
     val obs = new ArrowGrpcObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: java.net.ServerSocket = tls match {
@@ -536,6 +549,19 @@ object ArrowGrpc {
           s"unknown payload type ${batch.payloads.head.tpe}")
         return
       }
+      val isFragment = batch.payloads.head.schemaId match {
+        case FragmentId(_, _) => true
+        case _ => false
+      }
+      if (expectDelta.exists(_ != isFragment)) {
+        obs.badBatches.incrementAndGet()
+        ack(Status.InvalidArgument, // permanent: a config mismatch,
+          // not load — retrying can never fix the payload mode
+          s"receiver serves ${if (expectDelta.get) "delta-fragment"
+            else "self-contained"} payloads; got ${
+            if (isFragment) "fragment" else "self-contained"}")
+        return
+      }
       val totalBytes = batch.payloads.map(_.record.length.toLong).sum
       controller match {
         case Some(ctl) =>
@@ -773,12 +799,16 @@ object ArrowGrpc {
         deltaEnc = new ArrowIpc.DeltaStreamEncoder(schema, dictCap)
         segmentCommitted = false
       }
-      val body = pendingEos ++ deltaEnc.writeBatch(rows)
-      pendingEos = Array.empty
-      (s"stream:$streamUuid:$fragSeq", body)
+      // pendingEos rides along but is NOT cleared here: if THIS
+      // fragment is refused, the prior segment's EOS must ride the
+      // next attempt instead of vanishing with the refusal
+      (s"stream:$streamUuid:$fragSeq", pendingEos ++ deltaEnc.writeBatch(rows))
     }
-    /** the fragment was ACKED durable — advance the sequence */
-    def commitFragment(): Unit = { fragSeq += 1; segmentCommitted = true }
+    /** the fragment was ACKED durable — advance the sequence; any
+      * carried EOS is now on disk */
+    def commitFragment(): Unit = {
+      fragSeq += 1; segmentCommitted = true; pendingEos = Array.empty
+    }
     /** a fragment was REFUSED: its dictionary deltas never landed, so
       * the segment ends here (EOS rides the next fragment) and the
       * next batch restarts with schema + full dictionaries — a lost
@@ -839,12 +869,17 @@ object ArrowGrpc {
         // complete message already buffered?
         val bytes = recvBuf.toByteArray
         if (bytes.length >= 5) {
-          val mlen = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
-            ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+          // UNSIGNED length (same wrap-negative class as the receiver
+          // paths); a BatchStatus over 1 MiB is a broken peer — sever
+          // retryably instead of crashing out of the catch clauses
+          val mlen = ((bytes(1) & 0xFFL) << 24) | ((bytes(2) & 0xFFL) << 16) |
+            ((bytes(3) & 0xFFL) << 8) | (bytes(4) & 0xFFL)
+          if (mlen > (1L << 20))
+            throw new java.io.IOException(s"oversized status message: $mlen")
           if (bytes.length >= 5 + mlen) {
-            val body = java.util.Arrays.copyOfRange(bytes, 5, 5 + mlen)
+            val body = java.util.Arrays.copyOfRange(bytes, 5, 5 + mlen.toInt)
             recvBuf.reset()
-            recvBuf.write(bytes, 5 + mlen, bytes.length - 5 - mlen)
+            recvBuf.write(bytes, 5 + mlen.toInt, bytes.length - 5 - mlen.toInt)
             val st = ArrowGrpc.decodeStatus(body)
             if (st.batchId == batchId) return st
             // an ack for a batch nobody waits on breaks the stream
@@ -862,7 +897,16 @@ object ArrowGrpc {
 
     /** graceful CloseSend: END_STREAM, then read the OK trailers —
       * the max_stream_lifetime rollover (stream.go:279-283) */
+    /** free the delta encoder's off-heap Arrow buffers — every sever,
+      * rollover, downgrade, or shutdown path must release them or a
+      * long-running pipeline leaks one allocator per stream */
+    private def releaseDelta(): Unit = if (deltaEnc != null) {
+      try deltaEnc.end() catch { case scala.util.control.NonFatal(_) => () }
+      deltaEnc = null
+    }
+
     def closeGraceful(): Unit = {
+      releaseDelta()
       try {
         H2.writeData(out, 1, Array.empty, endStream = true)
         out.flush()
@@ -879,8 +923,10 @@ object ArrowGrpc {
       } catch { case scala.util.control.NonFatal(_) => () }
       finally close()
     }
-    def close(): Unit =
+    def close(): Unit = {
+      releaseDelta()
       try sock.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Arrow-over-gRPC stream EXPORTER: a pool of long-lived streams
@@ -916,6 +962,11 @@ object ArrowGrpc {
       useStreamPath: Boolean = false)
       extends graft.pipeline.Pipeline.Exporter {
 
+    require(!deltaDict || codec == "none",
+      "delta_dict fragments carry no IPC buffer compression (the " +
+        "delta encoder's win is the dictionary itself) — set codec " +
+        "to 'none' explicitly rather than silently dropping " +
+        s"'$codec'")
     private val path =
       if (useStreamPath) StreamPath
       else PathsBySignal.getOrElse(signal,

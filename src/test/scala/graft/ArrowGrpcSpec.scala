@@ -630,7 +630,8 @@ class ArrowGrpcSpec extends AnyFunSuite {
         .map(i => s"service-instance-${i % 64}-of-the-production-fleet")
         .toDF("body")
       val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
-        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64,
+        codec = "none")
       exp.export(batch("a"))
       exp.export(batch("b"))
       exp.export(batch("c"))
@@ -660,7 +661,8 @@ class ArrowGrpcSpec extends AnyFunSuite {
       controller = Some(new graft.pipeline.AdmissionController(8192L)))
     try {
       val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
-        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64,
+        codec = "none")
       exp.export((0 until 3).map(i => s"ok-a-$i").toDF("body"))
       // oversized middle batch: refused with RESOURCE_EXHAUSTED; its
       // fragment (with any dictionary deltas) never lands
@@ -685,7 +687,8 @@ class ArrowGrpcSpec extends AnyFunSuite {
       controller = Some(new graft.pipeline.AdmissionController(8192L)))
     try {
       val exp2 = new ArrowGrpcStreamExporter("localhost", rx2.boundPort,
-        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64,
+        codec = "none")
       intercept[graft.pipeline.Pipeline.ThrottledExportException] {
         exp2.export(Seq("y" * 32768).toDF("body"))
       }
@@ -790,12 +793,22 @@ class ArrowGrpcSpec extends AnyFunSuite {
     try {
       val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("api", 5)).toDF("json"))
       val exp = new ArrowGrpcStreamExporter("localhost", rxRecv.boundPort,
-        "logs", numStreams = 1, deltaDict = true, dictCap = 64)
+        "logs", numStreams = 1, deltaDict = true, dictCap = 64,
+        codec = "none")
       exp.export(logs)
       exp.shutdown()
       // the delta receiver's plan is a BATCH reassembly of the
       // fragment spool — run the pipeline once, rows reach the sink
       svc.pipelines("logs/arrow").run(spark)
+      assert(spark.read.parquet(sink).count() == 5)
+      // a MISMATCHED exporter (self-contained payloads at a
+      // delta-mode receiver) is refused LOUDLY — never acked into a
+      // spool this receiver does not read
+      val plain = new ArrowGrpcStreamExporter("localhost",
+        rxRecv.boundPort, "logs", numStreams = 1)
+      intercept[graft.pipeline.Pipeline.PermanentExportException] {
+        plain.export(logs)
+      }
       assert(spark.read.parquet(sink).count() == 5)
     } finally rxRecv.stop()
   }

@@ -59,12 +59,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val scope = java.nio.file.Paths.get(dir, "exporter_e_q")
     Files.createDirectories(scope)
     Files.write(scope.resolve("alpha"), "v1-alpha".getBytes)
-    Files.write(scope.resolve("k_tricky"), "v1-k-tricky".getBytes) // key literally "k_tricky"
+    Files.write(scope.resolve("_offsets"), "v1-off".getBytes)  // '_' passes enc()
+    Files.write(scope.resolve(".state"), "v1-dot".getBytes)    // '.' passes enc()
+    // a file ALREADY in the k_ namespace is treated as v2 and left
+    // alone — re-running a crash-interrupted sweep must be idempotent
+    // (never k_k_*), which outranks the unresolvable v1-key-named-k_*
+    // ambiguity
+    Files.write(scope.resolve("k_done"), "v2-done".getBytes)
     val ext = new Extensions.FileStorage(dir)
     ext.start()
     val c = ext.getClient("exporter", "e", "q")
     assert(c.get("alpha").map(new String(_)) == Some("v1-alpha"))
-    assert(c.get("k_tricky").map(new String(_)) == Some("v1-k-tricky"))
+    assert(c.get("_offsets").map(new String(_)) == Some("v1-off"))
+    assert(c.get(".state").map(new String(_)) == Some("v1-dot"))
+    assert(c.get("done").map(new String(_)) == Some("v2-done"))
     // migration runs ONCE: new-format writes are not re-prefixed by a
     // second client over the same dir
     c.set("beta", "v2".getBytes)
