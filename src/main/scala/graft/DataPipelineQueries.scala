@@ -1311,17 +1311,18 @@ object DataPipelineQueries {
     // (rank = ceil(p·N), pure integer arithmetic — no fp percentile
     // boundary, the q_ppl_buckets discipline): the length-profile
     // report a curation run reads before choosing truncation/packing
-    // parameters. Windows are keyed per source, never global.
+    // parameters. The per-source rank comes from the RANGED
+    // discipline (groupedRankRanged: percentile-cut buckets +
+    // driver offsets), never a window keyed solely on the ~20-value
+    // source column — that shape is ≤20 tasks each sorting a 1/20
+    // corpus slice at 100 TB, the low-cardinality cousin of the
+    // single-partition window PlanSpec bans (r10 verdict #1).
     "q_length_percentiles" -> ((s, dir) => {
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
       def atP(p: Int) = max(when(
         col("rn") <= expr(s"(cnt * $p + 99) DIV 100"), col("n_chars")))
-      docs(s, dir).select(col("source"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("cnt", count(lit(1)).over(wAll))
+      ScaleOps.groupedRankRanged(
+          docs(s, dir).select(col("source"), col("n_chars"), col("doc_id")),
+          col("source"), col("n_chars"), col("doc_id"), "rn", "cnt")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           atP(50).as("p50_chars"), atP(90).as("p90_chars"),

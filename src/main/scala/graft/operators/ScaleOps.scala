@@ -193,6 +193,70 @@ object ScaleOps {
       .drop("_bk")
   }
 
+  /** Per-GROUP 1-based rank + group size WITHOUT a window keyed
+    * solely on the group column — the [[globalRank]] discipline for
+    * DECLARED low-cardinality group keys (a source/domain/lang column
+    * with dozens of values). A window partitioned only on such a key
+    * is ≤ #groups tasks each sort-ranking a 1/#groups corpus slice —
+    * 5 TB in ONE task's sort at 100 TB / 20 sources, the keyed cousin
+    * of the single-partition window PlanSpec bans. Here percentile
+    * cuts over `orderCol` sub-bucket EVERY group the same way;
+    * per-(group, bucket) counts collect (#groups × #buckets rows —
+    * bounded because the caller declares the key low-cardinality);
+    * driver-side per-group prefix sums give bucket offsets; rank =
+    * offset + row_number over the (group, bucket)-keyed window — so
+    * each group's sort spreads over #buckets tasks — and the group
+    * total rides the same collected map as `cntCol`.
+    *
+    * Requirements: `groupCol` non-null (null groups get null rank);
+    * (groupCol, orderCol, tieCol) unique per row — pass a row-unique
+    * tieCol, the prefixSumRanged convention. Rank semantics =
+    * ROW_NUMBER() OVER (PARTITION BY group ORDER BY orderCol, tieCol):
+    * integer-exact, oracle-safe (ties on a cut value all land in one
+    * bucket via strict `>` bucketing, so the in-group total order is
+    * respected globally). */
+  def groupedRankRanged(df: DataFrame, groupCol: Column, orderCol: Column,
+                        tieCol: Column, rankCol: String, cntCol: String,
+                        partitions: Int = 0): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val qs = (1 until n).map(_.toDouble / n)
+    val cutRow = df.select(
+      percentile_approx(orderCol, typedLit(qs), lit(10000)).as("c")).head()
+    val cuts: Seq[Any] =
+      if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Any](0).distinct
+    def bucketOf(c: Column): Column =
+      cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
+    val g = groupCol.cast("string")
+    val bucketed = df.withColumn("_bk", bucketOf(orderCol))
+    val counted = bucketed.groupBy(g.as("_g"), col("_bk"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // loud guard: the driver map is bounded ONLY by the declared
+    // low cardinality of the group key — a high-card key here is a
+    // misuse (use globalRank / a keyed window instead)
+    require(counted.length <= 100000,
+      s"groupedRankRanged: ${counted.length} (group, bucket) cells — " +
+        "group key is not low-cardinality; use a keyed window instead")
+    val offsets: Map[String, Map[Int, Long]] =
+      counted.groupBy(_._1).map { case (grp, cells) =>
+        var acc = 0L
+        grp -> cells.sortBy(_._2).map { case (_, bk, c) =>
+          val o = bk -> acc; acc += c; o
+        }.toMap
+      }
+    val totals: Map[String, Long] =
+      counted.groupBy(_._1).map { case (grp, cells) => grp -> cells.map(_._3).sum }
+    val w = Window.partitionBy(g, col("_bk")).orderBy(orderCol, tieCol)
+    bucketed
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") +
+          element_at(element_at(typedLit(offsets), g), col("_bk")))
+      .withColumn(cntCol, element_at(typedLit(totals), g))
+      .drop("_bk")
+  }
+
   /** Systematic (low-variance) weighted resampling — the resample
     * step of DSIR-style data selection: n evenly-spaced points over
     * the cumulative weight axis; each document receives one copy per

@@ -137,11 +137,57 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q_batch_assign", "q_sessionize", "q_topk_per_group",
         "q_batch_timeout", "q_batch_by_key")) {
-      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      // sparkPlan, not executedPlan: under AQE the executed plan is an
+      // AdaptiveSparkPlanExec LEAF, so collect() would traverse nothing
+      // and the rule would hold vacuously
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val empty = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       assert(empty.isEmpty,
         s"$q moves all data to one partition for a window:\n$plan")
     }
+  }
+
+  test("no query windows solely on a declared low-cardinality key (mechanical)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    // r10 verdict #1 generalized: source/domain/lang/label columns
+    // have DOZENS of values at ANY scale factor — a WindowExec
+    // partitioned ONLY on them is ≤ #values tasks, each sort-ranking
+    // a 1/#values slice of the corpus (5 TB in one task's sort at
+    // 100 TB / 20 sources): the keyed cousin of the single-partition
+    // window banned above, which partitionSpec.isEmpty cannot see.
+    // Ranking within such groups must ride the ranged discipline
+    // (ScaleOps.groupedRankRanged / prefixSumRanged — percentile-cut
+    // sub-buckets + driver offsets), which keys its window on
+    // (group, bucket) and so passes here.
+    val lowCard = Set("source", "domain", "lang", "label")
+    def violations(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) => w
+    }
+    var windowsSeen = 0
+    for ((name, q) <- SparkEntry.queries) {
+      val plan = q(spark, sf).queryExecution.sparkPlan
+      windowsSeen += plan.collect { case w: WindowExec => w }.size
+      val bad = violations(plan)
+      assert(bad.isEmpty,
+        s"$name: WindowExec keyed solely on a declared low-cardinality " +
+          s"column — at 100× this funnels the corpus into #values tasks:\n${bad.headOption}")
+    }
+    // self-teeth 1: the suite genuinely plans windows (qid/doc_id/
+    // series keyed) — if sparkPlan traversal ever stops seeing
+    // WindowExec (e.g. a planner change wraps them), trip instead of
+    // passing vacuously
+    assert(windowsSeen >= 5,
+      s"rule saw only $windowsSeen WindowExec nodes across the suite — traversal broke")
+    // self-teeth 2: the banned shape IS detected when present
+    val offending = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.col("source"))
+          .orderBy(org.apache.spark.sql.functions.col("doc_id"))))
+    assert(violations(offending.queryExecution.sparkPlan).nonEmpty,
+      "checker failed to flag a window keyed solely on `source`")
   }
 
   test("PQ/IVF index builds run no corpus-wide window — only per-query search windows") {
