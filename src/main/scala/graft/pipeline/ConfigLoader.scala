@@ -900,7 +900,8 @@ object ConfigLoader {
       host = m.get("host").map(_.toString).getOrElse("localhost"),
       port = m("port").asInstanceOf[Number].intValue(),
       signal = str(m, "signal"),
-      gzipBody = m.get("compression").exists(_.toString == "gzip"),
+      // configgrpc compression: gzip|snappy|zstd (none/identity = off)
+      compression = m.get("compression").map(_.toString).getOrElse(""),
       tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
       auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))))
     // Arrow-over-gRPC stream exporter: long-lived ArrowStreamService
@@ -929,6 +930,9 @@ object ConfigLoader {
         codec = m.get("codec").map(_.toString).getOrElse(
           if (m.get("delta_dict").exists(_.toString == "true")) "none"
           else "zstd"),
+        // grpc-encoding on the stream's messages (distinct from the
+        // IPC buffer `codec`): gzip|snappy|zstd
+        compression = m.get("compression").map(_.toString).getOrElse(""),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
         auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))),
         fallback = Some(graft.sources.GrpcOtlp.OtlpGrpcExporter(

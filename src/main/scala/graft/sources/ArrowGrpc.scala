@@ -341,12 +341,20 @@ object ArrowGrpc {
             case H2.RST_STREAM => streams.remove(f.streamId)
             case H2.HEADERS | H2.CONTINUATION =>
               val st = streams.getOrElseUpdate(f.streamId, new StreamState)
+              // RFC 7540 §6.2 field order: [pad length?][priority?]
+              // [header block][padding]. PADDED (0x8) and PRIORITY
+              // (0x20) may be set TOGETHER — strip the pad-length
+              // byte first, then the 5-byte priority field, then the
+              // trailing padding; handling the flags only one-at-a-
+              // time would leave priority/pad bytes inside the HPACK
+              // block and corrupt the connection's shared decoder
               val payload =
-                if (f.tpe == H2.HEADERS && (f.flags & 0x20) != 0)
-                  java.util.Arrays.copyOfRange(f.payload, 5, f.payload.length)
-                else if (f.tpe == H2.HEADERS && (f.flags & 0x8) != 0) {
-                  val pad = f.payload(0) & 0xFF
-                  java.util.Arrays.copyOfRange(f.payload, 1, f.payload.length - pad)
+                if (f.tpe == H2.HEADERS) {
+                  var off = 0
+                  var end = f.payload.length
+                  if ((f.flags & 0x8) != 0) { end -= f.payload(0) & 0xFF; off = 1 }
+                  if ((f.flags & 0x20) != 0) off += 5
+                  java.util.Arrays.copyOfRange(f.payload, off, end)
                 } else f.payload
               st.headerBlock.write(payload)
               if ((f.flags & H2.FlagEndHeaders) != 0) {
@@ -480,12 +488,23 @@ object ArrowGrpc {
           val framed = java.util.Arrays.copyOfRange(
             bytes, base + 5, base + 5 + mlen.toInt)
           consumed = base + 5 + mlen.toInt
+          // gzip|snappy|zstd, the reference's negotiated codec set
+          // (configgrpc.go:385-391). A failure here is a per-STREAM
+          // error answered with trailers, NEVER a thrown exception —
+          // that would unwind into the connection catch-all and
+          // silently reset every sibling stream on this connection
+          val enc = st.headers.getOrElse("grpc-encoding", "identity")
           val body =
             if (!compressed) framed
-            else st.headers.get("grpc-encoding") match {
-              case Some("gzip") => OtlpHttp.Codec.decode("gzip", framed)
-              case other => throw new IllegalArgumentException(
-                s"grpc-encoding ${other.getOrElse("")} unsupported")
+            else if (!GrpcOtlp.GrpcCodecs(enc)) {
+              trailers(out, streamId, Status.Unimplemented,
+                s"grpc: Decompressor is not installed for grpc-encoding \"$enc\"")
+              st.dead = true; st.buf.reset(); return
+            } else try OtlpHttp.Codec.decode(enc, framed)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                trailers(out, streamId, Status.Internal, s"corrupt $enc message")
+                st.dead = true; st.buf.reset(); return
             }
           processBatch(out, streamId, st, body, wireBytes = mlen.toLong)
           if (st.dead) { st.buf.reset(); return }
@@ -538,8 +557,23 @@ object ArrowGrpc {
               st.dead = true
               return
           }
-        onBatchHeaders(hdrs.groupBy(_._1.toLowerCase)
-          .map { case (k, vs) => k -> vs.map(_._2) })
+        val hmap = hdrs.groupBy(_._1.toLowerCase)
+          .map { case (k, vs) => k -> vs.map(_._2) }
+        // reference parity (arrow.go headerReceiver + the auth
+        // server): per-batch metadata faces the authenticator like
+        // stream-open headers did. Batch values OVERLAY the stream's,
+        // so a batch presenting bad credentials is refused even on an
+        // authenticated stream, while a batch carrying no credentials
+        // inherits the stream's (the combined-context semantics) —
+        // per-batch identity is never trusted unauthenticated.
+        val denied = auth.flatMap(_.authenticate(
+          st.headers.map { case (k, v) => k -> Seq(v) } ++ hmap).left.toOption)
+        if (denied.isDefined) {
+          obs.refused.incrementAndGet()
+          ack(Status.Unauthenticated, denied.get)
+          return
+        }
+        onBatchHeaders(hmap)
       }
       if (batch.payloads.isEmpty) { ack(Status.Ok); return } // arrow.go:363
       val signal = PayloadType.signalOf(batch.payloads.head.tpe)
@@ -657,11 +691,12 @@ object ArrowGrpc {
   private final class ArrowUnimplementedException(msg: String)
     extends RuntimeException(msg)
 
-  /** one live h2c connection carrying one Arrow stream */
+  /** one live h2c connection carrying one Arrow stream;
+    * `msgCodec` = grpc-encoding for sent messages ("" = identity) */
   private final class StreamConn(host: String, port: Int, path: String,
       connectTimeoutMs: Int, readTimeoutMs: Int,
       tls: Option[TlsConfig], auth: Option[Auth.ClientAuthenticator],
-      gzipMessages: Boolean) {
+      msgCodec: String) {
     val openedAtMs: Long = System.currentTimeMillis()
     private var nextBatchId = 0L
     private val sock = tls match {
@@ -677,6 +712,10 @@ object ArrowGrpc {
     private val decoder = new GrpcOtlp.Hpack.Decoder
     private val recvBuf = new java.io.ByteArrayOutputStream()
     private var trailersSeen: Option[(Int, String)] = None
+    // response header-block reassembly: frames buffer here until
+    // END_HEADERS; END_STREAM is latched from the initiating HEADERS
+    private val headerBlock = new java.io.ByteArrayOutputStream()
+    private var headerEndStream = false
     // send-direction flow control (RFC 9113 §5.2): ENFORCED, not just
     // announced — both axes start at the protocol default 65535 and
     // only the peer's SETTINGS/WINDOW_UPDATEs open them; a stingy
@@ -715,23 +754,36 @@ object ArrowGrpc {
         if (f.streamId == 0) connWindow += inc
         else if (f.streamId == 1) streamWindow += inc
       case H2.HEADERS | H2.CONTINUATION if f.streamId == 1 =>
-        val hs = decoder.decode(f.payload).toMap
-        if ((f.flags & H2.FlagEndStream) != 0) {
-          val status = hs.getOrElse("grpc-status", "2").toInt
-          val msg = hs.getOrElse("grpc-message", "")
-          trailersSeen = Some((status, msg))
-          if (status == Status.Unimplemented)
-            throw new ArrowUnimplementedException(msg)
-          // stream severed by the server: transient statuses are
-          // ErrStreamRestarting (retryable); a refusal like
-          // UNAUTHENTICATED/INVALID_ARGUMENT retried forever
-          // would loop — permanent, like the unary exporter
-          if (status == Status.ResourceExhausted ||
-              status == Status.Unavailable)
-            throw new java.io.IOException(
-              s"stream ended by server: grpc-status $status $msg")
-          throw new graft.pipeline.Pipeline.PermanentExportException(
-            s"stream refused by server: grpc-status $status $msg")
+        // accumulate until END_HEADERS before decoding: a real gRPC
+        // server may split one header block across CONTINUATION
+        // frames, and HPACK state is only consistent over the WHOLE
+        // block (the receiver side already buffers this way) —
+        // per-frame decode would fail mid-block and sever the stream.
+        // END_STREAM rides the initiating HEADERS frame only
+        // (CONTINUATION has no such flag), so latch it there.
+        if (f.tpe == H2.HEADERS)
+          headerEndStream = (f.flags & H2.FlagEndStream) != 0
+        headerBlock.write(f.payload)
+        if ((f.flags & H2.FlagEndHeaders) != 0) {
+          val hs = decoder.decode(headerBlock.toByteArray).toMap
+          headerBlock.reset()
+          if (headerEndStream) {
+            val status = hs.getOrElse("grpc-status", "2").toInt
+            val msg = hs.getOrElse("grpc-message", "")
+            trailersSeen = Some((status, msg))
+            if (status == Status.Unimplemented)
+              throw new ArrowUnimplementedException(msg)
+            // stream severed by the server: transient statuses are
+            // ErrStreamRestarting (retryable); a refusal like
+            // UNAUTHENTICATED/INVALID_ARGUMENT retried forever
+            // would loop — permanent, like the unary exporter
+            if (status == Status.ResourceExhausted ||
+                status == Status.Unavailable)
+              throw new java.io.IOException(
+                s"stream ended by server: grpc-status $status $msg")
+            throw new graft.pipeline.Pipeline.PermanentExportException(
+              s"stream refused by server: grpc-status $status $msg")
+          }
         }
       case H2.DATA if f.streamId == 1 => recvBuf.write(f.payload)
       case H2.RST_STREAM =>
@@ -768,7 +820,7 @@ object ArrowGrpc {
       Seq(":method" -> "POST", ":scheme" -> "http", ":path" -> path,
         ":authority" -> s"$host:$port",
         "content-type" -> "application/grpc", "te" -> "trailers") ++
-        (if (gzipMessages) Seq("grpc-encoding" -> "gzip") else Nil) ++
+        (if (msgCodec.nonEmpty) Seq("grpc-encoding" -> msgCodec) else Nil) ++
         auth.toSeq.flatMap(_.headers().map { case (k, v) => k.toLowerCase -> v })))
     out.flush()
 
@@ -851,10 +903,10 @@ object ArrowGrpc {
     /** send one BatchArrowRecords as a length-prefixed gRPC message */
     def send(b: BatchArrowRecords): Unit = {
       val raw = ArrowGrpc.encodeBatch(b)
-      val msg = if (gzipMessages) OtlpHttp.Codec.encode("gzip", raw) else raw
+      val msg = if (msgCodec.nonEmpty) OtlpHttp.Codec.encode(msgCodec, raw) else raw
       lastWireBytes = msg.length.toLong
       val frame = new java.io.ByteArrayOutputStream()
-      frame.write(if (gzipMessages) 1 else 0)
+      frame.write(if (msgCodec.nonEmpty) 1 else 0)
       frame.write(Array[Byte](
         ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
         ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))
@@ -910,14 +962,21 @@ object ArrowGrpc {
       try {
         H2.writeData(out, 1, Array.empty, endStream = true)
         out.flush()
+        // END_STREAM rides the HEADERS frame; the block may continue
+        // in CONTINUATION frames, so wait for END_HEADERS after it.
+        // No decode: the connection closes right after, so HPACK
+        // state no longer matters (and a split block would not
+        // decode frame-by-frame anyway)
+        var eosSeen = false
         var done = trailersSeen.isDefined
         while (!done) {
           val f = H2.read(in)
           if (f == null) done = true
           else if ((f.tpe == H2.HEADERS || f.tpe == H2.CONTINUATION) &&
               f.streamId == 1) {
-            decoder.decode(f.payload)
-            if ((f.flags & H2.FlagEndStream) != 0) done = true
+            if (f.tpe == H2.HEADERS && (f.flags & H2.FlagEndStream) != 0)
+              eosSeen = true
+            if (eosSeen && (f.flags & H2.FlagEndHeaders) != 0) done = true
           }
         }
       } catch { case scala.util.control.NonFatal(_) => () }
@@ -954,6 +1013,10 @@ object ArrowGrpc {
       dictCap: Int = 64, codec: String = "zstd",
       rowsPerBatch: Int = 4096,
       gzipMessages: Boolean = false,
+      // grpc-encoding for the stream's messages: gzip|snappy|zstd
+      // (configgrpc.go:385-391's negotiated set); wins over the
+      // legacy gzipMessages flag when set
+      compression: String = "",
       batchHeaders: Map[String, String] = Map.empty,
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
       tls: Option[TlsConfig] = None,
@@ -967,6 +1030,13 @@ object ArrowGrpc {
         "delta encoder's win is the dictionary itself) — set codec " +
         "to 'none' explicitly rather than silently dropping " +
         s"'$codec'")
+    private val msgCodec: String = {
+      val c = if (compression.nonEmpty && compression != "none") compression
+        else if (compression.isEmpty && gzipMessages) "gzip" else ""
+      require(c.isEmpty || GrpcOtlp.GrpcCodecs(c),
+        s"unsupported grpc compression '$c' (${GrpcOtlp.GrpcCodecs.mkString("|")})")
+      c
+    }
     private val path =
       if (useStreamPath) StreamPath
       else PathsBySignal.getOrElse(signal,
@@ -1046,7 +1116,7 @@ object ArrowGrpc {
           }
         val conn = slot.conn.getOrElse {
           val c = new StreamConn(host, port, path, connectTimeoutMs,
-            readTimeoutMs, tls, auth, gzipMessages)
+            readTimeoutMs, tls, auth, msgCodec)
           slot.conn = Some(c)
           c
         }
@@ -1098,13 +1168,30 @@ object ArrowGrpc {
             slot.conn.foreach(_.close()); slot.conn = None
             throw e
         }
-      } finally slots.put(slot)
+      } finally {
+        // a send that completes AFTER shutdown began must not return
+        // a live StreamConn to the pool — nobody would ever close it
+        // (socket + delta-encoder allocators leak); close it here,
+        // before the slot goes back
+        if (shuttingDown) {
+          slot.conn.foreach(c =>
+            try c.closeGraceful()
+            catch { case scala.util.control.NonFatal(_) => () })
+          slot.conn = None
+        }
+        slots.put(slot)
+      }
     }
 
-    /** drain every live stream with a graceful EOS */
+    @volatile private var shuttingDown = false
+    /** drain every live stream with a graceful EOS. Blocks until all
+      * `numStreams` slots are reacquired, so a slot held by an
+      * in-flight sendChunk is waited for (its conn closes in the
+      * finally above) instead of leaking its socket past shutdown */
     def shutdown(): Unit = {
+      shuttingDown = true
       val held = scala.collection.mutable.ArrayBuffer[SlotRef]()
-      while ({ val s = slots.poll(); if (s != null) held += s; s != null }) ()
+      while (held.length < numStreams) held += slots.take()
       held.foreach { s => s.conn.foreach(_.closeGraceful()); s.conn = None }
       held.foreach(slots.put)
     }

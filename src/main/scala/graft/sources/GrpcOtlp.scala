@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * the reference's otlp exporter consumes it.
   *
   * Scope honesty: this file is the unary Export* loopback subset —
-  * one request per stream, identity/gzip grpc-encoding, no flow-
+  * one request per stream, identity/gzip/snappy/zstd grpc-encoding, no flow-
   * control bookkeeping (both ends announce 1 GiB windows up front so
   * unary exchanges never block). The otel-arrow BIDIRECTIONAL stream
   * lifecycle — long-lived streams, per-batch acks, window
@@ -49,6 +49,13 @@ object GrpcOtlp {
   private val byPath = services.map(_.swap)
 
   def pathOf(signal: String): String = services(signal)
+
+  /** the grpc-encoding codecs both gRPC surfaces accept and emit —
+    * the reference's negotiated set (configgrpc.go:385-391 registers
+    * the go-grpc-compression snappy/zstd codecs next to grpc-go's
+    * built-in gzip); kernels shared with the HTTP pair via
+    * [[OtlpHttp.Codec]] */
+  val GrpcCodecs: Set[String] = Set("gzip", "snappy", "zstd")
 
   // ---- HTTP/2 framing ----------------------------------------------
 
@@ -546,13 +553,17 @@ object GrpcOtlp {
             case H2.RST_STREAM => streams.remove(f.streamId)
             case H2.HEADERS | H2.CONTINUATION =>
               val sb = streams.getOrElseUpdate(f.streamId, new StreamBuf)
-              // strip optional priority/padding only when flagged
+              // RFC 7540 §6.2 field order: [pad length?][priority?]
+              // [header block][padding] — PADDED (0x8) and PRIORITY
+              // (0x20) may be set together; strip pad-length first,
+              // then the 5-byte priority field, then trailing padding
               val payload =
-                if (f.tpe == H2.HEADERS && (f.flags & 0x20) != 0)
-                  java.util.Arrays.copyOfRange(f.payload, 5, f.payload.length)
-                else if (f.tpe == H2.HEADERS && (f.flags & 0x8) != 0) {
-                  val pad = f.payload(0) & 0xFF
-                  java.util.Arrays.copyOfRange(f.payload, 1, f.payload.length - pad)
+                if (f.tpe == H2.HEADERS) {
+                  var off = 0
+                  var end = f.payload.length
+                  if ((f.flags & 0x8) != 0) { end -= f.payload(0) & 0xFF; off = 1 }
+                  if ((f.flags & 0x20) != 0) off += 5
+                  java.util.Arrays.copyOfRange(f.payload, off, end)
                 } else f.payload
               sb.headerBlock.write(payload)
               if ((f.flags & H2.FlagEndHeaders) != 0) {
@@ -578,6 +589,25 @@ object GrpcOtlp {
                   (f.flags & H2.FlagEndStream) != 0 && sb.headersDone)
                 respondStream(out, f.streamId, streams.remove(f.streamId).get)
             case H2.DATA =>
+              // flow-control replenishment (RFC 9113 §5.2, r10
+              // verdict #3): the frame is consumed into the request
+              // buffer the moment it arrives, so grant it straight
+              // back on BOTH axes. Without this a conformant client
+              // POOLING ONE LONG-LIVED CONNECTION stalls for good
+              // once cumulative unary DATA burns through the initial
+              // connection window — same loop as the Arrow stream
+              // receiver's
+              if (f.payload.nonEmpty) {
+                val inc = Array[Byte](
+                  ((f.payload.length >> 24) & 0x7F).toByte,
+                  ((f.payload.length >> 16) & 0xFF).toByte,
+                  ((f.payload.length >> 8) & 0xFF).toByte,
+                  (f.payload.length & 0xFF).toByte)
+                H2.write(out, H2.WINDOW_UPDATE, 0, 0, inc)
+                if (streams.contains(f.streamId))
+                  H2.write(out, H2.WINDOW_UPDATE, 0, f.streamId, inc)
+                out.flush()
+              }
               streams.get(f.streamId).foreach { sb =>
                 sb.data.write(f.payload)
                 if ((f.flags & H2.FlagEndStream) != 0) {
@@ -662,11 +692,13 @@ object GrpcOtlp {
       val body =
         if (!compressed) framed
         else sb.headers.get("grpc-encoding") match {
-          case Some("gzip") =>
-            try OtlpHttp.Codec.decode("gzip", framed)
+          // gzip|snappy|zstd — the reference's negotiated codec set
+          // (configgrpc.go:385-391), kernels shared with the HTTP pair
+          case Some(enc) if GrpcCodecs(enc) =>
+            try OtlpHttp.Codec.decode(enc, framed)
             catch { case scala.util.control.NonFatal(_) =>
               obs.badRequests.incrementAndGet()
-              trailersOnly(out, streamId, Status.InvalidArgument, "corrupt gzip message")
+              trailersOnly(out, streamId, Status.InvalidArgument, s"corrupt $enc message")
               return
             }
           case other =>
@@ -778,6 +810,9 @@ object GrpcOtlp {
     * queued-retry exporter already honors; everything else permanent. */
   final case class OtlpGrpcExporter(host: String, port: Int, signal: String,
       gzipBody: Boolean = false,
+      // grpc-encoding: gzip|snappy|zstd (configgrpc compression knob);
+      // wins over the legacy gzipBody flag when set
+      compression: String = "",
       shardKeys: Seq[String] = Nil,
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
       obs: Option[GrpcExportObs] = None,
@@ -786,6 +821,14 @@ object GrpcOtlp {
       tls: Option[TlsConfig] = None,
       auth: Option[Auth.ClientAuthenticator] = None)
       extends graft.pipeline.Pipeline.Exporter {
+
+    private val msgCodec: String = {
+      val c = if (compression.nonEmpty && compression != "none") compression
+        else if (compression.isEmpty && gzipBody) "gzip" else ""
+      require(c.isEmpty || GrpcCodecs(c),
+        s"unsupported grpc compression '$c' (${GrpcCodecs.mkString("|")})")
+      c
+    }
 
     private def encodePb(df: DataFrame): DataFrame = signal match {
       case "logs" => OtlpJsonSource.writeLogsPb(df, shardKeys)
@@ -811,19 +854,19 @@ object GrpcOtlp {
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         val in = new java.io.BufferedInputStream(sock.getInputStream)
         H2.handshakeClient(out)
-        val msg = if (gzipBody) OtlpHttp.Codec.encode("gzip", msg0) else msg0
+        val msg = if (msgCodec.nonEmpty) OtlpHttp.Codec.encode(msgCodec, msg0) else msg0
         val headers = Seq(
           ":method" -> "POST", ":scheme" -> "http",
           ":path" -> (if (pathOverride.nonEmpty) pathOverride else pathOf(signal)),
           ":authority" -> s"$host:$port",
           "content-type" -> "application/grpc", "te" -> "trailers") ++
-          (if (gzipBody) Seq("grpc-encoding" -> "gzip") else Nil) ++
+          (if (msgCodec.nonEmpty) Seq("grpc-encoding" -> msgCodec) else Nil) ++
           // PerRPCCredentials half of auth/client.go: credentials as
           // request metadata (HTTP/2 requires lowercase names)
           auth.toSeq.flatMap(_.headers().map { case (k, v) => k.toLowerCase -> v })
         H2.write(out, H2.HEADERS, H2.FlagEndHeaders, 1, Hpack.encode(headers))
         val frame = new java.io.ByteArrayOutputStream()
-        frame.write(if (gzipBody) 1 else 0)
+        frame.write(if (msgCodec.nonEmpty) 1 else 0)
         frame.write(Array[Byte](
           ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
           ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte))

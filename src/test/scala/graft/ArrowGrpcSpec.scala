@@ -877,4 +877,338 @@ class ArrowGrpcSpec extends AnyFunSuite {
       assert(pbRows() == 12)
     } finally rx.stop()
   }
+
+  // ---- r10 ADVICE closures + compression parity --------------------
+
+  test("HEADERS with PADDED and PRIORITY set TOGETHER parse per RFC 7540 §6.2 field order") {
+    val spool = tmpDir("agrpc_flags")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      val sock = new java.net.Socket("localhost", rx.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        GrpcOtlp.H2.handshakeClient(out)
+        val block = GrpcOtlp.Hpack.encode(Seq(
+          ":method" -> "POST", ":scheme" -> "http",
+          ":path" -> ArrowGrpc.StreamPath, ":authority" -> "localhost",
+          "content-type" -> "application/grpc", "te" -> "trailers"))
+        // payload = [padLen=3][5B priority][header block][3 pad bytes];
+        // before the fix the priority-only branch left the pad-length
+        // byte and padding INSIDE the HPACK block, corrupting the
+        // connection's shared decoder and severing the connection
+        val payload = new java.io.ByteArrayOutputStream()
+        payload.write(3)
+        payload.write(Array[Byte](0, 0, 0, 0, 16), 0, 5)
+        payload.write(block)
+        payload.write(Array[Byte](0, 0, 0), 0, 3)
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS,
+          GrpcOtlp.H2.FlagEndHeaders | 0x20 | 0x8, 1, payload.toByteArray)
+        val msg = encodeBatch(BatchArrowRecords(1L,
+          Seq(ArrowPayload("s", PayloadType.Logs, Array.fill(8)(7.toByte))),
+          Array.empty))
+        val frame = new java.io.ByteArrayOutputStream()
+        frame.write(0)
+        frame.write(Array[Byte](
+          ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
+          ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte), 0, 4)
+        frame.write(msg)
+        GrpcOtlp.H2.writeData(out, 1, frame.toByteArray, endStream = false)
+        out.flush()
+        var ack: Array[Byte] = null
+        while (ack == null) {
+          val f = GrpcOtlp.H2.read(in)
+          require(f != null, "connection severed — combined flags corrupted the header parse")
+          if (f.tpe == GrpcOtlp.H2.DATA && f.streamId == 1 && f.payload.nonEmpty)
+            ack = f.payload
+          else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          }
+        }
+        val st = decodeStatus(java.util.Arrays.copyOfRange(ack, 5, ack.length))
+        assert(st.statusCode == 0, s"ack: $st")
+        assert(rx.obs.batches.get == 1)
+      } finally sock.close()
+    } finally rx.stop()
+  }
+
+  test("unsupported grpc-encoding answers the STREAM with UNIMPLEMENTED trailers; sibling streams live on") {
+    val spool = tmpDir("agrpc_codec")
+    val rx = new ArrowGrpcReceiver(0, spool)
+    try {
+      val sock = new java.net.Socket("localhost", rx.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        GrpcOtlp.H2.handshakeClient(out)
+        def openStream(sid: Int, extra: Seq[(String, String)]): Unit =
+          GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS, GrpcOtlp.H2.FlagEndHeaders,
+            sid, GrpcOtlp.Hpack.encode(Seq(
+              ":method" -> "POST", ":scheme" -> "http",
+              ":path" -> ArrowGrpc.StreamPath, ":authority" -> "localhost",
+              "content-type" -> "application/grpc", "te" -> "trailers") ++ extra))
+        def grpcFrame(compressed: Boolean, msg: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          b.write(if (compressed) 1 else 0)
+          b.write(Array[Byte](
+            ((msg.length >> 24) & 0xFF).toByte, ((msg.length >> 16) & 0xFF).toByte,
+            ((msg.length >> 8) & 0xFF).toByte, (msg.length & 0xFF).toByte), 0, 4)
+          b.write(msg)
+          b.toByteArray
+        }
+        // stream 1 claims Brotli — a codec neither side ships
+        openStream(1, Seq("grpc-encoding" -> "br"))
+        GrpcOtlp.H2.writeData(out, 1,
+          grpcFrame(compressed = true, Array.fill(16)(9.toByte)), endStream = false)
+        out.flush()
+        var status1 = ""
+        var done1 = false
+        val dec = new GrpcOtlp.Hpack.Decoder
+        while (!done1) {
+          val f = GrpcOtlp.H2.read(in)
+          require(f != null, "connection reset — the unsupported codec must fail ONLY its stream")
+          if ((f.tpe == GrpcOtlp.H2.HEADERS || f.tpe == GrpcOtlp.H2.CONTINUATION) &&
+              f.streamId == 1) {
+            dec.decode(f.payload).toMap.get("grpc-status").foreach(status1 = _)
+            if ((f.flags & GrpcOtlp.H2.FlagEndStream) != 0) done1 = true
+          } else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          }
+        }
+        assert(status1 == "12", s"grpc-status '$status1' (want UNIMPLEMENTED)")
+        // stream 3 on the SAME connection: a plain batch still lands
+        openStream(3, Nil)
+        val msg = encodeBatch(BatchArrowRecords(7L,
+          Seq(ArrowPayload("s", PayloadType.Logs, Array.fill(8)(1.toByte))),
+          Array.empty))
+        GrpcOtlp.H2.writeData(out, 3, grpcFrame(compressed = false, msg),
+          endStream = false)
+        out.flush()
+        var ack: Array[Byte] = null
+        while (ack == null) {
+          val f = GrpcOtlp.H2.read(in)
+          require(f != null, "connection died before stream 3's ack")
+          if (f.tpe == GrpcOtlp.H2.DATA && f.streamId == 3 && f.payload.nonEmpty)
+            ack = f.payload
+        }
+        val st = decodeStatus(java.util.Arrays.copyOfRange(ack, 5, ack.length))
+        assert(st.batchId == 7L && st.statusCode == 0)
+        assert(rx.obs.batches.get == 1)
+      } finally sock.close()
+    } finally rx.stop()
+  }
+
+  test("a trailer block split across CONTINUATION frames decodes — the downgrade probe survives a fragmenting server") {
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        GrpcOtlp.H2.handshakeServer(in, out)
+        var opened = false
+        while (!opened) {
+          val f = GrpcOtlp.H2.read(in)
+          require(f != null)
+          if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          } else if (f.tpe == GrpcOtlp.H2.HEADERS &&
+              (f.flags & GrpcOtlp.H2.FlagEndHeaders) != 0) opened = true
+        }
+        // trailers-only UNIMPLEMENTED with the block CUT mid-bytes:
+        // HEADERS (END_STREAM, no END_HEADERS) + CONTINUATION
+        // (END_HEADERS) — per-frame HPACK decode cannot parse either
+        // half alone
+        val block = GrpcOtlp.Hpack.encode(Seq(":status" -> "200",
+          "content-type" -> "application/grpc",
+          "grpc-status" -> "12", "grpc-message" -> "no arrow here"))
+        val cut = block.length / 2
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS, GrpcOtlp.H2.FlagEndStream,
+          1, java.util.Arrays.copyOfRange(block, 0, cut))
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.CONTINUATION,
+          GrpcOtlp.H2.FlagEndHeaders, 1,
+          java.util.Arrays.copyOfRange(block, cut, block.length))
+        out.flush()
+        Thread.sleep(1000) // let the client read before EOF
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    t.start()
+    try {
+      import spark.implicits._
+      val df = Seq("a", "b").toDF("body")
+      val exp = new ArrowGrpcStreamExporter("localhost", server.getLocalPort,
+        "logs", numStreams = 1)
+      val e = intercept[graft.pipeline.Pipeline.PermanentExportException] {
+        exp.export(df)
+      }
+      assert(e.getMessage.contains("arrow not supported"), e.getMessage)
+      assert(exp.isDowngraded,
+        "split trailers did not decode to UNIMPLEMENTED — pool never downgraded")
+      exp.shutdown()
+    } finally { t.join(3000); server.close() }
+  }
+
+  test("shutdown waits for an in-flight send and closes its stream with a graceful EOS (no leaked socket)") {
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    @volatile var gotData = false
+    @volatile var sawEos = false
+    @volatile var sawEof = false
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        GrpcOtlp.H2.handshakeServer(in, out)
+        val buf = new java.io.ByteArrayOutputStream()
+        var responded = false
+        var open = true
+        while (open) {
+          val f = GrpcOtlp.H2.read(in)
+          if (f == null) { sawEof = true; open = false }
+          else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          } else if (f.tpe == GrpcOtlp.H2.HEADERS && !responded &&
+              (f.flags & GrpcOtlp.H2.FlagEndHeaders) != 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS,
+              GrpcOtlp.H2.FlagEndHeaders, 1, GrpcOtlp.Hpack.encode(
+                Seq(":status" -> "200", "content-type" -> "application/grpc")))
+            out.flush()
+            responded = true
+          } else if (f.tpe == GrpcOtlp.H2.DATA) {
+            if ((f.flags & GrpcOtlp.H2.FlagEndStream) != 0) {
+              // the graceful EOS from shutdown's closeGraceful
+              sawEos = true
+              GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS,
+                GrpcOtlp.H2.FlagEndHeaders | GrpcOtlp.H2.FlagEndStream, 1,
+                GrpcOtlp.Hpack.encode(Seq("grpc-status" -> "0")))
+              out.flush()
+            } else {
+              gotData = true
+              buf.write(f.payload)
+              val b = buf.toByteArray
+              if (b.length >= 5) {
+                val mlen = ((b(1) & 0xFF) << 24) | ((b(2) & 0xFF) << 16) |
+                  ((b(3) & 0xFF) << 8) | (b(4) & 0xFF)
+                if (b.length >= 5 + mlen) {
+                  Thread.sleep(400) // ack SLOWLY: shutdown races the in-flight batch
+                  val batch = decodeBatch(java.util.Arrays.copyOfRange(b, 5, 5 + mlen))
+                  val enc = encodeStatus(BatchStatus(batch.batchId, 0, ""))
+                  val fr = new java.io.ByteArrayOutputStream()
+                  fr.write(0)
+                  fr.write(Array[Byte](
+                    ((enc.length >> 24) & 0xFF).toByte, ((enc.length >> 16) & 0xFF).toByte,
+                    ((enc.length >> 8) & 0xFF).toByte, (enc.length & 0xFF).toByte), 0, 4)
+                  fr.write(enc)
+                  GrpcOtlp.H2.writeData(out, 1, fr.toByteArray, endStream = false)
+                  out.flush()
+                  buf.reset()
+                }
+              }
+            }
+          }
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.start()
+    try {
+      import spark.implicits._
+      val df = Seq("x").toDF("body")
+      val exp = new ArrowGrpcStreamExporter("localhost", server.getLocalPort,
+        "logs", numStreams = 1)
+      @volatile var exported = false
+      val sender = new Thread(() => { exp.export(df); exported = true })
+      sender.start()
+      // wait until the batch is IN FLIGHT (server holds its ack 400 ms)
+      val deadline = System.currentTimeMillis() + 5000
+      while (!gotData && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(gotData, "batch never reached the server")
+      exp.shutdown() // must block for the in-flight slot, then close its conn
+      sender.join(5000)
+      assert(exported, "in-flight export failed")
+      // shutdown's graceful close reached the server before returning;
+      // before the fix the in-flight conn was returned to the queue
+      // un-closed and its socket leaked past shutdown
+      assert(sawEos, "no graceful EOS observed — the in-flight stream leaked")
+      val eofDeadline = System.currentTimeMillis() + 3000
+      while (!sawEof && System.currentTimeMillis() < eofDeadline) Thread.sleep(10)
+      assert(sawEof, "socket still open after shutdown")
+    } finally { t.join(3000); server.close() }
+  }
+
+  test("per-batch metadata faces the authenticator: bad credentials refuse the batch, absent inherit the stream") {
+    import spark.implicits._
+    val spool = tmpDir("agrpc_bauth")
+    var seen = Map.empty[String, Seq[String]]
+    val rx = new ArrowGrpcReceiver(0, spool,
+      auth = Some(graft.sources.Auth.BearerTokenServer(Set("tok-1"))),
+      onBatchHeaders = h => seen = h)
+    try {
+      val df = Seq("a", "b").toDF("body")
+      // no authorization in per-batch headers: the stream's credential
+      // carries — batch admitted, headers surface to the consumer
+      val good = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1,
+        auth = Some(graft.sources.Auth.BearerTokenClient("tok-1")),
+        batchHeaders = Map("tenant" -> "t1"))
+      good.export(df)
+      good.shutdown()
+      assert(rx.obs.batches.get == 1)
+      assert(seen.get("tenant").contains(Seq("t1")))
+      // bad per-batch authorization OVERLAYS the stream's good one:
+      // the batch is refused UNAUTHENTICATED (permanent) even though
+      // the stream authenticated at open — per-batch identity is
+      // never trusted unauthenticated (arrow.go headerReceiver + auth)
+      seen = Map.empty
+      val bad = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+        "logs", numStreams = 1,
+        auth = Some(graft.sources.Auth.BearerTokenClient("tok-1")),
+        batchHeaders = Map("authorization" -> "Bearer wrong", "tenant" -> "t2"))
+      intercept[graft.pipeline.Pipeline.PermanentExportException] {
+        bad.export(df)
+      }
+      bad.shutdown()
+      assert(rx.obs.refused.get >= 1)
+      assert(rx.obs.batches.get == 1, "refused batch landed anyway")
+      assert(seen.isEmpty, "unauthenticated per-batch headers reached the consumer")
+    } finally rx.stop()
+  }
+
+  test("zstd and snappy grpc-encoding on the stream: rows land identical (configgrpc codec set)") {
+    import spark.implicits._
+    for (codec <- Seq("zstd", "snappy")) {
+      val spool = tmpDir(s"agrpc_$codec")
+      val rx = new ArrowGrpcReceiver(0, spool)
+      try {
+        val logs = OtlpJsonSource.parseLogs(
+          Seq(mkLogRequest("api", 8)).toDF("json"))
+        val exp = new ArrowGrpcStreamExporter("localhost", rx.boundPort,
+          "logs", numStreams = 1, compression = codec, rowsPerBatch = 5)
+        exp.export(logs)
+        exp.shutdown()
+        val back = ArrowIpc.readSpool(spark, rx.spoolPath("logs"), logs.schema)
+        assert(back.count() == 8, codec)
+      } finally rx.stop()
+    }
+    // an unknown codec is refused loudly at build time, not on the wire
+    intercept[IllegalArgumentException] {
+      new ArrowGrpcStreamExporter("localhost", 1, "logs", compression = "br")
+    }
+  }
 }

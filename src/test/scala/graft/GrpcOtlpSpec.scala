@@ -228,4 +228,101 @@ class GrpcOtlpSpec extends AnyFunSuite {
     val rawLen = headers.map { case (n, v) => 1 + 1 + n.length + 1 + v.length }.sum
     assert(block.length < rawLen, s"huffman never engaged: ${block.length} vs $rawLen")
   }
+
+  test("snappy and zstd grpc-encoding decode identically on the unary pair (configgrpc.go:385-391 codec set)") {
+    import spark.implicits._
+    for (codec <- Seq("snappy", "zstd")) {
+      val spool = tmpDir(s"grpc_$codec")
+      val rx = new OtlpGrpcReceiver(0, spool)
+      try {
+        val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest(codec, 9)).toDF("json"))
+        OtlpGrpcExporter("localhost", rx.boundPort, "logs",
+          compression = codec).export(logs)
+        val back = OtlpJsonSource.parseLogsPb(
+          spark.read.format("binaryFile").load(rx.spoolPath("logs"))
+            .select(col("content").as("pb")))
+        assert(back.count() == 9, codec)
+      } finally rx.stop()
+    }
+    // a codec outside the negotiated set is a build-time config error
+    intercept[IllegalArgumentException] {
+      OtlpGrpcExporter("localhost", 1, "logs", compression = "br")
+    }
+  }
+
+  test("unary connection window replenishes: a window-enforcing client pools ONE connection without stalling") {
+    // r10 verdict #3: the receiver granted ~1 GiB up front but never
+    // gave consumed DATA back, so a conformant long-lived pooled
+    // client would stall for good once cumulative unary traffic burnt
+    // the grant. Pin the replenishment loop: every consumed byte
+    // comes back as WINDOW_UPDATEs on BOTH axes, request after
+    // request on one connection.
+    val spool = tmpDir("grpc_window")
+    val rx = new OtlpGrpcReceiver(0, spool, maxRecvMsgBytes = 1L << 20)
+    try {
+      val sock = new java.net.Socket("localhost", rx.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        GrpcOtlp.H2.handshakeClient(out)
+        var grantedConn = 0L
+        val grantedStream = scala.collection.mutable.Map[Int, Long]()
+        var sentData = 0L
+        // three ~30 KiB unary requests on streams 1/3/5 — cumulative
+        // DATA passes the 65535-byte protocol-default window, which
+        // only the replenishment grants keep open for a client that
+        // enforces flow control
+        for (sid <- Seq(1, 3, 5)) {
+          GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS, GrpcOtlp.H2.FlagEndHeaders,
+            sid, GrpcOtlp.Hpack.encode(Seq(
+              ":method" -> "POST", ":scheme" -> "http",
+              ":path" -> GrpcOtlp.pathOf("logs"), ":authority" -> "localhost",
+              "content-type" -> "application/grpc", "te" -> "trailers")))
+          val body = Array.fill(30000)(7.toByte) // opaque pb; receiver spools
+          val frame = new java.io.ByteArrayOutputStream()
+          frame.write(0)
+          frame.write(Array[Byte](
+            ((body.length >> 24) & 0xFF).toByte, ((body.length >> 16) & 0xFF).toByte,
+            ((body.length >> 8) & 0xFF).toByte, (body.length & 0xFF).toByte), 0, 4)
+          frame.write(body)
+          sentData += frame.size().toLong
+          GrpcOtlp.H2.writeData(out, sid, frame.toByteArray, endStream = true)
+          out.flush()
+          // drain this request's full response (resp HEADERS + DATA +
+          // trailers), crediting every WINDOW_UPDATE on the way
+          var done = false
+          while (!done) {
+            val f = GrpcOtlp.H2.read(in)
+            require(f != null, s"connection closed during request on stream $sid")
+            if (f.tpe == GrpcOtlp.H2.WINDOW_UPDATE) {
+              val inc = (((f.payload(0) & 0x7F) << 24) | ((f.payload(1) & 0xFF) << 16) |
+                ((f.payload(2) & 0xFF) << 8) | (f.payload(3) & 0xFF)).toLong
+              if (f.streamId == 0) grantedConn += inc
+              else grantedStream(f.streamId) =
+                grantedStream.getOrElse(f.streamId, 0L) + inc
+            } else if ((f.tpe == GrpcOtlp.H2.HEADERS ||
+                f.tpe == GrpcOtlp.H2.CONTINUATION) && f.streamId == sid &&
+                (f.flags & GrpcOtlp.H2.FlagEndStream) != 0) done = true
+            else if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+                (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+              GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+                GrpcOtlp.H2.FlagAck, 0, Array.empty)
+              out.flush()
+            }
+          }
+        }
+        // connection axis: the one-time big-window announcement plus
+        // EVERY consumed DATA byte granted back
+        val announce = (1L << 30) - 65535L
+        assert(grantedConn == announce + sentData,
+          s"conn grants $grantedConn vs ${announce + sentData}")
+        // per-stream axis: each request's bytes granted on its stream
+        for (sid <- Seq(1, 3, 5))
+          assert(grantedStream.getOrElse(sid, 0L) == sentData / 3,
+            s"stream $sid grants ${grantedStream.getOrElse(sid, 0L)} vs ${sentData / 3}")
+        assert(rx.obs.requests.get == 3)
+      } finally sock.close()
+    } finally rx.stop()
+  }
 }
