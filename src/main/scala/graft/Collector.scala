@@ -229,6 +229,14 @@ object Collector {
               z.bind(svc, spark, doc)
               out.println(s"zpages serving on localhost:${z.boundPort}")
           }
+          // service::telemetry::metrics::address: the self-metrics
+          // Prometheus endpoint (telemetry.go:202-206)
+          val promSrv = svc.telemetryAddress.map { addr =>
+            val s = new graft.pipeline.PromTelemetryServer(svc, spark, addr)
+            out.println(
+              s"telemetry metrics on localhost:${s.boundPort}/metrics")
+            s
+          }
           // the data path brackets: a failing recovery/pipeline/query
           // must still stop receivers and shut extensions down, or the
           // zpages server / socket listeners / scrape threads leak in
@@ -257,6 +265,9 @@ object Collector {
               out.println(s"drained ${queries.size} streaming pipeline(s)")
             }
           } finally {
+            promSrv.foreach(s =>
+              try s.stop()
+              catch { case scala.util.control.NonFatal(_) => () })
             try svc.stopReceivers()
             catch { case scala.util.control.NonFatal(_) => () }
             svc.shutdownExtensions()

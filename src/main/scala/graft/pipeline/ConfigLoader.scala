@@ -493,6 +493,13 @@ object ConfigLoader {
       svcBlock.get("telemetry").map(asMap)
         .flatMap(_.get("resource")).map(asMap).getOrElse(Map.empty)
         .map { case (k, v) => k -> v.toString }
+    // service::telemetry::metrics::address (service/telemetry.go:
+    // 202-206): where the service serves its own metrics in
+    // Prometheus exposition format; absent = no self-metrics server
+    val telemetryAddress: Option[String] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("metrics")).map(asMap)
+        .flatMap(_.get("address")).map(_.toString)
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -536,7 +543,8 @@ object ConfigLoader {
     rejectConnectorCycles(pipelines.toMap)
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
-    Service(result, extInstances, telemetryLevel, telemetryResource)
+    Service(result, extInstances, telemetryLevel, telemetryResource,
+      telemetryAddress)
   }
 
   /** extension factory: the instance name's type prefix (before an

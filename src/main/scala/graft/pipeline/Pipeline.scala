@@ -1207,7 +1207,12 @@ object Pipeline {
                            // service::telemetry::resource: extra
                            // resource attributes on self-telemetry
                            // (override wins, incl. service.name)
-                           telemetryResource: Map[String, String] = Map.empty) {
+                           telemetryResource: Map[String, String] = Map.empty,
+                           // service::telemetry::metrics::address —
+                           // where the service serves its OWN metrics
+                           // in Prometheus exposition format
+                           // (telemetry.go:202-206); None = no server
+                           telemetryAddress: Option[String] = None) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 
     /** extension lifecycle (reference service/extensions/extensions.go:

@@ -119,3 +119,91 @@ final class ZpagesServer(
   def boundPort: Int = server.getAddress.getPort
   def stop(): Unit = server.stop(0)
 }
+
+/** `service::telemetry::metrics::address` — the collector's OWN
+  * metrics served in Prometheus text exposition format 0.0.4 at
+  * GET /metrics (reference service/telemetry.go:202-206: the service
+  * spins a Prometheus exporter + HTTP server on `metrics.address`;
+  * every production collector is scraped this way).
+  *
+  * One source of truth: the families are EXACTLY
+  * [[Pipeline.Service.healthFrame]]'s rows — the same data whether
+  * consumed as a metrics DataFrame (the dogfood loop) or scraped —
+  * and the configured TelemetryLevel gates them identically
+  * (`none` serves an EMPTY exposition; basic → queue gauges +
+  * delivery/dead-letter totals; normal adds retry/partial-success;
+  * detailed adds the per-transport dimensioned counters).
+  * Names stay in the otelcol_* space; `gauge` rows expose as gauge,
+  * cumulative monotonic sums as counter. Binds loopback like the
+  * zpages server (the reference default address is 0.0.0.0:8888;
+  * this sandbox is loopback-only).
+  */
+final class PromTelemetryServer(
+    service: Pipeline.Service,
+    spark: SparkSession,
+    address: String = "localhost:0",
+    obs: () => Map[String, Pipeline.QueueObs] = () => Map.empty,
+    transports: () => Map[String, Map[String, Long]] = () => Map.empty) {
+
+  private val port = {
+    val idx = address.lastIndexOf(':')
+    require(idx >= 0 && idx < address.length - 1,
+      s"telemetry metrics address '$address' is not host:port")
+    val p = address.substring(idx + 1)
+    require(p.forall(_.isDigit), s"bad port in telemetry address '$address'")
+    p.toInt
+  }
+
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  private def num(v: Double): String =
+    if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  /** the exposition document; deterministic family and label order */
+  def exposition(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): String = {
+    if (service.telemetryLevel.rank < Extensions.LevelBasic.rank) return ""
+    val rows = service.healthFrame(spark, timeUnixNano,
+      obs = obs(), transports = transports()).collect()
+    val sb = new StringBuilder
+    for ((name, fam) <- rows.groupBy(_.getAs[String]("metric_name"))
+        .toSeq.sortBy(_._1)) {
+      val tpe =
+        if (fam.head.getAs[String]("metric_type") == "gauge") "gauge"
+        else "counter" // healthFrame sums are cumulative monotonic
+      val unit = Option(fam.head.getAs[String]("unit")).getOrElse("")
+      sb.append(s"# HELP $name graft self-telemetry ($unit)\n")
+      sb.append(s"# TYPE $name $tpe\n")
+      for (r <- fam) {
+        val attrs = Option(r.getAs[scala.collection.Map[String, String]]("attributes"))
+          .getOrElse(scala.collection.Map.empty[String, String])
+        val labels = attrs.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"""$k="${esc(v)}"""" }.mkString(",")
+        sb.append(
+          if (labels.isEmpty) s"$name ${num(r.getAs[Double]("value"))}\n"
+          else s"$name{$labels} ${num(r.getAs[Double]("value"))}\n")
+      }
+    }
+    sb.toString
+  }
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("localhost", port), 0)
+  server.createContext("/metrics",
+    (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val bytes = exposition().getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200,
+          if (bytes.isEmpty) -1L else bytes.length.toLong)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+  server.setExecutor(null)
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}

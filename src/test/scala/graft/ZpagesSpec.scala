@@ -70,4 +70,62 @@ class ZpagesSpec extends AnyFunSuite {
       assert(c7 == 404)
     } finally zp.stop()
   }
+
+  test("prometheus self-telemetry endpoint: healthFrame families scrape and parse; level=none serves nothing") {
+    // service::telemetry::metrics::address (telemetry.go:202-206):
+    // the one surface every production collector is scraped through
+    val doc = """{
+      "service": {"telemetry": {"metrics":
+        {"address": "localhost:0", "level": "detailed"}}},
+      "pipelines": {"logs/pt": {
+        "receiver": {"type": "parquet", "path": "IGNORED"},
+        "exporters": [{"type": "logging"}]
+      }}}"""
+    val svc = ConfigLoader.fromJson(doc)
+    assert(svc.telemetryAddress.contains("localhost:0"))
+    val o = new graft.pipeline.Pipeline.QueueObs
+    o.delivered.set(12); o.retries.set(3); o.deadLetteredBatches.set(1)
+    val srv = new graft.pipeline.PromTelemetryServer(svc, spark,
+      svc.telemetryAddress.get,
+      obs = () => Map("logs/pt" -> o),
+      transports = () => Map("otlp_http" -> Map("accepted_requests" -> 7L)))
+    try {
+      val (code, body) = get(srv.boundPort, "/metrics")
+      assert(code == 200)
+      // the exposition PARSES: every non-comment line is
+      // `name{labels} value`, every family has a TYPE line
+      val lines = body.linesIterator.toSeq
+      val samples = lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      assert(samples.nonEmpty)
+      val sampleRe = """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})? [-+0-9.eE]+$""".r
+      samples.foreach(l => assert(sampleRe.matches(l), s"unparseable sample: $l"))
+      val familyOf = samples.map(_.takeWhile(c => c != '{' && c != ' ')).toSet
+      for (f <- familyOf)
+        assert(lines.exists(_.startsWith(s"# TYPE $f ")), s"family $f has no TYPE")
+      // basic family, counter-typed, dimensioned by pipeline
+      assert(lines.contains("# TYPE otelcol_exporter_sent_batches counter"))
+      assert(samples.contains(
+        """otelcol_exporter_sent_batches{pipeline="logs/pt"} 12"""))
+      // normal-level family present because level=detailed
+      assert(samples.contains(
+        """otelcol_exporter_send_retries{pipeline="logs/pt"} 3"""))
+      // detailed-level per-transport counters, receiver-dimensioned
+      assert(samples.contains(
+        """otelcol_receiver_accepted_requests{receiver="otlp_http"} 7"""))
+    } finally srv.stop()
+
+    // level=none publishes NOTHING — the healthFrame gate, same door
+    val none = svc.copy(telemetryLevel = graft.pipeline.Extensions.LevelNone)
+    val srv2 = new graft.pipeline.PromTelemetryServer(none, spark,
+      "localhost:0", obs = () => Map("logs/pt" -> o))
+    try {
+      val (code2, body2) = get(srv2.boundPort, "/metrics")
+      assert(code2 == 200 && body2.isEmpty, s"level=none served: '$body2'")
+    } finally srv2.stop()
+
+    // a malformed address fails loudly at build, not at first scrape
+    intercept[IllegalArgumentException] {
+      new graft.pipeline.PromTelemetryServer(svc, spark, "no-port")
+    }
+  }
 }
