@@ -674,7 +674,22 @@ object ConfigLoader {
         auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))),
         // the receive half of the exporter's delta_dict (batch
         // reassembly of the fragment spool)
-        deltaStream = m.get("delta_stream").exists(_.toString == "true"))
+        deltaStream = m.get("delta_stream").exists(_.toString == "true"),
+        // configgrpc max_recv_msg_size_mib
+        maxRecvMsgBytes = m.get("max_recv_msg_size_mib")
+          .map(_.asInstanceOf[Number].longValue() * 1024L * 1024L)
+          .getOrElse(64L * 1024 * 1024),
+        // the otel-arrow receiver's admission block: bound on
+        // received-but-not-yet-durable bytes + waiter cap
+        admissionBytes = m.get("admission").map(asMap)
+          .flatMap(_.get("request_limit_mib"))
+          .map(_.asInstanceOf[Number].longValue() * 1024L * 1024L),
+        admissionWaiters = m.get("admission").map(asMap)
+          .flatMap(_.get("waiter_limit"))
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(64),
+        admissionWaitMs = m.get("admission").map(asMap)
+          .flatMap(_.get("wait_ms"))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(1000L))
       // JSONL corpus source — the inverse of the jsonl exporter
       // (schema inferred; .gz transparent via Spark's text codecs)
       case "jsonl" => new Receiver {
@@ -941,6 +956,16 @@ object ConfigLoader {
         // grpc-encoding on the stream's messages (distinct from the
         // IPC buffer `codec`): gzip|snappy|zstd
         compression = m.get("compression").map(_.toString).getOrElse(""),
+        rowsPerBatch = m.get("rows_per_batch")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(4096),
+        // fixed per-batch metadata headers (the headerReceiver shape;
+        // authenticated server-side like stream-open headers)
+        batchHeaders = m.get("batch_headers").map(asMap).getOrElse(Map.empty)
+          .map { case (k, v) => k -> v.toString },
+        connectTimeoutMs = m.get("connect_timeout_ms")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(10000),
+        readTimeoutMs = m.get("read_timeout_ms")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(30000),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
         auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))),
         fallback = Some(graft.sources.GrpcOtlp.OtlpGrpcExporter(

@@ -178,7 +178,14 @@ object Pipeline {
       // reassembly of the fragment spool (stream-grouped, seq-ordered
       // — fragments are not independently decodable, so a streaming
       // file tail cannot serve them; run-once pipelines fit)
-      deltaStream: Boolean = false)
+      deltaStream: Boolean = false,
+      // configgrpc max_recv_msg_size_mib analog, in bytes
+      maxRecvMsgBytes: Long = 64L * 1024 * 1024,
+      // otel-arrow receiver admission block: bound on received-but-
+      // not-yet-durable bytes (+ waiter cap); None = unbounded
+      admissionBytes: Option[Long] = None,
+      admissionWaiters: Int = 64,
+      admissionWaitMs: Long = 1000L)
       extends Receiver with ReceiverLifecycle {
     @transient @volatile private var server: graft.sources.ArrowGrpc.ArrowGrpcReceiver = _
     def read(spark: SparkSession): DataFrame = {
@@ -197,7 +204,11 @@ object Pipeline {
     def start(spark: SparkSession): Unit = synchronized {
       if (server == null)
         server = new graft.sources.ArrowGrpc.ArrowGrpcReceiver(port, spoolDir,
+          controller = admissionBytes.map(b =>
+            new AdmissionController(b, admissionWaiters)),
+          admissionWaitMs = admissionWaitMs,
           tls = tls, auth = auth,
+          maxRecvMsgBytes = maxRecvMsgBytes,
           // a payload mode this receiver cannot re-ingest is refused
           // LOUDLY (InvalidArgument, permanent) — never acked durable
           // into a spool nothing reads

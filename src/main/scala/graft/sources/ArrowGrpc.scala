@@ -999,26 +999,28 @@ object ArrowGrpc {
     * OTLP `fallback` exporter (exporter.go:158-165). */
   final class ArrowGrpcStreamExporter(
       host: String, port: Int, signal: String = "logs",
-      numStreams: Int = 2,
-      maxStreamLifetimeMs: Long = 0L, // 0 = unbounded
+      // knobs are vals so the config parity spec can pin that every
+      // documented key reaches the built component
+      val numStreams: Int = 2,
+      val maxStreamLifetimeMs: Long = 0L, // 0 = unbounded
       // configgrpc client keepalive time: a stream idle past this is
       // PING-probed before the next batch rides it (0 = off)
-      keepaliveMs: Long = 0L,
+      val keepaliveMs: Long = 0L,
       // dictionary DELTAS across batches (the reference's stateful
       // per-stream producer): batches ride as continuation fragments
       // of one IPC byte stream per gRPC stream; re-ingest with
       // [[ArrowGrpc.readStreamedSpool]]. false = each batch is a
       // self-contained payload ([[ArrowIpc.readSpool]] layout)
-      deltaDict: Boolean = false,
-      dictCap: Int = 64, codec: String = "zstd",
-      rowsPerBatch: Int = 4096,
+      val deltaDict: Boolean = false,
+      val dictCap: Int = 64, val codec: String = "zstd",
+      val rowsPerBatch: Int = 4096,
       gzipMessages: Boolean = false,
       // grpc-encoding for the stream's messages: gzip|snappy|zstd
       // (configgrpc.go:385-391's negotiated set); wins over the
       // legacy gzipMessages flag when set
-      compression: String = "",
-      batchHeaders: Map[String, String] = Map.empty,
-      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
+      val compression: String = "",
+      val batchHeaders: Map[String, String] = Map.empty,
+      val connectTimeoutMs: Int = 10000, val readTimeoutMs: Int = 30000,
       tls: Option[TlsConfig] = None,
       auth: Option[Auth.ClientAuthenticator] = None,
       fallback: Option[graft.pipeline.Pipeline.Exporter] = None,

@@ -121,4 +121,60 @@ class ConfigMergeSpec extends AnyFunSuite {
       ConfigLoader.fromUris(Seq(base, "yaml:pipelines::: 1"))
     }
   }
+
+  test("otlp_arrow config parity: every exporter/receiver constructor knob is document-reachable, and admission is LIVE") {
+    // r10 verdict #8: the reference arrow pair exposes numStreams,
+    // max_stream_lifetime, admission limits, timeouts in config —
+    // pin that every graft constructor knob has a document key and
+    // actually reaches the built component
+    val spool = java.nio.file.Files.createTempDirectory("cfg_arrow").toString
+    val doc = s"""{
+      "pipelines": {"logs/arrow": {
+        "receiver": {"type": "otlp_arrow", "port": 0, "spool": "$spool",
+          "delta_stream": false, "max_recv_msg_size_mib": 8,
+          "admission": {"request_limit_mib": 2, "waiter_limit": 5,
+            "wait_ms": 250},
+          "maxFilesPerTrigger": 4},
+        "exporters": [{"type": "otlp_arrow", "host": "localhost",
+          "port": 1, "signal": "logs", "num_streams": 3,
+          "max_stream_lifetime_ms": 60000, "keepalive_ms": 15000,
+          "delta_dict": false, "dict_cap": 32, "codec": "lz4",
+          "compression": "zstd", "rows_per_batch": 512,
+          "batch_headers": {"tenant": "t9"},
+          "connect_timeout_ms": 1234, "read_timeout_ms": 5678}]
+      }}}"""
+    val svc = ConfigLoader.fromJson(doc)
+    val p = svc.pipelines("logs/arrow")
+    val rx = p.receiver.asInstanceOf[Pipeline.OtlpArrowServerReceiver]
+    assert(rx.maxRecvMsgBytes == 8L * 1024 * 1024)
+    assert(rx.admissionBytes.contains(2L * 1024 * 1024))
+    assert(rx.admissionWaiters == 5 && rx.admissionWaitMs == 250L)
+    assert(rx.maxFilesPerTrigger == 4 && !rx.deltaStream)
+    val ex = p.exporters.head
+      .asInstanceOf[graft.sources.ArrowGrpc.ArrowGrpcStreamExporter]
+    assert(ex.numStreams == 3 && ex.maxStreamLifetimeMs == 60000L)
+    assert(ex.keepaliveMs == 15000L && !ex.deltaDict && ex.dictCap == 32)
+    assert(ex.codec == "lz4" && ex.compression == "zstd")
+    assert(ex.rowsPerBatch == 512)
+    assert(ex.batchHeaders == Map("tenant" -> "t9"))
+    assert(ex.connectTimeoutMs == 1234 && ex.readTimeoutMs == 5678)
+
+    // the admission block is LIVE, not just parsed: a batch past
+    // request_limit_mib is refused RESOURCE_EXHAUSTED (retryable) by
+    // the config-built receiver, and nothing lands
+    val spark = TestSession.spark
+    import spark.implicits._
+    rx.start(spark)
+    try {
+      val big = Seq("x" * (3 << 20)).toDF("body") // ~3 MiB > 2 MiB budget
+      // codec none: admission bounds the PAYLOAD bytes — a zstd'd
+      // run of one character would compress under the budget
+      val e = new graft.sources.ArrowGrpc.ArrowGrpcStreamExporter(
+        "localhost", rx.boundPort, "logs", numStreams = 1, codec = "none")
+      intercept[Pipeline.ThrottledExportException] { e.export(big) }
+      e.shutdown()
+      assert(!new java.io.File(spool, "logs_arrow").exists() ||
+        new java.io.File(spool, "logs_arrow").listFiles().forall(_.getName.startsWith(".")))
+    } finally rx.stop()
+  }
 }
