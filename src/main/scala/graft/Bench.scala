@@ -34,9 +34,35 @@ object Bench {
     (wall, results)
   }
 
+  /** Fixed-work CPU-bound calibration probe (r10 verdict #6): a
+    * constant-row, IO-free job timed SERIALLY before the suite. Its
+    * wall depends only on machine speed and load — never on graft
+    * code or the SF — so cross-round comparisons can divide suite
+    * walls by `calib_sec` to become machine-comparable, and a
+    * drifted or machine-wide-loaded capture box is visible in the
+    * artifact itself (the r10 driver capture read 3× the judge's
+    * wall on identical code; the sum/wall contention check cannot
+    * see UNIFORM machine slowness because it inflates sum and wall
+    * together). Two passes; the first is discarded as JIT/codegen
+    * warm-up. */
+  private def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      // pmod bounds the addends so the 64M-row sum stays far under
+      // 2^63 (ANSI mode makes a raw hash sum an overflow ERROR)
+      spark.range(0L, 64L * 1000 * 1000, 1L, 32)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000L))).as("h")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm-up, discarded
+    pass()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val calibSec = calibrate(spark)
     // Queries are independent pipelines; run them in concurrent slots
     // (the way a collector runs pipelines) so the scheduler keeps all
     // cores busy. `value` = wall-clock of the whole suite; per-query
@@ -114,7 +140,7 @@ object Bench {
     // a bounded TAIL of stdout, so the big per-query maps go FIRST and
     // the summary scalars (wall/errors/contended) go LAST — a
     // truncated capture always retains the headline numbers
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,"errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"value":$wall}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,"errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_sec":${f"$calibSec%.3f"},"value":$wall}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) {
       System.err.println(s"[bench] ${results.count(_._3.isDefined)} queries FAILED")
