@@ -42,6 +42,79 @@ object DataPipelineQueries {
       .distinct()
   }
 
+  /** Shared containment verdict (q_containment + its capped scale
+    * twin): banding candidates → shingle join-back → inter/min(szA,
+    * szB) ≥ 0.8 — the asymmetric measure that catches SUB-document
+    * duplication symmetric Jaccard misses. Volume ∝ candidates. */
+  private def containmentVerdict(sh: DataFrame, pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("sz_a", size(col("shs_a")).cast("long"))
+      .withColumn("sz_b", size(col("shs_b")).cast("long"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= 0.8)
+      .withColumn("jaccard_misses", (col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double")) < 0.5)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("containment"), col("jaccard_misses"))
+
+  /** Shared doc→3-shingle frame for the containment pair */
+  private def containShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+
+  /** Shared mutual-kNN census (q_knn_graph + its capped scale twin):
+    * LSH bucket-collision candidates (never a corpus broadcast or
+    * all-pairs), per-qid top-5 windows, mutual (id,id) join, degree
+    * histogram including the 0 bucket. */
+  private def knnGraphCensus(e: DataFrame, maxBucket: Int): DataFrame = {
+    val pairs = AnnOps.embedNearDupPairs(e, planes = 5, tables = 16,
+      threshold = -2.0, maxBucket = maxBucket)
+    val sym = pairs
+      .select(col("id_a").as("qid"), col("id_b").as("nid"), col("sim"))
+      .unionAll(pairs
+        .select(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val knn = sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+    val edges = knn.as("x").join(knn.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
+          col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
+    val deg = edges.select(col("id_a").as("vid"))
+      .unionAll(edges.select(col("id_b").as("vid")))
+      .groupBy(col("vid")).agg(count(lit(1)).as("d"))
+    e.select(col("vec_id").as("vid")).join(deg, Seq("vid"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("mutual_degree"))
+      .groupBy(col("mutual_degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Shared dHash bit extraction over the deterministic stub decode
+    * (q_media_phash + its capped scale twin) */
+  private def phashBits(d: DataFrame): DataFrame = {
+    def pix(r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(
+        pmod(col("doc_id"), lit(40)).cast("string"), lit("/"),
+        r.cast("string"), lit("/"), c.cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+    d.select(col("doc_id"),
+      transform(sequence(lit(0), lit(63)), b => {
+        val row = shiftright(b, 3)
+        val c = b.bitwiseAND(lit(7))
+        val p1 = pix(row, c) +
+          when(expr("(doc_id DIV 40) % 2 = 1") && b === 0, lit(65536L))
+            .otherwise(lit(0L))
+        (p1 < pix(row, c + 1)).cast("int")
+      }).as("bits"))
+  }
+
   /** deterministic page template for q_html_extract — shared with
     * the oracle SQL so both engines synthesize the identical page
     * (no quotes/apostrophes: the string is embedded in SQL literals) */
@@ -1195,27 +1268,25 @@ object DataPipelineQueries {
     // join back only for banding collisions, integer set sums, the
     // one division IEEE-exact.
     "q_containment" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-          DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-        .filter(size(col("shs")) > 0)
+      val sh = containShingles(s, dir)
       val sig = sh.select(col("doc_id"),
         DedupOps.minhashSignatureMd5(col("shs"), 32).as("sig"))
-      DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
-          bands = 8, rows = 4, threshold = 0.0, maxBucket = 1 << 20)
-        .select(col("id_a"), col("id_b"))
-        .join(sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
-        .withColumn("inter",
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-        .withColumn("sz_a", size(col("shs_a")).cast("long"))
-        .withColumn("sz_b", size(col("shs_b")).cast("long"))
-        .withColumn("containment", col("inter").cast("double") /
-          least(col("sz_a"), col("sz_b")).cast("double"))
-        .filter(col("containment") >= 0.8)
-        .withColumn("jaccard_misses", (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double")) < 0.5)
-        .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
-          col("sz_b"), col("containment"), col("jaccard_misses"))
+      containmentVerdict(sh, DedupOps.lshNearDupPairsMd5(sig, "doc_id", "sig",
+        bands = 8, rows = 4, threshold = 0.0, maxBucket = 1 << 20))
+    }),
+
+    // Capped PRODUCTION twin (r10 verdict #5, the minhash_scale
+    // discipline): xxh64 signature kernel + the default 1000-member
+    // bucket cap — the skew guard every 100 TB deployment runs with,
+    // now a registered, benched query instead of a parameter no gate
+    // exercises. Rows-only (DuckDB lacks xxhash64); spec pins the
+    // capped results ⊆ the capless oracle-green ones.
+    "q_containment_scale" -> ((s, dir) => {
+      val sh = containShingles(s, dir)
+      val sig = sh.select(col("doc_id"),
+        DedupOps.minhashSignature(col("shs"), 32).as("sig"))
+      containmentVerdict(sh, DedupOps.lshNearDupPairs(sig, "doc_id", "sig",
+        bands = 8, rows = 4, threshold = 0.0))
     }),
 
     // Mutual-kNN graph statistics: k=5 cosine neighbors per node
@@ -1228,30 +1299,14 @@ object DataPipelineQueries {
     // any of them. Nodes with no mutual edge land in the 0 bucket.
     // maxBucket is lifted so the oracle needs no cap replica at gate
     // SFs; production re-caps it.
-    "q_knn_graph" -> ((s, dir) => {
-      val e = embs(s, dir)
-      val pairs = AnnOps.embedNearDupPairs(e, planes = 5, tables = 16,
-        threshold = -2.0, maxBucket = 1 << 20)
-      val sym = pairs
-        .select(col("id_a").as("qid"), col("id_b").as("nid"), col("sim"))
-        .unionAll(pairs
-          .select(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-      val knn = sym.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5).select(col("qid"), col("nid"))
-      val edges = knn.as("x").join(knn.as("y"),
-          col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
-            col("x.qid") < col("x.nid"))
-        .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
-      val deg = edges.select(col("id_a").as("vid"))
-        .unionAll(edges.select(col("id_b").as("vid")))
-        .groupBy(col("vid")).agg(count(lit(1)).as("d"))
-      e.select(col("vec_id").as("vid")).join(deg, Seq("vid"), "left")
-        .select(coalesce(col("d"), lit(0L)).as("mutual_degree"))
-        .groupBy(col("mutual_degree"))
-        .agg(count(lit(1)).as("n_nodes"))
-    }),
+    "q_knn_graph" -> ((s, dir) =>
+      knnGraphCensus(embs(s, dir), maxBucket = 1 << 20)),
+
+    // Capped production twin (r10 verdict #5): same census under the
+    // default 1000-member bucket cap. Rows-only; spec pins the node
+    // total is conserved and degrees never exceed the capless run's.
+    "q_knn_graph_scale" -> ((s, dir) =>
+      knnGraphCensus(embs(s, dir), maxBucket = 1000)),
 
     // Perceptual-hash image near-dup (dHash): an 8×9 "decoded"
     // grayscale grid → 64 gradient bits (pixel < right-neighbor) →
@@ -1266,29 +1321,20 @@ object DataPipelineQueries {
     // the expected near-dup pairs are known. Everything downstream
     // of the stub — bit extraction, blocking, banded pair join,
     // Hamming verify — is the real operator.
-    "q_media_phash" -> ((s, dir) => {
-      def pix(r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(
-          pmod(col("doc_id"), lit(40)).cast("string"), lit("/"),
-          r.cast("string"), lit("/"), c.cast("string"))), 1, 4), 16, 10)
-          .cast("long")
-      val bits = docs(s, dir).select(col("doc_id"),
-        transform(sequence(lit(0), lit(63)), b => {
-          val row = shiftright(b, 3)
-          val c = b.bitwiseAND(lit(7))
-          val p1 = pix(row, c) +
-            when(expr("(doc_id DIV 40) % 2 = 1") && b === 0, lit(65536L))
-              .otherwise(lit(0L))
-          (p1 < pix(row, c + 1)).cast("int")
-        }).as("bits"))
+    "q_media_phash" -> ((s, dir) =>
       // maxBucket lifted: the stub's ~80 identity classes grow
       // linearly with the corpus, and the capless oracle must stay
       // twin-exact (at real scale the CC/representative pass consumes
       // these pairs — pair listing within a dup cluster is quadratic
       // by definition, the §4 interpretation note)
-      DedupOps.simhashNearDupPairs(bits, "doc_id", "bits", maxHamming = 2,
-        maxBucket = 1 << 20)
-    }),
+      DedupOps.simhashNearDupPairs(phashBits(docs(s, dir)), "doc_id", "bits",
+        maxHamming = 2, maxBucket = 1 << 20)),
+
+    // Capped production twin (r10 verdict #5): the default 1000-member
+    // chunk-bucket cap. Rows-only; spec pins capped pairs ⊆ capless.
+    "q_media_phash_scale" -> ((s, dir) =>
+      DedupOps.simhashNearDupPairs(phashBits(docs(s, dir)), "doc_id", "bits",
+        maxHamming = 2)),
 
     // Shard-balance QA for the training layout: per-shard doc counts
     // → min/max/total + the straggler ratio max/(total/liveShards) —

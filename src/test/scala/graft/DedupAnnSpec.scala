@@ -793,4 +793,52 @@ class DedupAnnSpec extends AnyFunSuite {
     // and the real corpus (valid srcN domain) still runs clean
     assert(SparkEntry.queries("q_dedup_priority")(spark, sf).count() > 0)
   }
+
+  test("capped production twins: the cap only DROPS oversized buckets (capped ⊆ capless), and a tiny cap bites") {
+    // r10 verdict #5: the three registered pair miners lift maxBucket
+    // for capless-oracle parity; their `_scale` twins run the
+    // PRODUCTION 1000-member cap. Pin the semantics: against the
+    // SAME hash kernel, capping can only remove pairs, never add or
+    // change one — so capped results are a subset of capless, and a
+    // deliberately tiny cap strictly shrinks them (the rule has teeth).
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // media_phash: identical dHash bits both sides → exact subset
+    val phCapless = pairSet(SparkEntry.queries("q_media_phash")(spark, sf))
+    val phCapped = pairSet(SparkEntry.queries("q_media_phash_scale")(spark, sf))
+    assert(phCapped.nonEmpty && phCapped.subsetOf(phCapless))
+
+    // containment twin: subset vs a SAME-KERNEL (xxh64) capless run —
+    // the md5 capless oracle query bands on a different hash, so its
+    // candidate set is not pair-for-pair comparable
+    val sh = docs.select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sig = sh.select(col("doc_id"),
+      DedupOps.minhashSignature(col("shs"), 32).as("sig"))
+    def candidates(cap: Int): Set[(Long, Long)] =
+      DedupOps.lshNearDupPairs(sig, "doc_id", "sig",
+          bands = 8, rows = 4, threshold = 0.0, maxBucket = cap)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capless = candidates(1 << 20)
+    val capped = pairSet(SparkEntry.queries("q_containment_scale")(spark, sf))
+    assert(capped.subsetOf(capless))
+
+    // knn census: the twin conserves the node total (every vector
+    // lands in exactly one degree bucket, capped or not)
+    val census = SparkEntry.queries("q_knn_graph_scale")(spark, sf)
+    val total = census.agg(sum(col("n_nodes"))).head().getLong(0)
+    assert(total == Tables(spark, sf, "embeddings").count())
+
+    // teeth: a 2-member cap drops every bucket beyond a single pair —
+    // strictly fewer banding candidates than the capless run, so the
+    // subset assertions above can never pass vacuously via caps that
+    // don't actually drop anything at ANY size
+    val tiny = candidates(2)
+    assert(tiny.subsetOf(capless) && tiny.size < capless.size,
+      s"tiny-cap candidates ${tiny.size} vs capless ${capless.size}")
+  }
 }
