@@ -68,11 +68,12 @@ object DataPipelineQueries {
         DedupOps.shinglesOfText(col("text"), 3).as("shs"))
       .filter(size(col("shs")) > 0)
 
-  /** Shared mutual-kNN census (q_knn_graph + its capped scale twin):
-    * LSH bucket-collision candidates (never a corpus broadcast or
-    * all-pairs), per-qid top-5 windows, mutual (id,id) join, degree
-    * histogram including the 0 bucket. */
-  private def knnGraphCensus(e: DataFrame, maxBucket: Int): DataFrame = {
+  /** Shared mutual-kNN EDGE derivation (q_knn_graph census, its
+    * capped twin, and the q_knn_prune decision consumer): LSH
+    * bucket-collision candidates (never a corpus broadcast or
+    * all-pairs), per-qid top-5 windows, mutual (id,id) join —
+    * one row per symmetric edge (id_a < id_b) with its cosine. */
+  private def mutualKnnEdges(e: DataFrame, maxBucket: Int): DataFrame = {
     val pairs = AnnOps.embedNearDupPairs(e, planes = 5, tables = 16,
       threshold = -2.0, maxBucket = maxBucket)
     val sym = pairs
@@ -82,11 +83,18 @@ object DataPipelineQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     val knn = sym.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5).select(col("qid"), col("nid"))
-    val edges = knn.as("x").join(knn.as("y"),
+      .filter(col("rk") <= 5).select(col("qid"), col("nid"), col("sim"))
+    knn.as("x").join(knn.as("y"),
         col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
           col("x.qid") < col("x.nid"))
-      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"))
+      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"),
+        col("x.sim").as("sim"))
+  }
+
+  /** Mutual-kNN degree census over [[mutualKnnEdges]], 0 bucket
+    * included */
+  private def knnGraphCensus(e: DataFrame, maxBucket: Int): DataFrame = {
+    val edges = mutualKnnEdges(e, maxBucket)
     val deg = edges.select(col("id_a").as("vid"))
       .unionAll(edges.select(col("id_b").as("vid")))
       .groupBy(col("vid")).agg(count(lit(1)).as("d"))
@@ -1307,6 +1315,29 @@ object DataPipelineQueries {
     // total is conserved and degrees never exceed the capless run's.
     "q_knn_graph_scale" -> ((s, dir) =>
       knnGraphCensus(embs(s, dir), maxBucket = 1000)),
+
+    // Diversity pruning over the mutual-kNN graph (r10 verdict #7):
+    // the DECISION step consuming the census's substrate — the
+    // SemDedup-adjacent greedy rule the repo's dedup side already
+    // uses (q_semdedup: prune vs smaller-id members): a node is KEPT
+    // iff no mutual neighbor has a smaller id, so every mutual
+    // clique keeps exactly its smallest member and the corpus loses
+    // redundant near-neighbors while isolated nodes are untouched.
+    // Per-node report: degree, max cosine to a mutual neighbor, keep
+    // verdict. Candidate-bounded like q_semdedup — rows ∝ nodes WITH
+    // mutual edges, never the corpus crossed with itself.
+    "q_knn_prune" -> ((s, dir) => {
+      val edges = mutualKnnEdges(embs(s, dir), maxBucket = 1 << 20)
+      edges.select(col("id_a").as("vid"), col("id_b").as("nb"), col("sim"))
+        .unionAll(edges.select(
+          col("id_b").as("vid"), col("id_a").as("nb"), col("sim")))
+        .groupBy(col("vid")).agg(
+          count(lit(1)).as("mutual_degree"),
+          max(col("sim")).as("max_sim"),
+          min(col("nb")).as("min_neighbor"))
+        .withColumn("keep", col("min_neighbor") > col("vid"))
+        .select(col("vid"), col("mutual_degree"), col("max_sim"), col("keep"))
+    }),
 
     // Perceptual-hash image near-dup (dHash): an 8×9 "decoded"
     // grayscale grid → 64 gradient bits (pixel < right-neighbor) →
@@ -2846,6 +2877,38 @@ object DataPipelineQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM v LEFT JOIN deg ON v.vec_id = deg.vid
         |GROUP BY COALESCE(d, CAST(0 AS BIGINT))""".stripMargin,
+
+    // the q_knn_graph edge CTEs with sim carried through, then the
+    // greedy smaller-id keep rule per node
+    "q_knn_prune" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sig AS (SELECT vec_id, e,
+        |  list_transform(range(0, 16), t ->
+        |    list_transform(range(0, 5), p ->
+        |      CASE WHEN list_sum(list_transform(list_zip(e, range(0, len(e))), x ->
+        |        CASE WHEN substr(md5(t::VARCHAR || '/' || p::VARCHAR || ':' || x[2]::VARCHAR), 1, 1) <= '7'
+        |         THEN x[1] ELSE -x[1] END)) > 0 THEN 1 ELSE 0 END)) AS sg
+        | FROM v),
+        |cand AS (SELECT a.vec_id id_a, b.vec_id id_b,
+        |  list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS sim
+        |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        |  WHERE list_max(list_transform(list_zip(a.sg, b.sg), z ->
+        |    CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) = 1),
+        |sym AS (SELECT id_a AS qid, id_b AS nid, sim FROM cand
+        |  UNION ALL SELECT id_b AS qid, id_a AS nid, sim FROM cand),
+        |knn AS (SELECT qid, nid, sim FROM (
+        |  SELECT qid, nid, sim,
+        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        |  FROM sym) WHERE rk <= 5),
+        |edges AS (SELECT x.qid id_a, x.nid id_b, x.sim FROM knn x JOIN knn y
+        |  ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid),
+        |per AS (SELECT id_a AS vid, id_b AS nb, sim FROM edges
+        |  UNION ALL SELECT id_b AS vid, id_a AS nb, sim FROM edges)
+        |SELECT vid, CAST(COUNT(*) AS BIGINT) AS mutual_degree,
+        | MAX(sim) AS max_sim, MIN(nb) > vid AS keep
+        |FROM per GROUP BY vid""".stripMargin,
 
     // the q_dedup_simhash oracle shape with dHash gradient bits from
     // the deterministic pixel walk instead of token votes
