@@ -343,6 +343,119 @@ object CoreQueries {
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
     }),
 
+    // TPC-H Q2 shape (adapted: the synthetic schema has no partsupp,
+    // so the supply relation derives from lineitem — per (part,
+    // supplier) the MIN extended price stands in for ps_supplycost;
+    // MIN is order-independent, so it is exact). The correlated
+    // min-cost-per-part subquery decorrelates as an aggregate +
+    // join-back with ties kept (the q17 discipline — never a
+    // per-part window over the supply relation), the supplier side
+    // rides the nation→region chain (only fixed-cardinality dims
+    // hinted), and the report is a deterministic top-100
+    // (TakeOrderedAndProject, full tie-break, no global sort).
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val supply = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supplycost"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      val minCost = supply.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("supplycost")).as("min_cost"))
+      supply.join(minCost,
+          col("l_partkey") === col("mk") && col("supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+          col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape: product-type profit by (nation, year) — the
+    // name-sliced part chain and the supplier→nation chain onto one
+    // fact pass, orders joined only for the year axis. The classic
+    // subtracts ps_supplycost·l_quantity; with no partsupp the profit
+    // is the discounted revenue (documented analog), which keeps the
+    // plan shape — a 5-table join tree grouped on a dimension × a
+    // derived time axis — intact. Decimal-routed sum.
+    "q9_product_profit" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+        .filter(col("p_name").endsWith("widget")).select(col("p_partkey"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Tables(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("profit"))
+    }),
+
+    // TPC-H Q11 shape: important stock — per-part value held by one
+    // nation's suppliers, kept only where it exceeds a FRACTION of
+    // the global total: a global scalar subquery (the q22 discipline
+    // — computed once, cross-joined; never re-aggregated per row).
+    // Both the per-part values and the grand total route through
+    // DECIMAL(28,8) so the threshold comparison is engine-exact.
+    "q11_important_stock" -> ((s, dir) => {
+      val ns = Tables(s, dir, "nation").filter(col("n_name") === "NATION_0")
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(ns), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      // the per-part aggregate is materialized ONCE (localCheckpoint,
+      // the systematicResample discipline): its two consumers — the
+      // report filter and the grand-total scalar — would otherwise
+      // each re-scan the fact (AQE's stage reuse does not fire across
+      // the scalar's broadcast branch here), and at 100 TB the fact
+      // scan IS the query. The checkpointed frame is per-part rows:
+      // tiny relative to the input, bounded by |part|.
+      val value = Tables(s, dir, "lineitem")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("value"))
+        .localCheckpoint()
+      val thr = value.agg((dsum(col("value")) * lit(0.005)).as("thr"))
+      value.crossJoin(thr).filter(col("value") > col("thr"))
+        .select(col("l_partkey"), col("value"))
+    }),
+
+    // TPC-H Q16 shape: supplier relationship count — distinct
+    // suppliers per (brand, type, size) over the part slice, with a
+    // "complaints" supplier set removed by ANTI join (the exclusion
+    // predicate adapted to s_acctbal — the synthetic supplier has no
+    // comment column). The supplier-part relation is the distinct
+    // (l_partkey, l_suppkey) projection of the fact.
+    "q16_supplier_relationship" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val excl = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") < 1000.0)
+        .select(col("s_suppkey").as("x_suppkey"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("x_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // Top-k per group via window row_number (deterministic tie-break).
     "q_topk_per_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -581,6 +694,59 @@ object CoreQueries {
         |WHERE r_name = 'ASIA'
         | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |supply AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |  GROUP BY l_partkey, l_suppkey),
+        |j AS (SELECT s.s_acctbal, s.s_name, s.n_name,
+        |   y.l_partkey AS p_partkey, y.supplycost
+        |  FROM supply y JOIN sup s ON y.l_suppkey = s.s_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, supplycost FROM j
+        |WHERE supplycost = (SELECT MIN(y2.supplycost)
+        |  FROM supply y2 JOIN sup s2 ON y2.l_suppkey = s2.s_suppkey
+        |  WHERE y2.l_partkey = j.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS value
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_0'
+        | GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM v
+        |WHERE value > (SELECT
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) * 0.005 FROM v)""".stripMargin,
+
+    "q16_supplier_relationship" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) r
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        | AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        | AND l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (

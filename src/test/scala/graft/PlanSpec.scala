@@ -275,6 +275,33 @@ class PlanSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("q2 min-cost join-back: no cartesian, supply aggregate computed once where canonicalization allows") {
+    val df = SparkEntry.queries("q2_min_cost_supplier")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the decorrelated min joins back on (l_partkey, supplycost) —
+    // both branches grow from the SAME supply subtree, so the
+    // (l_partkey, l_suppkey) aggregate's exchange is reused instead
+    // of re-scanning the fact
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"), p)
+  }
+
+  test("q11's global threshold is ONE broadcast scalar, never a per-row re-aggregation") {
+    val df = SparkEntry.queries("q11_important_stock")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the q22 discipline: the grand total is a 1-row aggregate that
+    // broadcasts on its own (BNLJ on a single row is the right plan)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-part aggregate is checkpointed once — the fact appears
+    // at most once across the whole executed plan (zero times when
+    // the checkpoint hides the lineage), never once per consumer
+    assert("lineitem".r.findAllIn(p).size <= 1,
+      s"q11 rescans the fact for its grand total:\n$p")
+  }
+
   test("q21 scans lineitem and orders exactly ONCE (fused per-order aggregate)") {
     // r5 verdict #1: the two-branch formulation (late candidates ∨
     // per-order counts) scanned lineitem AND orders twice with zero
