@@ -25,16 +25,37 @@ import graft.pipeline.Pipeline._
   */
 object ConfigLoader {
 
-  /** confmap `${env:VAR}` / `${env:VAR:-default}` provider analog
-    * (reference: confmap/provider/envprovider): expanded textually
-    * before parsing, exactly like the collector resolves a config. */
+  /** confmap env expansion, both generations, expanded textually
+    * before parsing exactly like the collector resolves a config:
+    *  - `${env:VAR}` / `${env:VAR:-default}` — the modern envprovider
+    *    scheme (confmap/provider/envprovider); unset with no default
+    *    is a loud config error.
+    *  - `${VAR}` — scheme-less braces resolve as env too (the
+    *    resolver's default scheme); unset is a loud error.
+    *  - `$VAR` — the LEGACY expandconverter form
+    *    (confmap/converter/expandconverter, deprecated upstream):
+    *    expanded when the variable is set. Deviation, documented: an
+    *    UNSET bare $VAR is left verbatim instead of deleted —
+    *    os.ExpandEnv's empty-on-unset silently corrupts dollar text
+    *    that was never meant as a variable, which is exactly why the
+    *    form was deprecated.
+    *  - `$$` — a literal `$` (the escape both generations honor). */
   def expandEnv(json: String,
                 env: String => Option[String] = sys.env.get): String =
-    "\\$\\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\\}".r
+    ("(\\$\\$)" +
+      "|\\$\\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\\}" +
+      "|\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}" +
+      "|\\$([A-Za-z_][A-Za-z0-9_]*)").r
       .replaceAllIn(json, m => scala.util.matching.Regex.quoteReplacement(
-        env(m.group(1)).orElse(Option(m.group(2))).getOrElse(
-          throw new IllegalArgumentException(
-            s"env var ${m.group(1)} is unset and has no default"))))
+        if (m.group(1) != null) "$"
+        else if (m.group(2) != null)
+          env(m.group(2)).orElse(Option(m.group(3))).getOrElse(
+            throw new IllegalArgumentException(
+              s"env var ${m.group(2)} is unset and has no default"))
+        else if (m.group(4) != null)
+          env(m.group(4)).getOrElse(throw new IllegalArgumentException(
+            s"env var ${m.group(4)} is unset (braced expansion has no default form)"))
+        else env(m.group(5)).getOrElse(m.matched)))
 
   def fromJson(json: String,
                env: String => Option[String] = sys.env.get,

@@ -177,4 +177,30 @@ class ConfigMergeSpec extends AnyFunSuite {
         new java.io.File(spool, "logs_arrow").listFiles().forall(_.getName.startsWith(".")))
     } finally rx.stop()
   }
+
+  test("legacy env expansion: $VAR and ${VAR} forms, with $$ as the literal-dollar escape") {
+    val env = Map("IN" -> "/data/in", "FMT" -> "parquet").get _
+    // modern scheme untouched; braced scheme-less resolves as env;
+    // legacy bare form expands when set
+    assert(ConfigLoader.expandEnv("${env:IN}/a", env) == "/data/in/a")
+    assert(ConfigLoader.expandEnv("${IN}/b", env) == "/data/in/b")
+    assert(ConfigLoader.expandEnv("$IN/c type=$FMT", env) == "/data/in/c type=parquet")
+    // $$ escapes to a literal dollar and NEVER re-expands
+    assert(ConfigLoader.expandEnv("cost: $$IN", env) == "cost: $IN")
+    // unset braced form fails loud (no default syntax without env:)
+    intercept[IllegalArgumentException] {
+      ConfigLoader.expandEnv("${MISSING}", env)
+    }
+    // unset BARE form is left verbatim (documented deviation from
+    // os.ExpandEnv's empty-on-unset: silent deletion corrupts dollar
+    // text that was never a variable — why upstream deprecated it)
+    assert(ConfigLoader.expandEnv("price is $100notavar and $UNSET_X", env)
+      == "price is $100notavar and $UNSET_X")
+    // and the whole chain works through a real document build
+    val svc = ConfigLoader.fromJson(
+      """{"pipelines": {"logs/e": {
+        |  "receiver": {"type": "parquet", "path": "$IN/spool"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin, env)
+    assert(svc.pipelines.contains("logs/e"))
+  }
 }
