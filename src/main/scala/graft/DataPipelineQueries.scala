@@ -1316,6 +1316,95 @@ object DataPipelineQueries {
     "q_knn_graph_scale" -> ((s, dir) =>
       knnGraphCensus(embs(s, dir), maxBucket = 1000)),
 
+    // LSH index health pre-flight (the operational companion of
+    // q_lsh_tune's parameter table): the bucket-occupancy histogram
+    // of the banded minhash index plus the candidate-pair mass each
+    // occupancy contributes — the measurement that picks maxBucket
+    // (a cap drops exactly the rows and C(occ,2) pairs this reports,
+    // so the operator quantifies the recall/cost trade BEFORE a run
+    // commits to it). One banding pass and one (band, key) aggregate
+    // — the same single wide op as the pair miner, with NO pairs
+    // materialized: the quadratic term is computed, not enumerated.
+    "q_lsh_bucket_stats" -> ((s, dir) => {
+      val sig = containShingles(s, dir).select(col("doc_id"),
+        DedupOps.minhashSignatureMd5(col("shs"), 32).as("sig"))
+      sig.select(posexplode(expr(
+          "transform(sequence(0, 7), b -> concat_ws(',', slice(sig, b*4+1, 4)))"))
+          .as(Seq("band", "key")))
+        .groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("occupancy"))
+        .filter(col("occupancy") >= 2)
+        .groupBy(col("occupancy"))
+        .agg(count(lit(1)).as("n_buckets"))
+        .withColumn("n_candidate_pairs",
+          expr("occupancy * (occupancy - 1) DIV 2 * n_buckets"))
+    }),
+
+    // Embedding-corpus QA (run before ANY index build): per-label
+    // vector counts, dimension consistency, norm² extremes and
+    // zero-vector count — a zero vector NaN-poisons every cosine it
+    // touches and a mixed-dimension corpus breaks the index builders,
+    // so this is the gate an embedding drop passes first. norm² is
+    // the same left-fold the cosine kernels use (bit-exact oracle);
+    // min/max are order-independent. Fully map-side + one aggregate.
+    "q_embed_norm_qa" -> ((s, dir) => {
+      embs(s, dir).select(col("label"),
+          expr("CAST(size(embedding) AS BIGINT)").as("dim"),
+          expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)").as("norm2"))
+        .groupBy(col("label")).agg(
+          count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+          min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"),
+          sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    }),
+
+    // Near-dup cluster census (the curation report over the CC
+    // output): cluster-size histogram with the doc mass and the
+    // removable-duplicate mass per size — "how much of the corpus is
+    // duplicate clusters, and how big are they" is the number a dedup
+    // run reports before applying its keep rule. Same pair graph +
+    // hybrid CC as q_dedup_cc; the census is two bounded aggregates
+    // over components, never documents.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      DedupOps.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .groupBy(col("n_members"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("n_members") * col("n_clusters"))
+        .withColumn("n_removable", (col("n_members") - 1) * col("n_clusters"))
+    }),
+
+    // Per-source contamination report (the q_decontaminate verdict
+    // rolled up to the axis a curation run acts on): which SOURCES
+    // carry eval-overlapping documents and at what rate — a
+    // contaminated source gets dropped or down-weighted wholesale,
+    // so the per-source share is the actionable number. The eval
+    // postings broadcast exactly as in q_decontaminate; the rollup
+    // adds one flagged-doc distinct and a per-source aggregate.
+    "q_decontam_by_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"), col("source"),
+        explode(DedupOps.shinglesOfText(col("text"), 5)).as("s5"))
+      val evalSet = sh.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("eval_id"), col("s5"))
+      val flagged = sh.filter(col("doc_id") >= 25)
+        .join(broadcast(evalSet), "s5")
+        .groupBy(col("doc_id"), col("source"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .select(col("doc_id"), col("source")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+      d.filter(col("doc_id") >= 25)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+        .join(flagged, Seq("source"), "left")
+        .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+        .withColumn("contaminated_share",
+          col("n_contaminated").cast("double") / col("n_train").cast("double"))
+    }),
+
     // Diversity pruning over the mutual-kNN graph (r10 verdict #7):
     // the DECISION step consuming the census's substrate — the
     // SemDedup-adjacent greedy rule the repo's dedup side already
@@ -2877,6 +2966,89 @@ object DataPipelineQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM v LEFT JOIN deg ON v.vec_id = deg.vid
         |GROUP BY COALESCE(d, CAST(0 AS BIGINT))""".stripMargin,
+
+    // the q_dedup_minhash signature CTE, bucketed by (band, key)
+    // composite instead of paired — identical partitioning
+    "q_lsh_bucket_stats" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, 32), i ->
+        |    list_min(list_transform(shs, s ->
+        |      substr(md5((i / 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
+        | FROM sh WHERE len(shs) > 0),
+        |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+        |   b::VARCHAR || '#' || array_to_string(sig[b*4+1:b*4+4], ','))) AS bk
+        | FROM sig),
+        |occ AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS occupancy
+        | FROM keys GROUP BY bk)
+        |SELECT occupancy, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        | CAST(occupancy * (occupancy - 1) // 2 * COUNT(*) AS BIGINT) AS n_candidate_pairs
+        |FROM occ WHERE occupancy >= 2 GROUP BY occupancy""".stripMargin,
+
+    "q_embed_norm_qa" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT label, len(e) AS dim,
+        |  list_sum(list_transform(e, x -> x * x)) AS norm2 FROM v)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        | MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+        | MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
+        | CAST(SUM(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM m GROUP BY label""".stripMargin,
+
+    // the q_dedup_cc recursive-CTE closure, rolled into a
+    // cluster-size histogram with doc / removable mass
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        | SELECT s AS id, d AS r FROM edges
+        | UNION
+        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+        | FROM comp GROUP BY component)
+        |SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        | CAST(n_members * COUNT(*) AS BIGINT) AS n_docs,
+        | CAST((n_members - 1) * COUNT(*) AS BIGINT) AS n_removable
+        |FROM sizes GROUP BY n_members""".stripMargin,
+
+    // the q_decontaminate verdict rolled up per source, with
+    // per-source train totals and the contamination share
+    "q_decontam_by_source" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(ws) >= 5
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |     for i in range(1, len(ws) - 3)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, source, unnest(shs) AS s FROM sh),
+        |flagged AS (SELECT DISTINCT train_id, src FROM (
+        |  SELECT t.doc_id AS train_id, ANY_VALUE(t.source) AS src, e.doc_id AS eval_id
+        |  FROM ex t JOIN ex e ON t.s = e.s AND e.doc_id < 25 AND t.doc_id >= 25
+        |  GROUP BY t.doc_id, e.doc_id HAVING COUNT(*) >= 3)),
+        |per_src AS (SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        | FROM flagged GROUP BY src),
+        |totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train
+        | FROM documents WHERE doc_id >= 25 GROUP BY source)
+        |SELECT t.source, t.n_train,
+        | COALESCE(p.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+        | CAST(COALESCE(p.n_contaminated, CAST(0 AS BIGINT)) AS DOUBLE) /
+        |  CAST(t.n_train AS DOUBLE) AS contaminated_share
+        |FROM totals t LEFT JOIN per_src p ON t.source = p.source""".stripMargin,
 
     // the q_knn_graph edge CTEs with sim carried through, then the
     // greedy smaller-id keep rule per node

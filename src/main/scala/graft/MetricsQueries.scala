@@ -109,6 +109,39 @@ object MetricsQueries {
         col("bucket_k"), col("cnt"), Seq(0.5, 0.9, 0.99), -4, 12)
     }),
 
+    // Prometheus histogram_quantile over EXPLICIT bounds — the
+    // workhorse percentile every dashboard computes from classic
+    // histogram series: rank walk over cumulative bucket counts +
+    // linear interpolation inside the bucket, overflow clamped to the
+    // highest finite bound (promql behavior). Input is the bucket
+    // TABLE (the compressed form a collector ships), never raw points.
+    "q_hist_quantile" -> ((s, dir) => {
+      val buckets = ev(s, dir)
+        .withColumn("bucket_idx", MetricsOps.explicitBucket(col("value"), histBounds))
+        .groupBy(col("event_type"), col("bucket_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      MetricsOps.explicitQuantiles(buckets, Seq(col("event_type")),
+        col("bucket_idx"), col("cnt"), Seq(0.5, 0.9, 0.99), histBounds)
+    }),
+
+    // Collection-health gaps: per-series inter-arrival statistics —
+    // max and total ns between consecutive points plus the point
+    // count; the scrape-health report next to the staleness markers.
+    // Pure integer gaps (ts_ns deltas); ONE series-keyed window (the
+    // temporality discipline — shuffle once on the series key).
+    "q_metric_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ns"), col("event_id"))
+        .withColumn("gap", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          max(col("gap")).as("max_gap_ns"),
+          sum(col("gap")).as("sum_gap_ns"))
+    }),
+
     "q_summary_quantiles" -> ((s, dir) => {
       MetricsOps.summaryQuantiles(ev(s, dir), Seq(col("event_type")),
         col("value"), Seq(0.5, 0.9, 0.99))
@@ -289,6 +322,35 @@ object MetricsQueries {
          | ${MetricsOps.expQuantileEstSql("bucket_k", "cum", "cnt", "total", 0.9, -4, 12)} AS q90,
          | ${MetricsOps.expQuantileEstSql("bucket_k", "cum", "cnt", "total", 0.99, -4, 12)} AS q99
          |FROM c GROUP BY event_type""".stripMargin,
+
+    "q_hist_quantile" ->
+      s"""WITH b AS (
+         | SELECT event_type,
+         |  ${MetricsOps.explicitBucketSql("value", histBounds)} AS bucket_idx,
+         |  COUNT(*) AS cnt
+         | FROM events GROUP BY 1, 2),
+         |c AS (
+         | SELECT event_type, bucket_idx, cnt,
+         |  CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_idx
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         | FROM b)
+         |SELECT event_type, MAX(total) AS n,
+         | ${MetricsOps.explicitQuantileEstSql("bucket_idx", "cum", "cnt", "total", 0.5, histBounds)} AS q50,
+         | ${MetricsOps.explicitQuantileEstSql("bucket_idx", "cum", "cnt", "total", 0.9, histBounds)} AS q90,
+         | ${MetricsOps.explicitQuantileEstSql("bucket_idx", "cum", "cnt", "total", 0.99, histBounds)} AS q99
+         |FROM c GROUP BY event_type""".stripMargin,
+
+    "q_metric_gaps" ->
+      """WITH g AS (
+        | SELECT event_type, user_id,
+        |  epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER (
+        |   PARTITION BY event_type, user_id
+        |   ORDER BY epoch_ns(ts), event_id) AS gap
+        | FROM events)
+        |SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        | MAX(gap) AS max_gap_ns, CAST(SUM(gap) AS BIGINT) AS sum_gap_ns
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q_summary_quantiles" -> {
       val arr = "arr"; val n = "n"

@@ -160,6 +160,66 @@ object MetricsOps {
       .agg(max(col("_total")).as("n"), aggs: _*)
   }
 
+  /** Prometheus histogram_quantile over EXPLICIT bounds: the
+    * [[expQuantiles]] rank walk + in-bucket linear interpolation with
+    * the bound tables built from the bounds list ([0]=(0,b0],
+    * [i]=(b(i-1),bi]). The overflow bucket (idx == bounds.size)
+    * CLAMPS to the highest finite bound — promql's documented
+    * behavior for a quantile landing past the last boundary (there is
+    * no upper edge to interpolate toward). Same scale shape: one
+    * series-keyed window pass over the bucket table, which is already
+    * the compressed form — never the raw points. */
+  def explicitQuantiles(df: DataFrame, seriesKeys: Seq[Column], idx: Column,
+                        cnt: Column, qs: Seq[Double],
+                        bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty, "explicit bounds must be non-empty")
+    val wOrd = Window.partitionBy(seriesKeys: _*).orderBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(seriesKeys: _*)
+    val base = df.select(seriesKeys ++ Seq(idx.as("_k"), cnt.as("_cnt")): _*)
+      .withColumn("_cum", sum(col("_cnt")).over(wOrd))
+      .withColumn("_total", sum(col("_cnt")).over(wAll))
+    val n = bounds.size
+    val lo = (1 until n).foldLeft(when(col("_k") === lit(0), lit(0.0))) {
+      (acc, i) => acc.when(col("_k") === lit(i), lit(bounds(i - 1)))
+    }.otherwise(lit(bounds(n - 1)))
+    val hi = (1 until n).foldLeft(when(col("_k") === lit(0), lit(bounds(0)))) {
+      (acc, i) => acc.when(col("_k") === lit(i), lit(bounds(i)))
+    }.otherwise(lit(bounds(n - 1)))
+    val cumD = col("_cum").cast("double")
+    val beforeD = (col("_cum") - col("_cnt")).cast("double")
+    val cntD = col("_cnt").cast("double")
+    val aggs = qs.map { q =>
+      val r = lit(q) * col("_total").cast("double")
+      val est = when(col("_k") >= lit(n), lit(bounds(n - 1)))
+        .otherwise(lo + ((r - beforeD) / cntD) * (hi - lo))
+      max(when(beforeD < r && cumD >= r, est)).as(qName(q))
+    }
+    val names = seriesKeys.map(_.toString)
+    base.groupBy(names.map(col): _*)
+      .agg(max(col("_total")).as("n"), aggs: _*)
+  }
+
+  /** DuckDB twin of [[explicitQuantiles]]'s per-bucket estimate —
+    * identical CASE constants (round-trip-printed) and identical
+    * parenthesization of the interpolation arithmetic. */
+  def explicitQuantileEstSql(kExpr: String, cumExpr: String, cntExpr: String,
+                             totalExpr: String, q: Double,
+                             bounds: Seq[Double]): String = {
+    val n = bounds.size
+    val loSql = (s"WHEN $kExpr = 0 THEN 0.0" +:
+      (1 until n).map(i => s"WHEN $kExpr = $i THEN ${fmtD(bounds(i - 1))}"))
+      .mkString("CASE ", " ", s" ELSE ${fmtD(bounds(n - 1))} END")
+    val hiSql = (s"WHEN $kExpr = 0 THEN ${fmtD(bounds(0))}" +:
+      (1 until n).map(i => s"WHEN $kExpr = $i THEN ${fmtD(bounds(i))}"))
+      .mkString("CASE ", " ", s" ELSE ${fmtD(bounds(n - 1))} END")
+    val r = s"($q * CAST($totalExpr AS DOUBLE))"
+    val before = s"CAST($cumExpr - $cntExpr AS DOUBLE)"
+    val est = s"(CASE WHEN $kExpr >= $n THEN ${fmtD(bounds(n - 1))} " +
+      s"ELSE (($loSql) + (($r - $before) / CAST($cntExpr AS DOUBLE)) * (($hiSql) - ($loSql))) END)"
+    s"MAX(CASE WHEN $before < $r AND CAST($cumExpr AS DOUBLE) >= $r THEN $est END)"
+  }
+
   /** bucket k's lower bound under [[expBucket]] semantics (see
     * [[expQuantiles]]): 0 for the underflow bucket, else 2^(k-1). */
   def expBucketLower(k: Column, kMin: Int, kMax: Int): Column =
