@@ -152,6 +152,33 @@ object MetricsQueries {
         expr(s"ts_ns DIV $HourNs"), col("value"), 3600)
     }),
 
+    // Multi-window error-budget BURN (the SRE alerting operator over
+    // RED metrics): error rate per 1h window vs its containing 6h
+    // window; burn = short/long and an alert fires when the short
+    // window burns ≥2× the long-window baseline. Integer counts, two
+    // IEEE divisions, one EQUI-join on the containing window id
+    // (w6 = w1 DIV 6 — floor division composes, never a range join).
+    "q_burn_rate" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val short = e.groupBy(expr(s"ts_ns DIV $HourNs").as("w1"))
+        .agg(count(lit(1)).as("n_short"),
+          count(when(col("event_type") === "error", 1)).as("err_short"))
+      val long = e.groupBy(expr(s"ts_ns DIV (6 * $HourNs)").as("w6"))
+        .agg(count(lit(1)).as("n_long"),
+          count(when(col("event_type") === "error", 1)).as("err_long"))
+      short.withColumn("w6", expr("w1 DIV 6"))
+        .join(long, "w6")
+        .withColumn("short_rate",
+          col("err_short").cast("double") / col("n_short").cast("double"))
+        .withColumn("long_rate",
+          col("err_long").cast("double") / col("n_long").cast("double"))
+        .withColumn("burn", when(col("long_rate") > 0.0,
+          col("short_rate") / col("long_rate")))
+        .withColumn("alert", coalesce(col("burn") >= 2.0, lit(false)))
+        .select(col("w1"), col("w6"), col("n_short"), col("err_short"),
+          col("short_rate"), col("long_rate"), col("burn"), col("alert"))
+    }),
+
     "q_spanmetrics" -> ((s, dir) => {
       ev(s, dir)
         .groupBy(expr(s"ts_ns DIV $HourNs").as("bucket"))
@@ -340,6 +367,26 @@ object MetricsQueries {
          | ${MetricsOps.explicitQuantileEstSql("bucket_idx", "cum", "cnt", "total", 0.9, histBounds)} AS q90,
          | ${MetricsOps.explicitQuantileEstSql("bucket_idx", "cum", "cnt", "total", 0.99, histBounds)} AS q99
          |FROM c GROUP BY event_type""".stripMargin,
+
+    "q_burn_rate" ->
+      s"""WITH s AS (
+         | SELECT epoch_ns(ts) // $HourNs AS w1, COUNT(*) AS n_short,
+         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS err_short
+         | FROM events GROUP BY 1),
+         |l AS (
+         | SELECT epoch_ns(ts) // (6 * $HourNs) AS w6, COUNT(*) AS n_long,
+         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS err_long
+         | FROM events GROUP BY 1),
+         |j AS (
+         | SELECT s.w1, s.w1 // 6 AS w6, s.n_short, s.err_short,
+         |  CAST(s.err_short AS DOUBLE) / CAST(s.n_short AS DOUBLE) AS short_rate,
+         |  CAST(l.err_long AS DOUBLE) / CAST(l.n_long AS DOUBLE) AS long_rate
+         | FROM s JOIN l ON s.w1 // 6 = l.w6)
+         |SELECT w1, w6, n_short, err_short, short_rate, long_rate,
+         | CASE WHEN long_rate > 0.0 THEN short_rate / long_rate END AS burn,
+         | COALESCE(CASE WHEN long_rate > 0.0 THEN short_rate / long_rate END >= 2.0,
+         |  FALSE) AS alert
+         |FROM j""".stripMargin,
 
     "q_metric_gaps" ->
       """WITH g AS (

@@ -284,6 +284,33 @@ object ProcessorQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
     }),
 
+    // OLAP CUBE over telemetry dimensions — the cross-dimension
+    // companion of q_rollup_counts' hierarchy: all four grouping sets
+    // in one pass with grouping_id disambiguating a real NULL from an
+    // aggregated-out dimension (the reason the operator exists)
+    "q_cube_counts" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("cohort", (col("user_id") % 10).cast("int"))
+        .cube(col("event_type"), col("cohort"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // OTTL ExtractPatterns over the props attribute bag (the
+    // transform processor's regex-extraction converter): pull the
+    // integer k out of the raw props string, upsert it as a typed
+    // attribute, derive a band dimension, aggregate — attribute
+    // extraction is map-side; the one agg is the only exchange
+    "q_ottl_extract_patterns" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .withColumn("k_band", expr("k DIV 10"))
+        .groupBy(col("event_type"), col("k_band"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // the FULL plog severity scale: all 24 levels with band
     // qualifiers (TRACE..FATAL4), derived deterministically per event
     "q_severity_map" -> ((s, dir) => {
@@ -486,6 +513,23 @@ object ProcessorQueries {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS INTEGER))""".stripMargin,
+
+    "q_cube_counts" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(user_id % 10 AS INTEGER) AS cohort, value FROM events)
+        |SELECT event_type, cohort,
+        | CAST(GROUPING(event_type, cohort) AS BIGINT) AS gid,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        |FROM e GROUP BY CUBE(event_type, cohort)""".stripMargin,
+
+    "q_ottl_extract_patterns" ->
+      """SELECT event_type,
+        | TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10 AS k_band,
+        | COUNT(*) AS n,
+        | MIN(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+        | MAX(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_severity_map" ->
       s"""SELECT severity_number, severity_text, COUNT(*) AS n, MIN(event_id) AS first_id
