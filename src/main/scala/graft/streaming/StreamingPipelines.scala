@@ -589,6 +589,54 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming inter-arrival gap monitor — the q_metric_gaps
+    * semantics over an unbounded stream: per-series LAST-SEEN state
+    * carries across micro-batches, so a gap spanning a batch
+    * boundary measures exactly like one inside a batch (the case a
+    * per-batch window can never see). Emits one row per point:
+    * (series, ts_ns, gap_ns, is_first) with gap_ns = -1 on a
+    * series' first point (and on re-entry after TTL expiry — the
+    * staleness semantics of the cumulative tracker: an evicted idle
+    * series starts over). State is ONE long per live series;
+    * `ttlMs` bounds it for unbounded series churn.
+    *
+    * In-batch ordering is by ts (sorted per series per trigger);
+    * cross-batch ordering comes from the source, like every stateful
+    * operator here. */
+  def streamingGapMonitor(spark: SparkSession,
+                          points: Dataset[(String, Long)],
+                          ttlMs: Option[Long] = None)(
+      implicit e: org.apache.spark.sql.Encoder[(String, Long, Long, Boolean)])
+      : Dataset[(String, Long, Long, Boolean)] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
+        OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var last: Option[Long] = state.getOption
+              val out = sorted.map { ts =>
+                val row = last match {
+                  case Some(prev) => (key, ts, ts - prev, false)
+                  case None => (key, ts, -1L, true)
+                }
+                last = Some(ts)
+                row
+              }
+              state.update(last.get)
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              out.iterator
+            }
+          }
+      }
+  }
+
   /** per-key cumulative counter across micro-batches (stateful
     * delta→cumulative): emits (key, batch_delta, cumulative). */
   def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(

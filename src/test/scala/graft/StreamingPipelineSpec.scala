@@ -1129,4 +1129,62 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(verdict.count(_._2 == Set(true)).toLong == twinKept)
     } finally q.stop()
   }
+  test("streaming gap monitor: gaps across batch boundaries measure exactly, converging to the batch operator") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val out = StreamingPipelines.streamingGapMonitor(spark, ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("gap_out").start()
+    try {
+      // series a: points in TWO batches — the 3→7 gap spans the
+      // boundary and must measure 4, exactly as if in one batch
+      ms.addData(Seq(("a", 1L), ("a", 3L), ("b", 10L)))
+      q.processAllAvailable()
+      ms.addData(Seq(("a", 7L), ("b", 25L)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT _1, _2, _3, _4 FROM gap_out ORDER BY _1, _2")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(got == Seq(
+        ("a", 1L, -1L, true), ("a", 3L, 2L, false), ("a", 7L, 4L, false),
+        ("b", 10L, -1L, true), ("b", 25L, 15L, false)), got)
+      // convergence to the batch operator's aggregates: max/sum of
+      // the emitted non-first gaps per series == one-shot LAG over
+      // the full data (the q_metric_gaps semantics)
+      val gaps = got.filterNot(_._4).groupBy(_._1)
+        .map { case (k, rs) => k -> (rs.map(_._3).max, rs.map(_._3).sum) }
+      assert(gaps == Map("a" -> ((4L, 6L)), "b" -> ((15L, 15L))))
+    } finally q.stop()
+  }
+
+  test("streaming gap monitor TTL: an evicted idle series re-enters as a FIRST point, never a giant stale gap") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    // poll the sink with a deadline — ProcessingTimeTimeout queries
+    // never quiesce under processAllAvailable (the documented trade)
+    val out = StreamingPipelines.streamingGapMonitor(spark, ms.toDS(),
+      ttlMs = Some(200L))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("gap_ttl_out").start()
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("gap_ttl_out").count() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("gap_ttl_out").count() >= n, s"sink never reached $n rows")
+    }
+    try {
+      ms.addData(Seq(("a", 100L)))
+      awaitRows(1)
+      Thread.sleep(800) // idle past the TTL — the tracker evicts a
+      ms.addData(Seq(("a", 900L)))
+      awaitRows(2)
+      val got = spark.sql("SELECT _2, _3, _4 FROM gap_ttl_out ORDER BY _2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      // re-entry is a first point (-1/true) — reporting 800 as a gap
+      // would conflate eviction with a measured inter-arrival time
+      assert(got == Seq((100L, -1L, true), (900L, -1L, true)), got)
+    } finally q.stop()
+  }
+
 }
