@@ -229,20 +229,38 @@ object Collector {
               z.bind(svc, spark, doc)
               out.println(s"zpages serving on localhost:${z.boundPort}")
           }
-          // service::telemetry::metrics::address: the self-metrics
-          // Prometheus endpoint (telemetry.go:202-206)
-          val promSrv = svc.telemetryAddress.map { addr =>
-            val s = new graft.pipeline.PromTelemetryServer(svc, spark, addr)
-            out.println(
-              s"telemetry metrics on localhost:${s.boundPort}/metrics")
-            s
-          }
           // the data path brackets: a failing recovery/pipeline/query
-          // must still stop receivers and shut extensions down, or the
-          // zpages server / socket listeners / scrape threads leak in
-          // the embedding JVM (reference collector.go shuts down on
-          // failure paths too)
+          // — or a bad telemetry address below — must still stop
+          // receivers and shut extensions down, or the zpages server /
+          // socket listeners / scrape threads leak in the embedding
+          // JVM (reference collector.go shuts down on failure paths
+          // too); the Prometheus server therefore starts INSIDE the
+          // bracket
+          var promSrv: Option[graft.pipeline.PromTelemetryServer] = None
           try {
+            // service::telemetry::metrics::address: the self-metrics
+            // Prometheus endpoint (telemetry.go:202-206). The
+            // transports thunk reads the LIVE obsreport counters off
+            // every wire receiver the service started, so a raised
+            // telemetry level actually serves the per-transport
+            // families it promises.
+            promSrv = svc.telemetryAddress.map { addr =>
+              val s = new graft.pipeline.PromTelemetryServer(svc, spark, addr,
+                transports = () => svc.pipelines.values.flatMap { p =>
+                  p.receiver match {
+                    case r: graft.pipeline.Pipeline.OtlpHttpServerReceiver =>
+                      r.counters.map("otlp_http" -> _)
+                    case r: graft.pipeline.Pipeline.OtlpGrpcServerReceiver =>
+                      r.counters.map("otlp_grpc" -> _)
+                    case r: graft.pipeline.Pipeline.OtlpArrowServerReceiver =>
+                      r.counters.map("otlp_arrow" -> _)
+                    case _ => None
+                  }
+                }.toMap)
+              out.println(
+                s"telemetry metrics on localhost:${s.boundPort}/metrics")
+              s
+            }
             val recovered = svc.recover(spark)
             recovered.foreach { case (name, st) =>
               out.println(s"recovered $name: redelivered=${st.redelivered} " +

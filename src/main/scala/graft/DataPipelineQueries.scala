@@ -1366,9 +1366,10 @@ object DataPipelineQueries {
     // hybrid CC as q_dedup_cc; the census is two bounded aggregates
     // over components, never documents.
     "q_dedup_clusters" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      // containShingles' size>0 filter is a no-op for pair derivation
+      // (empty-shingle docs produce no pairs) — reuse the shared frame
+      val pairs = DedupOps.jaccardPairs(
+        containShingles(s, dir), "doc_id", "shs", threshold = 0.5)
       DedupOps.connectedComponents(pairs)
         .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
         .groupBy(col("n_members"))
@@ -2978,7 +2979,7 @@ object DataPipelineQueries {
         |sig AS (SELECT doc_id,
         |  list_transform(range(0, 32), i ->
         |    list_min(list_transform(shs, s ->
-        |      substr(md5((i / 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
+        |      substr(md5((i // 4)::VARCHAR || '|' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
         | FROM sh WHERE len(shs) > 0),
         |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8), b ->
         |   b::VARCHAR || '#' || array_to_string(sig[b*4+1:b*4+4], ','))) AS bk

@@ -303,8 +303,12 @@ object ProcessorQueries {
     // extraction is map-side; the one agg is the only exchange
     "q_ottl_extract_patterns" -> ((s, dir) => {
       Tables(s, dir, "events")
-        .withColumn("k",
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        // try_cast, not cast: regexp_extract yields '' on a no-match
+        // row and ANSI CAST('' AS BIGINT) would crash the whole query
+        // — the oracle's TRY_CAST yields a NULL band instead, and the
+        // engines must agree on malformed props
+        .withColumn("k", expr(
+          """try_cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)"""))
         .withColumn("k_band", expr("k DIV 10"))
         .groupBy(col("event_type"), col("k_band"))
         .agg(count(lit(1)).as("n"),

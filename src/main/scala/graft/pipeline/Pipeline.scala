@@ -135,6 +135,10 @@ object Pipeline {
       require(s != null, "receiver not started")
       s.boundPort
     }
+    /** live obsreport counters (None before start) — the transports
+      * shape healthFrame / the Prometheus endpoint consume */
+    def counters: Option[Map[String, Long]] =
+      Option(server).map(_.obs.counters)
   }
 
   /** gRPC twin of [[OtlpHttpServerReceiver]] (the collector's primary
@@ -164,6 +168,8 @@ object Pipeline {
       require(s != null, "receiver not started")
       s.boundPort
     }
+    def counters: Option[Map[String, Long]] =
+      Option(server).map(_.obs.counters)
   }
 
   /** Arrow-over-gRPC stream receiver as a config component: the
@@ -222,6 +228,8 @@ object Pipeline {
       require(s != null, "receiver not started")
       s.boundPort
     }
+    def counters: Option[Map[String, Long]] =
+      Option(server).map(_.obs.counters)
   }
 
   /** gzip'd pb spool (otlphttp transport compression on disk) */

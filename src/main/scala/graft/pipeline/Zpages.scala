@@ -132,7 +132,12 @@ final class ZpagesServer(
   * and the configured TelemetryLevel gates them identically
   * (`none` serves an EMPTY exposition; basic → queue gauges +
   * delivery/dead-letter totals; normal adds retry/partial-success;
-  * detailed adds the per-transport dimensioned counters).
+  * detailed adds the per-transport dimensioned counters). The
+  * `obs`/`transports` thunks supply the counter sources per scrape:
+  * the collector CLI wires `transports` from every live wire
+  * receiver it started; `obs` (per-pipeline QueueObs delivery
+  * totals) is the embedding caller's to provide, since QueueObs
+  * instances live with whoever constructs the queued exporters.
   * Names stay in the otelcol_* space; `gauge` rows expose as gauge,
   * cumulative monotonic sums as counter. Binds loopback like the
   * zpages server (the reference default address is 0.0.0.0:8888;

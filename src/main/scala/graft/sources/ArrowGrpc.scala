@@ -1033,7 +1033,9 @@ object ArrowGrpc {
         "to 'none' explicitly rather than silently dropping " +
         s"'$codec'")
     private val msgCodec: String = {
-      val c = if (compression.nonEmpty && compression != "none") compression
+      // none/identity both mean "off" (configgrpc accepts either)
+      val c = if (compression.nonEmpty && compression != "none" &&
+          compression != "identity") compression
         else if (compression.isEmpty && gzipMessages) "gzip" else ""
       require(c.isEmpty || GrpcOtlp.GrpcCodecs(c),
         s"unsupported grpc compression '$c' (${GrpcOtlp.GrpcCodecs.mkString("|")})")
@@ -1098,6 +1100,13 @@ object ArrowGrpc {
     }
 
     private def sendChunk(schema: StructType, rows: Seq[Row]): Unit = {
+      // refuse new sends once shutdown began: without this guard a
+      // concurrent export could keep re-winning freed slots and
+      // shutdown's reacquisition loop would never hold all of them
+      // (retryable — a caller racing shutdown redelivers elsewhere)
+      if (shuttingDown)
+        throw new graft.pipeline.Pipeline.ThrottledExportException(
+          "arrow exporter shutting down", 0L)
       val slot = slots.take() // first-available prioritizer; blocks = backpressure
       try {
         // lifetime rollover BETWEEN batches: nothing is in flight

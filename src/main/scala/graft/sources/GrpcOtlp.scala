@@ -823,7 +823,9 @@ object GrpcOtlp {
       extends graft.pipeline.Pipeline.Exporter {
 
     private val msgCodec: String = {
-      val c = if (compression.nonEmpty && compression != "none") compression
+      // none/identity both mean "off" (configgrpc accepts either)
+      val c = if (compression.nonEmpty && compression != "none" &&
+          compression != "identity") compression
         else if (compression.isEmpty && gzipBody) "gzip" else ""
       require(c.isEmpty || GrpcCodecs(c),
         s"unsupported grpc compression '$c' (${GrpcCodecs.mkString("|")})")

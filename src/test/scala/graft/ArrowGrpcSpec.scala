@@ -1149,6 +1149,11 @@ class ArrowGrpcSpec extends AnyFunSuite {
       val eofDeadline = System.currentTimeMillis() + 3000
       while (!sawEof && System.currentTimeMillis() < eofDeadline) Thread.sleep(10)
       assert(sawEof, "socket still open after shutdown")
+      // a send AFTER shutdown refuses retryably instead of re-winning
+      // freed slots against the reacquisition loop
+      intercept[graft.pipeline.Pipeline.ThrottledExportException] {
+        exp.export(df)
+      }
     } finally { t.join(3000); server.close() }
   }
 
@@ -1209,6 +1214,11 @@ class ArrowGrpcSpec extends AnyFunSuite {
     // an unknown codec is refused loudly at build time, not on the wire
     intercept[IllegalArgumentException] {
       new ArrowGrpcStreamExporter("localhost", 1, "logs", compression = "br")
+    }
+    // none/identity both mean OFF (configgrpc accepts either spelling)
+    for (off <- Seq("none", "identity")) {
+      new ArrowGrpcStreamExporter("localhost", 1, "logs", compression = off)
+      GrpcOtlp.OtlpGrpcExporter("localhost", 1, "logs", compression = off)
     }
   }
 }

@@ -218,4 +218,55 @@ class CollectorCliSpec extends AnyFunSuite {
       c.getResponseCode
     }
   }
+
+  test("run serves the telemetry metrics address and stops it with the bracket; a bad address still shuts down clean") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("cli_tm_in").toString
+    val outP = java.nio.file.Files.createTempDirectory("cli_tm_out").toString + "/o"
+    Seq((1L, "x")).toDF("id", "msg").write.mode("overwrite").parquet(in)
+    val cfg = write(".json",
+      s"""{"service": {"telemetry": {"metrics": {"address": "localhost:0"}}},
+         |"pipelines": {"logs/tm": {
+         |  "receiver": {"type": "parquet", "path": "$in"},
+         |  "exporters": [{"type": "parquet", "path": "$outP"}]}}}""".stripMargin)
+    val (c, o) = exec("run", "--config", cfg)
+    assert(c == 0)
+    val port = "telemetry metrics on localhost:(\\d+)/metrics".r
+      .findFirstMatchIn(o).map(_.group(1).toInt)
+      .getOrElse(fail(s"telemetry server never started: $o"))
+    // stopped with the bracket: a fresh connection is refused
+    intercept[java.io.IOException] {
+      val conn = java.net.URI.create(s"http://localhost:$port/metrics")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(2000)
+      conn.getResponseCode
+    }
+
+    // a BAD address (port out of range parses as digits but cannot
+    // bind) fails the run — inside the bracket, so extensions and
+    // receivers still shut down instead of leaking
+    val bad = write(".json",
+      s"""{"extensions": {"zpages": {"port": 0}},
+         |"service": {"extensions": ["zpages"],
+         |  "telemetry": {"metrics": {"address": "localhost:99999"}}},
+         |"pipelines": {"logs/tm2": {
+         |  "receiver": {"type": "parquet", "path": "$in"},
+         |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(bos, true, "UTF-8")
+    // the bad bind surfaces as the CLI's config-error exit, after the
+    // finally bracket has run
+    assert(Collector.execute(Seq("run", "--config", bad), ps) == 1)
+    val outStr = bos.toString("UTF-8")
+    assert(outStr.contains("Error:"), outStr)
+    val zport = "zpages serving on localhost:(\\d+)".r
+      .findFirstMatchIn(outStr).map(_.group(1).toInt)
+      .getOrElse(fail(s"zpages never started: $outStr"))
+    intercept[java.io.IOException] {
+      val conn = java.net.URI.create(s"http://localhost:$zport/debug/servicez")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(2000)
+      conn.getResponseCode
+    }
+  }
 }

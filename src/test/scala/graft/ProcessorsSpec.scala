@@ -59,4 +59,18 @@ class ProcessorsSpec extends AnyFunSuite {
       assert(rows == Set(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("OTTL pattern extraction yields NULL on malformed props — never an ANSI cast crash") {
+    import spark.implicits._
+    // regexp_extract returns '' on a no-match row; under ANSI mode a
+    // plain CAST('' AS BIGINT) crashes the whole query, while the
+    // DuckDB oracle's TRY_CAST yields NULL — the engines must agree
+    // on malformed attribute bags (the q_ottl_extract_patterns kernel)
+    val got = Seq("""{"k": 7}""", """{}""", """{"k": "x"}""", """{"k": 12}""")
+      .toDF("props")
+      .withColumn("k", org.apache.spark.sql.functions.expr(
+        """try_cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)"""))
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    assert(got == Seq(Some(7L), None, None, Some(12L)), got)
+  }
 }
