@@ -524,6 +524,26 @@ object DataPipelineQueries {
           (sum(col("n_bpe")).cast("double") / count(lit(1))).as("avg_bpe_tokens"))
     }),
 
+    // max_seq_len TRADE-OFF table: per source, the token mass kept at
+    // each candidate truncation cap (256/512/1024) and the share lost
+    // at 512 — the number a training pipeline reads before fixing its
+    // sequence length. Pure per-doc min() folded into one aggregate:
+    // map-side partial over every cap simultaneously, one shuffle of
+    // 20 rows, nothing resembling a percentile pass needed.
+    "q_truncation_loss" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(least(col("n_tokens"), lit(256))).as("kept_256"),
+          sum(least(col("n_tokens"), lit(512))).as("kept_512"),
+          sum(least(col("n_tokens"), lit(1024))).as("kept_1024"),
+          sum(when(col("n_tokens") > 512, 1L).otherwise(0L)).as("docs_over_512"),
+          (lit(1.0) - sum(least(col("n_tokens"), lit(512))).cast("double")
+            / sum(col("n_tokens")).cast("double")).as("loss_512"))
+    }),
+
     // quality scoring (length / avg token len / stopword ratio)
     "q_quality_score" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -2094,6 +2114,20 @@ object DataPipelineQueries {
         | CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
         | CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_truncation_loss" ->
+      """WITH t AS (SELECT source,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        | FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(SUM(LEAST(n_tokens, 256)) AS BIGINT) AS kept_256,
+        | CAST(SUM(LEAST(n_tokens, 512)) AS BIGINT) AS kept_512,
+        | CAST(SUM(LEAST(n_tokens, 1024)) AS BIGINT) AS kept_1024,
+        | CAST(SUM(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over_512,
+        | 1.0 - CAST(SUM(LEAST(n_tokens, 512)) AS DOUBLE)
+        |  / CAST(SUM(n_tokens) AS DOUBLE) AS loss_512
+        |FROM t GROUP BY source""".stripMargin,
 
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,

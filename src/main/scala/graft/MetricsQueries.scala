@@ -257,6 +257,44 @@ object MetricsQueries {
           dsum(col("value")).as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
+    }),
+
+    // Robust per-series anomaly flags: median/MAD (the
+    // outlier-resistant z-score every metrics backend ships) over
+    // each series' hourly window sums. All centering arithmetic stays
+    // in DECIMAL — the lower-median is an ELEMENT of the data (no
+    // interpolation, no libm), so med/MAD/flag are exact in both
+    // engines; doubles appear only in the final projection. Scale
+    // shape: ONE events shuffle builds the per-window frame; the
+    // median/MAD passes aggregate that frame per SERIES — windows per
+    // series are bounded by the time horizon (not by data volume), so
+    // the collect_list holds a calendar-bounded vector, never an
+    // SF-scaled one. No windows, so the low-cardinality series key
+    // (event_type) never keys a sort-rank.
+    "q_anomaly_mad" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val pw = ev(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("bucket"))
+        .agg(sum(col("value").cast(DecimalType(28, 8))).as("v"))
+      val med = pw.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("v"))).as("arr"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          element_at(col("arr"), expr("(n + 1) DIV 2").cast("int")).as("med"))
+      val dev = pw.join(med, "event_type")
+        .withColumn("dev", abs(col("v") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("dev"))).as("arr2"),
+          count(lit(1)).as("n2"))
+        .select(col("event_type"),
+          element_at(col("arr2"), expr("(n2 + 1) DIV 2").cast("int")).as("mad"))
+      dev.join(mad, "event_type")
+        .select(col("event_type"), col("bucket"),
+          col("v").cast("double").as("v"),
+          col("med").cast("double").as("med"),
+          col("mad").cast("double").as("mad"),
+          (col("dev").cast("double") > lit(3.0) * col("mad").cast("double"))
+            .as("anomaly"))
     })
   )
 
@@ -481,6 +519,29 @@ object MetricsQueries {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
          | MIN(value) AS min_value, MAX(value) AS max_value
-         |FROM events GROUP BY event_type, epoch_ns(ts) // $HourNs""".stripMargin
+         |FROM events GROUP BY event_type, epoch_ns(ts) // $HourNs""".stripMargin,
+
+    "q_anomaly_mad" ->
+      s"""WITH pw AS (
+         | SELECT event_type, epoch_ns(ts) // $HourNs AS bucket,
+         |  SUM(CAST(value AS DECIMAL(28,8))) AS v
+         | FROM events GROUP BY 1, 2),
+         |med AS (
+         | SELECT event_type,
+         |  list_sort(list(v))[(COUNT(*) + 1) // 2] AS med
+         | FROM pw GROUP BY 1),
+         |dev AS (
+         | SELECT pw.event_type, pw.bucket, pw.v, med.med,
+         |  ABS(pw.v - med.med) AS dev
+         | FROM pw JOIN med USING (event_type)),
+         |madt AS (
+         | SELECT event_type,
+         |  list_sort(list(dev))[(COUNT(*) + 1) // 2] AS mad
+         | FROM dev GROUP BY 1)
+         |SELECT d.event_type, d.bucket,
+         | CAST(d.v AS DOUBLE) AS v, CAST(d.med AS DOUBLE) AS med,
+         | CAST(m.mad AS DOUBLE) AS mad,
+         | (CAST(d.dev AS DOUBLE) > 3.0 * CAST(m.mad AS DOUBLE)) AS anomaly
+         |FROM dev d JOIN madt m ON d.event_type = m.event_type""".stripMargin
   )
 }
