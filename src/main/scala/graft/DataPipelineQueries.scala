@@ -809,6 +809,96 @@ object DataPipelineQueries {
             .as("head_share"))
     }),
 
+    // HyperLogLog vocabulary-cardinality sketch per source, plus the
+    // merged union row — the mergeable distinct-count primitive a
+    // 100 TB pipeline runs INSTEAD of count(distinct): per-shard
+    // sketches are 256 small-int bucket maxima that merge by max, so
+    // the shuffle is sources×256 rows of map-side-combined partials
+    // regardless of corpus size. Fully value-oracled: bucket = first
+    // 8 md5 bits, rho from length(bin(x)) on the next 48 bits (both
+    // engines strip leading zeros identically), and the harmonic-mean
+    // denominator is kept as the INTEGER sum of 2^(49-rho) (max
+    // 256·2^49 < 2^63 — exact, order-insensitive) so the only float
+    // op is the final division by one alpha·m²·2^49 literal. The
+    // standard small-range linear-counting correction needs ln() —
+    // libm is not bit-portable across engines — so this publishes the
+    // RAW estimate plus empty_buckets; a consumer applies the
+    // correction off-oracle when empty_buckets > 0 warrants it. The
+    // exact-distinct column is the QA reference (the expensive path
+    // the sketch replaces at scale; at 100 TB you'd publish the
+    // sketch columns only).
+    "q_cardinality_sketch" -> ((s, dir) => {
+      val m = 256
+      // alpha_256 * m^2 * 2^49, identical expression tree in the oracle
+      val numer = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+        lit(65536.0) * lit(562949953421312.0)
+      val tok = docs(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      val hashed = tok.select(
+        col("source"),
+        conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int").as("bucket"),
+        conv(substring(md5(col("term")), 3, 12), 16, 10).cast("long").as("x"))
+      val perBucket = hashed
+        .withColumn("rho",
+          when(col("x") === 0L, lit(49)).otherwise(lit(49) - length(bin(col("x")))))
+        .groupBy(col("source"), col("bucket"))
+        .agg(max(col("rho")).as("mrho"))
+      // sketch MERGE: the union row derives from per-source bucket
+      // maxima only — never re-touches the token stream.
+      val merged = perBucket.groupBy(col("bucket"))
+        .agg(max(col("mrho")).as("mrho"))
+        .select(lit("__ALL__").as("source"), col("bucket"), col("mrho"))
+      val est = perBucket.unionByName(merged)
+        .groupBy(col("source"))
+        .agg(sum(expr("shiftleft(1L, 49 - mrho)")).as("ssum"),
+          count(lit(1)).as("nonempty"))
+        .select(col("source"),
+          (col("ssum") + (lit(m.toLong) - col("nonempty")) * lit(562949953421312L))
+            .as("denom"),
+          (lit(m.toLong) - col("nonempty")).as("empty_buckets"))
+      val exact = tok.groupBy(col("source"))
+        .agg(countDistinct(col("term")).as("n_exact"))
+      val exactAll = tok.agg(countDistinct(col("term")).as("n_exact"))
+        .select(lit("__ALL__").as("source"), col("n_exact"))
+      est.join(exact.unionByName(exactAll), "source")
+        .select(col("source"), col("n_exact"), col("empty_buckets"),
+          (numer / col("denom").cast("double")).as("hll_est"),
+          (abs(numer / col("denom").cast("double") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double")).as("rel_err"))
+    }),
+
+    // Count-min-sketch frequency estimation, QA'd against the exact
+    // top-20: d=4 md5 lanes × w=1024 buckets; the estimate for a term
+    // is the MIN over lanes of its bucket sums, an overestimate by
+    // construction (collisions only add). At 100 TB the sketch side is
+    // the product — 4096 map-side-combined partial counts per
+    // executor, a fixed-size shuffle regardless of corpus size — and
+    // the exact top-k here is the QA reference that calibrates the
+    // epsilon the collision term contributes. All integer counts and
+    // md5 lane hashes, value-oracled.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      def bucketOf(lane: org.apache.spark.sql.Column,
+                   term: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lane.cast("string"), lit(":"), term)),
+          1, 8), 16, 10).cast("long"), lit(1024L))
+      val lanes = explode(array(lit(0), lit(1), lit(2), lit(3))).as("lane")
+      val cells = tok.select(col("term"), lanes)
+        .select(col("lane"), bucketOf(col("lane"), col("term")).as("bucket"))
+        .groupBy(col("lane"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = tok.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("term").asc).limit(20)
+      top.select(col("term"), col("true_cnt"), lanes)
+        .withColumn("bucket", bucketOf(col("lane"), col("term")))
+        .join(cells, Seq("lane", "bucket"))
+        .groupBy(col("term"), col("true_cnt"))
+        .agg(min(col("cnt")).as("cm_est"))
+        .select(col("term"), col("true_cnt"), col("cm_est"),
+          (col("cm_est") - col("true_cnt")).as("overestimate"))
+    }),
+
     // the curation FUNNEL: the filters composed in pipeline order
     // with per-stage survivor counts — the yield report every corpus
     // curation run publishes (how many docs each gate removed).
@@ -2456,6 +2546,71 @@ object DataPipelineQueries {
         | CAST(head.head_tf AS DOUBLE) / CAST(SUM(c.tf) AS DOUBLE) AS head_share
         |FROM c, head
         |GROUP BY head.head_tf""".stripMargin,
+
+    "q_cardinality_sketch" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        | FROM documents),
+        |h AS (
+        | SELECT source,
+        |  ('0x' || substr(md5(term), 1, 2))::BIGINT AS bucket,
+        |  ('0x' || substr(md5(term), 3, 12))::BIGINT AS x
+        | FROM tok),
+        |pb AS (
+        | SELECT source, bucket,
+        |  MAX(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mrho
+        | FROM h GROUP BY 1, 2),
+        |allb AS (
+        | SELECT source, bucket, mrho FROM pb
+        | UNION ALL
+        | SELECT '__ALL__' AS source, bucket, MAX(mrho) AS mrho
+        | FROM pb GROUP BY 2),
+        |est AS (
+        | SELECT source,
+        |  CAST(SUM(1::BIGINT << (49 - mrho)) AS BIGINT)
+        |   + (256 - COUNT(*)) * 562949953421312 AS denom,
+        |  256 - COUNT(*) AS empty_buckets
+        | FROM allb GROUP BY 1),
+        |ex AS (
+        | SELECT source, COUNT(DISTINCT term) AS n_exact FROM tok GROUP BY 1
+        | UNION ALL
+        | SELECT '__ALL__' AS source, COUNT(DISTINCT term) AS n_exact FROM tok)
+        |SELECT e.source, ex.n_exact, e.empty_buckets,
+        | (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |  * 65536.0::DOUBLE * 562949953421312.0::DOUBLE
+        |  / CAST(e.denom AS DOUBLE) AS hll_est,
+        | ABS((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |   * 65536.0::DOUBLE * 562949953421312.0::DOUBLE
+        |   / CAST(e.denom AS DOUBLE) - CAST(ex.n_exact AS DOUBLE))
+        |  / CAST(ex.n_exact AS DOUBLE) AS rel_err
+        |FROM est e JOIN ex ON e.source = ex.source""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        | FROM documents),
+        |l AS (SELECT term, unnest([0, 1, 2, 3]) AS lane FROM tok),
+        |cells AS (
+        | SELECT lane,
+        |  ('0x' || substr(md5(lane::VARCHAR || ':' || term), 1, 8))::BIGINT
+        |   % 1024 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM l GROUP BY 1, 2),
+        |top AS (
+        | SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        | FROM tok GROUP BY 1
+        | ORDER BY true_cnt DESC, term ASC LIMIT 20),
+        |p AS (SELECT term, true_cnt, unnest([0, 1, 2, 3]) AS lane FROM top),
+        |p2 AS (
+        | SELECT term, true_cnt, lane,
+        |  ('0x' || substr(md5(lane::VARCHAR || ':' || term), 1, 8))::BIGINT
+        |   % 1024 AS bucket
+        | FROM p)
+        |SELECT p2.term, p2.true_cnt, MIN(cells.cnt) AS cm_est,
+        | MIN(cells.cnt) - p2.true_cnt AS overestimate
+        |FROM p2 JOIN cells USING (lane, bucket)
+        |GROUP BY p2.term, p2.true_cnt""".stripMargin,
 
     "q_curation_funnel" ->
       """WITH dup AS (

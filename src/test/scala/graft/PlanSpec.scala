@@ -439,7 +439,9 @@ class PlanSpec extends AnyFunSuite {
     var sawExchange = 0
     for (q <- Seq("q_curation_funnel", "q_domain_stats", "q_vocab_stats",
                   "q_domain_mixture", "q_ppl_buckets", "q_gopher_rules",
-                  "q_url_filter", "q_quality_classifier", "q_zorder_layout")) {
+                  "q_url_filter", "q_quality_classifier", "q_zorder_layout",
+                  "q_cardinality_sketch", "q_heavy_hitters",
+                  "q_truncation_loss")) {
       val df = SparkEntry.queries(q)(s2, sf)
       df.collect() // finalize the adaptive plan
       val exs = exchanges(df.queryExecution.executedPlan)
