@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnOps, DedupOps, MultimodalOps, ScaleOps, TextOps}
+import graft.operators.{AnnOps, DedupOps, MultimodalOps, ScaleOps, SketchOps, TextOps}
 import QUtil._
 
 /** LLM-training-data-pipeline queries (SURVEY §2 dedup / similarity /
@@ -828,34 +828,16 @@ object DataPipelineQueries {
     // the sketch replaces at scale; at 100 TB you'd publish the
     // sketch columns only).
     "q_cardinality_sketch" -> ((s, dir) => {
-      val m = 256
-      // alpha_256 * m^2 * 2^49, identical expression tree in the oracle
-      val numer = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-        lit(65536.0) * lit(562949953421312.0)
+      val numer = SketchOps.hllNumerator
       val tok = docs(s, dir)
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
-      val hashed = tok.select(
-        col("source"),
-        conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int").as("bucket"),
-        conv(substring(md5(col("term")), 3, 12), 16, 10).cast("long").as("x"))
-      val perBucket = hashed
-        .withColumn("rho",
-          when(col("x") === 0L, lit(49)).otherwise(lit(49) - length(bin(col("x")))))
-        .groupBy(col("source"), col("bucket"))
-        .agg(max(col("rho")).as("mrho"))
+      val perBucket = SketchOps.hllBucketMax(tok, Seq("source"), col("term"))
       // sketch MERGE: the union row derives from per-source bucket
       // maxima only — never re-touches the token stream.
       val merged = perBucket.groupBy(col("bucket"))
         .agg(max(col("mrho")).as("mrho"))
         .select(lit("__ALL__").as("source"), col("bucket"), col("mrho"))
-      val est = perBucket.unionByName(merged)
-        .groupBy(col("source"))
-        .agg(sum(expr("shiftleft(1L, 49 - mrho)")).as("ssum"),
-          count(lit(1)).as("nonempty"))
-        .select(col("source"),
-          (col("ssum") + (lit(m.toLong) - col("nonempty")) * lit(562949953421312L))
-            .as("denom"),
-          (lit(m.toLong) - col("nonempty")).as("empty_buckets"))
+      val est = SketchOps.hllDenom(perBucket.unionByName(merged), Seq("source"))
       val exact = tok.groupBy(col("source"))
         .agg(countDistinct(col("term")).as("n_exact"))
       val exactAll = tok.agg(countDistinct(col("term")).as("n_exact"))
@@ -881,8 +863,7 @@ object DataPipelineQueries {
         .select(explode(TextOps.tokens(col("text"))).as("term"))
       def bucketOf(lane: org.apache.spark.sql.Column,
                    term: org.apache.spark.sql.Column) =
-        pmod(conv(substring(md5(concat(lane.cast("string"), lit(":"), term)),
-          1, 8), 16, 10).cast("long"), lit(1024L))
+        SketchOps.cmBucket(lane, term, 1024)
       val lanes = explode(array(lit(0), lit(1), lit(2), lit(3))).as("lane")
       val cells = tok.select(col("term"), lanes)
         .select(col("lane"), bucketOf(col("lane"), col("term")).as("bucket"))

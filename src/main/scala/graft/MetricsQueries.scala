@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.MetricsOps
+import graft.operators.{MetricsOps, SketchOps}
 import QUtil._
 
 /** pmetric-semantics demo queries (SURVEY §2 "Metrics semantics").
@@ -257,6 +257,35 @@ object MetricsQueries {
           dsum(col("value")).as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
+    }),
+
+    // Label-cardinality offenders: per (metric, label key) HLL
+    // distinct-value estimate + exact + flag. The #1 operational
+    // failure of a metrics backend is a label whose value set grows
+    // with traffic (user ids, request ids) — this is the report that
+    // catches it BEFORE the series store melts, and the sketch is
+    // what makes it continuously runnable: per (metric, label) the
+    // state is 256 bucket maxima that merge by max across shards and
+    // hours, so the shuffle is (metrics × labels × 256) partials at
+    // any volume. The exact column is the small-SF QA reference.
+    "q_label_cardinality" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val labels = e.select(col("event_type").as("metric"),
+          explode(map(
+            lit("user_id"), col("user_id").cast("string"),
+            lit("k"), get_json_object(col("props"), "$.k")))
+            .as(Seq("label_key", "label_value")))
+        .filter(col("label_value").isNotNull)
+      val pb = SketchOps.hllBucketMax(labels, Seq("metric", "label_key"),
+        col("label_value"))
+      val est = SketchOps.hllDenom(pb, Seq("metric", "label_key"))
+      val exact = labels.groupBy(col("metric"), col("label_key"))
+        .agg(countDistinct(col("label_value")).as("n_exact"))
+      val hll = SketchOps.hllNumerator / col("denom").cast("double")
+      est.join(exact, Seq("metric", "label_key"))
+        .select(col("metric"), col("label_key"), col("n_exact"),
+          col("empty_buckets"), hll.as("hll_est"),
+          (hll > lit(64.0)).as("offender"))
     }),
 
     // Robust per-series anomaly flags: median/MAD (the
@@ -520,6 +549,41 @@ object MetricsQueries {
          | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
          | MIN(value) AS min_value, MAX(value) AS max_value
          |FROM events GROUP BY event_type, epoch_ns(ts) // $HourNs""".stripMargin,
+
+    "q_label_cardinality" ->
+      """WITH labels AS (
+        | SELECT event_type AS metric, 'user_id' AS label_key,
+        |  user_id::VARCHAR AS label_value FROM events
+        | UNION ALL
+        | SELECT event_type AS metric, 'k' AS label_key,
+        |  json_extract_string(props, '$.k') AS label_value FROM events),
+        |f AS (SELECT * FROM labels WHERE label_value IS NOT NULL),
+        |pb AS (
+        | SELECT metric, label_key,
+        |  ('0x' || substr(md5(label_value), 1, 2))::BIGINT AS bucket,
+        |  MAX(CASE WHEN ('0x' || substr(md5(label_value), 3, 12))::BIGINT = 0
+        |       THEN 49
+        |       ELSE 49 - length(bin(('0x' || substr(md5(label_value), 3, 12))::BIGINT))
+        |      END) AS mrho
+        | FROM f GROUP BY 1, 2, 3),
+        |est AS (
+        | SELECT metric, label_key,
+        |  CAST(SUM(1::BIGINT << (49 - mrho)) AS BIGINT)
+        |   + (256 - COUNT(*)) * 562949953421312 AS denom,
+        |  256 - COUNT(*) AS empty_buckets
+        | FROM pb GROUP BY 1, 2),
+        |ex AS (
+        | SELECT metric, label_key, COUNT(DISTINCT label_value) AS n_exact
+        | FROM f GROUP BY 1, 2)
+        |SELECT e.metric, e.label_key, ex.n_exact, e.empty_buckets,
+        | (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |  * 65536.0::DOUBLE * 562949953421312.0::DOUBLE
+        |  / CAST(e.denom AS DOUBLE) AS hll_est,
+        | ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |   * 65536.0::DOUBLE * 562949953421312.0::DOUBLE
+        |   / CAST(e.denom AS DOUBLE)) > 64.0 AS offender
+        |FROM est e JOIN ex ON e.metric = ex.metric
+        | AND e.label_key = ex.label_key""".stripMargin,
 
     "q_anomaly_mad" ->
       s"""WITH pw AS (

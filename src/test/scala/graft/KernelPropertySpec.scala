@@ -370,4 +370,50 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(math.abs(est - trueJ) <= 0.2, s"overlap=$overlap est=$est true=$trueJ")
     }
   }
+
+  test("HLL sketch: shard-merge equals the direct sketch exactly; error inside 4 sigma") {
+    import graft.operators.SketchOps
+    val values = (0 until 5000).map(i => (s"val_$i", i % 4))
+    val df = values.toDF("v", "shard")
+    def denomOf(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(col("denom")).first().getLong(0)
+    val direct = SketchOps.hllDenom(
+      SketchOps.hllBucketMax(df, Seq.empty, col("v")), Seq.empty)
+    // merge path: sketch each shard independently, combine bucket
+    // maxima by max — MUST be bit-identical to the direct sketch,
+    // whatever the sharding (the mergeability contract).
+    val merged = SketchOps.hllDenom(
+      SketchOps.hllBucketMax(df, Seq("shard"), col("v"))
+        .groupBy(col("bucket")).agg(max(col("mrho")).as("mrho")),
+      Seq.empty)
+    assert(denomOf(direct) == denomOf(merged), "shard merge diverged from direct sketch")
+    val est = direct
+      .select((SketchOps.hllNumerator / col("denom").cast("double")).as("e"))
+      .first().getDouble(0)
+    // std error 1.04/sqrt(256) ~ 6.5%; 4 sigma = 26%
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.26, s"HLL estimate $est for 5000 distinct")
+  }
+
+  test("count-min estimate never underestimates; exact for most terms at low load") {
+    import graft.operators.SketchOps
+    val freqs = (0 until 300).map(i => s"term_$i" -> (i % 17 + 1))
+    val tok = freqs.flatMap { case (t, n) => Seq.fill(n)(t) }.toDF("term")
+    val cells = tok.select(explode(array((0 to 3).map(lit): _*)).as("lane"), col("term"))
+      .select(col("lane"), SketchOps.cmBucket(col("lane"), col("term"), 1024).as("bucket"))
+      .groupBy(col("lane"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var exactHits = 0
+    for ((t, n) <- freqs) {
+      val est = (0 to 3).map { lane =>
+        val b = spark.range(1)
+          .select(SketchOps.cmBucket(lit(lane), lit(t), 1024)).first().getLong(0)
+        cells((lane, b))
+      }.min
+      assert(est >= n, s"$t: CM $est under true $n — impossible by construction")
+      if (est == n) exactHits += 1
+    }
+    // 300 terms over 4 x 1024 buckets: collisions in ALL four lanes
+    // simultaneously are rare — most estimates are exact
+    assert(exactHits >= 285, s"only $exactHits/300 exact at low load")
+  }
 }
