@@ -637,6 +637,49 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming label-cardinality monitor: per-key HyperLogLog state
+    * (the 256 bucket maxima of [[graft.operators.SketchOps]], one
+    * Array[Int] per key — fixed 1 KiB state however many distinct
+    * values arrive) updated each micro-batch, emitting the running
+    * integer harmonic denominator + nonempty count + raw estimate.
+    * The JVM kernel here is deliberately BIT-IDENTICAL to the SQL
+    * kernel (same md5 bucket/rho layout), so a streaming monitor's
+    * state can be checkpoint-merged with batch sketches — the spec
+    * pins streaming-after-N-batches == batch-over-the-union exactly.
+    * Estimate math mirrors SketchOps: denom = Σ 2^(49−rho) over all
+    * 256 buckets (empties contribute 2^49), est = α·m²·2^49 / denom.
+    */
+  def streamingLabelCardinality(spark: SparkSession,
+                                labels: Dataset[(String, String)])(
+      implicit e: org.apache.spark.sql.Encoder[(String, Long, Int, Double)])
+      : Dataset[(String, Long, Int, Double)] = {
+    import spark.implicits._
+    labels.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Int], (String, Long, Int, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Array[Int]]) =>
+          val maxima = state.getOption.getOrElse(new Array[Int](256))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, v) =>
+            val d = md.digest(v.getBytes("UTF-8")); md.reset()
+            val hex = d.map("%02x".format(_)).mkString
+            val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+            val x = java.lang.Long.parseLong(hex.substring(2, 14), 16)
+            val rho =
+              if (x == 0L) 49
+              else 49 - (64 - java.lang.Long.numberOfLeadingZeros(x))
+            if (rho > maxima(bucket)) maxima(bucket) = rho
+          }
+          state.update(maxima)
+          var denom = 0L; var nonempty = 0
+          maxima.foreach { m =>
+            denom += (1L << (49 - m)); if (m > 0) nonempty += 1
+          }
+          val numer = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0
+          Iterator((key, denom, nonempty, numer / denom.toDouble))
+      }
+  }
+
   /** per-key cumulative counter across micro-batches (stateful
     * delta→cumulative): emits (key, batch_delta, cumulative). */
   def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(

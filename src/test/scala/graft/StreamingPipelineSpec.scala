@@ -1187,4 +1187,40 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL cardinality state after N batches is bit-identical to the batch sketch of the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max => smax}
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = StreamingPipelines.streamingLabelCardinality(spark, ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hll_out").start()
+    try {
+      val batch1 = (0 until 400).map(i => ("svc_a:user", s"u$i")) ++
+        (0 until 30).map(i => ("svc_b:code", s"c${i % 7}"))
+      val batch2 = (200 until 700).map(i => ("svc_a:user", s"u$i")) ++
+        Seq(("svc_b:code", "c9"))
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // latest emission per key = the running state after both
+      // batches; bucket maxima only grow, so the denominator is
+      // nonincreasing and min() IS the latest state
+      val got = spark.sql("SELECT _1, min(_2) FROM hll_out GROUP BY _1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch twin: SketchOps over the UNION of both batches — the
+      // streaming state must match to the bit (same md5 kernel)
+      val union = (batch1 ++ batch2).toDF("key", "v")
+      val batchDenom = graft.operators.SketchOps.hllDenom(
+          graft.operators.SketchOps.hllBucketMax(union, Seq("key"), col("v")),
+          Seq("key"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == batchDenom,
+        s"streaming state diverged from batch sketch: $got vs $batchDenom")
+      // sanity on the estimate itself: svc_a:user saw 700 distinct
+      val est = spark.sql("SELECT _1, _4 FROM hll_out").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(math.abs(est("svc_a:user") - 700.0) / 700.0 < 0.26, est)
+    } finally q.stop()
+  }
+
 }
