@@ -245,18 +245,24 @@ object Collector {
             // telemetry level actually serves the per-transport
             // families it promises.
             promSrv = svc.telemetryAddress.map { addr =>
+              // TWO receivers of one transport type (two pipelines,
+              // two ports) must SUM per counter — a plain .toMap
+              // would keep only the last receiver's map and the
+              // other's accepted/refused traffic would silently
+              // vanish from /metrics (mergeTransports, spec-pinned)
               val s = new graft.pipeline.PromTelemetryServer(svc, spark, addr,
-                transports = () => svc.pipelines.values.flatMap { p =>
-                  p.receiver match {
-                    case r: graft.pipeline.Pipeline.OtlpHttpServerReceiver =>
-                      r.counters.map("otlp_http" -> _)
-                    case r: graft.pipeline.Pipeline.OtlpGrpcServerReceiver =>
-                      r.counters.map("otlp_grpc" -> _)
-                    case r: graft.pipeline.Pipeline.OtlpArrowServerReceiver =>
-                      r.counters.map("otlp_arrow" -> _)
-                    case _ => None
-                  }
-                }.toMap)
+                transports = () => graft.pipeline.PromTelemetryServer
+                  .mergeTransports(svc.pipelines.values.toSeq.flatMap { p =>
+                    p.receiver match {
+                      case r: graft.pipeline.Pipeline.OtlpHttpServerReceiver =>
+                        r.counters.map("otlp_http" -> _)
+                      case r: graft.pipeline.Pipeline.OtlpGrpcServerReceiver =>
+                        r.counters.map("otlp_grpc" -> _)
+                      case r: graft.pipeline.Pipeline.OtlpArrowServerReceiver =>
+                        r.counters.map("otlp_arrow" -> _)
+                      case _ => None
+                    }
+                  }))
               out.println(
                 s"telemetry metrics on localhost:${s.boundPort}/metrics")
               s
@@ -287,6 +293,11 @@ object Collector {
               try s.stop()
               catch { case scala.util.control.NonFatal(_) => () })
             try svc.stopReceivers()
+            catch { case scala.util.control.NonFatal(_) => () }
+            // exporters next (pooled Arrow stream sockets / delta
+            // encoder allocators live here) — before extensions, the
+            // reference service teardown order
+            try svc.shutdownExporters()
             catch { case scala.util.control.NonFatal(_) => () }
             svc.shutdownExtensions()
           }

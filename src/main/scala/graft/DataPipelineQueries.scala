@@ -1438,6 +1438,11 @@ object DataPipelineQueries {
     // so this is the gate an embedding drop passes first. norm² is
     // the same left-fold the cosine kernels use (bit-exact oracle);
     // min/max are order-independent. Fully map-side + one aggregate.
+    // A ZERO-LENGTH embedding counts as a zero vector (norm2 = 0 →
+    // n_zero, min_dim = 0): Spark's aggregate over [] returns the
+    // 0.0 seed, and the oracle COALESCEs DuckDB's NULL-on-empty
+    // list_sum to match — the degenerate row this gate exists to
+    // catch must not silently fall out of the report (spec-pinned).
     "q_embed_norm_qa" -> ((s, dir) => {
       embs(s, dir).select(col("label"),
           expr("CAST(size(embedding) AS BIGINT)").as("dim"),
@@ -3163,7 +3168,7 @@ object DataPipelineQueries {
     "q_embed_norm_qa" ->
       """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT label, len(e) AS dim,
-        |  list_sum(list_transform(e, x -> x * x)) AS norm2 FROM v)
+        |  COALESCE(list_sum(list_transform(e, x -> x * x)), 0.0) AS norm2 FROM v)
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         | MIN(dim) AS min_dim, MAX(dim) AS max_dim,
         | MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,

@@ -33,15 +33,21 @@ object ConfigLoader {
     *  - `${VAR}` — scheme-less braces resolve as env too (the
     *    resolver's default scheme); unset is a loud error.
     *  - `$VAR` — the LEGACY expandconverter form
-    *    (confmap/converter/expandconverter, deprecated upstream):
-    *    expanded when the variable is set. Deviation, documented: an
-    *    UNSET bare $VAR is left verbatim instead of deleted —
-    *    os.ExpandEnv's empty-on-unset silently corrupts dollar text
-    *    that was never meant as a variable, which is exactly why the
-    *    form was deprecated.
+    *    (confmap/converter/expandconverter, deprecated upstream but
+    *    still in the reference's DEFAULT converter set,
+    *    otelcol/configprovider.go:139): expanded when the variable is
+    *    set AND the `graft.confmap.expandLegacy` gate is enabled (it
+    *    is by default — Beta). Disabling the gate leaves every bare
+    *    `$VAR` verbatim: the opt-out for configs carrying literal
+    *    dollar text a set env var would silently rewrite. Deviation,
+    *    documented: an UNSET bare $VAR is left verbatim instead of
+    *    deleted — os.ExpandEnv's empty-on-unset silently corrupts
+    *    dollar text that was never meant as a variable, which is
+    *    exactly why the form was deprecated.
     *  - `$$` — a literal `$` (the escape both generations honor). */
   def expandEnv(json: String,
-                env: String => Option[String] = sys.env.get): String =
+                env: String => Option[String] = sys.env.get,
+                legacyBare: Boolean = FeatureGate.ExpandLegacy.isEnabled): String =
     ("(\\$\\$)" +
       "|\\$\\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\\}" +
       "|\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}" +
@@ -55,7 +61,8 @@ object ConfigLoader {
         else if (m.group(4) != null)
           env(m.group(4)).getOrElse(throw new IllegalArgumentException(
             s"env var ${m.group(4)} is unset (braced expansion has no default form)"))
-        else env(m.group(5)).getOrElse(m.matched)))
+        else if (legacyBare) env(m.group(5)).getOrElse(m.matched)
+        else m.matched))
 
   def fromJson(json: String,
                env: String => Option[String] = sys.env.get,
@@ -326,12 +333,19 @@ object ConfigLoader {
   }
 
   private def parseRoot(doc: String, yaml: Boolean,
-                        env: String => Option[String]): java.util.Map[String, Object] = {
+                        env: String => Option[String],
+                        gates: FeatureGate.Registry = FeatureGate.global)
+      : java.util.Map[String, Object] = {
     val mapper =
       if (yaml) new com.fasterxml.jackson.databind.ObjectMapper(
         new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
       else new com.fasterxml.jackson.databind.ObjectMapper()
-    mapper.readValue(expandEnv(doc, env),
+    // honor the per-call registry when it knows the gate; a custom
+    // registry without it (tests build minimal ones) falls back to
+    // the global gate instead of throwing unknown-gate
+    val legacy = gates.get(FeatureGate.ExpandLegacy.id)
+      .map(_.isEnabled).getOrElse(FeatureGate.ExpandLegacy.isEnabled)
+    mapper.readValue(expandEnv(doc, env, legacyBare = legacy),
       classOf[java.util.Map[String, Object]])
   }
 
@@ -377,7 +391,7 @@ object ConfigLoader {
         if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
         else if (hint.endsWith(".json")) false
         else !text.dropWhile(_.isWhitespace).startsWith("{")
-      parseRoot(text, isYaml, env)
+      parseRoot(text, isYaml, env, gates)
     }
     val merged = (roots ++ sets.map(setOverlay)).reduce(deepMerge)
     buildFromRoot(merged.asScala, gates)
@@ -410,7 +424,7 @@ object ConfigLoader {
   private def fromText(doc: String, yaml: Boolean,
                        env: String => Option[String],
                        gates: FeatureGate.Registry = FeatureGate.global): Service =
-    buildFromRoot(parseRoot(doc, yaml, env).asScala, gates)
+    buildFromRoot(parseRoot(doc, yaml, env, gates).asScala, gates)
 
   /** Static component-type inventory of a resolved config: kind →
     * the set of component types the document references. This is the
@@ -434,7 +448,7 @@ object ConfigLoader {
         if (hint.endsWith(".yaml") || hint.endsWith(".yml")) true
         else if (hint.endsWith(".json")) false
         else !text.dropWhile(_.isWhitespace).startsWith("{")
-      parseRoot(text, isYaml, env)
+      parseRoot(text, isYaml, env, gates)
     }
     val root = (roots ++ sets.map(setOverlay)).reduce(deepMerge).asScala
     val pipelines = root.get("pipelines").map(asMap).getOrElse(Map.empty)
@@ -686,31 +700,30 @@ object ConfigLoader {
         auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
       // Arrow-over-gRPC stream receiver (the otel-arrow transport):
       // ArrowStreamService server → IPC spool → streaming Arrow parse
-      case "otlp_arrow" => OtlpArrowServerReceiver(
-        port = m.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(4317),
-        spoolDir = str(m, "spool"),
-        maxFilesPerTrigger =
-          m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
-        tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
-        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))),
-        // the receive half of the exporter's delta_dict (batch
-        // reassembly of the fragment spool)
-        deltaStream = m.get("delta_stream").exists(_.toString == "true"),
-        // configgrpc max_recv_msg_size_mib
-        maxRecvMsgBytes = m.get("max_recv_msg_size_mib")
-          .map(_.asInstanceOf[Number].longValue() * 1024L * 1024L)
-          .getOrElse(64L * 1024 * 1024),
-        // the otel-arrow receiver's admission block: bound on
-        // received-but-not-yet-durable bytes + waiter cap
-        admissionBytes = m.get("admission").map(asMap)
-          .flatMap(_.get("request_limit_mib"))
-          .map(_.asInstanceOf[Number].longValue() * 1024L * 1024L),
-        admissionWaiters = m.get("admission").map(asMap)
-          .flatMap(_.get("waiter_limit"))
-          .map(_.asInstanceOf[Number].intValue()).getOrElse(64),
-        admissionWaitMs = m.get("admission").map(asMap)
-          .flatMap(_.get("wait_ms"))
-          .map(_.asInstanceOf[Number].longValue()).getOrElse(1000L))
+      case "otlp_arrow" =>
+        // the otel-arrow receiver's admission block, parsed ONCE:
+        // bound on received-but-not-yet-durable bytes + waiter cap
+        val admission = m.get("admission").map(asMap)
+        OtlpArrowServerReceiver(
+          port = m.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(4317),
+          spoolDir = str(m, "spool"),
+          maxFilesPerTrigger =
+            m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
+          tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+          auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))),
+          // the receive half of the exporter's delta_dict (batch
+          // reassembly of the fragment spool)
+          deltaStream = m.get("delta_stream").exists(_.toString == "true"),
+          // configgrpc max_recv_msg_size_mib
+          maxRecvMsgBytes = m.get("max_recv_msg_size_mib")
+            .map(_.asInstanceOf[Number].longValue() * 1024L * 1024L)
+            .getOrElse(64L * 1024 * 1024),
+          admissionBytes = admission.flatMap(_.get("request_limit_mib"))
+            .map(_.asInstanceOf[Number].longValue() * 1024L * 1024L),
+          admissionWaiters = admission.flatMap(_.get("waiter_limit"))
+            .map(_.asInstanceOf[Number].intValue()).getOrElse(64),
+          admissionWaitMs = admission.flatMap(_.get("wait_ms"))
+            .map(_.asInstanceOf[Number].longValue()).getOrElse(1000L))
       // JSONL corpus source — the inverse of the jsonl exporter
       // (schema inferred; .gz transparent via Spark's text codecs)
       case "jsonl" => new Receiver {

@@ -149,4 +149,18 @@ object FeatureGate {
     "graft.confmap.watch", Beta,
     description = "allow ConfigLoader.watch polling reload loops",
     fromVersion = "r7")
+
+  /** bare `$VAR` expansion in config documents — the deprecated
+    * expandconverter form the reference still wires into its DEFAULT
+    * converter set (otelcol/configprovider.go:139 →
+    * confmap/converter/expandconverter). On by default for parity;
+    * disabling (`-graft.confmap.expandLegacy`) is the opt-out for
+    * configs carrying literal dollar text (`/data/$HOME/...`) that a
+    * set env var would silently rewrite — exactly the corruption mode
+    * the upstream deprecation cites. The modern `${env:VAR}` /
+    * `${VAR}` forms are unaffected by this gate. */
+  val ExpandLegacy: Gate = global.register(
+    "graft.confmap.expandLegacy", Beta,
+    description = "expand bare $VAR (deprecated expandconverter form) in configs",
+    fromVersion = "r11")
 }

@@ -296,6 +296,14 @@ object Pipeline {
       * [[export]], which is only safe for sinks that key on batchId
       * themselves or collect (specs). */
     def exportBatch(df: DataFrame, batchId: Long): Unit = export(df)
+    /** component Shutdown half for exporters that hold live resources
+      * (pooled sockets, encoder allocators). File-writing exporters
+      * have nothing to release — the default is a no-op; WRAPPER
+      * exporters must forward to their delegate or a wrapped
+      * stream-pool exporter never hears service stop. Invoked by
+      * [[Service.shutdownExporters]] after receivers stop, before
+      * extensions shut down (the reference teardown order). */
+    def shutdown(): Unit = ()
   }
   final case class ParquetExporter(path: String, mode: String = "overwrite",
                                    codec: String = "zstd",
@@ -369,6 +377,7 @@ object Pipeline {
                                     backoffMs: Long = 100,
                                     multiplier: Double = 2.0,
                                     maxBackoffMs: Long = 30000) extends Exporter {
+    override def shutdown(): Unit = delegate.shutdown()
     // instance-unique jitter nonce: two sender instances retrying the
     // SAME batch must compute DIFFERENT delays, or the jitter never
     // de-synchronizes the fleet — (batchId, attempt) alone is shared
@@ -489,6 +498,7 @@ object Pipeline {
                                   maxRetries: Int = 2, backoffMs: Long = 50,
                                   obs: Option[QueueObs] = None)
       extends Exporter {
+    override def shutdown(): Unit = delegate.shutdown()
     // a batch-mode export must NOT reroute through the batchId-keyed
     // layout — the delegate's own path/shape stays untouched
     def export(df: DataFrame): Unit =
@@ -551,6 +561,7 @@ object Pipeline {
     * PersistentQueueExporter(TimeoutExporter(sink)). */
   final case class TimeoutExporter(delegate: Exporter, timeoutMs: Long)
       extends Exporter {
+    override def shutdown(): Unit = delegate.shutdown()
     def export(df: DataFrame): Unit =
       run(df.sparkSession, () => delegate.export(df))
     override def exportBatch(df: DataFrame, batchId: Long): Unit =
@@ -629,6 +640,7 @@ object Pipeline {
       // and the sink contract keys on batchId — consumers never touch
       // the same state.
       numConsumers: Int = 1) extends Exporter {
+    override def shutdown(): Unit = delegate.shutdown()
     import org.apache.hadoop.fs.{FileSystem, Path}
 
     private def fs(spark: SparkSession): FileSystem =
@@ -1291,6 +1303,18 @@ object Pipeline {
     /** tear down lifecycle receivers after their queries stop (the
       * component Shutdown half) */
     def stopReceivers(): Unit = lifecycleReceivers.foreach(_.stop())
+
+    /** exporter Shutdown half: give every exporter in every pipeline
+      * its [[Exporter.shutdown]] call (wrappers forward down their
+      * delegate chain), releasing pooled stream sockets and encoder
+      * allocators. Best-effort per exporter — one failing close must
+      * not strand the rest. Reference teardown order: receivers stop
+      * first, exporters next, extensions last (service.go Shutdown). */
+    def shutdownExporters(): Unit =
+      pipelines.values.flatMap(_.exporters).foreach { e =>
+        try e.shutdown()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
 
     /** Collector startup semantics for persistent queues: before new
       * data flows, every [[PersistentQueueExporter]] in the service —

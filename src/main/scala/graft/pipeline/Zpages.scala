@@ -143,6 +143,20 @@ final class ZpagesServer(
   * zpages server (the reference default address is 0.0.0.0:8888;
   * this sandbox is loopback-only).
   */
+object PromTelemetryServer {
+  /** Collapse per-receiver counter maps onto their transport-type key
+    * by SUMMING each counter: a service may run several receivers of
+    * ONE transport type (two pipelines, two ports) and the exposition
+    * dimension is the type — last-wins would silently drop every
+    * receiver's traffic but one. */
+  def mergeTransports(perReceiver: Seq[(String, Map[String, Long])])
+      : Map[String, Map[String, Long]] =
+    perReceiver.groupBy(_._1).map { case (t, ms) =>
+      t -> ms.flatMap(_._2.toSeq).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+}
+
 final class PromTelemetryServer(
     service: Pipeline.Service,
     spark: SparkSession,

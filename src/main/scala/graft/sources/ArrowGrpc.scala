@@ -1198,8 +1198,12 @@ object ArrowGrpc {
     /** drain every live stream with a graceful EOS. Blocks until all
       * `numStreams` slots are reacquired, so a slot held by an
       * in-flight sendChunk is waited for (its conn closes in the
-      * finally above) instead of leaking its socket past shutdown */
-    def shutdown(): Unit = {
+      * finally above) instead of leaking its socket past shutdown.
+      * `synchronized`: two CONCURRENT shutdown calls would otherwise
+      * each take a subset of the slots and block forever on the
+      * remainder the other holds — serialized, the second caller
+      * re-drains an already-empty pool (conns all None) and returns. */
+    override def shutdown(): Unit = synchronized {
       shuttingDown = true
       val held = scala.collection.mutable.ArrayBuffer[SlotRef]()
       while (held.length < numStreams) held += slots.take()

@@ -1221,4 +1221,20 @@ class ArrowGrpcSpec extends AnyFunSuite {
       GrpcOtlp.OtlpGrpcExporter("localhost", 1, "logs", compression = off)
     }
   }
+
+  test("concurrent shutdown() calls both return (no slot-split deadlock)") {
+    // two racing shutdowns used to each take a SUBSET of the slots
+    // and block forever on the remainder the other held; serialized,
+    // the loser re-drains an empty pool and returns
+    val e = new ArrowGrpcStreamExporter("localhost", 1, "logs", numStreams = 3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map(_ => pool.submit(new Runnable {
+        def run(): Unit = e.shutdown()
+      }))
+      // generous bound: an un-serialized race deadlocks forever, a
+      // serialized pair finishes in microseconds
+      fs.foreach(_.get(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.ConfigLoader
+import graft.pipeline.FeatureGate
 import graft.pipeline.Pipeline
 
 /** confmap multi-URI resolution: the repeatable --config flag —
@@ -202,5 +203,34 @@ class ConfigMergeSpec extends AnyFunSuite {
         |  "receiver": {"type": "parquet", "path": "$IN/spool"},
         |  "exporters": [{"type": "logging"}]}}}""".stripMargin, env)
     assert(svc.pipelines.contains("logs/e"))
+  }
+
+  test("graft.confmap.expandLegacy gate disables bare-$VAR rewriting only") {
+    val env = Map("HOME" -> "/home/u", "IN" -> "/data/in").get _
+    // expandEnv's explicit knob: bare form verbatim when off, the
+    // modern + braced forms (and $$) unaffected
+    assert(ConfigLoader.expandEnv("$HOME/x ${IN}/y ${env:IN}/z $$c",
+      env, legacyBare = false) == "$HOME/x /data/in/y /data/in/z $c")
+    // and through a real document build with a registry that carries
+    // the gate DISABLED: literal dollar text survives into the value
+    val reg = new FeatureGate.Registry
+    reg.register(FeatureGate.ExpandLegacy.id, FeatureGate.Beta)
+    reg.set(FeatureGate.ExpandLegacy.id, false)
+    val svc = ConfigLoader.fromJson(
+      """{"pipelines": {"logs/g": {
+        |  "receiver": {"type": "parquet", "path": "/lit/$HOME/spool"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin, env, reg)
+    val p = svc.pipelines("logs/g").receiver
+      .asInstanceOf[graft.pipeline.Pipeline.ParquetReceiver].path
+    assert(p == "/lit/$HOME/spool", p)
+    // default registry (gate on): same document DOES expand — the
+    // reference's default-converter-set parity
+    val svc2 = ConfigLoader.fromJson(
+      """{"pipelines": {"logs/g": {
+        |  "receiver": {"type": "parquet", "path": "/lit/$HOME/spool"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin, env)
+    val p2 = svc2.pipelines("logs/g").receiver
+      .asInstanceOf[graft.pipeline.Pipeline.ParquetReceiver].path
+    assert(p2 == "/lit//home/u/spool", p2)
   }
 }

@@ -841,4 +841,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(tiny.subsetOf(capless) && tiny.size < capless.size,
       s"tiny-cap candidates ${tiny.size} vs capless ${capless.size}")
   }
+
+  test("q_embed_norm_qa counts a ZERO-LENGTH embedding as a zero vector (min_dim 0, n_zero)") {
+    import spark.implicits._
+    // the degenerate row the QA gate exists to catch: an empty
+    // embedding must surface as a zero vector (norm2 = 0 counts in
+    // n_zero, min_dim = 0), never silently fall out of the report —
+    // the oracle SQL COALESCEs DuckDB's NULL-on-empty list_sum to the
+    // same semantics
+    val dir = java.nio.file.Files.createTempDirectory("normqa").toString
+    Seq(
+      (1L, Seq(3.0f, 4.0f), 0),
+      (2L, Seq.empty[Float], 0),
+      (3L, Seq(0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q_embed_norm_qa")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    val l0 = rows(0)
+    assert(l0.getAs[Long]("n_vecs") == 2L)
+    assert(l0.getAs[Long]("min_dim") == 0L &&
+      l0.getAs[Long]("max_dim") == 2L)
+    assert(l0.getAs[Double]("min_norm2") == 0.0 &&
+      l0.getAs[Double]("max_norm2") == 25.0)
+    assert(l0.getAs[Long]("n_zero") == 1L, "empty embedding must count as zero")
+    // a REAL zero vector (non-empty, all zeros) still counts too
+    assert(rows(1).getAs[Long]("n_zero") == 1L)
+  }
 }

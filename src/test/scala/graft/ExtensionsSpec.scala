@@ -168,6 +168,32 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq("start:a", "start:b", "notify:a", "notify:b", "stop:b", "stop:a"))
   }
 
+  test("shutdownExporters reaches a pooled exporter through the wrapper chain, best-effort across failures") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    final class Probe extends graft.pipeline.Pipeline.Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def shutdown(): Unit = { calls.incrementAndGet(); () }
+    }
+    final class Broken extends graft.pipeline.Pipeline.Exporter {
+      def export(df: org.apache.spark.sql.DataFrame): Unit = ()
+      override def shutdown(): Unit = throw new RuntimeException("boom")
+    }
+    import graft.pipeline.Pipeline._
+    val dlq = Files.createTempDirectory("sx_dlq").toString
+    // the chain every queued arrow exporter ships as: wrappers must
+    // FORWARD shutdown down to the delegate holding live resources —
+    // and one failing exporter must not strand the next pipeline's
+    val chained: Exporter = RetryingExporter(
+      QueuedExporter(TimeoutExporter(new Probe, 1000L), dlq))
+    val svc = Service(Map(
+      "logs/a" -> PipelineDef(ParquetReceiver("/nowhere"),
+        exporters = Seq(new Broken, chained)),
+      "logs/b" -> PipelineDef(ParquetReceiver("/nowhere"),
+        exporters = Seq(new Probe))))
+    svc.shutdownExporters()
+    assert(calls.get == 2, s"shutdown reached ${calls.get} probes, want 2")
+  }
+
   test("storage-backed persistent queue: the extension owns the durable location; batches survive a crash through it") {
     val stor = Files.createTempDirectory("stor_q").toString
     val sink = Files.createTempDirectory("stor_sink").toString

@@ -128,4 +128,20 @@ class ZpagesSpec extends AnyFunSuite {
       new graft.pipeline.PromTelemetryServer(svc, spark, "no-port")
     }
   }
+
+  test("mergeTransports SUMS counters across receivers of one transport type") {
+    import graft.pipeline.PromTelemetryServer.mergeTransports
+    // two otlp_grpc receivers (two pipelines, two ports) + one http:
+    // the grpc counters sum per key; a key present on only one
+    // receiver rides through; http is untouched
+    val merged = mergeTransports(Seq(
+      "otlp_grpc" -> Map("accepted_requests" -> 7L, "refused_requests" -> 1L),
+      "otlp_grpc" -> Map("accepted_requests" -> 5L, "recv_bytes" -> 100L),
+      "otlp_http" -> Map("accepted_requests" -> 3L)))
+    assert(merged("otlp_grpc") == Map(
+      "accepted_requests" -> 12L, "refused_requests" -> 1L,
+      "recv_bytes" -> 100L))
+    assert(merged("otlp_http") == Map("accepted_requests" -> 3L))
+    assert(mergeTransports(Nil).isEmpty)
+  }
 }
