@@ -149,7 +149,29 @@ object Plans {
       "capped members — NO broadcast of an SF-scaled side, no " +
       "all-pairs sim matrix (the mechanical PlanSpec broadcast rule " +
       "rejected the brute-force draft). Downstream the mutual join " +
-      "and degree census shuffle only (id, id) pairs."))
+      "and degree census shuffle only (id, id) pairs."),
+    "q_cardinality_sketch" -> ("HLL distinct-count at sketch size: the " +
+      "token stream collapses MAP-SIDE into per-(source, bucket) rho " +
+      "maxima — the partial HashAggregate below the exchange is the " +
+      "whole trick, what shuffles is ≤ sources×256 sketch cells, " +
+      "never token instances. The union row merges the SAME cells by " +
+      "MAX (mergeability is the 100 TB story: shard sketches, merge " +
+      "anywhere, no re-scan), and the harmonic sum is integer " +
+      "2^(49−rho) terms — exact-oracle-safe, zero libm."),
+    "q_heavy_hitters" -> ("Count-min frequency at fixed state: 4 " +
+      "hash lanes × 1024 buckets of ADDITIVE counts — the partial " +
+      "aggregate combines map-side, so the exchange carries ≤4096 " +
+      "cells whatever the corpus size. min-over-lanes answers the " +
+      "point query; the exact top-20 join-back exists only to " +
+      "measure the one-sided overestimate the sketch guarantees."),
+    "q_length_percentiles" -> ("Per-source exact percentiles WITHOUT " +
+      "a window keyed solely on the 20-value source column (the r10 " +
+      "weak): groupedRankRanged sub-buckets EVERY group by the same " +
+      "percentile cuts, collects #groups×#buckets counts, and ranks " +
+      "as offset + row_number over (source, bucket) — each group's " +
+      "sort spreads over #buckets tasks instead of one 5 TB task at " +
+      "100 TB / 20 sources. PlanSpec now mechanically bans WindowExec " +
+      "partitioned solely on a declared low-cardinality key."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

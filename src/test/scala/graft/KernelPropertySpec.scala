@@ -324,6 +324,52 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(e.getAs[Double]("q99") == math.pow(2.0, 12))
   }
 
+  test("explicit-bounds quantiles: closed-form interpolation, bucket-0 from zero, overflow clamps") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bounds (10, 20, 30): bucket 0 = (-inf,10], 1 = (10,20],
+    // 2 = (20,30], 3 = overflow. 10 counts in each of 0,1 and 20 in
+    // the OVERFLOW bucket — so p50 has rank 20 landing exactly at the
+    // top of bucket 1, and p99 falls in overflow where there is no
+    // upper bound to interpolate toward: it must CLAMP to 30 (the
+    // Prometheus histogram_quantile rule), never extrapolate
+    val b = Seq(("s", 0L, 10L), ("s", 1L, 10L), ("s", 3L, 20L))
+      .toDF("series", "k", "cnt")
+    val got = MetricsOps.explicitQuantiles(b, Seq(col("series")), col("k"),
+      col("cnt"), Seq(0.25, 0.5, 0.99), Seq(10.0, 20.0, 30.0)).collect().head
+    assert(got.getAs[Long]("n") == 40L)
+    // bucket 0 interpolates from 0 (not -inf): rank 10 = its top
+    assert(got.getAs[Double]("q25") == 10.0)
+    assert(got.getAs[Double]("q50") == 20.0)
+    assert(got.getAs[Double]("q99") == 30.0)
+  }
+
+  test("q_anomaly_mad at MAD=0: constant series flags nothing; a lone spike over a constant base flags exactly once") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the degenerate MAD the robust detector must handle: a series
+    // where >half the windows are identical has mad = 0, so the flag
+    // rule dev > 3*mad degrades to dev > 0 — a CONSTANT series (all
+    // dev 0) must stay quiet, and one spiked window must flag exactly
+    // itself, deterministically (no division, no NaN)
+    val hourNs = 3600L * 1000000000L
+    val rows =
+      (0 until 5).map(h => (h * hourNs, "const", 5.0)) ++
+      (0 until 5).map(h => (h * hourNs, "spike", if (h == 3) 100.0 else 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("madq").toString
+    rows.toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_anomaly_mad")(spark, dir)
+      .select(col("event_type"), col("bucket"), col("mad"), col("anomaly"))
+      .collect()
+    val const = out.filter(_.getString(0) == "const")
+    assert(const.length == 5 && const.forall(!_.getBoolean(3)))
+    assert(const.forall(_.getDouble(2) == 0.0))
+    val spike = out.filter(_.getString(0) == "spike")
+    assert(spike.count(_.getBoolean(3)) == 1)
+    assert(spike.filter(_.getBoolean(3)).head.getLong(1) == 3L)
+  }
+
   test("exp-histogram quantile estimates stay within one base-2 bucket of exact percentiles") {
     // the estimate's defining error bound: rank q·N lands in the same
     // (or, at a rank-convention tie, an adjacent) bucket as the exact

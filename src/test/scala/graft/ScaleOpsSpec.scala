@@ -477,6 +477,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(again == ranked)
   }
 
+  test("groupedRankRanged equals per-group ROW_NUMBER, including one-value and tied-on-cut domains") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), floor(col("value")).as("v"))
+    def expected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+          val sorted = rows.toSeq.sortBy { case (id, _, v) => (v, id) }
+          sorted.zipWithIndex.map { case ((id, _, _), i) =>
+            id -> ((i + 1L, sorted.length.toLong)) }
+        }.toMap
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      ScaleOps.groupedRankRanged(df, col("event_type"), col("v"),
+          col("event_id"), "rk", "n")
+        .select(col("event_id"), col("rk"), col("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ranked(ev) == expected(ev))
+    // repartition-stable (the prefixSumRanged determinism contract)
+    assert(ranked(ev.repartition(7)) == ranked(ev))
+    // DEGENERATE order domain: every row carries ONE value, so all
+    // percentile cuts collapse onto it and strict-> bucketing lands
+    // everything in one bucket — rank must still be the tieCol order
+    val const = ev.withColumn("v", lit(5L))
+    assert(ranked(const) == expected(const))
+    // single row per group
+    val one = Seq((1L, "a", 3L), (2L, "b", 9L)).toDF("event_id", "event_type", "v")
+    assert(ranked(one) == Map(1L -> (1L, 1L), 2L -> (1L, 1L)))
+  }
+
   test("rangeJoinBucketized equals the naive BETWEEN join and never plans a nested loop") {
     import org.apache.spark.sql.functions.{col => c}
     val fact = spark.range(0, 500).select((c("id") % 97).as("k"), c("id"))
