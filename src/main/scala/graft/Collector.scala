@@ -211,10 +211,19 @@ object Collector {
           if (!checkDistribution()) return 1
           val svc = ConfigLoader.fromUris(configs.toSeq, sets = sets.toSeq)
           val spark = GraftSession.get()
+          // service::telemetry::logs: lifecycle messages ALSO flow
+          // through the service's own configured logger (level/
+          // encoding/output_paths — the reference collector logs via
+          // its zap logger while the otelcol command keeps stdout);
+          // the CLI output contract on `out` is unchanged
+          val slog = svc.telemetryLogs.map(c => new graft.pipeline.ServiceLogger(c))
+          def lifecycle(msg: String): Unit = {
+            out.println(msg); slog.foreach(_.info(msg))
+          }
           // extension lifecycle brackets the data path (reference
           // service.go: extensions start first, stop last)
           svc.startExtensions()
-          svc.extensions.foreach(e => out.println(s"started extension ${e.name}"))
+          svc.extensions.foreach(e => lifecycle(s"started extension ${e.name}"))
           // host wiring: the zpages extension observes the built
           // service (and the first config document for /debug/configz)
           svc.extensions.collect {
@@ -227,7 +236,7 @@ object Collector {
                   catch { case scala.util.control.NonFatal(_) => None }
                 }
               z.bind(svc, spark, doc)
-              out.println(s"zpages serving on localhost:${z.boundPort}")
+              lifecycle(s"zpages serving on localhost:${z.boundPort}")
           }
           // the data path brackets: a failing recovery/pipeline/query
           // — or a bad telemetry address below — must still stop
@@ -263,13 +272,13 @@ object Collector {
                       case _ => None
                     }
                   }))
-              out.println(
+              lifecycle(
                 s"telemetry metrics on localhost:${s.boundPort}/metrics")
               s
             }
             val recovered = svc.recover(spark)
             recovered.foreach { case (name, st) =>
-              out.println(s"recovered $name: redelivered=${st.redelivered} " +
+              lifecycle(s"recovered $name: redelivered=${st.redelivered} " +
                 s"dlq=${st.deadLettered}")
             }
             // batch pipelines run to completion; streaming pipelines
@@ -286,7 +295,7 @@ object Collector {
               queries.values.flatten.foreach { q =>
                 q.processAllAvailable(); q.stop()
               }
-              out.println(s"drained ${queries.size} streaming pipeline(s)")
+              lifecycle(s"drained ${queries.size} streaming pipeline(s)")
             }
           } finally {
             promSrv.foreach(s =>
@@ -301,7 +310,7 @@ object Collector {
             catch { case scala.util.control.NonFatal(_) => () }
             svc.shutdownExtensions()
           }
-          out.println(s"ran ${svc.pipelines.size} pipeline(s)")
+          lifecycle(s"ran ${svc.pipelines.size} pipeline(s)")
           0
         case other =>
           out.println(s"unknown command: $other " +

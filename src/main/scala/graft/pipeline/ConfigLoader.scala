@@ -535,6 +535,28 @@ object ConfigLoader {
       svcBlock.get("telemetry").map(asMap)
         .flatMap(_.get("metrics")).map(asMap)
         .flatMap(_.get("address")).map(_.toString)
+    // service::telemetry::logs (telemetry LogsConfig → newLogger):
+    // the service's OWN logger — level/encoding/output_paths/
+    // sampling/initial_fields. Validated here (bad level/encoding
+    // refuses the document, zap-Build semantics); absent = the CLI's
+    // plain output only.
+    val telemetryLogs: Option[ServiceLogger.LogsConfig] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("logs")).map(asMap)
+        .map(ServiceLogger.fromMap)
+    // service::telemetry::traces::propagators (telemetry.go:234-245):
+    // named text-map propagators, composed in declared order; an
+    // unknown name refuses the whole document (errUnsupportedPropagator)
+    val telemetryPropagators: Seq[String] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("traces")).map(asMap)
+        .flatMap(_.get("propagators")).toSeq
+        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+        .map(_.toString)
+    // validate now — the composite the receivers share
+    val propagator: Option[graft.sources.Propagators.Composite] =
+      if (telemetryPropagators.isEmpty) None
+      else Some(graft.sources.Propagators.fromConfig(telemetryPropagators))
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -550,7 +572,7 @@ object ConfigLoader {
     val receiverInstances =
       scala.collection.mutable.HashMap[Map[String, Object], Receiver]()
     def buildReceiverShared(m: Map[String, Object]): Receiver =
-      receiverInstances.getOrElseUpdate(m, buildReceiver(m, lookup))
+      receiverInstances.getOrElseUpdate(m, buildReceiver(m, lookup, propagator))
     result = pipelines.map { case (name, defn0) =>
       val defn = defn0.asInstanceOf[java.util.Map[String, Object]].asScala
       name -> PipelineDef(
@@ -579,7 +601,7 @@ object ConfigLoader {
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result, extInstances, telemetryLevel, telemetryResource,
-      telemetryAddress)
+      telemetryAddress, telemetryLogs)
   }
 
   /** extension factory: the instance name's type prefix (before an
@@ -645,8 +667,9 @@ object ConfigLoader {
     o.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
 
   private def buildReceiver(m: Map[String, Object],
-                            lookup: String => PipelineDef): Receiver = {
-    val inner = buildReceiverInner(m, lookup)
+                            lookup: String => PipelineDef,
+                            propagator: Option[graft.sources.Propagators.Composite] = None): Receiver = {
+    val inner = buildReceiverInner(m, lookup, propagator)
     // any receiver may declare its client.Info: {"client": {"addr":
     // .., "auth": {..}, "metadata": {"k": ["v", ..] | "v"}}} — the
     // config form of ClientInfoReceiver
@@ -668,7 +691,8 @@ object ConfigLoader {
   }
 
   private def buildReceiverInner(m: Map[String, Object],
-                                 lookup: String => PipelineDef): Receiver =
+                                 lookup: String => PipelineDef,
+                                 propagator: Option[graft.sources.Propagators.Composite] = None): Receiver =
     str(m, "type") match {
       case "table"          => TableReceiver(str(m, "dir"), str(m, "table"))
       case "parquet"        => ParquetReceiver(str(m, "path"))
@@ -690,7 +714,10 @@ object ConfigLoader {
           m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
         auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))),
-        includeMetadata = m.get("include_metadata").exists(_.toString == "true"))
+        includeMetadata = m.get("include_metadata").exists(_.toString == "true"),
+        // service-wide propagators: extracted trace context rides the
+        // client-metadata sidecar (requires include_metadata)
+        propagator = propagator)
       case "otlp_grpc" => OtlpGrpcServerReceiver(
         port = m.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(4317),
         spoolDir = str(m, "spool"),

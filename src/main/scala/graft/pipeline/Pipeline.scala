@@ -113,7 +113,11 @@ object Pipeline {
       maxFilesPerTrigger: Int = 10,
       tls: Option[graft.sources.TlsConfig] = None,
       auth: Option[graft.sources.Auth.ServerAuthenticator] = None,
-      includeMetadata: Boolean = false)
+      includeMetadata: Boolean = false,
+      // service::telemetry::traces::propagators — extracted trace
+      // context rides the client-metadata sidecar (needs
+      // include_metadata)
+      propagator: Option[graft.sources.Propagators.TextMap] = None)
       extends Receiver with ReceiverLifecycle {
     @transient @volatile private var server: graft.sources.OtlpHttp.OtlpHttpReceiver = _
     def read(spark: SparkSession): DataFrame = {
@@ -125,7 +129,8 @@ object Pipeline {
     def start(spark: SparkSession): Unit = synchronized {
       if (server == null)
         server = new graft.sources.OtlpHttp.OtlpHttpReceiver(port, spoolDir,
-          tls = tls, auth = auth, includeMetadata = includeMetadata)
+          tls = tls, auth = auth, includeMetadata = includeMetadata,
+          propagator = propagator)
     }
     def stop(): Unit = synchronized {
       if (server != null) { server.stop(); server = null }
@@ -1243,7 +1248,11 @@ object Pipeline {
                            // where the service serves its OWN metrics
                            // in Prometheus exposition format
                            // (telemetry.go:202-206); None = no server
-                           telemetryAddress: Option[String] = None) {
+                           telemetryAddress: Option[String] = None,
+                           // service::telemetry::logs — the service's
+                           // OWN logger config (zap LogsConfig shape);
+                           // None = no structured self-logging
+                           telemetryLogs: Option[ServiceLogger.LogsConfig] = None) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 
     /** extension lifecycle (reference service/extensions/extensions.go:

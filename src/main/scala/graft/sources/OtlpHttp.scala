@@ -355,7 +355,14 @@ object OtlpHttp {
       // written as a durable `.meta` JSON sidecar next to each
       // spooled request (lowercased names, multi-values preserved),
       // the client.Metadata shape ClientInfoReceiver attaches
-      includeMetadata: Boolean = false) {
+      includeMetadata: Boolean = false,
+      // service::telemetry::traces::propagators: when configured, the
+      // composite extracts the caller's trace context from request
+      // headers (traceparent / b3, single or multi) and stamps it
+      // into the SAME metadata sidecar as `trace.trace_id` /
+      // `trace.span_id` / `trace.sampled` — requires include_metadata
+      // (the sidecar is the durable metadata channel)
+      propagator: Option[Propagators.TextMap] = None) {
     val obs = new HttpObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val server: com.sun.net.httpserver.HttpServer = tls match {
@@ -555,7 +562,16 @@ object OtlpHttp {
               .sortBy(_._1)
             val authKv = authAttrs.toSeq.sortBy(_._1)
               .map { case (k, v) => s"auth.$k" -> Seq(v) }
-            val json = (hdrs ++ authKv).map { case (k, vs) =>
+            // configured propagators: extracted caller trace context
+            // rides the sidecar under `trace.` keys
+            val traceKv = propagator.flatMap(_.extract(
+                hdrs.flatMap { case (k, vs) => vs.headOption.map(k -> _) }.toMap))
+              .toSeq.flatMap { sc =>
+                Seq("trace.trace_id" -> Seq(sc.traceId),
+                  "trace.span_id" -> Seq(sc.spanId),
+                  "trace.sampled" -> Seq(sc.sampled.toString))
+              }
+            val json = (hdrs ++ authKv ++ traceKv).map { case (k, vs) =>
               s""""${jsonEscape(k)}":[${vs.map(v => s""""${jsonEscape(v)}"""").mkString(",")}]"""
             }.mkString("{", ",", "}")
             java.nio.file.Files.write(
