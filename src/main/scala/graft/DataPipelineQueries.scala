@@ -385,6 +385,16 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"), col("sim"))
     }),
 
+    // hard-negative mining for contrastive training: per query the
+    // top-10 most-similar corpus vectors with a DIFFERENT label —
+    // the near-boundary negatives that carry gradient. Exactness
+    // baseline (broadcast-query map-side; LSH candidates are the
+    // corpus-scale path with the identical label filter).
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.hardNegatives(e.filter(col("vec_id") < 10), e, k = 10)
+    }),
+
     // cosine-threshold range search (radius primitive; tau picked to
     // exercise a non-trivial match set at test SFs)
     "q_ann_range" -> ((s, dir) => {
@@ -705,6 +715,14 @@ object DataPipelineQueries {
     "q_line_dedup" -> ((s, dir) =>
       DedupOps.lineDedup(docs(s, dir), "doc_id", "text", window = 8)),
 
+    // cross-document boilerplate census: 8-token line segments shared
+    // by >= 2 distinct docs of one source (nav chrome, license
+    // headers — what C4 strips before training). Fingerprints only
+    // through the exchanges; per-source report.
+    "q_boilerplate" -> ((s, dir) =>
+      DedupOps.boilerplate(docs(s, dir), "doc_id", "source", "text",
+        window = 8, minDocs = 2)),
+
     // incremental NEAR-dup: probe the incoming batch's minhash
     // signatures against the historical signature store (see
     // DedupOps.lshNearDupAgainstStoreMd5); same modulo split
@@ -807,6 +825,40 @@ object DataPipelineQueries {
           col("head_tf"),
           (col("head_tf").cast("double") / col("total_tokens").cast("double"))
             .as("head_share"))
+    }),
+
+    // Per-source vocabulary DRIFT vs the corpus-wide unigram
+    // distribution: total-variation distance 0.5·Σ|p_s(w) − p(w)|,
+    // with the absent-word mass folded in analytically
+    // (Σ_{w∉S} p(w) = 1 − Σ_{w∈S} p(w)) so the join stays bounded by
+    // the source's OWN vocabulary — never a source×global-vocab
+    // fan-out. The mixture-QA scalar a corpus refresh checks before
+    // swapping a source in (TV is exact, symmetric, zero libm:
+    // count ratios, abs, one subtraction — per-row doubles with
+    // identical expression trees in both engines, cross-row sums
+    // through DECIMAL(28,8)).
+    "q_vocab_drift" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      val sc = words.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c_s"))
+      val g = sc.groupBy(col("w")).agg(sum(col("c_s")).as("c"))
+      val ns = sc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+      val n = g.agg(sum(col("c")).as("n"))
+      // no broadcast hint on the one-row total (the q22/q_vocab_stats
+      // discipline): stats see a single-row aggregate and broadcast
+      // it unhinted, keeping the mechanical no-hint-over-SF-leaf rule
+      val j = sc.join(g, "w").join(ns, "source").crossJoin(n)
+        .select(col("source"), col("n_s"),
+          abs(col("c_s").cast("double") / col("n_s").cast("double") -
+            col("c").cast("double") / col("n").cast("double")).as("diff"),
+          (col("c").cast("double") / col("n").cast("double")).as("pg"))
+      j.groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          dsum(col("diff")).as("sum_a"), dsum(col("pg")).as("sum_b"))
+        .select(col("source"), col("n_tokens"),
+          (lit(0.5) * (col("sum_a") + (lit(1.0) - col("sum_b"))))
+            .as("tv_distance"))
     }),
 
     // HyperLogLog vocabulary-cardinality sketch per source, plus the
@@ -2158,6 +2210,22 @@ object DataPipelineQueries {
         | FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT qid, nid, sim FROM sims WHERE sim >= 0.3""".stripMargin,
 
+    // the ann_bruteforce shape with the contrastive label filter
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        | SELECT q.vec_id AS qid, q.label AS qlabel,
+        |  c.vec_id AS nid, c.label AS nlabel,
+        |  list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2])) /
+        |  (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS sim
+        | FROM v q, v c
+        | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+        |SELECT qid, qlabel, nid, nlabel, sim, rk FROM (
+        | SELECT qid, qlabel, nid, nlabel, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        | FROM sims) WHERE rk <= 10""".stripMargin,
+
     "q_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sims AS (
@@ -2375,6 +2443,29 @@ object DataPipelineQueries {
 
     // segments zip via DuckDB's row-wise parallel unnest; the
     // composite key doc_id*1e6+pos is integer-exact both engines
+    // the line-dedup segmentation, scored across docs per source
+    "q_boilerplate" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents
+        | WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |segs0 AS (
+        | SELECT doc_id, source,
+        |  unnest(list_transform(range((len(t)+7)//8),
+        |    i -> array_to_string(t[i*8+1 : i*8+8], ' '))) AS seg
+        | FROM toks),
+        |segs AS (SELECT DISTINCT source, md5(seg) AS h, doc_id FROM segs0),
+        |boiler AS (
+        | SELECT source, h FROM segs GROUP BY source, h
+        | HAVING COUNT(*) >= 2),
+        |nb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_boiler_segments
+        |       FROM boiler GROUP BY source),
+        |aff AS (SELECT s.source, CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_affected_docs
+        |        FROM segs s JOIN boiler b ON s.source = b.source AND s.h = b.h
+        |        GROUP BY s.source)
+        |SELECT nb.source, n_boiler_segments, n_affected_docs
+        |FROM nb JOIN aff ON nb.source = aff.source""".stripMargin,
+
     "q_line_dedup" ->
       """WITH toks AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -2516,6 +2607,29 @@ object DataPipelineQueries {
         |      FROM s WHERE len(sy) >= 2),
         |pc AS (SELECT l, r, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM p GROUP BY l, r)
         |SELECT l, r, cnt FROM pc ORDER BY cnt DESC, l, r LIMIT 100""".stripMargin,
+
+    // identical division/abs expression trees; cross-row sums through
+    // DECIMAL(28,8); absent-word mass folded analytically
+    "q_vocab_drift" ->
+      """WITH w AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_s FROM w GROUP BY 1, 2),
+        |g AS (SELECT w, CAST(SUM(c_s) AS BIGINT) AS c FROM sc GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+        |j AS (
+        | SELECT sc.source, ns.n_s,
+        |  abs(CAST(sc.c_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE) -
+        |      CAST(g.c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS diff,
+        |  CAST(g.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS pg
+        | FROM sc JOIN g USING (w) JOIN ns USING (source) CROSS JOIN n),
+        |a AS (
+        | SELECT source, MAX(n_s) AS n_tokens,
+        |  CAST(SUM(CAST(diff AS DECIMAL(28,8))) AS DOUBLE) AS sum_a,
+        |  CAST(SUM(CAST(pg AS DECIMAL(28,8))) AS DOUBLE) AS sum_b
+        | FROM j GROUP BY 1)
+        |SELECT source, n_tokens, 0.5 * (sum_a + (1.0 - sum_b)) AS tv_distance
+        |FROM a""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH t AS (

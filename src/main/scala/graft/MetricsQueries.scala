@@ -38,6 +38,21 @@ object MetricsQueries {
       MetricsOps.deltaToCumulative(perMin, Seq("event_type"), "bucket", "delta_value")
     }),
 
+    // Reset-AWARE cumulative→delta (the cumulativetodelta processor's
+    // drop rule): a reading below its predecessor means the producer
+    // restarted — the delta is the reading itself, never the negative
+    // lag-difference that would subtract the whole pre-restart total.
+    // The per-bucket sums are used as raw readings precisely BECAUSE
+    // they fluctuate: every organic dip exercises the reset branch
+    // under the oracle. One series-keyed window.
+    "q_counter_resets" -> ((s, dir) => {
+      val readings = ev(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("bucket"))
+        .agg(dsum(col("value")).as("cum_value"))
+      MetricsOps.cumulativeToDeltaWithResets(
+        readings, Seq("event_type"), "bucket", "cum_value")
+    }),
+
     "q_cumulative_to_delta" -> ((s, dir) => {
       val perMin = ev(s, dir)
         .groupBy(col("event_type"), expr(s"ts_ns DIV $HourNs").as("bucket"))
@@ -349,6 +364,21 @@ object MetricsQueries {
          |   OVER (PARTITION BY event_type ORDER BY bucket
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
          |FROM per""".stripMargin,
+
+    "q_counter_resets" ->
+      s"""WITH per AS (
+         | SELECT event_type, epoch_ns(ts) // $HourNs AS bucket,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS cum_value
+         | FROM events GROUP BY 1, 2),
+         |l AS (
+         | SELECT event_type, bucket, cum_value,
+         |  LAG(cum_value) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+         | FROM per)
+         |SELECT event_type, bucket, cum_value,
+         | COALESCE(cum_value < prev, FALSE) AS is_reset,
+         | CASE WHEN COALESCE(cum_value < prev, FALSE) THEN cum_value
+         |      ELSE cum_value - COALESCE(prev, 0.0) END AS delta_value
+         |FROM l""".stripMargin,
 
     "q_cumulative_to_delta" ->
       s"""WITH per AS (

@@ -50,6 +50,28 @@ object AnnOps {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Hard-NEGATIVE mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors carrying a DIFFERENT label —
+    * the near-boundary negatives a contrastive/metric-learning run
+    * pairs against its positives (the closer the negative, the more
+    * gradient it carries). Same broadcast-query map-side shape as
+    * [[bruteForceTopK]]; the label inequality prunes inside the scan
+    * projection, so output stays k rows per query. The exactness
+    * baseline — at corpus scale the LSH candidate path supplies the
+    * same pairs with the identical filter. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").cast("array<double>").as("qe"))
+    val c = corpus.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").cast("array<double>").as("ne"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** cosine-threshold RANGE search: every corpus neighbor with
     * sim ≥ tau per query — the radius primitive (recall-set
     * construction, embedding filtering at a similarity bar, the

@@ -129,6 +129,39 @@ object DedupOps {
         when(col("n_kept") > 0, col("__joined")).as("text_dedup"))
   }
 
+  /** BOILERPLATE census per source: the [[lineDedup]] segmentation
+    * (window-token line segments), scored ACROSS documents — a
+    * segment appearing in ≥ `minDocs` distinct docs of one source is
+    * boilerplate (nav bars, license headers, footers: the shared
+    * chrome C4 strips before training). Reports per source the
+    * distinct boilerplate segments and the documents carrying any.
+    * Scale shape: segments collapse to distinct (source, hash, doc)
+    * triples map-side, then two (source, hash)-keyed aggregates and
+    * a candidate-bounded join-back — fingerprints only through every
+    * exchange, never text. */
+  def boilerplate(docs: DataFrame, idCol: String, srcCol: String,
+                  textCol: String, window: Int, minDocs: Int): DataFrame = {
+    val toks = docs.select(col(idCol), col(srcCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 1)
+    val nSeg = ((size(col("__t")) + lit(window - 1)) / lit(window)).cast("int")
+    val segs = toks.select(col(idCol), col(srcCol), explode(transform(
+        sequence(lit(0), nSeg - 1),
+        i => concat_ws(" ", slice(col("__t"), i * window + 1, lit(window)))))
+        .as("__seg"))
+      .select(col(srcCol), md5(col("__seg")).as("__h"), col(idCol))
+      .distinct()
+    val boiler = segs.groupBy(col(srcCol), col("__h"))
+      .agg(count(lit(1)).as("n_docs_with")) // triples are distinct → per-doc
+      .filter(col("n_docs_with") >= minDocs)
+    val nB = boiler.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_boiler_segments"))
+    val affected = segs.join(boiler.select(col(srcCol), col("__h")),
+        Seq(srcCol, "__h"))
+      .groupBy(col(srcCol))
+      .agg(countDistinct(col(idCol)).as("n_affected_docs"))
+    nB.join(affected, Seq(srcCol))
+  }
+
   /** Incremental dedup — admit a NEW batch against a historical
     * fingerprint STORE (the daily-ingest pattern: dedup today's crawl
     * against the accumulated corpus without touching its text). A doc

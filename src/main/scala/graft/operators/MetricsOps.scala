@@ -52,6 +52,26 @@ object MetricsOps {
       col(cum) - coalesce(lag(col(cum), 1).over(w), lit(0.0)))
   }
 
+  /** Reset-AWARE cumulative→delta (the cumulativetodelta processor's
+    * drop handling): a cumulative reading BELOW its predecessor means
+    * the producer restarted and the counter re-began from zero, so
+    * the delta for that point is the reading ITSELF, never the
+    * negative difference a naive lag-subtract emits (one restart
+    * would subtract the whole pre-restart total from the series).
+    * First point per series: delta = reading (cumulative from an
+    * implicit 0 start), not a reset. Adds `delta_value` +
+    * `is_reset`. One series-keyed window — the temporality
+    * discipline, shuffle once on the series key. */
+  def cumulativeToDeltaWithResets(df: DataFrame, seriesKeys: Seq[String],
+                                  order: String, cum: String): DataFrame = {
+    val w = Window.partitionBy(seriesKeys.map(col): _*).orderBy(col(order))
+    val prev = lag(col(cum), 1).over(w)
+    df.withColumn("is_reset", coalesce(col(cum) < prev, lit(false)))
+      .withColumn("delta_value",
+        when(col("is_reset"), col(cum))
+          .otherwise(col(cum) - coalesce(prev, lit(0.0))))
+  }
+
   /** Explicit-bounds histogram, upper-inclusive buckets like OTel:
     * bucket i counts values in (bounds(i-1), bounds(i)]; the last
     * bucket is the +Inf overflow. Returns bucket_idx + readable `le`.
