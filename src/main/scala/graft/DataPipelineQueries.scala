@@ -395,6 +395,15 @@ object DataPipelineQueries {
       AnnOps.hardNegatives(e.filter(col("vec_id") < 10), e, k = 10)
     }),
 
+    // the LSH candidate path with the same label filter — the
+    // corpus-scale configuration (rows-only: xxh64 kernel)
+    "q_hard_negatives_scale" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.hardNegativesLsh(e.filter(col("vec_id") < 10), e,
+        planes = 4, k = 10, tables = 16)
+        .select(col("qid"), col("nid"), col("rk"))
+    }),
+
     // cosine-threshold range search (radius primitive; tau picked to
     // exercise a non-trivial match set at test SFs)
     "q_ann_range" -> ((s, dir) => {

@@ -72,6 +72,32 @@ object AnnOps {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** [[hardNegatives]] on the LSH candidate path — the corpus-scale
+    * configuration (xxh64 production kernel): negatives come from
+    * hyperplane-bucket collisions instead of the full cross product,
+    * with the identical different-label filter and exact-cosine
+    * re-rank. Recall follows the lshTopK curve; misses are the
+    * FARTHEST negatives, which carry the least gradient — the benign
+    * direction for this miner. */
+  def hardNegativesLsh(queries: DataFrame, corpus: DataFrame, planes: Int,
+                       k: Int, tables: Int = 8): DataFrame = {
+    def sig(df: DataFrame, idAs: String, lblAs: String, embAs: String) =
+      df.select(col("vec_id").as(idAs), col("label").as(lblAs),
+          col("embedding").cast("array<double>").as(embAs))
+        .select(col(idAs), col(lblAs), col(embAs),
+          explode(graft.functions.VectorExprs.hyperplane_buckets(
+            col(embAs), tables, planes)).as("bucket"))
+    val q = sig(queries, "qid", "qlabel", "qe")
+    val c = sig(corpus, "nid", "nlabel", "ne")
+    val cand = c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        cosine(col("qe"), col("ne")).as("sim"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** cosine-threshold RANGE search: every corpus neighbor with
     * sim ≥ tau per query — the radius primitive (recall-set
     * construction, embedding filtering at a similarity bar, the

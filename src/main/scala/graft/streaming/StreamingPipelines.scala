@@ -637,6 +637,46 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming counter-reset tracker — the q_counter_resets /
+    * [[graft.operators.MetricsOps.cumulativeToDeltaWithResets]]
+    * semantics over an unbounded stream: per-series LAST-READING
+    * state carries across micro-batches, so a producer restart
+    * spanning a trigger boundary is detected exactly like one inside
+    * a batch. A reading below its predecessor emits
+    * (is_reset = true, delta = the reading itself) — the
+    * cumulativetodelta drop rule; a series' first point is a
+    * cumulative from the implicit 0 start. Emits one row per point:
+    * (series, order, cum, is_reset, delta). State is ONE double per
+    * live series. In-batch ordering is by the order column (sorted
+    * per series per trigger); cross-batch ordering comes from the
+    * source, like every stateful operator here. The spec pins
+    * streaming-over-N-batches == the batch kernel row-for-row. */
+  def streamingCounterResets(spark: SparkSession,
+                             points: Dataset[(String, Long, Double)])(
+      implicit e: org.apache.spark.sql.Encoder[(String, Long, Double, Boolean, Double)])
+      : Dataset[(String, Long, Double, Boolean, Double)] = {
+    import spark.implicits._
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (String, Long, Double, Boolean, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[Double]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var prev: Option[Double] = state.getOption
+            val out = sorted.map { case (_, ord, cum) =>
+              val isReset = prev.exists(cum < _)
+              val delta = if (isReset) cum else cum - prev.getOrElse(0.0)
+              prev = Some(cum)
+              (key, ord, cum, isReset, delta)
+            }
+            state.update(prev.get)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming label-cardinality monitor: per-key HyperLogLog state
     * (the 256 bucket maxima of [[graft.operators.SketchOps]], one
     * Array[Int] per key — fixed 1 KiB state however many distinct

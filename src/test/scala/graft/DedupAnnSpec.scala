@@ -842,6 +842,29 @@ class DedupAnnSpec extends AnyFunSuite {
       s"tiny-cap candidates ${tiny.size} vs capless ${capless.size}")
   }
 
+  test("hard negatives: every mined pair crosses labels; the LSH path recalls most of the exact set") {
+    val e = Tables(spark, sf, "embeddings")
+    val exact = AnnOps.hardNegatives(e.filter(col("vec_id") < 10), e, k = 10)
+      .collect()
+    // the contrastive contract: no same-label pair ever surfaces,
+    // and each query fills its k (the corpus has many labels)
+    assert(exact.nonEmpty)
+    assert(exact.forall(r =>
+      r.getAs[Int]("qlabel") != r.getAs[Int]("nlabel")))
+    val perQ = exact.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 10), perQ.toMap)
+    // the scale path (LSH candidates, identical filter) recalls most
+    // of the exact top-10 — misses are the farthest (least-gradient)
+    // negatives by construction
+    val exactPairs = exact.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val lsh = AnnOps.hardNegativesLsh(e.filter(col("vec_id") < 10), e,
+        planes = 4, k = 10, tables = 16)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = exactPairs.count(lsh.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"LSH hard-negative recall $recall")
+  }
+
   test("q_embed_norm_qa counts a ZERO-LENGTH embedding as a zero vector (min_dim 0, n_zero)") {
     import spark.implicits._
     // the degenerate row the QA gate exists to catch: an empty

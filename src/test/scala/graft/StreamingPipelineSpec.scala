@@ -1157,6 +1157,41 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming counter resets: a restart across the trigger boundary detects exactly; converges to the batch kernel") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val out = StreamingPipelines.streamingCounterResets(spark, ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("resets_out").start()
+    try {
+      // series a restarts ACROSS the boundary (12 → 3); series b
+      // restarts INSIDE batch 2 (9 → 2) — both must flag identically
+      ms.addData(Seq(("a", 1L, 5.0), ("a", 2L, 12.0), ("b", 1L, 9.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(("a", 3L, 3.0), ("b", 2L, 2.0), ("b", 3L, 6.0)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT _1, _2, _3, _4, _5 FROM resets_out ORDER BY _1, _2")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3), r.getDouble(4))).toSeq
+      assert(got == Seq(
+        ("a", 1L, 5.0, false, 5.0), ("a", 2L, 12.0, false, 7.0),
+        ("a", 3L, 3.0, true, 3.0),
+        ("b", 1L, 9.0, false, 9.0), ("b", 2L, 2.0, true, 2.0),
+        ("b", 3L, 6.0, false, 4.0)), got)
+      // row-for-row convergence to the batch kernel over the union
+      val batch = graft.operators.MetricsOps.cumulativeToDeltaWithResets(
+        Seq(("a", 1L, 5.0), ("a", 2L, 12.0), ("a", 3L, 3.0),
+          ("b", 1L, 9.0), ("b", 2L, 2.0), ("b", 3L, 6.0))
+          .toDF("series", "ord", "cum"),
+        Seq("series"), "ord", "cum")
+        .select("series", "ord", "cum", "is_reset", "delta_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3), r.getDouble(4))).toSeq.sorted
+      assert(batch == got.sorted)
+    } finally q.stop()
+  }
+
   test("streaming gap monitor TTL: an evicted idle series re-enters as a FIRST point, never a giant stale gap") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
