@@ -842,6 +842,43 @@ class DedupAnnSpec extends AnyFunSuite {
       s"tiny-cap candidates ${tiny.size} vs capless ${capless.size}")
   }
 
+  test("boilerplate census: within-source repeats flag, cross-source sharing does not") {
+    import spark.implicits._
+    // the 8-token header repeats in TWO docs of source a → boilerplate
+    // there; source b carries the SAME header in ONE doc only — the
+    // per-source contract must not flag it (cross-source chrome is a
+    // different operator's business)
+    val header = (1 to 8).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", s"$header u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, "a", s"$header v1 v2 v3 v4 v5 v6 v7 v8"),
+      (3L, "b", s"$header w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "b", "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.DedupOps
+      .boilerplate(docs, "doc_id", "source", "text", window = 8, minDocs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_boiler_segments"), r.getAs[Long]("n_affected_docs")))
+      .toMap
+    assert(got == Map("a" -> ((1L, 2L))), got)
+  }
+
+  test("vocab drift: a single-source corpus measures EXACTLY zero TV distance") {
+    import spark.implicits._
+    // with one source, p_s == p word-for-word, so both the joined
+    // |p_s − p| mass and the absent-word fold (1 − Σ p) are exactly 0
+    // — the calibration point that catches any arithmetic drift in
+    // the TV formula
+    val dir = java.nio.file.Files.createTempDirectory("vdrift").toString
+    Seq((1L, "s0", "a b c a"), (2L, "s0", "b d"), (3L, "s0", "e"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_vocab_drift")(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_tokens") == 7L)
+    assert(rows.head.getAs[Double]("tv_distance") == 0.0)
+  }
+
   test("hard negatives: every mined pair crosses labels; the LSH path recalls most of the exact set") {
     val e = Tables(spark, sf, "embeddings")
     val exact = AnnOps.hardNegatives(e.filter(col("vec_id") < 10), e, k = 10)
