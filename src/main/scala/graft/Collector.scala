@@ -309,8 +309,19 @@ object Collector {
             try svc.shutdownExporters()
             catch { case scala.util.control.NonFatal(_) => () }
             svc.shutdownExtensions()
+            // last words written, release the self-logger's file
+            // handles (per-run loggers must not leak fds in an
+            // embedding JVM that calls run repeatedly)
+            slog.foreach(s =>
+              try s.close()
+              catch { case scala.util.control.NonFatal(_) => () })
           }
           lifecycle(s"ran ${svc.pipelines.size} pipeline(s)")
+          // the line above reopens a closed file sink (sinks reopen
+          // on demand after close) — release it again before return
+          slog.foreach(s =>
+            try s.close()
+            catch { case scala.util.control.NonFatal(_) => () })
           0
         case other =>
           out.println(s"unknown command: $other " +

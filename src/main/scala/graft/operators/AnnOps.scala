@@ -38,14 +38,37 @@ object AnnOps {
     graft.functions.VectorExprs.cosine_sim(a, b)
 
   /** brute-force exact top-k cosine neighbors for each query vector */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").cast("array<double>").as("qe"))
-    val c = corpus.select(col("vec_id").as("nid"),
-      col("embedding").cast("array<double>").as("ne"))
-    val sims = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteTopKImpl(queries, corpus, k, withLabels = false)
+
+  /** shared brute-force shape: broadcast-query cross join, exact
+    * cosine, window rank. `withLabels = true` carries the label
+    * columns and keeps only DIFFERENT-label pairs — the ONE
+    * implementation behind [[bruteForceTopK]] and [[hardNegatives]],
+    * so a tie-break or dedup fix can never diverge between them. */
+  private def bruteTopKImpl(queries: DataFrame, corpus: DataFrame, k: Int,
+                            withLabels: Boolean): DataFrame = {
+    def side(df: DataFrame, id: String, lbl: String, emb: String) = {
+      val cols = Seq(col("vec_id").as(id)) ++
+        (if (withLabels) Seq(col("label").as(lbl)) else Nil) :+
+        col("embedding").cast("array<double>").as(emb)
+      df.select(cols: _*)
+    }
+    val q = side(queries, "qid", "qlabel", "qe")
+    val c = side(corpus, "nid", "nlabel", "ne")
+    val base = c.crossJoin(broadcast(q)).filter(col("qid") =!= col("nid"))
+    val filtered =
+      if (withLabels) base.filter(col("qlabel") =!= col("nlabel")) else base
+    val outCols = Seq(col("qid")) ++
+      (if (withLabels) Seq(col("qlabel")) else Nil) ++ Seq(col("nid")) ++
+      (if (withLabels) Seq(col("nlabel")) else Nil) :+
+      cosine(col("qe"), col("ne")).as("sim")
+    rankTopK(filtered.select(outCols: _*), k)
+  }
+
+  /** the shared window rank of every top-k shape here: per-query
+    * descending similarity, ascending-id tie-break */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -59,18 +82,8 @@ object AnnOps {
     * projection, so output stays k rows per query. The exactness
     * baseline — at corpus scale the LSH candidate path supplies the
     * same pairs with the identical filter. */
-  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-      col("embedding").cast("array<double>").as("qe"))
-    val c = corpus.select(col("vec_id").as("nid"), col("label").as("nlabel"),
-      col("embedding").cast("array<double>").as("ne"))
-    val sims = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
-      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
-        cosine(col("qe"), col("ne")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-  }
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteTopKImpl(queries, corpus, k, withLabels = true)
 
   /** [[hardNegatives]] on the LSH candidate path — the corpus-scale
     * configuration (xxh64 production kernel): negatives come from
@@ -80,23 +93,9 @@ object AnnOps {
     * FARTHEST negatives, which carry the least gradient — the benign
     * direction for this miner. */
   def hardNegativesLsh(queries: DataFrame, corpus: DataFrame, planes: Int,
-                       k: Int, tables: Int = 8): DataFrame = {
-    def sig(df: DataFrame, idAs: String, lblAs: String, embAs: String) =
-      df.select(col("vec_id").as(idAs), col("label").as(lblAs),
-          col("embedding").cast("array<double>").as(embAs))
-        .select(col(idAs), col(lblAs), col(embAs),
-          explode(graft.functions.VectorExprs.hyperplane_buckets(
-            col(embAs), tables, planes)).as("bucket"))
-    val q = sig(queries, "qid", "qlabel", "qe")
-    val c = sig(corpus, "nid", "nlabel", "ne")
-    val cand = c.join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
-      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
-        cosine(col("qe"), col("ne")).as("sim"))
-      .dropDuplicates("qid", "nid")
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-  }
+                       k: Int, tables: Int = 8): DataFrame =
+    lshTopKImpl(queries, corpus, planes, k, tables,
+      graft.functions.VectorExprs.hyperplane_buckets, withLabels = true)
 
   /** cosine-threshold RANGE search: every corpus neighbor with
     * sim ≥ tau per query — the radius primitive (recall-set
@@ -793,26 +792,34 @@ object AnnOps {
           lit("keep")).otherwise(lit("drop")).as("verdict"))
   }
 
+  /** shared LSH candidate shape behind [[lshTopK]]/[[lshTopKMd5]]/
+    * [[hardNegativesLsh]] — one implementation, so bucket-join or
+    * tie-break fixes can never diverge between the exact/scale pairs */
   private def lshTopKImpl(queries: DataFrame, corpus: DataFrame, planes: Int,
                           k: Int, tables: Int,
-                          bucketsOf: (Column, Int, Int) => Column): DataFrame = {
-    def sig(df: DataFrame, idAs: String, embAs: String) = {
-      val base = df.select(col("vec_id").as(idAs),
-        col("embedding").cast("array<double>").as(embAs))
-      base.select(col(idAs), col(embAs),
-        explode(bucketsOf(col(embAs), tables, planes)).as("bucket"))
+                          bucketsOf: (Column, Int, Int) => Column,
+                          withLabels: Boolean = false): DataFrame = {
+    def sig(df: DataFrame, idAs: String, lblAs: String, embAs: String) = {
+      val cols = Seq(col("vec_id").as(idAs)) ++
+        (if (withLabels) Seq(col("label").as(lblAs)) else Nil) :+
+        col("embedding").cast("array<double>").as(embAs)
+      df.select(cols: _*).withColumn("bucket",
+        explode(bucketsOf(col(embAs), tables, planes)))
     }
-    val q = sig(queries, "qid", "qe")
-    val c = sig(corpus, "nid", "ne")
+    val q = sig(queries, "qid", "qlabel", "qe")
+    val c = sig(corpus, "nid", "nlabel", "ne")
     // score per collision, dedup the scalar rows after — deduping
     // while carrying the embedding arrays would force a SortAggregate
     // over arrays (see embedNearDupPairs), far costlier than a few
     // recomputed dim-FMA cosines
-    val cand = c.join(broadcast(q), "bucket")
+    val base = c.join(broadcast(q), "bucket")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
-      .dropDuplicates("qid", "nid")
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val filtered =
+      if (withLabels) base.filter(col("qlabel") =!= col("nlabel")) else base
+    val outCols = Seq(col("qid")) ++
+      (if (withLabels) Seq(col("qlabel")) else Nil) ++ Seq(col("nid")) ++
+      (if (withLabels) Seq(col("nlabel")) else Nil) :+
+      cosine(col("qe"), col("ne")).as("sim")
+    rankTopK(filtered.select(outCols: _*).dropDuplicates("qid", "nid"), k)
   }
 }

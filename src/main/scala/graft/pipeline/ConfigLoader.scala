@@ -598,6 +598,27 @@ object ConfigLoader {
           .map { case (e, i) => buildExporter(asMap(e), name, i, extLookup) })
     }.toMap
     rejectConnectorCycles(pipelines.toMap)
+    // configured propagators must actually be CONSUMED: in graft the
+    // one consumer is the otlp_http metadata sidecar (trace.* keys
+    // need include_metadata). A document declaring propagators no
+    // receiver reads would run as a silent no-op — refuse it loudly
+    // instead, the same posture as unknown propagator names.
+    if (propagator.isDefined) {
+      def unwrap(r: Receiver): Seq[Receiver] = r match {
+        case MultiReceiver(rs) => rs.flatMap(unwrap)
+        case ClientInfoReceiver(inner, _) => unwrap(inner)
+        case x => Seq(x)
+      }
+      val consumed = result.values.flatMap(p => unwrap(p.receiver)).exists {
+        case h: OtlpHttpServerReceiver => h.includeMetadata
+        case _ => false
+      }
+      require(consumed,
+        "service::telemetry::traces::propagators is configured but no " +
+          "receiver consumes it — add an otlp_http receiver with " +
+          "include_metadata: true (the trace.* metadata sidecar is the " +
+          "propagators' consumer), or remove the propagators block")
+    }
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result, extInstances, telemetryLevel, telemetryResource,

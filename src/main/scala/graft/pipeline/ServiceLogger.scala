@@ -41,7 +41,8 @@ object ServiceLogger {
       samplingThereafter: Int = 0,
       initialFields: Map[String, String] = Map.empty)
 
-  private val Levels = Map("debug" -> 0, "info" -> 1, "warn" -> 2, "error" -> 3)
+  private[pipeline] val Levels =
+    Map("debug" -> 0, "info" -> 1, "warn" -> 2, "error" -> 3)
   private val Encodings = Set("console", "json")
 
   /** validate the knobs the way zap's Build refuses them: unknown
@@ -93,8 +94,7 @@ final class ServiceLogger(
     nowMs: () => Long = () => System.currentTimeMillis()) {
   ServiceLogger.validate(cfg)
 
-  private val minRank = Map(
-    "debug" -> 0, "info" -> 1, "warn" -> 2, "error" -> 3)(cfg.level)
+  private val minRank = ServiceLogger.Levels(cfg.level)
 
   // zap-sampler state per message TEXT per one-second window (the
   // LoggingExporter kernel, keyed by message like zap's sampler core)
@@ -140,23 +140,43 @@ final class ServiceLogger(
     }
   }
 
+  // file sinks open ONCE and stay open (zap builds its sinks at
+  // config Build, not per record) — a hot sampled path must not pay
+  // a mkdir walk + open/append/close cycle per admitted record. A
+  // failed open is NOT cached, so each record retries and the
+  // failure routes to error_output_paths each time.
+  private val fileSinks =
+    scala.collection.mutable.Map.empty[String, java.io.PrintWriter]
+
   private def sink(path: String, line: String): Unit = path match {
     case "stdout" => System.out.println(line)
     case "stderr" => System.err.println(line)
-    case p =>
-      val f = java.nio.file.Paths.get(p)
-      Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(f, line + "\n",
-        java.nio.charset.StandardCharsets.UTF_8,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+    case p => synchronized {
+      val w = fileSinks.getOrElseUpdate(p, {
+        val f = java.nio.file.Paths.get(p)
+        Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        new java.io.PrintWriter(new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(
+            java.nio.file.Files.newOutputStream(f,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND),
+            java.nio.charset.StandardCharsets.UTF_8)))
+      })
+      w.println(line)
+      w.flush() // a log line must be durable when the call returns
+    }
   }
 
-  private val levelRanks =
-    Map("debug" -> 0, "info" -> 1, "warn" -> 2, "error" -> 3)
+  /** release the held file handles (the CLI bracket calls this; a
+    * long-lived embedding service may keep the logger open) */
+  def close(): Unit = synchronized {
+    fileSinks.values.foreach(w =>
+      try w.close() catch { case scala.util.control.NonFatal(_) => () })
+    fileSinks.clear()
+  }
 
   def log(level: String, msg: String): Unit = {
-    if (levelRanks.getOrElse(level, 1) < minRank) return
+    if (ServiceLogger.Levels.getOrElse(level, 1) < minRank) return
     if (!admit(msg)) return
     val line = format(level, msg)
     cfg.outputPaths.foreach { p =>

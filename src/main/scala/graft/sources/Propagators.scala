@@ -46,11 +46,15 @@ object Propagators {
 
   case object TraceContext extends TextMap {
     val fields: Seq[String] = Seq("traceparent")
-    private val Re = "^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$".r
+    // version 00 is EXACTLY four fields; a FUTURE version may carry
+    // additional `-`-delimited fields after the flags (W3C §4.3
+    // forward compatibility: parse the known prefix, ignore the rest)
+    private val Re = "^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})(-.+)?$".r
     def extract(headers: Map[String, String]): Option[SpanContext] =
       lower(headers).get("traceparent").flatMap {
-        case Re(ver, tid, sid, flags)
-            if ver != "ff" && hexValid(tid, 32) && hexValid(sid, 16) =>
+        case Re(ver, tid, sid, flags, trailing)
+            if ver != "ff" && hexValid(tid, 32) && hexValid(sid, 16) &&
+              (trailing == null || ver != "00") =>
           // flags bit 0 = sampled (W3C trace-flags)
           Some(SpanContext(tid, sid,
             (Integer.parseInt(flags, 16) & 1) == 1))
@@ -74,27 +78,37 @@ object Propagators {
     }
     def extract(headers: Map[String, String]): Option[SpanContext] = {
       val h = lower(headers)
-      // single header first (the b3.New() preference), multi second
-      val single = h.get("b3").flatMap { v =>
-        v.split("-") match {
+      // a PRESENT single header DECIDES — the B3 precedence rule: its
+      // deny marker ("b3: 0") or a malformed value must not fall
+      // through to the multi form and resurrect a context the single
+      // header refused. split with limit -1 keeps trailing empties,
+      // so "tid-sid-" is malformed, not a 2-part context.
+      if (h.contains("b3")) h.get("b3").flatMap { v =>
+        v.split("-", -1) match {
           case Array(tid, sid) =>
             // no sampling state: defer (unsampled context still rides)
             for (t <- padTrace(tid) if hexValid(sid, 16))
               yield SpanContext(t, sid, sampled = false)
           case parts if parts.length == 3 || parts.length == 4 =>
-            for (t <- padTrace(parts(0)) if hexValid(parts(1), 16))
-              yield SpanContext(t, parts(1), sampledOf(parts(2)))
+            // single-header sampling state is STRICTLY 0|1|d (the
+            // multi form's true/false spellings are not valid here),
+            // and a 4th field must be a well-formed parent span id —
+            // "tid-sid-" (empty state) is malformed, not unsampled
+            for {
+              t <- padTrace(parts(0))
+              if hexValid(parts(1), 16)
+              if Set("0", "1", "d")(parts(2))
+              if parts.length == 3 || hexValid(parts(3), 16)
+            } yield SpanContext(t, parts(1), parts(2) != "0")
           case _ => None // incl. the lone "0" deny marker: no context
         }
       }
-      single.orElse {
-        for {
-          t0 <- h.get("x-b3-traceid"); t <- padTrace(t0)
-          s <- h.get("x-b3-spanid") if hexValid(s, 16)
-        } yield SpanContext(t, s,
-          h.get("x-b3-flags").contains("1") ||
-            h.get("x-b3-sampled").exists(sampledOf))
-      }
+      else for {
+        t0 <- h.get("x-b3-traceid"); t <- padTrace(t0)
+        s <- h.get("x-b3-spanid") if hexValid(s, 16)
+      } yield SpanContext(t, s,
+        h.get("x-b3-flags").contains("1") ||
+          h.get("x-b3-sampled").exists(sampledOf))
     }
     def inject(ctx: SpanContext): Map[String, String] =
       Map("b3" ->

@@ -20,6 +20,13 @@ class PropagatorsSpec extends AnyFunSuite {
     // a FUTURE version parses (W3C forward compatibility), ff does not
     assert(TraceContext.extract(Map("traceparent" -> s"cc-$tid-$sid-01")).isDefined)
     assert(TraceContext.extract(Map("traceparent" -> s"ff-$tid-$sid-01")).isEmpty)
+    // §4.3: a future version may carry ADDITIONAL -delimited fields —
+    // parse the known prefix, ignore the rest; version 00 may NOT
+    assert(TraceContext.extract(
+      Map("traceparent" -> s"cc-$tid-$sid-01-extrafield"))
+      .contains(SpanContext(tid, sid, sampled = true)))
+    assert(TraceContext.extract(
+      Map("traceparent" -> s"00-$tid-$sid-01-extrafield")).isEmpty)
     // all-zero ids are invalid span contexts
     assert(TraceContext.extract(
       Map("traceparent" -> s"00-${"0" * 32}-$sid-01")).isEmpty)
@@ -67,6 +74,15 @@ class PropagatorsSpec extends AnyFunSuite {
     assert(B3.extract(Map("b3" -> s"$tid-$sid-0",
       "x-b3-traceid" -> ("9" * 32), "x-b3-spanid" -> sid,
       "x-b3-sampled" -> "1")).contains(SpanContext(tid, sid, false)))
+    // a present single header DECIDES: its deny marker (or a
+    // malformed value) must not fall through to the multi form and
+    // resurrect a context the single header refused
+    assert(B3.extract(Map("b3" -> "0",
+      "x-b3-traceid" -> tid, "x-b3-spanid" -> sid,
+      "x-b3-sampled" -> "1")).isEmpty)
+    // trailing dash is MALFORMED, never a 2-part context (split keeps
+    // trailing empties)
+    assert(B3.extract(Map("b3" -> s"$tid-$sid-")).isEmpty)
     // inject writes the single form
     assert(B3.inject(SpanContext(tid, sid, sampled = true))
       == Map("b3" -> s"$tid-$sid-1"))
@@ -117,6 +133,17 @@ class PropagatorsSpec extends AnyFunSuite {
     assert(bare.pipelines("logs/p").receiver
       .asInstanceOf[graft.pipeline.Pipeline.OtlpHttpServerReceiver]
       .propagator.isEmpty)
+    // DEAD config refuses loudly: propagators declared but no
+    // receiver consumes them (no include_metadata otlp_http) would
+    // run as a silent no-op otherwise
+    val dead = intercept[IllegalArgumentException] {
+      ConfigLoader.fromJson(
+        """{"service": {"telemetry": {"traces": {"propagators": ["b3"]}}},
+          |"pipelines": {"logs/p": {
+          |  "receiver": {"type": "otlp_http", "port": 0, "spool": "/tmp/px"},
+          |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    }
+    assert(dead.getMessage.contains("no receiver consumes"), dead.getMessage)
   }
 
   test("live receiver: configured propagators stamp the caller's trace context into the metadata sidecar") {
