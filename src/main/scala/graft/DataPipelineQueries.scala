@@ -732,6 +732,23 @@ object DataPipelineQueries {
       DedupOps.boilerplate(docs(s, dir), "doc_id", "source", "text",
         window = 8, minDocs = 2)),
 
+    // cross-SOURCE duplication census — the provenance question a
+    // mixture decision needs (which sources mirror each other, and
+    // how much of a "new" source is already held elsewhere): distinct
+    // (source, content-hash) pairs self-joined on the hash, one row
+    // per source pair with the shared distinct-content count. The
+    // join is bounded by contents present in 2+ sources (the dup
+    // clusters), never the corpus against itself; only 16-byte
+    // hashes cross the exchange.
+    "q_dedup_cross_source" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), md5(col("text")).as("h")).distinct()
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // incremental NEAR-dup: probe the incoming batch's minhash
     // signatures against the historical signature store (see
     // DedupOps.lshNearDupAgainstStoreMd5); same modulo split
@@ -2452,6 +2469,13 @@ object DataPipelineQueries {
 
     // segments zip via DuckDB's row-wise parallel unnest; the
     // composite key doc_id*1e6+pos is integer-exact both engines
+    "q_dedup_cross_source" ->
+      """WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
     // the line-dedup segmentation, scored across docs per source
     "q_boilerplate" ->
       """WITH toks AS (

@@ -164,6 +164,13 @@ object Plans {
       "cells whatever the corpus size. min-over-lanes answers the " +
       "point query; the exact top-20 join-back exists only to " +
       "measure the one-sided overestimate the sketch guarantees."),
+    "q_vocab_drift" -> ("Exact total-variation distance per source " +
+      "with the absent-word mass folded ANALYTICALLY (1 − Σ p over " +
+      "the source's own words): the join touches only (source, word) " +
+      "pairs the source actually contains — never the source × " +
+      "global-vocab fan-out a literal Σ over all words would plan. " +
+      "The one-row corpus total cross-joins in unhinted (stats " +
+      "broadcast it); cross-row double sums ride DECIMAL(28,8)."),
     "q_length_percentiles" -> ("Per-source exact percentiles WITHOUT " +
       "a window keyed solely on the 20-value source column (the r10 " +
       "weak): groupedRankRanged sub-buckets EVERY group by the same " +
