@@ -146,6 +146,27 @@ class PropagatorsSpec extends AnyFunSuite {
     assert(dead.getMessage.contains("no receiver consumes"), dead.getMessage)
   }
 
+  test("extract never throws on hostile headers; any produced context carries well-formed ids (2000-seed fuzz)") {
+    val comp = Propagators.fromConfig(Seq("tracecontext", "b3"))
+    val rnd = new scala.util.Random(42)
+    val alphabet = "0123456789abcdefABCDEF-—π  .:$ffx"
+    val names = Seq("traceparent", "b3", "x-b3-traceid", "x-b3-spanid",
+      "x-b3-sampled", "x-b3-flags")
+    def hexOk(s: String, n: Int) =
+      s.length == n && s.forall(c => "0123456789abcdef".contains(c))
+    for (_ <- 1 to 2000) {
+      val hdrs = names.filter(_ => rnd.nextBoolean()).map { n =>
+        val len = rnd.nextInt(60)
+        n -> Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.toMap
+      val got = comp.extract(hdrs) // must never throw
+      got.foreach { sc =>
+        assert(hexOk(sc.traceId, 32), s"bad traceId from $hdrs: $sc")
+        assert(hexOk(sc.spanId, 16), s"bad spanId from $hdrs: $sc")
+      }
+    }
+  }
+
   test("live receiver: configured propagators stamp the caller's trace context into the metadata sidecar") {
     val spark = TestSession.spark
     import spark.implicits._

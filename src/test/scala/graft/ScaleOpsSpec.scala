@@ -139,6 +139,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"a task shuffle-read ${maxShuffleRead.get} bytes")
   }
 
+  test("10x scale smoke: text-stat census ops (boilerplate, vocab drift, cross-source) scale linearly, fingerprints only") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) maxShuffleRead.getAndAccumulate(
+          m.shuffleReadMetrics.totalBytesRead, math.max)
+      }
+    }
+    def census(dir: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val b = SparkEntry.queries("q_boilerplate")(spark, dir).count()
+      val v = SparkEntry.queries("q_vocab_drift")(spark, dir).count()
+      val x = SparkEntry.queries("q_dedup_cross_source")(spark, dir).count()
+      (b + v + x, (System.nanoTime() - t0) / 1e9)
+    }
+    census("/root/testdata/sf0.001") // warm
+    val (n1, wall1) = census("/root/testdata/sf0.001")
+    assert(n1 > 0)
+    spark.sparkContext.addSparkListener(listener)
+    val (n10, wall10) = try census("/root/testdata/sf0.1")
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(n10 > 0)
+    // linear-ish: 10x docs nowhere near 100x wall
+    assert(wall10 <= wall1 * 40,
+      f"10x corpus took ${wall10 / wall1}%.1fx the wall ($wall1%.2f s -> $wall10%.2f s)")
+    // bounded exchanges: segment/content text never crosses a
+    // shuffle (md5 fingerprints only), and vocab_drift's word keys
+    // are vocabulary-bounded with map-side partial counts — no task
+    // ever shuffle-reads a corpus-sized blob
+    assert(maxShuffleRead.get < (32L << 20),
+      s"a task shuffle-read ${maxShuffleRead.get} bytes")
+  }
+
   test("AQE splits a skewed sort-merge join (the runtime half of the skew strategy)") {
     // the skew story has two halves: saltedJoin/saltedAgg for the
     // cases the engine can't fix, and AQE's skew-join splitting for

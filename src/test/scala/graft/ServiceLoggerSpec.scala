@@ -86,6 +86,25 @@ class ServiceLoggerSpec extends AnyFunSuite {
       e.head.contains("failed"), e)
   }
 
+  test("concurrent writers to one file sink produce whole lines, never interleaved fragments") {
+    val out = s"${tmp()}/conc.log"
+    val log = new ServiceLogger(LogsConfig(outputPaths = Seq(out)),
+      nowMs = () => 1755000000000L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val fs = (0 until 4).map(t => pool.submit(new Runnable {
+        def run(): Unit = (0 until 100).foreach(i => log.info(s"t$t m$i"))
+      }))
+      fs.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    log.close()
+    val got = lines(out)
+    assert(got.length == 400, got.length)
+    // every line is a complete record (the synchronized sink): the
+    // console shape with an intact message, no torn interleavings
+    assert(got.forall(_.matches(""".*\tINFO\tt\d m\d+""")), got.take(3))
+  }
+
   test("config surface: service::telemetry::logs builds, validates, and rejects bad knobs") {
     import graft.pipeline.ConfigLoader
     def doc(logs: String) =
