@@ -575,6 +575,35 @@ object DataPipelineQueries {
           TextOps.qualityClass(col("n_tokens"), col("avg_token_len"), col("stopword_ratio")))
     }),
 
+    // Budget-bounded curation decision: rank documents by an integer
+    // quality surrogate (stopword hits per mille — the q_quality_score
+    // signal, integer-exact) and greedily keep the best until a token
+    // BUDGET is spent — the select step after scoring, the decision
+    // arc every curation pipeline ends on. The global running total
+    // rides prefixSumRanged (percentile-cut buckets + driver offsets,
+    // the q_batch_assign discipline) — never a single-partition
+    // window; the composite key makes the greedy order total
+    // (quality desc, doc_id asc) and a domain guard raises loud.
+    "q_budget_select" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val base = docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.wordlistHits(toks, TextOps.EnStop).as("stop_hits"))
+        .filter(col("n_tokens") >= 1)
+        .withColumn("score", expr("stop_hits * 1000 DIV n_tokens"))
+      val key = when(col("doc_id") >= 0 && col("doc_id") < 10000000000L &&
+          col("score").between(0, 1000),
+        (lit(1000L) - col("score")) * lit(10000000000L) + col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("budget_select key out of domain: doc_id="),
+          col("doc_id").cast("string"),
+          lit(" score="), col("score").cast("string"))))
+      ScaleOps.prefixSumRanged(base.withColumn("__k", key),
+          col("__k"), col("n_tokens"), "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          col("cum_tokens"), (col("cum_tokens") <= 20000L).as("kept"))
+    }),
+
     // language-ID heuristic vs labeled lang (confusion counts)
     "q_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -2311,6 +2340,23 @@ object DataPipelineQueries {
         | CASE WHEN n_tokens >= 60 AND avg_token_len >= 4.0 AND stopword_ratio <= 0.3 THEN 'high'
         |  WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_class
         |FROM m""".stripMargin,
+
+    // the greedy budget prefix as ONE ordered window sum (the oracle
+    // may use the single-partition form the engine side must avoid)
+    "q_budget_select" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |m AS (SELECT doc_id, len(ws) AS n_tokens,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS stop_hits
+        | FROM t WHERE len(ws) >= 1),
+        |s AS (SELECT doc_id, n_tokens, (stop_hits * 1000) // n_tokens AS score FROM m),
+        |c AS (SELECT doc_id, n_tokens, score,
+        |  CAST(SUM(n_tokens) OVER (
+        |    ORDER BY (1000 - score) * 10000000000 + doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM s)
+        |SELECT doc_id, n_tokens, score, cum_tokens,
+        | cum_tokens <= 20000 AS kept
+        |FROM c""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
