@@ -361,6 +361,38 @@ object DataPipelineQueries {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // What dedup DID to the mixture: per-source before/after the CC
+    // keep-rule (docs, char mass, and the corpus mixture share each
+    // side) — the report a curation run files before anyone trains on
+    // the deduped corpus, because near-dup removal is never
+    // mixture-neutral (duplicate-heavy sources shrink). Same pair
+    // graph + hybrid CC as q_dedup_apply; the per-source rollup adds
+    // two keyed aggregates and two one-row totals (cross-joined
+    // unhinted — stats broadcast them).
+    "q_dedup_impact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val keptDocs = DedupOps.applyDedupCC(d, "doc_id", pairs)
+      val after = keptDocs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after"), sum(col("n_chars")).as("chars_after"))
+      val before = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"), sum(col("n_chars")).as("chars_before"))
+      val tb = d.agg(sum(col("n_chars")).as("tb"))
+      val ta = keptDocs.agg(sum(col("n_chars")).as("ta"))
+      before.join(after, Seq("source"), "left")
+        .crossJoin(tb).crossJoin(ta)
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("chars_before"),
+          coalesce(col("chars_after"), lit(0L)).as("chars_after"),
+          (col("chars_before").cast("double") / col("tb").cast("double"))
+            .as("mix_before"),
+          (coalesce(col("chars_after"), lit(0L)).cast("double") /
+            col("ta").cast("double")).as("mix_after"))
+    }),
+
     // connected components over the near-dup pair graph: per-cluster
     // membership stats (component = min doc_id reachable)
     "q_dedup_cc" -> ((s, dir) => {
@@ -2233,6 +2265,42 @@ object DataPipelineQueries {
         |SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | COUNT(DISTINCT lang) AS n_langs
         |FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+
+    // the q_dedup_apply CC closure, rolled per source with mixture
+    // shares (identical division expression trees both engines)
+    "q_dedup_impact" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        | SELECT s AS id, d AS r FROM edges
+        | UNION
+        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        |kept AS (SELECT * FROM documents
+        |         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+        |b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_before
+        |      FROM documents GROUP BY source),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_after
+        |      FROM kept GROUP BY source),
+        |tb AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tb FROM documents),
+        |ta AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS ta FROM kept)
+        |SELECT b.source, n_before, COALESCE(n_after, 0) AS n_after,
+        | chars_before, COALESCE(chars_after, 0) AS chars_after,
+        | CAST(chars_before AS DOUBLE) / CAST(tb AS DOUBLE) AS mix_before,
+        | CAST(COALESCE(chars_after, 0) AS DOUBLE) / CAST(ta AS DOUBLE) AS mix_after
+        |FROM b LEFT JOIN a ON b.source = a.source CROSS JOIN tb CROSS JOIN ta""".stripMargin,
 
     "q_dedup_cc" ->
       """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
