@@ -575,6 +575,26 @@ object DataPipelineQueries {
           (sum(col("n_bpe")).cast("double") / count(lit(1))).as("avg_bpe_tokens"))
     }),
 
+    // Tokenizer FERTILITY per language: subword tokens per whitespace
+    // word (the multilingual tokenizer-quality metric — a language
+    // the vocabulary serves poorly fragments into more pieces per
+    // word, inflating its effective cost per document and starving it
+    // of context window). Integer sums per lang; the one division is
+    // IEEE-exact on identical trees. Entirely map-side + one keyed
+    // aggregate.
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+          TextOps.tokenCount(col("text")).as("n_words"))
+        .filter(col("n_words") >= 1)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe")).as("total_bpe"),
+          sum(col("n_words")).as("total_words"))
+        .withColumn("fertility",
+          col("total_bpe").cast("double") / col("total_words").cast("double"))
+    }),
+
     // max_seq_len TRADE-OFF table: per source, the token mass kept at
     // each candidate truncation cap (256/512/1024) and the share lost
     // at 512 — the number a training pipeline reads before fixing its
@@ -2381,6 +2401,17 @@ object DataPipelineQueries {
         | CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
         | CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+        | FROM documents)
+        |SELECT lang, CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+        | CAST(SUM(n_words) AS BIGINT) AS total_words,
+        | CAST(CAST(SUM(n_bpe) AS BIGINT) AS DOUBLE) /
+        |   CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) AS fertility
+        |FROM t WHERE n_words >= 1 GROUP BY lang""".stripMargin,
 
     "q_truncation_loss" ->
       """WITH t AS (SELECT source,
