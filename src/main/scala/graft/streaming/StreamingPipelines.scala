@@ -637,6 +637,29 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming DECONTAMINATION — the q_decontaminate semantics over a
+    * rolling ingest: every incoming training document's 5-gram
+    * shingles probe a FROZEN eval-set shingle store (the static side
+    * of a stream-static join; eval benchmarks are small and pinned,
+    * exactly the broadcast-able side), and the per-(train, eval)
+    * shared-gram counts accumulate in UPDATE mode — a document whose
+    * overlap crosses the caller's threshold is quarantined before it
+    * ever reaches a training shard. State is one count per
+    * (train, eval) CANDIDATE pair (pairs with ≥1 shared gram — the
+    * contaminated minority), not per document; run the sink with
+    * `outputMode("update")`. The spec pins convergence to the batch
+    * operator on the same split. */
+  def streamingDecontaminate(spark: SparkSession, docs: DataFrame,
+                             evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val evalSh = evalDocs.select(col("eval_id"),
+      explode(graft.operators.DedupOps.shinglesOfText(col("text"), n)).as("s"))
+    val trainSh = docs.select(col("doc_id").as("train_id"),
+      explode(graft.operators.DedupOps.shinglesOfText(col("text"), n)).as("s"))
+    trainSh.join(broadcast(evalSh), "s")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Streaming counter-reset tracker — the q_counter_resets /
     * [[graft.operators.MetricsOps.cumulativeToDeltaWithResets]]
     * semantics over an unbounded stream: per-series LAST-READING

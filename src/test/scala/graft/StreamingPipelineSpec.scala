@@ -1157,6 +1157,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: a rolling ingest probed against a frozen eval store converges to the batch operator") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables(spark, sf, "documents").select("doc_id", "text")
+    val evalDocs = all.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val train = all.filter(col("doc_id") >= 25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingPipelines.streamingDecontaminate(spark,
+      ms.toDS().toDF("doc_id", "text"), evalDocs)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("decon_out").start()
+    try {
+      // the ingest arrives in TWO batches — update-mode counts must
+      // accumulate to the same totals as one batch pass
+      val (b1, b2) = train.splitAt(train.length / 2)
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      // update sink keeps every revision — latest count per pair wins
+      val got = spark.sql(
+        """SELECT train_id, eval_id, MAX(n_shared) AS n_shared
+          |FROM decon_out GROUP BY train_id, eval_id""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = SparkEntry.queries("q_decontaminate")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // the registered query filters n_shared >= 3; apply the same
+      // bar to the streaming accumulation
+      val flagged = got.filter(_._2 >= 3L)
+      assert(flagged == batch, s"streaming ${flagged.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming counter resets: a restart across the trigger boundary detects exactly; converges to the batch kernel") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
