@@ -628,14 +628,15 @@ object DataPipelineQueries {
     }),
 
     // Budget-bounded curation decision: rank documents by an integer
-    // quality surrogate (stopword hits per mille — the q_quality_score
-    // signal, integer-exact) and greedily keep the best until a token
+    // quality surrogate (stopword hits per mille, ASCENDING — the
+    // q_quality_score convention, where LOW stopword density marks
+    // the high class) and greedily keep the best until a token
     // BUDGET is spent — the select step after scoring, the decision
     // arc every curation pipeline ends on. The global running total
     // rides prefixSumRanged (percentile-cut buckets + driver offsets,
     // the q_batch_assign discipline) — never a single-partition
     // window; the composite key makes the greedy order total
-    // (quality desc, doc_id asc) and a domain guard raises loud.
+    // (score asc, doc_id asc) and a domain guard raises loud.
     "q_budget_select" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       val base = docs(s, dir).select(col("doc_id"),
@@ -645,7 +646,7 @@ object DataPipelineQueries {
         .withColumn("score", expr("stop_hits * 1000 DIV n_tokens"))
       val key = when(col("doc_id") >= 0 && col("doc_id") < 10000000000L &&
           col("score").between(0, 1000),
-        (lit(1000L) - col("score")) * lit(10000000000L) + col("doc_id"))
+        col("score").cast("long") * lit(10000000000L) + col("doc_id"))
         .otherwise(raise_error(concat(
           lit("budget_select key out of domain: doc_id="),
           col("doc_id").cast("string"),
@@ -2450,7 +2451,7 @@ object DataPipelineQueries {
         |s AS (SELECT doc_id, n_tokens, (stop_hits * 1000) // n_tokens AS score FROM m),
         |c AS (SELECT doc_id, n_tokens, score,
         |  CAST(SUM(n_tokens) OVER (
-        |    ORDER BY (1000 - score) * 10000000000 + doc_id
+        |    ORDER BY score * 10000000000 + doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         | FROM s)
         |SELECT doc_id, n_tokens, score, cum_tokens,
@@ -2612,8 +2613,7 @@ object DataPipelineQueries {
         | CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
         |FROM scored GROUP BY doc_id""".stripMargin,
 
-    // segments zip via DuckDB's row-wise parallel unnest; the
-    // composite key doc_id*1e6+pos is integer-exact both engines
+    // distinct (source, content-hash) pairs self-joined on the hash
     "q_dedup_cross_source" ->
       """WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,

@@ -1187,7 +1187,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       // the registered query filters n_shared >= 3; apply the same
-      // bar to the streaming accumulation
+      // bar to the streaming accumulation — and pin non-vacuity (a
+      // regenerated corpus with no cross-split overlap would satisfy
+      // empty == empty while verifying nothing)
+      assert(batch.nonEmpty, "corpus carries no contaminated pairs")
       val flagged = got.filter(_._2 >= 3L)
       assert(flagged == batch, s"streaming ${flagged.size} vs batch ${batch.size}")
     } finally q.stop()
