@@ -743,6 +743,69 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming heavy-hitters monitor: per-key count-min state (4
+    * lanes × `width` additive longs — fixed 32 KiB per key however
+    * many distinct terms arrive) plus a bounded candidate tracker
+    * (2k terms re-scored against the updated sketch each trigger).
+    * The JVM kernel is BIT-IDENTICAL to [[graft.operators.SketchOps
+    * .cmBucket]] (md5 "lane:term" → first 8 hex → mod width), so a
+    * term's running estimate equals the batch sketch's estimate over
+    * the union of all triggers EXACTLY — the spec pins it against
+    * q_heavy_hitters' cm_est column. Emits the current top-k
+    * (estimate desc, term asc) per trigger; one-sided error is the
+    * count-min guarantee (never underestimates). Candidate-set
+    * membership is arrival-order dependent ONLY for terms whose
+    * estimates tie at the k boundary — the documented space-saving
+    * trade every bounded tracker makes. */
+  def streamingHeavyHitters(spark: SparkSession,
+                            terms: Dataset[(String, String)],
+                            width: Int = 1024, k: Int = 20)(
+      implicit e: org.apache.spark.sql.Encoder[(String, Long, String, Long)])
+      : Dataset[(String, Long, String, Long)] = {
+    import spark.implicits._
+    val lanes = 4
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Array[Long], Map[String, Long], Long)] =
+      org.apache.spark.sql.Encoders.kryo[(Array[Long], Map[String, Long], Long)]
+    def buckets(term: String): Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until lanes).map { lane =>
+        val d = md.digest(s"$lane:$term".getBytes("UTF-8")); md.reset()
+        val hex = d.take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex, 16) % width).toInt
+      }.toArray
+    }
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Map[String, Long], Long), (String, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[(Array[Long], Map[String, Long], Long)]) =>
+          val (counts, cand0, trig0) = state.getOption
+            .getOrElse((new Array[Long](lanes * width), Map.empty[String, Long], 0L))
+          val fresh = scala.collection.mutable.Set.empty[String]
+          rows.foreach { case (_, term) =>
+            val bs = buckets(term)
+            var l = 0
+            while (l < lanes) { counts(l * width + bs(l)) += 1L; l += 1 }
+            fresh += term
+          }
+          def est(term: String): Long = {
+            val bs = buckets(term)
+            (0 until lanes).map(l => counts(l * width + bs(l))).min
+          }
+          // re-score old candidates + this trigger's terms, keep 2k
+          val scored = (cand0.keySet ++ fresh).toSeq
+            .map(t => t -> est(t))
+            .sortBy { case (t, c) => (-c, t) }
+          val kept = scored.take(2 * k)
+          val trig = trig0 + 1L
+          state.update((counts, kept.toMap, trig))
+          // trigger sequence rides the output so a consumer can
+          // select the LATEST snapshot (earlier triggers' estimates
+          // are stale by construction — counts only grow)
+          kept.take(k).iterator.map { case (t, c) => (key, trig, t, c) }
+      }
+  }
+
   /** per-key cumulative counter across micro-batches (stateful
     * delta→cumulative): emits (key, batch_delta, cumulative). */
   def runningCounter(spark: SparkSession, deltas: Dataset[(String, Double)])(

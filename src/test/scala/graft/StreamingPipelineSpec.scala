@@ -1157,6 +1157,44 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: running estimates equal the batch count-min sketch exactly; exact top terms surface") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val toks = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextOps.tokens(col("text"))).as("term"))
+      .collect().map(r => ("corpus", r.getString(0)))
+    val ms = MemoryStream[(String, String)]
+    val out = StreamingPipelines.streamingHeavyHitters(spark, ms.toDS(), k = 20)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hh_out").start()
+    try {
+      val (b1, b2) = toks.splitAt(toks.length / 2)
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      // the LATEST trigger's snapshot (earlier estimates are stale
+      // by construction — counts only grow)
+      val got = spark.sql(
+        """SELECT _3 AS term, _4 AS est FROM hh_out
+          |WHERE _2 = (SELECT MAX(_2) FROM hh_out)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty)
+      // kernel parity: every batch-query top-20 term the tracker
+      // surfaced carries EXACTLY the batch sketch's estimate (same
+      // md5 lane/bucket scheme over the union of both triggers)
+      val batch = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+        .collect().map(r => r.getAs[String]("term") ->
+          r.getAs[Long]("cm_est")).toMap
+      val surfaced = batch.keySet.intersect(got.keySet)
+      assert(surfaced.size >= 15,
+        s"only ${surfaced.size}/20 exact top terms surfaced: $got")
+      surfaced.foreach { t =>
+        assert(got(t) == batch(t), s"term $t: streaming ${got(t)} vs batch ${batch(t)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming decontamination: a rolling ingest probed against a frozen eval store converges to the batch operator") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
