@@ -665,6 +665,30 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // WINDOW-level language mixture (code-switching detection): the
+    // doc-level langId vote re-run per 32-token window — a document
+    // whose windows disagree is mixed-language (embedded quotes,
+    // boilerplate in another language, concatenation artifacts), the
+    // gate a monolingual corpus build applies where a doc-level vote
+    // would average the mixture away. Map-side slicing + the same
+    // stopword-list votes; one doc-keyed aggregate.
+    "q_lang_mix" -> ((s, dir) => {
+      val W = 32
+      val toks = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 1)
+      val nSeg = ((size(col("t")) + lit(W - 1)) / lit(W)).cast("int")
+      toks.select(col("doc_id"), explode(transform(
+          sequence(lit(0), nSeg - 1),
+          i => slice(col("t"), i * W + 1, lit(W)))).as("wt"))
+        .withColumn("pred", TextOps.langId(col("wt")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(when(col("pred") =!= "und", col("pred")))
+            .as("n_langs"))
+        .withColumn("is_mixed", col("n_langs") >= 2)
+    }),
+
     // benchmark decontamination (the training-pipeline hygiene step):
     // which TRAIN docs share >= 3 distinct word-5-grams with an EVAL
     // doc. Scale shape: the eval set is small by construction, so its
@@ -2457,6 +2481,30 @@ object DataPipelineQueries {
         |SELECT doc_id, n_tokens, score, cum_tokens,
         | cum_tokens <= 20000 AS kept
         |FROM c""".stripMargin,
+
+    // the q_lang_id vote per 32-token window; DuckDB slices inside
+    // list_transform like the line-dedup oracle
+    "q_lang_mix" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |w AS (SELECT doc_id,
+        |  unnest(list_transform(range((len(ws)+31)//32),
+        |    i -> ws[i*32+1 : i*32+32])) AS wt
+        | FROM t),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(wt, x -> x IN ('the','a','of','and','to','in','is','on'))) AS en,
+        |  len(list_filter(wt, x -> x IN ('el','la','de','y','en','es','los','que'))) AS es,
+        |  len(list_filter(wt, x -> x IN ('der','die','das','und','zu','ist','den','von'))) AS de
+        | FROM w),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+        |   WHEN en >= es AND en >= de THEN 'en'
+        |   WHEN es >= de THEN 'es' ELSE 'de' END AS pred
+        | FROM sc)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        | CAST(COUNT(DISTINCT CASE WHEN pred <> 'und' THEN pred END) AS BIGINT) AS n_langs,
+        | COUNT(DISTINCT CASE WHEN pred <> 'und' THEN pred END) >= 2 AS is_mixed
+        |FROM p GROUP BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
