@@ -743,6 +743,59 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming BOILERPLATE detector — the q_boilerplate census over a
+    * rolling ingest: per (source, segment-hash) state tracks the
+    * distinct documents carrying that 8-token line segment, and the
+    * moment the count crosses `minDocs` the segment is flagged ONCE
+    * (append-mode alert: (source, segment_hash, n_docs_at_flag)) —
+    * chrome discovered across trigger boundaries exactly like inside
+    * one batch. After flagging, the doc-set state collapses to a
+    * tombstone (the segment is already known chrome; memory stays
+    * bounded by UNFLAGGED segments' small doc sets). Segmentation and
+    * hashing are bit-identical to [[graft.operators.DedupOps
+    * .boilerplate]] (trim-split \s+, `window`-token slices, md5 of
+    * the space-joined segment), so the flagged set converges to the
+    * batch census (spec-pinned). */
+  def streamingBoilerplate(spark: SparkSession,
+                           docs: Dataset[(Long, String, String)],
+                           window: Int = 8, minDocs: Int = 2)(
+      implicit e: org.apache.spark.sql.Encoder[(String, String, Int)])
+      : Dataset[(String, String, Int)] = {
+    import spark.implicits._
+    val segs = docs.flatMap { case (id, source, text) =>
+      val t = text.trim.split("\\s+")
+      if (t.isEmpty || (t.length == 1 && t(0).isEmpty)) Iterator.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = (t.length + window - 1) / window
+        (0 until n).iterator.map { i =>
+          val seg = t.slice(i * window, i * window + window).mkString(" ")
+          val d = md.digest(seg.getBytes("UTF-8")); md.reset()
+          (source + " " + d.map("%02x".format(_)).mkString, id)
+        }.toSeq.distinct.iterator
+      }
+    }
+    segs.groupByKey(_._1)
+      .flatMapGroupsWithState[Set[Long], (String, String, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Set[Long]]) =>
+          val seen0 = state.getOption.getOrElse(Set.empty[Long])
+          if (seen0.isEmpty && state.exists) Iterator.empty // tombstone
+          else {
+            val seen = seen0 ++ rows.map(_._2)
+            if (seen.size >= minDocs) {
+              state.update(Set.empty[Long]) // flagged → tombstone
+              val cut = key.indexOf(' ')
+              Iterator((key.substring(0, cut), key.substring(cut + 1), seen.size))
+            } else {
+              state.update(seen)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Streaming heavy-hitters monitor: per-key count-min state (4
     * lanes × `width` additive longs — fixed 32 KiB per key however
     * many distinct terms arrive) plus a bounded candidate tracker

@@ -149,7 +149,7 @@ class PropagatorsSpec extends AnyFunSuite {
   test("extract never throws on hostile headers; any produced context carries well-formed ids (2000-seed fuzz)") {
     val comp = Propagators.fromConfig(Seq("tracecontext", "b3"))
     val rnd = new scala.util.Random(42)
-    val alphabet = "0123456789abcdefABCDEF-—π  .:$ffx"
+    val alphabet = "0123456789abcdefABCDEF-—π\u0000 .:$ffx"
     val names = Seq("traceparent", "b3", "x-b3-traceid", "x-b3-spanid",
       "x-b3-sampled", "x-b3-flags")
     def hexOk(s: String, n: Int) =

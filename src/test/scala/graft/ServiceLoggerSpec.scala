@@ -86,6 +86,30 @@ class ServiceLoggerSpec extends AnyFunSuite {
       e.head.contains("failed"), e)
   }
 
+  test("json encoding round-trips ANY message content (1000-seed escape fuzz)") {
+    val out = s"${tmp()}/fuzz.log"
+    val log = new ServiceLogger(LogsConfig(encoding = "json",
+      outputPaths = Seq(out)), nowMs = () => 1755000000000L)
+    val rnd = new scala.util.Random(7)
+    val nasty = "\"\\\n\r\t\u0000\u0001{}[],:π❤" + ('a' to 'z').mkString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sent = (1 to 1000).map { _ =>
+      val msg = Seq.fill(rnd.nextInt(30))(nasty(rnd.nextInt(nasty.length))).mkString
+      log.info(msg); msg
+    }
+    log.close()
+    val got = lines(out)
+    assert(got.length == 1000)
+    // every record parses and the message survives byte-for-byte —
+    // a control char or quote in operational text must never corrupt
+    // the log stream a collector ships to its aggregator
+    sent.zip(got).foreach { case (msg, line) =>
+      val root = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+      assert(root.get("msg") == msg,
+        s"msg mangled: ${msg.toList} vs ${root.get("msg")}")
+    }
+  }
+
   test("concurrent writers to one file sink produce whole lines, never interleaved fragments") {
     val out = s"${tmp()}/conc.log"
     val log = new ServiceLogger(LogsConfig(outputPaths = Seq(out)),

@@ -980,7 +980,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
       // update trigger (re-score trigger contributes nothing)
       val expectedPartials2 =
         Seq(corpus.take(4), corpus.drop(4)).map { trig =>
-          val bigrams = trig.flatMap(d => toks(d._2).sliding(2).map(_.mkString(" ")))
+          val bigrams = trig.flatMap(d => toks(d._2).sliding(2).map(_.mkString("\u0000")))
           val tokens = trig.flatMap(d => toks(d._2))
           bigrams.distinct.size + tokens.distinct.size
         }.sum
@@ -1154,6 +1154,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
       val gaps = got.filterNot(_._4).groupBy(_._1)
         .map { case (k, rs) => k -> (rs.map(_._3).max, rs.map(_._3).sum) }
       assert(gaps == Map("a" -> ((4L, 6L)), "b" -> ((15L, 15L))))
+    } finally q.stop()
+  }
+
+  test("streaming boilerplate: a segment crossing the bar across triggers flags once; flagged set converges to the batch census") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val out = StreamingPipelines.streamingBoilerplate(spark, ms.toDS(),
+      window = 4, minDocs = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bp_out").start()
+    try {
+      val header = "h1 h2 h3 h4"
+      // batch 1: one doc of source a carries the header — not flagged
+      ms.addData(Seq((1L, "a", s"$header u1 u2 u3 u4"),
+        (3L, "b", s"$header w1 w2 w3 w4")))
+      q.processAllAvailable()
+      assert(spark.table("bp_out").count() == 0L)
+      // batch 2: a SECOND source-a doc arrives → the header crosses
+      // the bar ACROSS the trigger boundary and flags exactly once;
+      // source b still has one carrier — quiet (per-source contract);
+      // a replay of doc 1 must not double-flag
+      ms.addData(Seq((2L, "a", s"$header v1 v2 v3 v4"), (1L, "a", s"$header u1 u2 u3 u4")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT _1, _2, _3 FROM bp_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      assert(got.length == 1 && got.head._1 == "a" && got.head._3 == 2, got.toSeq)
+      // convergence: the flagged (source, hash) set equals the batch
+      // census over the union
+      val batchDocs = Seq((1L, "a", s"$header u1 u2 u3 u4"),
+        (2L, "a", s"$header v1 v2 v3 v4"),
+        (3L, "b", s"$header w1 w2 w3 w4")).toDF("doc_id", "source", "text")
+      val census = graft.operators.DedupOps
+        .boilerplate(batchDocs, "doc_id", "source", "text", window = 4, minDocs = 2)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_boiler_segments")).toMap
+      assert(census == Map("a" -> 1L))
     } finally q.stop()
   }
 
