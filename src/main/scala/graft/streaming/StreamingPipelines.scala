@@ -18,6 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPipelines {
 
+  /** md5 hex of a UTF-8 string — THE hashing kernel shared by every
+    * streaming monitor whose state keys / sketch cells must stay
+    * bit-identical to the SQL md5 kernels (oracle parity is
+    * load-bearing: one drifted copy silently breaks a batch ==
+    * streaming contract). */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** tumbling-window counts/sums per key with a watermark. Input
     * needs an event-time `ts` timestamp column. Late data beyond
     * `lateness` is dropped — the streaming twin of q_tumbling_window.
@@ -464,8 +473,7 @@ object StreamingPipelines {
         // value-derived bounded key (never the raw text: state keys
         // should be 32 B, not a 10 kB boilerplate block; never
         // hashCode: checkpoint recovery needs cross-JVM stability)
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(seg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        md5Hex(seg)
       }
       .flatMapGroupsWithState[Long, (Long, Int, String, Boolean)](
         OutputMode.Append, timeout) {
@@ -722,10 +730,8 @@ object StreamingPipelines {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, String)], state: GroupState[Array[Int]]) =>
           val maxima = state.getOption.getOrElse(new Array[Int](256))
-          val md = java.security.MessageDigest.getInstance("MD5")
           rows.foreach { case (_, v) =>
-            val d = md.digest(v.getBytes("UTF-8")); md.reset()
-            val hex = d.map("%02x".format(_)).mkString
+            val hex = md5Hex(v)
             val bucket = Integer.parseInt(hex.substring(0, 2), 16)
             val x = java.lang.Long.parseLong(hex.substring(2, 14), 16)
             val rho =
@@ -750,47 +756,67 @@ object StreamingPipelines {
     * (append-mode alert: (source, segment_hash, n_docs_at_flag)) —
     * chrome discovered across trigger boundaries exactly like inside
     * one batch. After flagging, the doc-set state collapses to a
-    * tombstone (the segment is already known chrome; memory stays
-    * bounded by UNFLAGGED segments' small doc sets). Segmentation and
+    * tombstone (the segment is already known chrome; live memory is
+    * bounded by UNFLAGGED segments' small doc sets, and `ttlMs`
+    * bounds the distinct-segment state space itself for unbounded
+    * ingest — an evicted segment restarts its count, an evicted
+    * tombstone may re-flag: the staleness trade every TTL-bounded
+    * tracker makes). Segmentation and
     * hashing are bit-identical to [[graft.operators.DedupOps
     * .boilerplate]] (trim-split \s+, `window`-token slices, md5 of
     * the space-joined segment), so the flagged set converges to the
     * batch census (spec-pinned). */
   def streamingBoilerplate(spark: SparkSession,
                            docs: Dataset[(Long, String, String)],
-                           window: Int = 8, minDocs: Int = 2)(
+                           window: Int = 8, minDocs: Int = 2,
+                           ttlMs: Option[Long] = None)(
       implicit e: org.apache.spark.sql.Encoder[(String, String, Int)])
       : Dataset[(String, String, Int)] = {
     import spark.implicits._
     val segs = docs.flatMap { case (id, source, text) =>
+      // IDENTICAL segmentation to the batch census, including the
+      // [""]-tokenizing empty-doc edge the batch twin deliberately
+      // keeps (TextOps pins it cross-engine — never fix one-sided)
       val t = text.trim.split("\\s+")
-      if (t.isEmpty || (t.length == 1 && t(0).isEmpty)) Iterator.empty
-      else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val n = (t.length + window - 1) / window
-        (0 until n).iterator.map { i =>
-          val seg = t.slice(i * window, i * window + window).mkString(" ")
-          val d = md.digest(seg.getBytes("UTF-8")); md.reset()
-          (source + " " + d.map("%02x".format(_)).mkString, id)
-        }.toSeq.distinct.iterator
-      }
+      val n = (t.length + window - 1) / window
+      (0 until n).map { i =>
+        val seg = t.slice(i * window, i * window + window).mkString(" ")
+        // md5 hex carries no spaces, so source + space + hash splits
+        // back unambiguously on the LAST space whatever the source
+        // name contains
+        (source + " " + md5Hex(seg), id)
+      }.distinct.iterator
     }
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     segs.groupByKey(_._1)
       .flatMapGroupsWithState[Set[Long], (String, String, Int)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (key: String, rows: Iterator[(String, Long)],
          state: GroupState[Set[Long]]) =>
-          val seen0 = state.getOption.getOrElse(Set.empty[Long])
-          if (seen0.isEmpty && state.exists) Iterator.empty // tombstone
-          else {
-            val seen = seen0 ++ rows.map(_._2)
-            if (seen.size >= minDocs) {
-              state.update(Set.empty[Long]) // flagged → tombstone
-              val cut = key.indexOf(' ')
-              Iterator((key.substring(0, cut), key.substring(cut + 1), seen.size))
+          if (state.hasTimedOut) {
+            // TTL eviction: an idle unflagged segment forgets its
+            // carriers (its count restarts on re-entry) and an idle
+            // tombstone may re-flag — the staleness trade every
+            // TTL-bounded tracker makes; ttlMs=None keeps exact
+            // semantics at the cost of state per distinct segment
+            state.remove(); Iterator.empty
+          } else {
+            val seen0 = state.getOption.getOrElse(Set.empty[Long])
+            if (seen0.isEmpty && state.exists) {
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              Iterator.empty // tombstone: already-known chrome
             } else {
-              state.update(seen)
-              Iterator.empty
+              val seen = seen0 ++ rows.map(_._2)
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              if (seen.size >= minDocs) {
+                state.update(Set.empty[Long]) // flagged → tombstone
+                val cut = key.lastIndexOf(' ')
+                Iterator((key.substring(0, cut), key.substring(cut + 1), seen.size))
+              } else {
+                state.update(seen)
+                Iterator.empty
+              }
             }
           }
       }
@@ -805,8 +831,10 @@ object StreamingPipelines {
     * term's running estimate equals the batch sketch's estimate over
     * the union of all triggers EXACTLY — the spec pins it against
     * q_heavy_hitters' cm_est column. Emits the current top-k
-    * (estimate desc, term asc) per trigger; one-sided error is the
-    * count-min guarantee (never underestimates). Candidate-set
+    * (estimate desc, term asc) per trigger with a PER-KEY trigger
+    * sequence — consumers take each key's max-trig rows (a GLOBAL
+    * max would drop keys idle in the last trigger); one-sided error
+    * is the count-min guarantee (never underestimates). Candidate-set
     * membership is arrival-order dependent ONLY for terms whose
     * estimates tie at the k boundary — the documented space-saving
     * trade every bounded tracker makes. */
@@ -819,14 +847,13 @@ object StreamingPipelines {
     val lanes = 4
     implicit val stEnc: org.apache.spark.sql.Encoder[(Array[Long], Map[String, Long], Long)] =
       org.apache.spark.sql.Encoders.kryo[(Array[Long], Map[String, Long], Long)]
-    def buckets(term: String): Array[Int] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+    def buckets(term: String): Array[Int] =
+      // the shared md5Hex kernel: first 8 hex chars per lane, mod
+      // width — bit-identical to SketchOps.cmBucket
       (0 until lanes).map { lane =>
-        val d = md.digest(s"$lane:$term".getBytes("UTF-8")); md.reset()
-        val hex = d.take(4).map("%02x".format(_)).mkString
-        (java.lang.Long.parseLong(hex, 16) % width).toInt
+        (java.lang.Long.parseLong(md5Hex(s"$lane:$term").substring(0, 8), 16)
+          % width).toInt
       }.toArray
-    }
     terms.groupByKey(_._1)
       .flatMapGroupsWithState[(Array[Long], Map[String, Long], Long), (String, Long, String, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -834,13 +861,19 @@ object StreamingPipelines {
          state: GroupState[(Array[Long], Map[String, Long], Long)]) =>
           val (counts, cand0, trig0) = state.getOption
             .getOrElse((new Array[Long](lanes * width), Map.empty[String, Long], 0L))
-          val fresh = scala.collection.mutable.Set.empty[String]
+          // fold occurrences per DISTINCT term first: 4 digests per
+          // term, not per occurrence (a hot trigger has far more
+          // occurrences than terms)
+          val freq = scala.collection.mutable.Map.empty[String, Long]
           rows.foreach { case (_, term) =>
+            freq(term) = freq.getOrElse(term, 0L) + 1L
+          }
+          freq.foreach { case (term, c) =>
             val bs = buckets(term)
             var l = 0
-            while (l < lanes) { counts(l * width + bs(l)) += 1L; l += 1 }
-            fresh += term
+            while (l < lanes) { counts(l * width + bs(l)) += c; l += 1 }
           }
+          val fresh = freq.keySet
           def est(term: String): Long = {
             val bs = buckets(term)
             (0 until lanes).map(l => counts(l * width + bs(l))).min
@@ -852,9 +885,11 @@ object StreamingPipelines {
           val kept = scored.take(2 * k)
           val trig = trig0 + 1L
           state.update((counts, kept.toMap, trig))
-          // trigger sequence rides the output so a consumer can
-          // select the LATEST snapshot (earlier triggers' estimates
-          // are stale by construction — counts only grow)
+          // the PER-KEY trigger sequence rides the output so a
+          // consumer selects each key's latest snapshot (max trig
+          // PER KEY — a global max would drop keys idle in the last
+          // trigger); earlier snapshots are stale by construction,
+          // counts only grow
           kept.take(k).iterator.map { case (t, c) => (key, trig, t, c) }
       }
   }

@@ -1181,6 +1181,19 @@ class StreamingPipelineSpec extends AnyFunSuite {
       val got = spark.sql("SELECT _1, _2, _3 FROM bp_out").collect()
         .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
       assert(got.length == 1 && got.head._1 == "a" && got.head._3 == 2, got.toSeq)
+      // a SPACEY source name survives the composite key round-trip
+      // (the hash carries no spaces — last-space split), and the
+      // [""]-tokenizing empty-doc edge flags exactly like the batch
+      // census keeps it
+      ms.addData(Seq((10L, "common crawl", "c1 c2 c3 c4"),
+        (11L, "common crawl", "c1 c2 c3 c4"),
+        (12L, "e", ""), (13L, "e", "   ")))
+      q.processAllAvailable()
+      val got2 = spark.sql("SELECT _1, _2, _3 FROM bp_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(got2.exists(r => r._1 == "common crawl" && r._3 == 2), got2)
+      // both empty-ish docs tokenize to [""] → same md5("") segment
+      assert(got2.exists(r => r._1 == "e" && r._3 == 2), got2)
       // convergence: the flagged (source, hash) set equals the batch
       // census over the union
       val batchDocs = Seq((1L, "a", s"$header u1 u2 u3 u4"),
@@ -1209,11 +1222,14 @@ class StreamingPipelineSpec extends AnyFunSuite {
       val (b1, b2) = toks.splitAt(toks.length / 2)
       ms.addData(b1.toSeq); q.processAllAvailable()
       ms.addData(b2.toSeq); q.processAllAvailable()
-      // the LATEST trigger's snapshot (earlier estimates are stale
-      // by construction — counts only grow)
+      // each key's LATEST snapshot — max trig PER KEY, the documented
+      // consumer pattern (a global max would drop keys idle in the
+      // final trigger)
       val got = spark.sql(
-        """SELECT _3 AS term, _4 AS est FROM hh_out
-          |WHERE _2 = (SELECT MAX(_2) FROM hh_out)""".stripMargin)
+        """SELECT term, est FROM (
+          |  SELECT _1 AS k, _2 AS t, _3 AS term, _4 AS est,
+          |    MAX(_2) OVER (PARTITION BY _1) AS mt FROM hh_out)
+          |WHERE t = mt""".stripMargin)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got.nonEmpty)
       // kernel parity: every batch-query top-20 term the tracker
