@@ -361,6 +361,29 @@ object DataPipelineQueries {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // Near-dup cluster PURITY: does duplication stay inside one
+    // source or span several (the near-dup refinement of the
+    // exact-hash q_dedup_cross_source census — templated spam and
+    // mirrored articles cross sources at the NEAR-dup level long
+    // before byte-identical copies do)? Per cluster-size bucket:
+    // cluster count and how many clusters span 2+ sources. Two
+    // bounded aggregates over components, never documents².
+    "q_dedup_cluster_purity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"),
+        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val comp = DedupOps.connectedComponents(pairs)
+        .join(d.select(col("doc_id").as("id"), col("source")), "id")
+      comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("source")).as("n_sources"))
+        .groupBy(col("n_members"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("n_sources") >= 2, 1L).otherwise(0L))
+            .as("n_cross_source"))
+    }),
+
     // What dedup DID to the mixture: per-source before/after the CC
     // keep-rule (docs, char mass, and the corpus mixture share each
     // side) — the report a curation run files before anyone trains on
@@ -2310,6 +2333,33 @@ object DataPipelineQueries {
         |SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | COUNT(DISTINCT lang) AS n_langs
         |FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+
+    // the CC closure with per-component distinct-source counts
+    "q_dedup_cluster_purity" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        | SELECT s AS id, d AS r FROM edges
+        | UNION
+        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        |cl AS (SELECT c.component, COUNT(*) AS n_members,
+        |        CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+        |       FROM comp c JOIN documents d ON c.id = d.doc_id
+        |       GROUP BY c.component)
+        |SELECT n_members, COUNT(*) AS n_clusters,
+        | CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source
+        |FROM cl GROUP BY n_members""".stripMargin,
 
     // the q_dedup_apply CC closure, rolled per source with mixture
     // shares (identical division expression trees both engines)
