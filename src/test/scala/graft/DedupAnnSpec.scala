@@ -863,6 +863,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((1L, 2L))), got)
   }
 
+  test("cluster purity: a cross-source near-dup cluster counts once; same-source clusters stay pure") {
+    import spark.implicits._
+    // cluster 1 spans sources a+b (near-identical text); cluster 2
+    // lives inside source a; doc 50 is a singleton (no cluster row)
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val dir = java.nio.file.Files.createTempDirectory("purity").toString
+    Seq(
+      (1L, "a", s"$base x"), (2L, "b", s"$base y"),
+      (10L, "a", s"p1 p2 p3 p4 p5 p6 p7 p8 q"), (11L, "a", s"p1 p2 p3 p4 p5 p6 p7 p8 r"),
+      (50L, "c", "alone here entirely different text")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_cluster_purity")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_cross_source"))).toMap
+    // two 2-member clusters, exactly one of them cross-source
+    assert(got == Map(2L -> ((2L, 1L))), got)
+  }
+
   test("vocab drift: a single-source corpus measures EXACTLY zero TV distance") {
     import spark.implicits._
     // with one source, p_s == p word-for-word, so both the joined
