@@ -16,6 +16,16 @@ object DataPipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
+  /** The shared near-dup pair graph (3-gram shingles, exact Jaccard
+    * >= 0.5 over banding-free posting lists) — the ONE Spark-side
+    * twin of [[CcClosureSql]]; every dedup query derives its pairs
+    * here so the near-dup definition cannot drift between siblings. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"),
+      DedupOps.shinglesOfText(col("text"), 3).as("shs"))
+    DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+  }
+
   /** Shared winnowing selection (q_winnowing / q_winnow_pairs): one
     * row per (doc, distinct selected hash) with the doc's gram count.
     * The packed key c = h*POSCAP + (POSCAP-1-pos) makes min(c) over
@@ -133,6 +143,31 @@ object DataPipelineQueries {
   private val HtmlSuffix =
     "</p><div>Share on social media</div>" +
       "<footer>Copyright 2024 Example Corp</footer></body></html>"
+
+  /** The shared near-dup CC closure EVERY dedup oracle opens with
+    * (shingle pair graph at threshold 0.5, recursive reach,
+    * min-label components). ONE copy: a change to the near-dup
+    * definition (shingle n, threshold, closure shape) lands in all
+    * seven consumers at once instead of silently desynchronizing
+    * one oracle from its siblings. */
+  private val CcClosureSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        | SELECT s AS id, d AS r FROM edges
+        | UNION
+        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // exact dedup: content hash, keep the smallest doc_id per cluster
@@ -343,9 +378,7 @@ object DataPipelineQueries {
 
     // exact word-3-gram Jaccard near-dup pairs (sql-oracled)
     "q_ngram_jaccard" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      nearDupPairs(s, dir)
     }),
 
     // end-to-end dedup application: exact-jaccard pairs -> connected
@@ -353,8 +386,7 @@ object DataPipelineQueries {
     // greedy single-join variant stays available as DedupOps.applyDedup)
     "q_dedup_apply" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sh = d.select(col("doc_id"), DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val pairs = nearDupPairs(s, dir)
       DedupOps.applyDedupCC(d, "doc_id", pairs)
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("total_chars"),
@@ -370,9 +402,7 @@ object DataPipelineQueries {
     // bounded aggregates over components, never documents².
     "q_dedup_cluster_purity" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sh = d.select(col("doc_id"),
-        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val pairs = nearDupPairs(s, dir)
       val comp = DedupOps.connectedComponents(pairs)
         .join(d.select(col("doc_id").as("id"), col("source")), "id")
       comp.groupBy(col("component"))
@@ -394,9 +424,7 @@ object DataPipelineQueries {
     // unhinted — stats broadcast them).
     "q_dedup_impact" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sh = d.select(col("doc_id"),
-        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val pairs = nearDupPairs(s, dir)
       val keptDocs = DedupOps.applyDedupCC(d, "doc_id", pairs)
       val after = keptDocs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_after"), sum(col("n_chars")).as("chars_after"))
@@ -419,9 +447,7 @@ object DataPipelineQueries {
     // connected components over the near-dup pair graph: per-cluster
     // membership stats (component = min doc_id reachable)
     "q_dedup_cc" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val pairs = nearDupPairs(s, dir)
       DedupOps.connectedComponents(pairs)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
@@ -1197,9 +1223,7 @@ object DataPipelineQueries {
     // aggregate over the membership, integer-only comparisons
     "q_dedup_representative" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sh = d.select(col("doc_id"),
-        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val pairs = nearDupPairs(s, dir)
       DedupOps.connectedComponents(pairs)
         .join(d.select(col("doc_id").as("id"), col("n_chars")), "id")
         .groupBy(col("component"))
@@ -1219,9 +1243,7 @@ object DataPipelineQueries {
     // One min-struct aggregate; integer-only comparisons.
     "q_dedup_priority" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sh = d.select(col("doc_id"),
-        DedupOps.shinglesOfText(col("text"), 3).as("shs"))
-      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", threshold = 0.5)
+      val pairs = nearDupPairs(s, dir)
       DedupOps.connectedComponents(pairs)
         .join(d.select(col("doc_id").as("id"),
           // source rank = the numeric suffix (src0 ranks best);
@@ -2313,75 +2335,27 @@ object DataPipelineQueries {
         |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5""".stripMargin,
 
     "q_dedup_apply" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
-        |   ELSE [] END AS shs FROM w),
-        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id
-        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        | SELECT s AS id, d AS r FROM edges
-        | UNION
-        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
-        |SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      (CcClosureSql + "\n" +
+      """SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | COUNT(DISTINCT lang) AS n_langs
-        |FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin),
 
     // the CC closure with per-component distinct-source counts
     "q_dedup_cluster_purity" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
-        |   ELSE [] END AS shs FROM w),
-        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id
-        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        | SELECT s AS id, d AS r FROM edges
-        | UNION
-        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
-        |cl AS (SELECT c.component, COUNT(*) AS n_members,
+      (CcClosureSql + ",\n" +
+      """cl AS (SELECT c.component, COUNT(*) AS n_members,
         |        CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
         |       FROM comp c JOIN documents d ON c.id = d.doc_id
         |       GROUP BY c.component)
         |SELECT n_members, COUNT(*) AS n_clusters,
         | CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source
-        |FROM cl GROUP BY n_members""".stripMargin,
+        |FROM cl GROUP BY n_members""".stripMargin),
 
     // the q_dedup_apply CC closure, rolled per source with mixture
     // shares (identical division expression trees both engines)
     "q_dedup_impact" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
-        |   ELSE [] END AS shs FROM w),
-        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id
-        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        | SELECT s AS id, d AS r FROM edges
-        | UNION
-        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
-        |kept AS (SELECT * FROM documents
+      (CcClosureSql + ",\n" +
+      """kept AS (SELECT * FROM documents
         |         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
         |b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars_before
@@ -2395,28 +2369,12 @@ object DataPipelineQueries {
         | chars_before, COALESCE(chars_after, 0) AS chars_after,
         | CAST(chars_before AS DOUBLE) / CAST(tb AS DOUBLE) AS mix_before,
         | CAST(COALESCE(chars_after, 0) AS DOUBLE) / CAST(ta AS DOUBLE) AS mix_after
-        |FROM b LEFT JOIN a ON b.source = a.source CROSS JOIN tb CROSS JOIN ta""".stripMargin,
+        |FROM b LEFT JOIN a ON b.source = a.source CROSS JOIN tb CROSS JOIN ta""".stripMargin),
 
     "q_dedup_cc" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
-        |   ELSE [] END AS shs FROM w),
-        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id
-        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        | SELECT s AS id, d AS r FROM edges
-        | UNION
-        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
-        |SELECT component, COUNT(*) AS n_members, MAX(id) AS max_id
-        |FROM comp GROUP BY component""".stripMargin,
+      (CcClosureSql + "\n" +
+      """SELECT component, COUNT(*) AS n_members, MAX(id) AS max_id
+        |FROM comp GROUP BY component""".stripMargin),
 
     "q_ann_range" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -3106,24 +3064,8 @@ object DataPipelineQueries {
     // the q_dedup_cc component CTE + per-cluster representative
     // (largest doc, smallest id) — integer-only comparisons
     "q_dedup_representative" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
-        |   ELSE [] END AS shs FROM w),
-        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id
-        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        | SELECT s AS id, d AS r FROM edges
-        | UNION
-        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
-        |m AS (SELECT c.component, c.id, d.n_chars
+      (CcClosureSql + ",\n" +
+      """m AS (SELECT c.component, c.id, d.n_chars
         |      FROM comp c JOIN documents d ON d.doc_id = c.id),
         |sel AS (SELECT component, id, n_chars,
         |  ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rn,
@@ -3131,29 +3073,13 @@ object DataPipelineQueries {
         | FROM m)
         |SELECT component, CAST(nm AS BIGINT) AS n_members,
         | CAST(id AS BIGINT) AS rep_id, CAST(n_chars AS BIGINT) AS rep_chars
-        |FROM sel WHERE rn = 1""".stripMargin,
+        |FROM sel WHERE rn = 1""".stripMargin),
 
     // the representative oracle's CC chain with the priority keep
     // rule: min (source rank, id) per component
     "q_dedup_priority" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
-        |   ELSE [] END AS shs FROM w),
-        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id
-        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        | SELECT s AS id, d AS r FROM edges
-        | UNION
-        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
-        |m AS (SELECT c.component, c.id,
+      (CcClosureSql + ",\n" +
+      """m AS (SELECT c.component, c.id,
         |       CAST(substr(d.source, 4, 8) AS BIGINT) AS prio
         |      FROM comp c JOIN documents d ON d.doc_id = c.id),
         |sel AS (SELECT component, id, prio,
@@ -3162,7 +3088,7 @@ object DataPipelineQueries {
         | FROM m)
         |SELECT component, CAST(nm AS BIGINT) AS n_members,
         | CAST(id AS BIGINT) AS keep_id, prio AS keep_prio
-        |FROM sel WHERE rn = 1""".stripMargin,
+        |FROM sel WHERE rn = 1""".stripMargin),
 
     // within-label pairwise cosine to smaller-id members — the exact
     // left-fold kernel the q_dedup_embed oracle already pins
@@ -3568,29 +3494,13 @@ object DataPipelineQueries {
     // the q_dedup_cc recursive-CTE closure, rolled into a
     // cluster-size histogram with doc / removable mass
     "q_dedup_clusters" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
-        |   ELSE [] END AS shs FROM w),
-        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id
-        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        | SELECT s AS id, d AS r FROM edges
-        | UNION
-        | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
-        |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+      (CcClosureSql + ",\n" +
+      """sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
         | FROM comp GROUP BY component)
         |SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters,
         | CAST(n_members * COUNT(*) AS BIGINT) AS n_docs,
         | CAST((n_members - 1) * COUNT(*) AS BIGINT) AS n_removable
-        |FROM sizes GROUP BY n_members""".stripMargin,
+        |FROM sizes GROUP BY n_members""".stripMargin),
 
     // the q_decontaminate verdict rolled up per source, with
     // per-source train totals and the contamination share
