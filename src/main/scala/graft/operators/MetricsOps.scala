@@ -193,6 +193,15 @@ object MetricsOps {
                         cnt: Column, qs: Seq[Double],
                         bounds: Seq[Double]): DataFrame = {
     require(bounds.nonEmpty, "explicit bounds must be non-empty")
+    // bucket 0's lower edge is pinned at 0.0 (and so is the SQL
+    // twin's) — with a negative first bound the interpolation could
+    // exceed the bucket's upper edge, where promql instead returns
+    // the upper bound when the uppermost relevant bound is <= 0.
+    // Refuse loudly rather than diverge silently.
+    require(bounds.head >= 0,
+      s"explicitQuantiles: first bound ${bounds.head} < 0 — bucket 0 " +
+        "interpolates from a 0.0 lower edge; negative-bound histograms " +
+        "are not supported (promql clamps to the upper bound there)")
     val wOrd = Window.partitionBy(seriesKeys: _*).orderBy(col("_k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(seriesKeys: _*)

@@ -208,7 +208,8 @@ object ScaleOps {
     * each group's sort spreads over #buckets tasks — and the group
     * total rides the same collected map as `cntCol`.
     *
-    * Requirements: `groupCol` non-null (null groups get null rank);
+    * Null-group rows pass through with null rank/size (segregated
+    * before the driver collect — never a null map key). Requirements:
     * (groupCol, orderCol, tieCol) unique per row — pass a row-unique
     * tieCol, the prefixSumRanged convention. Rank semantics =
     * ROW_NUMBER() OVER (PARTITION BY group ORDER BY orderCol, tieCol):
@@ -218,18 +219,27 @@ object ScaleOps {
   def groupedRankRanged(df: DataFrame, groupCol: Column, orderCol: Column,
                         tieCol: Column, rankCol: String, cntCol: String,
                         partitions: Int = 0): DataFrame = {
+    // null groups get null rank/size — SEGREGATED before the collect
+    // so a null key never reaches the driver-side offset/total maps
+    // (a null key embedded via typedLit into a Catalyst map literal
+    // fails at plan/eval time rather than yielding a null rank)
+    val nullGroups = df.filter(groupCol.isNull)
+      .withColumn(rankCol, lit(null).cast("long"))
+      .withColumn(cntCol, lit(null).cast("long"))
+    val dfNn = df.filter(groupCol.isNotNull)
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val qs = (1 until n).map(_.toDouble / n)
-    val cutRow = df.select(
+    val cutRow = dfNn.select(
       percentile_approx(orderCol, typedLit(qs), lit(10000)).as("c")).head()
     val cuts: Seq[Any] =
-      if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Any](0).distinct
+      if (cutRow == null || cutRow.isNullAt(0)) Seq.empty
+      else cutRow.getSeq[Any](0).distinct
     def bucketOf(c: Column): Column =
       cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
     val g = groupCol.cast("string")
-    val bucketed = df.withColumn("_bk", bucketOf(orderCol))
+    val bucketed = dfNn.withColumn("_bk", bucketOf(orderCol))
     val counted = bucketed.groupBy(g.as("_g"), col("_bk"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -255,6 +265,7 @@ object ScaleOps {
           element_at(element_at(typedLit(offsets), g), col("_bk")))
       .withColumn(cntCol, element_at(typedLit(totals), g))
       .drop("_bk")
+      .unionByName(nullGroups)
   }
 
   /** Systematic (low-variance) weighted resampling — the resample

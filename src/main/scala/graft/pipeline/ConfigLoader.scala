@@ -31,7 +31,9 @@ object ConfigLoader {
     *    scheme (confmap/provider/envprovider); unset with no default
     *    is a loud config error.
     *  - `${VAR}` — scheme-less braces resolve as env too (the
-    *    resolver's default scheme); unset is a loud error.
+    *    resolver's default scheme); unset is a loud error. The
+    *    default form `${VAR:-x}` is NOT valid scheme-less — it is
+    *    rejected loudly naming `${env:VAR:-x}`, never left verbatim.
     *  - `$VAR` — the LEGACY expandconverter form
     *    (confmap/converter/expandconverter, deprecated upstream but
     *    still in the reference's DEFAULT converter set,
@@ -50,6 +52,7 @@ object ConfigLoader {
                 legacyBare: Boolean = FeatureGate.ExpandLegacy.isEnabled): String =
     ("(\\$\\$)" +
       "|\\$\\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\\}" +
+      "|\\$\\{([A-Za-z_][A-Za-z0-9_]*):-[^}]*\\}" +
       "|\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}" +
       "|\\$([A-Za-z_][A-Za-z0-9_]*)").r
       .replaceAllIn(json, m => scala.util.matching.Regex.quoteReplacement(
@@ -59,9 +62,18 @@ object ConfigLoader {
             throw new IllegalArgumentException(
               s"env var ${m.group(2)} is unset and has no default"))
         else if (m.group(4) != null)
-          env(m.group(4)).getOrElse(throw new IllegalArgumentException(
-            s"env var ${m.group(4)} is unset (braced expansion has no default form)"))
-        else if (legacyBare) env(m.group(5)).getOrElse(m.matched)
+          // a scheme-less braced form with a default is a plausible
+          // typo for the supported ${env:VAR:-default}; left verbatim
+          // it would silently ship the literal text into the parsed
+          // document — refuse with the form the user meant
+          throw new IllegalArgumentException(
+            s"$${${m.group(4)}:-...} is not a supported expansion — " +
+              s"scheme-less braces take no default; write " +
+              s"$${env:${m.group(4)}:-default}")
+        else if (m.group(5) != null)
+          env(m.group(5)).getOrElse(throw new IllegalArgumentException(
+            s"env var ${m.group(5)} is unset (braced expansion has no default form)"))
+        else if (legacyBare) env(m.group(6)).getOrElse(m.matched)
         else m.matched))
 
   def fromJson(json: String,

@@ -341,22 +341,7 @@ object ArrowGrpc {
             case H2.RST_STREAM => streams.remove(f.streamId)
             case H2.HEADERS | H2.CONTINUATION =>
               val st = streams.getOrElseUpdate(f.streamId, new StreamState)
-              // RFC 7540 §6.2 field order: [pad length?][priority?]
-              // [header block][padding]. PADDED (0x8) and PRIORITY
-              // (0x20) may be set TOGETHER — strip the pad-length
-              // byte first, then the 5-byte priority field, then the
-              // trailing padding; handling the flags only one-at-a-
-              // time would leave priority/pad bytes inside the HPACK
-              // block and corrupt the connection's shared decoder
-              val payload =
-                if (f.tpe == H2.HEADERS) {
-                  var off = 0
-                  var end = f.payload.length
-                  if ((f.flags & 0x8) != 0) { end -= f.payload(0) & 0xFF; off = 1 }
-                  if ((f.flags & 0x20) != 0) off += 5
-                  java.util.Arrays.copyOfRange(f.payload, off, end)
-                } else f.payload
-              st.headerBlock.write(payload)
+              st.headerBlock.write(H2.headerFields(f.tpe, f.flags, f.payload))
               if ((f.flags & H2.FlagEndHeaders) != 0) {
                 st.headers = st.headers ++
                   decoder.decode(st.headerBlock.toByteArray).toMap
@@ -763,7 +748,10 @@ object ArrowGrpc {
         // (CONTINUATION has no such flag), so latch it there.
         if (f.tpe == H2.HEADERS)
           headerEndStream = (f.flags & H2.FlagEndStream) != 0
-        headerBlock.write(f.payload)
+        // a conformant server may pad response headers/trailers —
+        // strip PADDED/PRIORITY fields before buffering, same as
+        // both server decoders, or the client HPACK state corrupts
+        headerBlock.write(H2.headerFields(f.tpe, f.flags, f.payload))
         if ((f.flags & H2.FlagEndHeaders) != 0) {
           val hs = decoder.decode(headerBlock.toByteArray).toMap
           headerBlock.reset()

@@ -93,6 +93,25 @@ object GrpcOtlp {
           ((head(7) & 0xFF) << 8) | (head(8) & 0xFF), payload)
     }
 
+    /** The HPACK-bearing slice of a HEADERS/CONTINUATION payload.
+      * RFC 7540 §6.2 field order: [pad length?][priority?]
+      * [header block][padding]. PADDED (0x8) and PRIORITY (0x20) may
+      * be set together and ONLY on HEADERS (CONTINUATION carries the
+      * bare block) — strip the pad-length byte first, then the 5-byte
+      * priority field, then the trailing padding. Every HPACK buffer
+      * (both servers AND the exporter client) must go through this:
+      * a peer that pads would otherwise corrupt the connection's
+      * shared decoder state. */
+    def headerFields(tpe: Int, flags: Int, payload: Array[Byte]): Array[Byte] =
+      if (tpe != HEADERS) payload
+      else {
+        var off = 0
+        var end = payload.length
+        if ((flags & 0x8) != 0) { end -= payload(0) & 0xFF; off = 1 }
+        if ((flags & 0x20) != 0) off += 5
+        java.util.Arrays.copyOfRange(payload, off, end)
+      }
+
     /** SETTINGS payload: INITIAL_WINDOW_SIZE(0x4)=1 GiB so unary
       * exchanges never hit stream flow control on this loopback pair */
     def settingsPayload(): Array[Byte] = {
@@ -553,19 +572,7 @@ object GrpcOtlp {
             case H2.RST_STREAM => streams.remove(f.streamId)
             case H2.HEADERS | H2.CONTINUATION =>
               val sb = streams.getOrElseUpdate(f.streamId, new StreamBuf)
-              // RFC 7540 §6.2 field order: [pad length?][priority?]
-              // [header block][padding] — PADDED (0x8) and PRIORITY
-              // (0x20) may be set together; strip pad-length first,
-              // then the 5-byte priority field, then trailing padding
-              val payload =
-                if (f.tpe == H2.HEADERS) {
-                  var off = 0
-                  var end = f.payload.length
-                  if ((f.flags & 0x8) != 0) { end -= f.payload(0) & 0xFF; off = 1 }
-                  if ((f.flags & 0x20) != 0) off += 5
-                  java.util.Arrays.copyOfRange(f.payload, off, end)
-                } else f.payload
-              sb.headerBlock.write(payload)
+              sb.headerBlock.write(H2.headerFields(f.tpe, f.flags, f.payload))
               if ((f.flags & H2.FlagEndHeaders) != 0) {
                 sb.headers = sb.headers ++
                   decoder.decode(sb.headerBlock.toByteArray).toMap

@@ -1061,6 +1061,63 @@ class ArrowGrpcSpec extends AnyFunSuite {
     } finally { t.join(3000); server.close() }
   }
 
+  test("server-padded response trailers (PADDED+PRIORITY) decode on the CLIENT — exporter HPACK state survives a padding server") {
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        GrpcOtlp.H2.handshakeServer(in, out)
+        var opened = false
+        while (!opened) {
+          val f = GrpcOtlp.H2.read(in)
+          require(f != null)
+          if (f.tpe == GrpcOtlp.H2.SETTINGS &&
+              (f.flags & GrpcOtlp.H2.FlagAck) == 0) {
+            GrpcOtlp.H2.write(out, GrpcOtlp.H2.SETTINGS,
+              GrpcOtlp.H2.FlagAck, 0, Array.empty)
+            out.flush()
+          } else if (f.tpe == GrpcOtlp.H2.HEADERS &&
+              (f.flags & GrpcOtlp.H2.FlagEndHeaders) != 0) opened = true
+        }
+        // trailers-only UNIMPLEMENTED, PADDED (0x8) + PRIORITY (0x20)
+        // set together: [padLen=4][5B priority][block][4 pad bytes].
+        // A conformant server MAY pad — an unstripped client would
+        // feed pad/priority bytes into its HPACK decoder and corrupt
+        val block = GrpcOtlp.Hpack.encode(Seq(":status" -> "200",
+          "content-type" -> "application/grpc",
+          "grpc-status" -> "12", "grpc-message" -> "no arrow here"))
+        val payload = new java.io.ByteArrayOutputStream()
+        payload.write(4)
+        payload.write(Array[Byte](0, 0, 0, 0, 16), 0, 5)
+        payload.write(block)
+        payload.write(Array[Byte](0, 0, 0, 0), 0, 4)
+        GrpcOtlp.H2.write(out, GrpcOtlp.H2.HEADERS,
+          GrpcOtlp.H2.FlagEndStream | GrpcOtlp.H2.FlagEndHeaders | 0x8 | 0x20,
+          1, payload.toByteArray)
+        out.flush()
+        Thread.sleep(1000) // let the client read before EOF
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    t.start()
+    try {
+      import spark.implicits._
+      val df = Seq("a", "b").toDF("body")
+      val exp = new ArrowGrpcStreamExporter("localhost", server.getLocalPort,
+        "logs", numStreams = 1)
+      val e = intercept[graft.pipeline.Pipeline.PermanentExportException] {
+        exp.export(df)
+      }
+      assert(e.getMessage.contains("arrow not supported"), e.getMessage)
+      assert(exp.isDowngraded,
+        "padded trailers did not decode to UNIMPLEMENTED — client HPACK corrupted")
+      exp.shutdown()
+    } finally { t.join(3000); server.close() }
+  }
+
   test("shutdown waits for an in-flight send and closes its stream with a graceful EOS (no leaked socket)") {
     val server = new java.net.ServerSocket(0, 2,
       java.net.InetAddress.getLoopbackAddress)

@@ -192,6 +192,17 @@ class ConfigMergeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ConfigLoader.expandEnv("${MISSING}", env)
     }
+    // the plausible typo ${VAR:-default} (scheme-less braces with a
+    // default) is REJECTED naming the supported ${env:VAR:-default}
+    // form — never shipped verbatim into the parsed document, and
+    // rejected whether the variable is set or not (the form itself
+    // is invalid, not merely unresolvable)
+    for (doc <- Seq("${MISSING:-fallback}", "${IN:-fallback}")) {
+      val e = intercept[IllegalArgumentException] {
+        ConfigLoader.expandEnv(doc, env)
+      }
+      assert(e.getMessage.contains("${env:"), e.getMessage)
+    }
     // unset BARE form is left verbatim (documented deviation from
     // os.ExpandEnv's empty-on-unset: silent deletion corrupts dollar
     // text that was never a variable — why upstream deprecated it)

@@ -342,6 +342,14 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(got.getAs[Double]("q25") == 10.0)
     assert(got.getAs[Double]("q50") == 20.0)
     assert(got.getAs[Double]("q99") == 30.0)
+    // a NEGATIVE first bound would interpolate bucket 0 from the
+    // hard-coded 0.0 lower edge past its own upper edge (promql
+    // clamps there instead) — refused loudly, never diverges silently
+    val neg = intercept[IllegalArgumentException] {
+      MetricsOps.explicitQuantiles(b, Seq(col("series")), col("k"),
+        col("cnt"), Seq(0.5), Seq(-10.0, 20.0, 30.0))
+    }
+    assert(neg.getMessage.contains("negative-bound"))
   }
 
   test("q_anomaly_mad at MAD=0: constant series flags nothing; a lone spike over a constant base flags exactly once") {

@@ -540,6 +540,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     // single row per group
     val one = Seq((1L, "a", 3L), (2L, "b", 9L)).toDF("event_id", "event_type", "v")
     assert(ranked(one) == Map(1L -> (1L, 1L), 2L -> (1L, 1L)))
+    // NULL group rows pass through with null rank/size and never
+    // reach the driver maps (a null key in a typedLit map literal
+    // would fail at plan time, not yield a null rank) — non-null
+    // groups rank exactly as if the null rows were absent
+    val withNulls = Seq((1L, Some("a"), 3L), (2L, Some("a"), 9L),
+      (3L, None, 5L), (4L, None, 7L))
+      .toDF("event_id", "event_type", "v")
+    val nr = ScaleOps.groupedRankRanged(withNulls, col("event_type"),
+        col("v"), col("event_id"), "rk", "n")
+      .select(col("event_id"), col("rk"), col("n")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(nr == Map(
+      1L -> (Some(1L), Some(2L)), 2L -> (Some(2L), Some(2L)),
+      3L -> (None, None), 4L -> (None, None)))
   }
 
   test("rangeJoinBucketized equals the naive BETWEEN join and never plans a nested loop") {
