@@ -166,10 +166,24 @@ object Processors {
     * with [[requireMetadataCardinality]] for the limit semantics.
     */
   def assignBatchesByKey(df: DataFrame, keys: Seq[String], orderCol: Column,
-                         batchSize: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
-    df.withColumn("batch_id",
-      floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+                         batchSize: Int): DataFrame =
+    rankedBatchIds(df, keys.map(col), orderCol, batchSize)
+
+  /** batch_id = (per-group ROW_NUMBER − 1) DIV batchSize, with the
+    * per-group rank computed by [[ScaleOps.groupedRankRanged]] — a
+    * window keyed on the BARE group key is ≤ #groups tasks, each
+    * sort-ranking a 1/#groups slice of the corpus (the PlanSpec
+    * low-cardinality ban; batcher keys — event_type, metadata combos
+    * — are low-card by construction). `orderCol` must be row-unique
+    * within each group (the rank's tie-breaker). */
+  private def rankedBatchIds(df: DataFrame, groupCols: Seq[Column],
+                             orderCol: Column, batchSize: Int): DataFrame = {
+    val keyed = df.withColumn("_bkey",
+      concat_ws("\u0001", groupCols.map(_.cast("string")): _*))
+    ScaleOps.groupedRankRanged(keyed, col("_bkey"), orderCol, orderCol,
+        "_rk", "_bcnt")
+      .withColumn("batch_id", expr(s"(_rk - 1) DIV $batchSize"))
+      .drop("_bkey", "_rk", "_bcnt")
   }
 
   /** Batch timeout in batch mode: the reference batcher flushes on
@@ -214,9 +228,7 @@ object Processors {
       require(n <= cardinalityLimit,
         s"too many batcher metadata-value combinations (> $cardinalityLimit)")
     }
-    val w = Window.partitionBy(idCols: _*).orderBy(orderCol)
-    out.withColumn("batch_id",
-      floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+    rankedBatchIds(out, idCols, orderCol, batchSize)
   }
 
   /** metadataCardinalityLimit analog: the reference refuses data once

@@ -160,20 +160,95 @@ class PlanSpec extends AnyFunSuite {
     // (ScaleOps.groupedRankRanged / prefixSumRanged — percentile-cut
     // sub-buckets + driver offsets), which keys its window on
     // (group, bucket) and so passes here.
-    val lowCard = Set("source", "domain", "lang", "label")
+    // r11 verdict #4 extension: series keys (event_type/metric/
+    // label_key) join the declared set — they are just as low-card —
+    // BUT a window over a TIME-BUCKETED Aggregate is exempt: its
+    // input is series × calendar buckets (bounded by the time range,
+    // not the SF), the legitimate shape of every delta/reset/rate
+    // metric op. The exemption is mechanical: some aggregate below
+    // the window must group by a declared time-bucket column.
+    val lowCard = Set("source", "domain", "lang", "label",
+      "event_type", "metric", "label_key")
+    // Detection is STRUCTURAL, not name-based (the optimizer aliases
+    // grouping expressions to `_groupingexpression#N`): exempt iff an
+    // aggregate below the window groups by ALL the window's partition
+    // keys PLUS at least one extra dimension, and every extra
+    // dimension is BOUNDED — time-derived (named like a time bucket,
+    // or defined by a Project alias referencing a declared time
+    // column: calendar-bounded) or a CASE whose every result is a
+    // literal (a fixed bucket table: domain bounded by construction —
+    // the histogram-quantile rank walks). (event_type, user_id)
+    // grouping does NOT slip through: user_id is neither.
+    val timeSource = Set("ts", "ts_ns", "time", "timestamp", "date",
+      "bucket", "hour", "minute", "day", "window",
+      "ts_min", "ts_hour", "epoch_min", "epoch_hour")
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Expression, Literal}
+    def literalDomain(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case c: CaseWhen =>
+        c.branches.forall(b => literalDomain(b._2)) &&
+          c.elseValue.forall(literalDomain)
+      case _ => false
+    }
+    // third exempt shape: a rank-limit pushdown below the window
+    // (row_number ≤ k filters plan a PARTIAL WindowGroupLimit on the
+    // map side — the window's input is ≤ k rows per key per map
+    // partition, never the corpus)
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    def groupLimitBelow(w: WindowExec): Boolean =
+      w.child.collect { case g: WindowGroupLimitExec => g }.nonEmpty
+    def boundedKeyAggBelow(w: WindowExec): Boolean = {
+      val partIds = w.partitionSpec.flatMap(_.references).map(_.exprId).toSet
+      w.child.collect {
+        case a: BaseAggregateExec =>
+          val gAttrs = a.groupingExpressions.map(_.toAttribute)
+          val extra = gAttrs.filterNot(at => partIds(at.exprId))
+          partIds.subsetOf(gAttrs.map(_.exprId).toSet) && extra.nonEmpty &&
+            extra.forall { at =>
+              timeSource(at.name.toLowerCase) ||
+                a.collect {
+                  case p: ProjectExec => p.projectList.exists {
+                    case al: Alias => al.exprId == at.exprId &&
+                      (al.references.exists(r => timeSource(r.name.toLowerCase)) ||
+                        literalDomain(al.child))
+                    case _ => false
+                  }
+                }.exists(identity)
+            }
+      }.exists(identity)
+    }
+    def timeBucketedAggBelow(w: WindowExec): Boolean =
+      boundedKeyAggBelow(w) || groupLimitBelow(w)
     def violations(p: SparkPlan): Seq[WindowExec] = p.collect {
       case w: WindowExec if w.partitionSpec.nonEmpty &&
-        w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) => w
+        w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) &&
+        !timeBucketedAggBelow(w) => w
     }
+    def exempted(p: SparkPlan): Int = p.collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) &&
+        timeBucketedAggBelow(w) => w
+    }.size
     var windowsSeen = 0
+    var exemptSeen = 0
     for ((name, q) <- SparkEntry.queries) {
       val plan = q(spark, sf).queryExecution.sparkPlan
       windowsSeen += plan.collect { case w: WindowExec => w }.size
+      exemptSeen += exempted(plan)
       val bad = violations(plan)
       assert(bad.isEmpty,
         s"$name: WindowExec keyed solely on a declared low-cardinality " +
-          s"column — at 100× this funnels the corpus into #values tasks:\n${bad.headOption}")
+          s"column over an SF-scaled (non-time-bucketed) input — at 100× " +
+          s"this funnels the corpus into #values tasks:\n${bad.headOption}")
     }
+    // self-teeth 0: the exemption path is EXERCISED (the metric ops'
+    // series × calendar-bucket windows) — if the aggregate detection
+    // breaks, this trips instead of the ban silently widening
+    assert(exemptSeen >= 3,
+      s"only $exemptSeen series-keyed windows rode the time-bucketed " +
+        "exemption — aggregate detection broke (or the metric ops changed shape)")
     // self-teeth 1: the suite genuinely plans windows (qid/doc_id/
     // series keyed) — if sparkPlan traversal ever stops seeing
     // WindowExec (e.g. a planner change wraps them), trip instead of
@@ -188,6 +263,29 @@ class PlanSpec extends AnyFunSuite {
           .orderBy(org.apache.spark.sql.functions.col("doc_id"))))
     assert(violations(offending.queryExecution.sparkPlan).nonEmpty,
       "checker failed to flag a window keyed solely on `source`")
+    // self-teeth 3: a SERIES key over a RAW SF-scaled frame (no
+    // time-bucketed aggregate below) trips — the exemption must not
+    // swallow the shape the extension exists to catch
+    val offendingSeries = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.col("event_type"))
+          .orderBy(org.apache.spark.sql.functions.col("event_id"))))
+    assert(violations(offendingSeries.queryExecution.sparkPlan).nonEmpty,
+      "checker failed to flag a raw-frame window keyed solely on `event_type`")
+    // ...and the SAME key over a time-bucketed Aggregate is exempt
+    // (the q_counter_resets shape, asserted directly)
+    val exemptShape = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("bucket"))
+      .agg(org.apache.spark.sql.functions.count("*").as("c"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.col("event_type"))
+          .orderBy(org.apache.spark.sql.functions.col("bucket"))))
+    assert(violations(exemptShape.queryExecution.sparkPlan).isEmpty,
+      "exemption failed: series window over a time-bucketed Aggregate flagged")
   }
 
   test("PQ/IVF index builds run no corpus-wide window — only per-query search windows") {
