@@ -246,6 +246,11 @@ object Collector {
           // too); the Prometheus server therefore starts INSIDE the
           // bracket
           var promSrv: Option[graft.pipeline.PromTelemetryServer] = None
+          // service-lifetime obsreport catalog: batch pipelines record
+          // accepted/refused/sent/send_failed/dropped per component
+          // into it (runObsreport); scraper tallies mirror in at
+          // scrape time. Same-id components SUM by construction.
+          val obsReg = new graft.pipeline.Obsreport.Registry
           try {
             // service::telemetry::metrics::address: the self-metrics
             // Prometheus endpoint (telemetry.go:202-206). The
@@ -271,7 +276,22 @@ object Collector {
                         r.counters.map("otlp_arrow" -> _)
                       case _ => None
                     }
-                  }))
+                  }),
+                obsreport = () => {
+                  // refresh the scraper mirrors at scrape time (set,
+                  // not add — the ScraperObs totals are lifetime)
+                  svc.pipelines.values.foreach(_.receiver match {
+                    case r: graft.pipeline.Pipeline.ScrapeJvmReceiver =>
+                      r.scraperCounters.foreach { case (scraper, c) =>
+                        obsReg.scraperScraped("scrape_jvm", scraper,
+                          c.getOrElse("scraped_points", 0L))
+                        obsReg.scraperErrored("scrape_jvm", scraper,
+                          c.getOrElse("errored_points", 0L))
+                      }
+                    case _ => ()
+                  })
+                  obsReg
+                })
               lifecycle(
                 s"telemetry metrics on localhost:${s.boundPort}/metrics")
               s
@@ -287,7 +307,9 @@ object Collector {
             // the queries via Service.runStreaming directly)
             val (streamingDefs, batchDefs) =
               svc.pipelines.partition(_._2.plan(spark).isStreaming)
-            batchDefs.values.foreach(_.run(spark))
+            batchDefs.foreach { case (name, p) =>
+              p.runObsreport(spark, name, obsReg)
+            }
             if (streamingDefs.nonEmpty) {
               val ckpt = java.nio.file.Files
                 .createTempDirectory("graft_cli_ckpt").toString

@@ -585,8 +585,27 @@ object ConfigLoader {
       scala.collection.mutable.HashMap[Map[String, Object], Receiver]()
     def buildReceiverShared(m: Map[String, Object]): Receiver =
       receiverInstances.getOrElseUpdate(m, buildReceiver(m, lookup, propagator))
+    // declared component identities for the obsreport catalog: id =
+    // `type[/name]` (the collector's component-id form), transport
+    // from the receiver type (obsmetrics TransportKey)
+    def componentId(m: Map[String, Object]): String =
+      str(m, "type") + m.get("name").map("/" + _).getOrElse("")
+    def transportOf(tpe: String): String = tpe match {
+      case "otlp_http" => "http"
+      case "otlp_grpc" | "otlp_arrow" => "grpc"
+      case "scrape_jvm" => "scraper"
+      case "forward" | "union" => "pipeline"
+      case _ => "file"
+    }
     result = pipelines.map { case (name, defn0) =>
       val defn = defn0.asInstanceOf[java.util.Map[String, Object]].asScala
+      val recvMaps: Seq[Map[String, Object]] =
+        (defn.get("receiver"), defn.get("receivers")) match {
+          case (Some(r), None) => Seq(asMap(r))
+          case (None, Some(rs)) =>
+            rs.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(asMap)
+          case _ => Nil // the receiver field below raises the real error
+        }
       name -> PipelineDef(
         // a pipeline declares ONE `receiver` or a `receivers` LIST
         // (the reference shape — every receiver feeds the same
@@ -607,7 +626,15 @@ object ConfigLoader {
         exporters = defn.get("exporters").toSeq
           .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
           .zipWithIndex
-          .map { case (e, i) => buildExporter(asMap(e), name, i, extLookup) })
+          .map { case (e, i) => buildExporter(asMap(e), name, i, extLookup) },
+        receiverIds = recvMaps.map(m =>
+          (componentId(m), transportOf(str(m, "type")))),
+        processorIds = defn.get("processors").toSeq
+          .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+          .map(p => componentId(asMap(p))),
+        exporterIds = defn.get("exporters").toSeq
+          .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+          .map(e => componentId(asMap(e))))
     }.toMap
     rejectConnectorCycles(pipelines.toMap)
     // configured propagators must actually be CONSUMED: in graft the

@@ -98,6 +98,12 @@ object Pipeline {
       require(c != null, "receiver not started")
       c.tick()
     }
+    /** live per-scraper obsreport tallies (empty before start) — the
+      * otelcol_scraper_{scraped,errored}_metric_points source */
+    def scraperCounters: Map[String, Map[String, Long]] =
+      Option(controller)
+        .map(_.obs.map { case (k, o) => k -> o.counters })
+        .getOrElse(Map.empty)
   }
 
   /** The LIVE OTLP transports as config-declared pipeline receivers —
@@ -1122,7 +1128,16 @@ object Pipeline {
   final case class PipelineDef(
       receiver: Receiver,
       processors: Seq[Stage] = Nil,
-      exporters: Seq[Exporter] = Nil) {
+      exporters: Seq[Exporter] = Nil,
+      // declared component identities for the obsreport catalog
+      // ([[runObsreport]]): (id, transport) per receiver in receiver
+      // order (MultiReceiver members flatten), processor ids, exporter
+      // ids. Config-built pipelines carry the declared `type[/name]`;
+      // programmatic pipelines may leave these empty — class-derived
+      // fallbacks apply.
+      receiverIds: Seq[(String, String)] = Nil,
+      processorIds: Seq[String] = Nil,
+      exporterIds: Seq[String] = Nil) {
     def plan(spark: SparkSession): DataFrame =
       processors.foldLeft(receiver.read(spark))((df, p) => p(df))
     /** run the pipeline; each exporter gets the same lazy plan */
@@ -1206,6 +1221,90 @@ object Pipeline {
           case Seq((_, in), (n, out)) => StageStats(n, in, out)
         }.toSeq
       ObservedRun(stages, exports, System.nanoTime() - t0)
+    }
+
+    /** Run the pipeline recording the reference obsreport catalog
+      * into `reg` (obsreport/obsreport_receiver.go:106-134,
+      * obsreport_exporter.go, obs_processor.go):
+      *
+      *  - per receiver: items read successfully become
+      *    `otelcol_receiver_accepted_<item>`; when the pipeline run
+      *    FAILS downstream, the same items count as
+      *    `otelcol_receiver_refused_<item>` instead — the reference's
+      *    EndOp(err) semantics (a consumer error surfaces at the
+      *    receiver as refused, not silently accepted);
+      *  - per processor: rows in − rows out become
+      *    `otelcol_processor_dropped_<item>`;
+      *  - per exporter: the sent row count becomes
+      *    `otelcol_exporter_sent_<item>` on success,
+      *    `otelcol_exporter_send_failed_<item>` on a throw (the error
+      *    still propagates — telemetry never swallows it).
+      *
+      * The item noun comes from the PIPELINE id
+      * ([[Obsreport.itemKind]]); component ids come from the declared
+      * `receiverIds`/`processorIds`/`exporterIds` with class-derived
+      * fallbacks. Counts latch on one dedicated counting action (the
+      * [[runObservedStages]] discipline — an exporter running a
+      * limited action would latch partial counts). */
+    def runObsreport(spark: SparkSession, pipelineName: String,
+                     reg: Obsreport.Registry): PipelineStats = {
+      import org.apache.spark.sql.Observation
+      val item = Obsreport.itemKind(pipelineName)
+      val members = receiver match {
+        case MultiReceiver(rs) => rs
+        case r => Seq(r)
+      }
+      def recvIdent(i: Int, r: Receiver): (String, String) =
+        receiverIds.lift(i).getOrElse(
+          (r.getClass.getSimpleName.stripSuffix("$"), "inproc"))
+      def procIdent(i: Int, p: Stage): String =
+        processorIds.lift(i).getOrElse(s"processor/$i")
+      def expIdent(i: Int, e: Exporter): String =
+        exporterIds.lift(i).getOrElse(e.getClass.getSimpleName.stripSuffix("$"))
+      val recvObs = members.map(_ => Observation())
+      // per-receiver observes BELOW the union so a fan-in pipeline
+      // attributes items to the member that actually produced them
+      val reads = members.zip(recvObs).map { case (r, o) =>
+        r.read(spark).observe(o, count(lit(1)).as("n"))
+      }
+      var df = reads.reduce(_.unionByName(_))
+      val stageObs = processors.zipWithIndex.map { case (p, i) =>
+        val o = Observation()
+        df = p(df).observe(o, count(lit(1)).as("n"))
+        (i, o)
+      }
+      // a failed counting pass propagates with NOTHING recorded: no
+      // observation latched, so there are no item counts to attribute
+      // (the reference's request-level refusals live in the transport
+      // obs, not this catalog)
+      df.count() // latch every observation on one full pass
+      val recvCounts = recvObs.map(_.get("n").asInstanceOf[Long])
+      val stageCounts = stageObs.map(_._2.get("n").asInstanceOf[Long])
+      val sent = stageCounts.lastOption.getOrElse(recvCounts.sum)
+      // processor drops: rows into stage i − rows out of stage i
+      (recvCounts.sum +: stageCounts).sliding(2).zipWithIndex.foreach {
+        case (Seq(in, out), i) =>
+          reg.processorDropped(procIdent(i, processors(i)), item, in - out)
+        case _ => ()
+      }
+      var failed: Throwable = null
+      exporters.zipWithIndex.foreach { case (ex, i) =>
+        try {
+          ex.export(df)
+          reg.exporterSent(expIdent(i, ex), item, sent)
+        } catch { case e: Throwable =>
+          reg.exporterSendFailed(expIdent(i, ex), item, sent)
+          if (failed == null) failed = e
+        }
+      }
+      members.zipWithIndex.foreach { case (r, i) =>
+        val (id, transport) = recvIdent(i, r)
+        if (failed == null)
+          reg.receiverAccepted(id, transport, item, recvCounts(i))
+        else reg.receiverRefused(id, transport, item, recvCounts(i))
+      }
+      if (failed != null) throw failed
+      PipelineStats(received = recvCounts.sum, sent = sent)
     }
   }
 
@@ -1433,6 +1532,23 @@ object Pipeline {
                     // transports' HttpObs/GrpcObs/ScraperObs all
                     // expose `counters` in this shape.
                     transports: Map[String, Map[String, Long]] = Map.empty,
+                    // the obsreport per-component catalog
+                    // ([[Obsreport.Registry]], filled by
+                    // [[runObsreport]]) — otelcol_receiver_accepted_*/
+                    // refused_*, exporter sent_*/send_failed_*,
+                    // processor dropped_*, scraper scraped/errored —
+                    // published as cumulative sums at level ≥ basic
+                    // (the reference emits these whenever telemetry
+                    // is on at all)
+                    obsreport: Obsreport.Registry = null,
+                    // process self-metrics (proctelemetry/
+                    // process_telemetry.go:145-195): uptime, heap,
+                    // sys memory, cpu seconds, rss. Off by default so
+                    // the dogfood frame stays deterministic under
+                    // test; the Prometheus endpoint turns them on
+                    // (a scrape of a production collector always
+                    // expects them).
+                    processMetrics: Boolean = false,
                     // configtelemetry verbosity (reference config/
                     // configtelemetry Level, default = the service's
                     // configured `service::telemetry::metrics::level`):
@@ -1491,9 +1607,36 @@ object Pipeline {
               sum(s"otelcol_receiver_$counter", "{requests}", v.toDouble, attrs)
             }
         }
+      val obsreportRows =
+        if (lvl.rank < Extensions.LevelBasic.rank || obsreport == null) Nil
+        else obsreport.snapshot.map { case (fam, dims, v) =>
+          sum(fam, "1", v.toDouble, dims) // unit "1": obsreport counts
+        }                                 // items, dimensionless
+      val processRows =
+        if (lvl.rank < Extensions.LevelBasic.rank || !processMetrics) Nil
+        else Obsreport.ProcessTelemetry.families().map {
+          case (name, "gauge", unit, v) => gauge(name, unit, v, Map.empty)
+          case (name, _, unit, v) => sum(name, unit, v, Map.empty)
+        }
       spark.createDataFrame(
-        (queueRows ++ obsRows ++ transportRows).asJava,
+        (queueRows ++ obsRows ++ transportRows ++ obsreportRows ++
+          processRows).asJava,
         graft.model.OtelModel.metricPointSchema)
+    }
+
+    /** [[PipelineDef.runObsreport]] over every pipeline: one service
+      * run recording the whole obsreport catalog. Pipelines after a
+      * failing one still run (the service does not stop siblings);
+      * the first failure rethrows at the end. */
+    def runObsreport(spark: SparkSession, reg: Obsreport.Registry)
+        : Map[String, PipelineStats] = {
+      var failed: Throwable = null
+      val stats = pipelines.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+        try Some(name -> p.runObsreport(spark, name, reg))
+        catch { case e: Throwable => if (failed == null) failed = e; None }
+      }.toMap
+      if (failed != null) throw failed
+      stats
     }
 
     /** graceful shutdown drain (the collector flushes its queues on

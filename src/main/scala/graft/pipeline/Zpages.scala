@@ -162,7 +162,14 @@ final class PromTelemetryServer(
     spark: SparkSession,
     address: String = "localhost:0",
     obs: () => Map[String, Pipeline.QueueObs] = () => Map.empty,
-    transports: () => Map[String, Map[String, Long]] = () => Map.empty) {
+    transports: () => Map[String, Map[String, Long]] = () => Map.empty,
+    // the obsreport per-component catalog (accepted/refused/sent/
+    // send_failed/dropped per component id) — one registry for the
+    // service lifetime, filled by Service.runObsreport
+    obsreport: () => Obsreport.Registry = () => null,
+    // process self-metrics are ON for a scrape endpoint — every
+    // production collector dashboard expects otelcol_process_*
+    processMetrics: Boolean = true) {
 
   private val port = {
     val idx = address.lastIndexOf(':')
@@ -184,7 +191,8 @@ final class PromTelemetryServer(
   def exposition(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): String = {
     if (service.telemetryLevel.rank < Extensions.LevelBasic.rank) return ""
     val rows = service.healthFrame(spark, timeUnixNano,
-      obs = obs(), transports = transports()).collect()
+      obs = obs(), transports = transports(),
+      obsreport = obsreport(), processMetrics = processMetrics).collect()
     val sb = new StringBuilder
     for ((name, fam) <- rows.groupBy(_.getAs[String]("metric_name"))
         .toSeq.sortBy(_._1)) {

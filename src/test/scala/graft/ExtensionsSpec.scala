@@ -273,6 +273,31 @@ class ExtensionsSpec extends AnyFunSuite {
     val detailed = names(LevelDetailed)
     assert(detailed.contains("otelcol_receiver_accepted_requests"))
     assert(basic.subsetOf(normal) && normal.subsetOf(detailed))
+
+    // the obsreport catalog gates at basic (the reference emits it
+    // whenever telemetry is on at all), and scraper mirrors use SET
+    // semantics — refreshing a lifetime total never double-counts
+    val reg = new graft.pipeline.Obsreport.Registry
+    reg.receiverAccepted("otlp_http", "http", "log_records", 7L)
+    reg.scraperScraped("scrape_jvm", "jvm", 10L)
+    reg.scraperScraped("scrape_jvm", "jvm", 12L) // refresh, not +=
+    def catNames(level: TelemetryLevel): Map[String, Double] =
+      svc.healthFrame(spark, 1000L, obsreport = reg, level = level)
+        .select("metric_name", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(catNames(LevelNone).isEmpty)
+    val cat = catNames(LevelBasic)
+    assert(cat("otelcol_receiver_accepted_log_records") == 7.0)
+    assert(cat("otelcol_scraper_scraped_metric_points") == 12.0)
+    // scraper dims are {receiver, scraper} (obs_scraper.go)
+    val scrRow = svc.healthFrame(spark, 1000L, obsreport = reg,
+        level = LevelBasic)
+      .filter(org.apache.spark.sql.functions.col("metric_name") ===
+        "otelcol_scraper_scraped_metric_points")
+      .select("attributes").head()
+      .getAs[scala.collection.Map[String, String]](0)
+    assert(scrRow == scala.collection.Map(
+      "receiver" -> "scrape_jvm", "scraper" -> "jvm"))
   }
 
   test("logging exporter: verbosity gates the data dump, zap sampling bounds log volume, none is rejected (loggingexporter/config.go)") {

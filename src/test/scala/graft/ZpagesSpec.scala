@@ -129,6 +129,99 @@ class ZpagesSpec extends AnyFunSuite {
     }
   }
 
+  test("obsreport catalog: reference families scrape from a config-built service; refused visible; same-id instances SUM; process self-metrics plausible and monotone") {
+    val dir = java.nio.file.Files.createTempDirectory("obsrep").toString
+    spark.range(20).selectExpr("id", "id % 4 as sev")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    // four pipelines: two healthy log pipelines sharing ONE receiver
+    // id (accepted must SUM into one series), a traces pipeline (the
+    // spans noun), and one whose exporter targets a dead port (its
+    // items must surface as receiver REFUSED + exporter send_failed)
+    val doc = s"""{
+      "pipelines": {
+        "logs/ok": {
+          "receiver": {"type": "parquet", "path": "$dir/in"},
+          "processors": [{"type": "filter", "where": "sev != 0"}],
+          "exporters": [{"type": "parquet", "path": "$dir/out"}]},
+        "logs/ok2": {
+          "receiver": {"type": "parquet", "path": "$dir/in"},
+          "exporters": [{"type": "logging"}]},
+        "traces/tr": {
+          "receiver": {"type": "parquet", "path": "$dir/in"},
+          "exporters": [{"type": "logging"}]},
+        "logs/bad": {
+          "receiver": {"type": "parquet", "path": "$dir/in"},
+          "exporters": [{"type": "otlp_http",
+            "endpoint": "http://localhost:1", "signal": "logs"}]}
+      }}"""
+    val svc = ConfigLoader.fromJson(doc)
+    val reg = new graft.pipeline.Obsreport.Registry
+    // siblings run; the dead-port failure rethrows at the end
+    intercept[Exception] { svc.runObsreport(spark, reg) }
+    val srv = new graft.pipeline.PromTelemetryServer(svc, spark,
+      "localhost:0", obsreport = () => reg)
+    try {
+      def scrape(): String = {
+        val (code, body) = get(srv.boundPort, "/metrics")
+        assert(code == 200); body
+      }
+      def sample(body: String, series: String): Double = {
+        val line = body.linesIterator.find(_.startsWith(series + " "))
+        assert(line.isDefined, s"series absent: $series")
+        line.get.substring(series.length + 1).toDouble
+      }
+      val b1 = scrape()
+      // receiver families, {receiver, transport}-dimensioned: the two
+      // healthy log pipelines share receiver id `parquet` — one
+      // series holding the SUM (20 + 20), never last-wins
+      assert(sample(b1, """otelcol_receiver_accepted_log_records{receiver="parquet",transport="file"}""") == 40.0)
+      // item noun follows the PIPELINE signal: traces/ → spans
+      assert(sample(b1, """otelcol_receiver_accepted_spans{receiver="parquet",transport="file"}""") == 20.0)
+      // the failed pipeline's items are REFUSED at the receiver (the
+      // reference's EndOp(err): a consumer error is not "accepted")
+      assert(sample(b1, """otelcol_receiver_refused_log_records{receiver="parquet",transport="file"}""") == 20.0)
+      // processor drops: filter kept sev != 0 → 5 of 20 dropped
+      assert(sample(b1, """otelcol_processor_dropped_log_records{processor="filter"}""") == 5.0)
+      // exporter families, {exporter}-dimensioned
+      assert(sample(b1, """otelcol_exporter_sent_log_records{exporter="parquet"}""") == 15.0)
+      assert(sample(b1, """otelcol_exporter_sent_log_records{exporter="logging"}""") == 20.0)
+      assert(sample(b1, """otelcol_exporter_send_failed_log_records{exporter="otlp_http"}""") == 20.0)
+      // counter-typed in the exposition
+      assert(b1.contains("# TYPE otelcol_receiver_accepted_log_records counter"))
+      assert(b1.contains("# TYPE otelcol_exporter_send_failed_log_records counter"))
+      // process self-metrics (proctelemetry process_telemetry.go:
+      // 145-195): the five families, plausible values
+      val up1 = sample(b1, "otelcol_process_uptime")
+      val cpu1 = sample(b1, "otelcol_process_cpu_seconds")
+      val heap = sample(b1, "otelcol_process_runtime_heap_alloc_bytes")
+      val sys = sample(b1, "otelcol_process_runtime_total_sys_memory_bytes")
+      val rss = sample(b1, "otelcol_process_memory_rss")
+      assert(up1 > 0.0 && cpu1 > 0.0)
+      assert(heap > 1e6, s"heap $heap implausibly small for a running JVM")
+      assert(sys >= heap, "sys memory below live heap")
+      assert(rss > 1e6, s"rss $rss implausibly small")
+      assert(b1.contains("# TYPE otelcol_process_uptime counter"))
+      assert(b1.contains("# TYPE otelcol_process_memory_rss gauge"))
+      // monotone across scrapes: uptime and cpu never go backward
+      Thread.sleep(20)
+      val b2 = scrape()
+      assert(sample(b2, "otelcol_process_uptime") >= up1)
+      assert(sample(b2, "otelcol_process_cpu_seconds") >= cpu1)
+      // ...and the catalog is STABLE across scrapes (lifetime totals,
+      // not per-scrape resets)
+      assert(sample(b2, """otelcol_exporter_sent_log_records{exporter="parquet"}""") == 15.0)
+    } finally srv.stop()
+
+    // level gate: none serves nothing, catalog included
+    val none = svc.copy(telemetryLevel = graft.pipeline.Extensions.LevelNone)
+    val srv2 = new graft.pipeline.PromTelemetryServer(none, spark,
+      "localhost:0", obsreport = () => reg)
+    try {
+      val (c, b) = get(srv2.boundPort, "/metrics")
+      assert(c == 200 && b.isEmpty)
+    } finally srv2.stop()
+  }
+
   test("mergeTransports SUMS counters across receivers of one transport type") {
     import graft.pipeline.PromTelemetryServer.mergeTransports
     // two otlp_grpc receivers (two pipelines, two ports) + one http:
