@@ -52,6 +52,116 @@ object DataPipelineQueries {
       .distinct()
   }
 
+  /** Exact duplicated-substring spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * flagship): maximal cross-doc token spans ≥ `minLen` shared
+    * VERBATIM, with doc/offset pairs so a curation pass can cut them.
+    * Distributed as anchors → sorted anchor join → extension verify,
+    * never a suffix array and never text²:
+    *
+    *  1. ANCHORS: the [[winnowSelect]] fingerprints, kept WITH their
+    *     selected position (pos = POSCAP-1 − wmin mod POSCAP — the
+    *     packed tie-rule decoded). Winnowing's guarantee (Schleimer
+    *     et al.) is exactly what an exact-substring anchor needs: any
+    *     common substring of ≥ k+w−1 = 7 tokens shares at least one
+    *     SELECTED fingerprint, so no span ≥ `minLen` ≥ 7 can be
+    *     missed. Expected anchors ≈ 2/(w+1) per token — the shuffle
+    *     is ∝ anchors, not tokens².
+    *  2. CAP: fingerprints in more than `dfCap` docs drop before the
+    *     pair join (boilerplate bound — the maxDf cap every
+    *     fingerprint joiner here carries); an n-fold duplicate emits
+    *     ≤ C(cap,2) pairs per anchor.
+    *  3. JOIN: anchor pairs on the 8-byte hash, doc_a < doc_b (one
+    *     orientation); only hashes and positions shuffle here.
+    *  4. EXTENSION VERIFY: token arrays join back onto the BOUNDED
+    *     candidate pairs only; the anchor gram re-checks for hash
+    *     collisions, then the span extends left/right to the first
+    *     mismatch (lazy CASE guards the empty-extension edge — ANSI
+    *     element_at(_, 0) would refuse). Maximal spans from different
+    *     anchors inside one duplicated region coincide by
+    *     construction, so DISTINCT collapses them.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, span_len), 1-based
+    * token offsets. */
+  private def exactDupSpans(s: SparkSession, dir: String,
+                            minLen: Int, dfCap: Int): DataFrame =
+    exactDupSpansFrom(docs(s, dir), minLen, dfCap)
+
+  /** [[exactDupSpans]] over an explicit (doc_id, text) frame — the
+    * seam the doctored-corpus precision spec drives */
+  private[graft] def exactDupSpansFrom(docsDf: DataFrame,
+                                       minLen: Int, dfCap: Int): DataFrame = {
+    val POSCAP = 2097152L
+    val toks = docsDf
+      .withColumn("__ws", TextOps.tokens(col("text")))
+      .filter(size(col("__ws")) >= 7)
+    val sel = toks
+      .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
+      .select(col("doc_id"), col("n_grams"), posexplode(
+        expr("transform(sequence(1, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i, 4)))"))
+        .as(Seq("p0", "gram")))
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+      .withColumn("c", col("h") * POSCAP + (lit(POSCAP - 1) - col("pos")))
+      .withColumn("wmin", min(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos")).rowsBetween(0, 3)))
+      .filter(col("pos") <= col("n_grams") - 3)
+      .select(col("doc_id"),
+        expr(s"wmin DIV $POSCAP").as("h_sel"),
+        (lit(POSCAP - 1) - expr(s"wmin % $POSCAP")).as("pos_sel"))
+      .distinct()
+      .localCheckpoint() // feeds the cap join and both pair sides
+    val rare = sel.groupBy(col("h_sel"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
+      .select(col("h_sel"))
+    val capped = sel.join(rare, "h_sel")
+    val pairs = capped.select(col("h_sel"), col("doc_id").as("doc_a"),
+        col("pos_sel").as("pa"))
+      .join(capped.select(col("h_sel"), col("doc_id").as("doc_b"),
+        col("pos_sel").as("pb")), Seq("h_sel"))
+      .filter(col("doc_a") < col("doc_b"))
+    val withToks = pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("__ws").as("za")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("__ws").as("zb")), Seq("doc_b"))
+      // hash-collision guard: the anchor gram itself must match
+      .filter(expr("concat_ws(' ', slice(za, cast(pa as int), 4)) = " +
+        "concat_ws(' ', slice(zb, cast(pb as int), 4))"))
+    withToks
+      .withColumn("ml", least(col("pa"), col("pb")) - 1L)
+      .withColumn("mr", least(size(col("za")).cast("long") - (col("pa") + 3L),
+        size(col("zb")).cast("long") - (col("pb") + 3L)))
+      .withColumn("left_ext", expr(
+        """CASE WHEN ml < 1 THEN 0L ELSE (
+          |  CASE WHEN array_position(
+          |    transform(sequence(1L, ml),
+          |      i -> element_at(za, cast(pa - i as int)) = element_at(zb, cast(pb - i as int))),
+          |    false) = 0
+          |  THEN ml
+          |  ELSE array_position(
+          |    transform(sequence(1L, ml),
+          |      i -> element_at(za, cast(pa - i as int)) = element_at(zb, cast(pb - i as int))),
+          |    false) - 1 END) END""".stripMargin))
+      .withColumn("right_ext", expr(
+        """CASE WHEN mr < 1 THEN 0L ELSE (
+          |  CASE WHEN array_position(
+          |    transform(sequence(1L, mr),
+          |      i -> element_at(za, cast(pa + 3 + i as int)) = element_at(zb, cast(pb + 3 + i as int))),
+          |    false) = 0
+          |  THEN mr
+          |  ELSE array_position(
+          |    transform(sequence(1L, mr),
+          |      i -> element_at(za, cast(pa + 3 + i as int)) = element_at(zb, cast(pb + 3 + i as int))),
+          |    false) - 1 END) END""".stripMargin))
+      .withColumn("span_len", col("left_ext") + 4L + col("right_ext"))
+      .filter(col("span_len") >= minLen)
+      .select(col("doc_a"), col("doc_b"),
+        (col("pa") - col("left_ext")).as("start_a"),
+        (col("pb") - col("left_ext")).as("start_b"),
+        col("span_len"))
+      .distinct()
+  }
+
   /** Shared containment verdict (q_containment + its capped scale
     * twin): banding candidates → shingle join-back → inter/min(szA,
     * szB) ≥ 0.8 — the asymmetric measure that catches SUB-document
@@ -1514,6 +1624,25 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
     }),
+
+    // Lee et al. ExactSubstr dedup (see [[exactDupSpans]]): maximal
+    // verbatim cross-doc spans >= 15 tokens with doc/offset pairs.
+    // Anchors via winnowing (guaranteed shared fingerprint for any
+    // common substring >= 7 tokens), df-capped join, extension
+    // verify on the bounded candidates only.
+    "q_dedup_substring_exact" -> ((s, dir) =>
+      exactDupSpans(s, dir, minLen = 15, dfCap = 50)),
+
+    // Production-cap twin (rows-only, the minhash_scale discipline):
+    // the tight boilerplate bound (df <= 8) a 100 TB run would use —
+    // an n-fold duplicated passage emits <= C(8,2) pairs per anchor
+    // no matter how viral the passage. Aggregated to per-doc
+    // duplicated mass (the cut-list a curation pass consumes).
+    "q_dedup_substring_exact_scale" -> ((s, dir) =>
+      exactDupSpans(s, dir, minLen = 15, dfCap = 8)
+        .groupBy(col("doc_a"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).as("dup_tokens"))),
 
     // Embedding-space outlier detection for curation: squared
     // distance to the per-label centroid, flagged past 2.25x the
@@ -3346,6 +3475,49 @@ object DataPipelineQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
         |FROM capped a JOIN capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "q_dedup_substring_exact" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM t WHERE len(ws) >= 7),
+        |g AS (SELECT doc_id, n_grams,
+        |   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |     for i in range(1, len(ws) - 2)]) AS gram,
+        |   unnest(range(1, len(ws) - 2)) AS pos
+        |  FROM f),
+        |h AS (SELECT doc_id, n_grams, pos,
+        |   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hh FROM g),
+        |w AS (SELECT doc_id, n_grams, pos,
+        |   MIN(hh * 2097152 + (2097151 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM h),
+        |sel AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h_sel,
+        |   2097151 - (wmin % 2097152) AS pos_sel
+        |  FROM w WHERE pos <= n_grams - 3),
+        |rare AS (SELECT h_sel FROM sel GROUP BY 1 HAVING COUNT(*) <= 50),
+        |capped AS (SELECT doc_id, h_sel, pos_sel FROM sel JOIN rare USING (h_sel)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   a.pos_sel AS pa, b.pos_sel AS pb
+        |  FROM capped a JOIN capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id),
+        |wt AS (SELECT p.*, fa.ws AS za, fb.ws AS zb
+        |  FROM pairs p JOIN f fa ON p.doc_a = fa.doc_id
+        |               JOIN f fb ON p.doc_b = fb.doc_id
+        |  WHERE array_to_string(fa.ws[p.pa:p.pa+3], ' ')
+        |      = array_to_string(fb.ws[p.pb:p.pb+3], ' ')),
+        |ext AS (SELECT doc_a, doc_b, pa, pb,
+        |   COALESCE(NULLIF(list_position(
+        |     [za[pa - i] = zb[pb - i] for i in range(1, least(pa, pb))], false), 0) - 1,
+        |     least(pa, pb) - 1) AS left_ext,
+        |   COALESCE(NULLIF(list_position(
+        |     [za[pa + 3 + i] = zb[pb + 3 + i]
+        |       for i in range(1, least(len(za) - (pa + 3), len(zb) - (pb + 3)) + 1)],
+        |     false), 0) - 1,
+        |     least(len(za) - (pa + 3), len(zb) - (pb + 3))) AS right_ext
+        |  FROM wt)
+        |SELECT DISTINCT doc_a, doc_b,
+        |  CAST(pa - left_ext AS BIGINT) AS start_a,
+        |  CAST(pb - left_ext AS BIGINT) AS start_b,
+        |  CAST(left_ext + 4 + right_ext AS BIGINT) AS span_len
+        |FROM ext WHERE left_ext + 4 + right_ext >= 15""".stripMargin,
 
     "q_embed_outliers" ->
       """WITH ex AS (SELECT vec_id, label, u[2] - 1 AS pos, CAST(u[1] AS DOUBLE) AS x

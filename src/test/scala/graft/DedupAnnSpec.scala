@@ -947,4 +947,49 @@ class DedupAnnSpec extends AnyFunSuite {
     // a REAL zero vector (non-empty, all zeros) still counts too
     assert(rows(1).getAs[Long]("n_zero") == 1L)
   }
+
+  test("exactDupSpans: planted long duplicates found at exact offsets; distinct filler emits nothing; production cap drops viral passages") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doctored corpus: docs of globally-unique filler tokens (token =
+    // md5(doc,pos) — no accidental repeats), with ONE 60-token passage
+    // planted into docs 1 and 2 at DIFFERENT offsets (after 10 and 25
+    // filler tokens). The maximal common span must be exactly the
+    // passage — right offsets, right length, found from winnowing
+    // anchors + extension, not from any coincidence.
+    def filler(doc: Int, n: Int, from: Int = 0): Seq[String] =
+      (from until from + n).map(i => s"f${doc}x$i")
+    val passage = (0 until 60).map(i => s"dup$i")
+    val corpus = Seq(
+      (1L, (filler(1, 10) ++ passage ++ filler(1, 30, 10)).mkString(" ")),
+      (2L, (filler(2, 25) ++ passage ++ filler(2, 15, 25)).mkString(" ")),
+      (3L, filler(3, 80).mkString(" ")), // pure filler: must emit nothing
+      (4L, filler(4, 80).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = DataPipelineQueries.exactDupSpansFrom(corpus, 15, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((1L, 2L, 11L, 26L, 60L)),
+      s"expected exactly the planted passage, got: ${spans.toSeq}")
+
+    // the min-length gate: the same corpus with a 10-token plant
+    // (below minLen 15) emits nothing — spans never pad
+    val shortP = (0 until 10).map(i => s"sp$i")
+    val corpus2 = Seq(
+      (1L, (filler(5, 10) ++ shortP ++ filler(5, 30, 10)).mkString(" ")),
+      (2L, (filler(6, 25) ++ shortP ++ filler(6, 15, 25)).mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(DataPipelineQueries.exactDupSpansFrom(corpus2, 15, 50).isEmpty)
+
+    // production df-cap: a passage planted in MORE docs than the cap
+    // admits drops before the pair join (the boilerplate bound) — no
+    // C(n,2) explosion, and the capped path is NOT vacuous
+    val viral = (0 to 9).map(d =>
+      (10L + d, (filler(100 + d, 5 + d) ++ passage ++
+        filler(100 + d, 10, 50)).mkString(" "))).toDF("doc_id", "text")
+    val uncapped = DataPipelineQueries.exactDupSpansFrom(viral, 15, 50)
+    assert(uncapped.count() == 45L, "10 copies should pair C(10,2) uncapped")
+    assert(DataPipelineQueries.exactDupSpansFrom(viral, 15, 2).isEmpty,
+      "df cap 2 must drop a 10-doc viral passage entirely")
+  }
 }
