@@ -162,6 +162,54 @@ object DataPipelineQueries {
       .distinct()
   }
 
+  /** Trigram-profile language ID (q_lang_trigram; Cavnar & Trenkle
+    * out-of-place rank distance) over an explicit (doc_id, lang,
+    * text) frame: profiles train on doc_id % 5 != 0, the held-out
+    * 20% scores by integer rank distance (see the registration
+    * comment for the scale shape and the quality-vs-parity note). */
+  private[graft] def trigramLangConfusion(docsDf: DataFrame): DataFrame = {
+    val R = 200
+    val d = docsDf.select(col("doc_id"), col("lang"), col("text"))
+      .filter(length(col("text")) >= 3)
+    def tris(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+    val train = tris(d.filter(col("doc_id") % 5 =!= 0))
+    val test = tris(d.filter(col("doc_id") % 5 === 0))
+    val langProf = ScaleOps.groupedRankRanged(
+        train.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n")),
+        col("lang"), -col("n"), col("tri"), "rk", "__cnt")
+      .filter(col("rk") <= R)
+      .select(col("lang"), col("tri"), col("rk").as("rk_lang"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("tri"))
+    val docProf = test.groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk_doc", row_number().over(wDoc))
+      .filter(col("rk_doc") <= R)
+      .select(col("doc_id"), col("tri"), col("rk_doc"))
+    val profSize = docProf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("p"))
+    val langs = langProf.select(col("lang").as("cand")).distinct()
+    val matched = docProf.join(langProf, "tri")
+      .groupBy(col("doc_id"), col("lang").as("cand"))
+      .agg(sum(abs(col("rk_doc") - col("rk_lang"))).as("ms"),
+        count(lit(1)).as("mc"))
+    val scored = profSize.crossJoin(langs)
+      .join(matched, Seq("doc_id", "cand"), "left")
+      .withColumn("dist", coalesce(col("ms"), lit(0L)) +
+        (col("p") - coalesce(col("mc"), lit(0L))) * lit(R.toLong))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dist"), col("cand"))
+    val pred = scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1).select(col("doc_id"), col("cand"))
+    d.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("lang"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Shared containment verdict (q_containment + its capped scale
     * twin): banding candidates → shingle join-back → inter/min(szA,
     * szB) ≥ 0.8 — the asymmetric measure that catches SUB-document
@@ -847,6 +895,34 @@ object DataPipelineQueries {
             .as("n_langs"))
         .withColumn("is_mixed", col("n_langs") >= 2)
     }),
+
+    // Trigram-profile language ID (Cavnar & Trenkle out-of-place rank
+    // distance — the classifier behind langdetect/textcat, upgrading
+    // the stopword heuristic): per-language char-trigram profiles
+    // train on the labeled 80% split (doc_id % 5 != 0), the held-out
+    // 20% scores by INTEGER rank distance — sum over the doc's top-200
+    // trigrams of |doc_rank − lang_rank|, absent-from-profile = 200 —
+    // entirely libm-free, so the DuckDB oracle is bit-exact. Output:
+    // held-out confusion (true lang × predicted, doc counts).
+    //
+    // Scale shape: trigram explode is map-side; the LANGUAGE profile
+    // rank rides ScaleOps.groupedRankRanged (lang is a DECLARED
+    // low-cardinality key — a bare lang-keyed window is banned); the
+    // DOC profile rank windows on doc_id (high-card, fine); scoring
+    // joins the doc profiles to the ≤ langs×200-row profile table
+    // (stats-broadcast) and the candidate fan-out is a crossJoin
+    // against the ≤5-row lang list. No corpus broadcasts, no text
+    // through the scoring exchanges (trigrams only).
+    //
+    // NOTE on quality vs parity: the synthetic tables' lang labels
+    // carry no text signal (a word-level naive-Bayes tops out at the
+    // majority-class baseline), so the ORACLE pins the mechanism's
+    // cross-engine parity; the CLASSIFIER's quality — high accuracy,
+    // beats the stopword heuristic — is spec-pinned on a doctored
+    // genuinely-multilingual corpus (DedupAnnSpec), the
+    // cluster-purity discipline.
+    "q_lang_trigram" -> ((s, dir) =>
+      trigramLangConfusion(docs(s, dir))),
 
     // benchmark decontamination (the training-pipeline hygiene step):
     // which TRAIN docs share >= 3 distinct word-5-grams with an EVAL
@@ -3475,6 +3551,36 @@ object DataPipelineQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
         |FROM capped a JOIN capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "q_lang_trigram" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+        |tr AS (SELECT doc_id, lang,
+        |   unnest([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS tri
+        |  FROM d),
+        |lc AS (SELECT lang, tri, COUNT(*) AS n FROM tr WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |lp AS (SELECT lang, tri, rk AS rk_lang FROM (
+        |   SELECT lang, tri, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rk
+        |   FROM lc) WHERE rk <= 200),
+        |dc AS (SELECT doc_id, tri, COUNT(*) AS n FROM tr WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |dp AS (SELECT doc_id, tri, rk AS rk_doc FROM (
+        |   SELECT doc_id, tri, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tri) AS rk
+        |   FROM dc) WHERE rk <= 200),
+        |ps AS (SELECT doc_id, COUNT(*) AS p FROM dp GROUP BY 1),
+        |langs AS (SELECT DISTINCT lang AS cand FROM lp),
+        |m AS (SELECT dp.doc_id, lp.lang AS cand,
+        |   SUM(ABS(dp.rk_doc - lp.rk_lang)) AS ms, COUNT(*) AS mc
+        |  FROM dp JOIN lp ON dp.tri = lp.tri GROUP BY 1, 2),
+        |sc AS (SELECT ps.doc_id, langs.cand,
+        |   COALESCE(ms, 0) + (p - COALESCE(mc, 0)) * 200 AS dist
+        |  FROM ps CROSS JOIN langs
+        |  LEFT JOIN m ON m.doc_id = ps.doc_id AND m.cand = langs.cand),
+        |pr AS (SELECT doc_id, cand FROM (
+        |   SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) AS rn
+        |   FROM sc) WHERE rn = 1)
+        |SELECT d.lang, pr.cand AS predicted, COUNT(*) AS n_docs
+        |FROM d JOIN pr ON d.doc_id = pr.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_substring_exact" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),

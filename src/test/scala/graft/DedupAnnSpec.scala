@@ -948,6 +948,58 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_zero") == 1L)
   }
 
+  test("trigram language-ID: near-perfect on a genuinely multilingual corpus, beats the stopword heuristic; registered query covers every held-out doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Doctored corpus with REAL language signal (the synthetic
+    // tables' lang labels carry none — a word-level naive-Bayes tops
+    // out at the majority baseline there): per-language function-word
+    // stock, docs built deterministically by cycling the stock at
+    // doc-dependent strides. The stopword heuristic knows only
+    // en/es/de, so fr and zh are beyond it BY CONSTRUCTION; the
+    // trained profiles must get them from the character shadows.
+    val stock: Map[String, Seq[String]] = Map(
+      "en" -> "the of and to in that it is was for on with as at by this have from or had not be are but they which she will".split(" ").toSeq,
+      "es" -> "el la los las de que y en un una por con para es no se su al lo como pero sus le ya este porque entre cuando muy".split(" ").toSeq,
+      "de" -> "der die das und ist von zu den mit nicht sich des auf ein eine als auch es an werden aus er hat dass sie nach wird bei einer".split(" ").toSeq,
+      "fr" -> "le la les de des et un une du que dans est pour qui sur pas plus par avec tout fait son une mais nous comme ou si leur".split(" ").toSeq,
+      "zh" -> "de shi bu le ren wo zai you ta zhe zhong da shang guo men hui ye dao shuo neng dui dou xiao jiu chu hao xiang kan tian".split(" ").toSeq)
+    val langsSeq = stock.keys.toSeq.sorted
+    val corpus = (for {
+      (lang, li) <- langsSeq.zipWithIndex
+      i <- 0 until 25
+    } yield {
+      val ws = stock(lang)
+      val text = (0 until 60)
+        .map(j => ws((i * 7 + j * (1 + i % 3)) % ws.size)).mkString(" ")
+      (li * 100L + i, lang, text)
+    }).toDF("doc_id", "lang", "text")
+    val conf = DataPipelineQueries.trigramLangConfusion(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = conf.map(_._3).sum
+    val correct = conf.collect { case (t, p, n) if t == p => n }.sum
+    val heldOut = corpus.filter(col("doc_id") % 5 === 0).count()
+    assert(total == heldOut, s"confusion covers $total of $heldOut docs")
+    val triAcc = correct.toDouble / total
+    // the stopword heuristic on the same held-out docs
+    val sw = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("p", graft.operators.TextOps.langId(
+        graft.operators.TextOps.tokens(col("text"))))
+    val swAcc = sw.filter(col("p") === col("lang")).count().toDouble / heldOut
+    assert(triAcc > swAcc,
+      f"trigram accuracy $triAcc%.3f did not beat stopword $swAcc%.3f")
+    assert(triAcc >= 0.9, f"trigram accuracy $triAcc%.3f below 0.9 " +
+      s"(confusion: ${conf.toSeq.sortBy(x => (x._1, x._2)).mkString(", ")})")
+
+    // the REGISTERED query runs the same mechanism over the real
+    // table: every held-out doc gets exactly one prediction
+    val real = SparkEntry.queries("q_lang_trigram")(spark, sf).collect()
+    val realTotal = real.map(_.getLong(2)).sum
+    val realHeld = docs.filter(col("doc_id") % 5 === 0)
+      .filter(length(col("text")) >= 3).count()
+    assert(realTotal == realHeld)
+  }
+
   test("exactDupSpans: planted long duplicates found at exact offsets; distinct filler emits nothing; production cap drops viral passages") {
     val spark2 = spark
     import spark2.implicits._
