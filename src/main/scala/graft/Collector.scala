@@ -251,6 +251,8 @@ object Collector {
           // into it (runObsreport); scraper tallies mirror in at
           // scrape time. Same-id components SUM by construction.
           val obsReg = new graft.pipeline.Obsreport.Registry
+          var readerSrvs: Seq[graft.pipeline.PromTelemetryServer] = Nil
+          var periodicWriters: Seq[graft.pipeline.PeriodicMetricsWriter] = Nil
           try {
             // service::telemetry::metrics::address: the self-metrics
             // Prometheus endpoint (telemetry.go:202-206). The
@@ -258,43 +260,64 @@ object Collector {
             // every wire receiver the service started, so a raised
             // telemetry level actually serves the per-transport
             // families it promises.
+            // TWO receivers of one transport type (two pipelines,
+            // two ports) must SUM per counter — a plain .toMap
+            // would keep only the last receiver's map and the
+            // other's accepted/refused traffic would silently
+            // vanish from /metrics (mergeTransports, spec-pinned)
+            val transportsThunk = () => graft.pipeline.PromTelemetryServer
+              .mergeTransports(svc.pipelines.values.toSeq.flatMap { p =>
+                p.receiver match {
+                  case r: graft.pipeline.Pipeline.OtlpHttpServerReceiver =>
+                    r.counters.map("otlp_http" -> _)
+                  case r: graft.pipeline.Pipeline.OtlpGrpcServerReceiver =>
+                    r.counters.map("otlp_grpc" -> _)
+                  case r: graft.pipeline.Pipeline.OtlpArrowServerReceiver =>
+                    r.counters.map("otlp_arrow" -> _)
+                  case _ => None
+                }
+              })
+            val obsreportThunk = () => {
+              // refresh the scraper mirrors at scrape time (set,
+              // not add — the ScraperObs totals are lifetime)
+              svc.pipelines.values.foreach(_.receiver match {
+                case r: graft.pipeline.Pipeline.ScrapeJvmReceiver =>
+                  r.scraperCounters.foreach { case (scraper, c) =>
+                    obsReg.scraperScraped("scrape_jvm", scraper,
+                      c.getOrElse("scraped_points", 0L))
+                    obsReg.scraperErrored("scrape_jvm", scraper,
+                      c.getOrElse("errored_points", 0L))
+                  }
+                case _ => ()
+              })
+              obsReg
+            }
             promSrv = svc.telemetryAddress.map { addr =>
-              // TWO receivers of one transport type (two pipelines,
-              // two ports) must SUM per counter — a plain .toMap
-              // would keep only the last receiver's map and the
-              // other's accepted/refused traffic would silently
-              // vanish from /metrics (mergeTransports, spec-pinned)
               val s = new graft.pipeline.PromTelemetryServer(svc, spark, addr,
-                transports = () => graft.pipeline.PromTelemetryServer
-                  .mergeTransports(svc.pipelines.values.toSeq.flatMap { p =>
-                    p.receiver match {
-                      case r: graft.pipeline.Pipeline.OtlpHttpServerReceiver =>
-                        r.counters.map("otlp_http" -> _)
-                      case r: graft.pipeline.Pipeline.OtlpGrpcServerReceiver =>
-                        r.counters.map("otlp_grpc" -> _)
-                      case r: graft.pipeline.Pipeline.OtlpArrowServerReceiver =>
-                        r.counters.map("otlp_arrow" -> _)
-                      case _ => None
-                    }
-                  }),
-                obsreport = () => {
-                  // refresh the scraper mirrors at scrape time (set,
-                  // not add — the ScraperObs totals are lifetime)
-                  svc.pipelines.values.foreach(_.receiver match {
-                    case r: graft.pipeline.Pipeline.ScrapeJvmReceiver =>
-                      r.scraperCounters.foreach { case (scraper, c) =>
-                        obsReg.scraperScraped("scrape_jvm", scraper,
-                          c.getOrElse("scraped_points", 0L))
-                        obsReg.scraperErrored("scrape_jvm", scraper,
-                          c.getOrElse("errored_points", 0L))
-                      }
-                    case _ => ()
-                  })
-                  obsReg
-                })
+                transports = transportsThunk, obsreport = obsreportThunk)
               lifecycle(
                 s"telemetry metrics on localhost:${s.boundPort}/metrics")
               s
+            }
+            // service::telemetry::metrics::readers — the reader-list
+            // shape alongside `address` (telemetry/config.go:111-161):
+            // every pull reader gets its own Prometheus server on the
+            // SAME healthFrame thunks; every periodic reader an
+            // interval-driven console jsonl writer
+            svc.telemetryReaders.foreach {
+              case r: graft.pipeline.Extensions.PullPrometheusReader =>
+                val s = new graft.pipeline.PromTelemetryServer(svc, spark,
+                  r.address, transports = transportsThunk,
+                  obsreport = obsreportThunk)
+                readerSrvs :+= s
+                lifecycle(s"telemetry pull reader on " +
+                  s"localhost:${s.boundPort}/metrics")
+              case p: graft.pipeline.Extensions.PeriodicConsoleReader =>
+                periodicWriters :+= new graft.pipeline.PeriodicMetricsWriter(
+                  svc, spark, p.intervalMs,
+                  transports = transportsThunk, obsreport = obsreportThunk)
+                lifecycle(s"telemetry periodic console reader " +
+                  s"every ${p.intervalMs} ms")
             }
             val recovered = svc.recover(spark)
             recovered.foreach { case (name, st) =>
@@ -320,6 +343,12 @@ object Collector {
               lifecycle(s"drained ${queries.size} streaming pipeline(s)")
             }
           } finally {
+            periodicWriters.foreach(w =>
+              try w.stop()
+              catch { case scala.util.control.NonFatal(_) => () })
+            readerSrvs.foreach(s =>
+              try s.stop()
+              catch { case scala.util.control.NonFatal(_) => () })
             promSrv.foreach(s =>
               try s.stop()
               catch { case scala.util.control.NonFatal(_) => () })

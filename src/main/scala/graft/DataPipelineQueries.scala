@@ -1581,22 +1581,11 @@ object DataPipelineQueries {
     // source key and five booleans reach the aggregate exchange (the
     // stats-report rule — text never shuffles).
     "q_gopher_rules" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
-      val nW = size(ws)
-      val meanLen = TextOps.avgTokenLen(col("text"))
-      val hashes = length(col("text")) -
-        length(regexp_replace(col("text"), "#", ""))
-      val ellipses = (length(col("text")) -
-        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
-      val symRatio = (hashes + ellipses) / nW
-      val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nW
-      val stopCount = size(filter(ws, w => w.isInCollection(TextOps.EnStop)))
-      docs(s, dir).select(col("source"),
-          (nW >= 50 && nW <= 100000).as("r_wc"),
-          (meanLen >= 3.0 && meanLen <= 10.0).as("r_mwl"),
-          (symRatio <= 0.1).as("r_sym"),
-          (alphaFrac >= 0.8).as("r_alpha"),
-          (stopCount >= 2).as("r_stop"))
+      // rule expressions shared with the config `gopher_gate`
+      // processor (TextOps.gopherFlags) — census and filter can't drift
+      val flags = TextOps.gopherFlags(col("text"))
+      docs(s, dir).select(
+          col("source") +: flags.map { case (n, c) => c.as(n) }: _*)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&

@@ -56,6 +56,29 @@ object TextOps {
       .otherwise(lit("de"))
   }
 
+  /** The Gopher quality-rule flags (Rae et al. Table A1 subset —
+    * word count, mean word length, symbol ratio, alpha fraction,
+    * stopword floor), shared verbatim by q_gopher_rules (the census)
+    * and the config `gopher_gate` processor (the filter) so the two
+    * surfaces can never drift. */
+  def gopherFlags(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val nW = size(ws)
+    val meanLen = avgTokenLen(text)
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symRatio = (hashes + ellipses) / nW
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nW
+    val stopCount = size(filter(ws, w => w.isInCollection(EnStop)))
+    Seq(
+      "r_wc" -> (nW >= 50 && nW <= 100000),
+      "r_mwl" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "r_sym" -> (symRatio <= 0.1),
+      "r_alpha" -> (alphaFrac >= 0.8),
+      "r_stop" -> (stopCount >= 2))
+  }
+
   /** quality class from simple, portable signals */
   def qualityClass(nTokens: Column, avgLen: Column, stopRatio: Column): Column =
     when(nTokens >= lit(60) && avgLen >= lit(4.0) && stopRatio <= lit(0.3), lit("high"))

@@ -547,6 +547,48 @@ object ConfigLoader {
       svcBlock.get("telemetry").map(asMap)
         .flatMap(_.get("metrics")).map(asMap)
         .flatMap(_.get("address")).map(_.toString)
+    // service::telemetry::metrics::readers (telemetry/config.go:
+    // 111-113,161-186 + generated_config.go MetricReader): the newer
+    // metric-reader list alongside `address`. Each entry is
+    // `pull: {exporter: {prometheus: {host, port}}}` (→ the same
+    // Prometheus server `address` starts) or
+    // `periodic: {interval?, exporter: {console: {}}}` (→ the jsonl
+    // line writer). Shapes the reference refuses, refuse here with
+    // the same teeth: a pull reader without a prometheus exporter, a
+    // periodic reader without console (otlp push is not supported —
+    // the error names console), an unknown reader kind.
+    val telemetryReaders: Seq[Extensions.MetricReader] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("metrics")).map(asMap)
+        .flatMap(_.get("readers")).toSeq
+        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+        .map { r0 =>
+          val r = asMap(r0)
+          (r.get("pull").map(asMap), r.get("periodic").map(asMap)) match {
+            case (Some(p), None) =>
+              val prom = p.get("exporter").map(asMap)
+                .flatMap(_.get("prometheus")).map(asMap).getOrElse(
+                  throw new IllegalArgumentException(
+                    "pull metric reader requires exporter: {prometheus: ...}"))
+              Extensions.PullPrometheusReader(
+                host = prom.get("host").map(_.toString).getOrElse("localhost"),
+                port = prom.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(8888))
+            case (None, Some(p)) =>
+              val exp = p.get("exporter").map(asMap).getOrElse(
+                throw new IllegalArgumentException(
+                  "periodic metric reader requires an exporter block"))
+              if (!exp.contains("console"))
+                throw new IllegalArgumentException(
+                  "periodic metric reader supports exporter: {console: {}} " +
+                    "only (otlp push is not supported)")
+              Extensions.PeriodicConsoleReader(
+                intervalMs = p.get("interval").map(_.asInstanceOf[Number].longValue()).getOrElse(60000L))
+            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+              "metric reader declares BOTH pull and periodic — pick one")
+            case (None, None) => throw new IllegalArgumentException(
+              s"unknown metric reader kind (expected pull or periodic): ${r.keys.mkString(",")}")
+          }
+        }
     // service::telemetry::logs (telemetry LogsConfig → newLogger):
     // the service's OWN logger — level/encoding/output_paths/
     // sampling/initial_fields. Validated here (bad level/encoding
@@ -661,7 +703,7 @@ object ConfigLoader {
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result, extInstances, telemetryLevel, telemetryResource,
-      telemetryAddress, telemetryLogs)
+      telemetryAddress, telemetryLogs, telemetryReaders)
   }
 
   /** extension factory: the instance name's type prefix (before an
@@ -892,6 +934,54 @@ object ConfigLoader {
         }
       df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     }
+    // ---- curation-pipeline processors: the LLM-data arc as config
+    // stages (warc → html_to_text → gopher_gate → dedup_exact →
+    // dedup_near → shuffle_shard → jsonl), each delegating to the
+    // same operator the §2 queries run ----
+    // HTML → extracted text COLUMN (q_html_extract's kernel, kept as
+    // text for downstream dedup instead of reduced to stats)
+    case "html_to_text" => df => {
+      import org.apache.spark.sql.functions.{transform, split, trim, size, array_join, filter => ffilter}
+      val minW = m.get("min_words").map(_.asInstanceOf[Number].intValue()).getOrElse(5)
+      val txt = graft.operators.TextOps.htmlToText(expr(str(m, "from")))
+      val lines = ffilter(transform(split(txt, "\n"), l => trim(l)), l => l =!= "")
+      val kept = ffilter(lines, l => size(split(l, " +")) >= minW)
+      df.withColumn(str(m, "to"), array_join(kept, "\n"))
+    }
+    // Gopher quality gate: keep rows passing ALL rule flags
+    // (TextOps.gopherFlags — the exact expressions q_gopher_rules
+    // censuses, so the gate and the report can never drift)
+    case "gopher_gate" => df =>
+      df.filter(graft.operators.TextOps.gopherFlags(expr(str(m, "text")))
+        .map(_._2).reduce(_ && _))
+    // exact dedup, keep-first: one shuffle on the content hash
+    case "dedup_exact" => df => {
+      import org.apache.spark.sql.functions.{md5, min}
+      val idc = str(m, "id")
+      val withH = df.withColumn("__cth", md5(expr(str(m, "text"))))
+      val keep = withH.groupBy(col("__cth")).agg(min(col(idc)).as("__keep"))
+      withH.join(keep, "__cth").filter(col(idc) === col("__keep"))
+        .drop("__cth", "__keep")
+    }
+    // near dedup: exact-Jaccard pairs (posting lists, size-ratio
+    // prune) → connected components → keep the min id per component
+    case "dedup_near" => df => {
+      val idc = str(m, "id")
+      val thr = m.get("threshold").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.5)
+      val ng = m.get("shingle").map(_.asInstanceOf[Number].intValue()).getOrElse(3)
+      val sh = df.select(col(idc).as("__did"),
+        graft.operators.DedupOps.shinglesOfText(expr(str(m, "text")), ng).as("__shs"))
+      val pairs = graft.operators.DedupOps.jaccardPairs(sh, "__did", "__shs", thr)
+      val dropIds = graft.operators.DedupOps.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("__dropid"))
+      df.join(dropIds, col(idc).cast("long") === col("__dropid"), "left_anti")
+    }
+    // deterministic shuffle + shard assignment (ScaleOps.shuffleShard)
+    case "shuffle_shard" => df =>
+      graft.operators.ScaleOps.shuffleShard(df, str(m, "id"),
+        m("shards").asInstanceOf[Number].intValue(), str(m, "seed"),
+        portable = m.get("portable").exists(_.toString == "true"))
     // size + event-time-age bounded batches (timeout trigger, batch mode)
     case "batch_timed" => df =>
       graft.operators.Processors.assignBatchesTimed(df,

@@ -281,6 +281,19 @@ object Extensions {
     * detailed adds the per-transport dimensioned counters. The
     * reference service default is basic
     * (service/telemetry/config_test.go pins it). */
+  /** service::telemetry::metrics::readers entries (reference
+    * telemetry/generated_config.go MetricReader: pull →
+    * Prometheus exposition server, periodic → interval-driven
+    * console writer). Parsed and validated by ConfigLoader; started
+    * by the CLI alongside the legacy `address` server. */
+  sealed trait MetricReader
+  final case class PullPrometheusReader(host: String, port: Int)
+      extends MetricReader {
+    def address: String = s"$host:$port"
+  }
+  final case class PeriodicConsoleReader(intervalMs: Long)
+      extends MetricReader
+
   sealed abstract class TelemetryLevel(val rank: Int, val label: String)
   case object LevelNone extends TelemetryLevel(-1, "none")
   case object LevelBasic extends TelemetryLevel(0, "basic")

@@ -1351,7 +1351,13 @@ object Pipeline {
                            // service::telemetry::logs — the service's
                            // OWN logger config (zap LogsConfig shape);
                            // None = no structured self-logging
-                           telemetryLogs: Option[ServiceLogger.LogsConfig] = None) {
+                           telemetryLogs: Option[ServiceLogger.LogsConfig] = None,
+                           // service::telemetry::metrics::readers —
+                           // the newer reader-list shape alongside
+                           // `address` (telemetry/config.go:111-113):
+                           // pull → a Prometheus server, periodic →
+                           // the console jsonl writer
+                           telemetryReaders: Seq[Extensions.MetricReader] = Nil) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 
     /** extension lifecycle (reference service/extensions/extensions.go:

@@ -143,6 +143,52 @@ final class ZpagesServer(
   * zpages server (the reference default address is 0.0.0.0:8888;
   * this sandbox is loopback-only).
   */
+/** The `periodic: {exporter: {console: {}}}` metric reader
+  * (telemetry/generated_config.go PeriodicMetricReader with the
+  * console exporter): every `intervalMs` the service's OWN metrics —
+  * the same healthFrame the Prometheus endpoint serves, same level
+  * gate — write as one JSON line per metric point (the jsonl
+  * exporter's line discipline). `out` is injectable so specs capture
+  * deterministically; writeOnce is the testable kernel the loop
+  * drives. */
+final class PeriodicMetricsWriter(
+    service: Pipeline.Service,
+    spark: SparkSession,
+    intervalMs: Long,
+    out: java.io.PrintStream = System.out,
+    obs: () => Map[String, Pipeline.QueueObs] = () => Map.empty,
+    transports: () => Map[String, Map[String, Long]] = () => Map.empty,
+    obsreport: () => Obsreport.Registry = () => null,
+    processMetrics: Boolean = true,
+    autoStart: Boolean = true) {
+  @volatile private var running = true
+
+  /** one export pass; returns rows written (0 at level none) */
+  def writeOnce(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): Int = {
+    if (service.telemetryLevel.rank < Extensions.LevelBasic.rank) return 0
+    val lines = service.healthFrame(spark, timeUnixNano,
+        obs = obs(), transports = transports(),
+        obsreport = obsreport(), processMetrics = processMetrics)
+      .toJSON.collect()
+    lines.foreach(out.println)
+    out.flush()
+    lines.length
+  }
+
+  private val t = new Thread(() => {
+    while (running) {
+      try writeOnce()
+      catch { case scala.util.control.NonFatal(_) => () }
+      try Thread.sleep(intervalMs)
+      catch { case _: InterruptedException => () }
+    }
+  }, "graft-periodic-metrics")
+  t.setDaemon(true)
+  if (autoStart) t.start()
+
+  def stop(): Unit = { running = false; t.interrupt() }
+}
+
 object PromTelemetryServer {
   /** Collapse per-receiver counter maps onto their transport-type key
     * by SUMMING each counter: a service may run several receivers of

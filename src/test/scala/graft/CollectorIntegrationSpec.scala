@@ -1733,4 +1733,127 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(r.getAs[Map[String, String]]("keep") == Map("a" -> "1", "c" -> "333"))
     assert(r.getAs[Map[String, String]]("trunc") == Map("a" -> "1", "b" -> "22", "c" -> "33"))
   }
+
+  test("curation capstone: ONE yaml drives warc -> html -> gopher -> exact+near dedup -> shuffle_shard -> jsonl; equals the programmatic pipeline") {
+    import graft.operators.{TextOps, DedupOps, ScaleOps}
+    import spark.implicits._
+    // synthesize a .warc crawl from the documents table (the
+    // q_warc_extract synthesis half): one response record per doc
+    val sfDocs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val recs = sfDocs.select(graft.sources.Warc.warc_response(
+        concat(lit("http://corpus.local/doc/"), col("doc_id")),
+        lit("2024-01-01T00:00:00Z"),
+        concat(lit("<html><body><p>"),
+          regexp_replace(col("text"), "\\. ", ".</p><p>"),
+          lit("</p></body></html>"))).as("w"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    // plant duplicates that SURVIVE the gate: two verbatim copies of
+    // a gate-passing doc (exact-dedup teeth) and one copy with the
+    // last word changed (near-dup teeth) — the corpus's own dup
+    // clusters may fail the quality gate, which would leave the
+    // dedup stages vacuously un-exercised
+    val passing = sfDocs.filter(graft.operators.TextOps
+        .gopherFlags(col("text")).map(_._2).reduce(_ && _))
+      .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+    val nearText = passing.split(" ").dropRight(1).mkString(" ") + " zzzq"
+    val planted = Seq(
+      (900001L, passing), (900002L, passing), (900003L, nearText))
+    val plantedRecs = planted.toDF("doc_id", "text")
+      .select(graft.sources.Warc.warc_response(
+        concat(lit("http://corpus.local/doc/"), col("doc_id")),
+        lit("2024-01-01T00:00:00Z"),
+        concat(lit("<html><body><p>"),
+          regexp_replace(col("text"), "\\. ", ".</p><p>"),
+          lit("</p></body></html>"))).as("w"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    val in = java.nio.file.Files.createTempDirectory("cur_in").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    recs.foreach(buf.write)
+    plantedRecs.foreach(buf.write)
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "crawl-0.warc"),
+      buf.toByteArray)
+    val out = java.nio.file.Files.createTempDirectory("cur_out").toString + "/corpus"
+    val yaml =
+      s"""pipelines:
+         |  corpus/curation:
+         |    receiver:
+         |      type: warc
+         |      path: "$in"
+         |    processors:
+         |      - type: filter
+         |        where: "record_type = 'response' AND http_status = 200"
+         |      - type: upsert
+         |        name: doc_id
+         |        expr: "CAST(regexp_extract(target_uri, '([0-9]+)$$', 1) AS BIGINT)"
+         |      - type: html_to_text
+         |        from: payload
+         |        to: text
+         |        min_words: 1
+         |      - type: gopher_gate
+         |        text: text
+         |      - type: dedup_exact
+         |        id: doc_id
+         |        text: text
+         |      - type: dedup_near
+         |        id: doc_id
+         |        text: text
+         |        threshold: 0.5
+         |      - type: shuffle_shard
+         |        id: doc_id
+         |        shards: 8
+         |        seed: cur1
+         |        portable: true
+         |      - type: select
+         |        exprs: ["doc_id", "shard", "pos", "text"]
+         |    exporters:
+         |      - type: jsonl
+         |        path: "$out"
+         |""".stripMargin
+    graft.pipeline.ConfigLoader.fromYaml(yaml).run(spark)
+    val got = spark.read.json(out)
+      .select(col("doc_id").cast("long"), col("shard").cast("long"),
+        col("pos").cast("long"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    // the SAME arc built from the operators directly
+    val parsed = graft.sources.Warc.parseFiles(
+        spark.read.format("binaryFile").load(in))
+      .filter(expr("record_type = 'response' AND http_status = 200"))
+      .withColumn("doc_id",
+        expr("CAST(regexp_extract(target_uri, '([0-9]+)$', 1) AS BIGINT)"))
+    val txt = TextOps.htmlToText(col("payload"))
+    val lines = org.apache.spark.sql.functions.filter(
+      transform(split(txt, "\n"), l => trim(l)), l => l =!= "")
+    val kept = org.apache.spark.sql.functions.filter(
+      lines, l => size(split(l, " +")) >= 1)
+    val extracted = parsed.withColumn("text", array_join(kept, "\n"))
+    val gated = extracted.filter(
+      TextOps.gopherFlags(col("text")).map(_._2).reduce(_ && _))
+    val hashed = gated.withColumn("__cth", md5(col("text")))
+    val keepH = hashed.groupBy(col("__cth")).agg(min(col("doc_id")).as("__keep"))
+    val exact = hashed.join(keepH, "__cth")
+      .filter(col("doc_id") === col("__keep")).drop("__cth", "__keep")
+    val sh = exact.select(col("doc_id").as("__did"),
+      DedupOps.shinglesOfText(col("text"), 3).as("__shs"))
+    val cc = DedupOps.connectedComponents(
+      DedupOps.jaccardPairs(sh, "__did", "__shs", 0.5))
+    val near = exact.join(
+      cc.filter(col("id") =!= col("component")).select(col("id").as("__dropid")),
+      col("doc_id") === col("__dropid"), "left_anti")
+    val prog = ScaleOps.shuffleShard(near, "doc_id", 8, "cur1", portable = true)
+      .select(col("doc_id").cast("long"), col("shard").cast("long"),
+        col("pos").cast("long"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == prog, s"config run ${got.size} rows vs programmatic ${prog.size}")
+
+    // non-vacuity: every stage actually bit — the gate and BOTH dedup
+    // stages dropped documents, shards cover the configured range
+    val nIn = parsed.count()
+    assert(got.nonEmpty && got.size < nIn.toInt,
+      s"curation kept ${got.size} of $nIn — no stage dropped anything")
+    assert(gated.count() < nIn, "gopher gate dropped nothing")
+    assert(exact.count() < gated.count(), "exact dedup dropped nothing")
+    assert(near.count() < exact.count(), "near dedup dropped nothing")
+    assert(got.map(_._2).subsetOf((0L until 8L).toSet) && got.map(_._2).size > 1)
+  }
 }

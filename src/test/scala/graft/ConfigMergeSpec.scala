@@ -244,4 +244,45 @@ class ConfigMergeSpec extends AnyFunSuite {
       .asInstanceOf[graft.pipeline.Pipeline.ParquetReceiver].path
     assert(p2 == "/lit//home/u/spool", p2)
   }
+
+  test("telemetry metrics readers: pull/periodic parse with reference defaults; malformed readers refuse (telemetry/config.go:161-186)") {
+    import graft.pipeline.Extensions.{PullPrometheusReader, PeriodicConsoleReader}
+    def svcWith(readers: String) = ConfigLoader.fromJson(
+      s"""{"pipelines": {"p": {
+         |  "receiver": {"type": "parquet", "path": "/in"},
+         |  "exporters": [{"type": "logging"}]}},
+         | "service": {"telemetry": {"metrics": {"readers": [$readers]}}}}""".stripMargin)
+    // the two supported kinds, knobs read; both coexist with `address`
+    val svc = svcWith(
+      """{"pull": {"exporter": {"prometheus": {"host": "localhost", "port": 0}}}},
+        |{"periodic": {"interval": 5000, "exporter": {"console": {}}}}""".stripMargin)
+    assert(svc.telemetryReaders == Seq(
+      PullPrometheusReader("localhost", 0), PeriodicConsoleReader(5000L)))
+    // reference defaults: prometheus host/port default localhost:8888
+    // (generated_config.go Prometheus), periodic interval 60s
+    assert(svcWith("""{"pull": {"exporter": {"prometheus": {}}}}""")
+      .telemetryReaders == Seq(PullPrometheusReader("localhost", 8888)))
+    assert(svcWith("""{"periodic": {"exporter": {"console": {}}}}""")
+      .telemetryReaders == Seq(PeriodicConsoleReader(60000L)))
+    // refusals, each naming its defect: pull without prometheus,
+    // periodic with otlp (unsupported — error must name console),
+    // both kinds at once, an unknown kind
+    val e1 = intercept[IllegalArgumentException] {
+      svcWith("""{"pull": {"exporter": {}}}""") }
+    assert(e1.getMessage.contains("prometheus"))
+    val e2 = intercept[IllegalArgumentException] {
+      svcWith("""{"periodic": {"exporter": {"otlp": {"endpoint": "http://h:1", "protocol": "http/protobuf"}}}}""") }
+    assert(e2.getMessage.contains("console"))
+    intercept[IllegalArgumentException] {
+      svcWith("""{"pull": {"exporter": {"prometheus": {}}},
+                 |"periodic": {"exporter": {"console": {}}}}""".stripMargin) }
+    val e4 = intercept[IllegalArgumentException] { svcWith("""{"push": {}}""") }
+    assert(e4.getMessage.contains("pull or periodic"))
+    // no readers block at all → empty list (the address-only path)
+    assert(ConfigLoader.fromJson(
+      """{"pipelines": {"p": {
+        |  "receiver": {"type": "parquet", "path": "/in"},
+        |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+      .telemetryReaders.isEmpty)
+  }
 }

@@ -222,6 +222,59 @@ class ZpagesSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
+  test("metrics readers live: a config pull reader scrapes the same families as `address`; the periodic console reader writes healthFrame as json lines") {
+    val doc = """{
+      "service": {"telemetry": {"metrics": {"readers": [
+        {"pull": {"exporter": {"prometheus": {"host": "localhost", "port": 0}}}},
+        {"periodic": {"interval": 50, "exporter": {"console": {}}}}
+      ]}}},
+      "pipelines": {"logs/rd": {
+        "receiver": {"type": "parquet", "path": "IGNORED"},
+        "exporters": [{"type": "logging"}]
+      }}}"""
+    val svc = graft.pipeline.ConfigLoader.fromJson(doc)
+    val pull = svc.telemetryReaders.collectFirst {
+      case p: graft.pipeline.Extensions.PullPrometheusReader => p
+    }.get
+    val o = new graft.pipeline.Pipeline.QueueObs
+    o.delivered.set(4)
+    // live scrape off the reader-declared address (port 0 binds free)
+    val srv = new graft.pipeline.PromTelemetryServer(svc, spark,
+      pull.address, obs = () => Map("logs/rd" -> o))
+    try {
+      val (code, body) = get(srv.boundPort, "/metrics")
+      assert(code == 200)
+      assert(body.contains(
+        """otelcol_exporter_sent_batches{pipeline="logs/rd"} 4"""))
+      assert(body.contains("otelcol_process_uptime"))
+    } finally srv.stop()
+
+    // periodic console reader: writeOnce emits one PARSEABLE json
+    // line per healthFrame row, level-gated like every other surface
+    val buf = new java.io.ByteArrayOutputStream()
+    val w = new graft.pipeline.PeriodicMetricsWriter(svc, spark,
+      intervalMs = 60000L, out = new java.io.PrintStream(buf, true, "UTF-8"),
+      obs = () => Map("logs/rd" -> o), autoStart = false)
+    val n = w.writeOnce(timeUnixNano = 1000L)
+    w.stop()
+    val lines = new String(buf.toByteArray, "UTF-8").linesIterator.toSeq
+    assert(n > 0 && lines.length == n)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val names = lines.map { l =>
+      val j = om.readTree(l)
+      assert(j.has("metric_name") && j.has("value"), s"bad line: $l")
+      j.get("metric_name").asText()
+    }
+    assert(names.contains("otelcol_exporter_sent_batches"))
+    assert(names.contains("otelcol_process_uptime"))
+    // level none writes NOTHING (the healthFrame gate, same door)
+    val none = svc.copy(telemetryLevel = graft.pipeline.Extensions.LevelNone)
+    val w2 = new graft.pipeline.PeriodicMetricsWriter(none, spark, 60000L,
+      out = new java.io.PrintStream(buf, true, "UTF-8"), autoStart = false)
+    assert(w2.writeOnce() == 0)
+    w2.stop()
+  }
+
   test("mergeTransports SUMS counters across receivers of one transport type") {
     import graft.pipeline.PromTelemetryServer.mergeTransports
     // two otlp_grpc receivers (two pipelines, two ports) + one http:
