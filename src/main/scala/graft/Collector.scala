@@ -278,18 +278,36 @@ object Collector {
                 }
               })
             val obsreportThunk = () => {
-              // refresh the scraper mirrors at scrape time (set,
-              // not add — the ScraperObs totals are lifetime)
-              svc.pipelines.values.foreach(_.receiver match {
-                case r: graft.pipeline.Pipeline.ScrapeJvmReceiver =>
-                  r.scraperCounters.foreach { case (scraper, c) =>
-                    obsReg.scraperScraped("scrape_jvm", scraper,
-                      c.getOrElse("scraped_points", 0L))
-                    obsReg.scraperErrored("scrape_jvm", scraper,
-                      c.getOrElse("errored_points", 0L))
-                  }
-                case _ => ()
-              })
+              // refresh the scraper mirrors at scrape time. The
+              // ScraperObs totals are LIFETIME, so the registry entry
+              // is a set() — but two receivers sharing one declared
+              // id must SUM (the mergeTransports discipline), so the
+              // snapshots aggregate per (receiver id, scraper) BEFORE
+              // the set; a last-wins loop would clobber one
+              // receiver's points with the other's. MultiReceiver
+              // members unwrap (receiverIds is aligned flat), named
+              // receivers keep their declared `type/name` id.
+              def unwrap(r: graft.pipeline.Pipeline.Receiver)
+                  : Seq[graft.pipeline.Pipeline.Receiver] = r match {
+                case graft.pipeline.Pipeline.MultiReceiver(rs) => rs.flatMap(unwrap)
+                case graft.pipeline.Pipeline.ClientInfoReceiver(inner, _) => unwrap(inner)
+                case x => Seq(x)
+              }
+              val tallies = svc.pipelines.values.toSeq.flatMap { p =>
+                unwrap(p.receiver).zipWithIndex.collect {
+                  case (r: graft.pipeline.Pipeline.ScrapeJvmReceiver, i) =>
+                    val id = p.receiverIds.lift(i).map(_._1).getOrElse("scrape_jvm")
+                    r.scraperCounters.toSeq.map { case (scraper, c) =>
+                      ((id, scraper),
+                        (c.getOrElse("scraped_points", 0L),
+                         c.getOrElse("errored_points", 0L)))
+                    }
+                }.flatten
+              }
+              tallies.groupBy(_._1).foreach { case ((id, scraper), vs) =>
+                obsReg.scraperScraped(id, scraper, vs.map(_._2._1).sum)
+                obsReg.scraperErrored(id, scraper, vs.map(_._2._2).sum)
+              }
               obsReg
             }
             promSrv = svc.telemetryAddress.map { addr =>
@@ -330,8 +348,24 @@ object Collector {
             // the queries via Service.runStreaming directly)
             val (streamingDefs, batchDefs) =
               svc.pipelines.partition(_._2.plan(spark).isStreaming)
-            batchDefs.foreach { case (name, p) =>
-              p.runObsreport(spark, name, obsReg)
+            // obsreport accounting costs a dedicated counting pass
+            // per pipeline (runObsreport's exact-stats price) — at
+            // level none the catalog is never served, so run plain.
+            // Siblings run even when one fails and the first failure
+            // rethrows after all ran (Service.runObsreport semantics,
+            // pinned in ZpagesSpec — a bare foreach would abort the
+            // remaining pipelines AND their accounting).
+            if (svc.telemetryLevel.rank <
+                graft.pipeline.Extensions.LevelBasic.rank)
+              batchDefs.toSeq.sortBy(_._1).foreach(_._2.run(spark))
+            else {
+              var batchFailed: Throwable = null
+              batchDefs.toSeq.sortBy(_._1).foreach { case (name, p) =>
+                try p.runObsreport(spark, name, obsReg)
+                catch { case e: Throwable =>
+                  if (batchFailed == null) batchFailed = e }
+              }
+              if (batchFailed != null) throw batchFailed
             }
             if (streamingDefs.nonEmpty) {
               val ckpt = java.nio.file.Files

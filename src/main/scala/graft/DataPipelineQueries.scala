@@ -95,6 +95,14 @@ object DataPipelineQueries {
     val toks = docsDf
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 7)
+      // the packed winnowing key holds positions below 2^21; a doc
+      // longer than that would decode bogus (hash, position) pairs
+      // and silently lose its tail's duplicates — refuse LOUDLY
+      // (assert_true raises in the scan; null-filter keeps the row).
+      // At 100 TB, chunk monster docs upstream (q_doc_chunk).
+      .filter(assert_true(size(col("__ws")) < lit(POSCAP),
+        lit(s"exactDupSpans: document exceeds ${POSCAP - 1} tokens — " +
+          "winnowing positions would not pack; chunk it first")).isNull)
     val sel = toks
       .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
       .select(col("doc_id"), col("n_grams"), posexplode(
@@ -112,8 +120,13 @@ object DataPipelineQueries {
         (lit(POSCAP - 1) - expr(s"wmin % $POSCAP")).as("pos_sel"))
       .distinct()
       .localCheckpoint() // feeds the cap join and both pair sides
+    // df = distinct DOCUMENTS carrying the fingerprint (the
+    // documented boilerplate bound) — counting (doc, pos) rows would
+    // let intra-doc repetition push a 2-doc duplicate over the cap
+    // and silently lose the span
     val rare = sel.groupBy(col("h_sel"))
-      .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") <= dfCap)
       .select(col("h_sel"))
     val capped = sel.join(rare, "h_sel")
     val pairs = capped.select(col("h_sel"), col("doc_id").as("doc_a"),
@@ -1701,13 +1714,29 @@ object DataPipelineQueries {
     // Production-cap twin (rows-only, the minhash_scale discipline):
     // the tight boilerplate bound (df <= 8) a 100 TB run would use —
     // an n-fold duplicated passage emits <= C(8,2) pairs per anchor
-    // no matter how viral the passage. Aggregated to per-doc
-    // duplicated mass (the cut-list a curation pass consumes).
-    "q_dedup_substring_exact_scale" -> ((s, dir) =>
-      exactDupSpans(s, dir, minLen = 15, dfCap = 8)
-        .groupBy(col("doc_a"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("span_len")).as("dup_tokens"))),
+    // no matter how viral the passage. Aggregated to the per-doc cut
+    // list with EXACT duplicated-token coverage: spans union over
+    // BOTH pair sides (a doc appearing only as doc_b still gets its
+    // row), overlapping/multiply-matched passages collapse via
+    // distinct (doc, token position) — never summed per partner,
+    // which would over-count a popular passage C(n,2)-fold.
+    "q_dedup_substring_exact_scale" -> ((s, dir) => {
+      val spans = exactDupSpans(s, dir, minLen = 15, dfCap = 8)
+      val sides = spans.select(col("doc_a").as("doc_id"),
+          col("start_a").as("st"), col("span_len"))
+        .unionByName(spans.select(col("doc_b").as("doc_id"),
+          col("start_b").as("st"), col("span_len")))
+        .distinct()
+      val nSpans = sides.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"))
+      val coverage = sides
+        .select(col("doc_id"),
+          explode(expr("sequence(st, st + span_len - 1)")).as("tp"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dup_tokens"))
+      nSpans.join(coverage, "doc_id")
+    }),
 
     // Embedding-space outlier detection for curation: squared
     // distance to the per-label centroid, flagged past 2.25x the
@@ -3588,7 +3617,7 @@ object DataPipelineQueries {
         |sel AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h_sel,
         |   2097151 - (wmin % 2097152) AS pos_sel
         |  FROM w WHERE pos <= n_grams - 3),
-        |rare AS (SELECT h_sel FROM sel GROUP BY 1 HAVING COUNT(*) <= 50),
+        |rare AS (SELECT h_sel FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 50),
         |capped AS (SELECT doc_id, h_sel, pos_sel FROM sel JOIN rare USING (h_sel)),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |   a.pos_sel AS pa, b.pos_sel AS pb

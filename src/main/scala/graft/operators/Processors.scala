@@ -178,8 +178,14 @@ object Processors {
     * within each group (the rank's tie-breaker). */
   private def rankedBatchIds(df: DataFrame, groupCols: Seq[Column],
                              orderCol: Column, batchSize: Int): DataFrame = {
-    val keyed = df.withColumn("_bkey",
-      concat_ws("\u0001", groupCols.map(_.cast("string")): _*))
+    // key = to_json(struct(...)): bijective with the key TUPLE —
+    // concat_ws would silently drop NULLs (('a', NULL) and (NULL,
+    // 'a') collapse into one group) and a value containing the
+    // separator could forge a collision; JSON field names keep each
+    // component in its slot, null fields omit distinctly
+    val keyed = df.withColumn("_bkey", to_json(struct(
+      groupCols.zipWithIndex.map { case (c, i) =>
+        c.cast("string").as(s"k$i") }: _*)))
     ScaleOps.groupedRankRanged(keyed, col("_bkey"), orderCol, orderCol,
         "_rk", "_bcnt")
       .withColumn("batch_id", expr(s"(_rk - 1) DIV $batchSize"))

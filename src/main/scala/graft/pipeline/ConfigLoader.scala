@@ -581,8 +581,10 @@ object ConfigLoader {
                 throw new IllegalArgumentException(
                   "periodic metric reader supports exporter: {console: {}} " +
                     "only (otlp push is not supported)")
-              Extensions.PeriodicConsoleReader(
-                intervalMs = p.get("interval").map(_.asInstanceOf[Number].longValue()).getOrElse(60000L))
+              val iv = p.get("interval").map(_.asInstanceOf[Number].longValue()).getOrElse(60000L)
+              require(iv > 0,
+                s"periodic metric reader interval must be positive, got $iv")
+              Extensions.PeriodicConsoleReader(intervalMs = iv)
             case (Some(_), Some(_)) => throw new IllegalArgumentException(
               "metric reader declares BOTH pull and periodic — pick one")
             case (None, None) => throw new IllegalArgumentException(
@@ -967,6 +969,18 @@ object ConfigLoader {
     // prune) → connected components → keep the min id per component
     case "dedup_near" => df => {
       val idc = str(m, "id")
+      // connectedComponents labels propagate over LONG ids; a string
+      // id would cast to NULL and either crash deep in CC or make
+      // the anti-join vacuous (silently keeping every duplicate) —
+      // refuse at the seam with the remedy named
+      df.schema(idc).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => ()
+        case other => throw new IllegalArgumentException(
+          s"dedup_near id column '$idc' is $other — connected " +
+            "components need an integral id; derive one first " +
+            "(e.g. upsert a CAST/regexp_extract of the natural key)")
+      }
       val thr = m.get("threshold").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.5)
       val ng = m.get("shingle").map(_.asInstanceOf[Number].intValue()).getOrElse(3)
       val sh = df.select(col(idc).as("__did"),

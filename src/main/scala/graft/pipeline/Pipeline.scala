@@ -1245,7 +1245,11 @@ object Pipeline {
       * `receiverIds`/`processorIds`/`exporterIds` with class-derived
       * fallbacks. Counts latch on one dedicated counting action (the
       * [[runObservedStages]] discipline — an exporter running a
-      * limited action would latch partial counts). */
+      * limited action would latch partial counts). That pass is the
+      * price of exact per-receiver/per-stage counts: the plan
+      * executes once to count and once per exporter. Callers that
+      * don't serve the catalog (telemetry level none) should use
+      * [[run]] instead — the CLI does. */
     def runObsreport(spark: SparkSession, pipelineName: String,
                      reg: Obsreport.Registry): PipelineStats = {
       import org.apache.spark.sql.Observation

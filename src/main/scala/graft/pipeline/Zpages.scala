@@ -161,6 +161,11 @@ final class PeriodicMetricsWriter(
     obsreport: () => Obsreport.Registry = () => null,
     processMetrics: Boolean = true,
     autoStart: Boolean = true) {
+  // interval 0 would busy-loop Spark jobs; a negative one would kill
+  // the thread on the first sleep (IllegalArgumentException escapes
+  // the NonFatal catch) — refuse at construction, loudly
+  require(intervalMs > 0,
+    s"periodic metrics interval must be positive, got $intervalMs")
   @volatile private var running = true
 
   /** one export pass; returns rows written (0 at level none) */

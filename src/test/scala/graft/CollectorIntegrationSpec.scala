@@ -406,6 +406,27 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-key batching keeps NULL-bearing key tuples as distinct groups (no concat collapse)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ('a', NULL), (NULL, 'a') and ('a', 'a') are THREE batch groups;
+    // a null-skipping string concat would merge the first two (and an
+    // embedded separator could forge more) — each group must batch
+    // independently from id 0
+    val df = Seq(
+      (1L, Some("a"), None: Option[String]),
+      (2L, Some("a"), None: Option[String]),
+      (3L, None: Option[String], Some("a")),
+      (4L, Some("a"), Some("a"))
+    ).toDF("id", "k1", "k2")
+    val b = Processors.assignBatchesByKey(df, Seq("k1", "k2"), col("id"), 1)
+      .select(col("id"), col("batch_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batchSize 1 → batch_id = within-group rank - 1: the two
+    // ('a', NULL) rows get 0 and 1; the OTHER tuples each start at 0
+    assert(b == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L), b.toString)
+  }
+
   // minimal protobuf encoder (test-side twin of the decode kernel):
   // varint + length-delimited are the whole wire format
   private object Pb {
@@ -1845,6 +1866,19 @@ class CollectorIntegrationSpec extends AnyFunSuite {
         col("pos").cast("long"), md5(col("text")).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(got == prog, s"config run ${got.size} rows vs programmatic ${prog.size}")
+
+    // a dedup_near over a NON-integral id refuses loudly at the seam
+    // (connected components propagate long labels; a string id would
+    // cast to NULL and silently keep every duplicate)
+    val badNear = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"corpus/bad": {
+         |  "receiver": {"type": "warc", "path": "$in"},
+         |  "processors": [
+         |    {"type": "html_to_text", "from": "payload", "to": "text", "min_words": 1},
+         |    {"type": "dedup_near", "id": "target_uri", "text": "text"}],
+         |  "exporters": [{"type": "logging"}]}}}""".stripMargin)
+    val eNear = intercept[IllegalArgumentException] { badNear.run(spark) }
+    assert(eNear.getMessage.contains("integral"), eNear.getMessage)
 
     // non-vacuity: every stage actually bit — the gate and BOTH dedup
     // stages dropped documents, shards cover the configured range

@@ -278,6 +278,11 @@ class ConfigMergeSpec extends AnyFunSuite {
                  |"periodic": {"exporter": {"console": {}}}}""".stripMargin) }
     val e4 = intercept[IllegalArgumentException] { svcWith("""{"push": {}}""") }
     assert(e4.getMessage.contains("pull or periodic"))
+    // interval 0 would busy-loop and a negative one kills the writer
+    // thread — refused at parse, naming the value
+    val e5 = intercept[IllegalArgumentException] {
+      svcWith("""{"periodic": {"interval": 0, "exporter": {"console": {}}}}""") }
+    assert(e5.getMessage.contains("positive"))
     // no readers block at all → empty list (the address-only path)
     assert(ConfigLoader.fromJson(
       """{"pipelines": {"p": {

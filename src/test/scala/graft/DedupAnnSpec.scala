@@ -1043,5 +1043,49 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(uncapped.count() == 45L, "10 copies should pair C(10,2) uncapped")
     assert(DataPipelineQueries.exactDupSpansFrom(viral, 15, 2).isEmpty,
       "df cap 2 must drop a 10-doc viral passage entirely")
+
+    // the df cap counts distinct DOCUMENTS, not fingerprint
+    // occurrences: a 2-doc duplicate whose passage repeats many
+    // times INSIDE each doc must survive any cap >= 2 (row-counting
+    // would push it over the cap and silently lose the span)
+    val tiled = (passage ++ filler(200, 3, 0) ++ passage ++
+      filler(200, 3, 3) ++ passage).mkString(" ")
+    val intraDoc = Seq(
+      (501L, (filler(201, 4) ++ Seq(tiled)).mkString(" ")),
+      (502L, (filler(202, 9) ++ Seq(tiled)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val found = DataPipelineQueries.exactDupSpansFrom(intraDoc, 60, 2)
+    assert(found.count() >= 1L,
+      "intra-doc repetition pushed a 2-doc duplicate over the df cap")
+  }
+
+  test("exactDupSpans scale twin: per-doc dup_tokens is exact coverage — bounded by doc length, present for BOTH pair sides") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the viral shape that broke per-partner summing: one 60-token
+    // passage in 6 docs → 15 pairs; a per-partner sum would report
+    // 5*60 = 300 dup tokens on doc 0 (more than it has) and nothing
+    // for the max-id doc (never a doc_a)
+    def filler(doc: Int, n: Int, from: Int = 0): Seq[String] =
+      (from until from + n).map(i => s"g${doc}x$i")
+    val passage = (0 until 60).map(i => s"vv$i")
+    val viral = (0 to 5).map(d =>
+      (d.toLong, (filler(300 + d, 5) ++ passage ++
+        filler(300 + d, 5, 5)).mkString(" "))).toDF("doc_id", "text")
+    val spans = DataPipelineQueries.exactDupSpansFrom(viral, 15, 8)
+    val sides = spans.select(col("doc_a").as("doc_id"),
+        col("start_a").as("st"), col("span_len"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"),
+        col("start_b").as("st"), col("span_len")))
+      .distinct()
+    val cov = sides.select(col("doc_id"),
+        explode(expr("sequence(st, st + span_len - 1)")).as("tp"))
+      .distinct().groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cov.keySet == (0L to 5L).toSet,
+      s"every copy (incl. the max-id doc) must appear: $cov")
+    assert(cov.values.forall(_ == 60L),
+      s"coverage must be the passage length exactly, never a pair-sum: $cov")
   }
 }
