@@ -321,6 +321,59 @@ object DataPipelineQueries {
     * definition (shingle n, threshold, closure shape) lands in all
     * seven consumers at once instead of silently desynchronizing
     * one oracle from its siblings. */
+  /** The ExactSubstr oracle CTE (DuckDB twin of [[exactDupSpansFrom]]
+    * at minLen 15 / dfCap 50): winnow anchors with positions, the
+    * distinct-DOCUMENT df cap, anchor pair join, collision-checked
+    * extension. ONE copy — q_dedup_substring_exact and
+    * q_dup_span_hist both consume it, so a change to the span
+    * definition can never desynchronize the two oracles. */
+  private val ExactSubstrCte: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM t WHERE len(ws) >= 7),
+      |g AS (SELECT doc_id, n_grams,
+      |   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+      |     for i in range(1, len(ws) - 2)]) AS gram,
+      |   unnest(range(1, len(ws) - 2)) AS pos
+      |  FROM f),
+      |h AS (SELECT doc_id, n_grams, pos,
+      |   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hh FROM g),
+      |w AS (SELECT doc_id, n_grams, pos,
+      |   MIN(hh * 2097152 + (2097151 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM h),
+      |sel AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h_sel,
+      |   2097151 - (wmin % 2097152) AS pos_sel
+      |  FROM w WHERE pos <= n_grams - 3),
+      |rare AS (SELECT h_sel FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 50),
+      |capped AS (SELECT doc_id, h_sel, pos_sel FROM sel JOIN rare USING (h_sel)),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   a.pos_sel AS pa, b.pos_sel AS pb
+      |  FROM capped a JOIN capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id),
+      |wt AS (SELECT p.*, fa.ws AS za, fb.ws AS zb
+      |  FROM pairs p JOIN f fa ON p.doc_a = fa.doc_id
+      |               JOIN f fb ON p.doc_b = fb.doc_id
+      |  WHERE array_to_string(fa.ws[p.pa:p.pa+3], ' ')
+      |      = array_to_string(fb.ws[p.pb:p.pb+3], ' ')),
+      |ext AS (SELECT doc_a, doc_b, pa, pb,
+      |   COALESCE(NULLIF(list_position(
+      |     [za[pa - i] = zb[pb - i] for i in range(1, least(pa, pb))], false), 0) - 1,
+      |     least(pa, pb) - 1) AS left_ext,
+      |   COALESCE(NULLIF(list_position(
+      |     [za[pa + 3 + i] = zb[pb + 3 + i]
+      |       for i in range(1, least(len(za) - (pa + 3), len(zb) - (pb + 3)) + 1)],
+      |     false), 0) - 1,
+      |     least(len(za) - (pa + 3), len(zb) - (pb + 3))) AS right_ext
+      |  FROM wt),
+      |spans AS (SELECT DISTINCT doc_a, doc_b,
+      |  CAST(pa - left_ext AS BIGINT) AS start_a,
+      |  CAST(pb - left_ext AS BIGINT) AS start_b,
+      |  CAST(left_ext + 4 + right_ext AS BIGINT) AS span_len
+      |FROM ext WHERE left_ext + 4 + right_ext >= 15)""".stripMargin
+
+  /** the spans themselves (q_dedup_substring_exact's tail) */
+  private val ExactSubstrSpansSql: String =
+    "SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans"
+
   private val CcClosureSql: String =
     """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
         |sh AS (SELECT doc_id,
@@ -1736,6 +1789,85 @@ object DataPipelineQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("dup_tokens"))
       nSpans.join(coverage, "doc_id")
+    }),
+
+    // Duplicated-span census over the ExactSubstr flagship: how much
+    // verbatim duplication exists per span-length bucket — the
+    // report that decides whether span-cutting (Lee et al.) or
+    // whole-doc dedup is the right remedy for a corpus. Buckets are
+    // a literal CASE table; n_docs counts DISTINCT docs touched on
+    // EITHER pair side. The span frame feeds two aggregates —
+    // localCheckpoint so the anchor/extension machinery runs once.
+    "q_dup_span_hist" -> ((s, dir) => {
+      val spans = exactDupSpans(s, dir, minLen = 15, dfCap = 50)
+        .withColumn("bucket",
+          when(col("span_len") < 25, "15-24")
+            .when(col("span_len") < 50, "25-49")
+            .when(col("span_len") < 100, "50-99")
+            .otherwise("100+"))
+        .localCheckpoint()
+      val byBucket = spans.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).as("dup_token_mass"))
+      val docsTouched = spans
+        .select(col("bucket"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy(col("bucket")).agg(countDistinct(col("d")).as("n_docs"))
+      byBucket.join(docsTouched, "bucket")
+    }),
+
+    // Marginal value of each Gopher rule: docs failing the rule at
+    // all vs docs failing ONLY that rule (what the filter uniquely
+    // removes) — the ablation table that justifies keeping or
+    // retiring each quality gate. One map-side flag projection + one
+    // global aggregate; single wide row.
+    "q_quality_marginal" -> ((s, dir) => {
+      val flags = TextOps.gopherFlags(col("text"))
+      val names = flags.map(_._1)
+      val flagged = docs(s, dir).select(
+        flags.map { case (n, c) => c.as(n) }: _*)
+      val aggs = names.flatMap { n =>
+        val others = names.filterNot(_ == n).map(col).reduce(_ && _)
+        val short = n.stripPrefix("r_")
+        Seq(sum(when(!col(n), 1L).otherwise(0L)).as(s"fail_$short"),
+          sum(when(!col(n) && others, 1L).otherwise(0L)).as(s"only_$short"))
+      } :+ sum(when(names.map(col).reduce(_ && _), 1L).otherwise(0L)).as("n_pass")
+      flagged.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    }),
+
+    // Temperature-based mixture weights (the T5/mT5 alpha=0.5
+    // sampling rule): per-source weight ∝ sqrt(docs), the standard
+    // upsample-the-tail mix for imbalanced sources. Integer-exact
+    // under the oracle: isqrt via floor(sqrt) (correctly-rounded
+    // IEEE both engines), basis points by integer division; the
+    // 1-row total joins by stats broadcast, never a hint.
+    "q_temperature_mix" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = counts.withColumn("w_sqrt",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      val tot = w.agg(sum(col("w_sqrt")).as("total_sqrt"))
+      w.crossJoin(tot).select(col("source"), col("n_docs"), col("w_sqrt"),
+        expr("(w_sqrt * 10000) DIV total_sqrt").as("weight_bp"),
+        (col("w_sqrt").cast("double") / col("total_sqrt").cast("double"))
+          .as("weight"))
+    }),
+
+    // Lexical-diversity census: per-doc Simpson concentration over
+    // word counts (1 − Σc²/n², the rational stand-in for entropy —
+    // libm-free so the oracle is bit-exact), integer-deciled and
+    // counted per source. Low deciles flag word-soup/repetitive
+    // docs the way an entropy filter would. Two keyed aggregates,
+    // no windows, no collects.
+    "q_token_diversity" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val wc = toks.groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val per = wc.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * col("c")).as("sum_c2"), sum(col("c")).as("n"))
+      per.withColumn("decile", expr("((n * n - sum_c2) * 10) DIV (n * n)"))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // Embedding-space outlier detection for curation: squared
@@ -3601,47 +3733,71 @@ object DataPipelineQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_substring_exact" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM t WHERE len(ws) >= 7),
-        |g AS (SELECT doc_id, n_grams,
-        |   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-        |     for i in range(1, len(ws) - 2)]) AS gram,
-        |   unnest(range(1, len(ws) - 2)) AS pos
-        |  FROM f),
-        |h AS (SELECT doc_id, n_grams, pos,
-        |   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hh FROM g),
-        |w AS (SELECT doc_id, n_grams, pos,
-        |   MIN(hh * 2097152 + (2097151 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
-        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        |  FROM h),
-        |sel AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h_sel,
-        |   2097151 - (wmin % 2097152) AS pos_sel
-        |  FROM w WHERE pos <= n_grams - 3),
-        |rare AS (SELECT h_sel FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 50),
-        |capped AS (SELECT doc_id, h_sel, pos_sel FROM sel JOIN rare USING (h_sel)),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   a.pos_sel AS pa, b.pos_sel AS pb
-        |  FROM capped a JOIN capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id),
-        |wt AS (SELECT p.*, fa.ws AS za, fb.ws AS zb
-        |  FROM pairs p JOIN f fa ON p.doc_a = fa.doc_id
-        |               JOIN f fb ON p.doc_b = fb.doc_id
-        |  WHERE array_to_string(fa.ws[p.pa:p.pa+3], ' ')
-        |      = array_to_string(fb.ws[p.pb:p.pb+3], ' ')),
-        |ext AS (SELECT doc_a, doc_b, pa, pb,
-        |   COALESCE(NULLIF(list_position(
-        |     [za[pa - i] = zb[pb - i] for i in range(1, least(pa, pb))], false), 0) - 1,
-        |     least(pa, pb) - 1) AS left_ext,
-        |   COALESCE(NULLIF(list_position(
-        |     [za[pa + 3 + i] = zb[pb + 3 + i]
-        |       for i in range(1, least(len(za) - (pa + 3), len(zb) - (pb + 3)) + 1)],
-        |     false), 0) - 1,
-        |     least(len(za) - (pa + 3), len(zb) - (pb + 3))) AS right_ext
-        |  FROM wt)
-        |SELECT DISTINCT doc_a, doc_b,
-        |  CAST(pa - left_ext AS BIGINT) AS start_a,
-        |  CAST(pb - left_ext AS BIGINT) AS start_b,
-        |  CAST(left_ext + 4 + right_ext AS BIGINT) AS span_len
-        |FROM ext WHERE left_ext + 4 + right_ext >= 15""".stripMargin,
+      (ExactSubstrCte + "\n" + ExactSubstrSpansSql),
+
+    "q_dup_span_hist" ->
+      (ExactSubstrCte + "\n" +
+        """,sb AS (SELECT CASE WHEN span_len < 25 THEN '15-24'
+          |    WHEN span_len < 50 THEN '25-49'
+          |    WHEN span_len < 100 THEN '50-99' ELSE '100+' END AS bucket, *
+          |  FROM spans),
+          |b1 AS (SELECT bucket, COUNT(*) AS n_spans,
+          |   CAST(SUM(span_len) AS BIGINT) AS dup_token_mass FROM sb GROUP BY 1),
+          |b2 AS (SELECT bucket, COUNT(DISTINCT d) AS n_docs FROM
+          |   (SELECT bucket, unnest([doc_a, doc_b]) AS d FROM sb) GROUP BY 1)
+          |SELECT bucket, n_spans, dup_token_mass, n_docs
+          |FROM b1 JOIN b2 USING (bucket)""".stripMargin),
+
+    "q_quality_marginal" ->
+      """WITH t AS (SELECT source, text, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |  regexp_replace(trim(text), '\s+', '', 'g') AS squeezed FROM documents),
+        |m AS (SELECT len(ws) AS n,
+        |  CAST(LENGTH(squeezed) AS DOUBLE) / len(ws) AS mwl,
+        |  (LENGTH(text) - LENGTH(replace(text, '#', '')) +
+        |   (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3) / len(ws) AS sym_ratio,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS stop_cnt
+        | FROM t),
+        |r AS (SELECT
+        |  n >= 50 AND n <= 100000 AS r_wc,
+        |  mwl >= 3.0 AND mwl <= 10.0 AS r_mwl,
+        |  sym_ratio <= 0.1 AS r_sym,
+        |  alpha_frac >= 0.8 AS r_alpha,
+        |  stop_cnt >= 2 AS r_stop
+        | FROM m)
+        |SELECT COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+        | CAST(SUM(CASE WHEN NOT r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_wc,
+        | CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+        | CAST(SUM(CASE WHEN NOT r_mwl AND r_wc AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_mwl,
+        | CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+        | CAST(SUM(CASE WHEN NOT r_sym AND r_wc AND r_mwl AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_sym,
+        | CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+        | CAST(SUM(CASE WHEN NOT r_alpha AND r_wc AND r_mwl AND r_sym AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_alpha,
+        | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+        | CAST(SUM(CASE WHEN NOT r_stop AND r_wc AND r_mwl AND r_sym AND r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
+        | CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM r""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |   CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w_sqrt FROM c),
+        |t AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS total_sqrt FROM w)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w_sqrt,
+        |  (w_sqrt * 10000) // total_sqrt AS weight_bp,
+        |  CAST(w_sqrt AS DOUBLE) / CAST(total_sqrt AS DOUBLE) AS weight
+        |FROM w, t""".stripMargin,
+
+    "q_token_diversity" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |wc AS (SELECT doc_id, source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+        |per AS (SELECT doc_id, source, CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+        |   CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1, 2)
+        |SELECT source, ((n * n - sum_c2) * 10) // (n * n) AS decile,
+        |  COUNT(*) AS n_docs
+        |FROM per GROUP BY 1, 2""".stripMargin,
 
     "q_embed_outliers" ->
       """WITH ex AS (SELECT vec_id, label, u[2] - 1 AS pos, CAST(u[1] AS DOUBLE) AS x
