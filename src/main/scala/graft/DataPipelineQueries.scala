@@ -1834,22 +1834,59 @@ object DataPipelineQueries {
       flagged.agg(count(lit(1)).as("n_docs"), aggs: _*)
     }),
 
-    // Temperature-based mixture weights (the T5/mT5 alpha=0.5
-    // sampling rule): per-source weight ∝ sqrt(docs), the standard
-    // upsample-the-tail mix for imbalanced sources. Integer-exact
-    // under the oracle: isqrt via floor(sqrt) (correctly-rounded
-    // IEEE both engines), basis points by integer division; the
-    // 1-row total joins by stats broadcast, never a hint.
-    "q_temperature_mix" -> ((s, dir) => {
-      val counts = docs(s, dir).groupBy(col("source"))
+    // The ExactSubstr REMEDY (Lee et al. apply): cut every duplicated
+    // span from the NON-canonical copy — doc_a < doc_b by pair
+    // construction, so the b side loses its covered positions
+    // (keep-earliest, the dedup_exact discipline at span granularity).
+    // Emits the cut docs' before/after token counts and the md5 of
+    // the reassembled text: order restored by sort_array over
+    // (pos, token) structs, never a window; positions leave via one
+    // anti-join. A FULLY duplicated doc legitimately cuts to zero
+    // tokens (md5 of the empty string, both engines).
+    "q_dedup_span_cut" -> ((s, dir) => {
+      val spans = exactDupSpans(s, dir, minLen = 15, dfCap = 50)
+      val cut = spans.select(col("doc_b").as("doc_id"),
+          explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
+        .distinct()
+        .localCheckpoint() // feeds cutDocs + the anti-join
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "w")))
+        .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+      val cutDocs = cut.select(col("doc_id")).distinct()
+      val mine = toks.join(cutDocs, "doc_id")
+      val kept = mine.join(cut, Seq("doc_id", "pos"), "left_anti")
+      val before = mine.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
+      val after = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_after"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)")))
+            .as("kept_md5"))
+      before.join(after, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+    }),
+
+    // Contamination SEVERITY behind q_decontaminate's binary verdict:
+    // per contaminated train doc, the fraction of its distinct
+    // 5-grams found anywhere in the eval set, integer-deciled per
+    // source (decile 10 = fully contained). Eval postings broadcast
+    // (small by construction); one keyed aggregate.
+    "q_contam_severity" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(DedupOps.shinglesOfText(col("text"), 5)).as("s5"))
+      val evalSet = sh.filter(col("doc_id") < 25)
+        .select(col("s5")).distinct().withColumn("__hit", lit(1))
+      val per = sh.filter(col("doc_id") >= 25)
+        .join(broadcast(evalSet), Seq("s5"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      per.filter(col("n_hit") > 0)
+        .withColumn("decile", expr("(n_hit * 10) DIV n_grams"))
+        .groupBy(col("source"), col("decile"))
         .agg(count(lit(1)).as("n_docs"))
-      val w = counts.withColumn("w_sqrt",
-        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
-      val tot = w.agg(sum(col("w_sqrt")).as("total_sqrt"))
-      w.crossJoin(tot).select(col("source"), col("n_docs"), col("w_sqrt"),
-        expr("(w_sqrt * 10000) DIV total_sqrt").as("weight_bp"),
-        (col("w_sqrt").cast("double") / col("total_sqrt").cast("double"))
-          .as("weight"))
     }),
 
     // Lexical-diversity census: per-doc Simpson concentration over
@@ -3779,15 +3816,40 @@ object DataPipelineQueries {
         | CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM r""".stripMargin,
 
-    "q_temperature_mix" ->
-      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-        |w AS (SELECT source, n_docs,
-        |   CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w_sqrt FROM c),
-        |t AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS total_sqrt FROM w)
-        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w_sqrt,
-        |  (w_sqrt * 10000) // total_sqrt AS weight_bp,
-        |  CAST(w_sqrt AS DOUBLE) / CAST(total_sqrt AS DOUBLE) AS weight
-        |FROM w, t""".stripMargin,
+    "q_dedup_span_cut" ->
+      (ExactSubstrCte + "\n" +
+        """,cut AS (SELECT DISTINCT doc_id, pos FROM
+          |   (SELECT doc_b AS doc_id,
+          |      unnest(range(start_b, start_b + span_len)) AS pos FROM spans)),
+          |tokp AS (SELECT doc_id, unnest(ws) AS w,
+          |   unnest(range(1, len(ws) + 1)) AS pos FROM t),
+          |cd AS (SELECT DISTINCT doc_id FROM cut),
+          |mine AS (SELECT tokp.* FROM tokp JOIN cd USING (doc_id)),
+          |kept AS (SELECT mine.doc_id, mine.w, mine.pos FROM mine
+          |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+          |    WHERE c.doc_id = mine.doc_id AND c.pos = mine.pos)),
+          |bef AS (SELECT doc_id, COUNT(*) AS n_before FROM mine GROUP BY 1),
+          |aft AS (SELECT doc_id, COUNT(*) AS n_after,
+          |   md5(string_agg(w, ' ' ORDER BY pos)) AS kept_md5 FROM kept GROUP BY 1)
+          |SELECT bef.doc_id, bef.n_before,
+          |  COALESCE(aft.n_after, 0) AS n_after,
+          |  COALESCE(aft.kept_md5, md5('')) AS kept_md5
+          |FROM bef LEFT JOIN aft USING (doc_id)""".stripMargin),
+
+    "q_contam_severity" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(
+        |  CASE WHEN len(ws) >= 5
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |     for i in range(1, len(ws) - 3)])
+        |   ELSE [] END) AS s5 FROM w),
+        |ev AS (SELECT DISTINCT s5 FROM sh WHERE doc_id < 25),
+        |per AS (SELECT sh.doc_id, sh.source, COUNT(*) AS n_grams,
+        |   CAST(SUM(CASE WHEN ev.s5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM sh LEFT JOIN ev ON sh.s5 = ev.s5
+        |  WHERE sh.doc_id >= 25 GROUP BY 1, 2)
+        |SELECT source, (n_hit * 10) // n_grams AS decile, COUNT(*) AS n_docs
+        |FROM per WHERE n_hit > 0 GROUP BY 1, 2""".stripMargin,
 
     "q_token_diversity" ->
       """WITH tok AS (SELECT doc_id, source,
