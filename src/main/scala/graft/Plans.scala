@@ -178,7 +178,17 @@ object Plans {
       "as offset + row_number over (source, bucket) — each group's " +
       "sort spreads over #buckets tasks instead of one 5 TB task at " +
       "100 TB / 20 sources. PlanSpec now mechanically bans WindowExec " +
-      "partitioned solely on a declared low-cardinality key."))
+      "partitioned solely on a declared low-cardinality key."),
+    "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
+      "shuffle ∝ ANCHORS, never text²: the winnow window selects " +
+      "≈ 2/(w+1) fingerprints per token (per-doc window — high-card " +
+      "key), the distinct-doc df cap bounds every anchor's pair " +
+      "fan-out at C(cap,2), and ONLY 8-byte hashes + positions ride " +
+      "the pair exchange; token arrays join back onto the " +
+      "candidate-bounded pairs alone, where the extension runs as " +
+      "one codegen'd projection (no UDF, no iteration). A suffix " +
+      "array would need a global sort of every suffix; this plan's " +
+      "biggest exchange is the anchor join."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
