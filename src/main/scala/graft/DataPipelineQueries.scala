@@ -315,18 +315,37 @@ object DataPipelineQueries {
     "</p><div>Share on social media</div>" +
       "<footer>Copyright 2024 Example Corp</footer></body></html>"
 
-  /** The shared near-dup CC closure EVERY dedup oracle opens with
-    * (shingle pair graph at threshold 0.5, recursive reach,
-    * min-label components). ONE copy: a change to the near-dup
-    * definition (shingle n, threshold, closure shape) lands in all
-    * seven consumers at once instead of silently desynchronizing
-    * one oracle from its siblings. */
+  /** The Gopher-rule flag CTE (DuckDB twin of
+    * [[graft.operators.TextOps.gopherFlags]]): per-doc rule booleans
+    * with `source` kept. ONE copy — q_gopher_rules (the per-source
+    * census) and q_quality_marginal (the ablation) both open with it,
+    * so a rule-threshold change can never desynchronize one oracle
+    * from its sibling. */
+  private val GopherRulesCte: String =
+    """WITH t AS (SELECT source, text, regexp_split_to_array(trim(text), '\s+') AS ws,
+      |  regexp_replace(trim(text), '\s+', '', 'g') AS squeezed FROM documents),
+      |m AS (SELECT source, len(ws) AS n,
+      |  CAST(LENGTH(squeezed) AS DOUBLE) / len(ws) AS mwl,
+      |  (LENGTH(text) - LENGTH(replace(text, '#', '')) +
+      |   (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3) / len(ws) AS sym_ratio,
+      |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
+      |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS stop_cnt
+      | FROM t),
+      |r AS (SELECT source,
+      |  n >= 50 AND n <= 100000 AS r_wc,
+      |  mwl >= 3.0 AND mwl <= 10.0 AS r_mwl,
+      |  sym_ratio <= 0.1 AS r_sym,
+      |  alpha_frac >= 0.8 AS r_alpha,
+      |  stop_cnt >= 2 AS r_stop
+      | FROM m)""".stripMargin
+
   /** The ExactSubstr oracle CTE (DuckDB twin of [[exactDupSpansFrom]]
     * at minLen 15 / dfCap 50): winnow anchors with positions, the
     * distinct-DOCUMENT df cap, anchor pair join, collision-checked
-    * extension. ONE copy — q_dedup_substring_exact and
-    * q_dup_span_hist both consume it, so a change to the span
-    * definition can never desynchronize the two oracles. */
+    * extension. ONE copy — ALL THREE span consumers —
+    * q_dedup_substring_exact, q_dup_span_hist and q_dedup_span_cut —
+    * open with it, so a change to the span definition can never
+    * desynchronize one oracle from its siblings. */
   private val ExactSubstrCte: String =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM t WHERE len(ws) >= 7),
@@ -374,6 +393,12 @@ object DataPipelineQueries {
   private val ExactSubstrSpansSql: String =
     "SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans"
 
+  /** The shared near-dup CC closure EVERY dedup oracle opens with
+    * (shingle pair graph at threshold 0.5, recursive reach,
+    * min-label components). ONE copy: a change to the near-dup
+    * definition (shingle n, threshold, closure shape) lands in all
+    * seven consumers at once instead of silently desynchronizing
+    * one oracle from its siblings. */
   private val CcClosureSql: String =
     """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
         |sh AS (SELECT doc_id,
@@ -1806,9 +1831,14 @@ object DataPipelineQueries {
             .when(col("span_len") < 100, "50-99")
             .otherwise("100+"))
         .localCheckpoint()
+      // PAIR mass, deliberately: Σ span_len over pair rows — a
+      // passage in n docs counts C(n,2) times, measuring pairwise
+      // duplication WORK (what the cut pass must examine), not
+      // corpus coverage (q_dedup_substring_exact_scale's dup_tokens
+      // is the coverage measure). The column name says which.
       val byBucket = spans.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_spans"),
-          sum(col("span_len")).as("dup_token_mass"))
+          sum(col("span_len")).as("pair_token_mass"))
       val docsTouched = spans
         .select(col("bucket"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
         .groupBy(col("bucket")).agg(countDistinct(col("d")).as("n_docs"))
@@ -1854,7 +1884,10 @@ object DataPipelineQueries {
           posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "w")))
         .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
       val cutDocs = cut.select(col("doc_id")).distinct()
-      val mine = toks.join(cutDocs, "doc_id")
+      // mine feeds TWO aggregates (before + kept→after) —
+      // localCheckpoint so the corpus tokenize/posexplode runs once
+      // (the q_dup_span_hist discipline)
+      val mine = toks.join(cutDocs, "doc_id").localCheckpoint()
       val kept = mine.join(cut, Seq("doc_id", "pos"), "left_anti")
       val before = mine.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
       val after = kept.groupBy(col("doc_id"))
@@ -3642,30 +3675,15 @@ object DataPipelineQueries {
         |FROM s GROUP BY 1""".stripMargin,
 
     "q_gopher_rules" ->
-      """WITH t AS (SELECT source, text, regexp_split_to_array(trim(text), '\s+') AS ws,
-        |  regexp_replace(trim(text), '\s+', '', 'g') AS squeezed FROM documents),
-        |m AS (SELECT source, len(ws) AS n,
-        |  CAST(LENGTH(squeezed) AS DOUBLE) / len(ws) AS mwl,
-        |  (LENGTH(text) - LENGTH(replace(text, '#', '')) +
-        |   (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3) / len(ws) AS sym_ratio,
-        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
-        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS stop_cnt
-        | FROM t),
-        |r AS (SELECT source,
-        |  n >= 50 AND n <= 100000 AS r_wc,
-        |  mwl >= 3.0 AND mwl <= 10.0 AS r_mwl,
-        |  sym_ratio <= 0.1 AS r_sym,
-        |  alpha_frac >= 0.8 AS r_alpha,
-        |  stop_cnt >= 2 AS r_stop
-        | FROM m)
-        |SELECT source, COUNT(*) AS n_docs,
-        | CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-        | CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS v_word_count,
-        | CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS v_mean_len,
-        | CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS v_symbol,
-        | CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha,
-        | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS v_stop
-        |FROM r GROUP BY source""".stripMargin,
+      (GopherRulesCte + "\n" +
+        """SELECT source, COUNT(*) AS n_docs,
+          | CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+          | CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS v_word_count,
+          | CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS v_mean_len,
+          | CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS v_symbol,
+          | CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha,
+          | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS v_stop
+          |FROM r GROUP BY source""".stripMargin),
 
     "q_tfidf_topk" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
@@ -3779,42 +3797,27 @@ object DataPipelineQueries {
           |    WHEN span_len < 100 THEN '50-99' ELSE '100+' END AS bucket, *
           |  FROM spans),
           |b1 AS (SELECT bucket, COUNT(*) AS n_spans,
-          |   CAST(SUM(span_len) AS BIGINT) AS dup_token_mass FROM sb GROUP BY 1),
+          |   CAST(SUM(span_len) AS BIGINT) AS pair_token_mass FROM sb GROUP BY 1),
           |b2 AS (SELECT bucket, COUNT(DISTINCT d) AS n_docs FROM
           |   (SELECT bucket, unnest([doc_a, doc_b]) AS d FROM sb) GROUP BY 1)
-          |SELECT bucket, n_spans, dup_token_mass, n_docs
+          |SELECT bucket, n_spans, pair_token_mass, n_docs
           |FROM b1 JOIN b2 USING (bucket)""".stripMargin),
 
     "q_quality_marginal" ->
-      """WITH t AS (SELECT source, text, regexp_split_to_array(trim(text), '\s+') AS ws,
-        |  regexp_replace(trim(text), '\s+', '', 'g') AS squeezed FROM documents),
-        |m AS (SELECT len(ws) AS n,
-        |  CAST(LENGTH(squeezed) AS DOUBLE) / len(ws) AS mwl,
-        |  (LENGTH(text) - LENGTH(replace(text, '#', '')) +
-        |   (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3) / len(ws) AS sym_ratio,
-        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
-        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS stop_cnt
-        | FROM t),
-        |r AS (SELECT
-        |  n >= 50 AND n <= 100000 AS r_wc,
-        |  mwl >= 3.0 AND mwl <= 10.0 AS r_mwl,
-        |  sym_ratio <= 0.1 AS r_sym,
-        |  alpha_frac >= 0.8 AS r_alpha,
-        |  stop_cnt >= 2 AS r_stop
-        | FROM m)
-        |SELECT COUNT(*) AS n_docs,
-        | CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
-        | CAST(SUM(CASE WHEN NOT r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_wc,
-        | CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
-        | CAST(SUM(CASE WHEN NOT r_mwl AND r_wc AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_mwl,
-        | CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
-        | CAST(SUM(CASE WHEN NOT r_sym AND r_wc AND r_mwl AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_sym,
-        | CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
-        | CAST(SUM(CASE WHEN NOT r_alpha AND r_wc AND r_mwl AND r_sym AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_alpha,
-        | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
-        | CAST(SUM(CASE WHEN NOT r_stop AND r_wc AND r_mwl AND r_sym AND r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
-        | CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        |FROM r""".stripMargin,
+      (GopherRulesCte + "\n" +
+        """SELECT COUNT(*) AS n_docs,
+          | CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+          | CAST(SUM(CASE WHEN NOT r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_wc,
+          | CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+          | CAST(SUM(CASE WHEN NOT r_mwl AND r_wc AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_mwl,
+          | CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+          | CAST(SUM(CASE WHEN NOT r_sym AND r_wc AND r_mwl AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_sym,
+          | CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+          | CAST(SUM(CASE WHEN NOT r_alpha AND r_wc AND r_mwl AND r_sym AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_alpha,
+          | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+          | CAST(SUM(CASE WHEN NOT r_stop AND r_wc AND r_mwl AND r_sym AND r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
+          | CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+          |FROM r""".stripMargin),
 
     "q_dedup_span_cut" ->
       (ExactSubstrCte + "\n" +
