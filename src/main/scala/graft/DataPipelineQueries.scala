@@ -190,11 +190,17 @@ object DataPipelineQueries {
         .as("tri"))
     val train = tris(d.filter(col("doc_id") % 5 =!= 0))
     val test = tris(d.filter(col("doc_id") % 5 === 0))
+    // groupedRankRanged runs its input THREE times (percentile cuts,
+    // bucket counts, the ranked plan) — checkpoint the bounded
+    // (lang, trigram) aggregate so the corpus trigram explode runs
+    // once, not three times (measured 7 s → ~2 s at sf0.1)
+    val langCounts = train.groupBy(col("lang"), col("tri"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
     val langProf = ScaleOps.groupedRankRanged(
-        train.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n")),
-        col("lang"), -col("n"), col("tri"), "rk", "__cnt")
+        langCounts, col("lang"), -col("n"), col("tri"), "rk", "__cnt")
       .filter(col("rk") <= R)
       .select(col("lang"), col("tri"), col("rk").as("rk_lang"))
+      .localCheckpoint() // feeds the match join AND the lang list
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("n").desc, col("tri"))
     val docProf = test.groupBy(col("doc_id"), col("tri"))
@@ -202,6 +208,7 @@ object DataPipelineQueries {
       .withColumn("rk_doc", row_number().over(wDoc))
       .filter(col("rk_doc") <= R)
       .select(col("doc_id"), col("tri"), col("rk_doc"))
+      .localCheckpoint() // feeds profSize AND the match join
     val profSize = docProf.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("p"))
     val langs = langProf.select(col("lang").as("cand")).distinct()
