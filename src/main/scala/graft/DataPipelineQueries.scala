@@ -1929,6 +1929,34 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // OOV-rate-at-budget curve — the tokenizer-design measure behind
+    // picking a vocab size: for each budget B, the fraction of token
+    // OCCURRENCES (and distinct types) falling outside the top-B
+    // corpus vocabulary. Complements q_vocab_stats (corpus totals)
+    // and q_tokenizer_fertility (a FIXED tokenizer's cost). Vocab
+    // ranking rides ScaleOps.globalRank (corpus-scaled key — never a
+    // single-partition window); the counts frame checkpoints because
+    // globalRank evaluates its input three times.
+    "q_vocab_oov" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val ranked = ScaleOps.globalRank(counts, -col("tf"), col("term"), "rk")
+      ranked.select(col("tf"), col("rk"),
+          explode(array(lit(256L), lit(1024L), lit(4096L), lit(16384L)))
+            .as("budget"))
+        .groupBy(col("budget"))
+        .agg(
+          sum(when(col("rk") > col("budget"), col("tf")).otherwise(0L))
+            .as("oov_tokens"),
+          sum(when(col("rk") > col("budget"), 1L).otherwise(0L))
+            .as("oov_types"),
+          sum(col("tf")).as("total_tokens"))
+        .withColumn("oov_rate", col("oov_tokens").cast("double") /
+          col("total_tokens").cast("double"))
+    }),
+
     // Lexical-diversity census: per-doc Simpson concentration over
     // word counts (1 − Σc²/n², the rational stand-in for entropy —
     // libm-free so the oracle is bit-exact), integer-deciled and
@@ -3860,6 +3888,19 @@ object DataPipelineQueries {
         |  WHERE sh.doc_id >= 25 GROUP BY 1, 2)
         |SELECT source, (n_hit * 10) // n_grams AS decile, COUNT(*) AS n_docs
         |FROM per WHERE n_hit > 0 GROUP BY 1, 2""".stripMargin,
+
+    "q_vocab_oov" ->
+      """WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY 1),
+        |r AS (SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS rk FROM c),
+        |b AS (SELECT unnest([256, 1024, 4096, 16384]) AS budget)
+        |SELECT CAST(budget AS BIGINT) AS budget,
+        | CAST(SUM(CASE WHEN rk > budget THEN tf ELSE 0 END) AS BIGINT) AS oov_tokens,
+        | CAST(SUM(CASE WHEN rk > budget THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+        | CAST(SUM(tf) AS BIGINT) AS total_tokens,
+        | CAST(SUM(CASE WHEN rk > budget THEN tf ELSE 0 END) AS DOUBLE) /
+        |   CAST(SUM(tf) AS DOUBLE) AS oov_rate
+        |FROM r, b GROUP BY 1""".stripMargin,
 
     "q_token_diversity" ->
       """WITH tok AS (SELECT doc_id, source,
