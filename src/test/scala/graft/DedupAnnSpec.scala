@@ -1059,6 +1059,59 @@ class DedupAnnSpec extends AnyFunSuite {
       "intra-doc repetition pushed a 2-doc duplicate over the df cap")
   }
 
+  test("exactDupSpans precision sweep: planted passages of every length/offset/copy-count shape recover exactly; sub-threshold lengths recover nothing") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic parameterized sweep over the shapes that stress
+    // the anchor/extension machinery: the minimum span (15 = the
+    // winnowing guarantee boundary + extension), off-by-one above it,
+    // a mid-size and a long passage; varying offsets incl. offset 0
+    // (extension hits the doc start) and tail placement (extension
+    // hits the doc end); 2-copy and 4-copy sharing
+    def filler(tag: Int, n: Int, from: Int = 0): Seq[String] =
+      (from until from + n).map(i => s"u${tag}q$i")
+    var tag = 0
+    for {
+      plen <- Seq(15, 16, 40, 100)
+      (offA, offB) <- Seq((0, 7), (3, 0), (10, 25))
+      copies <- Seq(2, 4)
+    } {
+      tag += 1
+      val passage = (0 until plen).map(i => s"p${tag}x$i")
+      val corpus = (0 until copies).map { d =>
+        val off = if (d % 2 == 0) offA else offB
+        val tailLen = if (d == copies - 1) 0 else 12 // one copy ends AT the passage
+        (d.toLong,
+          (filler(tag * 10 + d, off) ++ passage ++
+            filler(tag * 10 + d, tailLen, off)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = DataPipelineQueries.exactDupSpansFrom(corpus, 15, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val expect = (for {
+        a <- 0 until copies; b <- a + 1 until copies
+      } yield {
+        val sa = (if (a % 2 == 0) offA else offB) + 1L
+        val sb = (if (b % 2 == 0) offA else offB) + 1L
+        (a.toLong, b.toLong, sa, sb, plen.toLong)
+      }).toSet
+      assert(got == expect,
+        s"plen=$plen offs=($offA,$offB) copies=$copies: got $got expected $expect")
+    }
+    // sub-threshold: every length below minLen recovers NOTHING,
+    // right up to the boundary (14 vs the 15 gate)
+    for (plen <- Seq(8, 14)) {
+      tag += 1
+      val passage = (0 until plen).map(i => s"s${tag}x$i")
+      val corpus = Seq(
+        (0L, (filler(tag * 10, 5) ++ passage ++ filler(tag * 10, 12, 5)).mkString(" ")),
+        (1L, (filler(tag * 10 + 1, 9) ++ passage ++ filler(tag * 10 + 1, 12, 9)).mkString(" "))
+      ).toDF("doc_id", "text")
+      assert(DataPipelineQueries.exactDupSpansFrom(corpus, 15, 50).isEmpty,
+        s"plen=$plen below minLen leaked a span")
+    }
+  }
+
   test("exactDupSpans scale twin: per-doc dup_tokens is exact coverage — bounded by doc length, present for BOTH pair sides") {
     val spark2 = spark
     import spark2.implicits._
