@@ -349,24 +349,29 @@ object Collector {
             val (streamingDefs, batchDefs) =
               svc.pipelines.partition(_._2.plan(spark).isStreaming)
             // obsreport accounting costs a dedicated counting pass
-            // per pipeline (runObsreport's exact-stats price) — at
-            // level none the catalog is never served, so run plain.
+            // per pipeline (runObsreport's exact-stats price) — pay
+            // it only when the catalog has a consumer: level ≥ basic
+            // AND something serves it (the telemetry address server
+            // or a configured metrics reader). A plain config with
+            // neither runs N_exporters executions, not N+1.
             // Siblings run even when one fails and the first failure
             // rethrows after all ran (Service.runObsreport semantics,
-            // pinned in ZpagesSpec — a bare foreach would abort the
-            // remaining pipelines AND their accounting).
-            if (svc.telemetryLevel.rank <
-                graft.pipeline.Extensions.LevelBasic.rank)
-              batchDefs.toSeq.sortBy(_._1).foreach(_._2.run(spark))
-            else {
-              var batchFailed: Throwable = null
-              batchDefs.toSeq.sortBy(_._1).foreach { case (name, p) =>
-                try p.runObsreport(spark, name, obsReg)
-                catch { case e: Throwable =>
-                  if (batchFailed == null) batchFailed = e }
-              }
-              if (batchFailed != null) throw batchFailed
+            // pinned in ZpagesSpec) — on BOTH paths: which pipelines
+            // execute after a failure must not depend on the
+            // telemetry knob.
+            val obsConsumers = svc.telemetryAddress.nonEmpty ||
+              svc.telemetryReaders.nonEmpty
+            val withObs = obsConsumers && svc.telemetryLevel.rank >=
+              graft.pipeline.Extensions.LevelBasic.rank
+            var batchFailed: Throwable = null
+            batchDefs.toSeq.sortBy(_._1).foreach { case (name, p) =>
+              try {
+                if (withObs) p.runObsreport(spark, name, obsReg)
+                else p.run(spark)
+              } catch { case e: Throwable =>
+                if (batchFailed == null) batchFailed = e }
             }
+            if (batchFailed != null) throw batchFailed
             if (streamingDefs.nonEmpty) {
               val ckpt = java.nio.file.Files
                 .createTempDirectory("graft_cli_ckpt").toString

@@ -193,15 +193,6 @@ object MetricsOps {
                         cnt: Column, qs: Seq[Double],
                         bounds: Seq[Double]): DataFrame = {
     require(bounds.nonEmpty, "explicit bounds must be non-empty")
-    // bucket 0's lower edge is pinned at 0.0 (and so is the SQL
-    // twin's) — with a negative first bound the interpolation could
-    // exceed the bucket's upper edge, where promql instead returns
-    // the upper bound when the uppermost relevant bound is <= 0.
-    // Refuse loudly rather than diverge silently.
-    require(bounds.head >= 0,
-      s"explicitQuantiles: first bound ${bounds.head} < 0 — bucket 0 " +
-        "interpolates from a 0.0 lower edge; negative-bound histograms " +
-        "are not supported (promql clamps to the upper bound there)")
     val wOrd = Window.partitionBy(seriesKeys: _*).orderBy(col("_k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(seriesKeys: _*)
@@ -220,8 +211,20 @@ object MetricsOps {
     val cntD = col("_cnt").cast("double")
     val aggs = qs.map { q =>
       val r = lit(q) * col("_total").cast("double")
-      val est = when(col("_k") >= lit(n), lit(bounds(n - 1)))
-        .otherwise(lo + ((r - beforeD) / cntD) * (hi - lo))
+      // promql's bucket-0 clamp (promql/quantile.go bucketQuantile):
+      // a quantile landing in the first bucket returns its UPPER
+      // bound when that bound is <= 0 — bucket 0's lower edge is
+      // pinned at 0.0, and interpolating toward a non-positive upper
+      // edge from there would run backwards. Bounds are plan-time
+      // literals, so the branch only exists for such histograms
+      // (negative-bound delta/temperature metrics).
+      val interp = lo + ((r - beforeD) / cntD) * (hi - lo)
+      val withOverflow = when(col("_k") >= lit(n), lit(bounds(n - 1)))
+      val est =
+        if (bounds.head <= 0)
+          withOverflow.when(col("_k") === lit(0), lit(bounds.head))
+            .otherwise(interp)
+        else withOverflow.otherwise(interp)
       max(when(beforeD < r && cumD >= r, est)).as(qName(q))
     }
     val names = seriesKeys.map(_.toString)
@@ -244,7 +247,12 @@ object MetricsOps {
       .mkString("CASE ", " ", s" ELSE ${fmtD(bounds(n - 1))} END")
     val r = s"($q * CAST($totalExpr AS DOUBLE))"
     val before = s"CAST($cumExpr - $cntExpr AS DOUBLE)"
-    val est = s"(CASE WHEN $kExpr >= $n THEN ${fmtD(bounds(n - 1))} " +
+    // the bucket-0 promql clamp branch exists iff the Spark plan's
+    // does (bounds are literals on both sides)
+    val clamp0 =
+      if (bounds.head <= 0) s"WHEN $kExpr = 0 THEN ${fmtD(bounds.head)} "
+      else ""
+    val est = s"(CASE WHEN $kExpr >= $n THEN ${fmtD(bounds(n - 1))} " + clamp0 +
       s"ELSE (($loSql) + (($r - $before) / CAST($cntExpr AS DOUBLE)) * (($hiSql) - ($loSql))) END)"
     s"MAX(CASE WHEN $before < $r AND CAST($cumExpr AS DOUBLE) >= $r THEN $est END)"
   }

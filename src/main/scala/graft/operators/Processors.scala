@@ -164,6 +164,14 @@ object Processors {
     * Batches form independently inside each key group — one shuffle on
     * the keys, each group's window sorts only its own rows. Compose
     * with [[requireMetadataCardinality]] for the limit semantics.
+    *
+    * CONTRACT: the key combination must be LOW-CARDINALITY (the
+    * reference caps it at metadataCardinalityLimit, default 1000) —
+    * ranks ride [[ScaleOps.groupedRankRanged]], which collects
+    * #keys × #buckets cells to the driver and hard-fails above 100k
+    * cells. A high-cardinality key belongs on a keyed window, not on
+    * this batcher. `orderCol` must be row-unique within each key
+    * group (the rank's tie-breaker).
     */
   def assignBatchesByKey(df: DataFrame, keys: Seq[String], orderCol: Column,
                          batchSize: Int): DataFrame =

@@ -215,7 +215,13 @@ object ScaleOps {
     * ROW_NUMBER() OVER (PARTITION BY group ORDER BY orderCol, tieCol):
     * integer-exact, oracle-safe (ties on a cut value all land in one
     * bucket via strict `>` bucketing, so the in-group total order is
-    * respected globally). */
+    * respected globally).
+    *
+    * The input is evaluated TWICE: once projected to (group, order)
+    * and checkpointed for the two stats passes, once for the output
+    * plan — safe to hand an SF-scaled frame directly (the stats scan
+    * is narrow); checkpoint bounded aggregate inputs anyway so the
+    * output evaluation doesn't recompute an expensive upstream. */
   def groupedRankRanged(df: DataFrame, groupCol: Column, orderCol: Column,
                         tieCol: Column, rankCol: String, cntCol: String,
                         partitions: Int = 0): DataFrame = {
@@ -231,16 +237,23 @@ object ScaleOps {
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val qs = (1 until n).map(_.toDouble / n)
-    val cutRow = dfNn.select(
-      percentile_approx(orderCol, typedLit(qs), lit(10000)).as("c")).head()
+    val g = groupCol.cast("string")
+    // the percentile cuts and the (group, bucket) counts are TWO
+    // driver-side stats passes — derive both from one checkpointed
+    // (group, order) projection so an SF-scaled input is scanned once
+    // (narrow) for stats + once for the output plan, never three
+    // times (q_batch_by_key read its corpus 3× before this)
+    val stats = dfNn.select(g.as("_g"), orderCol.as("_o")).localCheckpoint()
+    val cutRow = stats.select(
+      percentile_approx(col("_o"), typedLit(qs), lit(10000)).as("c")).head()
     val cuts: Seq[Any] =
       if (cutRow == null || cutRow.isNullAt(0)) Seq.empty
       else cutRow.getSeq[Any](0).distinct
     def bucketOf(c: Column): Column =
       cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
-    val g = groupCol.cast("string")
     val bucketed = dfNn.withColumn("_bk", bucketOf(orderCol))
-    val counted = bucketed.groupBy(g.as("_g"), col("_bk"))
+    val counted = stats.withColumn("_bk", bucketOf(col("_o")))
+      .groupBy(col("_g"), col("_bk"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     // loud guard: the driver map is bounded ONLY by the declared

@@ -273,14 +273,6 @@ object Extensions {
   // configtelemetry (reference: config/configtelemetry)
   // ----------------------------------------------------------------
 
-  /** Internal-telemetry verbosity (configtelemetry.go Level): how
-    * much self-observability the service emits about ITSELF. Applied
-    * to [[Pipeline.Service.healthFrame]]: none publishes nothing,
-    * basic the essentials (queue depth gauges + delivery/dead-letter
-    * totals), normal adds the retry/partial-success indicators,
-    * detailed adds the per-transport dimensioned counters. The
-    * reference service default is basic
-    * (service/telemetry/config_test.go pins it). */
   /** service::telemetry::metrics::readers entries (reference
     * telemetry/generated_config.go MetricReader: pull →
     * Prometheus exposition server, periodic → interval-driven
@@ -294,6 +286,14 @@ object Extensions {
   final case class PeriodicConsoleReader(intervalMs: Long)
       extends MetricReader
 
+  /** Internal-telemetry verbosity (configtelemetry.go Level): how
+    * much self-observability the service emits about ITSELF. Applied
+    * to [[Pipeline.Service.healthFrame]]: none publishes nothing,
+    * basic the essentials (queue depth gauges + delivery/dead-letter
+    * totals), normal adds the retry/partial-success indicators,
+    * detailed adds the per-transport dimensioned counters. The
+    * reference service default is basic
+    * (service/telemetry/config_test.go pins it). */
   sealed abstract class TelemetryLevel(val rank: Int, val label: String)
   case object LevelNone extends TelemetryLevel(-1, "none")
   case object LevelBasic extends TelemetryLevel(0, "basic")

@@ -21,8 +21,11 @@ import java.util.concurrent.atomic.AtomicLong
   *  - `otelcol_scraper_scraped_metric_points` /
   *    `otelcol_scraper_errored_metric_points`, dimensioned by
   *    {receiver, scraper};
-  *  - `otelcol_processor_dropped_*` (obs_processor.go), dimensioned
-  *    by {processor}.
+  *  - `otelcol_processor_accepted_*` / `refused_*` / `dropped_*`
+  *    (obsreport_processor.go:101-157, names in obs_processor.go:
+  *    32-56), dimensioned by {processor} — rows a stage passed on
+  *    successfully vs rows a downstream failure refused vs rows the
+  *    stage itself dropped.
   *
   * One [[Obsreport.Registry]] instance is the service-lifetime
   * catalog: counters key on (family, dimensions), so two instances of
@@ -79,6 +82,10 @@ object Obsreport {
       add(s"otelcol_exporter_send_failed_$item", Map("exporter" -> id), n)
     def exporterEnqueueFailed(id: String, item: String, n: Long): Unit =
       add(s"otelcol_exporter_enqueue_failed_$item", Map("exporter" -> id), n)
+    def processorAccepted(id: String, item: String, n: Long): Unit =
+      add(s"otelcol_processor_accepted_$item", Map("processor" -> id), n)
+    def processorRefused(id: String, item: String, n: Long): Unit =
+      add(s"otelcol_processor_refused_$item", Map("processor" -> id), n)
     def processorDropped(id: String, item: String, n: Long): Unit =
       add(s"otelcol_processor_dropped_$item", Map("processor" -> id), n)
     def scraperScraped(receiver: String, scraper: String, n: Long): Unit =

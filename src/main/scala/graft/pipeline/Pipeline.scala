@@ -1234,7 +1234,10 @@ object Pipeline {
       *    EndOp(err) semantics (a consumer error surfaces at the
       *    receiver as refused, not silently accepted);
       *  - per processor: rows in − rows out become
-      *    `otelcol_processor_dropped_<item>`;
+      *    `otelcol_processor_dropped_<item>`; rows out count
+      *    `otelcol_processor_accepted_<item>` when the run delivers
+      *    and `otelcol_processor_refused_<item>` when a downstream
+      *    failure bounces them (obsreport_processor.go:101-157);
       *  - per exporter: the sent row count becomes
       *    `otelcol_exporter_sent_<item>` on success,
       *    `otelcol_exporter_send_failed_<item>` on a throw (the error
@@ -1248,8 +1251,9 @@ object Pipeline {
       * limited action would latch partial counts). That pass is the
       * price of exact per-receiver/per-stage counts: the plan
       * executes once to count and once per exporter. Callers that
-      * don't serve the catalog (telemetry level none) should use
-      * [[run]] instead — the CLI does. */
+      * don't serve the catalog should use [[run]] instead — the CLI
+      * falls back to it at telemetry level none and when neither a
+      * telemetry address nor a metrics reader is configured. */
     def runObsreport(spark: SparkSession, pipelineName: String,
                      reg: Obsreport.Registry): PipelineStats = {
       import org.apache.spark.sql.Observation
@@ -1300,6 +1304,16 @@ object Pipeline {
           reg.exporterSendFailed(expIdent(i, ex), item, sent)
           if (failed == null) failed = e
         }
+      }
+      // processor accepted/refused (obsreport_processor.go:101-157):
+      // rows a stage emitted count accepted when the run delivered,
+      // refused when a downstream failure bounced them — the same
+      // EndOp(err) discipline the receiver families follow, decided
+      // once the exporters have actually run
+      stageCounts.zipWithIndex.foreach { case (out, i) =>
+        if (failed == null)
+          reg.processorAccepted(procIdent(i, processors(i)), item, out)
+        else reg.processorRefused(procIdent(i, processors(i)), item, out)
       }
       members.zipWithIndex.foreach { case (r, i) =>
         val (id, transport) = recvIdent(i, r)

@@ -191,6 +191,74 @@ class CollectorCliSpec extends AnyFunSuite {
     assert(spark.read.parquet(outB).count() == 7)
   }
 
+  test("run pays the obsreport counting pass only when the catalog has a consumer; a failing sibling never stops the others, at any telemetry level") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("cli_gate_in").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "msg").write.mode("overwrite").parquet(in)
+    def cfgFor(telemetry: String, out: String): String = write(".json",
+      s"""{$telemetry"pipelines": {"logs/g": {
+         |  "receiver": {"type": "parquet", "path": "$in"},
+         |  "exporters": [{"type": "parquet", "path": "$out"}]}}}""".stripMargin)
+    // count Spark jobs per run (the CLI shares this JVM's session):
+    // obsreport's exact stats cost one dedicated counting job on top
+    // of the export job — a config with NO telemetry address and NO
+    // readers must not pay it (level basic is the DEFAULT, so plain
+    // configs are exactly this case)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def jobsOf(cfg: String): Int = {
+        jobs.set(0)
+        val (c, _) = exec("run", "--config", cfg)
+        assert(c == 0)
+        // listener events post asynchronously — wait for the count to
+        // go quiet (two consecutive reads equal) before sampling
+        var last = -1
+        var waited = 0
+        while (jobs.get() != last && waited < 5000) {
+          last = jobs.get(); Thread.sleep(100); waited += 100
+        }
+        jobs.get()
+      }
+      val outPlain = java.nio.file.Files.createTempDirectory("cli_gp").toString + "/o"
+      val outObs = java.nio.file.Files.createTempDirectory("cli_go").toString + "/o"
+      val plainJobs = jobsOf(cfgFor("", outPlain))
+      val obsJobs = jobsOf(cfgFor(
+        """"service": {"telemetry": {"metrics": {"address": "localhost:0"}}}, """,
+        outObs))
+      assert(spark.read.parquet(outPlain).count() == 2)
+      assert(spark.read.parquet(outObs).count() == 2)
+      assert(obsJobs > plainJobs,
+        s"served catalog must add the counting pass: $obsJobs vs $plainJobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // sibling discipline is NOT a telemetry-knob side effect: at level
+    // none (the plain-run path) a failing pipeline still lets the
+    // later-sorted sibling run, and the failure rethrows at the end
+    val okOut = java.nio.file.Files.createTempDirectory("cli_sib").toString + "/ok"
+    val blocked = write(".txt", "not a directory") // exporter path inside a FILE
+    val sib = write(".json",
+      s"""{"service": {"telemetry": {"metrics": {"level": "none"}}},
+         |"pipelines": {
+         |  "logs/a_fails": {
+         |    "receiver": {"type": "parquet", "path": "$in"},
+         |    "exporters": [{"type": "parquet", "path": "$blocked/sub"}]},
+         |  "logs/b_runs": {
+         |    "receiver": {"type": "parquet", "path": "$in"},
+         |    "exporters": [{"type": "parquet", "path": "$okOut"}]}}}""".stripMargin)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(bos, true, "UTF-8")
+    val code = Collector.execute(Seq("run", "--config", sib), ps)
+    assert(code != 0, "the first pipeline's failure must surface")
+    assert(spark.read.parquet(okOut).count() == 2,
+      "the sibling after the failing pipeline must still have run")
+  }
+
   test("run shuts extensions down when the data path fails — no leaked zpages server") {
     // the pipeline plan fails (nonexistent input); zpages started
     // before it and must be stopped by the failure path, or the

@@ -342,14 +342,31 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(got.getAs[Double]("q25") == 10.0)
     assert(got.getAs[Double]("q50") == 20.0)
     assert(got.getAs[Double]("q99") == 30.0)
-    // a NEGATIVE first bound would interpolate bucket 0 from the
-    // hard-coded 0.0 lower edge past its own upper edge (promql
-    // clamps there instead) — refused loudly, never diverges silently
-    val neg = intercept[IllegalArgumentException] {
-      MetricsOps.explicitQuantiles(b, Seq(col("series")), col("k"),
-        col("cnt"), Seq(0.5), Seq(-10.0, 20.0, 30.0))
-    }
-    assert(neg.getMessage.contains("negative-bound"))
+    // a NEGATIVE (or zero) first bound: interpolating bucket 0 from
+    // the hard-coded 0.0 lower edge would run BACKWARDS past its own
+    // upper edge — promql (promql/quantile.go bucketQuantile) returns
+    // the bucket's upper bound there, and so does graft. Quantiles
+    // landing in LATER buckets interpolate normally even when the
+    // edges are negative (promql only special-cases bucket 0).
+    val negB = Seq(("s", 0L, 10L), ("s", 1L, 10L), ("s", 3L, 20L))
+      .toDF("series", "k", "cnt")
+    val neg = MetricsOps.explicitQuantiles(negB, Seq(col("series")),
+      col("k"), col("cnt"), Seq(0.2, 0.4),
+      Seq(-10.0, 20.0, 30.0)).collect().head
+    // p20: rank 8 lands in bucket 0 (upper −10 ≤ 0) → clamp to −10
+    assert(neg.getAs[Double]("q20") == -10.0)
+    // p40: rank 16 lands in bucket 1 → normal interpolation from −10:
+    // −10 + ((16 − 10) / 10) · (20 − (−10)) = 8
+    assert(neg.getAs[Double]("q40") == 8.0)
+    // the SQL twin emits the same clamp branch iff the plan has it
+    // ("THEN <b0> ELSE" is the clamp arm — the lo/hi bound-table
+    // CASEs also contain "WHEN k = 0" but are followed by "WHEN k=1")
+    val twinNeg = MetricsOps.explicitQuantileEstSql("k", "cum", "cnt",
+      "total", 0.2, Seq(-10.0, 20.0, 30.0))
+    assert(twinNeg.contains("WHEN k = 0 THEN -10.0 ELSE"))
+    val twinPos = MetricsOps.explicitQuantileEstSql("k", "cum", "cnt",
+      "total", 0.2, Seq(10.0, 20.0, 30.0))
+    assert(!twinPos.contains("WHEN k = 0 THEN 10.0 ELSE"))
   }
 
   test("q_anomaly_mad at MAD=0: constant series flags nothing; a lone spike over a constant base flags exactly once") {

@@ -151,6 +151,7 @@ class ZpagesSpec extends AnyFunSuite {
           "exporters": [{"type": "logging"}]},
         "logs/bad": {
           "receiver": {"type": "parquet", "path": "$dir/in"},
+          "processors": [{"type": "filter", "where": "sev != 1"}],
           "exporters": [{"type": "otlp_http",
             "endpoint": "http://localhost:1", "signal": "logs"}]}
       }}"""
@@ -180,12 +181,23 @@ class ZpagesSpec extends AnyFunSuite {
       // the failed pipeline's items are REFUSED at the receiver (the
       // reference's EndOp(err): a consumer error is not "accepted")
       assert(sample(b1, """otelcol_receiver_refused_log_records{receiver="parquet",transport="file"}""") == 20.0)
-      // processor drops: filter kept sev != 0 → 5 of 20 dropped
-      assert(sample(b1, """otelcol_processor_dropped_log_records{processor="filter"}""") == 5.0)
+      // processor families, all three per signal noun
+      // (obsreport_processor.go:101-157): drops = rows in − rows out;
+      // rows OUT count accepted when the run delivers and refused
+      // when a downstream failure bounces them — both filter stages
+      // share the `filter` id, so dropped SUMS (5 + 5) while
+      // accepted/refused split by each pipeline's outcome
+      assert(sample(b1, """otelcol_processor_dropped_log_records{processor="filter"}""") == 10.0)
+      assert(sample(b1, """otelcol_processor_accepted_log_records{processor="filter"}""") == 15.0)
+      assert(sample(b1, """otelcol_processor_refused_log_records{processor="filter"}""") == 15.0)
+      assert(b1.contains("# TYPE otelcol_processor_accepted_log_records counter"))
+      assert(b1.contains("# TYPE otelcol_processor_refused_log_records counter"))
       // exporter families, {exporter}-dimensioned
       assert(sample(b1, """otelcol_exporter_sent_log_records{exporter="parquet"}""") == 15.0)
       assert(sample(b1, """otelcol_exporter_sent_log_records{exporter="logging"}""") == 20.0)
-      assert(sample(b1, """otelcol_exporter_send_failed_log_records{exporter="otlp_http"}""") == 20.0)
+      // send_failed counts the rows the exporter was HANDED (15 after
+      // logs/bad's filter), not the receiver's 20
+      assert(sample(b1, """otelcol_exporter_send_failed_log_records{exporter="otlp_http"}""") == 15.0)
       // counter-typed in the exposition
       assert(b1.contains("# TYPE otelcol_receiver_accepted_log_records counter"))
       assert(b1.contains("# TYPE otelcol_exporter_send_failed_log_records counter"))
