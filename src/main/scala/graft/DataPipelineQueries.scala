@@ -73,13 +73,21 @@ object DataPipelineQueries {
     *     ≤ C(cap,2) pairs per anchor.
     *  3. JOIN: anchor pairs on the 8-byte hash, doc_a < doc_b (one
     *     orientation); only hashes and positions shuffle here.
-    *  4. EXTENSION VERIFY: token arrays join back onto the BOUNDED
-    *     candidate pairs only; the anchor gram re-checks for hash
-    *     collisions, then the span extends left/right to the first
-    *     mismatch (lazy CASE guards the empty-extension edge — ANSI
-    *     element_at(_, 0) would refuse). Maximal spans from different
-    *     anchors inside one duplicated region coincide by
-    *     construction, so DISTINCT collapses them.
+    *  4. EXTENSION VERIFY, once per doc PAIR: anchor pairs group per
+    *     (doc_a, doc_b) — collect_list bounded by the df cap × doc
+    *     length — and the token arrays join back onto ONE row per
+    *     pair, never one per anchor (per-anchor rows replicated both
+    *     arrays ≈0.4·T times for a near-mirror pair). A single fold
+    *     walks the anchors sorted by (diagonal = pa−pb, pa): an
+    *     anchor inside the previous maximal span ON ITS DIAGONAL is
+    *     skipped outright (same maximal span by construction — or a
+    *     hash collision when its gram crosses the span-ending
+    *     mismatch), the anchor gram re-checks for collisions, and
+    *     only region-STARTING anchors extend — left scan capped by
+    *     the previous span's known mismatch, both scans short-circuit
+    *     after the first mismatch (IF keeps the post-mismatch lambda
+    *     steps array-access-free). Extension CPU is ∝ region length,
+    *     not region² — a near-mirror pair costs one O(T) walk.
     *
     * Output: (doc_a, doc_b, start_a, start_b, span_len), 1-based
     * token offsets. */
@@ -134,44 +142,78 @@ object DataPipelineQueries {
       .join(capped.select(col("h_sel"), col("doc_id").as("doc_b"),
         col("pos_sel").as("pb")), Seq("h_sel"))
       .filter(col("doc_a") < col("doc_b"))
-    val withToks = pairs
+    // group the shared anchors per ordered doc pair BEFORE the token
+    // join: arrays flow through the plan once per PAIR (the per-anchor
+    // join replicated both arrays once per shared anchor — ≈0.4·T
+    // copies for a near-mirror pair of T tokens)
+    val grouped = pairs
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
+    val withToks = grouped
       .join(toks.select(col("doc_id").as("doc_a"), col("__ws").as("za")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("__ws").as("zb")), Seq("doc_b"))
-      // hash-collision guard: the anchor gram itself must match
-      .filter(expr("concat_ws(' ', slice(za, cast(pa as int), 4)) = " +
-        "concat_ws(' ', slice(zb, cast(pb as int), 4))"))
+    // one fold over the anchors sorted by (diagonal, pa). Fold state:
+    // d = current diagonal (pa − pb), e = end position (in doc_a) of
+    // the last maximal span emitted on d, spans = emitted spans.
+    //  - covered skip: same diagonal and pa <= e means the anchor sits
+    //    inside the last span (its maximal span is THE SAME span) or
+    //    its gram crosses the span-ending mismatch (then the equal
+    //    hash was a collision) — either way, nothing new;
+    //  - collision skip: anchor gram differs (8-byte hash collision);
+    //  - extend: left scan capped by the known mismatch at e+1 when on
+    //    the same diagonal (the scan would stop there anyway), both
+    //    scans fold with a found-flag so post-mismatch steps do no
+    //    array access. Extension CPU ∝ region length, not region².
+    // Spans below minLen still update e (they are maximal — a covered
+    // anchor would re-derive the same sub-threshold span).
+    val spanFold =
+      """aggregate(
+        |  array_sort(anchors, (l, r) -> CASE
+        |    WHEN l.pa - l.pb < r.pa - r.pb THEN -1
+        |    WHEN l.pa - l.pb > r.pa - r.pb THEN 1
+        |    WHEN l.pa < r.pa THEN -1
+        |    WHEN l.pa > r.pa THEN 1
+        |    ELSE 0 END),
+        |  named_struct('d', CAST(NULL AS BIGINT), 'e', CAST(-1 AS BIGINT),
+        |    'spans', CAST(array() AS
+        |      ARRAY<STRUCT<start_a: BIGINT, start_b: BIGINT, span_len: BIGINT>>)),
+        |  (acc, x) -> CASE
+        |    WHEN acc.d IS NOT NULL AND x.pa - x.pb = acc.d AND x.pa <= acc.e
+        |      THEN acc
+        |    WHEN NOT (slice(za, cast(x.pa as int), 4) = slice(zb, cast(x.pb as int), 4))
+        |      THEN named_struct('d', x.pa - x.pb,
+        |        'e', IF(acc.d IS NOT NULL AND x.pa - x.pb = acc.d, acc.e, CAST(-1 AS BIGINT)),
+        |        'spans', acc.spans)
+        |    ELSE element_at(transform(array(named_struct(
+        |        'ml', IF(acc.d IS NOT NULL AND x.pa - x.pb = acc.d AND acc.e >= 0,
+        |                 least(x.pa - acc.e - 2, least(x.pa, x.pb) - 1),
+        |                 least(x.pa, x.pb) - 1),
+        |        'mr', least(size(za) - (x.pa + 3), size(zb) - (x.pb + 3)))), b ->
+        |      element_at(transform(array(named_struct(
+        |          'le', IF(b.ml < 1, CAST(0 AS BIGINT),
+        |            aggregate(sequence(1L, b.ml), CAST(-1 AS BIGINT),
+        |              (a, i) -> IF(a >= 0, a,
+        |                IF(element_at(za, cast(x.pa - i as int)) = element_at(zb, cast(x.pb - i as int)),
+        |                   CAST(-1 AS BIGINT), i)),
+        |              a -> IF(a >= 0, a - 1, b.ml))),
+        |          're', IF(b.mr < 1, CAST(0 AS BIGINT),
+        |            aggregate(sequence(1L, b.mr), CAST(-1 AS BIGINT),
+        |              (a, i) -> IF(a >= 0, a,
+        |                IF(element_at(za, cast(x.pa + 3 + i as int)) = element_at(zb, cast(x.pb + 3 + i as int)),
+        |                   CAST(-1 AS BIGINT), i)),
+        |              a -> IF(a >= 0, a - 1, b.mr))))), t ->
+        |        named_struct('d', x.pa - x.pb, 'e', x.pa + 3 + t.re,
+        |          'spans', acc.spans || array(named_struct(
+        |            'start_a', x.pa - t.le, 'start_b', x.pb - t.le,
+        |            'span_len', t.le + 4 + t.re)))), 1)), 1)
+        |  END,
+        |  acc -> acc.spans)""".stripMargin
     withToks
-      .withColumn("ml", least(col("pa"), col("pb")) - 1L)
-      .withColumn("mr", least(size(col("za")).cast("long") - (col("pa") + 3L),
-        size(col("zb")).cast("long") - (col("pb") + 3L)))
-      .withColumn("left_ext", expr(
-        """CASE WHEN ml < 1 THEN 0L ELSE (
-          |  CASE WHEN array_position(
-          |    transform(sequence(1L, ml),
-          |      i -> element_at(za, cast(pa - i as int)) = element_at(zb, cast(pb - i as int))),
-          |    false) = 0
-          |  THEN ml
-          |  ELSE array_position(
-          |    transform(sequence(1L, ml),
-          |      i -> element_at(za, cast(pa - i as int)) = element_at(zb, cast(pb - i as int))),
-          |    false) - 1 END) END""".stripMargin))
-      .withColumn("right_ext", expr(
-        """CASE WHEN mr < 1 THEN 0L ELSE (
-          |  CASE WHEN array_position(
-          |    transform(sequence(1L, mr),
-          |      i -> element_at(za, cast(pa + 3 + i as int)) = element_at(zb, cast(pb + 3 + i as int))),
-          |    false) = 0
-          |  THEN mr
-          |  ELSE array_position(
-          |    transform(sequence(1L, mr),
-          |      i -> element_at(za, cast(pa + 3 + i as int)) = element_at(zb, cast(pb + 3 + i as int))),
-          |    false) - 1 END) END""".stripMargin))
-      .withColumn("span_len", col("left_ext") + 4L + col("right_ext"))
-      .filter(col("span_len") >= minLen)
+      .select(col("doc_a"), col("doc_b"), explode(expr(spanFold)).as("sp"))
       .select(col("doc_a"), col("doc_b"),
-        (col("pa") - col("left_ext")).as("start_a"),
-        (col("pb") - col("left_ext")).as("start_b"),
-        col("span_len"))
+        col("sp.start_a").as("start_a"), col("sp.start_b").as("start_b"),
+        col("sp.span_len").as("span_len"))
+      .filter(col("span_len") >= minLen)
       .distinct()
   }
 

@@ -180,15 +180,22 @@ object Plans {
       "100 TB / 20 sources. PlanSpec now mechanically bans WindowExec " +
       "partitioned solely on a declared low-cardinality key."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
-      "shuffle ∝ ANCHORS, never text²: the winnow window selects " +
-      "≈ 2/(w+1) fingerprints per token (per-doc window — high-card " +
-      "key), the distinct-doc df cap bounds every anchor's pair " +
-      "fan-out at C(cap,2), and ONLY 8-byte hashes + positions ride " +
-      "the pair exchange; token arrays join back onto the " +
-      "candidate-bounded pairs alone, where the extension runs as " +
-      "one codegen'd projection (no UDF, no iteration). A suffix " +
-      "array would need a global sort of every suffix; this plan's " +
-      "biggest exchange is the anchor join."))
+      "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
+      "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +
+      "token (per-doc window — high-card key), the distinct-doc df " +
+      "cap bounds every anchor's pair fan-out at C(cap,2), and ONLY " +
+      "8-byte hashes + positions ride the pair exchange; anchors " +
+      "then GROUP per (doc_a, doc_b) so the token arrays join back " +
+      "once per candidate PAIR (not once per anchor), and one " +
+      "diagonal-sorted fold extends each duplicated region exactly " +
+      "once — anchors inside an already-extended span are skipped, " +
+      "the left scan is capped by the previous span's known " +
+      "mismatch, and both scans short-circuit after the first " +
+      "mismatch. A near-mirror pair costs one O(T) walk where the " +
+      "per-anchor form paid O(0.4·T²) comparisons plus 0.4·T array " +
+      "replications. A suffix array would need a global sort of " +
+      "every suffix; this plan's biggest exchange is the anchor " +
+      "join."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

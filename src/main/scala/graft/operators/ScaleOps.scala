@@ -225,13 +225,14 @@ object ScaleOps {
   def groupedRankRanged(df: DataFrame, groupCol: Column, orderCol: Column,
                         tieCol: Column, rankCol: String, cntCol: String,
                         partitions: Int = 0): DataFrame = {
-    // null groups get null rank/size — SEGREGATED before the collect
-    // so a null key never reaches the driver-side offset/total maps
-    // (a null key embedded via typedLit into a Catalyst map literal
-    // fails at plan/eval time rather than yielding a null rank)
-    val nullGroups = df.filter(groupCol.isNull)
-      .withColumn(rankCol, lit(null).cast("long"))
-      .withColumn(cntCol, lit(null).cast("long"))
+    // null groups get null rank/size — the STATS passes filter them
+    // out so a null key never reaches the driver-side offset/total
+    // maps (a null key embedded via typedLit into a Catalyst map
+    // literal fails at plan time); in the output plan they ride the
+    // same single scan and null out naturally: element_at with a null
+    // map key is NULL, so rank = row_number + NULL = NULL (a
+    // union-of-two-filters output would scan an SF-scaled source
+    // twice)
     val dfNn = df.filter(groupCol.isNotNull)
     val n =
       if (partitions > 0) partitions
@@ -251,7 +252,7 @@ object ScaleOps {
       else cutRow.getSeq[Any](0).distinct
     def bucketOf(c: Column): Column =
       cuts.foldLeft(lit(0))((acc, cut) => acc + when(c > lit(cut), 1).otherwise(0))
-    val bucketed = dfNn.withColumn("_bk", bucketOf(orderCol))
+    val bucketed = df.withColumn("_bk", bucketOf(orderCol))
     val counted = stats.withColumn("_bk", bucketOf(col("_o")))
       .groupBy(col("_g"), col("_bk"))
       .agg(count(lit(1)).as("c")).collect()
@@ -278,7 +279,6 @@ object ScaleOps {
           element_at(element_at(typedLit(offsets), g), col("_bk")))
       .withColumn(cntCol, element_at(typedLit(totals), g))
       .drop("_bk")
-      .unionByName(nullGroups)
   }
 
   /** Systematic (low-variance) weighted resampling — the resample

@@ -1059,6 +1059,52 @@ class DedupAnnSpec extends AnyFunSuite {
       "intra-doc repetition pushed a 2-doc duplicate over the df cap")
   }
 
+  test("exactDupSpans near-mirror pair: one span from thousands of anchors, two regions split at one mismatch, bounded time") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the r12 weak marker's worst case: a near-mirror pair shares
+    // ≈0.4·T anchors, and the old per-anchor extension re-walked the
+    // whole region from each (O(T²) comparisons — 8k anchors × 20k
+    // tokens ≈ 160M string compares for THIS corpus, plus 8k
+    // replications of both arrays through the join). The per-pair
+    // fold extends once and covered-skips the rest: wall is seconds,
+    // and the bound below is far under what per-anchor extension
+    // could reach.
+    val T = 20000
+    val toks = (0 until T).map(i => s"m$i")
+    val mirror = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, toks.mkString(" "))
+    ).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val spans = DataPipelineQueries.exactDupSpansFrom(mirror, 15, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(spans.toSeq == Seq((1L, 2L, 1L, 1L, T.toLong)),
+      s"a mirror pair is ONE maximal span, got ${spans.length}: ${spans.take(3).toSeq}")
+    assert(wall < 120.0,
+      f"mirror-pair extension took $wall%.1f s — the per-anchor quadratic is back")
+
+    // TWO regions on ONE diagonal: identical docs except one token in
+    // the middle — the fold must reset at the mismatch (the second
+    // region's left scan is capped by the first span's known end) and
+    // emit exactly the two maximal halves
+    val half = T / 2
+    val a = ((0 until half).map(i => s"r$i") ++ Seq("onlyA") ++
+      (half + 1 until T).map(i => s"r$i")).mkString(" ")
+    val b = ((0 until half).map(i => s"r$i") ++ Seq("onlyB") ++
+      (half + 1 until T).map(i => s"r$i")).mkString(" ")
+    val twoRegions = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = DataPipelineQueries.exactDupSpansFrom(twoRegions, 15, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(got == Seq(
+      (1L, 2L, 1L, 1L, half.toLong),
+      (1L, 2L, half + 2L, half + 2L, (T - half - 1).toLong)),
+      s"expected the two maximal halves, got: $got")
+  }
+
   test("exactDupSpans precision sweep: planted passages of every length/offset/copy-count shape recover exactly; sub-threshold lengths recover nothing") {
     val spark2 = spark
     import spark2.implicits._

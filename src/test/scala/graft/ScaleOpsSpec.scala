@@ -558,6 +558,35 @@ class ScaleOpsSpec extends AnyFunSuite {
       3L -> (None, None), 4L -> (None, None)))
   }
 
+  test("groupedRankRanged evaluates its input exactly twice: one narrow stats scan, one output scan") {
+    // the ranged rank needs driver-side stats (percentile cuts +
+    // per-(group, bucket) counts) BEFORE the output plan exists — the
+    // stats ride ONE checkpointed (group, order) projection, so an
+    // SF-scaled input is computed twice total, never three times (the
+    // r12 q_batch_by_key regression: cuts, counts and output each
+    // re-read the corpus). Pin it with an evaluation-counting source.
+    val evals = spark.sparkContext.longAccumulator("graft_rank_evals")
+    val n = 1200
+    val rdd = spark.sparkContext.parallelize(1 to n, 4).map { i =>
+      evals.add(1)
+      org.apache.spark.sql.Row(i.toLong, s"g${i % 3}")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(rdd, schema)
+    evals.reset()
+    val out = ScaleOps.groupedRankRanged(df, col("grp"), col("id"),
+      col("id"), "rk", "cnt")
+    val rows = out.collect()
+    assert(rows.length == n)
+    assert(rows.forall(!_.isNullAt(2)))
+    assert(evals.value == 2L * n,
+      s"expected 2 evaluations per row (stats + output), got ${evals.value.toDouble / n} per row")
+  }
+
   test("rangeJoinBucketized equals the naive BETWEEN join and never plans a nested loop") {
     import org.apache.spark.sql.functions.{col => c}
     val fact = spark.range(0, 500).select((c("id") % 97).as("k"), c("id"))
