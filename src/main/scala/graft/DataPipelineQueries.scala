@@ -1122,6 +1122,40 @@ object DataPipelineQueries {
           .when(col("rep_ratio") > 0.05, "medium").otherwise("low"))
     }),
 
+    // Gopher repetition suite (Rae et al. Table A1's repetitious-text
+    // block — q_repetition covers only the duplicate-3-gram ratio):
+    // duplicate line/paragraph fraction, duplicate line/paragraph
+    // CHARACTER fraction, top-{2,3,4}-gram character share, each
+    // thresholded at the paper's literal values (0.30/0.30/0.20/0.20
+    // and 0.20/0.18/0.16), censused per source with an all-clear
+    // count. Lines/paragraphs are synthesized 8-/32-token chunks
+    // (TextOps.repetitionSignals — the corpus has no newlines; the
+    // oracle runs the identical synthesis). ONE map-side projection
+    // per doc; the tiny per-source census is the only shuffle.
+    "q_repetition_gopher" -> ((s, dir) => {
+      val flagged = docs(s, dir)
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .filter(size(col("__ws")) >= 1)
+        .withColumn("__sig", TextOps.repetitionSignals("__ws"))
+      val flags = Seq(
+        ("v_dup_line", col("__sig.dup_line_frac") > 0.30),
+        ("v_dup_para", col("__sig.dup_para_frac") > 0.30),
+        ("v_dup_line_chars", col("__sig.dup_line_char_frac") > 0.20),
+        ("v_dup_para_chars", col("__sig.dup_para_char_frac") > 0.20),
+        ("v_top_2gram", col("__sig.top_2gram_char_frac") > 0.20),
+        ("v_top_3gram", col("__sig.top_3gram_char_frac") > 0.18),
+        ("v_top_4gram", col("__sig.top_4gram_char_frac") > 0.16))
+      val withFlags = flags.foldLeft(flagged) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      val sums = flags.map { case (n, _) =>
+        sum(when(col(n), lit(1L)).otherwise(lit(0L))).as(n)
+      } :+ sum(when(flags.map(f => !col(f._1)).reduce(_ && _),
+        lit(1L)).otherwise(lit(0L))).as("n_clean")
+      withFlags.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sums: _*)
+    }),
+
     // PII scrubbing with an audit trail: emails and long digit runs
     // redact to placeholders, per-source counts of affected docs and
     // removed characters. The synthetic corpus carries no PII, so a
@@ -3067,6 +3101,49 @@ object DataPipelineQueries {
         |  WHEN 1.0 - CAST(n_distinct_3g AS DOUBLE) / (n_tokens - 2) > 0.05 THEN 'medium'
         |  ELSE 'low' END AS rep_class
         |FROM m""".stripMargin,
+
+    // identical line/paragraph synthesis (8-/32-token chunks), dup
+    // mass as total − distinct, top-gram mass per (doc, gram) rows —
+    // a different algorithm than the Spark run-length fold, same
+    // integers, so the double divisions and the literal threshold
+    // comparisons agree bit-exactly
+    "q_repetition_gopher" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id, source, ws,
+        |  [array_to_string(ws[((j-1)*8+1):(j*8)], ' ') for j in range(1, (len(ws)+7)//8 + 1)] AS l8,
+        |  [array_to_string(ws[((j-1)*32+1):(j*32)], ' ') for j in range(1, (len(ws)+31)//32 + 1)] AS l32,
+        |  length(array_to_string(ws, '')) AS tot
+        |  FROM w WHERE len(ws) >= 1),
+        |g2 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+1)], ' ') for i in range(1, len(ws))]) AS g FROM b),
+        |c2 AS (SELECT doc_id, MAX(c * (length(g) - 1)) AS best FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+2)], ' ') for i in range(1, len(ws) - 1)]) AS g FROM b),
+        |c3 AS (SELECT doc_id, MAX(c * (length(g) - 2)) AS best FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |g4 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+3)], ' ') for i in range(1, len(ws) - 2)]) AS g FROM b),
+        |c4 AS (SELECT doc_id, MAX(c * (length(g) - 3)) AS best FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
+        |d AS (SELECT b.source,
+        |  CAST(len(l8) - len(list_distinct(l8)) AS DOUBLE) / CAST(len(l8) AS DOUBLE) AS dlf,
+        |  CAST(length(array_to_string(l8, '')) - length(array_to_string(list_distinct(l8), '')) AS DOUBLE) / CAST(length(array_to_string(l8, '')) AS DOUBLE) AS dlcf,
+        |  CAST(len(l32) - len(list_distinct(l32)) AS DOUBLE) / CAST(len(l32) AS DOUBLE) AS dpf,
+        |  CAST(length(array_to_string(l32, '')) - length(array_to_string(list_distinct(l32), '')) AS DOUBLE) / CAST(length(array_to_string(l32, '')) AS DOUBLE) AS dpcf,
+        |  CAST(COALESCE(c2.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) AS s2,
+        |  CAST(COALESCE(c3.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) AS s3,
+        |  CAST(COALESCE(c4.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) AS s4
+        |  FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id) LEFT JOIN c4 USING (doc_id))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN dlf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_line,
+        | CAST(SUM(CASE WHEN dpf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_para,
+        | CAST(SUM(CASE WHEN dlcf > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_line_chars,
+        | CAST(SUM(CASE WHEN dpcf > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_para_chars,
+        | CAST(SUM(CASE WHEN s2 > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS v_top_2gram,
+        | CAST(SUM(CASE WHEN s3 > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS v_top_3gram,
+        | CAST(SUM(CASE WHEN s4 > 0.16 THEN 1 ELSE 0 END) AS BIGINT) AS v_top_4gram,
+        | CAST(SUM(CASE WHEN NOT (dlf > 0.30) AND NOT (dpf > 0.30)
+        |   AND NOT (dlcf > 0.20) AND NOT (dpcf > 0.20) AND NOT (s2 > 0.20)
+        |   AND NOT (s3 > 0.18) AND NOT (s4 > 0.16) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM d GROUP BY source""".stripMargin,
 
     "q_html_extract" ->
       s"""WITH h AS (SELECT doc_id,

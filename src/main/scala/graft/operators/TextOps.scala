@@ -79,6 +79,62 @@ object TextOps {
       "r_stop" -> (stopCount >= 2))
   }
 
+  /** The Gopher REPETITION signals (Rae et al. 2021, Table A1's
+    * repetitious-text block, completing [[gopherFlags]]'s subset):
+    * duplicate line/paragraph fraction, duplicate line/paragraph
+    * CHARACTER fraction, and the character share of the most
+    * frequent {2,3,4}-gram, as one struct column with seven DOUBLE
+    * fields. The synthetic corpus carries no newlines, so "lines"
+    * are synthesized deterministically as 8-token chunks and
+    * "paragraphs" as 32-token chunks — the DuckDB oracle runs the
+    * identical synthesis (the q_pii_redact discipline: the operator
+    * under test is the signal kernel, not the corpus's line
+    * structure). Everything is per-doc higher-order expressions:
+    * duplicate mass via size/length deltas against array_distinct
+    * (Σ(count−1)·len = total − distinct, in one pass), the top-gram
+    * char mass via a sorted run-length fold (run length × gram chars
+    * excluding separators, maxed). Nothing leaves the projection —
+    * a consumer's only shuffle is its own census aggregate.
+    * `ws` must NAME a non-empty token array column. */
+  def repetitionSignals(ws: String): Column = {
+    def chunks(k: Int): String =
+      s"transform(sequence(1, (size($ws) + ${k - 1}) DIV $k), " +
+        s"j -> concat_ws(' ', slice($ws, (j - 1) * $k + 1, $k)))"
+    // max over distinct n-grams of run_count × (gram chars minus the
+    // n−1 separator spaces); 0 when the doc has no n-gram
+    def bestGramChars(n: Int): String =
+      s"""IF(size($ws) < $n, CAST(0 AS BIGINT),
+         |  element_at(transform(array(named_struct('g',
+         |    array_sort(transform(sequence(1, size($ws) - ${n - 1}),
+         |      i -> concat_ws(' ', slice($ws, i, $n)))))), t ->
+         |    element_at(transform(array(named_struct('st',
+         |      filter(sequence(1, size(t.g)),
+         |        i -> i = 1 OR element_at(t.g, i) != element_at(t.g, i - 1)))), u ->
+         |      aggregate(sequence(1, size(u.st)), CAST(0 AS BIGINT), (a, j) ->
+         |        greatest(a,
+         |          CAST(IF(j = size(u.st), size(t.g) + 1, element_at(u.st, j + 1))
+         |            - element_at(u.st, j) AS BIGINT)
+         |          * CAST(length(element_at(t.g, element_at(u.st, j))) - ${n - 1} AS BIGINT)))),
+         |      1)), 1))""".stripMargin
+    def dupF(l: String) =
+      s"CAST(size($l) - size(array_distinct($l)) AS DOUBLE) / CAST(size($l) AS DOUBLE)"
+    def dupCF(l: String) =
+      s"CAST(length(array_join($l, '')) - length(array_join(array_distinct($l), '')) AS DOUBLE)" +
+        s" / CAST(length(array_join($l, '')) AS DOUBLE)"
+    expr(
+      s"""element_at(transform(array(named_struct(
+         |    'l8', ${chunks(8)}, 'l32', ${chunks(32)},
+         |    'tot', CAST(length(array_join($ws, '')) AS BIGINT))), s ->
+         |  named_struct(
+         |    'dup_line_frac', ${dupF("s.l8")},
+         |    'dup_line_char_frac', ${dupCF("s.l8")},
+         |    'dup_para_frac', ${dupF("s.l32")},
+         |    'dup_para_char_frac', ${dupCF("s.l32")},
+         |    'top_2gram_char_frac', CAST(${bestGramChars(2)} AS DOUBLE) / CAST(s.tot AS DOUBLE),
+         |    'top_3gram_char_frac', CAST(${bestGramChars(3)} AS DOUBLE) / CAST(s.tot AS DOUBLE),
+         |    'top_4gram_char_frac', CAST(${bestGramChars(4)} AS DOUBLE) / CAST(s.tot AS DOUBLE))), 1)""".stripMargin)
+  }
+
   /** quality class from simple, portable signals */
   def qualityClass(nTokens: Column, avgLen: Column, stopRatio: Column): Column =
     when(nTokens >= lit(60) && avgLen >= lit(4.0) && stopRatio <= lit(0.3), lit("high"))

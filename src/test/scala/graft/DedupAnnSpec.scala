@@ -1059,6 +1059,110 @@ class DedupAnnSpec extends AnyFunSuite {
       "intra-doc repetition pushed a 2-doc duplicate over the df cap")
   }
 
+  test("Gopher repetition suite: each violation class planted separately recovers its exact hand-computed signals; census flags per source") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every doc is DESIGNED so each signal has a closed-form value;
+    // where the Gopher measures are mathematically coupled (a line
+    // duplicated enough to hold >20% of chars necessarily carries a
+    // heavy top-4-gram; a duplicated paragraph contains duplicated
+    // lines) the co-trips are asserted too — they are properties of
+    // the measures, not accidents of the kernel.
+    def line(p: String, from: Int, len: Int): Seq[String] =
+      (from until from + 8).map(i => f"$p$i%02d".padTo(len, 'x').take(len))
+    // A: one 8-token line (3-char tokens) × 5 + 6 distinct lines
+    val aL = line("l", 0, 3)
+    val aToks = Seq.fill(5)(aL).flatten ++ (0 until 48).map(i => f"a$i%02d")
+    // B: one 32-token paragraph (3-char tokens) × 2 + 1 distinct para
+    val bP = (0 until 32).map(i => f"b$i%02d")
+    val bToks = bP ++ bP ++ (0 until 32).map(i => f"c$i%02d")
+    // C: one long-token line duplicated ONCE among 18 short distinct
+    // lines — the char fraction trips while the count fraction stays
+    // at 1/20 (the "duplicate line CHARACTER fraction" rule is the
+    // only line rule that sees it)
+    val cL = (0 until 8).map(i => s"l$i" + "x" * 23) // 25 chars each
+    val cShort = (0 until 144).map(i => f"${('a' + i / 100).toChar}%c${i % 100}%02d")
+    // D: "p q" (6-char tokens) with a distinct 2-char separator, ×16
+    val dToks = (0 until 16).flatMap(i => Seq("pppppp", "qqqqqq", f"x$i%01x"))
+    // E: "p q r" (1-char) + 3 distinct 3-char fillers, ×8
+    val eToks = (0 until 8).flatMap(i =>
+      Seq("p", "q", "r", f"f$i%02d", f"g$i%02d", f"h$i%02d"))
+    // F: "p q r t" (1-char) + 4 distinct 4-char fillers, ×8
+    val fToks = (0 until 8).flatMap(i =>
+      Seq("p", "q", "r", "t", f"aa$i%02d", f"bb$i%02d", f"cc$i%02d", f"dd$i%02d"))
+    // G: fully distinct
+    val gToks = (0 until 80).map(i => f"z$i%02d")
+    val corpus = Seq(
+      (1L, aToks, "s_dupline"), (2L, bToks, "s_duppara"),
+      (3L, cL ++ cL ++ cShort, "s_charline"), (4L, dToks, "s_top2"),
+      (5L, eToks, "s_top3"), (6L, fToks, "s_top4"), (7L, gToks, "s_clean"))
+    val df = corpus.map { case (id, ts, src) => (id, ts.mkString(" "), "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val sigs = df
+      .withColumn("__ws", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("__sig", graft.operators.TextOps.repetitionSignals("__ws"))
+      .select(col("doc_id"), col("__sig.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def sig(id: Long, f: String): Double =
+      sigs(id).getAs[Double](f)
+    // A: 11 lines, 7 distinct; line chars 31 each; 88 tokens × 3 chars
+    assert(sig(1, "dup_line_frac") == 4.0 / 11.0)
+    assert(sig(1, "dup_line_char_frac") == 124.0 / 341.0)
+    assert(sig(1, "dup_para_frac") == 0.0)
+    assert(sig(1, "top_2gram_char_frac") == 30.0 / 264.0)  // 5×(7−1)
+    assert(sig(1, "top_3gram_char_frac") == 45.0 / 264.0)  // ≤ 0.18: no trip
+    assert(sig(1, "top_4gram_char_frac") == 60.0 / 264.0)  // > 0.16: co-trip
+    // B: paragraphs (P, P, D); lines 12 with P's 4 lines twice
+    assert(sig(2, "dup_para_frac") == 1.0 / 3.0)
+    assert(sig(2, "dup_para_char_frac") == 127.0 / 381.0)
+    assert(sig(2, "dup_line_frac") == 4.0 / 12.0)
+    assert(sig(2, "top_4gram_char_frac") == 24.0 / 288.0)  // no gram trips
+    // C: count fraction 1/20 stays UNDER 0.30 while chars trip
+    assert(sig(3, "dup_line_frac") == 1.0 / 20.0)
+    assert(sig(3, "dup_line_char_frac") == 207.0 / 972.0)  // > 0.2
+    assert(sig(3, "dup_para_frac") == 0.0)
+    // D/E/F: exactly the designed top-gram shares
+    assert(sig(4, "top_2gram_char_frac") == 192.0 / 224.0)
+    assert(sig(4, "top_3gram_char_frac") == 14.0 / 224.0)
+    assert(sig(5, "top_3gram_char_frac") == 24.0 / 96.0)
+    assert(sig(5, "top_2gram_char_frac") == 16.0 / 96.0)   // ≤ 0.2
+    assert(sig(5, "top_4gram_char_frac") == 10.0 / 96.0) // "r f g h" window
+    assert(sig(6, "top_4gram_char_frac") == 32.0 / 160.0)
+    assert(sig(6, "top_3gram_char_frac") == 24.0 / 160.0)  // ≤ 0.18
+    assert(sig(6, "top_2gram_char_frac") == 16.0 / 160.0)  // ≤ 0.2
+    // G: no duplicate mass; the top-gram shares are the residual mass
+    // of a COUNT-1 maximum (the share is a max, not a dup measure) —
+    // 80 distinct 3-char tokens, tot 240
+    for (f <- Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac")) assert(sig(7, f) == 0.0, s"clean doc tripped $f")
+    assert(sig(7, "top_2gram_char_frac") == 6.0 / 240.0)
+    assert(sig(7, "top_3gram_char_frac") == 9.0 / 240.0)
+    assert(sig(7, "top_4gram_char_frac") == 12.0 / 240.0)
+
+    // census end-to-end through the registered query: one source per
+    // planted doc, so each source's row IS that doc's flag vector
+    val dir = java.nio.file.Files.createTempDirectory("gopherrep").toString
+    df.withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val census = SparkEntry.queries("q_repetition_gopher")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    def v(src: String, c: String): Long = census(src).getAs[Long](c)
+    assert(v("s_dupline", "v_dup_line") == 1 && v("s_dupline", "v_dup_line_chars") == 1
+      && v("s_dupline", "v_top_4gram") == 1 && v("s_dupline", "v_top_3gram") == 0
+      && v("s_dupline", "v_dup_para") == 0 && v("s_dupline", "n_clean") == 0)
+    assert(v("s_duppara", "v_dup_para") == 1 && v("s_duppara", "v_dup_para_chars") == 1
+      && v("s_duppara", "v_dup_line") == 1 && v("s_duppara", "v_top_2gram") == 0)
+    assert(v("s_charline", "v_dup_line_chars") == 1 && v("s_charline", "v_dup_line") == 0)
+    assert(v("s_top2", "v_top_2gram") == 1 && v("s_top2", "v_top_3gram") == 0
+      && v("s_top2", "v_dup_line") == 0 && v("s_top2", "n_clean") == 0)
+    assert(v("s_top3", "v_top_3gram") == 1 && v("s_top3", "v_top_2gram") == 0
+      && v("s_top3", "v_top_4gram") == 0)
+    assert(v("s_top4", "v_top_4gram") == 1 && v("s_top4", "v_top_3gram") == 0
+      && v("s_top4", "v_top_2gram") == 0)
+    assert(v("s_clean", "n_clean") == 1 &&
+      census("s_clean").getAs[Long]("n_docs") == 1)
+  }
+
   test("exactDupSpans near-mirror pair: one span from thousands of anchors, two regions split at one mismatch, bounded time") {
     val spark2 = spark
     import spark2.implicits._
