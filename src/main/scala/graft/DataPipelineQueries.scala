@@ -407,34 +407,34 @@ object DataPipelineQueries {
     * q_dedup_substring_exact, q_dup_span_hist and q_dedup_span_cut —
     * open with it, so a change to the span definition can never
     * desynchronize one oracle from its siblings. */
-  private val ExactSubstrCte: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-      |f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM t WHERE len(ws) >= 7),
-      |g AS (SELECT doc_id, n_grams,
+  private val ExactSubstrBody: String =
+    """xs_t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |xs_f AS (SELECT doc_id, ws, len(ws) - 3 AS n_grams FROM xs_t WHERE len(ws) >= 7),
+      |xs_g AS (SELECT doc_id, n_grams,
       |   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
       |     for i in range(1, len(ws) - 2)]) AS gram,
       |   unnest(range(1, len(ws) - 2)) AS pos
-      |  FROM f),
-      |h AS (SELECT doc_id, n_grams, pos,
-      |   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hh FROM g),
-      |w AS (SELECT doc_id, n_grams, pos,
+      |  FROM xs_f),
+      |xs_h AS (SELECT doc_id, n_grams, pos,
+      |   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hh FROM xs_g),
+      |xs_w AS (SELECT doc_id, n_grams, pos,
       |   MIN(hh * 2097152 + (2097151 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
       |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-      |  FROM h),
-      |sel AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h_sel,
+      |  FROM xs_h),
+      |xs_sel AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h_sel,
       |   2097151 - (wmin % 2097152) AS pos_sel
-      |  FROM w WHERE pos <= n_grams - 3),
-      |rare AS (SELECT h_sel FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 50),
-      |capped AS (SELECT doc_id, h_sel, pos_sel FROM sel JOIN rare USING (h_sel)),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  FROM xs_w WHERE pos <= n_grams - 3),
+      |xs_rare AS (SELECT h_sel FROM xs_sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 50),
+      |xs_capped AS (SELECT doc_id, h_sel, pos_sel FROM xs_sel JOIN xs_rare USING (h_sel)),
+      |xs_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |   a.pos_sel AS pa, b.pos_sel AS pb
-      |  FROM capped a JOIN capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id),
-      |wt AS (SELECT p.*, fa.ws AS za, fb.ws AS zb
-      |  FROM pairs p JOIN f fa ON p.doc_a = fa.doc_id
-      |               JOIN f fb ON p.doc_b = fb.doc_id
+      |  FROM xs_capped a JOIN xs_capped b ON a.h_sel = b.h_sel AND a.doc_id < b.doc_id),
+      |xs_wt AS (SELECT p.*, fa.ws AS za, fb.ws AS zb
+      |  FROM xs_pairs p JOIN xs_f fa ON p.doc_a = fa.doc_id
+      |               JOIN xs_f fb ON p.doc_b = fb.doc_id
       |  WHERE array_to_string(fa.ws[p.pa:p.pa+3], ' ')
       |      = array_to_string(fb.ws[p.pb:p.pb+3], ' ')),
-      |ext AS (SELECT doc_a, doc_b, pa, pb,
+      |xs_ext AS (SELECT doc_a, doc_b, pa, pb,
       |   COALESCE(NULLIF(list_position(
       |     [za[pa - i] = zb[pb - i] for i in range(1, least(pa, pb))], false), 0) - 1,
       |     least(pa, pb) - 1) AS left_ext,
@@ -443,14 +443,17 @@ object DataPipelineQueries {
       |       for i in range(1, least(len(za) - (pa + 3), len(zb) - (pb + 3)) + 1)],
       |     false), 0) - 1,
       |     least(len(za) - (pa + 3), len(zb) - (pb + 3))) AS right_ext
-      |  FROM wt),
+      |  FROM xs_wt),
       |spans AS (SELECT DISTINCT doc_a, doc_b,
       |  CAST(pa - left_ext AS BIGINT) AS start_a,
       |  CAST(pb - left_ext AS BIGINT) AS start_b,
       |  CAST(left_ext + 4 + right_ext AS BIGINT) AS span_len
-      |FROM ext WHERE left_ext + 4 + right_ext >= 15)""".stripMargin
+      |FROM xs_ext WHERE left_ext + 4 + right_ext >= 15)""".stripMargin
 
-  /** the spans themselves (q_dedup_substring_exact's tail) */
+    /** [[ExactSubstrBody]] as a standalone statement opener */
+  private val ExactSubstrCte: String = "WITH " + ExactSubstrBody
+
+/** the spans themselves (q_dedup_substring_exact's tail) */
   private val ExactSubstrSpansSql: String =
     "SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans"
 
@@ -752,6 +755,73 @@ object DataPipelineQueries {
             .as("mix_before"),
           (coalesce(col("chars_after"), lit(0L)).cast("double") /
             col("ta").cast("double")).as("mix_after"))
+    }),
+
+    // Dedup DECISION FUSION — what "run the dedup" means downstream:
+    // per doc ONE verdict composed from the three dedup families,
+    // with precedence (1) drop_exact: non-canonical byte-identical
+    // copy (md5 keep-min, the q_dedup_exact rule); (2) drop_near:
+    // non-representative member of a near-dup CC component (the
+    // q_dedup_apply keep-rule); (3) cut_spans: survivor whose
+    // ExactSubstr b-side span coverage is >= 5% of its tokens (the
+    // q_dedup_span_cut remedy, applied only when worth the pass);
+    // else keep. Reported as the per-source before/after mixture
+    // (the q_dedup_impact shape over the FUSED rule, token mass).
+    // All three inputs are the operators their own §2 queries run —
+    // composition, not new machinery. The per-doc verdict frame
+    // feeds three aggregates → localCheckpoint so CC + ExactSubstr
+    // run once.
+    "q_dedup_fused" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hashed = d.select(col("doc_id"), md5(col("text")).as("__h"))
+      val keepMin = hashed.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("__keep"))
+      val exDrop = hashed.join(keepMin, "__h")
+        .filter(col("doc_id") =!= col("__keep"))
+        .select(col("doc_id")).withColumn("__ex", lit(true))
+      val nearDrop = DedupOps.connectedComponents(nearDupPairs(s, dir))
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id")).withColumn("__near", lit(true))
+      val cut = exactDupSpans(s, dir, minLen = 15, dfCap = 50)
+        .select(col("doc_b").as("doc_id"),
+          explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("__cut"))
+      val verd = d
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_toks"))
+        .join(exDrop, Seq("doc_id"), "left")
+        .join(nearDrop, Seq("doc_id"), "left")
+        .join(cut, Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("__ex"), "drop_exact")
+            .when(col("__near"), "drop_near")
+            .when(coalesce(col("__cut"), lit(0L)).cast("double") /
+              col("n_toks").cast("double") >= 0.05, "cut_spans")
+            .otherwise("keep"))
+        .withColumn("toks_after",
+          when(col("verdict").isin("drop_exact", "drop_near"), lit(0L))
+            .when(col("verdict") === "cut_spans", col("n_toks") - col("__cut"))
+            .otherwise(col("n_toks").cast("long")))
+        .localCheckpoint()
+      val perSrc = verd.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "drop_exact", 1L).otherwise(0L)).as("n_drop_exact"),
+        sum(when(col("verdict") === "drop_near", 1L).otherwise(0L)).as("n_drop_near"),
+        sum(when(col("verdict") === "cut_spans", 1L).otherwise(0L)).as("n_cut_spans"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_toks").cast("long")).as("toks_before"),
+        sum(col("toks_after")).as("toks_after"))
+      val tb = verd.agg(sum(col("n_toks").cast("long")).as("tb"))
+      val ta = verd.agg(sum(col("toks_after")).as("ta"))
+      perSrc.crossJoin(tb).crossJoin(ta)
+        .select(col("source"), col("n_docs"), col("n_drop_exact"),
+          col("n_drop_near"), col("n_cut_spans"), col("n_keep"),
+          col("toks_before"), col("toks_after"),
+          (col("toks_before").cast("double") / col("tb").cast("double"))
+            .as("mix_before"),
+          (col("toks_after").cast("double") / col("ta").cast("double"))
+            .as("mix_after"))
     }),
 
     // connected components over the near-dup pair graph: per-cluster
@@ -2924,6 +2994,51 @@ object DataPipelineQueries {
       """SELECT component, COUNT(*) AS n_members, MAX(id) AS max_id
         |FROM comp GROUP BY component""".stripMargin),
 
+    // the three dedup families composed: the CC closure and the
+    // ExactSubstr span CTE (both shared constants) plus the md5
+    // keep-min groups, fused by the same precedence CASE the Spark
+    // plan applies
+    "q_dedup_fused" ->
+      (CcClosureSql + ",\n" + ExactSubstrBody + ",\n" +
+      """exg AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+        |exdrop AS (SELECT d.doc_id FROM documents d JOIN exg g
+        |  ON md5(d.text) = g.h WHERE d.doc_id <> g.keep_id),
+        |neardrop AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+        |cutpos AS (SELECT DISTINCT doc_id, pos FROM
+        |  (SELECT doc_b AS doc_id,
+        |     unnest(range(start_b, start_b + span_len)) AS pos FROM spans)),
+        |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cut_toks FROM cutpos GROUP BY 1),
+        |verd AS (SELECT d.doc_id, d.source,
+        |   CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_toks,
+        |   COALESCE(c.cut_toks, 0) AS cut_toks,
+        |   d.doc_id IN (SELECT doc_id FROM exdrop) AS is_ex,
+        |   d.doc_id IN (SELECT doc_id FROM neardrop) AS is_near
+        |  FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id),
+        |vv AS (SELECT source, n_toks,
+        |   CASE WHEN is_ex THEN 'drop_exact'
+        |        WHEN is_near THEN 'drop_near'
+        |        WHEN CAST(cut_toks AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 0.05 THEN 'cut_spans'
+        |        ELSE 'keep' END AS verdict,
+        |   CASE WHEN is_ex OR is_near THEN 0
+        |        WHEN CAST(cut_toks AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 0.05 THEN n_toks - cut_toks
+        |        ELSE n_toks END AS toks_after
+        |  FROM verd),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(CASE WHEN verdict = 'drop_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_exact,
+        |   CAST(SUM(CASE WHEN verdict = 'drop_near' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_near,
+        |   CAST(SUM(CASE WHEN verdict = 'cut_spans' THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_spans,
+        |   CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |   CAST(SUM(n_toks) AS BIGINT) AS toks_before,
+        |   CAST(SUM(toks_after) AS BIGINT) AS toks_after
+        |  FROM vv GROUP BY source),
+        |tb AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tb FROM vv),
+        |ta AS (SELECT CAST(SUM(toks_after) AS BIGINT) AS ta FROM vv)
+        |SELECT source, n_docs, n_drop_exact, n_drop_near, n_cut_spans, n_keep,
+        | toks_before, toks_after,
+        | CAST(toks_before AS DOUBLE) / CAST(tb AS DOUBLE) AS mix_before,
+        | CAST(toks_after AS DOUBLE) / CAST(ta AS DOUBLE) AS mix_after
+        |FROM ps CROSS JOIN tb CROSS JOIN ta""".stripMargin),
+
     "q_ann_range" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sims AS (
@@ -3991,7 +4106,7 @@ object DataPipelineQueries {
           |   (SELECT doc_b AS doc_id,
           |      unnest(range(start_b, start_b + span_len)) AS pos FROM spans)),
           |tokp AS (SELECT doc_id, unnest(ws) AS w,
-          |   unnest(range(1, len(ws) + 1)) AS pos FROM t),
+          |   unnest(range(1, len(ws) + 1)) AS pos FROM xs_t),
           |cd AS (SELECT DISTINCT doc_id FROM cut),
           |mine AS (SELECT tokp.* FROM tokp JOIN cd USING (doc_id)),
           |kept AS (SELECT mine.doc_id, mine.w, mine.pos FROM mine

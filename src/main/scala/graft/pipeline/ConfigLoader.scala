@@ -938,8 +938,8 @@ object ConfigLoader {
     }
     // ---- curation-pipeline processors: the LLM-data arc as config
     // stages (warc → html_to_text → gopher_gate → dedup_exact →
-    // dedup_near → shuffle_shard → jsonl), each delegating to the
-    // same operator the §2 queries run ----
+    // dedup_near → dedup_spancut → shuffle_shard → jsonl), each
+    // delegating to the same operator the §2 queries run ----
     // HTML → extracted text COLUMN (q_html_extract's kernel, kept as
     // text for downstream dedup instead of reduced to stats)
     case "html_to_text" => df => {
@@ -990,6 +990,48 @@ object ConfigLoader {
         .filter(col("id") =!= col("component"))
         .select(col("id").as("__dropid"))
       df.join(dropIds, col(idc).cast("long") === col("__dropid"), "left_anti")
+    }
+    // ExactSubstr span-cut remedy (Lee et al.; the q_dedup_span_cut
+    // machinery verbatim): duplicated spans >= min_len leave the
+    // NON-canonical copy (higher id), text reassembled in token
+    // order. `text` must be a plain column NAME — it is rewritten in
+    // place (a fully-duplicated doc legitimately cuts to "").
+    case "dedup_spancut" => df => {
+      import org.apache.spark.sql.functions.{posexplode, explode, concat_ws, coalesce, lit, when}
+      val idc = str(m, "id"); val txc = str(m, "text")
+      require(df.columns.contains(txc),
+        s"dedup_spancut text '$txc' must be an existing column name " +
+          "(the column is rewritten in place)")
+      val minLen = m.get("min_len").map(_.asInstanceOf[Number].intValue()).getOrElse(15)
+      val dfCap = m.get("df_cap").map(_.asInstanceOf[Number].intValue()).getOrElse(50)
+      val spans = graft.DataPipelineQueries.exactDupSpansFrom(
+        df.select(col(idc).as("doc_id"), col(txc).as("text")), minLen, dfCap)
+      val cut = spans.select(col("doc_b").as("doc_id"),
+          explode(org.apache.spark.sql.functions.expr(
+            "sequence(start_b, start_b + span_len - 1)")).as("pos"))
+        .distinct()
+        .localCheckpoint() // feeds the cut-doc marker AND the anti-join
+      val cutDocs = cut.select(col("doc_id")).distinct()
+        .withColumnRenamed("doc_id", "__cutid")
+        .withColumn("__was_cut", lit(true))
+      // semi-join BEFORE the posexplode: only cut docs tokenize for
+      // the rebuild (the rest of the corpus passes through untouched)
+      val rebuilt = df.select(col(idc).as("doc_id"), col(txc).as("__t"))
+        .join(cut.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          posexplode(graft.operators.TextOps.tokens(col("__t"))).as(Seq("p0", "w")))
+        .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+        .join(cut, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", org.apache.spark.sql.functions.expr(
+          "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)"))
+          .as("__cut_text"))
+        .withColumnRenamed("doc_id", "__rbid")
+      df.join(cutDocs, col(idc) === col("__cutid"), "left")
+        .join(rebuilt, col(idc) === col("__rbid"), "left")
+        .withColumn(txc, when(col("__was_cut"),
+          coalesce(col("__cut_text"), lit(""))).otherwise(col(txc)))
+        .drop("__cutid", "__was_cut", "__rbid", "__cut_text")
     }
     // deterministic shuffle + shard assignment (ScaleOps.shuffleShard)
     case "shuffle_shard" => df =>

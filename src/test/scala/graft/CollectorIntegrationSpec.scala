@@ -1755,7 +1755,7 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(r.getAs[Map[String, String]]("trunc") == Map("a" -> "1", "b" -> "22", "c" -> "33"))
   }
 
-  test("curation capstone: ONE yaml drives warc -> html -> gopher -> exact+near dedup -> shuffle_shard -> jsonl; equals the programmatic pipeline") {
+  test("curation capstone: ONE yaml drives warc -> html -> gopher -> exact+near+spancut dedup -> shuffle_shard -> jsonl; equals the programmatic pipeline") {
     import graft.operators.{TextOps, DedupOps, ScaleOps}
     import spark.implicits._
     // synthesize a .warc crawl from the documents table (the
@@ -1777,8 +1777,20 @@ class CollectorIntegrationSpec extends AnyFunSuite {
         .gopherFlags(col("text")).map(_._2).reduce(_ && _))
       .orderBy(col("doc_id")).select(col("text")).head().getString(0)
     val nearText = passing.split(" ").dropRight(1).mkString(" ") + " zzzq"
+    // span-cut teeth: two gate-passing docs sharing ONE verbatim
+    // 20-token span with fully distinct remainders — 3-gram Jaccard
+    // ≈ 0.17 (under the 0.5 near-dup threshold) so only the
+    // dedup_spancut stage can touch them, and it must cut the span
+    // from the HIGHER id (900005) only
+    val spanToks = (0 until 20).map(i => s"spanw$i")
+    val spanDocA = (spanToks ++ (0 until 40).map(i => s"xrem$i") ++
+      Seq("the", "a", "of", "and")).mkString(" ")
+    val spanDocBKept = ((0 until 40).map(i => s"yrem$i") ++
+      Seq("and", "of", "a", "the")).mkString(" ")
+    val spanDocB = (spanToks.mkString(" ")) + " " + spanDocBKept
     val planted = Seq(
-      (900001L, passing), (900002L, passing), (900003L, nearText))
+      (900001L, passing), (900002L, passing), (900003L, nearText),
+      (900004L, spanDocA), (900005L, spanDocB))
     val plantedRecs = planted.toDF("doc_id", "text")
       .select(graft.sources.Warc.warc_response(
         concat(lit("http://corpus.local/doc/"), col("doc_id")),
@@ -1819,6 +1831,10 @@ class CollectorIntegrationSpec extends AnyFunSuite {
          |        id: doc_id
          |        text: text
          |        threshold: 0.5
+         |      - type: dedup_spancut
+         |        id: doc_id
+         |        text: text
+         |        min_len: 15
          |      - type: shuffle_shard
          |        id: doc_id
          |        shards: 8
@@ -1861,7 +1877,30 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     val near = exact.join(
       cc.filter(col("id") =!= col("component")).select(col("id").as("__dropid")),
       col("doc_id") === col("__dropid"), "left_anti")
-    val prog = ScaleOps.shuffleShard(near, "doc_id", 8, "cur1", portable = true)
+    // span-cut replica: spans from the shared ExactSubstr kernel, cut
+    // positions leave the b side, text rebuilt in token order
+    val spans = graft.DataPipelineQueries.exactDupSpansFrom(
+      near.select(col("doc_id"), col("text")), 15, 50)
+    val cutPos = spans.select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
+      .distinct()
+    val rebuilt = near.select(col("doc_id"), col("text"))
+      .join(cutPos.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "w")))
+      .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+      .join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr("concat_ws(' ', transform(sort_array(collect_list(struct(pos, w))), x -> x.w))")
+        .as("__ct"))
+    val spancut = near
+      .join(cutPos.select(col("doc_id")).distinct()
+        .withColumn("__wc", lit(true)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("__wc"), coalesce(col("__ct"), lit(""))).otherwise(col("text")))
+      .drop("__wc", "__ct")
+    val prog = ScaleOps.shuffleShard(spancut, "doc_id", 8, "cur1", portable = true)
       .select(col("doc_id").cast("long"), col("shard").cast("long"),
         col("pos").cast("long"), md5(col("text")).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
@@ -1889,5 +1928,17 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(exact.count() < gated.count(), "exact dedup dropped nothing")
     assert(near.count() < exact.count(), "near dedup dropped nothing")
     assert(got.map(_._2).subsetOf((0L until 8L).toSet) && got.map(_._2).size > 1)
+    // ...and the spancut stage BIT exactly as designed: the higher-id
+    // span doc lost precisely the shared 20 tokens (its remainder
+    // reassembled in order), the lower-id doc rode through verbatim —
+    // both still present (span-cut never drops docs)
+    val byId = got.groupBy(_._1).view.mapValues(_.head._4).toMap
+    assert(byId(900004L) == md5Hex(spanDocA), "span doc_a was modified")
+    assert(byId(900005L) == md5Hex(spanDocBKept),
+      "span doc_b was not cut to its remainder")
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
