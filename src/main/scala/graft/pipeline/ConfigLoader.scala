@@ -828,7 +828,11 @@ object ConfigLoader {
         maxFilesPerTrigger =
           m.get("maxFilesPerTrigger").map(_.asInstanceOf[Number].intValue()).getOrElse(10),
         tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
-        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))))
+        auth = m.get("auth").map(a => graft.sources.Auth.serverFromMap(asMap(a))),
+        // confignet: transport tcp (default) | unix with a socket path
+        transport = ConfigNet.parse(
+          m.get("transport").map(_.toString).getOrElse(""),
+          m.get("path").map(_.toString).orNull))
       // Arrow-over-gRPC stream receiver (the otel-arrow transport):
       // ArrowStreamService server → IPC spool → streaming Arrow parse
       case "otlp_arrow" =>
@@ -1186,14 +1190,24 @@ object ConfigLoader {
         .map { case (k, v) => k -> v.toString })
     // OTLP/gRPC push exporter (the collector's primary protocol,
     // client half) — same optional tls/auth blocks
-    case "otlp_grpc" => graft.sources.GrpcOtlp.OtlpGrpcExporter(
-      host = m.get("host").map(_.toString).getOrElse("localhost"),
-      port = m("port").asInstanceOf[Number].intValue(),
-      signal = str(m, "signal"),
-      // configgrpc compression: gzip|snappy|zstd (none/identity = off)
-      compression = m.get("compression").map(_.toString).getOrElse(""),
-      tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
-      auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))))
+    case "otlp_grpc" =>
+      // confignet: transport tcp (default, port required) | unix
+      // with a socket path (port then not meaningful)
+      val grpcTpt = ConfigNet.parse(
+        m.get("transport").map(_.toString).getOrElse(""),
+        m.get("path").map(_.toString).orNull)
+      graft.sources.GrpcOtlp.OtlpGrpcExporter(
+        host = m.get("host").map(_.toString).getOrElse("localhost"),
+        port = grpcTpt match {
+          case ConfigNet.Tcp => m("port").asInstanceOf[Number].intValue()
+          case _ => 0
+        },
+        signal = str(m, "signal"),
+        // configgrpc compression: gzip|snappy|zstd (none/identity = off)
+        compression = m.get("compression").map(_.toString).getOrElse(""),
+        tls = m.get("tls").map(t => graft.sources.Tls.fromMap(asMap(t))),
+        auth = m.get("auth").map(a => graft.sources.Auth.clientFromMap(asMap(a))),
+        transport = grpcTpt)
     // Arrow-over-gRPC stream exporter: long-lived ArrowStreamService
     // streams with per-batch acks; downgrades to the standard OTLP
     // gRPC exporter when the peer answers UNIMPLEMENTED

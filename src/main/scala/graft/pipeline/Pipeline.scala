@@ -157,7 +157,9 @@ object Pipeline {
   final case class OtlpGrpcServerReceiver(port: Int, spoolDir: String,
       maxFilesPerTrigger: Int = 10,
       tls: Option[graft.sources.TlsConfig] = None,
-      auth: Option[graft.sources.Auth.ServerAuthenticator] = None)
+      auth: Option[graft.sources.Auth.ServerAuthenticator] = None,
+      // confignet transport: tcp loopback (default) or unix socket
+      transport: ConfigNet.Transport = ConfigNet.Tcp)
       extends Receiver with ReceiverLifecycle {
     @transient @volatile private var server: graft.sources.GrpcOtlp.OtlpGrpcReceiver = _
     def read(spark: SparkSession): DataFrame = {
@@ -169,7 +171,7 @@ object Pipeline {
     def start(spark: SparkSession): Unit = synchronized {
       if (server == null)
         server = new graft.sources.GrpcOtlp.OtlpGrpcReceiver(port, spoolDir,
-          tls = tls, auth = auth)
+          tls = tls, auth = auth, transport = transport)
     }
     def stop(): Unit = synchronized {
       if (server != null) { server.stop(); server = null }

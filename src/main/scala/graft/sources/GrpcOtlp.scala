@@ -524,20 +524,16 @@ object GrpcOtlp {
       // configgrpc max_recv_msg_size_mib behavior (configgrpc.go:302:
       // grpc.MaxRecvMsgSize); gRPC's own default is 4 MiB, refused as
       // RESOURCE_EXHAUSTED "received message larger than max"
-      maxRecvMsgBytes: Long = 4L * 1024 * 1024) {
+      maxRecvMsgBytes: Long = 4L * 1024 * 1024,
+      // confignet transport (config/confignet NetAddr): tcp loopback
+      // (default) or an AF_UNIX stream socket — the h2c protocol
+      // code below is transport-blind
+      transport: graft.pipeline.ConfigNet.Transport =
+        graft.pipeline.ConfigNet.Tcp) {
     val obs = new GrpcObs
     private val counter = new java.util.concurrent.atomic.AtomicLong
-    private val server: java.net.ServerSocket = tls match {
-      case None => new java.net.ServerSocket(
-        port, 50, java.net.InetAddress.getLoopbackAddress)
-      case Some(cfg) => // configgrpc + configtls: TLS-wrapped h2
-        val ss = cfg.sslContext().getServerSocketFactory
-          .createServerSocket(port, 50,
-            java.net.InetAddress.getLoopbackAddress)
-          .asInstanceOf[javax.net.ssl.SSLServerSocket]
-        ss.setSSLParameters(cfg.serverParameters(ss.getSSLParameters))
-        ss
-    }
+    private val server: graft.pipeline.ConfigNet.StreamServer =
+      graft.pipeline.ConfigNet.listen(transport, port, tls)
     @volatile private var running = true
 
     private final class StreamBuf {
@@ -547,9 +543,9 @@ object GrpcOtlp {
       var headersDone = false
     }
 
-    private def handle(sock: java.net.Socket): Unit = {
-      val in = new java.io.BufferedInputStream(sock.getInputStream)
-      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    private def handle(sock: graft.pipeline.ConfigNet.Conn): Unit = {
+      val in = new java.io.BufferedInputStream(sock.in)
+      val out = new java.io.BufferedOutputStream(sock.out)
       val decoder = new Hpack.Decoder
       val streams = scala.collection.mutable.HashMap[Int, StreamBuf]()
       try {
@@ -781,7 +777,7 @@ object GrpcOtlp {
     }, "grpc-accept")
     acceptor.setDaemon(true); acceptor.start()
 
-    def boundPort: Int = server.getLocalPort
+    def boundPort: Int = server.boundPort
     def stop(): Unit = { running = false; server.close() }
     def spoolPath(signal: String): String =
       new java.io.File(spoolDir, s"${signal}_pb").toString
@@ -826,7 +822,11 @@ object GrpcOtlp {
       onPartialSuccess: (Long, String) => Unit = (_, _) => (),
       pathOverride: String = "", // custom service path (gateway prefixes)
       tls: Option[TlsConfig] = None,
-      auth: Option[Auth.ClientAuthenticator] = None)
+      auth: Option[Auth.ClientAuthenticator] = None,
+      // confignet transport: tcp host:port (default) or an AF_UNIX
+      // socket path (host/port then only label error messages)
+      transport: graft.pipeline.ConfigNet.Transport =
+        graft.pipeline.ConfigNet.Tcp)
       extends graft.pipeline.Pipeline.Exporter {
 
     private val msgCodec: String = {
@@ -851,17 +851,11 @@ object GrpcOtlp {
     }
 
     private def post(msg0: Array[Byte]): Unit = {
-      val sock = tls match {
-        case None =>
-          val s = new java.net.Socket()
-          s.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
-          s
-        case Some(cfg) => Tls.clientSocket(cfg, host, port)
-      }
-      sock.setSoTimeout(readTimeoutMs)
+      val sock = graft.pipeline.ConfigNet.connect(
+        transport, host, port, connectTimeoutMs, readTimeoutMs, tls)
       try {
-        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
-        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.out)
+        val in = new java.io.BufferedInputStream(sock.in)
         H2.handshakeClient(out)
         val msg = if (msgCodec.nonEmpty) OtlpHttp.Codec.encode(msgCodec, msg0) else msg0
         val headers = Seq(

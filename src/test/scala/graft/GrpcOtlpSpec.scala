@@ -71,6 +71,55 @@ class GrpcOtlpSpec extends AnyFunSuite {
     } finally rx.stop()
   }
 
+  test("confignet transport unix: the gRPC pair speaks over an AF_UNIX socket; tcp stays the default; bad shapes refuse naming the remedy") {
+    import spark.implicits._
+    import graft.pipeline.ConfigNet
+    val spool = tmpDir("grpc_unix")
+    val sockPath = tmpDir("grpc_sock") + "/otlp.sock"
+    // a stale socket file from a "previous run" must not block the bind
+    java.nio.file.Files.write(java.nio.file.Path.of(sockPath), Array[Byte](1))
+    val rx = new OtlpGrpcReceiver(0, spool,
+      transport = ConfigNet.Unix(sockPath))
+    try {
+      assert(rx.boundPort == -1, "a unix socket has no TCP port")
+      val logs = OtlpJsonSource.parseLogs(Seq(mkLogRequest("uds", 7)).toDF("json"))
+      OtlpGrpcExporter("localhost", 0, "logs",
+        transport = ConfigNet.Unix(sockPath)).export(logs)
+      assert(rx.obs.requests.get == 1)
+      val back = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs"))
+          .select(col("content").as("pb")))
+      assert(back.count() == 7)
+    } finally rx.stop()
+    // ...and stop() unlinks the socket file (no stale rendezvous)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(sockPath)))
+
+    // config-reachable on both halves, same parse
+    assert(ConfigNet.parse("", null) == ConfigNet.Tcp)
+    assert(ConfigNet.parse("tcp4", null) == ConfigNet.Tcp)
+    assert(ConfigNet.parse("unix", "/tmp/x.sock") == ConfigNet.Unix("/tmp/x.sock"))
+    val noPath = intercept[IllegalArgumentException] { ConfigNet.parse("unix", null) }
+    assert(noPath.getMessage.contains("path"))
+    val bad = intercept[IllegalArgumentException] { ConfigNet.parse("udp", null) }
+    assert(bad.getMessage.contains("tcp|tcp4|tcp6|unix"))
+    // unix + tls refused loudly (filesystem permissions are the
+    // unix socket's access control), never silently unencrypted
+    val tlsErr = intercept[IllegalArgumentException] {
+      ConfigNet.listen(ConfigNet.Unix(sockPath), 0,
+        Some(graft.sources.Tls.fromMap(Map("mode" -> "server"))))
+    }
+    assert(tlsErr.getMessage.contains("tls"))
+
+    // the yaml seam builds the unix receiver (validate-level check)
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/u": {
+         |  "receiver": {"type": "otlp_grpc", "transport": "unix",
+         |    "path": "$sockPath", "spool": "$spool"},
+         |  "exporters": [{"type": "otlp_grpc", "transport": "unix",
+         |    "path": "$sockPath", "signal": "logs"}]}}}""".stripMargin)
+    assert(svc.pipelines.contains("logs/u"))
+  }
+
   test("gRPC gzip message compression decodes identically") {
     import spark.implicits._
     val spool = tmpDir("grpc_gzip")
