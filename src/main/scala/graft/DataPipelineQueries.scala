@@ -95,12 +95,11 @@ object DataPipelineQueries {
                             minLen: Int, dfCap: Int): DataFrame =
     exactDupSpansFrom(docs(s, dir), minLen, dfCap)
 
-  /** [[exactDupSpans]] over an explicit (doc_id, text) frame — the
-    * seam the doctored-corpus precision spec drives */
-  private[graft] def exactDupSpansFrom(docsDf: DataFrame,
-                                       minLen: Int, dfCap: Int): DataFrame = {
+  /** tokenized frame feeding both the anchor selection and the
+    * extension verify, with the position-packing guard */
+  private def spanTokens(docsDf: DataFrame): DataFrame = {
     val POSCAP = 2097152L
-    val toks = docsDf
+    docsDf
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 7)
       // the packed winnowing key holds positions below 2^21; a doc
@@ -111,7 +110,16 @@ object DataPipelineQueries {
       .filter(assert_true(size(col("__ws")) < lit(POSCAP),
         lit(s"exactDupSpans: document exceeds ${POSCAP - 1} tokens — " +
           "winnowing positions would not pack; chunk it first")).isNull)
-    val sel = toks
+  }
+
+  /** winnowing anchor selection over [[spanTokens]] output: one
+    * (doc_id, h_sel, pos_sel) row per selected fingerprint —
+    * checkpointed (feeds the cap join and both pair sides; in the
+    * incremental path this frame IS what a production anchor store
+    * persists per ingest day) */
+  private def winnowAnchorSel(toks: DataFrame): DataFrame = {
+    val POSCAP = 2097152L
+    toks
       .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
       .select(col("doc_id"), col("n_grams"), posexplode(
         expr("transform(sequence(1, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i, 4)))"))
@@ -127,7 +135,15 @@ object DataPipelineQueries {
         expr(s"wmin DIV $POSCAP").as("h_sel"),
         (lit(POSCAP - 1) - expr(s"wmin % $POSCAP")).as("pos_sel"))
       .distinct()
-      .localCheckpoint() // feeds the cap join and both pair sides
+      .localCheckpoint()
+  }
+
+  /** [[exactDupSpans]] over an explicit (doc_id, text) frame — the
+    * seam the doctored-corpus precision spec drives */
+  private[graft] def exactDupSpansFrom(docsDf: DataFrame,
+                                       minLen: Int, dfCap: Int): DataFrame = {
+    val toks = spanTokens(docsDf)
+    val sel = winnowAnchorSel(toks)
     // df = distinct DOCUMENTS carrying the fingerprint (the
     // documented boilerplate bound) — counting (doc, pos) rows would
     // let intra-doc repetition push a 2-doc duplicate over the cap
@@ -142,6 +158,54 @@ object DataPipelineQueries {
       .join(capped.select(col("h_sel"), col("doc_id").as("doc_b"),
         col("pos_sel").as("pb")), Seq("h_sel"))
       .filter(col("doc_a") < col("doc_b"))
+    extendAnchorPairs(pairs, toks, minLen)
+  }
+
+  /** Incremental ExactSubstr — the daily-ingest path of the
+    * flagship: `batchDf`'s anchors probe the historical anchor
+    * store, emitting only the NEW spans (pairs touching at least one
+    * batch doc). The store's TEXT is never rescanned to find
+    * candidates: anchor selection per corpus half is independent
+    * (production persists `winnowAnchorSel`'s (doc, hash, position)
+    * rows plus per-hash doc counts at each ingest — re-derived here
+    * because a query owns no storage), the pair probe joins hashes +
+    * positions only, and store text enters exactly once, fetched for
+    * the bounded candidate pairs by the extension verify. The df cap
+    * counts distinct docs across store ∪ batch and only
+    * batch-touched fingerprints survive the probe, so the output
+    * CONVERGES: it equals the batch operator on the unioned corpus
+    * restricted to batch-touching pairs (spec-pinned both doctored
+    * and on the sf corpus). Doc ids must be unique across both
+    * frames (the ingest contract). */
+  private[graft] def exactDupSpansIncrementalFrom(
+      storeDf: DataFrame, batchDf: DataFrame,
+      minLen: Int, dfCap: Int): DataFrame = {
+    val toksStore = spanTokens(storeDf)
+    val toksBatch = spanTokens(batchDf)
+    val sel = winnowAnchorSel(toksStore).withColumn("__new", lit(false))
+      .unionByName(winnowAnchorSel(toksBatch).withColumn("__new", lit(true)))
+    // the cap sees the WHOLE corpus (store metadata keeps per-hash
+    // doc counts); a store-only fingerprint cannot make a new pair
+    val rare = sel.groupBy(col("h_sel"))
+      .agg(countDistinct(col("doc_id")).as("__df"),
+        max(col("__new")).as("__touched"))
+      .filter(col("__df") <= dfCap && col("__touched"))
+      .select(col("h_sel"))
+    val capped = sel.join(rare, "h_sel")
+    val pairs = capped.select(col("h_sel"), col("doc_id").as("doc_a"),
+        col("pos_sel").as("pa"), col("__new").as("__na"))
+      .join(capped.select(col("h_sel"), col("doc_id").as("doc_b"),
+        col("pos_sel").as("pb"), col("__new").as("__nb")), Seq("h_sel"))
+      .filter(col("doc_a") < col("doc_b") && (col("__na") || col("__nb")))
+      .drop("__na", "__nb")
+    extendAnchorPairs(pairs, toksStore.unionByName(toksBatch), minLen)
+  }
+
+  /** the extension verify shared by the batch and incremental span
+    * operators: anchors grouped per ordered doc pair, token arrays
+    * joined once per pair, one diagonal-sorted fold per pair */
+  private def extendAnchorPairs(pairs: DataFrame, toks: DataFrame,
+                                minLen: Int): DataFrame = {
     // group the shared anchors per ordered doc pair BEFORE the token
     // join: arrays flow through the plan once per PAIR (the per-anchor
     // join replicated both arrays once per shared anchor — ≈0.4·T
@@ -1979,6 +2043,20 @@ object DataPipelineQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("dup_tokens"))
       nSpans.join(coverage, "doc_id")
+    }),
+
+    // Incremental ExactSubstr (the daily-ingest path): batch = docs
+    // with doc_id % 4 >= 2 probing the store half's anchor rows —
+    // only NEW (batch-touching) spans emit, the store's text is
+    // fetched solely for bounded candidates, and the result equals
+    // the batch operator on the union restricted to batch-touching
+    // pairs (convergence spec-pinned). Rows-only by design: the
+    // span mechanism is oracled via q_dedup_substring_exact's CTE.
+    "q_dedup_substring_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      exactDupSpansIncrementalFrom(
+        d.filter(col("doc_id") % 4 < 2), d.filter(col("doc_id") % 4 >= 2),
+        minLen = 15, dfCap = 50)
     }),
 
     // Duplicated-span census over the ExactSubstr flagship: how much

@@ -1209,6 +1209,59 @@ class DedupAnnSpec extends AnyFunSuite {
       s"expected the two maximal halves, got: $got")
   }
 
+  test("incremental ExactSubstr converges: batch-probe spans equal the unioned batch run restricted to batch-touching pairs; store-only spans never emit") {
+    val spark2 = spark
+    import spark2.implicits._
+    def fill(doc: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"f${doc}n$i")
+    val passage = (0 until 30).map(i => s"inc$i")
+    val other = (0 until 30).map(i => s"oth$i")
+    // store: docs 1,2 share `passage` (a store-store span — ALREADY
+    // known, must NOT re-emit); doc 3 carries `other`
+    // batch: doc 11 shares `passage` with the store (cross-batch —
+    // must emit vs BOTH store copies), docs 12,13 share `other`
+    // between themselves AND with store doc 3; doc 14 is clean
+    val store = Seq(
+      (1L, (fill(1, 10) ++ passage ++ fill(1, 10)).mkString(" ")),
+      (2L, (fill(2, 5) ++ passage ++ fill(2, 15)).mkString(" ")),
+      (3L, (fill(3, 8) ++ other ++ fill(3, 12)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, (fill(11, 20) ++ passage ++ fill(11, 5)).mkString(" ")),
+      (12L, (fill(12, 3) ++ other ++ fill(12, 17)).mkString(" ")),
+      (13L, (other ++ fill(13, 20)).mkString(" ")),
+      (14L, fill(14, 60).mkString(" "))
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val incr = rows(DataPipelineQueries.exactDupSpansIncrementalFrom(
+      store, batch, 15, 50))
+    val full = rows(DataPipelineQueries.exactDupSpansFrom(
+      store.unionByName(batch), 15, 50))
+    val batchIds = Set(11L, 12L, 13L, 14L)
+    val expected = full.filter(s => batchIds(s._1) || batchIds(s._2))
+    assert(incr == expected,
+      s"incremental ${incr.size} spans vs expected ${expected.size}")
+    // the partition is non-trivial in BOTH directions: a store-store
+    // span exists and was excluded; cross and batch-batch spans exist
+    assert(full.exists(s => !batchIds(s._1) && !batchIds(s._2)),
+      "no store-store span planted — exclusion untested")
+    assert(incr.exists(s => !batchIds(s._1) && batchIds(s._2)),
+      "no cross-batch span emitted")
+    assert(incr.exists(s => batchIds(s._1) && batchIds(s._2)),
+      "no batch-batch span emitted")
+    assert(!incr.exists(s => s._1 == 14L || s._2 == 14L))
+
+    // ...and on the real corpus through the registered query: same
+    // convergence against the batch operator's registered split
+    val d = Tables(spark, sf, "documents")
+    val gotReal = rows(SparkEntry.queries("q_dedup_substring_incr")(spark, sf))
+    val fullReal = rows(DataPipelineQueries.exactDupSpansFrom(d, 15, 50))
+    val isBatch = (id: Long) => id % 4 >= 2
+    assert(gotReal == fullReal.filter(s => isBatch(s._1) || isBatch(s._2)))
+  }
+
   test("exactDupSpans precision sweep: planted passages of every length/offset/copy-count shape recover exactly; sub-threshold lengths recover nothing") {
     val spark2 = spark
     import spark2.implicits._
