@@ -1037,6 +1037,14 @@ object ConfigLoader {
           coalesce(col("__cut_text"), lit(""))).otherwise(col(txc)))
         .drop("__cutid", "__was_cut", "__rbid", "__cut_text")
     }
+    // semconv schema migration: rewrite a map<string,string> attrs
+    // column's keys between catalog versions (SemConv.renames —
+    // the 1.18.0 → 1.23.0 HTTP stabilization table; side picks the
+    // client/server view of the net.* fold)
+    case "semconv_migrate" => df =>
+      df.withColumn(str(m, "attrs"), graft.model.SemConv.migrateAttrs(
+        col(str(m, "attrs")), str(m, "from"), str(m, "to"),
+        m.get("side").map(_.toString).getOrElse("client")))
     // deterministic shuffle + shard assignment (ScaleOps.shuffleShard)
     case "shuffle_shard" => df =>
       graft.operators.ScaleOps.shuffleShard(df, str(m, "id"),

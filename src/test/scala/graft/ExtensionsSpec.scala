@@ -407,6 +407,81 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(frame.columns.contains("resource_attributes"))
   }
 
+  test("semconv multi-version: per-version catalogs with stability markers; 1.18->1.23 renames migrate a live attrs map; bad shapes refuse") {
+    import graft.model.SemConv
+    // per-version lookup: the same concept resolves to each version's
+    // spelling; 1.23 drops the old constants outright
+    assert(SemConv.V1_18_0.key("HttpMethod") == "http.method")
+    assert(SemConv.V1_23_0.key("HttpRequestMethod") == "http.request.method")
+    assert(SemConv.V1_23_0.key("UrlFull") == "url.full")
+    assert(SemConv.V1_23_0.key("ServerAddress") == "server.address")
+    intercept[NoSuchElementException] { SemConv.V1_23_0.key("HttpMethod") }
+    intercept[NoSuchElementException] { SemConv.V1_23_0.key("EventDomain") }
+    // stability markers: HTTP experimental at 1.18, stable at 1.23;
+    // the core identity attributes stable at both
+    assert(SemConv.V1_18_0.stability("http.method") == "experimental")
+    assert(SemConv.V1_23_0.stability("http.request.method") == "stable")
+    assert(SemConv.V1_18_0.stability("service.name") == "stable")
+    assert(SemConv.V1_23_0.stability("service.name") == "stable")
+    // the net.* fold is side-aware: one server.address from two old
+    // spellings, so the per-side tables never collide
+    val cl = SemConv.renames("1.18.0", "1.23.0", "client")
+    val sv = SemConv.renames("1.18.0", "1.23.0", "server")
+    assert(cl("net.peer.name") == "server.address" && !cl.contains("net.host.name"))
+    assert(sv("net.host.name") == "server.address" && !sv.contains("net.peer.name"))
+    assert(cl("http.method") == "http.request.method")
+    assert(SemConv.renames("1.18.0", "1.18.0").isEmpty)
+    val noTable = intercept[IllegalArgumentException] {
+      SemConv.renames("1.23.0", "1.18.0")
+    }
+    assert(noTable.getMessage.contains("1.18.0 -> 1.23.0"))
+    intercept[IllegalArgumentException] { SemConv.renames("1.18.0", "9.9.9") }
+    intercept[IllegalArgumentException] {
+      SemConv.renames("1.18.0", "1.23.0", "bidirectional")
+    }
+    // live migration in one projection: renamed keys rewrite, unknown
+    // keys and all values pass through
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Map("http.method" -> "GET", "net.peer.name" -> "api.local",
+        "custom.key" -> "kept")),
+      (2L, Map("http.status_code" -> "200"))
+    ).toDF("id", "attrs")
+    val migrated = df.withColumn("attrs",
+        SemConv.migrateAttrs(org.apache.spark.sql.functions.col("attrs"),
+          "1.18.0", "1.23.0"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Map[String, String]]("attrs")).toMap
+    assert(migrated(1L) == Map("http.request.method" -> "GET",
+      "server.address" -> "api.local", "custom.key" -> "kept"))
+    assert(migrated(2L) == Map("http.response.status_code" -> "200"))
+    // a row carrying BOTH spellings of one key fails LOUDLY (duplicate
+    // map key after the rewrite), never silently drops one value
+    val both = Seq(Map("http.method" -> "GET",
+      "http.request.method" -> "POST")).toDF("attrs")
+    val dup = intercept[RuntimeException] {
+      both.withColumn("attrs", SemConv.migrateAttrs(
+        org.apache.spark.sql.functions.col("attrs"),
+        "1.18.0", "1.23.0")).collect()
+    }
+    assert(dup.getMessage.toLowerCase.contains("duplicate"), dup.getMessage)
+    // ...and the yaml seam reaches it
+    val dir = java.nio.file.Files.createTempDirectory("semconv_mig").toString
+    df.write.mode("overwrite").parquet(s"$dir/in")
+    val out = s"$dir/out"
+    ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/m": {
+         |  "receiver": {"type": "parquet", "path": "$dir/in"},
+         |  "processors": [{"type": "semconv_migrate", "attrs": "attrs",
+         |    "from": "1.18.0", "to": "1.23.0", "side": "client"}],
+         |  "exporters": [{"type": "parquet", "path": "$out"}]}}}""".stripMargin)
+      .run(spark)
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getAs[Map[String, String]]("attrs")).toMap
+    assert(back(1L)("http.request.method") == "GET")
+  }
+
   test("service telemetry resource: configured attributes stamp self-telemetry, override wins") {
     val svc = ConfigLoader.fromJson(
       """{"service": {"telemetry": {"resource": {
