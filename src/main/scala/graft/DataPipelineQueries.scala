@@ -846,10 +846,8 @@ object DataPipelineQueries {
       val nearDrop = DedupOps.connectedComponents(nearDupPairs(s, dir))
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id")).withColumn("__near", lit(true))
-      val cut = exactDupSpans(s, dir, minLen = 15, dfCap = 50)
-        .select(col("doc_b").as("doc_id"),
-          explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
-        .distinct()
+      val cut = DedupOps.spanCutPositions(
+          exactDupSpans(s, dir, minLen = 15, dfCap = 50))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("__cut"))
       val verd = d
         .select(col("doc_id"), col("source"),
@@ -2118,30 +2116,11 @@ object DataPipelineQueries {
     // tokens (md5 of the empty string, both engines).
     "q_dedup_span_cut" -> ((s, dir) => {
       val spans = exactDupSpans(s, dir, minLen = 15, dfCap = 50)
-      val cut = spans.select(col("doc_b").as("doc_id"),
-          explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
-        .distinct()
-        .localCheckpoint() // feeds cutDocs + the anti-join
-      val toks = docs(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "w")))
-        .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
-      val cutDocs = cut.select(col("doc_id")).distinct()
-      // mine feeds TWO aggregates (before + kept→after) —
-      // localCheckpoint so the corpus tokenize/posexplode runs once
-      // (the q_dup_span_hist discipline)
-      val mine = toks.join(cutDocs, "doc_id").localCheckpoint()
-      val kept = mine.join(cut, Seq("doc_id", "pos"), "left_anti")
-      val before = mine.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
-      val after = kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_after"),
-          md5(concat_ws(" ", expr(
-            "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)")))
-            .as("kept_md5"))
-      before.join(after, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      val cut = DedupOps.spanCutPositions(spans)
+        .localCheckpoint() // feeds the semi-join + the anti-join
+      DedupOps.spanCutRebuild(docs(s, dir), "doc_id", "text", cut)
+        .select(col("doc_id"), col("n_before"), col("n_after"),
+          md5(col("kept_text")).as("kept_md5"))
     }),
 
     // Contamination SEVERITY behind q_decontaminate's binary verdict:
@@ -3318,12 +3297,14 @@ object DataPipelineQueries {
         |  (SELECT doc_id, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
         |d AS (SELECT b.source,
         |  CAST(len(l8) - len(list_distinct(l8)) AS DOUBLE) / CAST(len(l8) AS DOUBLE) AS dlf,
-        |  CAST(length(array_to_string(l8, '')) - length(array_to_string(list_distinct(l8), '')) AS DOUBLE) / CAST(length(array_to_string(l8, '')) AS DOUBLE) AS dlcf,
+        |  CASE WHEN length(array_to_string(l8, '')) = 0 THEN 0.0 ELSE
+        |    CAST(length(array_to_string(l8, '')) - length(array_to_string(list_distinct(l8), '')) AS DOUBLE) / CAST(length(array_to_string(l8, '')) AS DOUBLE) END AS dlcf,
         |  CAST(len(l32) - len(list_distinct(l32)) AS DOUBLE) / CAST(len(l32) AS DOUBLE) AS dpf,
-        |  CAST(length(array_to_string(l32, '')) - length(array_to_string(list_distinct(l32), '')) AS DOUBLE) / CAST(length(array_to_string(l32, '')) AS DOUBLE) AS dpcf,
-        |  CAST(COALESCE(c2.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) AS s2,
-        |  CAST(COALESCE(c3.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) AS s3,
-        |  CAST(COALESCE(c4.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) AS s4
+        |  CASE WHEN length(array_to_string(l32, '')) = 0 THEN 0.0 ELSE
+        |    CAST(length(array_to_string(l32, '')) - length(array_to_string(list_distinct(l32), '')) AS DOUBLE) / CAST(length(array_to_string(l32, '')) AS DOUBLE) END AS dpcf,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(c2.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS s2,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(c3.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS s3,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(c4.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS s4
         |  FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id) LEFT JOIN c4 USING (doc_id))
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         | CAST(SUM(CASE WHEN dlf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_line,

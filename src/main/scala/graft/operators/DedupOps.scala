@@ -604,4 +604,49 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
+
+  // ---- ExactSubstr span-cut kernel (Lee et al. APPLY) --------------
+  // ONE copy of the cut rule, shared by q_dedup_span_cut,
+  // q_dedup_fused and the dedup_spancut config stage (the gopherFlags
+  // discipline: the filter and every report derive from the same
+  // expressions so they can never drift).
+
+  /** the covered b-side token positions of an ExactSubstr span frame
+    * (doc_a < doc_b by pair construction — the NON-canonical copy
+    * loses its positions, keep-earliest at span granularity): one
+    * DISTINCT (doc_id, pos) row per covered position */
+  def spanCutPositions(spans: DataFrame): DataFrame =
+    spans.select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
+      .distinct()
+
+  /** apply the cut: per CUT doc, original/kept token counts and the
+    * kept text reassembled in token order — covered positions leave
+    * via ONE anti-join, order restored by sort_array over
+    * (pos, token) structs (never a window), a fully-cut doc
+    * legitimately keeps "" with n_after 0. Docs without cut
+    * positions are absent (semi-join pruned BEFORE the tokenize, so
+    * only candidates pay the posexplode); `cut` feeds two joins and
+    * the tokenized frame two aggregates — pass a checkpointed `cut`
+    * when spans are expensive. */
+  def spanCutRebuild(docsDf: DataFrame, idCol: String, textCol: String,
+                     cut: DataFrame): DataFrame = {
+    val mine = docsDf.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(cut.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(tokens(col("__t"))).as(Seq("p0", "w")))
+      .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+      .localCheckpoint() // feeds before + kept
+    val kept = mine.join(cut, Seq("doc_id", "pos"), "left_anti")
+    val before = mine.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
+    val after = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)"))
+          .as("kept_text"))
+    before.join(after, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -118,9 +118,17 @@ object TextOps {
          |      1)), 1))""".stripMargin
     def dupF(l: String) =
       s"CAST(size($l) - size(array_distinct($l)) AS DOUBLE) / CAST(size($l) AS DOUBLE)"
+    // zero-char guard: a whitespace-only doc tokenizes to [""] (the
+    // pinned cross-engine edge), giving zero line chars / zero token
+    // chars — 0/0 would be NULL, dropping the doc from every flag AND
+    // from n_clean; such a doc is CLEAN (signal 0.0), on both engines
     def dupCF(l: String) =
-      s"CAST(length(array_join($l, '')) - length(array_join(array_distinct($l), '')) AS DOUBLE)" +
-        s" / CAST(length(array_join($l, '')) AS DOUBLE)"
+      s"IF(length(array_join($l, '')) = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(length(array_join($l, '')) - length(array_join(array_distinct($l), '')) AS DOUBLE)" +
+        s" / CAST(length(array_join($l, '')) AS DOUBLE))"
+    def topF(n: Int) =
+      s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(${bestGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
     expr(
       s"""element_at(transform(array(named_struct(
          |    'l8', ${chunks(8)}, 'l32', ${chunks(32)},
@@ -130,9 +138,9 @@ object TextOps {
          |    'dup_line_char_frac', ${dupCF("s.l8")},
          |    'dup_para_frac', ${dupF("s.l32")},
          |    'dup_para_char_frac', ${dupCF("s.l32")},
-         |    'top_2gram_char_frac', CAST(${bestGramChars(2)} AS DOUBLE) / CAST(s.tot AS DOUBLE),
-         |    'top_3gram_char_frac', CAST(${bestGramChars(3)} AS DOUBLE) / CAST(s.tot AS DOUBLE),
-         |    'top_4gram_char_frac', CAST(${bestGramChars(4)} AS DOUBLE) / CAST(s.tot AS DOUBLE))), 1)""".stripMargin)
+         |    'top_2gram_char_frac', ${topF(2)},
+         |    'top_3gram_char_frac', ${topF(3)},
+         |    'top_4gram_char_frac', ${topF(4)})), 1)""".stripMargin)
   }
 
   /** quality class from simple, portable signals */

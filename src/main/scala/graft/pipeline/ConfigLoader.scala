@@ -1010,32 +1010,17 @@ object ConfigLoader {
       val dfCap = m.get("df_cap").map(_.asInstanceOf[Number].intValue()).getOrElse(50)
       val spans = graft.DataPipelineQueries.exactDupSpansFrom(
         df.select(col(idc).as("doc_id"), col(txc).as("text")), minLen, dfCap)
-      val cut = spans.select(col("doc_b").as("doc_id"),
-          explode(org.apache.spark.sql.functions.expr(
-            "sequence(start_b, start_b + span_len - 1)")).as("pos"))
-        .distinct()
-        .localCheckpoint() // feeds the cut-doc marker AND the anti-join
-      val cutDocs = cut.select(col("doc_id")).distinct()
-        .withColumnRenamed("doc_id", "__cutid")
-        .withColumn("__was_cut", lit(true))
-      // semi-join BEFORE the posexplode: only cut docs tokenize for
-      // the rebuild (the rest of the corpus passes through untouched)
-      val rebuilt = df.select(col(idc).as("doc_id"), col(txc).as("__t"))
-        .join(cut.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          posexplode(graft.operators.TextOps.tokens(col("__t"))).as(Seq("p0", "w")))
-        .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
-        .join(cut, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(concat_ws(" ", org.apache.spark.sql.functions.expr(
-          "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)"))
-          .as("__cut_text"))
-        .withColumnRenamed("doc_id", "__rbid")
-      df.join(cutDocs, col(idc) === col("__cutid"), "left")
-        .join(rebuilt, col(idc) === col("__rbid"), "left")
-        .withColumn(txc, when(col("__was_cut"),
-          coalesce(col("__cut_text"), lit(""))).otherwise(col(txc)))
-        .drop("__cutid", "__was_cut", "__rbid", "__cut_text")
+      val cut = graft.operators.DedupOps.spanCutPositions(spans)
+        .localCheckpoint() // feeds the semi-join + the anti-join
+      // the shared cut kernel returns one row per CUT doc with its
+      // reassembled text (the rest of the corpus passes through)
+      val rebuilt = graft.operators.DedupOps
+        .spanCutRebuild(df, idc, txc, cut)
+        .select(col("doc_id").as("__rbid"), col("kept_text").as("__cut_text"))
+      df.join(rebuilt, col(idc) === col("__rbid"), "left")
+        .withColumn(txc, when(col("__rbid").isNotNull, col("__cut_text"))
+          .otherwise(col(txc)))
+        .drop("__rbid", "__cut_text")
     }
     // semconv schema migration: rewrite a map<string,string> attrs
     // column's keys between catalog versions (SemConv.renames —

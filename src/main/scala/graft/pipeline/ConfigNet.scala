@@ -104,11 +104,22 @@ object ConfigNet {
         }
     }
 
+  /** shared deadline timer for unix-channel reads (daemon; one
+    * thread serves every connection — tasks only close channels) */
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "confignet-watchdog"); t.setDaemon(true); t
+    })
+
   /** client connect. TCP honors connect/read timeouts and the
-    * configtls client surface; unix connects are local rendezvous
-    * (no OS-level connect/read timeout on the channel API — a hung
-    * local peer surfaces via the caller's own deadline, and TLS is
-    * refused as on the listen side). */
+    * configtls client surface. Unix connects are local rendezvous
+    * (immediate — no connect timeout to honor), but the READ timeout
+    * is enforced: the channel API has no SO_TIMEOUT, so each read
+    * arms a watchdog that closes the channel at the deadline — a
+    * wedged local peer surfaces as an IOException after
+    * `readTimeoutMs`, exactly like the TCP path's
+    * SocketTimeoutException, never an infinite hang. TLS is refused
+    * as on the listen side. */
   def connect(transport: Transport, host: String, port: Int,
               connectTimeoutMs: Int, readTimeoutMs: Int,
               tls: Option[graft.sources.TlsConfig]): Conn =
@@ -129,7 +140,27 @@ object ConfigNet {
           "transport unix does not take tls; use transport tcp for TLS")
         val ch = java.nio.channels.SocketChannel
           .open(java.net.UnixDomainSocketAddress.of(java.nio.file.Path.of(path)))
-        new Conn(java.nio.channels.Channels.newInputStream(ch),
+        val raw = java.nio.channels.Channels.newInputStream(ch)
+        val timedIn = new java.io.InputStream {
+          private def timed[A](f: => A): A = {
+            val task = watchdog.schedule(new Runnable {
+              def run(): Unit =
+                try ch.close()
+                catch { case _: java.io.IOException => () }
+            }, readTimeoutMs.toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+            try f
+            catch {
+              case e: java.nio.channels.AsynchronousCloseException
+                  if task.isDone =>
+                throw new java.net.SocketTimeoutException(
+                  s"unix $path: read timed out after $readTimeoutMs ms")
+            } finally task.cancel(false)
+          }
+          override def read(): Int = timed(raw.read())
+          override def read(b: Array[Byte], off: Int, len: Int): Int =
+            timed(raw.read(b, off, len))
+        }
+        new Conn(timedIn,
           java.nio.channels.Channels.newOutputStream(ch), () => ch.close())
     }
 }

@@ -1138,6 +1138,17 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sig(7, "top_2gram_char_frac") == 6.0 / 240.0)
     assert(sig(7, "top_3gram_char_frac") == 9.0 / 240.0)
     assert(sig(7, "top_4gram_char_frac") == 12.0 / 240.0)
+    // whitespace-only doc: tokenizes to [""] (the pinned cross-engine
+    // edge), zero chars everywhere — every signal is 0.0 (CLEAN), not
+    // NULL (a NULL would drop the doc from the flags AND from n_clean,
+    // breaking flags + n_clean = n_docs)
+    val wsOnly = Seq((1L, "   ")).toDF("doc_id", "text")
+      .withColumn("__ws", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("__sig", graft.operators.TextOps.repetitionSignals("__ws"))
+      .select(col("__sig.*")).collect().head
+    for (i <- 0 until wsOnly.length)
+      assert(!wsOnly.isNullAt(i) && wsOnly.getDouble(i) == 0.0,
+        s"whitespace-only doc: field $i = ${wsOnly.get(i)}")
 
     // census end-to-end through the registered query: one source per
     // planted doc, so each source's row IS that doc's flag vector

@@ -110,6 +110,29 @@ class GrpcOtlpSpec extends AnyFunSuite {
     }
     assert(tlsErr.getMessage.contains("tls"))
 
+    // a WEDGED unix peer cannot hang the exporter: the channel API
+    // has no SO_TIMEOUT, so reads arm a watchdog — the export fails
+    // within readTimeoutMs like the TCP path's SocketTimeoutException
+    val wedgedPath = tmpDir("grpc_wedge") + "/wedged.sock"
+    val wedged = ConfigNet.listen(ConfigNet.Unix(wedgedPath), 0, None)
+    val sink = new Thread(() => {
+      try { val c = wedged.accept(); Thread.sleep(60000); c.close() }
+      catch { case _: Throwable => () }
+    })
+    sink.setDaemon(true); sink.start()
+    try {
+      val logs2 = OtlpJsonSource.parseLogs(Seq(mkLogRequest("w", 1)).toDF("json"))
+      val t0 = System.nanoTime()
+      val e = intercept[Exception] {
+        OtlpGrpcExporter("localhost", 0, "logs",
+          readTimeoutMs = 500,
+          transport = ConfigNet.Unix(wedgedPath)).export(logs2)
+      }
+      val waited = (System.nanoTime() - t0) / 1e9
+      assert(waited < 30.0, f"unix read deadline did not fire: $waited%.1f s")
+      assert(e.getMessage != null, e.toString)
+    } finally wedged.close()
+
     // the yaml seam builds the unix receiver (validate-level check)
     val svc = graft.pipeline.ConfigLoader.fromJson(
       s"""{"pipelines": {"logs/u": {
