@@ -104,22 +104,35 @@ object ConfigNet {
         }
     }
 
-  /** shared deadline timer for unix-channel reads (daemon; one
-    * thread serves every connection — tasks only close channels) */
-  private lazy val watchdog =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-      val t = new Thread(r, "confignet-watchdog"); t.setDaemon(true); t
-    })
+  /** shared deadline timer for unix-channel I/O (daemon; one thread
+    * serves every connection — tasks only close channels). Cancelled
+    * tasks leave the queue immediately (every successful read cancels
+    * one; the default policy would hold each until its full delay). */
+  private lazy val watchdog = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "confignet-watchdog"); t.setDaemon(true); t
+        }
+      })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
 
   /** client connect. TCP honors connect/read timeouts and the
     * configtls client surface. Unix connects are local rendezvous
-    * (immediate — no connect timeout to honor), but the READ timeout
-    * is enforced: the channel API has no SO_TIMEOUT, so each read
-    * arms a watchdog that closes the channel at the deadline — a
-    * wedged local peer surfaces as an IOException after
-    * `readTimeoutMs`, exactly like the TCP path's
-    * SocketTimeoutException, never an infinite hang. TLS is refused
-    * as on the listen side. */
+    * (immediate — no connect timeout to honor), but the I/O deadline
+    * is enforced on BOTH stream directions: the channel API has no
+    * SO_TIMEOUT, so each read — and each write/flush, since a peer
+    * that stops READING wedges a writer once the socket buffer fills
+    * — arms a watchdog that closes the channel at `readTimeoutMs`
+    * and surfaces a SocketTimeoutException, like the TCP path.
+    * `readTimeoutMs <= 0` disables the deadline (setSoTimeout(0)
+    * semantics). Once a deadline fires the channel is gone (a closed
+    * channel cannot be resurrected the way an SO_TIMEOUT socket
+    * stays usable) — every later call reports the timeout, not a
+    * bare ClosedChannelException. TLS is refused as on the listen
+    * side. */
   def connect(transport: Transport, host: String, port: Int,
               connectTimeoutMs: Int, readTimeoutMs: Int,
               tls: Option[graft.sources.TlsConfig]): Conn =
@@ -133,7 +146,7 @@ object ConfigNet {
             s
           case Some(cfg) => graft.sources.Tls.clientSocket(cfg, host, port)
         }
-        sock.setSoTimeout(readTimeoutMs)
+        sock.setSoTimeout(math.max(0, readTimeoutMs))
         new Conn(sock.getInputStream, sock.getOutputStream, () => sock.close())
       case Unix(path) =>
         require(tls.isEmpty,
@@ -141,26 +154,50 @@ object ConfigNet {
         val ch = java.nio.channels.SocketChannel
           .open(java.net.UnixDomainSocketAddress.of(java.nio.file.Path.of(path)))
         val raw = java.nio.channels.Channels.newInputStream(ch)
-        val timedIn = new java.io.InputStream {
-          private def timed[A](f: => A): A = {
-            val task = watchdog.schedule(new Runnable {
-              def run(): Unit =
-                try ch.close()
-                catch { case _: java.io.IOException => () }
-            }, readTimeoutMs.toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
-            try f
-            catch {
-              case e: java.nio.channels.AsynchronousCloseException
-                  if task.isDone =>
-                throw new java.net.SocketTimeoutException(
-                  s"unix $path: read timed out after $readTimeoutMs ms")
-            } finally task.cancel(false)
+        val rawOut = java.nio.channels.Channels.newOutputStream(ch)
+        if (readTimeoutMs <= 0)
+          new Conn(raw, rawOut, () => ch.close())
+        else {
+          // `fired` is set BEFORE the close so the unblocked I/O call
+          // (which may observe the AsynchronousCloseException while
+          // run() is still inside close() — task.isDone would race)
+          // always classifies the failure as a timeout
+          val deadline = new Object {
+            @volatile var fired = false
+            def timed[A](f: => A): A = {
+              if (fired) throw new java.net.SocketTimeoutException(
+                s"unix $path: I/O timed out after $readTimeoutMs ms")
+              val task = watchdog.schedule(new Runnable {
+                def run(): Unit = {
+                  fired = true
+                  try ch.close()
+                  catch { case _: java.io.IOException => () }
+                }
+              }, readTimeoutMs.toLong,
+                java.util.concurrent.TimeUnit.MILLISECONDS)
+              try f
+              catch {
+                // AsynchronousCloseException extends it — one case
+                case _: java.nio.channels.ClosedChannelException if fired =>
+                  throw new java.net.SocketTimeoutException(
+                    s"unix $path: I/O timed out after $readTimeoutMs ms")
+              } finally task.cancel(false)
+            }
           }
-          override def read(): Int = timed(raw.read())
-          override def read(b: Array[Byte], off: Int, len: Int): Int =
-            timed(raw.read(b, off, len))
+          val timedIn = new java.io.InputStream {
+            override def read(): Int = deadline.timed(raw.read())
+            override def read(b: Array[Byte], off: Int, len: Int): Int =
+              deadline.timed(raw.read(b, off, len))
+            override def close(): Unit = ch.close()
+          }
+          val timedOut = new java.io.OutputStream {
+            override def write(b: Int): Unit = deadline.timed(rawOut.write(b))
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              deadline.timed(rawOut.write(b, off, len))
+            override def flush(): Unit = deadline.timed(rawOut.flush())
+            override def close(): Unit = ch.close()
+          }
+          new Conn(timedIn, timedOut, () => ch.close())
         }
-        new Conn(timedIn,
-          java.nio.channels.Channels.newOutputStream(ch), () => ch.close())
     }
 }

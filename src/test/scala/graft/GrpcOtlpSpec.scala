@@ -123,14 +123,14 @@ class GrpcOtlpSpec extends AnyFunSuite {
     try {
       val logs2 = OtlpJsonSource.parseLogs(Seq(mkLogRequest("w", 1)).toDF("json"))
       val t0 = System.nanoTime()
-      val e = intercept[Exception] {
+      val e = intercept[java.net.SocketTimeoutException] {
         OtlpGrpcExporter("localhost", 0, "logs",
           readTimeoutMs = 500,
           transport = ConfigNet.Unix(wedgedPath)).export(logs2)
       }
       val waited = (System.nanoTime() - t0) / 1e9
       assert(waited < 30.0, f"unix read deadline did not fire: $waited%.1f s")
-      assert(e.getMessage != null, e.toString)
+      assert(e.getMessage.contains("timed out"), e.getMessage)
     } finally wedged.close()
 
     // the yaml seam builds the unix receiver (validate-level check)
