@@ -179,6 +179,24 @@ object Plans {
       "sort spreads over #buckets tasks instead of one 5 TB task at " +
       "100 TB / 20 sources. PlanSpec now mechanically bans WindowExec " +
       "partitioned solely on a declared low-cardinality key."),
+    "q_repetition_gopher" -> ("The full Gopher repetition suite as " +
+      "ONE map-side projection per doc: duplicate line/paragraph " +
+      "mass via size/length deltas against array_distinct " +
+      "(Σ(count−1)·len = total − distinct, no per-line rows), the " +
+      "top-{2,3,4}-gram char mass via a sorted run-length fold — " +
+      "seven signals and seven threshold flags computed where the " +
+      "doc is read, so the ONLY exchange is the ≤#sources-row " +
+      "census. At 100 TB this is a single corpus scan; nothing " +
+      "text-shaped ever shuffles."),
+    "q_dedup_fused" -> ("The fused dedup verdict (drop_exact / " +
+      "drop_near / cut_spans / keep): three bounded inputs — md5 " +
+      "keep-min groups, the hybrid-CC keep rule over LSH-bounded " +
+      "pairs, ExactSubstr b-side coverage — join onto a one-row-per-" +
+      "doc verdict frame (checkpointed: three census aggregates read " +
+      "it without re-running CC or the anchor machinery). Exchanges " +
+      "carry hashes, component ids and (doc, pos) counts; document " +
+      "text never crosses a shuffle. The report is the q_dedup_impact " +
+      "mixture shape over the FUSED rule."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
       "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
       "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +
