@@ -31,8 +31,12 @@ object DataPipelineQueries {
     * The packed key c = h*POSCAP + (POSCAP-1-pos) makes min(c) over
     * the forward window equal (min h, rightmost pos) — Schleimer's
     * tie rule as a plain integer window MIN. */
+  /** packed winnowing key width: 2^21 in-doc positions; h < 2^32 →
+    * c = h·POSCAP + (POSCAP−1−pos) < 2^53 (exact in a long) — ONE
+    * value shared by the pack, the unpack and the overflow guard */
+  private val POSCAP = 2097152L
+
   private def winnowSelect(s: SparkSession, dir: String): DataFrame = {
-    val POSCAP = 2097152L // 2^21 in-doc positions; h < 2^32 → c < 2^53
     docs(s, dir)
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 7) // >= 1 full window: k+w-1
@@ -98,7 +102,6 @@ object DataPipelineQueries {
   /** tokenized frame feeding both the anchor selection and the
     * extension verify, with the position-packing guard */
   private def spanTokens(docsDf: DataFrame): DataFrame = {
-    val POSCAP = 2097152L
     docsDf
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 7)
@@ -118,7 +121,6 @@ object DataPipelineQueries {
     * incremental path this frame IS what a production anchor store
     * persists per ingest day) */
   private def winnowAnchorSel(toks: DataFrame): DataFrame = {
-    val POSCAP = 2097152L
     toks
       .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
       .select(col("doc_id"), col("n_grams"), posexplode(
@@ -514,10 +516,10 @@ object DataPipelineQueries {
       |  CAST(left_ext + 4 + right_ext AS BIGINT) AS span_len
       |FROM xs_ext WHERE left_ext + 4 + right_ext >= 15)""".stripMargin
 
-    /** [[ExactSubstrBody]] as a standalone statement opener */
+  /** [[ExactSubstrBody]] as a standalone statement opener */
   private val ExactSubstrCte: String = "WITH " + ExactSubstrBody
 
-/** the spans themselves (q_dedup_substring_exact's tail) */
+  /** the spans themselves (q_dedup_substring_exact's tail) */
   private val ExactSubstrSpansSql: String =
     "SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans"
 

@@ -231,9 +231,14 @@ object SemConv {
       "NetAppProtocolVersion" -> ("NetworkProtocolVersion", "network.protocol.version"),
       "NetSockPeerAddr" -> ("NetworkPeerAddress", "network.peer.address"),
       "NetSockPeerPort" -> ("NetworkPeerPort", "network.peer.port"),
+      "NetSockHostAddr" -> ("NetworkLocalAddress", "network.local.address"),
+      "NetSockHostPort" -> ("NetworkLocalPort", "network.local.port"),
       "DeploymentEnvironment" -> ("DeploymentEnvironment", "deployment.environment"))
+    // event.domain is removed outright; http.target SPLITS into
+    // url.path + url.query (not a 1:1 rename, so no migration entry);
+    // http.server_name was deprecated into server.address
     private val removedConstants = Set("EventDomain", "HttpTarget",
-      "HttpServerName", "NetSockHostAddr", "NetSockHostPort")
+      "HttpServerName")
     val catalog: Map[String, String] =
       (baseCatalog -- removedConstants -- renamedConstants.keys) ++
         renamedConstants.values.toSeq
@@ -275,6 +280,8 @@ object SemConv {
     require(f == V1_18_0 && t == V1_23_0,
       s"no semconv rename table from '$from' to '$to' " +
         "(defined: 1.18.0 -> 1.23.0)")
+    // the socket-level renames are side-AGNOSTIC (both views carry
+    // them); only the server.address/port fold needs the side split
     val common = Map(
       "http.method" -> "http.request.method",
       "http.status_code" -> "http.response.status_code",
@@ -286,13 +293,15 @@ object SemConv {
       "http.flavor" -> "network.protocol.version",
       "net.transport" -> "network.transport",
       "net.app.protocol.name" -> "network.protocol.name",
-      "net.app.protocol.version" -> "network.protocol.version")
+      "net.app.protocol.version" -> "network.protocol.version",
+      "net.sock.peer.addr" -> "network.peer.address",
+      "net.sock.peer.port" -> "network.peer.port",
+      "net.sock.host.addr" -> "network.local.address",
+      "net.sock.host.port" -> "network.local.port")
     side match {
       case "client" => common ++ Map(
         "net.peer.name" -> "server.address",
-        "net.peer.port" -> "server.port",
-        "net.sock.peer.addr" -> "network.peer.address",
-        "net.sock.peer.port" -> "network.peer.port")
+        "net.peer.port" -> "server.port")
       case "server" => common ++ Map(
         "net.host.name" -> "server.address",
         "net.host.port" -> "server.port",

@@ -197,7 +197,13 @@ object ConfigNet {
             override def flush(): Unit = deadline.timed(rawOut.flush())
             override def close(): Unit = ch.close()
           }
-          new Conn(timedIn, timedOut, () => ch.close())
+          // buffer OUTSIDE the deadline wrappers: a byte-at-a-time
+          // caller hits the buffer, and only refills/drains/flushes
+          // pay the schedule+cancel round-trip (one watchdog task per
+          // LOGICAL transfer, not per byte). Close still reaches the
+          // channel through the wrapped streams.
+          new Conn(new java.io.BufferedInputStream(timedIn),
+            new java.io.BufferedOutputStream(timedOut), () => ch.close())
         }
     }
 }

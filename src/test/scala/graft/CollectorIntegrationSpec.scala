@@ -1877,29 +1877,19 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     val near = exact.join(
       cc.filter(col("id") =!= col("component")).select(col("id").as("__dropid")),
       col("doc_id") === col("__dropid"), "left_anti")
-    // span-cut replica: spans from the shared ExactSubstr kernel, cut
-    // positions leave the b side, text rebuilt in token order
-    val spans = graft.DataPipelineQueries.exactDupSpansFrom(
-      near.select(col("doc_id"), col("text")), 15, 50)
-    val cutPos = spans.select(col("doc_b").as("doc_id"),
-        explode(expr("sequence(start_b, start_b + span_len - 1)")).as("pos"))
-      .distinct()
-    val rebuilt = near.select(col("doc_id"), col("text"))
-      .join(cutPos.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "w")))
-      .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
-      .join(cutPos, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(expr("concat_ws(' ', transform(sort_array(collect_list(struct(pos, w))), x -> x.w))")
-        .as("__ct"))
+    // span-cut replica on the SAME shared kernel the config stage
+    // delegates to (the spec's independent ground truth is the
+    // hand-built expected md5 assertions below, not a re-derivation)
+    val cutPos = DedupOps.spanCutPositions(
+      graft.DataPipelineQueries.exactDupSpansFrom(
+        near.select(col("doc_id"), col("text")), 15, 50))
+    val rebuilt = DedupOps.spanCutRebuild(near, "doc_id", "text", cutPos)
+      .select(col("doc_id"), col("kept_text").as("__ct"))
     val spancut = near
-      .join(cutPos.select(col("doc_id")).distinct()
-        .withColumn("__wc", lit(true)), Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
-      .withColumn("text",
-        when(col("__wc"), coalesce(col("__ct"), lit(""))).otherwise(col("text")))
-      .drop("__wc", "__ct")
+      .withColumn("text", when(col("__ct").isNotNull, col("__ct"))
+        .otherwise(col("text")))
+      .drop("__ct")
     val prog = ScaleOps.shuffleShard(spancut, "doc_id", 8, "cur1", portable = true)
       .select(col("doc_id").cast("long"), col("shard").cast("long"),
         col("pos").cast("long"), md5(col("text")).as("h"))

@@ -430,6 +430,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cl("net.peer.name") == "server.address" && !cl.contains("net.host.name"))
     assert(sv("net.host.name") == "server.address" && !sv.contains("net.peer.name"))
     assert(cl("http.method") == "http.request.method")
+    // the socket-level renames are side-AGNOSTIC (only the
+    // server.address fold splits by side) — both views rewrite them
+    for (t <- Seq(cl, sv)) {
+      assert(t("net.sock.peer.addr") == "network.peer.address")
+      assert(t("net.sock.host.addr") == "network.local.address")
+      assert(t("net.sock.host.port") == "network.local.port")
+    }
+    assert(SemConv.V1_23_0.key("NetworkLocalAddress") == "network.local.address")
     assert(SemConv.renames("1.18.0", "1.18.0").isEmpty)
     val noTable = intercept[IllegalArgumentException] {
       SemConv.renames("1.23.0", "1.18.0")
