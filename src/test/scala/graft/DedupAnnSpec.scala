@@ -1220,6 +1220,74 @@ class DedupAnnSpec extends AnyFunSuite {
       s"expected the two maximal halves, got: $got")
   }
 
+  test("exactDupSpans property sweep: 20 random corpora match an exact brute-force diagonal-scan reference, span for span") {
+    val spark2 = spark
+    import spark2.implicits._
+    // independent oracle: for every doc pair walk every diagonal and
+    // emit the maximal match runs >= minLen — O(n²) per pair, exact
+    // by construction. The operator must produce the identical span
+    // set on corpora it has never been tuned for: random docs over a
+    // small vocab with 10-30-token segments planted into 2-4 docs at
+    // random offsets (winnowing guarantees an anchor inside any
+    // common substring >= 7 tokens, so equality — not recall — is
+    // the contract for minLen 15).
+    def bruteSpans(ds: Seq[(Long, Array[String])], minLen: Int)
+        : Set[(Long, Long, Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+      for {
+        Seq((ida, za), (idb, zb)) <- ds.sortBy(_._1).combinations(2)
+        d <- -(zb.length - 1) to (za.length - 1)
+      } {
+        var i = math.max(0, d) // 0-based in a; j = i - d in b
+        var runStart = -1
+        while (i < za.length && (i - d) < zb.length) {
+          if (za(i) == zb(i - d)) { if (runStart < 0) runStart = i }
+          else {
+            if (runStart >= 0 && i - runStart >= minLen)
+              out += ((ida, idb, runStart + 1L, runStart - d + 1L,
+                (i - runStart).toLong))
+            runStart = -1
+          }
+          i += 1
+        }
+        if (runStart >= 0 && i - runStart >= minLen)
+          out += ((ida, idb, runStart + 1L, runStart - d + 1L,
+            (i - runStart).toLong))
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 20) {
+      val vocab = (0 until 150).map(i => s"w$i")
+      val nDocs = 5 + rnd.nextInt(4)
+      val base = (0 until nDocs).map { d =>
+        d.toLong -> Array.fill(30 + rnd.nextInt(50))(
+          vocab(rnd.nextInt(vocab.length)))
+      }.toMap
+      // plant 1-3 segments, each into 2-4 docs at random offsets
+      var docsArr = base
+      for (s <- 0 until 1 + rnd.nextInt(3)) {
+        val seg = Array.tabulate(10 + rnd.nextInt(21))(i => s"t${trial}s${s}x$i")
+        val targets = rnd.shuffle(docsArr.keys.toSeq).take(2 + rnd.nextInt(3))
+        for (t <- targets) {
+          val arr = docsArr(t)
+          val at = rnd.nextInt(arr.length + 1)
+          docsArr = docsArr.updated(t, arr.take(at) ++ seg ++ arr.drop(at))
+        }
+      }
+      val ds = docsArr.toSeq.map { case (id, a) => (id, a) }
+      val df = ds.map { case (id, a) => (id, a.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = DataPipelineQueries.exactDupSpansFrom(df, 15, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val want = bruteSpans(ds, 15)
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} " +
+          s"(got ${got.size} vs want ${want.size})")
+    }
+  }
+
   test("incremental ExactSubstr converges: batch-probe spans equal the unioned batch run restricted to batch-touching pairs; store-only spans never emit") {
     val spark2 = spark
     import spark2.implicits._
