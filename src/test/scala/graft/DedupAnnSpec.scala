@@ -1288,6 +1288,51 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("fused dedup verdict: planted docs hit each precedence arm exactly; token accounting closed-form per source") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one source per verdict class so each census row IS the class:
+    //  sA: byte-identical pair — the loser is drop_exact even though
+    //      it is ALSO a full near-dup and fully span-covered
+    //  sB: near-dup (jaccard ≈ 0.79) non-identical pair — the loser
+    //      is drop_near even though fully span-covered
+    //  sC: 20-token span in 100-token docs — 20% coverage on the b
+    //      side → cut_spans, toks_after = 80
+    //  sD: 15-token span in 400-token docs — 3.75% < the 5%
+    //      threshold → BOTH keep at full token count
+    //  sE: unique doc → keep
+    def toks(p: String, n: Int, from: Int = 0): Seq[String] =
+      (from until from + n).map(i => s"$p$i")
+    val seg40 = toks("n", 40); val span20 = toks("c", 20)
+    val span15 = toks("k", 15)
+    val eDoc = toks("e", 50).mkString(" ")
+    val corpus = Seq(
+      (1L, eDoc, "sA"), (2L, eDoc, "sA"),
+      (3L, (seg40 ++ toks("x", 3)).mkString(" "), "sB"),
+      (4L, (seg40 ++ toks("y", 3)).mkString(" "), "sB"),
+      (5L, (span20 ++ toks("f", 80)).mkString(" "), "sC"),
+      (6L, (toks("g", 80) ++ span20).mkString(" "), "sC"),
+      (7L, (span15 ++ toks("p", 385)).mkString(" "), "sD"),
+      (8L, (toks("q", 385) ++ span15).mkString(" "), "sD"),
+      (9L, toks("z", 30).mkString(" "), "sE"))
+    val dir = java.nio.file.Files.createTempDirectory("fusedspec").toString
+    corpus.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_fused")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_drop_exact"),
+          r.getAs[Long]("n_drop_near"), r.getAs[Long]("n_cut_spans"),
+          r.getAs[Long]("n_keep"), r.getAs[Long]("toks_before"),
+          r.getAs[Long]("toks_after"))).toMap
+    assert(got("sA") == ((2L, 1L, 0L, 0L, 1L, 100L, 50L)), got("sA"))
+    assert(got("sB") == ((2L, 0L, 1L, 0L, 1L, 86L, 43L)), got("sB"))
+    assert(got("sC") == ((2L, 0L, 0L, 1L, 1L, 200L, 180L)), got("sC"))
+    assert(got("sD") == ((2L, 0L, 0L, 0L, 2L, 800L, 800L)), got("sD"))
+    assert(got("sE") == ((1L, 0L, 0L, 0L, 1L, 30L, 30L)), got("sE"))
+  }
+
   test("incremental ExactSubstr converges: batch-probe spans equal the unioned batch run restricted to batch-touching pairs; store-only spans never emit") {
     val spark2 = spark
     import spark2.implicits._
@@ -1331,6 +1376,34 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(incr.exists(s => batchIds(s._1) && batchIds(s._2)),
       "no batch-batch span emitted")
     assert(!incr.exists(s => s._1 == 14L || s._2 == 14L))
+
+    // the df cap must count documents ACROSS the split: a passage in
+    // 1 store + 2 batch docs is df 3 — over cap 2, so the batch run
+    // on the union drops it and the incremental probe must too (a
+    // store-local or batch-local count would read df ≤ 2 and leak
+    // C(3,2) spans); a 2-doc cross-split passage survives the cap
+    val viral = (0 until 30).map(i => s"vir$i")
+    val duo = (0 until 30).map(i => s"duo$i")
+    val capStore = Seq(
+      (21L, (fill(21, 10) ++ viral ++ fill(21, 10)).mkString(" ")),
+      (22L, (fill(22, 12) ++ duo ++ fill(22, 8)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val capBatch = Seq(
+      (31L, (fill(31, 5) ++ viral ++ fill(31, 15)).mkString(" ")),
+      (32L, (viral ++ fill(32, 20)).mkString(" ")),
+      (33L, (fill(33, 18) ++ duo ++ fill(33, 2)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val capIncr = rows(DataPipelineQueries.exactDupSpansIncrementalFrom(
+      capStore, capBatch, 15, 2))
+    val capFull = rows(DataPipelineQueries.exactDupSpansFrom(
+      capStore.unionByName(capBatch), 15, 2))
+    val capBatchIds = Set(31L, 32L, 33L)
+    assert(capIncr == capFull.filter(s =>
+      capBatchIds(s._1) || capBatchIds(s._2)))
+    assert(!capIncr.exists(s => Set(s._1, s._2).exists(Set(31L, 32L))),
+      s"df-capped viral passage leaked through the incremental probe: $capIncr")
+    assert(capIncr.exists(s => s._1 == 22L && s._2 == 33L),
+      "the 2-doc cross-split passage must survive cap 2")
 
     // ...and on the real corpus through the registered query: same
     // convergence against the batch operator's registered split
