@@ -1278,7 +1278,13 @@ object DataPipelineQueries {
         ("v_dup_para_chars", col("__sig.dup_para_char_frac") > 0.20),
         ("v_top_2gram", col("__sig.top_2gram_char_frac") > 0.20),
         ("v_top_3gram", col("__sig.top_3gram_char_frac") > 0.18),
-        ("v_top_4gram", col("__sig.top_4gram_char_frac") > 0.16))
+        ("v_top_4gram", col("__sig.top_4gram_char_frac") > 0.16),
+        ("v_dup_5gram", col("__sig.dup_5gram_char_frac") > 0.15),
+        ("v_dup_6gram", col("__sig.dup_6gram_char_frac") > 0.14),
+        ("v_dup_7gram", col("__sig.dup_7gram_char_frac") > 0.13),
+        ("v_dup_8gram", col("__sig.dup_8gram_char_frac") > 0.12),
+        ("v_dup_9gram", col("__sig.dup_9gram_char_frac") > 0.11),
+        ("v_dup_10gram", col("__sig.dup_10gram_char_frac") > 0.10))
       val withFlags = flags.foldLeft(flagged) {
         case (df, (n, c)) => df.withColumn(n, c)
       }
@@ -3297,6 +3303,24 @@ object DataPipelineQueries {
         |g4 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+3)], ' ') for i in range(1, len(ws) - 2)]) AS g FROM b),
         |c4 AS (SELECT doc_id, MAX(c * (length(g) - 3)) AS best FROM
         |  (SELECT doc_id, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
+        |gd5 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+4)], ' ') for i in range(1, len(ws) - 3)]) AS g FROM b),
+        |d5 AS (SELECT doc_id, CAST(SUM(c * (length(g) - 4)) AS BIGINT) AS mass FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM gd5 GROUP BY 1, 2) WHERE c >= 2 GROUP BY 1),
+        |gd6 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+5)], ' ') for i in range(1, len(ws) - 4)]) AS g FROM b),
+        |d6 AS (SELECT doc_id, CAST(SUM(c * (length(g) - 5)) AS BIGINT) AS mass FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM gd6 GROUP BY 1, 2) WHERE c >= 2 GROUP BY 1),
+        |gd7 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+6)], ' ') for i in range(1, len(ws) - 5)]) AS g FROM b),
+        |d7 AS (SELECT doc_id, CAST(SUM(c * (length(g) - 6)) AS BIGINT) AS mass FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM gd7 GROUP BY 1, 2) WHERE c >= 2 GROUP BY 1),
+        |gd8 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+7)], ' ') for i in range(1, len(ws) - 6)]) AS g FROM b),
+        |d8 AS (SELECT doc_id, CAST(SUM(c * (length(g) - 7)) AS BIGINT) AS mass FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM gd8 GROUP BY 1, 2) WHERE c >= 2 GROUP BY 1),
+        |gd9 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+8)], ' ') for i in range(1, len(ws) - 7)]) AS g FROM b),
+        |d9 AS (SELECT doc_id, CAST(SUM(c * (length(g) - 8)) AS BIGINT) AS mass FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM gd9 GROUP BY 1, 2) WHERE c >= 2 GROUP BY 1),
+        |gd10 AS (SELECT doc_id, unnest([array_to_string(ws[i:(i+9)], ' ') for i in range(1, len(ws) - 8)]) AS g FROM b),
+        |d10 AS (SELECT doc_id, CAST(SUM(c * (length(g) - 9)) AS BIGINT) AS mass FROM
+        |  (SELECT doc_id, g, COUNT(*) AS c FROM gd10 GROUP BY 1, 2) WHERE c >= 2 GROUP BY 1),
         |d AS (SELECT b.source,
         |  CAST(len(l8) - len(list_distinct(l8)) AS DOUBLE) / CAST(len(l8) AS DOUBLE) AS dlf,
         |  CASE WHEN length(array_to_string(l8, '')) = 0 THEN 0.0 ELSE
@@ -3306,8 +3330,15 @@ object DataPipelineQueries {
         |    CAST(length(array_to_string(l32, '')) - length(array_to_string(list_distinct(l32), '')) AS DOUBLE) / CAST(length(array_to_string(l32, '')) AS DOUBLE) END AS dpcf,
         |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(c2.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS s2,
         |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(c3.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS s3,
-        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(c4.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS s4
-        |  FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id) LEFT JOIN c4 USING (doc_id))
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(c4.best, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS s4,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(d5.mass, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS sd5,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(d6.mass, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS sd6,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(d7.mass, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS sd7,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(d8.mass, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS sd8,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(d9.mass, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS sd9,
+        |  CASE WHEN b.tot = 0 THEN 0.0 ELSE CAST(COALESCE(d10.mass, 0) AS DOUBLE) / CAST(b.tot AS DOUBLE) END AS sd10
+        |  FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id) LEFT JOIN c4 USING (doc_id)
+        |  LEFT JOIN d5 USING (doc_id) LEFT JOIN d6 USING (doc_id) LEFT JOIN d7 USING (doc_id) LEFT JOIN d8 USING (doc_id) LEFT JOIN d9 USING (doc_id) LEFT JOIN d10 USING (doc_id))
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         | CAST(SUM(CASE WHEN dlf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_line,
         | CAST(SUM(CASE WHEN dpf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_para,
@@ -3316,9 +3347,15 @@ object DataPipelineQueries {
         | CAST(SUM(CASE WHEN s2 > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS v_top_2gram,
         | CAST(SUM(CASE WHEN s3 > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS v_top_3gram,
         | CAST(SUM(CASE WHEN s4 > 0.16 THEN 1 ELSE 0 END) AS BIGINT) AS v_top_4gram,
+        | CAST(SUM(CASE WHEN sd5 > 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_5gram,
+        | CAST(SUM(CASE WHEN sd6 > 0.14 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_6gram,
+        | CAST(SUM(CASE WHEN sd7 > 0.13 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_7gram,
+        | CAST(SUM(CASE WHEN sd8 > 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_8gram,
+        | CAST(SUM(CASE WHEN sd9 > 0.11 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_9gram,
+        | CAST(SUM(CASE WHEN sd10 > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS v_dup_10gram,
         | CAST(SUM(CASE WHEN NOT (dlf > 0.30) AND NOT (dpf > 0.30)
         |   AND NOT (dlcf > 0.20) AND NOT (dpcf > 0.20) AND NOT (s2 > 0.20)
-        |   AND NOT (s3 > 0.18) AND NOT (s4 > 0.16) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |   AND NOT (s3 > 0.18) AND NOT (s4 > 0.16) AND NOT (sd5 > 0.15) AND NOT (sd6 > 0.14) AND NOT (sd7 > 0.13) AND NOT (sd8 > 0.12) AND NOT (sd9 > 0.11) AND NOT (sd10 > 0.10) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
         |FROM d GROUP BY source""".stripMargin,
 
     "q_html_extract" ->

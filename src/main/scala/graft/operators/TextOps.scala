@@ -83,7 +83,11 @@ object TextOps {
     * repetitious-text block, completing [[gopherFlags]]'s subset):
     * duplicate line/paragraph fraction, duplicate line/paragraph
     * CHARACTER fraction, and the character share of the most
-    * frequent {2,3,4}-gram, as one struct column with seven DOUBLE
+    * frequent {2,3,4}-gram, and the duplicate-{5..10}-gram character
+    * fractions (occurrence mass of n-grams appearing 2+ times over
+    * total token chars — overlapping occurrences each count, so the
+    * ratio may exceed 1 on degenerate text; the DuckDB twin runs the
+    * identical accounting), as one struct column with thirteen DOUBLE
     * fields. The synthetic corpus carries no newlines, so "lines"
     * are synthesized deterministically as 8-token chunks and
     * "paragraphs" as 32-token chunks — the DuckDB oracle runs the
@@ -129,6 +133,29 @@ object TextOps {
     def topF(n: Int) =
       s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
         s"CAST(${bestGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
+    // occurrence mass of DUPLICATE n-grams (runs of length >= 2):
+    // Σ run_count × (gram chars minus separators) — the same sorted
+    // run-length walk as bestGramChars with a summed, thresholded
+    // accumulator
+    def dupGramChars(n: Int): String =
+      s"""IF(size($ws) < $n, CAST(0 AS BIGINT),
+         |  element_at(transform(array(named_struct('g',
+         |    array_sort(transform(sequence(1, size($ws) - ${n - 1}),
+         |      i -> concat_ws(' ', slice($ws, i, $n)))))), t ->
+         |    element_at(transform(array(named_struct('st',
+         |      filter(sequence(1, size(t.g)),
+         |        i -> i = 1 OR element_at(t.g, i) != element_at(t.g, i - 1)))), u ->
+         |      aggregate(sequence(1, size(u.st)), CAST(0 AS BIGINT), (a, j) ->
+         |        a + element_at(transform(array(
+         |          CAST(IF(j = size(u.st), size(t.g) + 1, element_at(u.st, j + 1))
+         |            - element_at(u.st, j) AS BIGINT)), rc ->
+         |          IF(rc >= 2, rc
+         |            * CAST(length(element_at(t.g, element_at(u.st, j))) - ${n - 1} AS BIGINT),
+         |            CAST(0 AS BIGINT))), 1))),
+         |      1)), 1))""".stripMargin
+    def dupNF(n: Int) =
+      s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(${dupGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
     expr(
       s"""element_at(transform(array(named_struct(
          |    'l8', ${chunks(8)}, 'l32', ${chunks(32)},
@@ -140,7 +167,13 @@ object TextOps {
          |    'dup_para_char_frac', ${dupCF("s.l32")},
          |    'top_2gram_char_frac', ${topF(2)},
          |    'top_3gram_char_frac', ${topF(3)},
-         |    'top_4gram_char_frac', ${topF(4)})), 1)""".stripMargin)
+         |    'top_4gram_char_frac', ${topF(4)},
+         |    'dup_5gram_char_frac', ${dupNF(5)},
+         |    'dup_6gram_char_frac', ${dupNF(6)},
+         |    'dup_7gram_char_frac', ${dupNF(7)},
+         |    'dup_8gram_char_frac', ${dupNF(8)},
+         |    'dup_9gram_char_frac', ${dupNF(9)},
+         |    'dup_10gram_char_frac', ${dupNF(10)})), 1)""".stripMargin)
   }
 
   /** quality class from simple, portable signals */

@@ -1092,10 +1092,16 @@ class DedupAnnSpec extends AnyFunSuite {
       Seq("p", "q", "r", "t", f"aa$i%02d", f"bb$i%02d", f"cc$i%02d", f"dd$i%02d"))
     // G: fully distinct
     val gToks = (0 until 80).map(i => f"z$i%02d")
+    // H: "a b c d e" (1-char tokens) + a distinct 3-char separator,
+    // ×8 — the duplicate-5-GRAM rule (every 6+-gram contains a
+    // separator, so dup-6..10 stay at zero and split the family)
+    val hToks = (0 until 8).flatMap(i =>
+      Seq("a", "b", "c", "d", "e", f"s$i%02d"))
     val corpus = Seq(
       (1L, aToks, "s_dupline"), (2L, bToks, "s_duppara"),
       (3L, cL ++ cL ++ cShort, "s_charline"), (4L, dToks, "s_top2"),
-      (5L, eToks, "s_top3"), (6L, fToks, "s_top4"), (7L, gToks, "s_clean"))
+      (5L, eToks, "s_top3"), (6L, fToks, "s_top4"), (7L, gToks, "s_clean"),
+      (8L, hToks, "s_dup5"))
     val df = corpus.map { case (id, ts, src) => (id, ts.mkString(" "), "en", src) }
       .toDF("doc_id", "text", "lang", "source")
     val sigs = df
@@ -1130,11 +1136,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sig(6, "top_4gram_char_frac") == 32.0 / 160.0)
     assert(sig(6, "top_3gram_char_frac") == 24.0 / 160.0)  // ≤ 0.18
     assert(sig(6, "top_2gram_char_frac") == 16.0 / 160.0)  // ≤ 0.2
+    // H: the repeated 5-gram carries 8 × (9−4) = 40 of 64 token
+    // chars; its INTERNAL 2/3/4-grams repeat with it (inherent
+    // coupling — a repeated 5-gram contains repeated sub-grams), and
+    // every 6+-gram crosses a distinct separator → zero
+    assert(sig(8, "dup_5gram_char_frac") == 40.0 / 64.0)
+    for (n <- 6 to 10)
+      assert(sig(8, s"dup_${n}gram_char_frac") == 0.0, s"dup_$n")
+    assert(sig(8, "top_2gram_char_frac") == 16.0 / 64.0)  // co-trip
+    assert(sig(8, "top_4gram_char_frac") == 32.0 / 64.0)  // co-trip
+    assert(sig(8, "dup_line_frac") == 0.0)
     // G: no duplicate mass; the top-gram shares are the residual mass
     // of a COUNT-1 maximum (the share is a max, not a dup measure) —
     // 80 distinct 3-char tokens, tot 240
     for (f <- Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
-      "dup_para_char_frac")) assert(sig(7, f) == 0.0, s"clean doc tripped $f")
+      "dup_para_char_frac") ++ (5 to 10).map(n => s"dup_${n}gram_char_frac"))
+      assert(sig(7, f) == 0.0, s"clean doc tripped $f")
     assert(sig(7, "top_2gram_char_frac") == 6.0 / 240.0)
     assert(sig(7, "top_3gram_char_frac") == 9.0 / 240.0)
     assert(sig(7, "top_4gram_char_frac") == 12.0 / 240.0)
@@ -1172,6 +1189,12 @@ class DedupAnnSpec extends AnyFunSuite {
       && v("s_top4", "v_top_2gram") == 0)
     assert(v("s_clean", "n_clean") == 1 &&
       census("s_clean").getAs[Long]("n_docs") == 1)
+    assert(v("s_dup5", "v_dup_5gram") == 1 && v("s_dup5", "v_dup_6gram") == 0
+      && v("s_dup5", "v_dup_10gram") == 0 && v("s_dup5", "v_top_2gram") == 1
+      && v("s_dup5", "v_dup_line") == 0 && v("s_dup5", "n_clean") == 0)
+    // the top-gram docs never trip the duplicate-n-gram family (their
+    // repeats are shorter than 5 tokens)
+    assert(v("s_top4", "v_dup_5gram") == 0 && v("s_top2", "v_dup_5gram") == 0)
   }
 
   test("exactDupSpans near-mirror pair: one span from thousands of anchors, two regions split at one mismatch, bounded time") {
