@@ -1267,10 +1267,18 @@ object DataPipelineQueries {
     // oracle runs the identical synthesis). ONE map-side projection
     // per doc; the tiny per-source census is the only shuffle.
     "q_repetition_gopher" -> ((s, dir) => {
+      // localCheckpoint the (source, 13-double struct) frame: the
+      // flag projection extracts 13 fields and the all-clear
+      // conjunction re-references every one — Catalyst pushes struct
+      // extraction INTO named_struct children, so without the
+      // materialization each reference would re-run its own copy of
+      // the per-doc walks (measured 4.0 s vs 1.1 s warm at sf0.1).
+      // ~120 bytes/doc — the groupedRankRanged stats discipline.
       val flagged = docs(s, dir)
         .withColumn("__ws", TextOps.tokens(col("text")))
         .filter(size(col("__ws")) >= 1)
-        .withColumn("__sig", TextOps.repetitionSignals("__ws"))
+        .select(col("source"), TextOps.repetitionSignals("__ws").as("__sig"))
+        .localCheckpoint()
       val flags = Seq(
         ("v_dup_line", col("__sig.dup_line_frac") > 0.30),
         ("v_dup_para", col("__sig.dup_para_frac") > 0.30),

@@ -179,15 +179,16 @@ object Plans {
       "sort spreads over #buckets tasks instead of one 5 TB task at " +
       "100 TB / 20 sources. PlanSpec now mechanically bans WindowExec " +
       "partitioned solely on a declared low-cardinality key."),
-    "q_repetition_gopher" -> ("The full Gopher repetition suite as " +
-      "ONE map-side projection per doc: duplicate line/paragraph " +
+    "q_repetition_gopher" -> ("The COMPLETE Gopher repetition block " +
+      "as ONE map-side projection per doc: duplicate line/paragraph " +
       "mass via size/length deltas against array_distinct " +
       "(Σ(count−1)·len = total − distinct, no per-line rows), the " +
-      "top-{2,3,4}-gram char mass via a sorted run-length fold — " +
-      "seven signals and seven threshold flags computed where the " +
-      "doc is read, so the ONLY exchange is the ≤#sources-row " +
-      "census. At 100 TB this is a single corpus scan; nothing " +
-      "text-shaped ever shuffles."),
+      "top-{2,3,4}-gram char mass and the duplicate-{5..10}-gram " +
+      "occurrence mass via sorted run-length folds — thirteen " +
+      "signals and thirteen threshold flags computed where the doc " +
+      "is read, so the ONLY exchange is the ≤#sources-row census. " +
+      "At 100 TB this is a single corpus scan; nothing text-shaped " +
+      "ever shuffles."),
     "q_dedup_fused" -> ("The fused dedup verdict (drop_exact / " +
       "drop_near / cut_spans / keep): three bounded inputs — md5 " +
       "keep-min groups, the hybrid-CC keep rule over LSH-bounded " +

@@ -156,10 +156,19 @@ object TextOps {
     def dupNF(n: Int) =
       s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
         s"CAST(${dupGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
+    // a duplicate n-gram CONTAINS a duplicate 5-gram for every n > 5,
+    // so the 5-gram mass (bound once in the outer struct) gates the
+    // five heavier walks behind a lazy IF — a doc with no duplicate
+    // 5-gram (the overwhelming case in a real corpus) pays ONE extra
+    // sorted walk for the whole dup-gram family, not six
+    def dupHigherF(n: Int) =
+      s"IF(s.d5 = 0 OR s.tot = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(${dupGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
     expr(
       s"""element_at(transform(array(named_struct(
          |    'l8', ${chunks(8)}, 'l32', ${chunks(32)},
-         |    'tot', CAST(length(array_join($ws, '')) AS BIGINT))), s ->
+         |    'tot', CAST(length(array_join($ws, '')) AS BIGINT),
+         |    'd5', ${dupGramChars(5)})), s ->
          |  named_struct(
          |    'dup_line_frac', ${dupF("s.l8")},
          |    'dup_line_char_frac', ${dupCF("s.l8")},
@@ -168,12 +177,13 @@ object TextOps {
          |    'top_2gram_char_frac', ${topF(2)},
          |    'top_3gram_char_frac', ${topF(3)},
          |    'top_4gram_char_frac', ${topF(4)},
-         |    'dup_5gram_char_frac', ${dupNF(5)},
-         |    'dup_6gram_char_frac', ${dupNF(6)},
-         |    'dup_7gram_char_frac', ${dupNF(7)},
-         |    'dup_8gram_char_frac', ${dupNF(8)},
-         |    'dup_9gram_char_frac', ${dupNF(9)},
-         |    'dup_10gram_char_frac', ${dupNF(10)})), 1)""".stripMargin)
+         |    'dup_5gram_char_frac', IF(s.tot = 0, CAST(0.0 AS DOUBLE),
+         |      CAST(s.d5 AS DOUBLE) / CAST(s.tot AS DOUBLE)),
+         |    'dup_6gram_char_frac', ${dupHigherF(6)},
+         |    'dup_7gram_char_frac', ${dupHigherF(7)},
+         |    'dup_8gram_char_frac', ${dupHigherF(8)},
+         |    'dup_9gram_char_frac', ${dupHigherF(9)},
+         |    'dup_10gram_char_frac', ${dupHigherF(10)})), 1)""".stripMargin)
   }
 
   /** quality class from simple, portable signals */
