@@ -3,8 +3,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** run the whole suite under `slots`-way concurrency; returns
-    * (wall sec, per-query (name, sec, err)) */
-  private def runSuite(spark: SparkSession, sfDir: String, slots: Int)
+    * (wall sec, per-query (name, sec, err)).
+    *
+    * `knownWalls` (r13 verdict #1): when a previous leg already
+    * measured these queries, submit LONGEST-KNOWN-FIRST — a
+    * fixed-slot pool that draws the heavy dedup trio last leaves
+    * 3 slots idle while one straggler finishes, and every query
+    * co-scheduled behind it reads an inflated duration. Longest-first
+    * lets the short tail pack around the heavy heads instead. The
+    * first leg has no priors and keeps declaration order. */
+  private def runSuite(spark: SparkSession, sfDir: String, slots: Int,
+                       knownWalls: Map[String, Double] = Map.empty)
       : (Double, Seq[(String, Double, Option[String])]) = {
     // warm-up: JVM/codegen/parquet-footer costs land here, not on the
     // first measured query
@@ -12,8 +21,13 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val ordered =
+      if (knownWalls.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.sortBy {
+        case (name, _) => -knownWalls.getOrElse(name, Double.MaxValue)
+      } // unknown queries (no prior) lead: treat them as potentially heavy
     val t0All = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = ordered.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
         // a failed query must surface as an error, never as a fast
@@ -33,6 +47,26 @@ object Bench {
     pool.shutdown()
     (wall, results)
   }
+
+  /** serial re-run of the `n` slowest successful queries of a leg —
+    * the contention-free "what does this query actually cost" number
+    * (r7 verdict #7; extended to the sfx leg by r13 verdict #1: six
+    * UNTOUCHED queries read 10-67× in the r13 driver sfx capture and
+    * the artifact could not adjudicate its own contamination because
+    * only the sf leg had isolated walls). */
+  private def isolatedRuns(spark: SparkSession, dir: String,
+                           results: Seq[(String, Double, Option[String])],
+                           n: Int): Seq[(String, Double, Option[String])] =
+    results.filter(_._3.isEmpty).sortBy(-_._2).take(math.max(0, n))
+      .map { case (name, _, _) =>
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { SparkEntry.queries(name)(spark, dir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
 
   /** Fixed-work CPU-bound calibration probe (r10 verdict #6): a
     * constant-row, IO-free job timed SERIALLY before the suite. Its
@@ -133,16 +167,7 @@ object Bench {
     // SPARK_GRAFT_ISOLATED=0 disables; default: the 10 slowest.
     val isolatedN = sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "10").toInt
     val isolated: Seq[(String, Double, Option[String])] =
-      results.filter(_._3.isEmpty).sortBy(-_._2).take(math.max(0, isolatedN))
-        .map { case (name, _, _) =>
-          val t0 = System.nanoTime()
-          val err: Option[String] =
-            try { SparkEntry.queries(name)(spark, sfDir).count(); None }
-            catch { case e: Throwable =>
-              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-            }
-          (name, (System.nanoTime() - t0) / 1e9, err)
-        }
+      isolatedRuns(spark, sfDir, results, isolatedN)
 
     // Measured scaling slope (r6 verdict #8): replicate the SF by an
     // integer factor with join-consistent key offsets, run the FULL
@@ -152,20 +177,42 @@ object Bench {
     // hold it below F — the per-query ratios say which is which.
     // SPARK_GRAFT_SLOPE=0 disables; any other integer is the factor.
     val slopeFactor = sys.env.getOrElse("SPARK_GRAFT_SLOPE", "3").toInt
+    var slopeCompact: String = ""
     val slopeJson: String =
       if (slopeFactor < 2) ""
       else {
         val (dir2, buildSec) = BenchSlope.ensure(spark, sfDir, slopeFactor)
-        val (wall2, results2) = runSuite(spark, dir2, slots)
+        // longest-known-first: the sf leg's measured walls are the
+        // priors (r13 verdict #1 — stragglers piling behind the heavy
+        // dedup trio contaminated the driver's sfx per-query numbers)
+        val priors = results.map { case (k, v, _) => k -> v }.toMap
+        val (wall2, results2) = runSuite(spark, dir2, slots, priors)
+        // isolated re-runs for the sfx leg too — the artifact must be
+        // able to adjudicate its own contamination (r13 verdict #1:
+        // the six 10-67× blowups were 4-slot-concurrent durations with
+        // no serial counter-measurement in the record of note)
+        val isolatedSfx = isolatedRuns(spark, dir2, results2, isolatedN)
         val sow2 = results2.map(_._2).sum / wall2
         val ratios = results.map { case (k, v, _) =>
           val v2 = results2.find(_._1 == k).map(_._2).getOrElse(Double.NaN)
           s"\"" + k + "\":" + f"${v2 / v}%.3f"
         }.mkString("{", ",", "}")
+        // scalars + the bounded isolated map, for the compact line
+        slopeCompact =
+          s""","slope":{"factor":$slopeFactor,""" +
+          s""""isolated_sfx":${qjson(isolatedSfx)},""" +
+          s""""isolated_sfx_errors":${ejson(isolatedSfx)},""" +
+          s""""build_sec":${f"$buildSec%.1f"},""" +
+          s""""wall_sf":$wall,"wall_sfx":$wall2,""" +
+          s""""wall_ratio":${f"${wall2 / wall}%.3f"},""" +
+          s""""sum_over_wall_sfx":${f"$sow2%.3f"},""" +
+          s""""contended_sfx":${sow2 > slots * 1.2}}"""
         // big maps first, scalars last — same tail-truncation
         // discipline as the top-level line
         s""","slope":{"factor":$slopeFactor,"query_ratios":$ratios,""" +
           s""""errors_sfx":${ejson(results2)},""" +
+          s""""isolated_sfx":${qjson(isolatedSfx)},""" +
+          s""""isolated_sfx_errors":${ejson(isolatedSfx)},""" +
           s""""build_sec":${f"$buildSec%.1f"},""" +
           s""""wall_sf":$wall,"wall_sfx":$wall2,""" +
           s""""wall_ratio":${f"${wall2 / wall}%.3f"},""" +
@@ -188,7 +235,25 @@ object Bench {
     // a bounded TAIL of stdout, so the big per-query maps go FIRST and
     // the summary scalars (wall/errors/contended) go LAST — a
     // truncated capture always retains the headline numbers
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,"errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"value":$wall}""")
+    val scalarTail =
+      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"value":$wall}"""
+    val fullLine =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,""" + scalarTail
+    // the full line (with the 195-entry per-query maps) ALSO goes to a
+    // file, because the driver's bounded-tail stdout capture has
+    // truncated it before the opening brace three rounds running
+    // ("parsed": null in BENCH_r{11,12,13}.json — r13 verdict #2)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(fullLine)
+    // compact variant LAST — no per-query maps, only the headline
+    // scalars plus the bounded isolated maps (~1.5 KB), so whatever
+    // tail the driver keeps always ends with one complete,
+    // independently-parseable JSON line. "compact":true marks it; the
+    // full maps live in the line above and in bench_full.json.
+    println(s"""{"metric":"total","unit":"sec","compact":true,"full_maps":"bench_full.json","sf":"$sfDir","isolated":${qjson(isolated)}$slopeCompact,""" + scalarTail)
     spark.stop()
     if (results.exists(_._3.isDefined)) {
       System.err.println(s"[bench] ${results.count(_._3.isDefined)} queries FAILED")
