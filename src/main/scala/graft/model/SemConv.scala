@@ -124,6 +124,7 @@ object SemConv {
   val AttributeNetAppProtocolVersion = "net.app.protocol.version"
   val AttributeNetSockPeerAddr = "net.sock.peer.addr"
   val AttributeNetSockPeerPort = "net.sock.peer.port"
+  val AttributeNetSockPeerName = "net.sock.peer.name"
   val AttributeNetSockHostAddr = "net.sock.host.addr"
   val AttributeNetSockHostPort = "net.sock.host.port"
   val AttributeRpcSystem = "rpc.system"

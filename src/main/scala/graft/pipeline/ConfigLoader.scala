@@ -591,6 +591,31 @@ object ConfigLoader {
               s"unknown metric reader kind (expected pull or periodic): ${r.keys.mkString(",")}")
           }
         }
+    // service::telemetry::metrics::views — explicit view
+    // configuration over the obsreport catalog (the surface the
+    // reference's DisableHighCardinalityMetrics gate registration
+    // promises: "the gate will be removed when the collector allows
+    // for view configuration", obsreportconfig.go:24-30). Each entry:
+    // {instrument: "otelcol_receiver_*", drop: [keys],
+    //  when: {transport: grpc}} — instrument + non-empty drop are
+    // required (View's own require), `when` optional. The
+    // disable_high_cardinality built-ins ride the feature gate
+    // instead (featuregates: [telemetry.disableHighCardinalityMetrics]).
+    val telemetryViews: Seq[Obsreport.View] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("metrics")).map(asMap)
+        .flatMap(_.get("views")).toSeq
+        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+        .map { v0 =>
+          val v = asMap(v0)
+          Obsreport.View(
+            instrument = v.get("instrument").map(_.toString).getOrElse(
+              throw new IllegalArgumentException(
+                "telemetry metrics view requires an `instrument` selector")),
+            dropKeys = v.get("drop").toSeq.flatMap(strList).toSet,
+            whenDims = v.get("when").map(asMap).getOrElse(Map.empty)
+              .map { case (k, x) => k -> x.toString })
+        }
     // service::telemetry::logs (telemetry LogsConfig → newLogger):
     // the service's OWN logger — level/encoding/output_paths/
     // sampling/initial_fields. Validated here (bad level/encoding
@@ -705,7 +730,7 @@ object ConfigLoader {
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result, extInstances, telemetryLevel, telemetryResource,
-      telemetryAddress, telemetryLogs, telemetryReaders)
+      telemetryAddress, telemetryLogs, telemetryReaders, telemetryViews)
   }
 
   /** extension factory: the instance name's type prefix (before an

@@ -163,4 +163,19 @@ object FeatureGate {
     "graft.confmap.expandLegacy", Beta,
     description = "expand bare $VAR (deprecated expandconverter form) in configs",
     fromVersion = "r11")
+
+  /** the reference's high-cardinality self-metrics guard
+    * (internal/obsreportconfig/obsreportconfig.go:24-30, consumed at
+    * service/service.go:83 → proctelemetry batchViews): when enabled,
+    * the [[Obsreport.HighCardinalityViews]] filter set applies over
+    * the obsreport catalog before any serving surface — a fleet with
+    * per-peer receiver dimensions would otherwise explode its own
+    * /metrics. Alpha and default-off, exactly the reference's
+    * registration ("the gate will be removed when the collector
+    * allows for view configuration" — graft already allows it, via
+    * service::telemetry::metrics::views). */
+  val DisableHighCardinalityMetrics: Gate = global.register(
+    "telemetry.disableHighCardinalityMetrics", Alpha,
+    description = "drop high-cardinality socket/host attributes from self-metrics",
+    fromVersion = "r14")
 }

@@ -104,6 +104,65 @@ object Obsreport {
     }
   }
 
+  /** One sdkmetric-view analog (reference service/internal/
+    * proctelemetry/config.go:163-204 batchViews + cardinalityFilter):
+    * an instrument selector plus the attribute keys to DROP from the
+    * matched series before serving. `instrument` matches a family
+    * name exactly, or as a prefix with a trailing `*` (the
+    * sdkmetric.Instrument name wildcard). `whenDims` narrows the
+    * match to series carrying those dimension values — the graft
+    * analog of the reference's instrumentation-SCOPE selectors (its
+    * grpc-scope filter becomes `transport=grpc`, http-scope
+    * `transport=http`). */
+  final case class View(instrument: String,
+                        dropKeys: Set[String],
+                        whenDims: Map[String, String] = Map.empty) {
+    require(instrument.nonEmpty, "view requires an instrument selector")
+    require(dropKeys.nonEmpty, s"view over '$instrument' drops no keys")
+    def matches(family: String, dims: Map[String, String]): Boolean =
+      (if (instrument.endsWith("*"))
+         family.startsWith(instrument.dropRight(1))
+       else family == instrument) &&
+        whenDims.forall { case (k, v) => dims.get(k).contains(v) }
+  }
+
+  /** The reference's disable_high_cardinality_metrics filter set
+    * (proctelemetry/config.go:51-63,180-195): grpc-instrumented
+    * series lose net.sock.peer.{addr,port,name}; http-instrumented
+    * ones lose net.host.{name,port}. Both key lists are the public
+    * semconv names ([[graft.model.SemConv]]); graft's transport
+    * series live in the otelcol_* space with a `transport` dimension
+    * standing in for the instrumentation scope. */
+  val HighCardinalityViews: Seq[View] = Seq(
+    View("otelcol_*",
+      Set(graft.model.SemConv.AttributeNetSockPeerAddr,
+        graft.model.SemConv.AttributeNetSockPeerPort,
+        graft.model.SemConv.AttributeNetSockPeerName),
+      whenDims = Map("transport" -> "grpc")),
+    View("otelcol_*",
+      Set(graft.model.SemConv.AttributeNetHostName,
+        graft.model.SemConv.AttributeNetHostPort),
+      whenDims = Map("transport" -> "http")))
+
+  /** Apply `views` to a catalog snapshot: every matching view's keys
+    * drop from the row's dimensions, and rows that become identical
+    * merge by SUMMING — exact spatial re-aggregation, because the
+    * registry holds only monotonic counters (the reference's SDK does
+    * the same re-aggregation under an AttributeFilter). Output keeps
+    * the snapshot's deterministic ordering contract. */
+  def applyViews(views: Seq[View],
+                 snapshot: Seq[(String, Map[String, String], Long)])
+      : Seq[(String, Map[String, String], Long)] =
+    if (views.isEmpty) snapshot
+    else snapshot
+      .map { case (fam, dims, v) =>
+        val drop = views.filter(_.matches(fam, dims)).flatMap(_.dropKeys).toSet
+        (fam, dims.filterNot { case (k, _) => drop(k) }, v)
+      }
+      .groupMapReduce(r => (r._1, r._2))(_._3)(_ + _)
+      .toSeq.map { case ((fam, dims), v) => (fam, dims, v) }
+      .sortBy { case (f, d, _) => (f, d.toSeq.sorted.mkString(",")) }
+
   /** Process self-metrics (reference service/internal/proctelemetry/
     * process_telemetry.go:145-195): the five families a Prometheus
     * scrape of any production collector expects, measured from the

@@ -1377,7 +1377,17 @@ object Pipeline {
                            // `address` (telemetry/config.go:111-113):
                            // pull → a Prometheus server, periodic →
                            // the console jsonl writer
-                           telemetryReaders: Seq[Extensions.MetricReader] = Nil) {
+                           telemetryReaders: Seq[Extensions.MetricReader] = Nil,
+                           // service::telemetry::metrics::views — the
+                           // sdkmetric-view analog applied over the
+                           // obsreport catalog before ANY serving
+                           // surface (Prometheus endpoint, periodic
+                           // console writer, dogfood frame). The
+                           // telemetry.disableHighCardinalityMetrics
+                           // feature gate appends
+                           // [[Obsreport.HighCardinalityViews]] at
+                           // serve time.
+                           telemetryViews: Seq[Obsreport.View] = Nil) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 
     /** extension lifecycle (reference service/extensions/extensions.go:
@@ -1635,9 +1645,21 @@ object Pipeline {
         }
       val obsreportRows =
         if (lvl.rank < Extensions.LevelBasic.rank || obsreport == null) Nil
-        else obsreport.snapshot.map { case (fam, dims, v) =>
-          sum(fam, "1", v.toDouble, dims) // unit "1": obsreport counts
-        }                                 // items, dimensionless
+        else {
+          // view/relabel step before serving (proctelemetry
+          // batchViews analog): configured views first, then the
+          // high-cardinality filter set when its gate is on — both
+          // drop keys and re-SUM merged series (exact: the catalog
+          // is all monotonic counters)
+          val views = telemetryViews ++
+            (if (FeatureGate.global.isEnabled(
+              FeatureGate.DisableHighCardinalityMetrics.id))
+              Obsreport.HighCardinalityViews else Nil)
+          Obsreport.applyViews(views, obsreport.snapshot).map {
+            case (fam, dims, v) =>
+              sum(fam, "1", v.toDouble, dims) // unit "1": obsreport
+          }                                   // counts items,
+        }                                     // dimensionless
       val processRows =
         if (lvl.rank < Extensions.LevelBasic.rank || !processMetrics) Nil
         else Obsreport.ProcessTelemetry.families().map {

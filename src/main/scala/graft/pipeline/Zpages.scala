@@ -234,6 +234,16 @@ final class PromTelemetryServer(
   private def esc(v: String): String =
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
+  /** label NAMES must match [a-zA-Z_:][a-zA-Z0-9_:]* — semconv dim
+    * keys (net.sock.peer.addr) carry dots, and the otel Prometheus
+    * exporter's sanitizer maps every invalid rune to '_' (the
+    * exposition would otherwise be unparseable by any scraper) */
+  private def lbl(k: String): String = {
+    val s = k.map(c =>
+      if (c.isLetterOrDigit && c < 128 || c == '_' || c == ':') c else '_')
+    if (s.nonEmpty && s.head.isDigit) "_" + s else s
+  }
+
   private def num(v: Double): String =
     if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString
     else v.toString
@@ -257,7 +267,7 @@ final class PromTelemetryServer(
         val attrs = Option(r.getAs[scala.collection.Map[String, String]]("attributes"))
           .getOrElse(scala.collection.Map.empty[String, String])
         val labels = attrs.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"""$k="${esc(v)}"""" }.mkString(",")
+          .map { case (k, v) => s"""${lbl(k)}="${esc(v)}"""" }.mkString(",")
         sb.append(
           if (labels.isEmpty) s"$name ${num(r.getAs[Double]("value"))}\n"
           else s"$name{$labels} ${num(r.getAs[Double]("value"))}\n")

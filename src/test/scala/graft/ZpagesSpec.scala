@@ -287,6 +287,112 @@ class ZpagesSpec extends AnyFunSuite {
     w2.stop()
   }
 
+  test("telemetry views: configured view drops a dim and re-sums; the high-cardinality gate applies the reference filter set") {
+    import graft.pipeline.{FeatureGate, Obsreport}
+    // service::telemetry::metrics::views — the view-configuration
+    // surface the reference's gate registration promises
+    // (obsreportconfig.go:24-30); here one view collapses the
+    // transport dimension of the accepted family
+    val doc = """{
+      "service": {"telemetry": {"metrics": {"address": "localhost:0",
+        "views": [{"instrument": "otelcol_receiver_accepted_*",
+                   "drop": ["transport"]}]}}},
+      "pipelines": {"logs/vw": {
+        "receiver": {"type": "parquet", "path": "IGNORED"},
+        "exporters": [{"type": "logging"}]
+      }}}"""
+    val svc = graft.pipeline.ConfigLoader.fromJson(doc)
+    assert(svc.telemetryViews ==
+      Seq(Obsreport.View("otelcol_receiver_accepted_*", Set("transport"))))
+    val reg = new Obsreport.Registry
+    // one receiver id over two transports — the view must merge them
+    reg.receiverAccepted("otlp/a", "grpc", "log_records", 5)
+    reg.receiverAccepted("otlp/a", "http", "log_records", 7)
+    // refused is NOT matched by the view — transport dim survives
+    reg.receiverRefused("otlp/a", "grpc", "log_records", 2)
+    // a per-peer series, as a grpc transport component would record it
+    // (the reference's net.sock.peer.* high-cardinality class)
+    for (peer <- Seq("10.0.0.1", "10.0.0.2"))
+      reg.add("otelcol_receiver_accepted_requests",
+        Map("receiver" -> "otlp/a", "transport" -> "grpc",
+          graft.model.SemConv.AttributeNetSockPeerAddr -> peer), 3)
+    val srv = new graft.pipeline.PromTelemetryServer(svc, spark,
+      "localhost:0", obsreport = () => reg)
+    try {
+      val (c, body) = get(srv.boundPort, "/metrics")
+      assert(c == 200)
+      // view applied: transports merged, counts re-summed
+      assert(body.contains(
+        """otelcol_receiver_accepted_log_records{receiver="otlp/a"} 12"""))
+      assert(!body.contains("""accepted_log_records{receiver="otlp/a",transport"""))
+      // unmatched family untouched
+      assert(body.contains(
+        """otelcol_receiver_refused_log_records{receiver="otlp/a",transport="grpc"} 2"""))
+      // gate OFF: the peer dimension serves raw (two series) — the
+      // view above already dropped transport from the accepted_*
+      // match, so the peer series lost transport but kept the peer
+      // key (label NAME sanitized: prom label names reject dots)
+      assert(body.contains("""net_sock_peer_addr="10.0.0.1""""))
+
+      // flip the gate the config-reachable way and re-scrape: the
+      // reference filter set now ALSO drops the peer keys; the two
+      // peer series merge into one re-summed row
+      FeatureGate.global.set(
+        FeatureGate.DisableHighCardinalityMetrics.id, true)
+      try {
+        val (_, body2) = get(srv.boundPort, "/metrics")
+        assert(!body2.contains("net_sock_peer_addr"))
+        assert(body2.contains(
+          """otelcol_receiver_accepted_requests{receiver="otlp/a"} 6"""))
+      } finally FeatureGate.global.set(
+        FeatureGate.DisableHighCardinalityMetrics.id, false)
+    } finally srv.stop()
+
+    // the gate flips from a config document like any other gate
+    val gdoc = """{
+      "featuregates": ["telemetry.disableHighCardinalityMetrics"],
+      "pipelines": {"logs/gt": {
+        "receiver": {"type": "parquet", "path": "IGNORED"},
+        "exporters": [{"type": "logging"}]
+      }}}"""
+    try {
+      graft.pipeline.ConfigLoader.fromJson(gdoc)
+      assert(FeatureGate.global.isEnabled(
+        FeatureGate.DisableHighCardinalityMetrics.id))
+    } finally FeatureGate.global.set(
+      FeatureGate.DisableHighCardinalityMetrics.id, false)
+
+    // malformed views refuse the document loudly
+    intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.fromJson(
+        """{"service": {"telemetry": {"metrics": {"views": [
+             {"drop": ["transport"]}]}}},
+            "pipelines": {"l": {"receiver": {"type": "parquet", "path": "x"},
+              "exporters": [{"type": "logging"}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.fromJson(
+        """{"service": {"telemetry": {"metrics": {"views": [
+             {"instrument": "otelcol_*"}]}}},
+            "pipelines": {"l": {"receiver": {"type": "parquet", "path": "x"},
+              "exporters": [{"type": "logging"}]}}}""")
+    }
+
+    // applyViews semantics pinned without a server: whenDims narrows
+    // the match the way the reference narrows by instrumentation scope
+    val snap = Seq(
+      ("otelcol_f_total", Map("transport" -> "grpc", "net.sock.peer.addr" -> "a"), 1L),
+      ("otelcol_f_total", Map("transport" -> "grpc", "net.sock.peer.addr" -> "b"), 2L),
+      ("otelcol_f_total", Map("transport" -> "http", "net.host.name" -> "h"), 4L),
+      // outside the otelcol_* namespace: the filter set must not touch it
+      ("custom_total", Map("transport" -> "grpc", "net.sock.peer.addr" -> "c"), 8L))
+    val out = Obsreport.applyViews(Obsreport.HighCardinalityViews, snap)
+    assert(out == Seq(
+      ("custom_total", Map("transport" -> "grpc", "net.sock.peer.addr" -> "c"), 8L),
+      ("otelcol_f_total", Map("transport" -> "grpc"), 3L),
+      ("otelcol_f_total", Map("transport" -> "http"), 4L)))
+  }
+
   test("mergeTransports SUMS counters across receivers of one transport type") {
     import graft.pipeline.PromTelemetryServer.mergeTransports
     // two otlp_grpc receivers (two pipelines, two ports) + one http:
