@@ -220,6 +220,12 @@ object Collector {
           def lifecycle(msg: String): Unit = {
             out.println(msg); slog.foreach(_.info(msg))
           }
+          // the service's own TracerProvider analog (telemetry.go:
+          // 46-50: built unconditionally so zpages can serve tracez;
+          // the configured sampler mode decides what it records —
+          // the default record-only parent-based composition keeps
+          // spans zpages-visible without marking them sampled)
+          val tracer = new graft.pipeline.SelfTrace.Tracer(svc.telemetrySampler)
           // extension lifecycle brackets the data path (reference
           // service.go: extensions start first, stop last)
           svc.startExtensions()
@@ -235,7 +241,7 @@ object Collector {
                     java.nio.file.Paths.get(u.stripPrefix("file:"))), "UTF-8"))
                   catch { case scala.util.control.NonFatal(_) => None }
                 }
-              z.bind(svc, spark, doc)
+              z.bind(svc, spark, doc, tracer = tracer)
               lifecycle(s"zpages serving on localhost:${z.boundPort}")
           }
           // the data path brackets: a failing recovery/pipeline/query
@@ -366,8 +372,12 @@ object Collector {
             var batchFailed: Throwable = null
             batchDefs.toSeq.sortBy(_._1).foreach { case (name, p) =>
               try {
-                if (withObs) p.runObsreport(spark, name, obsReg)
-                else p.run(spark)
+                // both paths self-trace (the reference's provider is
+                // always on; the SAMPLER decides what records) — the
+                // obs path adds per-component children with row
+                // counts, the plain path a root + exporter children
+                if (withObs) p.runObsreport(spark, name, obsReg, tracer)
+                else p.runTraced(spark, name, tracer)
               } catch { case e: Throwable =>
                 if (batchFailed == null) batchFailed = e }
             }

@@ -638,6 +638,17 @@ object ConfigLoader {
     val propagator: Option[graft.sources.Propagators.Composite] =
       if (telemetryPropagators.isEmpty) None
       else Some(graft.sources.Propagators.fromConfig(telemetryPropagators))
+    // service::telemetry::traces::sampler (generated_config.go:
+    // 204-230,575-576): the self-tracing sampler mode — always_on /
+    // always_off / trace_id_ratio_based / parent_based with the four
+    // remote/local × sampled/not variants; jaeger_remote refused
+    // loudly inside the parser. Absent = the reference's record-only
+    // parent-based default (otel_trace_sampler.go alwaysRecord).
+    val telemetrySampler: SelfTrace.Sampler =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("traces")).map(asMap)
+        .flatMap(_.get("sampler")).map(s => SelfTrace.parseSampler(asMap(s)))
+        .getOrElse(SelfTrace.DefaultAlwaysRecord)
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -730,7 +741,8 @@ object ConfigLoader {
     // whole document validated and built — NOW commit the gate flips
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result, extInstances, telemetryLevel, telemetryResource,
-      telemetryAddress, telemetryLogs, telemetryReaders, telemetryViews)
+      telemetryAddress, telemetryLogs, telemetryReaders, telemetryViews,
+      telemetrySampler)
   }
 
   /** extension factory: the instance name's type prefix (before an

@@ -252,12 +252,16 @@ object Extensions {
     def bind(service: Pipeline.Service,
              spark: org.apache.spark.sql.SparkSession,
              configDoc: Option[String] = None,
-             gates: FeatureGate.Registry = FeatureGate.global): Unit =
+             gates: FeatureGate.Registry = FeatureGate.global,
+             // the service's self-trace store — non-null serves
+             // /debug/tracez (zpagesextension.go:46-52 registers the
+             // zpages span processor on the service TracerProvider)
+             tracer: SelfTrace.Tracer = null): Unit =
       synchronized {
         if (server == null)
           server = new ZpagesServer(service, spark, port, gates,
             extensions = service.extensions.map(_.name),
-            configDoc = configDoc)
+            configDoc = configDoc, tracer = tracer)
       }
     def boundPort: Int = {
       val s = server

@@ -1257,7 +1257,25 @@ object Pipeline {
       * falls back to it at telemetry level none and when neither a
       * telemetry address nor a metrics reader is configured. */
     def runObsreport(spark: SparkSession, pipelineName: String,
-                     reg: Obsreport.Registry): PipelineStats = {
+                     reg: Obsreport.Registry,
+                     // self-tracing (service/telemetry.go TracerProvider
+                     // analog): when a tracer is given the run records a
+                     // `pipeline/<name>` root span with receiver/
+                     // processor/exporter children. `traceParent` is the
+                     // extracted remote context (a propagator extract) —
+                     // what makes the parent-based sampler's remote
+                     // modes reachable. Span-duration semantics, honest
+                     // per graft's execution model: component children
+                     // time PLAN CONSTRUCTION (stages fuse into one
+                     // codegen span, so per-stage execution wall does
+                     // not exist — runObservedStages scaladoc), the
+                     // `materialize` child carries the counting pass,
+                     // exporter children their real export wall, and
+                     // the root the whole run. Row counts ride as span
+                     // attributes.
+                     tracer: SelfTrace.Tracer = null,
+                     traceParent: Option[SelfTrace.SpanRef] = None)
+        : PipelineStats = {
       import org.apache.spark.sql.Observation
       val item = Obsreport.itemKind(pipelineName)
       val members = receiver match {
@@ -1271,60 +1289,144 @@ object Pipeline {
         processorIds.lift(i).getOrElse(s"processor/$i")
       def expIdent(i: Int, e: Exporter): String =
         exporterIds.lift(i).getOrElse(e.getClass.getSimpleName.stripSuffix("$"))
-      val recvObs = members.map(_ => Observation())
-      // per-receiver observes BELOW the union so a fan-in pipeline
-      // attributes items to the member that actually produced them
-      val reads = members.zip(recvObs).map { case (r, o) =>
-        r.read(spark).observe(o, count(lit(1)).as("n"))
-      }
-      var df = reads.reduce(_.unionByName(_))
-      val stageObs = processors.zipWithIndex.map { case (p, i) =>
-        val o = Observation()
-        df = p(df).observe(o, count(lit(1)).as("n"))
-        (i, o)
-      }
-      // a failed counting pass propagates with NOTHING recorded: no
-      // observation latched, so there are no item counts to attribute
-      // (the reference's request-level refusals live in the transport
-      // obs, not this catalog)
-      df.count() // latch every observation on one full pass
-      val recvCounts = recvObs.map(_.get("n").asInstanceOf[Long])
-      val stageCounts = stageObs.map(_._2.get("n").asInstanceOf[Long])
-      val sent = stageCounts.lastOption.getOrElse(recvCounts.sum)
-      // processor drops: rows into stage i − rows out of stage i
-      (recvCounts.sum +: stageCounts).sliding(2).zipWithIndex.foreach {
-        case (Seq(in, out), i) =>
-          reg.processorDropped(procIdent(i, processors(i)), item, in - out)
-        case _ => ()
-      }
-      var failed: Throwable = null
-      exporters.zipWithIndex.foreach { case (ex, i) =>
-        try {
-          ex.export(df)
-          reg.exporterSent(expIdent(i, ex), item, sent)
-        } catch { case e: Throwable =>
-          reg.exporterSendFailed(expIdent(i, ex), item, sent)
-          if (failed == null) failed = e
+      val root =
+        if (tracer == null) null
+        else tracer.start(s"pipeline/$pipelineName", traceParent,
+          Map("pipeline" -> pipelineName, "item" -> item))
+      val tracing = root != null && root.recording
+      def now(): Long = if (tracer == null) 0L else tracer.nowNano()
+      try {
+        val recvObs = members.map(_ => Observation())
+        // per-receiver observes BELOW the union so a fan-in pipeline
+        // attributes items to the member that actually produced them
+        val readSpans = Array.ofDim[(Long, Long)](members.size)
+        val reads = members.zip(recvObs).zipWithIndex.map {
+          case ((r, o), i) =>
+            val t0 = now()
+            val d = r.read(spark).observe(o, count(lit(1)).as("n"))
+            readSpans(i) = (t0, now())
+            d
         }
+        var df = reads.reduce(_.unionByName(_))
+        val stageSpans = Array.ofDim[(Long, Long)](processors.size)
+        val stageObs = processors.zipWithIndex.map { case (p, i) =>
+          val o = Observation()
+          val t0 = now()
+          df = p(df).observe(o, count(lit(1)).as("n"))
+          stageSpans(i) = (t0, now())
+          (i, o)
+        }
+        // a failed counting pass propagates with NOTHING recorded: no
+        // observation latched, so there are no item counts to attribute
+        // (the reference's request-level refusals live in the transport
+        // obs, not this catalog)
+        val tCount0 = now()
+        df.count() // latch every observation on one full pass
+        val tCount1 = now()
+        val recvCounts = recvObs.map(_.get("n").asInstanceOf[Long])
+        val stageCounts = stageObs.map(_._2.get("n").asInstanceOf[Long])
+        val sent = stageCounts.lastOption.getOrElse(recvCounts.sum)
+        // processor drops: rows into stage i − rows out of stage i
+        (recvCounts.sum +: stageCounts).sliding(2).zipWithIndex.foreach {
+          case (Seq(in, out), i) =>
+            reg.processorDropped(procIdent(i, processors(i)), item, in - out)
+          case _ => ()
+        }
+        if (tracing) {
+          members.zipWithIndex.foreach { case (r, i) =>
+            val (id, transport) = recvIdent(i, r)
+            tracer.record(s"receiver/$id", root.ref,
+              readSpans(i)._1, readSpans(i)._2,
+              attrs = Map("transport" -> transport,
+                "items" -> recvCounts(i).toString))
+          }
+          val ins = recvCounts.sum +: stageCounts
+          processors.zipWithIndex.foreach { case (p, i) =>
+            tracer.record(s"processor/${procIdent(i, p)}", root.ref,
+              stageSpans(i)._1, stageSpans(i)._2,
+              attrs = Map("in" -> ins(i).toString,
+                "out" -> stageCounts(i).toString))
+          }
+          tracer.record(s"pipeline/$pipelineName/materialize", root.ref,
+            tCount0, tCount1, attrs = Map("rows" -> sent.toString))
+        }
+        var failed: Throwable = null
+        exporters.zipWithIndex.foreach { case (ex, i) =>
+          val t0 = now()
+          val err: Option[String] =
+            try {
+              ex.export(df)
+              reg.exporterSent(expIdent(i, ex), item, sent)
+              None
+            } catch { case e: Throwable =>
+              reg.exporterSendFailed(expIdent(i, ex), item, sent)
+              if (failed == null) failed = e
+              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+            }
+          if (tracing)
+            tracer.record(s"exporter/${expIdent(i, ex)}", root.ref,
+              t0, now(), error = err,
+              attrs = Map("items" -> sent.toString))
+        }
+        // processor accepted/refused (obsreport_processor.go:101-157):
+        // rows a stage emitted count accepted when the run delivered,
+        // refused when a downstream failure bounced them — the same
+        // EndOp(err) discipline the receiver families follow, decided
+        // once the exporters have actually run
+        stageCounts.zipWithIndex.foreach { case (out, i) =>
+          if (failed == null)
+            reg.processorAccepted(procIdent(i, processors(i)), item, out)
+          else reg.processorRefused(procIdent(i, processors(i)), item, out)
+        }
+        members.zipWithIndex.foreach { case (r, i) =>
+          val (id, transport) = recvIdent(i, r)
+          if (failed == null)
+            reg.receiverAccepted(id, transport, item, recvCounts(i))
+          else reg.receiverRefused(id, transport, item, recvCounts(i))
+        }
+        if (failed != null) throw failed
+        if (root != null) root.end()
+        PipelineStats(received = recvCounts.sum, sent = sent)
+      } catch { case e: Throwable =>
+        // error status on the root span — the EndOp(err) discipline
+        if (root != null) root.end(error = Some(
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+        throw e
       }
-      // processor accepted/refused (obsreport_processor.go:101-157):
-      // rows a stage emitted count accepted when the run delivered,
-      // refused when a downstream failure bounced them — the same
-      // EndOp(err) discipline the receiver families follow, decided
-      // once the exporters have actually run
-      stageCounts.zipWithIndex.foreach { case (out, i) =>
-        if (failed == null)
-          reg.processorAccepted(procIdent(i, processors(i)), item, out)
-        else reg.processorRefused(procIdent(i, processors(i)), item, out)
+    }
+
+    /** [[run]] with a root self-trace span and per-exporter children
+      * — the plain-config path (no obsreport counting pass, so no
+      * per-component row counts; the reference traces those runs too). */
+    def runTraced(spark: SparkSession, pipelineName: String,
+                  tracer: SelfTrace.Tracer,
+                  traceParent: Option[SelfTrace.SpanRef] = None): Unit = {
+      val root = tracer.start(s"pipeline/$pipelineName", traceParent,
+        Map("pipeline" -> pipelineName))
+      try {
+        val df = plan(spark)
+        exporters.zipWithIndex.foreach { case (ex, i) =>
+          val t0 = tracer.nowNano()
+          val id = exporterIds.lift(i).getOrElse(
+            ex.getClass.getSimpleName.stripSuffix("$"))
+          val err: Option[String] =
+            try { ex.export(df); None }
+            catch { case e: Throwable =>
+              if (root.recording)
+                tracer.record(s"exporter/$id", root.ref, t0,
+                  tracer.nowNano(), error = Some(
+                    s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+              throw e
+            }
+          if (err.isEmpty && root.recording)
+            tracer.record(s"exporter/$id", root.ref, t0, tracer.nowNano())
+        }
+        root.end()
+      } catch { case e: Throwable =>
+        root.end(error = Some(
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+        throw e
       }
-      members.zipWithIndex.foreach { case (r, i) =>
-        val (id, transport) = recvIdent(i, r)
-        if (failed == null)
-          reg.receiverAccepted(id, transport, item, recvCounts(i))
-        else reg.receiverRefused(id, transport, item, recvCounts(i))
-      }
-      if (failed != null) throw failed
-      PipelineStats(received = recvCounts.sum, sent = sent)
     }
   }
 
@@ -1387,7 +1489,15 @@ object Pipeline {
                            // feature gate appends
                            // [[Obsreport.HighCardinalityViews]] at
                            // serve time.
-                           telemetryViews: Seq[Obsreport.View] = Nil) {
+                           telemetryViews: Seq[Obsreport.View] = Nil,
+                           // service::telemetry::traces::sampler —
+                           // the self-tracing sampler mode
+                           // (generated_config.go:204-230); absent =
+                           // the provider default, the reference's
+                           // record-only parent-based composition
+                           // (otel_trace_sampler.go alwaysRecord)
+                           telemetrySampler: SelfTrace.Sampler =
+                             SelfTrace.DefaultAlwaysRecord) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 
     /** extension lifecycle (reference service/extensions/extensions.go:
@@ -1676,11 +1786,13 @@ object Pipeline {
       * run recording the whole obsreport catalog. Pipelines after a
       * failing one still run (the service does not stop siblings);
       * the first failure rethrows at the end. */
-    def runObsreport(spark: SparkSession, reg: Obsreport.Registry)
+    def runObsreport(spark: SparkSession, reg: Obsreport.Registry,
+                     tracer: SelfTrace.Tracer = null,
+                     traceParent: Option[SelfTrace.SpanRef] = None)
         : Map[String, PipelineStats] = {
       var failed: Throwable = null
       val stats = pipelines.toSeq.sortBy(_._1).flatMap { case (name, p) =>
-        try Some(name -> p.runObsreport(spark, name, reg))
+        try Some(name -> p.runObsreport(spark, name, reg, tracer, traceParent))
         catch { case e: Throwable => if (failed == null) failed = e; None }
       }.toMap
       if (failed != null) throw failed

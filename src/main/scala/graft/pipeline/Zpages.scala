@@ -26,7 +26,11 @@ final class ZpagesServer(
     gates: FeatureGate.Registry = FeatureGate.global,
     extensions: Seq[String] = Nil,
     configDoc: Option[String] = None,
-    buildInfo: Map[String, String] = Map("command" -> "graft")) {
+    buildInfo: Map[String, String] = Map("command" -> "graft"),
+    // self-trace store → /debug/tracez (reference zpagesextension.go:
+    // 46-52 registers the zpages SpanProcessor on the service's own
+    // TracerProvider and serves contrib's tracez handler off it)
+    tracer: SelfTrace.Tracer = null) {
 
   private val startedAt = java.time.Instant.now().toString
 
@@ -51,7 +55,8 @@ final class ZpagesServer(
         "JVM" -> System.getProperty("java.version"),
         "OS" -> System.getProperty("os.name"),
         "Arch" -> System.getProperty("os.arch"))) +
-      Seq("pipelinez", "extensionz", "featurez")
+      (Seq("pipelinez", "extensionz", "featurez") ++
+        (if (tracer != null) Seq("tracez") else Nil))
         .map(p => s"<p><a href='/debug/$p'>$p</a></p>").mkString)
 
   private def pipelinez: String = {
@@ -84,6 +89,39 @@ final class ZpagesServer(
     "<table border='1'><tr><th>extension</th></tr>" +
       extensions.map(e => s"<tr><td>${esc(e)}</td></tr>").mkString + "</table>")
 
+  /** tracez (contrib zpages shape): one row per span name — running
+    * count, the nine latency-bucket counts, error count — plus the
+    * bounded recent samples below (span/trace ids, duration, status).
+    * The drill-down-by-bucket links of the contrib handler are
+    * flattened into the samples table; counts and samples are the
+    * same data either way. */
+  private def tracez: String = {
+    val rows = tracer.snapshot
+    val bucketHdrs = Seq(">0us", ">10us", ">100us", ">1ms", ">10ms",
+      ">100ms", ">1s", ">10s", ">100s")
+    val counts =
+      s"<table border='1'><tr><th>span name</th><th>running</th>" +
+        bucketHdrs.map(h => s"<th>$h</th>").mkString +
+        "<th>errors</th></tr>" +
+        rows.map { r =>
+          s"<tr><td>${esc(r.name)}</td><td>${r.running}</td>" +
+            r.bucketCounts.map(c => s"<td>$c</td>").mkString +
+            s"<td>${r.errors}</td></tr>"
+        }.mkString + "</table>"
+    val samples =
+      "<h2>Recent samples</h2><table border='1'><tr><th>span name</th>" +
+        "<th>trace id</th><th>span id</th><th>parent</th>" +
+        "<th>duration ms</th><th>status</th></tr>" +
+        rows.flatMap(r => (r.samples ++ r.errorSamples).map { s =>
+          s"<tr><td>${esc(s.name)}</td><td>${s.traceId}</td>" +
+            s"<td>${s.spanId}</td><td>${s.parentSpanId.getOrElse("")}</td>" +
+            f"<td>${s.durationNano / 1e6}%.3f</td>" +
+            s"<td>${esc(s.error.map(e => s"ERROR: $e").getOrElse("OK"))}</td></tr>"
+        }).mkString + "</table>"
+    page("Tracez", s"<p>sampler: ${esc(tracer.sampler.description)}</p>" +
+      counts + samples)
+  }
+
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("localhost", port), 0)
 
@@ -103,6 +141,8 @@ final class ZpagesServer(
   server.createContext("/debug/pipelinez", handler(() => (200, html, pipelinez)))
   server.createContext("/debug/featurez", handler(() => (200, html, featurez)))
   server.createContext("/debug/extensionz", handler(() => (200, html, extensionz)))
+  if (tracer != null)
+    server.createContext("/debug/tracez", handler(() => (200, html, tracez)))
   configDoc.foreach { doc =>
     server.createContext("/debug/configz", handler(() =>
       (200, "application/json",
