@@ -974,6 +974,25 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // Graph ANN (partitioned small-world; Malkov & Yashunin 2018,
+    // Spark-first: IVF router + per-cell NSW adjacency + bounded-hop
+    // beam search — see AnnOps.hnswTopK). Rows-only by design: the
+    // graph build composes LSH candidates, windows and a join loop no
+    // SQL oracle can replicate; the recall floor vs q_ann_bruteforce
+    // is spec-pinned (the q_ann_recall discipline) and the structure
+    // (≤k per query, no self pairs, adjacency degree ≤ m) spec'd.
+    "q_ann_hnsw" -> ((s, dir) => {
+      val e = embs(s, dir)
+      // params measured (HnswProfile): 1-entry/2-hop seeding reads
+      // 0.07 recall on this weakly-clustered corpus — beam search
+      // needs entry DIVERSITY (4 entries/cell) and enough hops to
+      // traverse a cell (4; converged vs 6) → recall@10 0.86 vs the
+      // brute-force oracle, floor spec-pinned at 0.7
+      AnnOps.hnswTopK(e.filter(col("vec_id") < 10), e, c = 8, nprobe = 4,
+          m = 8, beam = 20, hops = 4, k = 10, entries = 4)
+        .select(col("qid"), col("nid"), col("rk"))
+    }),
+
     // IVF ANN: centroid cells + nprobe search. Deterministic init +
     // decimal-exact means + fixed tie rules make the whole index
     // build/search bit-replicable in the oracle.

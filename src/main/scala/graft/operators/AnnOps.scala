@@ -822,4 +822,138 @@ object AnnOps {
       cosine(col("qe"), col("ne")).as("sim")
     rankTopK(filtered.select(outCols: _*).dropDuplicates("qid", "nid"), k)
   }
+
+  // ------------------------------------------------------------------
+  // Partitioned small-world graph ANN
+  // ------------------------------------------------------------------
+
+  /** Per-cell navigable-small-world adjacency: within each centroid
+    * cell, every node's top-`m` cosine neighbors drawn from LSH
+    * bucket-collision candidates (bucket key includes the cell, so
+    * candidate generation is cell-local and never all-pairs; the
+    * multi-table LSH plays the NSW "long edge" role — different
+    * tables link different neighborhoods of the cell). Edges are
+    * symmetrized BEFORE the top-m cut so a popular hub is reachable
+    * from its satellites even when the hub's own list is full.
+    * Returns (nid, nbrs array<long>), |nbrs| ≤ m.
+    *
+    * Scale shape: one shuffle on (cell, bucket), one on node id;
+    * adjacency is ~m·8 bytes per node and joins by id — it is never
+    * broadcast and never carries embeddings. */
+  def nswAdjacency(nodes: DataFrame, m: Int, planes: Int, tables: Int,
+                   maxBucket: Int = 1000): DataFrame = {
+    val sig = nodes.select(col("cid"), col("nid"), col("ne"),
+      explode(graft.functions.VectorExprs.hyperplane_buckets_md5(
+        col("ne"), tables, planes)).as("bucket"))
+    val buckets = sig
+      .groupBy(col("cid"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("nid").as("id"),
+        col("ne").as("e")))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val cand = buckets.select(explode(
+        graft.functions.VectorExprs.pair_combinations(col("members"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.e"), col("p.b.e")).as("sim"))
+      .dropDuplicates("id_a", "id_b")
+    val sym = cand.unionByName(cand.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b"), col("sim")))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("sim").desc, col("id_b").asc)
+    sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
+      .groupBy(col("id_a").as("nid"))
+      .agg(sort_array(collect_list(col("id_b"))).as("nbrs"))
+  }
+
+  /** Partitioned small-world graph ANN — the graph member of the
+    * billion-vector index family (public method: Malkov & Yashunin,
+    * "Efficient and robust approximate nearest neighbor search using
+    * Hierarchical Navigable Small World graphs", TPAMI 2018).
+    *
+    * Spark-first adaptation, deliberately NOT a port of the insert-
+    * time hierarchy: HNSW's upper layers exist to give greedy search
+    * a coarse entry point, and they are built by inherently
+    * sequential inserts. The distributed equivalent (the
+    * SPANN/DiskANN-style sharded layout) replaces them with a coarse
+    * ROUTER — the deterministic IVF centroid build — so each cell
+    * holds an independent flat NSW subgraph ([[nswAdjacency]]) built
+    * cell-locally, and greedy descent becomes a bounded-hop BEAM
+    * search the DataFrame runtime executes as `hops` join+window
+    * rounds:
+    *
+    *  - route: per query, the `nprobe` nearest cells (exact cosine
+    *    against the broadcast centroid table);
+    *  - enter: each probed cell's MEDOID (its node nearest the
+    *    centroid) seeds the frontier;
+    *  - expand ×`hops`: frontier → adjacency join → neighbor ids →
+    *    exact cosine against the query → per-query top-`beam`
+    *    becomes the next frontier; every scored candidate is kept;
+    *  - re-rank: exact top-`k` over all visited candidates.
+    *
+    * Scale shape: each hop shuffles ≤ |queries|·beam·m (id, id)
+    * rows plus one id-keyed join against the node table for
+    * embeddings — the graph and the corpus never broadcast and the
+    * exact kernel touches only visited nodes. Recall comes from
+    * beam width × hops × nprobe, spec-pinned against the
+    * brute-force oracle (the q_ann_recall discipline). */
+  def hnswTopK(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,
+               m: Int, beam: Int, hops: Int, k: Int, planes: Int = 4,
+               tables: Int = 8, iters: Int = 1,
+               maxBucket: Int = 1000, entries: Int = 1): DataFrame = {
+    val centroids = ivfCentroids(corpus, c, iters)
+    // nodes feed the adjacency build, the medoid pick and every
+    // hop's embedding join — checkpoint so the cell assignment
+    // kernel runs once, not once per consumer
+    val nodes = corpus.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("ne"))
+      .withColumn("cid", nearestCentroid(col("ne"), centroids))
+      .localCheckpoint()
+    val adj = nswAdjacency(nodes, m, planes, tables, maxBucket)
+      .localCheckpoint() // reused `hops` times
+    // cell entry points: the `entries` nodes most aligned with their
+    // own centroid (entry diversity matters on weakly-clustered data
+    // — one medoid strands the beam in its own graph neighborhood)
+    val wMed = Window.partitionBy(col("cid"))
+      .orderBy(col("msim").desc, col("nid").asc)
+    val medoids = nodes
+      .withColumn("msim", element_at(graft.functions.VectorExprs
+        .cosine_table(col("ne"), centroids.toSeq), col("cid") + 1))
+      .withColumn("mrk", row_number().over(wMed)).filter(col("mrk") <= entries)
+      .select(col("cid"), col("nid"))
+    // route: top-nprobe cells per query (the ivfTopK probe shape,
+    // same deterministic tie rule: sim desc, lower cell id)
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val probes = q
+      .withColumn("sims", graft.functions.VectorExprs.cosine_table(
+        col("qe"), centroids.toSeq))
+      .withColumn("probe_cids", slice(array_sort(zip_with(
+        col("sims"), sequence(lit(0), lit(centroids.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .otherwise(l.getField("i") - r.getField("i"))), 1, nprobe))
+      .select(col("qid"), explode(col("probe_cids")).as("p"))
+      .select(col("qid"), col("p.i").as("cid"))
+    def score(frontier: DataFrame): DataFrame =
+      frontier.join(nodes.select(col("nid"), col("ne")), "nid")
+        .join(q, "qid")
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    var scored = score(probes.join(medoids, "cid").select(col("qid"), col("nid")))
+      .localCheckpoint() // bound the unrolled-loop plan depth
+    var frontier = scored.withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= beam).select(col("qid"), col("nid"))
+    for (_ <- 0 until hops) {
+      val expanded = frontier.join(adj, "nid")
+        .select(col("qid"), explode(col("nbrs")).as("nid"))
+        .dropDuplicates("qid", "nid")
+      scored = scored.unionByName(score(expanded))
+        .dropDuplicates("qid", "nid").localCheckpoint()
+      frontier = scored.withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam).select(col("qid"), col("nid"))
+    }
+    scored.withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= k)
+  }
 }

@@ -1521,4 +1521,47 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(cov.values.forall(_ == 60L),
       s"coverage must be the passage length exactly, never a pair-sum: $cov")
   }
+
+  test("graph ANN (hnsw): beam search over the partitioned NSW graph recalls brute-force top-10; structure bounded") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val bf = AnnOps.bruteForceTopK(q, e, 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = AnnOps.hnswTopK(q, e, c = 8, nprobe = 4, m = 8, beam = 20,
+      hops = 4, k = 10, entries = 4)
+    val rows = res.select("qid", "nid", "rk").collect()
+    val hn = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall floor vs the exact oracle (the q_ann_recall discipline).
+    // Measured 0.86 with the registered params; the deterministic
+    // build makes the number stable, the floor leaves headroom only
+    // for data regeneration. The 1-entry/2-hop variant reads 0.07 —
+    // the floor guards the entry-diversity + hop-depth design, not
+    // just "returns rows".
+    val recall = bf.count(hn.contains).toDouble / bf.size
+    assert(recall >= 0.7, s"graph ANN recall@10: $recall")
+    // structure: ≤k per query, rank contiguous from 1, never a self pair
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.forall(_._2.length <= 10))
+    perQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length),
+        s"ranks of $qid not contiguous")
+    }
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self pair leaked")
+    // adjacency degree bounded by m, neighbor lists never carry self
+    val centroids = e.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("ne"))
+    val nodes = centroids.withColumn("cid",
+      AnnOps.nearestCentroid(col("ne"),
+        AnnOps.ivfCentroids(e, 8, 1)))
+    val adj = AnnOps.nswAdjacency(nodes, m = 8, planes = 4, tables = 8)
+      .collect()
+    assert(adj.nonEmpty)
+    adj.foreach { r =>
+      val nid = r.getLong(0)
+      val nbrs = r.getSeq[Long](1)
+      assert(nbrs.length <= 8, s"degree of $nid exceeds m")
+      assert(!nbrs.contains(nid), s"$nid lists itself as a neighbor")
+      assert(nbrs.distinct.length == nbrs.length, s"$nid duplicate neighbor")
+    }
+  }
 }
