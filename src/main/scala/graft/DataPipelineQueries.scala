@@ -99,6 +99,72 @@ object DataPipelineQueries {
                             minLen: Int, dfCap: Int): DataFrame =
     exactDupSpansFrom(docs(s, dir), minLen, dfCap)
 
+  /** The fused dedup DECISION report — one kernel behind BOTH the
+    * q_dedup_fused §2 query and the `dedup_fused_report` config stage
+    * (the spancut no-drift discipline: a curation run files the same
+    * artifact the flagship query computes). Input frame needs
+    * (doc_id long, source string, text string). Per doc ONE verdict
+    * with precedence drop_exact (md5 keep-min) → drop_near (CC
+    * keep-rule over exact-Jaccard pairs) → cut_spans (ExactSubstr
+    * b-side coverage ≥ `cutFrac` of tokens) → keep, reported as the
+    * per-source before/after token-mass mixture. The verdict frame is
+    * localCheckpoint'd so CC + ExactSubstr run once across the three
+    * consuming aggregates. */
+  def fusedDedupReport(d: DataFrame, minLen: Int = 15, dfCap: Int = 50,
+                       jaccard: Double = 0.5, shingle: Int = 3,
+                       cutFrac: Double = 0.05): DataFrame = {
+    val hashed = d.select(col("doc_id"), md5(col("text")).as("__h"))
+    val keepMin = hashed.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("__keep"))
+    val exDrop = hashed.join(keepMin, "__h")
+      .filter(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id")).withColumn("__ex", lit(true))
+    val sh = d.select(col("doc_id"),
+      DedupOps.shinglesOfText(col("text"), shingle).as("shs"))
+    val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", jaccard)
+    val nearDrop = DedupOps.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id")).withColumn("__near", lit(true))
+    val cut = DedupOps.spanCutPositions(
+        exactDupSpansFrom(d, minLen, dfCap))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__cut"))
+    val verd = d
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_toks"))
+      .join(exDrop, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(cut, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("__ex"), "drop_exact")
+          .when(col("__near"), "drop_near")
+          .when(coalesce(col("__cut"), lit(0L)).cast("double") /
+            col("n_toks").cast("double") >= cutFrac, "cut_spans")
+          .otherwise("keep"))
+      .withColumn("toks_after",
+        when(col("verdict").isin("drop_exact", "drop_near"), lit(0L))
+          .when(col("verdict") === "cut_spans", col("n_toks") - col("__cut"))
+          .otherwise(col("n_toks").cast("long")))
+      .localCheckpoint()
+    val perSrc = verd.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("verdict") === "drop_exact", 1L).otherwise(0L)).as("n_drop_exact"),
+      sum(when(col("verdict") === "drop_near", 1L).otherwise(0L)).as("n_drop_near"),
+      sum(when(col("verdict") === "cut_spans", 1L).otherwise(0L)).as("n_cut_spans"),
+      sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
+      sum(col("n_toks").cast("long")).as("toks_before"),
+      sum(col("toks_after")).as("toks_after"))
+    val tb = verd.agg(sum(col("n_toks").cast("long")).as("tb"))
+    val ta = verd.agg(sum(col("toks_after")).as("ta"))
+    perSrc.crossJoin(tb).crossJoin(ta)
+      .select(col("source"), col("n_docs"), col("n_drop_exact"),
+        col("n_drop_near"), col("n_cut_spans"), col("n_keep"),
+        col("toks_before"), col("toks_after"),
+        (col("toks_before").cast("double") / col("tb").cast("double"))
+          .as("mix_before"),
+        (col("toks_after").cast("double") / col("ta").cast("double"))
+          .as("mix_after"))
+  }
+
   /** tokenized frame feeding both the anchor selection and the
     * extension verify, with the position-packing guard */
   private def spanTokens(docsDf: DataFrame): DataFrame = {
@@ -837,56 +903,7 @@ object DataPipelineQueries {
     // composition, not new machinery. The per-doc verdict frame
     // feeds three aggregates → localCheckpoint so CC + ExactSubstr
     // run once.
-    "q_dedup_fused" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val hashed = d.select(col("doc_id"), md5(col("text")).as("__h"))
-      val keepMin = hashed.groupBy(col("__h"))
-        .agg(min(col("doc_id")).as("__keep"))
-      val exDrop = hashed.join(keepMin, "__h")
-        .filter(col("doc_id") =!= col("__keep"))
-        .select(col("doc_id")).withColumn("__ex", lit(true))
-      val nearDrop = DedupOps.connectedComponents(nearDupPairs(s, dir))
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id")).withColumn("__near", lit(true))
-      val cut = DedupOps.spanCutPositions(
-          exactDupSpans(s, dir, minLen = 15, dfCap = 50))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("__cut"))
-      val verd = d
-        .select(col("doc_id"), col("source"),
-          TextOps.tokenCount(col("text")).as("n_toks"))
-        .join(exDrop, Seq("doc_id"), "left")
-        .join(nearDrop, Seq("doc_id"), "left")
-        .join(cut, Seq("doc_id"), "left")
-        .withColumn("verdict",
-          when(col("__ex"), "drop_exact")
-            .when(col("__near"), "drop_near")
-            .when(coalesce(col("__cut"), lit(0L)).cast("double") /
-              col("n_toks").cast("double") >= 0.05, "cut_spans")
-            .otherwise("keep"))
-        .withColumn("toks_after",
-          when(col("verdict").isin("drop_exact", "drop_near"), lit(0L))
-            .when(col("verdict") === "cut_spans", col("n_toks") - col("__cut"))
-            .otherwise(col("n_toks").cast("long")))
-        .localCheckpoint()
-      val perSrc = verd.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("verdict") === "drop_exact", 1L).otherwise(0L)).as("n_drop_exact"),
-        sum(when(col("verdict") === "drop_near", 1L).otherwise(0L)).as("n_drop_near"),
-        sum(when(col("verdict") === "cut_spans", 1L).otherwise(0L)).as("n_cut_spans"),
-        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
-        sum(col("n_toks").cast("long")).as("toks_before"),
-        sum(col("toks_after")).as("toks_after"))
-      val tb = verd.agg(sum(col("n_toks").cast("long")).as("tb"))
-      val ta = verd.agg(sum(col("toks_after")).as("ta"))
-      perSrc.crossJoin(tb).crossJoin(ta)
-        .select(col("source"), col("n_docs"), col("n_drop_exact"),
-          col("n_drop_near"), col("n_cut_spans"), col("n_keep"),
-          col("toks_before"), col("toks_after"),
-          (col("toks_before").cast("double") / col("tb").cast("double"))
-            .as("mix_before"),
-          (col("toks_after").cast("double") / col("ta").cast("double"))
-            .as("mix_after"))
-    }),
+    "q_dedup_fused" -> ((s, dir) => fusedDedupReport(docs(s, dir))),
 
     // connected components over the near-dup pair graph: per-cluster
     // membership stats (component = min doc_id reachable)

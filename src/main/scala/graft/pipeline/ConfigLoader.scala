@@ -1059,6 +1059,37 @@ object ConfigLoader {
           .otherwise(col(txc)))
         .drop("__rbid", "__cut_text")
     }
+    // Fused dedup decision REPORT (the q_dedup_fused kernel — one
+    // implementation behind the query and this stage, so the artifact
+    // a curation run files can never drift from the flagship's): the
+    // frame REDUCES to the per-source verdict-mixture report
+    // (drop_exact/drop_near/cut_spans/keep counts + before/after
+    // token-mass mixture) — put it LAST in its pipeline, feeding the
+    // sink that files the report, while a sibling pipeline carries
+    // the curated text forward.
+    case "dedup_fused_report" => df => {
+      val idc = str(m, "id"); val txc = str(m, "text")
+      val src = m.get("source").map(_.toString).getOrElse("source")
+      // CC labels propagate over integral ids (the dedup_near teeth)
+      df.schema(idc).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => ()
+        case other => throw new IllegalArgumentException(
+          s"dedup_fused_report id column '$idc' is $other — connected " +
+            "components need an integral id; derive one first")
+      }
+      require(df.columns.contains(src),
+        s"dedup_fused_report source column '$src' not in the frame " +
+          "(pass source: <column> — the report is a per-source mixture)")
+      graft.DataPipelineQueries.fusedDedupReport(
+        df.select(col(idc).cast("long").as("doc_id"),
+          col(src).as("source"), expr(txc).as("text")),
+        minLen = m.get("min_len").map(_.asInstanceOf[Number].intValue()).getOrElse(15),
+        dfCap = m.get("df_cap").map(_.asInstanceOf[Number].intValue()).getOrElse(50),
+        jaccard = m.get("threshold").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.5),
+        shingle = m.get("shingle").map(_.asInstanceOf[Number].intValue()).getOrElse(3),
+        cutFrac = m.get("cut_frac").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.05))
+    }
     // semconv schema migration: rewrite a map<string,string> attrs
     // column's keys between catalog versions (SemConv.renames —
     // the 1.18.0 → 1.23.0 HTTP stabilization table; side picks the

@@ -1755,7 +1755,7 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(r.getAs[Map[String, String]]("trunc") == Map("a" -> "1", "b" -> "22", "c" -> "33"))
   }
 
-  test("curation capstone: ONE yaml drives warc -> html -> gopher -> exact+near+spancut dedup -> shuffle_shard -> jsonl; equals the programmatic pipeline") {
+  test("curation capstone: ONE yaml drives warc -> html -> gopher -> exact+near+spancut dedup -> shuffle_shard -> jsonl; equals the programmatic pipeline; a sibling pipeline files the fused verdict report == q_dedup_fused") {
     import graft.operators.{TextOps, DedupOps, ScaleOps}
     import spark.implicits._
     // synthesize a .warc crawl from the documents table (the
@@ -1806,8 +1806,21 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(in, "crawl-0.warc"),
       buf.toByteArray)
     val out = java.nio.file.Files.createTempDirectory("cur_out").toString + "/corpus"
+    val outReport = java.nio.file.Files.createTempDirectory("cur_rep").toString + "/report"
     val yaml =
       s"""pipelines:
+         |  corpus/fused_report:
+         |    receiver:
+         |      type: parquet
+         |      path: "/root/testdata/sf0.001/documents.parquet"
+         |    processors:
+         |      - type: dedup_fused_report
+         |        id: doc_id
+         |        text: text
+         |        source: source
+         |    exporters:
+         |      - type: jsonl
+         |        path: "$outReport"
          |  corpus/curation:
          |    receiver:
          |      type: warc
@@ -1926,6 +1939,32 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(byId(900004L) == md5Hex(spanDocA), "span doc_a was modified")
     assert(byId(900005L) == md5Hex(spanDocBKept),
       "span doc_b was not cut to its remainder")
+
+    // the fused-report pipeline of the SAME yaml filed the flagship's
+    // artifact: the stage's rows equal q_dedup_fused over the same
+    // corpus, column for column (longs exact, mixtures to 1e-12 —
+    // the jsonl roundtrip re-parses doubles)
+    type Rep = (String, Seq[Long], Seq[Double])
+    def repRows(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Long], Seq[Double])] =
+      df.select(col("source"), col("n_docs").cast("long"),
+          col("n_drop_exact").cast("long"), col("n_drop_near").cast("long"),
+          col("n_cut_spans").cast("long"), col("n_keep").cast("long"),
+          col("toks_before").cast("long"), col("toks_after").cast("long"),
+          col("mix_before").cast("double"), col("mix_after").cast("double"))
+        .collect().map(r => r.getString(0) ->
+          ((1 to 7).map(r.getLong(_)), Seq(r.getDouble(8), r.getDouble(9))))
+        .toMap
+    val filed = repRows(spark.read.json(outReport))
+    val flagship = repRows(
+      SparkEntry.queries("q_dedup_fused")(spark, "/root/testdata/sf0.001"))
+    assert(filed.keySet == flagship.keySet,
+      s"sources differ: ${filed.keySet} vs ${flagship.keySet}")
+    for ((src, (longs, mixes)) <- flagship) {
+      assert(filed(src)._1 == longs, s"$src counts: ${filed(src)._1} vs $longs")
+      filed(src)._2.zip(mixes).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"$src mixture: $a vs $b") }
+    }
+    assert(flagship.nonEmpty)
   }
 
   private def md5Hex(s: String): String =
