@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AnnOps, DedupOps, MultimodalOps, ScaleOps, SketchOps, TextOps}
 import QUtil._
@@ -167,7 +167,7 @@ object DataPipelineQueries {
 
   /** tokenized frame feeding both the anchor selection and the
     * extension verify, with the position-packing guard */
-  private def spanTokens(docsDf: DataFrame): DataFrame = {
+  private[graft] def spanTokens(docsDf: DataFrame): DataFrame = {
     docsDf
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 7)
@@ -186,7 +186,7 @@ object DataPipelineQueries {
     * checkpointed (feeds the cap join and both pair sides; in the
     * incremental path this frame IS what a production anchor store
     * persists per ingest day) */
-  private def winnowAnchorSel(toks: DataFrame): DataFrame = {
+  private[graft] def winnowAnchorSel(toks: DataFrame): DataFrame = {
     toks
       .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
       .select(col("doc_id"), col("n_grams"), posexplode(
@@ -205,6 +205,39 @@ object DataPipelineQueries {
       .distinct()
       .localCheckpoint()
   }
+
+  /** [[winnowAnchorSel]] as ONE per-row HOF expression over the token
+    * array — the STREAMING projection (a stream cannot run the
+    * per-doc position window, but the window is per-doc over its own
+    * grams, so it folds into the row): returns
+    * array<struct<h_sel:long, pos_sel:long>>, bit-identical to the
+    * window formulation (the packed key c = h·2²¹ + (2²¹−1−pos) is a
+    * bijection, so distinct-c ≡ distinct-(h,pos); parity is
+    * spec-pinned both directions on the sf corpus, which is what the
+    * streaming convergence proof rests on). */
+  private[graft] def winnowAnchorsExpr(ws: Column): Column = {
+    require(POSCAP == (1L << 21)) // shiftright(c, 21) below IS c DIV POSCAP
+    val nGrams = size(ws) - 3
+    val cs = transform(sequence(lit(1), nGrams), i => {
+      val gram = concat_ws(" ", slice(ws, i, lit(4)))
+      val h = conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
+      h * lit(POSCAP) + (lit(POSCAP - 1) - i)
+    })
+    val mins = transform(sequence(lit(1), nGrams - 3),
+      i => array_min(slice(cs, i, lit(4))))
+    transform(array_distinct(mins), c => struct(
+      shiftright(c, 21).as("h_sel"),
+      (lit(POSCAP - 1) - (c % lit(POSCAP))).as("pos_sel")))
+  }
+
+  /** the extension verify over an explicit pairs frame — the seam the
+    * STREAMING anchor store drives per trigger (its stateful half
+    * emits candidate anchor pairs; this turns them into maximal
+    * spans with the same per-pair fold the batch operators use) */
+  private[graft] def extendCandidateAnchorPairs(pairs: DataFrame,
+                                                docsDf: DataFrame,
+                                                minLen: Int): DataFrame =
+    extendAnchorPairs(pairs, spanTokens(docsDf), minLen)
 
   /** [[exactDupSpans]] over an explicit (doc_id, text) frame — the
     * seam the doctored-corpus precision spec drives */

@@ -493,6 +493,105 @@ object StreamingPipelines {
       }
   }
 
+  /** per-fingerprint anchor-store state: the (doc, position) rows
+    * seen so far, or the saturated marker once the fingerprint's
+    * document frequency crossed the cap (df only grows — a saturated
+    * hash never emits again, so its anchors free immediately) */
+  final case class AnchorStore(docs: List[Long], positions: List[Long],
+                               saturated: Boolean)
+
+  /** Streaming ExactSubstr anchor store — the always-on twin of
+    * [[graft.DataPipelineQueries.exactDupSpansIncrementalFrom]]
+    * (r13's daily-ingest operator): the winnowing anchor selection
+    * runs map-side per document (the window formulation folds into
+    * one HOF projection, winnowAnchorsExpr — bit-parity spec-pinned),
+    * and the anchor STORE is flatMapGroupsWithState keyed on the
+    * fingerprint hash. Each micro-batch PROBES the store (new anchors
+    * pair against every stored anchor of the same hash and against
+    * each other) and APPENDS; the df cap counts distinct documents
+    * across store ∪ batch exactly like the incremental operator — a
+    * fingerprint crossing the cap saturates permanently (df only
+    * grows) and frees its anchors. `ttlMs` expires idle fingerprints,
+    * the production retention knob (an evicted hash's next arrival
+    * re-enters as first-seen — the streamingLineDedup discipline).
+    *
+    * Emits one row per NEW candidate anchor pair per trigger:
+    * (doc_a, doc_b, pa, pb), doc_a < doc_b. The extension verify is
+    * the stateless half — feed a trigger's pairs to
+    * [[graft.DataPipelineQueries.extendCandidateAnchorPairs]] with
+    * the corpus texts (store text is fetched only for the bounded
+    * candidates, never rescanned — the incremental discipline).
+    * CONVERGENCE (spec-pinned): with triggers T₁…Tₙ, trigger Tₙ's
+    * extended spans equal exactDupSpansIncrementalFrom(store =
+    * T₁∪…∪Tₙ₋₁, batch = Tₙ). Doc ids unique across the stream (the
+    * ingest contract).
+    *
+    * Scale shape: state per fingerprint is ≤ dfCap (doc, pos) longs;
+    * hashes partition the state store; per-trigger work is
+    * |batch anchors| × (stored ≤ cap) pair emissions — no text in
+    * state, no rescans, no broadcast. */
+  def streamingExactSubstrAnchors(spark: SparkSession,
+                                  docs: Dataset[(Long, String)],
+                                  dfCap: Int,
+                                  ttlMs: Option[Long] = None)(
+      implicit e: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val anchors = graft.DataPipelineQueries
+      .spanTokens(docs.toDF("doc_id", "text"))
+      .select(col("doc_id"), explode(
+        graft.DataPipelineQueries.winnowAnchorsExpr(col("__ws"))).as("a"))
+      .select(col("a.h_sel"), col("doc_id"), col("a.pos_sel"))
+      .as[(Long, Long, Long)]
+    anchors.groupByKey(_._1)
+      .flatMapGroupsWithState[AnchorStore, (Long, Long, Long, Long)](
+        OutputMode.Append, timeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[AnchorStore]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(AnchorStore(Nil, Nil, false))
+            // deterministic emission order under replay
+            val fresh = rows.map { case (_, d, p) => (d, p) }.toSeq
+              .sortBy(identity)
+            if (st.saturated) {
+              // stays saturated forever — state already minimal
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              Iterator.empty
+            } else {
+              val allDocs = (st.docs ++ fresh.map(_._1)).distinct
+              if (allDocs.size > dfCap) {
+                // the incremental operator's cap filter (__df ≤ cap
+                // over store ∪ batch): this trigger emits NOTHING for
+                // the hash, and no later trigger can shrink df
+                state.update(AnchorStore(Nil, Nil, saturated = true))
+                ttlMs.foreach(t => state.setTimeoutDuration(t))
+                Iterator.empty
+              } else {
+                val stored = st.docs.zip(st.positions)
+                // new × stored plus new × new (i<j): exactly the
+                // batch-touching pairs of the incremental probe —
+                // stored × stored pairs were emitted by their own
+                // trigger and never repeat
+                val out = scala.collection.mutable.ArrayBuffer
+                  .empty[(Long, Long, Long, Long)]
+                for (((d, p), i) <- fresh.zipWithIndex) {
+                  for ((d2, p2) <- stored ++ fresh.take(i))
+                    if (d2 < d) out += ((d2, d, p2, p))
+                    else if (d2 > d) out += ((d, d2, p, p2))
+                }
+                state.update(AnchorStore(st.docs ++ fresh.map(_._1),
+                  st.positions ++ fresh.map(_._2), saturated = false))
+                ttlMs.foreach(t => state.setTimeoutDuration(t))
+                out.iterator
+              }
+            }
+          }
+      }
+  }
+
   final case class LastCum(value: Double)
 
   /** Stateful cumulative→delta across micro-batches — the inverse of

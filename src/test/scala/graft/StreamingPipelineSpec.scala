@@ -1387,4 +1387,148 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ExactSubstr: map-side anchor HOF is bit-identical to the window selection on the sf corpus") {
+    import org.apache.spark.sql.functions._
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = graft.DataPipelineQueries.spanTokens(d)
+    val win = graft.DataPipelineQueries.winnowAnchorSel(toks)
+      .select("doc_id", "h_sel", "pos_sel")
+    val hof = toks.select(col("doc_id"), explode(
+        graft.DataPipelineQueries.winnowAnchorsExpr(col("__ws"))).as("a"))
+      .select(col("doc_id"), col("a.h_sel"), col("a.pos_sel"))
+    assert(win.count() > 0)
+    assert(win.exceptAll(hof).isEmpty && hof.exceptAll(win).isEmpty,
+      "HOF anchor selection drifted from the window formulation")
+  }
+
+  test("streaming ExactSubstr anchor store: per-trigger pairs converge to the incremental operator; df cap saturates the fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    // a 30-token passage planted across both triggers; remainders
+    // fully distinct so ONLY the passage makes spans
+    val passage = (0 until 30).map(i => s"dupw$i").mkString(" ")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val t1 = Seq(
+      (1L, s"$passage ${filler("xa", 40)}"),
+      (2L, s"${filler("xb", 40)} $passage"),
+      (3L, filler("xc", 60)))
+    val t2 = Seq(
+      (10L, s"${filler("xd", 20)} $passage ${filler("xe", 20)}"),
+      (11L, filler("xf", 60)),
+      // doc 12 shares ONLY the passage with everyone (distinct
+      // fillers): at dfCap=3 below, the passage saturating must
+      // leave NOTHING to pair — a shared filler would legitimately
+      // pair (10,12) under the cap and muddy the pin
+      (12L, s"${filler("xg", 20)} $passage ${filler("xh", 20)}"))
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingPipelines.streamingExactSubstrAnchors(
+      spark, ms.toDS(), dfCap = 50)
+    val q = out.toDF("doc_a", "doc_b", "pa", "pb").writeStream
+      .outputMode("append").format("memory").queryName("xs_anchors").start()
+    try {
+      ms.addData(t1)
+      q.processAllAvailable()
+      val pairs1 = spark.table("xs_anchors").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      ms.addData(t2)
+      q.processAllAvailable()
+      val all = spark.table("xs_anchors").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val pairs2 = all.filterNot(pairs1.toSet)
+
+      def spansOf(ps: Seq[(Long, Long, Long, Long)],
+                  corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] =
+        if (ps.isEmpty) Set.empty
+        else graft.DataPipelineQueries.extendCandidateAnchorPairs(
+            ps.toDF("doc_a", "doc_b", "pa", "pb"),
+            corpus.toDF("doc_id", "text"), minLen = 15)
+          .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+
+      // trigger 1 == the batch operator over trigger 1's corpus
+      val batch1 = rowsOf(graft.DataPipelineQueries.exactDupSpansFrom(
+        t1.toDF("doc_id", "text"), 15, 50))
+      assert(batch1.nonEmpty, "trigger-1 corpus must contain a dup pair")
+      assert(spansOf(pairs1, t1) == batch1)
+      // trigger 2 == the INCREMENTAL operator (store=T1, batch=T2):
+      // the store text is only consulted for the bounded candidates
+      val incr = rowsOf(graft.DataPipelineQueries.exactDupSpansIncrementalFrom(
+        t1.toDF("doc_id", "text"), t2.toDF("doc_id", "text"), 15, 50))
+      assert(incr.nonEmpty)
+      assert(spansOf(pairs2, t1 ++ t2) == incr)
+      // the new spans touch a batch doc — never a store-store pair
+      assert(spansOf(pairs2, t1 ++ t2).forall { case (a, b, _, _, _) =>
+        a >= 10L || b >= 10L })
+    } finally q.stop()
+
+    // df cap: the passage lives in 4 docs; at dfCap=3 the union count
+    // saturates the fingerprint on trigger 2 — the streaming store and
+    // the incremental operator agree (both emit NOTHING new)
+    val ms2 = MemoryStream[(Long, String)]
+    val out2 = StreamingPipelines.streamingExactSubstrAnchors(
+      spark, ms2.toDS(), dfCap = 3)
+    val q2 = out2.toDF("doc_a", "doc_b", "pa", "pb").writeStream
+      .outputMode("append").format("memory").queryName("xs_cap").start()
+    try {
+      ms2.addData(t1); q2.processAllAvailable()
+      val n1 = spark.table("xs_cap").count()
+      assert(n1 > 0, "under the cap at trigger 1 (2 docs) — pairs emit")
+      ms2.addData(t2); q2.processAllAvailable()
+      assert(spark.table("xs_cap").count() == n1,
+        "4 docs > dfCap=3: trigger 2 must emit nothing for the hash")
+      val incrCapped = graft.DataPipelineQueries.exactDupSpansIncrementalFrom(
+        t1.toDF("doc_id", "text"), t2.toDF("doc_id", "text"), 15, 3)
+      assert(incrCapped.isEmpty, "incremental twin agrees: cap bites")
+    } finally q2.stop()
+  }
+
+  test("streaming ExactSubstr TTL: an idle fingerprint evicts; later copies pair only among themselves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val passage = (0 until 30).map(i => s"ttlw$i").mkString(" ")
+    def doc(id: Long, tag: String) =
+      (id, s"$passage ${(0 until 20).map(i => s"$tag$i").mkString(" ")}")
+    val ms = MemoryStream[(Long, String)]
+    // ProcessingTimeTimeout: NEVER processAllAvailable (the query
+    // schedules continuous empty batches to fire timeouts and the
+    // call never quiesces) — poll the sink with a deadline
+    val out = StreamingPipelines.streamingExactSubstrAnchors(
+      spark, ms.toDS(), dfCap = 50, ttlMs = Some(200L))
+    val q = out.toDF("doc_a", "doc_b", "pa", "pb").writeStream
+      .outputMode("append").format("memory").queryName("xs_ttl").start()
+    // the passage yields SEVERAL anchor fingerprints → several rows
+    // per doc pair: await a predicate, not a row count
+    def await(what: String)(p: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!p && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(p, s"sink never showed $what")
+    }
+    try {
+      ms.addData(Seq(doc(1L, "fa")))
+      ms.addData(Seq(doc(2L, "fb"))) // within TTL: pairs with doc 1
+      await("the (1,2) pair")(
+        spark.table("xs_ttl").filter(col("doc_b") === 2L).count() > 0)
+      Thread.sleep(800) // idle past the TTL — the store forgets
+      ms.addData(Seq(doc(3L, "fc"))) // post-eviction: pairs with NOBODY
+      ms.addData(Seq(doc(4L, "fd"))) // pairs with doc 3 only
+      await("a post-eviction pair")(
+        spark.table("xs_ttl").filter(col("doc_b") === 4L).count() > 0)
+      val pairs = spark.table("xs_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (3,4) present proves the post-eviction triggers processed;
+      // no pair bridges the eviction gap
+      assert(pairs.contains((3L, 4L)), pairs)
+      assert(pairs.forall { case (a, b) =>
+        (a <= 2 && b <= 2) || (a >= 3 && b >= 3) },
+        s"a pair bridged the TTL eviction: $pairs")
+    } finally q.stop()
+  }
 }
