@@ -1178,6 +1178,77 @@ object DataPipelineQueries {
     }),
 
     // quality scoring (length / avg token len / stopword ratio)
+    // Train/val/test SPLIT LEAKAGE census — the eval-contamination
+    // check INSIDE a corpus (decontaminate covers train-vs-benchmark;
+    // this covers the corpus's own held-out splits): docs assign to
+    // train/val/test by the seeded portable hash of their id
+    // (80/10/10 — the standard deterministic split), and a leak is a
+    // VERBATIM 8-token segment shared across two splits — the
+    // overlap-granularity check (Lee et al.'s decontamination unit;
+    // byte-identical whole docs are the degenerate case and a corpus
+    // with none still leaks through shared passages). One row per
+    // split pair: distinct leaked segments + affected docs per side.
+    // Scale shape: segments explode map-side, one shuffle on the
+    // segment hash; the split pair space is 3 rows.
+    "q_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("slot", ScaleOps.shardIdPortable(col("doc_id"), 10, "split1"))
+        .withColumn("split", when(col("slot") < 8, "train")
+          .when(col("slot") === 8, "val").otherwise("test"))
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .filter(size(col("__ws")) >= 1)
+        .select(col("doc_id"), col("split"), explode(expr(
+          "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
+            "i -> concat_ws(' ', slice(__ws, i * 8 + 1, 8)))")).as("seg"))
+        .select(col("doc_id"), col("split"), md5(col("seg")).as("h"))
+        .distinct()
+      val byHS = d.groupBy(col("h"), col("split"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val a = byHS.select(col("h"), col("split").as("split_a"), col("nd").as("nd_a"))
+      val b = byHS.select(col("h"), col("split").as("split_b"), col("nd").as("nd_b"))
+      a.join(b, Seq("h")).filter(col("split_a") < col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("leaked_segments"),
+          sum(col("nd_a")).cast("long").as("docs_a"),
+          sum(col("nd_b")).cast("long").as("docs_b"))
+    }),
+
+    // Quality-threshold SURVIVAL curve — the measurement that picks
+    // the cutoff: for each candidate threshold over the integer
+    // stopword-per-mille surrogate (the q_budget_select score; LOW =
+    // high quality), how many docs and how much token mass survive.
+    // Buckets aggregate once (one shuffle on an 11-value key); the
+    // cumulative view is an 11×11 threshold join, never a
+    // single-partition window.
+    "q_quality_survival" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val base = docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.wordlistHits(toks, TextOps.EnStop).as("stop_hits"))
+        .filter(col("n_tokens") >= 1)
+        // cutoff granularity 20‰, capped at 200‰: the corpus's score
+        // mass lives in 0-150‰ (measured) — a 50‰ grid collapsed the
+        // curve to two points
+        .withColumn("score", expr("stop_hits * 1000 DIV n_tokens"))
+        .withColumn("bucket", least(expr("score DIV 20"), lit(10L)))
+      val perB = base.groupBy(col("bucket")).agg(
+        count(lit(1)).as("nd"), sum(col("n_tokens")).cast("long").as("tk"))
+      val tot = base.agg(count(lit(1)).as("tot_docs"),
+        sum(col("n_tokens")).cast("long").as("tot_toks"))
+      s.range(0, 11).toDF("t")
+        .join(perB, col("bucket") <= col("t"))
+        .groupBy(col("t"))
+        .agg(sum(col("nd")).cast("long").as("n_docs_kept"),
+          sum(col("tk")).cast("long").as("toks_kept"))
+        .crossJoin(tot)
+        .select((col("t") * 20).as("cutoff"), col("n_docs_kept"),
+          col("toks_kept"),
+          (col("n_docs_kept").cast("double") /
+            col("tot_docs").cast("double")).as("frac_docs"),
+          (col("toks_kept").cast("double") /
+            col("tot_toks").cast("double")).as("frac_toks"))
+    }),
+
     "q_quality_score" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       docs(s, dir).select(
@@ -3264,6 +3335,50 @@ object DataPipelineQueries {
         | 1.0 - CAST(SUM(LEAST(n_tokens, 512)) AS DOUBLE)
         |  / CAST(SUM(n_tokens) AS DOUBLE) AS loss_512
         |FROM t GROUP BY source""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5('split1:' || doc_id), 1, 8))::BIGINT % 10 < 8
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5('split1:' || doc_id), 1, 8))::BIGINT % 10 = 8
+        |       THEN 'val' ELSE 'test' END AS split,
+        |  regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents
+        | WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |segs AS (SELECT DISTINCT doc_id, split,
+        |  md5(unnest(list_transform(range((len(w)+7)//8),
+        |    i -> array_to_string(w[i*8+1 : i*8+8], ' ')))) AS h
+        | FROM t),
+        |hs AS (SELECT h, split, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        |       FROM segs GROUP BY h, split)
+        |SELECT a.split AS split_a, b.split AS split_b,
+        | CAST(COUNT(*) AS BIGINT) AS leaked_segments,
+        | CAST(SUM(a.nd) AS BIGINT) AS docs_a,
+        | CAST(SUM(b.nd) AS BIGINT) AS docs_b
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
+        |GROUP BY a.split, b.split""".stripMargin,
+
+    "q_quality_survival" ->
+      """WITH b AS (SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    w -> w IN ('the','a','of','and','to','in','is','on'))) AS stop_hits
+        | FROM documents),
+        |sc AS (SELECT n_tokens,
+        |  LEAST((stop_hits * 1000) // n_tokens // 20, 10) AS bucket
+        | FROM b WHERE n_tokens >= 1),
+        |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nd,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tk FROM sc GROUP BY bucket),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tot_toks FROM sc),
+        |ts AS (SELECT unnest(range(0, 11)) AS t)
+        |SELECT ts.t * 20 AS cutoff,
+        | CAST(SUM(nd) AS BIGINT) AS n_docs_kept,
+        | CAST(SUM(tk) AS BIGINT) AS toks_kept,
+        | CAST(SUM(nd) AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS frac_docs,
+        | CAST(SUM(tk) AS DOUBLE) / CAST(tot_toks AS DOUBLE) AS frac_toks
+        |FROM ts JOIN pb ON pb.bucket <= ts.t, tot
+        |GROUP BY ts.t, tot_docs, tot_toks""".stripMargin,
 
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
