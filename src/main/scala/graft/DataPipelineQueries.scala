@@ -1368,6 +1368,27 @@ object DataPipelineQueries {
         .filter(col("n_shared") >= 3)
     }),
 
+    // SEMANTIC decontamination (the embedding-side twin of
+    // q_decontaminate): paraphrased benchmark leakage shares no
+    // verbatim n-grams, so the n-gram check misses it — per EVAL
+    // vector the MAX cosine against the train corpus, bucketed into
+    // severity classes. Thresholds sit inside this corpus's measured
+    // max-sim range (0.36-0.45) so every class is reachable. Scale
+    // shape: the eval set is tiny by construction and BROADCASTS;
+    // the train corpus scans map-side with partial max per
+    // partition — the one exchange carries |eval| rows. The cosine
+    // is the same single-pass kernel the oracled ANN family uses
+    // (bit-identical to the DuckDB zip-fold twin). At corpus scale
+    // the LSH-bucketed candidates (q_ann_lsh) replace the scan; the
+    // brute max here is the exactness baseline.
+    "q_decontam_embed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.semanticContam(
+        e.filter(pmod(col("vec_id"), lit(50)) === 0),
+        e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+        tCritical = 0.44, tHigh = 0.40, tModerate = 0.37)
+    }),
+
     // HTML→text extraction (the trafilatura/C4 stage upstream of
     // every web-corpus operator): the synthetic corpus is plain
     // text, so each doc is first wrapped in a deterministic page
@@ -2388,6 +2409,55 @@ object DataPipelineQueries {
         .withColumn("keep", !col("blocked") && col("doc_id") ===
           min(when(!col("blocked"), col("doc_id"))).over(w))
         .select(col("doc_id"), col("host"), col("blocked"), col("keep"))
+    }),
+
+    // URL CANONICALIZATION — the normalize step URL hygiene runs
+    // BEFORE any url-keyed dedup (q_url_filter assumes it): lowercase
+    // scheme+host, strip a leading www., drop the scheme's DEFAULT
+    // port (explicit non-default ports survive), strip one trailing
+    // path slash, drop the fragment, drop utm_* tracking params and
+    // SORT the survivors. The corpus carries no URLs, so a
+    // deterministically MESSY one derives from doc fields —
+    // mixed-case scheme/host, rotating default/explicit ports,
+    // param order that varies by doc, tracking params, fragments
+    // (the q_url_filter synthesis discipline; the oracle builds the
+    // SAME raw strings and canonicalizes them with the same rules).
+    // url_canon is IN the output, so the hash gate verifies the
+    // parse byte-for-byte, not just the counts. Scale shape: parse +
+    // rebuild are map-side string ops; the only exchange keys on
+    // url_canon for the keyed min-window (refetch dedup).
+    "q_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val hostBase = concat(col("source"), lit("-"), pmod(id, lit(7)),
+        lit(".Example.COM"))
+      val rawUrl = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(pmod(id, lit(3)) === 0, concat(lit("WWW."), hostBase))
+          .otherwise(hostBase),
+        when(pmod(id, lit(5)) === 0, lit(":80"))
+          .when(pmod(id, lit(5)) === 1, lit(":443"))
+          .when(pmod(id, lit(5)) === 2, lit(":8080")).otherwise(lit("")),
+        // path modulus 7: every synthesis modulus divides 420, so ids
+        // congruent mod 420 produce the SAME canonical url from
+        // DIFFERENT raw spellings — the refetch-dedup window has real
+        // work at every SF (a /50 path made canon urls unique below
+        // 2100 docs and the keep flag vacuous)
+        lit("/p"), pmod(id, lit(7)),
+        when(pmod(id, lit(4)) === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(pmod(id, lit(2)) === 0,
+          concat(lit("b="), pmod(id, lit(2)), lit("&a="), pmod(id, lit(3))))
+          .otherwise(concat(lit("a="), pmod(id, lit(3)),
+            lit("&utm_source=feed&b="), pmod(id, lit(2)))),
+        when(pmod(id, lit(3)) === 1, concat(lit("#s"), pmod(id, lit(6))))
+          .otherwise(lit("")))
+      val parsed = docs(s, dir).select(id, rawUrl.as("url_raw"))
+        .withColumn("url_canon", TextOps.urlCanon(col("url_raw")))
+        .withColumn("host", TextOps.urlHost(col("url_raw")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_canon"))
+      parsed.select(col("doc_id"), col("url_raw"), col("url_canon"), col("host"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
     }),
 
     // LSH S-curve parameter tuner: P(candidate | jaccard=s) =
@@ -3460,6 +3530,21 @@ object DataPipelineQueries {
         |FROM ex t JOIN ex e ON t.s = e.s AND e.doc_id < 25 AND t.doc_id >= 25
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
+    "q_decontam_embed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |mx AS (SELECT q.vec_id AS eval_id,
+        |  MAX(list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(c.e, x -> x * x))))) AS max_sim
+        | FROM v q JOIN v c ON q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+        | GROUP BY q.vec_id)
+        |SELECT eval_id, max_sim,
+        | CASE WHEN max_sim >= 0.44 THEN 'critical'
+        |      WHEN max_sim >= 0.40 THEN 'high'
+        |      WHEN max_sim >= 0.37 THEN 'moderate'
+        |      ELSE 'clean' END AS severity
+        |FROM mx""".stripMargin,
+
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
         |m AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
@@ -4475,6 +4560,43 @@ object DataPipelineQueries {
         |SELECT doc_id, host, blocked,
         | (NOT blocked) AND doc_id = MIN(CASE WHEN NOT blocked THEN doc_id END)
         |   OVER (PARTITION BY url) AS keep
+        |FROM f""".stripMargin,
+
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '-' || (doc_id % 7) || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':80' WHEN doc_id % 5 = 1 THEN ':443'
+        |        WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END) ||
+        |  '/p' || (doc_id % 7) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || '?' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'b=' || (doc_id % 2) || '&a=' || (doc_id % 3)
+        |        ELSE 'a=' || (doc_id % 3) || '&utm_source=feed&b=' || (doc_id % 2) END) ||
+        |  (CASE WHEN doc_id % 3 = 1 THEN '#s' || (doc_id % 6) ELSE '' END) AS url_raw
+        | FROM documents),
+        |p AS (SELECT doc_id, url_raw,
+        |  lower(regexp_extract(url_raw, '^([^:]+)://', 1)) AS scheme,
+        |  regexp_extract(url_raw, '^[^:]+://([^/?#]+)', 1) AS hostport,
+        |  regexp_extract(url_raw, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |  regexp_extract(url_raw, '\?([^#]*)', 1) AS q
+        | FROM u),
+        |c AS (SELECT doc_id, url_raw, scheme,
+        |  regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)), '^www\.', '') AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |  CASE WHEN path0 LIKE '%/' AND len(path0) > 1
+        |       THEN substr(path0, 1, len(path0) - 1) ELSE path0 END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qc
+        | FROM p),
+        |f AS (SELECT doc_id, url_raw, host,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |        OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) ||
+        |  path || (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END) AS url_canon
+        | FROM c)
+        |SELECT doc_id, url_raw, url_canon, host,
+        | doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep
         |FROM f""".stripMargin,
 
     // integer-exponent powers as explicit left-assoc product chains —

@@ -117,6 +117,34 @@ object AnnOps {
       .filter(col("sim") >= lit(tau))
   }
 
+  /** Semantic-contamination report (the embedding twin of n-gram
+    * decontamination — paraphrased benchmark leakage shares no
+    * verbatim n-grams): per eval vector the MAX cosine against the
+    * train corpus, bucketed at the given DESCENDING thresholds.
+    * Scale shape: the eval side is tiny by construction and
+    * BROADCASTS; the train corpus scans map-side with per-partition
+    * partial max — the one exchange carries |eval| rows. This is the
+    * brute exactness baseline; at corpus scale LSH candidates
+    * ([[lshTopKMd5]]) bound the scan with the identical verdict
+    * column. Expects (vec_id, embedding) on both frames. */
+  def semanticContam(evalSet: DataFrame, train: DataFrame,
+                     tCritical: Double, tHigh: Double,
+                     tModerate: Double): DataFrame = {
+    require(tCritical >= tHigh && tHigh >= tModerate,
+      s"thresholds must descend: $tCritical >= $tHigh >= $tModerate")
+    val q = evalSet.select(col("vec_id").as("eval_id"),
+      col("embedding").cast("array<double>").as("qe"))
+    val c = train.select(col("embedding").cast("array<double>").as("ne"))
+    c.crossJoin(broadcast(q))
+      .select(col("eval_id"), cosine(col("qe"), col("ne")).as("sim"))
+      .groupBy(col("eval_id")).agg(max(col("sim")).as("max_sim"))
+      .select(col("eval_id"), col("max_sim"),
+        when(col("max_sim") >= tCritical, "critical")
+          .when(col("max_sim") >= tHigh, "high")
+          .when(col("max_sim") >= tModerate, "moderate")
+          .otherwise("clean").as("severity"))
+  }
+
   /** random-hyperplane signature: bit p = sign(Σ_d w_pd · v_d) with
     * deterministic pseudo-random ±1 weights from xxhash64(table, p, d).
     * One codegen'd pass per vector.

@@ -452,6 +452,42 @@ object TextOps {
         md5(array_join(col("__kept"), "\n")).as("text_md5"))
   }
 
+  /** URL canonicalization — the normalize step url-keyed dedup
+    * assumes (every crawl pipeline runs one before refetch-dedup):
+    * lowercase scheme+host, strip a leading www., drop the scheme's
+    * DEFAULT port (explicit non-default ports survive), strip one
+    * trailing path slash, drop the fragment, drop utm_* tracking
+    * params and SORT the survivors. Pure map-side regexp parse +
+    * string rebuild, zero shuffle; every pattern is
+    * RE2-and-Java-identical so the DuckDB oracle runs the same
+    * surgery verbatim. (No collector analog — LLM-pipeline side.) */
+  def urlCanon(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([^:]+)://", 1))
+    val hostport = regexp_extract(url, "^[^:]+://([^/?#]+)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val path0 = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    val path = when(path0.endsWith("/") && length(path0) > 1,
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val qc = array_join(array_sort(filter(split(q, "&"),
+      x => x =!= lit("") && !x.startsWith("utm_"))), "&")
+    val portC = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    concat(scheme, lit("://"), urlHost(url), portC, path,
+      when(qc =!= "", concat(lit("?"), qc)).otherwise(lit("")))
+  }
+
+  /** canonical host of a URL: lowercased, port and leading www.
+    * stripped (the [[urlCanon]] host rule, exposed for host-keyed
+    * censuses) */
+  def urlHost(url: Column): Column = {
+    val hostport = regexp_extract(url, "^[^:]+://([^/?#]+)", 1)
+    regexp_replace(lower(regexp_extract(hostport, "^([^:]+)", 1)),
+      "^www\\.", "")
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))

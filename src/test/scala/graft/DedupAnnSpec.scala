@@ -577,6 +577,37 @@ class DedupAnnSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("maxCluster")))
   }
 
+  test("semanticContam: planted leakage lands in its severity class") {
+    import spark.implicits._
+    // train: two orthogonal basis vectors
+    val train = Seq(
+      (100L, Array(1.0, 0.0)),
+      (101L, Array(0.0, 1.0))).toDF("vec_id", "embedding")
+    // eval: a verbatim copy (cos 1), a 3-4-5 paraphrase (max cos 0.8),
+    // an equal-mix (max cos 1/sqrt(2) ~ 0.707), and an anti-correlated
+    // vector whose best cosine is 0
+    val evalSet = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.8, 0.6)),
+      (3L, Array(1.0, 1.0)),
+      (4L, Array(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = AnnOps.semanticContam(evalSet, train,
+      tCritical = 0.95, tHigh = 0.75, tModerate = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out(1L)._2 == "critical" && out(1L)._1 == 1.0)
+    assert(out(2L)._2 == "high" && math.abs(out(2L)._1 - 0.8) < 1e-12)
+    assert(out(3L)._2 == "moderate" &&
+      math.abs(out(3L)._1 - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(out(4L)._2 == "clean" && out(4L)._1 == 0.0)
+    // the report covers every eval vector exactly once
+    assert(out.size == 4)
+    // descending-threshold contract is enforced loudly
+    val err = intercept[IllegalArgumentException] {
+      AnnOps.semanticContam(evalSet, train, 0.5, 0.75, 0.95)
+    }
+    assert(err.getMessage.contains("descend"))
+  }
+
   test("perplexityBuckets: thirds by rank, ordering matches the LM score") {
     val spark2 = spark
     import spark2.implicits._

@@ -487,4 +487,36 @@ class KernelPropertySpec extends AnyFunSuite {
     // simultaneously are rare — most estimates are exact
     assert(exactHits >= 285, s"only $exactHits/300 exact at low load")
   }
+
+  test("urlCanon: each messy-URL surgery rule matches its closed form") {
+    import graft.operators.TextOps
+    val cases = Seq(
+      // every rule at once: case, www, default port, slash, utm, sort, fragment
+      ("HTTP://WWW.Example.COM:80/a/?b=2&utm_source=x&a=1#frag",
+        "http://example.com/a?a=1&b=2"),
+      ("https://Example.com:443/p", "https://example.com/p"),
+      // NON-default port survives (https on 80, http on 443, explicit 8080)
+      ("https://example.com:80/p", "https://example.com:80/p"),
+      ("http://example.com:443/p", "http://example.com:443/p"),
+      ("http://example.com:8080/p/?utm_campaign=z", "http://example.com:8080/p"),
+      // param sort is lexicographic on the whole k=v token
+      ("HTTPS://www.Sub.Host.ORG/x?z=1&y=2", "https://sub.host.org/x?y=2&z=1"),
+      // root slash is KEPT (stripping it would fabricate an empty path)
+      ("http://example.com/", "http://example.com/"),
+      // empty path stays empty; all-tracking query drops the '?' too
+      ("http://example.com?utm_a=1", "http://example.com"),
+      ("http://example.com/p?utm_a=1&utm_b=2", "http://example.com/p"))
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), TextOps.urlCanon(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"canon($raw) = ${got(raw)}, want $want")
+    }
+    // idempotence: canonicalizing a canonical URL is the identity
+    val twice = cases.map(_._2).toDF("u")
+      .select(col("u"), TextOps.urlCanon(col("u")).as("c"))
+      .collect().filter(r => r.getString(0) != r.getString(1))
+    assert(twice.isEmpty,
+      s"urlCanon not idempotent on: ${twice.map(_.getString(0)).mkString(", ")}")
+  }
 }
