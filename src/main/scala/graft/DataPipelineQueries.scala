@@ -1666,6 +1666,30 @@ object DataPipelineQueries {
       TextOps.bpeEncode(docs(s, dir), "doc_id", "text", merges)
     }),
 
+    // unigram-LM tokenizer TRAINING (Kudo 2018 / SentencePiece — the
+    // OTHER production subword family; a tokenizer bake-off needs
+    // both): seed substrings + hard-EM Viterbi + prune, one corpus
+    // pass + driver loop (the bpeTrain discipline). Rows-only: the
+    // vocabulary is data-derived (no static SQL twin); the trainer is
+    // spec-pinned on closed-form corpora and shares its Viterbi
+    // kernel with the encode expression.
+    "q_unigram_lm" -> ((s, dir) =>
+      TextOps.unigramTrain(docs(s, dir), "text", vocabSize = 80,
+        maxPieceLen = 6, emIters = 4)),
+    // unigram APPLICATION: train, then Viterbi-encode every doc
+    // map-side with the vocabulary riding as two codegen reference
+    // objects; per-doc compression report (the q_bpe_encode shape, so
+    // the two subword families are directly comparable on one corpus)
+    "q_unigram_encode" -> ((s, dir) => {
+      val v = TextOps.unigramTrain(docs(s, dir), "text", vocabSize = 80,
+        maxPieceLen = 6, emIters = 4).collect()
+      val total = v.map(_.getLong(2)).sum.toDouble
+      val pieces = v.map(r => (r.getString(0), math.log(
+        (if (r.getLong(2) > 0L) r.getLong(2).toDouble else 0.5) / total))).toSeq
+      TextOps.unigramEncode(docs(s, dir), "doc_id", "text", pieces,
+        maxPieceLen = 6)
+    }),
+
     // corpus vocabulary statistics: the Zipf head/tail report a
     // tokenizer or mix decision reads — vocab size, token mass, the
     // head share captured by the top-k terms, hapax (df=1) share.

@@ -65,6 +65,12 @@ object HashExprs {
     * table (rank order). */
   def bpe_apply(syms: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeApply(Bridge.expression(syms), merges))
+
+  /** Column API: Viterbi-segment a word with a trained unigram-LM
+    * piece vocabulary (piece, logprob). */
+  def unigram_apply(word: Column, pieces: Seq[(String, Double)],
+                    maxPieceLen: Int): Column =
+    Bridge.column(UnigramApply(Bridge.expression(word), pieces, maxPieceLen))
 }
 
 /** BPE encoding with the whole merge table as ONE codegen reference
@@ -92,6 +98,45 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   override def sql: String = s"$prettyName(${child.sql}, [${merges.length} merges])"
 
   override protected def withNewChildInternal(c: Expression): BpeApply = copy(child = c)
+}
+
+/** Unigram-LM Viterbi encode with the whole piece vocabulary as TWO
+  * codegen reference objects (hash index + logprob array — the
+  * [[BpeApply]] codebook discipline: a 50k-piece vocabulary must not
+  * inline into plan strings or generated source). The row work is
+  * one [[graft.functions.impl.Kernels.viterbiSegment]] DP call — the
+  * same static kernel the driver-side EM trainer uses, so train and
+  * apply can never disagree. */
+case class UnigramApply(child: Expression, pieces: Seq[(String, Double)],
+                        maxPieceLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_apply"
+
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    pieces.iterator.zipWithIndex.foreach { case ((p, _), i) =>
+      m.put(UTF8String.fromString(p), Integer.valueOf(i)) }
+    m
+  }
+  @transient private lazy val lps: Array[Double] = pieces.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.viterbiSegment(input.asInstanceOf[UTF8String], idx, lps, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("unigramIdx", idx,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String,java.lang.Integer>")
+    val lpsRef = ctx.addReferenceObj("unigramLogps", lps, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.impl.Kernels.viterbiSegment($c, $idxRef, $lpsRef, $maxPieceLen)")
+  }
+
+  override def toString: String = s"$prettyName($child, [${pieces.length} pieces])"
+  override def sql: String = s"$prettyName(${child.sql}, [${pieces.length} pieces])"
+
+  override protected def withNewChildInternal(c: Expression): UnigramApply =
+    copy(child = c)
 }
 
 /** one BPE merge step — the per-iteration vocab rewrite of

@@ -569,6 +569,60 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Viterbi segmentation of one word under a unigram piece LM
+    * (Kudo 2018, "Subword Regularization" — the max-probability
+    * decode): dp(i) = best log-prob over segmentations of the first
+    * i code points, scanning piece lengths j = 1..maxLen ASCENDING
+    * with a STRICT improvement test, so ties deterministically keep
+    * the shorter final piece. A position no piece reaches falls back
+    * to the single code point at a large negative log-prob (coverage
+    * fallback — training always seeds every corpus char, so this
+    * only fires on out-of-corpus input). One O(n·maxLen) pass; the
+    * SAME static kernel serves the driver-side EM loop and the
+    * distributed encode expression, so train and apply can never
+    * disagree on a segmentation. */
+  def viterbiSegment(word: UTF8String,
+                     pieceIdx: java.util.HashMap[UTF8String, Integer],
+                     logps: Array[Double], maxLen: Int): ArrayData = {
+    val n = word.numChars()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val NegInf = Double.NegativeInfinity
+    val UnkLogp = -1e9
+    val dp = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1) // piece length chosen at i; 0 = unk char
+    var i = 1
+    while (i <= n) {
+      dp(i) = NegInf
+      back(i) = 0
+      val maxJ = if (maxLen < i) maxLen else i
+      var j = 1
+      while (j <= maxJ) {
+        val idx = pieceIdx.get(word.substring(i - j, i))
+        if (idx != null) {
+          val cand = dp(i - j) + logps(idx.intValue())
+          if (cand > dp(i)) { dp(i) = cand; back(i) = j }
+        }
+        j += 1
+      }
+      if (back(i) == 0) { dp(i) = dp(i - 1) + UnkLogp; back(i) = 1 }
+      i += 1
+    }
+    // walk back, then reverse
+    val lens = new scala.collection.mutable.ArrayBuffer[Int]()
+    var p = n
+    while (p > 0) { lens += back(p); p -= back(p) }
+    val out = new Array[AnyRef](lens.length)
+    var start = 0
+    var k = lens.length - 1
+    while (k >= 0) {
+      val l = lens(k)
+      out(lens.length - 1 - k) = word.substring(start, start + l)
+      start += l
+      k -= 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** apply a trained merge table (rank order, flattened [l0,r0,l1,r1,…])
     * to one symbol array — BPE encoding of a word. Each merge is the
     * same greedy scan as [[mergePair]]; merges.length/2 passes over an

@@ -685,6 +685,166 @@ object TextOps {
         sum(col("n_chars")).as("n_chars"))
   }
 
+  /** Unigram-LM subword tokenizer training (Kudo 2018, "Subword
+    * Regularization: Improving Neural Network Translation Models
+    * with Multiple Subword Candidates" — the SentencePiece unigram
+    * algorithm, from the paper, with hard-EM Viterbi counts instead
+    * of lattice forward-backward: deterministic, and the decode a
+    * tokenizer actually applies). Scale shape mirrors [[bpeTrain]]:
+    * the CORPUS is touched exactly once — the word-frequency
+    * aggregate, the only data-sized pass at 100 TB — the bounded
+    * vocab collects under an explicit cap, and the seed/EM/prune
+    * loop runs driver-side in memory; Spark job count is O(1),
+    * independent of emIters.
+    *
+    * Steps: (1) seed = every corpus code point (mandatory, full
+    * coverage) + the top multi-char substrings (length ≤ maxPieceLen)
+    * by freq·length over the word histogram (4× the multi-piece
+    * budget); (2) hard-EM rounds: E = Viterbi-segment each distinct
+    * word under current piece log-probs (the SAME
+    * [[graft.functions.impl.Kernels.viterbiSegment]] kernel the
+    * distributed encode runs — train and apply cannot disagree),
+    * counts weighted by word freq; M = prob = count/total, zero-count
+    * multi-char pieces drop, zero-count single chars keep a half-count
+    * floor (coverage must survive); (3) after half the rounds, prune
+    * multi-char pieces to the vocabSize budget by (count desc, piece
+    * asc) and finish the remaining rounds on the final vocabulary.
+    *
+    * Returns (piece, n_chars, count, prob) — the trained vocabulary
+    * with its final E-step counts; rows ≤ vocabSize.
+    */
+  def unigramTrain(docs: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 6, emIters: Int = 4,
+                   maxVocab: Int = 2000000): DataFrame = {
+    val sp = docs.sparkSession
+    val vocabRows = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(asciiWord))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .limit(maxVocab + 1).collect()
+    require(vocabRows.length <= maxVocab,
+      s"unigramTrain: vocab exceeds maxVocab=$maxVocab distinct words; " +
+        "raise the cap or pre-filter the corpus")
+    // collect order is not deterministic — sort before anything depends on it
+    val words: Array[(String, Long)] = vocabRows
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+
+    // seed: all single code points (coverage floor) + frequent substrings
+    val chars = scala.collection.mutable.SortedSet[String]()
+    val sub = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, c) <- words) {
+      var i = 0
+      while (i < w.length) {
+        chars += w.substring(i, i + 1)
+        var j = i + 2
+        val jMax = math.min(i + maxPieceLen, w.length)
+        while (j <= jMax) {
+          val p = w.substring(i, j)
+          sub(p) = sub.getOrElse(p, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val nChars = chars.size
+    require(vocabSize > nChars,
+      s"unigramTrain: vocabSize=$vocabSize must exceed the corpus " +
+        s"alphabet ($nChars code points)")
+    val multiBudget = vocabSize - nChars
+    val seedMulti = sub.toSeq
+      .sortBy { case (p, c) => (-c * p.length, p) }
+      .take(multiBudget * 4)
+    // seed counts: chars get their exact occurrence mass, multi-char
+    // pieces their substring mass — the first M-step's inputs
+    val charCount = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, c) <- words; i <- 0 until w.length) {
+      val ch = w.substring(i, i + 1)
+      charCount(ch) = charCount.getOrElse(ch, 0L) + c
+    }
+    var vocab: Vector[(String, Long)] =
+      (chars.toVector.map(ch => ch -> charCount(ch)) ++ seedMulti)
+        .sortBy(_._1)
+
+    def eStep(v: Vector[(String, Long)]): scala.collection.mutable.HashMap[String, Long] = {
+      val total = v.map(_._2).sum.toDouble
+      val idx = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+      val lps = new Array[Double](v.length)
+      v.iterator.zipWithIndex.foreach { case ((p, c), i) =>
+        idx.put(org.apache.spark.unsafe.types.UTF8String.fromString(p),
+          Integer.valueOf(i))
+        // zero-count chars keep a half-count floor so coverage survives
+        lps(i) = math.log((if (c > 0L) c.toDouble else 0.5) / total)
+      }
+      val out = scala.collection.mutable.HashMap[String, Long]()
+      for ((w, c) <- words) {
+        val segs = graft.functions.impl.Kernels.viterbiSegment(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w),
+          idx, lps, maxPieceLen)
+        var i = 0
+        while (i < segs.numElements()) {
+          val p = segs.getUTF8String(i).toString
+          out(p) = out.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      out
+    }
+    def mStep(counts: scala.collection.mutable.HashMap[String, Long],
+              v: Vector[(String, Long)]): Vector[(String, Long)] =
+      v.flatMap { case (p, _) =>
+        val c = counts.getOrElse(p, 0L)
+        if (c == 0L && p.length > 1) None else Some(p -> c)
+      }
+
+    val pruneAt = math.max(1, emIters / 2)
+    for (it <- 1 to emIters) {
+      vocab = mStep(eStep(vocab), vocab)
+      if (it == pruneAt) {
+        val (single, multi) = vocab.partition(_._1.length == 1)
+        vocab = (single ++ multi.sortBy { case (p, c) => (-c, p) }
+          .take(multiBudget)).sortBy(_._1)
+      }
+    }
+    // converge to a hard-EM FIXED POINT (bounded extra rounds): the
+    // returned counts must reproduce themselves under one more E-step
+    // — the externally checkable contract the reference spec pins.
+    // Hard EM with deterministic tie-breaks is monotone in corpus
+    // likelihood, so this terminates; the cap is a safety rail.
+    var rows = mStep(eStep(vocab), vocab)
+    var extra = 0
+    while (extra < 8 && rows != vocab) {
+      vocab = rows
+      rows = mStep(eStep(vocab), vocab)
+      extra += 1
+    }
+    val total = rows.map(_._2).sum.toDouble
+    import sp.implicits._
+    rows.map { case (p, c) =>
+      (p, p.length, c, c.toDouble / total) }
+      .toDF("piece", "n_chars", "count", "prob")
+  }
+
+  /** Viterbi-encode a corpus with a trained unigram vocabulary: per
+    * document, tokenize, segment each word (one
+    * [[graft.functions.HashExprs.unigram_apply]] DP call per word —
+    * the vocabulary rides as two codegen reference objects), and
+    * report the compression it achieves. Map-side only, the
+    * [[bpeEncode]] shape. `pieces` = (piece, logprob). */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+                    pieces: Seq[(String, Double)], maxPieceLen: Int): DataFrame = {
+    val enc = explode(transform(
+      filter(tokens(col(textCol)), w => w.rlike(asciiWord)),
+      w => graft.functions.HashExprs.unigram_apply(w, pieces, maxPieceLen)))
+    docs.select(col(idCol), enc.as("subwords"))
+      .select(col(idCol),
+        size(col("subwords")).as("n_subwords"),
+        aggregate(col("subwords"), lit(0),
+          (acc, s) => acc + length(s)).as("n_chars"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
   /** Trained quality classifier — the classifier-based filtering
     * stage of a curation pipeline (the role fastText quality models
     * play in public web-corpus recipes: train on labeled seed docs,

@@ -515,6 +515,113 @@ class DedupAnnSpec extends AnyFunSuite {
       s"training must not scale Spark jobs with nMerges: j16=$j16 j256=$j256")
   }
 
+  test("unigram_apply: closed-form Viterbi, shorter-final-piece ties, unk fallback") {
+    import graft.functions.HashExprs.unigram_apply
+    val vocab = Seq("a" -> -2.0, "b" -> -2.0, "ab" -> -1.0)
+    // spark.range source so the codegen path (not constant folding) runs
+    val segs = spark.range(2)
+      .select(when(col("id") === 0, "aab").otherwise("aba").as("w"))
+      .select(col("w"), unigram_apply(col("w"), vocab, 6).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segs("aab") == Seq("a", "ab")) // -3 beats a+a+b = -6
+    assert(segs("aba") == Seq("ab", "a"))
+    // exact tie (a+b = ab = -2): strict-improvement scan keeps the
+    // SHORTER final piece
+    val tie = Seq("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    val t = spark.range(1)
+      .select(unigram_apply(lit("ab"), tie, 6)).head().getSeq[String](0)
+    assert(t == Seq("a", "b"))
+    // a code point no piece covers falls back to a single-char piece
+    val u = spark.range(1)
+      .select(unigram_apply(lit("azb"), vocab, 6)).head().getSeq[String](0)
+    assert(u == Seq("a", "z", "b"))
+  }
+
+  test("unigramTrain: closed-form corpus — pieces dominate, coverage survives, probs sum to 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "ab ab ab cd"), (2L, "ab cd cd"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.unigramTrain(docs, "text", vocabSize = 6,
+      maxPieceLen = 6, emIters = 4).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // the two whole-word pieces absorb ALL the mass
+    assert(rows("ab")._1 == 4L && rows("cd")._1 == 3L)
+    assert(rows("ab")._2 == 4.0 / 7.0 && rows("cd")._2 == 3.0 / 7.0)
+    // every corpus char survives pruning at count 0 (coverage floor)
+    for (ch <- Seq("a", "b", "c", "d"))
+      assert(rows.contains(ch) && rows(ch)._1 == 0L, s"char $ch missing")
+    assert(rows.size == 6)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12)
+    // a vocabSize at or under the alphabet refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      TextOps.unigramTrain(docs, "text", vocabSize = 4)
+    }
+    assert(err.getMessage.contains("alphabet"))
+  }
+
+  test("unigramTrain counts match a brute-force Viterbi reference; encode agrees") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic syllable corpus: repeated 2-grams the trainer
+    // should discover, plus enough variety to exercise pruning
+    val rnd = new scala.util.Random(42)
+    val syl = Vector("ab", "cd", "ef", "gh", "ij")
+    val words = (0 until 80).map { _ =>
+      (0 until (1 + rnd.nextInt(3))).map(_ => syl(rnd.nextInt(syl.size))).mkString
+    }
+    val text = rnd.shuffle(words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w)))
+    val docs = text.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val maxLen = 6
+    val vocabDf = TextOps.unigramTrain(docs, "text", vocabSize = 20,
+      maxPieceLen = maxLen, emIters = 4)
+    val vocab = vocabDf.collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq.sortBy(_._1)
+    // reference Viterbi (same strict-improvement / shorter-final-tie
+    // rule), logps from the trainer's own count formula
+    val total = vocab.map(_._2).sum.toDouble
+    val lp = vocab.map { case (p, c) =>
+      p -> math.log((if (c > 0L) c.toDouble else 0.5) / total) }.toMap
+    def refSegment(w: String): Seq[String] = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(Double.NegativeInfinity); dp(0) = 0.0
+      val back = new Array[Int](n + 1)
+      for (i <- 1 to n) {
+        back(i) = 0
+        for (j <- 1 to math.min(maxLen, i); l <- lp.get(w.substring(i - j, i))) {
+          val c = dp(i - j) + l
+          if (c > dp(i)) { dp(i) = c; back(i) = j }
+        }
+        if (back(i) == 0) { dp(i) = dp(i - 1) - 1e9; back(i) = 1 }
+      }
+      var segs = List.empty[String]; var p = n
+      while (p > 0) { segs = w.substring(p - back(p), p) :: segs; p -= back(p) }
+      segs
+    }
+    // the returned counts ARE the reference E-step over the corpus
+    val wc = text.groupBy(identity).view.mapValues(_.size.toLong)
+    val refCounts = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, c) <- wc; p <- refSegment(w))
+      refCounts(p) = refCounts.getOrElse(p, 0L) + c
+    for ((p, c) <- vocab)
+      assert(refCounts.getOrElse(p, 0L) == c,
+        s"piece $p: trainer count $c, reference ${refCounts.getOrElse(p, 0L)}")
+    // distributed encode agrees with the reference segmentation
+    val pieces = vocab.map { case (p, _) => p -> lp(p) }
+    val enc = TextOps.unigramEncode(docs, "doc_id", "text", pieces, maxLen)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docWords = text.grouped(20).zipWithIndex
+      .map { case (ws, i) => i.toLong -> ws }.toMap
+    for ((id, ws) <- docWords) {
+      val want = (ws.size.toLong,
+        ws.map(w => refSegment(w).size.toLong).sum,
+        ws.map(_.length.toLong).sum)
+      assert(enc(id) == want, s"doc $id: got ${enc(id)}, want $want")
+    }
+  }
+
   test("lineDedup keeps the corpus-wide first occurrence and reassembles") {
     val spark2 = spark
     import spark2.implicits._
