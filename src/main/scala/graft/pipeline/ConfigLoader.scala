@@ -673,6 +673,7 @@ object ConfigLoader {
     def transportOf(tpe: String): String = tpe match {
       case "otlp_http" => "http"
       case "otlp_grpc" | "otlp_arrow" => "grpc"
+      case "udp_lines" => "udp"
       case "scrape_jvm" => "scraper"
       case "forward" | "union" => "pipeline"
       case _ => "file"
@@ -870,6 +871,18 @@ object ConfigLoader {
         transport = ConfigNet.parse(
           m.get("transport").map(_.toString).getOrElse(""),
           m.get("path").map(_.toString).orNull))
+      // datagram line ingest (syslog/statsd shape): confignet
+      // udp|udp4|udp6|unixgram → spool → streaming text source
+      case "udp_lines" => UdpLinesServerReceiver(
+        port = m.get("port").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+        spoolDir = str(m, "spool"),
+        transport = ConfigNet.parseDatagram(
+          m.get("transport").map(_.toString).getOrElse(""),
+          m.get("path").map(_.toString).orNull),
+        maxDatagramBytes = m.get("max_datagram_bytes")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(65536),
+        maxFilesPerTrigger = m.get("maxFilesPerTrigger")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(10))
       // Arrow-over-gRPC stream receiver (the otel-arrow transport):
       // ArrowStreamService server → IPC spool → streaming Arrow parse
       case "otlp_arrow" =>

@@ -4,12 +4,14 @@ import java.io.{InputStream, OutputStream}
 
 /** config/confignet analog: the `transport` knob on socket endpoints
   * (confignet.go NetAddr.Transport). graft's stream components speak
-  * two of the reference's transports: `tcp` (with the tcp4/tcp6
-  * aliases — graft binds loopback, where the distinction is moot)
-  * and `unix` (an AF_UNIX stream socket at a filesystem path, via
-  * java.net.UnixDomainSocketAddress — JDK 16+). The datagram shapes
-  * (udp/unixgram/ip) are not transports any graft server uses and
-  * are refused naming the supported set.
+  * two of the reference's stream transports: `tcp` (with the
+  * tcp4/tcp6 aliases — graft binds loopback, where the distinction
+  * is moot) and `unix` (an AF_UNIX stream socket at a filesystem
+  * path, via java.net.UnixDomainSocketAddress — JDK 16+). The
+  * DATAGRAM shapes (udp/udp4/udp6/unixgram) are a separate seam —
+  * [[DatagramServer]], consumed by the udp_lines receiver (the
+  * syslog/statsd-shaped ingest) — and each parse refuses the other
+  * family's shapes naming where they belong.
   *
   * One [[StreamServer]]/[[Conn]] pair abstracts the accept/connect
   * seam so a component's protocol code (h2c framing, spooling) is
@@ -33,8 +35,119 @@ object ConfigNet {
         require(p != null && p.nonEmpty,
           "transport unix needs a socket `path`")
         Unix(p)
+      case d @ ("udp" | "udp4" | "udp6" | "unixgram") =>
+        throw new IllegalArgumentException(
+          s"transport '$d' is a datagram shape; stream endpoints take " +
+            "tcp|tcp4|tcp6|unix (datagram ingest is the udp_lines receiver)")
       case other => throw new IllegalArgumentException(
         s"unsupported transport '$other' (tcp|tcp4|tcp6|unix)")
+    }
+
+  // ── datagram shapes (confignet.go udp/udp4/udp6/unixgram) ──
+
+  sealed trait DatagramTransport { def label: String }
+  case object Udp extends DatagramTransport { val label = "udp" }
+  final case class Unixgram(path: String) extends DatagramTransport {
+    val label = "unixgram"
+  }
+
+  /** parse the `transport` string of a DATAGRAM endpoint; `unixPath`
+    * is consulted (and required non-empty) only for unixgram */
+  def parseDatagram(transport: String, unixPath: => String): DatagramTransport =
+    transport.trim.toLowerCase match {
+      case "" | "udp" | "udp4" | "udp6" => Udp
+      case "unixgram" =>
+        val p = unixPath
+        require(p != null && p.nonEmpty,
+          "transport unixgram needs a socket `path`")
+        Unixgram(p)
+      case s @ ("tcp" | "tcp4" | "tcp6" | "unix") =>
+        throw new IllegalArgumentException(
+          s"transport '$s' is a stream shape; datagram endpoints take " +
+            "udp|udp4|udp6|unixgram")
+      case other => throw new IllegalArgumentException(
+        s"unsupported transport '$other' (udp|udp4|udp6|unixgram)")
+    }
+
+  /** blocking one-datagram-at-a-time receive surface; [[close]]
+    * unblocks a pending receive (it surfaces as an exception the
+    * caller's shutdown flag classifies) */
+  trait DatagramServer {
+    /** block for one datagram into `buf`; returns its payload length */
+    def receive(buf: Array[Byte]): Int
+    def close(): Unit
+    /** OS-assigned UDP port; -1 for unixgram (identity = the path) */
+    def boundPort: Int
+    def describe: String
+  }
+
+  /** bind a datagram listener: UDP on loopback (port 0 = ephemeral)
+    * or an AF_UNIX datagram socket. This JDK's channel layer may not
+    * support the UNIX protocol family for datagrams (JEP 380 covered
+    * stream sockets) — an unsupported unixgram is refused LOUDLY at
+    * bind, pointing at udp, never silently downgraded. */
+  def listenDatagram(transport: DatagramTransport, port: Int): DatagramServer =
+    transport match {
+      case Udp =>
+        val sock = new java.net.DatagramSocket(port,
+          java.net.InetAddress.getLoopbackAddress)
+        new DatagramServer {
+          def receive(buf: Array[Byte]): Int = {
+            val p = new java.net.DatagramPacket(buf, buf.length)
+            sock.receive(p)
+            p.getLength
+          }
+          def close(): Unit = sock.close()
+          def boundPort: Int = sock.getLocalPort
+          def describe: String = s"udp localhost:${sock.getLocalPort}"
+        }
+      case Unixgram(path) =>
+        val ch = openUnixDatagram(path)
+        val p = java.nio.file.Path.of(path)
+        java.nio.file.Files.deleteIfExists(p) // stale socket replace
+        ch.bind(java.net.UnixDomainSocketAddress.of(p))
+        new DatagramServer {
+          def receive(buf: Array[Byte]): Int = {
+            val bb = java.nio.ByteBuffer.wrap(buf)
+            ch.receive(bb)
+            bb.position()
+          }
+          def close(): Unit = {
+            ch.close()
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          def boundPort: Int = -1
+          def describe: String = s"unixgram $path"
+        }
+    }
+
+  /** send one datagram (the spec harness + the client half of the
+    * seam; fire-and-forget — datagrams carry no delivery contract) */
+  def sendDatagram(transport: DatagramTransport, port: Int,
+                   payload: Array[Byte]): Unit = transport match {
+    case Udp =>
+      val s = new java.net.DatagramSocket()
+      try s.send(new java.net.DatagramPacket(payload, payload.length,
+        java.net.InetAddress.getLoopbackAddress, port))
+      finally s.close()
+    case Unixgram(path) =>
+      val ch = openUnixDatagram(path)
+      try {
+        ch.connect(java.net.UnixDomainSocketAddress.of(
+          java.nio.file.Path.of(path)))
+        ch.write(java.nio.ByteBuffer.wrap(payload))
+        ()
+      } finally ch.close()
+  }
+
+  private def openUnixDatagram(path: String): java.nio.channels.DatagramChannel =
+    try java.nio.channels.DatagramChannel.open(
+      java.net.StandardProtocolFamily.UNIX)
+    catch {
+      case _: UnsupportedOperationException =>
+        throw new IllegalArgumentException(
+          "transport unixgram: this JDK/platform does not support " +
+            "AF_UNIX datagram channels; use transport udp")
     }
 
   /** one accepted/connected stream, transport-blind */

@@ -152,6 +152,44 @@ object Pipeline {
       Option(server).map(_.obs.counters)
   }
 
+  /** Datagram line ingest as a config-declared receiver (the
+    * syslog/statsd shape the confignet datagram transports exist
+    * for): a [[graft.sources.UdpLines.Server]] spools each datagram's
+    * newline-delimited lines as one text file; the pipeline reads the
+    * spool as a STREAMING text source (schema: `value` string), so
+    * datagram lines flow through the same processors/exporters as
+    * pushed OTLP. Port 0 binds ephemerally ([[boundPort]] after
+    * start). No tls/auth blocks: datagrams carry neither a handshake
+    * nor headers — that is the protocol, not a gap. */
+  final case class UdpLinesServerReceiver(port: Int, spoolDir: String,
+      transport: ConfigNet.DatagramTransport = ConfigNet.Udp,
+      maxDatagramBytes: Int = 65536, maxFilesPerTrigger: Int = 10)
+      extends Receiver with ReceiverLifecycle {
+    @transient @volatile private var server: graft.sources.UdpLines.Server = _
+    def read(spark: SparkSession): DataFrame = {
+      val dir = new java.io.File(spoolDir, "lines")
+      dir.mkdirs()
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(dir.toString)
+    }
+    def start(spark: SparkSession): Unit = synchronized {
+      if (server == null)
+        server = new graft.sources.UdpLines.Server(transport, port,
+          spoolDir, maxDatagramBytes)
+    }
+    def stop(): Unit = synchronized {
+      if (server != null) { server.stop(); server = null }
+    }
+    def boundPort: Int = {
+      val s = server
+      require(s != null, "receiver not started")
+      s.boundPort
+    }
+    /** live obsreport counters (None before start) */
+    def counters: Option[Map[String, Long]] =
+      Option(server).map(_.obs.counters)
+  }
+
   /** gRPC twin of [[OtlpHttpServerReceiver]] (the collector's primary
     * protocol as a config-declared receiver) */
   final case class OtlpGrpcServerReceiver(port: Int, spoolDir: String,

@@ -51,6 +51,109 @@ class ConfigStreamingSpec extends AnyFunSuite {
       element_at(col("resource_attributes"), "service.name"))).head.getLong(0) == 2)
   }
 
+  test("confignet datagram parse: aliases, and each family refuses the other's shapes by name") {
+    import graft.pipeline.ConfigNet
+    assert(ConfigNet.parseDatagram("", null) == ConfigNet.Udp)
+    for (a <- Seq("udp", "udp4", "UDP6"))
+      assert(ConfigNet.parseDatagram(a, null) == ConfigNet.Udp)
+    assert(ConfigNet.parseDatagram("unixgram", "/tmp/x.sock") ==
+      ConfigNet.Unixgram("/tmp/x.sock"))
+    val needsPath = intercept[IllegalArgumentException] {
+      ConfigNet.parseDatagram("unixgram", "")
+    }
+    assert(needsPath.getMessage.contains("path"))
+    // a stream shape on a datagram endpoint names where it belongs
+    val cross1 = intercept[IllegalArgumentException] {
+      ConfigNet.parseDatagram("tcp", null)
+    }
+    assert(cross1.getMessage.contains("stream shape"))
+    // and a datagram shape on a stream endpoint points at udp_lines
+    val cross2 = intercept[IllegalArgumentException] {
+      ConfigNet.parse("udp", null)
+    }
+    assert(cross2.getMessage.contains("udp_lines"))
+  }
+
+  test("config-declared udp_lines receiver: datagram lines serve the wire and stream to the sink") {
+    import graft.pipeline.ConfigNet
+    val spool = java.nio.file.Files.createTempDirectory("cfg_udp_spool").toString
+    val sink = java.nio.file.Files.createTempDirectory("cfg_udp_out").toString + "/u"
+    val ckpt = java.nio.file.Files.createTempDirectory("cfg_udp_ckpt").toString
+    val svc = ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/udp": {
+         |  "receiver": {"type": "udp_lines", "port": 0, "spool": "$spool"},
+         |  "exporters": [{"type": "parquet", "path": "$sink"}]}}}""".stripMargin)
+    val queries = svc.runStreaming(spark, ckpt)
+    try {
+      val recv = svc.pipelines("logs/udp").receiver
+        .asInstanceOf[graft.pipeline.Pipeline.UdpLinesServerReceiver]
+      val port = recv.boundPort
+      assert(port > 0)
+      // CRLF sender with a trailing blank line, and an LF-less sender —
+      // both spool normalized content
+      ConfigNet.sendDatagram(ConfigNet.Udp, port,
+        "alpha 1\r\nbeta 2\r\n\n".getBytes("UTF-8"))
+      ConfigNet.sendDatagram(ConfigNet.Udp, port, "gamma 3".getBytes("UTF-8"))
+      def rows(): Seq[String] =
+        try spark.read.parquet(sink).collect().map(_.getString(0)).toSeq
+        catch { case _: Exception => Seq.empty }
+      val deadline = System.currentTimeMillis() + 30000
+      while (rows().size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(rows().sorted == Seq("alpha 1", "beta 2", "gamma 3"))
+      val c = recv.counters.get
+      assert(c("accepted_datagrams") == 2L, c.toString)
+      assert(c("accepted_lines") == 3L, c.toString)
+      assert(c("truncated_datagrams") == 0L && c("receive_errors") == 0L,
+        c.toString)
+    } finally {
+      queries.values.flatten.foreach(_.stop())
+      svc.stopReceivers()
+    }
+  }
+
+  test("udp_lines keeps (and counts) a buffer-filling datagram instead of dropping it") {
+    import graft.pipeline.ConfigNet
+    val spool = java.nio.file.Files.createTempDirectory("udp_trunc").toString
+    val srv = new graft.sources.UdpLines.Server(ConfigNet.Udp, 0, spool,
+      maxDatagramBytes = 8)
+    try {
+      ConfigNet.sendDatagram(ConfigNet.Udp, srv.boundPort,
+        "abcdefghijkl".getBytes("UTF-8"))
+      val dir = new java.io.File(spool, "lines")
+      def files() = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("."))
+      val deadline = System.currentTimeMillis() + 10000
+      while (files().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(files().length == 1)
+      val content = new String(
+        java.nio.file.Files.readAllBytes(files().head.toPath), "UTF-8")
+      assert(content == "abcdefgh") // OS-truncated to the buffer, KEPT
+      assert(srv.obs.truncated.get == 1L)
+    } finally srv.stop()
+  }
+
+  test("unixgram: a supporting JDK serves a roundtrip; others refuse loudly at bind") {
+    import graft.pipeline.ConfigNet
+    val path = java.nio.file.Files.createTempDirectory("unixgram").toString + "/g.sock"
+    try {
+      val srv = ConfigNet.listenDatagram(ConfigNet.Unixgram(path), 0)
+      try {
+        ConfigNet.sendDatagram(ConfigNet.Unixgram(path), 0, "x y".getBytes("UTF-8"))
+        val buf = new Array[Byte](64)
+        val n = srv.receive(buf)
+        assert(new String(buf, 0, n, "UTF-8") == "x y")
+      } finally srv.close()
+    } catch {
+      // never a silent downgrade: the refusal names the shape AND the
+      // supported alternative
+      case e: IllegalArgumentException =>
+        assert(e.getMessage.contains("unixgram") && e.getMessage.contains("udp"),
+          e.getMessage)
+    }
+  }
+
   test("Service.runStreaming starts ONLY the continuous pipelines; batch ones stay for run()") {
     import spark.implicits._
     val spool = java.nio.file.Files.createTempDirectory("api_stream_in")
