@@ -1689,6 +1689,44 @@ object DataPipelineQueries {
       TextOps.unigramEncode(docs(s, dir), "doc_id", "text", pieces,
         maxPieceLen = 6)
     }),
+    // tokenizer BAKE-OFF — the table a tokenizer decision actually
+    // reads: BOTH subword families trained on the SAME corpus, both
+    // encodes run, per-source fertility (subwords/word) and
+    // compression (chars/subword) side by side. Rows-only (both
+    // vocabularies are data-derived). Two bounded corpus passes for
+    // the trains + two map-side encodes; the doc join keys on
+    // doc_id, the census on source.
+    "q_tokenizer_bakeoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextOps.bpeTrain(d, "text", nMerges = 12)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val uv = TextOps.unigramTrain(d, "text", vocabSize = 80,
+        maxPieceLen = 6, emIters = 4).collect()
+      val tot = uv.map(_.getLong(2)).sum.toDouble
+      val pieces = uv.map(r => (r.getString(0), math.log(
+        (if (r.getLong(2) > 0L) r.getLong(2).toDouble else 0.5) / tot))).toSeq
+      val b = TextOps.bpeEncode(d, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_words"),
+          col("n_subwords").as("bpe_subwords"))
+      val u = TextOps.unigramEncode(d, "doc_id", "text", pieces, 6)
+        .select(col("doc_id"), col("n_subwords").as("uni_subwords"),
+          col("n_chars"))
+      d.select(col("doc_id"), col("source"))
+        .join(b, "doc_id").join(u, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("bpe_subwords")).cast("long").as("bpe_subwords"),
+          sum(col("uni_subwords")).cast("long").as("uni_subwords"),
+          (sum(col("bpe_subwords")).cast("double") /
+            sum(col("n_words")).cast("double")).as("bpe_fertility"),
+          (sum(col("uni_subwords")).cast("double") /
+            sum(col("n_words")).cast("double")).as("uni_fertility"),
+          (sum(col("n_chars")).cast("double") /
+            sum(col("bpe_subwords")).cast("double")).as("bpe_chars_per_subword"),
+          (sum(col("n_chars")).cast("double") /
+            sum(col("uni_subwords")).cast("double")).as("uni_chars_per_subword"))
+    }),
 
     // corpus vocabulary statistics: the Zipf head/tail report a
     // tokenizer or mix decision reads — vocab size, token mass, the
@@ -2091,6 +2129,48 @@ object DataPipelineQueries {
           length(col("blob")).as("n_bytes"),
           (length(col("blob")) % 640).as("width"),
           ((length(col("blob")) * 7) % 480).as("height"))
+    }),
+
+    // CONTENT-TYPE detection census (the code/table/prose gate a
+    // mixed web corpus runs before per-type pipelines — the
+    // StarCoder/Dolma-style routing decision): classify each doc
+    // from portable character-class ratios — code-symbol density
+    // ([;{}()=<>[]] ≥ 50‰ of chars) then digit density (≥ 150‰) then
+    // prose — reported as the planted-vs-detected confusion. The
+    // synthetic corpus is pure prose, so docs are first rewritten
+    // deterministically by class (the pii_redact synthesis
+    // discipline — the oracle builds the SAME code/table blocks):
+    // id%5==0 docs become repeated code statements, id%5==1 repeated
+    // numeric table rows, the rest keep their prose. All ratios are
+    // integer arithmetic (hits·1000 vs chars·threshold — exact both
+    // engines); everything is map-side, census the only shuffle.
+    "q_content_type" -> ((s, dir) => {
+      val id = col("doc_id")
+      val codeBlock = concat(lit("def f"), pmod(id, lit(7)),
+        lit("(x) { return x * "), pmod(id, lit(9)),
+        lit("; } if (x < y) { z[i] = 3; }"))
+      val tableRow = concat(lit("row "), pmod(id, lit(90)), lit(" | "),
+        pmod(id, lit(77)), lit(" | "), pmod(id, lit(55)))
+      val planted = when(pmod(id, lit(5)) === 0, "code")
+        .when(pmod(id, lit(5)) === 1, "table").otherwise("prose")
+      val synth = when(pmod(id, lit(5)) === 0,
+          repeat(concat(codeBlock, lit(" ")), 10))
+        .when(pmod(id, lit(5)) === 1, repeat(concat(tableRow, lit(" ")), 10))
+        .otherwise(col("text"))
+      val d = docs(s, dir).select(id, planted.as("planted"),
+          synth.as("synth"))
+        .withColumn("chars", length(col("synth")))
+        .withColumn("code_syms", col("chars") -
+          length(regexp_replace(col("synth"), "[;{}()=<>\\[\\]]", "")))
+        .withColumn("digits", col("chars") -
+          length(regexp_replace(col("synth"), "[0-9]", "")))
+        .withColumn("detected",
+          when(col("code_syms") * 1000 >= col("chars") * 50, "code")
+            .when(col("digits") * 1000 >= col("chars") * 150, "table")
+            .otherwise("prose"))
+      d.groupBy(col("planted"), col("detected"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("synth"))).cast("long").as("n_tokens"))
     }),
 
     // Gopher document-quality rules (Rae et al. 2021, §A1.1 subset):
@@ -4353,6 +4433,31 @@ object DataPipelineQueries {
         | COUNT(*) AS n_blobs,
         | CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
         |FROM s GROUP BY 1""".stripMargin,
+
+    "q_content_type" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'code'
+        |       WHEN doc_id % 5 = 1 THEN 'table' ELSE 'prose' END AS planted,
+        |  CASE WHEN doc_id % 5 = 0 THEN repeat(
+        |    'def f' || (doc_id % 7) || '(x) { return x * ' || (doc_id % 9) ||
+        |    '; } if (x < y) { z[i] = 3; } ', 10)
+        |  WHEN doc_id % 5 = 1 THEN repeat(
+        |    'row ' || (doc_id % 90) || ' | ' || (doc_id % 77) || ' | ' ||
+        |    (doc_id % 55) || ' ', 10)
+        |  ELSE text END AS synth
+        | FROM documents),
+        |m AS (SELECT doc_id, planted, synth, len(synth) AS chars,
+        |  len(synth) - len(regexp_replace(synth, '[;{}()=<>\[\]]', '', 'g')) AS code_syms,
+        |  len(synth) - len(regexp_replace(synth, '[0-9]', '', 'g')) AS digits
+        | FROM s),
+        |d AS (SELECT planted, synth,
+        |  CASE WHEN code_syms * 1000 >= chars * 50 THEN 'code'
+        |       WHEN digits * 1000 >= chars * 150 THEN 'table'
+        |       ELSE 'prose' END AS detected
+        | FROM m)
+        |SELECT planted, detected, COUNT(*) AS n_docs,
+        | CAST(SUM(len(regexp_split_to_array(trim(synth), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY planted, detected""".stripMargin,
 
     "q_gopher_rules" ->
       (GopherRulesCte + "\n" +
