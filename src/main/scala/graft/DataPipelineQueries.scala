@@ -2157,17 +2157,11 @@ object DataPipelineQueries {
           repeat(concat(codeBlock, lit(" ")), 10))
         .when(pmod(id, lit(5)) === 1, repeat(concat(tableRow, lit(" ")), 10))
         .otherwise(col("text"))
+      // detection expression shared with the streaming monitor
+      // (TextOps.contentType) — census and monitor can't drift
       val d = docs(s, dir).select(id, planted.as("planted"),
           synth.as("synth"))
-        .withColumn("chars", length(col("synth")))
-        .withColumn("code_syms", col("chars") -
-          length(regexp_replace(col("synth"), "[;{}()=<>\\[\\]]", "")))
-        .withColumn("digits", col("chars") -
-          length(regexp_replace(col("synth"), "[0-9]", "")))
-        .withColumn("detected",
-          when(col("code_syms") * 1000 >= col("chars") * 50, "code")
-            .when(col("digits") * 1000 >= col("chars") * 150, "table")
-            .otherwise("prose"))
+        .withColumn("detected", TextOps.contentType(col("synth")))
       d.groupBy(col("planted"), col("detected"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("synth"))).cast("long").as("n_tokens"))

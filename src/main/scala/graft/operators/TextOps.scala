@@ -452,6 +452,22 @@ object TextOps {
         md5(array_join(col("__kept"), "\n")).as("text_md5"))
   }
 
+  /** Content-type detector: code/table/prose from portable
+    * character-class ratios — code-symbol density (≥ 50‰ of chars)
+    * then digit density (≥ 150‰) then prose, all integer arithmetic
+    * (hits·1000 vs chars·threshold — exact on both engines). The
+    * batch census (q_content_type) and the streaming monitor share
+    * THIS expression, so the routing rule cannot drift between the
+    * two surfaces. */
+  def contentType(text: Column): Column = {
+    val chars = length(text)
+    val codeSyms = chars - length(regexp_replace(text, "[;{}()=<>\\[\\]]", ""))
+    val digits = chars - length(regexp_replace(text, "[0-9]", ""))
+    when(codeSyms * 1000 >= chars * 50, "code")
+      .when(digits * 1000 >= chars * 150, "table")
+      .otherwise("prose")
+  }
+
   /** URL canonicalization — the normalize step url-keyed dedup
     * assumes (every crawl pipeline runs one before refetch-dedup):
     * lowercase scheme+host, strip a leading www., drop the scheme's

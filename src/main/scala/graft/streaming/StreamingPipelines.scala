@@ -1112,6 +1112,24 @@ object StreamingPipelines {
     * by term (rational idf, identical op order, per-term
     * DECIMAL(28,8) rounding before the sum).
     */
+  /** Streaming content-type monitor: the running per-(source, type)
+    * census over a document stream — the live view of the
+    * q_content_type routing gate. Detection is the SAME
+    * [[graft.operators.TextOps.contentType]] expression as the batch
+    * census (the no-drift discipline), evaluated map-side per doc;
+    * the stateful half is one windowless count aggregate in Update
+    * mode, so state is O(sources × 3 types) however many docs flow.
+    * Converges: after any trigger sequence the current counts equal
+    * the batch census over the union of all arrived docs (spec-pinned
+    * on a two-trigger memory stream). */
+  def streamingContentType(docs: DataFrame, sourceCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        graft.operators.TextOps.contentType(col(textCol)).as("content_type"))
+      .groupBy(col("source"), col("content_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+
   def streamingBm25(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, updateCol: String,
                     queryTerms: Seq[String], stateDir: String,

@@ -1387,6 +1387,39 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming content-type monitor converges to the batch census over the union") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = StreamingPipelines.streamingContentType(
+      ms.toDF().toDF("source", "text"), "source", "text")
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("ctype_out").start()
+    try {
+      val code = "def f(x) { return x * 3; } if (x < y) { z[i] = 3; }"
+      val table = "row 12 | 34 | 56"
+      val prose = "the quick brown fox jumps over the lazy dog"
+      val b1 = Seq(("a", code), ("a", prose), ("b", table))
+      val b2 = Seq(("a", code), ("b", prose), ("b", prose))
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT source, content_type, n_docs FROM ctype_out")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // batch twin over the union — the SAME shared detector
+      // expression, so any rule change moves both sides at once
+      val batch = (b1 ++ b2).toDF("source", "text")
+        .select(col("source"),
+          graft.operators.TextOps.contentType(col("text")).as("content_type"))
+        .groupBy("source", "content_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch, s"streaming $got vs batch $batch")
+      assert(got(("a", "code")) == 2L && got(("b", "table")) == 1L &&
+        got(("b", "prose")) == 2L)
+    } finally q.stop()
+  }
+
   test("streaming ExactSubstr: map-side anchor HOF is bit-identical to the window selection on the sf corpus") {
     import org.apache.spark.sql.functions._
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
