@@ -1004,6 +1004,13 @@ object ConfigLoader {
       val kept = ffilter(lines, l => size(split(l, " +")) >= minW)
       df.withColumn(str(m, "to"), array_join(kept, "\n"))
     }
+    // content-type stamp: code/table/prose from the SAME detector
+    // expression q_content_type censuses and streamingContentType
+    // monitors (TextOps.contentType — one rule, three surfaces);
+    // compose with `route` to split per-type pipelines
+    case "content_type" => df =>
+      df.withColumn(m.get("as").map(_.toString).getOrElse("content_type"),
+        graft.operators.TextOps.contentType(expr(str(m, "text"))))
     // Gopher quality gate: keep rows passing ALL rule flags
     // (TextOps.gopherFlags — the exact expressions q_gopher_rules
     // censuses, so the gate and the report can never drift)

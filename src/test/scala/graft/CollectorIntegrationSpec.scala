@@ -180,6 +180,38 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("config: content_type processor stamps the shared detector for route to split on") {
+    val out = java.nio.file.Files.createTempDirectory("cfg_ctype_out").toString
+    // plant code/table/prose by doc_id stride, stamp with the config
+    // processor (the SAME TextOps.contentType expression the census
+    // and the streaming monitor run), and pin the stamp row-for-row
+    val config =
+      s"""{"pipelines": {"docs/typed": {
+         | "receiver": {"type": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+         | "processors": [
+         |  {"type": "upsert", "name": "text2", "expr":
+         |    "CASE WHEN doc_id % 3 = 0 THEN 'def f(x) { return x * 3; } if (x < y) { z[i] = 3; }' WHEN doc_id % 3 = 1 THEN 'row 12 | 34 | 56 | 78' ELSE text END"},
+         |  {"type": "content_type", "text": "text2"},
+         |  {"type": "select", "exprs": ["doc_id", "content_type"]}],
+         | "exporters": [{"type": "parquet", "path": "$out/typed"}]}}}""".stripMargin
+    val svc = graft.pipeline.ConfigLoader.fromJson(config)
+    svc.pipelines("docs/typed").run(spark)
+    val got = spark.read.parquet(s"$out/typed")
+    assert(got.count() > 0)
+    val mismatches = got.filter(org.apache.spark.sql.functions.expr(
+      """content_type <> CASE WHEN doc_id % 3 = 0 THEN 'code'
+        |WHEN doc_id % 3 = 1 THEN 'table' ELSE 'prose' END""".stripMargin))
+    assert(mismatches.count() == 0, mismatches.collect().take(3).mkString(", "))
+    // custom column name via `as`
+    val svc2 = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"docs/typed2": {
+         | "receiver": {"type": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+         | "processors": [{"type": "content_type", "text": "text", "as": "ctype"}],
+         | "exporters": []}}}""".stripMargin)
+    val df2 = svc2.pipelines("docs/typed2").plan(spark)
+    assert(df2.columns.contains("ctype"))
+  }
+
   test("config: env expansion, forward/union connectors, route processor") {
     val out = java.nio.file.Files.createTempDirectory("cfg2_out").toString
     val config =
