@@ -647,6 +647,39 @@ object DataPipelineQueries {
         | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** q_bm25's exact oracle chain as a reusable CTE body yielding
+    * `bm(doc_id, n_terms, score)` — the top-20 lexical leg. ONE copy:
+    * q_rank_fusion composes it, so a scorer change (k1/b, terms, the
+    * rational idf) lands in both oracles at once. */
+  private val Bm25Top20Body: String =
+    """dl AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+      | FROM documents),
+      |stats AS (
+      | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      | FROM dl),
+      |hits AS (
+      | SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      | FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |       FROM documents)
+      | WHERE term IN ('spark', 'join', 'window')
+      | GROUP BY doc_id, term),
+      |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY term),
+      |bm AS (SELECT h.doc_id, COUNT(*) AS n_terms,
+      | CAST(SUM(CAST(
+      |  (((s.n - d.dft) + 0.5) / (d.dft + 0.5)) * (h.tf * (1.2 + 1.0)) /
+      |   (h.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+      |  AS DECIMAL(28,8))) AS DOUBLE) AS score
+      |FROM hits h
+      |JOIN dft d USING (term)
+      |JOIN dl l USING (doc_id)
+      |CROSS JOIN stats s
+      |GROUP BY h.doc_id
+      |ORDER BY score DESC, h.doc_id ASC
+      |LIMIT 20)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // exact dedup: content hash, keep the smallest doc_id per cluster
     "q_dedup_exact" -> ((s, dir) => {
@@ -2023,6 +2056,51 @@ object DataPipelineQueries {
         Seq("spark", "join", "window"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)),
+
+    // HYBRID retrieval — reciprocal-rank fusion of the two legs
+    // every modern retrieval stack runs side by side (public method:
+    // Cormack, Clarke & Buettcher 2009, RRF with k=60): the lexical
+    // top-20 (the q_bm25 scorer VERBATIM — shared oracle CTE) fused
+    // with the semantic top-20 (exact cosine against one query
+    // vector, the ANN family kernel) by 1/(60+rank) + 1/(60+rank);
+    // a doc on one leg only contributes that leg alone. Ranks come
+    // from a count-of-better self-join over the ALREADY-LIMITED legs
+    // (≤20 rows each, broadcast — never a global window); at corpus
+    // scale each leg bounds itself (top-k machinery) before any rank
+    // work, and the fusion join is k×k.
+    "q_rank_fusion" -> ((s, dir) => {
+      def boundedRank(df: DataFrame, id: String, score: String,
+                      rankAs: String): DataFrame = {
+        val y = df.select(col(id).as("__yid"), col(score).as("__ys"))
+        df.select(col(id), col(score)).join(broadcast(y),
+            col("__ys") > col(score) ||
+              (col("__ys") === col(score) && col("__yid") < col(id)), "left")
+          .groupBy(col(id))
+          .agg((count(col("__yid")) + 1).as(rankAs))
+      }
+      val lex = boundedRank(
+        TextOps.bm25(docs(s, dir), "doc_id", "text",
+          Seq("spark", "join", "window"))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20),
+        "doc_id", "score", "rank_lex")
+      val e = embs(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      val sem = boundedRank(
+        e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("nid"),
+            col("embedding").cast("array<double>").as("ne"))
+          .crossJoin(broadcast(qv))
+          .select(col("nid"), AnnOps.cosine(col("qe"), col("ne")).as("sim"))
+          .orderBy(col("sim").desc, col("nid").asc).limit(20),
+        "nid", "sim", "rank_sem")
+      lex.join(sem, col("doc_id") === col("nid"), "full_outer")
+        .select(coalesce(col("doc_id"), col("nid")).as("doc_id"),
+          col("rank_lex"), col("rank_sem"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_sem")), lit(0.0)))
+            .as("rrf"))
+    }),
 
     // Rabin–Karp rolling-hash content fingerprint dup clusters
     // (order-sensitive identity, the streaming-friendly fingerprint)
@@ -4285,33 +4363,31 @@ object DataPipelineQueries {
         |FROM v LEFT JOIN m ON m.vid = v.vec_id""".stripMargin,
 
     "q_bm25" ->
-      """WITH dl AS (
-        | SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
-        | FROM documents),
-        |stats AS (
-        | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        | FROM dl),
-        |hits AS (
-        | SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        | FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        |       FROM documents)
-        | WHERE term IN ('spark', 'join', 'window')
-        | GROUP BY doc_id, term),
-        |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY term)
-        |SELECT h.doc_id, COUNT(*) AS n_terms,
-        | CAST(SUM(CAST(
-        |  (((s.n - d.dft) + 0.5) / (d.dft + 0.5)) * (h.tf * (1.2 + 1.0)) /
-        |   (h.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))
-        |  AS DECIMAL(28,8))) AS DOUBLE) AS score
-        |FROM hits h
-        |JOIN dft d USING (term)
-        |JOIN dl l USING (doc_id)
-        |CROSS JOIN stats s
-        |GROUP BY h.doc_id
-        |ORDER BY score DESC, h.doc_id ASC
-        |LIMIT 20""".stripMargin,
+      ("WITH " + Bm25Top20Body + "\n" +
+        "SELECT doc_id, n_terms, score FROM bm"),
+
+    // hybrid retrieval: the lexical leg is the SHARED q_bm25 chain,
+    // the semantic leg the same cosine fold as the ANN family; ranks
+    // via ROW_NUMBER over the already-limited legs; RRF division
+    // trees written identically to the Spark side
+    "q_rank_fusion" ->
+      ("WITH " + Bm25Top20Body + ",\n" +
+        """lex AS (SELECT doc_id, ROW_NUMBER() OVER
+          |   (ORDER BY score DESC, doc_id ASC) AS rank_lex FROM bm),
+          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+          |sims AS (SELECT c.vec_id AS nid,
+          |  list_sum(list_transform(list_zip(qv.qe, c.e), x -> x[1] * x[2])) /
+          |   (sqrt(list_sum(list_transform(qv.qe, x -> x * x))) *
+          |    sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS sim
+          | FROM v c, qv WHERE c.vec_id <> 0),
+          |sem AS (SELECT nid, rank_sem FROM (
+          |  SELECT nid, ROW_NUMBER() OVER (ORDER BY sim DESC, nid ASC) AS rank_sem
+          |  FROM sims) WHERE rank_sem <= 20)
+          |SELECT COALESCE(l.doc_id, s.nid) AS doc_id, l.rank_lex, s.rank_sem,
+          | COALESCE(1.0 / (60 + l.rank_lex), 0) +
+          | COALESCE(1.0 / (60 + s.rank_sem), 0) AS rrf
+          |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.nid""".stripMargin),
 
     "q_doc_rollhash" ->
       """SELECT rh, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

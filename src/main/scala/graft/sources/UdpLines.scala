@@ -77,7 +77,11 @@ object UdpLines {
           }
         } catch {
           case _: Throwable if closed => () // unblocked by stop()
-          case _: Throwable => obs.errors.incrementAndGet() // keep serving
+          case _: Throwable =>
+            obs.errors.incrementAndGet() // keep serving
+            // a persistently-failing socket must not spin a core:
+            // back off one tick before the next receive
+            try Thread.sleep(10) catch { case _: InterruptedException => () }
         }
       }
     }, s"udp-lines-${srv.describe}")
