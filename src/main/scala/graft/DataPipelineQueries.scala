@@ -1794,6 +1794,47 @@ object DataPipelineQueries {
     // count ratios, abs, one subtraction — per-row doubles with
     // identical expression trees in both engines, cross-row sums
     // through DECIMAL(28,8)).
+    // CORPUS CHURN between two crawl snapshots — the daily-diff
+    // report an ingest pipeline files before re-running curation
+    // (added/removed/modified/unchanged docs + the token-mass delta,
+    // per source). The driver ships one snapshot, so the pair is
+    // derived deterministically (the pii_redact synthesis
+    // discipline — the oracle builds the SAME two views): yesterday
+    // drops id%10==9, today drops id%10==0, and id%7==3 docs are
+    // EDITED in today's view. Modification is detected by CONTENT
+    // HASH, not id bookkeeping. Scale shape: each side projects to
+    // (id, source, md5, token-count) MAP-SIDE before the one
+    // id-keyed full-outer join — document text never shuffles; the
+    // census is the second, #sources-row exchange.
+    "q_corpus_churn" -> ((s, dir) => {
+      val base = docs(s, dir)
+      def side(pred: Column, edited: Boolean) = {
+        val t = if (edited)
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(col("text"), lit(" churned edit"))).otherwise(col("text"))
+        else col("text")
+        base.filter(pred).select(col("doc_id"), col("source"),
+          md5(t).as("h"), TextOps.tokenCount(t).cast("long").as("tk"))
+      }
+      val a = side(pmod(col("doc_id"), lit(10)) =!= 9, edited = false)
+        .withColumnRenamed("h", "ha").withColumnRenamed("tk", "tka")
+        .withColumnRenamed("source", "src_a")
+      val b = side(pmod(col("doc_id"), lit(10)) =!= 0, edited = true)
+        .withColumnRenamed("h", "hb").withColumnRenamed("tk", "tkb")
+        .withColumnRenamed("source", "src_b")
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_a"), col("src_b")).as("source"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "modified")
+            .otherwise("unchanged").as("change"),
+          (coalesce(col("tkb"), lit(0L)) - coalesce(col("tka"), lit(0L)))
+            .as("delta"))
+        .groupBy(col("source"), col("change"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("delta")).cast("long").as("token_delta"))
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       val words = docs(s, dir)
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
@@ -4101,6 +4142,27 @@ object DataPipelineQueries {
 
     // identical division/abs expression trees; cross-row sums through
     // DECIMAL(28,8); absent-word mass folded analytically
+    "q_corpus_churn" ->
+      """WITH a AS (SELECT doc_id, source, md5(text) AS ha,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tka
+        | FROM documents WHERE doc_id % 10 <> 9),
+        |b0 AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 7 = 3 THEN text || ' churned edit' ELSE text END AS t
+        | FROM documents WHERE doc_id % 10 <> 0),
+        |b AS (SELECT doc_id, source, md5(t) AS hb,
+        |  CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) AS tkb
+        | FROM b0),
+        |j AS (SELECT COALESCE(a.source, b.source) AS source,
+        |  CASE WHEN a.ha IS NULL THEN 'added'
+        |       WHEN b.hb IS NULL THEN 'removed'
+        |       WHEN a.ha <> b.hb THEN 'modified'
+        |       ELSE 'unchanged' END AS change,
+        |  COALESCE(b.tkb, 0) - COALESCE(a.tka, 0) AS delta
+        | FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, change, COUNT(*) AS n_docs,
+        | CAST(SUM(delta) AS BIGINT) AS token_delta
+        |FROM j GROUP BY source, change""".stripMargin,
+
     "q_vocab_drift" ->
       """WITH w AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         |  FROM documents),
