@@ -1534,6 +1534,29 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
+    // EXACT-k per-group sampling — "exactly 20 docs per source for
+    // the eval set", the fixed quota a hash-FRACTION sampler
+    // (q_sample_stratified) cannot promise: docs rank inside each
+    // source by a seeded portable hash (the md5→int64 kernel —
+    // decided by VALUE, so re-runs, re-partitions and both engines
+    // agree; 32-bit collisions tie-break on doc_id identically) and
+    // rank ≤ k survives. The kept rows themselves are the output, so
+    // the oracle verifies the SELECTION, not just quota counts.
+    // Ranking rides the ranged discipline (groupedRankRanged —
+    // source is a declared low-cardinality key; a plain
+    // source-window would sort 1/20th of a 100 TB corpus in one
+    // task's sort; the ranged buckets also need a NUMERIC order key,
+    // which the hex digest is not).
+    "q_sample_exact" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit("samp42:"), col("doc_id"))), 1, 8),
+          16, 10).cast("long").as("hk"))
+      ScaleOps.groupedRankRanged(keyed, col("source"), col("hk"),
+          col("doc_id"), "rk", "__n")
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("source"), col("rk"))
+    }),
+
     // deterministic global shuffle for training-data order — the
     // ScaleOps.shuffleShard operator (md5-portable twin for the
     // oracle; the xxh64 path is the production kernel). nShards is a
@@ -3891,6 +3914,15 @@ object DataPipelineQueries {
         |FROM documents
         |WHERE lang <> 'en' OR substr(md5(doc_id::VARCHAR), 1, 1) <= '7'
         |GROUP BY lang""".stripMargin,
+
+    "q_sample_exact" ->
+      """SELECT doc_id, source, rk FROM (
+        | SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5('samp42:' || doc_id), 1, 8))::BIGINT ASC,
+        |             doc_id ASC) AS rk
+        | FROM documents)
+        |WHERE rk <= 20""".stripMargin,
 
     "q_shuffle_shard" ->
       """SELECT doc_id, shard,
