@@ -519,4 +519,78 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(twice.isEmpty,
       s"urlCanon not idempotent on: ${twice.map(_.getString(0)).mkString(", ")}")
   }
+
+  test("urlCanon property: random component-built URLs canonicalize to the component expectation; idempotent") {
+    import graft.operators.TextOps
+    // generator over the component space: every rule axis varies
+    val gen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("a.example.com", "Sub.Host.ORG", "X1.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080", ":9")
+      path <- Gen.oneOf("", "/", "/p", "/a/b", "/a/b/")
+      params <- Gen.someOf(Seq("a=1", "b=2", "utm_source=x", "utm_b=y", "z=0"))
+      shuffledParams <- Gen.const(params) // order = generation order
+      frag <- Gen.oneOf("", "#top", "#s1")
+    } yield {
+      val q = if (shuffledParams.isEmpty) "" else "?" + shuffledParams.mkString("&")
+      val raw = s"$scheme://$www$host$port$path$q$frag"
+      // expected canon built from COMPONENTS (not string surgery)
+      val sc = scheme.toLowerCase
+      val h = host.toLowerCase
+      val pc = if ((sc == "http" && port == ":80") ||
+        (sc == "https" && port == ":443") || port == "") "" else port
+      val pathC = if (path.endsWith("/") && path.length > 1)
+        path.dropRight(1) else path
+      val keep = shuffledParams.filterNot(_.startsWith("utm_")).sorted
+      val qc = if (keep.isEmpty) "" else "?" + keep.mkString("&")
+      (raw, s"$sc://$h$pc$pathC$qc")
+    }
+    val cases = samples(gen, 120).distinct
+    assert(cases.size >= 80, s"generator degenerated: ${cases.size}")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), TextOps.urlCanon(col("u")).as("c"),
+        TextOps.urlCanon(TextOps.urlCanon(col("u"))).as("cc"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw)._1 == want, s"canon($raw) = ${got(raw)._1}, want $want")
+      assert(got(raw)._2 == got(raw)._1, s"not idempotent on $raw")
+    }
+  }
+
+  test("viterbiSegment property: the expression matches a plain-Scala DP on random words") {
+    import graft.functions.HashExprs.unigram_apply
+    val pieces = Seq("a" -> -1.5, "b" -> -2.0, "c" -> -2.5, "ab" -> -2.2,
+      "bc" -> -2.4, "abc" -> -3.5, "ca" -> -9.0, "aaa" -> -4.0)
+    val lp = pieces.toMap
+    val maxLen = 3
+    def refSegment(w: String): Seq[String] = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(Double.NegativeInfinity); dp(0) = 0.0
+      val back = new Array[Int](n + 1)
+      for (i <- 1 to n) {
+        back(i) = 0
+        for (j <- 1 to math.min(maxLen, i); l <- lp.get(w.substring(i - j, i))) {
+          val c = dp(i - j) + l
+          if (c > dp(i)) { dp(i) = c; back(i) = j }
+        }
+        if (back(i) == 0) { dp(i) = dp(i - 1) - 1e9; back(i) = 1 }
+      }
+      var segs = List.empty[String]; var p = n
+      while (p > 0) { segs = w.substring(p - back(p), p) :: segs; p -= back(p) }
+      segs
+    }
+    // random words over {a,b,c,z} — z is always the unk fallback
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'z'))
+      .map(_.mkString.take(12))
+    val words = samples(wordGen, 150).distinct.filter(_.nonEmpty)
+    assert(words.size >= 60)
+    val got = words.toDF("w")
+      .select(col("w"), unigram_apply(col("w"), pieces, maxLen).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      assert(got(w) == refSegment(w).toList,
+        s"segment($w): ${got(w)} vs reference ${refSegment(w)}")
+    }
+  }
 }
