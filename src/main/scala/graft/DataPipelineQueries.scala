@@ -857,6 +857,43 @@ object DataPipelineQueries {
       DedupOps.simhashNearDupPairs(bits, "doc_id", "bits", maxHamming = 6)
     }),
 
+    // NEAR-duplicate LINES across documents — the fuzzy twin of
+    // q_line_dedup's exact segment hash: 8-token segments carry a
+    // word-level simhash, banded candidates verify at hamming ≤ 6,
+    // and cross-doc near-dup segment pairs aggregate per doc pair
+    // (count + closest hamming). This is the boilerplate an exact
+    // line hash MISSES — per-page substitutions (dates, user names)
+    // flip a token but not the fingerprint. Segment ids ride as
+    // "doc:idx" strings (the boilerplate composite-key trick) and
+    // the doc pair normalizes by value after the split. Scale shape:
+    // the same banded blocking as q_dedup_simhash (16-bit chunk
+    // keys, bucket cap) — never all-pairs; the oracle mirrors the
+    // banding AND the cap.
+    "q_line_neardup" -> ((s, dir) => {
+      val segd = docs(s, dir)
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .filter(size(col("__ws")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
+            "i -> named_struct('idx', i, " +
+            "'seg', concat_ws(' ', slice(__ws, i * 8 + 1, 8))))")).as("s"))
+        .select(concat(col("doc_id"), lit(":"), col("s.idx")).as("sid"),
+          col("s.seg").as("seg"))
+      val bits = segd.select(col("sid"),
+        DedupOps.simhashBitsMd5(TextOps.tokens(col("seg"))).as("bits"))
+      DedupOps.simhashNearDupPairs(bits, "sid", "bits", maxHamming = 6)
+        .select(
+          substring_index(col("id_a"), ":", 1).cast("long").as("da"),
+          substring_index(col("id_b"), ":", 1).cast("long").as("db"),
+          col("hamming"))
+        .filter(col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_near_segs"),
+          min(col("hamming")).cast("long").as("min_hamming"))
+    }),
+
     // SCALE TWINS of the md5-portable pipelines: the xxh64 kernels
     // the 100 TB design actually prescribes (2-5× faster than the
     // md5 oracle formulations — DuckDB lacks xxhash64, so these are
@@ -3079,6 +3116,40 @@ object DataPipelineQueries {
         | CAST(SUM(inter) AS BIGINT) AS sum_inter,
         | CAST(SUM(un) AS BIGINT) AS sum_union
         |FROM b GROUP BY err_bucket""".stripMargin,
+
+    "q_line_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        | FROM documents
+        | WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |segs AS (SELECT doc_id || ':' || i AS sid,
+        |  array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg
+        | FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM w)),
+        |t AS (SELECT sid, unnest(string_split(seg, ' ')) AS tok FROM segs),
+        |h AS (SELECT sid, md5(tok) AS hex FROM t),
+        |v AS (SELECT sid, j,
+        |   SUM(2 * (((strpos('0123456789abcdef', substr(hex, CAST(j // 4 AS INT) + 1, 1)) - 1) >> (3 - j % 4)) & 1) - 1) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) u
+        |  GROUP BY sid, j),
+        |sig AS (SELECT sid, list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
+        |  FROM v GROUP BY sid),
+        |ch AS (SELECT sid, c, array_to_string(bits[c*16+1 : c*16+16], '') AS key, bits
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) u),
+        |bsz AS (SELECT c, key, COUNT(*) AS n FROM ch GROUP BY c, key),
+        |cand AS (SELECT DISTINCT a.sid AS sa, b.sid AS sb, a.bits AS ba, b.bits AS bb
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.key = b.key AND a.sid < b.sid
+        |  JOIN bsz z ON z.c = a.c AND z.key = a.key
+        |  WHERE z.n BETWEEN 2 AND 1000),
+        |p AS (SELECT sa, sb,
+        |  len(list_filter(list_zip(ba, bb), x -> x[1] <> x[2])) AS hamming
+        | FROM cand),
+        |d AS (SELECT CAST(split_part(sa, ':', 1) AS BIGINT) AS da,
+        |  CAST(split_part(sb, ':', 1) AS BIGINT) AS db, hamming
+        | FROM p WHERE hamming <= 6),
+        |n AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b, hamming
+        | FROM d WHERE da <> db)
+        |SELECT doc_a, doc_b, COUNT(*) AS n_near_segs,
+        | CAST(MIN(hamming) AS BIGINT) AS min_hamming
+        |FROM n GROUP BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
