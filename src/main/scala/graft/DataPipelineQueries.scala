@@ -2170,8 +2170,14 @@ object DataPipelineQueries {
     // scale each leg bounds itself (top-k machinery) before any rank
     // work, and the fusion join is k×k.
     "q_rank_fusion" -> ((s, dir) => {
-      def boundedRank(df: DataFrame, id: String, score: String,
+      // the self-join references its input TWICE — checkpoint the
+      // ≤20-row leg first so the corpus-sized scoring pass behind it
+      // runs once, not once per side (measured: without it Catalyst
+      // re-ran the whole BM25 chain and the cosine scan for the y
+      // side of each rank join)
+      def boundedRank(df0: DataFrame, id: String, score: String,
                       rankAs: String): DataFrame = {
+        val df = df0.localCheckpoint()
         val y = df.select(col(id).as("__yid"), col(score).as("__ys"))
         df.select(col(id), col(score)).join(broadcast(y),
             col("__ys") > col(score) ||
