@@ -647,6 +647,38 @@ object DataPipelineQueries {
         | SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared shape of the fuzzy line-dedup family (q_line_neardup and
+    * its 128-bit scale twin): 8-token segments as "doc:idx" composite
+    * ids, a per-segment simhash from `bitsOf`, banded candidates with
+    * the bucket cap, hamming ≤ 6 verification, and the per-doc-pair
+    * (count, closest-hamming) report — ONE copy so the twins cannot
+    * drift in anything but the hash width. */
+  private def lineNearDupReport(d: DataFrame, bitsOf: Column => Column,
+                                nBits: Int, chunkBits: Int): DataFrame = {
+    val segd = d
+      .withColumn("__ws", TextOps.tokens(col("text")))
+      .filter(size(col("__ws")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
+          "i -> named_struct('idx', i, " +
+          "'seg', concat_ws(' ', slice(__ws, i * 8 + 1, 8))))")).as("s"))
+      .select(concat(col("doc_id"), lit(":"), col("s.idx")).as("sid"),
+        col("s.seg").as("seg"))
+    val bits = segd.select(col("sid"), bitsOf(col("seg")).as("bits"))
+    DedupOps.simhashNearDupPairs(bits, "sid", "bits", maxHamming = 6,
+        nBits = nBits, chunkBits = chunkBits)
+      .select(
+        substring_index(col("id_a"), ":", 1).cast("long").as("da"),
+        substring_index(col("id_b"), ":", 1).cast("long").as("db"),
+        col("hamming"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_near_segs"),
+        min(col("hamming")).cast("long").as("min_hamming"))
+  }
+
   /** q_bm25's exact oracle chain as a reusable CTE body yielding
     * `bm(doc_id, n_terms, score)` — the top-20 lexical leg. ONE copy:
     * q_rank_fusion composes it, so a scorer change (k1/b, terms, the
@@ -869,30 +901,24 @@ object DataPipelineQueries {
     // the same banded blocking as q_dedup_simhash (16-bit chunk
     // keys, bucket cap) — never all-pairs; the oracle mirrors the
     // banding AND the cap.
-    "q_line_neardup" -> ((s, dir) => {
-      val segd = docs(s, dir)
-        .withColumn("__ws", TextOps.tokens(col("text")))
-        .filter(size(col("__ws")) >= 1)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
-            "i -> named_struct('idx', i, " +
-            "'seg', concat_ws(' ', slice(__ws, i * 8 + 1, 8))))")).as("s"))
-        .select(concat(col("doc_id"), lit(":"), col("s.idx")).as("sid"),
-          col("s.seg").as("seg"))
-      val bits = segd.select(col("sid"),
-        DedupOps.simhashBitsMd5(TextOps.tokens(col("seg"))).as("bits"))
-      DedupOps.simhashNearDupPairs(bits, "sid", "bits", maxHamming = 6)
-        .select(
-          substring_index(col("id_a"), ":", 1).cast("long").as("da"),
-          substring_index(col("id_b"), ":", 1).cast("long").as("db"),
-          col("hamming"))
-        .filter(col("da") =!= col("db"))
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_near_segs"),
-          min(col("hamming")).cast("long").as("min_hamming"))
-    }),
+    "q_line_neardup" -> ((s, dir) =>
+      lineNearDupReport(docs(s, dir),
+        seg => DedupOps.simhashBitsMd5(TextOps.tokens(seg)),
+        nBits = 64, chunkBits = 16)),
+
+    // the PRODUCTION configuration of the same operator: 128-bit
+    // simhash with 32-bit chunk keys — at segment cardinality (every
+    // doc contributes ~tokens/8 rows) the 16-bit key space saturates
+    // its buckets long before doc-level dedup would; 2^32 keys keep
+    // buckets ~1 at 10^9+ segments (the q_dedup_simhash_scale
+    // rationale, one granularity down). Rows-only: xxh64-lane bits
+    // have no DuckDB twin; the family's recall/precision is
+    // spec-verified at doc level and the md5 sibling above
+    // value-verifies the banding+cap pipeline itself.
+    "q_line_neardup_scale" -> ((s, dir) =>
+      lineNearDupReport(docs(s, dir),
+        seg => DedupOps.simhashBits128(TextOps.tokens(seg)),
+        nBits = 128, chunkBits = 32)),
 
     // SCALE TWINS of the md5-portable pipelines: the xxh64 kernels
     // the 100 TB design actually prescribes (2-5× faster than the
