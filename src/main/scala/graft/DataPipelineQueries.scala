@@ -906,6 +906,34 @@ object DataPipelineQueries {
         seg => DedupOps.simhashBitsMd5(TextOps.tokens(seg)),
         nBits = 64, chunkBits = 16)),
 
+    // Unicode confusable folding — the decode-layer normalization
+    // upstream of every tokenizer (smart punctuation and invisible
+    // characters split the vocabulary: don’t and don't become
+    // distinct tokens). The ASCII corpus is CLEAN, so confusables are
+    // planted deterministically by doc_id class (curly quotes + em
+    // dash / zero-widths + BOM / NBSPs / untouched — the pii_redact
+    // synthesis discipline; the oracle plants the same bytes) and the
+    // shared kernel folds them back. Per-doc output with the
+    // normalized md5, so the gate verifies the folding byte-for-byte
+    // incl. that CLEAN docs pass through untouched. Entirely
+    // map-side.
+    "q_text_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val suffix = when(pmod(id, lit(4)) === 0,
+          lit(" don\u2019t \u201Cquote\u201D \u2014 dash"))
+        .when(pmod(id, lit(4)) === 1,
+          lit(" zero\u200Bwidth\uFEFFjoined"))
+        .when(pmod(id, lit(4)) === 2,
+          lit(" non\u00A0breaking\u00A0space"))
+        .otherwise(lit(""))
+      docs(s, dir).select(id, concat(col("text"), suffix).as("m"))
+        .withColumn("norm", TextOps.normalizeConfusables(col("m")))
+        .select(id, (col("norm") =!= col("m")).as("changed"),
+          (length(col("m")) - length(col("norm"))).cast("long")
+            .as("n_stripped"),
+          md5(col("norm")).as("norm_md5"))
+    }),
+
     // the PRODUCTION configuration of the same operator: 128-bit
     // simhash with 32-bit chunk keys — at segment cardinality (every
     // doc contributes ~tokens/8 rows) the 16-bit key space saturates
@@ -3148,6 +3176,27 @@ object DataPipelineQueries {
         | CAST(SUM(inter) AS BIGINT) AS sum_inter,
         | CAST(SUM(un) AS BIGINT) AS sum_union
         |FROM b GROUP BY err_bucket""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH m0 AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' don\u2019t \u201Cquote\u201D \u2014 dash'
+        |       WHEN doc_id % 4 = 1 THEN ' zero\u200Bwidth\uFEFFjoined'
+        |       WHEN doc_id % 4 = 2 THEN ' non\u00A0breaking\u00A0space'
+        |       ELSE '' END AS m
+        | FROM documents),
+        |n AS (SELECT doc_id, m,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(m,
+        |      '[\u2018\u2019\u02BC]', chr(39), 'g'),
+        |    '[\u201C\u201D]', chr(34), 'g'),
+        |    '[\u2012\u2013\u2014]', '-', 'g'),
+        |    '\u00A0', ' ', 'g'),
+        |    '[\u200B\u200C\u200D\uFEFF]', '', 'g') AS norm
+        | FROM m0)
+        |SELECT doc_id, norm <> m AS changed,
+        | CAST(len(m) - len(norm) AS BIGINT) AS n_stripped,
+        | md5(norm) AS norm_md5
+        |FROM n""".stripMargin,
 
     "q_line_neardup" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws

@@ -452,6 +452,24 @@ object TextOps {
         md5(array_join(col("__kept"), "\n")).as("text_md5"))
   }
 
+  /** Unicode confusable folding — the decode-layer normalization
+    * every web corpus runs before tokenization (smart punctuation
+    * and invisible characters otherwise split the vocabulary:
+    * "don’t" and "don't" become distinct tokens): curly
+    * single/double quotes → ASCII quotes, en/em/figure dashes → '-',
+    * NBSP → space, zero-width space/joiners/BOM stripped. Pure
+    * chained regexp_replace over DISJOINT character classes (order
+    * can't matter), map-side, and every class is RE2-and-Java
+    * identical so the DuckDB oracle runs the same folding verbatim. */
+  def normalizeConfusables(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(text,
+        "[\u2018\u2019\u02BC]", "'"), // curly/modifier apostrophes
+      "[\u201C\u201D]", "\""),        // curly double quotes
+      "[\u2012\u2013\u2014]", "-"),   // figure/en/em dashes
+      "\u00A0", " "),                   // no-break space
+      "[\u200B\u200C\u200D\uFEFF]", "") // zero-widths + BOM
+
   /** Content-type detector: code/table/prose from portable
     * character-class ratios — code-symbol density (≥ 50‰ of chars)
     * then digit density (≥ 150‰) then prose, all integer arithmetic

@@ -558,6 +558,23 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeConfusables folds each class and leaves clean ASCII untouched") {
+    import graft.operators.TextOps
+    val cases = Seq(
+      ("don\u2019t \u2018x\u2019 \u02BCy", "don't 'x' \u0027y".replace("\u0027", "'")),
+      ("\u201Cquoted\u201D", "\"quoted\""),
+      ("a\u2012b\u2013c\u2014d", "a-b-c-d"),
+      ("non\u00A0breaking", "non breaking"),
+      ("ze\u200Bro\u200Cwi\u200Ddth\uFEFF!", "zerowidth!"),
+      ("plain ascii -- 'quotes' \"stay\"", "plain ascii -- 'quotes' \"stay\""))
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextOps.normalizeConfusables(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"normalize($raw) = ${got(raw)}, want $want")
+    }
+  }
+
   test("viterbiSegment property: the expression matches a plain-Scala DP on random words") {
     import graft.functions.HashExprs.unigram_apply
     val pieces = Seq("a" -> -1.5, "b" -> -2.0, "c" -> -2.5, "ab" -> -2.2,
