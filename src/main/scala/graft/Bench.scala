@@ -129,10 +129,48 @@ object Bench {
     math.min(prev, cur)
   }
 
+  /** MEMORY-BANDWIDTH probe, the integer probe's sibling: r14
+    * measured 25% suite-wall swings between captures whose integer
+    * calib brackets were CLEAN — the CPU probe is blind to
+    * memory/IO pressure because its working set lives in registers.
+    * This one stream-sums 256 MiB of longs across all cores
+    * (bandwidth-bound at 8 bytes/element), min-of-2 passes,
+    * published as calib_mem_{pre,post} so a capture can show WHICH
+    * resource drifted. Allocation happens inside the call and is
+    * dropped after — no footprint while the suite runs. */
+  private def calibrateMem(): Double = {
+    val threads = Runtime.getRuntime.availableProcessors()
+    val perThread = math.max(1, 256 * 1024 * 1024 / 8 / threads)
+    val arrays = Array.fill(threads)(Array.fill(perThread)(1L))
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        val th = new Thread(() => {
+          var s = 0L
+          var r = 0
+          while (r < 32) { // 32 sweeps: ~8 GiB of aggregate traffic —
+            // a 15 ms window was all noise; ~100+ ms reads steady
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            r += 1
+          }
+          calibSink.addAndGet(s)
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val a = pass()
+    val b = pass()
+    math.min(a, b)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val calibPre = calibrate(spark)
+    val calibMemPre = calibrateMem()
     // Queries are independent pipelines; run them in concurrent slots
     // (the way a collector runs pipelines) so the scheduler keeps all
     // cores busy. `value` = wall-clock of the whole suite; per-query
@@ -247,15 +285,18 @@ object Bench {
     // CHANGED mid-capture; calib_sec stays published as the MEAN of
     // the two probes, the value cross-round normalization divides by.
     val calibPost = calibrate(spark)
+    val calibMemPost = calibrateMem()
     val calibSec = (calibPre + calibPost) / 2.0
     val calibDrift =
       math.max(calibPre, calibPost) / math.max(1e-9, math.min(calibPre, calibPost))
+    val calibMemDrift = math.max(calibMemPre, calibMemPost) /
+      math.max(1e-9, math.min(calibMemPre, calibMemPost))
     // field order is deliberate (r7 verdict #8): the driver keeps only
     // a bounded TAIL of stdout, so the big per-query maps go FIRST and
     // the summary scalars (wall/errors/contended) go LAST — a
     // truncated capture always retains the headline numbers
     val scalarTail =
-      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"value":$wall}"""
+      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"calib_mem_pre":${f"$calibMemPre%.3f"},"calib_mem_post":${f"$calibMemPost%.3f"},"calib_mem_drift":${f"$calibMemDrift%.3f"},"value":$wall}"""
     val fullLine =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,""" + scalarTail
     // the full line (with the 195-entry per-query maps) ALSO goes to a
