@@ -110,9 +110,14 @@ object DataPipelineQueries {
     * per-source before/after token-mass mixture. The verdict frame is
     * localCheckpoint'd so CC + ExactSubstr run once across the three
     * consuming aggregates. */
-  def fusedDedupReport(d: DataFrame, minLen: Int = 15, dfCap: Int = 50,
-                       jaccard: Double = 0.5, shingle: Int = 3,
-                       cutFrac: Double = 0.05): DataFrame = {
+  /** Per-doc dedup FAMILY FLAGS — the one frame behind both fused
+    * surfaces: (doc_id, source, n_toks, __ex exact-drop, __near
+    * CC-drop, __cut covered-token count). [[fusedDedupReport]] folds
+    * it into the precedence verdict; q_dedup_venn censuses the raw
+    * overlap. ONE copy, so the two reports cannot disagree on what
+    * each family would flag. */
+  private def dedupFlagFrame(d: DataFrame, minLen: Int, dfCap: Int,
+                             jaccard: Double, shingle: Int): DataFrame = {
     val hashed = d.select(col("doc_id"), md5(col("text")).as("__h"))
     val keepMin = hashed.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("__keep"))
@@ -128,12 +133,17 @@ object DataPipelineQueries {
     val cut = DedupOps.spanCutPositions(
         exactDupSpansFrom(d, minLen, dfCap))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("__cut"))
-    val verd = d
-      .select(col("doc_id"), col("source"),
+    d.select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).as("n_toks"))
       .join(exDrop, Seq("doc_id"), "left")
       .join(nearDrop, Seq("doc_id"), "left")
       .join(cut, Seq("doc_id"), "left")
+  }
+
+  def fusedDedupReport(d: DataFrame, minLen: Int = 15, dfCap: Int = 50,
+                       jaccard: Double = 0.5, shingle: Int = 3,
+                       cutFrac: Double = 0.05): DataFrame = {
+    val verd = dedupFlagFrame(d, minLen, dfCap, jaccard, shingle)
       .withColumn("verdict",
         when(col("__ex"), "drop_exact")
           .when(col("__near"), "drop_near")
@@ -1061,6 +1071,29 @@ object DataPipelineQueries {
     // feeds three aggregates → localCheckpoint so CC + ExactSubstr
     // run once.
     "q_dedup_fused" -> ((s, dir) => fusedDedupReport(docs(s, dir))),
+
+    // dedup-family VENN census — the overlap report behind the fused
+    // verdict's precedence: per doc the INDEPENDENT (exact, near,
+    // cut≥5%) booleans, censused over the 8 combinations with token
+    // mass. Where q_dedup_fused decides, this one shows how much the
+    // three families agree — the measurement that justifies running
+    // fewer of them (a family flagging only subsets of another is
+    // paying its cost for nothing). Same shared flag frame
+    // (dedupFlagFrame) and the same oracle CTE prefix as the fused
+    // report, so the two surfaces cannot disagree on what each
+    // family flags.
+    "q_dedup_venn" -> ((s, dir) => {
+      dedupFlagFrame(docs(s, dir), minLen = 15, dfCap = 50,
+          jaccard = 0.5, shingle = 3)
+        .select(coalesce(col("__ex"), lit(false)).as("f_exact"),
+          coalesce(col("__near"), lit(false)).as("f_near"),
+          (coalesce(col("__cut"), lit(0L)).cast("double") /
+            col("n_toks").cast("double") >= 0.05).as("f_cut"),
+          col("n_toks"))
+        .groupBy(col("f_exact"), col("f_near"), col("f_cut"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("n_tokens"))
+    }),
 
     // connected components over the near-dup pair graph: per-cluster
     // membership stats (component = min doc_id reachable)
@@ -3077,7 +3110,37 @@ object DataPipelineQueries {
     })
   )
 
+  /** the fused-dedup oracle's shared prefix, ending at the per-doc
+    * flag CTE `verd(doc_id, source, n_toks, cut_toks, is_ex,
+    * is_near)` — the DuckDB twin of [[dedupFlagFrame]], consumed by
+    * BOTH q_dedup_fused and q_dedup_venn (one copy, the CcClosureSql
+    * discipline) */
+  private val FusedVerdCteSql: String =
+    CcClosureSql + ",\n" + ExactSubstrBody + ",\n" +
+      """exg AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+        |exdrop AS (SELECT d.doc_id FROM documents d JOIN exg g
+        |  ON md5(d.text) = g.h WHERE d.doc_id <> g.keep_id),
+        |neardrop AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+        |cutpos AS (SELECT DISTINCT doc_id, pos FROM
+        |  (SELECT doc_b AS doc_id,
+        |     unnest(range(start_b, start_b + span_len)) AS pos FROM spans)),
+        |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cut_toks FROM cutpos GROUP BY 1),
+        |verd AS (SELECT d.doc_id, d.source,
+        |   CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_toks,
+        |   COALESCE(c.cut_toks, 0) AS cut_toks,
+        |   d.doc_id IN (SELECT doc_id FROM exdrop) AS is_ex,
+        |   d.doc_id IN (SELECT doc_id FROM neardrop) AS is_near
+        |  FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_venn" ->
+      (FusedVerdCteSql + "\n" +
+        """SELECT is_ex AS f_exact, is_near AS f_near,
+          | CAST(cut_toks AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 0.05 AS f_cut,
+          | CAST(COUNT(*) AS BIGINT) AS n_docs,
+          | CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+          |FROM verd GROUP BY 1, 2, 3""".stripMargin),
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""".stripMargin,
@@ -3674,22 +3737,8 @@ object DataPipelineQueries {
     // keep-min groups, fused by the same precedence CASE the Spark
     // plan applies
     "q_dedup_fused" ->
-      (CcClosureSql + ",\n" + ExactSubstrBody + ",\n" +
-      """exg AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
-        |exdrop AS (SELECT d.doc_id FROM documents d JOIN exg g
-        |  ON md5(d.text) = g.h WHERE d.doc_id <> g.keep_id),
-        |neardrop AS (SELECT id AS doc_id FROM comp WHERE id <> component),
-        |cutpos AS (SELECT DISTINCT doc_id, pos FROM
-        |  (SELECT doc_b AS doc_id,
-        |     unnest(range(start_b, start_b + span_len)) AS pos FROM spans)),
-        |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cut_toks FROM cutpos GROUP BY 1),
-        |verd AS (SELECT d.doc_id, d.source,
-        |   CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_toks,
-        |   COALESCE(c.cut_toks, 0) AS cut_toks,
-        |   d.doc_id IN (SELECT doc_id FROM exdrop) AS is_ex,
-        |   d.doc_id IN (SELECT doc_id FROM neardrop) AS is_near
-        |  FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id),
-        |vv AS (SELECT source, n_toks,
+      (FusedVerdCteSql + ",\n" +
+      """vv AS (SELECT source, n_toks,
         |   CASE WHEN is_ex THEN 'drop_exact'
         |        WHEN is_near THEN 'drop_near'
         |        WHEN CAST(cut_toks AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 0.05 THEN 'cut_spans'
