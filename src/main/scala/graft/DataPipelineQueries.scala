@@ -731,6 +731,41 @@ object DataPipelineQueries {
         .filter(col("n_copies") >= 2)
     }),
 
+    // SOFT dedup — reweight instead of drop: each exact-duplicate
+    // cluster's token mass counts ONCE, spread as weight 1/n over its
+    // n copies, so the corpus keeps its coverage while the duplicated
+    // gradient mass deflates (the reweighting alternative to
+    // q_dedup_exact's keep-one — a hard drop loses the copies'
+    // source/context diversity; a reweight keeps every row and
+    // shrinks the sampling probability instead). Report per source:
+    // raw vs effective token mass and the shrink ratio — how much of
+    // a source's apparent mass is duplicated air. Scale shape: text
+    // hashes map-side; ONE exchange on (hash, source) for the partial
+    // aggregate, a bounded re-aggregate on hash for cluster sizes,
+    // and the join back carries (hash, n_copies) only — text never
+    // shuffles. Per-row doubles are one IEEE-exact division (copies
+    // of a cluster share the hash, hence the token count, so the
+    // group-level tk_hs/n equals the sum of per-doc tk/n exactly);
+    // cross-row sums ride DECIMAL(28,8).
+    "q_dedup_soft" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .select(col("source"), md5(col("text")).as("h"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        .groupBy(col("h"), col("source"))
+        .agg(count(lit(1)).as("c_hs"), sum(col("tk")).as("tk_hs"))
+      val tot = per.groupBy(col("h")).agg(sum(col("c_hs")).as("n_copies"))
+      per.join(tot, "h")
+        .select(col("source"), col("c_hs"), col("tk_hs"),
+          (col("tk_hs").cast("double") / col("n_copies").cast("double"))
+            .as("eff"))
+        .groupBy(col("source"))
+        .agg(sum(col("c_hs")).cast("long").as("n_docs"),
+          sum(col("tk_hs")).cast("long").as("raw_tokens"),
+          dsum(col("eff")).as("eff_tokens"))
+        .withColumn("eff_ratio",
+          col("eff_tokens") / col("raw_tokens").cast("double"))
+    }),
+
     // MinHash + LSH near-dup pairs. md5-lane signatures so the full
     // pipeline (signature → banding → estimate) is value-verified by
     // the DuckDB oracle; the xxhash64 kernel stays the scale path
@@ -1368,6 +1403,43 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("leaked_segments"),
           sum(col("nd_a")).cast("long").as("docs_a"),
           sum(col("nd_b")).cast("long").as("docs_b"))
+    }),
+
+    // First-occurrence NOVELTY census — how much of each doc's
+    // content is NEW when it enters the corpus, at the verbatim
+    // 8-token-segment granularity (the q_split_leakage overlap unit;
+    // a segment's first occurrence is the copy worth training on —
+    // repeats are what dedup removes, so a source whose novelty
+    // collapses is re-serving old text even if no whole doc
+    // duplicates). Ingest order is doc_id (the synthesis's arrival
+    // proxy): a doc's novelty = the fraction of its DISTINCT segments
+    // whose corpus-wide FIRST carrier (min doc_id) is this doc,
+    // bucketed 0..10 per source. Scale shape: segments explode
+    // map-side, ONE exchange keyed on the segment hash for the
+    // min-carrier aggregate, the join back carries (hash, first_id)
+    // only (text never shuffles), then a doc-keyed aggregate and the
+    // (source × 11-bucket) census. Pure integer arithmetic — fully
+    // value-oracled.
+    "q_novelty" -> ((s, dir) => {
+      val segs = docs(s, dir)
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .filter(size(col("__ws")) >= 1)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
+            "i -> concat_ws(' ', slice(__ws, i * 8 + 1, 8)))")).as("seg"))
+        .select(col("doc_id"), col("source"), md5(col("seg")).as("h"))
+        .distinct()
+      val first = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      segs.join(first, "h")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("bucket", expr("n_novel * 10 DIV n_segs"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_segs")).cast("long").as("segs"),
+          sum(col("n_novel")).cast("long").as("novel_segs"))
     }),
 
     // Quality-threshold SURVIVAL curve — the measurement that picks
@@ -3145,6 +3217,25 @@ object DataPipelineQueries {
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""".stripMargin,
 
+    // identical per-row division trees; cross-row sums through
+    // DECIMAL(28,8) (the q_vocab_drift discipline)
+    "q_dedup_soft" ->
+      """WITH d AS (SELECT source, md5(text) AS h,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk
+        | FROM documents),
+        |per AS (SELECT h, source, CAST(COUNT(*) AS BIGINT) AS c_hs,
+        |  CAST(SUM(tk) AS BIGINT) AS tk_hs FROM d GROUP BY h, source),
+        |tot AS (SELECT h, CAST(SUM(c_hs) AS BIGINT) AS n_copies FROM per GROUP BY h),
+        |j AS (SELECT source, c_hs, tk_hs,
+        |  CAST(tk_hs AS DOUBLE) / CAST(n_copies AS DOUBLE) AS eff
+        | FROM per JOIN tot USING (h))
+        |SELECT source, CAST(SUM(c_hs) AS BIGINT) AS n_docs,
+        | CAST(SUM(tk_hs) AS BIGINT) AS raw_tokens,
+        | CAST(SUM(CAST(eff AS DECIMAL(28,8))) AS DOUBLE) AS eff_tokens,
+        | CAST(SUM(CAST(eff AS DECIMAL(28,8))) AS DOUBLE)
+        |  / CAST(SUM(tk_hs) AS DOUBLE) AS eff_ratio
+        |FROM j GROUP BY source""".stripMargin,
+
     "q_dedup_minhash" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
         |sh AS (SELECT doc_id,
@@ -3868,6 +3959,28 @@ object DataPipelineQueries {
         | CAST(SUM(b.nd) AS BIGINT) AS docs_b
         |FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
         |GROUP BY a.split, b.split""".stripMargin,
+
+    // same 8-token segment construction as q_split_leakage; min
+    // doc_id is the first carrier — pure integer arithmetic
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents
+        | WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |segs AS (SELECT DISTINCT doc_id, source,
+        |  md5(unnest(list_transform(range((len(w)+7)//8),
+        |    i -> array_to_string(w[i*8+1 : i*8+8], ' ')))) AS h
+        | FROM t),
+        |f AS (SELECT h, MIN(doc_id) AS first_id FROM segs GROUP BY h),
+        |pd AS (SELECT s.doc_id, s.source, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_novel
+        | FROM segs s JOIN f USING (h) GROUP BY s.doc_id, s.source)
+        |SELECT source, (n_novel * 10) // n_segs AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_segs) AS BIGINT) AS segs,
+        | CAST(SUM(n_novel) AS BIGINT) AS novel_segs
+        |FROM pd GROUP BY source, bucket""".stripMargin,
 
     "q_quality_survival" ->
       """WITH b AS (SELECT doc_id,

@@ -1130,6 +1130,63 @@ object StreamingPipelines {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_docs"))
 
+  final case class ChurnBase(h: String, tk: Long)
+
+  /** Streaming corpus-churn monitor: the live twin of the
+    * q_corpus_churn snapshot diff. YESTERDAY's snapshot loads as
+    * INITIAL STATE — one (md5, token-count) pair per doc, the same
+    * map-side projection the batch report exchanges (text never
+    * reaches state); TODAY's crawl streams in as (doc_id, source,
+    * content-hash, token-count) rows and each trigger emits the
+    * doc's verdict against the stored snapshot: `added` (no prior,
+    * delta = its mass), `modified` (content hash differs, delta =
+    * token delta), `unchanged` (delta 0). The baseline state is
+    * FIXED for the day — a re-crawl later in the stream re-verdicts
+    * against YESTERDAY, not against its own earlier arrival (churn
+    * is snapshot-to-snapshot, the batch report's semantics); within
+    * one trigger the group's last row wins (a crawl frontier
+    * dedupes fetches upstream — multi-fetch order inside a trigger
+    * is the stream's, not ours).
+    *
+    * `removed` is deliberately NOT a streaming emission: an absence
+    * is unobservable on a stream without a snapshot-complete marker,
+    * so retention stays a batch-diff question — the convergence spec
+    * pins the streamed verdicts equal to the batch diff RESTRICTED
+    * to the arrival-observable classes (everything but `removed`).
+    *
+    * Scale shape: state is one 32-char hash + a long per BASELINE
+    * doc (never text), partitioned by doc_id like any keyed state;
+    * each trigger's work is ∝ its arrivals. Update output mode —
+    * the latest verdict per doc supersedes. */
+  def streamingCorpusChurn(spark: SparkSession,
+                           today: Dataset[(Long, String, String, Long)],
+                           baseline: Dataset[(Long, String, Long)])
+      : Dataset[(Long, String, String, Long)] = {
+    import spark.implicits._
+    val init = baseline.groupByKey(_._1)
+      .mapValues(r => ChurnBase(r._2, r._3))
+    today.groupByKey(_._1)
+      .flatMapGroupsWithState[ChurnBase, (Long, String, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout, init) {
+        (id: Long, rows: Iterator[(Long, String, String, Long)],
+         state: GroupState[ChurnBase]) =>
+          var last: (Long, String, String, Long) = null
+          rows.foreach(last = _)
+          if (last == null) Iterator.empty
+          else {
+            val (_, source, h, tk) = last
+            state.getOption match {
+              case None =>
+                Iterator((id, source, "added", tk))
+              case Some(base) if base.h != h =>
+                Iterator((id, source, "modified", tk - base.tk))
+              case Some(_) =>
+                Iterator((id, source, "unchanged", 0L))
+            }
+          }
+      }
+  }
+
   def streamingBm25(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, updateCol: String,
                     queryTerms: Seq[String], stateDir: String,

@@ -1702,4 +1702,64 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(nbrs.distinct.length == nbrs.length, s"$nid duplicate neighbor")
     }
   }
+
+  test("q_dedup_soft: planted clusters reweight to closed-form effective mass") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster X (4 tokens) has 4 copies: 3 in srcA, 1 in srcB — its
+    // mass counts ONCE, split 3/4 to A and 1/4 to B. cluster Y
+    // (6 tokens) has 2 copies, both in srcB. srcA also holds one
+    // unique 2-token doc (weight 1).
+    val x = "x1 x2 x3 x4"; val y = "y1 y2 y3 y4 y5 y6"
+    val dir = java.nio.file.Files.createTempDirectory("softdedup").toString
+    Seq(
+      (1L, "srcA", x), (2L, "srcA", x), (3L, "srcA", x),
+      (4L, "srcB", x),
+      (5L, "srcB", y), (6L, "srcB", y),
+      (7L, "srcA", "u1 u2")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_soft")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("srcA"); val b = rows("srcB")
+    assert(a.getAs[Long]("n_docs") == 4 && a.getAs[Long]("raw_tokens") == 14)
+    // A: 3 copies of X at 4/4 tokens each = 3.0, plus the unique 2.0
+    assert(a.getAs[Double]("eff_tokens") == 5.0)
+    assert(a.getAs[Double]("eff_ratio") == 5.0 / 14.0)
+    assert(b.getAs[Long]("n_docs") == 3 && b.getAs[Long]("raw_tokens") == 16)
+    // B: 1 copy of X (4/4 = 1.0) + 2 copies of Y (12/2 = 6.0)
+    assert(b.getAs[Double]("eff_tokens") == 7.0)
+    assert(b.getAs[Double]("eff_ratio") == 7.0 / 16.0)
+    // the invariant the reweighting exists for: effective mass sums
+    // to the DEDUPED corpus mass (each distinct content once)
+    val eff = rows.values.map(_.getAs[Double]("eff_tokens")).sum
+    assert(eff == 4.0 + 6.0 + 2.0, s"effective mass $eff != deduped mass")
+  }
+
+  test("q_novelty: first-carrier buckets match the planted overlap") {
+    val spark2 = spark
+    import spark2.implicits._
+    val seg1 = "a1 a2 a3 a4 a5 a6 a7 a8"       // first carried by doc 1
+    val seg2 = "b1 b2 b3 b4 b5 b6 b7 b8"       // first carried by doc 3
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    Seq(
+      (1L, "srcA", seg1),                       // fully novel → bucket 10
+      (2L, "srcA", seg1),                       // re-serves doc 1 → bucket 0
+      (3L, "srcB", s"$seg1 $seg2"),             // 1 of 2 segments novel → 5
+      (4L, "srcB", s"$seg2 c1 c2 c3 c4 c5 c6 c7 c8") // 1 of 2 novel → 5
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_novelty")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) -> r)
+      .toMap
+    assert(rows.keySet == Set(("srcA", 10L), ("srcA", 0L), ("srcB", 5L)))
+    assert(rows(("srcA", 10L)).getAs[Long]("n_docs") == 1 &&
+      rows(("srcA", 10L)).getAs[Long]("novel_segs") == 1)
+    assert(rows(("srcA", 0L)).getAs[Long]("n_docs") == 1 &&
+      rows(("srcA", 0L)).getAs[Long]("novel_segs") == 0)
+    assert(rows(("srcB", 5L)).getAs[Long]("n_docs") == 2 &&
+      rows(("srcB", 5L)).getAs[Long]("segs") == 4 &&
+      rows(("srcB", 5L)).getAs[Long]("novel_segs") == 2)
+  }
 }

@@ -1420,6 +1420,80 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus churn converges to the batch diff on arrival-observable classes") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // the q_corpus_churn synthesis: yesterday drops id%10==9, today
+    // drops id%10==0 and edits id%7==3 — oracle-identical views
+    val yesterday = d.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long").as("tk"))
+      .as[(Long, String, Long)]
+    val todayDf = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .withColumn("t", when(pmod(col("doc_id"), lit(7)) === 3,
+        concat(col("text"), lit(" churned edit"))).otherwise(col("text")))
+      .select(col("doc_id"), col("source"), md5(col("t")).as("h"),
+        graft.operators.TextOps.tokenCount(col("t")).cast("long").as("tk"))
+    val todayRows = todayDf.as[(Long, String, String, Long)].collect().toSeq
+    val (b1, b2) = todayRows.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val out = StreamingPipelines.streamingCorpusChurn(spark, ms.toDS(), yesterday)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("churn_out").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT _1, _2, _3, _4 FROM churn_out")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+        .toMap
+      // batch twin: the q_corpus_churn full-outer diff restricted to
+      // the today side (= everything but `removed`, the class an
+      // arrival stream cannot observe)
+      val expected = todayDf
+        .join(yesterday.toDF("doc_id", "ha", "tka"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          when(col("ha").isNull, "added")
+            .when(col("ha") =!= col("h"), "modified")
+            .otherwise("unchanged").as("change"),
+          when(col("ha").isNull, col("tk"))
+            .when(col("ha") =!= col("h"), col("tk") - col("tka"))
+            .otherwise(lit(0L)).as("delta"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+        .toMap
+      assert(got.size == todayRows.size && got == expected,
+        s"streaming diverged from the batch diff (got ${got.size} of ${expected.size})")
+      // all three observable classes actually exercised at this SF
+      val classes = got.values.map(_._2).toSet
+      assert(classes == Set("added", "modified", "unchanged"), classes)
+      // fixed-baseline semantics: a re-crawl later in the day
+      // re-verdicts against YESTERDAY, not its own earlier arrival —
+      // the un-edited refetch of an edited doc flips to `unchanged`
+      val edited = todayRows.find(t =>
+        t._1 % 7 == 3 && t._1 % 10 != 9 && t._1 % 10 != 0).get
+      val unedited = d.filter(col("doc_id") === edited._1)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          graft.operators.TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        .as[(Long, String, String, Long)].collect().head
+      ms.addData(Seq(unedited)); q.processAllAvailable()
+      val verdicts = spark.sql(
+          s"SELECT _3, _4 FROM churn_out WHERE _1 = ${edited._1}")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // yesterday holds the UN-edited text, so the first verdict's
+      // delta is (edited − unedited) and the refetch must read
+      // (unchanged, 0) — not (unchanged vs the edited arrival)
+      assert(verdicts.contains(("modified", edited._4 - unedited._4)),
+        s"first verdict lost: $verdicts")
+      assert(verdicts.contains(("unchanged", 0L)),
+        s"refetch did not re-verdict against the fixed baseline: $verdicts")
+      assert(verdicts.size == 2, s"expected two emissions, got $verdicts")
+    } finally q.stop()
+  }
+
   test("streaming ExactSubstr: map-side anchor HOF is bit-identical to the window selection on the sf corpus") {
     import org.apache.spark.sql.functions._
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
