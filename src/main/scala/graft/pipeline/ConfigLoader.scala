@@ -1011,6 +1011,15 @@ object ConfigLoader {
     case "content_type" => df =>
       df.withColumn(m.get("as").map(_.toString).getOrElse("content_type"),
         graft.operators.TextOps.contentType(expr(str(m, "text"))))
+    // Unicode confusable folding IN PLACE (or to `as`): the
+    // decode-layer normalization (TextOps.normalizeConfusables — the
+    // exact kernel q_text_normalize verifies byte-for-byte). Placed
+    // before any tokenize/dedup stage so smart punctuation and
+    // invisible characters cannot split the vocabulary or defeat a
+    // content hash downstream — the curation arc's first text stage.
+    case "text_normalize" => df =>
+      df.withColumn(m.get("as").map(_.toString).getOrElse(str(m, "text")),
+        graft.operators.TextOps.normalizeConfusables(expr(str(m, "text"))))
     // Gopher quality gate: keep rows passing ALL rule flags
     // (TextOps.gopherFlags — the exact expressions q_gopher_rules
     // censuses, so the gate and the report can never drift)

@@ -212,6 +212,31 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(df2.columns.contains("ctype"))
   }
 
+  test("config: text_normalize processor folds confusables in place via the shared kernel") {
+    // plant the q_text_normalize confusable classes through a config
+    // pipeline and pin the stamp against the kernel directly — the
+    // stage must fold IN PLACE by default and to `as` when asked
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"docs/norm": {
+         | "receiver": {"type": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+         | "processors": [
+         |  {"type": "upsert", "name": "text", "expr":
+         |    "CASE WHEN doc_id % 2 = 0 THEN text || ' don\\u2019t \\u201Cquote\\u201D \\u2014 dash' ELSE text END"},
+         |  {"type": "text_normalize", "text": "text", "as": "norm"},
+         |  {"type": "text_normalize", "text": "text"},
+         |  {"type": "select", "exprs": ["doc_id", "text", "norm"]}],
+         | "exporters": []}}}""".stripMargin)
+    val df = svc.pipelines("docs/norm").plan(spark)
+    // `as` stamped before the in-place fold, so both columns carry
+    // the folded bytes and must agree; planted docs actually changed
+    val bad = df.filter(col("text") =!= col("norm"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString(", "))
+    assert(df.filter(col("text").contains("\u201C")).count() == 0,
+      "curly quote survived the in-place fold")
+    assert(df.filter(col("text").contains(" don't \"quote\" - dash")).count() > 0,
+      "folded suffix missing — the planted docs never reached the stage")
+  }
+
   test("config: env expansion, forward/union connectors, route processor") {
     val out = java.nio.file.Files.createTempDirectory("cfg2_out").toString
     val config =
@@ -1820,9 +1845,15 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     val spanDocBKept = ((0 until 40).map(i => s"yrem$i") ++
       Seq("and", "of", "a", "the")).mkString(" ")
     val spanDocB = (spanToks.mkString(" ")) + " " + spanDocBKept
+    // text_normalize teeth: a confusable twin of the passing doc —
+    // byte-DIFFERENT (trailing zero-width + BOM) but folding to the
+    // exact bytes, so it joins the exact-dedup cluster ONLY if the
+    // normalize stage runs before the content hash
+    val confusable = passing + "\u200B\uFEFF"
+    assert(confusable != passing)
     val planted = Seq(
       (900001L, passing), (900002L, passing), (900003L, nearText),
-      (900004L, spanDocA), (900005L, spanDocB))
+      (900004L, spanDocA), (900005L, spanDocB), (900006L, confusable))
     val plantedRecs = planted.toDF("doc_id", "text")
       .select(graft.sources.Warc.warc_response(
         concat(lit("http://corpus.local/doc/"), col("doc_id")),
@@ -1867,6 +1898,8 @@ class CollectorIntegrationSpec extends AnyFunSuite {
          |        from: payload
          |        to: text
          |        min_words: 1
+         |      - type: text_normalize
+         |        text: text
          |      - type: gopher_gate
          |        text: text
          |      - type: dedup_exact
@@ -1909,6 +1942,7 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     val kept = org.apache.spark.sql.functions.filter(
       lines, l => size(split(l, " +")) >= 1)
     val extracted = parsed.withColumn("text", array_join(kept, "\n"))
+      .withColumn("text", TextOps.normalizeConfusables(col("text")))
     val gated = extracted.filter(
       TextOps.gopherFlags(col("text")).map(_._2).reduce(_ && _))
     val hashed = gated.withColumn("__cth", md5(col("text")))
@@ -1940,6 +1974,11 @@ class CollectorIntegrationSpec extends AnyFunSuite {
         col("pos").cast("long"), md5(col("text")).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(got == prog, s"config run ${got.size} rows vs programmatic ${prog.size}")
+    // the normalize stage's teeth: the confusable twin folded to the
+    // passing doc's exact bytes, joined its exact-dedup cluster and
+    // was dropped — byte-hashing WITHOUT the fold would have kept it
+    assert(!got.exists(_._1 == 900006L),
+      "confusable twin survived exact dedup — text_normalize did not fold it")
 
     // a dedup_near over a NON-integral id refuses loudly at the seam
     // (connected components propagate long labels; a string id would
