@@ -1389,9 +1389,8 @@ object DataPipelineQueries {
           .when(col("slot") === 8, "val").otherwise("test"))
         .withColumn("__ws", TextOps.tokens(col("text")))
         .filter(size(col("__ws")) >= 1)
-        .select(col("doc_id"), col("split"), explode(expr(
-          "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
-            "i -> concat_ws(' ', slice(__ws, i * 8 + 1, 8)))")).as("seg"))
+        .select(col("doc_id"), col("split"),
+          explode(TextOps.segments8(col("__ws"))).as("seg"))
         .select(col("doc_id"), col("split"), md5(col("seg")).as("h"))
         .distinct()
       val byHS = d.groupBy(col("h"), col("split"))
@@ -1424,9 +1423,8 @@ object DataPipelineQueries {
       val segs = docs(s, dir)
         .withColumn("__ws", TextOps.tokens(col("text")))
         .filter(size(col("__ws")) >= 1)
-        .select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
-            "i -> concat_ws(' ', slice(__ws, i * 8 + 1, 8)))")).as("seg"))
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.segments8(col("__ws"))).as("seg"))
         .select(col("doc_id"), col("source"), md5(col("seg")).as("h"))
         .distinct()
       val first = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))

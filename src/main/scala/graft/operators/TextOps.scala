@@ -17,6 +17,18 @@ object TextOps {
     * don't "fix" it one-sided. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Verbatim 8-token segments of a token array (the Lee et al.
+    * overlap unit) — ONE kernel shared by q_split_leakage, q_novelty
+    * and the streaming novelty monitor so the segmentation cannot
+    * drift between surfaces: consecutive 8-token windows, the last
+    * allowed short. ⌈n/8⌉ via exact double division (int-sized
+    * counts, truncation = floor — the chunkDocs discipline). */
+  def segments8(ws: Column): Column =
+    transform(
+      sequence(lit(0),
+        ((size(ws) + lit(7)).cast("double") / lit(8.0)).cast("int") - lit(1)),
+      i => concat_ws(" ", slice(ws, i * lit(8) + lit(1), lit(8))))
+
   /** BPE-ish subword segmentation: letter runs, digit runs, and
     * punctuation runs (each optionally space-prefixed) — the GPT-2
     * pre-tokenizer shape, minus lookahead so RE2 (DuckDB) and Java

@@ -1020,6 +1020,16 @@ object ConfigLoader {
     case "text_normalize" => df =>
       df.withColumn(m.get("as").map(_.toString).getOrElse(str(m, "text")),
         graft.operators.TextOps.normalizeConfusables(expr(str(m, "text"))))
+    // URL canonicalization stamp (TextOps.urlCanon — the exact
+    // kernel q_url_canon verifies byte-for-byte): lowercase
+    // scheme+host, www-strip, default-port drop, trailing-slash
+    // strip, fragment drop, utm_* removal + param sort. Stamp the
+    // canonical form, then REFETCH DEDUP is the existing dedup_exact
+    // stage keyed on the stamped column — one kernel, no dedicated
+    // dedup-by-url machinery to drift.
+    case "url_canon" => df =>
+      df.withColumn(m.get("as").map(_.toString).getOrElse("url_canon"),
+        graft.operators.TextOps.urlCanon(expr(str(m, "url"))))
     // Gopher quality gate: keep rows passing ALL rule flags
     // (TextOps.gopherFlags — the exact expressions q_gopher_rules
     // censuses, so the gate and the report can never drift)

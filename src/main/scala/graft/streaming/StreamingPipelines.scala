@@ -1130,6 +1130,65 @@ object StreamingPipelines {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_docs"))
 
+  final case class FirstCarrier(id: Long)
+
+  /** Streaming first-occurrence NOVELTY monitor: the live view of
+    * q_novelty's first-carrier verdicts. Segmentation is the SAME
+    * [[graft.operators.TextOps.segments8]] kernel as the batch
+    * census (no-drift), distinct per doc map-side (array_distinct
+    * before the explode — never a streaming distinct); the stateful
+    * half keys on the segment hash and holds the FIRST CARRIER id
+    * (the streamingLineDedup first-owner discipline). Each arriving
+    * (doc, segment) emits its verdict: novel iff this hash was
+    * unseen and, within the trigger, this is the smallest arriving
+    * doc_id (within-trigger ties resolve by id — the batch report's
+    * min(doc_id) rule). Across triggers novelty is FIRST-ARRIVAL:
+    * the monitor equals the batch census exactly when arrival order
+    * respects doc_id order (the crawl-arrival premise the batch
+    * report encodes as min(doc_id) — spec-pinned); out-of-order
+    * arrival keeps the honest streaming semantics (the first fetch
+    * owns the segment).
+    *
+    * Emissions are per-segment verdicts (doc_id, source, hash,
+    * novel); the per-doc novelty fraction is one bounded doc-keyed
+    * aggregate downstream of the sink — kept out of the query so the
+    * monitor stays a single stateful operator. `ttlMs` bounds the
+    * segment space for unbounded ingest (an expired segment
+    * re-enters as first-seen — the streamingLineDedup trade). */
+  def streamingNovelty(spark: SparkSession,
+                       docs: DataFrame, idCol: String, sourceCol: String,
+                       textCol: String, ttlMs: Option[Long] = None)
+      : Dataset[(Long, String, String, Boolean)] = {
+    import spark.implicits._
+    val segs = docs.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).as("src"),
+        explode(array_distinct(graft.operators.TextOps.segments8(
+          graft.operators.TextOps.tokens(col(textCol))))).as("seg"))
+      .select(md5(col("seg")).as("h"), col("id"), col("src"))
+      .as[(String, Long, String)]
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    segs.groupByKey(_._1)
+      .flatMapGroupsWithState[FirstCarrier, (Long, String, String, Boolean)](
+        OutputMode.Append, timeout) {
+        (h: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[FirstCarrier]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rows.toArray.sortBy(_._2)
+            if (arrivals.isEmpty) Iterator.empty
+            else {
+              val known = state.exists
+              if (!known) state.update(FirstCarrier(arrivals.head._2))
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              arrivals.iterator.zipWithIndex.map { case ((_, id, src), i) =>
+                (id, src, h, !known && i == 0)
+              }
+            }
+          }
+      }
+  }
+
   final case class ChurnBase(h: String, tk: Long)
 
   /** Streaming corpus-churn monitor: the live twin of the

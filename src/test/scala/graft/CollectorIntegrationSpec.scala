@@ -237,6 +237,34 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       "folded suffix missing — the planted docs never reached the stage")
   }
 
+  test("config: url_canon stamp + dedup_exact on the stamp = refetch dedup from config") {
+    // two raw spellings per logical URL (case/www/default-port/utm/
+    // param-order noise); the stamp must collapse them and the
+    // EXISTING dedup_exact stage keyed on the stamp keeps the min id
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"docs/refetch": {
+         | "receiver": {"type": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+         | "processors": [
+         |  {"type": "upsert", "name": "url_raw", "expr":
+         |    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site-' || (doc_id % 5) || '.Example.COM:80/p?b=2&a=1&utm_source=x' ELSE 'http://site-' || (doc_id % 5) || '.example.com/p?a=1&b=2' END"},
+         |  {"type": "url_canon", "url": "url_raw"},
+         |  {"type": "dedup_exact", "id": "doc_id", "text": "url_canon"},
+         |  {"type": "select", "exprs": ["doc_id", "url_raw", "url_canon"]}],
+         | "exporters": []}}}""".stripMargin)
+    val df = svc.pipelines("docs/refetch").plan(spark)
+    val rows = df.collect()
+    // 5 logical URLs → exactly 5 survivors, each the group's min id
+    assert(rows.length == 5, s"expected 5 canonical survivors, got ${rows.length}")
+    val canon = rows.map(_.getAs[String]("url_canon"))
+    assert(canon.distinct.length == 5)
+    assert(canon.forall(u => u.matches(
+      "http://site-[0-4]\\.example\\.com/p\\?a=1&b=2")), canon.mkString(", "))
+    // both spellings collapsed: survivors are doc_ids 0..4 (the min
+    // id of each doc_id%5 class at this SF)
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      rows.map(_.getAs[Long]("doc_id")).sorted.mkString(", "))
+  }
+
   test("config: env expansion, forward/union connectors, route processor") {
     val out = java.nio.file.Files.createTempDirectory("cfg2_out").toString
     val config =

@@ -1420,6 +1420,57 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming novelty monitor converges to the batch first-carrier census in arrival order") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // arrival respects doc_id order (the premise the batch report
+    // encodes as min(doc_id)): two triggers, ids split at the median
+    val mid = rows(rows.length / 2)._1
+    val (b1, b2) = rows.partition(_._1 < mid)
+    val ms = MemoryStream[(Long, String, String)]
+    val out = StreamingPipelines.streamingNovelty(spark,
+      ms.toDF().toDF("doc_id", "source", "text"), "doc_id", "source", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("novelty_out").start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      // per-doc novelty from the streamed per-segment verdicts, then
+      // the same census as the batch query
+      val census = spark.sql(
+          """SELECT _2 AS source, n_novel * 10 DIV n_segs AS bucket,
+            | COUNT(*) AS n_docs, CAST(SUM(n_segs) AS BIGINT) AS segs,
+            | CAST(SUM(n_novel) AS BIGINT) AS novel_segs
+            |FROM (SELECT _1, _2, COUNT(*) AS n_segs,
+            |  CAST(SUM(CASE WHEN _4 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            | FROM novelty_out GROUP BY _1, _2)
+            |GROUP BY source, bucket""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val batch = SparkEntry.queries("q_novelty")(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("segs"),
+            r.getAs[Long]("novel_segs")))).toMap
+      assert(census == batch,
+        s"streaming census diverged: ${census.size} cells vs ${batch.size}")
+      // and the monitor has real cross-trigger teeth at this SF: at
+      // least one segment first carried in trigger 1 re-arrives in
+      // trigger 2 as NOT novel
+      val t2NotNovel = spark.sql(
+        s"SELECT COUNT(*) FROM novelty_out WHERE _1 >= $mid AND NOT _4")
+        .collect().head.getLong(0)
+      assert(t2NotNovel > 0, "no cross-trigger re-serving exercised")
+    } finally q.stop()
+  }
+
   test("streaming corpus churn converges to the batch diff on arrival-observable classes") {
     val spark2 = spark
     import spark2.implicits._
