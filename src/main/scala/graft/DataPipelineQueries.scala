@@ -1245,6 +1245,19 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // IVF nprobe tuning SWEEP: recall@10 vs scan fraction across the
+    // probe dial {1,2,4,8,16} on the SAME deterministic c=16 build as
+    // q_ann_ivf — one build, one ranked probe list per query, each
+    // grid value a rank-prefix selection (never one search per grid
+    // point); at nprobe = c the probed set is the corpus, so recall
+    // must read exactly 1.0 (the sweep's internal sanity row). The
+    // table a deployment reads to pick its recall/cost point.
+    "q_ann_ivf_sweep" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.ivfSweep(e.filter(col("vec_id") < 10), e, c = 16,
+        nprobes = Seq(1, 2, 4, 8, 16), k = 10, iters = 1)
+    }),
+
     // deterministic k-means clustering of the embedding corpus (the
     // IVF build as a first-class curation operator; same build as
     // q_ann_ivf so the oracle replicates bit-exactly)
@@ -3628,6 +3641,71 @@ object DataPipelineQueries {
         |SELECT qid, nid, rk FROM (
         | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
         | FROM cand) WHERE rk <= 10""".stripMargin,
+
+    // the q_ann_ivf build CTEs verbatim through `cells`, then the
+    // rank-prefix grid selection instead of one fixed nprobe
+    "q_ann_ivf_sweep" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, i.cid,
+        |   list_sum(list_transform(list_zip(v.e, i.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(i.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN init i) s0),
+        |cells0 AS (SELECT vec_id, e, cid FROM asg0 WHERE rn = 1),
+        |means AS (SELECT cid, u[2] AS pos,
+        |   CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT cid, unnest(list_zip(e, range(1, len(e) + 1))) AS u FROM cells0) x
+        |  GROUP BY cid, u[2]),
+        |newc AS (SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid),
+        |cent AS (SELECT i.cid, COALESCE(n.ce, i.ce) AS ce FROM init i LEFT JOIN newc n ON i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, e, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        | FROM (SELECT v.vec_id, v.e, c.cid,
+        |   list_sum(list_transform(list_zip(v.e, c.ce), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN cent c) s1),
+        |cells AS (SELECT vec_id AS nid, e AS ne, cid FROM asg1 WHERE rn = 1),
+        |rankedp AS (SELECT qid, qe, cid, rn AS cell_rank FROM (
+        |   SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+        |     ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |       list_sum(list_transform(list_zip(q.e, c.ce), x -> x[1] * x[2])) /
+        |       (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |        sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid ASC) AS rn
+        |   FROM (SELECT vec_id, e FROM v WHERE vec_id < 10) q CROSS JOIN cent c) s2),
+        |grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS np),
+        |probes AS (SELECT g.np, r.qid, r.qe, r.cid
+        |  FROM rankedp r JOIN grid g ON r.cell_rank <= g.np),
+        |cand AS (SELECT p.np, p.qid, s.nid,
+        |   list_sum(list_transform(list_zip(p.qe, s.ne), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(p.qe, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(s.ne, x -> x * x)))) AS sim
+        |  FROM cells s JOIN probes p USING (cid) WHERE p.qid <> s.nid),
+        |topk AS (SELECT np, qid, nid FROM (
+        |  SELECT np, qid, nid,
+        |   ROW_NUMBER() OVER (PARTITION BY np, qid ORDER BY sim DESC, nid ASC) AS rk
+        |  FROM cand) WHERE rk <= 10),
+        |bf AS (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, s.vec_id AS nid,
+        |   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |     list_sum(list_transform(list_zip(q.e, s.e), x -> x[1] * x[2])) /
+        |     (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |      sqrt(list_sum(list_transform(s.e, x -> x * x)))) DESC, s.vec_id ASC) AS rk
+        |  FROM (SELECT vec_id, e FROM v WHERE vec_id < 10) q
+        |  JOIN v s ON q.vec_id <> s.vec_id) WHERE rk <= 10),
+        |truth AS (SELECT g.np, b.qid, b.nid FROM bf b CROSS JOIN grid g)
+        |SELECT np AS nprobe, CAST(SUM(hit) AS BIGINT) AS hits,
+        | CAST(COUNT(*) AS BIGINT) AS n_true,
+        | CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall,
+        | CAST(np AS DOUBLE) / 16.0 AS scan_fraction
+        |FROM (SELECT t.np, CASE WHEN k.nid IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM truth t LEFT JOIN topk k
+        |  ON t.np = k.np AND t.qid = k.qid AND t.nid = k.nid)
+        |GROUP BY np""".stripMargin,
 
     "q_ann_pq" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

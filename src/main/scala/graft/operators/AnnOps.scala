@@ -496,6 +496,69 @@ object AnnOps {
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** IVF nprobe TUNING SWEEP: the recall-vs-scan table that picks the
+    * probe count before a deployment trusts the index (the
+    * q_ann_recall discipline applied across the dial instead of at
+    * one point). ONE index build and ONE ranked probe list per query;
+    * each grid value selects its rank PREFIX from that list — never
+    * one search per grid point — then the exact re-rank runs per
+    * (nprobe, query) and recall@k is measured against the exact
+    * top-k. Output one row per nprobe: hits, truth size, recall,
+    * scan_fraction = nprobe/c (the cost axis of the dial).
+    *
+    * Scale shape: this is a TUNING run over a bounded query sample
+    * (the sweep multiplies candidate work by Σ nprobe/c ≤ |grid|);
+    * windows key on (nprobe, qid) — bounded partitions, never
+    * single-partition. */
+  def ivfSweep(queries: DataFrame, corpus: DataFrame, c: Int,
+               nprobes: Seq[Int], k: Int, iters: Int = 1): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= c),
+      s"nprobes must be within [1, $c], got $nprobes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, c, iters)
+    val cells = corpus.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("ne"))
+      .withColumn("cid", nearestCentroid(col("ne"), centroids))
+    // the full probe rank list once per query (the ivfTopK comparator
+    // sort — sim DESC, lower cell id on ties), position = cell rank
+    val ranked = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("sims",
+        graft.functions.VectorExprs.cosine_table(col("qe"), centroids.toSeq))
+      .withColumn("pr", array_sort(zip_with(
+        col("sims"), sequence(lit(0), lit(centroids.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .otherwise(l.getField("i") - r.getField("i"))))
+      .select(col("qid"), col("qe"), posexplode(col("pr")))
+      .select(col("qid"), col("qe"), (col("pos") + 1).as("cell_rank"),
+        col("col.i").as("cid"))
+    val grid = nprobes.toDF("np")
+    val probes = ranked.join(broadcast(grid), col("cell_rank") <= col("np"))
+      .select(col("np"), col("qid"), col("qe"), col("cid"))
+    val cand = cells.join(broadcast(probes), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("np"), col("qid"), col("nid"),
+        cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val topk = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("np"), col("qid"), col("nid"), lit(1).as("__hit"))
+    val truth = bruteForceTopK(queries, corpus, k)
+      .select(col("qid"), col("nid")).crossJoin(broadcast(grid))
+    truth.join(topk, Seq("np", "qid", "nid"), "left")
+      .groupBy(col("np"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"),
+        count(lit(1)).as("n_true"))
+      .select(col("np").as("nprobe"), col("hits"), col("n_true"),
+        (col("hits").cast("double") / col("n_true").cast("double"))
+          .as("recall"),
+        (col("np").cast("double") / lit(c.toDouble)).as("scan_fraction"))
+  }
+
   /** squared-L2 left fold (HOF reference formulation; the hot paths
     * use the native [[graft.functions.VectorExprs.l2_sq]] — values
     * bit-identical, parity property-tested) */

@@ -1703,6 +1703,27 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_ivf_sweep: recall climbs the probe dial and reaches 1.0 at nprobe = c") {
+    val rows = SparkEntry.queries("q_ann_ivf_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall"),
+        r.getAs[Double]("scan_fraction"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // a rank-prefix sweep is monotone BY CONSTRUCTION only in the
+    // candidate SET; recall must still be non-decreasing because
+    // top-k over a superset can only gain true neighbors ranked
+    // above the k'th — a violation means the prefix selection broke
+    assert(rows.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      rows.mkString(", "))
+    // probing every cell IS the exact search (self excluded on both
+    // sides): recall exactly 1.0, the sweep's built-in sanity row
+    assert(rows.last._2 == 1.0, rows.last.toString)
+    assert(rows.last._3 == 1.0)
+    // and the dial is non-vacuous at this SF: the cheapest point
+    // misses something
+    assert(rows.head._2 < 1.0,
+      "nprobe=1 already exact — the sweep exercises nothing here")
+  }
+
   test("q_dedup_soft: planted clusters reweight to closed-form effective mass") {
     val spark2 = spark
     import spark2.implicits._
