@@ -1427,11 +1427,14 @@ object DataPipelineQueries {
     // proxy): a doc's novelty = the fraction of its DISTINCT segments
     // whose corpus-wide FIRST carrier (min doc_id) is this doc,
     // bucketed 0..10 per source. Scale shape: segments explode
-    // map-side, ONE exchange keyed on the segment hash for the
-    // min-carrier aggregate, the join back carries (hash, first_id)
-    // only (text never shuffles), then a doc-keyed aggregate and the
-    // (source × 11-bucket) census. Pure integer arithmetic — fully
-    // value-oracled.
+    // map-side and BOTH aggregates reduce them independently — the
+    // per-doc segment counts on the doc key, the first-carrier
+    // census on the hash key re-keyed to its min carrier — so the
+    // only join is DOC-sized (a per-segment join-back would carry
+    // the segment stream through a second exchange; counting novels
+    // on the first-carrier frame alone makes that join ∝ docs, not
+    // tokens/8 — plan-audited). Text never shuffles; pure integer
+    // arithmetic — fully value-oracled.
     "q_novelty" -> ((s, dir) => {
       val segs = docs(s, dir)
         .withColumn("__ws", TextOps.tokens(col("text")))
@@ -1440,12 +1443,13 @@ object DataPipelineQueries {
           explode(TextOps.segments8(col("__ws"))).as("seg"))
         .select(col("doc_id"), col("source"), md5(col("seg")).as("h"))
         .distinct()
-      val first = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-      segs.join(first, "h")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_segs"),
-          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+      val perDoc = segs.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_segs"))
+      val novel = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+        .groupBy(col("first_id")).agg(count(lit(1)).as("__nn"))
+      perDoc.join(novel, col("doc_id") === col("first_id"), "left")
+        .select(col("source"), col("n_segs"),
+          coalesce(col("__nn"), lit(0L)).as("n_novel"))
         .withColumn("bucket", expr("n_novel * 10 DIV n_segs"))
         .groupBy(col("source"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
@@ -4048,10 +4052,13 @@ object DataPipelineQueries {
         |    i -> array_to_string(w[i*8+1 : i*8+8], ' ')))) AS h
         | FROM t),
         |f AS (SELECT h, MIN(doc_id) AS first_id FROM segs GROUP BY h),
-        |pd AS (SELECT s.doc_id, s.source, CAST(COUNT(*) AS BIGINT) AS n_segs,
-        |  CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_novel
-        | FROM segs s JOIN f USING (h) GROUP BY s.doc_id, s.source)
+        |nv AS (SELECT first_id, CAST(COUNT(*) AS BIGINT) AS __nn
+        |       FROM f GROUP BY first_id),
+        |pd0 AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_segs
+        |        FROM segs GROUP BY doc_id, source),
+        |pd AS (SELECT pd0.source, pd0.n_segs,
+        |  COALESCE(nv.__nn, 0) AS n_novel
+        | FROM pd0 LEFT JOIN nv ON pd0.doc_id = nv.first_id)
         |SELECT source, (n_novel * 10) // n_segs AS bucket,
         | CAST(COUNT(*) AS BIGINT) AS n_docs,
         | CAST(SUM(n_segs) AS BIGINT) AS segs,

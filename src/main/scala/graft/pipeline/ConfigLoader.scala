@@ -1036,6 +1036,20 @@ object ConfigLoader {
     case "gopher_gate" => df =>
       df.filter(graft.operators.TextOps.gopherFlags(expr(str(m, "text")))
         .map(_._2).reduce(_ && _))
+    // SOFT-dedup weight stamp: weight = 1/n over each exact-duplicate
+    // cluster (q_dedup_soft's reweighting as a pipeline stage — keep
+    // every row, shrink its sampling mass instead of dropping; the
+    // shard writer downstream consumes the weight). One content-hash
+    // aggregate joined back as (hash, n) — text never reshuffles.
+    case "dedup_soft" => df => {
+      import org.apache.spark.sql.functions.{md5, count, lit}
+      val wcol = m.get("as").map(_.toString).getOrElse("weight")
+      val withH = df.withColumn("__cth", md5(expr(str(m, "text"))))
+      val counts = withH.groupBy(col("__cth")).agg(count(lit(1)).as("__n"))
+      withH.join(counts, "__cth")
+        .withColumn(wcol, lit(1.0) / col("__n").cast("double"))
+        .drop("__cth", "__n")
+    }
     // exact dedup, keep-first: one shuffle on the content hash
     case "dedup_exact" => df => {
       import org.apache.spark.sql.functions.{md5, min}

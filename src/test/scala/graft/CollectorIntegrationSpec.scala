@@ -265,6 +265,34 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("doc_id")).sorted.mkString(", "))
   }
 
+  test("config: dedup_soft stamps 1/n weights without dropping rows") {
+    // collapse docs into 7 content classes; every row survives with
+    // weight exactly 1/class-size (the q_dedup_soft reweighting as a
+    // stage), and per-class weights sum to 1 — the invariant the
+    // reweighting exists for
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"docs/soft": {
+         | "receiver": {"type": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+         | "processors": [
+         |  {"type": "upsert", "name": "text", "expr": "'class-' || (doc_id % 7)"},
+         |  {"type": "dedup_soft", "text": "text"},
+         |  {"type": "select", "exprs": ["doc_id", "text", "weight"]}],
+         | "exporters": []}}}""".stripMargin)
+    val df = svc.pipelines("docs/soft").plan(spark)
+    val n = df.count()
+    assert(n == 500L, s"soft dedup dropped rows: $n")
+    val byClass = df.groupBy(col("text"))
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("wsum"),
+        countDistinct(col("weight")).as("nw"))
+      .collect()
+    assert(byClass.length == 7)
+    byClass.foreach { r =>
+      assert(r.getAs[Long]("nw") == 1L, s"mixed weights in ${r.getString(0)}")
+      assert(math.abs(r.getAs[Double]("wsum") - 1.0) < 1e-9,
+        s"class ${r.getString(0)} weights sum to ${r.getAs[Double]("wsum")}")
+    }
+  }
+
   test("config: env expansion, forward/union connectors, route processor") {
     val out = java.nio.file.Files.createTempDirectory("cfg2_out").toString
     val config =
