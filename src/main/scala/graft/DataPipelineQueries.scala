@@ -1382,6 +1382,47 @@ object DataPipelineQueries {
             / sum(col("n_tokens")).cast("double")).as("loss_512"))
     }),
 
+    // PADDING-efficiency table across batching policies — the
+    // padding-FLOPs decision a batcher reads next to
+    // q_truncation_loss's cap decision: per-doc token counts capped
+    // at 512 cost differently under (a) pad_to_max — every doc pays
+    // the full window; (b) sorted_batch32 — 32-doc batches over the
+    // length-sorted order (rank rides globalRank, never a
+    // single-partition window), each batch paying its own max, which
+    // desc-sorting concentrates; (c) bucket_pow2 — each doc pays the
+    // next power of two ≥ its length (CASE table, exact integers).
+    // One row per policy; integer sums, the one division IEEE-exact.
+    "q_pad_efficiency" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        least(TextOps.tokenCount(col("text")).cast("long"), lit(512L)).as("tk"))
+      val padMax = base
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("long").as("tokens"),
+          (count(lit(1)) * lit(512L)).as("cost"))
+        .select(lit("pad_to_max").as("policy"), col("n_docs"),
+          col("tokens"), col("cost"))
+      val sortedB = ScaleOps.globalRank(base, negate(col("tk")), col("doc_id"), "rk")
+        .withColumn("batch", expr("(rk - 1) DIV 32"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("bn"), max(col("tk")).as("bmax"),
+          sum(col("tk")).as("btk"))
+        .agg(sum(col("bn")).cast("long").as("n_docs"),
+          sum(col("btk")).cast("long").as("tokens"),
+          sum(col("bn") * col("bmax")).cast("long").as("cost"))
+        .select(lit("sorted_batch32").as("policy"), col("n_docs"),
+          col("tokens"), col("cost"))
+      val pow2 = base.withColumn("p2",
+          when(col("tk") <= 32, 32L).when(col("tk") <= 64, 64L)
+            .when(col("tk") <= 128, 128L).when(col("tk") <= 256, 256L)
+            .otherwise(512L))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("long").as("tokens"),
+          sum(col("p2")).cast("long").as("cost"))
+        .select(lit("bucket_pow2").as("policy"), col("n_docs"),
+          col("tokens"), col("cost"))
+      padMax.unionByName(sortedB).unionByName(pow2)
+        .withColumn("efficiency",
+          col("tokens").cast("double") / col("cost").cast("double"))
+    }),
+
     // quality scoring (length / avg token len / stopword ratio)
     // Train/val/test SPLIT LEAKAGE census — the eval-contamination
     // check INSIDE a corpus (decontaminate covers train-vs-benchmark;
@@ -4039,6 +4080,35 @@ object DataPipelineQueries {
         | CAST(SUM(b.nd) AS BIGINT) AS docs_b
         |FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
         |GROUP BY a.split, b.split""".stripMargin,
+
+    // the rank is ROW_NUMBER over (tk DESC, doc_id ASC) — identical
+    // to globalRank's (negated-order, tie) contract
+    "q_pad_efficiency" ->
+      """WITH base AS (SELECT doc_id,
+        |  LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT),
+        |        512) AS tk
+        | FROM documents),
+        |pm AS (SELECT 'pad_to_max' AS policy, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tk) AS BIGINT) AS tokens,
+        |  CAST(COUNT(*) * 512 AS BIGINT) AS cost FROM base),
+        |r AS (SELECT tk, ROW_NUMBER() OVER (ORDER BY tk DESC, doc_id ASC) AS rk
+        |      FROM base),
+        |b AS (SELECT (rk - 1) // 32 AS batch, CAST(COUNT(*) AS BIGINT) AS bn,
+        |  CAST(MAX(tk) AS BIGINT) AS bmax, CAST(SUM(tk) AS BIGINT) AS btk
+        | FROM r GROUP BY 1),
+        |sb AS (SELECT 'sorted_batch32' AS policy, CAST(SUM(bn) AS BIGINT) AS n_docs,
+        |  CAST(SUM(btk) AS BIGINT) AS tokens,
+        |  CAST(SUM(bn * bmax) AS BIGINT) AS cost FROM b),
+        |p2 AS (SELECT 'bucket_pow2' AS policy, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tk) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN tk <= 32 THEN 32 WHEN tk <= 64 THEN 64
+        |    WHEN tk <= 128 THEN 128 WHEN tk <= 256 THEN 256
+        |    ELSE 512 END) AS BIGINT) AS cost FROM base),
+        |u AS (SELECT * FROM pm UNION ALL SELECT * FROM sb
+        |      UNION ALL SELECT * FROM p2)
+        |SELECT policy, n_docs, tokens, cost,
+        | CAST(tokens AS DOUBLE) / CAST(cost AS DOUBLE) AS efficiency
+        |FROM u""".stripMargin,
 
     // same 8-token segment construction as q_split_leakage; min
     // doc_id is the first carrier — pure integer arithmetic

@@ -1724,6 +1724,39 @@ class DedupAnnSpec extends AnyFunSuite {
       "nprobe=1 already exact — the sweep exercises nothing here")
   }
 
+  test("q_pad_efficiency: planted lengths cost out closed-form per policy") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 32 docs of 500 tokens, 31 of 50, one of 600 (pins the 512
+    // cap): closed-form costs per policy, including the sorted
+    // batching's boundary effect where one long straggler drags a
+    // mostly-short batch's max up.
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val docs = (0 until 32).map(i => (i.toLong, mk(500))) ++
+      (32 until 63).map(i => (i.toLong, mk(50))) ++ Seq((63L, mk(600)))
+    val dir = java.nio.file.Files.createTempDirectory("padeff").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_pad_efficiency")(spark, dir)
+      .collect().map(r => r.getAs[String]("policy") -> r).toMap
+    val tokens = 32L * 500 + 31L * 50 + 512L
+    def v(p: String, c: String): Long = rows(p).getAs[Long](c)
+    assert(rows.values.forall(_.getAs[Long]("n_docs") == 64L))
+    assert(rows.values.forall(_.getAs[Long]("tokens") == tokens))
+    assert(v("pad_to_max", "cost") == 64L * 512)
+    // sorted desc: ranks 1..32 = {512, 500×31} → batch max 512;
+    // ranks 33..64 = {500, 50×31} → the straggling 500 drags the
+    // second batch's max to 500 (exactly the boundary effect the
+    // policy table exists to expose)
+    assert(v("sorted_batch32", "cost") == 32L * 512 + 32L * 500)
+    assert(v("bucket_pow2", "cost") == 33L * 512 + 31L * 64)
+    // dominance: batching by sorted length never costs more than
+    // padding everything to the window
+    assert(v("sorted_batch32", "cost") <= v("pad_to_max", "cost"))
+    assert(rows("sorted_batch32").getAs[Double]("efficiency") ==
+      tokens.toDouble / (32L * 512 + 32L * 500).toDouble)
+  }
+
   test("q_dedup_soft: planted clusters reweight to closed-form effective mass") {
     val spark2 = spark
     import spark2.implicits._
