@@ -1216,6 +1216,16 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // PQ quantization-distortion report: per subspace the k-means
+    // objective (mean squared L2 to the nearest code word) and the
+    // code usage — the (m, ksub) tuning measurement before trusting
+    // ADC distances (the compression axis of the index-QA family:
+    // minhash_accuracy → sketches, ann_recall/ivf_sweep → candidate
+    // generation, this → the quantizer). Same deterministic build as
+    // q_ann_pq, so the oracle replays the training chain verbatim.
+    "q_pq_distortion" -> ((s, dir) =>
+      AnnOps.pqDistortion(embs(s, dir), m = 2, ksub = 16, iters = 2)),
+
     // Graph ANN (partitioned small-world; Malkov & Yashunin 2018,
     // Spark-first: IVF router + per-cell NSW adjacency + bounded-hop
     // beam search — see AnnOps.hnswTopK). Rows-only by design: the
@@ -3686,6 +3696,55 @@ object DataPipelineQueries {
         |SELECT qid, nid, rk FROM (
         | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
         | FROM cand) WHERE rk <= 10""".stripMargin,
+
+    // the q_ann_pq training CTEs verbatim through b2, then the
+    // assignment with its distortion exposed instead of the search
+    "q_pq_distortion" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 2)) AS s),
+        |subs AS (SELECT vec_id, s,
+        |  CASE WHEN s = 0 THEN e[1:32] ELSE e[33:64] END AS sub FROM v, ss),
+        |init AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid, sub AS ce
+        | FROM subs WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+        |asg0 AS (SELECT vec_id, s, sub, cid FROM (
+        |  SELECT subs.vec_id, subs.s, subs.sub, i.cid,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, i.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     i.cid ASC) AS rn
+        |  FROM subs JOIN init i ON subs.s = i.s) t WHERE rn = 1),
+        |m0 AS (SELECT s, cid, u[2] AS pos,
+        |  CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
+        | FROM (SELECT s, cid, unnest(list_zip(sub, range(1, len(sub) + 1))) AS u FROM asg0) x
+        | GROUP BY 1, 2, 3),
+        |b1m AS (SELECT s, cid, list(mval ORDER BY pos) AS ce FROM m0 GROUP BY 1, 2),
+        |b1 AS (SELECT i.s, i.cid, COALESCE(n.ce, i.ce) AS ce
+        | FROM init i LEFT JOIN b1m n ON i.s = n.s AND i.cid = n.cid),
+        |asg1 AS (SELECT vec_id, s, sub, cid FROM (
+        |  SELECT subs.vec_id, subs.s, subs.sub, b.cid,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     b.cid ASC) AS rn
+        |  FROM subs JOIN b1 b ON subs.s = b.s) t WHERE rn = 1),
+        |m1 AS (SELECT s, cid, u[2] AS pos,
+        |  CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
+        | FROM (SELECT s, cid, unnest(list_zip(sub, range(1, len(sub) + 1))) AS u FROM asg1) x
+        | GROUP BY 1, 2, 3),
+        |b2m AS (SELECT s, cid, list(mval ORDER BY pos) AS ce FROM m1 GROUP BY 1, 2),
+        |b2 AS (SELECT b.s, b.cid, COALESCE(n.ce, b.ce) AS ce
+        | FROM b1 b LEFT JOIN b2m n ON b.s = n.s AND b.cid = n.cid),
+        |asg2 AS (SELECT vec_id, s, cid, d FROM (
+        |  SELECT subs.vec_id, subs.s, b.cid,
+        |   list_sum(list_transform(list_zip(subs.sub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) AS d,
+        |   ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+        |     list_sum(list_transform(list_zip(subs.sub, b.ce), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |     b.cid ASC) AS rn
+        |  FROM subs JOIN b2 b ON subs.s = b.s) t WHERE rn = 1)
+        |SELECT s, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        | CAST(COUNT(DISTINCT cid) AS BIGINT) AS codes_used,
+        | CAST(SUM(CAST(d AS DECIMAL(28,8))) AS DOUBLE) AS total_sq_err,
+        | CAST(SUM(CAST(d AS DECIMAL(28,8))) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE) AS mean_sq_err
+        |FROM asg2 GROUP BY s""".stripMargin,
 
     // the q_ann_ivf build CTEs verbatim through `cells`, then the
     // rank-prefix grid selection instead of one fixed nprobe

@@ -713,6 +713,46 @@ object AnnOps {
   private def subCol(v: Column, s: Int, subDim: Int): Column =
     slice(v, s * subDim + 1, subDim)
 
+  /** PQ quantization-DISTORTION report: per subspace, the k-means
+    * objective the codebook training minimizes — squared L2 between
+    * every sub-vector and its nearest code word — plus how many of
+    * the ksub codes the corpus actually uses. The measurement that
+    * picks (m, ksub) before trusting ADC distances at scale (the
+    * q_minhash_accuracy / q_ann_ivf_sweep discipline applied to the
+    * compression axis): rising mean_sq_err or collapsed code usage
+    * says the codebook under-fits its subspace. Same deterministic
+    * build as [[pqTopK]]; encode + distortion are map-side (one
+    * native l2-table kernel per subspace), the census one
+    * m-row aggregate; distortion sums ride DECIMAL(28,8). */
+  def pqDistortion(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
+                   trainFraction: Double = 1.0): DataFrame = {
+    val base = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = vecDim(corpus, "embedding")
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val books = trainPqBooks(base, m, subDim, ksub, iters, trainFraction)
+    val per = base.select(col("vec_id"), posexplode(
+        array((0 until m).map(s => subCol(col("v"), s, subDim)): _*)))
+      .withColumnRenamed("pos", "s")
+      .withColumnRenamed("col", "sub")
+    def bySub(f: Int => Column): Column =
+      (1 until m).foldLeft(when(col("s") === 0, f(0))) {
+        (acc, s) => acc.when(col("s") === s, f(s))
+      }
+    per
+      .withColumn("d", bySub(s => array_min(
+        graft.functions.VectorExprs.l2_table(col("sub"), books(s).toSeq))))
+      .withColumn("code", bySub(s =>
+        graft.functions.VectorExprs.nearest_code_l2(col("sub"), books(s).toSeq)))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("codes_used"),
+        graft.QUtil.dsum(col("d")).as("total_sq_err"))
+      .withColumn("mean_sq_err",
+        col("total_sq_err") / col("n_vecs").cast("double"))
+  }
+
   /** train all m codebooks (optionally on a deterministic hash-sample
     * — at 1e9+ vectors codebook quality needs the density shape, not
     * every point; encode and search always see the full corpus) */

@@ -1724,6 +1724,34 @@ class DedupAnnSpec extends AnyFunSuite {
       "nprobe=1 already exact — the sweep exercises nothing here")
   }
 
+  test("q_pq_distortion: a 16-pattern corpus quantizes losslessly; the sf corpus does not") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 16 distinct constant vectors (the ksub lowest ids = the init
+    // code words) each copied 4×: k-means converges on the patterns
+    // themselves, every sub-vector sits ON its code word → zero
+    // distortion, all 16 codes used, in BOTH subspaces
+    val dir = java.nio.file.Files.createTempDirectory("pqdist").toString
+    (0 until 64).map { i =>
+      (i.toLong, Seq.fill(64)((i % 16 + 1).toFloat / 16.0f))
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = SparkEntry.queries("q_pq_distortion")(spark, dir)
+      .collect().map(r => r.getAs[Int]("s") -> r).toMap
+    assert(planted.keySet == Set(0, 1))
+    planted.values.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 64L)
+      assert(r.getAs[Long]("codes_used") == 16L,
+        s"codes_used ${r.getAs[Long]("codes_used")}")
+      assert(r.getAs[Double]("total_sq_err") == 0.0)
+    }
+    // the real corpus is not 16 points: distortion must be positive
+    // (a zero here would mean the report can't see quantization loss)
+    val real = SparkEntry.queries("q_pq_distortion")(spark, sf).collect()
+    assert(real.forall(_.getAs[Double]("mean_sq_err") > 0.0))
+    assert(real.forall(r => r.getAs[Long]("codes_used") <= 16L))
+  }
+
   test("q_pad_efficiency: planted lengths cost out closed-form per policy") {
     val spark2 = spark
     import spark2.implicits._
