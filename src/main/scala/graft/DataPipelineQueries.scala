@@ -16,6 +16,35 @@ object DataPipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
+  /** The ONE novelty-census kernel behind q_novelty (md5, oracled)
+    * and q_novelty_scale (xxhash64, the production key width): the
+    * segment stream reduces along two independent key paths and the
+    * only join is doc-sized — see the q_novelty registration comment
+    * and the PLANS.md exemplar. `hash` maps the segment text to its
+    * key; any practically-injective choice yields the identical
+    * census (twin-spec-pinned). */
+  private def noveltyCensus(d: DataFrame, hash: Column => Column): DataFrame = {
+    val segs = d
+      .withColumn("__ws", TextOps.tokens(col("text")))
+      .filter(size(col("__ws")) >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.segments8(col("__ws"))).as("seg"))
+      .select(col("doc_id"), col("source"), hash(col("seg")).as("h"))
+      .distinct()
+    val perDoc = segs.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_segs"))
+    val novel = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      .groupBy(col("first_id")).agg(count(lit(1)).as("__nn"))
+    perDoc.join(novel, col("doc_id") === col("first_id"), "left")
+      .select(col("source"), col("n_segs"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"))
+      .withColumn("bucket", expr("n_novel * 10 DIV n_segs"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_segs")).cast("long").as("segs"),
+        sum(col("n_novel")).cast("long").as("novel_segs"))
+  }
+
   /** The shared near-dup pair graph (3-gram shingles, exact Jaccard
     * >= 0.5 over banding-free posting lists) — the ONE Spark-side
     * twin of [[CcClosureSql]]; every dedup query derives its pairs
@@ -1486,27 +1515,19 @@ object DataPipelineQueries {
     // on the first-carrier frame alone makes that join ∝ docs, not
     // tokens/8 — plan-audited). Text never shuffles; pure integer
     // arithmetic — fully value-oracled.
-    "q_novelty" -> ((s, dir) => {
-      val segs = docs(s, dir)
-        .withColumn("__ws", TextOps.tokens(col("text")))
-        .filter(size(col("__ws")) >= 1)
-        .select(col("doc_id"), col("source"),
-          explode(TextOps.segments8(col("__ws"))).as("seg"))
-        .select(col("doc_id"), col("source"), md5(col("seg")).as("h"))
-        .distinct()
-      val perDoc = segs.groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_segs"))
-      val novel = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-        .groupBy(col("first_id")).agg(count(lit(1)).as("__nn"))
-      perDoc.join(novel, col("doc_id") === col("first_id"), "left")
-        .select(col("source"), col("n_segs"),
-          coalesce(col("__nn"), lit(0L)).as("n_novel"))
-        .withColumn("bucket", expr("n_novel * 10 DIV n_segs"))
-        .groupBy(col("source"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_segs")).cast("long").as("segs"),
-          sum(col("n_novel")).cast("long").as("novel_segs"))
-    }),
+    "q_novelty" -> ((s, dir) =>
+      noveltyCensus(docs(s, dir), seg => md5(seg))),
+
+    // the PRODUCTION hash for the same census: xxhash64 segment keys
+    // (2-5× cheaper than the md5 oracle formulation at 100 TB —
+    // 8-byte keys through both exchanges instead of 32-hex). Any
+    // practically-injective hash yields the IDENTICAL report (the
+    // census counts distincts and min carriers, never hash values),
+    // so the twin spec pins exact row equality with q_novelty —
+    // stronger than the usual rows-only twin contract. ONE shared
+    // kernel (noveltyCensus); only the hash differs.
+    "q_novelty_scale" -> ((s, dir) =>
+      noveltyCensus(docs(s, dir), seg => xxhash64(seg))),
 
     // Quality-threshold SURVIVAL curve — the measurement that picks
     // the cutoff: for each candidate threshold over the integer

@@ -1724,6 +1724,17 @@ class DedupAnnSpec extends AnyFunSuite {
       "nprobe=1 already exact — the sweep exercises nothing here")
   }
 
+  test("q_novelty_scale: the xxh64 twin reports the identical census") {
+    // the census counts distincts and min carriers, never hash
+    // values — so the production-key twin must equal the md5 oracle
+    // formulation ROW FOR ROW (not just in shape)
+    val a = SparkEntry.queries("q_novelty")(spark, sf)
+    val b = SparkEntry.queries("q_novelty_scale")(spark, sf)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "xxh64 twin diverged from the md5 census")
+  }
+
   test("q_pq_distortion: a 16-pattern corpus quantizes losslessly; the sf corpus does not") {
     val spark2 = spark
     import spark2.implicits._
