@@ -1189,6 +1189,65 @@ object StreamingPipelines {
       }
   }
 
+  final case class SplitsSeen(splits: Seq[String])
+
+  /** Streaming split-leakage GUARD: the live twin of
+    * q_split_leakage's census — the moment a verbatim 8-token
+    * segment ([[graft.operators.TextOps.segments8]], the shared
+    * kernel) arrives from a SECOND split, the arrival is flagged
+    * against every split already owning the segment, so a
+    * contaminated doc is quarantined before it reaches a training
+    * shard (the streamingDecontaminate discipline applied to the
+    * corpus's own splits). State per segment hash is the SET of
+    * splits seen (≤ #splits entries — never docs, never text);
+    * within a trigger, arrivals process in (split, doc) order so
+    * same-trigger cross-split collisions flag deterministically.
+    * Emissions: (doc_id, split, other_split, hash) — one per owning
+    * split at flag time. The distinct (hash, unordered split pair)
+    * set over all emissions equals the batch census's leaked-segment
+    * pairs EXACTLY, any arrival order (spec-pinned); per-pair DOC
+    * counts stay a batch question (owner-side docs are not re-emitted
+    * — state holds splits, not carriers). */
+  def streamingSplitLeakage(spark: SparkSession,
+                            docs: DataFrame, idCol: String, splitCol: String,
+                            textCol: String, ttlMs: Option[Long] = None)
+      : Dataset[(Long, String, String, String)] = {
+    import spark.implicits._
+    val segs = docs.select(col(idCol).cast("long").as("id"),
+        col(splitCol).as("split"),
+        explode(array_distinct(graft.operators.TextOps.segments8(
+          graft.operators.TextOps.tokens(col(textCol))))).as("seg"))
+      .select(md5(col("seg")).as("h"), col("id"), col("split"))
+      .as[(String, Long, String)]
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    segs.groupByKey(_._1)
+      .flatMapGroupsWithState[SplitsSeen, (Long, String, String, String)](
+        OutputMode.Append, timeout) {
+        (h: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[SplitsSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rows.toArray.sortBy(r => (r._3, r._2))
+            if (arrivals.isEmpty) Iterator.empty
+            else {
+              var owners = state.getOption.map(_.splits).getOrElse(Seq.empty)
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, String, String, String)]
+              arrivals.foreach { case (_, id, split) =>
+                if (!owners.contains(split)) {
+                  owners.foreach(o => out += ((id, split, o, h)))
+                  owners = owners :+ split
+                }
+              }
+              state.update(SplitsSeen(owners))
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              out.iterator
+            }
+          }
+      }
+  }
+
   final case class ChurnBase(h: String, tk: Long)
 
   /** Streaming corpus-churn monitor: the live twin of the

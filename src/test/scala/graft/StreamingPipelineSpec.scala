@@ -1471,6 +1471,54 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming split-leakage guard flags exactly the batch census's segment pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the q_split_leakage synthesis: 80/10/10 by the seeded portable
+    // hash — the SAME split assignment, so the guard and the census
+    // see the same corpus
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("slot",
+        graft.operators.ScaleOps.shardIdPortable(col("doc_id"), 10, "split1"))
+      .withColumn("split", when(col("slot") < 8, "train")
+        .when(col("slot") === 8, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), col("text"))
+    val rows = d.as[(Long, String, String)].collect()
+    // adversarial arrival order: interleave by id parity so many
+    // segments meet their second split across trigger boundaries
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[(Long, String, String)]
+    val out = StreamingPipelines.streamingSplitLeakage(spark,
+      ms.toDF().toDF("doc_id", "split", "text"), "doc_id", "split", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("leak_out").start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.sql("SELECT _2, _3, _4 FROM leak_out").collect()
+        .map { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          (r.getString(2), if (a < b) (a, b) else (b, a))
+        }.toSet
+      // batch twin: distinct (segment hash, unordered split pair)
+      // over the SAME segmentation kernel
+      val hs = d.withColumn("__ws", graft.operators.TextOps.tokens(col("text")))
+        .filter(size(col("__ws")) >= 1)
+        .select(col("split"),
+          explode(graft.operators.TextOps.segments8(col("__ws"))).as("seg"))
+        .select(md5(col("seg")).as("h"), col("split")).distinct()
+      val expected = hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") && col("a.split") < col("b.split"))
+        .select(col("a.h"), col("a.split"), col("b.split")).collect()
+        .map(r => (r.getString(0), (r.getString(1), r.getString(2)))).toSet
+      assert(expected.nonEmpty, "synthesis produced no cross-split segments")
+      assert(got == expected,
+        s"guard flagged ${got.size} (h, pair)s vs batch ${expected.size}")
+    } finally q.stop()
+  }
+
   test("streaming corpus churn converges to the batch diff on arrival-observable classes") {
     val spark2 = spark
     import spark2.implicits._
