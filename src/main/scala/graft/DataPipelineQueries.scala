@@ -808,6 +808,33 @@ object DataPipelineQueries {
         .select(col("id_a"), col("id_b"), col("est_sim"))
     }),
 
+    // Dedup-aggressiveness THRESHOLD SWEEP: pairs and affected docs
+    // at each candidate Jaccard cutoff {0.50..0.90} over ONE pair
+    // pass (the shared nearDupPairs graph at its 0.5 base — a sweep
+    // point below the base would need its own candidate generation;
+    // these are the tightenings a deployment actually debates). The
+    // q_ann_ivf_sweep discipline applied to the dedup dial: grid
+    // join over the already-computed pairs, never one pass per
+    // threshold. Per cutoff: surviving pair count + distinct docs
+    // touched — how much of the corpus each tightening still reaches.
+    "q_dedup_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = nearDupPairs(s, dir)
+      val grid = Seq(50, 60, 70, 80, 90).toDF("t_pct")
+      val j = pairs.crossJoin(broadcast(grid))
+        .filter(col("jaccard") * lit(100.0) >= col("t_pct").cast("double"))
+        .select(col("t_pct"), col("id_a"), col("id_b"))
+      val np = j.groupBy(col("t_pct")).agg(count(lit(1)).as("n_pairs"))
+      val da = j.select(col("t_pct"), explode(
+          array(col("id_a"), col("id_b"))).as("id"))
+        .distinct()
+        .groupBy(col("t_pct")).agg(count(lit(1)).as("docs_affected"))
+      grid.join(np, Seq("t_pct"), "left").join(da, Seq("t_pct"), "left")
+        .select(col("t_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("docs_affected"), lit(0L)).as("docs_affected"))
+    }),
+
     // Sketch-accuracy report: how closely the 32-lane MinHash
     // estimate tracks EXACT shingle Jaccard over the banding
     // candidates — the measurement that justifies a sketch threshold
@@ -3981,6 +4008,33 @@ object DataPipelineQueries {
         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5""".stripMargin,
+
+    // the q_ngram_jaccard pair formulation with a threshold grid —
+    // integer counts only, the one double comparison on identical
+    // trees both engines
+    "q_dedup_threshold_sweep" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
+        |grid AS (SELECT unnest([50, 60, 70, 80, 90]) AS t_pct),
+        |j AS (SELECT g.t_pct, p.id_a, p.id_b FROM p JOIN grid g
+        |      ON p.jaccard * 100.0 >= CAST(g.t_pct AS DOUBLE)),
+        |np AS (SELECT t_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1),
+        |da AS (SELECT t_pct, CAST(COUNT(*) AS BIGINT) AS docs_affected FROM (
+        |  SELECT DISTINCT t_pct, id FROM (
+        |    SELECT t_pct, id_a AS id FROM j
+        |    UNION ALL SELECT t_pct, id_b AS id FROM j)) GROUP BY 1)
+        |SELECT g.t_pct, COALESCE(np.n_pairs, 0) AS n_pairs,
+        | COALESCE(da.docs_affected, 0) AS docs_affected
+        |FROM grid g LEFT JOIN np USING (t_pct) LEFT JOIN da USING (t_pct)""".stripMargin,
 
     "q_dedup_apply" ->
       (CcClosureSql + "\n" +

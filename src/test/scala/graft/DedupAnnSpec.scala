@@ -1724,6 +1724,24 @@ class DedupAnnSpec extends AnyFunSuite {
       "nprobe=1 already exact — the sweep exercises nothing here")
   }
 
+  test("q_dedup_threshold_sweep: monotone dial anchored at the base pair graph") {
+    val rows = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Int]("t_pct"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("docs_affected"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50, 60, 70, 80, 90))
+    // tightening the cutoff can only drop pairs and touched docs
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2 && p(0)._3 >= p(1)._3),
+      rows.mkString(", "))
+    // the 0.50 row IS the base pair graph (same kernel, no filter work)
+    val base = graft.operators.DedupOps.jaccardPairs(
+      docs.select(col("doc_id"),
+        graft.operators.DedupOps.shinglesOfText(col("text"), 3).as("shs")),
+      "doc_id", "shs", 0.5)
+    assert(rows.head._2 == base.count(), "0.50 row diverged from the pair graph")
+    assert(rows.head._2 > 0, "no pairs at this SF — the dial is vacuous")
+  }
+
   test("q_novelty_scale: the xxh64 twin reports the identical census") {
     // the census counts distincts and min carriers, never hash
     // values — so the production-key twin must equal the md5 oracle
