@@ -1202,12 +1202,14 @@ object StreamingPipelines {
     * splits seen (≤ #splits entries — never docs, never text);
     * within a trigger, arrivals process in (split, doc) order so
     * same-trigger cross-split collisions flag deterministically.
-    * Emissions: (doc_id, split, other_split, hash) — one per owning
-    * split at flag time. The distinct (hash, unordered split pair)
-    * set over all emissions equals the batch census's leaked-segment
-    * pairs EXACTLY, any arrival order (spec-pinned); per-pair DOC
-    * counts stay a batch question (owner-side docs are not re-emitted
-    * — state holds splits, not carriers). */
+    * Emissions: (doc_id, split, other_split, hash) — EVERY arrival
+    * flags against every foreign owning split (a later doc from an
+    * already-owning split still carries the contamination). The
+    * distinct (hash, unordered split pair) set over all emissions
+    * equals the batch census's leaked-segment pairs EXACTLY, any
+    * arrival order (spec-pinned); only the pre-collision EARLY
+    * carriers are unflaggable on a stream (nothing foreign owned the
+    * segment yet) — the batch census backfills that side. */
   def streamingSplitLeakage(spark: SparkSession,
                             docs: DataFrame, idCol: String, splitCol: String,
                             textCol: String, ttlMs: Option[Long] = None)
@@ -1234,11 +1236,16 @@ object StreamingPipelines {
               var owners = state.getOption.map(_.splits).getOrElse(Seq.empty)
               val out = scala.collection.mutable.ArrayBuffer
                 .empty[(Long, String, String, String)]
+              // EVERY arrival flags against every foreign owner — a
+              // later doc from an already-owning split still carries
+              // the cross-split segment and must quarantine too (the
+              // guard is per-doc; only the pre-collision early side
+              // is unflaggable on a stream, which the batch census
+              // backfills)
               arrivals.foreach { case (_, id, split) =>
-                if (!owners.contains(split)) {
-                  owners.foreach(o => out += ((id, split, o, h)))
-                  owners = owners :+ split
-                }
+                owners.filter(_ != split)
+                  .foreach(o => out += ((id, split, o, h)))
+                if (!owners.contains(split)) owners = owners :+ split
               }
               state.update(SplitsSeen(owners))
               ttlMs.foreach(t => state.setTimeoutDuration(t))

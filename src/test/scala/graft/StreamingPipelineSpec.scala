@@ -1516,6 +1516,19 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(expected.nonEmpty, "synthesis produced no cross-split segments")
       assert(got == expected,
         s"guard flagged ${got.size} (h, pair)s vs batch ${expected.size}")
+      // per-doc quarantine teeth: a LATER doc from an already-owning
+      // split still flags against the foreign owner — the guard is
+      // per-arrival, not first-of-split-only
+      val seg = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"
+      ms.addData(Seq((900001L, "train", seg))); q.processAllAvailable()
+      ms.addData(Seq((900002L, "val", seg))); q.processAllAvailable()
+      ms.addData(Seq((900003L, "val", seg))); q.processAllAvailable()
+      val planted = spark.sql(
+          "SELECT _1, _2, _3 FROM leak_out WHERE _1 >= 900001")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(planted == Set(
+        (900002L, "val", "train"),
+        (900003L, "val", "train")), planted)
     } finally q.stop()
   }
 
