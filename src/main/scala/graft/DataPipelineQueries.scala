@@ -777,11 +777,18 @@ object DataPipelineQueries {
     // group-level tk_hs/n equals the sum of per-doc tk/n exactly);
     // cross-row sums ride DECIMAL(28,8).
     "q_dedup_soft" -> ((s, dir) => {
+      // the (h, source) aggregate feeds BOTH the cluster-size
+      // re-aggregate and the join probe — checkpoint it so the
+      // corpus is scanned and hashed ONCE (without this Catalyst
+      // re-expands the subplan under column pruning and the tot
+      // branch re-reads + re-md5s the whole corpus; the frame is
+      // ≤ one row per (content, source) — doc-bounded, cheap to pin)
       val per = docs(s, dir)
         .select(col("source"), md5(col("text")).as("h"),
           TextOps.tokenCount(col("text")).cast("long").as("tk"))
         .groupBy(col("h"), col("source"))
         .agg(count(lit(1)).as("c_hs"), sum(col("tk")).as("tk_hs"))
+        .localCheckpoint()
       val tot = per.groupBy(col("h")).agg(sum(col("c_hs")).as("n_copies"))
       per.join(tot, "h")
         .select(col("source"), col("c_hs"), col("tk_hs"),
@@ -819,7 +826,10 @@ object DataPipelineQueries {
     // touched — how much of the corpus each tightening still reaches.
     "q_dedup_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
-      val pairs = nearDupPairs(s, dir)
+      // pairs feed BOTH the pair count and the docs-affected census —
+      // checkpoint so the shingle→posting→pair pipeline runs ONCE
+      // (the frame is the pair graph itself: bounded, tiny)
+      val pairs = nearDupPairs(s, dir).localCheckpoint()
       val grid = Seq(50, 60, 70, 80, 90).toDF("t_pct")
       val j = pairs.crossJoin(broadcast(grid))
         .filter(col("jaccard") * lit(100.0) >= col("t_pct").cast("double"))
@@ -1459,8 +1469,12 @@ object DataPipelineQueries {
     // next power of two ≥ its length (CASE table, exact integers).
     // One row per policy; integer sums, the one division IEEE-exact.
     "q_pad_efficiency" -> ((s, dir) => {
+      // (doc_id, capped-tk) feeds all three policy reductions —
+      // checkpoint so the corpus is read and tokenized ONCE (the
+      // frame is 16 bytes/doc; three re-scans of text cost far more)
       val base = docs(s, dir).select(col("doc_id"),
         least(TextOps.tokenCount(col("text")).cast("long"), lit(512L)).as("tk"))
+        .localCheckpoint()
       val padMax = base
         .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("long").as("tokens"),
           (count(lit(1)) * lit(512L)).as("cost"))
