@@ -2022,6 +2022,31 @@ object DataPipelineQueries {
         labelPred = col("lang") === "en" && col("n_chars") >= 200,
         trainPred = col("doc_id") % 2 === 0)),
 
+    // CALIBRATION curve of the same trained classifier (the SAME
+    // TextOps.qualityScores kernel as the confusion table — one
+    // scorer, no drift): held-out docs rank into ten EQUAL-FREQUENCY
+    // score bins (the standard calibration construction; the mean
+    // posterior concentrates in a ~14k-wide band by the law of large
+    // numbers — measured — so fixed-width deciles collapse to one
+    // bucket), per bin the actual-positive rate and the score range —
+    // does a higher-scored bin really hold more positives. Ranking
+    // rides globalRank (never a single-partition window); integer
+    // bin math; the one rate division IEEE-exact on identical trees.
+    "q_quality_calibration" -> ((s, dir) => {
+      val sc = TextOps.qualityScores(docs(s, dir), "doc_id", "text",
+        labelPred = col("lang") === "en" && col("n_chars") >= 200,
+        trainPred = col("doc_id") % 2 === 0)
+      val n = sc.agg(count(lit(1)).as("n"))
+      ScaleOps.globalRank(sc.crossJoin(n), col("score"), col("__id"), "rk")
+        .withColumn("bucket", expr("((rk - 1) * 10) DIV n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("__label"), 1L).otherwise(0L)).as("n_positive"),
+          min(col("score")).as("lo_score"), max(col("score")).as("hi_score"))
+        .withColumn("positive_rate",
+          col("n_positive").cast("double") / col("docs").cast("double"))
+    }),
+
     // BPE tokenizer training — first-iteration pair statistics
     // (value-oracled: the distributed pair-count kernel every merge
     // round reuses) and the full merge-table training loop
@@ -4750,6 +4775,45 @@ object DataPipelineQueries {
         | CAST(COUNT(*) AS BIGINT) AS docs,
         | CAST(SUM(score) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_score
         |FROM s2 GROUP BY 1, 2""".stripMargin,
+
+    // the q_quality_classifier CTE chain through the per-doc score,
+    // bucketed instead of confusion-tabled
+    "q_quality_calibration" ->
+      """WITH base AS (
+        | SELECT doc_id, (lang = 'en' AND n_chars >= 200) AS label,
+        |  (doc_id % 2 = 0) AS train,
+        |  regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |tok AS (
+        | SELECT DISTINCT doc_id, label, train, tok
+        | FROM (SELECT doc_id, label, train, unnest(t) AS tok FROM base)),
+        |dfs AS (
+        | SELECT tok, CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS dfl,
+        |  CAST(COUNT(*) AS BIGINT) AS dfa
+        | FROM tok WHERE train GROUP BY tok),
+        |vocab AS (
+        | SELECT tok, (1000000 * (dfl + 1)) // (dfa + 2) AS w
+        | FROM dfs ORDER BY dfa DESC, tok ASC LIMIT 5000),
+        |sc AS (
+        | SELECT t.doc_id, t.label, COUNT(v.w) AS m,
+        |  CAST(COALESCE(SUM(v.w), 0) AS BIGINT) AS sw
+        | FROM tok t LEFT JOIN vocab v USING (tok) WHERE NOT t.train
+        | GROUP BY t.doc_id, t.label),
+        |s2 AS (
+        | SELECT doc_id, label,
+        |  CASE WHEN m = 0 THEN 500000 ELSE sw // m END AS score
+        | FROM sc),
+        |r AS (SELECT label, score,
+        |  ROW_NUMBER() OVER (ORDER BY score ASC, doc_id ASC) AS rk FROM s2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r)
+        |SELECT ((rk - 1) * 10) // n.n AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS docs,
+        | CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        | CAST(MIN(score) AS BIGINT) AS lo_score,
+        | CAST(MAX(score) AS BIGINT) AS hi_score,
+        | CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE) AS positive_rate
+        |FROM r CROSS JOIN n GROUP BY 1""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH toks AS (

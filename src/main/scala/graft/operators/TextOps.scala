@@ -919,7 +919,23 @@ object TextOps {
     * groups (doc_id) with two longs. Text itself never shuffles. */
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                         labelPred: Column, trainPred: Column,
-                        maxVocab: Int = 5000): DataFrame = {
+                        maxVocab: Int = 5000): DataFrame =
+    qualityScores(docs, idCol, textCol, labelPred, trainPred, maxVocab)
+      .groupBy((col("score") > 500000L).as("predicted"),
+        col("__label").as("actual"))
+      .agg(count(lit(1)).as("docs"), sum(col("score")).as("__ss"))
+      .withColumn("avg_score", expr("__ss DIV docs"))
+      .drop("__ss")
+
+  /** the ONE scorer behind [[qualityClassifier]]'s confusion table
+    * and the calibration census (q_quality_calibration): train the
+    * capped-vocab df-posterior on the train split, return every
+    * held-out doc as (__id, __label, score ∈ [0, 10^6]) — a
+    * threshold or bucketing change downstream can never drift the
+    * model itself. */
+  def qualityScores(docs: DataFrame, idCol: String, textCol: String,
+                    labelPred: Column, trainPred: Column,
+                    maxVocab: Int = 5000): DataFrame = {
     val tok = docs.select(col(idCol).as("__id"), labelPred.as("__label"),
         trainPred.as("__train"), explode(tokens(col(textCol))).as("__tok"))
       .distinct()
@@ -937,10 +953,6 @@ object TextOps {
       .agg(count(col("__w")).as("__m"), sum(col("__w")).as("__sw"))
       .withColumn("score", when(col("__m") === 0L, lit(500000L))
         .otherwise(expr("__sw DIV __m")))
-      .groupBy((col("score") > 500000L).as("predicted"),
-        col("__label").as("actual"))
-      .agg(count(lit(1)).as("docs"), sum(col("score")).as("__ss"))
-      .withColumn("avg_score", expr("__ss DIV docs"))
-      .drop("__ss")
+      .select(col("__id"), col("__label"), col("score"))
   }
 }

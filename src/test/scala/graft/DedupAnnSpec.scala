@@ -1742,6 +1742,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows.head._2 > 0, "no pairs at this SF — the dial is vacuous")
   }
 
+  test("q_quality_calibration: buckets partition the confusion table's held-out mass") {
+    val cal = SparkEntry.queries("q_quality_calibration")(spark, sf).collect()
+    val conf = SparkEntry.queries("q_quality_classifier")(spark, sf).collect()
+    // one scorer behind both surfaces: total held-out docs and total
+    // actual positives must agree exactly
+    assert(cal.map(_.getAs[Long]("docs")).sum ==
+      conf.map(_.getAs[Long]("docs")).sum)
+    assert(cal.map(_.getAs[Long]("n_positive")).sum ==
+      conf.filter(_.getAs[Boolean]("actual")).map(_.getAs[Long]("docs")).sum)
+    cal.foreach { r =>
+      val rate = r.getAs[Double]("positive_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_positive") <= r.getAs[Long]("docs"))
+    }
+    // equal-frequency construction: exactly ten bins, balanced ±1
+    assert(cal.length == 10, s"expected 10 rank bins, got ${cal.length}")
+    val sizes = cal.map(_.getAs[Long]("docs"))
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(", "))
+    // and the score axis is real: the top bin ends above where the
+    // bottom bin starts (the model orders SOMETHING)
+    val byB = cal.map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(byB(9L).getAs[Long]("hi_score") > byB(0L).getAs[Long]("lo_score"))
+  }
+
   test("q_novelty_scale: the xxh64 twin reports the identical census") {
     // the census counts distincts and min carriers, never hash
     // values — so the production-key twin must equal the md5 oracle
