@@ -1559,6 +1559,44 @@ object DataPipelineQueries {
     "q_novelty" -> ((s, dir) =>
       noveltyCensus(docs(s, dir), seg => md5(seg))),
 
+    // Directed COPY MATRIX — whose text does each source re-serve:
+    // for every re-served 8-token segment (carried by a doc that is
+    // not its first carrier), one (origin source → re-serving
+    // source) cell with distinct segments and re-serving docs. The
+    // provenance companion of q_novelty (which says a source
+    // re-serves old text; this says WHOSE — mirror detection, the
+    // directed refinement of q_dedup_cross_source's undirected
+    // whole-doc census; the diagonal is within-source boilerplate).
+    // Scale shape: this report NEEDS the segment-keyed join-back the
+    // novelty census avoids (the cell is a property of the
+    // (origin, re-server) PAIR) — the join carries (h, first_id,
+    // origin) only, text never shuffles, and the matrix aggregate is
+    // sources² rows.
+    "q_copy_matrix" -> ((s, dir) => {
+      val segs = docs(s, dir)
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .filter(size(col("__ws")) >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.segments8(col("__ws"))).as("seg"))
+        .select(col("doc_id"), col("source"), md5(col("seg")).as("h"))
+        .distinct()
+        .localCheckpoint() // feeds first-carrier resolution AND the matrix join
+      val first = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      // rename the origin-resolution side up front: segs appears on
+      // both sides of the matrix join (the analyzer's self-join
+      // ambiguity check requires disjoint attribute sets)
+      val origin = segs
+        .select(col("h").as("oh"), col("doc_id").as("oid"),
+          col("source").as("origin"))
+        .join(first, col("oh") === first("h") && col("oid") === col("first_id"))
+        .select(col("oh"), col("first_id"), col("origin"))
+      segs.join(origin, col("h") === col("oh"))
+        .filter(col("doc_id") =!= col("first_id"))
+        .groupBy(col("origin"), col("source"))
+        .agg(countDistinct(col("h")).as("segments"),
+          countDistinct(col("doc_id")).as("reserving_docs"))
+    }),
+
     // the PRODUCTION hash for the same census: xxhash64 segment keys
     // (2-5× cheaper than the md5 oracle formulation at 100 TB —
     // 8-byte keys through both exchanges instead of 32-hex). Any
@@ -4307,6 +4345,27 @@ object DataPipelineQueries {
         | CAST(SUM(n_segs) AS BIGINT) AS segs,
         | CAST(SUM(n_novel) AS BIGINT) AS novel_segs
         |FROM pd GROUP BY source, bucket""".stripMargin,
+
+    // same segment frame; the matrix join carries (h, first_id,
+    // origin) only
+    "q_copy_matrix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents
+        | WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |segs AS (SELECT DISTINCT doc_id, source,
+        |  md5(unnest(list_transform(range((len(w)+7)//8),
+        |    i -> array_to_string(w[i*8+1 : i*8+8], ' ')))) AS h
+        | FROM t),
+        |f AS (SELECT h, MIN(doc_id) AS first_id FROM segs GROUP BY h),
+        |org AS (SELECT s.h, f.first_id, s.source AS origin
+        |        FROM segs s JOIN f ON s.h = f.h AND s.doc_id = f.first_id)
+        |SELECT o.origin, s.source,
+        | CAST(COUNT(DISTINCT s.h) AS BIGINT) AS segments,
+        | CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS reserving_docs
+        |FROM segs s JOIN org o ON s.h = o.h
+        |WHERE s.doc_id <> o.first_id
+        |GROUP BY o.origin, s.source""".stripMargin,
 
     "q_quality_survival" ->
       """WITH b AS (SELECT doc_id,

@@ -1766,6 +1766,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byB(9L).getAs[Long]("hi_score") > byB(0L).getAs[Long]("lo_score"))
   }
 
+  test("q_copy_matrix: planted re-servings land in the right directed cells") {
+    val spark2 = spark
+    import spark2.implicits._
+    val seg1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val seg2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val dir = java.nio.file.Files.createTempDirectory("copymatrix").toString
+    Seq(
+      (1L, "srcA", seg1),            // origin of seg1
+      (2L, "srcB", seg1),            // re-serves A's text
+      (3L, "srcB", seg1),            // second B re-server, same cell
+      (4L, "srcA", s"$seg1 $seg2"),  // diagonal: A re-serves A; originates seg2
+      (5L, "srcC", seg2)             // re-serves doc 4's seg2: A → C
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cells = SparkEntry.queries("q_copy_matrix")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("origin"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("segments"), r.getAs[Long]("reserving_docs")))).toMap
+    assert(cells == Map(
+      ("srcA", "srcB") -> ((1L, 2L)),
+      ("srcA", "srcA") -> ((1L, 1L)),
+      ("srcA", "srcC") -> ((1L, 1L))), cells)
+  }
+
   test("q_novelty_scale: the xxh64 twin reports the identical census") {
     // the census counts distincts and min carriers, never hash
     // values — so the production-key twin must equal the md5 oracle
