@@ -2194,6 +2194,28 @@ object DataPipelineQueries {
             .as("head_share"))
     }),
 
+    // Term-FREQUENCY SPECTRUM (frequency-of-frequencies): how many
+    // distinct terms occur exactly/within k times, with their token
+    // mass — the raw material of Zipf/Heaps vocabulary diagnostics
+    // and the number behind "how much tail would a min-frequency
+    // vocab cutoff drop" (q_vocab_stats reports the hapax point;
+    // this is the whole curve). Banded buckets keep the output
+    // bounded at any corpus size. Two bounded aggregates: terms
+    // shuffle once for tf, the spectrum is a 9-row census; all
+    // integer.
+    "q_freq_spectrum" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      tf.withColumn("bucket",
+          when(col("tf") <= 5, col("tf"))
+            .when(col("tf") <= 10, 6L).when(col("tf") <= 100, 7L)
+            .when(col("tf") <= 1000, 8L).otherwise(9L))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("tf")).cast("long").as("token_mass"))
+    }),
+
     // Per-source vocabulary DRIFT vs the corpus-wide unigram
     // distribution: total-variation distance 0.5·Σ|p_s(w) − p(w)|,
     // with the absent-word mass folded in analytically
@@ -4932,6 +4954,17 @@ object DataPipelineQueries {
         |SELECT source, change, COUNT(*) AS n_docs,
         | CAST(SUM(delta) AS BIGINT) AS token_delta
         |FROM j GROUP BY source, change""".stripMargin,
+
+    "q_freq_spectrum" ->
+      """WITH tf AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY term)
+        |SELECT CASE WHEN tf <= 5 THEN tf
+        |  WHEN tf <= 10 THEN 6 WHEN tf <= 100 THEN 7
+        |  WHEN tf <= 1000 THEN 8 ELSE 9 END AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_terms,
+        | CAST(SUM(tf) AS BIGINT) AS token_mass
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q_vocab_drift" ->
       """WITH w AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w

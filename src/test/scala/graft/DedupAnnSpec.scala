@@ -1766,6 +1766,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byB(9L).getAs[Long]("hi_score") > byB(0L).getAs[Long]("lo_score"))
   }
 
+  test("q_freq_spectrum: spectrum totals reconcile with q_vocab_stats exactly") {
+    val spec = SparkEntry.queries("q_freq_spectrum")(spark, sf).collect()
+    val vs = SparkEntry.queries("q_vocab_stats")(spark, sf).collect().head
+    assert(spec.map(_.getAs[Long]("n_terms")).sum ==
+      vs.getAs[Long]("vocab_size"))
+    assert(spec.map(_.getAs[Long]("token_mass")).sum ==
+      vs.getAs[Long]("total_tokens"))
+    // the synthetic corpus may have no hapax terms at this SF — the
+    // bucket-1 row is then absent and q_vocab_stats must read 0
+    spec.find(_.getAs[Long]("bucket") == 1L) match {
+      case Some(hapax) =>
+        assert(hapax.getAs[Long]("n_terms") == vs.getAs[Long]("hapax_terms"))
+        assert(hapax.getAs[Long]("token_mass") == hapax.getAs[Long]("n_terms"),
+          "a tf=1 term must contribute exactly one token")
+      case None =>
+        assert(vs.getAs[Long]("hapax_terms") == 0L,
+          "spectrum lost the hapax row")
+    }
+  }
+
   test("q_copy_matrix: planted re-servings land in the right directed cells") {
     val spark2 = spark
     import spark2.implicits._
