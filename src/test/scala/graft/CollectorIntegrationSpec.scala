@@ -265,6 +265,92 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("doc_id")).sorted.mkString(", "))
   }
 
+  test("training-prep capstone: normalize -> url refetch dedup -> soft weights -> shard, one yaml == the programmatic composition") {
+    import graft.operators.{TextOps, ScaleOps}
+    val out = java.nio.file.Files.createTempDirectory("prep_out").toString + "/shards"
+    // the arc a training-prep run files: fold confusables, collapse
+    // refetches by canonical URL, weight remaining exact-dup content
+    // 1/n instead of dropping, then the deterministic global shuffle
+    val yaml =
+      s"""pipelines:
+         |  corpus/prep:
+         |    receiver:
+         |      type: table
+         |      dir: "/root/testdata/sf0.001"
+         |      table: documents
+         |    processors:
+         |      - type: upsert
+         |        name: text
+         |        expr: "text || CASE WHEN doc_id % 5 = 0 THEN '\\u200B' ELSE '' END"
+         |      - type: upsert
+         |        name: url_raw
+         |        expr: "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.S-' || (doc_id % 25) || '.EX.COM:80/p?utm_x=1&a=2' ELSE 'http://s-' || (doc_id % 25) || '.ex.com/p?a=2' END"
+         |      - type: text_normalize
+         |        text: text
+         |      - type: url_canon
+         |        url: url_raw
+         |      - type: dedup_exact
+         |        id: doc_id
+         |        text: url_canon
+         |      - type: dedup_soft
+         |        text: text
+         |      - type: shuffle_shard
+         |        id: doc_id
+         |        shards: 4
+         |        seed: prep1
+         |        portable: true
+         |      - type: select
+         |        exprs: ["doc_id", "shard", "pos", "weight", "text"]
+         |    exporters:
+         |      - type: jsonl
+         |        path: "$out"
+         |""".stripMargin
+    graft.pipeline.ConfigLoader.fromYaml(yaml).run(spark)
+    val got = spark.read.json(out)
+      .select(col("doc_id").cast("long"), col("shard").cast("long"),
+        col("pos").cast("long"), col("weight").cast("double"),
+        md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    assert(got.nonEmpty)
+    // refetch dedup by canonical URL: 25 logical URLs → 25 survivors
+    assert(got.size == 25, s"expected 25 refetch survivors, got ${got.size}")
+    // the programmatic composition of the SAME operators
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0, "\u200B").otherwise("")))
+      .withColumn("url_raw",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW.S-"), col("doc_id") % 25,
+            lit(".EX.COM:80/p?utm_x=1&a=2")))
+          .otherwise(concat(lit("http://s-"), col("doc_id") % 25,
+            lit(".ex.com/p?a=2"))))
+      .withColumn("text", TextOps.normalizeConfusables(col("text")))
+      .withColumn("url_canon", TextOps.urlCanon(col("url_raw")))
+    val keep = base.withColumn("__cth", md5(col("url_canon")))
+    val mins = keep.groupBy(col("__cth")).agg(min(col("doc_id")).as("__keep"))
+    val kept = keep.join(mins, "__cth")
+      .filter(col("doc_id") === col("__keep")).drop("__cth", "__keep")
+    val soft = {
+      val withH = kept.withColumn("__h", md5(col("text")))
+      val counts = withH.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      withH.join(counts, "__h")
+        .withColumn("weight", lit(1.0) / col("__n").cast("double"))
+        .drop("__h", "__n")
+    }
+    val prog = ScaleOps.shuffleShard(soft, "doc_id", 4, "prep1", portable = true)
+      .select(col("doc_id").cast("long"), col("shard").cast("long"),
+        col("pos").cast("long"), col("weight"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    assert(got == prog, s"config ${got.size} rows vs programmatic ${prog.size}")
+    // the normalize stage did real work ahead of the weight stamp:
+    // planted zero-widths folded away, so no text ends with one
+    assert(!spark.read.json(out).collect()
+      .exists(_.getAs[String]("text").endsWith("\u200B")),
+      "zero-width survived the fold")
+  }
+
   test("config: dedup_soft stamps 1/n weights without dropping rows") {
     // collapse docs into 7 content classes; every row survives with
     // weight exactly 1/class-size (the q_dedup_soft reweighting as a
