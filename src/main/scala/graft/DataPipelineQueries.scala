@@ -1106,6 +1106,34 @@ object DataPipelineQueries {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // SOFT dedup at the NEAR-dup level — the q_dedup_soft policy
+    // applied to CC clusters instead of exact-hash clusters: every
+    // doc keeps weight 1/|its CC cluster| (singletons 1), per-source
+    // raw vs effective token mass. Coarser clusters can only shrink
+    // a doc's weight (its exact cluster is a subset of its CC
+    // cluster), so per source eff_near ≤ eff_exact — spec-pinned.
+    // Scale shape: the pair graph and CC are the shared bounded
+    // kernels; docs join components on the id (left — non-members
+    // weigh 1); text never shuffles past the map-side token count.
+    "q_dedup_soft_near" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("tk"))
+      val comp = DedupOps.connectedComponents(nearDupPairs(s, dir))
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csz"))
+      d.join(comp.withColumnRenamed("id", "doc_id").join(sizes, "component")
+            .select(col("doc_id"), col("csz")),
+          Seq("doc_id"), "left")
+        .select(col("source"), col("tk"),
+          (col("tk").cast("double") /
+            coalesce(col("csz"), lit(1L)).cast("double")).as("eff"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tk")).cast("long").as("raw_tokens"),
+          dsum(col("eff")).as("eff_tokens"))
+        .withColumn("eff_ratio",
+          col("eff_tokens") / col("raw_tokens").cast("double"))
+    }),
+
     // Near-dup cluster PURITY: does duplication stay inside one
     // source or span several (the near-dup refinement of the
     // exact-hash q_dedup_cross_source census — templated spam and
@@ -4140,6 +4168,27 @@ object DataPipelineQueries {
       """SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | COUNT(DISTINCT lang) AS n_langs
         |FROM documents WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin),
+
+    // the CC closure with per-doc 1/cluster-size weights; identical
+    // division trees, DECIMAL-routed sums (the q_dedup_soft twin)
+    "q_dedup_soft_near" ->
+      (CcClosureSql + ",\n" +
+      """sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csz
+        |       FROM comp GROUP BY component),
+        |dd AS (SELECT d.source,
+        |  CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS tk,
+        |  COALESCE(sz.csz, 1) AS n
+        | FROM documents d
+        | LEFT JOIN comp ON d.doc_id = comp.id
+        | LEFT JOIN sz ON comp.component = sz.component),
+        |j AS (SELECT source, tk,
+        |  CAST(tk AS DOUBLE) / CAST(n AS DOUBLE) AS eff FROM dd)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(tk) AS BIGINT) AS raw_tokens,
+        | CAST(SUM(CAST(eff AS DECIMAL(28,8))) AS DOUBLE) AS eff_tokens,
+        | CAST(SUM(CAST(eff AS DECIMAL(28,8))) AS DOUBLE)
+        |  / CAST(SUM(tk) AS DOUBLE) AS eff_ratio
+        |FROM j GROUP BY source""".stripMargin),
 
     // the CC closure with per-component distinct-source counts
     "q_dedup_cluster_purity" ->

@@ -1915,6 +1915,45 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(eff == 4.0 + 6.0 + 2.0, s"effective mass $eff != deduped mass")
   }
 
+  test("q_dedup_soft_near: CC-cluster weights, closed-form and dominated by exact-soft") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A,B,C identical (tk 8), D a one-token edit (jaccard 5/7 with
+    // each — over the 0.5 pair bar), E unrelated: the CC cluster is
+    // {A,B,C,D} (size 4) though the EXACT cluster is only {A,B,C}
+    val x = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val xNear = "x1 x2 x3 x4 x5 x6 x7 yz"
+    val dir = java.nio.file.Files.createTempDirectory("softnear").toString
+    Seq((1L, "srcA", x), (2L, "srcA", x), (3L, "srcA", x),
+      (4L, "srcA", xNear), (5L, "srcB", "u1 u2 u3 u4 u5 u6 u7 u8")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val near = SparkEntry.queries("q_dedup_soft_near")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // srcA: four docs at weight 1/4, 8 tokens each → eff 8.0
+    assert(near("srcA").getAs[Long]("n_docs") == 4 &&
+      near("srcA").getAs[Long]("raw_tokens") == 32 &&
+      near("srcA").getAs[Double]("eff_tokens") == 8.0)
+    // the singleton keeps weight 1
+    assert(near("srcB").getAs[Double]("eff_tokens") == 8.0)
+    // dominance vs exact-soft: coarser clusters only shrink weights
+    val exact = SparkEntry.queries("q_dedup_soft")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("eff_tokens")).toMap
+    assert(exact("srcA") == 16.0) // {A,B,C} counts once + D alone
+    assert(near("srcA").getAs[Double]("eff_tokens") <= exact("srcA"))
+    // and on the sf corpus, per source, the same dominance holds
+    val sfNear = SparkEntry.queries("q_dedup_soft_near")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("eff_tokens")).toMap
+    val sfExact = SparkEntry.queries("q_dedup_soft")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("eff_tokens")).toMap
+    sfNear.foreach { case (src, eff) =>
+      assert(eff <= sfExact(src) + 1e-9, s"$src: near $eff > exact ${sfExact(src)}")
+    }
+  }
+
   test("q_novelty: first-carrier buckets match the planted overlap") {
     val spark2 = spark
     import spark2.implicits._
