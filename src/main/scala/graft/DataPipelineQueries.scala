@@ -1310,6 +1310,39 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // Embedding DRIFT between two snapshots — the embedding-space QA
+    // a pipeline runs before REUSING an ANN index / centroids across
+    // corpus or model versions: per label cluster, the L2 distance
+    // between the two views' per-dimension mean vectors (the
+    // centroid shift), with each side's population. Snapshot pair
+    // derives deterministically (the q_corpus_churn synthesis on
+    // vec_id). Decimal-exact per-dim means (the IVF-build
+    // discipline), squared diffs on identical trees, the cross-dim
+    // sum DECIMAL-routed, one final IEEE sqrt. Scale shape: the
+    // exchanges carry labels × dims mean partials (map-side
+    // combined), never vectors; the drift table is labels-sized.
+    "q_embed_drift" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+      val b = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      def means(df: DataFrame, nm: String) =
+        df.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("col").cast(
+              org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
+            count(lit(1))).as(nm))
+      val ssq = means(a, "ma").join(means(b, "mb"), Seq("label", "pos"))
+        .select(col("label"),
+          ((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("d2"))
+        .groupBy(col("label")).agg(dsum(col("d2")).as("ssq"))
+      val ca = a.groupBy(col("label")).agg(count(lit(1)).as("n_a"))
+      val cb = b.groupBy(col("label")).agg(count(lit(1)).as("n_b"))
+      ssq.join(ca, "label").join(cb, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          sqrt(col("ssq")).as("mean_shift"))
+    }),
+
     // PQ quantization-distortion report: per subspace the k-means
     // objective (mean squared L2 to the nearest code word) and the
     // code usage — the (m, ksub) tuning measurement before trusting
@@ -3871,6 +3904,30 @@ object DataPipelineQueries {
         |SELECT qid, nid, rk FROM (
         | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
         | FROM cand) WHERE rk <= 10""".stripMargin,
+
+    // decimal-exact per-dim means (the IVF-build discipline), the
+    // cross-dim sum DECIMAL-routed, one final sqrt
+    "q_embed_drift" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |a AS (SELECT label, u[2] AS pos,
+        |  CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS ma
+        | FROM (SELECT label, unnest(list_zip(e, range(1, len(e)+1))) AS u
+        |       FROM v WHERE vec_id % 10 <> 9) x GROUP BY 1, 2),
+        |b AS (SELECT label, u[2] AS pos,
+        |  CAST(SUM(CAST(u[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mb
+        | FROM (SELECT label, unnest(list_zip(e, range(1, len(e)+1))) AS u
+        |       FROM v WHERE vec_id % 10 <> 0) x GROUP BY 1, 2),
+        |d AS (SELECT a.label, (a.ma - b.mb) * (a.ma - b.mb) AS d2
+        |      FROM a JOIN b USING (label, pos)),
+        |ss AS (SELECT label, CAST(SUM(CAST(d2 AS DECIMAL(28,8))) AS DOUBLE) AS ssq
+        |       FROM d GROUP BY label),
+        |ca AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_a
+        |       FROM v WHERE vec_id % 10 <> 9 GROUP BY label),
+        |cb AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_b
+        |       FROM v WHERE vec_id % 10 <> 0 GROUP BY label)
+        |SELECT ss.label, ca.n_a, cb.n_b, sqrt(ssq) AS mean_shift
+        |FROM ss JOIN ca USING (label) JOIN cb USING (label)""".stripMargin,
 
     // the q_ann_pq training CTEs verbatim through b2, then the
     // assignment with its distortion exposed instead of the search

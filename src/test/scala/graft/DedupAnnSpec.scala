@@ -1821,6 +1821,28 @@ class DedupAnnSpec extends AnyFunSuite {
       "xxh64 twin diverged from the md5 census")
   }
 
+  test("q_embed_drift: zero on unchanged clusters; a planted outlier shifts closed-form") {
+    val spark2 = spark
+    import spark2.implicits._
+    // label 0: ids 0..9 all [1.0]*64 except id 9 = [3.0]*64 — id 9
+    // exists only in view b (a drops %10==9), so view a's mean is
+    // exactly 1.0/dim and view b's is 11/9: shift = sqrt(64·(2/9)²)
+    // = 16/9. label 1: ids 10..19 identical → decimal means equal
+    // bit-for-bit → shift exactly 0.0.
+    val dir = java.nio.file.Files.createTempDirectory("embdrift").toString
+    ((0 until 9).map(i => (i.toLong, 0, Seq.fill(64)(1.0f))) ++
+      Seq((9L, 0, Seq.fill(64)(3.0f))) ++
+      (10 until 20).map(i => (i.toLong, 1, Seq.fill(64)(2.0f))))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q_embed_drift")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(rows(1).getAs[Double]("mean_shift") == 0.0)
+    assert(rows(0).getAs[Long]("n_a") == 9 && rows(0).getAs[Long]("n_b") == 9)
+    assert(math.abs(rows(0).getAs[Double]("mean_shift") - 16.0 / 9.0) < 1e-6,
+      rows(0).toString)
+  }
+
   test("q_pq_distortion: a 16-pattern corpus quantizes losslessly; the sf corpus does not") {
     val spark2 = spark
     import spark2.implicits._
