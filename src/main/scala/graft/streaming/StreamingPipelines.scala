@@ -1189,6 +1189,57 @@ object StreamingPipelines {
       }
   }
 
+  final case class TermSeen(n: Int)
+
+  /** Streaming VOCAB-GROWTH monitor — Heaps law live: how fast does
+    * the vocabulary still grow as ingest proceeds (a source whose
+    * curve flattens is re-serving its lexicon; the live view of
+    * q_vocab_stats' vocab/hapax scalars and q_freq_spectrum's first
+    * buckets). State per term is a SATURATING occurrence class
+    * (1 = hapax, 2 = repeated — nothing above 2 matters to the
+    * scalars), so emissions are TRANSITIONS only: `new` when a term
+    * is first seen, `repeat` when it leaves hapax — at most two rows
+    * per distinct term over the stream's whole life, whatever the
+    * token volume. Running vocabulary = Σ new; running hapax =
+    * Σ new − Σ repeat (convergence to the batch scalars over the
+    * trigger union is spec-pinned). One stateful operator; the
+    * tokenize + explode runs map-side. `ttlMs` bounds the term space
+    * for unbounded ingest (an expired term re-enters as new — the
+    * streamingLineDedup trade). */
+  def streamingVocabGrowth(spark: SparkSession,
+                           docs: DataFrame, textCol: String,
+                           ttlMs: Option[Long] = None)
+      : Dataset[(String, String)] = {
+    import spark.implicits._
+    val terms = docs.select(explode(
+        graft.operators.TextOps.tokens(col(textCol))).as("term"))
+      .as[String].map(t => (t, 1)) // carrier tuple; count rides the iterator
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[TermSeen, (String, String)](
+        OutputMode.Append, timeout) {
+        (term: String, rows: Iterator[(String, Int)],
+         state: GroupState[TermSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var k = 0
+            while (rows.hasNext && k < 2) { rows.next(); k += 1 }
+            if (k == 0) Iterator.empty
+            else {
+              val before = state.getOption.map(_.n).getOrElse(0)
+              val after = math.min(2, before + k)
+              if (after != before) state.update(TermSeen(after))
+              ttlMs.foreach(t => state.setTimeoutDuration(t))
+              val events =
+                (if (before == 0) Seq("new") else Seq.empty) ++
+                  (if (before <= 1 && after == 2) Seq("repeat") else Seq.empty)
+              events.iterator.map(e => (term, e))
+            }
+          }
+      }
+  }
+
   final case class SplitsSeen(splits: Seq[String])
 
   /** Streaming split-leakage GUARD: the live twin of

@@ -26,6 +26,25 @@ class KernelPropertySpec extends AnyFunSuite {
     else ws.sliding(n).map(_.mkString(" ")).toSeq.distinct
   }
 
+  test("segments8 matches the grouped(8) reference on arbitrary token arrays") {
+    // the kernel three surfaces share (q_split_leakage, q_novelty,
+    // both streaming guards): consecutive 8-token windows, last
+    // allowed short — must equal plain Scala grouped(8) exactly,
+    // including the 1-token and exact-multiple edges
+    val arrGen = Gen.nonEmptyListOf(word).map(_.take(40))
+    val cases = samples(arrGen, 120) ++
+      Seq(Seq("a"), (1 to 8).map(i => s"w$i"), (1 to 16).map(i => s"w$i"),
+        (1 to 17).map(i => s"w$i")).map(_.toList)
+    val df = cases.zipWithIndex.map { case (ws, i) => (i, ws) }
+      .toDF("i", "ws")
+      .select(col("i"), graft.operators.TextOps.segments8(col("ws")).as("segs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case (ws, i) =>
+      val expect = ws.grouped(8).map(_.mkString(" ")).toSeq
+      assert(df(i) == expect, s"case $i: ${df(i)} != $expect")
+    }
+  }
+
   test("bm25 matches a driver-side reference implementation (rational idf)") {
     import org.apache.spark.sql.functions.col
     val terms = Seq("spark", "join", "window")

@@ -1471,6 +1471,49 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vocab growth converges to the batch vocab and hapax scalars") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[String]
+    val out = StreamingPipelines.streamingVocabGrowth(spark,
+      ms.toDF().toDF("text"), "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("vocab_out").start()
+    try {
+      ms.addData(b1.map(_._2).toSeq); q.processAllAvailable()
+      ms.addData(b2.map(_._2).toSeq); q.processAllAvailable()
+      val ev = spark.sql("SELECT _1, _2 FROM vocab_out").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val newTerms = ev.count(_._2 == "new")
+      val repeats = ev.count(_._2 == "repeat")
+      // batch twin over the union: q_vocab_stats' scalars
+      val vs = SparkEntry.queries("q_vocab_stats")(
+        spark, "/root/testdata/sf0.001").collect().head
+      assert(newTerms.toLong == vs.getAs[Long]("vocab_size"),
+        s"running vocab $newTerms != batch ${vs.getAs[Long]("vocab_size")}")
+      assert((newTerms - repeats).toLong == vs.getAs[Long]("hapax_terms"),
+        s"running hapax ${newTerms - repeats}")
+      // transition discipline: at most one `new` and one `repeat`
+      // per term, and a `repeat` always has its `new`
+      val byTerm = ev.groupBy(_._1)
+      assert(byTerm.values.forall(es =>
+        es.count(_._2 == "new") == 1 && es.count(_._2 == "repeat") <= 1))
+      // cross-trigger transition teeth: a planted term goes hapax in
+      // one trigger and leaves hapax in the NEXT
+      ms.addData(Seq("zzqplanted")); q.processAllAvailable()
+      ms.addData(Seq("zzqplanted")); q.processAllAvailable()
+      val planted = spark.sql(
+          "SELECT _2 FROM vocab_out WHERE _1 = 'zzqplanted'")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(planted == Seq("new", "repeat"), planted)
+    } finally q.stop()
+  }
+
   test("streaming split-leakage guard flags exactly the batch census's segment pairs") {
     val spark2 = spark
     import spark2.implicits._
