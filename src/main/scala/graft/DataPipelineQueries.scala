@@ -1318,9 +1318,12 @@ object DataPipelineQueries {
     // derives deterministically (the q_corpus_churn synthesis on
     // vec_id). Decimal-exact per-dim means (the IVF-build
     // discipline), squared diffs on identical trees, the cross-dim
-    // sum DECIMAL-routed, one final IEEE sqrt. Scale shape: the
-    // exchanges carry labels × dims mean partials (map-side
-    // combined), never vectors; the drift table is labels-sized.
+    // sum DECIMAL-routed, one final IEEE sqrt. A label present in
+    // only ONE view has no shift to measure and is deliberately
+    // absent (inner joins — population churn is q_corpus_churn's
+    // job, not this report's). Scale shape: the exchanges carry
+    // labels × dims mean partials (map-side combined), never
+    // vectors; the drift table is labels-sized.
     "q_embed_drift" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
