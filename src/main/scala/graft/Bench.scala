@@ -196,9 +196,14 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
     val (wall, results) = runSuite(spark, sfDir, slots, sfPriors)
-    // persist this leg's walls as the next run's priors
+    // persist this leg's walls as the next run's priors — SUCCESSES
+    // only: a failed query's near-zero fast-failure wall would
+    // schedule it LAST next run, and when it then succeeds it
+    // straggles alone in the slot tail (exactly the inflation the
+    // priors exist to prevent); an unknown name leads as heavy,
+    // which is the right treatment for a previously-failed query
     try java.nio.file.Files.writeString(priorsFile,
-      results.map { case (k, v, _) => s"\"$k\":$v" }
+      results.collect { case (k, v, None) => s"\"$k\":$v" }
         .mkString("{", ",", "}"))
     catch { case _: Exception => () }
     def jstr(s: String): String = QUtil.jsonEscape(s)

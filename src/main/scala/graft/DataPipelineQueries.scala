@@ -697,12 +697,12 @@ object DataPipelineQueries {
     val segd = d
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 1)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, (size(__ws) + 7) DIV 8 - 1), " +
-          "i -> named_struct('idx', i, " +
-          "'seg', concat_ws(' ', slice(__ws, i * 8 + 1, 8))))")).as("s"))
-      .select(concat(col("doc_id"), lit(":"), col("s.idx")).as("sid"),
-        col("s.seg").as("seg"))
+      // posexplode over the ONE shared segmentation kernel — this
+      // was a third hand-written copy of the 8-token windows before
+      // the review wave (identical values; the position IS the idx)
+      .select(col("doc_id"), posexplode(TextOps.segments8(col("__ws"))))
+      .select(concat(col("doc_id"), lit(":"), col("pos")).as("sid"),
+        col("col").as("seg"))
     val bits = segd.select(col("sid"), bitsOf(col("seg")).as("bits"))
     DedupOps.simhashNearDupPairs(bits, "sid", "bits", maxHamming = 6,
         nBits = nBits, chunkBits = chunkBits)
@@ -5495,7 +5495,8 @@ object DataPipelineQueries {
         |  len(synth) - len(regexp_replace(synth, '[0-9]', '', 'g')) AS digits
         | FROM s),
         |d AS (SELECT planted, synth,
-        |  CASE WHEN code_syms * 1000 >= chars * 50 THEN 'code'
+        |  CASE WHEN chars = 0 THEN 'prose'
+        |       WHEN code_syms * 1000 >= chars * 50 THEN 'code'
         |       WHEN digits * 1000 >= chars * 150 THEN 'table'
         |       ELSE 'prose' END AS detected
         | FROM m)
@@ -5748,12 +5749,14 @@ object DataPipelineQueries {
         |        ELSE 'a=' || (doc_id % 3) || '&utm_source=feed&b=' || (doc_id % 2) END) ||
         |  (CASE WHEN doc_id % 3 = 1 THEN '#s' || (doc_id % 6) ELSE '' END) AS url_raw
         | FROM documents),
+        |u2 AS (SELECT doc_id, url_raw,
+        |  regexp_replace(url_raw, '#.*', '') AS nofrag FROM u),
         |p AS (SELECT doc_id, url_raw,
-        |  lower(regexp_extract(url_raw, '^([^:]+)://', 1)) AS scheme,
-        |  regexp_extract(url_raw, '^[^:]+://([^/?#]+)', 1) AS hostport,
-        |  regexp_extract(url_raw, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path0,
-        |  regexp_extract(url_raw, '\?([^#]*)', 1) AS q
-        | FROM u),
+        |  lower(regexp_extract(nofrag, '^([^:]+)://', 1)) AS scheme,
+        |  regexp_extract(nofrag, '^[^:]+://([^/?#]+)', 1) AS hostport,
+        |  regexp_extract(nofrag, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |  regexp_extract(nofrag, '\?([^#]*)', 1) AS q
+        | FROM u2),
         |c AS (SELECT doc_id, url_raw, scheme,
         |  regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)), '^www\.', '') AS host,
         |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,

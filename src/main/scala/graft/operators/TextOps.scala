@@ -24,10 +24,16 @@ object TextOps {
     * allowed short. ⌈n/8⌉ via exact double division (int-sized
     * counts, truncation = floor — the chunkDocs discipline). */
   def segments8(ws: Column): Column =
-    transform(
-      sequence(lit(0),
-        ((size(ws) + lit(7)).cast("double") / lit(8.0)).cast("int") - lit(1)),
-      i => concat_ws(" ", slice(ws, i * lit(8) + lit(1), lit(8))))
+    // empty-array guard: sequence(0, -1) DESCENDS in Spark ([0, -1]),
+    // which would fabricate two phantom "" segments. tokens() never
+    // returns an empty array (the [""] contract above), but a caller
+    // passing a FILTERED token array must get [] — review-wave
+    // finding, property-swept including this edge
+    when(size(ws) === 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0),
+          ((size(ws) + lit(7)).cast("double") / lit(8.0)).cast("int") - lit(1)),
+        i => concat_ws(" ", slice(ws, i * lit(8) + lit(1), lit(8)))))
 
   /** BPE-ish subword segmentation: letter runs, digit runs, and
     * punctuation runs (each optionally space-prefixed) — the GPT-2
@@ -493,7 +499,12 @@ object TextOps {
     val chars = length(text)
     val codeSyms = chars - length(regexp_replace(text, "[;{}()=<>\\[\\]]", ""))
     val digits = chars - length(regexp_replace(text, "[0-9]", ""))
-    when(codeSyms * 1000 >= chars * 50, "code")
+    // zero-length text first: 0 ≥ 0 would satisfy the code-density
+    // test and route empty docs to the code pipeline (and make empty
+    // classify differently from NULL, which falls through to prose)
+    // — review-wave finding, mirrored in the DuckDB twin
+    when(chars === 0, "prose")
+      .when(codeSyms * 1000 >= chars * 50, "code")
       .when(digits * 1000 >= chars * 150, "table")
       .otherwise("prose")
   }
@@ -508,13 +519,19 @@ object TextOps {
     * RE2-and-Java-identical so the DuckDB oracle runs the same
     * surgery verbatim. (No collector analog — LLM-pipeline side.) */
   def urlCanon(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([^:]+)://", 1))
-    val hostport = regexp_extract(url, "^[^:]+://([^/?#]+)", 1)
+    // the fragment drops FIRST: RFC 3986 allows '?' inside a
+    // fragment, so parsing the query from the raw string would
+    // resurrect fragment text as query params ('/p#sec?a=1' must
+    // canonicalize to '/p', not '/p?a=1' — review-wave finding,
+    // property-swept)
+    val nofrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(nofrag, "^([^:]+)://", 1))
+    val hostport = regexp_extract(nofrag, "^[^:]+://([^/?#]+)", 1)
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val path0 = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    val path0 = regexp_extract(nofrag, "^[^:]+://[^/?#]+([^?#]*)", 1)
     val path = when(path0.endsWith("/") && length(path0) > 1,
       path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
-    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val q = regexp_extract(nofrag, "\\?([^#]*)", 1)
     val qc = array_join(array_sort(filter(split(q, "&"),
       x => x =!= lit("") && !x.startsWith("utm_"))), "&")
     val portC = when(port === "" ||

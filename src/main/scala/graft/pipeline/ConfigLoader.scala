@@ -1039,8 +1039,14 @@ object ConfigLoader {
     // SOFT-dedup weight stamp: weight = 1/n over each exact-duplicate
     // cluster (q_dedup_soft's reweighting as a pipeline stage — keep
     // every row, shrink its sampling mass instead of dropping; the
-    // shard writer downstream consumes the weight). One content-hash
-    // aggregate joined back as (hash, n) — text never reshuffles.
+    // shard writer downstream consumes the weight). Stamping a
+    // per-ROW column means the full frame joins the (hash, n) counts
+    // on the content hash — like the dedup_exact stage above, the
+    // row frame (text included) exchanges once on __cth at scale
+    // (AQE broadcasts the counts side only when it is small). The
+    // REPORT-shaped q_dedup_soft query is the tuned form (aggregates
+    // to (h, source) partials first); a stage that must emit rows
+    // cannot avoid bringing n to the row.
     case "dedup_soft" => df => {
       import org.apache.spark.sql.functions.{md5, count, lit}
       val wcol = m.get("as").map(_.toString).getOrElse("weight")

@@ -274,13 +274,16 @@ final class PromTelemetryServer(
   private def esc(v: String): String =
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
-  /** label NAMES must match [a-zA-Z_:][a-zA-Z0-9_:]* — semconv dim
-    * keys (net.sock.peer.addr) carry dots, and the otel Prometheus
-    * exporter's sanitizer maps every invalid rune to '_' (the
-    * exposition would otherwise be unparseable by any scraper) */
+  /** label NAMES must match [a-zA-Z_][a-zA-Z0-9_]* — stricter than
+    * METRIC names, which also allow ':' (the Prometheus data model
+    * draws exactly that distinction). Semconv dim keys
+    * (net.sock.peer.addr) carry dots, custom resource keys can carry
+    * colons; the otel Prometheus exporter's sanitizer maps every
+    * invalid rune to '_' (the exposition would otherwise be
+    * unparseable by any scraper). */
   private def lbl(k: String): String = {
     val s = k.map(c =>
-      if (c.isLetterOrDigit && c < 128 || c == '_' || c == ':') c else '_')
+      if (c.isLetterOrDigit && c < 128 || c == '_') c else '_')
     if (s.nonEmpty && s.head.isDigit) "_" + s else s
   }
 

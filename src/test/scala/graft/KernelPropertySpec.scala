@@ -33,8 +33,8 @@ class KernelPropertySpec extends AnyFunSuite {
     // including the 1-token and exact-multiple edges
     val arrGen = Gen.nonEmptyListOf(word).map(_.take(40))
     val cases = samples(arrGen, 120) ++
-      Seq(Seq("a"), (1 to 8).map(i => s"w$i"), (1 to 16).map(i => s"w$i"),
-        (1 to 17).map(i => s"w$i")).map(_.toList)
+      Seq(Seq.empty[String], Seq("a"), (1 to 8).map(i => s"w$i"),
+        (1 to 16).map(i => s"w$i"), (1 to 17).map(i => s"w$i")).map(_.toList)
     val df = cases.zipWithIndex.map { case (ws, i) => (i, ws) }
       .toDF("i", "ws")
       .select(col("i"), graft.operators.TextOps.segments8(col("ws")).as("segs"))
@@ -507,6 +507,17 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(exactHits >= 285, s"only $exactHits/300 exact at low load")
   }
 
+  test("contentType: empty and NULL text both read prose") {
+    // 0 ≥ 0 satisfied the code-density test before the review wave,
+    // routing empty docs to the code pipeline while NULL fell
+    // through to prose — the two must agree
+    val got = Seq(("", "e"), (null: String, "n"), ("plain words here", "p"))
+      .toDF("t", "k")
+      .select(col("k"), graft.operators.TextOps.contentType(col("t")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("e") == "prose" && got("n") == "prose" && got("p") == "prose")
+  }
+
   test("urlCanon: each messy-URL surgery rule matches its closed form") {
     import graft.operators.TextOps
     val cases = Seq(
@@ -524,7 +535,11 @@ class KernelPropertySpec extends AnyFunSuite {
       ("http://example.com/", "http://example.com/"),
       // empty path stays empty; all-tracking query drops the '?' too
       ("http://example.com?utm_a=1", "http://example.com"),
-      ("http://example.com/p?utm_a=1&utm_b=2", "http://example.com/p"))
+      ("http://example.com/p?utm_a=1&utm_b=2", "http://example.com/p"),
+      // RFC 3986: '?' is LEGAL inside a fragment — the fragment must
+      // drop whole, never resurrect as a query (review-wave finding)
+      ("http://example.com/p#sec?a=1", "http://example.com/p"),
+      ("http://example.com/p?b=2#sec?a=1", "http://example.com/p?b=2"))
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), TextOps.urlCanon(col("u")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
