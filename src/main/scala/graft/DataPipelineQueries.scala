@@ -16,14 +16,15 @@ object DataPipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
-  /** The ONE novelty-census kernel behind q_novelty (md5, oracled)
-    * and q_novelty_scale (xxhash64, the production key width): the
-    * segment stream reduces along two independent key paths and the
-    * only join is doc-sized — see the q_novelty registration comment
-    * and the PLANS.md exemplar. `hash` maps the segment text to its
-    * key; any practically-injective choice yields the identical
-    * census (twin-spec-pinned). */
-  private def noveltyCensus(d: DataFrame, hash: Column => Column): DataFrame = {
+  /** The ONE novelty-census kernel behind q_novelty (md5, oracled),
+    * q_novelty_scale (xxhash64, the production key width) and the
+    * `novelty_report` config stage: the segment stream reduces along
+    * two independent key paths and the only join is doc-sized — see
+    * the q_novelty registration comment and the PLANS.md exemplar.
+    * `hash` maps the segment text to its key; any
+    * practically-injective choice yields the identical census
+    * (twin-spec-pinned). Input columns: doc_id, source, text. */
+  def noveltyCensus(d: DataFrame, hash: Column => Column): DataFrame = {
     val segs = d
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 1)

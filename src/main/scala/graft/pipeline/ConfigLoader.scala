@@ -1056,6 +1056,21 @@ object ConfigLoader {
         .withColumn(wcol, lit(1.0) / col("__n").cast("double"))
         .drop("__cth", "__n")
     }
+    // first-occurrence novelty census as a REPORT stage (q_novelty's
+    // kernel verbatim — md5 keys, the doc-sized-join shape): files
+    // the per-(source, bucket) novelty table for the frame flowing
+    // through, e.g. at the end of an ingest arc before curation
+    case "novelty_report" => df => {
+      val idc = str(m, "id"); val txc = str(m, "text")
+      val src = m.get("source").map(_.toString).getOrElse("source")
+      require(df.columns.contains(src),
+        s"novelty_report source column '$src' not in the frame " +
+          "(pass source: <column> — the census is per-source)")
+      graft.DataPipelineQueries.noveltyCensus(
+        df.select(col(idc).cast("long").as("doc_id"),
+          col(src).as("source"), expr(txc).as("text")),
+        seg => org.apache.spark.sql.functions.md5(seg))
+    }
     // exact dedup, keep-first: one shuffle on the content hash
     case "dedup_exact" => df => {
       import org.apache.spark.sql.functions.{md5, min}

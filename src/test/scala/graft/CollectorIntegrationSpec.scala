@@ -351,6 +351,19 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       "zero-width survived the fold")
   }
 
+  test("config: novelty_report stage files exactly q_novelty's census") {
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"docs/novelty": {
+         | "receiver": {"type": "table", "dir": "/root/testdata/sf0.001", "table": "documents"},
+         | "processors": [{"type": "novelty_report", "id": "doc_id", "text": "text"}],
+         | "exporters": []}}}""".stripMargin)
+    val got = svc.pipelines("docs/novelty").plan(spark)
+    val q = SparkEntry.queries("q_novelty")(spark, "/root/testdata/sf0.001")
+    assert(got.count() > 0)
+    assert(got.exceptAll(q).isEmpty && q.exceptAll(got).isEmpty,
+      "config report diverged from q_novelty")
+  }
+
   test("config: dedup_soft stamps 1/n weights without dropping rows") {
     // collapse docs into 7 content classes; every row survives with
     // weight exactly 1/class-size (the q_dedup_soft reweighting as a
