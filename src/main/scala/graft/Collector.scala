@@ -225,7 +225,15 @@ object Collector {
           // the configured sampler mode decides what it records —
           // the default record-only parent-based composition keeps
           // spans zpages-visible without marking them sampled)
-          val tracer = new graft.pipeline.SelfTrace.Tracer(svc.telemetrySampler)
+          // traces::processors realized BEFORE the tracer so every
+          // recorded span of the run reaches them (batch processors
+          // exporting the service's own spans — console or OTLP; the
+          // sampler below gates what actually exports)
+          val spanProcs = svc.telemetrySpanProcessors.map(c =>
+            c.realize(spark, svc.telemetryResource, out))
+          spanProcs.foreach(_ => lifecycle("started batch span processor"))
+          val tracer = new graft.pipeline.SelfTrace.Tracer(
+            svc.telemetrySampler, processors = spanProcs)
           // extension lifecycle brackets the data path (reference
           // service.go: extensions start first, stop last)
           svc.startExtensions()
@@ -259,6 +267,7 @@ object Collector {
           val obsReg = new graft.pipeline.Obsreport.Registry
           var readerSrvs: Seq[graft.pipeline.PromTelemetryServer] = Nil
           var periodicWriters: Seq[graft.pipeline.PeriodicMetricsWriter] = Nil
+          var otlpPushers: Seq[graft.pipeline.SelfTelemetryOtlp.PeriodicOtlpPusher] = Nil
           try {
             // service::telemetry::metrics::address: the self-metrics
             // Prometheus endpoint (telemetry.go:202-206). The
@@ -342,6 +351,17 @@ object Collector {
                   transports = transportsThunk, obsreport = obsreportThunk)
                 lifecycle(s"telemetry periodic console reader " +
                   s"every ${p.intervalMs} ms")
+              case p: graft.pipeline.Extensions.PeriodicOtlpReader =>
+                // the OTLP push reader: same healthFrame, same level
+                // gate, shipped to a remote backend through the
+                // existing otlp client machinery
+                otlpPushers :+= new graft.pipeline.SelfTelemetryOtlp
+                  .PeriodicOtlpPusher(svc, spark, p.intervalMs,
+                    graft.pipeline.SelfTelemetryOtlp.metricExporter(p.otlp),
+                    transports = transportsThunk, obsreport = obsreportThunk)
+                lifecycle(s"telemetry periodic otlp push to " +
+                  s"${p.otlp.endpoint} (${p.otlp.protocol}) " +
+                  s"every ${p.intervalMs} ms")
             }
             val recovered = svc.recover(spark)
             recovered.foreach { case (name, st) =>
@@ -392,6 +412,15 @@ object Collector {
               lifecycle(s"drained ${queries.size} streaming pipeline(s)")
             }
           } finally {
+            // self-telemetry exits FIRST, while receivers still
+            // accept: the final metric push and span flush may
+            // loop back into a receiver of this very service
+            otlpPushers.foreach(p =>
+              try p.stop() // final export (periodic reader Shutdown)
+              catch { case scala.util.control.NonFatal(_) => () })
+            spanProcs.foreach(p =>
+              try p.shutdown() // stop loop + final flush
+              catch { case scala.util.control.NonFatal(_) => () })
             periodicWriters.foreach(w =>
               try w.stop()
               catch { case scala.util.control.NonFatal(_) => () })

@@ -205,6 +205,25 @@ object DataPipelineQueries {
           .as("mix_after"))
   }
 
+  /** the q_dedup_venn kernel — the dedup-family agreement census
+    * over the SAME shared flag frame as the fused verdict, extracted
+    * so the `dedup_venn_report` config stage files the identical
+    * table a capstone run's curation yaml reads (r14 verdict #7:
+    * the agreement measurement belongs next to the fused mixture it
+    * justifies; one implementation, capstone-spec-pinned equal). */
+  def vennDedupReport(d: DataFrame, minLen: Int = 15, dfCap: Int = 50,
+                      jaccard: Double = 0.5, shingle: Int = 3,
+                      cutFrac: Double = 0.05): DataFrame =
+    dedupFlagFrame(d, minLen, dfCap, jaccard, shingle)
+      .select(coalesce(col("__ex"), lit(false)).as("f_exact"),
+        coalesce(col("__near"), lit(false)).as("f_near"),
+        (coalesce(col("__cut"), lit(0L)).cast("double") /
+          col("n_toks").cast("double") >= cutFrac).as("f_cut"),
+        col("n_toks"))
+      .groupBy(col("f_exact"), col("f_near"), col("f_cut"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"))
+
   /** tokenized frame feeding both the anchor selection and the
     * extension verify, with the position-packing guard */
   private[graft] def spanTokens(docsDf: DataFrame): DataFrame = {
@@ -832,8 +851,14 @@ object DataPipelineQueries {
       // (the frame is the pair graph itself: bounded, tiny)
       val pairs = nearDupPairs(s, dir).localCheckpoint()
       val grid = Seq(50, 60, 70, 80, 90).toDF("t_pct")
+      // INTEGER cutoff comparison (r14 advice): jaccard*100 >= t_pct
+      // in doubles misclassifies a pair at exactly the cutoff
+      // (7/10 → 0.7*100 = 69.999…), and the oracle computes the same
+      // tree so it cannot catch the boundary. inter*100 >= t_pct*union
+      // is the identical predicate in exact integer arithmetic.
       val j = pairs.crossJoin(broadcast(grid))
-        .filter(col("jaccard") * lit(100.0) >= col("t_pct").cast("double"))
+        .filter(col("inter") * lit(100L) >=
+          col("t_pct").cast("long") * col("union_sz"))
         .select(col("t_pct"), col("id_a"), col("id_b"))
       val np = j.groupBy(col("t_pct")).agg(count(lit(1)).as("n_pairs"))
       val da = j.select(col("t_pct"), explode(
@@ -1092,7 +1117,10 @@ object DataPipelineQueries {
 
     // exact word-3-gram Jaccard near-dup pairs (sql-oracled)
     "q_ngram_jaccard" -> ((s, dir) => {
+      // project union_sz away: the oracle's pair schema is
+      // (id_a, id_b, inter, jaccard)
       nearDupPairs(s, dir)
+        .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
     }),
 
     // end-to-end dedup application: exact-jaccard pairs -> connected
@@ -1212,18 +1240,7 @@ object DataPipelineQueries {
     // (dedupFlagFrame) and the same oracle CTE prefix as the fused
     // report, so the two surfaces cannot disagree on what each
     // family flags.
-    "q_dedup_venn" -> ((s, dir) => {
-      dedupFlagFrame(docs(s, dir), minLen = 15, dfCap = 50,
-          jaccard = 0.5, shingle = 3)
-        .select(coalesce(col("__ex"), lit(false)).as("f_exact"),
-          coalesce(col("__near"), lit(false)).as("f_near"),
-          (coalesce(col("__cut"), lit(0L)).cast("double") /
-            col("n_toks").cast("double") >= 0.05).as("f_cut"),
-          col("n_toks"))
-        .groupBy(col("f_exact"), col("f_near"), col("f_cut"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks").cast("long")).as("n_tokens"))
-    }),
+    "q_dedup_venn" -> ((s, dir) => vennDedupReport(docs(s, dir))),
 
     // connected components over the near-dup pair graph: per-cluster
     // membership stats (component = min doc_id reachable)
@@ -1681,16 +1698,13 @@ object DataPipelineQueries {
     // cumulative view is an 11×11 threshold join, never a
     // single-partition window.
     "q_quality_survival" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val base = docs(s, dir).select(col("doc_id"),
-          TextOps.tokenCount(col("text")).as("n_tokens"),
-          TextOps.wordlistHits(toks, TextOps.EnStop).as("stop_hits"))
-        .filter(col("n_tokens") >= 1)
-        // cutoff granularity 20‰, capped at 200‰: the corpus's score
-        // mass lives in 0-150‰ (measured) — a 50‰ grid collapsed the
-        // curve to two points
-        .withColumn("score", expr("stop_hits * 1000 DIV n_tokens"))
-        .withColumn("bucket", least(expr("score DIV 20"), lit(10L)))
+      // cutoff granularity 20‰, capped at 200‰: the corpus's score
+      // mass lives in 0-150‰ (measured) — a 50‰ grid collapsed the
+      // curve to two points. Bucketing via the ONE shared kernel the
+      // streaming survival monitor also runs (TextOps.survivalBuckets
+      // — r15: one scorer, no drift between the curve and its live twin)
+      val base = TextOps.survivalBuckets(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("bucket"))
       val perB = base.groupBy(col("bucket")).agg(
         count(lit(1)).as("nd"), sum(col("n_tokens")).cast("long").as("tk"))
       val tot = base.agg(count(lit(1)).as("tot_docs"),
@@ -4208,13 +4222,14 @@ object DataPipelineQueries {
         |   ELSE [] END AS shs FROM w),
         |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
+        |  CAST(COUNT(*) AS BIGINT) AS inter,
+        |  CAST(ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*) AS BIGINT) AS un
         | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         | GROUP BY a.doc_id, b.doc_id
         | HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.5),
         |grid AS (SELECT unnest([50, 60, 70, 80, 90]) AS t_pct),
         |j AS (SELECT g.t_pct, p.id_a, p.id_b FROM p JOIN grid g
-        |      ON p.jaccard * 100.0 >= CAST(g.t_pct AS DOUBLE)),
+        |      ON p.inter * 100 >= CAST(g.t_pct AS BIGINT) * p.un),
         |np AS (SELECT t_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1),
         |da AS (SELECT t_pct, CAST(COUNT(*) AS BIGINT) AS docs_affected FROM (
         |  SELECT DISTINCT t_pct, id FROM (

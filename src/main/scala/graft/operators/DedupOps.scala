@@ -599,10 +599,16 @@ object DedupOps {
       .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"),
         first(col("p.a.sz")).as("sz_a"), first(col("p.b.sz")).as("sz_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .withColumn("union_sz",
+        (col("sz_a") + col("sz_b") - col("inter")).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+      // union_sz rides along so downstream threshold comparisons can
+      // stay in integers (inter*100 >= t_pct*union) — a pair at
+      // exactly a grid cutoff must not fall to float rounding
+      // (r14 advice on q_dedup_threshold_sweep)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_sz"),
+        col("jaccard"))
   }
 
   // ---- ExactSubstr span-cut kernel (Lee et al. APPLY) --------------

@@ -28,8 +28,11 @@ object TextOps {
     // which would fabricate two phantom "" segments. tokens() never
     // returns an empty array (the [""] contract above), but a caller
     // passing a FILTERED token array must get [] — review-wave
-    // finding, property-swept including this edge
-    when(size(ws) === 0, array().cast("array<string>")).otherwise(
+    // finding, property-swept including this edge. `<= 0`, not `=== 0`
+    // (r14 advice): size(NULL) is -1, and a NULL token array (NULL
+    // text upstream) would otherwise ride the descend path and
+    // fabricate a phantom "" segment shared by every null-text doc
+    when(size(ws) <= 0, array().cast("array<string>")).otherwise(
       transform(
         sequence(lit(0),
           ((size(ws) + lit(7)).cast("double") / lit(8.0)).cast("int") - lit(1)),
@@ -58,6 +61,22 @@ object TextOps {
 
   val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   val EsStop = Seq("el", "la", "de", "y", "en", "es", "los", "que")
+
+  /** Shared survival-curve bucketing kernel (q_quality_survival AND
+    * the streaming survival monitor — one scorer, the calibration/
+    * classifier discipline): integer stopword-per-mille surrogate
+    * (LOW = high quality, the q_budget_select score), 20‰-grid
+    * bucket capped at 10. Adds `n_tokens` + `bucket` to the frame;
+    * null/empty-token docs are filtered (the census's n>=1 guard).
+    * Integral DIV throughout — double division truncates ~1e-8 of
+    * boundary rows the wrong way (the Ottl.timeFromUnixNano class). */
+  def survivalBuckets(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("__stop_hits", wordlistHits(tokens(col(textCol)), EnStop))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket",
+        least(expr("__stop_hits * 1000 DIV n_tokens DIV 20"), lit(10L)))
+      .drop("__stop_hits")
   val DeStop = Seq("der", "die", "das", "und", "zu", "ist", "den", "von")
 
   /** n-gram/stopword language-ID heuristic: argmax of per-language

@@ -577,14 +577,29 @@ object ConfigLoader {
               val exp = p.get("exporter").map(asMap).getOrElse(
                 throw new IllegalArgumentException(
                   "periodic metric reader requires an exporter block"))
-              if (!exp.contains("console"))
-                throw new IllegalArgumentException(
-                  "periodic metric reader supports exporter: {console: {}} " +
-                    "only (otlp push is not supported)")
               val iv = p.get("interval").map(_.asInstanceOf[Number].longValue()).getOrElse(60000L)
               require(iv > 0,
                 s"periodic metric reader interval must be positive, got $iv")
-              Extensions.PeriodicConsoleReader(intervalMs = iv)
+              // console → the jsonl line writer; otlp → the push
+              // reader over the existing otlp_http/otlp_grpc client
+              // machinery (proctelemetry initPeriodicExporter accepts
+              // exactly these two; anything else is
+              // errNoValidMetricExporter)
+              (exp.get("console"), exp.get("otlp")) match {
+                case (Some(_), None) =>
+                  Extensions.PeriodicConsoleReader(intervalMs = iv)
+                case (None, Some(o)) =>
+                  val push = parseOtlpPush(asMap(o),
+                    timeoutKey = p.get("timeout")
+                      .map(_.asInstanceOf[Number].longValue()))
+                  Extensions.PeriodicOtlpReader(intervalMs = iv, otlp = push)
+                case (Some(_), Some(_)) => throw new IllegalArgumentException(
+                  "periodic metric reader declares BOTH console and otlp " +
+                    "exporters — pick one")
+                case (None, None) => throw new IllegalArgumentException(
+                  "periodic metric reader requires exporter: {console: {}} " +
+                    "or exporter: {otlp: {endpoint, protocol}}")
+              }
             case (Some(_), Some(_)) => throw new IllegalArgumentException(
               "metric reader declares BOTH pull and periodic — pick one")
             case (None, None) => throw new IllegalArgumentException(
@@ -649,6 +664,53 @@ object ConfigLoader {
         .flatMap(_.get("traces")).map(asMap)
         .flatMap(_.get("sampler")).map(s => SelfTrace.parseSampler(asMap(s)))
         .getOrElse(SelfTrace.DefaultAlwaysRecord)
+    // service::telemetry::traces::processors (config.go:123-125 +
+    // generated_config.go:560-566 SpanProcessor): how the service's
+    // OWN spans leave the process. `batch:` only (the reference's
+    // SpanProcessor.Unmarshal refuses anything else — config.go:
+    // 158: "unsupported span processor type"); its exporter is
+    // console OR otlp (generated_config.go:390-396 SpanExporter).
+    // The configured sampler above gates what exports — sampler
+    // before processor, telemetry.go:46-50.
+    val telemetrySpanProcessors: Seq[SelfTelemetryOtlp.SpanProcessorConf] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("traces")).map(asMap)
+        .flatMap(_.get("processors")).toSeq
+        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
+        .map { p0 =>
+          val p = asMap(p0)
+          val b = p.get("batch").map(asMap).getOrElse(
+            throw new IllegalArgumentException(
+              s"unsupported span processor type ${p.keys.mkString(",")} " +
+                "(batch only)"))
+          val exp = b.get("exporter").map(asMap).getOrElse(
+            throw new IllegalArgumentException(
+              "field exporter in BatchSpanProcessor: required"))
+          val target: Either[Unit, SelfTelemetryOtlp.OtlpPush] =
+            (exp.get("console"), exp.get("otlp")) match {
+              case (Some(_), None) => Left(())
+              case (None, Some(o)) => Right(parseOtlpPush(asMap(o)))
+              case (Some(_), Some(_)) => throw new IllegalArgumentException(
+                "batch span processor declares BOTH console and otlp " +
+                  "exporters — pick one")
+              case (None, None) => throw new IllegalArgumentException(
+                "invalid exporter configuration (console or otlp)")
+            }
+          val conf = SelfTelemetryOtlp.SpanProcessorConf(
+            exporter = target,
+            scheduleDelayMs = b.get("schedule_delay")
+              .map(_.asInstanceOf[Number].longValue()).getOrElse(5000L),
+            maxQueueSize = b.get("max_queue_size")
+              .map(_.asInstanceOf[Number].intValue()).getOrElse(2048),
+            maxExportBatchSize = b.get("max_export_batch_size")
+              .map(_.asInstanceOf[Number].intValue()).getOrElse(512),
+            exportTimeoutMs = b.get("export_timeout")
+              .map(_.asInstanceOf[Number].longValue()))
+          require(conf.scheduleDelayMs > 0 && conf.maxQueueSize > 0 &&
+            conf.maxExportBatchSize > 0,
+            "batch span processor sizes/delay must be positive")
+          conf
+        }
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -743,7 +805,7 @@ object ConfigLoader {
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result, extInstances, telemetryLevel, telemetryResource,
       telemetryAddress, telemetryLogs, telemetryReaders, telemetryViews,
-      telemetrySampler)
+      telemetrySampler, telemetrySpanProcessors)
   }
 
   /** extension factory: the instance name's type prefix (before an
@@ -804,6 +866,39 @@ object ConfigLoader {
     o.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
 
   private def str(m: Map[String, Object], k: String): String = m(k).toString
+
+  /** `exporter: {otlp: {...}}` block of a periodic metric reader or
+    * batch span processor (generated_config.go Otlp/OtlpMetric):
+    * endpoint + protocol REQUIRED (the generated unmarshaler's
+    * "field X: required"); headers/compression optional; the
+    * certificate trio maps onto the existing configtls client shape
+    * (certificate → ca, client_certificate/client_key → identity). */
+  private def parseOtlpPush(o: Map[String, Object],
+                            timeoutKey: Option[Long] = None)
+      : SelfTelemetryOtlp.OtlpPush = {
+    val endpoint = o.get("endpoint").map(_.toString).getOrElse(
+      throw new IllegalArgumentException("field endpoint in Otlp: required"))
+    val protocol = o.get("protocol").map(_.toString).getOrElse(
+      throw new IllegalArgumentException("field protocol in Otlp: required"))
+    val tlsKeys = Seq("certificate", "client_certificate", "client_key")
+      .flatMap(k => o.get(k).map(k -> _.toString))
+    val tls =
+      if (tlsKeys.isEmpty) None
+      else Some(graft.sources.Tls.fromMap(tlsKeys.map {
+        case ("certificate", v)        => "ca_file" -> (v: Object)
+        case ("client_certificate", v) => "cert_file" -> (v: Object)
+        case ("client_key", v)         => "key_file" -> (v: Object)
+      }.toMap))
+    SelfTelemetryOtlp.OtlpPush(
+      protocol = protocol,
+      endpoint = endpoint,
+      headers = o.get("headers").map(asMap).getOrElse(Map.empty)
+        .map { case (k, v) => k -> v.toString },
+      compression = o.get("compression").map(_.toString).getOrElse(""),
+      timeoutMs = o.get("timeout").map(_.asInstanceOf[Number].longValue())
+        .orElse(timeoutKey),
+      tls = tls)
+  }
 
   private def strList(o: Object): Seq[String] =
     o.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
@@ -1048,9 +1143,16 @@ object ConfigLoader {
     // to (h, source) partials first); a stage that must emit rows
     // cannot avoid bringing n to the row.
     case "dedup_soft" => df => {
-      import org.apache.spark.sql.functions.{md5, count, lit}
+      import org.apache.spark.sql.functions.{md5, count, lit, coalesce}
       val wcol = m.get("as").map(_.toString).getOrElse("weight")
-      val withH = df.withColumn("__cth", md5(expr(str(m, "text"))))
+      // coalesce the hash to a sentinel (r14 advice): md5(NULL) is
+      // NULL and an inner join on __cth would silently DROP null-text
+      // rows — contradicting the stage's keep-every-row contract.
+      // With the sentinel, null-text rows form one cluster and
+      // survive with weight 1/n over it. " null " cannot
+      // collide with a real md5 (hex charset).
+      val withH = df.withColumn("__cth",
+        coalesce(md5(expr(str(m, "text"))), lit(" null ")))
       val counts = withH.groupBy(col("__cth")).agg(count(lit(1)).as("__n"))
       withH.join(counts, "__cth")
         .withColumn(wcol, lit(1.0) / col("__n").cast("double"))
@@ -1073,9 +1175,14 @@ object ConfigLoader {
     }
     // exact dedup, keep-first: one shuffle on the content hash
     case "dedup_exact" => df => {
-      import org.apache.spark.sql.functions.{md5, min}
+      import org.apache.spark.sql.functions.{md5, min, lit, coalesce}
       val idc = str(m, "id")
-      val withH = df.withColumn("__cth", md5(expr(str(m, "text"))))
+      // same null-hash sentinel as dedup_soft: without it null-text
+      // rows never match the inner join and silently vanish — neither
+      // kept-first nor counted as duplicates. With it they form one
+      // cluster and the min-id one survives.
+      val withH = df.withColumn("__cth",
+        coalesce(md5(expr(str(m, "text"))), lit(" null ")))
       val keep = withH.groupBy(col("__cth")).agg(min(col(idc)).as("__keep"))
       withH.join(keep, "__cth").filter(col(idc) === col("__keep"))
         .drop("__cth", "__keep")
@@ -1158,6 +1265,36 @@ object ConfigLoader {
       graft.DataPipelineQueries.fusedDedupReport(
         df.select(col(idc).cast("long").as("doc_id"),
           col(src).as("source"), expr(txc).as("text")),
+        minLen = m.get("min_len").map(_.asInstanceOf[Number].intValue()).getOrElse(15),
+        dfCap = m.get("df_cap").map(_.asInstanceOf[Number].intValue()).getOrElse(50),
+        jaccard = m.get("threshold").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.5),
+        shingle = m.get("shingle").map(_.asInstanceOf[Number].intValue()).getOrElse(3),
+        cutFrac = m.get("cut_frac").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.05))
+    }
+    // dedup-family VENN census as a REPORT stage (the q_dedup_venn
+    // kernel verbatim — same shared flag frame as the fused verdict):
+    // files the 8-combination agreement table NEXT TO the fused
+    // mixture it justifies, in the same curation yaml (a family
+    // flagging only subsets of another is paying its cost for
+    // nothing — the filed census is what the next run's config
+    // review reads before dropping a family)
+    case "dedup_venn_report" => df => {
+      val idc = str(m, "id"); val txc = str(m, "text")
+      // CC labels propagate over integral ids (the dedup_near teeth)
+      df.schema(idc).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => ()
+        case other => throw new IllegalArgumentException(
+          s"dedup_venn_report id column '$idc' is $other — connected " +
+            "components need an integral id; derive one first")
+      }
+      // the shared flag frame carries a source column the venn
+      // census never groups on — synthesize one (the census is
+      // corpus-global, unlike the fused per-source mixture)
+      graft.DataPipelineQueries.vennDedupReport(
+        df.select(col(idc).cast("long").as("doc_id"),
+          org.apache.spark.sql.functions.lit("").as("source"),
+          expr(txc).as("text")),
         minLen = m.get("min_len").map(_.asInstanceOf[Number].intValue()).getOrElse(15),
         dfCap = m.get("df_cap").map(_.asInstanceOf[Number].intValue()).getOrElse(50),
         jaccard = m.get("threshold").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.5),

@@ -289,6 +289,12 @@ object Extensions {
   }
   final case class PeriodicConsoleReader(intervalMs: Long)
       extends MetricReader
+  /** periodic reader with an OTLP push exporter
+    * (generated_config.go:142-174 OtlpMetric;
+    * proctelemetry/config.go:249-264) — the service ships its own
+    * metrics to a remote backend on an interval */
+  final case class PeriodicOtlpReader(intervalMs: Long,
+      otlp: SelfTelemetryOtlp.OtlpPush) extends MetricReader
 
   /** Internal-telemetry verbosity (configtelemetry.go Level): how
     * much self-observability the service emits about ITSELF. Applied

@@ -1535,7 +1535,14 @@ object Pipeline {
                            // record-only parent-based composition
                            // (otel_trace_sampler.go alwaysRecord)
                            telemetrySampler: SelfTrace.Sampler =
-                             SelfTrace.DefaultAlwaysRecord) {
+                             SelfTrace.DefaultAlwaysRecord,
+                           // service::telemetry::traces::processors —
+                           // batch span processors exporting the
+                           // service's own spans (console or otlp;
+                           // generated_config.go:560-566); realized by
+                           // the CLI, the sampler gates what exports
+                           telemetrySpanProcessors:
+                             Seq[SelfTelemetryOtlp.SpanProcessorConf] = Nil) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 
     /** extension lifecycle (reference service/extensions/extensions.go:

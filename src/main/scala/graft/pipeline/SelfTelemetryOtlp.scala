@@ -1,0 +1,309 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Self-telemetry OTLP PUSH — the service exporting its OWN metrics
+  * and spans to a remote OTLP endpoint, the reference's
+  * `service::telemetry::metrics::readers: [{periodic: {exporter:
+  * {otlp: ...}}}]` (service/telemetry/generated_config.go:142-174
+  * `OtlpMetric`; service/internal/proctelemetry/config.go:236-265
+  * initPeriodicExporter) and `service::telemetry::traces::processors:
+  * [{batch: {exporter: {otlp: ...}}}]` (generated_config.go:33-49
+  * BatchSpanProcessor, :390-396 SpanExporter, :115-139 Otlp).
+  *
+  * Spark-first adaptation: both signals ride the EXISTING exporter
+  * machinery — the periodic reader pushes the same
+  * [[Pipeline.Service.healthFrame]] the Prometheus endpoint serves
+  * (metricPointSchema rows → [[graft.sources.OtlpHttp.OtlpHttpExporter]]
+  * / [[graft.sources.GrpcOtlp.OtlpGrpcExporter]] with signal
+  * "metrics"), and span export is a real SDK-shaped batch processor
+  * over [[SelfTrace]]'s onEnd hook whose flush converts the buffered
+  * spans to spanSchema rows for the same exporters with signal
+  * "traces". The configured [[SelfTrace.Sampler]] gates what leaves
+  * the process (telemetry.go:46-50 sampler-before-processor order;
+  * otel-go batch_span_processor.go OnEnd drops unsampled spans).
+  */
+object SelfTelemetryOtlp {
+
+  /** proctelemetry/config.go:46-47: the two supported transports.
+    * This reference snapshot names them `http/protobuf` and
+    * `grpc/protobuf`; anything else refuses with the reference's
+    * "unsupported protocol" (config.go:257-258). */
+  val ProtocolHttp = "http/protobuf"
+  val ProtocolGrpc = "grpc/protobuf"
+
+  /** One OTLP push target (generated_config.go Otlp/OtlpMetric:
+    * endpoint + protocol required; headers/compression/timeout
+    * optional; the TLS certificate trio maps onto the existing
+    * configtls client block). */
+  final case class OtlpPush(
+      protocol: String,
+      endpoint: String,
+      headers: Map[String, String] = Map.empty,
+      compression: String = "",
+      timeoutMs: Option[Long] = None,
+      tls: Option[graft.sources.TlsConfig] = None) {
+    require(protocol == ProtocolHttp || protocol == ProtocolGrpc,
+      s"unsupported protocol $protocol " +
+        s"($ProtocolHttp|$ProtocolGrpc)") // proctelemetry config.go:257
+    // otlpmetrichttp accepts gzip|none only (config.go:323-331);
+    // grpc passes the compressor through (gzip in practice — graft's
+    // grpc codec set adds snappy/zstd, which configgrpc also knows)
+    if (protocol == ProtocolHttp)
+      require(compression.isEmpty || compression == "gzip" || compression == "none",
+        s"unsupported compression \"$compression\" (gzip|none)")
+  }
+
+  /** normalizeEndpoint (proctelemetry/config.go:268-273): a bare
+    * host:port gets an http:// scheme so URI parsing works; https
+    * stays https (the TLS path). */
+  def normalizeEndpoint(e: String): String =
+    if (e.startsWith("http://") || e.startsWith("https://")) e
+    else s"http://$e"
+
+  /** build the metrics-signal exporter for a push target — the
+    * existing otlp_http / otlp_grpc client machinery, never a new
+    * transport */
+  def metricExporter(p: OtlpPush): Pipeline.Exporter = exporterFor(p, "metrics")
+
+  /** build the traces-signal exporter for a push target */
+  def spanExporter(p: OtlpPush): Pipeline.Exporter = exporterFor(p, "traces")
+
+  private def exporterFor(p: OtlpPush, signal: String): Pipeline.Exporter = {
+    val uri = java.net.URI.create(normalizeEndpoint(p.endpoint))
+    p.protocol match {
+      case ProtocolHttp =>
+        val base = s"${uri.getScheme}://${uri.getAuthority}"
+        graft.sources.OtlpHttp.OtlpHttpExporter(
+          endpoint = base, signal = signal,
+          compression = if (p.compression == "none") "" else p.compression,
+          headers = p.headers,
+          // WithURLPath (config.go:316-318): an endpoint path replaces
+          // the default /v1/<signal>
+          pathOverride = Option(uri.getPath).filter(s => s.nonEmpty && s != "/")
+            .getOrElse(""),
+          readTimeoutMs = p.timeoutMs.map(_.toInt).getOrElse(30000),
+          tls = p.tls)
+      case ProtocolGrpc =>
+        // otlpmetricgrpc.WithEndpoint takes host:port (config.go:283);
+        // graft's gRPC client carries fixed headers as call metadata
+        // via auth? No — headers are a confighttp surface; the gRPC
+        // SDK's WithHeaders is not modeled by OtlpGrpcExporter, so
+        // refuse rather than silently drop credentials
+        require(p.headers.isEmpty,
+          "grpc/protobuf self-telemetry push does not carry custom " +
+            "headers — use http/protobuf for header-authenticated backends")
+        val port = uri.getPort
+        require(port > 0,
+          s"grpc endpoint '${p.endpoint}' carries no port")
+        graft.sources.GrpcOtlp.OtlpGrpcExporter(
+          host = uri.getHost, port = port, signal = signal,
+          compression = if (p.compression == "none") "" else p.compression,
+          readTimeoutMs = p.timeoutMs.map(_.toInt).getOrElse(30000),
+          tls = p.tls)
+    }
+  }
+
+  // ---- span frame ---------------------------------------------------
+
+  /** ended self-trace spans → OtelModel.spanSchema rows, the frame
+    * shape every OTLP trace surface in graft speaks. kind is
+    * SPAN_KIND_INTERNAL (the SDK default for in-process work);
+    * status maps error→ERROR(2)+message, clean→UNSET(0). */
+  def spansFrame(spark: SparkSession, spans: Seq[SelfTrace.Span],
+                 resource: Map[String, String]): DataFrame = {
+    val res = Map(graft.model.SemConv.AttributeServiceName ->
+      "graft-collector") ++ resource
+    val rows = spans.map { s =>
+      Row(s.traceId, s.spanId, null, s.parentSpanId.orNull, s.name,
+        1 /* INTERNAL */, s.startUnixNano, s.endUnixNano,
+        if (s.error.isDefined) 2 else 0, s.error.orNull,
+        s.attrs, null, null, null, res, "graft")
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      graft.model.OtelModel.spanSchema)
+  }
+
+  /** the `exporter: {console: {}}` span exporter (stdouttrace
+    * analog): one JSON line per span document. Injectable stream so
+    * specs capture deterministically. */
+  final class ConsoleSpanExporter(out: java.io.PrintStream = System.out)
+      extends Pipeline.Exporter {
+    def export(df: DataFrame): Unit = {
+      df.toJSON.collect().foreach(out.println)
+      out.flush()
+    }
+  }
+
+  // ---- batch span processor -----------------------------------------
+
+  /** sdktrace.BatchSpanProcessor over the [[SelfTrace.SpanProcessor]]
+    * seam: bounded queue (maxQueueSize, drop-new-when-full — the
+    * SDK's lossy contract), a daemon drains every scheduleDelayMs or
+    * as soon as maxExportBatchSize spans buffer, each flush exports
+    * ≤ maxExportBatchSize spans per request. Defaults are the SDK's
+    * (2048 / 5000 ms / 512). Only SAMPLED spans enter the queue
+    * (batch_span_processor.go OnEnd) — the configured sampler mode
+    * is therefore the knob that governs what leaves the process. */
+  final class BatchSpanProcessor(
+      spark: SparkSession,
+      exporter: Pipeline.Exporter,
+      resource: Map[String, String] = Map.empty,
+      maxQueueSize: Int = 2048,
+      scheduleDelayMs: Long = 5000L,
+      maxExportBatchSize: Int = 512,
+      autoStart: Boolean = true)
+      extends SelfTrace.SpanProcessor {
+    require(maxQueueSize > 0 && maxExportBatchSize > 0 && scheduleDelayMs > 0,
+      "batch span processor sizes/delay must be positive")
+    private val queue =
+      new java.util.concurrent.LinkedBlockingQueue[SelfTrace.Span](maxQueueSize)
+    private val droppedCount = new java.util.concurrent.atomic.AtomicLong
+    @volatile private var running = true
+
+    def onEnd(span: SelfTrace.Span, sampled: Boolean): Unit = {
+      if (!sampled || !running) return
+      // offer, never put: a full queue drops the NEW span (SDK
+      // semantics — the pipeline must not block on its own telemetry)
+      if (!queue.offer(span)) droppedCount.incrementAndGet()
+      else if (queue.size() >= maxExportBatchSize) wake()
+    }
+
+    def dropped: Long = droppedCount.get()
+    def queued: Int = queue.size()
+
+    private val lock = new Object
+    private def wake(): Unit = lock.synchronized { lock.notifyAll() }
+
+    /** drain + export everything currently buffered; returns spans
+      * exported. Synchronous — the testable kernel, also ForceFlush. */
+    def flushOnce(): Int = this.synchronized {
+      var total = 0
+      var batch = drain()
+      while (batch.nonEmpty) {
+        exporter.export(spansFrame(spark, batch, resource))
+        total += batch.length
+        batch = drain()
+      }
+      total
+    }
+
+    private def drain(): Seq[SelfTrace.Span] = {
+      val buf = new java.util.ArrayList[SelfTrace.Span](maxExportBatchSize)
+      queue.drainTo(buf, maxExportBatchSize)
+      scala.jdk.CollectionConverters.ListHasAsScala(buf).asScala.toSeq
+    }
+
+    override def forceFlush(): Unit = flushOnce()
+
+    private val t = new Thread(() => {
+      while (running) {
+        lock.synchronized { lock.wait(scheduleDelayMs) }
+        if (running)
+          try flushOnce()
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, "graft-batch-span-processor")
+    t.setDaemon(true)
+    if (autoStart) t.start()
+
+    /** SDK Shutdown: stop the loop, then one final flush so buffered
+      * spans are not lost on an orderly exit */
+    override def shutdown(): Unit = {
+      running = false
+      wake()
+      try flushOnce()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  // ---- periodic OTLP metric pusher -----------------------------------
+
+  /** The `periodic: {exporter: {otlp: ...}}` metric reader
+    * (sdkmetric.NewPeriodicReader over an OTLP exporter,
+    * proctelemetry/config.go:249-264): every intervalMs the service's
+    * OWN metrics — the same healthFrame the Prometheus endpoint and
+    * console writer serve, same level gate, same views — push as one
+    * ExportMetricsServiceRequest to the configured endpoint.
+    * pushOnce is the testable kernel the loop drives; stop() does a
+    * final push (the SDK reader's Shutdown exports once more). */
+  final class PeriodicOtlpPusher(
+      service: Pipeline.Service,
+      spark: SparkSession,
+      intervalMs: Long,
+      exporter: Pipeline.Exporter,
+      obs: () => Map[String, Pipeline.QueueObs] = () => Map.empty,
+      transports: () => Map[String, Map[String, Long]] = () => Map.empty,
+      obsreport: () => Obsreport.Registry = () => null,
+      processMetrics: Boolean = true,
+      autoStart: Boolean = true) {
+    require(intervalMs > 0,
+      s"periodic metric reader interval must be positive, got $intervalMs")
+    @volatile private var running = true
+    private val pushedCount = new java.util.concurrent.atomic.AtomicLong
+
+    /** one export pass; returns datapoints pushed (0 at level none) */
+    def pushOnce(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): Int = {
+      if (service.telemetryLevel.rank < Extensions.LevelBasic.rank) return 0
+      val frame = service.healthFrame(spark, timeUnixNano,
+        obs = obs(), transports = transports(),
+        obsreport = obsreport(), processMetrics = processMetrics)
+      val n = frame.count().toInt
+      if (n > 0) exporter.export(frame)
+      pushedCount.addAndGet(n.toLong)
+      n
+    }
+
+    def pushed: Long = pushedCount.get()
+
+    private val t = new Thread(() => {
+      while (running) {
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () }
+        if (running)
+          try pushOnce()
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, "graft-periodic-otlp-metrics")
+    t.setDaemon(true)
+    if (autoStart) t.start()
+
+    def stop(): Unit = {
+      running = false
+      t.interrupt()
+      // final export on shutdown (periodic reader Shutdown contract)
+      try pushOnce()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  // ---- config shapes -------------------------------------------------
+
+  /** one `traces::processors` entry, parsed but not yet realized
+    * (realization needs the SparkSession + resource — Collector's
+    * job). exporter: Left(()) = console, Right(push) = otlp. */
+  final case class SpanProcessorConf(
+      exporter: Either[Unit, OtlpPush],
+      scheduleDelayMs: Long = 5000L,
+      maxQueueSize: Int = 2048,
+      maxExportBatchSize: Int = 512,
+      exportTimeoutMs: Option[Long] = None) {
+    def realize(spark: SparkSession, resource: Map[String, String],
+                out: java.io.PrintStream = System.out,
+                autoStart: Boolean = true): BatchSpanProcessor = {
+      val exp = exporter match {
+        case Left(())    => new ConsoleSpanExporter(out)
+        case Right(push) =>
+          // export_timeout bounds one flush attempt — the OTLP client's
+          // read timeout is the faithful carrier
+          spanExporter(push.copy(timeoutMs =
+            exportTimeoutMs.orElse(push.timeoutMs)))
+      }
+      new BatchSpanProcessor(spark, exp, resource,
+        maxQueueSize = maxQueueSize, scheduleDelayMs = scheduleDelayMs,
+        maxExportBatchSize = maxExportBatchSize, autoStart = autoStart)
+    }
+  }
+}

@@ -197,6 +197,24 @@ object SelfTrace {
                              bucketCounts: Seq[Long],
                              samples: Seq[Span], errorSamples: Seq[Span])
 
+  /** SDK SpanProcessor seam (sdktrace.SpanProcessor OnEnd): every
+    * RECORDED span reaches each registered processor when it ends,
+    * with the sampler's export decision alongside — the otel-go
+    * batch processor drops unsampled spans in OnEnd
+    * (batch_span_processor.go: `if !s.SpanContext().IsSampled()`),
+    * so the SAMPLER is what gates which spans leave the process
+    * (telemetry.go:46-50 sampler-before-processor order). onEnd is
+    * called OUTSIDE the tracer's lock and must be cheap/non-blocking
+    * (a queue offer); export work belongs on the processor's own
+    * thread. */
+  trait SpanProcessor {
+    def onEnd(span: Span, sampled: Boolean): Unit
+    /** drain everything buffered, synchronously (SDK ForceFlush) */
+    def forceFlush(): Unit = ()
+    /** final flush + release resources (SDK Shutdown) */
+    def shutdown(): Unit = ()
+  }
+
   /** a started, not-yet-ended span */
   final class SpanHandle private[SelfTrace] (
       val ref: SpanRef, val name: String, val recording: Boolean,
@@ -225,7 +243,12 @@ object SelfTrace {
 
   final class Tracer(val sampler: Sampler = DefaultAlwaysRecord,
                      maxSamplesPerName: Int = 8,
-                     val nowNano: () => Long = () => defaultNowNano()) {
+                     val nowNano: () => Long = () => defaultNowNano(),
+                     // registered span processors (telemetry::traces::
+                     // processors) — each sees every recorded span at
+                     // end time; the batch processor exports the
+                     // sampled ones via OTLP
+                     val processors: Seq[SpanProcessor] = Nil) {
     private val rng = new java.security.SecureRandom()
     private def hex(bytes: Int): String = {
       val b = new Array[Byte](bytes)
@@ -280,10 +303,17 @@ object SelfTrace {
         s.running += 1 // bump+finish keeps one code path for counts
         finishLocked(s, span)
       }
+      // processors run OUTSIDE the lock (a slow/queue-full processor
+      // must never stall the pipeline's span accounting); children
+      // inherit the parent's sampled fate — the flag the batch
+      // processor's OnEnd gate reads
+      processors.foreach(_.onEnd(span, parent.sampled))
     }
 
-    private[SelfTrace] def finish(h: SpanHandle, span: Span): Unit =
+    private[SelfTrace] def finish(h: SpanHandle, span: Span): Unit = {
       synchronized { finishLocked(stats(span.name), span) }
+      processors.foreach(_.onEnd(span, h.ref.sampled))
+    }
 
     private def finishLocked(s: NameStats, span: Span): Unit = {
       s.running = math.max(0L, s.running - 1)

@@ -671,7 +671,11 @@ object OtlpHttp {
       // attached to every outgoing request; values are configopaque
       // (masked in print-config) because tenant/routing headers
       // routinely carry credentials
-      headers: Map[String, String] = Map.empty)
+      headers: Map[String, String] = Map.empty,
+      // custom URL path (otlpmetrichttp.WithURLPath: a telemetry
+      // endpoint carrying its own path replaces the default
+      // /v1/<signal>); "" keeps the standard OTLP path
+      pathOverride: String = "")
       extends graft.pipeline.Pipeline.Exporter {
 
     // one context per exporter, not per request
@@ -687,7 +691,8 @@ object OtlpHttp {
     }
 
     private def post(body0: Array[Byte]): Unit = {
-      val url = new java.net.URL(endpoint + pathOf(signal))
+      val path = if (pathOverride.nonEmpty) pathOverride else pathOf(signal)
+      val url = new java.net.URL(endpoint + path)
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn match {
         case https: javax.net.ssl.HttpsURLConnection =>

@@ -1160,10 +1160,17 @@ object StreamingPipelines {
                        textCol: String, ttlMs: Option[Long] = None)
       : Dataset[(Long, String, String, Boolean)] = {
     import spark.implicits._
-    val segs = docs.select(col(idCol).cast("long").as("id"),
+    // size(tokens) >= 1 mirrors the batch census's null/empty-text
+    // guard (r14 advice): without it a NULL-text doc's NULL token
+    // array would reach the segment kernel and the monitor would
+    // diverge from q_novelty, which filters these docs out
+    val segs = docs
+      .withColumn("__ws", graft.operators.TextOps.tokens(col(textCol)))
+      .filter(size(col("__ws")) >= 1)
+      .select(col(idCol).cast("long").as("id"),
         col(sourceCol).as("src"),
-        explode(array_distinct(graft.operators.TextOps.segments8(
-          graft.operators.TextOps.tokens(col(textCol))))).as("seg"))
+        explode(array_distinct(
+          graft.operators.TextOps.segments8(col("__ws")))).as("seg"))
       .select(md5(col("seg")).as("h"), col("id"), col("src"))
       .as[(String, Long, String)]
     val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -1266,10 +1273,16 @@ object StreamingPipelines {
                             textCol: String, ttlMs: Option[Long] = None)
       : Dataset[(Long, String, String, String)] = {
     import spark.implicits._
-    val segs = docs.select(col(idCol).cast("long").as("id"),
+    // same null/empty-text guard as streamingNovelty (r14 advice):
+    // two null-text docs in different splits must not flag as
+    // leakage via a fabricated shared "" segment
+    val segs = docs
+      .withColumn("__ws", graft.operators.TextOps.tokens(col(textCol)))
+      .filter(size(col("__ws")) >= 1)
+      .select(col(idCol).cast("long").as("id"),
         col(splitCol).as("split"),
-        explode(array_distinct(graft.operators.TextOps.segments8(
-          graft.operators.TextOps.tokens(col(textCol))))).as("seg"))
+        explode(array_distinct(
+          graft.operators.TextOps.segments8(col("__ws")))).as("seg"))
       .select(md5(col("seg")).as("h"), col("id"), col("split"))
       .as[(String, Long, String)]
     val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
