@@ -24,18 +24,20 @@ object DataPipelineQueries {
     * `hash` maps the segment text to its key; any
     * practically-injective choice yields the identical census
     * (twin-spec-pinned). Input columns: doc_id, source, text. */
-  def noveltyCensus(d: DataFrame, hash: Column => Column): DataFrame = {
-    val segs = d
-      .withColumn("__ws", TextOps.tokens(col("text")))
+  /** the census's segment stream: distinct (doc_id, source, h) per
+    * doc — ONE extraction kernel shared by the full census AND the
+    * incremental probe (segmentation cannot drift between the two) */
+  private def noveltySegs(d: DataFrame, hash: Column => Column): DataFrame =
+    d.withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 1)
       .select(col("doc_id"), col("source"),
         explode(TextOps.segments8(col("__ws"))).as("seg"))
       .select(col("doc_id"), col("source"), hash(col("seg")).as("h"))
       .distinct()
-    val perDoc = segs.groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_segs"))
-    val novel = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-      .groupBy(col("first_id")).agg(count(lit(1)).as("__nn"))
+
+  /** per-doc novel counts → the (source, bucket) census rollup —
+    * shared tail of the full and incremental census forms */
+  private def noveltyRollup(perDoc: DataFrame, novel: DataFrame): DataFrame =
     perDoc.join(novel, col("doc_id") === col("first_id"), "left")
       .select(col("source"), col("n_segs"),
         coalesce(col("__nn"), lit(0L)).as("n_novel"))
@@ -44,6 +46,43 @@ object DataPipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_segs")).cast("long").as("segs"),
         sum(col("n_novel")).cast("long").as("novel_segs"))
+
+  def noveltyCensus(d: DataFrame, hash: Column => Column): DataFrame = {
+    val segs = noveltySegs(d, hash)
+    val perDoc = segs.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_segs"))
+    val novel = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      .groupBy(col("first_id")).agg(count(lit(1)).as("__nn"))
+    noveltyRollup(perDoc, novel)
+  }
+
+  /** Incremental first-occurrence novelty (r14 verdict #4 — the
+    * q_dedup_incremental discipline on the SEGMENT axis): the daily
+    * batch's census against a persisted fingerprint STORE of
+    * already-seen segment hashes. The store is a one-column hash
+    * table — its text is never read, its docs never re-segmented;
+    * batch segments extract once (the shared noveltySegs kernel),
+    * reduce to within-batch first carriers, and ONE anti-join probe
+    * against the store decides novelty. Only new-first-carrier rows
+    * survive the probe. Equals the full census on (store ∪ batch)
+    * restricted to batch docs whenever store ids precede batch ids
+    * (first-arrival == min-id, the crawl-order premise q_novelty
+    * encodes — oracle-pinned on the id-ordered split).
+    *
+    * Scale shape: the probe's shuffle is ∝ distinct NEW hashes in
+    * the batch (the firsts frame), never ∝ store — the store side
+    * arrives pre-distinct and joins hash-keyed; a day's work is a
+    * day's segments plus one store scan, the q_dedup_incremental
+    * contract. */
+  def noveltyIncremental(store: DataFrame, batch: DataFrame,
+                         hash: Column => Column): DataFrame = {
+    val segs = noveltySegs(batch, hash)
+    val perDoc = segs.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_segs"))
+    val firsts = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val novel = firsts.join(store.select(col("h")), Seq("h"), "left_anti")
+      .groupBy(col("first_id")).agg(count(lit(1)).as("__nn"))
+    noveltyRollup(perDoc, novel)
   }
 
   /** The shared near-dup pair graph (3-gram shingles, exact Jaccard
@@ -1640,6 +1679,25 @@ object DataPipelineQueries {
     // arithmetic — fully value-oracled.
     "q_novelty" -> ((s, dir) =>
       noveltyCensus(docs(s, dir), seg => md5(seg))),
+
+    // Incremental NOVELTY probe (r14 verdict #4): the census for a
+    // daily BATCH against the persisted fingerprint STORE — batch
+    // segments probe the store's hash table, only new-first-carrier
+    // rows emit, the store is never re-segmented (noveltyIncremental;
+    // the q_dedup_incremental contract on the segment axis). Split
+    // is id-ordered at max(doc_id)/2 — the store-precedes-batch
+    // premise under which the probe EQUALS the full census on the
+    // union restricted to batch docs (min-id == first-arrival; a
+    // modulo split would break that equivalence, which is the point
+    // of the oracle: it computes the same id-ordered split).
+    "q_novelty_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val half = d.agg(max(col("doc_id"))).first().getLong(0) / 2
+      val store = noveltySegs(d.filter(col("doc_id") <= half),
+        seg => md5(seg)).select(col("h")).distinct()
+      noveltyIncremental(store, d.filter(col("doc_id") > half),
+        seg => md5(seg))
+    }),
 
     // Directed COPY MATRIX — whose text does each source re-serve:
     // for every re-served 8-token segment (carried by a doc that is
@@ -4482,6 +4540,42 @@ object DataPipelineQueries {
         |f AS (SELECT h, MIN(doc_id) AS first_id FROM segs GROUP BY h),
         |nv AS (SELECT first_id, CAST(COUNT(*) AS BIGINT) AS __nn
         |       FROM f GROUP BY first_id),
+        |pd0 AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_segs
+        |        FROM segs GROUP BY doc_id, source),
+        |pd AS (SELECT pd0.source, pd0.n_segs,
+        |  COALESCE(nv.__nn, 0) AS n_novel
+        | FROM pd0 LEFT JOIN nv ON pd0.doc_id = nv.first_id)
+        |SELECT source, (n_novel * 10) // n_segs AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_segs) AS BIGINT) AS segs,
+        | CAST(SUM(n_novel) AS BIGINT) AS novel_segs
+        |FROM pd GROUP BY source, bucket""".stripMargin,
+
+    // the incremental probe: same segment CTE shape over the
+    // id-ordered halves; the anti-join IS the store probe
+    "q_novelty_incr" ->
+      """WITH mx AS (SELECT MAX(doc_id) // 2 AS half FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |  regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents, mx
+        | WHERE doc_id > mx.half
+        |   AND len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |store AS (SELECT DISTINCT
+        |  md5(unnest(list_transform(range((len(w)+7)//8),
+        |    i -> array_to_string(w[i*8+1 : i*8+8], ' ')))) AS h
+        | FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |   FROM documents, mx
+        |   WHERE doc_id <= mx.half
+        |     AND len(regexp_split_to_array(trim(text), '\s+')) >= 1)),
+        |segs AS (SELECT DISTINCT doc_id, source,
+        |  md5(unnest(list_transform(range((len(w)+7)//8),
+        |    i -> array_to_string(w[i*8+1 : i*8+8], ' ')))) AS h
+        | FROM tb),
+        |f AS (SELECT h, MIN(doc_id) AS first_id FROM segs GROUP BY h),
+        |fn AS (SELECT f.first_id FROM f LEFT JOIN store ON f.h = store.h
+        |       WHERE store.h IS NULL),
+        |nv AS (SELECT first_id, CAST(COUNT(*) AS BIGINT) AS __nn
+        |       FROM fn GROUP BY first_id),
         |pd0 AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_segs
         |        FROM segs GROUP BY doc_id, source),
         |pd AS (SELECT pd0.source, pd0.n_segs,

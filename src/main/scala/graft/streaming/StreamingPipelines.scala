@@ -1601,4 +1601,28 @@ object StreamingPipelines {
       } finally prepped.unpersist()
     }.start()
   }
+
+  /** Streaming quality-SURVIVAL monitor: the live view of
+    * q_quality_survival's curve (r14 verdict #5). Each arriving doc
+    * scores through the ONE shared
+    * [[graft.operators.TextOps.survivalBuckets]] kernel (the same
+    * scorer as the batch curve — one implementation, no drift) and
+    * lands in its 20‰ bucket; the monitor is a plain streaming
+    * aggregation in UPDATE mode over (source, bucket) — running
+    * (docs, token mass) per cell, state O(11 buckets × sources),
+    * Spark's agg state machinery (no custom state). The cumulative
+    * curve (threshold join over buckets, the 11×11 grid) is one
+    * bounded batch aggregate DOWNSTREAM of the sink, same as the
+    * batch query builds it — kept out of the stream so the monitor
+    * stays a single stateful operator. Converges to the batch
+    * per-bucket table over the trigger union (spec-pinned): counts
+    * and token sums are associative, so any trigger slicing yields
+    * the identical final state. */
+  def streamingQualitySurvival(spark: SparkSession,
+                               docs: DataFrame, sourceCol: String,
+                               textCol: String): DataFrame =
+    graft.operators.TextOps.survivalBuckets(docs, textCol)
+      .groupBy(col(sourceCol).as("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("toks"))
 }

@@ -2025,6 +2025,7 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       buf.toByteArray)
     val out = java.nio.file.Files.createTempDirectory("cur_out").toString + "/corpus"
     val outReport = java.nio.file.Files.createTempDirectory("cur_rep").toString + "/report"
+    val outVenn = java.nio.file.Files.createTempDirectory("cur_venn").toString + "/venn"
     val yaml =
       s"""pipelines:
          |  corpus/fused_report:
@@ -2039,6 +2040,17 @@ class CollectorIntegrationSpec extends AnyFunSuite {
          |    exporters:
          |      - type: jsonl
          |        path: "$outReport"
+         |  corpus/venn_report:
+         |    receiver:
+         |      type: parquet
+         |      path: "/root/testdata/sf0.001/documents.parquet"
+         |    processors:
+         |      - type: dedup_venn_report
+         |        id: doc_id
+         |        text: text
+         |    exporters:
+         |      - type: jsonl
+         |        path: "$outVenn"
          |  corpus/curation:
          |    receiver:
          |      type: warc
@@ -2191,6 +2203,23 @@ class CollectorIntegrationSpec extends AnyFunSuite {
         assert(math.abs(a - b) < 1e-12, s"$src mixture: $a vs $b") }
     }
     assert(flagship.nonEmpty)
+
+    // ...and the venn sibling filed the AGREEMENT census next to the
+    // fused mixture it justifies (r14 verdict #7): the stage's rows
+    // equal q_dedup_venn over the same corpus, cell for cell
+    def vennRows(df: org.apache.spark.sql.DataFrame)
+        : Map[(Boolean, Boolean, Boolean), (Long, Long)] =
+      df.select(col("f_exact").cast("boolean"), col("f_near").cast("boolean"),
+          col("f_cut").cast("boolean"), col("n_docs").cast("long"),
+          col("n_tokens").cast("long"))
+        .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+    val filedVenn = vennRows(spark.read.json(outVenn))
+    val flagVenn = vennRows(
+      SparkEntry.queries("q_dedup_venn")(spark, "/root/testdata/sf0.001"))
+    assert(filedVenn == flagVenn,
+      s"venn stage ${filedVenn.size} cells vs flagship ${flagVenn.size}")
+    assert(flagVenn.nonEmpty)
   }
 
   private def md5Hex(s: String): String =

@@ -2002,4 +2002,56 @@ class DedupAnnSpec extends AnyFunSuite {
       rows(("srcB", 5L)).getAs[Long]("segs") == 4 &&
       rows(("srcB", 5L)).getAs[Long]("novel_segs") == 2)
   }
+
+  test("q_novelty_incr: probe equals the full census restricted to the batch half") {
+    // convergence contract (r14 verdict #4): under the id-ordered
+    // split the store probe MUST reproduce the batch-on-union
+    // census's verdicts for batch docs — derive the expected buckets
+    // from q_novelty's own first-carrier frame, independently of the
+    // incremental kernel
+    val incr = SparkEntry.queries("q_novelty_incr")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("segs"),
+          r.getAs[Long]("novel_segs")))).toMap
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val half = d.agg(max(col("doc_id"))).first().getLong(0) / 2
+    // brute twin: full-union segments, min-id first carriers, batch
+    // docs' novel = segments they first carry (store ids all precede,
+    // so union-min ∈ batch iff unseen in store)
+    val segs = d.withColumn("ws", graft.operators.TextOps.tokens(col("text")))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), col("source"), explode(
+        graft.operators.TextOps.segments8(col("ws"))).as("seg"))
+      .select(col("doc_id"), col("source"), md5(col("seg")).as("h"))
+      .distinct()
+    val firsts = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val novel = firsts.filter(col("first_id") > half)
+      .groupBy(col("first_id")).agg(count(lit(1)).as("nn"))
+    val expect = segs.filter(col("doc_id") > half)
+      .groupBy(col("doc_id"), col("source")).agg(count(lit(1)).as("n_segs"))
+      .join(novel, col("doc_id") === col("first_id"), "left")
+      .select(col("source"), col("n_segs"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"))
+      .withColumn("bucket", expr("n_novel * 10 DIV n_segs"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_segs")).cast("long").as("segs"),
+        sum(col("n_novel")).cast("long").as("novel_segs"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("segs"),
+          r.getAs[Long]("novel_segs")))).toMap
+    assert(incr == expect, s"${incr.size} cells vs ${expect.size}")
+    // teeth: the store probe actually FIRES at this SF — at least one
+    // within-batch first-carrier hash is already in the store (the
+    // anti-join removes it); without this the incremental path never
+    // differs from a from-scratch census of the batch alone
+    val batchFirsts = segs.filter(col("doc_id") > half)
+      .groupBy(col("h")).agg(count(lit(1)).as("c")).count()
+    val tNovel = incr.values.map(_._3).sum
+    assert(tNovel < batchFirsts,
+      "no store hit exercised — the probe is vacuous at this SF")
+    assert(tNovel > 0, "everything re-served — split degenerate")
+  }
 }

@@ -1514,6 +1514,77 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming survival monitor converges to the batch curve over the trigger union") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    // arbitrary trigger slicing — counts/sums are associative, so
+    // the final state must not depend on it
+    val (b1, b2) = rows.partition(_._1 % 3 == 0)
+    val ms = MemoryStream[(Long, String, String)]
+    val out = StreamingPipelines.streamingQualitySurvival(spark,
+      ms.toDF().toDF("doc_id", "source", "text"), "source", "text")
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("survival_out").start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      // update mode re-emits a cell on every change and the running
+      // counts only GROW — latest per (source, bucket) = max
+      val streamed = spark.sql(
+          """SELECT source, bucket, MAX(n_docs) AS n_docs,
+            | MAX(toks) AS toks
+            |FROM survival_out GROUP BY source, bucket""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // batch twin over the union: the SAME shared kernel on the
+      // static frame (one scorer — the monitor cannot drift)
+      val batch = graft.operators.TextOps.survivalBuckets(
+          Tables(spark, sfDir, "documents")
+            .select(col("doc_id"), col("source"), col("text")), "text")
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("toks"))
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("toks")))).toMap
+      assert(streamed == batch,
+        s"monitor diverged: ${streamed.size} cells vs ${batch.size}")
+      assert(streamed.nonEmpty)
+      // and the streamed cells REBUILD the §2 curve exactly: fold
+      // sources, threshold-join over the 11 buckets, compare every
+      // row of q_quality_survival — ties the monitor to the surface
+      // a deployment actually reads
+      val perB = streamed.toSeq.groupBy(_._1._2).map { case (b, cs) =>
+        b -> ((cs.map(_._2._1).sum, cs.map(_._2._2).sum))
+      }
+      val totD = perB.values.map(_._1).sum
+      val totT = perB.values.map(_._2).sum
+      val expect = SparkEntry.queries("q_quality_survival")(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("cutoff") ->
+          ((r.getAs[Long]("n_docs_kept"), r.getAs[Long]("toks_kept"),
+            r.getAs[Double]("frac_docs"), r.getAs[Double]("frac_toks")))).toMap
+      // (the batch curve's threshold join is inner: a cutoff below
+      // every populated bucket has no row — compare what exists)
+      assert(expect.nonEmpty)
+      (0L to 10L).foreach { t =>
+        val kept = perB.filter(_._1 <= t).values
+        val (kd, kt) = (kept.map(_._1).sum, kept.map(_._2).sum)
+        expect.get(t * 20).foreach { e =>
+          assert((kd, kt) == ((e._1, e._2)), s"cutoff ${t * 20}")
+          assert(kd.toDouble / totD.toDouble == e._3 &&
+            kt.toDouble / totT.toDouble == e._4, s"fracs at ${t * 20}")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming split-leakage guard flags exactly the batch census's segment pairs") {
     val spark2 = spark
     import spark2.implicits._
