@@ -1432,6 +1432,27 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // HNSW tuning SWEEP (r14 verdict #3 — the q_ann_ivf_sweep
+    // discipline on the graph member): recall@10 vs scored-candidate
+    // cost across (hops, beam, entries), ONE build shared by every
+    // leg. The hops axis is free (per-hop snapshots nest — recall
+    // monotone by theorem, spec-pinned); beam/entries legs are
+    // bounded re-searches on the same checkpointed adjacency, their
+    // seeds a rank-prefix of one medoid frame. The default point
+    // (q_ann_hnsw's 4/20/4) anchors all three axes from one search —
+    // this table is what justified 0.86 recall and prices the path
+    // to 0.9+. Rows-only by design, like q_ann_hnsw itself: the
+    // candidate trajectory composes LSH buckets, windows and a join
+    // loop no SQL oracle replays; the brute-force ground truth and
+    // the monotone theorems are spec-pinned (supersedes HnswProfile,
+    // which measured the entries dial outside the suite).
+    "q_ann_hnsw_sweep" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.hnswSweep(e.filter(col("vec_id") < 10), e, c = 8, nprobe = 4,
+        m = 8, k = 10, hops = 4, beam = 20, entries = 4,
+        beamGrid = Seq(5, 40), entriesGrid = Seq(1))
+    }),
+
     // IVF ANN: centroid cells + nprobe search. Deterministic init +
     // decimal-exact means + fixed tie rules make the whole index
     // build/search bit-replicable in the oracle.

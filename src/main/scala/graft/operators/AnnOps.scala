@@ -1026,10 +1026,18 @@ object AnnOps {
     * exact kernel touches only visited nodes. Recall comes from
     * beam width × hops × nprobe, spec-pinned against the
     * brute-force oracle (the q_ann_recall discipline). */
-  def hnswTopK(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,
-               m: Int, beam: Int, hops: Int, k: Int, planes: Int = 4,
-               tables: Int = 8, iters: Int = 1,
-               maxBucket: Int = 1000, entries: Int = 1): DataFrame = {
+  /** the shared build half of the graph index: router centroids,
+    * cell-assigned checkpointed node table, checkpointed NSW
+    * adjacency, and the per-cell entry ranking (mrk) up to
+    * `maxEntries` — an `entries = e` leg is the RANK-PREFIX
+    * `mrk <= e` of this one frame, so a sweep never rebuilds. */
+  private final case class HnswIndex(
+      centroids: Array[Seq[Double]], nodes: DataFrame, adj: DataFrame,
+      medoids: DataFrame /* cid, nid, mrk */)
+
+  private def hnswBuild(corpus: DataFrame, c: Int, m: Int, planes: Int,
+                        tables: Int, iters: Int, maxBucket: Int,
+                        maxEntries: Int): HnswIndex = {
     val centroids = ivfCentroids(corpus, c, iters)
     // nodes feed the adjacency build, the medoid pick and every
     // hop's embedding join — checkpoint so the cell assignment
@@ -1039,26 +1047,40 @@ object AnnOps {
       .withColumn("cid", nearestCentroid(col("ne"), centroids))
       .localCheckpoint()
     val adj = nswAdjacency(nodes, m, planes, tables, maxBucket)
-      .localCheckpoint() // reused `hops` times
-    // cell entry points: the `entries` nodes most aligned with their
-    // own centroid (entry diversity matters on weakly-clustered data
-    // — one medoid strands the beam in its own graph neighborhood)
+      .localCheckpoint() // reused `hops` times per search leg
+    // cell entry points: the nodes most aligned with their own
+    // centroid (entry diversity matters on weakly-clustered data —
+    // one medoid strands the beam in its own graph neighborhood)
     val wMed = Window.partitionBy(col("cid"))
       .orderBy(col("msim").desc, col("nid").asc)
     val medoids = nodes
       .withColumn("msim", element_at(graft.functions.VectorExprs
         .cosine_table(col("ne"), centroids.toSeq), col("cid") + 1))
-      .withColumn("mrk", row_number().over(wMed)).filter(col("mrk") <= entries)
-      .select(col("cid"), col("nid"))
-    // route: top-nprobe cells per query (the ivfTopK probe shape,
-    // same deterministic tie rule: sim desc, lower cell id)
+      .withColumn("mrk", row_number().over(wMed))
+      .filter(col("mrk") <= maxEntries)
+      .select(col("cid"), col("nid"), col("mrk"))
+      .localCheckpoint()
+    HnswIndex(centroids, nodes, adj, medoids)
+  }
+
+  /** the search half: route → enter → expand ×hops → accumulate.
+    * Returns the scored candidate set after EVERY hop (index 0 =
+    * entry seeds) — each frame is localCheckpointed and nests in the
+    * next (scored only grows), so a hops-axis sweep reads recall per
+    * hop from ONE search. Callers wanting just the final set take
+    * `.last`. */
+  private def hnswSearchScored(queries: DataFrame, idx: HnswIndex,
+                               nprobe: Int, entries: Int, beam: Int,
+                               hops: Int): Seq[DataFrame] = {
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qe"))
+    // route: top-nprobe cells per query (the ivfTopK probe shape,
+    // same deterministic tie rule: sim desc, lower cell id)
     val probes = q
       .withColumn("sims", graft.functions.VectorExprs.cosine_table(
-        col("qe"), centroids.toSeq))
+        col("qe"), idx.centroids.toSeq))
       .withColumn("probe_cids", slice(array_sort(zip_with(
-        col("sims"), sequence(lit(0), lit(centroids.length - 1)),
+        col("sims"), sequence(lit(0), lit(idx.centroids.length - 1)),
         (s, i) => struct(s.as("s"), i.as("i"))),
         (l, r) => when(l.getField("s") > r.getField("s"), -1)
           .when(l.getField("s") < r.getField("s"), 1)
@@ -1066,25 +1088,111 @@ object AnnOps {
       .select(col("qid"), explode(col("probe_cids")).as("p"))
       .select(col("qid"), col("p.i").as("cid"))
     def score(frontier: DataFrame): DataFrame =
-      frontier.join(nodes.select(col("nid"), col("ne")), "nid")
+      frontier.join(idx.nodes.select(col("nid"), col("ne")), "nid")
         .join(q, "qid")
         .filter(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
     val wBeam = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
-    var scored = score(probes.join(medoids, "cid").select(col("qid"), col("nid")))
+    val seeds = probes
+      .join(idx.medoids.filter(col("mrk") <= entries), "cid")
+      .select(col("qid"), col("nid"))
+    var scored = score(seeds)
       .localCheckpoint() // bound the unrolled-loop plan depth
+    val snapshots = scala.collection.mutable.ArrayBuffer(scored)
     var frontier = scored.withColumn("rk", row_number().over(wBeam))
       .filter(col("rk") <= beam).select(col("qid"), col("nid"))
     for (_ <- 0 until hops) {
-      val expanded = frontier.join(adj, "nid")
+      val expanded = frontier.join(idx.adj, "nid")
         .select(col("qid"), explode(col("nbrs")).as("nid"))
         .dropDuplicates("qid", "nid")
       scored = scored.unionByName(score(expanded))
         .dropDuplicates("qid", "nid").localCheckpoint()
+      snapshots += scored
       frontier = scored.withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= beam).select(col("qid"), col("nid"))
     }
+    snapshots.toSeq
+  }
+
+  private def hnswTopKOf(scored: DataFrame, k: Int): DataFrame = {
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= k)
+  }
+
+  def hnswTopK(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,
+               m: Int, beam: Int, hops: Int, k: Int, planes: Int = 4,
+               tables: Int = 8, iters: Int = 1,
+               maxBucket: Int = 1000, entries: Int = 1): DataFrame = {
+    val idx = hnswBuild(corpus, c, m, planes, tables, iters, maxBucket,
+      maxEntries = entries)
+    hnswTopKOf(
+      hnswSearchScored(queries, idx, nprobe, entries, beam, hops).last, k)
+  }
+
+  /** HNSW tuning SWEEP (the q_ann_ivf_sweep discipline extended to
+    * the graph member — r14 verdict #3): recall@k vs scored-candidate
+    * cost across the three search dials, ONE build. The expensive
+    * half (centroids, cell assignment, LSH-seeded NSW adjacency,
+    * entry ranking) builds once and every leg shares it:
+    *
+    *  - `hops` axis: FREE — the search accumulates candidates, so
+    *    the per-hop snapshots of the default leg nest
+    *    (scored(h) ⊆ scored(h+1)); recall from an exact re-rank of a
+    *    nested superset is monotone non-decreasing — a theorem the
+    *    spec pins, not an empirical hope.
+    *  - `beam` and `entries` axes: bounded RE-SEARCH on the same
+    *    checkpointed adjacency (the trajectory genuinely changes, so
+    *    a rank-prefix cannot stand in); the entries legs read their
+    *    seeds as the mrk <= e rank-prefix of one medoid frame.
+    *
+    * Output: (axis, value, hits, n_q, recall, cands) — `hits` the
+    * exact-integer overlap with brute-force top-k over all queries,
+    * `cands` the total scored candidates (the cost a deployment
+    * trades against recall). The default point (beam, entries,
+    * hops all at their q_ann_hnsw values) appears on every axis —
+    * one search, three anchor rows — so the table is internally
+    * cross-checkable. */
+  def hnswSweep(queries: DataFrame, corpus: DataFrame, c: Int, nprobe: Int,
+                m: Int, k: Int, hops: Int, beam: Int, entries: Int,
+                beamGrid: Seq[Int], entriesGrid: Seq[Int],
+                planes: Int = 4, tables: Int = 8, iters: Int = 1,
+                maxBucket: Int = 1000): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idx = hnswBuild(corpus, c, m, planes, tables, iters, maxBucket,
+      maxEntries = (entries +: entriesGrid).max)
+    // exact ground truth once: (qid, nid) pairs of brute top-k
+    val brute = bruteForceTopK(queries, corpus, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val nq = queries.count()
+    def leg(scored: DataFrame): (Long, Long) = {
+      val hits = hnswTopKOf(scored, k)
+        .select(col("qid"), col("nid")).intersect(brute).count()
+      (hits, scored.count())
+    }
+    // default leg, snapshotted: hop rows + the anchor row all axes share
+    val snaps = hnswSearchScored(queries, idx, nprobe, entries, beam, hops)
+    val hopRows = snaps.zipWithIndex.map { case (s, h) =>
+      val (hits, cands) = leg(s)
+      ("hops", h, hits, cands)
+    }
+    val anchor = hopRows.last
+    val beamRows = beamGrid.filter(_ != beam).map { b =>
+      val (hits, cands) =
+        leg(hnswSearchScored(queries, idx, nprobe, entries, b, hops).last)
+      ("beam", b, hits, cands)
+    } :+ (("beam", beam, anchor._3, anchor._4))
+    val entryRows = entriesGrid.filter(_ != entries).map { e =>
+      val (hits, cands) =
+        leg(hnswSearchScored(queries, idx, nprobe, e, beam, hops).last)
+      ("entries", e, hits, cands)
+    } :+ (("entries", entries, anchor._3, anchor._4))
+    (hopRows ++ beamRows ++ entryRows)
+      .map { case (axis, v, hits, cands) =>
+        (axis, v, hits, nq, hits.toDouble / (k.toLong * nq).toDouble, cands)
+      }
+      .toDF("axis", "value", "hits", "n_q", "recall", "cands")
   }
 }

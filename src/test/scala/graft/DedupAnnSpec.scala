@@ -1703,6 +1703,45 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_hnsw_sweep: one build, three dials — hop monotonicity by theorem, anchors agree, entry diversity load-bearing") {
+    val rows = SparkEntry.queries("q_ann_hnsw_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[String]("axis"), r.getAs[Int]("value")) ->
+        ((r.getAs[Long]("hits"), r.getAs[Double]("recall"),
+          r.getAs[Long]("cands")))).toMap
+    // the full grid is present, no extras
+    assert(rows.keySet == Set(
+      ("hops", 0), ("hops", 1), ("hops", 2), ("hops", 3), ("hops", 4),
+      ("beam", 5), ("beam", 20), ("beam", 40),
+      ("entries", 1), ("entries", 4)), rows.keySet.toString)
+    // HOPS axis: per-hop candidate sets NEST (the search only
+    // accumulates), so cands AND recall are monotone non-decreasing
+    // — a theorem about exact re-rank over nested supersets, not an
+    // empirical hope; a violation means the snapshot machinery broke
+    val hops = (0 to 4).map(h => rows(("hops", h)))
+    assert(hops.sliding(2).forall(p => p(0)._3 <= p(1)._3), "hop cands shrank")
+    assert(hops.sliding(2).forall(p => p(0)._2 <= p(1)._2), "hop recall fell")
+    // ANCHOR coherence: the default 4/20/4 point is ONE search
+    // reported on all three axes — rows must be identical
+    assert(rows(("hops", 4)) == rows(("beam", 20)) &&
+      rows(("beam", 20)) == rows(("entries", 4)), "anchor rows diverged")
+    // the default point holds q_ann_hnsw's spec-pinned floor
+    assert(rows(("beam", 20))._2 >= 0.7, s"default recall ${rows(("beam", 20))._2}")
+    // BEAM dial: wider beam buys recall (deterministic build + tie
+    // rules make the chain stable at this SF; measured
+    // 0.57 / 0.86 / 0.91 — the 40 row is the priced path past 0.9)
+    assert(rows(("beam", 5))._2 < rows(("beam", 20))._2 &&
+      rows(("beam", 20))._2 < rows(("beam", 40))._2,
+      "beam dial not monotone")
+    assert(rows(("beam", 5))._3 < rows(("beam", 40))._3,
+      "wider beam scored fewer candidates")
+    // ENTRY diversity is load-bearing (the HnswProfile measurement,
+    // now in-suite): one seed per cell strands the beam
+    assert(rows(("entries", 1))._2 < rows(("entries", 4))._2,
+      "entry diversity bought nothing")
+    // integer sanity: hits bounded by k * n_q
+    assert(rows.values.forall(v => v._1 >= 0 && v._1 <= 100))
+  }
+
   test("q_ann_ivf_sweep: recall climbs the probe dial and reaches 1.0 at nprobe = c") {
     val rows = SparkEntry.queries("q_ann_ivf_sweep")(spark, sf).collect()
       .map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall"),
