@@ -1600,6 +1600,42 @@ object DataPipelineQueries {
             / sum(col("n_tokens")).cast("double")).as("loss_512"))
     }),
 
+    // SEQUENCE-LENGTH sweep — the max_seq_len dial as a grid (the
+    // q_dedup_threshold_sweep discipline on the packing axis):
+    // q_truncation_loss prices three hard-coded caps; this is the
+    // full table a deployment reads to pick its window. ONE pass
+    // computes the per-doc token counts; the grid {128..4096} rides
+    // a broadcast cross join over that 8-byte/doc frame — never one
+    // scan per length. Per L: docs truncated, tokens kept,
+    // truncation loss, the pack-count LOWER bound ceil(kept/L)
+    // (what a perfect packer needs — q_pack_stats measures what the
+    // real packer achieves at 512) and the fill ceiling kept/(packs
+    // ·L). Integer arithmetic throughout; two double divisions on
+    // identical trees both engines.
+    "q_seqlen_sweep" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        .localCheckpoint() // one tokenize, six grid points
+      val grid = { import s.implicits._
+        Seq(16, 32, 64, 128, 256, 512).toDF("seq_len") }
+      base.crossJoin(broadcast(grid))
+        .groupBy(col("seq_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tk") > col("seq_len"), 1L).otherwise(0L))
+            .as("docs_truncated"),
+          sum(col("tk")).cast("long").as("total_tokens"),
+          sum(least(col("tk"), col("seq_len").cast("long"))).cast("long")
+            .as("tokens_kept"))
+        .withColumn("trunc_loss",
+          lit(1.0) - col("tokens_kept").cast("double") /
+            col("total_tokens").cast("double"))
+        .withColumn("ideal_packs",
+          expr("(tokens_kept + seq_len - 1) DIV seq_len"))
+        .withColumn("fill_ceiling",
+          col("tokens_kept").cast("double") /
+            (col("ideal_packs") * col("seq_len")).cast("double"))
+    }),
+
     // PADDING-efficiency table across batching policies — the
     // padding-FLOPs decision a batcher reads next to
     // q_truncation_loss's cap decision: per-doc token counts capped
@@ -4481,6 +4517,24 @@ object DataPipelineQueries {
         | CAST(CAST(SUM(n_bpe) AS BIGINT) AS DOUBLE) /
         |   CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) AS fertility
         |FROM t WHERE n_words >= 1 GROUP BY lang""".stripMargin,
+
+    // ONE histogram CTE, grid cross join — the Spark plan's twin
+    "q_seqlen_sweep" ->
+      """WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk
+        | FROM documents),
+        |grid AS (SELECT unnest([16, 32, 64, 128, 256, 512]) AS seq_len),
+        |agg AS (SELECT g.seq_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN t.tk > g.seq_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+        |  CAST(SUM(t.tk) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(LEAST(t.tk, CAST(g.seq_len AS BIGINT))) AS BIGINT) AS tokens_kept
+        | FROM t CROSS JOIN grid g GROUP BY g.seq_len)
+        |SELECT seq_len, n_docs, docs_truncated, total_tokens, tokens_kept,
+        | 1.0 - CAST(tokens_kept AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS trunc_loss,
+        | CAST((tokens_kept + seq_len - 1) // seq_len AS BIGINT) AS ideal_packs,
+        | CAST(tokens_kept AS DOUBLE) /
+        |  CAST(((tokens_kept + seq_len - 1) // seq_len) * seq_len AS DOUBLE) AS fill_ceiling
+        |FROM agg""".stripMargin,
 
     "q_truncation_loss" ->
       """WITH t AS (SELECT source,

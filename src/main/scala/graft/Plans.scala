@@ -198,6 +198,22 @@ object Plans {
       "carry hashes, component ids and (doc, pos) counts; document " +
       "text never crosses a shuffle. The report is the q_dedup_impact " +
       "mixture shape over the FUSED rule."),
+    "q_novelty_incr" -> ("Incremental novelty WITHOUT re-reading the " +
+      "store: the batch half segments once (the shared noveltySegs " +
+      "kernel under the explode), reduces to within-batch first " +
+      "carriers on the hash key, and the store probe is the ONE " +
+      "LeftAnti join against the fingerprint table — shuffle ∝ " +
+      "distinct new hashes in the batch, never ∝ store, and the " +
+      "store side carries a single 32-hex column (its text is never " +
+      "scanned). The rollup join stays doc-sized, the q_novelty " +
+      "shape."),
+    "q_seqlen_sweep" -> ("The max_seq_len dial as ONE pass: the " +
+      "corpus tokenizes once into an 8-byte/doc count frame " +
+      "(localCheckpoint), the 6-value grid rides a " +
+      "BroadcastNestedLoopJoin over it, and every grid point's " +
+      "truncation/packing numbers reduce in the same HashAggregate " +
+      "keyed on seq_len — never one scan per length; text leaves " +
+      "the plan at the first projection."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
       "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
       "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +

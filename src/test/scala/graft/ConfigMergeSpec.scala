@@ -265,14 +265,19 @@ class ConfigMergeSpec extends AnyFunSuite {
     assert(svcWith("""{"periodic": {"exporter": {"console": {}}}}""")
       .telemetryReaders == Seq(PeriodicConsoleReader(60000L)))
     // refusals, each naming its defect: pull without prometheus,
-    // periodic with otlp (unsupported — error must name console),
-    // both kinds at once, an unknown kind
+    // both kinds at once, an unknown kind. (A periodic reader with
+    // exporter: {otlp: ...} PARSES since r15 — the self-telemetry
+    // push path, SelfTelemetryOtlpSpec owns its contract; here just
+    // pin the reader kind lands.)
     val e1 = intercept[IllegalArgumentException] {
       svcWith("""{"pull": {"exporter": {}}}""") }
     assert(e1.getMessage.contains("prometheus"))
-    val e2 = intercept[IllegalArgumentException] {
-      svcWith("""{"periodic": {"exporter": {"otlp": {"endpoint": "http://h:1", "protocol": "http/protobuf"}}}}""") }
-    assert(e2.getMessage.contains("console"))
+    svcWith("""{"periodic": {"exporter": {"otlp": {"endpoint": "http://h:1", "protocol": "http/protobuf"}}}}""")
+      .telemetryReaders match {
+      case Seq(r: graft.pipeline.Extensions.PeriodicOtlpReader) =>
+        assert(r.otlp.endpoint == "http://h:1")
+      case other => fail(s"expected a PeriodicOtlpReader, got $other")
+    }
     intercept[IllegalArgumentException] {
       svcWith("""{"pull": {"exporter": {"prometheus": {}}},
                  |"periodic": {"exporter": {"console": {}}}}""".stripMargin) }

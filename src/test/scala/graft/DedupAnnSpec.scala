@@ -2042,6 +2042,42 @@ class DedupAnnSpec extends AnyFunSuite {
       rows(("srcB", 5L)).getAs[Long]("novel_segs") == 2)
   }
 
+  test("q_seqlen_sweep: dial monotone, closed-form bounds, agrees with q_truncation_loss's fixed points") {
+    val rows = SparkEntry.queries("q_seqlen_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Int]("seq_len") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("docs_truncated"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Double]("trunc_loss"), r.getAs[Long]("ideal_packs"),
+          r.getAs[Double]("fill_ceiling")))).toMap
+    assert(rows.keySet == Set(16, 32, 64, 128, 256, 512))
+    val ordered = rows.toSeq.sortBy(_._1).map(_._2)
+    // every grid point sees the same corpus
+    assert(ordered.map(v => (v._1, v._3)).distinct.size == 1)
+    // raising the window keeps more tokens, truncates fewer docs,
+    // loses less — min(tk, L) is monotone in L, so these are theorems
+    assert(ordered.sliding(2).forall(p => p(0)._4 <= p(1)._4), "kept fell")
+    assert(ordered.sliding(2).forall(p => p(0)._2 >= p(1)._2), "truncated rose")
+    assert(ordered.sliding(2).forall(p => p(0)._5 >= p(1)._5), "loss rose")
+    // closed forms: kept ≤ total; packs = ceil(kept/L) exactly;
+    // ceiling fill in (0, 1]
+    rows.foreach { case (l, v) =>
+      assert(v._4 <= v._3)
+      assert(v._6 == (v._4 + l - 1) / l, s"packs at $l")
+      assert(v._7 > 0.0 && v._7 <= 1.0, s"fill at $l")
+    }
+    // cross-surface pin: the sweep's fixed points equal
+    // q_truncation_loss's hard-coded caps summed over sources —
+    // two independent derivations of min(tk, L)
+    val tl = SparkEntry.queries("q_truncation_loss")(spark, sf).collect()
+    def kept(c: String): Long = tl.map(_.getAs[Long](c)).sum
+    assert(rows(256)._4 == kept("kept_256"))
+    assert(rows(512)._4 == kept("kept_512"))
+    // teeth: the dial actually moves at this SF (a corpus shorter
+    // than every grid point would make the sweep vacuous)
+    assert(rows(16)._2 > 0, "nothing truncated at 16 — dial vacuous")
+    assert(rows(16)._4 < rows(512)._4, "kept flat across the grid")
+  }
+
   test("q_novelty_incr: probe equals the full census restricted to the batch half") {
     // convergence contract (r14 verdict #4): under the id-ordered
     // split the store probe MUST reproduce the batch-on-union
