@@ -1336,6 +1336,25 @@ object DataPipelineQueries {
         .select(col("qid"), col("nid"), col("rk"))
     }),
 
+    // Hyperplane-LSH tuning SWEEP — completes the index-QA family
+    // (flat/IVF/PQ/IVF-PQ/PCA/graph/LSH each now carry their dial
+    // table): recall@10 vs candidate cost across (tables, planes) on
+    // the q_ann_lsh configuration. The tables axis is a rank-prefix
+    // BY CONSTRUCTION (bucket keys are table-qualified, so the first
+    // t tables' candidates nest) — ONE collision pass carries each
+    // pair's min colliding table and every grid value is a filter;
+    // planes legs are bounded re-collision passes (the signature
+    // changes wholesale). Rows-only like its sweep siblings: the
+    // bucket kernel is oracled through q_ann_lsh itself; here the
+    // nesting theorem and the brute-force ground truth are
+    // spec-pinned.
+    "q_ann_lsh_sweep" -> ((s, dir) => {
+      val e = embs(s, dir)
+      AnnOps.lshSweep(e.filter(col("vec_id") < 10), e, planes = 4,
+        tables = 16, k = 10, planesGrid = Seq(2, 8),
+        tablesGrid = Seq(2, 4, 8, 16))
+    }),
+
     // ANN recall report: per-query overlap of the hyperplane-LSH
     // top-10 against the brute-force top-10 — the measurement that
     // justifies an index's planes/tables before trusting it at scale

@@ -1131,6 +1131,76 @@ object AnnOps {
       hnswSearchScored(queries, idx, nprobe, entries, beam, hops).last, k)
   }
 
+  /** Hyperplane-LSH tuning SWEEP (the q_ann_ivf_sweep discipline on
+    * the LSH member — completes the index-QA family: every index in
+    * the production set now carries its dial table): recall@k vs
+    * candidate cost across (tables, planes).
+    *
+    *  - `tables` axis: a RANK-PREFIX by construction — bucket keys
+    *    are table-qualified ("t:bits", Kernels.bucketsWith), so the
+    *    candidate set of the first t tables NESTS in the first t+1's;
+    *    ONE collision pass at the full table count carries each
+    *    pair's min colliding table, and every grid value is a
+    *    filter, never a re-search. Recall under exact re-rank of
+    *    nested sets is monotone — a theorem the spec pins.
+    *  - `planes` axis: signatures change wholesale — bounded
+    *    re-collision passes (broadcast-query joins; the build has no
+    *    shared half to reuse, unlike IVF/HNSW).
+    *
+    * md5 bucket kernel (the q_ann_lsh/q_ann_recall configuration);
+    * output schema identical to [[hnswSweep]]. */
+  def lshSweep(queries: DataFrame, corpus: DataFrame, planes: Int,
+               tables: Int, k: Int, planesGrid: Seq[Int],
+               tablesGrid: Seq[Int]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val brute = bruteForceTopK(queries, corpus, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val nq = queries.count()
+    // one collision pass at (p, t): per candidate pair the exact
+    // cosine and the FIRST table it collided in
+    def candPairs(p: Int, t: Int): DataFrame = {
+      def sig(df: DataFrame, idAs: String, embAs: String) =
+        df.select(col("vec_id").as(idAs),
+            col("embedding").cast("array<double>").as(embAs))
+          .select(col(idAs), col(embAs), posexplode(
+            graft.functions.VectorExprs.hyperplane_buckets_md5(
+              col(embAs), t, p)))
+          .toDF(idAs, embAs, "tbl", "bucket")
+      sig(corpus, "nid", "ne")
+        .join(broadcast(sig(queries, "qid", "qe")
+          .withColumnRenamed("tbl", "qtbl")), "bucket")
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          cosine(col("qe"), col("ne")).as("sim"), col("tbl"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(min(col("tbl")).as("first_t"), first(col("sim")).as("sim"))
+    }
+    def leg(cands: DataFrame): (Long, Long) = {
+      val hits = rankTopK(cands.select(col("qid"), col("nid"), col("sim")), k)
+        .select(col("qid"), col("nid")).intersect(brute).count()
+      (hits, cands.count())
+    }
+    val full = candPairs(planes, tables).localCheckpoint()
+    val tableRows = tablesGrid.map { t =>
+      val (hits, cands) = leg(full.filter(col("first_t") < t))
+      ("tables", t, hits, cands)
+    }
+    val anchor = tablesGrid.indexOf(tables) match {
+      case -1 => { val (h2, c2) = leg(full); ("planes", planes, h2, c2) }
+      case i  => ("planes", planes, tableRows(i)._3, tableRows(i)._4)
+    }
+    val planeRows = planesGrid.filter(_ != planes).map { p =>
+      val (hits, cands) = leg(candPairs(p, tables))
+      ("planes", p, hits, cands)
+    } :+ anchor
+    (tableRows ++ planeRows)
+      .map { case (axis, v, hits, cands) =>
+        (axis, v, hits, nq, hits.toDouble / (k.toLong * nq).toDouble, cands)
+      }
+      .toDF("axis", "value", "hits", "n_q", "recall", "cands")
+  }
+
   /** HNSW tuning SWEEP (the q_ann_ivf_sweep discipline extended to
     * the graph member — r14 verdict #3): recall@k vs scored-candidate
     * cost across the three search dials, ONE build. The expensive

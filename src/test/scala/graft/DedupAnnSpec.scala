@@ -1742,6 +1742,35 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows.values.forall(v => v._1 >= 0 && v._1 <= 100))
   }
 
+  test("q_ann_lsh_sweep: tables axis nests by construction, anchor coheres, dial reaches q_ann_lsh's point") {
+    val rows = SparkEntry.queries("q_ann_lsh_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[String]("axis"), r.getAs[Int]("value")) ->
+        ((r.getAs[Long]("hits"), r.getAs[Double]("recall"),
+          r.getAs[Long]("cands")))).toMap
+    assert(rows.keySet == Set(
+      ("tables", 2), ("tables", 4), ("tables", 8), ("tables", 16),
+      ("planes", 2), ("planes", 4), ("planes", 8)), rows.keySet.toString)
+    // TABLES axis: candidate sets nest (first t tables ⊆ first t+1 —
+    // bucket keys are table-qualified), so cands AND recall are
+    // monotone non-decreasing by theorem
+    val ts = Seq(2, 4, 8, 16).map(t => rows(("tables", t)))
+    assert(ts.sliding(2).forall(p => p(0)._3 <= p(1)._3), "table cands shrank")
+    assert(ts.sliding(2).forall(p => p(0)._2 <= p(1)._2), "table recall fell")
+    // anchor: the default (4 planes, 16 tables) point is one
+    // candidate set reported on both axes
+    assert(rows(("tables", 16)) == rows(("planes", 4)), "anchor diverged")
+    // cross-surface: the anchor's hit count equals q_ann_recall's
+    // own sum (same kernel, same config — two derivations)
+    val recallRows = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+    assert(rows(("tables", 16))._1 == recallRows.map(_.getAs[Long]("hits")).sum,
+      "sweep anchor disagrees with q_ann_recall")
+    // planes trade recall for candidates: fewer planes → bigger
+    // buckets → more candidates (deterministic at this SF)
+    assert(rows(("planes", 2))._3 > rows(("planes", 8))._3,
+      "coarser planes did not widen the candidate set")
+    assert(rows.values.forall(v => v._1 <= 100 && v._2 >= 0.0 && v._2 <= 1.0))
+  }
+
   test("q_ann_ivf_sweep: recall climbs the probe dial and reaches 1.0 at nprobe = c") {
     val rows = SparkEntry.queries("q_ann_ivf_sweep")(spark, sf).collect()
       .map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall"),
