@@ -240,6 +240,12 @@ object Bench {
     // SPARK_GRAFT_SLOPE=0 disables; any other integer is the factor.
     val slopeFactor = sys.env.getOrElse("SPARK_GRAFT_SLOPE", "3").toInt
     var slopeCompact: String = ""
+    // the sfx scalars, hoisted for the final scalars-only line —
+    // re-parsing slopeCompact with a regex was fragile (a renamed or
+    // reformatted field would silently yield "null", recreating the
+    // parsed-null failure class; review-wave finding)
+    var slopeWallSfx: Double = Double.NaN
+    var slopeSow: Double = Double.NaN
     val slopeJson: String =
       if (slopeFactor < 2) ""
       else {
@@ -255,6 +261,8 @@ object Bench {
         // no serial counter-measurement in the record of note)
         val isolatedSfx = isolatedRuns(spark, dir2, results2, isolatedN)
         val sow2 = results2.map(_._2).sum / wall2
+        slopeWallSfx = wall2
+        slopeSow = sow2
         val ratios = results.map { case (k, v, _) =>
           val v2 = results2.find(_._1 == k).map(_._2).getOrElse(Double.NaN)
           s"\"" + k + "\":" + f"${v2 / v}%.3f"
@@ -326,19 +334,12 @@ object Bench {
     // (r14 verdict "what's wrong" #1). Error COUNTS stand in for the
     // error maps; the maps live in bench_full.json / the lines above.
     val slopeScalars =
-      if (slopeFactor < 2) ""
-      else {
-        // recompute the sfx scalars from the already-emitted compact
-        // fragment is brittle; parse-free: stash them via regex from
-        // slopeCompact (it always carries wall_sfx/wall_ratio/sum_over_wall_sfx)
-        def grab(k: String): String =
-          ("\"" + k + "\":([0-9.Ee+-]+|true|false)").r
-            .findFirstMatchIn(slopeCompact).map(_.group(1)).getOrElse("null")
-        s""","slope_factor":$slopeFactor,"wall_sfx":${grab("wall_sfx")},""" +
-          s""""wall_ratio":${grab("wall_ratio")},""" +
-          s""""sum_over_wall_sfx":${grab("sum_over_wall_sfx")},""" +
-          s""""contended_sfx":${grab("contended_sfx")}"""
-      }
+      if (slopeFactor < 2 || slopeWallSfx.isNaN) ""
+      else
+        s""","slope_factor":$slopeFactor,"wall_sfx":$slopeWallSfx,""" +
+          s""""wall_ratio":${f"${slopeWallSfx / wall}%.3f"},""" +
+          s""""sum_over_wall_sfx":${f"$slopeSow%.3f"},""" +
+          s""""contended_sfx":${slopeSow > slots * 1.2}"""
     println(
       s"""{"metric":"total","unit":"sec","scalars_only":true,"sf":"$sfDir",""" +
       s""""n_queries":${results.size},"error_count":${results.count(_._3.isDefined)},""" +

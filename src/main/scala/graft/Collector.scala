@@ -234,6 +234,15 @@ object Collector {
           spanProcs.foreach(_ => lifecycle("started batch span processor"))
           val tracer = new graft.pipeline.SelfTrace.Tracer(
             svc.telemetrySampler, processors = spanProcs)
+          // the processors' own bracket: they started daemon threads
+          // BEFORE the data-path try below, so a failure in
+          // startExtensions / zpages bind must still stop them or
+          // the flush loops leak in the embedding JVM (review-wave
+          // finding; shutdown is idempotent — the data-path finally
+          // flushes them FIRST, while receivers still accept, and
+          // this outer backstop only matters on the early-failure
+          // path)
+          try {
           // extension lifecycle brackets the data path (reference
           // service.go: extensions start first, stop last)
           svc.startExtensions()
@@ -443,6 +452,13 @@ object Collector {
             // embedding JVM that calls run repeatedly)
             slog.foreach(s =>
               try s.close()
+              catch { case scala.util.control.NonFatal(_) => () })
+          }
+          } finally {
+            // leak backstop for the span-processor daemon threads
+            // (no-op when the data-path finally already flushed them)
+            spanProcs.foreach(p =>
+              try p.shutdown()
               catch { case scala.util.control.NonFatal(_) => () })
           }
           lifecycle(s"ran ${svc.pipelines.size} pipeline(s)")

@@ -1623,7 +1623,7 @@ object DataPipelineQueries {
     // q_dedup_threshold_sweep discipline on the packing axis):
     // q_truncation_loss prices three hard-coded caps; this is the
     // full table a deployment reads to pick its window. ONE pass
-    // computes the per-doc token counts; the grid {128..4096} rides
+    // computes the per-doc token counts; the grid {16..512} rides
     // a broadcast cross join over that 8-byte/doc frame — never one
     // scan per length. Per L: docs truncated, tokens kept,
     // truncation loss, the pack-count LOWER bound ceil(kept/L)

@@ -1191,7 +1191,11 @@ object AnnOps {
       case i  => ("planes", planes, tableRows(i)._3, tableRows(i)._4)
     }
     val planeRows = planesGrid.filter(_ != planes).map { p =>
-      val (hits, cands) = leg(candPairs(p, tables))
+      // checkpoint: leg() runs TWO actions (hit count + candidate
+      // count) — without it each planes leg pays the collision join
+      // twice (review-wave finding; the tables axis already shares
+      // `full` the same way)
+      val (hits, cands) = leg(candPairs(p, tables).localCheckpoint())
       ("planes", p, hits, cands)
     } :+ anchor
     (tableRows ++ planeRows)

@@ -46,6 +46,11 @@ object SelfTelemetryOtlp {
     require(protocol == ProtocolHttp || protocol == ProtocolGrpc,
       s"unsupported protocol $protocol " +
         s"($ProtocolHttp|$ProtocolGrpc)") // proctelemetry config.go:257
+    // a zero/negative timeout would only surface at export time
+    // inside a swallowed NonFatal catch — refuse loudly at parse,
+    // the repo's sibling-knob discipline (review-wave finding)
+    timeoutMs.foreach(t => require(t > 0,
+      s"otlp exporter timeout must be positive, got $t"))
     // otlpmetrichttp accepts gzip|none only (config.go:323-331);
     // grpc passes the compressor through (gzip in practice — graft's
     // grpc codec set adds snappy/zstd, which configgrpc also knows)
@@ -71,6 +76,14 @@ object SelfTelemetryOtlp {
 
   private def exporterFor(p: OtlpPush, signal: String): Pipeline.Exporter = {
     val uri = java.net.URI.create(normalizeEndpoint(p.endpoint))
+    // an https:// scheme means TLS even without the certificate trio
+    // (the reference derives security from the scheme — proctelemetry
+    // config.go adds WithInsecure only for http; a public-CA backend
+    // configures no certs and must still get a TLS client with JDK
+    // default trust, not a plaintext dial the handshake rejects)
+    val tls = p.tls.orElse(
+      if (uri.getScheme == "https") Some(graft.sources.Tls.fromMap(Map.empty))
+      else None)
     p.protocol match {
       case ProtocolHttp =>
         val base = s"${uri.getScheme}://${uri.getAuthority}"
@@ -83,7 +96,7 @@ object SelfTelemetryOtlp {
           pathOverride = Option(uri.getPath).filter(s => s.nonEmpty && s != "/")
             .getOrElse(""),
           readTimeoutMs = p.timeoutMs.map(_.toInt).getOrElse(30000),
-          tls = p.tls)
+          tls = tls)
       case ProtocolGrpc =>
         // otlpmetricgrpc.WithEndpoint takes host:port (config.go:283);
         // graft's gRPC client carries fixed headers as call metadata
@@ -100,7 +113,7 @@ object SelfTelemetryOtlp {
           host = uri.getHost, port = port, signal = signal,
           compression = if (p.compression == "none") "" else p.compression,
           readTimeoutMs = p.timeoutMs.map(_.toInt).getOrElse(30000),
-          tls = p.tls)
+          tls = tls)
     }
   }
 
@@ -238,45 +251,29 @@ object SelfTelemetryOtlp {
       transports: () => Map[String, Map[String, Long]] = () => Map.empty,
       obsreport: () => Obsreport.Registry = () => null,
       processMetrics: Boolean = true,
-      autoStart: Boolean = true) {
-    require(intervalMs > 0,
-      s"periodic metric reader interval must be positive, got $intervalMs")
-    @volatile private var running = true
+      autoStart: Boolean = true)
+      extends PeriodicHealthLoop(service, spark, intervalMs,
+        obs, transports, obsreport, processMetrics,
+        // sleep before the first push (a fresh service has nothing
+        // to say); ONE final export inside stop() — the SDK periodic
+        // reader's Shutdown contract
+        immediateFirst = false, finalOnStop = true,
+        threadName = "graft-periodic-otlp-metrics", autoStart = autoStart) {
+
     private val pushedCount = new java.util.concurrent.atomic.AtomicLong
 
-    /** one export pass; returns datapoints pushed (0 at level none) */
-    def pushOnce(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): Int = {
-      if (service.telemetryLevel.rank < Extensions.LevelBasic.rank) return 0
-      val frame = service.healthFrame(spark, timeUnixNano,
-        obs = obs(), transports = transports(),
-        obsreport = obsreport(), processMetrics = processMetrics)
+    protected def sink(frame: org.apache.spark.sql.DataFrame): Int = {
       val n = frame.count().toInt
       if (n > 0) exporter.export(frame)
       pushedCount.addAndGet(n.toLong)
       n
     }
 
+    /** one export pass; returns datapoints pushed (0 at level none) */
+    def pushOnce(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): Int =
+      passOnce(timeUnixNano)
+
     def pushed: Long = pushedCount.get()
-
-    private val t = new Thread(() => {
-      while (running) {
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => () }
-        if (running)
-          try pushOnce()
-          catch { case scala.util.control.NonFatal(_) => () }
-      }
-    }, "graft-periodic-otlp-metrics")
-    t.setDaemon(true)
-    if (autoStart) t.start()
-
-    def stop(): Unit = {
-      running = false
-      t.interrupt()
-      // final export on shutdown (periodic reader Shutdown contract)
-      try pushOnce()
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
   }
 
   // ---- config shapes -------------------------------------------------
@@ -290,6 +287,8 @@ object SelfTelemetryOtlp {
       maxQueueSize: Int = 2048,
       maxExportBatchSize: Int = 512,
       exportTimeoutMs: Option[Long] = None) {
+    exportTimeoutMs.foreach(t => require(t > 0,
+      s"batch span processor export_timeout must be positive, got $t"))
     def realize(spark: SparkSession, resource: Map[String, String],
                 out: java.io.PrintStream = System.out,
                 autoStart: Boolean = true): BatchSpanProcessor = {

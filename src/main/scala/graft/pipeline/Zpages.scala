@@ -191,6 +191,68 @@ final class ZpagesServer(
   * exporter's line discipline). `out` is injectable so specs capture
   * deterministically; writeOnce is the testable kernel the loop
   * drives. */
+/** The ONE periodic self-metrics loop driver, shared by the console
+  * jsonl writer and the OTLP pusher (r15 review-wave: the two were
+  * near-copies whose level-gate/healthFrame plumbing would drift —
+  * one loop, a pluggable sink). `sink` consumes one healthFrame and
+  * returns rows delivered; `immediateFirst` emits before the first
+  * sleep (the console reader's historical cadence), `finalOnStop`
+  * runs one last pass inside stop() (the SDK periodic reader's
+  * Shutdown export — the OTLP pusher's contract). */
+abstract class PeriodicHealthLoop(
+    service: Pipeline.Service,
+    spark: SparkSession,
+    intervalMs: Long,
+    obs: () => Map[String, Pipeline.QueueObs],
+    transports: () => Map[String, Map[String, Long]],
+    obsreport: () => Obsreport.Registry,
+    processMetrics: Boolean,
+    immediateFirst: Boolean,
+    finalOnStop: Boolean,
+    threadName: String,
+    autoStart: Boolean) {
+  // interval 0 would busy-loop Spark jobs; a negative one would kill
+  // the thread on the first sleep (IllegalArgumentException escapes
+  // the NonFatal catch) — refuse at construction, loudly
+  require(intervalMs > 0,
+    s"periodic metrics interval must be positive, got $intervalMs")
+  @volatile private var running = true
+
+  protected def sink(df: org.apache.spark.sql.DataFrame): Int
+
+  /** one pass; returns rows delivered (0 at level none).
+    * Synchronized: a finalOnStop pass must not race a loop pass
+    * already mid-flight — concurrent exports would land the same
+    * cumulative counters twice at different timestamps. */
+  final def passOnce(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): Int = synchronized {
+    if (service.telemetryLevel.rank < Extensions.LevelBasic.rank) return 0
+    sink(service.healthFrame(spark, timeUnixNano,
+      obs = obs(), transports = transports(),
+      obsreport = obsreport(), processMetrics = processMetrics))
+  }
+
+  private def safePass(): Unit =
+    try passOnce()
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private val t = new Thread(() => {
+    if (immediateFirst) safePass()
+    while (running) {
+      try Thread.sleep(intervalMs)
+      catch { case _: InterruptedException => () }
+      if (running) safePass()
+    }
+  }, threadName)
+  t.setDaemon(true)
+  if (autoStart) t.start()
+
+  def stop(): Unit = {
+    running = false
+    t.interrupt()
+    if (finalOnStop) safePass()
+  }
+}
+
 final class PeriodicMetricsWriter(
     service: Pipeline.Service,
     spark: SparkSession,
@@ -200,38 +262,22 @@ final class PeriodicMetricsWriter(
     transports: () => Map[String, Map[String, Long]] = () => Map.empty,
     obsreport: () => Obsreport.Registry = () => null,
     processMetrics: Boolean = true,
-    autoStart: Boolean = true) {
-  // interval 0 would busy-loop Spark jobs; a negative one would kill
-  // the thread on the first sleep (IllegalArgumentException escapes
-  // the NonFatal catch) — refuse at construction, loudly
-  require(intervalMs > 0,
-    s"periodic metrics interval must be positive, got $intervalMs")
-  @volatile private var running = true
+    autoStart: Boolean = true)
+    extends PeriodicHealthLoop(service, spark, intervalMs,
+      obs, transports, obsreport, processMetrics,
+      immediateFirst = true, finalOnStop = false,
+      threadName = "graft-periodic-metrics", autoStart = autoStart) {
 
-  /** one export pass; returns rows written (0 at level none) */
-  def writeOnce(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): Int = {
-    if (service.telemetryLevel.rank < Extensions.LevelBasic.rank) return 0
-    val lines = service.healthFrame(spark, timeUnixNano,
-        obs = obs(), transports = transports(),
-        obsreport = obsreport(), processMetrics = processMetrics)
-      .toJSON.collect()
+  protected def sink(df: org.apache.spark.sql.DataFrame): Int = {
+    val lines = df.toJSON.collect()
     lines.foreach(out.println)
     out.flush()
     lines.length
   }
 
-  private val t = new Thread(() => {
-    while (running) {
-      try writeOnce()
-      catch { case scala.util.control.NonFatal(_) => () }
-      try Thread.sleep(intervalMs)
-      catch { case _: InterruptedException => () }
-    }
-  }, "graft-periodic-metrics")
-  t.setDaemon(true)
-  if (autoStart) t.start()
-
-  def stop(): Unit = { running = false; t.interrupt() }
+  /** one export pass; returns rows written (0 at level none) */
+  def writeOnce(timeUnixNano: Long = System.currentTimeMillis() * 1000000L): Int =
+    passOnce(timeUnixNano)
 }
 
 object PromTelemetryServer {
