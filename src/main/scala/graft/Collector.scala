@@ -216,7 +216,16 @@ object Collector {
           // encoding/output_paths — the reference collector logs via
           // its zap logger while the otelcol command keeps stdout);
           // the CLI output contract on `out` is unchanged
-          val slog = svc.telemetryLogs.map(c => new graft.pipeline.ServiceLogger(c))
+          // logs::processors realized BEFORE the logger so every
+          // admitted record of the run reaches them — the third
+          // self-telemetry signal (OTLP or console export of the
+          // service's own log records)
+          val logProcs = svc.telemetryLogProcessors.map(c =>
+            c.realizeLogs(spark, svc.telemetryResource,
+              svc.telemetryLogs.map(_.initialFields).getOrElse(Map.empty),
+              out))
+          val slog = svc.telemetryLogs.map(c =>
+            new graft.pipeline.ServiceLogger(c, processors = logProcs))
           def lifecycle(msg: String): Unit = {
             out.println(msg); slog.foreach(_.info(msg))
           }
@@ -430,6 +439,9 @@ object Collector {
             spanProcs.foreach(p =>
               try p.shutdown() // stop loop + final flush
               catch { case scala.util.control.NonFatal(_) => () })
+            logProcs.foreach(p =>
+              try p.shutdown() // stop loop + final flush
+              catch { case scala.util.control.NonFatal(_) => () })
             periodicWriters.foreach(w =>
               try w.stop()
               catch { case scala.util.control.NonFatal(_) => () })
@@ -455,9 +467,12 @@ object Collector {
               catch { case scala.util.control.NonFatal(_) => () })
           }
           } finally {
-            // leak backstop for the span-processor daemon threads
+            // leak backstop for the span/log-processor daemon threads
             // (no-op when the data-path finally already flushed them)
             spanProcs.foreach(p =>
+              try p.shutdown()
+              catch { case scala.util.control.NonFatal(_) => () })
+            logProcs.foreach(p =>
               try p.shutdown()
               catch { case scala.util.control.NonFatal(_) => () })
           }

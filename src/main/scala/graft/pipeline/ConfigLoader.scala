@@ -676,41 +676,17 @@ object ConfigLoader {
       svcBlock.get("telemetry").map(asMap)
         .flatMap(_.get("traces")).map(asMap)
         .flatMap(_.get("processors")).toSeq
-        .flatMap(_.asInstanceOf[java.util.List[Object]].asScala)
-        .map { p0 =>
-          val p = asMap(p0)
-          val b = p.get("batch").map(asMap).getOrElse(
-            throw new IllegalArgumentException(
-              s"unsupported span processor type ${p.keys.mkString(",")} " +
-                "(batch only)"))
-          val exp = b.get("exporter").map(asMap).getOrElse(
-            throw new IllegalArgumentException(
-              "field exporter in BatchSpanProcessor: required"))
-          val target: Either[Unit, SelfTelemetryOtlp.OtlpPush] =
-            (exp.get("console"), exp.get("otlp")) match {
-              case (Some(_), None) => Left(())
-              case (None, Some(o)) => Right(parseOtlpPush(asMap(o)))
-              case (Some(_), Some(_)) => throw new IllegalArgumentException(
-                "batch span processor declares BOTH console and otlp " +
-                  "exporters — pick one")
-              case (None, None) => throw new IllegalArgumentException(
-                "invalid exporter configuration (console or otlp)")
-            }
-          val conf = SelfTelemetryOtlp.SpanProcessorConf(
-            exporter = target,
-            scheduleDelayMs = b.get("schedule_delay")
-              .map(_.asInstanceOf[Number].longValue()).getOrElse(5000L),
-            maxQueueSize = b.get("max_queue_size")
-              .map(_.asInstanceOf[Number].intValue()).getOrElse(2048),
-            maxExportBatchSize = b.get("max_export_batch_size")
-              .map(_.asInstanceOf[Number].intValue()).getOrElse(512),
-            exportTimeoutMs = b.get("export_timeout")
-              .map(_.asInstanceOf[Number].longValue()))
-          require(conf.scheduleDelayMs > 0 && conf.maxQueueSize > 0 &&
-            conf.maxExportBatchSize > 0,
-            "batch span processor sizes/delay must be positive")
-          conf
-        }
+        .flatMap(parseBatchProcessorList)
+    // service::telemetry::logs::processors — the THIRD self-telemetry
+    // signal (generated_config.go:57-76 LogRecordProcessor/
+    // LogRecordExporter; identical field shape to the span side —
+    // one parser serves both). Nested under `logs:` so the zap block
+    // that produces the records is always configured alongside.
+    val telemetryLogProcessors: Seq[SelfTelemetryOtlp.SpanProcessorConf] =
+      svcBlock.get("telemetry").map(asMap)
+        .flatMap(_.get("logs")).map(asMap)
+        .flatMap(_.get("processors")).toSeq
+        .flatMap(parseBatchProcessorList)
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -805,7 +781,7 @@ object ConfigLoader {
     gateFlips.foreach { case (id, v) => gates.set(id, v) }
     Service(result, extInstances, telemetryLevel, telemetryResource,
       telemetryAddress, telemetryLogs, telemetryReaders, telemetryViews,
-      telemetrySampler, telemetrySpanProcessors)
+      telemetrySampler, telemetrySpanProcessors, telemetryLogProcessors)
   }
 
   /** extension factory: the instance name's type prefix (before an
@@ -866,6 +842,48 @@ object ConfigLoader {
     o.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
 
   private def str(m: Map[String, Object], k: String): String = m(k).toString
+
+  /** one `processors:` list of batch span/log processors
+    * (generated_config.go:33-49 BatchSpanProcessor — the log shape
+    * :11-31 is field-identical): `batch:` only, the reference's
+    * SpanProcessor.Unmarshal teeth ("unsupported span processor
+    * type", config.go:158); exporter console OR otlp. */
+  private def parseBatchProcessorList(o: Object)
+      : Seq[SelfTelemetryOtlp.SpanProcessorConf] =
+    o.asInstanceOf[java.util.List[Object]].asScala.toSeq.map { p0 =>
+      val p = asMap(p0)
+      val b = p.get("batch").map(asMap).getOrElse(
+        throw new IllegalArgumentException(
+          s"unsupported span processor type ${p.keys.mkString(",")} " +
+            "(batch only)"))
+      val exp = b.get("exporter").map(asMap).getOrElse(
+        throw new IllegalArgumentException(
+          "field exporter in BatchSpanProcessor: required"))
+      val target: Either[Unit, SelfTelemetryOtlp.OtlpPush] =
+        (exp.get("console"), exp.get("otlp")) match {
+          case (Some(_), None) => Left(())
+          case (None, Some(o2)) => Right(parseOtlpPush(asMap(o2)))
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "batch span processor declares BOTH console and otlp " +
+              "exporters — pick one")
+          case (None, None) => throw new IllegalArgumentException(
+            "invalid exporter configuration (console or otlp)")
+        }
+      val conf = SelfTelemetryOtlp.SpanProcessorConf(
+        exporter = target,
+        scheduleDelayMs = b.get("schedule_delay")
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(5000L),
+        maxQueueSize = b.get("max_queue_size")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(2048),
+        maxExportBatchSize = b.get("max_export_batch_size")
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(512),
+        exportTimeoutMs = b.get("export_timeout")
+          .map(_.asInstanceOf[Number].longValue()))
+      require(conf.scheduleDelayMs > 0 && conf.maxQueueSize > 0 &&
+        conf.maxExportBatchSize > 0,
+        "batch span processor sizes/delay must be positive")
+      conf
+    }
 
   /** `exporter: {otlp: {...}}` block of a periodic metric reader or
     * batch span processor (generated_config.go Otlp/OtlpMetric):

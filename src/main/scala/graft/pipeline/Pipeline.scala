@@ -1542,6 +1542,12 @@ object Pipeline {
                            // generated_config.go:560-566); realized by
                            // the CLI, the sampler gates what exports
                            telemetrySpanProcessors:
+                             Seq[SelfTelemetryOtlp.SpanProcessorConf] = Nil,
+                           // service::telemetry::logs::processors —
+                           // batch processors exporting the service's
+                           // OWN log records (the third self-telemetry
+                           // signal; same conf shape as the span side)
+                           telemetryLogProcessors:
                              Seq[SelfTelemetryOtlp.SpanProcessorConf] = Nil) {
     def run(spark: SparkSession): Unit = pipelines.values.foreach(_.run(spark))
 

@@ -74,6 +74,9 @@ object SelfTelemetryOtlp {
   /** build the traces-signal exporter for a push target */
   def spanExporter(p: OtlpPush): Pipeline.Exporter = exporterFor(p, "traces")
 
+  /** build the logs-signal exporter for a push target */
+  def logExporter(p: OtlpPush): Pipeline.Exporter = exporterFor(p, "logs")
+
   private def exporterFor(p: OtlpPush, signal: String): Pipeline.Exporter = {
     val uri = java.net.URI.create(normalizeEndpoint(p.endpoint))
     // an https:// scheme means TLS even without the certificate trio
@@ -150,37 +153,35 @@ object SelfTelemetryOtlp {
     }
   }
 
-  // ---- batch span processor -----------------------------------------
+  // ---- batch export processors (spans + logs) -----------------------
 
-  /** sdktrace.BatchSpanProcessor over the [[SelfTrace.SpanProcessor]]
-    * seam: bounded queue (maxQueueSize, drop-new-when-full — the
-    * SDK's lossy contract), a daemon drains every scheduleDelayMs or
-    * as soon as maxExportBatchSize spans buffer, each flush exports
-    * ≤ maxExportBatchSize spans per request. Defaults are the SDK's
-    * (2048 / 5000 ms / 512). Only SAMPLED spans enter the queue
-    * (batch_span_processor.go OnEnd) — the configured sampler mode
-    * is therefore the knob that governs what leaves the process. */
-  final class BatchSpanProcessor(
+  /** The ONE bounded-queue batch export driver behind the span AND
+    * log processors (SDK BatchSpanProcessor / BatchLogRecordProcessor
+    * share this machinery in otel-go too): bounded queue
+    * (maxQueueSize, drop-new-when-full — the SDK's lossy contract; a
+    * pipeline must never block on its own telemetry), a daemon drains
+    * every scheduleDelayMs or as soon as maxExportBatchSize items
+    * buffer, each flush exports ≤ maxExportBatchSize items per
+    * request. Defaults are the SDK's (2048 / 5000 ms / 512). */
+  sealed abstract class BatchExportProcessor[T](
       spark: SparkSession,
       exporter: Pipeline.Exporter,
-      resource: Map[String, String] = Map.empty,
-      maxQueueSize: Int = 2048,
-      scheduleDelayMs: Long = 5000L,
-      maxExportBatchSize: Int = 512,
-      autoStart: Boolean = true)
-      extends SelfTrace.SpanProcessor {
+      maxQueueSize: Int,
+      scheduleDelayMs: Long,
+      maxExportBatchSize: Int,
+      threadName: String,
+      autoStart: Boolean) {
     require(maxQueueSize > 0 && maxExportBatchSize > 0 && scheduleDelayMs > 0,
-      "batch span processor sizes/delay must be positive")
+      "batch processor sizes/delay must be positive")
+    protected def toFrame(items: Seq[T]): DataFrame
     private val queue =
-      new java.util.concurrent.LinkedBlockingQueue[SelfTrace.Span](maxQueueSize)
+      new java.util.concurrent.LinkedBlockingQueue[T](maxQueueSize)
     private val droppedCount = new java.util.concurrent.atomic.AtomicLong
-    @volatile private var running = true
+    @volatile protected var running = true
 
-    def onEnd(span: SelfTrace.Span, sampled: Boolean): Unit = {
-      if (!sampled || !running) return
-      // offer, never put: a full queue drops the NEW span (SDK
-      // semantics — the pipeline must not block on its own telemetry)
-      if (!queue.offer(span)) droppedCount.incrementAndGet()
+    protected final def offer(item: T): Unit = {
+      if (!running) return
+      if (!queue.offer(item)) droppedCount.incrementAndGet()
       else if (queue.size() >= maxExportBatchSize) wake()
     }
 
@@ -190,26 +191,24 @@ object SelfTelemetryOtlp {
     private val lock = new Object
     private def wake(): Unit = lock.synchronized { lock.notifyAll() }
 
-    /** drain + export everything currently buffered; returns spans
+    /** drain + export everything currently buffered; returns items
       * exported. Synchronous — the testable kernel, also ForceFlush. */
-    def flushOnce(): Int = this.synchronized {
+    final def flushOnce(): Int = this.synchronized {
       var total = 0
       var batch = drain()
       while (batch.nonEmpty) {
-        exporter.export(spansFrame(spark, batch, resource))
+        exporter.export(toFrame(batch))
         total += batch.length
         batch = drain()
       }
       total
     }
 
-    private def drain(): Seq[SelfTrace.Span] = {
-      val buf = new java.util.ArrayList[SelfTrace.Span](maxExportBatchSize)
+    private def drain(): Seq[T] = {
+      val buf = new java.util.ArrayList[T](maxExportBatchSize)
       queue.drainTo(buf, maxExportBatchSize)
       scala.jdk.CollectionConverters.ListHasAsScala(buf).asScala.toSeq
     }
-
-    override def forceFlush(): Unit = flushOnce()
 
     private val t = new Thread(() => {
       while (running) {
@@ -218,18 +217,96 @@ object SelfTelemetryOtlp {
           try flushOnce()
           catch { case scala.util.control.NonFatal(_) => () }
       }
-    }, "graft-batch-span-processor")
+    }, threadName)
     t.setDaemon(true)
     if (autoStart) t.start()
 
     /** SDK Shutdown: stop the loop, then one final flush so buffered
-      * spans are not lost on an orderly exit */
-    override def shutdown(): Unit = {
+      * items are not lost on an orderly exit (idempotent) */
+    protected final def stopAndFlush(): Unit = {
       running = false
       wake()
       try flushOnce()
       catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** sdktrace.BatchSpanProcessor over the [[SelfTrace.SpanProcessor]]
+    * seam. Only SAMPLED spans enter the queue (batch_span_processor.go
+    * OnEnd) — the configured sampler mode is therefore the knob that
+    * governs what leaves the process. */
+  final class BatchSpanProcessor(
+      spark: SparkSession,
+      exporter: Pipeline.Exporter,
+      resource: Map[String, String] = Map.empty,
+      maxQueueSize: Int = 2048,
+      scheduleDelayMs: Long = 5000L,
+      maxExportBatchSize: Int = 512,
+      autoStart: Boolean = true)
+      extends BatchExportProcessor[SelfTrace.Span](spark, exporter,
+        maxQueueSize, scheduleDelayMs, maxExportBatchSize,
+        "graft-batch-span-processor", autoStart)
+      with SelfTrace.SpanProcessor {
+    protected def toFrame(items: Seq[SelfTrace.Span]): DataFrame =
+      spansFrame(spark, items, resource)
+    def onEnd(span: SelfTrace.Span, sampled: Boolean): Unit =
+      if (sampled) offer(span)
+    override def forceFlush(): Unit = flushOnce()
+    override def shutdown(): Unit = stopAndFlush()
+  }
+
+  /** one admitted self-log record, the queue element of the log
+    * processor */
+  final case class LogRec(tsMs: Long, level: String, msg: String)
+
+  /** sdklog BatchLogRecordProcessor over the
+    * [[ServiceLogger.LogProcessor]] seam — the THIRD self-telemetry
+    * signal (generated_config.go:57-76 LogRecordProcessor/
+    * LogRecordExporter; the reference's generated schema declares it
+    * even though its own service wires only zap — graft wires it the
+    * way the traces side is wired). Processors sit AFTER the level
+    * gate and zap sampler, so what exports is what the sinks see. */
+  final class BatchLogProcessor(
+      spark: SparkSession,
+      exporter: Pipeline.Exporter,
+      resource: Map[String, String] = Map.empty,
+      attributes: Map[String, String] = Map.empty,
+      maxQueueSize: Int = 2048,
+      scheduleDelayMs: Long = 5000L,
+      maxExportBatchSize: Int = 512,
+      autoStart: Boolean = true)
+      extends BatchExportProcessor[LogRec](spark, exporter,
+        maxQueueSize, scheduleDelayMs, maxExportBatchSize,
+        "graft-batch-log-processor", autoStart)
+      with ServiceLogger.LogProcessor {
+    protected def toFrame(items: Seq[LogRec]): DataFrame =
+      logsFrame(spark, items, resource, attributes)
+    def onLog(tsMs: Long, level: String, msg: String): Unit =
+      offer(LogRec(tsMs, level, msg))
+    override def forceFlush(): Unit = flushOnce()
+    override def shutdown(): Unit = stopAndFlush()
+  }
+
+  /** admitted self-log records → OtelModel.logSchema rows: plog
+    * severity numbers for the zap level set, the logger's
+    * initial_fields as record attributes, the telemetry resource on
+    * every record. */
+  def logsFrame(spark: SparkSession, recs: Seq[LogRec],
+                resource: Map[String, String],
+                attributes: Map[String, String] = Map.empty): DataFrame = {
+    val res = Map(graft.model.SemConv.AttributeServiceName ->
+      "graft-collector") ++ resource
+    val rows = recs.map { r =>
+      val ns = r.tsMs * 1000000L
+      Row(ns, ns, ServiceLogger.SeverityNumbers.getOrElse(r.level, 9),
+        r.level.toUpperCase, r.msg,
+        if (attributes.isEmpty) null else attributes,
+        0, 0, null, null, res, "graft")
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      graft.model.OtelModel.logSchema)
   }
 
   // ---- periodic OTLP metric pusher -----------------------------------
@@ -301,6 +378,25 @@ object SelfTelemetryOtlp {
             exportTimeoutMs.orElse(push.timeoutMs)))
       }
       new BatchSpanProcessor(spark, exp, resource,
+        maxQueueSize = maxQueueSize, scheduleDelayMs = scheduleDelayMs,
+        maxExportBatchSize = maxExportBatchSize, autoStart = autoStart)
+    }
+
+    /** the SAME conf shape realizes a `logs::processors` entry
+      * (BatchLogRecordProcessor fields are identical to the span
+      * one's — generated_config.go:11-31 vs :33-49); `attributes` =
+      * the logger's initial_fields, stamped per record */
+    def realizeLogs(spark: SparkSession, resource: Map[String, String],
+                    attributes: Map[String, String],
+                    out: java.io.PrintStream = System.out,
+                    autoStart: Boolean = true): BatchLogProcessor = {
+      val exp = exporter match {
+        case Left(())    => new ConsoleSpanExporter(out) // toJSON lines
+        case Right(push) =>
+          logExporter(push.copy(timeoutMs =
+            exportTimeoutMs.orElse(push.timeoutMs)))
+      }
+      new BatchLogProcessor(spark, exp, resource, attributes,
         maxQueueSize = maxQueueSize, scheduleDelayMs = scheduleDelayMs,
         maxExportBatchSize = maxExportBatchSize, autoStart = autoStart)
     }

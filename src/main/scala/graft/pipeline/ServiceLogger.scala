@@ -45,6 +45,24 @@ object ServiceLogger {
     Map("debug" -> 0, "info" -> 1, "warn" -> 2, "error" -> 3)
   private val Encodings = Set("console", "json")
 
+  /** SDK LogRecordProcessor seam (the reference's generated schema
+    * declares LogRecordProcessor/LogRecordExporter —
+    * generated_config.go:57-76 — even though its own service wires
+    * only zap; graft wires it the way the traces side is wired).
+    * Every ADMITTED record (level gate + zap sampler both passed —
+    * the processors see what the sinks see) reaches each processor;
+    * onLog must be cheap/non-blocking (a queue offer). */
+  trait LogProcessor {
+    def onLog(tsMs: Long, level: String, msg: String): Unit
+    def forceFlush(): Unit = ()
+    def shutdown(): Unit = ()
+  }
+
+  /** plog severity numbers (logs data model: DEBUG=5 INFO=9 WARN=13
+    * ERROR=17) for the zap level set */
+  val SeverityNumbers: Map[String, Int] =
+    Map("debug" -> 5, "info" -> 9, "warn" -> 13, "error" -> 17)
+
   /** validate the knobs the way zap's Build refuses them: unknown
     * level/encoding, empty outputs, bad sampling are config errors */
   def validate(cfg: LogsConfig): LogsConfig = {
@@ -91,7 +109,12 @@ object ServiceLogger {
 
 final class ServiceLogger(
     cfg: ServiceLogger.LogsConfig,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    // telemetry::logs::processors — batch processors exporting the
+    // service's own log records (OTLP/console), the third
+    // self-telemetry signal next to the metric readers and span
+    // processors
+    processors: Seq[ServiceLogger.LogProcessor] = Nil) {
   ServiceLogger.validate(cfg)
 
   private val minRank = ServiceLogger.Levels(cfg.level)
@@ -178,6 +201,12 @@ final class ServiceLogger(
   def log(level: String, msg: String): Unit = {
     if (ServiceLogger.Levels.getOrElse(level, 1) < minRank) return
     if (!admit(msg)) return
+    // processors see exactly what the sinks see (post level gate +
+    // sampler) — the zap-core ordering, sampler before outputs
+    val ts = nowMs()
+    processors.foreach(p =>
+      try p.onLog(ts, level, msg)
+      catch { case scala.util.control.NonFatal(_) => () })
     val line = format(level, msg)
     cfg.outputPaths.foreach { p =>
       try sink(p, line)

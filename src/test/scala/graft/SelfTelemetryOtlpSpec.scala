@@ -231,6 +231,46 @@ class SelfTelemetryOtlpSpec extends AnyFunSuite {
     assert(sink.get == 5)
   }
 
+  test("batch log processor: admitted records round-trip; level gate and sampler sit before export") {
+    val spool = tmpDir("selftel_logs")
+    val rx = new OtlpHttp.OtlpHttpReceiver(0, spool)
+    try {
+      val exporter = SelfTelemetryOtlp.logExporter(SelfTelemetryOtlp.OtlpPush(
+        SelfTelemetryOtlp.ProtocolHttp, s"http://localhost:${rx.boundPort}"))
+      val blp = new SelfTelemetryOtlp.BatchLogProcessor(spark, exporter,
+        resource = Map("run.kind" -> "spec"),
+        attributes = Map("component" -> "collector"), autoStart = false)
+      val logger = new ServiceLogger(
+        ServiceLogger.LogsConfig(level = "info",
+          outputPaths = Seq("stderr"),
+          initialFields = Map("component" -> "collector")),
+        processors = Seq(blp))
+      logger.debug("below the gate")   // level info: filtered
+      logger.info("pipeline started")
+      logger.error("exporter failed: disk full")
+      assert(blp.queued == 2, "the level gate must sit BEFORE the processor")
+      assert(blp.flushOnce() == 2)
+
+      val back = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs", pb = true))
+          .select(col("content").as("pb"))).collect()
+      assert(back.length == 2)
+      val byBody = back.map(r => r.getAs[String]("body") -> r).toMap
+      assert(byBody.keySet == Set("pipeline started", "exporter failed: disk full"))
+      // plog severity mapping for the zap level set
+      assert(byBody("pipeline started").getAs[Int]("severity_number") == 9 &&
+        byBody("pipeline started").getAs[String]("severity_text") == "INFO")
+      assert(byBody("exporter failed: disk full").getAs[Int]("severity_number") == 17)
+      back.foreach { r =>
+        val res = r.getAs[Map[String, String]]("resource_attributes")
+        assert(res(graft.model.SemConv.AttributeServiceName) == "graft-collector")
+        assert(res("run.kind") == "spec")
+        // initial_fields stamp as record attributes
+        assert(r.getAs[Map[String, String]]("attributes")("component") == "collector")
+      }
+    } finally rx.stop()
+  }
+
   // ---- the live CLI loopback ----------------------------------------
 
   test("CLI run: the service pushes its OWN run telemetry through a graft receiver (live loopback)") {
@@ -258,6 +298,10 @@ class SelfTelemetryOtlpSpec extends AnyFunSuite {
            |      "endpoint": "http://localhost:$port"}}}}]},
            |  "traces": {
            |    "sampler": {"always_on": {}},
+           |    "processors": [{"batch": {"schedule_delay": 3600000,
+           |      "exporter": {"otlp": {"protocol": "http/protobuf",
+           |        "endpoint": "http://localhost:$port"}}}}]},
+           |  "logs": {"level": "info", "output_paths": ["stderr"],
            |    "processors": [{"batch": {"schedule_delay": 3600000,
            |      "exporter": {"otlp": {"protocol": "http/protobuf",
            |        "endpoint": "http://localhost:$port"}}}}]}}},
@@ -304,6 +348,20 @@ class SelfTelemetryOtlpSpec extends AnyFunSuite {
         assert(c.getAs[String]("trace_id") == rootSpan.getAs[String]("trace_id"),
           "children ride the root's trace")
       }
+
+      // re-ingest the collector's OWN log records: the lifecycle
+      // lines of the run that just happened — the THIRD signal
+      val logs = OtlpJsonSource.parseLogsPb(
+        spark.read.format("binaryFile").load(rx.spoolPath("logs", pb = true))
+          .select(col("content").as("pb"))).collect()
+      val bodies = logs.map(_.getAs[String]("body"))
+      assert(bodies.exists(_.contains("ran 1 pipeline(s)")) ||
+        bodies.exists(_.startsWith("started")) ||
+        bodies.exists(_.contains("pipeline")), s"got ${bodies.take(5).toSeq}")
+      assert(logs.forall(_.getAs[Int]("severity_number") == 9),
+        "lifecycle messages are info-level")
+      assert(logs.forall(_.getAs[Map[String, String]]("resource_attributes")
+        .get("run.id").contains("loop15")))
     } finally rx.stop()
   }
 }
