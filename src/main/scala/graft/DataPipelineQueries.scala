@@ -1976,6 +1976,36 @@ object DataPipelineQueries {
         .filter(col("n_shared") >= 3)
     }),
 
+    // Decontamination CUTOFF sweep (the threshold-sweep discipline
+    // on the contamination axis): q_decontaminate flags train docs
+    // sharing >= 3 eval 5-grams — this is the table that justifies
+    // the 3. ONE shared-5-gram pair pass (the same broadcast-eval
+    // join as the flagship), then every cutoff in {1..5} is a filter
+    // over the counted pairs riding a broadcast grid — never one
+    // scan per cutoff. Per cutoff: flagged pairs, distinct train
+    // docs quarantined (the corpus cost), distinct eval items
+    // protected (the benefit) — the dial a decontamination run reads
+    // before choosing how aggressive to be.
+    "q_decontam_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(DedupOps.shinglesOfText(col("text"), 5)).as("s5"))
+      val pairs = sh.filter(col("doc_id") >= 25)
+        .select(col("doc_id").as("train_id"), col("s5"))
+        .join(broadcast(sh.filter(col("doc_id") < 25)
+          .select(col("doc_id").as("eval_id"), col("s5"))), "s5")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .localCheckpoint() // one pair pass feeds all five cutoffs
+      val grid = Seq(1, 2, 3, 4, 5).toDF("cutoff")
+      pairs.crossJoin(broadcast(grid))
+        .filter(col("n_shared") >= col("cutoff"))
+        .groupBy(col("cutoff"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("train_id")).as("train_docs_flagged"),
+          countDistinct(col("eval_id")).as("eval_items_hit"))
+    }),
+
     // SEMANTIC decontamination (the embedding-side twin of
     // q_decontaminate): paraphrased benchmark leakage shares no
     // verbatim n-grams, so the n-gram check misses it — per EVAL
@@ -4803,6 +4833,26 @@ object DataPipelineQueries {
         |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
         |FROM ex t JOIN ex e ON t.s = e.s AND e.doc_id < 25 AND t.doc_id >= 25
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // one pair CTE, grid filter — the sweep's Spark plan verbatim
+    "q_decontam_sweep" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 5
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |     for i in range(1, len(ws) - 3)])
+        |   ELSE [] END AS shs FROM w),
+        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |p AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        | FROM ex t JOIN ex e ON t.s = e.s AND e.doc_id < 25 AND t.doc_id >= 25
+        | GROUP BY 1, 2),
+        |grid AS (SELECT unnest([1, 2, 3, 4, 5]) AS cutoff)
+        |SELECT g.cutoff, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(COUNT(DISTINCT p.train_id) AS BIGINT) AS train_docs_flagged,
+        | CAST(COUNT(DISTINCT p.eval_id) AS BIGINT) AS eval_items_hit
+        |FROM p JOIN grid g ON p.n_shared >= g.cutoff
+        |GROUP BY g.cutoff""".stripMargin,
 
     "q_decontam_embed" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -2071,6 +2071,31 @@ class DedupAnnSpec extends AnyFunSuite {
       rows(("srcB", 5L)).getAs[Long]("novel_segs") == 2)
   }
 
+  test("q_decontam_sweep: tightening the cutoff sheds pairs; the 3 row IS the flagship") {
+    val rows = SparkEntry.queries("q_decontam_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Int]("cutoff") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("train_docs_flagged"),
+          r.getAs[Long]("eval_items_hit")))).toMap
+    // n_shared >= c is monotone in c — every column can only fall
+    // (cutoffs with zero pairs legitimately have no row)
+    val present = rows.toSeq.sortBy(_._1).map(_._2)
+    assert(present.nonEmpty)
+    assert(present.sliding(2).forall(p =>
+      p.length < 2 || (p(0)._1 >= p(1)._1 && p(0)._2 >= p(1)._2 &&
+        p(0)._3 >= p(1)._3)), rows.toString)
+    // the cutoff=3 row aggregates EXACTLY the flagship's pair frame
+    val flag = SparkEntry.queries("q_decontaminate")(spark, sf).collect()
+    assert(rows(3)._1 == flag.length.toLong)
+    assert(rows(3)._2 == flag.map(_.getAs[Long]("train_id")).distinct.length.toLong)
+    assert(rows(3)._3 == flag.map(_.getAs[Long]("eval_id")).distinct.length.toLong)
+    // teeth: pairs exist at the loosest cutoff. (At sf0.001 the
+    // planted contamination is verbatim-heavy — every flagged pair
+    // shares >= 5 grams, so the curve is flat across this grid; the
+    // table still prices the dial, and the monotone pin above plus
+    // the flagship anchor are the real contract.)
+    assert(rows(1)._1 > 0, "no contamination at the loosest cutoff")
+  }
+
   test("q_seqlen_sweep: dial monotone, closed-form bounds, agrees with q_truncation_loss's fixed points") {
     val rows = SparkEntry.queries("q_seqlen_sweep")(spark, sf).collect()
       .map(r => r.getAs[Int]("seq_len") ->
