@@ -2773,6 +2773,45 @@ object DataPipelineQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)),
 
+    // BM25 (k1, b) TUNING sweep — the retrieval dial (the
+    // threshold-sweep discipline on the lexical scorer): the
+    // tf/dft/dl/avgdl aggregates compute ONCE (the same
+    // TextOps.bm25Hits frame the flagship scores from — one kernel,
+    // no drift), the 3×4 grid rides a broadcast cross join, and each
+    // point's top-20 ranks in a window keyed on (k1_pct, b_pct) —
+    // bounded partitions, never one corpus pass per point. Reported
+    // per point: the top-1 doc and the top-20 overlap with the
+    // default (1.2, 0.75) ranking — how sensitive the ranking a
+    // deployment ships actually is to the dial. Integer outputs;
+    // the score itself is the shared decimal-routed expression.
+    "q_bm25_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val hits = TextOps.bm25Hits(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window")).localCheckpoint()
+      val grid = Seq(60, 120, 200).flatMap(k1 =>
+        Seq(0, 50, 75, 100).map(b => (k1, b))).toDF("k1_pct", "b_pct")
+      val scored = hits.crossJoin(broadcast(grid))
+        .withColumn("__s", TextOps.bm25TermScore(
+          col("k1_pct").cast("double") / lit(100.0),
+          col("b_pct").cast("double") / lit(100.0)))
+        .groupBy(col("k1_pct"), col("b_pct"), col("doc_id"))
+        .agg(QUtil.dsum(col("__s")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k1_pct"), col("b_pct"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val ranked = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .localCheckpoint() // feeds the default set AND the census
+      val default20 = ranked
+        .filter(col("k1_pct") === 120 && col("b_pct") === 75)
+        .select(col("doc_id").as("__d")).withColumn("__hit", lit(1L))
+      ranked.join(default20, col("doc_id") === col("__d"), "left")
+        .groupBy(col("k1_pct"), col("b_pct"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long")
+            .as("top20_overlap"),
+          max(when(col("rk") === 1, col("doc_id"))).as("top1"))
+    }),
+
     // HYBRID retrieval — reciprocal-rank fusion of the two legs
     // every modern retrieval stack runs side by side (public method:
     // Cormack, Clarke & Buettcher 2009, RRF with k=60): the lexical
@@ -5593,6 +5632,55 @@ object DataPipelineQueries {
     "q_bm25" ->
       ("WITH " + Bm25Top20Body + "\n" +
         "SELECT doc_id, n_terms, score FROM bm"),
+
+    // same hits/dft/dl/stats CTEs as the flagship, grid cross join,
+    // per-point window — score tree written identically to the
+    // Spark side (k1 = k1_pct/100.0 both engines)
+    "q_bm25_sweep" ->
+      """WITH dl AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+        | FROM documents),
+        |stats AS (
+        | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        | FROM dl),
+        |hits AS (
+        | SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        | FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |       FROM documents)
+        | WHERE term IN ('spark', 'join', 'window')
+        | GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY term),
+        |grid AS (SELECT k1_pct, b_pct
+        | FROM (SELECT unnest([60, 120, 200]) AS k1_pct),
+        |      (SELECT unnest([0, 50, 75, 100]) AS b_pct)),
+        |scored AS (SELECT g.k1_pct, g.b_pct, h.doc_id,
+        | CAST(SUM(CAST(
+        |  (((s.n - d.dft) + 0.5) / (d.dft + 0.5)) *
+        |   (h.tf * ((CAST(g.k1_pct AS DOUBLE) / 100.0) + 1.0)) /
+        |   (h.tf + (CAST(g.k1_pct AS DOUBLE) / 100.0) *
+        |    ((1.0 - (CAST(g.b_pct AS DOUBLE) / 100.0)) +
+        |     (CAST(g.b_pct AS DOUBLE) / 100.0) * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+        |  AS DECIMAL(28,8))) AS DOUBLE) AS score
+        | FROM hits h
+        | JOIN dft d USING (term)
+        | JOIN dl l USING (doc_id)
+        | CROSS JOIN stats s
+        | CROSS JOIN grid g
+        | GROUP BY g.k1_pct, g.b_pct, h.doc_id),
+        |ranked AS (SELECT k1_pct, b_pct, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY k1_pct, b_pct
+        |    ORDER BY score DESC, doc_id ASC) AS rk
+        | FROM scored),
+        |top AS (SELECT * FROM ranked WHERE rk <= 20),
+        |dflt AS (SELECT doc_id AS d FROM top WHERE k1_pct = 120 AND b_pct = 75)
+        |SELECT t.k1_pct, t.b_pct,
+        | CAST(SUM(CASE WHEN dflt.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS top20_overlap,
+        | MAX(CASE WHEN t.rk = 1 THEN t.doc_id END) AS top1
+        |FROM top t LEFT JOIN dflt ON t.doc_id = dflt.d
+        |GROUP BY t.k1_pct, t.b_pct""".stripMargin,
 
     // hybrid retrieval: the lexical leg is the SHARED q_bm25 chain,
     // the semantic leg the same cosine fold as the ANN family; ranks

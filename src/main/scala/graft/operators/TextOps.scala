@@ -570,8 +570,12 @@ object TextOps {
       "^www\\.", "")
   }
 
-  def bm25(docs: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** BM25's per-(doc, term) aggregate frame — tf, dft, dl, corpus N
+    * and avgdl joined per hit; the ONE corpus pass [[bm25]] and the
+    * (k1, b) tuning sweep both score from, so the scorer and its
+    * dial table cannot drift. */
+  def bm25Hits(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val dl = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
     // N and avgdl: integer-exact inputs, one one-row aggregate
@@ -586,15 +590,23 @@ object TextOps {
     hits.join(dft, "__term")
       .join(dl, idCol)
       .crossJoin(stats)
-      .withColumn("__idf",
-        (col("__n") - col("__dft") + lit(0.5)) / (col("__dft") + lit(0.5)))
-      .withColumn("__s",
-        col("__idf") * (col("__tf") * (lit(k1) + lit(1.0))) /
-          (col("__tf") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) * (col("__dl").cast("double") / col("__avgdl")))))
+  }
+
+  /** the Robertson idf × saturation term with (k1, b) as COLUMNS —
+    * literal for the flagship, grid-joined for the sweep; the
+    * identical expression tree both ways (and in the DuckDB twins) */
+  def bm25TermScore(k1: Column, b: Column): Column =
+    ((col("__n") - col("__dft") + lit(0.5)) / (col("__dft") + lit(0.5))) *
+      (col("__tf") * (k1 + lit(1.0))) /
+      (col("__tf") + k1 *
+        (lit(1.0) - b + b * (col("__dl").cast("double") / col("__avgdl"))))
+
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Hits(docs, idCol, textCol, queryTerms)
+      .withColumn("__s", bm25TermScore(lit(k1), lit(b)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), graft.QUtil.dsum(col("__s")).as("score"))
-  }
 
   /** Printable-ASCII word filter shared by the BPE surfaces so the
     * char-split semantics match DuckDB's code-point split exactly

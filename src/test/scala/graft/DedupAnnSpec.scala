@@ -2071,6 +2071,31 @@ class DedupAnnSpec extends AnyFunSuite {
       rows(("srcB", 5L)).getAs[Long]("novel_segs") == 2)
   }
 
+  test("q_bm25_sweep: the default point IS the flagship ranking; grid complete and bounded") {
+    val rows = SparkEntry.queries("q_bm25_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("k1_pct"), r.getAs[Int]("b_pct")) ->
+        ((r.getAs[Long]("top20_overlap"), r.getAs[Long]("top1")))).toMap
+    assert(rows.keySet ==
+      (for (k <- Seq(60, 120, 200); b <- Seq(0, 50, 75, 100)) yield (k, b)).toSet)
+    // the (1.2, 0.75) anchor: overlap with itself is its own top-20
+    // size, and its top-1 equals the flagship's — one scorer kernel
+    // behind both surfaces
+    val flagship = SparkEntry.queries("q_bm25")(spark, sf).collect()
+    val flagTop = flagship.maxBy(r =>
+      (r.getAs[Double]("score"), -r.getAs[Long]("doc_id")))
+    assert(rows((120, 75))._1 == math.min(20, flagship.length).toLong,
+      "the default point must overlap itself fully")
+    assert(rows((120, 75))._2 == flagTop.getAs[Long]("doc_id"),
+      "default top-1 diverged from q_bm25")
+    // bounds: overlap can never exceed the window
+    assert(rows.values.forall(v => v._1 >= 0 && v._1 <= 20))
+    // teeth: the dial moves somewhere on this grid — b=0 (length
+    // normalization OFF) reranks long docs; if every point agrees
+    // with the default the table prices nothing
+    assert(rows.exists(_._2 != rows((120, 75))),
+      "every grid point identical — sweep vacuous")
+  }
+
   test("q_decontam_sweep: tightening the cutoff sheds pairs; the 3 row IS the flagship") {
     val rows = SparkEntry.queries("q_decontam_sweep")(spark, sf).collect()
       .map(r => r.getAs[Int]("cutoff") ->
