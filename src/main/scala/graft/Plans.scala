@@ -214,6 +214,18 @@ object Plans {
       "truncation/packing numbers reduce in the same HashAggregate " +
       "keyed on seq_len — never one scan per length; text leaves " +
       "the plan at the first projection."),
+    "q_bm25_sweep" -> ("The (k1, b) retrieval dial WITHOUT one " +
+      "corpus pass per grid point: tf/dft/dl/avgdl reduce once (the " +
+      "flagship's own bm25Hits frame, checkpointed), the 12-point " +
+      "grid is a BroadcastNestedLoopJoin over the bounded hits " +
+      "frame, and every point's top-20 ranks inside ONE Window " +
+      "keyed on (k1_pct, b_pct) — partitions stay grid-point-sized; " +
+      "the overlap census joins against the default point's 20 rows."),
+    "q_decontam_sweep" -> ("The contamination-cutoff dial over ONE " +
+      "pair pass: the shared-5-gram join (eval postings broadcast, " +
+      "the flagship's shape) counts pairs once into a checkpointed " +
+      "frame; each cutoff is a filter riding the broadcast grid and " +
+      "the three censuses reduce in one aggregate keyed on cutoff."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
       "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
       "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +
