@@ -2893,6 +2893,36 @@ object DataPipelineQueries {
 
     // embedding quantization: float32 → int8 by per-vector max-abs
     // scaling (the compression step before ANN serving)
+    // Scalar-quantization BITS sweep — the compression dial next to
+    // q_embed_quantize's int8 codes and q_pq_distortion's codebook
+    // axis: per bits ∈ {2,4,6,8} the reconstruction error of
+    // symmetric scalar quantization (q = round(x/scale·L), L =
+    // 2^(bits-1)−1, recon = q·scale/L). ONE explode of the embedding
+    // table (the per-dim stream is 16 bytes/value), the grid rides a
+    // broadcast cross join with L carried as an integer column (no
+    // pow in any oracled expression), errors reduce decimal-routed.
+    // The table that says how many bits an ANN index's stored
+    // vectors actually need.
+    "q_quantize_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val base = embs(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale",
+          greatest(array_max(col("v")), -array_min(col("v"))))
+        .select(col("scale"), explode(col("v")).as("x"))
+        .localCheckpoint() // one explode, four grid points
+      val grid = Seq((2, 1), (4, 7), (6, 31), (8, 127))
+        .toDF("bits", "levels")
+      base.crossJoin(broadcast(grid))
+        .withColumn("d",
+          round(col("x") / col("scale") * col("levels").cast("double")) *
+            col("scale") / col("levels").cast("double") - col("x"))
+        .groupBy(col("bits"))
+        .agg(count(lit(1)).as("n_values"),
+          QUtil.dsum(col("d") * col("d")).as("sse"))
+        .withColumn("mse", col("sse") / col("n_values").cast("double"))
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       embs(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -5724,6 +5754,25 @@ object DataPipelineQueries {
       """SELECT doc_id, CAST(n_chars % 240 + 1 AS INTEGER) AS n_frames,
         | CAST(unnest(range(0, n_chars % 240 + 1, 30)) AS INTEGER) AS frame_idx
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // one explode CTE, grid cross join, decimal-routed error sums —
+    // the Spark plan's twin (L carried as an integer column; no pow)
+    "q_quantize_sweep" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT GREATEST(list_max(e), -list_min(e)) AS scale,
+        |  unnest(e) AS x FROM v),
+        |grid AS (SELECT * FROM (VALUES (2, 1), (4, 7), (6, 31), (8, 127))
+        |         g(bits, levels)),
+        |d AS (SELECT g.bits,
+        |  round(s.x / s.scale * CAST(g.levels AS DOUBLE)) * s.scale /
+        |    CAST(g.levels AS DOUBLE) - s.x AS d
+        | FROM s CROSS JOIN grid g),
+        |agg AS (SELECT bits, CAST(COUNT(*) AS BIGINT) AS n_values,
+        |  CAST(SUM(CAST(d * d AS DECIMAL(28,8))) AS DOUBLE) AS sse
+        | FROM d GROUP BY bits)
+        |SELECT bits, n_values, sse,
+        | sse / CAST(n_values AS DOUBLE) AS mse
+        |FROM agg""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -2071,6 +2071,27 @@ class DedupAnnSpec extends AnyFunSuite {
       rows(("srcB", 5L)).getAs[Long]("novel_segs") == 2)
   }
 
+  test("q_quantize_sweep: more bits, less error; one corpus of values under every grid point") {
+    val rows = SparkEntry.queries("q_quantize_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Int]("bits") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Double]("sse"),
+          r.getAs[Double]("mse")))).toMap
+    assert(rows.keySet == Set(2, 4, 6, 8))
+    // every grid point quantizes the same value stream
+    assert(rows.values.map(_._1).toSet.size == 1)
+    assert(rows.values.forall(v => v._2 >= 0.0 && v._3 >= 0.0))
+    // error falls as the grid refines. (Per-VALUE round-to-nearest
+    // error is not monotone across non-nested grids, but the SSE at
+    // ~49× spacing-squared separation between adjacent bit levels is
+    // — deterministic data, stable pin; uniform-quantizer mse tracks
+    // spacing²/12.)
+    val chain = Seq(2, 4, 6, 8).map(rows(_)._3)
+    assert(chain.sliding(2).forall(p => p(0) > p(1)), chain.toString)
+    // the dial is worth a table: 2 bits is catastrophically worse
+    // than 8 (three orders of spacing-squared)
+    assert(rows(2)._3 > rows(8)._3 * 100.0)
+  }
+
   test("q_bm25_sweep: the default point IS the flagship ranking; grid complete and bounded") {
     val rows = SparkEntry.queries("q_bm25_sweep")(spark, sf).collect()
       .map(r => (r.getAs[Int]("k1_pct"), r.getAs[Int]("b_pct")) ->
