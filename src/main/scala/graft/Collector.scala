@@ -429,6 +429,13 @@ object Collector {
               }
               lifecycle(s"drained ${queries.size} streaming pipeline(s)")
             }
+            // the closing record logs INSIDE the data-path bracket so
+            // the logs self-telemetry flush still carries it ("every
+            // admitted record reaches the processors" — a record
+            // emitted after their shutdown would silently vanish from
+            // the exported stream; review-wave finding). Success-path
+            // only, same as before.
+            lifecycle(s"ran ${svc.pipelines.size} pipeline(s)")
           } finally {
             // self-telemetry exits FIRST, while receivers still
             // accept: the final metric push and span flush may
@@ -476,9 +483,9 @@ object Collector {
               try p.shutdown()
               catch { case scala.util.control.NonFatal(_) => () })
           }
-          lifecycle(s"ran ${svc.pipelines.size} pipeline(s)")
-          // the line above reopens a closed file sink (sinks reopen
-          // on demand after close) — release it again before return
+          // the closing record printed inside the bracket may have
+          // reopened a closed file sink (sinks reopen on demand after
+          // close) — release it again before return
           slog.foreach(s =>
             try s.close()
             catch { case scala.util.control.NonFatal(_) => () })

@@ -781,7 +781,11 @@ object DataPipelineQueries {
     * `bm(doc_id, n_terms, score)` — the top-20 lexical leg. ONE copy:
     * q_rank_fusion composes it, so a scorer change (k1/b, terms, the
     * rational idf) lands in both oracles at once. */
-  private val Bm25Top20Body: String =
+  /** the tf/dft/dl/avgdl CTE prefix — ONE copy behind q_bm25,
+    * q_rank_fusion AND q_bm25_sweep (the oracle-side twin of the
+    * TextOps.bm25Hits refactor: a tokenization or idf tweak edits
+    * exactly one string, review-wave finding) */
+  private val Bm25AggCtes: String =
     """dl AS (
       | SELECT doc_id,
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
@@ -796,8 +800,10 @@ object DataPipelineQueries {
       |       FROM documents)
       | WHERE term IN ('spark', 'join', 'window')
       | GROUP BY doc_id, term),
-      |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY term),
-      |bm AS (SELECT h.doc_id, COUNT(*) AS n_terms,
+      |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY term)""".stripMargin
+
+  private val Bm25Top20Body: String = Bm25AggCtes + ",\n" +
+    """bm AS (SELECT h.doc_id, COUNT(*) AS n_terms,
       | CAST(SUM(CAST(
       |  (((s.n - d.dft) + 0.5) / (d.dft + 0.5)) * (h.tf * (1.2 + 1.0)) /
       |   (h.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))
@@ -2909,6 +2915,11 @@ object DataPipelineQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("scale",
           greatest(array_max(col("v")), -array_min(col("v"))))
+        // an all-zero vector has scale 0 and x/scale = NaN — and the
+        // engines DIVERGE on NaN→DECIMAL (Spark nulls, DuckDB
+        // errors); a zero vector also has no quantization question
+        // to answer. Guard on both sides (review-wave finding).
+        .filter(col("scale") > 0)
         .select(col("scale"), explode(col("v")).as("x"))
         .localCheckpoint() // one explode, four grid points
       val grid = Seq((2, 1), (4, 7), (6, 31), (8, 127))
@@ -5667,22 +5678,8 @@ object DataPipelineQueries {
     // per-point window — score tree written identically to the
     // Spark side (k1 = k1_pct/100.0 both engines)
     "q_bm25_sweep" ->
-      """WITH dl AS (
-        | SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
-        | FROM documents),
-        |stats AS (
-        | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        | FROM dl),
-        |hits AS (
-        | SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        | FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        |       FROM documents)
-        | WHERE term IN ('spark', 'join', 'window')
-        | GROUP BY doc_id, term),
-        |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY term),
-        |grid AS (SELECT k1_pct, b_pct
+      ("WITH " + Bm25AggCtes + ",\n" +
+      """grid AS (SELECT k1_pct, b_pct
         | FROM (SELECT unnest([60, 120, 200]) AS k1_pct),
         |      (SELECT unnest([0, 50, 75, 100]) AS b_pct)),
         |scored AS (SELECT g.k1_pct, g.b_pct, h.doc_id,
@@ -5710,7 +5707,7 @@ object DataPipelineQueries {
         |  AS top20_overlap,
         | MAX(CASE WHEN t.rk = 1 THEN t.doc_id END) AS top1
         |FROM top t LEFT JOIN dflt ON t.doc_id = dflt.d
-        |GROUP BY t.k1_pct, t.b_pct""".stripMargin,
+        |GROUP BY t.k1_pct, t.b_pct""".stripMargin),
 
     // hybrid retrieval: the lexical leg is the SHARED q_bm25 chain,
     // the semantic leg the same cosine fold as the ANN family; ranks
@@ -5759,8 +5756,8 @@ object DataPipelineQueries {
     // the Spark plan's twin (L carried as an integer column; no pow)
     "q_quantize_sweep" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |s AS (SELECT GREATEST(list_max(e), -list_min(e)) AS scale,
-        |  unnest(e) AS x FROM v),
+        |s0 AS (SELECT GREATEST(list_max(e), -list_min(e)) AS scale, e FROM v),
+        |s AS (SELECT scale, unnest(e) AS x FROM s0 WHERE scale > 0),
         |grid AS (SELECT * FROM (VALUES (2, 1), (4, 7), (6, 31), (8, 127))
         |         g(bits, levels)),
         |d AS (SELECT g.bits,

@@ -676,7 +676,7 @@ object ConfigLoader {
       svcBlock.get("telemetry").map(asMap)
         .flatMap(_.get("traces")).map(asMap)
         .flatMap(_.get("processors")).toSeq
-        .flatMap(parseBatchProcessorList)
+        .flatMap(parseBatchProcessorList(_))
     // service::telemetry::logs::processors — the THIRD self-telemetry
     // signal (generated_config.go:57-76 LogRecordProcessor/
     // LogRecordExporter; identical field shape to the span side —
@@ -686,7 +686,7 @@ object ConfigLoader {
       svcBlock.get("telemetry").map(asMap)
         .flatMap(_.get("logs")).map(asMap)
         .flatMap(_.get("processors")).toSeq
-        .flatMap(parseBatchProcessorList)
+        .flatMap(parseBatchProcessorList(_, "log"))
     val pipelines = root("pipelines").asInstanceOf[java.util.Map[String, Object]].asScala
     // two-phase so forward/union receivers can reference other
     // pipelines by name (the collector's connector wiring)
@@ -848,23 +848,27 @@ object ConfigLoader {
     * :11-31 is field-identical): `batch:` only, the reference's
     * SpanProcessor.Unmarshal teeth ("unsupported span processor
     * type", config.go:158); exporter console OR otlp. */
-  private def parseBatchProcessorList(o: Object)
+  private def parseBatchProcessorList(o: Object, signal: String = "span")
       : Seq[SelfTelemetryOtlp.SpanProcessorConf] =
     o.asInstanceOf[java.util.List[Object]].asScala.toSeq.map { p0 =>
       val p = asMap(p0)
+      // error strings carry the SIGNAL being parsed — a logs-block
+      // mistake must not send the operator hunting in traces
+      // (review-wave finding); the traces wording stays the
+      // reference's exact "unsupported span processor type"
       val b = p.get("batch").map(asMap).getOrElse(
         throw new IllegalArgumentException(
-          s"unsupported span processor type ${p.keys.mkString(",")} " +
+          s"unsupported $signal processor type ${p.keys.mkString(",")} " +
             "(batch only)"))
       val exp = b.get("exporter").map(asMap).getOrElse(
         throw new IllegalArgumentException(
-          "field exporter in BatchSpanProcessor: required"))
+          s"field exporter in Batch${signal.capitalize}Processor: required"))
       val target: Either[Unit, SelfTelemetryOtlp.OtlpPush] =
         (exp.get("console"), exp.get("otlp")) match {
           case (Some(_), None) => Left(())
           case (None, Some(o2)) => Right(parseOtlpPush(asMap(o2)))
           case (Some(_), Some(_)) => throw new IllegalArgumentException(
-            "batch span processor declares BOTH console and otlp " +
+            s"batch $signal processor declares BOTH console and otlp " +
               "exporters — pick one")
           case (None, None) => throw new IllegalArgumentException(
             "invalid exporter configuration (console or otlp)")
@@ -881,7 +885,7 @@ object ConfigLoader {
           .map(_.asInstanceOf[Number].longValue()))
       require(conf.scheduleDelayMs > 0 && conf.maxQueueSize > 0 &&
         conf.maxExportBatchSize > 0,
-        "batch span processor sizes/delay must be positive")
+        s"batch $signal processor sizes/delay must be positive")
       conf
     }
 

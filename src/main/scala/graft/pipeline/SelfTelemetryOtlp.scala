@@ -164,7 +164,6 @@ object SelfTelemetryOtlp {
     * buffer, each flush exports ≤ maxExportBatchSize items per
     * request. Defaults are the SDK's (2048 / 5000 ms / 512). */
   sealed abstract class BatchExportProcessor[T](
-      spark: SparkSession,
       exporter: Pipeline.Exporter,
       maxQueueSize: Int,
       scheduleDelayMs: Long,
@@ -243,7 +242,7 @@ object SelfTelemetryOtlp {
       scheduleDelayMs: Long = 5000L,
       maxExportBatchSize: Int = 512,
       autoStart: Boolean = true)
-      extends BatchExportProcessor[SelfTrace.Span](spark, exporter,
+      extends BatchExportProcessor[SelfTrace.Span](exporter,
         maxQueueSize, scheduleDelayMs, maxExportBatchSize,
         "graft-batch-span-processor", autoStart)
       with SelfTrace.SpanProcessor {
@@ -275,7 +274,7 @@ object SelfTelemetryOtlp {
       scheduleDelayMs: Long = 5000L,
       maxExportBatchSize: Int = 512,
       autoStart: Boolean = true)
-      extends BatchExportProcessor[LogRec](spark, exporter,
+      extends BatchExportProcessor[LogRec](exporter,
         maxQueueSize, scheduleDelayMs, maxExportBatchSize,
         "graft-batch-log-processor", autoStart)
       with ServiceLogger.LogProcessor {

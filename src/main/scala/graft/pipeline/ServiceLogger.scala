@@ -146,8 +146,7 @@ final class ServiceLogger(
       case c => c.toString
     }
 
-  private def format(level: String, msg: String): String = {
-    val now = nowMs()
+  private def format(level: String, msg: String, now: Long): String = {
     if (cfg.encoding == "json") {
       val fields = cfg.initialFields.toSeq.sortBy(_._1)
         .map { case (k, v) => s""","${jsonEsc(k)}":"${jsonEsc(v)}"""" }.mkString
@@ -202,12 +201,15 @@ final class ServiceLogger(
     if (ServiceLogger.Levels.getOrElse(level, 1) < minRank) return
     if (!admit(msg)) return
     // processors see exactly what the sinks see (post level gate +
-    // sampler) — the zap-core ordering, sampler before outputs
+    // sampler) — the zap-core ordering, sampler before outputs. ONE
+    // clock read per record: the exported record and the sink line
+    // must carry the same timestamp or correlating them fails
+    // (review-wave finding)
     val ts = nowMs()
     processors.foreach(p =>
       try p.onLog(ts, level, msg)
       catch { case scala.util.control.NonFatal(_) => () })
-    val line = format(level, msg)
+    val line = format(level, msg, ts)
     cfg.outputPaths.foreach { p =>
       try sink(p, line)
       catch {

@@ -355,9 +355,13 @@ class SelfTelemetryOtlpSpec extends AnyFunSuite {
         spark.read.format("binaryFile").load(rx.spoolPath("logs", pb = true))
           .select(col("content").as("pb"))).collect()
       val bodies = logs.map(_.getAs[String]("body"))
-      assert(bodies.exists(_.contains("ran 1 pipeline(s)")) ||
-        bodies.exists(_.startsWith("started")) ||
-        bodies.exists(_.contains("pipeline")), s"got ${bodies.take(5).toSeq}")
+      // the CLOSING record must export too — it logs inside the
+      // data-path bracket, before the log processors' final flush
+      // (review-wave finding: a record emitted after their shutdown
+      // silently vanished from the exported stream)
+      assert(bodies.exists(_.contains("ran 1 pipeline(s)")),
+        s"closing record missing; got ${bodies.toSeq}")
+      assert(bodies.exists(_.startsWith("started")), s"got ${bodies.toSeq}")
       assert(logs.forall(_.getAs[Int]("severity_number") == 9),
         "lifecycle messages are info-level")
       assert(logs.forall(_.getAs[Map[String, String]]("resource_attributes")
