@@ -1176,10 +1176,19 @@ object AnnOps {
         .groupBy(col("qid"), col("nid"))
         .agg(min(col("tbl")).as("first_t"), first(col("sim")).as("sim"))
     }
+    // one action per grid point (the hnswSweep leg discipline): hit
+    // count and candidate count ride the same aggregate
     def leg(cands: DataFrame): (Long, Long) = {
-      val hits = rankTopK(cands.select(col("qid"), col("nid"), col("sim")), k)
-        .select(col("qid"), col("nid")).intersect(brute).count()
-      (hits, cands.count())
+      val topk = rankTopK(cands.select(col("qid"), col("nid"), col("sim")), k)
+        .select(col("qid"), col("nid"), lit(1L).as("__k"))
+      val row = cands.select(col("qid"), col("nid"))
+        .join(brute.withColumn("__b", lit(1L)), Seq("qid", "nid"), "left")
+        .join(topk, Seq("qid", "nid"), "left")
+        .agg(sum(when(col("__k") === 1L && col("__b") === 1L, 1L)
+            .otherwise(0L)).as("hits"),
+          count(lit(1)).as("cands"))
+        .first()
+      (row.getLong(0), row.getLong(1))
     }
     val full = candPairs(planes, tables).localCheckpoint()
     val tableRows = tablesGrid.map { t =>
@@ -1241,10 +1250,21 @@ object AnnOps {
     val brute = bruteForceTopK(queries, corpus, k)
       .select(col("qid"), col("nid")).localCheckpoint()
     val nq = queries.count()
+    // ONE action per grid point: hit count and candidate count ride
+    // the same aggregate (a separate intersect().count() +
+    // scored.count() pair doubled the sweep's driver-overhead-bound
+    // job count — 16 jobs → 8)
     def leg(scored: DataFrame): (Long, Long) = {
-      val hits = hnswTopKOf(scored, k)
-        .select(col("qid"), col("nid")).intersect(brute).count()
-      (hits, scored.count())
+      val topk = hnswTopKOf(scored, k)
+        .select(col("qid"), col("nid"), lit(1L).as("__k"))
+      val row = scored
+        .join(brute.withColumn("__b", lit(1L)), Seq("qid", "nid"), "left")
+        .join(topk, Seq("qid", "nid"), "left")
+        .agg(sum(when(col("__k") === 1L && col("__b") === 1L, 1L)
+            .otherwise(0L)).as("hits"),
+          count(lit(1)).as("cands"))
+        .first()
+      (row.getLong(0), row.getLong(1))
     }
     // default leg, snapshotted: hop rows + the anchor row all axes share
     val snaps = hnswSearchScored(queries, idx, nprobe, entries, beam, hops)
