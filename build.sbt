@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two sbt behaviors defeated that five rounds running even
+// after Bench's own last line became scalars-only: the logger prefixes
+// forked output with "[info] ", and the "[success] Total time..."
+// epilogue prints AFTER it. StdoutOutput passes the forked child's
+// stdout through verbatim; showSuccess kills the epilogue.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

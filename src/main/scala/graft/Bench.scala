@@ -304,12 +304,22 @@ object Bench {
       math.max(calibPre, calibPost) / math.max(1e-9, math.min(calibPre, calibPost))
     val calibMemDrift = math.max(calibMemPre, calibMemPost) /
       math.max(1e-9, math.min(calibMemPre, calibMemPost))
+    // capture-blessing verdict (r15 verdict #3): a capture whose OWN
+    // probes flag it is not a record of note — integer or memory
+    // calibration drifted >1.3× across the bracket, or the ×F slope
+    // leg finished FASTER than the 1× leg (wall_ratio < 1 is
+    // physically impossible without mid-run box-state change). The
+    // field is the machine-readable refusal: the builder re-runs
+    // until one unflagged capture exists and §5 quotes only those;
+    // the driver can read the same bit.
+    val flagged = calibDrift > 1.3 || calibMemDrift > 1.3 ||
+      (!slopeWallSfx.isNaN && slopeWallSfx / wall < 1.0)
     // field order is deliberate (r7 verdict #8): the driver keeps only
     // a bounded TAIL of stdout, so the big per-query maps go FIRST and
     // the summary scalars (wall/errors/contended) go LAST — a
     // truncated capture always retains the headline numbers
     val scalarTail =
-      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"calib_mem_pre":${f"$calibMemPre%.3f"},"calib_mem_post":${f"$calibMemPost%.3f"},"calib_mem_drift":${f"$calibMemDrift%.3f"},"value":$wall}"""
+      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"calib_mem_pre":${f"$calibMemPre%.3f"},"calib_mem_post":${f"$calibMemPost%.3f"},"calib_mem_drift":${f"$calibMemDrift%.3f"},"flagged":$flagged,"value":$wall}"""
     val fullLine =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,""" + scalarTail
     // the full line (with the 195-entry per-query maps) ALSO goes to a
@@ -348,7 +358,7 @@ object Bench {
       s""""contended":${sumOverWall > slots * 1.2},""" +
       s""""calib_sec":${f"$calibSec%.3f"},"calib_drift":${f"$calibDrift%.3f"},""" +
       s""""calib_drifted":${calibDrift > 1.3},""" +
-      s""""calib_mem_drift":${f"$calibMemDrift%.3f"}$slopeScalars,""" +
+      s""""calib_mem_drift":${f"$calibMemDrift%.3f"},"flagged":$flagged$slopeScalars,""" +
       s""""full_maps":"bench_full.json","walls_file":"bench_walls.json",""" +
       s""""value":$wall}""")
     spark.stop()

@@ -223,9 +223,22 @@ object Collector {
           val logProcs = svc.telemetryLogProcessors.map(c =>
             c.realizeLogs(spark, svc.telemetryResource,
               svc.telemetryLogs.map(_.initialFields).getOrElse(Map.empty),
-              out))
-          val slog = svc.telemetryLogs.map(c =>
-            new graft.pipeline.ServiceLogger(c, processors = logProcs))
+              out, autoStart = false))
+          // the DEFAULT service logger (r15 verdict #4): the
+          // reference's service builds its zap logger UNCONDITIONALLY
+          // with production defaults (telemetry.go newLogger — level
+          // info, console encoding, stderr); graft previously built
+          // one only when `logs:` was configured, so a plain run had
+          // no logger for self-telemetry to observe. Absent block =
+          // those same defaults; the CLI's stdout contract on `out`
+          // is unchanged (the default logger writes to stderr), and a
+          // `logs:` block carrying ONLY `processors:` now means
+          // "default zap + export the run's records" — one step past
+          // the reference, whose generated schema declares
+          // LogRecordProcessor but whose service never wires it.
+          val slog = Some(new graft.pipeline.ServiceLogger(
+            svc.telemetryLogs.getOrElse(graft.pipeline.ServiceLogger.LogsConfig()),
+            processors = logProcs))
           def lifecycle(msg: String): Unit = {
             out.println(msg); slog.foreach(_.info(msg))
           }
@@ -239,19 +252,25 @@ object Collector {
           // exporting the service's own spans — console or OTLP; the
           // sampler below gates what actually exports)
           val spanProcs = svc.telemetrySpanProcessors.map(c =>
-            c.realize(spark, svc.telemetryResource, out))
-          spanProcs.foreach(_ => lifecycle("started batch span processor"))
+            c.realize(spark, svc.telemetryResource, out,
+              autoStart = false))
           val tracer = new graft.pipeline.SelfTrace.Tracer(
             svc.telemetrySampler, processors = spanProcs)
-          // the processors' own bracket: they started daemon threads
-          // BEFORE the data-path try below, so a failure in
-          // startExtensions / zpages bind must still stop them or
-          // the flush loops leak in the embedding JVM (review-wave
-          // finding; shutdown is idempotent — the data-path finally
-          // flushes them FIRST, while receivers still accept, and
-          // this outer backstop only matters on the early-failure
-          // path)
+          // the processors' bracket: everything above REALIZED with
+          // autoStart=false — a throw in ServiceLogger validation or
+          // span-processor realization leaks no threads because none
+          // run yet. The flush daemons start as the FIRST statements
+          // inside this try, so every running thread is covered by
+          // the backstop finally from the instant it exists (records
+          // enqueued before start() just wait in the bounded queue;
+          // the final flush drains them either way). Shutdown is
+          // idempotent — the data-path finally flushes them FIRST,
+          // while receivers still accept; this outer backstop only
+          // matters on the early-failure path.
           try {
+          logProcs.foreach(_.start())
+          spanProcs.foreach(_.start())
+          spanProcs.foreach(_ => lifecycle("started batch span processor"))
           // extension lifecycle brackets the data path (reference
           // service.go: extensions start first, stop last)
           svc.startExtensions()

@@ -410,8 +410,17 @@ object CoreQueries {
     // nation's suppliers, kept only where it exceeds a FRACTION of
     // the global total: a global scalar subquery (the q22 discipline
     // — computed once, cross-joined; never re-aggregated per row).
-    // Both the per-part values and the grand total route through
-    // DECIMAL(28,8) so the threshold comparison is engine-exact.
+    // The fraction is SCALE-INVARIANT (r15 verdict #2): TPC-H itself
+    // scales Q11's 0.0001 by 1/SF to keep selectivity constant; a
+    // query that cannot see SF gets the same effect by dividing the
+    // threshold by the part count — keep parts holding ≥ 1.5× the
+    // MEAN per-part value. Non-empty by construction at every SF
+    // where the slice is non-empty (the max part always holds ≥ the
+    // mean; measured: 132 parts at sf0.01, 3177 at sf0.1 — the old
+    // fixed 0.005 fraction selected ZERO at both, a vacuous gate).
+    // Per-part values and the grand total route through
+    // DECIMAL(28,8); the threshold compare is one IEEE multiply per
+    // side on identical trees in both engines.
     "q11_important_stock" -> ((s, dir) => {
       val ns = Tables(s, dir, "nation").filter(col("n_name") === "NATION_0")
       val sup = Tables(s, dir, "supplier")
@@ -429,8 +438,10 @@ object CoreQueries {
         .groupBy(col("l_partkey"))
         .agg(dsum(col("l_extendedprice")).as("value"))
         .localCheckpoint()
-      val thr = value.agg((dsum(col("value")) * lit(0.005)).as("thr"))
-      value.crossJoin(thr).filter(col("value") > col("thr"))
+      val stats = value.agg(dsum(col("value")).as("tot"),
+        count(lit(1)).cast("double").as("nparts"))
+      value.crossJoin(stats)
+        .filter(col("value") * col("nparts") >= lit(1.5) * col("tot"))
         .select(col("l_partkey"), col("value"))
     }),
 
@@ -733,9 +744,10 @@ object CoreQueries {
         | JOIN nation ON s_nationkey = n_nationkey
         | WHERE n_name = 'NATION_0'
         | GROUP BY l_partkey)
-        |SELECT l_partkey, value FROM v
-        |WHERE value > (SELECT
-        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) * 0.005 FROM v)""".stripMargin,
+        |SELECT l_partkey, value FROM v,
+        | (SELECT CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS tot,
+        |   CAST(COUNT(*) AS DOUBLE) AS nparts FROM v) s
+        |WHERE value * nparts >= 1.5 * tot""".stripMargin,
 
     "q16_supplier_relationship" ->
       """SELECT p_brand, p_type, p_size,

@@ -16,6 +16,36 @@ object DataPipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
+  /** documents + a PLANTED exact-duplicate family (r15 verdict #2 —
+    * the q_url_canon synthesis discipline): the driver corpus has
+    * zero exact dups below sf0.1, so q_dedup_exact /
+    * q_dedup_cross_source / q_doc_rollhash matched their oracles on
+    * 0 = 0 rows — correct but vacuous as a driver signal. Every doc
+    * with doc_id ≡ 0 (mod 50) gains a byte-identical mirror copy
+    * under source 'mirror' at doc_id + 100,000,000 (collision-free:
+    * real ids are dense from 0; 'mirror' sorts before every 'srcN'
+    * so cross-source pairs orient deterministically). ≥10 planted
+    * clusters at the smallest SF, identical UNION ALL in the oracle
+    * CTE [[MirrorDocsSql]] — the driver's rows+schema+hash gate now
+    * proves the dedup arithmetic, not the empty set. Scale shape:
+    * the union adds 2% rows map-side, no extra exchange. */
+  private def docsWithMirror(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+        .withColumn("source", lit("mirror")))
+  }
+
+  /** the oracle's half of [[docsWithMirror]] — keep the two in
+    * lockstep or the hash gate fails loudly */
+  private val MirrorDocsSql: String =
+    """documents_m AS (
+      | SELECT doc_id, text, lang, source, n_chars FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000000, text, lang, 'mirror', n_chars
+      | FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
   /** The ONE novelty-census kernel behind q_novelty (md5, oracled),
     * q_novelty_scale (xxhash64, the production key width) and the
     * `novelty_report` config stage: the segment stream reduces along
@@ -818,8 +848,10 @@ object DataPipelineQueries {
 
   val queries: Map[String, Q] = Map(
     // exact dedup: content hash, keep the smallest doc_id per cluster
+    // (over the mirror-planted corpus so the cluster list is
+    // non-empty at every SF — see docsWithMirror)
     "q_dedup_exact" -> ((s, dir) => {
-      docs(s, dir)
+      docsWithMirror(s, dir)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_copies") >= 2)
@@ -2242,9 +2274,10 @@ object DataPipelineQueries {
     // per source pair with the shared distinct-content count. The
     // join is bounded by contents present in 2+ sources (the dup
     // clusters), never the corpus against itself; only 16-byte
-    // hashes cross the exchange.
+    // hashes cross the exchange. Runs over the mirror-planted corpus
+    // (docsWithMirror) so the census is non-empty at every SF.
     "q_dedup_cross_source" -> ((s, dir) => {
-      val sh = docs(s, dir)
+      val sh = docsWithMirror(s, dir)
         .select(col("source"), md5(col("text")).as("h")).distinct()
       sh.as("a").join(sh.as("b"),
           col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -2872,7 +2905,7 @@ object DataPipelineQueries {
     // Rabin–Karp rolling-hash content fingerprint dup clusters
     // (order-sensitive identity, the streaming-friendly fingerprint)
     "q_doc_rollhash" -> ((s, dir) => {
-      docs(s, dir)
+      docsWithMirror(s, dir)
         .groupBy(graft.functions.HashExprs.rolling_hash(col("text")).as("rh"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_docs") >= 2)
@@ -3750,8 +3783,9 @@ object DataPipelineQueries {
           |FROM verd GROUP BY 1, 2, 3""".stripMargin),
 
     "q_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
-        |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""".stripMargin,
+      ("WITH " + MirrorDocsSql + "\n" +
+        """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+          |FROM documents_m GROUP BY md5(text) HAVING COUNT(*) >= 2""".stripMargin),
 
     // identical per-row division trees; cross-row sums through
     // DECIMAL(28,8) (the q_vocab_drift discipline)
@@ -5165,11 +5199,12 @@ object DataPipelineQueries {
 
     // distinct (source, content-hash) pairs self-joined on the hash
     "q_dedup_cross_source" ->
-      """WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
-        |SELECT a.source AS src_a, b.source AS src_b,
-        | CAST(COUNT(*) AS BIGINT) AS n_shared
-        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin,
+      ("WITH " + MirrorDocsSql + ",\n" +
+        """sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents_m)
+          |SELECT a.source AS src_a, b.source AS src_b,
+          | CAST(COUNT(*) AS BIGINT) AS n_shared
+          |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          |GROUP BY 1, 2""".stripMargin),
 
     // the line-dedup segmentation, scored across docs per source
     "q_boilerplate" ->
@@ -5733,13 +5768,14 @@ object DataPipelineQueries {
           |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.nid""".stripMargin),
 
     "q_doc_rollhash" ->
-      """SELECT rh, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-        |FROM (SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
-        | FROM documents)
-        |GROUP BY rh HAVING COUNT(*) >= 2""".stripMargin,
+      ("WITH " + MirrorDocsSql + "\n" +
+        """SELECT rh, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+          |FROM (SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
+          | FROM documents_m)
+          |GROUP BY rh HAVING COUNT(*) >= 2""".stripMargin),
 
     "q_doc_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint,

@@ -1200,10 +1200,12 @@ object AnnOps {
       case i  => ("planes", planes, tableRows(i)._3, tableRows(i)._4)
     }
     val planeRows = planesGrid.filter(_ != planes).map { p =>
-      // checkpoint: leg() runs TWO actions (hit count + candidate
-      // count) — without it each planes leg pays the collision join
-      // twice (review-wave finding; the tables axis already shares
-      // `full` the same way)
+      // checkpoint: leg() ends in ONE action (hits + cands in a
+      // single aggregate), but the candidate frame appears TWICE
+      // inside that one plan — as the base pair scan and again under
+      // the rankTopK branch — so without the pin Catalyst re-expands
+      // the subplan and each planes leg pays the collision join
+      // twice (the tables axis already shares `full` the same way)
       val (hits, cands) = leg(candPairs(p, tables).localCheckpoint())
       ("planes", p, hits, cands)
     } :+ anchor

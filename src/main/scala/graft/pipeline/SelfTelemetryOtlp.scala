@@ -57,6 +57,19 @@ object SelfTelemetryOtlp {
     if (protocol == ProtocolHttp)
       require(compression.isEmpty || compression == "gzip" || compression == "none",
         s"unsupported compression \"$compression\" (gzip|none)")
+    // the grpc transport constraints refuse AT PARSE like every
+    // sibling knob — a misconfigured push must fail at config load,
+    // not mid-startup after log processors/extensions already run
+    // (ADVICE r15): graft's gRPC client does not model the SDK's
+    // WithHeaders (headers are a confighttp surface here), and
+    // otlpmetricgrpc.WithEndpoint needs an explicit host:port
+    if (protocol == ProtocolGrpc) {
+      require(headers.isEmpty,
+        "grpc/protobuf self-telemetry push does not carry custom " +
+          "headers — use http/protobuf for header-authenticated backends")
+      require(java.net.URI.create(normalizeEndpoint(endpoint)).getPort > 0,
+        s"grpc endpoint '$endpoint' carries no port")
+    }
   }
 
   /** normalizeEndpoint (proctelemetry/config.go:268-273): a bare
@@ -101,17 +114,11 @@ object SelfTelemetryOtlp {
           readTimeoutMs = p.timeoutMs.map(_.toInt).getOrElse(30000),
           tls = tls)
       case ProtocolGrpc =>
-        // otlpmetricgrpc.WithEndpoint takes host:port (config.go:283);
-        // graft's gRPC client carries fixed headers as call metadata
-        // via auth? No — headers are a confighttp surface; the gRPC
-        // SDK's WithHeaders is not modeled by OtlpGrpcExporter, so
-        // refuse rather than silently drop credentials
-        require(p.headers.isEmpty,
-          "grpc/protobuf self-telemetry push does not carry custom " +
-            "headers — use http/protobuf for header-authenticated backends")
+        // otlpmetricgrpc.WithEndpoint takes host:port (config.go:283).
+        // headers-refused and port-required are OtlpPush CONSTRUCTOR
+        // invariants (refuse-at-parse) — every value reaching here
+        // already satisfies them.
         val port = uri.getPort
-        require(port > 0,
-          s"grpc endpoint '${p.endpoint}' carries no port")
         graft.sources.GrpcOtlp.OtlpGrpcExporter(
           host = uri.getHost, port = port, signal = signal,
           compression = if (p.compression == "none") "" else p.compression,
@@ -219,6 +226,13 @@ object SelfTelemetryOtlp {
     }, threadName)
     t.setDaemon(true)
     if (autoStart) t.start()
+
+    /** start the flush daemon when constructed with autoStart=false —
+      * the leak-safe two-phase path: realize everything first (any
+      * construction throw leaks nothing), then start inside the
+      * caller's shutdown bracket. No-op once started. */
+    final def start(): Unit =
+      if (t.getState == Thread.State.NEW) t.start()
 
     /** SDK Shutdown: stop the loop, then one final flush so buffered
       * items are not lost on an orderly exit (idempotent) */
