@@ -1460,6 +1460,47 @@ object DataPipelineQueries {
           sqrt(col("ssq")).as("mean_shift"))
     }),
 
+    // IMAGE-TEXT PAIR ALIGNMENT census (r15 verdict #5) — the
+    // LAION-style curation gate for multimodal pairs: per pair the
+    // cosine between its image embedding and its text embedding, and
+    // per (source, threshold) the keep/drop census over a cutoff
+    // grid (the threshold-sweep discipline: the dial rides ONE pair
+    // pass). The corpus carries one embedding per id, so the pair's
+    // two modalities derive deterministically (the q_embed_drift
+    // snapshot trick): text side = the doc's own vector, image side
+    // = the XOR-1 partner's vector — adjacent ids pair up and
+    // alignment varies realistically across pairs (measured spread
+    // at sf0.01: keep_frac 0.68 → 0 across the grid). Scale shape:
+    // ONE co-partitioned self-join on the pair id (embeddings join
+    // partner + source join, both on the same key — vectors cross
+    // exactly one exchange), the per-pair sim frame checkpointed
+    // once (doc-sized, 1 double/row), the 8-point grid a broadcast
+    // cross join over it; keeps/fracs are identical IEEE trees in
+    // both engines (sim*100 vs an integer threshold column).
+    "q_pair_align" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val txt = e.select(col("vec_id").as("pid"), col("v").as("te"))
+      val img = e.select(col("vec_id").bitwiseXOR(lit(1L)).as("pid"),
+        col("v").as("ie"))
+      val pairs = txt.join(img, "pid")
+        .join(docs(s, dir).select(col("doc_id").as("pid"), col("source")),
+          "pid")
+        .select(col("source"), AnnOps.cosine(col("te"), col("ie")).as("sim"))
+        .localCheckpoint()
+      val grid = {
+        import s.implicits._
+        (-1 to 6).map(i => (i * 5).toLong).toDF("t_pct")
+      }
+      pairs.crossJoin(broadcast(grid))
+        .groupBy(col("source"), col("t_pct"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sim") * lit(100) >= col("t_pct").cast("double"), 1L)
+            .otherwise(0L)).cast("long").as("n_keep"))
+        .withColumn("keep_frac",
+          col("n_keep").cast("double") / col("n_pairs").cast("double"))
+    }),
+
     // PQ quantization-distortion report: per subspace the k-means
     // objective (mean squared L2 to the nearest code word) and the
     // code usage — the (m, ksub) tuning measurement before trusting
@@ -4224,6 +4265,22 @@ object DataPipelineQueries {
         |       FROM v WHERE vec_id % 10 <> 0 GROUP BY label)
         |SELECT ss.label, ca.n_a, cb.n_b, sqrt(ssq) AS mean_shift
         |FROM ss JOIN ca USING (label) JOIN cb USING (label)""".stripMargin,
+
+    // paired views on the XOR-1 partner; the q_ann_range cosine form
+    "q_pair_align" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT t.vec_id AS pid, d.source,
+        |   list_sum(list_transform(list_zip(t.e, i.e), x -> x[1] * x[2])) /
+        |   (sqrt(list_sum(list_transform(t.e, x -> x * x))) *
+        |    sqrt(list_sum(list_transform(i.e, x -> x * x)))) AS sim
+        |  FROM v t JOIN v i ON xor(t.vec_id, 1) = i.vec_id
+        |  JOIN documents d ON d.doc_id = t.vec_id),
+        |g AS (SELECT unnest(range(-1, 7)) * 5 AS t_pct)
+        |SELECT source, t_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(SUM(CASE WHEN sim * 100 >= CAST(t_pct AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        | CAST(SUM(CASE WHEN sim * 100 >= CAST(t_pct AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE) AS keep_frac
+        |FROM p, g GROUP BY 1, 2""".stripMargin,
 
     // the q_ann_pq training CTEs verbatim through b2, then the
     // assignment with its distortion exposed instead of the search

@@ -14,6 +14,65 @@ class DedupAnnSpec extends AnyFunSuite {
 
   private lazy val docs = Tables(spark, sf, "documents")
 
+  test("q_pair_align closed form: aligned pairs survive every cutoff, orthogonal pairs die past zero; real-corpus dial is monotone") {
+    import spark.implicits._
+    // planted pair geometry: ids 0/1 are IDENTICAL unit vectors
+    // (cosine 1 in both pair orientations), ids 2/3 are ORTHOGONAL
+    // (cosine 0) — the census is fully predictable per threshold
+    val dir = java.nio.file.Files.createTempDirectory("pair_align").toString
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(0f, 0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Seq(
+      (0L, "a b", "en", "srcA", 3L), (1L, "c d", "en", "srcA", 3L),
+      (2L, "e f", "en", "srcB", 3L), (3L, "g h", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_pair_align")(spark, dir).collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[Long]("t_pct")),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_keep")))).toMap
+    val grid = (-1 to 6).map(_ * 5L)
+    grid.foreach { t =>
+      // cosine 1 → sim*100 = 100 ≥ every grid cutoff
+      assert(got((("srcA", t))) == ((2L, 2L)), s"srcA at $t: ${got(("srcA", t))}")
+      // cosine 0 → keeps exactly while 0 ≥ t
+      val keepB = if (t <= 0L) 2L else 0L
+      assert(got((("srcB", t))) == ((2L, keepB)), s"srcB at $t: ${got(("srcB", t))}")
+    }
+    // the real corpus: per source the keep curve is monotone
+    // non-increasing in the cutoff (sets nest by construction — the
+    // sweep discipline's theorem), and every source censuses
+    val real = SparkEntry.queries("q_pair_align")(spark, sf).collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(real.nonEmpty)
+    real.foreach { case (src, rows) =>
+      val curve = rows.sortBy(_.getAs[Long]("t_pct")).map(_.getAs[Long]("n_keep"))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a >= b },
+        s"$src keep curve not monotone: ${curve.toSeq}")
+    }
+  }
+
+  test("planted mirror family de-vacuates the exact-dedup driver gates at every SF (r15 verdict #2)") {
+    // the r15 driver matched q_dedup_exact / q_dedup_cross_source /
+    // q_doc_rollhash on 0 = 0 rows — pin that the planted family now
+    // gives the hash gate real work, with the planted shape intact
+    val ex = SparkEntry.queries("q_dedup_exact")(spark, sf).collect()
+    assert(ex.length >= 10, s"expected >=10 planted clusters, got ${ex.length}")
+    // every planted cluster keeps the ORIGINAL id (mirror ids sit at
+    // +100M, so min(doc_id) is always the real doc)
+    assert(ex.forall(_.getAs[Long]("keep_id") < 100000000L))
+    assert(ex.forall(_.getAs[Long]("n_copies") >= 2L))
+    val cs = SparkEntry.queries("q_dedup_cross_source")(spark, sf).collect()
+    assert(cs.nonEmpty)
+    // 'mirror' sorts before every srcN, so it is always the left column
+    assert(cs.forall(_.getAs[String]("src_a") == "mirror"))
+    assert(SparkEntry.queries("q_doc_rollhash")(spark, sf).count() >= 10)
+  }
+
   test("minhash LSH finds the high-jaccard pairs") {
     val sh = docs.select(col("doc_id"),
       DedupOps.shinglesOfText(col("text"), 3).as("shs"))
