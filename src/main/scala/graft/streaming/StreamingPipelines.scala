@@ -493,6 +493,56 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming URL refetch dedup (r15 verdict #6) — the live twin of
+    * the batch url_canon → keyed-min refetch composition (q_url_canon
+    * / the capstone's `url_canon` stage): each arriving fetch
+    * canonicalizes its raw URL MAP-SIDE ([[graft.operators.TextOps
+    * .urlCanon]] is a stateless projection — lowercase scheme/host,
+    * www. strip, default-port drop, fragment/utm strip, param sort),
+    * and first-owner state keyed on the CANONICAL url remembers the
+    * smallest doc_id ever seen for it. keep = this fetch IS the
+    * owner: idempotent under replay (the owner's re-delivery keeps,
+    * every other copy — same trigger or any later one — drops), and
+    * a full replay in doc-id order converges to the batch
+    * composition's keep set exactly (the streamingLineDedup
+    * discipline, stamp axis swapped from segment text to canonical
+    * URL). `ttlMs` expires idle ownerships — the crawl-recency
+    * retention knob (an evicted URL's next fetch re-enters as
+    * first-seen).
+    *
+    * Input columns (doc_id, url_raw); output (doc_id, url_raw,
+    * url_canon, keep). State: one long per distinct canonical URL,
+    * keyed by its md5 (value-derived bounded key — never the raw URL
+    * string, never hashCode; checkpoint recovery needs cross-JVM
+    * stability). Scale shape: canonicalization never shuffles; the
+    * only exchange keys on the canon hash into the state store. */
+  def streamingUrlDedup(spark: SparkSession, fetches: DataFrame,
+                        ttlMs: Option[Long] = None)
+      : Dataset[(Long, String, String, Boolean)] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    fetches.select(col("doc_id").cast("long"), col("url_raw"),
+        graft.operators.TextOps.urlCanon(col("url_raw")).as("url_canon"))
+      .as[(Long, String, String)]
+      .groupByKey { case (_, _, canon) => md5Hex(canon) }
+      .flatMapGroupsWithState[Long, (Long, String, String, Boolean)](
+        OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(_._1)
+            val owner = state.getOption.getOrElse(batch.head._1)
+            state.update(owner)
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            batch.iterator.map { case (d, raw, canon) =>
+              (d, raw, canon, d == owner)
+            }
+          }
+      }
+  }
+
   /** per-fingerprint anchor-store state: the (doc, position) rows
     * seen so far, or the saturated marker once the fingerprint's
     * document frequency crossed the cap (df only grows — a saturated

@@ -1129,6 +1129,46 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(verdict.count(_._2 == Set(true)).toLong == twinKept)
     } finally q.stop()
   }
+  test("streaming url refetch dedup: first fetch owns the canonical url across triggers; converges to the batch url_canon composition") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    // batch truth: the q_url_canon synthesis + keyed-min keep at
+    // sf0.001 — the composition the monitor is the live twin of
+    val batch = SparkEntry.queries("q_url_canon")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "url_raw", "url_canon", "keep").collect()
+    val fetches = batch.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batchKept = batch.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val batchCanon = batch.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingPipelines.streamingUrlDedup(
+      spark, ms.toDS().toDF("doc_id", "url_raw"))
+    val q = out.toDF("doc_id", "url_raw", "url_canon", "keep").writeStream
+      .outputMode("append").format("memory").queryName("sud_out").start()
+    try {
+      // doc-id-ordered slices: the convergence precondition (the
+      // streamingLineDedup trade — arbitrary arrival order converges
+      // to SOME consistent first-owner set, id order to the batch one)
+      val slices = fetches.grouped(math.max(1, fetches.length / 3)).toSeq
+      slices.foreach { s => ms.addData(s.toSeq); q.processAllAvailable() }
+      // replay the first slice verbatim: verdicts must not change
+      ms.addData(slices.head.toSeq); q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, url_canon, keep FROM sud_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      val verdict = rows.groupBy(_._1).view
+        .mapValues(_.map(_._3).toSet).toMap
+      // replay-idempotent: every doc saw exactly ONE verdict value
+      assert(verdict.values.forall(_.size == 1),
+        s"flapping verdicts: ${verdict.filter(_._2.size > 1).keys.take(5)}")
+      // the canonical stamp matches the batch kernel byte-for-byte
+      rows.foreach { case (d, canon, _) => assert(canon == batchCanon(d)) }
+      // convergence: streaming keep set == the batch composition's
+      val streamKept = verdict.collect { case (d, s) if s == Set(true) => d }.toSet
+      assert(streamKept == batchKept,
+        s"missing=${(batchKept -- streamKept).take(5)} extra=${(streamKept -- batchKept).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming gap monitor: gaps across batch boundaries measure exactly, converging to the batch operator") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
