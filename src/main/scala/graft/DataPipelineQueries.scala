@@ -37,6 +37,24 @@ object DataPipelineQueries {
         .withColumn("source", lit("mirror")))
   }
 
+  /** The ONE image-text pair-similarity kernel behind q_pair_align
+    * (batch census, oracled) and streamingPairAlign (live monitor):
+    * paired views on the XOR-1 partner (text side = own vector,
+    * image side = the partner's), per-pair cosine, source attached —
+    * one co-partitioned self-join, (source, sim) out. Shared so the
+    * batch curve and the monitor's buckets cannot drift. */
+  def pairAlignSims(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val txt = e.select(col("vec_id").as("pid"), col("v").as("te"))
+    val img = e.select(col("vec_id").bitwiseXOR(lit(1L)).as("pid"),
+      col("v").as("ie"))
+    txt.join(img, "pid")
+      .join(docs(s, dir).select(col("doc_id").as("pid"), col("source")),
+        "pid")
+      .select(col("source"), AnnOps.cosine(col("te"), col("ie")).as("sim"))
+  }
+
   /** the oracle's half of [[docsWithMirror]] — keep the two in
     * lockstep or the hash gate fails loudly */
   private val MirrorDocsSql: String =
@@ -1476,18 +1494,12 @@ object DataPipelineQueries {
     // exactly one exchange), the per-pair sim frame checkpointed
     // once (doc-sized, 1 double/row), the 8-point grid a broadcast
     // cross join over it; keeps/fracs are identical IEEE trees in
-    // both engines (sim*100 vs an integer threshold column).
+    // both engines (sim*100 vs an integer threshold column). The
+    // (source, sim) kernel is [[pairAlignSims]], shared with the
+    // live monitor (streamingPairAlign) so batch and stream cannot
+    // drift.
     "q_pair_align" -> ((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val txt = e.select(col("vec_id").as("pid"), col("v").as("te"))
-      val img = e.select(col("vec_id").bitwiseXOR(lit(1L)).as("pid"),
-        col("v").as("ie"))
-      val pairs = txt.join(img, "pid")
-        .join(docs(s, dir).select(col("doc_id").as("pid"), col("source")),
-          "pid")
-        .select(col("source"), AnnOps.cosine(col("te"), col("ie")).as("sim"))
-        .localCheckpoint()
+      val pairs = pairAlignSims(s, dir).localCheckpoint()
       val grid = {
         import s.implicits._
         (-1 to 6).map(i => (i * 5).toLong).toDF("t_pct")
@@ -1499,6 +1511,30 @@ object DataPipelineQueries {
             .otherwise(0L)).cast("long").as("n_keep"))
         .withColumn("keep_frac",
           col("n_keep").cast("double") / col("n_pairs").cast("double"))
+    }),
+
+    // CAPTION DEDUP — the (image, caption) composite-key dedup the
+    // LAION curation pipeline runs BEFORE alignment scoring (the
+    // same image re-crawled under many pages carries byte-identical
+    // captions; dropping them before the cosine gate keeps the
+    // alignment census from double-counting spam): image identity =
+    // the pair's image key (synthesized as doc_id mod 50 — the
+    // q_media_phash identity-class discipline; the mirror family's
+    // +100,000,000 offset is ≡ 0 mod 50, so every planted mirror doc
+    // lands on ITS ORIGINAL's image key with an identical caption —
+    // real dup pairs at every SF by construction), caption identity
+    // = the text hash. keep = first doc_id per (image, caption);
+    // only ids + 16-byte hashes cross the window exchange, text
+    // never shuffles, and the partition key carries the
+    // high-cardinality hash.
+    "q_caption_dedup" -> ((s, dir) => {
+      val p = docsWithMirror(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("img_id"),
+          col("source"), md5(col("text")).as("cap_hash"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("img_id"), col("cap_hash"))
+      p.select(col("doc_id"), col("img_id"), col("source"), col("cap_hash"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
     }),
 
     // PQ quantization-distortion report: per subspace the k-means
@@ -4281,6 +4317,13 @@ object DataPipelineQueries {
         | CAST(SUM(CASE WHEN sim * 100 >= CAST(t_pct AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
         |  / CAST(COUNT(*) AS DOUBLE) AS keep_frac
         |FROM p, g GROUP BY 1, 2""".stripMargin,
+
+    // the (image, caption) composite-key dedup over the mirror corpus
+    "q_caption_dedup" ->
+      ("WITH " + MirrorDocsSql + "\n" +
+        """SELECT doc_id, doc_id % 50 AS img_id, source, md5(text) AS cap_hash,
+          | doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 50, md5(text)) AS keep
+          |FROM documents_m""".stripMargin),
 
     // the q_ann_pq training CTEs verbatim through b2, then the
     // assignment with its distortion exposed instead of the search

@@ -1675,4 +1675,26 @@ object StreamingPipelines {
       .groupBy(col(sourceCol).as("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("toks"))
+
+  /** Streaming pair-ALIGNMENT monitor: the live view of
+    * q_pair_align's keep curve (the streamingQualitySurvival
+    * discipline on the multimodal axis). Input is the (source, sim)
+    * frame the ONE shared [[graft.DataPipelineQueries.pairAlignSims]]
+    * kernel produces (same paired-view synthesis + cosine as the
+    * batch census — no drift); each pair lands in its 5-point
+    * alignment bucket (floor(sim·100 / 5)·5 — bucket ≥ t ⟺
+    * sim·100 ≥ t for every grid threshold t, so the batch keep curve
+    * rebuilds EXACTLY as the suffix sums of the bucket counts,
+    * spec-pinned row-for-row). Plain UPDATE-mode aggregation over
+    * (source, bucket): state O(buckets × sources), associative
+    * counts — any trigger slicing converges to the identical final
+    * state; the cumulative curve is a bounded batch aggregate
+    * downstream of the sink, same as the batch query builds it. */
+  def streamingPairAlign(pairs: DataFrame,
+                         sourceCol: String = "source",
+                         simCol: String = "sim"): DataFrame =
+    pairs.groupBy(col(sourceCol).as("source"),
+        (floor(col(simCol) * lit(100) / lit(5.0)) * lit(5))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
 }

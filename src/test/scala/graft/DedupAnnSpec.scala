@@ -73,6 +73,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_doc_rollhash")(spark, sf).count() >= 10)
   }
 
+  test("q_caption_dedup: mirror refetches drop on their original's image key, everything else keeps") {
+    // planted geometry: only d % 50 == 0 docs mirror, and the mirror
+    // offset is ≡ 0 mod 50 — so image 0 is the spammy image, every
+    // (image, caption) cluster there is {original, mirror}, and the
+    // original (smaller id) always keeps. No natural text dups at
+    // sf0.001, so every OTHER pair is its cluster's only member.
+    val rows = SparkEntry.queries("q_caption_dedup")(spark, sf).collect()
+    val (mirrors, originals) = rows.partition(_.getAs[Long]("doc_id") >= 100000000L)
+    assert(mirrors.length >= 10)
+    assert(mirrors.forall(r => !r.getAs[Boolean]("keep") &&
+      r.getAs[Long]("img_id") == 0L && r.getAs[String]("source") == "mirror"))
+    assert(originals.forall(_.getAs[Boolean]("keep")))
+    // pair totals conserve: one row per (doc, image) pair
+    assert(rows.length == originals.length + mirrors.length)
+  }
+
   test("minhash LSH finds the high-jaccard pairs") {
     val sh = docs.select(col("doc_id"),
       DedupOps.shinglesOfText(col("text"), 3).as("shs"))

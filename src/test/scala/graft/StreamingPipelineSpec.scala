@@ -1169,6 +1169,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pair-align monitor: bucket state converges under slicing and rebuilds the batch keep curve row-for-row") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the ONE shared kernel's static output, sliced into triggers
+    val sims = DataPipelineQueries.pairAlignSims(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val ms = MemoryStream[(String, Double)]
+    val out = graft.streaming.StreamingPipelines.streamingPairAlign(
+      ms.toDF().toDF("source", "sim"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("pa_out").start()
+    try {
+      sims.grouped(math.max(1, sims.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      // update mode re-emits a growing cell — latest = max
+      val cells = spark.sql(
+          """SELECT source, bucket, MAX(n_pairs) AS n FROM pa_out
+            |GROUP BY source, bucket""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(cells.values.sum == sims.length.toLong)
+      // the §2 keep curve rebuilds as suffix sums over the buckets:
+      // bucket >= t ⟺ sim*100 >= t for every grid threshold t
+      // (5-aligned buckets) — compare EVERY q_pair_align row
+      val expect = SparkEntry.queries("q_pair_align")(spark, dir).collect()
+      assert(expect.nonEmpty)
+      expect.foreach { r =>
+        val (src, t) = (r.getAs[String]("source"), r.getAs[Long]("t_pct"))
+        val mine = cells.collect {
+          case ((s, b), n) if s == src && b >= t => n
+        }.sum
+        assert(mine == r.getAs[Long]("n_keep"),
+          s"($src, $t): monitor $mine vs batch ${r.getAs[Long]("n_keep")}")
+        val total = cells.collect { case ((s, _), n) if s == src => n }.sum
+        assert(total == r.getAs[Long]("n_pairs"))
+      }
+    } finally q.stop()
+  }
+
   test("streaming gap monitor: gaps across batch boundaries measure exactly, converging to the batch operator") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
