@@ -226,6 +226,19 @@ object Plans {
       "the flagship's shape) counts pairs once into a checkpointed " +
       "frame; each cutoff is a filter riding the broadcast grid and " +
       "the three censuses reduce in one aggregate keyed on cutoff."),
+    "q_pair_align" -> ("The multimodal alignment census rides ONE " +
+      "co-partitioned self-join on the pair id (the vectors cross " +
+      "exactly one exchange) into a checkpointed (source, sim) frame " +
+      "of one double per pair; the 8-point cutoff grid is a " +
+      "BroadcastNestedLoopJoin over that checkpoint — never one " +
+      "corpus pass per threshold — and the census is one partial+" +
+      "final aggregate keyed (source, t_pct)."),
+    "q_caption_dedup" -> ("Composite-key (image, caption) dedup: the " +
+      "window partitions on (img_id, cap_hash) — the 16-byte caption " +
+      "hash keeps the partition key high-cardinality (the window-ban " +
+      "good case) — and only ids + hashes cross the exchange; text is " +
+      "pruned at the scan projection, before the union with the " +
+      "planted mirror branch."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
       "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
       "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +
