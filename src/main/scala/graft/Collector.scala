@@ -236,11 +236,11 @@ object Collector {
           // "default zap + export the run's records" — one step past
           // the reference, whose generated schema declares
           // LogRecordProcessor but whose service never wires it.
-          val slog = Some(new graft.pipeline.ServiceLogger(
+          val slog = new graft.pipeline.ServiceLogger(
             svc.telemetryLogs.getOrElse(graft.pipeline.ServiceLogger.LogsConfig()),
-            processors = logProcs))
+            processors = logProcs)
           def lifecycle(msg: String): Unit = {
-            out.println(msg); slog.foreach(_.info(msg))
+            out.println(msg); slog.info(msg)
           }
           // the service's own TracerProvider analog (telemetry.go:
           // 46-50: built unconditionally so zpages can serve tracez;
@@ -488,9 +488,8 @@ object Collector {
             // last words written, release the self-logger's file
             // handles (per-run loggers must not leak fds in an
             // embedding JVM that calls run repeatedly)
-            slog.foreach(s =>
-              try s.close()
-              catch { case scala.util.control.NonFatal(_) => () })
+            try slog.close()
+            catch { case scala.util.control.NonFatal(_) => () }
           }
           } finally {
             // leak backstop for the span/log-processor daemon threads
@@ -505,9 +504,8 @@ object Collector {
           // the closing record printed inside the bracket may have
           // reopened a closed file sink (sinks reopen on demand after
           // close) — release it again before return
-          slog.foreach(s =>
-            try s.close()
-            catch { case scala.util.control.NonFatal(_) => () })
+          try slog.close()
+          catch { case scala.util.control.NonFatal(_) => () }
           0
         case other =>
           out.println(s"unknown command: $other " +

@@ -414,10 +414,13 @@ object CoreQueries {
     // scales Q11's 0.0001 by 1/SF to keep selectivity constant; a
     // query that cannot see SF gets the same effect by dividing the
     // threshold by the part count — keep parts holding ≥ 1.5× the
-    // MEAN per-part value. Non-empty by construction at every SF
-    // where the slice is non-empty (the max part always holds ≥ the
-    // mean; measured: 132 parts at sf0.01, 3177 at sf0.1 — the old
-    // fixed 0.005 fraction selected ZERO at both, a vacuous gate).
+    // MEAN per-part value, ALWAYS including the single largest
+    // holding (pigeonhole only guarantees max ≥ 1.0× mean, so on a
+    // near-uniform distribution the 1.5× band alone could re-vacate
+    // the gate — review-wave finding; the OR max branch makes
+    // non-emptiness a construction, not a distribution bet).
+    // Measured: 132 parts at sf0.01, 3177 at sf0.1 — the old fixed
+    // 0.005 fraction selected ZERO at both, a vacuous gate.
     // Per-part values and the grand total route through
     // DECIMAL(28,8); the threshold compare is one IEEE multiply per
     // side on identical trees in both engines.
@@ -439,9 +442,11 @@ object CoreQueries {
         .agg(dsum(col("l_extendedprice")).as("value"))
         .localCheckpoint()
       val stats = value.agg(dsum(col("value")).as("tot"),
-        count(lit(1)).cast("double").as("nparts"))
+        count(lit(1)).cast("double").as("nparts"),
+        max(col("value")).as("mx"))
       value.crossJoin(stats)
-        .filter(col("value") * col("nparts") >= lit(1.5) * col("tot"))
+        .filter(col("value") * col("nparts") >= lit(1.5) * col("tot") ||
+          col("value") === col("mx"))
         .select(col("l_partkey"), col("value"))
     }),
 
@@ -746,8 +751,8 @@ object CoreQueries {
         | GROUP BY l_partkey)
         |SELECT l_partkey, value FROM v,
         | (SELECT CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS tot,
-        |   CAST(COUNT(*) AS DOUBLE) AS nparts FROM v) s
-        |WHERE value * nparts >= 1.5 * tot""".stripMargin,
+        |   CAST(COUNT(*) AS DOUBLE) AS nparts, MAX(value) AS mx FROM v) s
+        |WHERE value * nparts >= 1.5 * tot OR value = mx""".stripMargin,
 
     "q16_supplier_relationship" ->
       """SELECT p_brand, p_type, p_size,

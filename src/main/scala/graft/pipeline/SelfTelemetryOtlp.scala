@@ -230,9 +230,15 @@ object SelfTelemetryOtlp {
     /** start the flush daemon when constructed with autoStart=false —
       * the leak-safe two-phase path: realize everything first (any
       * construction throw leaks nothing), then start inside the
-      * caller's shutdown bracket. No-op once started. */
-    final def start(): Unit =
+      * caller's shutdown bracket. No-op once started — synchronized,
+      * because a bare check-then-act would let two concurrent
+      * callers both see NEW and the loser's t.start() throw
+      * IllegalThreadStateException (review-wave finding; this is
+      * public API for embedding hosts, not just the CLI's
+      * single-threaded startup). */
+    final def start(): Unit = synchronized {
       if (t.getState == Thread.State.NEW) t.start()
+    }
 
     /** SDK Shutdown: stop the loop, then one final flush so buffered
       * items are not lost on an orderly exit (idempotent) */

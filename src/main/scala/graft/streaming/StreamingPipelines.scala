@@ -522,7 +522,15 @@ object StreamingPipelines {
     import spark.implicits._
     val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    fetches.select(col("doc_id").cast("long"), col("url_raw"),
+    fetches
+      // a live fetch stream is external input: one malformed row with
+      // a null URL must not NPE the key function and kill the whole
+      // query (urlCanon propagates null; md5 of null throws) — the
+      // null-text guard discipline from the segment monitors. A
+      // null-URL fetch has no refetch identity to dedup on; it is
+      // excluded from the monitor, not crashed into.
+      .filter(col("url_raw").isNotNull)
+      .select(col("doc_id").cast("long"), col("url_raw"),
         graft.operators.TextOps.urlCanon(col("url_raw")).as("url_canon"))
       .as[(Long, String, String)]
       .groupByKey { case (_, _, canon) => md5Hex(canon) }
