@@ -43,7 +43,10 @@ object DataPipelineQueries {
     * image side = the partner's), per-pair cosine, source attached —
     * one co-partitioned self-join, (source, sim) out. Shared so the
     * batch curve and the monitor's buckets cannot drift. */
-  def pairAlignSims(s: SparkSession, dir: String): DataFrame = {
+  /** the paired view itself — (source, te, ie) per pair; the shape a
+    * real pair table ships in, and what the `pair_align_report`
+    * config stage consumes */
+  def pairAlignPairs(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val txt = e.select(col("vec_id").as("pid"), col("v").as("te"))
@@ -52,7 +55,30 @@ object DataPipelineQueries {
     txt.join(img, "pid")
       .join(docs(s, dir).select(col("doc_id").as("pid"), col("source")),
         "pid")
+  }
+
+  def pairAlignSims(s: SparkSession, dir: String): DataFrame =
+    pairAlignPairs(s, dir)
       .select(col("source"), AnnOps.cosine(col("te"), col("ie")).as("sim"))
+
+  /** the census tail over a (source, sim) frame: checkpoint the ONE
+    * pair pass, broadcast the 8-point grid, keep/drop per (source,
+    * threshold) — shared verbatim by q_pair_align and the
+    * `pair_align_report` config stage (one kernel, no drift) */
+  def pairAlignCensus(sims: DataFrame): DataFrame = {
+    val s = sims.sparkSession
+    val pairs = sims.localCheckpoint()
+    val grid = {
+      import s.implicits._
+      (-1 to 6).map(i => (i * 5).toLong).toDF("t_pct")
+    }
+    pairs.crossJoin(broadcast(grid))
+      .groupBy(col("source"), col("t_pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sim") * lit(100) >= col("t_pct").cast("double"), 1L)
+          .otherwise(0L)).cast("long").as("n_keep"))
+      .withColumn("keep_frac",
+        col("n_keep").cast("double") / col("n_pairs").cast("double"))
   }
 
   /** the oracle's half of [[docsWithMirror]] — keep the two in
@@ -1498,20 +1524,7 @@ object DataPipelineQueries {
     // (source, sim) kernel is [[pairAlignSims]], shared with the
     // live monitor (streamingPairAlign) so batch and stream cannot
     // drift.
-    "q_pair_align" -> ((s, dir) => {
-      val pairs = pairAlignSims(s, dir).localCheckpoint()
-      val grid = {
-        import s.implicits._
-        (-1 to 6).map(i => (i * 5).toLong).toDF("t_pct")
-      }
-      pairs.crossJoin(broadcast(grid))
-        .groupBy(col("source"), col("t_pct"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("sim") * lit(100) >= col("t_pct").cast("double"), 1L)
-            .otherwise(0L)).cast("long").as("n_keep"))
-        .withColumn("keep_frac",
-          col("n_keep").cast("double") / col("n_pairs").cast("double"))
-    }),
+    "q_pair_align" -> ((s, dir) => pairAlignCensus(pairAlignSims(s, dir))),
 
     // CAPTION DEDUP — the (image, caption) composite-key dedup the
     // LAION curation pipeline runs BEFORE alignment scoring (the

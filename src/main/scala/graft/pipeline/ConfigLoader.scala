@@ -1323,6 +1323,30 @@ object ConfigLoader {
         shingle = m.get("shingle").map(_.asInstanceOf[Number].intValue()).getOrElse(3),
         cutFrac = m.get("cut_frac").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.05))
     }
+    // image-text pair ALIGNMENT census as a REPORT stage (the
+    // q_pair_align kernel verbatim — pairAlignCensus is the one
+    // implementation behind the query and this stage, the
+    // dedup_venn_report discipline): the frame REDUCES to the
+    // per-(source, cutoff) keep/drop table a multimodal curation run
+    // files next to the corpus it gates — put it LAST in its
+    // pipeline, feeding the sink that files the report. Input
+    // columns: `source` plus the two embedding arrays (`image`,
+    // `text` name them); cosine argument order is (text, image),
+    // the query's, so the filed table is bit-equal to q_pair_align
+    // on the same pairs.
+    case "pair_align_report" => df => {
+      val src = m.get("source").map(_.toString).getOrElse("source")
+      val ic = m.get("image").map(_.toString).getOrElse("image_embedding")
+      val tc = m.get("text").map(_.toString).getOrElse("text_embedding")
+      Seq(src, ic, tc).foreach(c => require(df.columns.contains(c),
+        s"pair_align_report needs column '$c' in the frame " +
+          "(source + the two embedding arrays)"))
+      graft.DataPipelineQueries.pairAlignCensus(
+        df.select(col(src).as("source"),
+          graft.operators.AnnOps.cosine(
+            col(tc).cast("array<double>"),
+            col(ic).cast("array<double>")).as("sim")))
+    }
     // semconv schema migration: rewrite a map<string,string> attrs
     // column's keys between catalog versions (SemConv.renames —
     // the 1.18.0 → 1.23.0 HTTP stabilization table; side picks the

@@ -2225,4 +2225,65 @@ class CollectorIntegrationSpec extends AnyFunSuite {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pair_align_report stage files the q_pair_align census bit-for-bit (one kernel)") {
+    // the dedup_venn_report discipline on the multimodal axis: the
+    // stage and the §2 query share pairAlignCensus verbatim, so the
+    // table a curation run files cannot drift from the flagship's
+    val dir = "/root/testdata/sf0.001"
+    val pairsPath = java.nio.file.Files
+      .createTempDirectory("pair_in").toString + "/pairs.parquet"
+    DataPipelineQueries.pairAlignPairs(spark, dir)
+      .select(col("source"), col("te"), col("ie"))
+      .write.parquet(pairsPath)
+    val out = java.nio.file.Files
+      .createTempDirectory("pair_rep").toString + "/report"
+    val yaml =
+      s"""pipelines:
+         |  corpus/pair_align:
+         |    receiver:
+         |      type: parquet
+         |      path: "$pairsPath"
+         |    processors:
+         |      - type: pair_align_report
+         |        source: source
+         |        image: ie
+         |        text: te
+         |    exporters:
+         |      - type: jsonl
+         |        path: "$out"
+         |""".stripMargin
+    graft.pipeline.ConfigLoader.fromYaml(yaml).run(spark)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), col("t_pct").cast("long"),
+        col("n_pairs").cast("long"), col("n_keep").cast("long"),
+        col("keep_frac").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val filed = keyed(spark.read.json(out))
+    val flagship = keyed(SparkEntry.queries("q_pair_align")(spark, dir))
+    assert(filed.nonEmpty && filed == flagship,
+      s"stage filed ${filed.size} cells vs flagship ${flagship.size}")
+    // a frame missing the embedding columns refuses loudly
+    val e = intercept[Exception] {
+      graft.pipeline.ConfigLoader.fromYaml(
+        s"""pipelines:
+           |  corpus/bad:
+           |    receiver:
+           |      type: parquet
+           |      path: "/root/testdata/sf0.001/documents.parquet"
+           |    processors:
+           |      - type: pair_align_report
+           |    exporters:
+           |      - type: jsonl
+           |        path: "$out-bad"
+           |""".stripMargin).run(spark)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pair_align_report needs column")),
+      msgs(e).mkString(" | "))
+  }
 }
