@@ -386,6 +386,26 @@ class PlanSpec extends AnyFunSuite {
       p.contains("TableCacheQueryStage"), p)
   }
 
+  test("q11 stays non-empty on a perfectly uniform distribution (the OR-max branch has teeth)") {
+    // review-wave finding: pigeonhole only guarantees max >= 1.0x
+    // mean, so the 1.5x-mean band alone selects ZERO rows when every
+    // part holds the same value — exactly the silent re-vacating the
+    // de-vacuation set out to kill. The always-include-max branch
+    // makes non-emptiness a construction; on a uniform corpus every
+    // part IS the max, so all of them report.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q11_uniform").toString
+    Seq((0, "NATION_0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 0)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    (1L to 4L).map(p => (p, 1L, 100.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q11_important_stock")(spark, dir).collect()
+    assert(rows.length == 4, s"uniform corpus must keep all max-ties, got ${rows.length}")
+  }
+
   test("q11's global threshold is ONE broadcast scalar, never a per-row re-aggregation") {
     val df = SparkEntry.queries("q11_important_stock")(spark, sf)
     df.collect()
