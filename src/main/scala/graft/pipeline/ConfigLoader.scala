@@ -1323,6 +1323,29 @@ object ConfigLoader {
         shingle = m.get("shingle").map(_.asInstanceOf[Number].intValue()).getOrElse(3),
         cutFrac = m.get("cut_frac").map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.05))
     }
+    // (image, caption) composite-key dedup, keep-first — the pair
+    // pipeline's pre-alignment gate (q_caption_dedup's semantics as
+    // the FILTER stage; the query is the report form): the same
+    // image re-crawled under many pages carries byte-identical
+    // captions, and dropping the copies BEFORE pair_align_report
+    // keeps the filed census from double-counting spam. `image`
+    // names the image-identity column (an id, a phash, a canonical
+    // url); ONE shuffle on (image, caption-hash); the dedup_exact
+    // null-caption sentinel keeps null-text pairs in one cluster
+    // instead of silently vanishing at the inner join.
+    case "caption_dedup" => df => {
+      import org.apache.spark.sql.functions.{md5, min, lit, coalesce}
+      val idc = str(m, "id"); val img = str(m, "image")
+      require(df.columns.contains(img),
+        s"caption_dedup image column '$img' not in the frame " +
+          "(pass image: <column> — the identity the captions dedup within)")
+      val withH = df.withColumn("__cph",
+        coalesce(md5(expr(str(m, "text"))), lit(" null ")))
+      val keep = withH.groupBy(col(img), col("__cph"))
+        .agg(min(col(idc)).as("__keep"))
+      withH.join(keep, Seq(img, "__cph")).filter(col(idc) === col("__keep"))
+        .drop("__cph", "__keep")
+    }
     // image-text pair ALIGNMENT census as a REPORT stage (the
     // q_pair_align kernel verbatim — pairAlignCensus is the one
     // implementation behind the query and this stage, the

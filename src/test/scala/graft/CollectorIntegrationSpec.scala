@@ -2286,4 +2286,62 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("pair_align_report needs column")),
       msgs(e).mkString(" | "))
   }
+
+  test("multimodal capstone arc: caption_dedup drops the planted refetch spam and the filed census equals the flagship's") {
+    // the second capstone discipline on the pair axis: a pair table
+    // carrying planted byte-identical (image, caption) refetches
+    // flows caption_dedup → pair_align_report in ONE yaml; the gate
+    // must remove exactly the spam, so the filed table equals
+    // q_pair_align over the clean base — the census a spam-polluted
+    // corpus files WITHOUT the gate would double-count image 0's
+    // sources (asserted too: the arc is doing real work).
+    val dir = "/root/testdata/sf0.001"
+    val base = DataPipelineQueries.pairAlignPairs(spark, dir)
+      .select(col("pid").as("doc_id"),
+        pmod(col("pid"), lit(50)).as("img_id"),
+        concat(lit("cap-"), col("pid")).as("caption"),
+        col("source"), col("te"), col("ie"))
+    val planted = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val pairsPath = java.nio.file.Files
+      .createTempDirectory("cap_arc_in").toString + "/pairs.parquet"
+    base.unionByName(planted).write.parquet(pairsPath)
+    val out = java.nio.file.Files
+      .createTempDirectory("cap_arc_rep").toString + "/report"
+    graft.pipeline.ConfigLoader.fromYaml(
+      s"""pipelines:
+         |  corpus/pair_curation:
+         |    receiver:
+         |      type: parquet
+         |      path: "$pairsPath"
+         |    processors:
+         |      - type: caption_dedup
+         |        id: doc_id
+         |        image: img_id
+         |        text: caption
+         |      - type: pair_align_report
+         |        source: source
+         |        image: ie
+         |        text: te
+         |    exporters:
+         |      - type: jsonl
+         |        path: "$out"
+         |""".stripMargin).run(spark)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), col("t_pct").cast("long"),
+        col("n_pairs").cast("long"), col("n_keep").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val filed = keyed(spark.read.json(out))
+    val flagship = keyed(SparkEntry.queries("q_pair_align")(spark, dir))
+    assert(filed == flagship,
+      s"arc census != flagship: ${filed.size} vs ${flagship.size} cells")
+    // without the gate the spam double-counts: the polluted census
+    // differs (image 0's sources gain pairs) — the stage earns its slot
+    val polluted = keyed(DataPipelineQueries.pairAlignCensus(
+      spark.read.parquet(pairsPath).select(col("source"),
+        graft.operators.AnnOps.cosine(col("te"), col("ie")).as("sim"))))
+    assert(polluted != flagship, "planted spam must be visible ungated")
+  }
 }
