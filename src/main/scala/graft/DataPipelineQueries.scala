@@ -64,7 +64,13 @@ object DataPipelineQueries {
   /** the census tail over a (source, sim) frame: checkpoint the ONE
     * pair pass, broadcast the 8-point grid, keep/drop per (source,
     * threshold) — shared verbatim by q_pair_align and the
-    * `pair_align_report` config stage (one kernel, no drift) */
+    * `pair_align_report` config stage (one kernel, no drift).
+    * NaN sims (a zero vector on either side NaN-poisons cosine —
+    * the q_embed_norm_qa hazard) count in n_pairs but NEVER keep:
+    * both engines order NaN above every number, so the unguarded
+    * compare would silently pass undefined-alignment pairs at EVERY
+    * cutoff — engine-consistent, curation-wrong (the q_quantize_sweep
+    * zero-scale guard discipline, applied on both sides). */
   def pairAlignCensus(sims: DataFrame): DataFrame = {
     val s = sims.sparkSession
     val pairs = sims.localCheckpoint()
@@ -75,7 +81,8 @@ object DataPipelineQueries {
     pairs.crossJoin(broadcast(grid))
       .groupBy(col("source"), col("t_pct"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("sim") * lit(100) >= col("t_pct").cast("double"), 1L)
+        sum(when(!isnan(col("sim")) &&
+            col("sim") * lit(100) >= col("t_pct").cast("double"), 1L)
           .otherwise(0L)).cast("long").as("n_keep"))
       .withColumn("keep_frac",
         col("n_keep").cast("double") / col("n_pairs").cast("double"))
@@ -4326,8 +4333,8 @@ object DataPipelineQueries {
         |  JOIN documents d ON d.doc_id = t.vec_id),
         |g AS (SELECT unnest(range(-1, 7)) * 5 AS t_pct)
         |SELECT source, t_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        | CAST(SUM(CASE WHEN sim * 100 >= CAST(t_pct AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        | CAST(SUM(CASE WHEN sim * 100 >= CAST(t_pct AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+        | CAST(SUM(CASE WHEN NOT isnan(sim) AND sim * 100 >= CAST(t_pct AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        | CAST(SUM(CASE WHEN NOT isnan(sim) AND sim * 100 >= CAST(t_pct AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
         |  / CAST(COUNT(*) AS DOUBLE) AS keep_frac
         |FROM p, g GROUP BY 1, 2""".stripMargin,
 

@@ -56,6 +56,21 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("pairAlignCensus: a NaN sim (zero-vector pair) counts in n_pairs but never keeps") {
+    // both engines order NaN above every number, so the unguarded
+    // compare would pass an undefined-alignment pair at EVERY cutoff
+    // — engine-consistent and curation-wrong; the guard pins drop
+    import spark.implicits._
+    val got = graft.DataPipelineQueries.pairAlignCensus(
+        Seq(("s", Double.NaN), ("s", 1.0)).toDF("source", "sim"))
+      .collect()
+      .map(r => r.getAs[Long]("t_pct") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_keep")))).toMap
+    (-1 to 6).map(_ * 5L).foreach { t =>
+      assert(got(t) == ((2L, 1L)), s"at $t: ${got(t)}")
+    }
+  }
+
   test("planted mirror family de-vacuates the exact-dedup driver gates at every SF (r15 verdict #2)") {
     // the r15 driver matched q_dedup_exact / q_dedup_cross_source /
     // q_doc_rollhash on 0 = 0 rows — pin that the planted family now
