@@ -1702,7 +1702,14 @@ object StreamingPipelines {
                          sourceCol: String = "source",
                          simCol: String = "sim"): DataFrame =
     pairs.groupBy(col(sourceCol).as("source"),
-        (floor(col(simCol) * lit(100) / lit(5.0)) * lit(5))
-          .cast("long").as("bucket"))
+        // NaN sims (zero-vector pairs) land in an explicit sentinel
+        // bucket BELOW every grid threshold — counted in the totals,
+        // never in a suffix sum, exactly the batch census's
+        // count-but-never-keep guard (a bare floor would bucket NaN
+        // to NULL and a rebuild reading it as 0 would corrupt the
+        // keep curve)
+        when(isnan(col(simCol)), lit(-100L))
+          .otherwise((floor(col(simCol) * lit(100) / lit(5.0)) * lit(5))
+            .cast("long")).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
 }
