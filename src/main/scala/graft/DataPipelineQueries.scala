@@ -37,15 +37,11 @@ object DataPipelineQueries {
         .withColumn("source", lit("mirror")))
   }
 
-  /** The ONE image-text pair-similarity kernel behind q_pair_align
-    * (batch census, oracled) and streamingPairAlign (live monitor):
-    * paired views on the XOR-1 partner (text side = own vector,
-    * image side = the partner's), per-pair cosine, source attached —
-    * one co-partitioned self-join, (source, sim) out. Shared so the
-    * batch curve and the monitor's buckets cannot drift. */
-  /** the paired view itself — (source, te, ie) per pair; the shape a
-    * real pair table ships in, and what the `pair_align_report`
-    * config stage consumes */
+  /** The paired view — (pid, te, ie, source) per pair: paired views
+    * on the XOR-1 partner (text side = own vector, image side = the
+    * partner's), source attached via one co-partitioned self-join.
+    * The shape a real pair table ships in, and what the
+    * `pair_align_report` config stage consumes. */
   def pairAlignPairs(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
@@ -57,6 +53,10 @@ object DataPipelineQueries {
         "pid")
   }
 
+  /** The ONE image-text pair-similarity kernel behind q_pair_align
+    * (batch census, oracled) and streamingPairAlign (live monitor):
+    * [[pairAlignPairs]] + per-pair cosine, (source, sim) out — shared
+    * so the batch curve and the monitor's buckets cannot drift. */
   def pairAlignSims(s: SparkSession, dir: String): DataFrame =
     pairAlignPairs(s, dir)
       .select(col("source"), AnnOps.cosine(col("te"), col("ie")).as("sim"))

@@ -843,6 +843,35 @@ object ConfigLoader {
 
   private def str(m: Map[String, Object], k: String): String = m(k).toString
 
+  /** keep-first dedup kernel shared by the `dedup_exact` and
+    * `caption_dedup` stages (one implementation — a tie-break or
+    * null-safety fix cannot diverge between them): content hash plus
+    * any extra identity keys form the composite, EVERY key column
+    * coalesced through a string sentinel so null-keyed rows form
+    * their own cluster instead of silently vanishing at the inner
+    * join (null-unsafe equality matches nothing — the r14 ADVICE
+    * hazard, and its image-column twin from the r16 review wave);
+    * groupBy-min, join back, keep the first id. ONE shuffle on the
+    * composite. " null " cannot collide with an md5 (hex charset)
+    * or with itself-as-data (values stringify without the pad). */
+  private def keepFirstStage(df: org.apache.spark.sql.DataFrame,
+                             idCol: String, textExpr: String,
+                             extraKeys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{md5, min, lit, coalesce}
+    var withH = df.withColumn("__cth",
+      coalesce(md5(expr(textExpr)), lit(" null ")))
+    val keyCols = extraKeys.zipWithIndex.map { case (k, i) =>
+      val kc = s"__kfk$i"
+      withH = withH.withColumn(kc,
+        coalesce(col(k).cast("string"), lit(" null ")))
+      kc
+    } :+ "__cth"
+    val keep = withH.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("__keep"))
+    withH.join(keep, keyCols).filter(col(idCol) === col("__keep"))
+      .drop(keyCols :+ "__keep": _*)
+  }
+
   /** one `processors:` list of batch span/log processors
     * (generated_config.go:33-49 BatchSpanProcessor — the log shape
     * :11-31 is field-identical): `batch:` only, the reference's
@@ -1196,19 +1225,11 @@ object ConfigLoader {
         seg => org.apache.spark.sql.functions.md5(seg))
     }
     // exact dedup, keep-first: one shuffle on the content hash
-    case "dedup_exact" => df => {
-      import org.apache.spark.sql.functions.{md5, min, lit, coalesce}
-      val idc = str(m, "id")
-      // same null-hash sentinel as dedup_soft: without it null-text
-      // rows never match the inner join and silently vanish — neither
-      // kept-first nor counted as duplicates. With it they form one
-      // cluster and the min-id one survives.
-      val withH = df.withColumn("__cth",
-        coalesce(md5(expr(str(m, "text"))), lit(" null ")))
-      val keep = withH.groupBy(col("__cth")).agg(min(col(idc)).as("__keep"))
-      withH.join(keep, "__cth").filter(col(idc) === col("__keep"))
-        .drop("__cth", "__keep")
-    }
+    // (keepFirstStage — the shared keep-first kernel, incl. the
+    // null-hash sentinel: without it null-text rows never match the
+    // inner join and silently vanish)
+    case "dedup_exact" => df =>
+      keepFirstStage(df, str(m, "id"), str(m, "text"), Nil)
     // near dedup: exact-Jaccard pairs (posting lists, size-ratio
     // prune) → connected components → keep the min id per component
     case "dedup_near" => df => {
@@ -1334,17 +1355,18 @@ object ConfigLoader {
     // null-caption sentinel keeps null-text pairs in one cluster
     // instead of silently vanishing at the inner join.
     case "caption_dedup" => df => {
-      import org.apache.spark.sql.functions.{md5, min, lit, coalesce}
+      Seq("id", "image", "text").foreach(k => require(m.contains(k),
+        s"caption_dedup needs '$k:' (id column, image-identity " +
+          "column, caption text expression)"))
       val idc = str(m, "id"); val img = str(m, "image")
-      require(df.columns.contains(img),
-        s"caption_dedup image column '$img' not in the frame " +
-          "(pass image: <column> — the identity the captions dedup within)")
-      val withH = df.withColumn("__cph",
-        coalesce(md5(expr(str(m, "text"))), lit(" null ")))
-      val keep = withH.groupBy(col(img), col("__cph"))
-        .agg(min(col(idc)).as("__keep"))
-      withH.join(keep, Seq(img, "__cph")).filter(col(idc) === col("__keep"))
-        .drop("__cph", "__keep")
+      Seq(idc, img).foreach(c => require(df.columns.contains(c),
+        s"caption_dedup column '$c' not in the frame"))
+      // keepFirstStage coalesces the image key through the string
+      // sentinel too: a pair whose phash/url extraction failed
+      // (NULL image identity) forms its own cluster instead of
+      // silently vanishing at the null-unsafe inner join (review
+      // wave) — the filed census downstream stays honest
+      keepFirstStage(df, idc, str(m, "text"), Seq(img))
     }
     // image-text pair ALIGNMENT census as a REPORT stage (the
     // q_pair_align kernel verbatim — pairAlignCensus is the one

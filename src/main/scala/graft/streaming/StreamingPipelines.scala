@@ -1702,13 +1702,16 @@ object StreamingPipelines {
                          sourceCol: String = "source",
                          simCol: String = "sim"): DataFrame =
     pairs.groupBy(col(sourceCol).as("source"),
-        // NaN sims (zero-vector pairs) land in an explicit sentinel
-        // bucket BELOW every grid threshold — counted in the totals,
-        // never in a suffix sum, exactly the batch census's
-        // count-but-never-keep guard (a bare floor would bucket NaN
-        // to NULL and a rebuild reading it as 0 would corrupt the
-        // keep curve)
-        when(isnan(col(simCol)), lit(-100L))
+        // NaN sims (zero-vector pairs) AND null sims (null embedding
+        // arrays) land in an explicit sentinel bucket below every
+        // legitimate value — counted in the totals, never in a
+        // suffix sum, exactly the batch census's count-but-never-keep
+        // guard. -105, not -100: cosine -1.0 legitimately buckets to
+        // -100 (floor(-100/5)·5) and the sentinel must not merge
+        // anti-aligned real pairs with poison pairs (review wave); a
+        // bare floor would bucket NaN/null to NULL and a rebuild
+        // reading that as 0 would corrupt the keep curve.
+        when(isnan(col(simCol)) || col(simCol).isNull, lit(-105L))
           .otherwise((floor(col(simCol) * lit(100) / lit(5.0)) * lit(5))
             .cast("long")).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))

@@ -1210,6 +1210,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pair-align monitor: poison sims (NaN/null) land in the -105 sentinel, distinct from a real -1.0 cosine") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingPairAlign(
+      ms.toDF().toDF("source", "sim_s")
+        .select(col("source"), col("sim_s").cast("double").as("sim")))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("pa_nan_out").start()
+    try {
+      ms.addData(("s", "NaN"), ("s", null), ("s", "-1.0"), ("s", "1.0"))
+      q.processAllAvailable()
+      val cells = spark.sql(
+          "SELECT bucket, MAX(n_pairs) FROM pa_nan_out GROUP BY bucket")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // poison pairs share the sentinel; the anti-aligned REAL pair
+      // keeps its own -100 bucket (sentinel must not merge them —
+      // review wave); no NULL bucket key anywhere
+      assert(cells == Map(-105L -> 2L, -100L -> 1L, 100L -> 1L), cells)
+    } finally q.stop()
+  }
+
   test("streaming gap monitor: gaps across batch boundaries measure exactly, converging to the batch operator") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
