@@ -19,6 +19,9 @@ run / fork := true
 // stdout through verbatim; showSuccess kills the epilogue.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by settings — the
+// lintUnused false positive would otherwise print on every invocation
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
