@@ -30,7 +30,20 @@ object DataPipelineQueries {
     * proves the dedup arithmetic, not the empty set. Scale shape:
     * the union adds 2% rows map-side, no extra exchange. */
   private def docsWithMirror(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // id-space guard (r16 ADVICE): the +100,000,000 mirror offset is
+    // collision-free only while real ids stay below it — and the
+    // oracle CTE shares the identical construction, so a collision
+    // would corrupt BOTH engines consistently and sail through the
+    // hash gate. Fail loudly map-side instead (raise_error rides the
+    // scan projection — no extra job, no exchange); a bigger-SF
+    // corpus that ever crosses 100M dense ids turns into a named
+    // error, not a silently-matching corrupted census.
+    val d = docs(s, dir).withColumn("doc_id",
+      when(col("doc_id") >= lit(100000000L),
+        raise_error(concat(lit("docsWithMirror: doc_id "),
+          col("doc_id").cast("string"),
+          lit(" >= 100000000 collides with the mirror id space"))).cast("long"))
+        .otherwise(col("doc_id")))
     d.unionByName(
       d.filter(pmod(col("doc_id"), lit(50)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(100000000L))

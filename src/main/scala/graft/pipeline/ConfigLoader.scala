@@ -847,23 +847,34 @@ object ConfigLoader {
     * `caption_dedup` stages (one implementation — a tie-break or
     * null-safety fix cannot diverge between them): content hash plus
     * any extra identity keys form the composite, EVERY key column
-    * coalesced through a string sentinel so null-keyed rows form
-    * their own cluster instead of silently vanishing at the inner
-    * join (null-unsafe equality matches nothing — the r14 ADVICE
-    * hazard, and its image-column twin from the r16 review wave);
-    * groupBy-min, join back, keep the first id. ONE shuffle on the
-    * composite. " null " cannot collide with an md5 (hex charset)
-    * or with itself-as-data (values stringify without the pad). */
+    * encoded through a string that keeps null-keyed rows in their
+    * own cluster instead of silently vanishing at the inner join
+    * (null-unsafe equality matches nothing — the r14 ADVICE hazard,
+    * and its image-column twin from the r16 review wave); groupBy-min,
+    * join back, keep the first id. ONE shuffle on the composite.
+    * The null sentinel CANNOT collide with data (r16 ADVICE — the
+    * old " null " pad DID equal the literal string " null "): every
+    * non-null value is prefixed "v", nulls map to the bare " "
+    * — the two images are disjoint by construction. Helper column
+    * names are RESERVED: a frame already carrying one would silently
+    * mis-dedup (its values shadowed mid-kernel), so refuse loudly at
+    * stage application with the remedy named. */
   private def keepFirstStage(df: org.apache.spark.sql.DataFrame,
                              idCol: String, textExpr: String,
                              extraKeys: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{md5, min, lit, coalesce}
+    import org.apache.spark.sql.functions.{md5, min, lit, coalesce, when, concat}
+    val reserved = "__cth" +: "__keep" +: extraKeys.indices.map(i => s"__kfk$i")
+    reserved.filter(df.columns.contains).foreach(h =>
+      throw new IllegalArgumentException(
+        s"keep-first dedup reserves helper column '$h' — rename it " +
+          "in the input frame before the dedup stage"))
     var withH = df.withColumn("__cth",
-      coalesce(md5(expr(textExpr)), lit(" null ")))
+      coalesce(md5(expr(textExpr)), lit(" ")))
     val keyCols = extraKeys.zipWithIndex.map { case (k, i) =>
       val kc = s"__kfk$i"
       withH = withH.withColumn(kc,
-        coalesce(col(k).cast("string"), lit(" null ")))
+        when(col(k).isNull, lit(" "))
+          .otherwise(concat(lit("v"), col(k).cast("string"))))
       kc
     } :+ "__cth"
     val keep = withH.groupBy(keyCols.map(col): _*)
@@ -1380,6 +1391,14 @@ object ConfigLoader {
     // the query's, so the filed table is bit-equal to q_pair_align
     // on the same pairs.
     case "pair_align_report" => df => {
+      // the census kernel localCheckpoint()s its one pair pass — a
+      // streaming frame would die with an opaque AnalysisException
+      // deep inside the kernel; refuse at realize time with the
+      // stage named and the live twin pointed to (r16 ADVICE — the
+      // refuse-at-parse discipline the other report stages keep)
+      require(!df.isStreaming,
+        "pair_align_report is batch-only (the census checkpoints " +
+          "its one pair pass); use streamingPairAlign for a live monitor")
       val src = m.get("source").map(_.toString).getOrElse("source")
       val ic = m.get("image").map(_.toString).getOrElse("image_embedding")
       val tc = m.get("text").map(_.toString).getOrElse("text_embedding")

@@ -2344,4 +2344,67 @@ class CollectorIntegrationSpec extends AnyFunSuite {
         graft.operators.AnnOps.cosine(col("te"), col("ie")).as("sim"))))
     assert(polluted != flagship, "planted spam must be visible ungated")
   }
+
+  test("keep-first dedup: null keys cluster alone, sentinel-looking data cannot merge with them, reserved helper columns refuse loudly") {
+    // the r16 ADVICE pair on keepFirstStage: (a) the old " null " pad
+    // DID equal the literal string " null " as data — a row carrying
+    // it merged into the null-keyed cluster and could mis-drop; (b) a
+    // frame already carrying a helper column silently mis-deduped.
+    import spark.implicits._
+    val inPath = java.nio.file.Files
+      .createTempDirectory("kf_sent_in").toString + "/pairs.parquet"
+    // identical captions; image keys: two nulls, two literal
+    // " null " strings, one bare space — three DISTINCT clusters
+    Seq((1L, "same", Option.empty[String]), (2L, "same", Option.empty[String]),
+        (3L, "same", Some(" null ")), (4L, "same", Some(" null ")),
+        (5L, "same", Some(" ")))
+      .toDF("doc_id", "caption", "img").write.parquet(inPath)
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"pairs/gate": {
+         | "receiver": {"type": "parquet", "path": "$inPath"},
+         | "processors": [{"type": "caption_dedup", "id": "doc_id",
+         |                 "image": "img", "text": "caption"}],
+         | "exporters": []}}}""".stripMargin)
+    val kept = svc.pipelines("pairs/gate").plan(spark)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // null cluster keeps 1, " null " cluster keeps 3 (NOT merged into
+    // the null cluster — the old sentinel would have dropped it),
+    // the " " singleton keeps
+    assert(kept == Set(1L, 3L, 5L), kept.toSeq.sorted.mkString(","))
+    // a frame already carrying a reserved helper column refuses at
+    // stage application with the remedy named
+    val clashPath = java.nio.file.Files
+      .createTempDirectory("kf_clash_in").toString + "/rows.parquet"
+    Seq((1L, "x", "shadow")).toDF("doc_id", "text", "__keep")
+      .write.parquet(clashPath)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.fromJson(
+        s"""{"pipelines": {"docs/clash": {
+           | "receiver": {"type": "parquet", "path": "$clashPath"},
+           | "processors": [{"type": "dedup_exact", "id": "doc_id",
+           |                 "text": "text"}],
+           | "exporters": []}}}""".stripMargin)
+        .pipelines("docs/clash").plan(spark)
+    }
+    assert(e.getMessage.contains("reserves helper column '__keep'"),
+      e.getMessage)
+  }
+
+  test("pair_align_report refuses a streaming frame by name (batch-only: the census checkpoints)") {
+    // the r16 ADVICE seam: the kernel localCheckpoint()s, so a
+    // streaming frame must refuse at realize time with the stage
+    // named and the live twin pointed to — not die in an opaque
+    // AnalysisException deep inside the checkpoint
+    val spool = java.nio.file.Files.createTempDirectory("par_stream_in")
+    val svc = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"logs/live": {
+         | "receiver": {"type": "stream_json_logs", "path": "$spool"},
+         | "processors": [{"type": "pair_align_report"}],
+         | "exporters": []}}}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      svc.pipelines("logs/live").plan(spark)
+    }
+    assert(e.getMessage.contains("pair_align_report is batch-only") &&
+      e.getMessage.contains("streamingPairAlign"), e.getMessage)
+  }
 }

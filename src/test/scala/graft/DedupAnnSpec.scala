@@ -104,6 +104,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows.length == originals.length + mirrors.length)
   }
 
+  test("docsWithMirror id-space guard: a corpus crossing 100M dense ids fails loudly instead of matching a corrupted oracle") {
+    // the r16 ADVICE hazard: the +100,000,000 mirror offset shares
+    // its construction with the oracle CTE, so an id collision would
+    // corrupt BOTH engines consistently and the hash gate could not
+    // see it. The guard must turn that into a named error map-side.
+    val dir = java.nio.file.Files.createTempDirectory("mirror_guard").toString
+    docs.withColumn("doc_id",
+        when(col("doc_id") === 0L, lit(100000000L)).otherwise(col("doc_id")))
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_dedup_exact")(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("collides with the mirror id space")),
+      msgs(e).take(3).mkString(" | "))
+  }
+
   test("minhash LSH finds the high-jaccard pairs") {
     val sh = docs.select(col("doc_id"),
       DedupOps.shinglesOfText(col("text"), 3).as("shs"))
