@@ -551,6 +551,73 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming caption dedup (r16 verdict #1) — the live twin of the
+    * batch (image, caption) composite-key gate (q_caption_dedup /
+    * the `caption_dedup` config stage): a live pair pipeline needs
+    * the spam gate BEFORE the alignment monitor, exactly as the
+    * batch capstone arc orders its stages (caption_dedup →
+    * pair_align_report). First-owner state keyed on the composite of
+    * the image identity and the caption hash — the streamingUrlDedup
+    * discipline verbatim, stamp axis swapped from canonical URL to
+    * the (image, caption) pair; reference analog: the servicegraph
+    * connector's pairing-store-with-expiry semantics
+    * (connector/servicegraphconnector, store/store.go). keep = this
+    * pair IS the owner: idempotent under replay (the owner's
+    * re-delivery keeps, every other copy — same trigger or later —
+    * drops), and a full replay in doc-id order converges to the
+    * batch gate's keep set exactly. `ttlMs` expires idle ownerships,
+    * the crawl-recency retention knob (an evicted pair's next
+    * arrival re-enters as first-seen).
+    *
+    * Null handling mirrors the batch window (groupBy/Window treat
+    * NULL as its own group, keepFirstStage's sentinel encoding): a
+    * null caption or null image identity forms its own cluster —
+    * the bare-space sentinel cannot equal an md5 (hex charset) and
+    * non-null image keys take a "v" prefix, so no data value merges
+    * with a null cluster, and the composite parses unambiguously
+    * (the caption leg is fixed-width hex or the bare sentinel, so
+    * a "|" inside an image key cannot re-split it).
+    *
+    * Input columns (doc_id, img_id, text) — img_id is any
+    * image-identity column (an id, a phash, a canonical url; cast
+    * to string); output (doc_id, img_id, cap_hash, keep). State:
+    * one long per distinct (image, caption) pair, keyed by the md5
+    * of the encoded composite (value-derived bounded key — never
+    * hashCode; checkpoint recovery needs cross-JVM stability).
+    * Scale shape: hashing is map-side; the only exchange keys on
+    * the composite hash into the state store; caption text never
+    * enters state. */
+  def streamingCaptionDedup(spark: SparkSession, pairs: DataFrame,
+                            ttlMs: Option[Long] = None)
+      : Dataset[(Long, String, String, Boolean)] = {
+    import spark.implicits._
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    pairs
+      .select(col("doc_id").cast("long"),
+        col("img_id").cast("string"), md5(col("text")).as("cap_hash"))
+      .as[(Long, String, String)]
+      .groupByKey { case (_, img, cap) =>
+        val ik = if (img == null) " " else "v" + img
+        md5Hex(ik + "|" + (if (cap == null) " " else cap))
+      }
+      .flatMapGroupsWithState[Long, (Long, String, String, Boolean)](
+        OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(_._1)
+            val owner = state.getOption.getOrElse(batch.head._1)
+            state.update(owner)
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            batch.iterator.map { case (d, img, cap) =>
+              (d, img, cap, d == owner)
+            }
+          }
+      }
+  }
+
   /** per-fingerprint anchor-store state: the (doc, position) rows
     * seen so far, or the saturated marker once the fingerprint's
     * document frequency crossed the cap (df only grows — a saturated

@@ -1169,6 +1169,149 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming caption dedup: first owner keeps the (image, caption) pair across triggers; converges to the batch gate; null keys cluster alone") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the §2 gate over the mirror-planted corpus —
+    // keep = min doc_id per (img_id, cap_hash)
+    val batch = SparkEntry.queries("q_caption_dedup")(spark, dir).collect()
+    val batchKept = batch.filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(batch.length > batchKept.size, "mirror dups must exist")
+    // the stream input rebuilds the SAME planted corpus: docs plus
+    // their d%50==0 mirror copies, (doc_id, img_id, text)
+    val d = Tables(spark, dir, "documents")
+    val mirrored = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000000L)))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("img_id"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val ms = MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.StreamingPipelines.streamingCaptionDedup(
+      spark, ms.toDF().toDF("doc_id", "img_id", "text"))
+    val q = out.toDF("doc_id", "img_id", "cap_hash", "keep").writeStream
+      .outputMode("append").format("memory").queryName("scd_out").start()
+    try {
+      // doc-id-ordered slices (the convergence precondition), then a
+      // verbatim replay of the first slice: verdicts must not change
+      val slices = mirrored.grouped(math.max(1, mirrored.length / 3)).toSeq
+      slices.foreach { s => ms.addData(s.toSeq); q.processAllAvailable() }
+      ms.addData(slices.head.toSeq); q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, keep FROM scd_out").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+      val verdict = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(verdict.values.forall(_.size == 1),
+        s"flapping verdicts: ${verdict.filter(_._2.size > 1).keys.take(5)}")
+      val streamKept = verdict.collect { case (d0, s) if s == Set(true) => d0 }.toSet
+      assert(streamKept == batchKept,
+        s"missing=${(batchKept -- streamKept).take(5)} extra=${(streamKept -- batchKept).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming caption dedup: null caption and null image identities form their own clusters, never merging with data") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, Option[Long], Option[String])]
+    val out = graft.streaming.StreamingPipelines.streamingCaptionDedup(
+      spark, ms.toDF().toDF("doc_id", "img_id", "text"))
+    val q = out.toDF("doc_id", "img_id", "cap_hash", "keep").writeStream
+      .outputMode("append").format("memory").queryName("scd_null_out").start()
+    try {
+      // (img 7, null caption) twice → one cluster, first keeps;
+      // (null img, caption "c") twice → one cluster, first keeps;
+      // (img 7, caption "c") is a DIFFERENT cluster from both
+      ms.addData((1L, Some(7L), None), (2L, Some(7L), None),
+        (3L, None, Some("c")), (4L, None, Some("c")),
+        (5L, Some(7L), Some("c")))
+      q.processAllAvailable()
+      val keep = spark.sql("SELECT doc_id, keep FROM scd_null_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(keep == Map(1L -> true, 2L -> false, 3L -> true,
+        4L -> false, 5L -> true), keep)
+    } finally q.stop()
+  }
+
+  test("live multimodal arc: streamingCaptionDedup gates the spam-planted pair stream, then streamingPairAlign rebuilds the CLEAN batch census") {
+    // the streaming mirror of the batch capstone pin (caption_dedup →
+    // pair_align_report filing exactly the clean flagship census over
+    // a spam-planted pair table): the gate keeps exactly the clean
+    // base, and the monitor's final state over the gated sims
+    // rebuilds q_pair_align row-for-row via suffix sums.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = DataPipelineQueries.pairAlignPairs(spark, dir)
+      .select(col("pid").as("doc_id"),
+        pmod(col("pid"), lit(50)).as("img_id"),
+        concat(lit("cap-"), col("pid")).as("caption"),
+        col("source"),
+        graft.operators.AnnOps.cosine(col("te"), col("ie")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getDouble(4)))
+    // planted spam: byte-identical (image, caption) refetches of the
+    // d%50==0 pairs at +1,000,000 — same construction as the batch arc
+    val spam = base.filter(_._1 % 50 == 0)
+      .map { case (d0, i, c, s, v) => (d0 + 1000000L, i, c, s, v) }
+    assert(spam.nonEmpty)
+    val polluted = (base ++ spam).sortBy(_._1)
+    // stage 1: the gate over (doc_id, img_id, caption)
+    val ms1 = MemoryStream[(Long, Long, String)]
+    val gate = graft.streaming.StreamingPipelines.streamingCaptionDedup(
+      spark, ms1.toDF().toDF("doc_id", "img_id", "text"))
+    val q1 = gate.toDF("doc_id", "img_id", "cap_hash", "keep").writeStream
+      .outputMode("append").format("memory").queryName("arc_gate_out").start()
+    try {
+      polluted.grouped(math.max(1, polluted.length / 3)).foreach { s =>
+        ms1.addData(s.map(t => (t._1, t._2, t._3)).toSeq)
+        q1.processAllAvailable()
+      }
+      val kept = spark.sql("SELECT doc_id FROM arc_gate_out WHERE keep")
+        .collect().map(_.getLong(0)).toSet
+      // the gate keeps EXACTLY the clean base (id order: originals
+      // arrive before their +1M spam copies)
+      assert(kept == base.map(_._1).toSet,
+        s"gate kept ${kept.size} vs base ${base.length}")
+      // stage 2: the alignment monitor over the GATED pairs' sims
+      val gatedSims = polluted.filter(t => kept.contains(t._1))
+        .map(t => (t._4, t._5))
+      val ms2 = MemoryStream[(String, Double)]
+      val mon = graft.streaming.StreamingPipelines.streamingPairAlign(
+        ms2.toDF().toDF("source", "sim"))
+      val q2 = mon.writeStream.outputMode("update")
+        .format("memory").queryName("arc_mon_out").start()
+      try {
+        gatedSims.grouped(math.max(1, gatedSims.length / 3)).foreach { s =>
+          ms2.addData(s.toSeq); q2.processAllAvailable()
+        }
+        val cells = spark.sql(
+            """SELECT source, bucket, MAX(n_pairs) AS n FROM arc_mon_out
+              |GROUP BY source, bucket""".stripMargin).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        // the arc's final state == the CLEAN flagship census,
+        // every (source, threshold) row
+        val expect = SparkEntry.queries("q_pair_align")(spark, dir).collect()
+        assert(expect.nonEmpty)
+        expect.foreach { r =>
+          val (src, t) = (r.getAs[String]("source"), r.getAs[Long]("t_pct"))
+          val mine = cells.collect {
+            case ((s, b), n) if s == src && b >= t => n
+          }.sum
+          assert(mine == r.getAs[Long]("n_keep"),
+            s"($src, $t): arc $mine vs clean batch ${r.getAs[Long]("n_keep")}")
+          val total = cells.collect { case ((s, _), n) if s == src => n }.sum
+          assert(total == r.getAs[Long]("n_pairs"))
+        }
+      } finally q2.stop()
+    } finally q1.stop()
+  }
+
   test("streaming pair-align monitor: bucket state converges under slicing and rebuilds the batch keep curve row-for-row") {
     val spark2 = spark
     import spark2.implicits._
