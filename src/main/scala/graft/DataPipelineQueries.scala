@@ -2251,27 +2251,49 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sums: _*)
     }),
 
-    // PII scrubbing with an audit trail: emails and long digit runs
-    // redact to placeholders, per-source counts of affected docs and
-    // removed characters. The synthetic corpus carries no PII, so a
-    // deterministic contact line derived from doc fields is appended
-    // first — the operator under test is the redaction kernel, and
-    // the oracle runs the identical synthesis.
+    // PII scrubbing with an audit trail: emails, IPv4s, E.164-style
+    // phone numbers and long digit runs redact to placeholders,
+    // per-source counts of affected docs and removed characters. The
+    // synthetic corpus carries no PII, so a deterministic contact
+    // line derived from doc fields is appended first (the q_url_canon
+    // messy-synthesis discipline — IPs on even ids, phones on ids ≡ 0
+    // mod 3, so the audit columns vary per source) — the operator
+    // under test is the redaction kernel, and the oracle runs the
+    // identical synthesis. Mask ORDER is load-bearing: the specific
+    // masks (email, ip, phone) run BEFORE the generic digit-run rule,
+    // which would otherwise eat the octets/digits and misfile the
+    // audit. Fully map-side until the per-source aggregate.
     "q_pii_redact" -> ((s, dir) => {
       val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val phoneRe = "\\+[0-9]{7,15}"
       docs(s, dir)
         .withColumn("synth", concat(col("text"), lit(" contact user"),
           col("doc_id"), lit("@"), col("source"), lit(".com ref "),
-          pmod(col("doc_id") * 7919, lit(10000))))
-        .withColumn("redacted", regexp_replace(
-          regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+          pmod(col("doc_id") * 7919, lit(10000)),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" ip "), pmod(col("doc_id"), lit(256)), lit("."),
+              pmod(col("doc_id") * 7, lit(256)), lit("."),
+              pmod(col("doc_id") * 13, lit(256)), lit("."),
+              pmod(col("doc_id") * 29, lit(256)))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" call +"),
+              lit(10000000L) + pmod(col("doc_id") * 31, lit(90000000L))))
+            .otherwise(lit(""))))
+        .withColumn("redacted", regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"), phoneRe, "<PHONE>"),
           "[0-9]{3,}", "<NUM>"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum((length(col("synth")) - length(col("redacted"))).cast("long"))
             .as("chars_removed"),
           sum(when(col("redacted").contains("<EMAIL>"), 1L).otherwise(0L))
-            .as("n_email_docs"))
+            .as("n_email_docs"),
+          sum(when(col("redacted").contains("<IP>"), 1L).otherwise(0L))
+            .as("n_ip_docs"),
+          sum(when(col("redacted").contains("<PHONE>"), 1L).otherwise(0L))
+            .as("n_phone_docs"))
     }),
 
     // stratified training-mix sampling: downsample the dominant
@@ -5229,15 +5251,22 @@ object DataPipelineQueries {
 
     "q_pii_redact" ->
       """WITH s AS (SELECT source,
-        |  text || ' contact user' || doc_id || '@' || source || '.com ref ' || (doc_id * 7919) % 10000 AS synth
+        |  text || ' contact user' || doc_id || '@' || source || '.com ref ' || ((doc_id * 7919) % 10000)
+        |   || CASE WHEN doc_id % 2 = 0 THEN ' ip ' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) || '.' || ((doc_id * 29) % 256) ELSE '' END
+        |   || CASE WHEN doc_id % 3 = 0 THEN ' call +' || (10000000 + (doc_id * 31) % 90000000) ELSE '' END AS synth
         | FROM documents),
         |r AS (SELECT source, synth,
-        |  regexp_replace(regexp_replace(synth, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(synth,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         | FROM s)
         |SELECT source, COUNT(*) AS n_docs,
         | CAST(SUM(LENGTH(synth) - LENGTH(redacted)) AS BIGINT) AS chars_removed,
-        | CAST(SUM(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs
+        | CAST(SUM(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+        | CAST(SUM(CASE WHEN redacted LIKE '%<IP>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+        | CAST(SUM(CASE WHEN redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs
         |FROM r GROUP BY source""".stripMargin,
 
     "q_sample_stratified" ->

@@ -592,6 +592,43 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_pii_redact closed form: each mask class fires on its planted doc, order keeps the generic rule off the specifics") {
+    // doctored corpus with hand-computable redactions: doc 6 plants
+    // every class (even → ip, %3==0 → phone), doc 1 neither extra;
+    // the synthesis appends ' contact userN@srcX.com ref R' always
+    val dir = java.nio.file.Files.createTempDirectory("pii_closed").toString
+    Seq((1L, "plain words only", "en", "srca", 16L),
+        (6L, "call me maybe", "en", "srcb", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_pii_redact")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chars_removed"),
+          r.getAs[Long]("n_email_docs"), r.getAs[Long]("n_ip_docs"),
+          r.getAs[Long]("n_phone_docs")))).toMap
+    // doc 1 (srca): synth = text + " contact user1@srca.com ref 7919"
+    //   email → <EMAIL> (14 → 7), "7919" → <NUM> (4 → 5): net 6
+    val s1 = "plain words only contact user1@srca.com ref 7919"
+    val r1 = s1.replaceAll("[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>")
+      .replaceAll("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+      .replaceAll("\\+[0-9]{7,15}", "<PHONE>")
+      .replaceAll("[0-9]{3,}", "<NUM>")
+    assert(got("srca") == ((1L, (s1.length - r1.length).toLong, 1L, 0L, 0L)),
+      got("srca").toString)
+    // doc 6 (srcb): ip 6.42.78.174, phone +10000186 — all five
+    // classes fire and the audit counts read (1,1,1)
+    val s6 = "call me maybe contact user6@srcb.com ref 7514" +
+      " ip 6.42.78.174 call +10000186"
+    val r6 = s6.replaceAll("[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>")
+      .replaceAll("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+      .replaceAll("\\+[0-9]{7,15}", "<PHONE>")
+      .replaceAll("[0-9]{3,}", "<NUM>")
+    assert(r6.contains("<IP>") && r6.contains("<PHONE>") &&
+      r6.contains("<EMAIL>"), r6)
+    assert(got("srcb") == ((1L, (s6.length - r6.length).toLong, 1L, 1L, 1L)),
+      got("srcb").toString)
+  }
+
   test("normalizeConfusables folds each class and leaves clean ASCII untouched") {
     import graft.operators.TextOps
     val cases = Seq(
