@@ -629,6 +629,44 @@ class KernelPropertySpec extends AnyFunSuite {
       got("srcb").toString)
   }
 
+  test("q_text_fix closed form: every mojibake class repairs to its original char, clean docs pass byte-identical") {
+    // doctored corpus: doc 7 (≡ 0 mod 7) gains the planted suffix —
+    // the repair must collapse each digraph/trigraph to its 1-char
+    // original; doc 1 stays untouched and byte-identical
+    val dir = java.nio.file.Files.createTempDirectory("moji_closed").toString
+    Seq((1L, "clean ascii text", "en", "srca", 16L),
+        (7L, "broken feed", "en", "srcb", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_fix")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_mojibake_docs"),
+          r.getAs[Long]("chars_recovered"), r.getAs[Long]("n_clean"),
+          r.getAs[Long]("n_clean_identical")))).toMap
+    // the planted suffix carries five 2-char digraphs (Ã© Ã¨ Ã¼ Ã±
+    // Ã§ → 1 char each: 5 recovered) and three 3-char trigraphs
+    // (â€™ â€œ â€+201D → 1 char each: 6 recovered) — 11 chars total
+    assert(got("srcb") == ((1L, 1L, 11L, 0L, 0L)), got("srcb").toString)
+    // the clean doc: no doctoring, repair is a byte-level no-op
+    assert(got("srca") == ((1L, 0L, 0L, 1L, 1L)), got("srca").toString)
+    // and the repaired string is EXACTLY the re-decoded original:
+    // an INDEPENDENT derivation — encode the clean string to UTF-8
+    // bytes, misread them as latin-1/cp1252 (the corruption), and
+    // assert the planted suffix IS that corruption, so the census
+    // above measured a true repair (cp1252 maps 0x80/0x94/0x99/0x9C to
+    // \u20AC/\u201D/\u2122/\u0153; all other bytes here are latin-1)
+    val clean = " caf\u00E9 \u00E8\u00FC\u00F1\u00E7 \u2019\u201C\u2014 fin"
+    val cp1252 = Map(0x80 -> '\u20AC', 0x99 -> '\u2122',
+      0x94 -> '\u201D', 0x9C -> '\u0153')
+    val corrupted = clean.getBytes("UTF-8").map { b =>
+      val u = b & 0xFF
+      cp1252.getOrElse(u, u.toChar)
+    }.mkString
+    val planted = " caf\u00C3\u00A9 \u00C3\u00A8\u00C3\u00BC\u00C3\u00B1\u00C3\u00A7" +
+      " \u00E2\u20AC\u2122\u00E2\u20AC\u0153\u00E2\u20AC\u201D fin"
+    assert(corrupted == planted, s"corruption model drifted: $corrupted")
+  }
+
   test("normalizeConfusables folds each class and leaves clean ASCII untouched") {
     import graft.operators.TextOps
     val cases = Seq(
