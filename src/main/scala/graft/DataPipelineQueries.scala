@@ -2592,6 +2592,23 @@ object DataPipelineQueries {
       TextOps.bpeEncode(docs(s, dir), "doc_id", "text", merges)
     }),
 
+    // tokenizer-BUDGET cross-check (r16 verdict #7): the q_vocab_oov
+    // curve read against the TRAINED BPE vocab instead of the raw
+    // top-B corpus word list — per merge-budget prefix of ONE
+    // trained table, whole-word coverage and fertility (see
+    // TextOps.vocabBudgetReport; budgets nest, so both curves are
+    // monotone by theorem — spec-pinned, the full budget anchored
+    // bit-equal to q_bpe_encode's corpus totals). Rows-only like
+    // q_bpe_train itself: the merge table is data-derived (iterative
+    // argmax, no static SQL twin).
+    "q_vocab_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextOps.bpeTrain(d, "text", nMerges = 12)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.vocabBudgetReport(d, "text", merges, Seq(0, 3, 6, 12))
+    }),
+
     // unigram-LM tokenizer TRAINING (Kudo 2018 / SentencePiece — the
     // OTHER production subword family; a tokenizer bake-off needs
     // both): seed substrings + hard-EM Viterbi + prune, one corpus

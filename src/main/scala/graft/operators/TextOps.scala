@@ -779,6 +779,69 @@ object TextOps {
         sum(col("n_chars")).as("n_chars"))
   }
 
+  /** Tokenizer-BUDGET report (r16 verdict #7): the OOV-at-budget
+    * measurement read against the TRAINED vocabulary rather than the
+    * raw top-B corpus word list (q_vocab_oov) — the table a
+    * tokenizer-size decision actually consumes. Budgets are RANK
+    * PREFIXES of ONE trained merge table (the sweep discipline:
+    * merge rank m's vocab nests inside m+1's by construction), so
+    * whole-word coverage is monotone nondecreasing and fertility
+    * monotone nonincreasing BY THEOREM — spec-pinned, and the full
+    * budget anchors bit-equal to q_bpe_encode's corpus totals.
+    *
+    * Scale shape: the corpus is touched ZERO extra times — every leg
+    * reads the checkpointed word HISTOGRAM (distinct word × freq,
+    * the bpeTrain bound), re-encoding each distinct word per budget
+    * with the merge prefix as a codegen reference object; corpus
+    * subword totals are freq-weighted sums over that vocab-sized
+    * frame. Per budget: trained pieces (alphabet + distinct merge
+    * outputs), whole-word coverage (occurrences + types encoding to
+    * ONE piece — BPE never hard-OOVs inside ASCII, so "OOV" is the
+    * fertility cost, reported alongside). */
+  def vocabBudgetReport(docs: DataFrame, textCol: String,
+                        merges: Seq[(String, String)],
+                        budgets: Seq[Int]): DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike(asciiWord))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one corpus pass feeds every budget leg
+    // the alphabet is data-derived and bounded (printable ASCII ≤ 94)
+    val nChars = words
+      .select(explode(split(col("w"), "")).as("c"))
+      .agg(count_distinct(col("c"))).head().getLong(0)
+    val legs = budgets.map { m =>
+      val prefix = merges.take(m)
+      // two different merges can concatenate to the same string
+      // ((a,bc) and (ab,c) both read "abc") — count pieces distinct
+      val pieceSet = prefix.map { case (l, r) => l + r }.distinct
+      val whole = length(col("w")) === 1 ||
+        (if (pieceSet.isEmpty) lit(false) else col("w").isInCollection(pieceSet))
+      val ns = if (m == 0) size(split(col("w"), ""))
+        else size(graft.functions.HashExprs.bpe_apply(
+          split(col("w"), ""), prefix))
+      words.select(col("tf"), ns.as("np"), whole.as("wh"))
+        .agg(
+          sum(when(col("wh"), col("tf")).otherwise(0L)).cast("long")
+            .as("whole_word_tokens"),
+          sum(when(col("wh"), 1L).otherwise(0L)).cast("long")
+            .as("whole_word_types"),
+          sum(col("tf")).cast("long").as("total_tokens"),
+          count(lit(1)).cast("long").as("total_types"),
+          sum(col("tf") * col("np")).cast("long").as("total_subwords"))
+        .withColumn("budget_merges", lit(m.toLong))
+        .withColumn("vocab_pieces", lit(nChars + pieceSet.size))
+    }
+    legs.reduce(_.unionByName(_))
+      .withColumn("coverage_rate", col("whole_word_tokens").cast("double") /
+        col("total_tokens").cast("double"))
+      .withColumn("fertility", col("total_subwords").cast("double") /
+        col("total_tokens").cast("double"))
+      .select(col("budget_merges"), col("vocab_pieces"),
+        col("whole_word_tokens"), col("whole_word_types"),
+        col("total_tokens"), col("total_types"), col("total_subwords"),
+        col("coverage_rate"), col("fertility"))
+  }
+
   /** Unigram-LM subword tokenizer training (Kudo 2018, "Subword
     * Regularization: Improving Neural Network Translation Models
     * with Multiple Subword Candidates" — the SentencePiece unigram

@@ -104,6 +104,43 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows.length == originals.length + mirrors.length)
   }
 
+  test("q_vocab_budget: nested budgets make coverage/fertility monotone by theorem; m=0 reads chars; full budget anchors q_bpe_encode") {
+    val rows = SparkEntry.queries("q_vocab_budget")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("budget_merges"))
+    assert(rows.map(_.getAs[Long]("budget_merges")).toSeq ==
+      Seq(0L, 3L, 6L, 12L))
+    // the legs share one word histogram: corpus totals are constant
+    assert(rows.map(_.getAs[Long]("total_tokens")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("total_types")).distinct.length == 1)
+    // rank-prefix nesting: coverage up, fertility down, vocab up
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("whole_word_tokens") <= b.getAs[Long]("whole_word_tokens"))
+      assert(a.getAs[Long]("whole_word_types") <= b.getAs[Long]("whole_word_types"))
+      assert(a.getAs[Long]("total_subwords") >= b.getAs[Long]("total_subwords"))
+      assert(a.getAs[Long]("vocab_pieces") <= b.getAs[Long]("vocab_pieces"))
+    }
+    // m=0 closed form: every word encodes to its chars, whole words
+    // are exactly the 1-char occurrences — independent derivation
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[!-~]+$")).localCheckpoint()
+    assert(rows(0).getAs[Long]("total_subwords") ==
+      words.agg(sum(length(col("w")))).head().getLong(0))
+    assert(rows(0).getAs[Long]("whole_word_tokens") ==
+      words.filter(length(col("w")) === 1).count())
+    // the full budget anchors the flagship encode's corpus totals
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_subwords"))).head()
+    assert(rows(3).getAs[Long]("total_tokens") == enc.getLong(0))
+    assert(rows(3).getAs[Long]("total_subwords") == enc.getLong(1))
+    // and the budget curve is doing real work at this SF — by
+    // CONSTRUCTION on the fertility axis, not a distribution bet on
+    // coverage (a 12-rank merge equalling a whole corpus word is
+    // possible, not promised): rank-1 exists iff some pair counts
+    // ≥ minCount, and applying it strictly shrinks total_subwords
+    assert(rows(3).getAs[Long]("total_subwords") <
+      rows(0).getAs[Long]("total_subwords"))
+  }
+
   test("docsWithMirror id-space guard: a corpus crossing 100M dense ids fails loudly instead of matching a corrupted oracle") {
     // the r16 ADVICE hazard: the +100,000,000 mirror offset shares
     // its construction with the oracle CTE, so an id collision would
