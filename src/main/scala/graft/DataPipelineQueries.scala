@@ -881,27 +881,6 @@ object DataPipelineQueries {
     " caf\u00C3\u00A9 \u00C3\u00A8\u00C3\u00BC\u00C3\u00B1\u00C3\u00A7" +
       " \u00E2\u20AC\u2122\u00E2\u20AC\u0153\u00E2\u20AC\u201D fin"
 
-  /** the mojibake repair kernel as ONE SQL fragment over column
-    * `col` — a fixed digraph/trigraph replace chain (the
-    * double-encoded UTF-8 class: bytes written UTF-8, read
-    * latin-1/cp1252, re-encoded), shared verbatim by the Spark expr
-    * and the DuckDB oracle (the Bm25AggCtes one-copy discipline: a
-    * table edit lands in both engines at once). Trigraphs carry no
-    * shared prefix hazard with the digraphs (disjoint lead bytes:
-    * â vs Ã), so chain order is free. */
-  private def MojibakeFixSqlOf(col: String): String = {
-    val pairs = Seq(
-      "\u00C3\u00A9" -> "\u00E9", "\u00C3\u00A8" -> "\u00E8",
-      "\u00C3\u00BC" -> "\u00FC", "\u00C3\u00B1" -> "\u00F1",
-      "\u00C3\u00A7" -> "\u00E7",
-      "\u00E2\u20AC\u2122" -> "\u2019",
-      "\u00E2\u20AC\u0153" -> "\u201C",
-      "\u00E2\u20AC\u201D" -> "\u2014")
-    pairs.foldLeft(col) { case (acc, (from, to)) =>
-      s"replace($acc, '$from', '$to')"
-    }
-  }
-
   /** q_bm25's exact oracle chain as a reusable CTE body yielding
     * `bm(doc_id, n_terms, score)` — the top-20 lexical leg. ONE copy:
     * q_rank_fusion composes it, so a scorer change (k1/b, terms, the
@@ -1233,7 +1212,7 @@ object DataPipelineQueries {
     // UTF-8, read back as latin-1/cp1252, re-encoded: é → Ã©,
     // ’ → â€™), the single most common wire corruption in crawled
     // corpora. The repair is a fixed digraph/trigraph replace table
-    // ([[MojibakeFixSqlOf]] — ONE SQL fragment shared verbatim by
+    // ([[TextOps.mojibakeFixSqlOf]] — ONE SQL fragment shared verbatim by
     // the Spark expr and the DuckDB oracle, the Bm25AggCtes
     // discipline), applied over deterministically doctored docs
     // (doc_id ≡ 0 mod 7 gains every mojibake class — the pii_redact
@@ -1250,7 +1229,7 @@ object DataPipelineQueries {
           when(pmod(id, lit(7)) === 0,
             concat(col("text"), lit(MojiSuffix))).otherwise(col("text"))
             .as("m"))
-        .withColumn("fixed", expr(MojibakeFixSqlOf("m")))
+        .withColumn("fixed", expr(TextOps.mojibakeFixSqlOf("m")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("fixed") =!= col("m"), 1L).otherwise(0L))
@@ -2333,9 +2312,6 @@ object DataPipelineQueries {
     // which would otherwise eat the octets/digits and misfile the
     // audit. Fully map-side until the per-source aggregate.
     "q_pii_redact" -> ((s, dir) => {
-      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-      val phoneRe = "\\+[0-9]{7,15}"
       docs(s, dir)
         .withColumn("synth", concat(col("text"), lit(" contact user"),
           col("doc_id"), lit("@"), col("source"), lit(".com ref "),
@@ -2349,10 +2325,7 @@ object DataPipelineQueries {
             concat(lit(" call +"),
               lit(10000000L) + pmod(col("doc_id") * 31, lit(90000000L))))
             .otherwise(lit(""))))
-        .withColumn("redacted", regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),
-            ipRe, "<IP>"), phoneRe, "<PHONE>"),
-          "[0-9]{3,}", "<NUM>"))
+        .withColumn("redacted", TextOps.piiScrub(col("synth")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum((length(col("synth")) - length(col("redacted"))).cast("long"))
@@ -4123,7 +4096,7 @@ object DataPipelineQueries {
       (s"""WITH m0 AS (SELECT doc_id, source, text,
         |  text || CASE WHEN doc_id % 7 = 0 THEN '$MojiSuffix' ELSE '' END AS m
         | FROM documents),
-        |f AS (SELECT source, text, m, ${MojibakeFixSqlOf("m")} AS fixed FROM m0)
+        |f AS (SELECT source, text, m, ${TextOps.mojibakeFixSqlOf("m")} AS fixed FROM m0)
         |SELECT source, COUNT(*) AS n_docs,
         | CAST(SUM(CASE WHEN fixed <> m THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake_docs,
         | CAST(SUM(LENGTH(m) - LENGTH(fixed)) AS BIGINT) AS chars_recovered,
@@ -5348,16 +5321,16 @@ object DataPipelineQueries {
         |FROM k""".stripMargin,
 
     "q_pii_redact" ->
-      """WITH s AS (SELECT source,
+      (s"""WITH s AS (SELECT source,
         |  text || ' contact user' || doc_id || '@' || source || '.com ref ' || ((doc_id * 7919) % 10000)
         |   || CASE WHEN doc_id % 2 = 0 THEN ' ip ' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) || '.' || ((doc_id * 29) % 256) ELSE '' END
         |   || CASE WHEN doc_id % 3 = 0 THEN ' call +' || (10000000 + (doc_id * 31) % 90000000) ELSE '' END AS synth
         | FROM documents),
         |r AS (SELECT source, synth,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(synth,
-        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |    '\+[0-9]{7,15}', '<PHONE>', 'g'),
+        |    '${TextOps.PiiEmailRe}', '<EMAIL>', 'g'),
+        |    '${TextOps.PiiIpRe}', '<IP>', 'g'),
+        |    '${TextOps.PiiPhoneRe}', '<PHONE>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         | FROM s)
         |SELECT source, COUNT(*) AS n_docs,
@@ -5365,7 +5338,7 @@ object DataPipelineQueries {
         | CAST(SUM(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
         | CAST(SUM(CASE WHEN redacted LIKE '%<IP>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
         | CAST(SUM(CASE WHEN redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs
-        |FROM r GROUP BY source""".stripMargin,
+        |FROM r GROUP BY source""").stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -507,6 +507,55 @@ object TextOps {
       "\u00A0", " "),                   // no-break space
       "[\u200B\u200C\u200D\uFEFF]", "") // zero-widths + BOM
 
+  /** the mojibake repair table — ONE table behind q_text_fix (the
+    * census query AND its DuckDB oracle via [[mojibakeFixSqlOf]])
+    * and the `text_fix` config stage (via [[fixMojibake]]): the
+    * double-encoded UTF-8 class (bytes written UTF-8, read back
+    * latin-1/cp1252, re-encoded) — five 2-char accent digraphs and
+    * three 3-char cp1252 punctuation trigraphs. Trigraphs share no
+    * prefix with the digraphs (lead chars â vs Ã), so chain order
+    * is free. */
+  val mojibakePairs: Seq[(String, String)] = Seq(
+    "\u00C3\u00A9" -> "\u00E9", "\u00C3\u00A8" -> "\u00E8",
+    "\u00C3\u00BC" -> "\u00FC", "\u00C3\u00B1" -> "\u00F1",
+    "\u00C3\u00A7" -> "\u00E7",
+    "\u00E2\u20AC\u2122" -> "\u2019",
+    "\u00E2\u20AC\u0153" -> "\u201C",
+    "\u00E2\u20AC\u201D" -> "\u2014")
+
+  /** the repair as a Column chain (the `text_fix` stage's form) —
+    * literal-for-literal the same replace() tree as the SQL
+    * fragment, so stage and census cannot drift (spec-pinned) */
+  def fixMojibake(text: Column): Column =
+    mojibakePairs.foldLeft(text) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+
+  /** the repair as ONE SQL fragment over column `col` — shared
+    * verbatim by the q_text_fix Spark expr and its DuckDB oracle
+    * (the Bm25AggCtes one-copy discipline) */
+  def mojibakeFixSqlOf(col: String): String =
+    mojibakePairs.foldLeft(col) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '$to')"
+    }
+
+  /** the PII mask regexes — ONE set behind q_pii_redact (query +
+    * oracle, interpolated) and the `pii_scrub` config stage; all
+    * three are RE2-and-Java identical */
+  val PiiEmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PiiPhoneRe = "\\+[0-9]{7,15}"
+
+  /** the PII mask chain (q_pii_redact's audit kernel and the
+    * `pii_scrub` stage share THIS expression): the specific masks
+    * (email, IPv4, E.164 phone) run BEFORE the generic digit-run
+    * rule, which would otherwise eat the octets/digits */
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+      PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>"),
+      "[0-9]{3,}", "<NUM>")
+
   /** Content-type detector: code/table/prose from portable
     * character-class ratios — code-symbol density (≥ 50‰ of chars)
     * then digit density (≥ 150‰) then prose, all integer arithmetic

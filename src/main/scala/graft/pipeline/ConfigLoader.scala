@@ -1177,6 +1177,20 @@ object ConfigLoader {
     case "text_normalize" => df =>
       df.withColumn(m.get("as").map(_.toString).getOrElse(str(m, "text")),
         graft.operators.TextOps.normalizeConfusables(expr(str(m, "text"))))
+    // mojibake repair stamp (TextOps.fixMojibake — the exact replace
+    // table q_text_fix censuses, one kernel): fix the double-encoded
+    // UTF-8 class in place (or into `as`); sits one layer BELOW
+    // text_normalize in a decode chain — repair broken decoding
+    // first, then fold legitimate confusables
+    case "text_fix" => df =>
+      df.withColumn(m.get("as").map(_.toString).getOrElse(str(m, "text")),
+        graft.operators.TextOps.fixMojibake(expr(str(m, "text"))))
+    // PII scrub stamp (TextOps.piiScrub — the exact mask chain
+    // q_pii_redact audits, one kernel): email/IPv4/E.164/digit-run
+    // placeholders, specific masks before the generic digit rule
+    case "pii_scrub" => df =>
+      df.withColumn(m.get("as").map(_.toString).getOrElse(str(m, "text")),
+        graft.operators.TextOps.piiScrub(expr(str(m, "text"))))
     // URL canonicalization stamp (TextOps.urlCanon — the exact
     // kernel q_url_canon verifies byte-for-byte): lowercase
     // scheme+host, www-strip, default-port drop, trailing-slash

@@ -2345,6 +2345,41 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(polluted != flagship, "planted spam must be visible ungated")
   }
 
+  test("text_fix + pii_scrub stages ride the exact census kernels (one kernel each, stage output bit-equal)") {
+    import spark.implicits._
+    // doctored rows: planted mojibake + planted PII, one clean row
+    val inPath = java.nio.file.Files
+      .createTempDirectory("fix_scrub_in").toString + "/docs.parquet"
+    Seq((1L, "caf\u00C3\u00A9 \u00E2\u20AC\u2122ok mail user1@ex.com" +
+        " ip 10.0.0.1 call +12345678 ref 9999"),
+        (2L, "plain clean text"))
+      .toDF("doc_id", "text").write.parquet(inPath)
+    val df = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"docs/decode": {
+         | "receiver": {"type": "parquet", "path": "$inPath"},
+         | "processors": [
+         |  {"type": "text_fix", "text": "text", "as": "fixed"},
+         |  {"type": "pii_scrub", "text": "fixed", "as": "scrubbed"}],
+         | "exporters": []}}}""".stripMargin)
+      .pipelines("docs/decode").plan(spark)
+    val got = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("fixed"), r.getAs[String]("scrubbed")))).toMap
+    // bit-equal to the shared kernels applied directly
+    val direct = spark.read.parquet(inPath)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fixMojibake(col("text")).as("f"))
+      .select(col("doc_id"), col("f"),
+        graft.operators.TextOps.piiScrub(col("f")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == direct)
+    // and the chain did real work: mojibake repaired, PII masked
+    assert(got(1L)._1.contains("caf\u00E9") && got(1L)._1.contains("\u2019ok"))
+    assert(got(1L)._2.contains("<EMAIL>") && got(1L)._2.contains("<IP>") &&
+      got(1L)._2.contains("<PHONE>") && got(1L)._2.contains("<NUM>"),
+      got(1L)._2)
+    assert(got(2L) == (("plain clean text", "plain clean text")))
+  }
+
   test("keep-first dedup: null keys cluster alone, sentinel-looking data cannot merge with them, reserved helper columns refuse loudly") {
     // the r16 ADVICE pair on keepFirstStage: (a) the old " null " pad
     // DID equal the literal string " null " as data — a row carrying
