@@ -2575,11 +2575,16 @@ object DataPipelineQueries {
     // q_bpe_train itself: the merge table is data-derived (iterative
     // argmax, no static SQL twin).
     "q_vocab_budget" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val merges = TextOps.bpeTrain(d, "text", nMerges = 12)
+      // ONE corpus pass: the checkpointed word histogram feeds BOTH
+      // the train and the report (review-wave finding — composing
+      // bpeTrain(docs) + vocabBudgetReport(docs) silently rebuilt
+      // the data-sized pass)
+      val hist = TextOps.wordHistogram(docs(s, dir), "text")
+        .localCheckpoint()
+      val merges = TextOps.bpeTrainFrom(hist, nMerges = 12)
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextOps.vocabBudgetReport(d, "text", merges, Seq(0, 3, 6, 12))
+      TextOps.vocabBudgetReportFrom(hist, merges, Seq(0, 3, 6, 12))
     }),
 
     // unigram-LM tokenizer TRAINING (Kudo 2018 / SentencePiece — the

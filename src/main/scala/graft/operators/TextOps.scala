@@ -676,11 +676,20 @@ object TextOps {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("wc")).as("cnt"))
 
-  /** word-frequency vocab of a corpus, chars as initial symbols */
-  def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+  /** the distinct-word × frequency histogram of a corpus — THE one
+    * corpus-sized pass behind bpeTrain and vocabBudgetReport; callers
+    * composing both (q_vocab_budget) checkpoint THIS frame and pass
+    * it down so the corpus is genuinely scanned once (review-wave
+    * finding: train + report each rebuilding it silently doubled the
+    * data-sized pass). Columns (word, wc). */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word").rlike(asciiWord))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** word-frequency vocab of a corpus, chars as initial symbols */
+  def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    wordHistogram(docs, textCol)
       .select(col("wc"), split(col("word"), "").as("syms"))
 
   /** first-iteration pair statistics, the sql-oracled slice */
@@ -715,11 +724,21 @@ object TextOps {
     * Stops early when no pair reaches `minCount`.
     */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
-               minCount: Long = 2L, maxVocab: Int = 2000000): DataFrame = {
-    val sp = docs.sparkSession
+               minCount: Long = 2L, maxVocab: Int = 2000000): DataFrame =
+    bpeTrainFrom(wordHistogram(docs, textCol), nMerges, minCount, maxVocab)
+
+  /** [[bpeTrain]] from a pre-built (word, wc) histogram — the seam a
+    * caller sharing the histogram with another consumer uses
+    * (q_vocab_budget: one checkpointed histogram feeds train AND
+    * report, so the corpus is scanned once) */
+  def bpeTrainFrom(hist: DataFrame, nMerges: Int,
+                   minCount: Long = 2L, maxVocab: Int = 2000000): DataFrame = {
+    val sp = hist.sparkSession
     // the one corpus-sized Spark pass; limit(cap+1) bounds the fetch
     // so an over-cap vocab raises instead of OOMing the driver
-    val vocabRows = bpeVocab(docs, textCol).limit(maxVocab + 1).collect()
+    val vocabRows = hist
+      .select(col("wc"), split(col("word"), "").as("syms"))
+      .limit(maxVocab + 1).collect()
     require(vocabRows.length <= maxVocab,
       s"bpeTrain: vocab exceeds maxVocab=$maxVocab distinct words; " +
         "raise the cap or pre-filter the corpus")
@@ -849,11 +868,21 @@ object TextOps {
     * fertility cost, reported alongside). */
   def vocabBudgetReport(docs: DataFrame, textCol: String,
                         merges: Seq[(String, String)],
-                        budgets: Seq[Int]): DataFrame = {
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w").rlike(asciiWord))
-      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // one corpus pass feeds every budget leg
+                        budgets: Seq[Int]): DataFrame =
+    vocabBudgetReportFrom(wordHistogram(docs, textCol), merges, budgets)
+
+  /** [[vocabBudgetReport]] from a pre-built (word, wc) histogram —
+    * share ONE checkpointed histogram with [[bpeTrainFrom]] and the
+    * corpus is genuinely scanned once (q_vocab_budget's composition;
+    * review-wave finding: the report silently rebuilt the
+    * data-sized pass the train had already made). */
+  def vocabBudgetReportFrom(hist: DataFrame,
+                            merges: Seq[(String, String)],
+                            budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty,
+      "vocabBudgetReport: budgets must be non-empty (merge-prefix sizes)")
+    val words = hist.select(col("word").as("w"), col("wc").as("tf"))
+      .localCheckpoint() // every budget leg re-reads this, not the corpus
     // the alphabet is data-derived and bounded (printable ASCII ≤ 94)
     val nChars = words
       .select(explode(split(col("w"), "")).as("c"))
@@ -863,28 +892,35 @@ object TextOps {
       // two different merges can concatenate to the same string
       // ((a,bc) and (ab,c) both read "abc") — count pieces distinct
       val pieceSet = prefix.map { case (l, r) => l + r }.distinct
-      val whole = length(col("w")) === 1 ||
-        (if (pieceSet.isEmpty) lit(false) else col("w").isInCollection(pieceSet))
       val ns = if (m == 0) size(split(col("w"), ""))
         else size(graft.functions.HashExprs.bpe_apply(
           split(col("w"), ""), prefix))
-      words.select(col("tf"), ns.as("np"), whole.as("wh"))
+      // whole-word = encodes to ONE piece — measured off the encode
+      // itself (np = 1), never an isInCollection over the piece set:
+      // a 50k-merge vocabulary must not inline into the plan as an
+      // In-list (the BpeApply reference-object discipline; the
+      // merges already ride as ONE codegen object) — review wave
+      words.select(col("tf"), ns.as("np"))
         .agg(
-          sum(when(col("wh"), col("tf")).otherwise(0L)).cast("long")
-            .as("whole_word_tokens"),
-          sum(when(col("wh"), 1L).otherwise(0L)).cast("long")
-            .as("whole_word_types"),
-          sum(col("tf")).cast("long").as("total_tokens"),
+          coalesce(sum(when(col("np") === 1, col("tf")).otherwise(0L)),
+            lit(0L)).cast("long").as("whole_word_tokens"),
+          coalesce(sum(when(col("np") === 1, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("whole_word_types"),
+          coalesce(sum(col("tf")), lit(0L)).cast("long").as("total_tokens"),
           count(lit(1)).cast("long").as("total_types"),
-          sum(col("tf") * col("np")).cast("long").as("total_subwords"))
+          coalesce(sum(col("tf") * col("np")), lit(0L)).cast("long")
+            .as("total_subwords"))
         .withColumn("budget_merges", lit(m.toLong))
         .withColumn("vocab_pieces", lit(nChars + pieceSet.size))
     }
     legs.reduce(_.unionByName(_))
-      .withColumn("coverage_rate", col("whole_word_tokens").cast("double") /
-        col("total_tokens").cast("double"))
-      .withColumn("fertility", col("total_subwords").cast("double") /
-        col("total_tokens").cast("double"))
+      // an empty/fully-non-ASCII corpus reports 0 rates, not nulls
+      .withColumn("coverage_rate", when(col("total_tokens") === 0, lit(0.0))
+        .otherwise(col("whole_word_tokens").cast("double") /
+          col("total_tokens").cast("double")))
+      .withColumn("fertility", when(col("total_tokens") === 0, lit(0.0))
+        .otherwise(col("total_subwords").cast("double") /
+          col("total_tokens").cast("double")))
       .select(col("budget_merges"), col("vocab_pieces"),
         col("whole_word_tokens"), col("whole_word_types"),
         col("total_tokens"), col("total_types"), col("total_subwords"),

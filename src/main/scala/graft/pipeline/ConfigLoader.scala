@@ -864,7 +864,11 @@ object ConfigLoader {
                              extraKeys: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{md5, min, lit, coalesce, when, concat}
     val reserved = "__cth" +: "__keep" +: extraKeys.indices.map(i => s"__kfk$i")
-    reserved.filter(df.columns.contains).foreach(h =>
+    // case-INSENSITIVE check: Spark's default resolver is
+    // case-insensitive, so a frame carrying "__CTH" would slip a
+    // case-sensitive guard and still be shadowed by withColumn —
+    // the exact silent loss the guard exists to refuse (review wave)
+    reserved.filter(h => df.columns.exists(_.equalsIgnoreCase(h))).foreach(h =>
       throw new IllegalArgumentException(
         s"keep-first dedup reserves helper column '$h' — rename it " +
           "in the input frame before the dedup stage"))

@@ -594,6 +594,14 @@ object StreamingPipelines {
     val timeout = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     pairs
+      // a live pair stream is external input: a malformed row with a
+      // null doc_id would die in the tuple encoder (null into a
+      // primitive Long) and kill the whole query — the
+      // streamingUrlDedup null-guard discipline (review wave). A
+      // null-id pair has no ownership identity; excluded, not
+      // crashed into. Null img/caption DO flow through (they form
+      // their own clusters via the sentinel encoding in the key).
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id").cast("long"),
         col("img_id").cast("string"), md5(col("text")).as("cap_hash"))
       .as[(Long, String, String)]

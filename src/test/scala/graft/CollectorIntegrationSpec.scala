@@ -2423,6 +2423,23 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("reserves helper column '__keep'"),
       e.getMessage)
+    // the guard is case-INSENSITIVE like Spark's resolver: "__CTH"
+    // would be shadowed by withColumn("__cth", ...) all the same
+    val clashPath2 = java.nio.file.Files
+      .createTempDirectory("kf_clash2_in").toString + "/rows.parquet"
+    Seq((1L, "x", "shadow")).toDF("doc_id", "text", "__CTH")
+      .write.parquet(clashPath2)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.fromJson(
+        s"""{"pipelines": {"docs/clash2": {
+           | "receiver": {"type": "parquet", "path": "$clashPath2"},
+           | "processors": [{"type": "dedup_exact", "id": "doc_id",
+           |                 "text": "text"}],
+           | "exporters": []}}}""".stripMargin)
+        .pipelines("docs/clash2").plan(spark)
+    }
+    assert(e2.getMessage.contains("reserves helper column '__cth'"),
+      e2.getMessage)
   }
 
   test("pair_align_report refuses a streaming frame by name (batch-only: the census checkpoints)") {

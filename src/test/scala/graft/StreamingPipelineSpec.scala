@@ -1216,7 +1216,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     implicit val sql = spark.sqlContext
-    val ms = MemoryStream[(Long, Option[Long], Option[String])]
+    val ms = MemoryStream[(Option[Long], Option[Long], Option[String])]
     val out = graft.streaming.StreamingPipelines.streamingCaptionDedup(
       spark, ms.toDF().toDF("doc_id", "img_id", "text"))
     val q = out.toDF("doc_id", "img_id", "cap_hash", "keep").writeStream
@@ -1224,10 +1224,13 @@ class StreamingPipelineSpec extends AnyFunSuite {
     try {
       // (img 7, null caption) twice → one cluster, first keeps;
       // (null img, caption "c") twice → one cluster, first keeps;
-      // (img 7, caption "c") is a DIFFERENT cluster from both
-      ms.addData((1L, Some(7L), None), (2L, Some(7L), None),
-        (3L, None, Some("c")), (4L, None, Some("c")),
-        (5L, Some(7L), Some("c")))
+      // (img 7, caption "c") is a DIFFERENT cluster from both;
+      // a malformed NULL-doc_id row is excluded, never kills the
+      // query (the tuple encoder would throw on null→Long — review
+      // wave; the streamingUrlDedup null-guard discipline)
+      ms.addData((Some(1L), Some(7L), None), (Some(2L), Some(7L), None),
+        (Some(3L), None, Some("c")), (Some(4L), None, Some("c")),
+        (Some(5L), Some(7L), Some("c")), (None, Some(7L), Some("c")))
       q.processAllAvailable()
       val keep = spark.sql("SELECT doc_id, keep FROM scd_null_out").collect()
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
