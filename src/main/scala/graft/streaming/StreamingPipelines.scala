@@ -1759,6 +1759,55 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("toks"))
 
+  /** Streaming mojibake-repair monitor: the live view of
+    * q_text_fix's census (the stage+query+monitor triple on the
+    * decode axis — ONE kernel, [[graft.operators.TextOps
+    * .fixMojibake]], behind the §2 census, the `text_fix` config
+    * stage and this monitor, so the repair table cannot drift
+    * between surfaces). Plain UPDATE-mode aggregation per source:
+    * docs seen, docs carrying the double-encoded class (repair
+    * changed bytes), chars recovered. State O(sources); counts are
+    * associative, so any trigger slicing converges to the batch
+    * aggregate over the same frame (spec-pinned against the
+    * q_text_fix census columns on an identically doctored corpus).
+    * Null text counts in n_docs and never flags (null comparisons
+    * fall out of both sums — the count-but-never-keep guard). */
+  def streamingTextFix(docs: DataFrame, sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val fixed = graft.operators.TextOps.fixMojibake(col(textCol))
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(fixed =!= col(textCol), 1L).otherwise(0L))
+          .as("n_mojibake_docs"),
+        sum((length(col(textCol)) - length(fixed)).cast("long"))
+          .as("chars_recovered"))
+  }
+
+  /** Streaming PII-scrub monitor: the live audit of q_pii_redact's
+    * mask classes (the stage+query+monitor triple on the PII axis —
+    * ONE kernel, [[graft.operators.TextOps.piiScrub]], behind the
+    * §2 audit, the `pii_scrub` config stage and this monitor).
+    * Plain UPDATE-mode aggregation per source: docs seen, docs whose
+    * scrub surfaced each placeholder class, chars removed
+    * (legitimately negative when a placeholder outgrows a short
+    * digit run — the batch census's accounting verbatim). State
+    * O(sources); converges under any trigger slicing, spec-pinned
+    * equal to q_pii_redact's audit columns on the identically
+    * synthesized corpus. Null text counts and never flags. */
+  def streamingPiiScrub(docs: DataFrame, sourceCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    val red = graft.operators.TextOps.piiScrub(col(textCol))
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(red.contains("<EMAIL>"), 1L).otherwise(0L))
+          .as("n_email_docs"),
+        sum(when(red.contains("<IP>"), 1L).otherwise(0L)).as("n_ip_docs"),
+        sum(when(red.contains("<PHONE>"), 1L).otherwise(0L))
+          .as("n_phone_docs"),
+        sum((length(col(textCol)) - length(red)).cast("long"))
+          .as("chars_removed"))
+  }
+
   /** Streaming pair-ALIGNMENT monitor: the live view of
     * q_pair_align's keep curve (the streamingQualitySurvival
     * discipline on the multimodal axis). Input is the (source, sim)

@@ -1315,6 +1315,96 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q1.stop()
   }
 
+  test("streaming text-fix monitor: per-source repair state converges to the q_text_fix census on an identically doctored stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // rebuild the census's doctoring INDEPENDENTLY (drift fails the
+    // pin loudly): doc_id ≡ 0 mod 7 gains every mojibake class
+    val suffix = " caf\u00C3\u00A9 \u00C3\u00A8\u00C3\u00BC\u00C3\u00B1\u00C3\u00A7" +
+      " \u00E2\u20AC\u2122\u00E2\u20AC\u0153\u00E2\u20AC\u201D fin"
+    val doctored = Tables(spark, dir, "documents")
+      .select(col("source"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(suffix))).otherwise(col("text")).as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingTextFix(
+      ms.toDF().toDF("source", "text"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("stf_out").start()
+    try {
+      doctored.grouped(math.max(1, doctored.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      // update mode re-emits growing cells — latest per source wins
+      val cells = spark.sql(
+          """SELECT source, MAX(n_docs), MAX(n_mojibake_docs),
+            |  MAX(chars_recovered) FROM stf_out GROUP BY source""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val census = SparkEntry.queries("q_text_fix")(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_mojibake_docs"),
+            r.getAs[Long]("chars_recovered")))).toMap
+      assert(cells == census,
+        s"monitor ${cells.size} sources vs census ${census.size}")
+      assert(census.values.map(_._2).sum > 0, "doctoring planted nothing")
+    } finally q.stop()
+  }
+
+  test("streaming pii-scrub monitor: per-source audit state converges to q_pii_redact on the identically synthesized stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // rebuild the census's planted-contact synthesis independently
+    val synth = Tables(spark, dir, "documents")
+      .select(col("source"), concat(col("text"), lit(" contact user"),
+        col("doc_id"), lit("@"), col("source"), lit(".com ref "),
+        pmod(col("doc_id") * 7919, lit(10000)),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" ip "), pmod(col("doc_id"), lit(256)), lit("."),
+            pmod(col("doc_id") * 7, lit(256)), lit("."),
+            pmod(col("doc_id") * 13, lit(256)), lit("."),
+            pmod(col("doc_id") * 29, lit(256)))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" call +"),
+            lit(10000000L) + pmod(col("doc_id") * 31, lit(90000000L))))
+          .otherwise(lit(""))).as("synth"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingPiiScrub(
+      ms.toDF().toDF("source", "text"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sps_out").start()
+    try {
+      synth.grouped(math.max(1, synth.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      // chars_removed is a SIGNED cumulative (short digit runs grow
+      // under <NUM>) — MAX would pick a stale emission; the latest
+      // state per source is the row with its strictly-growing n_docs
+      val cells = spark.table("sps_out").collect()
+        .map(r => (r.getAs[String]("source"), (r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_email_docs"), r.getAs[Long]("n_ip_docs"),
+          r.getAs[Long]("n_phone_docs"), r.getAs[Long]("chars_removed"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      val census = SparkEntry.queries("q_pii_redact")(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_email_docs"),
+            r.getAs[Long]("n_ip_docs"), r.getAs[Long]("n_phone_docs"),
+            r.getAs[Long]("chars_removed")))).toMap
+      assert(cells == census,
+        s"monitor ${cells.size} sources vs census ${census.size}")
+      // every mask class fired somewhere at this SF
+      assert(census.values.map(_._2).sum > 0)
+      assert(census.values.map(_._3).sum > 0)
+      assert(census.values.map(_._4).sum > 0)
+    } finally q.stop()
+  }
+
   test("streaming pair-align monitor: bucket state converges under slicing and rebuilds the batch keep curve row-for-row") {
     val spark2 = spark
     import spark2.implicits._
