@@ -1773,15 +1773,21 @@ object StreamingPipelines {
     * Null text counts in n_docs and never flags (null comparisons
     * fall out of both sums — the count-but-never-keep guard). */
   def streamingTextFix(docs: DataFrame, sourceCol: String = "source",
-                       textCol: String = "text"): DataFrame = {
-    val fixed = graft.operators.TextOps.fixMojibake(col(textCol))
-    docs.groupBy(col(sourceCol).as("source"))
+                       textCol: String = "text"): DataFrame =
+    // the repair chain projects ONCE before the aggregate (the batch
+    // census's withColumn shape) — embedding it in each agg
+    // expression would re-evaluate the 8-replace chain per counter
+    // unless codegen CSE happens to rescue it (review wave); the
+    // all-null-source edge coalesces to 0, not NULL (the doc
+    // contract: null text counts and never flags)
+    docs.select(col(sourceCol).as("source"), col(textCol).as("__raw"),
+        graft.operators.TextOps.fixMojibake(col(textCol)).as("__fixed"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(fixed =!= col(textCol), 1L).otherwise(0L))
+        sum(when(col("__fixed") =!= col("__raw"), 1L).otherwise(0L))
           .as("n_mojibake_docs"),
-        sum((length(col(textCol)) - length(fixed)).cast("long"))
-          .as("chars_recovered"))
-  }
+        coalesce(sum((length(col("__raw")) - length(col("__fixed")))
+          .cast("long")), lit(0L)).as("chars_recovered"))
 
   /** Streaming PII-scrub monitor: the live audit of q_pii_redact's
     * mask classes (the stage+query+monitor triple on the PII axis —
@@ -1795,18 +1801,23 @@ object StreamingPipelines {
     * equal to q_pii_redact's audit columns on the identically
     * synthesized corpus. Null text counts and never flags. */
   def streamingPiiScrub(docs: DataFrame, sourceCol: String = "source",
-                        textCol: String = "text"): DataFrame = {
-    val red = graft.operators.TextOps.piiScrub(col(textCol))
-    docs.groupBy(col(sourceCol).as("source"))
+                        textCol: String = "text"): DataFrame =
+    // the 4-regex scrub projects ONCE before the aggregate (the
+    // batch census's withColumn shape — five agg copies would
+    // re-scrub per counter without codegen CSE; review wave); the
+    // all-null-source edge coalesces to 0, not NULL
+    docs.select(col(sourceCol).as("source"), col(textCol).as("__raw"),
+        graft.operators.TextOps.piiScrub(col(textCol)).as("__red"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(red.contains("<EMAIL>"), 1L).otherwise(0L))
+        sum(when(col("__red").contains("<EMAIL>"), 1L).otherwise(0L))
           .as("n_email_docs"),
-        sum(when(red.contains("<IP>"), 1L).otherwise(0L)).as("n_ip_docs"),
-        sum(when(red.contains("<PHONE>"), 1L).otherwise(0L))
+        sum(when(col("__red").contains("<IP>"), 1L).otherwise(0L))
+          .as("n_ip_docs"),
+        sum(when(col("__red").contains("<PHONE>"), 1L).otherwise(0L))
           .as("n_phone_docs"),
-        sum((length(col(textCol)) - length(red)).cast("long"))
-          .as("chars_removed"))
-  }
+        coalesce(sum((length(col("__raw")) - length(col("__red")))
+          .cast("long")), lit(0L)).as("chars_removed"))
 
   /** Streaming pair-ALIGNMENT monitor: the live view of
     * q_pair_align's keep curve (the streamingQualitySurvival

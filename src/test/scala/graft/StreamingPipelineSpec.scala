@@ -1348,8 +1348,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
         .map(r => r.getAs[String]("source") ->
           ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_mojibake_docs"),
             r.getAs[Long]("chars_recovered")))).toMap
-      assert(cells == census,
-        s"monitor ${cells.size} sources vs census ${census.size}")
+      assert(cells == census, s"monitor≠census: " +
+        s"only-monitor=${(cells.toSet -- census.toSet).take(3)} " +
+        s"only-census=${(census.toSet -- cells.toSet).take(3)}")
       assert(census.values.map(_._2).sum > 0, "doctoring planted nothing")
     } finally q.stop()
   }
@@ -1396,8 +1397,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
           ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_email_docs"),
             r.getAs[Long]("n_ip_docs"), r.getAs[Long]("n_phone_docs"),
             r.getAs[Long]("chars_removed")))).toMap
-      assert(cells == census,
-        s"monitor ${cells.size} sources vs census ${census.size}")
+      assert(cells == census, s"monitor≠census: " +
+        s"only-monitor=${(cells.toSet -- census.toSet).take(3)} " +
+        s"only-census=${(census.toSet -- cells.toSet).take(3)}")
       // every mask class fired somewhere at this SF
       assert(census.values.map(_._2).sum > 0)
       assert(census.values.map(_._3).sum > 0)
