@@ -871,6 +871,24 @@ object DataPipelineQueries {
         min(col("hamming")).cast("long").as("min_hamming"))
   }
 
+  /** the ONE embedding-QA census kernel behind q_embed_norm_qa
+    * (oracled) and streamingEmbedNormQa (the live ingest monitor —
+    * every aggregate here is associative min/max/count/sum, so the
+    * identical call runs in Update mode with state O(labels)):
+    * per label the vector count, dim bounds, squared-norm bounds and
+    * the zero-norm count — the zero vectors that NaN-poison cosine
+    * downstream (the pair-align hazard). Input columns: label,
+    * embedding. */
+  def embedNormCensus(e: DataFrame): DataFrame =
+    e.select(col("label"),
+        expr("CAST(size(embedding) AS BIGINT)").as("dim"),
+        expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)").as("norm2"))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"),
+        sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+
   /** the planted mojibake suffix for q_text_fix: every repair class
     * once — Ã© Ã¨ Ã¼ Ã± Ã§ (2-char latin-1 misreads of UTF-8
     * accents) and â€™ â€œ â€+U+201D (3-char cp1252 misreads of curly
@@ -3780,16 +3798,7 @@ object DataPipelineQueries {
     // 0.0 seed, and the oracle COALESCEs DuckDB's NULL-on-empty
     // list_sum to match — the degenerate row this gate exists to
     // catch must not silently fall out of the report (spec-pinned).
-    "q_embed_norm_qa" -> ((s, dir) => {
-      embs(s, dir).select(col("label"),
-          expr("CAST(size(embedding) AS BIGINT)").as("dim"),
-          expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)").as("norm2"))
-        .groupBy(col("label")).agg(
-          count(lit(1)).as("n_vecs"),
-          min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
-          min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"),
-          sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"))
-    }),
+    "q_embed_norm_qa" -> ((s, dir) => embedNormCensus(embs(s, dir))),
 
     // Near-dup cluster census (the curation report over the CC
     // output): cluster-size histogram with the doc mass and the

@@ -1819,6 +1819,37 @@ object StreamingPipelines {
         coalesce(sum((length(col("__raw")) - length(col("__red")))
           .cast("long")), lit(0L)).as("chars_removed"))
 
+  /** Streaming language-ID confusion monitor: the live view of
+    * q_lang_id's (label, predicted) matrix — ONE kernel
+    * ([[graft.operators.TextOps.langId]], the stopword vote with the
+    * deterministic tie order) behind the batch census and this
+    * monitor. Plain UPDATE-mode aggregation; state O(langs²) —
+    * bounded by the label and prediction alphabets, not the corpus.
+    * Counts are associative: any trigger slicing converges to the
+    * batch matrix (spec-pinned row-for-row). Null text predicts like
+    * the batch kernel (tokens(null) → null → 'und' path is identical
+    * — one expression, no drift). */
+  def streamingLangId(docs: DataFrame, langCol: String = "lang",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        graft.operators.TextOps.langId(
+          graft.operators.TextOps.tokens(col(textCol))).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming embedding-QA monitor: the live view of
+    * q_embed_norm_qa over an embedding INGEST stream — the literal
+    * SAME [[graft.DataPipelineQueries.embedNormCensus]] call (every
+    * aggregate in it is associative min/max/count/sum, so the one
+    * kernel runs batch and Update-mode unchanged; state O(labels)).
+    * The number that matters live: n_zero — zero-norm vectors
+    * NaN-poison cosine downstream (the pair-align hazard), and an
+    * ingest feed that starts emitting them should alert before the
+    * corpus does. Converges to the batch census under any trigger
+    * slicing (spec-pinned). Input columns: label, embedding. */
+  def streamingEmbedNormQa(embs: DataFrame): DataFrame =
+    graft.DataPipelineQueries.embedNormCensus(embs)
+
   /** Streaming pair-ALIGNMENT monitor: the live view of
     * q_pair_align's keep curve (the streamingQualitySurvival
     * discipline on the multimodal axis). Input is the (source, sim)

@@ -1407,6 +1407,83 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lang-id monitor: the live confusion matrix converges to q_lang_id row-for-row") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingLangId(
+      ms.toDF().toDF("lang", "text"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sli_out").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      val cells = spark.sql(
+          "SELECT lang, predicted, MAX(n) FROM sli_out GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val census = SparkEntry.queries("q_lang_id")(spark, dir).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")) ->
+          r.getAs[Long]("n")).toMap
+      assert(cells == census, s"monitor≠census: " +
+        s"only-monitor=${(cells.toSet -- census.toSet).take(3)} " +
+        s"only-census=${(census.toSet -- cells.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming embed-norm QA: the live ingest census converges to q_embed_norm_qa and counts a planted zero vector") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[(Int, Array[Float])]
+    val out = graft.streaming.StreamingPipelines.streamingEmbedNormQa(
+      ms.toDF().toDF("label", "embedding"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("seq_out").start()
+    try {
+      base.grouped(math.max(1, base.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      // latest state per label = the row with its strictly-growing
+      // n_vecs (min/max columns are monotone but norm2 is a double —
+      // the pii-scrub latest-state discipline)
+      def latest(table: String) = spark.table(table).collect()
+        .map(r => (r.getAs[Int]("label"), (r.getAs[Long]("n_vecs"),
+          r.getAs[Long]("min_dim"), r.getAs[Long]("max_dim"),
+          r.getAs[Double]("min_norm2"), r.getAs[Double]("max_norm2"),
+          r.getAs[Long]("n_zero"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      val cells = latest("seq_out")
+      val census = SparkEntry.queries("q_embed_norm_qa")(spark, dir)
+        .collect().map(r => (r.getAs[Int]("label"), (r.getAs[Long]("n_vecs"),
+          r.getAs[Long]("min_dim"), r.getAs[Long]("max_dim"),
+          r.getAs[Double]("min_norm2"), r.getAs[Double]("max_norm2"),
+          r.getAs[Long]("n_zero")))).toMap
+      assert(cells == census, s"monitor≠census: " +
+        s"only-monitor=${(cells.toSet -- census.toSet).take(2)} " +
+        s"only-census=${(census.toSet -- cells.toSet).take(2)}")
+      // a poison ingest surfaces live: one planted zero vector bumps
+      // exactly its label's n_zero and floors min_norm2 at 0
+      val lbl = base.head._1
+      ms.addData((lbl, Array.fill(base.head._2.length)(0f)))
+      q.processAllAvailable()
+      val after = latest("seq_out")
+      assert(after(lbl)._6 == census(lbl)._6 + 1, after(lbl).toString)
+      assert(after(lbl)._4 == 0.0)
+      assert(after.filter(_._1 != lbl) == census.filter(_._1 != lbl))
+    } finally q.stop()
+  }
+
   test("streaming pair-align monitor: bucket state converges under slicing and rebuilds the batch keep curve row-for-row") {
     val spark2 = spark
     import spark2.implicits._
