@@ -239,6 +239,20 @@ object Plans {
       "good case) — and only ids + hashes cross the exchange; text is " +
       "pruned at the scan projection, before the union with the " +
       "planted mirror branch."),
+    "q_text_fix" -> ("The mojibake census is ONE map-side projection " +
+      "(the 8-replace repair chain + the planted-suffix CASE fold " +
+      "into the scan stage under whole-stage codegen) feeding a " +
+      "single partial+final aggregate keyed on source — text never " +
+      "shuffles, only the per-source counters cross the one " +
+      "exchange."),
+    "q_vocab_budget" -> ("The budget sweep touches the corpus ONCE: " +
+      "the word histogram aggregates and checkpoints (vocab-sized, " +
+      "bounded by construction), then every merge-budget leg is a " +
+      "map-side re-encode OVER THE CHECKPOINT (bpe_apply rides the " +
+      "prefix as a codegen reference object, never an In-list) into " +
+      "a one-row aggregate; the legs union. The parquet read happens " +
+      "once, at checkpoint materialization — THIS plan shows only " +
+      "checkpoint scans, zero parquet re-reads."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
       "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
       "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +
