@@ -1819,6 +1819,25 @@ object StreamingPipelines {
         coalesce(sum((length(col("__raw")) - length(col("__red")))
           .cast("long")), lit(0L)).as("chars_removed"))
 
+  /** Streaming MIME-sniff monitor: the live blob-type census of a
+    * multimodal INGEST stream — ONE kernel
+    * ([[graft.operators.MultimodalOps.sniffMime]], the magic-byte
+    * walk q_mime_sniff censuses) behind batch and monitor. Plain
+    * UPDATE-mode aggregation keyed on the sniffed type; state
+    * O(mime alphabet) — bounded by the sniffer's fixed signature
+    * table, not the corpus. The live number: a crawl feed whose
+    * type mix shifts (a partner starts shipping WebP, a proxy
+    * starts returning HTML error pages as "images") shows up here
+    * before the corpus census does. Converges to the batch census
+    * under any trigger slicing (spec-pinned row-for-row). Input
+    * column: `blob` (binary). */
+  def streamingMimeSniff(blobs: DataFrame,
+                         blobCol: String = "blob"): DataFrame =
+    blobs.groupBy(graft.operators.MultimodalOps.sniffMime(col(blobCol))
+        .as("mime"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(length(col(blobCol))).as("total_bytes"))
+
   /** Streaming language-ID confusion monitor: the live view of
     * q_lang_id's (label, predicted) matrix — ONE kernel
     * ([[graft.operators.TextOps.langId]], the stopword vote with the

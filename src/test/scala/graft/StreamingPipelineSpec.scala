@@ -1407,6 +1407,46 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mime-sniff monitor: the live blob-type census converges to q_mime_sniff on identically planted blobs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // rebuild the census's planted magic bytes independently (the
+    // synthesis discipline: drift fails the pin loudly)
+    val blobs = Tables(spark, dir, "documents")
+      .select(concat(
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          unhex(lit("89504E470D0A1A0A")))
+          .when(pmod(col("doc_id"), lit(4)) === 1, unhex(lit("FFD8FFE0")))
+          .when(pmod(col("doc_id"), lit(4)) === 2, unhex(lit("474946383961")))
+          .otherwise(lit(Array.empty[Byte])),
+        col("text").cast("binary")).as("blob"))
+      .collect().map(r => r.getAs[Array[Byte]](0))
+    val ms = MemoryStream[Array[Byte]]
+    val out = graft.streaming.StreamingPipelines.streamingMimeSniff(
+      ms.toDF().toDF("blob"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sms_out").start()
+    try {
+      blobs.grouped(math.max(1, blobs.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      // n_blobs and total_bytes both grow monotonically per mime
+      val cells = spark.sql(
+          "SELECT mime, MAX(n_blobs), MAX(total_bytes) FROM sms_out GROUP BY 1")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val census = SparkEntry.queries("q_mime_sniff")(spark, dir).collect()
+        .map(r => r.getAs[String]("mime") ->
+          ((r.getAs[Long]("n_blobs"), r.getAs[Long]("total_bytes")))).toMap
+      assert(cells == census, s"monitor≠census: " +
+        s"only-monitor=${(cells.toSet -- census.toSet).take(3)} " +
+        s"only-census=${(census.toSet -- cells.toSet).take(3)}")
+      assert(census.size >= 4, s"planted types missing: ${census.keys}")
+    } finally q.stop()
+  }
+
   test("streaming lang-id monitor: the live confusion matrix converges to q_lang_id row-for-row") {
     val spark2 = spark
     import spark2.implicits._
