@@ -265,12 +265,14 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("doc_id")).sorted.mkString(", "))
   }
 
-  test("training-prep capstone: normalize -> url refetch dedup -> soft weights -> shard, one yaml == the programmatic composition") {
+  test("training-prep capstone: text_fix -> normalize -> pii_scrub -> url refetch dedup -> soft weights -> shard, one yaml == the programmatic composition") {
     import graft.operators.{TextOps, ScaleOps}
     val out = java.nio.file.Files.createTempDirectory("prep_out").toString + "/shards"
-    // the arc a training-prep run files: fold confusables, collapse
-    // refetches by canonical URL, weight remaining exact-dup content
-    // 1/n instead of dropping, then the deterministic global shuffle
+    // the arc a training-prep run files, now the FULL decode chain:
+    // repair broken decoding (mojibake), fold confusables, mask PII,
+    // collapse refetches by canonical URL, weight remaining
+    // exact-dup content 1/n instead of dropping, then the
+    // deterministic global shuffle
     val yaml =
       s"""pipelines:
          |  corpus/prep:
@@ -281,11 +283,15 @@ class CollectorIntegrationSpec extends AnyFunSuite {
          |    processors:
          |      - type: upsert
          |        name: text
-         |        expr: "text || CASE WHEN doc_id % 5 = 0 THEN '\\u200B' ELSE '' END"
+         |        expr: "text || CASE WHEN doc_id % 5 = 0 THEN '\\u200B' ELSE '' END || CASE WHEN doc_id % 3 = 0 THEN ' caf\\u00C3\\u00A9' ELSE '' END || CASE WHEN doc_id % 4 = 0 THEN ' mail u' || doc_id || '@ex.com' ELSE '' END"
          |      - type: upsert
          |        name: url_raw
          |        expr: "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.S-' || (doc_id % 25) || '.EX.COM:80/p?utm_x=1&a=2' ELSE 'http://s-' || (doc_id % 25) || '.ex.com/p?a=2' END"
+         |      - type: text_fix
+         |        text: text
          |      - type: text_normalize
+         |        text: text
+         |      - type: pii_scrub
          |        text: text
          |      - type: url_canon
          |        url: url_raw
@@ -318,14 +324,20 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     // the programmatic composition of the SAME operators
     val base = Tables(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("text", concat(col("text"),
-        when(col("doc_id") % 5 === 0, "\u200B").otherwise("")))
+        when(col("doc_id") % 5 === 0, "\u200B").otherwise(""),
+        when(col("doc_id") % 3 === 0, " caf\u00C3\u00A9").otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" mail u"), col("doc_id"), lit("@ex.com")))
+          .otherwise("")))
       .withColumn("url_raw",
         when(col("doc_id") % 2 === 0,
           concat(lit("HTTP://WWW.S-"), col("doc_id") % 25,
             lit(".EX.COM:80/p?utm_x=1&a=2")))
           .otherwise(concat(lit("http://s-"), col("doc_id") % 25,
             lit(".ex.com/p?a=2"))))
+      .withColumn("text", TextOps.fixMojibake(col("text")))
       .withColumn("text", TextOps.normalizeConfusables(col("text")))
+      .withColumn("text", TextOps.piiScrub(col("text")))
       .withColumn("url_canon", TextOps.urlCanon(col("url_raw")))
     val keep = base.withColumn("__cth", md5(col("url_canon")))
     val mins = keep.groupBy(col("__cth")).agg(min(col("doc_id")).as("__keep"))
@@ -344,11 +356,15 @@ class CollectorIntegrationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getString(4))).toSet
     assert(got == prog, s"config ${got.size} rows vs programmatic ${prog.size}")
-    // the normalize stage did real work ahead of the weight stamp:
-    // planted zero-widths folded away, so no text ends with one
-    assert(!spark.read.json(out).collect()
-      .exists(_.getAs[String]("text").endsWith("\u200B")),
-      "zero-width survived the fold")
+    // every decode stage did real work ahead of the weight stamp:
+    // zero-widths folded, mojibake repaired, planted emails masked
+    val texts = spark.read.json(out).collect().map(_.getAs[String]("text"))
+    assert(!texts.exists(_.endsWith("\u200B")), "zero-width survived the fold")
+    assert(!texts.exists(_.contains("caf\u00C3\u00A9")),
+      "mojibake survived text_fix")
+    assert(texts.exists(_.contains("caf\u00E9")), "repair output missing")
+    assert(!texts.exists(_.contains("@ex.com")), "email survived pii_scrub")
+    assert(texts.exists(_.contains("<EMAIL>")), "email mask missing")
   }
 
   test("config: novelty_report stage files exactly q_novelty's census") {
