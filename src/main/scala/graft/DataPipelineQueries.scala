@@ -2328,7 +2328,13 @@ object DataPipelineQueries {
     // identical synthesis. Mask ORDER is load-bearing: the specific
     // masks (email, ip, phone) run BEFORE the generic digit-run rule,
     // which would otherwise eat the octets/digits and misfile the
-    // audit. Fully map-side until the per-source aggregate.
+    // audit. Two planted BOUNDARY classes exercise the widened r18
+    // masks (both engines, identically): ids ≡ 4 mod 5 carry an
+    // out-of-range fake address (999.1.2.3 must NOT mask as <IP> —
+    // the octet bound at work; its digit run still redacts as <NUM>)
+    // and ids ≡ 5 mod 7 a mixed-case dotted/+-tagged email on a
+    // multi-label domain (MUST mask as <EMAIL>). Fully map-side
+    // until the per-source aggregate.
     "q_pii_redact" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("synth", concat(col("text"), lit(" contact user"),
@@ -2342,7 +2348,12 @@ object DataPipelineQueries {
           when(pmod(col("doc_id"), lit(3)) === 0,
             concat(lit(" call +"),
               lit(10000000L) + pmod(col("doc_id") * 31, lit(90000000L))))
-            .otherwise(lit(""))))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 4, lit(" node 999.1.2.3"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 5,
+            concat(lit(" mail First.Last+tag"), col("doc_id"),
+              lit("@Sub.Example.co.uk"))).otherwise(lit(""))))
         .withColumn("redacted", TextOps.piiScrub(col("synth")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -5338,7 +5349,9 @@ object DataPipelineQueries {
       (s"""WITH s AS (SELECT source,
         |  text || ' contact user' || doc_id || '@' || source || '.com ref ' || ((doc_id * 7919) % 10000)
         |   || CASE WHEN doc_id % 2 = 0 THEN ' ip ' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) || '.' || ((doc_id * 29) % 256) ELSE '' END
-        |   || CASE WHEN doc_id % 3 = 0 THEN ' call +' || (10000000 + (doc_id * 31) % 90000000) ELSE '' END AS synth
+        |   || CASE WHEN doc_id % 3 = 0 THEN ' call +' || (10000000 + (doc_id * 31) % 90000000) ELSE '' END
+        |   || CASE WHEN doc_id % 5 = 4 THEN ' node 999.1.2.3' ELSE '' END
+        |   || CASE WHEN doc_id % 7 = 5 THEN ' mail First.Last+tag' || doc_id || '@Sub.Example.co.uk' ELSE '' END AS synth
         | FROM documents),
         |r AS (SELECT source, synth,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(synth,

@@ -541,15 +541,33 @@ object TextOps {
 
   /** the PII mask regexes — ONE set behind q_pii_redact (query +
     * oracle, interpolated) and the `pii_scrub` config stage; all
-    * three are RE2-and-Java identical */
-  val PiiEmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    * three are RE2-and-Java identical (char classes, bounded
+    * repetition, `\b` ASCII word boundaries — no lookaround).
+    *
+    * Email: case-insensitive by class (not `(?i)` — identical
+    * semantics both engines without flag-syntax risk), dotted /
+    * `+`-tagged / `%`-escaped local parts, multi-label domains
+    * ("First.Last+tag@Sub.Example.co.uk" masks). IPv4: octets
+    * bounded to 0-255 (the r17 verdict fix — "999.1.1.1" is NOT an
+    * address and must not mask as one) and `\b`-anchored so an
+    * in-range suffix of an out-of-range run can't match. Phone:
+    * E.164 international form (leading '+') by design — bare
+    * national numbers and separator-formatted digit groups fall
+    * through to the generic digit-run rule below, so they still
+    * REDACT (as `<NUM>`), just under the generic label; the PHONE
+    * class is deliberately the unambiguous international format. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])" +
+    "(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\\b"
   val PiiPhoneRe = "\\+[0-9]{7,15}"
 
   /** the PII mask chain (q_pii_redact's audit kernel and the
     * `pii_scrub` stage share THIS expression): the specific masks
     * (email, IPv4, E.164 phone) run BEFORE the generic digit-run
-    * rule, which would otherwise eat the octets/digits */
+    * rule, which would otherwise eat the octets/digits. The generic
+    * rule doubles as the redaction backstop: any ≥3-digit run the
+    * specific classes miss (national phone formats, account ids,
+    * out-of-range fake IPs) leaves as `<NUM>`, never in clear. */
   def piiScrub(text: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(text, PiiEmailRe, "<EMAIL>"),
@@ -869,25 +887,41 @@ object TextOps {
   def vocabBudgetReport(docs: DataFrame, textCol: String,
                         merges: Seq[(String, String)],
                         budgets: Seq[Int]): DataFrame =
-    vocabBudgetReportFrom(wordHistogram(docs, textCol), merges, budgets)
+    // materialize here: the From-variant's contract is a histogram
+    // that is already cheap to re-read (every budget leg re-reads it)
+    vocabBudgetReportFrom(wordHistogram(docs, textCol).localCheckpoint(),
+      merges, budgets)
 
   /** [[vocabBudgetReport]] from a pre-built (word, wc) histogram —
     * share ONE checkpointed histogram with [[bpeTrainFrom]] and the
     * corpus is genuinely scanned once (q_vocab_budget's composition;
     * review-wave finding: the report silently rebuilt the
-    * data-sized pass the train had already made). */
+    * data-sized pass the train had already made).
+    *
+    * CONTRACT: `hist` must already be materialized (localCheckpoint
+    * or equivalent) — every budget leg re-reads it, and this method
+    * deliberately adds NO checkpoint of its own (r17 advice: the
+    * inner re-checkpoint materialized the same vocab-sized frame a
+    * second time when the caller had already done so, contradicting
+    * the PLANS one-materialization audit). [[vocabBudgetReport]] and
+    * q_vocab_budget both honor the contract. */
   def vocabBudgetReportFrom(hist: DataFrame,
                             merges: Seq[(String, String)],
                             budgets: Seq[Int]): DataFrame = {
     require(budgets.nonEmpty,
       "vocabBudgetReport: budgets must be non-empty (merge-prefix sizes)")
     val words = hist.select(col("word").as("w"), col("wc").as("tf"))
-      .localCheckpoint() // every budget leg re-reads this, not the corpus
     // the alphabet is data-derived and bounded (printable ASCII ≤ 94)
     val nChars = words
       .select(explode(split(col("w"), "")).as("c"))
       .agg(count_distinct(col("c"))).head().getLong(0)
     val legs = budgets.map { m =>
+      // bpeTrain stops early when no pair reaches minCount, so a
+      // requested budget can exceed the trained table; take() clamps
+      // silently — effective_merges makes a clamped leg
+      // distinguishable from a real plateau in the report itself
+      // (r17 advice: two legs labeled 40 and 50 over a 32-merge
+      // table would otherwise read as a fabricated flat tail)
       val prefix = merges.take(m)
       // two different merges can concatenate to the same string
       // ((a,bc) and (ab,c) both read "abc") — count pieces distinct
@@ -911,6 +945,7 @@ object TextOps {
           coalesce(sum(col("tf") * col("np")), lit(0L)).cast("long")
             .as("total_subwords"))
         .withColumn("budget_merges", lit(m.toLong))
+        .withColumn("effective_merges", lit(prefix.length.toLong))
         .withColumn("vocab_pieces", lit(nChars + pieceSet.size))
     }
     legs.reduce(_.unionByName(_))
@@ -921,7 +956,8 @@ object TextOps {
       .withColumn("fertility", when(col("total_tokens") === 0, lit(0.0))
         .otherwise(col("total_subwords").cast("double") /
           col("total_tokens").cast("double")))
-      .select(col("budget_merges"), col("vocab_pieces"),
+      .select(col("budget_merges"), col("effective_merges"),
+        col("vocab_pieces"),
         col("whole_word_tokens"), col("whole_word_types"),
         col("total_tokens"), col("total_types"), col("total_subwords"),
         col("coverage_rate"), col("fertility"))

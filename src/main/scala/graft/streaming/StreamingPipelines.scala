@@ -1836,7 +1836,10 @@ object StreamingPipelines {
     blobs.groupBy(graft.operators.MultimodalOps.sniffMime(col(blobCol))
         .as("mime"))
       .agg(count(lit(1)).as("n_blobs"),
-        sum(length(col(blobCol))).as("total_bytes"))
+        // null blobs sniff to octet-stream and contribute 0 bytes —
+        // coalesce so an all-null slice emits 0, not NULL (the
+        // null-sum discipline of the sibling monitors; r17 advice)
+        coalesce(sum(length(col(blobCol))), lit(0L)).as("total_bytes"))
 
   /** Streaming language-ID confusion monitor: the live view of
     * q_lang_id's (label, predicted) matrix — ONE kernel

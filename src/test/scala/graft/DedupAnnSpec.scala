@@ -139,6 +139,26 @@ class DedupAnnSpec extends AnyFunSuite {
     // ≥ minCount, and applying it strictly shrinks total_subwords
     assert(rows(3).getAs[Long]("total_subwords") <
       rows(0).getAs[Long]("total_subwords"))
+    // all 12 merges train at this SF, so every leg is un-clamped:
+    // effective == requested
+    assert(rows.forall(r =>
+      r.getAs[Long]("effective_merges") == r.getAs[Long]("budget_merges")))
+    // a budget beyond the trained table CLAMPS and says so (r17
+    // advice: a silently clamped leg read as a fabricated plateau):
+    // re-report over a 3-merge prefix with an over-ask budget
+    val merges3 = SparkEntry.queries("q_bpe_train")(spark, sf)
+      .orderBy(col("rank")).limit(3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val hist = TextOps.wordHistogram(docs, "text").localCheckpoint()
+    val clamped = TextOps.vocabBudgetReportFrom(hist, merges3, Seq(3, 7))
+      .collect().sortBy(_.getAs[Long]("budget_merges"))
+    assert(clamped(0).getAs[Long]("effective_merges") == 3L)
+    assert(clamped(1).getAs[Long]("budget_merges") == 7L &&
+      clamped(1).getAs[Long]("effective_merges") == 3L)
+    // and the clamped leg carries the SAME measurements as the real
+    // prefix — the label, not the numbers, is what distinguishes it
+    assert(clamped(0).getAs[Long]("total_subwords") ==
+      clamped(1).getAs[Long]("total_subwords"))
   }
 
   test("docsWithMirror id-space guard: a corpus crossing 100M dense ids fails loudly instead of matching a corrupted oracle") {

@@ -598,7 +598,8 @@ class KernelPropertySpec extends AnyFunSuite {
     // the synthesis appends ' contact userN@srcX.com ref R' always
     val dir = java.nio.file.Files.createTempDirectory("pii_closed").toString
     Seq((1L, "plain words only", "en", "srca", 16L),
-        (6L, "call me maybe", "en", "srcb", 13L))
+        (6L, "call me maybe", "en", "srcb", 13L),
+        (19L, "edge dweller", "en", "srcc", 12L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("q_pii_redact")(spark, dir).collect()
@@ -606,27 +607,66 @@ class KernelPropertySpec extends AnyFunSuite {
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("chars_removed"),
           r.getAs[Long]("n_email_docs"), r.getAs[Long]("n_ip_docs"),
           r.getAs[Long]("n_phone_docs")))).toMap
+    // Java-side replication of the SAME shared mask chain — an
+    // independent execution path (String.replaceAll, no codegen)
+    // over the identical TextOps regex consts, so a regex edit that
+    // drifts the two engines apart breaks here first
+    import graft.operators.TextOps
+    def scrub(s: String): String =
+      s.replaceAll(TextOps.PiiEmailRe, "<EMAIL>")
+        .replaceAll(TextOps.PiiIpRe, "<IP>")
+        .replaceAll(TextOps.PiiPhoneRe, "<PHONE>")
+        .replaceAll("[0-9]{3,}", "<NUM>")
     // doc 1 (srca): synth = text + " contact user1@srca.com ref 7919"
-    //   email → <EMAIL> (14 → 7), "7919" → <NUM> (4 → 5): net 6
+    //   email → <EMAIL>, "7919" → <NUM>
     val s1 = "plain words only contact user1@srca.com ref 7919"
-    val r1 = s1.replaceAll("[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>")
-      .replaceAll("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
-      .replaceAll("\\+[0-9]{7,15}", "<PHONE>")
-      .replaceAll("[0-9]{3,}", "<NUM>")
+    val r1 = scrub(s1)
     assert(got("srca") == ((1L, (s1.length - r1.length).toLong, 1L, 0L, 0L)),
       got("srca").toString)
     // doc 6 (srcb): ip 6.42.78.174, phone +10000186 — all five
     // classes fire and the audit counts read (1,1,1)
     val s6 = "call me maybe contact user6@srcb.com ref 7514" +
       " ip 6.42.78.174 call +10000186"
-    val r6 = s6.replaceAll("[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>")
-      .replaceAll("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
-      .replaceAll("\\+[0-9]{7,15}", "<PHONE>")
-      .replaceAll("[0-9]{3,}", "<NUM>")
+    val r6 = scrub(s6)
     assert(r6.contains("<IP>") && r6.contains("<PHONE>") &&
       r6.contains("<EMAIL>"), r6)
     assert(got("srcb") == ((1L, (s6.length - r6.length).toLong, 1L, 1L, 1L)),
       got("srcb").toString)
+    // doc 19 (srcc): BOTH r18 boundary branches fire (19 ≡ 4 mod 5 →
+    // the out-of-range fake address; 19 ≡ 5 mod 7 → the mixed-case
+    // dotted email) and neither legacy extra (odd, 19 % 3 ≠ 0):
+    // 999.1.2.3 must NOT read as <IP> (its 999 still redacts as
+    // <NUM>), the multi-label email MUST read as <EMAIL>
+    val s19 = "edge dweller contact user19@srcc.com ref 461" +
+      " node 999.1.2.3 mail First.Last+tag19@Sub.Example.co.uk"
+    val r19 = scrub(s19)
+    assert(!r19.contains("<IP>") && r19.contains("<NUM>.1.2.3"), r19)
+    assert(r19.contains("mail <EMAIL>"), r19)
+    assert(got("srcc") == ((1L, (s19.length - r19.length).toLong, 1L, 0L, 0L)),
+      got("srcc").toString)
+  }
+
+  test("piiScrub boundary semantics: octet bounds, multi-label domains, the <NUM> backstop") {
+    import graft.operators.TextOps
+    val in = Seq(
+      "a 255.255.255.255 b",  // max in-range address → <IP>
+      "a 256.1.1.1 b",        // first octet out of range → no <IP>
+      "a 999.1.1.1 b",        // way out of range → no <IP>
+      "a 10.0.0.0 b",         // zeros are in range → <IP>
+      "mail User.Name+tag@Example.co.uk x",  // dotted/+/multi-label → <EMAIL>
+      "mail UPPER@CASE.COM x",               // case-insensitive → <EMAIL>
+      "call 555-123-4567 x")  // national format: no <PHONE>, but the
+                              // digit-run backstop leaves no clear digits
+      .toDF("t").withColumn("r", TextOps.piiScrub(col("t")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(in("a 255.255.255.255 b") == "a <IP> b")
+    assert(!in("a 256.1.1.1 b").contains("<IP>"), in("a 256.1.1.1 b"))
+    assert(!in("a 999.1.1.1 b").contains("<IP>"), in("a 999.1.1.1 b"))
+    assert(in("a 10.0.0.0 b") == "a <IP> b")
+    assert(in("mail User.Name+tag@Example.co.uk x") == "mail <EMAIL> x")
+    assert(in("mail UPPER@CASE.COM x") == "mail <EMAIL> x")
+    val nat = in("call 555-123-4567 x")
+    assert(!nat.contains("<PHONE>") && !nat.exists(_.isDigit), nat)
   }
 
   test("q_text_fix closed form: every mojibake class repairs to its original char, clean docs pass byte-identical") {

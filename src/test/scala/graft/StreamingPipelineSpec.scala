@@ -1373,7 +1373,12 @@ class StreamingPipelineSpec extends AnyFunSuite {
         when(pmod(col("doc_id"), lit(3)) === 0,
           concat(lit(" call +"),
             lit(10000000L) + pmod(col("doc_id") * 31, lit(90000000L))))
-          .otherwise(lit(""))).as("synth"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 4, lit(" node 999.1.2.3"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 5,
+          concat(lit(" mail First.Last+tag"), col("doc_id"),
+            lit("@Sub.Example.co.uk"))).otherwise(lit(""))).as("synth"))
       .collect().map(r => (r.getString(0), r.getString(1)))
     val ms = MemoryStream[(String, String)]
     val out = graft.streaming.StreamingPipelines.streamingPiiScrub(
@@ -1444,6 +1449,21 @@ class StreamingPipelineSpec extends AnyFunSuite {
         s"only-monitor=${(cells.toSet -- census.toSet).take(3)} " +
         s"only-census=${(census.toSet -- cells.toSet).take(3)}")
       assert(census.size >= 4, s"planted types missing: ${census.keys}")
+      // r17 advice: an ALL-NULL trigger slice (every blob null —
+      // sniffed octet-stream, zero bytes) must not null the
+      // total_bytes cell: sum(length) over only-null rows is NULL
+      // without the coalesce guard. n_blobs grows by the slice,
+      // total_bytes holds its value.
+      val octBefore = cells("application/octet-stream")
+      ms.addData(Seq[Array[Byte]](null, null))
+      q.processAllAvailable()
+      val oct = spark.sql(
+          "SELECT MAX(n_blobs), MAX(total_bytes), COUNT(CASE WHEN total_bytes IS NULL THEN 1 END) " +
+          "FROM sms_out WHERE mime = 'application/octet-stream'")
+        .collect().head
+      assert(oct.getLong(2) == 0L, "a NULL total_bytes cell reached the sink")
+      assert(oct.getLong(0) == octBefore._1 + 2L && oct.getLong(1) == octBefore._2,
+        s"got (${oct.getLong(0)}, ${oct.getLong(1)}), want (${octBefore._1 + 2}, ${octBefore._2})")
     } finally q.stop()
   }
 
