@@ -297,8 +297,37 @@ object Bench {
     // max(pre,post)/min(pre,post) > 1.3 flags a machine whose speed
     // CHANGED mid-capture; calib_sec stays published as the MEAN of
     // the two probes, the value cross-round normalization divides by.
-    val calibPost = calibrate(spark)
-    val calibMemPost = calibrateMem()
+    //
+    // SELF-HEALING retry (r17 verdict #1): the dominant flag cause in
+    // practice is not mid-suite load but the POST PROBE itself reading
+    // the box's settling tail — after a heavy allocation burst the
+    // memory-bandwidth probe reads 2-4× for a couple of minutes
+    // (documented in SURVEY §5 as the ~2 min settle window), then
+    // recovers. That transient contaminates the PROBE, not the suite
+    // walls (suite-level contention has its own independent teeth:
+    // sum_over_wall, contended, wall_ratio < 1). So on a drifted
+    // bracket: sleep the settle window and re-probe, bounded
+    // attempts, every attempt's readings stamped in the artifact —
+    // a capture that heals is honest about having needed to, and one
+    // that can't heal (real sustained load) still flags.
+    def drift2(a: Double, b: Double): Double =
+      math.max(a, b) / math.max(1e-9, math.min(a, b))
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "120000").toLong
+    val maxCalibAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_RETRIES", "3").toInt
+    var calibPost = calibrate(spark)
+    var calibMemPost = calibrateMem()
+    val calibHistory =
+      scala.collection.mutable.ArrayBuffer((calibPost, calibMemPost))
+    while (calibHistory.length < maxCalibAttempts &&
+        (drift2(calibPre, calibPost) > 1.3 ||
+         drift2(calibMemPre, calibMemPost) > 1.3)) {
+      Thread.sleep(settleMs)
+      calibPost = calibrate(spark)
+      calibMemPost = calibrateMem()
+      calibHistory += ((calibPost, calibMemPost))
+    }
+    val calibAttempts = calibHistory.length
     val calibSec = (calibPre + calibPost) / 2.0
     val calibDrift =
       math.max(calibPre, calibPost) / math.max(1e-9, math.min(calibPre, calibPost))
@@ -318,8 +347,15 @@ object Bench {
     // a bounded TAIL of stdout, so the big per-query maps go FIRST and
     // the summary scalars (wall/errors/contended) go LAST — a
     // truncated capture always retains the headline numbers
+    // bounded (≤ maxCalibAttempts pairs) probe-retry log: every
+    // post-probe attempt's (integer, memory) reading — a healed
+    // capture shows its transient; an exhausted one shows the
+    // sustained load that kept it flagged
+    val calibHistJson = calibHistory
+      .map { case (c, m) => s"""[${f"$c%.3f"},${f"$m%.3f"}]""" }
+      .mkString("[", ",", "]")
     val scalarTail =
-      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"calib_mem_pre":${f"$calibMemPre%.3f"},"calib_mem_post":${f"$calibMemPost%.3f"},"calib_mem_drift":${f"$calibMemDrift%.3f"},"flagged":$flagged,"value":$wall}"""
+      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"calib_mem_pre":${f"$calibMemPre%.3f"},"calib_mem_post":${f"$calibMemPost%.3f"},"calib_mem_drift":${f"$calibMemDrift%.3f"},"calib_attempts":$calibAttempts,"calib_post_history":$calibHistJson,"flagged":$flagged,"value":$wall}"""
     val fullLine =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,""" + scalarTail
     // the full line (with the 195-entry per-query maps) ALSO goes to a
@@ -358,7 +394,8 @@ object Bench {
       s""""contended":${sumOverWall > slots * 1.2},""" +
       s""""calib_sec":${f"$calibSec%.3f"},"calib_drift":${f"$calibDrift%.3f"},""" +
       s""""calib_drifted":${calibDrift > 1.3},""" +
-      s""""calib_mem_drift":${f"$calibMemDrift%.3f"},"flagged":$flagged$slopeScalars,""" +
+      s""""calib_mem_drift":${f"$calibMemDrift%.3f"},""" +
+      s""""calib_attempts":$calibAttempts,"flagged":$flagged$slopeScalars,""" +
       s""""full_maps":"bench_full.json","walls_file":"bench_walls.json",""" +
       s""""value":$wall}""")
     spark.stop()
