@@ -3910,6 +3910,34 @@ object DataPipelineQueries {
       DedupOps.simhashNearDupPairs(phashBits(docs(s, dir)), "doc_id", "bits",
         maxHamming = 2)),
 
+    // The image family's tuning dial (r17 verdict #3 — minhash has
+    // q_lsh_tune + q_dedup_threshold_sweep, every ANN member has a
+    // sweep; phash had none): Hamming radius {0..6} over ONE pair
+    // pass of the SAME chunk-blocked candidate generator
+    // q_media_phash runs — per radius, surviving pairs and distinct
+    // images touched, monotone by construction (radius r's pair set
+    // is a filter-prefix of r+1's; the threshold-sweep discipline on
+    // the image axis, grid-joined, never one pass per radius). Radii
+    // ≤ 3 are EXACT over 4×16-bit chunks (pigeonhole: ≤3 differing
+    // bits leave ≥1 chunk equal); radii 4-6 measure the same
+    // candidate generator at a wider verify threshold — the
+    // deployment question this dial answers is how much pair mass a
+    // wider verify radius admits WITHOUT re-blocking. The radius-2
+    // row is q_media_phash's pair set exactly (spec-pinned).
+    // Scale shape: pair volume ∝ candidates (the blocking bound);
+    // the 7-row grid broadcast-joins; images dedup per (radius, id).
+    "q_phash_sweep" -> ((s, dir) => {
+      val pairs = DedupOps.simhashNearDupPairs(phashBits(docs(s, dir)),
+        "doc_id", "bits", maxHamming = 6, maxBucket = 1 << 20)
+      val grid = s.range(0, 7).select(col("id").as("radius"))
+      pairs.join(broadcast(grid), col("hamming") <= col("radius"))
+        .select(col("radius"),
+          explode(array(col("id_a"), col("id_b"))).as("img"))
+        .groupBy(col("radius"))
+        .agg(expr("CAST(count(1) DIV 2 AS BIGINT)").as("n_pairs"),
+          count_distinct(col("img")).as("n_images"))
+    }),
+
     // Shard-balance QA for the training layout: per-shard doc counts
     // → min/max/total + the straggler ratio max/(total/liveShards) —
     // the check a 4096-shard write runs before a straggling task
@@ -6659,6 +6687,30 @@ object DataPipelineQueries {
         |WHERE len(list_filter(list_zip(ba, bb), x -> x[1] <> x[2])) <= 2
         | AND list_max(list_transform(range(0, 4), c ->
         |   CASE WHEN ba[c*16+1:c*16+16] = bb[c*16+1:c*16+16] THEN 1 ELSE 0 END)) = 1""".stripMargin,
+
+    // the q_media_phash oracle's candidate CTE at verify radius 6,
+    // grid-joined against radii 0..6 (one pair pass, suffix filters)
+    "q_phash_sweep" ->
+      """WITH bits AS (SELECT doc_id,
+        |  list_transform(range(0, 64), b -> CASE WHEN
+        |    (('0x' || substr(md5((doc_id % 40)::VARCHAR || '/' || (b // 8)::VARCHAR || '/' || (b % 8)::VARCHAR), 1, 4))::BIGINT
+        |      + CASE WHEN (doc_id // 40) % 2 = 1 AND b = 0 THEN 65536 ELSE 0 END)
+        |    < ('0x' || substr(md5((doc_id % 40)::VARCHAR || '/' || (b // 8)::VARCHAR || '/' || ((b % 8) + 1)::VARCHAR), 1, 4))::BIGINT
+        |   THEN 1 ELSE 0 END) AS bits
+        | FROM documents),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+        |  len(list_filter(list_zip(a.bits, b.bits), x -> x[1] <> x[2])) AS hamming
+        | FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        | WHERE list_max(list_transform(range(0, 4), c ->
+        |   CASE WHEN a.bits[c*16+1:c*16+16] = b.bits[c*16+1:c*16+16] THEN 1 ELSE 0 END)) = 1
+        |  AND len(list_filter(list_zip(a.bits, b.bits), x -> x[1] <> x[2])) <= 6),
+        |g AS (SELECT unnest(range(0, 7)) AS radius),
+        |i AS (SELECT g.radius, unnest([p.id_a, p.id_b]) AS img
+        |  FROM g JOIN p ON p.hamming <= g.radius)
+        |SELECT CAST(radius AS BIGINT) AS radius,
+        | CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+        | CAST(COUNT(DISTINCT img) AS BIGINT) AS n_images
+        |FROM i GROUP BY radius""".stripMargin,
 
     "q_shard_skew" ->
       """WITH s AS (SELECT CAST(('0x' || substr(md5('shuf42:' || doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS INTEGER) AS shard

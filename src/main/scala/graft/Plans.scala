@@ -253,6 +253,13 @@ object Plans {
       "a one-row aggregate; the legs union. The parquet read happens " +
       "once, at checkpoint materialization — THIS plan shows only " +
       "checkpoint scans, zero parquet re-reads."),
+    "q_phash_sweep" -> ("The radius dial runs the chunk-blocked pair " +
+      "miner ONCE at the widest verify threshold (Hamming ≤ 6) and " +
+      "grid-joins the 7-row radius frame as a BROADCAST nested loop " +
+      "(hamming <= radius is the only condition — a 7× fan-out of " +
+      "the bounded pair set, never a re-mine per radius); the " +
+      "id-pair explode and the per-radius distinct ride one " +
+      "exchange keyed on radius."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
       "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
       "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +

@@ -1098,6 +1098,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_dedup_priority")(spark, sf).count() > 0)
   }
 
+  test("q_phash_sweep: radius legs nest (monotone pairs/images), radius 2 anchors q_media_phash exactly") {
+    val rows = SparkEntry.queries("q_phash_sweep")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("radius"))
+    // the stub's identity classes guarantee radius-0 pairs (same
+    // seed, same variant parity → identical bits), so every radius
+    // leg is non-empty and all 7 grid rows survive the inner join
+    assert(rows.map(_.getAs[Long]("radius")).toSeq == (0L to 6L),
+      rows.map(_.getAs[Long]("radius")).mkString(","))
+    // one pair pass, suffix filters: pair and image counts are
+    // monotone nondecreasing in the radius BY CONSTRUCTION
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_pairs") <= b.getAs[Long]("n_pairs"))
+      assert(a.getAs[Long]("n_images") <= b.getAs[Long]("n_images"))
+    }
+    // the radius-2 row IS q_media_phash's pair set (same candidate
+    // generator, same verify threshold — the anchor the sweep
+    // discipline pins on every axis)
+    val ph = SparkEntry.queries("q_media_phash")(spark, sf).collect()
+    val r2 = rows.find(_.getAs[Long]("radius") == 2L).get
+    assert(r2.getAs[Long]("n_pairs") == ph.length.toLong)
+    val imgs = ph.flatMap(r =>
+      Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(r2.getAs[Long]("n_images") == imgs.size.toLong)
+    // and the wider radii admit MORE at this SF (the dial has a
+    // gradient to read — by construction: the one-pixel variants sit
+    // at hamming ≤ 1 of their seed class, cross-variant pairs within
+    // a class at ≤ 2, so radius 6 sees at least the radius-2 mass;
+    // strictness is checked where it is a theorem, not a bet)
+    assert(rows.last.getAs[Long]("n_pairs") >= r2.getAs[Long]("n_pairs"))
+  }
+
   test("capped production twins: the cap only DROPS oversized buckets (capped ⊆ capless), and a tiny cap bites") {
     // r10 verdict #5: the three registered pair miners lift maxBucket
     // for capless-oracle parity; their `_scale` twins run the
