@@ -2639,6 +2639,30 @@ object DataPipelineQueries {
       TextOps.unigramEncode(docs(s, dir), "doc_id", "text", pieces,
         maxPieceLen = 6)
     }),
+    // unigram-family tokenizer-BUDGET cross-check (r17 verdict #5 —
+    // the q_vocab_budget discipline on the OTHER subword family):
+    // coverage/fertility per multi-piece budget as prefixes of the
+    // ONE trained table in the trainer's own prune order, log-probs
+    // renormalized per leg (what a truncated-vocab deployment ships
+    // — NOT a retrain; see TextOps.unigramBudgetReportFrom for the
+    // honest non-nesting note). ONE checkpointed word histogram
+    // feeds EM training and every report leg (zero corpus
+    // re-scans); the over-ask budget 1000 clamps with
+    // effective_pieces saying so. Rows-only like q_unigram_lm (the
+    // vocabulary is data-derived); spec pins the budget-0 char
+    // closed form, the per-leg ≤ char-decode ceiling, and the full
+    // budget bit-equal to BOTH the hard-EM fixed point (Σ trained
+    // counts) and q_unigram_encode's corpus totals.
+    "q_unigram_budget" -> ((s, dir) => {
+      val hist = TextOps.wordHistogram(docs(s, dir), "text")
+        .localCheckpoint()
+      val v = TextOps.unigramTrainFrom(hist, vocabSize = 80,
+        maxPieceLen = 6, emIters = 4).collect()
+      val vocab = v.map(r => (r.getString(0), r.getLong(2))).toSeq
+      TextOps.unigramBudgetReportFrom(hist, vocab, Seq(0, 2, 5, 1000),
+        maxPieceLen = 6)
+    }),
+
     // tokenizer BAKE-OFF — the table a tokenizer decision actually
     // reads: BOTH subword families trained on the SAME corpus, both
     // encodes run, per-source fertility (subwords/word) and

@@ -993,11 +993,19 @@ object TextOps {
     */
   def unigramTrain(docs: DataFrame, textCol: String, vocabSize: Int,
                    maxPieceLen: Int = 6, emIters: Int = 4,
-                   maxVocab: Int = 2000000): DataFrame = {
-    val sp = docs.sparkSession
-    val vocabRows = docs.select(explode(tokens(col(textCol))).as("word"))
-      .filter(col("word").rlike(asciiWord))
-      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+                   maxVocab: Int = 2000000): DataFrame =
+    unigramTrainFrom(wordHistogram(docs, textCol), vocabSize,
+      maxPieceLen, emIters, maxVocab)
+
+  /** [[unigramTrain]] from a pre-built (word, wc) histogram — the
+    * bpeTrainFrom seam on the unigram family: a caller composing
+    * train + report (q_unigram_budget) checkpoints ONE histogram and
+    * passes it to both, so the corpus is scanned once. */
+  def unigramTrainFrom(hist: DataFrame, vocabSize: Int,
+                       maxPieceLen: Int = 6, emIters: Int = 4,
+                       maxVocab: Int = 2000000): DataFrame = {
+    val sp = hist.sparkSession
+    val vocabRows = hist.select(col("word"), col("wc"))
       .limit(maxVocab + 1).collect()
     require(vocabRows.length <= maxVocab,
       s"unigramTrain: vocab exceeds maxVocab=$maxVocab distinct words; " +
@@ -1121,6 +1129,86 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_subwords")).as("n_subwords"),
         sum(col("n_chars")).as("n_chars"))
+  }
+
+  /** Unigram-family tokenizer-BUDGET report (r17 verdict #5 — the
+    * [[vocabBudgetReportFrom]] discipline on the OTHER production
+    * subword family): OOV/coverage/fertility per vocabulary budget,
+    * read against prefixes of the ONE trained unigram table in the
+    * trainer's OWN deterministic prune order (multi-char pieces by
+    * count desc, piece asc — exactly [[unigramTrainFrom]]'s mid-EM
+    * prune key), singles always retained (the SentencePiece coverage
+    * floor). Budgets are COUNTS OF MULTI-CHAR PIECES kept; a budget
+    * beyond the trained table clamps with `effective_pieces` saying
+    * so (the vocabBudgetReport clamp discipline).
+    *
+    * HONEST NON-RETRAIN NOTE: a leg is a prefix of the one trained
+    * table with its log-probs renormalized over the retained counts
+    * — what a deployment shipping a truncated vocab actually runs —
+    * NOT an EM retrain at the smaller size (retrained vocabularies
+    * would not nest). Piece SETS nest by construction; coverage and
+    * fertility are NOT monotone theorems here (renormalization moves
+    * every log-prob, and Viterbi optimizes probability, not piece
+    * count) — the spec pins what IS structural: per-word pieces
+    * never exceed chars (so every leg's total_subwords ≤ the
+    * budget-0 char decode), the budget-0 leg is the closed-form
+    * char tokenizer, and the FULL budget is the trainer's hard-EM
+    * fixed point, so its corpus decode reproduces the trained
+    * counts: total_subwords(full) == Σ count over the table, and
+    * the leg anchors bit-equal to q_unigram_encode's totals.
+    *
+    * Scale shape: zero extra corpus passes — every leg re-encodes
+    * the checkpointed word histogram (the CONTRACT: `hist` arrives
+    * materialized, this method adds no checkpoint of its own) with
+    * the piece subset riding as codegen reference objects. `vocab`
+    * = the trained (piece, count) rows. */
+  def unigramBudgetReportFrom(hist: DataFrame, vocab: Seq[(String, Long)],
+                              budgets: Seq[Int],
+                              maxPieceLen: Int): DataFrame = {
+    require(budgets.nonEmpty,
+      "unigramBudgetReport: budgets must be non-empty (multi-piece counts)")
+    val words = hist.select(col("word").as("w"), col("wc").as("tf"))
+    val singles = vocab.filter(_._1.length == 1)
+    val multi = vocab.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+    val legs = budgets.map { b =>
+      val prefix = multi.take(b)
+      val subset = (singles ++ prefix).sortBy(_._1)
+      val total = subset.map(_._2).sum.toDouble
+      // the SAME log-prob construction as unigramTrain's E-step and
+      // q_unigram_encode (zero-count floor 0.5) — the fixed-point
+      // anchor depends on it
+      val pieces = subset.map { case (p, c) =>
+        (p, math.log((if (c > 0L) c.toDouble else 0.5) / total)) }
+      val ns = size(graft.functions.HashExprs.unigram_apply(
+        col("w"), pieces, maxPieceLen))
+      words.select(col("tf"), ns.as("np"))
+        .agg(
+          coalesce(sum(when(col("np") === 1, col("tf")).otherwise(0L)),
+            lit(0L)).cast("long").as("whole_word_tokens"),
+          coalesce(sum(when(col("np") === 1, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("whole_word_types"),
+          coalesce(sum(col("tf")), lit(0L)).cast("long").as("total_tokens"),
+          count(lit(1)).cast("long").as("total_types"),
+          coalesce(sum(col("tf") * col("np")), lit(0L)).cast("long")
+            .as("total_subwords"))
+        .withColumn("budget_pieces", lit(b.toLong))
+        .withColumn("effective_pieces", lit(prefix.length.toLong))
+        .withColumn("vocab_pieces",
+          lit((singles.length + prefix.length).toLong))
+    }
+    legs.reduce(_.unionByName(_))
+      .withColumn("coverage_rate", when(col("total_tokens") === 0, lit(0.0))
+        .otherwise(col("whole_word_tokens").cast("double") /
+          col("total_tokens").cast("double")))
+      .withColumn("fertility", when(col("total_tokens") === 0, lit(0.0))
+        .otherwise(col("total_subwords").cast("double") /
+          col("total_tokens").cast("double")))
+      .select(col("budget_pieces"), col("effective_pieces"),
+        col("vocab_pieces"),
+        col("whole_word_tokens"), col("whole_word_types"),
+        col("total_tokens"), col("total_types"), col("total_subwords"),
+        col("coverage_rate"), col("fertility"))
   }
 
   /** Trained quality classifier — the classifier-based filtering

@@ -161,6 +161,61 @@ class DedupAnnSpec extends AnyFunSuite {
       clamped(1).getAs[Long]("total_subwords"))
   }
 
+  test("q_unigram_budget: budget-0 is the char tokenizer closed form; every leg ≤ the char decode; full budget is the EM fixed point and anchors q_unigram_encode") {
+    val rows = SparkEntry.queries("q_unigram_budget")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("budget_pieces"))
+    assert(rows.map(_.getAs[Long]("budget_pieces")).toSeq ==
+      Seq(0L, 2L, 5L, 1000L))
+    // corpus totals constant across legs (one shared histogram)
+    assert(rows.map(_.getAs[Long]("total_tokens")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("total_types")).distinct.length == 1)
+    // vocab sets nest by construction: vocab_pieces monotone, and
+    // the over-ask leg clamps with effective_pieces saying so
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("vocab_pieces") <= b.getAs[Long]("vocab_pieces"))
+    }
+    val trained = TextOps.unigramTrain(docs, "text", vocabSize = 80,
+      maxPieceLen = 6, emIters = 4).collect()
+    val multiCount = trained.count(_.getInt(1) > 1).toLong
+    assert(rows(3).getAs[Long]("effective_pieces") == multiCount)
+    assert(multiCount < 1000L && multiCount >= 5L) // the clamp bit
+    rows.take(3).foreach(r =>
+      assert(r.getAs[Long]("effective_pieces") ==
+        r.getAs[Long]("budget_pieces")))
+    // budget 0 = char-only Viterbi (one path per word): subwords ==
+    // corpus char mass, whole words == 1-char occurrences — the SAME
+    // closed form as q_vocab_budget's m=0 leg (shared corpus+filter)
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[!-~]+$")).localCheckpoint()
+    assert(rows(0).getAs[Long]("total_subwords") ==
+      words.agg(sum(length(col("w")))).head().getLong(0))
+    assert(rows(0).getAs[Long]("whole_word_tokens") ==
+      words.filter(length(col("w")) === 1).count())
+    // pieces are ≥1 char each, so NO leg can exceed the char decode
+    // (a theorem, unlike the coverage/fertility curves — see the
+    // unigramBudgetReportFrom non-retrain note)
+    rows.foreach(r => assert(r.getAs[Long]("total_subwords") <=
+      rows(0).getAs[Long]("total_subwords")))
+    // FULL budget = the trainer's hard-EM fixed point: the corpus
+    // decode with the trained probs reproduces the trained counts,
+    // so total_subwords == Σ count over the table — by construction
+    // (mStep keeps only used multi pieces; the report leg builds the
+    // identical log-probs over the identical set)
+    assert(rows(3).getAs[Long]("total_subwords") ==
+      trained.map(_.getLong(2)).sum)
+    // and anchors the flagship encode's corpus totals bit-equal
+    val enc = SparkEntry.queries("q_unigram_encode")(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_subwords"))).head()
+    assert(rows(3).getAs[Long]("total_tokens") == enc.getLong(0))
+    assert(rows(3).getAs[Long]("total_subwords") == enc.getLong(1))
+    // real work by construction: every multi piece in the trained
+    // table carries count > 0 (mStep drops unused ones), and a used
+    // multi piece strictly shrinks the decode vs chars
+    if (multiCount > 0L)
+      assert(rows(3).getAs[Long]("total_subwords") <
+        rows(0).getAs[Long]("total_subwords"))
+  }
+
   test("docsWithMirror id-space guard: a corpus crossing 100M dense ids fails loudly instead of matching a corrupted oracle") {
     // the r16 ADVICE hazard: the +100,000,000 mirror offset shares
     // its construction with the oracle CTE, so an id collision would
