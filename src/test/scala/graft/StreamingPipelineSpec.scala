@@ -1355,6 +1355,133 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming text-normalize monitor: per-source folding state converges to the q_text_normalize census rolled up per source") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // rebuild the census's doctoring INDEPENDENTLY (doc_id mod 4
+    // classes: smart punctuation / zero-widths / NBSP / clean)
+    val suffix = when(pmod(col("doc_id"), lit(4)) === 0,
+        lit(" don\u2019t \u201Cquote\u201D \u2014 dash"))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        lit(" zero\u200Bwidth\uFEFFjoined"))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        lit(" non\u00A0breaking\u00A0space"))
+      .otherwise(lit(""))
+    val doctored = Tables(spark, dir, "documents")
+      .select(col("source"), concat(col("text"), suffix).as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingTextNormalize(
+      ms.toDF().toDF("source", "text"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("stn_out").start()
+    try {
+      doctored.grouped(math.max(1, doctored.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      val cells = spark.sql(
+          """SELECT source, MAX(n_docs), MAX(n_normalized_docs),
+            |  MAX(chars_stripped) FROM stn_out GROUP BY source""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // the batch side: the \u00A72 census (per-doc changed/n_stripped on
+      // the SAME mod-4 doctoring) rolled up per source \u2014 a DIFFERENT
+      // aggregation path over the same kernel, so monitor and census
+      // cannot drift apart silently
+      val perDoc = SparkEntry.queries("q_text_normalize")(spark, dir)
+      val census = perDoc
+        .join(Tables(spark, dir, "documents").select(col("doc_id"),
+          col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("changed"), 1L).otherwise(0L)).as("nc"),
+          sum(col("n_stripped")).cast("long").as("cs"))
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("nc"), r.getAs[Long]("cs"))))
+        .toMap
+      assert(cells == census, s"monitor\u2260census: " +
+        s"only-monitor=${(cells.toSet -- census.toSet).take(3)} " +
+        s"only-census=${(census.toSet -- cells.toSet).take(3)}")
+      // the mod-4 classes planted real work: folds fired (changed
+      // docs) AND strips fired (chars_stripped > 0 \u2014 class 1 is the
+      // only length-changing class, planted on ~1/4 of docs)
+      assert(census.values.map(_._2).sum > 0, "no doc folded")
+      assert(census.values.map(_._3).sum > 0, "no char stripped")
+    } finally q.stop()
+  }
+
+  test("live decode arc: textFix \u2192 textNormalize \u2192 piiScrub as ONE streaming chain matches the batch composition; the stage order is load-bearing") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextOps
+    val dir = "/root/testdata/sf0.001"
+    // per-stage planted evidence, all three classes interacting:
+    //  - every doc carries a ZERO-WIDTH-corrupted email \u2014 only after
+    //    the normalize stage strips U+200B does the email mask whole
+    //    (scrub-first would leave 'us\u200B' in clear and mask a shorter
+    //    tail) \u2014 the order evidence;
+    //  - mod-7 docs carry a mojibake suffix (stage 1 work);
+    //  - mod-4 docs carry smart punctuation (stage 2 work).
+    val doctored = Tables(spark, dir, "documents")
+      .select(col("source"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" caf\u00C3\u00A9 \u00E2\u20AC\u2122end")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" \u201Csmart\u201D \u2014 punct")).otherwise(lit("")),
+        lit(" mail us\u200Ber"), col("doc_id"), lit("@ex.com")).as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // the LIVE chain: both repair kernels as stateless projections
+    // feeding the ONE stateful scrub monitor \u2014 a single streaming
+    // query, exactly how a deployment wires the decode layer
+    val ms = MemoryStream[(String, String)]
+    val cleaned = ms.toDF().toDF("source", "text")
+      .withColumn("text", TextOps.normalizeConfusables(
+        TextOps.fixMojibake(col("text"))))
+    val out = graft.streaming.StreamingPipelines.streamingPiiScrub(cleaned)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("arc_decode_out").start()
+    try {
+      doctored.grouped(math.max(1, doctored.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      val cells = spark.sql(
+          """SELECT source, MAX(n_docs), MAX(n_email_docs),
+            |  MAX(chars_removed) FROM arc_decode_out GROUP BY source""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // batch composition of the SAME kernels in the SAME order
+      // (streamingPiiScrub is plain DataFrame ops \u2014 it IS the batch
+      // aggregate when fed a batch frame)
+      def batchScrub(repair: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+          : Map[String, (Long, Long, Long)] =
+        graft.streaming.StreamingPipelines.streamingPiiScrub(
+            doctored.toSeq.toDF("source", "text")
+              .withColumn("text", repair(col("text"))))
+          .collect().map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_email_docs"),
+              r.getAs[Long]("chars_removed")))).toMap
+      val batch = batchScrub(t =>
+        TextOps.normalizeConfusables(TextOps.fixMojibake(t)))
+      assert(cells == batch, s"arc\u2260batch: " +
+        s"only-arc=${(cells.toSet -- batch.toSet).take(3)} " +
+        s"only-batch=${(batch.toSet -- cells.toSet).take(3)}")
+      // every doc's zero-width email masked whole: n_email_docs ==
+      // n_docs in every source
+      assert(batch.values.forall(v => v._2 == v._1), batch.toString)
+      // ORDER evidence: skipping the normalize stage leaves the
+      // zero-width in clear and masks a shorter email tail \u2014 the
+      // removed-chars audit must differ (by exactly the planted
+      // 'us\u200B' prefix class, but the sign of life is the inequality)
+      val noNormalize = batchScrub(t => TextOps.fixMojibake(t))
+      assert(noNormalize.values.map(_._3).sum !=
+        batch.values.map(_._3).sum,
+        "normalize stage did no observable work before the scrub")
+    } finally q.stop()
+  }
+
   test("streaming pii-scrub monitor: per-source audit state converges to q_pii_redact on the identically synthesized stream") {
     val spark2 = spark
     import spark2.implicits._
