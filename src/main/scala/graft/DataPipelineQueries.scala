@@ -579,39 +579,57 @@ object DataPipelineQueries {
     * text) frame: profiles train on doc_id % 5 != 0, the held-out
     * 20% scores by integer rank distance (see the registration
     * comment for the scale shape and the quality-vs-parity note). */
-  private[graft] def trigramLangConfusion(docsDf: DataFrame): DataFrame = {
-    val R = 200
-    val d = docsDf.select(col("doc_id"), col("lang"), col("text"))
+  /** the trigram-ID constants shared by the batch scorer and the
+    * streaming monitor: profile depth R and the train/held-out split */
+  private[graft] val TriR = 200
+
+  // trigram generation from ONE split into a char array per doc:
+  // substring(text, i, 3) re-seeks UTF-8 position i from the string
+  // start on every call — O(len²) char scans per doc — where
+  // element_at on the split array is O(1). Measured ~2× on the
+  // train aggregate at sf0.1 (2.0 s → 1.05 s warm), byte-identical
+  // trigrams. The explode feeds hash aggregates whose map-side
+  // partial combine already bounds shuffle rows to distinct keys,
+  // so occurrences never cross an exchange; a sorted per-doc
+  // run-length pre-aggregate was built and measured SLOWER (the
+  // per-doc array_sort outweighs the row reduction) — this explode
+  // is the deliberate shape, not an oversight.
+  private def langTris(df: DataFrame): DataFrame = df.select(
+    col("doc_id"), col("lang"), explode(expr(
+      """element_at(transform(array(named_struct('ca', split(text, ''))), s ->
+        |  transform(sequence(1, size(s.ca) - 2), i ->
+        |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
+        .stripMargin)).as("tri"))
+
+  /** the TRAINED per-language trigram profile (lang, tri, rk_lang ≤
+    * [[TriR]]) over the doc_id % 5 != 0 split — extracted (r17
+    * verdict #6) so the streaming monitor can broadcast the SAME
+    * table the batch confusion census joins: langs × ≤200 rows,
+    * bounded by the label alphabet, checkpointed because both its
+    * batch consumers (match join + lang list) re-read it. */
+  private[graft] def trigramLangProfile(docsDf: DataFrame): DataFrame = {
+    val train = langTris(docsDf
+      .select(col("doc_id"), col("lang"), col("text"))
       .filter(length(col("text")) >= 3)
-    // trigram generation from ONE split into a char array per doc:
-    // substring(text, i, 3) re-seeks UTF-8 position i from the string
-    // start on every call — O(len²) char scans per doc — where
-    // element_at on the split array is O(1). Measured ~2× on the
-    // train aggregate at sf0.1 (2.0 s → 1.05 s warm), byte-identical
-    // trigrams. The explode feeds hash aggregates whose map-side
-    // partial combine already bounds shuffle rows to distinct keys,
-    // so occurrences never cross an exchange; a sorted per-doc
-    // run-length pre-aggregate was built and measured SLOWER (the
-    // per-doc array_sort outweighs the row reduction) — this explode
-    // is the deliberate shape, not an oversight.
-    def tris(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("lang"), explode(expr(
-        """element_at(transform(array(named_struct('ca', split(text, ''))), s ->
-          |  transform(sequence(1, size(s.ca) - 2), i ->
-          |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
-          .stripMargin)).as("tri"))
-    val train = tris(d.filter(col("doc_id") % 5 =!= 0))
-    val test = tris(d.filter(col("doc_id") % 5 === 0))
+      .filter(col("doc_id") % 5 =!= 0))
     // groupedRankRanged evaluates its input twice (narrow stats scan +
     // output) — checkpoint the bounded (lang, trigram) aggregate so
     // the corpus trigram pass runs once either way
     val langCounts = train.groupBy(col("lang"), col("tri"))
       .agg(count(lit(1)).as("n")).localCheckpoint()
-    val langProf = ScaleOps.groupedRankRanged(
+    ScaleOps.groupedRankRanged(
         langCounts, col("lang"), -col("n"), col("tri"), "rk", "__cnt")
-      .filter(col("rk") <= R)
+      .filter(col("rk") <= TriR)
       .select(col("lang"), col("tri"), col("rk").as("rk_lang"))
-      .localCheckpoint() // feeds the match join AND the lang list
+      .localCheckpoint()
+  }
+
+  private[graft] def trigramLangConfusion(docsDf: DataFrame): DataFrame = {
+    val R = TriR
+    val d = docsDf.select(col("doc_id"), col("lang"), col("text"))
+      .filter(length(col("text")) >= 3)
+    val test = langTris(d.filter(col("doc_id") % 5 === 0))
+    val langProf = trigramLangProfile(docsDf)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("n").desc, col("tri"))
     val docProf = test.groupBy(col("doc_id"), col("tri"))
@@ -879,6 +897,28 @@ object DataPipelineQueries {
     * the zero-norm count — the zero vectors that NaN-poison cosine
     * downstream (the pair-align hazard). Input columns: label,
     * embedding. */
+  /** the Gopher quality-gate census kernel — ONE body behind
+    * q_gopher_rules (the batch §2 census) AND streamingGopherRules
+    * (the live monitor): per-source doc/pass counts + one violation
+    * counter per rule, over the [[graft.operators.TextOps.gopherFlags]]
+    * rule expressions the config `gopher_gate` processor also runs
+    * (three surfaces, one rule table — none can drift). Every
+    * aggregate is an associative count/sum, so the identical call
+    * runs batch and Update-mode unchanged; state O(sources). */
+  def gopherCensus(d: DataFrame): DataFrame = {
+    val flags = graft.operators.TextOps.gopherFlags(col("text"))
+    d.select(col("source") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("r_wc"), 1L).otherwise(0L)).as("v_word_count"),
+        sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("v_mean_len"),
+        sum(when(!col("r_sym"), 1L).otherwise(0L)).as("v_symbol"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("v_alpha"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("v_stop"))
+  }
+
   def embedNormCensus(e: DataFrame): DataFrame =
     e.select(col("label"),
         expr("CAST(size(embedding) AS BIGINT)").as("dim"),
@@ -3335,22 +3375,11 @@ object DataPipelineQueries {
     // hits. Every flag computes MAP-SIDE from the text; only the
     // source key and five booleans reach the aggregate exchange (the
     // stats-report rule — text never shuffles).
-    "q_gopher_rules" -> ((s, dir) => {
-      // rule expressions shared with the config `gopher_gate`
-      // processor (TextOps.gopherFlags) — census and filter can't drift
-      val flags = TextOps.gopherFlags(col("text"))
-      docs(s, dir).select(
-          col("source") +: flags.map { case (n, c) => c.as(n) }: _*)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
-            col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("n_pass"),
-          sum(when(!col("r_wc"), 1L).otherwise(0L)).as("v_word_count"),
-          sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("v_mean_len"),
-          sum(when(!col("r_sym"), 1L).otherwise(0L)).as("v_symbol"),
-          sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("v_alpha"),
-          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("v_stop"))
-    }),
+    // ONE gopherCensus kernel (TextOps.gopherFlags rule expressions
+    // shared with the config `gopher_gate` processor AND the
+    // streamingGopherRules monitor) — census, filter and live view
+    // can't drift
+    "q_gopher_rules" -> ((s, dir) => gopherCensus(docs(s, dir))),
 
     // TF-IDF-style keyword extraction: top-3 terms per doc ranked by
     // (tf desc, rarity = df asc, term asc) — integer-only ordering,

@@ -93,6 +93,98 @@ object TextOps {
       .otherwise(lit("de"))
   }
 
+  /** Per-ROW trigram-profile language ID (Cavnar & Trenkle
+    * out-of-place rank distance — the q_lang_trigram scorer as a
+    * map-side projection chain): the doc's top-`r` trigram ranks
+    * compute inside the row (trigrams → sort → run-length counts →
+    * sort by (count desc, tri asc) → positional rank — the identical
+    * key q_lang_trigram's row_number uses), then each language's
+    * broadcast profile map scores Σ |rk_doc − rk_lang| with
+    * absent-from-profile = r, and the argmin (distance asc, lang asc
+    * — the batch tie-break) is the prediction in `outCol`. 'und'
+    * when the text is too short for a single trigram (the
+    * streamingLangId null path's analog).
+    *
+    * This is what makes the TRIGRAM detector streamable (r17 verdict
+    * #6): the batch pipeline ranks doc profiles with a window and
+    * joins the profile table — two shuffles a per-trigger monitor
+    * can't run — while this form is row-local; the spec pins it
+    * prediction-for-prediction equal to the batch scorer on the
+    * held-out split. `maxChars` bounds per-row work (the C&T sample
+    * discipline — language ID needs a prefix, not the document;
+    * ≤ 0 disables the cap, which is how the batch-parity spec runs).
+    * `profile` = (lang, tri, rank) rows, langs × ≤ r — bounded by
+    * construction, riding the plan as per-language literal maps
+    * (NEVER data-scaling: the In-list hazard does not apply to a
+    * fixed langs × 200 table). */
+  def withTrigramLangId(df: DataFrame, textCol: String, outCol: String,
+                        profile: Seq[(String, String, Long)],
+                        maxChars: Int = 400, r: Int = 200): DataFrame = {
+    require(profile.nonEmpty, "withTrigramLangId: empty profile")
+    // STAGED projections, not one nested Column: interpreted
+    // higher-order functions re-evaluate a subtree on EVERY lambda
+    // call (split(t,'') would re-split the text once per trigram —
+    // measured minutes per trigger on 500 short docs when this was
+    // a single expression), while a staged alias is materialized
+    // once per row and every later reference is an O(1) attribute
+    // read. CollapseProject cannot re-inline the stages: each alias
+    // is non-cheap and referenced more than once downstream.
+    val t0 = col("__tlid_t")
+    val chars = col("__tlid_chars")
+    val tris = col("__tlid_tris")
+    val sorted = col("__tlid_sorted")
+    val bnd = col("__tlid_bnd")
+    val ranked = col("__tlid_ranked")
+    val byLang = profile.groupBy(_._1).view
+      .mapValues(_.map { case (_, tri, rk) => tri -> rk.toInt }.toMap)
+      .toSeq.sortBy(_._1)
+    val scored = byLang.map { case (lang, m) =>
+      struct(
+        aggregate(ranked, lit(0L), (acc, s) =>
+          acc + coalesce(abs(s("rk") -
+            element_at(typedLit(m), s("tri")).cast("long")),
+            lit(r.toLong))).as("dist"),
+        lit(lang).as("cand"))
+    }
+    df.withColumn("__tlid_t",
+        if (maxChars > 0) substring(col(textCol), 1, maxChars)
+        else col(textCol))
+      .withColumn("__tlid_chars", split(t0, ""))
+      .withColumn("__tlid_tris", when(length(t0) >= 3,
+        transform(sequence(lit(1), greatest(length(t0) - 2, lit(1))),
+          i => concat(element_at(chars, i), element_at(chars, i + 1),
+            element_at(chars, i + 2))))
+        .otherwise(array().cast("array<string>")))
+      // occurrence counts by sort + run-length, NOT a per-distinct
+      // re-scan (distinct × len comparisons): boundaries of equal
+      // runs in the sorted array, counts as boundary deltas —
+      // O(n log n) per row
+      .withColumn("__tlid_sorted", array_sort(tris))
+      .withColumn("__tlid_bnd", when(size(sorted) >= 1,
+        concat(filter(sequence(lit(1), size(sorted)), i =>
+            i === 1 || element_at(sorted, i) =!= element_at(sorted, i - 1)),
+          array(size(sorted) + 1)))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("__tlid_cnt", when(size(bnd) >= 2,
+        array_sort(
+          transform(sequence(lit(1), size(bnd) - 1), j => struct(
+            (element_at(bnd, j + 1) - element_at(bnd, j)).as("n"),
+            element_at(sorted, element_at(bnd, j)).as("tri"))),
+          // (count desc, tri asc) — the identical rank key
+          // q_lang_trigram's row_number uses
+          (a, b) => when(a("n") > b("n"), -1).when(a("n") < b("n"), 1)
+            .when(a("tri") < b("tri"), -1).when(a("tri") > b("tri"), 1)
+            .otherwise(0)))
+        .otherwise(array().cast("array<struct<n:int,tri:string>>")))
+      .withColumn("__tlid_ranked",
+        transform(slice(col("__tlid_cnt"), 1, r), (s, i) =>
+          struct(s("tri").as("tri"), (i + 1).cast("long").as("rk"))))
+      .withColumn(outCol, when(size(ranked) === 0, lit("und"))
+        .otherwise(array_min(array(scored: _*))("cand")))
+      .drop("__tlid_t", "__tlid_chars", "__tlid_tris", "__tlid_sorted",
+        "__tlid_bnd", "__tlid_cnt", "__tlid_ranked")
+  }
+
   /** The Gopher quality-rule flags (Rae et al. Table A1 subset —
     * word count, mean word length, symbol ratio, alpha fraction,
     * stopword floor), shared verbatim by q_gopher_rules (the census)

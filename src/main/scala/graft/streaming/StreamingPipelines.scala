@@ -1891,6 +1891,38 @@ object StreamingPipelines {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming TRIGRAM language-ID monitor (r17 verdict #6 — the
+    * opt-in upgrade over [[streamingLangId]]'s stopword vote:
+    * q_lang_trigram's profile model is §2's own documented better
+    * detector, including on languages the stopword lists cannot
+    * name): the SAME Cavnar–Trenkle out-of-place scorer as the
+    * batch census, run per row via
+    * [[graft.operators.TextOps.withTrigramLangId]] — the doc's
+    * top-200 trigram ranks compute inside the row and the TRAINED
+    * profile (langs × ≤200 rows, from
+    * [[graft.DataPipelineQueries.trigramLangProfile]]) rides the
+    * plan as bounded per-language literal maps, so the monitor is
+    * a row-local projection chain + one Update-mode aggregation
+    * (staged aliases, not one nested expression — interpreted HOFs
+    * re-evaluate subtrees per lambda call). State O(langs²);
+    * counts associative → any trigger slicing converges to the batch
+    * census over the same frame (spec-pinned row-for-row, plus the
+    * scorer itself pinned prediction-for-prediction equal to the
+    * batch window/join pipeline on the held-out split). `maxChars`
+    * bounds per-row work (language ID reads a prefix, not the
+    * document); short/null text lands in 'und' like the batch
+    * kernel. */
+  def streamingLangIdTrigram(docs: DataFrame,
+                             profile: Seq[(String, String, Long)],
+                             maxChars: Int = 400,
+                             langCol: String = "lang",
+                             textCol: String = "text"): DataFrame =
+    graft.operators.TextOps.withTrigramLangId(
+        docs.select(col(langCol).as("lang"), col(textCol).as("text")),
+        "text", "predicted", profile, maxChars)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming embedding-QA monitor: the live view of
     * q_embed_norm_qa over an embedding INGEST stream — the literal
     * SAME [[graft.DataPipelineQueries.embedNormCensus]] call (every
@@ -1903,6 +1935,22 @@ object StreamingPipelines {
     * slicing (spec-pinned). Input columns: label, embedding. */
   def streamingEmbedNormQa(embs: DataFrame): DataFrame =
     graft.DataPipelineQueries.embedNormCensus(embs)
+
+  /** Streaming Gopher quality-gate monitor (r17 verdict #8): the
+    * live view of q_gopher_rules' per-source violation census — the
+    * literal SAME [[graft.DataPipelineQueries.gopherCensus]] call
+    * (map-side rule flags from the shared
+    * [[graft.operators.TextOps.gopherFlags]] table — the expressions
+    * the `gopher_gate` config processor filters on — then one
+    * Update-mode aggregate of associative counts; state O(sources)).
+    * The number that matters live: a feed whose n_pass/n_docs
+    * collapses mid-crawl (a template change flooding symbol-heavy or
+    * stub pages) alerts here before the corpus census runs; the
+    * per-rule v_* columns say WHICH rule broke. Converges to the
+    * batch census row-for-row under any trigger slicing
+    * (spec-pinned). Input columns: source, text. */
+  def streamingGopherRules(docs: DataFrame): DataFrame =
+    graft.DataPipelineQueries.gopherCensus(docs)
 
   /** Streaming pair-ALIGNMENT monitor: the live view of
     * q_pair_align's keep curve (the streamingQualitySurvival

@@ -1624,6 +1624,110 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trigram lang-id monitor: the per-row scorer equals the batch window/join pipeline, and the live state converges under slicing") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = Tables(spark, dir, "documents")
+    val profile = DataPipelineQueries.trigramLangProfile(docsDf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long](2))).toSeq
+    assert(profile.nonEmpty && profile.map(_._1).distinct.size >= 2)
+    // PARITY: the per-row scorer (uncapped, the same math as the
+    // batch window/join pipeline: rank key (count desc, tri asc),
+    // out-of-place distance with absent = R, argmin tie on lang asc)
+    // must reproduce q_lang_trigram's held-out confusion EXACTLY —
+    // prediction-for-prediction, aggregated
+    val held = docsDf.filter(length(col("text")) >= 3 &&
+        pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("lang"), col("text"))
+    val perRow = graft.streaming.StreamingPipelines.streamingLangIdTrigram(
+        held, profile, maxChars = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val census = SparkEntry.queries("q_lang_trigram")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(perRow == census, s"per-row≠batch: " +
+      s"only-perrow=${(perRow.toSet -- census.toSet).take(3)} " +
+      s"only-batch=${(census.toSet -- perRow.toSet).take(3)}")
+    // CONVERGENCE under trigger slicing at the production prefix cap
+    // (maxChars=400 bounds per-row work — language ID reads a
+    // sample, not the document): final state == the same monitor on
+    // the batch frame, counts associative
+    val rows = docsDf.select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingLangIdTrigram(
+      ms.toDF().toDF("lang", "text"), profile)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("slt_out").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      val cells = spark.sql(
+          "SELECT lang, predicted, MAX(n) FROM slt_out GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.streaming.StreamingPipelines.streamingLangIdTrigram(
+          rows.toSeq.toDF("lang", "text"), profile)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(cells == batch, s"monitor≠batch: " +
+        s"only-monitor=${(cells.toSet -- batch.toSet).take(3)} " +
+        s"only-batch=${(batch.toSet -- cells.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming gopher-rules monitor: the live violation census converges to q_gopher_rules and a quality collapse surfaces in its rule column") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingGopherRules(
+      ms.toDF().toDF("source", "text"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sgr_out").start()
+    def latest() = spark.table("sgr_out").collect()
+      .map(r => (r.getAs[String]("source"), (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pass"), r.getAs[Long]("v_word_count"),
+        r.getAs[Long]("v_mean_len"), r.getAs[Long]("v_symbol"),
+        r.getAs[Long]("v_alpha"), r.getAs[Long]("v_stop"))))
+      // latest state per source = the row with the strictly-growing
+      // n_docs (every emission for a key follows an arrival)
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      val census = SparkEntry.queries("q_gopher_rules")(spark, dir)
+        .collect().map(r => (r.getAs[String]("source"), (r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_pass"), r.getAs[Long]("v_word_count"),
+          r.getAs[Long]("v_mean_len"), r.getAs[Long]("v_symbol"),
+          r.getAs[Long]("v_alpha"), r.getAs[Long]("v_stop")))).toMap
+      val cells = latest()
+      assert(cells == census, s"monitor≠census: " +
+        s"only-monitor=${(cells.toSet -- census.toSet).take(2)} " +
+        s"only-census=${(census.toSet -- cells.toSet).take(2)}")
+      // a mid-crawl quality collapse surfaces live AND names its
+      // rule: a symbol-flooded stub page fails r_sym (###… mass) and
+      // r_wc (under the 50-word floor) by construction
+      val src = rows.head._1
+      ms.addData((src, "### " * 10))
+      q.processAllAvailable()
+      val after = latest()
+      val (b, a) = (census(src), after(src))
+      assert(a._1 == b._1 + 1 && a._2 == b._2, s"$b -> $a")
+      assert(a._5 == b._5 + 1 && a._3 == b._3 + 1, s"$b -> $a")
+      assert(after.filter(_._1 != src) == census.filter(_._1 != src))
+    } finally q.stop()
+  }
+
   test("streaming embed-norm QA: the live ingest census converges to q_embed_norm_qa and counts a planted zero vector") {
     val spark2 = spark
     import spark2.implicits._
