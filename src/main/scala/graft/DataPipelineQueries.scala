@@ -624,20 +624,32 @@ object DataPipelineQueries {
       .localCheckpoint()
   }
 
+  /** the held-out docs' TOP-[[TriR]] trigram profiles (doc_id, tri,
+    * rk_doc) — extracted so q_langid_sweep rides the SAME doc-profile
+    * pass as the flagship confusion census (one trigram explode, one
+    * rank window; checkpointed because every consumer reads it at
+    * least twice: size frame + match join, or the leg grid). */
+  private[graft] def trigramDocProfile(docsDf: DataFrame): DataFrame = {
+    val test = langTris(docsDf
+      .select(col("doc_id"), col("lang"), col("text"))
+      .filter(length(col("text")) >= 3)
+      .filter(col("doc_id") % 5 === 0))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("tri"))
+    test.groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk_doc", row_number().over(wDoc))
+      .filter(col("rk_doc") <= TriR)
+      .select(col("doc_id"), col("tri"), col("rk_doc"))
+      .localCheckpoint()
+  }
+
   private[graft] def trigramLangConfusion(docsDf: DataFrame): DataFrame = {
     val R = TriR
     val d = docsDf.select(col("doc_id"), col("lang"), col("text"))
       .filter(length(col("text")) >= 3)
-    val test = langTris(d.filter(col("doc_id") % 5 === 0))
     val langProf = trigramLangProfile(docsDf)
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("tri"))
-    val docProf = test.groupBy(col("doc_id"), col("tri"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("rk_doc", row_number().over(wDoc))
-      .filter(col("rk_doc") <= R)
-      .select(col("doc_id"), col("tri"), col("rk_doc"))
-      .localCheckpoint() // feeds profSize AND the match join
+    val docProf = trigramDocProfile(docsDf)
     val profSize = docProf.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("p"))
     val langs = langProf.select(col("lang").as("cand")).distinct()
@@ -2211,6 +2223,59 @@ object DataPipelineQueries {
     // cluster-purity discipline.
     "q_lang_trigram" -> ((s, dir) =>
       trigramLangConfusion(docs(s, dir))),
+
+    // the lang-id family's tuning dial (every index family has its
+    // sweep; the detector family had none): held-out accuracy per
+    // profile depth R in {25,50,100,200} — the C&T truncation knob
+    // that prices profile size (broadcast bytes in the monitor,
+    // state in the batch join) against accuracy. ONE trained profile
+    // and ONE doc-profile pass at max depth (both checkpointed,
+    // shared with q_lang_trigram via trigramLangProfile /
+    // trigramDocProfile — depth-R legs are RANK PREFIXES of the max
+    // table, never a retrain); the 4-row leg grid broadcasts, the
+    // absent-from-profile penalty is the leg's own R (the C&T
+    // out-of-place maximum, exactly q_lang_trigram's scoring at
+    // R=200 — the 200 leg is pinned equal to the flagship census's
+    // row totals). Scale shape: scored rows ∝ docs × langs × legs —
+    // langs and legs are alphabet constants, so the argmin window
+    // partitions by (doc, leg) at full parallelism.
+    "q_langid_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val legs = Seq(25, 50, 100, 200).toDF("budget_r")
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .filter(length(col("text")) >= 3)
+      val langProf = trigramLangProfile(docs(s, dir))
+      val docProf = trigramDocProfile(docs(s, dir))
+      val mLeg = docProf.join(langProf, "tri")
+        .crossJoin(broadcast(legs))
+        .filter(col("rk_doc") <= col("budget_r") &&
+          col("rk_lang") <= col("budget_r"))
+        .groupBy(col("doc_id"), col("lang").as("cand"), col("budget_r"))
+        .agg(sum(abs(col("rk_doc") - col("rk_lang"))).as("ms"),
+          count(lit(1)).as("mc"))
+      val pLeg = docProf.crossJoin(broadcast(legs))
+        .filter(col("rk_doc") <= col("budget_r"))
+        .groupBy(col("doc_id"), col("budget_r"))
+        .agg(count(lit(1)).as("p"))
+      val langs = langProf.select(col("lang").as("cand")).distinct()
+      val scored = pLeg.crossJoin(langs)
+        .join(mLeg, Seq("doc_id", "cand", "budget_r"), "left")
+        .withColumn("dist", coalesce(col("ms"), lit(0L)) +
+          (col("p") - coalesce(col("mc"), lit(0L))) *
+            col("budget_r").cast("long"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("budget_r"))
+        .orderBy(col("dist"), col("cand"))
+      val pred = scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("budget_r"), col("cand"))
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("budget_r"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === col("cand"), 1L).otherwise(0L))
+            .as("n_correct"))
+    }),
 
     // benchmark decontamination (the training-pipeline hygiene step):
     // which TRAIN docs share >= 3 distinct word-5-grams with an EVAL
@@ -6381,6 +6446,43 @@ object DataPipelineQueries {
         |FROM d JOIN pr ON d.doc_id = pr.doc_id
         |WHERE d.doc_id % 5 = 0
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_langid_sweep" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+        |tr AS (SELECT doc_id, lang,
+        |   unnest([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS tri
+        |  FROM d),
+        |lc AS (SELECT lang, tri, COUNT(*) AS n FROM tr WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |lp AS (SELECT lang, tri, rk AS rk_lang FROM (
+        |   SELECT lang, tri, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rk
+        |   FROM lc) WHERE rk <= 200),
+        |dc AS (SELECT doc_id, tri, COUNT(*) AS n FROM tr WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |dp AS (SELECT doc_id, tri, rk AS rk_doc FROM (
+        |   SELECT doc_id, tri, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tri) AS rk
+        |   FROM dc) WHERE rk <= 200),
+        |legs AS (SELECT unnest([25, 50, 100, 200]) AS budget_r),
+        |m AS (SELECT dp.doc_id, lp.lang AS cand, budget_r,
+        |   SUM(ABS(dp.rk_doc - lp.rk_lang)) AS ms, COUNT(*) AS mc
+        |  FROM dp JOIN lp ON dp.tri = lp.tri CROSS JOIN legs
+        |  WHERE dp.rk_doc <= budget_r AND lp.rk_lang <= budget_r
+        |  GROUP BY 1, 2, 3),
+        |ps AS (SELECT doc_id, budget_r, COUNT(*) AS p
+        |  FROM dp CROSS JOIN legs WHERE rk_doc <= budget_r GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang AS cand FROM lp),
+        |sc AS (SELECT ps.doc_id, langs.cand, ps.budget_r,
+        |   COALESCE(ms, 0) + (p - COALESCE(mc, 0)) * ps.budget_r AS dist
+        |  FROM ps CROSS JOIN langs
+        |  LEFT JOIN m ON m.doc_id = ps.doc_id AND m.cand = langs.cand
+        |   AND m.budget_r = ps.budget_r),
+        |pr AS (SELECT doc_id, budget_r, cand FROM (
+        |   SELECT doc_id, budget_r, cand,
+        |    row_number() OVER (PARTITION BY doc_id, budget_r ORDER BY dist, cand) AS rn
+        |   FROM sc) WHERE rn = 1)
+        |SELECT pr.budget_r, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.lang = pr.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM d JOIN pr ON d.doc_id = pr.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |GROUP BY 1""".stripMargin,
 
     "q_dedup_substring_exact" ->
       (ExactSubstrCte + "\n" + ExactSubstrSpansSql),

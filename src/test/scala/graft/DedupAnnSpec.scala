@@ -1390,6 +1390,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(realTotal == realHeld)
   }
 
+  test("q_langid_sweep: every leg covers the full held-out set; the R=200 leg is the flagship census; accuracy bounded by count") {
+    val sweep = SparkEntry.queries("q_langid_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Int]("budget_r") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))).toMap
+    assert(sweep.keySet == Set(25, 50, 100, 200), sweep.keySet.toString)
+    // every leg scores the SAME doc set — depth changes the
+    // prediction, never the coverage (p >= 1 for every doc at the
+    // smallest leg: rank 1 always survives)
+    val held = docs.filter(col("doc_id") % 5 === 0)
+      .filter(length(col("text")) >= 3).count()
+    sweep.foreach { case (r, (n, c)) =>
+      assert(n == held, s"leg $r covers $n of $held")
+      assert(c >= 0L && c <= n, s"leg $r: $c correct of $n")
+    }
+    // the R=200 leg IS q_lang_trigram's census, aggregated: same
+    // totals, same diagonal (one scorer, the sweep's max leg is the
+    // flagship's own operating point)
+    val conf = SparkEntry.queries("q_lang_trigram")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sweep(200)._1 == conf.map(_._3).sum)
+    assert(sweep(200)._2 == conf.collect { case (t, p, n) if t == p => n }.sum,
+      s"200 leg ${sweep(200)} vs census diagonal")
+  }
+
   test("exactDupSpans: planted long duplicates found at exact offsets; distinct filler emits nothing; production cap drops viral passages") {
     val spark2 = spark
     import spark2.implicits._
