@@ -2277,6 +2277,72 @@ object DataPipelineQueries {
             .as("n_correct"))
     }),
 
+    // the lang-id family's OTHER dial: held-out accuracy per
+    // inference PREFIX cap (the C&T sample discipline — language ID
+    // reads a sample, not the document; this is the measured price
+    // of streamingLangIdTrigram's production maxChars=400 knob).
+    // Profiles train on FULL text (the cap is an inference knob, not
+    // a training one); the cap-c leg keeps exactly the trigrams the
+    // capped text generates (start position i <= c-2) off ONE
+    // positioned trigram pass, so legs never re-scan the corpus. The
+    // 100000 leg is effectively-unbounded on this corpus (spec
+    // asserts max doc length stays under it) and is pinned equal to
+    // q_lang_trigram's census totals. Per-leg ranks need their own
+    // window — partitioned by (doc, leg), full parallelism, rows
+    // bounded by docs x legs x 200.
+    "q_langid_prefix" -> ((s, dir) => {
+      import s.implicits._
+      val R = TriR
+      val legs = Seq(100, 200, 400, 100000).toDF("prefix_chars")
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .filter(length(col("text")) >= 3)
+      val langProf = trigramLangProfile(docs(s, dir))
+      val test = d.filter(col("doc_id") % 5 === 0).select(
+          col("doc_id"), posexplode(expr(
+            """element_at(transform(array(named_struct('ca', split(text, ''))), s ->
+              |  transform(sequence(1, size(s.ca) - 2), i ->
+              |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
+              .stripMargin)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("tri"))
+      val dp = test.crossJoin(broadcast(legs))
+        .filter(col("pos") <= col("prefix_chars") - 2)
+        .groupBy(col("doc_id"), col("prefix_chars"), col("tri"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk_doc", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"), col("prefix_chars"))
+            .orderBy(col("n").desc, col("tri"))))
+        .filter(col("rk_doc") <= R)
+        .select(col("doc_id"), col("prefix_chars"), col("tri"),
+          col("rk_doc"))
+        .localCheckpoint() // feeds the size frame AND the match join
+      val p = dp.groupBy(col("doc_id"), col("prefix_chars"))
+        .agg(count(lit(1)).as("p"))
+      val langs = langProf.select(col("lang").as("cand")).distinct()
+      val matched = dp.join(langProf, "tri")
+        .groupBy(col("doc_id"), col("prefix_chars"),
+          col("lang").as("cand"))
+        .agg(sum(abs(col("rk_doc") - col("rk_lang"))).as("ms"),
+          count(lit(1)).as("mc"))
+      val scored = p.crossJoin(langs)
+        .join(matched, Seq("doc_id", "prefix_chars", "cand"), "left")
+        .withColumn("dist", coalesce(col("ms"), lit(0L)) +
+          (col("p") - coalesce(col("mc"), lit(0L))) * lit(R.toLong))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("prefix_chars"))
+        .orderBy(col("dist"), col("cand"))
+      val pred = scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("prefix_chars"), col("cand"))
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("prefix_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === col("cand"), 1L).otherwise(0L))
+            .as("n_correct"))
+    }),
+
     // benchmark decontamination (the training-pipeline hygiene step):
     // which TRAIN docs share >= 3 distinct word-5-grams with an EVAL
     // doc. Scale shape: the eval set is small by construction, so its
@@ -6479,6 +6545,45 @@ object DataPipelineQueries {
         |    row_number() OVER (PARTITION BY doc_id, budget_r ORDER BY dist, cand) AS rn
         |   FROM sc) WHERE rn = 1)
         |SELECT pr.budget_r, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.lang = pr.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM d JOIN pr ON d.doc_id = pr.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |GROUP BY 1""".stripMargin,
+
+    "q_langid_prefix" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+        |tr AS (SELECT doc_id, lang,
+        |   unnest(range(1, length(text) - 1)) AS pos,
+        |   unnest([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS tri
+        |  FROM d),
+        |lc AS (SELECT lang, tri, COUNT(*) AS n FROM tr WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |lp AS (SELECT lang, tri, rk AS rk_lang FROM (
+        |   SELECT lang, tri, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rk
+        |   FROM lc) WHERE rk <= 200),
+        |legs AS (SELECT unnest([100, 200, 400, 100000]) AS prefix_chars),
+        |dc AS (SELECT doc_id, prefix_chars, tri, COUNT(*) AS n
+        |  FROM tr CROSS JOIN legs
+        |  WHERE doc_id % 5 = 0 AND pos <= prefix_chars - 2
+        |  GROUP BY 1, 2, 3),
+        |dp AS (SELECT doc_id, prefix_chars, tri, rk AS rk_doc FROM (
+        |   SELECT doc_id, prefix_chars, tri,
+        |    row_number() OVER (PARTITION BY doc_id, prefix_chars ORDER BY n DESC, tri) AS rk
+        |   FROM dc) WHERE rk <= 200),
+        |ps AS (SELECT doc_id, prefix_chars, COUNT(*) AS p FROM dp GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang AS cand FROM lp),
+        |m AS (SELECT dp.doc_id, dp.prefix_chars, lp.lang AS cand,
+        |   SUM(ABS(dp.rk_doc - lp.rk_lang)) AS ms, COUNT(*) AS mc
+        |  FROM dp JOIN lp ON dp.tri = lp.tri GROUP BY 1, 2, 3),
+        |sc AS (SELECT ps.doc_id, langs.cand, ps.prefix_chars,
+        |   COALESCE(ms, 0) + (p - COALESCE(mc, 0)) * 200 AS dist
+        |  FROM ps CROSS JOIN langs
+        |  LEFT JOIN m ON m.doc_id = ps.doc_id AND m.cand = langs.cand
+        |   AND m.prefix_chars = ps.prefix_chars),
+        |pr AS (SELECT doc_id, prefix_chars, cand FROM (
+        |   SELECT doc_id, prefix_chars, cand,
+        |    row_number() OVER (PARTITION BY doc_id, prefix_chars ORDER BY dist, cand) AS rn
+        |   FROM sc) WHERE rn = 1)
+        |SELECT pr.prefix_chars, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN d.lang = pr.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM d JOIN pr ON d.doc_id = pr.doc_id
         |WHERE d.doc_id % 5 = 0

@@ -1414,6 +1414,32 @@ class DedupAnnSpec extends AnyFunSuite {
       s"200 leg ${sweep(200)} vs census diagonal")
   }
 
+  test("q_langid_prefix: every cap covers the full held-out set; the unbounded leg is the flagship census; the sentinel cap really is unbounded") {
+    val sweep = SparkEntry.queries("q_langid_prefix")(spark, sf).collect()
+      .map(r => r.getAs[Int]("prefix_chars") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))).toMap
+    assert(sweep.keySet == Set(100, 200, 400, 100000), sweep.keySet.toString)
+    // the 100000 leg's "effectively unbounded" claim is a measured
+    // property of the corpus, not an assumption
+    val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
+    assert(maxLen < 100000, s"corpus max doc length $maxLen")
+    // every cap >= 100 still yields >= 1 trigram for every held-out
+    // doc (length >= 3 filter), so coverage never shrinks with the cap
+    val held = docs.filter(col("doc_id") % 5 === 0)
+      .filter(length(col("text")) >= 3).count()
+    sweep.foreach { case (c, (n, k)) =>
+      assert(n == held, s"cap $c covers $n of $held")
+      assert(k >= 0L && k <= n, s"cap $c: $k correct of $n")
+    }
+    // unbounded == the flagship: same doc profiles, same scorer
+    val conf = SparkEntry.queries("q_lang_trigram")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sweep(100000)._1 == conf.map(_._3).sum)
+    assert(sweep(100000)._2 ==
+      conf.collect { case (t, p, n) if t == p => n }.sum,
+      s"unbounded leg ${sweep(100000)} vs census diagonal")
+  }
+
   test("exactDupSpans: planted long duplicates found at exact offsets; distinct filler emits nothing; production cap drops viral passages") {
     val spark2 = spark
     import spark2.implicits._
