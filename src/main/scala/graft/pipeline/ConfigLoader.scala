@@ -1211,6 +1211,21 @@ object ConfigLoader {
     case "gopher_gate" => df =>
       df.filter(graft.operators.TextOps.gopherFlags(expr(str(m, "text")))
         .map(_._2).reduce(_ && _))
+    // language gate: keep rows whose stopword-vote language ID
+    // (TextOps.langId — the exact kernel q_lang_id censuses and
+    // streamingLangId monitors live; this stage completes the
+    // stage+query+monitor triple on the lang axis) lands in the
+    // configured keep list. The keep list is a config constant
+    // (a handful of language codes), so isin is a fixed literal
+    // In-list — the data-derived In-list hazard does not apply.
+    case "lang_gate" => df => {
+      val keep = strList(m("keep"))
+      require(keep.nonEmpty, "lang_gate: empty keep list " +
+        "(pass keep: [en, ...] — an empty gate would drop everything)")
+      df.filter(graft.operators.TextOps.langId(
+        graft.operators.TextOps.tokens(expr(str(m, "text"))))
+        .isin(keep: _*))
+    }
     // SOFT-dedup weight stamp: weight = 1/n over each exact-duplicate
     // cluster (q_dedup_soft's reweighting as a pipeline stage — keep
     // every row, shrink its sampling mass instead of dropping; the

@@ -2396,6 +2396,44 @@ class CollectorIntegrationSpec extends AnyFunSuite {
     assert(got(2L) == (("plain clean text", "plain clean text")))
   }
 
+  test("lang_gate stage: keeps exactly the langId-vote keep set, mass matches the q_lang_id census, empty keep refuses loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val keep = Seq("en", "es")
+    val df = graft.pipeline.ConfigLoader.fromJson(
+      s"""{"pipelines": {"docs/lang": {
+         | "receiver": {"type": "table", "dir": "$dir", "table": "documents"},
+         | "processors": [{"type": "lang_gate", "text": "text",
+         |                 "keep": ["en", "es"]}],
+         | "exporters": []}}}""".stripMargin)
+      .pipelines("docs/lang").plan(spark)
+    val got = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the stage IS the census kernel as a filter — same vote, same
+    // keep set as the direct composition
+    val direct = Tables(spark, dir, "documents")
+      .filter(graft.operators.TextOps.langId(
+        graft.operators.TextOps.tokens(col("text"))).isin(keep: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == direct && got.nonEmpty)
+    // triple pin: gate mass == the q_lang_id census mass over
+    // predicted ∈ keep (stage, query and streamingLangId monitor all
+    // ride TextOps.langId — the census IS the gate's accounting)
+    val censusMass = SparkEntry.queries("q_lang_id")(spark, dir).collect()
+      .filter(r => keep.contains(r.getAs[String]("predicted")))
+      .map(_.getAs[Long]("n")).sum
+    assert(got.size.toLong == censusMass,
+      s"gate kept ${got.size}, census says $censusMass")
+    // an empty keep list is a config error, not an empty corpus
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.fromJson(
+        s"""{"pipelines": {"docs/lang": {
+           | "receiver": {"type": "table", "dir": "$dir", "table": "documents"},
+           | "processors": [{"type": "lang_gate", "text": "text", "keep": []}],
+           | "exporters": []}}}""".stripMargin)
+        .pipelines("docs/lang").plan(spark)
+    }
+    assert(ex.getMessage.contains("lang_gate"))
+  }
+
   test("keep-first dedup: null keys cluster alone, sentinel-looking data cannot merge with them, reserved helper columns refuse loudly") {
     // the r16 ADVICE pair on keepFirstStage: (a) the old " null " pad
     // DID equal the literal string " null " as data — a row carrying
