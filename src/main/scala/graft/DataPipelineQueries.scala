@@ -594,12 +594,19 @@ object DataPipelineQueries {
   // run-length pre-aggregate was built and measured SLOWER (the
   // per-doc array_sort outweighs the row reduction) — this explode
   // is the deliberate shape, not an oversight.
+  /** the trigram-array generator over `text` — ONE copy behind
+    * langTris (flagship census + profile train) AND q_langid_prefix's
+    * positioned explode, so the prefix dial's "the cap-c leg keeps
+    * exactly the trigrams the capped text generates" guarantee can
+    * never drift from the profile's generator */
+  private val TriGenSql: String =
+    """element_at(transform(array(named_struct('ca', split(text, ''))), s ->
+      |  transform(sequence(1, size(s.ca) - 2), i ->
+      |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
+      .stripMargin
+
   private def langTris(df: DataFrame): DataFrame = df.select(
-    col("doc_id"), col("lang"), explode(expr(
-      """element_at(transform(array(named_struct('ca', split(text, ''))), s ->
-        |  transform(sequence(1, size(s.ca) - 2), i ->
-        |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
-        .stripMargin)).as("tri"))
+    col("doc_id"), col("lang"), explode(expr(TriGenSql)).as("tri"))
 
   /** the TRAINED per-language trigram profile (lang, tri, rk_lang ≤
     * [[TriR]]) over the doc_id % 5 != 0 split — extracted (r17
@@ -2298,11 +2305,7 @@ object DataPipelineQueries {
         .filter(length(col("text")) >= 3)
       val langProf = trigramLangProfile(docs(s, dir))
       val test = d.filter(col("doc_id") % 5 === 0).select(
-          col("doc_id"), posexplode(expr(
-            """element_at(transform(array(named_struct('ca', split(text, ''))), s ->
-              |  transform(sequence(1, size(s.ca) - 2), i ->
-              |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
-              .stripMargin)))
+          col("doc_id"), posexplode(expr(TriGenSql)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"),
           col("col").as("tri"))
       val dp = test.crossJoin(broadcast(legs))

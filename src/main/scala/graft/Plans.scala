@@ -260,6 +260,23 @@ object Plans {
       "the bounded pair set, never a re-mine per radius); the " +
       "id-pair explode and the per-radius distinct ride one " +
       "exchange keyed on radius."),
+    "q_langid_sweep" -> ("The profile-depth dial retrains NOTHING: " +
+      "language and doc profiles build ONCE at max depth (both " +
+      "checkpointed — the plan shows checkpoint scans where the legs " +
+      "read, not corpus re-reads), the 4-row leg frame joins as a " +
+      "BROADCAST nested loop, and each leg is a rank-threshold " +
+      "filter over the one matched frame into a partial+final " +
+      "aggregate; the argmin window partitions (doc, leg) — " +
+      "high-cardinality by construction. Text leaves the plan at the " +
+      "trigram explode; only (tri, rank) pairs cross exchanges."),
+    "q_langid_prefix" -> ("The sample-size dial scans the corpus " +
+      "ONCE: a single positioned trigram explode feeds the leg grid " +
+      "(broadcast 4-row join on start-position <= cap-2 — a capped " +
+      "leg is a FILTER of the full leg's trigram stream, never a " +
+      "re-substring), counts aggregate per (doc, leg, tri) with " +
+      "map-side partials, and the per-leg rank is one window " +
+      "partitioned (doc, leg). The trained profile is the flagship's " +
+      "own checkpoint, read twice (langs frame + match join)."),
     "q_dedup_substring_exact" -> ("ExactSubstr (Lee et al.) with " +
       "shuffle ∝ ANCHORS and extension CPU ∝ REGION, never text² in " +
       "either: the winnow window selects ≈ 2/(w+1) fingerprints per " +

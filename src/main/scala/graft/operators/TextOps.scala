@@ -121,6 +121,14 @@ object TextOps {
                         profile: Seq[(String, String, Long)],
                         maxChars: Int = 400, r: Int = 200): DataFrame = {
     require(profile.nonEmpty, "withTrigramLangId: empty profile")
+    // depth-r semantics take the RANK PREFIX of a deeper profile
+    // (the C&T truncation — exactly q_langid_sweep's leg filter):
+    // without this, a trigram matched at rk_lang > r would score
+    // |rk_doc − rk_lang| > the absent penalty r, punishing a
+    // sharing language harder than a non-sharing one
+    val prof = profile.filter(_._3 <= r)
+    require(prof.nonEmpty,
+      s"withTrigramLangId: no profile rows at rank <= $r")
     // STAGED projections, not one nested Column: interpreted
     // higher-order functions re-evaluate a subtree on EVERY lambda
     // call (split(t,'') would re-split the text once per trigram —
@@ -135,7 +143,7 @@ object TextOps {
     val sorted = col("__tlid_sorted")
     val bnd = col("__tlid_bnd")
     val ranked = col("__tlid_ranked")
-    val byLang = profile.groupBy(_._1).view
+    val byLang = prof.groupBy(_._1).view
       .mapValues(_.map { case (_, tri, rk) => tri -> rk.toInt }.toMap)
       .toSeq.sortBy(_._1)
     val scored = byLang.map { case (lang, m) =>

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 import graft.pipeline.Pipeline._
 
 /** Declarative pipeline config (confmap/otelcol analog): a JSON
@@ -1222,8 +1222,16 @@ object ConfigLoader {
       val keep = strList(m("keep"))
       require(keep.nonEmpty, "lang_gate: empty keep list " +
         "(pass keep: [en, ...] — an empty gate would drop everything)")
-      df.filter(graft.operators.TextOps.langId(
-        graft.operators.TextOps.tokens(expr(str(m, "text"))))
+      // null text votes 'und' HERE, not 'de': the raw kernel's
+      // when-chain falls through its NULL comparisons to the
+      // otherwise branch (cross-engine-consistent in the census,
+      // where it is only REPORTED) — but a gate turns that quirk
+      // into a keep decision, so nulls are pinned to the same
+      // 'und' the too-short path gets (keep them by listing 'und')
+      val t = expr(str(m, "text"))
+      df.filter(when(t.isNull, lit("und"))
+        .otherwise(graft.operators.TextOps.langId(
+          graft.operators.TextOps.tokens(t)))
         .isin(keep: _*))
     }
     // SOFT-dedup weight stamp: weight = 1/n over each exact-duplicate

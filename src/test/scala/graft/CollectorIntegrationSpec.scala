@@ -2432,6 +2432,31 @@ class CollectorIntegrationSpec extends AnyFunSuite {
         .pipelines("docs/lang").plan(spark)
     }
     assert(ex.getMessage.contains("lang_gate"))
+    // null text votes 'und' AT THE GATE (review-wave finding: the
+    // raw kernel's when-chain falls through NULL comparisons to its
+    // otherwise-branch 'de' — fine in the census, which only
+    // reports, but a gate keeping null rows as German is a
+    // data-keeping bug). Nulls drop under a 'de' keep and survive
+    // only when 'und' is explicitly listed.
+    import spark.implicits._
+    val inPath = java.nio.file.Files
+      .createTempDirectory("lang_gate_null").toString + "/docs.parquet"
+    Seq((1L, Some("the of and to in is on the")),
+        (2L, Option.empty[String]))
+      .toDF("doc_id", "text").write.parquet(inPath)
+    def gate(keepJson: String): Set[Long] =
+      graft.pipeline.ConfigLoader.fromJson(
+        s"""{"pipelines": {"docs/lang": {
+           | "receiver": {"type": "parquet", "path": "$inPath"},
+           | "processors": [{"type": "lang_gate", "text": "text",
+           |                 "keep": $keepJson}],
+           | "exporters": []}}}""".stripMargin)
+        .pipelines("docs/lang").plan(spark)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gate("""["en"]""") == Set(1L))
+    assert(gate("""["de"]""") == Set.empty[Long],
+      "a null-text row leaked through the gate as 'de'")
+    assert(gate("""["en", "und"]""") == Set(1L, 2L))
   }
 
   test("keep-first dedup: null keys cluster alone, sentinel-looking data cannot merge with them, reserved helper columns refuse loudly") {

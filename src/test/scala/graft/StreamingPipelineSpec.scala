@@ -1651,6 +1651,22 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(perRow == census, s"per-row≠batch: " +
       s"only-perrow=${(perRow.toSet -- census.toSet).take(3)} " +
       s"only-batch=${(census.toSet -- perRow.toSet).take(3)}")
+    // depth-r truncation contract (review-wave finding): running a
+    // DEEP profile at a shallower r must equal pre-truncating the
+    // profile to rank <= r — never score a rank-150 match against an
+    // absent penalty of 100
+    val shallow = graft.operators.TextOps.withTrigramLangId(
+        held, "text", "predicted", profile, maxChars = 0, r = 100)
+      .groupBy(col("lang"), col("predicted")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val pretrunc = graft.operators.TextOps.withTrigramLangId(
+        held, "text", "predicted", profile.filter(_._3 <= 100),
+        maxChars = 0, r = 100)
+      .groupBy(col("lang"), col("predicted")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(shallow == pretrunc)
     // CONVERGENCE under trigger slicing at the production prefix cap
     // (maxChars=400 bounds per-row work — language ID reads a
     // sample, not the document): final state == the same monitor on
