@@ -916,6 +916,24 @@ object DataPipelineQueries {
     * the zero-norm count — the zero vectors that NaN-poison cosine
     * downstream (the pair-align hazard). Input columns: label,
     * embedding. */
+  /** the eval 5-gram postings q_decontaminate broadcasts, collected
+    * to a driver map for [[graft.streaming.StreamingPipelines
+    * .streamingDecontam]]: 5-gram → eval ids repeated per OCCURRENCE
+    * (multiplicity inlined — see DedupOps.withContamScore for why
+    * that reproduces the batch join's pair accounting exactly).
+    * Bounded BY CONSTRUCTION: the eval set is the benchmark (doc_id
+    * < 25 here), small by definition — the identical boundedness
+    * argument as the batch query's broadcast(evalSet). ONE shingle
+    * kernel (DedupOps.shinglesOfText at n=5) behind the census, the
+    * sweep and this table. */
+  def decontamPostings(docsDf: DataFrame): Map[String, Seq[Long]] =
+    docsDf.filter(col("doc_id") < 25)
+      .select(col("doc_id"),
+        explode(DedupOps.shinglesOfText(col("text"), 5)).as("s5"))
+      .collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSeq.sorted).toMap
+
   /** the Gopher quality-gate census kernel — ONE body behind
     * q_gopher_rules (the batch §2 census) AND streamingGopherRules
     * (the live monitor): per-source doc/pass counts + one violation
@@ -2354,6 +2372,8 @@ object DataPipelineQueries {
     "q_decontaminate" -> ((s, dir) => {
       val sh = docs(s, dir).select(col("doc_id"),
         explode(DedupOps.shinglesOfText(col("text"), 5)).as("s5"))
+      // (the same eval split drives decontamPostings — the streaming
+      // monitor's broadcast table; one shingle definition everywhere)
       val evalSet = sh.filter(col("doc_id") < 25)
         .select(col("doc_id").as("eval_id"), col("s5"))
       val train = sh.filter(col("doc_id") >= 25)

@@ -29,6 +29,50 @@ object DedupOps {
   def bagFingerprint(words: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words))))
 
+  /** Row-LOCAL decontamination score — the per-doc verdict of
+    * q_decontaminate computed inside the row, which is what makes
+    * the contamination check streamable (an ingest feed alerts when
+    * it starts swallowing benchmark text, before the corpus census
+    * runs): `outCol` = max over eval docs of the occurrence-pair
+    * share count with this doc's word-5-grams, EXACTLY
+    * q_decontaminate's join accounting (n_shared counts matching
+    * occurrence pairs, Σ_s cnt_doc(s)·cnt_eval(s)) because
+    * `postings` inlines eval-side multiplicity: 5-gram → eval ids
+    * REPEATED per occurrence, so each doc-side occurrence's lookup
+    * contributes cnt_eval copies and the run-length max over the
+    * sorted hit list is the max pair count. Bounded BY CONSTRUCTION:
+    * the eval set is the benchmark — small by definition, the same
+    * boundedness argument as the batch query's broadcast (this is
+    * not a data-scaling In-list; the map rides the plan as one
+    * literal whose size is the benchmark's). Staged projections,
+    * not one nested expression (the withTrigramLangId discipline:
+    * interpreted higher-order functions re-evaluate referenced
+    * subtrees per lambda call). Null/short text scores 0. */
+  def withContamScore(df: DataFrame, textCol: String, outCol: String,
+                      postings: Map[String, Seq[Long]]): DataFrame = {
+    require(postings.nonEmpty, "withContamScore: empty eval postings")
+    val sh = col("__ctm_sh")
+    val hits = col("__ctm_hits")
+    val bnd = col("__ctm_bnd")
+    df.withColumn("__ctm_sh", shinglesOfText(col(textCol), 5))
+      .withColumn("__ctm_hits", array_sort(flatten(
+        filter(transform(sh, s => element_at(typedLit(postings), s)),
+          a => a.isNotNull))))
+      // run boundaries of equal eval ids in the sorted hit list —
+      // the sort + boundary-delta counting pattern (O(n log n),
+      // never a per-distinct re-scan)
+      .withColumn("__ctm_bnd", when(size(hits) >= 1,
+        concat(filter(sequence(lit(1), size(hits)), i =>
+            i === 1 || element_at(hits, i) =!= element_at(hits, i - 1)),
+          array(size(hits) + 1)))
+        .otherwise(array().cast("array<int>")))
+      .withColumn(outCol, when(size(bnd) >= 2, array_max(
+          transform(sequence(lit(1), size(bnd) - 1), j =>
+            element_at(bnd, j + 1) - element_at(bnd, j))))
+        .otherwise(lit(0)))
+      .drop("__ctm_sh", "__ctm_hits", "__ctm_bnd")
+  }
+
   /** Windowed duplicated-substring detection — the distributable
     * approximation of exact substring dedup (the suffix-array dedup
     * of "Deduplicating Training Data Makes Language Models Better"):

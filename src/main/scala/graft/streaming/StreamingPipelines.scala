@@ -1952,6 +1952,31 @@ object StreamingPipelines {
   def streamingGopherRules(docs: DataFrame): DataFrame =
     graft.DataPipelineQueries.gopherCensus(docs)
 
+  /** Streaming DECONTAMINATION monitor: the live twin of
+    * q_decontaminate — an ingest feed that starts swallowing
+    * benchmark text should alert BEFORE the corpus census runs. Each
+    * arriving train doc scores row-locally via
+    * [[graft.operators.DedupOps.withContamScore]] (max occurrence-
+    * pair 5-gram share with any eval doc — the batch join's exact
+    * accounting, reproduced inside the row against the broadcast
+    * postings from [[graft.DataPipelineQueries.decontamPostings]];
+    * eval sets are benchmark-sized, so the literal map is bounded by
+    * construction), then ONE Update-mode per-source aggregate:
+    * docs seen, docs at or past the q_decontaminate cutoff
+    * (`minShared`, default the flagship's 3). State O(sources);
+    * counts associative → converges to the batch verdict under any
+    * trigger slicing (spec-pinned per source against the census's
+    * own pair frame). Input columns: source, text. */
+  def streamingDecontam(docs: DataFrame,
+                        postings: Map[String, Seq[Long]],
+                        minShared: Int = 3): DataFrame =
+    graft.operators.DedupOps
+      .withContamScore(docs, "text", "__n_shared_max", postings)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n_shared_max") >= minShared, 1L).otherwise(0L))
+          .as("n_contaminated"))
+
   /** Streaming pair-ALIGNMENT monitor: the live view of
     * q_pair_align's keep curve (the streamingQualitySurvival
     * discipline on the multimodal axis). Input is the (source, sim)

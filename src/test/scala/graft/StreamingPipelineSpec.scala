@@ -1744,6 +1744,58 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination monitor: per-source verdicts converge to q_decontaminate's pair frame; a spiked benchmark doc alerts live") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = Tables(spark, dir, "documents")
+    val postings = DataPipelineQueries.decontamPostings(docsDf)
+    assert(postings.nonEmpty)
+    // batch truth: the census's own pair frame, reduced to the
+    // per-doc verdict (any eval pair at the cutoff), per source
+    val contaminated = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .select("train_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "vacuous pin: no contaminated docs")
+    val train = docsDf.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = train.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.count(r => contaminated(r._1)).toLong)
+    }.toMap
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipelines.streamingDecontam(
+      ms.toDF().toDF("source", "text"), postings)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sdc_out").start()
+    def latest() = spark.table("sdc_out").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    try {
+      val rows = train.map(r => (r._2, r._3))
+      rows.grouped(math.max(1, rows.length / 3)).foreach { s =>
+        ms.addData(s.toSeq); q.processAllAvailable()
+      }
+      val cells = latest()
+      assert(cells == expected, s"monitor≠batch: " +
+        s"only-monitor=${(cells.toSet -- expected.toSet).take(3)} " +
+        s"only-batch=${(expected.toSet -- cells.toSet).take(3)}")
+      // a feed that starts swallowing benchmark text alerts live: an
+      // eval doc's verbatim text shares >= its own shingle count with
+      // itself (>= 3 once the doc has 7+ words — asserted, not assumed)
+      val evalText = docsDf.filter(col("doc_id") < 25)
+        .orderBy(length(col("text")).desc, col("doc_id"))
+        .select(col("text")).head().getString(0)
+      assert(evalText.trim.split("\\s+").length >= 7)
+      ms.addData(("spiked", evalText))
+      q.processAllAvailable()
+      val after = latest()
+      assert(after("spiked") == ((1L, 1L)), after.get("spiked").toString)
+      assert(after.filter(_._1 != "spiked") == expected)
+    } finally q.stop()
+  }
+
   test("streaming embed-norm QA: the live ingest census converges to q_embed_norm_qa and counts a planted zero vector") {
     val spark2 = spark
     import spark2.implicits._
