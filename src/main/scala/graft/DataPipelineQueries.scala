@@ -2384,6 +2384,44 @@ object DataPipelineQueries {
         .filter(col("n_shared") >= 3)
     }),
 
+    // Decontamination N-GRAM-SIZE dial (the most debated knob in the
+    // decontamination literature — 5-gram vs 8-gram vs 13-gram
+    // standards): per n ∈ {4,5,8,13}, the pairs/train-docs/eval-items
+    // the >=3-shared gate flags, ALL sizes generated row-locally in
+    // ONE projection over ONE tokens split (a 13-gram leg is not a
+    // re-tokenize; per-leg lists are array_distinct'd to match the
+    // shingle kernel's set semantics), then one tagged explode feeds
+    // the same broadcast-eval join as the flagship. NOT monotone by
+    // theorem (distinct-set counts across n don't nest cleanly) —
+    // this dial is measured, which is its point. The n=5 row is
+    // spec-pinned equal to q_decontaminate's own pair frame.
+    "q_decontam_ngram" -> ((s, dir) => {
+      val ns = Seq(4, 5, 8, 13)
+      val ws = col("__ws")
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .withColumn("__grams", flatten(transform(typedLit(ns), n =>
+          array_distinct(transform(
+            when(size(ws) >= n, sequence(lit(1), size(ws) - n + 1))
+              .otherwise(array().cast("array<int>")),
+            i => struct(n.as("n"),
+              array_join(slice(ws, i, n), " ").as("s")))))))
+      val ex = base.select(col("doc_id"), explode(col("__grams")).as("g"))
+        .select(col("doc_id"), col("g.n").as("n"), col("g.s").as("s"))
+      val evalSet = ex.filter(col("doc_id") < 25)
+        .select(col("n"), col("s"), col("doc_id").as("eval_id"))
+      val train = ex.filter(col("doc_id") >= 25)
+        .select(col("n"), col("s"), col("doc_id").as("train_id"))
+      train.join(broadcast(evalSet), Seq("n", "s"))
+        .groupBy(col("n"), col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("train_id")).as("train_docs_flagged"),
+          count_distinct(col("eval_id")).as("eval_items_hit"))
+    }),
+
     // Decontamination CUTOFF sweep (the threshold-sweep discipline
     // on the contamination axis): q_decontaminate flags train docs
     // sharing >= 3 eval 5-grams — this is the table that justifies
@@ -5433,6 +5471,26 @@ object DataPipelineQueries {
         |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
         |FROM ex t JOIN ex e ON t.s = e.s AND e.doc_id < 25 AND t.doc_id >= 25
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "q_decontam_ngram" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents),
+        |ns AS (SELECT unnest([4, 5, 8, 13]) AS n),
+        |sh AS (SELECT doc_id, n,
+        |  CASE WHEN len(ws) >= n
+        |   THEN list_distinct([array_to_string(ws[i:(i+n-1)], ' ')
+        |     for i in range(1, len(ws) - n + 2)])
+        |   ELSE [] END AS shs
+        | FROM w CROSS JOIN ns),
+        |ex AS (SELECT doc_id, n, unnest(shs) AS s FROM sh),
+        |p AS (SELECT t.n, t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  COUNT(*) AS n_shared
+        | FROM ex t JOIN ex e ON t.n = e.n AND t.s = e.s
+        |  AND e.doc_id < 25 AND t.doc_id >= 25
+        | GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
+        |SELECT n, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(COUNT(DISTINCT train_id) AS BIGINT) AS train_docs_flagged,
+        | CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS eval_items_hit
+        |FROM p GROUP BY 1""".stripMargin,
 
     // one pair CTE, grid filter — the sweep's Spark plan verbatim
     "q_decontam_sweep" ->

@@ -1440,6 +1440,30 @@ class DedupAnnSpec extends AnyFunSuite {
       s"unbounded leg ${sweep(100000)} vs census diagonal")
   }
 
+  test("q_decontam_ngram: the n=5 row is the flagship's own pair frame; every reported leg is internally consistent") {
+    val dial = SparkEntry.queries("q_decontam_ngram")(spark, sf).collect()
+      .map(r => r.getAs[Int]("n") -> ((r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("train_docs_flagged"),
+        r.getAs[Long]("eval_items_hit")))).toMap
+    assert(dial.keySet.subsetOf(Set(4, 5, 8, 13)), dial.keySet.toString)
+    // a zero-flag leg legitimately emits no row (a measured dial,
+    // not a padded grid) — but 4 and 5 must report on this corpus
+    // because the 5-gram flagship itself flags pairs
+    assert(dial.contains(4) && dial.contains(5), dial.keySet.toString)
+    dial.foreach { case (n, (p, t, e)) =>
+      assert(t >= 1 && e >= 1 && p >= t && p >= e,
+        s"leg $n inconsistent: pairs=$p train=$t eval=$e")
+    }
+    // the n=5 leg IS q_decontaminate, aggregated — one shingle
+    // semantics (distinct per doc), one join accounting
+    val pairs = SparkEntry.queries("q_decontaminate")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")))
+    assert(dial(5) == ((pairs.length.toLong,
+      pairs.map(_._1).distinct.length.toLong,
+      pairs.map(_._2).distinct.length.toLong)),
+      s"n=5 leg ${dial(5)} vs flagship pair frame")
+  }
+
   test("exactDupSpans: planted long duplicates found at exact offsets; distinct filler emits nothing; production cap drops viral passages") {
     val spark2 = spark
     import spark2.implicits._
