@@ -287,15 +287,25 @@ object DataPipelineQueries {
     val exDrop = hashed.join(keepMin, "__h")
       .filter(col("doc_id") =!= col("__keep"))
       .select(col("doc_id")).withColumn("__ex", lit(true))
-    val sh = d.select(col("doc_id"),
-      DedupOps.shinglesOfText(col("text"), shingle).as("shs"))
-    val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", jaccard)
-    val nearDrop = DedupOps.connectedComponents(pairs)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("doc_id")).withColumn("__near", lit(true))
-    val cut = DedupOps.spanCutPositions(
-        exactDupSpansFrom(d, minLen, dfCap))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__cut"))
+    // the CC branch (bounded pair collect + union-find) and the
+    // ExactSubstr branch (eager winnow-anchor checkpoint) both run
+    // Spark actions at CONSTRUCTION time — they are independent of
+    // each other, so overlap them (guide §2.6; identical frames,
+    // only the submission order changes)
+    val branches = QUtil.inParallel(Seq[() => DataFrame](
+      () => {
+        val sh = d.select(col("doc_id"),
+          DedupOps.shinglesOfText(col("text"), shingle).as("shs"))
+        val pairs = DedupOps.jaccardPairs(sh, "doc_id", "shs", jaccard)
+        DedupOps.connectedComponents(pairs)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id")).withColumn("__near", lit(true))
+      },
+      () => DedupOps.spanCutPositions(
+          exactDupSpansFrom(d, minLen, dfCap))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("__cut"))))
+    val nearDrop = branches(0)
+    val cut = branches(1)
     d.select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).as("n_toks"))
       .join(exDrop, Seq("doc_id"), "left")
@@ -326,9 +336,11 @@ object DataPipelineQueries {
       sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
       sum(col("n_toks").cast("long")).as("toks_before"),
       sum(col("toks_after")).as("toks_after"))
-    val tb = verd.agg(sum(col("n_toks").cast("long")).as("tb"))
-    val ta = verd.agg(sum(col("toks_after")).as("ta"))
-    perSrc.crossJoin(tb).crossJoin(ta)
+    // ONE pass over the checkpointed verdict frame for both corpus
+    // totals (was two single-column aggregates + two cross joins)
+    val tot = verd.agg(sum(col("n_toks").cast("long")).as("tb"),
+      sum(col("toks_after")).as("ta"))
+    perSrc.crossJoin(tot)
       .select(col("source"), col("n_docs"), col("n_drop_exact"),
         col("n_drop_near"), col("n_cut_spans"), col("n_keep"),
         col("toks_before"), col("toks_after"),
@@ -2397,17 +2409,24 @@ object DataPipelineQueries {
     // spec-pinned equal to q_decontaminate's own pair frame.
     "q_decontam_ngram" -> ((s, dir) => {
       val ns = Seq(4, 5, 8, 13)
-      val ws = col("__ws")
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
-        .withColumn("__ws", TextOps.tokens(col("text")))
-        .withColumn("__grams", flatten(transform(typedLit(ns), n =>
-          array_distinct(transform(
-            when(size(ws) >= n, sequence(lit(1), size(ws) - n + 1))
-              .otherwise(array().cast("array<int>")),
-            i => struct(n.as("n"),
-              array_join(slice(ws, i, n), " ").as("s")))))))
-      val ex = base.select(col("doc_id"), explode(col("__grams")).as("g"))
-        .select(col("doc_id"), col("g.n").as("n"), col("g.s").as("s"))
+      // r18 optimization (27.4 s → 2.x s isolated at sf0.1, identical
+      // rows): the hand-rolled nested-HOF gram builder paid twice —
+      // project collapse inlined split(trim(text)) into the lambda
+      // body, so the interpreted HOF re-split the text once per gram
+      // (≈1M splits), and array_distinct over (n, s) STRUCT elements
+      // takes Spark's O(len²) pairwise-equality path (structs have no
+      // proper equals). All four legs now ride the SAME native
+      // single-pass WordShingles kernel as the q_decontaminate
+      // flagship (one codegen'd call per n — split, join, first-
+      // occurrence dedup in one pass over the text), which also makes
+      // the n=5 leg's kernel literally the flagship's; the leg index
+      // rides posexplode and maps back to n through the literal grid.
+      val legArrays = array(ns.map(n =>
+        DedupOps.shinglesOfText(col("text"), n)): _*)
+      val ex = docs(s, dir).select(col("doc_id"), posexplode(legArrays))
+        .select(col("doc_id"),
+          element_at(typedLit(ns), col("pos") + 1).as("n"),
+          explode(col("col")).as("s"))
       val evalSet = ex.filter(col("doc_id") < 25)
         .select(col("n"), col("s"), col("doc_id").as("eval_id"))
       val train = ex.filter(col("doc_id") >= 25)

@@ -27,6 +27,27 @@ object QUtil {
   /** epoch hour bucket as BIGINT from bigint nanos */
   def nsHour(tsNs: Column): Column = expr(s"${tsNs.toString} DIV 3600000000000").cast("bigint")
 
+  /** Bounded pool for overlapping INDEPENDENT Spark actions inside
+    * one operator (optimization guide §2.6: actions are only
+    * sequential because the driver calls them sequentially; a second
+    * in-flight job back-fills the executor tail of the first). Used
+    * by the multi-leg sweeps and the fused-dedup build, whose eager
+    * localCheckpoint/collect steps otherwise serialize. State-free:
+    * each call sites its own small pool, nothing shared across
+    * queries, and the RESULT VALUES are unchanged — same frames,
+    * same actions, different submission order. */
+  def inParallel[A](work: Seq[() => A], slots: Int = 4): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(slots, work.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(work.map(w =>
+        scala.concurrent.Future(w()))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** JSON string escape for the driver artifacts (Verify's oracle
     * dump, Bench's result line): backslash, quote, and ALL control
     * chars (<0x20) — a tab or CR in builder-authored SQL or an error

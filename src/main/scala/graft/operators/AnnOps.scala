@@ -1035,6 +1035,11 @@ object AnnOps {
       centroids: Array[Seq[Double]], nodes: DataFrame, adj: DataFrame,
       medoids: DataFrame /* cid, nid, mrk */)
 
+  /** overlap INDEPENDENT Spark actions inside one operator —
+    * see [[graft.QUtil.inParallel]] (guide §2.6) */
+  private def inParallel[A](work: Seq[() => A], slots: Int = 4): Seq[A] =
+    graft.QUtil.inParallel(work, slots)
+
   private def hnswBuild(corpus: DataFrame, c: Int, m: Int, planes: Int,
                         tables: Int, iters: Int, maxBucket: Int,
                         maxEntries: Int): HnswIndex = {
@@ -1046,21 +1051,27 @@ object AnnOps {
         col("embedding").cast("array<double>").as("ne"))
       .withColumn("cid", nearestCentroid(col("ne"), centroids))
       .localCheckpoint()
-    val adj = nswAdjacency(nodes, m, planes, tables, maxBucket)
-      .localCheckpoint() // reused `hops` times per search leg
-    // cell entry points: the nodes most aligned with their own
-    // centroid (entry diversity matters on weakly-clustered data —
-    // one medoid strands the beam in its own graph neighborhood)
-    val wMed = Window.partitionBy(col("cid"))
-      .orderBy(col("msim").desc, col("nid").asc)
-    val medoids = nodes
-      .withColumn("msim", element_at(graft.functions.VectorExprs
-        .cosine_table(col("ne"), centroids.toSeq), col("cid") + 1))
-      .withColumn("mrk", row_number().over(wMed))
-      .filter(col("mrk") <= maxEntries)
-      .select(col("cid"), col("nid"), col("mrk"))
-      .localCheckpoint()
-    HnswIndex(centroids, nodes, adj, medoids)
+    // adjacency and medoids both read the checkpointed nodes and are
+    // independent of each other — overlap their materializing jobs
+    // (guide §2.6; the eager localCheckpoints otherwise serialize)
+    val built = inParallel(Seq(
+      () => nswAdjacency(nodes, m, planes, tables, maxBucket)
+        .localCheckpoint(), // reused `hops` times per search leg
+      () => {
+        // cell entry points: the nodes most aligned with their own
+        // centroid (entry diversity matters on weakly-clustered data —
+        // one medoid strands the beam in its own graph neighborhood)
+        val wMed = Window.partitionBy(col("cid"))
+          .orderBy(col("msim").desc, col("nid").asc)
+        nodes
+          .withColumn("msim", element_at(graft.functions.VectorExprs
+            .cosine_table(col("ne"), centroids.toSeq), col("cid") + 1))
+          .withColumn("mrk", row_number().over(wMed))
+          .filter(col("mrk") <= maxEntries)
+          .select(col("cid"), col("nid"), col("mrk"))
+          .localCheckpoint()
+      }))
+    HnswIndex(centroids, nodes, built(0), built(1))
   }
 
   /** the search half: route → enter → expand ×hops → accumulate.
@@ -1154,9 +1165,6 @@ object AnnOps {
                tablesGrid: Seq[Int]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val brute = bruteForceTopK(queries, corpus, k)
-      .select(col("qid"), col("nid")).localCheckpoint()
-    val nq = queries.count()
     // one collision pass at (p, t): per candidate pair the exact
     // cosine and the FIRST table it collided in
     def candPairs(p: Int, t: Int): DataFrame = {
@@ -1176,6 +1184,26 @@ object AnnOps {
         .groupBy(col("qid"), col("nid"))
         .agg(min(col("tbl")).as("first_t"), first(col("sim")).as("sim"))
     }
+    // ground truth, the full collision pass and every planes leg's
+    // re-collision pass are independent checkpoint jobs — overlap
+    // them, then overlap the per-grid-point counting actions too
+    // (guide §2.6; values unchanged, only submission order).
+    // planes-leg checkpoints: leg() ends in ONE action (hits + cands
+    // in a single aggregate), but the candidate frame appears TWICE
+    // inside that one plan — as the base pair scan and again under
+    // the rankTopK branch — so without the pin Catalyst re-expands
+    // the subplan and each planes leg pays the collision join twice
+    // (the tables axis already shares `full` the same way)
+    val planesLegs = planesGrid.filter(_ != planes)
+    val pre = inParallel(Seq[() => DataFrame](
+      () => bruteForceTopK(queries, corpus, k)
+        .select(col("qid"), col("nid")).localCheckpoint(),
+      () => candPairs(planes, tables).localCheckpoint()) ++
+      planesLegs.map(p => () => candPairs(p, tables).localCheckpoint()))
+    val brute = pre(0)
+    val full = pre(1)
+    val planeCands = pre.drop(2)
+    val nq = queries.count()
     // one action per grid point (the hnswSweep leg discipline): hit
     // count and candidate count ride the same aggregate
     def leg(cands: DataFrame): (Long, Long) = {
@@ -1190,24 +1218,18 @@ object AnnOps {
         .first()
       (row.getLong(0), row.getLong(1))
     }
-    val full = candPairs(planes, tables).localCheckpoint()
-    val tableRows = tablesGrid.map { t =>
-      val (hits, cands) = leg(full.filter(col("first_t") < t))
-      ("tables", t, hits, cands)
+    val legged = inParallel(
+      tablesGrid.map(t => () => leg(full.filter(col("first_t") < t))) ++
+        planeCands.map(c => () => leg(c)))
+    val tableRows = tablesGrid.zip(legged.take(tablesGrid.size)).map {
+      case (t, (hits, cands)) => ("tables", t, hits, cands)
     }
     val anchor = tablesGrid.indexOf(tables) match {
       case -1 => { val (h2, c2) = leg(full); ("planes", planes, h2, c2) }
       case i  => ("planes", planes, tableRows(i)._3, tableRows(i)._4)
     }
-    val planeRows = planesGrid.filter(_ != planes).map { p =>
-      // checkpoint: leg() ends in ONE action (hits + cands in a
-      // single aggregate), but the candidate frame appears TWICE
-      // inside that one plan — as the base pair scan and again under
-      // the rankTopK branch — so without the pin Catalyst re-expands
-      // the subplan and each planes leg pays the collision join
-      // twice (the tables axis already shares `full` the same way)
-      val (hits, cands) = leg(candPairs(p, tables).localCheckpoint())
-      ("planes", p, hits, cands)
+    val planeRows = planesLegs.zip(legged.drop(tablesGrid.size)).map {
+      case (p, (hits, cands)) => ("planes", p, hits, cands)
     } :+ anchor
     (tableRows ++ planeRows)
       .map { case (axis, v, hits, cands) =>
@@ -1246,11 +1268,16 @@ object AnnOps {
                 maxBucket: Int = 1000): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val idx = hnswBuild(corpus, c, m, planes, tables, iters, maxBucket,
-      maxEntries = (entries +: entriesGrid).max)
-    // exact ground truth once: (qid, nid) pairs of brute top-k
-    val brute = bruteForceTopK(queries, corpus, k)
-      .select(col("qid"), col("nid")).localCheckpoint()
+    // the graph build and the brute-force ground truth are
+    // independent — overlap them (guide §2.6)
+    val built = inParallel(Seq[() => AnyRef](
+      () => hnswBuild(corpus, c, m, planes, tables, iters, maxBucket,
+        maxEntries = (entries +: entriesGrid).max),
+      // exact ground truth once: (qid, nid) pairs of brute top-k
+      () => bruteForceTopK(queries, corpus, k)
+        .select(col("qid"), col("nid")).localCheckpoint()))
+    val idx = built(0).asInstanceOf[HnswIndex]
+    val brute = built(1).asInstanceOf[DataFrame]
     val nq = queries.count()
     // ONE action per grid point: hit count and candidate count ride
     // the same aggregate (a separate intersect().count() +
@@ -1268,23 +1295,38 @@ object AnnOps {
         .first()
       (row.getLong(0), row.getLong(1))
     }
-    // default leg, snapshotted: hop rows + the anchor row all axes share
-    val snaps = hnswSearchScored(queries, idx, nprobe, entries, beam, hops)
-    val hopRows = snaps.zipWithIndex.map { case (s, h) =>
-      val (hits, cands) = leg(s)
-      ("hops", h, hits, cands)
+    // Every leg below reads only the ONE checkpointed index — the
+    // default search's hop snapshots, each beam/entries re-search,
+    // and each leg's counting action are INDEPENDENT Spark jobs, so
+    // they overlap (guide §2.6: the r18 serial form ran 4 searches ×
+    // 5 eager checkpoints + 8 counting actions strictly one after
+    // another; with 10-query frames no single job fills the cluster,
+    // so overlap is near-free — measured 9.3 s → see
+    // OPTIMIZATION_r18.md — and row VALUES are untouched: same
+    // frames, same actions, different submission order).
+    val searches = inParallel(Seq[() => Seq[DataFrame]](
+      () => hnswSearchScored(queries, idx, nprobe, entries, beam, hops)) ++
+      beamGrid.filter(_ != beam).map(b => () =>
+        Seq(hnswSearchScored(queries, idx, nprobe, entries, b, hops).last)) ++
+      entriesGrid.filter(_ != entries).map(e => () =>
+        Seq(hnswSearchScored(queries, idx, nprobe, e, beam, hops).last)))
+    val snaps = searches.head
+    val beamLast = searches.slice(1, 1 + beamGrid.count(_ != beam)).map(_.head)
+    val entryLast = searches.drop(1 + beamGrid.count(_ != beam)).map(_.head)
+    val legged = inParallel(
+      (snaps ++ beamLast ++ entryLast).map(s => () => leg(s)))
+    val hopRows = legged.take(snaps.size).zipWithIndex.map {
+      case ((hits, cands), h) => ("hops", h, hits, cands)
     }
     val anchor = hopRows.last
-    val beamRows = beamGrid.filter(_ != beam).map { b =>
-      val (hits, cands) =
-        leg(hnswSearchScored(queries, idx, nprobe, entries, b, hops).last)
-      ("beam", b, hits, cands)
-    } :+ (("beam", beam, anchor._3, anchor._4))
-    val entryRows = entriesGrid.filter(_ != entries).map { e =>
-      val (hits, cands) =
-        leg(hnswSearchScored(queries, idx, nprobe, e, beam, hops).last)
-      ("entries", e, hits, cands)
-    } :+ (("entries", entries, anchor._3, anchor._4))
+    val beamRows = beamGrid.filter(_ != beam)
+      .zip(legged.slice(snaps.size, snaps.size + beamLast.size))
+      .map { case (b, (hits, cands)) => ("beam", b, hits, cands) } :+
+      (("beam", beam, anchor._3, anchor._4))
+    val entryRows = entriesGrid.filter(_ != entries)
+      .zip(legged.drop(snaps.size + beamLast.size))
+      .map { case (e, (hits, cands)) => ("entries", e, hits, cands) } :+
+      (("entries", entries, anchor._3, anchor._4))
     (hopRows ++ beamRows ++ entryRows)
       .map { case (axis, v, hits, cands) =>
         (axis, v, hits, nq, hits.toDouble / (k.toLong * nq).toDouble, cands)
