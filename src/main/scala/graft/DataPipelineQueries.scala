@@ -487,8 +487,12 @@ object DataPipelineQueries {
       minLen: Int, dfCap: Int): DataFrame = {
     val toksStore = spanTokens(storeDf)
     val toksBatch = spanTokens(batchDf)
-    val sel = winnowAnchorSel(toksStore).withColumn("__new", lit(false))
-      .unionByName(winnowAnchorSel(toksBatch).withColumn("__new", lit(true)))
+    // the two halves' anchor selections are independent eager
+    // checkpoints — overlap them (guide §2.6; identical frames)
+    val sels = QUtil.inParallel(Seq(
+      () => winnowAnchorSel(toksStore).withColumn("__new", lit(false)),
+      () => winnowAnchorSel(toksBatch).withColumn("__new", lit(true))))
+    val sel = sels(0).unionByName(sels(1))
     // the cap sees the WHOLE corpus (store metadata keeps per-hash
     // doc counts); a store-only fingerprint cannot make a new pair
     val rare = sel.groupBy(col("h_sel"))
@@ -610,15 +614,25 @@ object DataPipelineQueries {
     * langTris (flagship census + profile train) AND q_langid_prefix's
     * positioned explode, so the prefix dial's "the cap-c leg keeps
     * exactly the trigrams the capped text generates" guarantee can
-    * never drift from the profile's generator */
-  private val TriGenSql: String =
-    """element_at(transform(array(named_struct('ca', split(text, ''))), s ->
-      |  transform(sequence(1, size(s.ca) - 2), i ->
-      |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
-      .stripMargin
+    * never drift from the profile's generator.
+    *
+    * r18 optimization: the generator is now the native single-pass
+    * [[graft.functions.HashExprs.char_trigrams]] kernel — the old SQL
+    * formulation (kept below as the parity reference the kernel spec
+    * pins against) materialized a one-string-per-character array and
+    * re-walked it through three element_at calls per trigram:
+    *   element_at(transform(array(named_struct('ca', split(text, ''))), s ->
+    *     transform(sequence(1, size(s.ca) - 2), i ->
+    *       concat(element_at(s.ca, i), element_at(s.ca, i + 1),
+    *              element_at(s.ca, i + 2)))), 1)
+    * char_trigrams walks the string once, stepping by code point
+    * exactly like split(text, '') (byte-identical output,
+    * KernelPropertySpec parity case incl. surrogate pairs). */
+  private[graft] def triGen(text: Column): Column =
+    graft.functions.HashExprs.char_trigrams(text)
 
   private def langTris(df: DataFrame): DataFrame = df.select(
-    col("doc_id"), col("lang"), explode(expr(TriGenSql)).as("tri"))
+    col("doc_id"), col("lang"), explode(triGen(col("text"))).as("tri"))
 
   /** the TRAINED per-language trigram profile (lang, tri, rk_lang ≤
     * [[TriR]]) over the doc_id % 5 != 0 split — extracted (r17
@@ -667,8 +681,14 @@ object DataPipelineQueries {
     val R = TriR
     val d = docsDf.select(col("doc_id"), col("lang"), col("text"))
       .filter(length(col("text")) >= 3)
-    val langProf = trigramLangProfile(docsDf)
-    val docProf = trigramDocProfile(docsDf)
+    // the trained language profile (80% split) and the held-out doc
+    // profiles (20% split) are independent eager checkpoints —
+    // overlap them (guide §2.6; identical frames)
+    val profs = QUtil.inParallel(Seq(
+      () => trigramLangProfile(docsDf),
+      () => trigramDocProfile(docsDf)))
+    val langProf = profs(0)
+    val docProf = profs(1)
     val profSize = docProf.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("p"))
     val langs = langProf.select(col("lang").as("cand")).distinct()
@@ -2281,8 +2301,12 @@ object DataPipelineQueries {
       val legs = Seq(25, 50, 100, 200).toDF("budget_r")
       val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .filter(length(col("text")) >= 3)
-      val langProf = trigramLangProfile(docs(s, dir))
-      val docProf = trigramDocProfile(docs(s, dir))
+      // independent eager profile checkpoints — overlap (guide §2.6)
+      val profs = QUtil.inParallel(Seq(
+        () => trigramLangProfile(docs(s, dir)),
+        () => trigramDocProfile(docs(s, dir))))
+      val langProf = profs(0)
+      val docProf = profs(1)
       val mLeg = docProf.join(langProf, "tri")
         .crossJoin(broadcast(legs))
         .filter(col("rk_doc") <= col("budget_r") &&
@@ -2333,23 +2357,30 @@ object DataPipelineQueries {
       val legs = Seq(100, 200, 400, 100000).toDF("prefix_chars")
       val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .filter(length(col("text")) >= 3)
-      val langProf = trigramLangProfile(docs(s, dir))
-      val test = d.filter(col("doc_id") % 5 === 0).select(
-          col("doc_id"), posexplode(expr(TriGenSql)))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"),
-          col("col").as("tri"))
-      val dp = test.crossJoin(broadcast(legs))
-        .filter(col("pos") <= col("prefix_chars") - 2)
-        .groupBy(col("doc_id"), col("prefix_chars"), col("tri"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk_doc", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id"), col("prefix_chars"))
-            .orderBy(col("n").desc, col("tri"))))
-        .filter(col("rk_doc") <= R)
-        .select(col("doc_id"), col("prefix_chars"), col("tri"),
-          col("rk_doc"))
-        .localCheckpoint() // feeds the size frame AND the match join
+      // the trained profile and the per-leg doc-profile checkpoint
+      // are independent eager jobs — overlap them (guide §2.6)
+      val pre = QUtil.inParallel(Seq(
+        () => trigramLangProfile(docs(s, dir)),
+        () => {
+          val test = d.filter(col("doc_id") % 5 === 0).select(
+              col("doc_id"), posexplode(triGen(col("text"))))
+            .select(col("doc_id"), (col("pos") + 1).as("pos"),
+              col("col").as("tri"))
+          test.crossJoin(broadcast(legs))
+            .filter(col("pos") <= col("prefix_chars") - 2)
+            .groupBy(col("doc_id"), col("prefix_chars"), col("tri"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("rk_doc", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("doc_id"), col("prefix_chars"))
+                .orderBy(col("n").desc, col("tri"))))
+            .filter(col("rk_doc") <= R)
+            .select(col("doc_id"), col("prefix_chars"), col("tri"),
+              col("rk_doc"))
+            .localCheckpoint() // feeds the size frame AND the match join
+        }))
+      val langProf = pre(0)
+      val dp = pre(1)
       val p = dp.groupBy(col("doc_id"), col("prefix_chars"))
         .agg(count(lit(1)).as("p"))
       val langs = langProf.select(col("lang").as("cand")).distinct()

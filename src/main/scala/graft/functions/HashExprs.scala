@@ -53,6 +53,19 @@ object HashExprs {
   def rolling_hash(text: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
     Bridge.column(RollingHash(Bridge.expression(text), base, mod))
 
+  /** Column API: all consecutive 3-character windows of a string
+    * (code-point stepping — the split(text, '') segmentation), one
+    * native pass; < 3 characters yields an empty array. */
+  def char_trigrams(text: Column): Column =
+    Bridge.column(CharTrigrams(Bridge.expression(text)))
+
+  /** Column API: pack a 0/1-int bit slice into one long (MSB-first).
+    * Bijective on the slice — equality/grouping over the packed long
+    * IS equality/grouping over the bits, at 8 bytes instead of a
+    * 4·len-byte array (the simhash banding shuffle-width fix). */
+  def bits_pack(bits: Column, from: Int, len: Int): Column =
+    Bridge.column(BitsPack(Bridge.expression(bits), from, len))
+
   /** Column API: FNV-1a 64-bit hash of a string's UTF-8 bytes. */
   def fnv_hash(text: Column): Column =
     Bridge.column(Fnv1a64(Bridge.expression(text)))
@@ -176,6 +189,37 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.fnv1a64($c)")
 
   override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(child = c)
+}
+
+/** all consecutive 3-character windows of a string in one pass (see
+  * Kernels.charTrigrams for the split(text,'') parity argument) */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charTrigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.charTrigrams($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharTrigrams = copy(child = c)
+}
+
+/** pack `len` (≤ 64) 0/1 int bits starting at `from` into one long
+  * (MSB-first; see Kernels.bitsPack for the bijection argument) */
+case class BitsPack(child: Expression, from: Int, len: Int) extends UnaryExpression {
+  require(len >= 1 && len <= 64, s"bits_pack len must be in [1, 64], got $len")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bits_pack"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bitsPack(input.asInstanceOf[ArrayData], from, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.bitsPack($c, $from, $len)")
+
+  override protected def withNewChildInternal(c: Expression): BitsPack = copy(child = c)
 }
 
 /** polynomial rolling hash (content fingerprint; one pass per row) */

@@ -320,6 +320,48 @@ object Kernels {
     d
   }
 
+  /** all consecutive 3-character windows of a string in ONE pass,
+    * stepping by code point (the same segmentation as Spark's
+    * split(text, '') — a surrogate pair is one "character"); < 3
+    * characters yields an empty array. Byte-identical to the old
+    * split-array + transform SQL formulation (parity spec-pinned)
+    * without materializing a one-string-per-character array. */
+  def charTrigrams(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val len = s.length
+    val n = s.codePointCount(0, len)
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val bounds = new Array[Int](n + 1)
+    var i = 0
+    var cp = 0
+    while (cp < n) {
+      bounds(cp) = i
+      i = s.offsetByCodePoints(i, 1)
+      cp += 1
+    }
+    bounds(n) = len
+    val out = new Array[Any](n - 2)
+    var t = 0
+    while (t < n - 2) {
+      out(t) = UTF8String.fromString(s.substring(bounds(t), bounds(t + 3)))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** pack `len` (≤ 64) 0/1 int bits starting at `from` into one long,
+    * MSB-first — the packed form is a bijection of the bit slice, so
+    * grouping/equality over it is grouping/equality over the bits */
+  def bitsPack(bits: ArrayData, from: Int, len: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < len) {
+      v = (v << 1) | (bits.getInt(from + i) & 1L)
+      i += 1
+    }
+    v
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -759,4 +759,68 @@ class KernelPropertySpec extends AnyFunSuite {
         s"segment($w): ${got(w)} vs reference ${refSegment(w)}")
     }
   }
+
+  test("char_trigrams equals the split-array SQL formulation byte-for-byte (incl. unicode, surrogate pairs, short strings)") {
+    // the r18 native trigram kernel replaced the TriGenSql fragment
+    // behind langTris + q_langid_prefix — this is the parity pin the
+    // kernel's scaladoc points at: identical output to the old
+    // split(text,'')-array + transform formulation on every input
+    // class that could segment differently
+    val legacy = """element_at(transform(array(named_struct('ca', split(t, ''))), s ->
+      |  transform(sequence(1, size(s.ca) - 2), i ->
+      |    concat(element_at(s.ca, i), element_at(s.ca, i + 1), element_at(s.ca, i + 2)))), 1)"""
+      .stripMargin
+    val cases = Seq(
+      "the quick brown fox", "abc", "abcd", "a b", "  spaced  text ",
+      "héllo wörld", "don’t “quote”",
+      "zero​width﻿join", "mix😀emoji😁x",
+      "😀😁😂😃", "xx", "",
+      "中文语料库")
+    val strGen = Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.const(' ')),
+      (1, Gen.oneOf('é', '中', '​')))).map(_.mkString.take(40))
+    val all = (cases ++ samples(strGen, 120)).filter(_.length >= 3)
+    val got = all.toDF("t")
+      .select(col("t"),
+        graft.functions.HashExprs.char_trigrams(col("t")).as("k"),
+        expr(legacy).as("l"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"trigram drift on '${r.getString(0)}': " +
+          s"kernel=${r.getSeq[String](1)} legacy=${r.getSeq[String](2)}")
+    }
+    // the < 3-character classes the legacy sequence() form never sees
+    // cleanly: the kernel must yield EMPTY, matching the callers'
+    // length(text) >= 3 guard semantics
+    val short = Seq("", "a", "ab", "😀😁").toDF("t")
+      .select(graft.functions.HashExprs.char_trigrams(col("t")).as("k"))
+      .collect()
+    short.foreach(r => assert(r.getSeq[String](0).isEmpty))
+  }
+
+  test("bits_pack is a bijection of the bit slice and bit_count(xor) of packed words equals elementwise Hamming") {
+    val bitsGen = Gen.listOfN(128, Gen.oneOf(0, 1))
+    val rows = samples(Gen.zip(bitsGen, bitsGen), 80)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    val df = rows.toDF("a", "b")
+    import graft.functions.HashExprs.bits_pack
+    val ham2 = (0 until 2).map(w =>
+      bit_count(bits_pack(col("a"), w * 64, 64)
+        .bitwiseXOR(bits_pack(col("b"), w * 64, 64)))).reduce(_ + _)
+    val got = df.select(
+        graft.functions.VectorExprs.hamming_dist(col("a"), col("b")).as("h"),
+        ham2.as("hp"),
+        // chunk keys: equal packed 16-bit chunk <=> equal bit slice
+        bits_pack(col("a"), 16, 16).as("ka"),
+        bits_pack(col("b"), 16, 16).as("kb"),
+        (slice(col("a"), 17, 16) === slice(col("b"), 17, 16)).as("same"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"hamming drift: elementwise ${r.getInt(0)} vs packed ${r.getInt(1)}")
+      assert((r.getLong(2) == r.getLong(3)) == r.getBoolean(4),
+        "bits_pack chunk-key equality diverged from bit-slice equality")
+    }
+  }
 }
