@@ -188,13 +188,25 @@ object Bench {
     // straggled into the 4-slot tail) stretches the suite wall by its
     // own length. Unknown names still lead (treated as heavy).
     val priorsFile = java.nio.file.Paths.get("bench_walls.json")
-    val sfPriors: Map[String, Double] =
-      if (!java.nio.file.Files.exists(priorsFile)) Map.empty
+    // r18: a COMMITTED seed (bench_walls_seed.json, relative walls
+    // from a representative sf0.1 capture) backs the gitignored
+    // local priors up, so the FIRST run in a fresh checkout (the
+    // driver's) also schedules longest-first instead of map order —
+    // the r13 finding was that a heavy straggler drawn late stretches
+    // the suite wall by its own length. Scheduling hint only: it
+    // orders submission, never skips or alters any measurement.
+    def readWalls(p: java.nio.file.Path): Map[String, Double] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
-        val s = java.nio.file.Files.readString(priorsFile)
+        val s = java.nio.file.Files.readString(p)
         "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
+    val sfPriors: Map[String, Double] = {
+      val local = readWalls(priorsFile)
+      if (local.nonEmpty) local
+      else readWalls(java.nio.file.Paths.get("bench_walls_seed.json"))
+    }
     val (wall, results) = runSuite(spark, sfDir, slots, sfPriors)
     // persist this leg's walls as the next run's priors — SUCCESSES
     // only: a failed query's near-zero fast-failure wall would

@@ -36,9 +36,19 @@ object QUtil {
     * each call sites its own small pool, nothing shared across
     * queries, and the RESULT VALUES are unchanged — same frames,
     * same actions, different submission order. */
+  /** Intra-operator job concurrency. Default 4; tune with
+    * SPARK_GRAFT_INTRA_SLOTS (1 serializes — the pre-r18 behavior).
+    * The right value depends on how many QUERIES run concurrently
+    * around the operator: a serial caller (Verify, isolated re-runs,
+    * interactive use) wants 4; under Bench's own 4-way slot
+    * concurrency the box is already near-packed and intra-operator
+    * fan-out mostly reshuffles the same 32 cores. */
+  private lazy val intraSlots: Int =
+    sys.env.get("SPARK_GRAFT_INTRA_SLOTS").map(_.toInt).getOrElse(4)
+
   def inParallel[A](work: Seq[() => A], slots: Int = 4): Seq[A] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(slots, work.size)))
+      math.max(1, math.min(math.min(slots, intraSlots), work.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try scala.concurrent.Await.result(
