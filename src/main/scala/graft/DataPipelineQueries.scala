@@ -2838,9 +2838,16 @@ object DataPipelineQueries {
     // rides globalRank (never a single-partition window); integer
     // bin math; the one rate division IEEE-exact on identical trees.
     "q_quality_calibration" -> ((s, dir) => {
+      // globalRank needs two driver actions (percentile cuts + bucket
+      // counts) before the consumer's own, and the count crossJoin
+      // adds a third — localCheckpoint the scored frame once so the
+      // classifier train+score pipeline never re-executes per action
+      // (the perplexityBuckets discipline; this call site was the one
+      // globalRank consumer still re-deriving its input — measured
+      // 3.2-3.4 s isolated → see OPTIMIZATION_r18.md)
       val sc = TextOps.qualityScores(docs(s, dir), "doc_id", "text",
         labelPred = col("lang") === "en" && col("n_chars") >= 200,
-        trainPred = col("doc_id") % 2 === 0)
+        trainPred = col("doc_id") % 2 === 0).localCheckpoint()
       val n = sc.agg(count(lit(1)).as("n"))
       ScaleOps.globalRank(sc.crossJoin(n), col("score"), col("__id"), "rk")
         .withColumn("bucket", expr("((rk - 1) * 10) DIV n"))

@@ -193,8 +193,10 @@ object Plans {
       "drop_near / cut_spans / keep): three bounded inputs — md5 " +
       "keep-min groups, the hybrid-CC keep rule over LSH-bounded " +
       "pairs, ExactSubstr b-side coverage — join onto a one-row-per-" +
-      "doc verdict frame (checkpointed: three census aggregates read " +
-      "it without re-running CC or the anchor machinery). Exchanges " +
+      "doc verdict frame (checkpointed: the per-source census and the " +
+      "fused corpus-totals aggregate read it without re-running CC or " +
+      "the anchor machinery; the CC and ExactSubstr branches " +
+      "themselves build CONCURRENTLY — r18, guide §2.6). Exchanges " +
       "carry hashes, component ids and (doc, pos) counts; document " +
       "text never crosses a shuffle. The report is the q_dedup_impact " +
       "mixture shape over the FUSED rule."),
