@@ -200,23 +200,19 @@ object DataPipelineQueries {
   private val POSCAP = 2097152L
 
   private def winnowSelect(s: SparkSession, dir: String): DataFrame = {
+    // r19: the gram explode + md5-per-gram + per-doc window MIN (an
+    // interpreted-HOF gram builder and one gram-level Exchange+Sort)
+    // collapsed into ONE native per-doc pass (winnow_hashes — parity
+    // with the window SQL formulation is spec-pinned via
+    // winnow_packed). The per-doc hash dedup happens IN the kernel,
+    // so a (doc_id, h_sel) explode is already globally distinct and
+    // the old distinct Exchange disappears outright (guide §2.4).
     docs(s, dir)
       .withColumn("__ws", TextOps.tokens(col("text")))
       .filter(size(col("__ws")) >= 7) // >= 1 full window: k+w-1
       .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
-      .select(col("doc_id"), col("n_grams"), posexplode(
-        expr("transform(sequence(1, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i, 4)))"))
-        .as(Seq("p0", "gram")))
-      .withColumn("pos", (col("p0") + 1).cast("long"))
-      .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
-      .withColumn("c", col("h") * POSCAP + (lit(POSCAP - 1) - col("pos")))
-      .withColumn("wmin", min(col("c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("pos")).rowsBetween(0, 3)))
-      .filter(col("pos") <= col("n_grams") - 3) // full windows only
-      .select(col("doc_id"), col("n_grams"),
-        expr(s"wmin DIV $POSCAP").as("h_sel"))
-      .distinct()
+      .select(col("doc_id"), col("n_grams"), explode(
+        graft.functions.HashExprs.winnow_hashes(col("__ws"))).as("h_sel"))
   }
 
   /** Exact duplicated-substring spans (Lee et al., "Deduplicating
@@ -391,22 +387,16 @@ object DataPipelineQueries {
     * incremental path this frame IS what a production anchor store
     * persists per ingest day) */
   private[graft] def winnowAnchorSel(toks: DataFrame): DataFrame = {
+    // r19: one native per-doc pass (winnow_packed dedups the packed
+    // keys in-kernel — the bijection makes that exactly the old
+    // distinct-(h_sel, pos_sel)); the gram explode, the gram-level
+    // window Exchange+Sort and the distinct Exchange are all gone
     toks
-      .withColumn("n_grams", (size(col("__ws")) - 3).cast("long"))
-      .select(col("doc_id"), col("n_grams"), posexplode(
-        expr("transform(sequence(1, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i, 4)))"))
-        .as(Seq("p0", "gram")))
-      .withColumn("pos", (col("p0") + 1).cast("long"))
-      .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
-      .withColumn("c", col("h") * POSCAP + (lit(POSCAP - 1) - col("pos")))
-      .withColumn("wmin", min(col("c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("pos")).rowsBetween(0, 3)))
-      .filter(col("pos") <= col("n_grams") - 3)
+      .select(col("doc_id"), explode(
+        graft.functions.HashExprs.winnow_packed(col("__ws"))).as("__c"))
       .select(col("doc_id"),
-        expr(s"wmin DIV $POSCAP").as("h_sel"),
-        (lit(POSCAP - 1) - expr(s"wmin % $POSCAP")).as("pos_sel"))
-      .distinct()
+        shiftright(col("__c"), 21).as("h_sel"),
+        (lit(POSCAP - 1) - col("__c").bitwiseAND(lit(POSCAP - 1))).as("pos_sel"))
       .localCheckpoint()
   }
 
@@ -421,15 +411,11 @@ object DataPipelineQueries {
     * streaming convergence proof rests on). */
   private[graft] def winnowAnchorsExpr(ws: Column): Column = {
     require(POSCAP == (1L << 21)) // shiftright(c, 21) below IS c DIV POSCAP
-    val nGrams = size(ws) - 3
-    val cs = transform(sequence(lit(1), nGrams), i => {
-      val gram = concat_ws(" ", slice(ws, i, lit(4)))
-      val h = conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
-      h * lit(POSCAP) + (lit(POSCAP - 1) - i)
-    })
-    val mins = transform(sequence(lit(1), nGrams - 3),
-      i => array_min(slice(cs, i, lit(4))))
-    transform(array_distinct(mins), c => struct(
+    // r19: the per-gram md5 HOF + window-min HOF + array_distinct ride
+    // the same native kernel as the batch selection (identical packed
+    // keys in identical first-occurrence order — the kernel-vs-SQL
+    // parity spec pins it); only the struct decode stays a lambda
+    transform(graft.functions.HashExprs.winnow_packed(ws), c => struct(
       shiftright(c, 21).as("h_sel"),
       (lit(POSCAP - 1) - (c % lit(POSCAP))).as("pos_sel")))
   }
@@ -519,73 +505,36 @@ object DataPipelineQueries {
     // join: arrays flow through the plan once per PAIR (the per-anchor
     // join replicated both arrays once per shared anchor — ≈0.4·T
     // copies for a near-mirror pair of T tokens)
+    // r19 (§2.3 narrower exchange): anchors shuffle as ONE packed long
+    // pa·2^21 + pb (both < 2^21 by the spanTokens guard) instead of a
+    // two-long struct — halves the pair-exchange payload and lets the
+    // kernel sort primitively
     val grouped = pairs
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
+      .agg(collect_list(shiftleft(col("pa"), 21).bitwiseOR(col("pb")))
+        .as("anchors"))
     val withToks = grouped
       .join(toks.select(col("doc_id").as("doc_a"), col("__ws").as("za")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("__ws").as("zb")), Seq("doc_b"))
-    // one fold over the anchors sorted by (diagonal, pa). Fold state:
-    // d = current diagonal (pa − pb), e = end position (in doc_a) of
-    // the last maximal span emitted on d, spans = emitted spans.
-    //  - covered skip: same diagonal and pa <= e means the anchor sits
-    //    inside the last span (its maximal span is THE SAME span) or
-    //    its gram crosses the span-ending mismatch (then the equal
-    //    hash was a collision) — either way, nothing new;
-    //  - collision skip: anchor gram differs (8-byte hash collision);
-    //  - extend: left scan capped by the known mismatch at e+1 when on
-    //    the same diagonal (the scan would stop there anyway), both
-    //    scans fold with a found-flag so post-mismatch steps do no
-    //    array access. Extension CPU ∝ region length, not region².
-    // Spans below minLen still update e (they are maximal — a covered
-    // anchor would re-derive the same sub-threshold span).
-    val spanFold =
-      """aggregate(
-        |  array_sort(anchors, (l, r) -> CASE
-        |    WHEN l.pa - l.pb < r.pa - r.pb THEN -1
-        |    WHEN l.pa - l.pb > r.pa - r.pb THEN 1
-        |    WHEN l.pa < r.pa THEN -1
-        |    WHEN l.pa > r.pa THEN 1
-        |    ELSE 0 END),
-        |  named_struct('d', CAST(NULL AS BIGINT), 'e', CAST(-1 AS BIGINT),
-        |    'spans', CAST(array() AS
-        |      ARRAY<STRUCT<start_a: BIGINT, start_b: BIGINT, span_len: BIGINT>>)),
-        |  (acc, x) -> CASE
-        |    WHEN acc.d IS NOT NULL AND x.pa - x.pb = acc.d AND x.pa <= acc.e
-        |      THEN acc
-        |    WHEN NOT (slice(za, cast(x.pa as int), 4) = slice(zb, cast(x.pb as int), 4))
-        |      THEN named_struct('d', x.pa - x.pb,
-        |        'e', IF(acc.d IS NOT NULL AND x.pa - x.pb = acc.d, acc.e, CAST(-1 AS BIGINT)),
-        |        'spans', acc.spans)
-        |    ELSE element_at(transform(array(named_struct(
-        |        'ml', IF(acc.d IS NOT NULL AND x.pa - x.pb = acc.d AND acc.e >= 0,
-        |                 least(x.pa - acc.e - 2, least(x.pa, x.pb) - 1),
-        |                 least(x.pa, x.pb) - 1),
-        |        'mr', least(size(za) - (x.pa + 3), size(zb) - (x.pb + 3)))), b ->
-        |      element_at(transform(array(named_struct(
-        |          'le', IF(b.ml < 1, CAST(0 AS BIGINT),
-        |            aggregate(sequence(1L, b.ml), CAST(-1 AS BIGINT),
-        |              (a, i) -> IF(a >= 0, a,
-        |                IF(element_at(za, cast(x.pa - i as int)) = element_at(zb, cast(x.pb - i as int)),
-        |                   CAST(-1 AS BIGINT), i)),
-        |              a -> IF(a >= 0, a - 1, b.ml))),
-        |          're', IF(b.mr < 1, CAST(0 AS BIGINT),
-        |            aggregate(sequence(1L, b.mr), CAST(-1 AS BIGINT),
-        |              (a, i) -> IF(a >= 0, a,
-        |                IF(element_at(za, cast(x.pa + 3 + i as int)) = element_at(zb, cast(x.pb + 3 + i as int)),
-        |                   CAST(-1 AS BIGINT), i)),
-        |              a -> IF(a >= 0, a - 1, b.mr))))), t ->
-        |        named_struct('d', x.pa - x.pb, 'e', x.pa + 3 + t.re,
-        |          'spans', acc.spans || array(named_struct(
-        |            'start_a', x.pa - t.le, 'start_b', x.pb - t.le,
-        |            'span_len', t.le + 4 + t.re)))), 1)), 1)
-        |  END,
-        |  acc -> acc.spans)""".stripMargin
+    // one NATIVE fold over the anchors sorted by (diagonal, pa) —
+    // Kernels.extendSpans, the bit-identical port of the interpreted
+    // SQL aggregate that used to live here (covered skip / collision
+    // gram re-check / left scan capped by the previous span's known
+    // mismatch / both scans short-circuit at the first mismatch;
+    // extension CPU ∝ region length, not region²; spans below minLen
+    // still advance the covered frontier, so the minLen filter stays
+    // OUT here). The kernel-vs-SQL-fold parity is spec-pinned; spans
+    // come back packed start_a·2^42 + start_b·2^21 + span_len and
+    // decode through three codegen'd shifts.
+    val M21 = POSCAP - 1
     withToks
-      .select(col("doc_a"), col("doc_b"), explode(expr(spanFold)).as("sp"))
+      .select(col("doc_a"), col("doc_b"), explode(
+        graft.functions.HashExprs.extend_spans(
+          col("anchors"), col("za"), col("zb"))).as("sp"))
       .select(col("doc_a"), col("doc_b"),
-        col("sp.start_a").as("start_a"), col("sp.start_b").as("start_b"),
-        col("sp.span_len").as("span_len"))
+        shiftright(col("sp"), 42).as("start_a"),
+        shiftright(col("sp"), 21).bitwiseAND(lit(M21)).as("start_b"),
+        col("sp").bitwiseAND(lit(M21)).as("span_len"))
       .filter(col("span_len") >= minLen)
       .distinct()
   }

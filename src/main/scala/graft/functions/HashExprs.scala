@@ -70,6 +70,25 @@ object HashExprs {
   def fnv_hash(text: Column): Column =
     Bridge.column(Fnv1a64(Bridge.expression(text)))
 
+  /** Column API: distinct packed winnowing keys (h_sel·2^21 +
+    * (2^21−1−pos_sel)) of a token array, one native pass — decode
+    * with shiftright(c, 21) / (2^21−1 − (c & (2^21−1))). */
+  def winnow_packed(tokens: Column): Column =
+    Bridge.column(WinnowPacked(Bridge.expression(tokens)))
+
+  /** Column API: distinct selected winnowing fingerprint hashes of a
+    * token array (winnow_packed with positions dropped and per-doc
+    * hash dedup done in-kernel). */
+  def winnow_hashes(tokens: Column): Column =
+    Bridge.column(WinnowHashes(Bridge.expression(tokens)))
+
+  /** Column API: maximal ExactSubstr spans of one doc pair from its
+    * packed shared anchors (pa·2^21 + pb) and the two token arrays;
+    * spans come back packed start_a·2^42 + start_b·2^21 + span_len. */
+  def extend_spans(anchors: Column, za: Column, zb: Column): Column =
+    Bridge.column(ExtendSpans(Bridge.expression(anchors),
+      Bridge.expression(za), Bridge.expression(zb)))
+
   /** Column API: one greedy BPE merge step over a symbol array. */
   def merge_pair(syms: Column, a: String, b: String): Column =
     Bridge.column(MergePair(Bridge.expression(syms), a, b))
@@ -174,6 +193,57 @@ case class MergePair(child: Expression, a: String, b: String)
   }
 
   override protected def withNewChildInternal(c: Expression): MergePair = copy(child = c)
+}
+
+/** distinct packed winnowing keys of a token array in one pass (see
+  * Kernels.winnowPacked for the md5/window/dedup parity argument) */
+case class WinnowPacked(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_packed"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.winnowPacked(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.winnowPacked($c)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowPacked = copy(child = c)
+}
+
+/** distinct selected winnowing fingerprint hashes per doc (see
+  * Kernels.winnowHashes) */
+case class WinnowHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.winnowHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.winnowHashes($c)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
+}
+
+/** ExactSubstr extension verify over one doc pair (see
+  * Kernels.extendSpans): packed anchors + two token arrays → packed
+  * maximal spans */
+case class ExtendSpans(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "extend_spans"
+
+  override def nullSafeEval(anchors: Any, za: Any, zb: Any): Any =
+    Kernels.extendSpans(anchors.asInstanceOf[ArrayData],
+      za.asInstanceOf[ArrayData], zb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.impl.Kernels.extendSpans($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ExtendSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** FNV-1a 64 (OTTL's FNV converter semantics — real spec constants,

@@ -351,8 +351,14 @@ object Kernels {
 
   /** pack `len` (≤ 64) 0/1 int bits starting at `from` into one long,
     * MSB-first — the packed form is a bijection of the bit slice, so
-    * grouping/equality over it is grouping/equality over the bits */
+    * grouping/equality over it is grouping/equality over the bits.
+    * Bounds-checked: a caller whose nBits disagrees with the actual
+    * signature width must fail loudly, not read garbage words into
+    * plausible-looking banding keys (r18 advice). */
   def bitsPack(bits: ArrayData, from: Int, len: Int): Long = {
+    require(from >= 0 && from + len <= bits.numElements(),
+      s"bits_pack [$from, ${from + len}) out of range for a " +
+        s"${bits.numElements()}-bit signature")
     var v = 0L
     var i = 0
     while (i < len) {
@@ -360,6 +366,161 @@ object Kernels {
       i += 1
     }
     v
+  }
+
+  // ---- winnowing / ExactSubstr kernels -----------------------------
+  // One native pass per document for the winnowing fingerprint
+  // selection, and one native fold per doc pair for the ExactSubstr
+  // extension verify. Both are bit-identical ports of the SQL
+  // formulations they replace (kernel-vs-SQL parity spec-pinned); the
+  // SQL forms ran the gram generation through an interpreted HOF +
+  // a per-doc window (two gram-level exchanges) and the extension
+  // through a ~40-node interpreted lambda per anchor.
+
+  /** winnowing position cap: 2^21 in-doc positions — packed key
+    * c = h·POSCAP + (POSCAP−1−pos) stays exact in a long (h < 2^32) */
+  val WinnowPosCap: Long = 1L << 21
+
+  /** Distinct packed winnowing keys of a token array, one pass:
+    * gram g_i = tokens[i-1..i+2] joined with ' ' (1-based i), h_i =
+    * first 4 md5 bytes as unsigned big-endian (the
+    * conv(substring(md5(gram),1,8),16,10) twin), c_i = h_i·2^21 +
+    * (2^21−1−i); output = distinct over window-4 minima min(c_p..
+    * c_{p+3}) for full windows p ∈ [1, nGrams−3], first-occurrence
+    * order (the array_distinct order of the HOF formulation). Fewer
+    * than 7 tokens → empty (callers filter size ≥ 7 anyway). */
+  def winnowPacked(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    val nGrams = n - 3
+    if (nGrams < 4) return new GenericArrayData(Array.empty[Long])
+    // token bytes fetched once (grams overlap 4-fold)
+    val tb = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) { tb(t) = ws.getUTF8String(t).getBytes; t += 1 }
+    val md = md5Local.get()
+    val c = new Array[Long](nGrams + 1) // 1-based gram positions
+    var i = 1
+    while (i <= nGrams) {
+      md.reset()
+      md.update(tb(i - 1))
+      var j = i
+      while (j <= i + 2) { md.update(' '.toByte); md.update(tb(j)); j += 1 }
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      c(i) = h * WinnowPosCap + (WinnowPosCap - 1 - i)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nGrams / 2)
+    var last = Long.MinValue
+    var p = 1
+    while (p <= nGrams - 3) {
+      var m = c(p)
+      if (c(p + 1) < m) m = c(p + 1)
+      if (c(p + 2) < m) m = c(p + 2)
+      if (c(p + 3) < m) m = c(p + 3)
+      // sliding minima repeat consecutively — cheap pre-dedup before
+      // the hash probe
+      if (m != last) { if (seen.add(m)) out += m; last = m }
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[winnowPacked]] with the position dropped: DISTINCT selected
+    * fingerprint hashes per doc, first-occurrence order — the
+    * q_winnowing projection. With the per-doc distinct done here, a
+    * (doc_id, h_sel) explode is already globally distinct and the
+    * consumer's distinct Exchange disappears. */
+  def winnowHashes(ws: ArrayData): ArrayData = {
+    val packed = winnowPacked(ws)
+    val n = packed.numElements()
+    if (n == 0) return packed
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = packed.getLong(i) >>> 21
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The ExactSubstr extension verify over one doc pair's shared
+    * anchors (Lee et al. APPLY; see exactDupSpans): anchors arrive
+    * packed pa·2^21 + pb (both 1-based, < 2^21 by the spanTokens
+    * guard), are sorted by (diagonal = pa−pb, pa), and a single fold
+    * walks them — covered skip, collision gram re-check, left scan
+    * capped by the previous span's known mismatch, both scans
+    * short-circuit at the first mismatch. Emits ALL maximal spans
+    * (minLen filtering stays outside, as in the SQL fold) packed
+    * start_a·2^42 + start_b·2^21 + span_len. Bit-identical port of
+    * the interpreted SQL aggregate it replaces (parity spec-pinned).
+    */
+  def extendSpans(anchors: ArrayData, za: ArrayData, zb: ArrayData): ArrayData = {
+    val m = anchors.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val M21 = WinnowPosCap - 1
+    // sort key (diag + 2^21) << 21 | pa — key order IS (diag, pa)
+    // order, and pa/diag decode back out of the key
+    val keys = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val pk = anchors.getLong(i)
+      val pa = pk >>> 21
+      val pb = pk & M21
+      keys(i) = ((pa - pb + WinnowPosCap) << 21) | pa
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    val la = za.numElements().toLong
+    val lb = zb.numElements().toLong
+    var dSet = false
+    var dVal = 0L
+    var e = -1L
+    val spans = new scala.collection.mutable.ArrayBuffer[Long](8)
+    i = 0
+    while (i < m) {
+      val key = keys(i)
+      val pa = key & M21
+      val diag = (key >>> 21) - WinnowPosCap
+      val pb = pa - diag
+      val sameDiag = dSet && diag == dVal
+      if (!(sameDiag && pa <= e)) {
+        // anchor gram re-check (8-byte hash collision guard):
+        // za[pa..pa+3] = zb[pb..pb+3], 1-based
+        var ok = true
+        var g = 0
+        while (ok && g < 4) {
+          if (!za.getUTF8String((pa + g - 1).toInt)
+            .equals(zb.getUTF8String((pb + g - 1).toInt))) ok = false
+          g += 1
+        }
+        if (!ok) {
+          e = if (sameDiag) e else -1L
+          dVal = diag
+          dSet = true
+        } else {
+          val ml0 = math.min(pa, pb) - 1
+          val ml = if (sameDiag && e >= 0) math.min(pa - e - 2, ml0) else ml0
+          val mr = math.min(la - (pa + 3), lb - (pb + 3))
+          var le = 0L
+          while (le < ml && za.getUTF8String((pa - le - 2).toInt)
+            .equals(zb.getUTF8String((pb - le - 2).toInt))) le += 1
+          var re = 0L
+          while (re < mr && za.getUTF8String((pa + 3 + re).toInt)
+            .equals(zb.getUTF8String((pb + 3 + re).toInt))) re += 1
+          spans += (((pa - le) << 42) | ((pb - le) << 21) | (le + 4 + re))
+          dVal = diag
+          dSet = true
+          e = pa + 3 + re
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(spans.toArray)
   }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {

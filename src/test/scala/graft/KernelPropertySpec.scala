@@ -799,6 +799,148 @@ class KernelPropertySpec extends AnyFunSuite {
     short.foreach(r => assert(r.getSeq[String](0).isEmpty))
   }
 
+  test("winnow_packed equals an independent Scala winnowing reference (md5 grams, window-4 min, first-occurrence distinct), order included") {
+    // the r19 kernel behind winnowSelect / winnowAnchorSel /
+    // winnowAnchorsExpr: distinct packed keys c = h·2^21 + (2^21−1−pos)
+    // over window-4 minima of md5-hashed 4-gram fingerprints — must
+    // match a straight-Scala port of the OLD gram-explode + window-MIN
+    // SQL formulation exactly, including element order (streaming
+    // consumers see the array)
+    val POSCAP = 1L << 21
+    def refWinnow(tokens: Seq[String]): Seq[Long] = {
+      val nG = tokens.length - 3
+      if (nG < 4) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val c = (1 to nG).map { i =>
+        val gram = tokens.slice(i - 1, i + 3).mkString(" ")
+        val d = md.digest(gram.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        h * POSCAP + (POSCAP - 1 - i)
+      }
+      (1 to nG - 3).map(p => c.slice(p - 1, p + 3).min).distinct
+    }
+    // repetition-heavy token streams (small alphabet) force duplicate
+    // window minima — the dedup path; plus unicode tokens and the
+    // 7/8-token full-window edges
+    val tokGen = Gen.listOf(Gen.frequency(
+      (6, Gen.oneOf("a", "b", "c", "dup", "x1")),
+      (3, word), (1, Gen.oneOf("héllo", "中文", "😀")))).map(_.take(60))
+    val cases = samples(tokGen, 150) ++ Seq(
+      List.fill(20)("same"), (1 to 7).map(i => s"w$i").toList,
+      (1 to 8).map(i => s"w$i").toList, List("a", "b"), Nil)
+    val got = cases.zipWithIndex.map { case (ws, i) => (i, ws) }
+      .toDF("i", "ws")
+      .select(col("i"),
+        graft.functions.HashExprs.winnow_packed(col("ws")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case (ws, i) =>
+      assert(got(i) == refWinnow(ws),
+        s"winnow drift on case $i (${ws.take(12)}...): ${got(i)} != ${refWinnow(ws)}")
+    }
+  }
+
+  test("extend_spans kernel equals the interpreted SQL fold it replaced, span for span") {
+    // the r19 native extension verify vs the OLD SQL aggregate
+    // (kept here verbatim as the reference): same doc pairs, same
+    // anchors — the emitted (start_a, start_b, span_len) multisets
+    // must match on a corpus doctored to exercise every fold branch
+    // (multiple diagonals, covered anchors, sub-minLen spans that
+    // advance the frontier, intra-doc repetition, near-mirror pairs)
+    val spanFold =
+      """aggregate(
+        |  array_sort(anchors, (l, r) -> CASE
+        |    WHEN l.pa - l.pb < r.pa - r.pb THEN -1
+        |    WHEN l.pa - l.pb > r.pa - r.pb THEN 1
+        |    WHEN l.pa < r.pa THEN -1
+        |    WHEN l.pa > r.pa THEN 1
+        |    ELSE 0 END),
+        |  named_struct('d', CAST(NULL AS BIGINT), 'e', CAST(-1 AS BIGINT),
+        |    'spans', CAST(array() AS
+        |      ARRAY<STRUCT<start_a: BIGINT, start_b: BIGINT, span_len: BIGINT>>)),
+        |  (acc, x) -> CASE
+        |    WHEN acc.d IS NOT NULL AND x.pa - x.pb = acc.d AND x.pa <= acc.e
+        |      THEN acc
+        |    WHEN NOT (slice(za, cast(x.pa as int), 4) = slice(zb, cast(x.pb as int), 4))
+        |      THEN named_struct('d', x.pa - x.pb,
+        |        'e', IF(acc.d IS NOT NULL AND x.pa - x.pb = acc.d, acc.e, CAST(-1 AS BIGINT)),
+        |        'spans', acc.spans)
+        |    ELSE element_at(transform(array(named_struct(
+        |        'ml', IF(acc.d IS NOT NULL AND x.pa - x.pb = acc.d AND acc.e >= 0,
+        |                 least(x.pa - acc.e - 2, least(x.pa, x.pb) - 1),
+        |                 least(x.pa, x.pb) - 1),
+        |        'mr', least(size(za) - (x.pa + 3), size(zb) - (x.pb + 3)))), b ->
+        |      element_at(transform(array(named_struct(
+        |          'le', IF(b.ml < 1, CAST(0 AS BIGINT),
+        |            aggregate(sequence(1L, b.ml), CAST(-1 AS BIGINT),
+        |              (a, i) -> IF(a >= 0, a,
+        |                IF(element_at(za, cast(x.pa - i as int)) = element_at(zb, cast(x.pb - i as int)),
+        |                   CAST(-1 AS BIGINT), i)),
+        |              a -> IF(a >= 0, a - 1, b.ml))),
+        |          're', IF(b.mr < 1, CAST(0 AS BIGINT),
+        |            aggregate(sequence(1L, b.mr), CAST(-1 AS BIGINT),
+        |              (a, i) -> IF(a >= 0, a,
+        |                IF(element_at(za, cast(x.pa + 3 + i as int)) = element_at(zb, cast(x.pb + 3 + i as int)),
+        |                   CAST(-1 AS BIGINT), i)),
+        |              a -> IF(a >= 0, a - 1, b.mr))))), t ->
+        |        named_struct('d', x.pa - x.pb, 'e', x.pa + 3 + t.re,
+        |          'spans', acc.spans || array(named_struct(
+        |            'start_a', x.pa - t.le, 'start_b', x.pb - t.le,
+        |            'span_len', t.le + 4 + t.re)))), 1)), 1)
+        |  END,
+        |  acc -> acc.spans)""".stripMargin
+    val passage = (0 until 30).map(i => s"dup$i").mkString(" ")
+    val half = (0 until 10).map(i => s"dup$i").mkString(" ")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val doctored = Seq(
+      (1L, s"$passage ${filler("xa", 40)} $half"),          // two diagonals vs 2
+      (2L, s"${filler("xb", 20)} $passage ${filler("xc", 10)} $half"),
+      (3L, s"$passage $passage ${filler("xd", 20)}"),       // intra-doc repeat
+      (4L, passage),                                        // near-mirror of 5
+      (5L, s"$passage"),
+      (6L, filler("xe", 60)))
+    val d = doctored.toDF("doc_id", "text").unionByName(
+      Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id") + 1000L as "doc_id", col("text")))
+    val toks = graft.DataPipelineQueries.spanTokens(d)
+    val sel = graft.DataPipelineQueries.winnowAnchorSel(toks)
+    val rare = sel.groupBy(col("h_sel"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") <= 50).select(col("h_sel"))
+    val capped = sel.join(rare, "h_sel")
+    val pairs = capped.select(col("h_sel"), col("doc_id").as("doc_a"),
+        col("pos_sel").as("pa"))
+      .join(capped.select(col("h_sel"), col("doc_id").as("doc_b"),
+        col("pos_sel").as("pb")), Seq("h_sel"))
+      .filter(col("doc_a") < col("doc_b"))
+    val grouped = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
+    val withToks = grouped
+      .join(toks.select(col("doc_id").as("doc_a"), col("__ws").as("za")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("__ws").as("zb")), Seq("doc_b"))
+      .localCheckpoint()
+    val ref = withToks
+      .select(col("doc_a"), col("doc_b"), explode(expr(spanFold)).as("sp"))
+      .select(col("doc_a"), col("doc_b"), col("sp.start_a"),
+        col("sp.start_b"), col("sp.span_len"))
+    val M21 = (1L << 21) - 1
+    val kern = withToks
+      .select(col("doc_a"), col("doc_b"), explode(
+        graft.functions.HashExprs.extend_spans(
+          transform(col("anchors"),
+            a => shiftleft(a.getField("pa"), 21).bitwiseOR(a.getField("pb"))),
+          col("za"), col("zb"))).as("sp"))
+      .select(col("doc_a"), col("doc_b"),
+        shiftright(col("sp"), 42).as("start_a"),
+        shiftright(col("sp"), 21).bitwiseAND(lit(M21)).as("start_b"),
+        col("sp").bitwiseAND(lit(M21)).as("span_len"))
+    val n = ref.count()
+    assert(n > 0, "doctored corpus produced no reference spans")
+    assert(kern.count() == n &&
+      ref.exceptAll(kern).isEmpty && kern.exceptAll(ref).isEmpty,
+      "extend_spans kernel drifted from the SQL fold")
+  }
+
   test("bits_pack is a bijection of the bit slice and bit_count(xor) of packed words equals elementwise Hamming") {
     val bitsGen = Gen.listOfN(128, Gen.oneOf(0, 1))
     val rows = samples(Gen.zip(bitsGen, bitsGen), 80)
