@@ -221,6 +221,13 @@ object Bench {
     def jstr(s: String): String = QUtil.jsonEscape(s)
     def qjson(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ms-precision per-query walls for the FINAL driver line (r18
+    // verdict #2: PERF's per-query table was structurally empty
+    // because no parsed line carried the contract's "queries" map;
+    // 3-decimal rounding bounds the 239-entry map at ~6 KB)
+    def qjsonMs(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     def ejson(rs: Seq[(String, Double, Option[String])]): String =
       rs.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
         .mkString("{", ",", "}")
@@ -258,9 +265,18 @@ object Bench {
     // parsed-null failure class; review-wave finding)
     var slopeWallSfx: Double = Double.NaN
     var slopeSow: Double = Double.NaN
+    // MID-SUITE calibration probe (r18 verdict #3): bracket the sf leg
+    // (suite + isolated) and the sfx leg separately, so a drifted
+    // capture can localize the contamination to ONE leg instead of
+    // invalidating the whole record. Runs between the legs — outside
+    // both measured walls.
+    var calibMidInt = Double.NaN
+    var calibMidMem = Double.NaN
     val slopeJson: String =
       if (slopeFactor < 2) ""
       else {
+        calibMidInt = calibrate(spark)
+        calibMidMem = calibrateMem()
         val (dir2, buildSec) = BenchSlope.ensure(spark, sfDir, slopeFactor)
         // longest-known-first: the sf leg's measured walls are the
         // priors (r13 verdict #1 — stragglers piling behind the heavy
@@ -377,8 +393,30 @@ object Bench {
     val calibHistJson = calibHistory
       .map { case (c, m) => s"""[${f"$c%.3f"},${f"$m%.3f"}]""" }
       .mkString("[", ",", "]")
+    // leg localization from the mid-suite probe: which bracket (pre→mid
+    // = sf leg, mid→post = sfx leg) actually drifted. "none" = clean,
+    // "unknown" = no mid probe (slope disabled). A flagged capture
+    // whose flag_leg names one leg leaves the OTHER leg's walls
+    // quotable (r18 verdict #3).
+    val flagLeg: String =
+      if (calibMidInt.isNaN) "unknown"
+      else {
+        val sfBad = drift2(calibPre, calibMidInt) > 1.3 ||
+          drift2(calibMemPre, calibMidMem) > 1.3
+        val sfxBad = drift2(calibMidInt, calibPost) > 1.3 ||
+          drift2(calibMidMem, calibMemPost) > 1.3
+        (sfBad, sfxBad) match {
+          case (true, true)  => "both"
+          case (true, false) => "sf"
+          case (false, true) => "sfx"
+          case _             => "none"
+        }
+      }
+    val calibMidJson =
+      if (calibMidInt.isNaN) s""""flag_leg":"unknown""""
+      else s""""calib_mid":${f"$calibMidInt%.3f"},"calib_mem_mid":${f"$calibMidMem%.3f"},"flag_leg":"$flagLeg""""
     val scalarTail =
-      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"calib_mem_pre":${f"$calibMemPre%.3f"},"calib_mem_post":${f"$calibMemPost%.3f"},"calib_mem_drift":${f"$calibMemDrift%.3f"},"calib_attempts":$calibAttempts,"calib_post_history":$calibHistJson,"flagged":$flagged,"value":$wall}"""
+      s""""errors":${ejson(results)},"isolated_errors":${ejson(isolated)},"slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},"contended":${sumOverWall > slots * 1.2},"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},"calib_drift":${f"$calibDrift%.3f"},"calib_drifted":${calibDrift > 1.3},"calib_sec":${f"$calibSec%.3f"},"calib_mem_pre":${f"$calibMemPre%.3f"},"calib_mem_post":${f"$calibMemPost%.3f"},"calib_mem_drift":${f"$calibMemDrift%.3f"},"calib_attempts":$calibAttempts,"calib_post_history":$calibHistJson,$calibMidJson,"flagged":$flagged,"value":$wall}"""
     val fullLine =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${qjson(results)},"isolated":${qjson(isolated)}$slopeJson,""" + scalarTail
     // the full line (with the 195-entry per-query maps) ALSO goes to a
@@ -396,12 +434,18 @@ object Bench {
     // independently-parseable JSON line. "compact":true marks it; the
     // full maps live in the line above and in bench_full.json.
     println(s"""{"metric":"total","unit":"sec","compact":true,"full_maps":"bench_full.json","sf":"$sfDir","isolated":${qjson(isolated)}$slopeCompact,""" + scalarTail)
-    // FINAL line: SCALARS ONLY, zero per-query maps (~300 bytes). Four
-    // rounds of BENCH_r{11..14}.json carried "parsed": null because
-    // every prior "last line" still embedded bounded maps and the
-    // driver's 2000-char tail window truncated it from the front
-    // (r14 verdict "what's wrong" #1). Error COUNTS stand in for the
-    // error maps; the maps live in bench_full.json / the lines above.
+    // FINAL line — the one the driver json-parses (the literal last
+    // stdout line since the r16 build.sbt StdoutOutput/showSuccess
+    // fix; r11–r15's "parsed": null was the sbt "[info] " prefix and
+    // "[success]" epilogue, not line length). r19 (r18 verdict #2):
+    // it now carries the CONTRACT's full per-query map again —
+    // "queries" (ms-precision, ~6 KB bounded) plus the 10-slowest
+    // "isolated" map — because the driver's round-over-round PERF
+    // table reads per-query walls from THIS parsed line and had been
+    // structurally empty (per_query: {}, n_common: 0) without them.
+    // Field order keeps the big map FIRST and the headline scalars
+    // LAST, so any bounded tail-read still ends with the scalars;
+    // every existing field stays byte-compatible, additions only.
     val slopeScalars =
       if (slopeFactor < 2 || slopeWallSfx.isNaN) ""
       else
@@ -411,6 +455,7 @@ object Bench {
           s""""contended_sfx":${slopeSow > slots * 1.2}"""
     println(
       s"""{"metric":"total","unit":"sec","scalars_only":true,"sf":"$sfDir",""" +
+      s""""queries":${qjsonMs(results)},"isolated":${qjsonMs(isolated)},""" +
       s""""n_queries":${results.size},"error_count":${results.count(_._3.isDefined)},""" +
       s""""isolated_error_count":${isolated.count(_._3.isDefined)},""" +
       s""""slots":$slots,"sum_over_wall":${f"$sumOverWall%.3f"},""" +
@@ -418,7 +463,7 @@ object Bench {
       s""""calib_sec":${f"$calibSec%.3f"},"calib_drift":${f"$calibDrift%.3f"},""" +
       s""""calib_drifted":${calibDrift > 1.3},""" +
       s""""calib_mem_drift":${f"$calibMemDrift%.3f"},""" +
-      s""""calib_attempts":$calibAttempts,"flagged":$flagged$slopeScalars,""" +
+      s""""calib_attempts":$calibAttempts,$calibMidJson,"flagged":$flagged$slopeScalars,""" +
       s""""full_maps":"bench_full.json","walls_file":"bench_walls.json",""" +
       s""""value":$wall}""")
     spark.stop()

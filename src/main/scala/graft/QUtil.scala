@@ -43,19 +43,35 @@ object QUtil {
     * interactive use) wants 4; under Bench's own 4-way slot
     * concurrency the box is already near-packed and intra-operator
     * fan-out mostly reshuffles the same 32 cores. */
-  private lazy val intraSlots: Int =
-    sys.env.get("SPARK_GRAFT_INTRA_SLOTS").map(_.toInt).getOrElse(4)
+  private lazy val intraSlots: Int = sys.env.get("SPARK_GRAFT_INTRA_SLOTS") match {
+    case None => 4
+    case Some(v) =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_INTRA_SLOTS must be an integer, got '$v'")
+      }
+  }
 
   def inParallel[A](work: Seq[() => A], slots: Int = 4): Seq[A] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(math.min(slots, intraSlots), work.size)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(work.map(w =>
-        scala.concurrent.Future(w()))),
-      scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    // java futures, not scala ones: get() rethrows EVERY Throwable
+    // (scala Futures only complete on NonFatal, so a fatal worker
+    // error — OOM, StackOverflow — would leave the await hanging
+    // forever); on the first failure the pool is shut down hard so
+    // queued thunks don't keep running behind the propagated error
+    try {
+      val futs = work.map(w => pool.submit(
+        new java.util.concurrent.Callable[A] { def call(): A = w() }))
+      futs.map(f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            throw e.getCause
+        })
+    } finally pool.shutdown()
   }
 
   /** JSON string escape for the driver artifacts (Verify's oracle
