@@ -701,11 +701,20 @@ object DataPipelineQueries {
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     val knn = sym.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5).select(col("qid"), col("nid"), col("sim"))
-    knn.as("x").join(knn.as("y"),
-        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
-          col("x.qid") < col("x.nid"))
-      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"),
-        col("x.sim").as("sim"))
+    // r19 (§2.3/§2.4): an edge is mutual iff BOTH directions survived
+    // their top-5 window — canonicalize (least, greatest) and count
+    // instead of the two-sided (qid,nid)⋈(nid,qid) self-join: ONE
+    // partial-aggregable exchange of (id, id, sim) rows replaces two
+    // join exchanges + sorts over the same data. Both directions of a
+    // pair carry the SAME sim (cosine is symmetric and the union
+    // duplicated one pair row), so min(sim) is that value; (qid, nid)
+    // rows are unique after the window, so count 2 ⇔ mutual.
+    knn.select(least(col("qid"), col("nid")).as("id_a"),
+        greatest(col("qid"), col("nid")).as("id_b"), col("sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__n"), min(col("sim")).as("sim"))
+      .filter(col("__n") === 2)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** Mutual-kNN degree census over [[mutualKnnEdges]], 0 bucket

@@ -291,7 +291,11 @@ object DedupOps {
                                 maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
     def banded(df: DataFrame, idOut: String, sigOut: String): DataFrame =
-      df.filter(size(col(sigCol)) === k)
+      // explode(array(sig)): one-row Generate barrier so the length
+      // filter can't be pushed below with the signature expression
+      // inlined (see lshNearDupPairsImpl)
+      df.select(col(idCol), explode(array(col(sigCol))).as(sigCol))
+        .filter(size(col(sigCol)) === k)
         .select(col(idCol).as(idOut), col(sigCol).as(sigOut),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws(",",
@@ -364,7 +368,18 @@ object DedupOps {
                                   maxBucket: Int,
                                   nonEmptyGuard: Column => Column): DataFrame = {
     val k = bands * rows
-    val nonEmpty = df.filter(nonEmptyGuard(col(sigCol)))
+    // r19: materialize the signature ONCE per row behind a Generate
+    // barrier before the guard filter. A filter on a computed column
+    // is pushed below its Project WITH THE EXPRESSION INLINED
+    // (PushPredicateThroughNonJoin), so the k-lane signature was being
+    // computed twice per row — observed in the executed
+    // q_dedup_minhash plan, where the guard Filter re-ran
+    // minhash_signature_md5 (8 md5 digests per shingle) that the
+    // Project above recomputed. A generator's output cannot be pushed
+    // past, so explode(array(sig)) — exactly one output row per input
+    // row — pins one evaluation.
+    val once = df.select(col(idCol), explode(array(col(sigCol))).as(sigCol))
+    val nonEmpty = once.filter(nonEmptyGuard(col(sigCol)))
       // a signature built with a different k would silently band on
       // empty slices and mis-scale est_sim — fail loudly instead
       .withColumn(sigCol, when(size(col(sigCol)) === k, col(sigCol))
