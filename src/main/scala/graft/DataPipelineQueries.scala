@@ -732,22 +732,13 @@ object DataPipelineQueries {
 
   /** Shared dHash bit extraction over the deterministic stub decode
     * (q_media_phash + its capped scale twin) */
-  private def phashBits(d: DataFrame): DataFrame = {
-    def pix(r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(
-        pmod(col("doc_id"), lit(40)).cast("string"), lit("/"),
-        r.cast("string"), lit("/"), c.cast("string"))), 1, 4), 16, 10)
-        .cast("long")
+  private def phashBits(d: DataFrame): DataFrame =
+    // r19: the interpreted transform(sequence(0,63)) lambda ran ~128
+    // md5+conv expression trees per row; one native pass of 72 digests
+    // (dhash_stub_bits — bit-identical md5 pixel walk, parity
+    // spec-pinned against the SQL formulation) replaces it
     d.select(col("doc_id"),
-      transform(sequence(lit(0), lit(63)), b => {
-        val row = shiftright(b, 3)
-        val c = b.bitwiseAND(lit(7))
-        val p1 = pix(row, c) +
-          when(expr("(doc_id DIV 40) % 2 = 1") && b === 0, lit(65536L))
-            .otherwise(lit(0L))
-        (p1 < pix(row, c + 1)).cast("int")
-      }).as("bits"))
-  }
+      graft.functions.HashExprs.dhash_stub_bits(col("doc_id")).as("bits"))
 
   /** deterministic page template for q_html_extract — shared with
     * the oracle SQL so both engines synthesize the identical page
@@ -2520,18 +2511,18 @@ object DataPipelineQueries {
     // oracle runs the identical synthesis). ONE map-side projection
     // per doc; the tiny per-source census is the only shuffle.
     "q_repetition_gopher" -> ((s, dir) => {
-      // localCheckpoint the (source, 13-double struct) frame: the
-      // flag projection extracts 13 fields and the all-clear
-      // conjunction re-references every one — Catalyst pushes struct
-      // extraction INTO named_struct children, so without the
-      // materialization each reference would re-run its own copy of
-      // the per-doc walks (measured 4.0 s vs 1.1 s warm at sf0.1).
-      // ~120 bytes/doc — the groupedRankRanged stats discipline.
+      // r19: the localCheckpoint that used to live here guarded
+      // against Catalyst pushing struct extraction INTO named_struct
+      // children (13 field references would each re-run their own
+      // copy of the interpreted walks — measured 4.0 s vs 1.1 s warm
+      // at sf0.1). The signal struct is now ONE opaque native kernel
+      // call (no named_struct to push into) and a multi-referenced
+      // non-trivial alias, which CollapseProject never inlines — one
+      // evaluation per doc with no materialization action.
       val flagged = docs(s, dir)
         .withColumn("__ws", TextOps.tokens(col("text")))
         .filter(size(col("__ws")) >= 1)
         .select(col("source"), TextOps.repetitionSignals("__ws").as("__sig"))
-        .localCheckpoint()
       val flags = Seq(
         ("v_dup_line", col("__sig.dup_line_frac") > 0.30),
         ("v_dup_para", col("__sig.dup_para_frac") > 0.30),

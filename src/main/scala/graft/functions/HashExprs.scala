@@ -76,6 +76,17 @@ object HashExprs {
   def winnow_packed(tokens: Column): Column =
     Bridge.column(WinnowPacked(Bridge.expression(tokens)))
 
+  /** Column API: the 13-field Gopher repetition-signal struct of a
+    * token array, one native pass. */
+  def repetition_signals(tokens: Column): Column =
+    Bridge.column(RepetitionSignals(Bridge.expression(tokens)))
+
+  /** Column API: the q_media_phash deterministic stub decode — 64
+    * dHash gradient bits from the md5 pixel walk over
+    * (pmod(doc_id, 40), row, col). */
+  def dhash_stub_bits(docId: Column): Column =
+    Bridge.column(DhashStubBits(Bridge.expression(docId)))
+
   /** Column API: distinct selected winnowing fingerprint hashes of a
     * token array (winnow_packed with positions dropped and per-doc
     * hash dedup done in-kernel). */
@@ -208,6 +219,40 @@ case class WinnowPacked(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.winnowPacked($c)")
 
   override protected def withNewChildInternal(c: Expression): WinnowPacked = copy(child = c)
+}
+
+/** the 13-double Gopher repetition-signal struct of a token array
+  * (see Kernels.repetitionSignals for the parity argument) */
+case class RepetitionSignals(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+    "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+    "top_4gram_char_frac", "dup_5gram_char_frac", "dup_6gram_char_frac",
+    "dup_7gram_char_frac", "dup_8gram_char_frac", "dup_9gram_char_frac",
+    "dup_10gram_char_frac").map(StructField(_, DoubleType, nullable = true)))
+  override def prettyName: String = "repetition_signals"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.repetitionSignals(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.repetitionSignals($c)")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionSignals = copy(child = c)
+}
+
+/** dHash stub-decode bits from a doc id (see Kernels.dhashStubBits) */
+case class DhashStubBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "dhash_stub_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.dhashStubBits(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.impl.Kernels.dhashStubBits($c)")
+
+  override protected def withNewChildInternal(c: Expression): DhashStubBits = copy(child = c)
 }
 
 /** distinct selected winnowing fingerprint hashes per doc (see

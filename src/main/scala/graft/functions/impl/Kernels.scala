@@ -448,6 +448,146 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** The Gopher repetition-signal struct (13 doubles) in ONE native
+    * pass — the bit-identical port of the TextOps.repetitionSignals
+    * SQL expression (kept verbatim in the parity spec as reference),
+    * which ran ~9 interpreted sorted gram walks per doc. The SQL's
+    * sorted run-length folds only use run COUNTS × per-gram char
+    * mass, both order-independent, so hash counting per distinct
+    * gram/chunk is exactly equivalent. Char counts are code points
+    * (Spark length() = UTF8String.numChars); the duplicate-5-gram
+    * gate lazily skips the n=6..10 walks exactly as the SQL IF did.
+    * Field semantics:
+    *  - dup_line/para_frac: (chunks − distinct chunks) / chunks over
+    *    8-/32-token chunk synthesis (NULL for an empty token array —
+    *    the SQL 0/0; production callers filter size ≥ 1);
+    *  - dup_*_char_frac: duplicated char mass / total chars, 0.0 when
+    *    the doc has zero non-separator chars;
+    *  - top_{2,3,4}gram_char_frac: max over distinct n-grams of
+    *    count × gram chars (separators excluded) / total chars;
+    *  - dup_{5..10}gram_char_frac: Σ over n-grams with count ≥ 2 of
+    *    count × gram chars / total chars. */
+  def repetitionSignals(ws: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = ws.numElements()
+    val toks = new Array[UTF8String](n)
+    val pref = new Array[Long](n + 1) // prefix sums of token code points
+    var i = 0
+    while (i < n) {
+      toks(i) = ws.getUTF8String(i)
+      pref(i + 1) = pref(i) + toks(i).numChars()
+      i += 1
+    }
+    val tot = pref(n)
+    val space = UTF8String.fromString(" ")
+    def joinRange(from: Int, to: Int): UTF8String =
+      UTF8String.concatWs(space,
+        java.util.Arrays.copyOfRange(toks, from, to): _*)
+    // chunk synthesis stats: (n_chunks, n_distinct, join chars,
+    // distinct-join chars) — join chars include the in-chunk ' '
+    // separators (concat_ws), matching length(array_join(l, ''))
+    def chunkStats(k: Int): (Long, Long, Long, Long) = {
+      val m = (n + k - 1) / k
+      val seen = new java.util.HashSet[UTF8String]()
+      var joinChars = 0L
+      var distinctChars = 0L
+      var j = 0
+      while (j < m) {
+        val from = j * k
+        val to = math.min(from + k, n)
+        val chars = (pref(to) - pref(from)) + (to - from - 1)
+        joinChars += chars
+        if (seen.add(joinRange(from, to))) distinctChars += chars
+        j += 1
+      }
+      (m.toLong, seen.size.toLong, joinChars, distinctChars)
+    }
+    // n-gram stats: (best, dup) = (max count·chars over distinct
+    // grams, Σ count·chars over grams with count ≥ 2); chars = gram
+    // code points minus the k−1 separators = the gram's token chars
+    def gramStats(k: Int): (Long, Long) = {
+      if (n < k) return (0L, 0L)
+      val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+      var p = 0
+      while (p + k <= n) {
+        val slot = counts.computeIfAbsent(joinRange(p, p + k),
+          (_: UTF8String) => new Array[Int](1))
+        slot(0) += 1
+        p += 1
+      }
+      var best = 0L
+      var dup = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cw = e.getKey.numChars().toLong - (k - 1)
+        val c = e.getValue()(0).toLong
+        if (c * cw > best) best = c * cw
+        if (c >= 2) dup += c * cw
+      }
+      (best, dup)
+    }
+    val (l8n, l8d, l8jc, l8djc) = chunkStats(8)
+    val (l32n, l32d, l32jc, l32djc) = chunkStats(32)
+    val d5 = gramStats(5)._2
+    def overTot(v: Long): Double = if (tot == 0) 0.0 else v.toDouble / tot.toDouble
+    def dupHigher(k: Int): Double =
+      if (d5 == 0 || tot == 0) 0.0 else overTot(gramStats(k)._2)
+    val out = new Array[Any](13)
+    // 0/0 of the empty-array edge is NULL in SQL double division
+    out(0) = if (l8n == 0) null else (l8n - l8d).toDouble / l8n.toDouble
+    out(1) = if (l8jc == 0) 0.0 else (l8jc - l8djc).toDouble / l8jc.toDouble
+    out(2) = if (l32n == 0) null else (l32n - l32d).toDouble / l32n.toDouble
+    out(3) = if (l32jc == 0) 0.0 else (l32jc - l32djc).toDouble / l32jc.toDouble
+    out(4) = overTot(gramStats(2)._1)
+    out(5) = overTot(gramStats(3)._1)
+    out(6) = overTot(gramStats(4)._1)
+    out(7) = overTot(d5)
+    out(8) = dupHigher(6)
+    out(9) = dupHigher(7)
+    out(10) = dupHigher(8)
+    out(11) = dupHigher(9)
+    out(12) = dupHigher(10)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  /** The dHash deterministic stub decode (q_media_phash family): the
+    * 8×9 "grayscale grid" pixel is the first 2 md5 bytes of
+    * "seed/row/col" (seed = pmod(doc_id, 40)), bit b = pixel(row,c) <
+    * pixel(row,c+1) with the one-pixel +65536 tweak on bit 0 of odd
+    * variants — EXACTLY the SQL transform it replaces (the conv(
+    * substring(md5(..),1,4),16,10) walk the DuckDB oracle twins), one
+    * native pass of 72 digests instead of 128 interpreted lambda
+    * evaluations per row. */
+  def dhashStubBits(docId: Long): ArrayData = {
+    val seed = ((docId % 40) + 40) % 40
+    val tweak = (docId / 40) % 2 == 1
+    val md = md5Local.get()
+    // 8 rows × 9 cols of 16-bit pixels, each one md5 of "seed/row/col"
+    val pix = new Array[Long](72)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        md.reset()
+        val d = md.digest(s"$seed/$r/$c".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        pix(r * 9 + c) = ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+        c += 1
+      }
+      r += 1
+    }
+    val bits = new Array[Int](64)
+    var b = 0
+    while (b < 64) {
+      val row = b >> 3
+      val c = b & 7
+      val p1 = pix(row * 9 + c) + (if (tweak && b == 0) 65536L else 0L)
+      bits(b) = if (p1 < pix(row * 9 + c + 1)) 1 else 0
+      b += 1
+    }
+    new GenericArrayData(bits)
+  }
+
   /** The ExactSubstr extension verify over one doc pair's shared
     * anchors (Lee et al. APPLY; see exactDupSpans): anchors arrive
     * packed pa·2^21 + pb (both 1-based, < 2^21 by the spanTokens

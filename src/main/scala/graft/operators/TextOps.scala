@@ -237,91 +237,13 @@ object TextOps {
     * excluding separators, maxed). Nothing leaves the projection —
     * a consumer's only shuffle is its own census aggregate.
     * `ws` must NAME a non-empty token array column. */
-  def repetitionSignals(ws: String): Column = {
-    def chunks(k: Int): String =
-      s"transform(sequence(1, (size($ws) + ${k - 1}) DIV $k), " +
-        s"j -> concat_ws(' ', slice($ws, (j - 1) * $k + 1, $k)))"
-    // max over distinct n-grams of run_count × (gram chars minus the
-    // n−1 separator spaces); 0 when the doc has no n-gram
-    def bestGramChars(n: Int): String =
-      s"""IF(size($ws) < $n, CAST(0 AS BIGINT),
-         |  element_at(transform(array(named_struct('g',
-         |    array_sort(transform(sequence(1, size($ws) - ${n - 1}),
-         |      i -> concat_ws(' ', slice($ws, i, $n)))))), t ->
-         |    element_at(transform(array(named_struct('st',
-         |      filter(sequence(1, size(t.g)),
-         |        i -> i = 1 OR element_at(t.g, i) != element_at(t.g, i - 1)))), u ->
-         |      aggregate(sequence(1, size(u.st)), CAST(0 AS BIGINT), (a, j) ->
-         |        greatest(a,
-         |          CAST(IF(j = size(u.st), size(t.g) + 1, element_at(u.st, j + 1))
-         |            - element_at(u.st, j) AS BIGINT)
-         |          * CAST(length(element_at(t.g, element_at(u.st, j))) - ${n - 1} AS BIGINT)))),
-         |      1)), 1))""".stripMargin
-    def dupF(l: String) =
-      s"CAST(size($l) - size(array_distinct($l)) AS DOUBLE) / CAST(size($l) AS DOUBLE)"
-    // zero-char guard: a whitespace-only doc tokenizes to [""] (the
-    // pinned cross-engine edge), giving zero line chars / zero token
-    // chars — 0/0 would be NULL, dropping the doc from every flag AND
-    // from n_clean; such a doc is CLEAN (signal 0.0), on both engines
-    def dupCF(l: String) =
-      s"IF(length(array_join($l, '')) = 0, CAST(0.0 AS DOUBLE), " +
-        s"CAST(length(array_join($l, '')) - length(array_join(array_distinct($l), '')) AS DOUBLE)" +
-        s" / CAST(length(array_join($l, '')) AS DOUBLE))"
-    def topF(n: Int) =
-      s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
-        s"CAST(${bestGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
-    // occurrence mass of DUPLICATE n-grams (runs of length >= 2):
-    // Σ run_count × (gram chars minus separators) — the same sorted
-    // run-length walk as bestGramChars with a summed, thresholded
-    // accumulator
-    def dupGramChars(n: Int): String =
-      s"""IF(size($ws) < $n, CAST(0 AS BIGINT),
-         |  element_at(transform(array(named_struct('g',
-         |    array_sort(transform(sequence(1, size($ws) - ${n - 1}),
-         |      i -> concat_ws(' ', slice($ws, i, $n)))))), t ->
-         |    element_at(transform(array(named_struct('st',
-         |      filter(sequence(1, size(t.g)),
-         |        i -> i = 1 OR element_at(t.g, i) != element_at(t.g, i - 1)))), u ->
-         |      aggregate(sequence(1, size(u.st)), CAST(0 AS BIGINT), (a, j) ->
-         |        a + element_at(transform(array(
-         |          CAST(IF(j = size(u.st), size(t.g) + 1, element_at(u.st, j + 1))
-         |            - element_at(u.st, j) AS BIGINT)), rc ->
-         |          IF(rc >= 2, rc
-         |            * CAST(length(element_at(t.g, element_at(u.st, j))) - ${n - 1} AS BIGINT),
-         |            CAST(0 AS BIGINT))), 1))),
-         |      1)), 1))""".stripMargin
-    def dupNF(n: Int) =
-      s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
-        s"CAST(${dupGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
-    // a duplicate n-gram CONTAINS a duplicate 5-gram for every n > 5,
-    // so the 5-gram mass (bound once in the outer struct) gates the
-    // five heavier walks behind a lazy IF — a doc with no duplicate
-    // 5-gram (the overwhelming case in a real corpus) pays ONE extra
-    // sorted walk for the whole dup-gram family, not six
-    def dupHigherF(n: Int) =
-      s"IF(s.d5 = 0 OR s.tot = 0, CAST(0.0 AS DOUBLE), " +
-        s"CAST(${dupGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
-    expr(
-      s"""element_at(transform(array(named_struct(
-         |    'l8', ${chunks(8)}, 'l32', ${chunks(32)},
-         |    'tot', CAST(length(array_join($ws, '')) AS BIGINT),
-         |    'd5', ${dupGramChars(5)})), s ->
-         |  named_struct(
-         |    'dup_line_frac', ${dupF("s.l8")},
-         |    'dup_line_char_frac', ${dupCF("s.l8")},
-         |    'dup_para_frac', ${dupF("s.l32")},
-         |    'dup_para_char_frac', ${dupCF("s.l32")},
-         |    'top_2gram_char_frac', ${topF(2)},
-         |    'top_3gram_char_frac', ${topF(3)},
-         |    'top_4gram_char_frac', ${topF(4)},
-         |    'dup_5gram_char_frac', IF(s.tot = 0, CAST(0.0 AS DOUBLE),
-         |      CAST(s.d5 AS DOUBLE) / CAST(s.tot AS DOUBLE)),
-         |    'dup_6gram_char_frac', ${dupHigherF(6)},
-         |    'dup_7gram_char_frac', ${dupHigherF(7)},
-         |    'dup_8gram_char_frac', ${dupHigherF(8)},
-         |    'dup_9gram_char_frac', ${dupHigherF(9)},
-         |    'dup_10gram_char_frac', ${dupHigherF(10)})), 1)""".stripMargin)
-  }
+  def repetitionSignals(ws: String): Column =
+    // r19: the ~9 interpreted sorted gram walks per doc collapsed
+    // into ONE native pass (repetition_signals — the old SQL
+    // expression lives on verbatim in KernelPropertySpec as the
+    // parity reference; the run-length folds only used run counts ×
+    // per-gram char mass, so hash counting is exactly equivalent)
+    graft.functions.HashExprs.repetition_signals(col(ws))
 
   /** quality class from simple, portable signals */
   def qualityClass(nTokens: Column, avgLen: Column, stopRatio: Column): Column =

@@ -941,6 +941,166 @@ class KernelPropertySpec extends AnyFunSuite {
       "extend_spans kernel drifted from the SQL fold")
   }
 
+  // the pre-r19 repetitionSignals SQL expression, verbatim — the
+  // parity reference for the native kernel that replaced it
+  private def legacyRepetitionSignals(ws: String): org.apache.spark.sql.Column = {
+    def chunks(k: Int): String =
+      s"transform(sequence(1, (size($ws) + ${k - 1}) DIV $k), " +
+        s"j -> concat_ws(' ', slice($ws, (j - 1) * $k + 1, $k)))"
+    // max over distinct n-grams of run_count × (gram chars minus the
+    // n−1 separator spaces); 0 when the doc has no n-gram
+    def bestGramChars(n: Int): String =
+      s"""IF(size($ws) < $n, CAST(0 AS BIGINT),
+         |  element_at(transform(array(named_struct('g',
+         |    array_sort(transform(sequence(1, size($ws) - ${n - 1}),
+         |      i -> concat_ws(' ', slice($ws, i, $n)))))), t ->
+         |    element_at(transform(array(named_struct('st',
+         |      filter(sequence(1, size(t.g)),
+         |        i -> i = 1 OR element_at(t.g, i) != element_at(t.g, i - 1)))), u ->
+         |      aggregate(sequence(1, size(u.st)), CAST(0 AS BIGINT), (a, j) ->
+         |        greatest(a,
+         |          CAST(IF(j = size(u.st), size(t.g) + 1, element_at(u.st, j + 1))
+         |            - element_at(u.st, j) AS BIGINT)
+         |          * CAST(length(element_at(t.g, element_at(u.st, j))) - ${n - 1} AS BIGINT)))),
+         |      1)), 1))""".stripMargin
+    def dupF(l: String) =
+      s"CAST(size($l) - size(array_distinct($l)) AS DOUBLE) / CAST(size($l) AS DOUBLE)"
+    // zero-char guard: a whitespace-only doc tokenizes to [""] (the
+    // pinned cross-engine edge), giving zero line chars / zero token
+    // chars — 0/0 would be NULL, dropping the doc from every flag AND
+    // from n_clean; such a doc is CLEAN (signal 0.0), on both engines
+    def dupCF(l: String) =
+      s"IF(length(array_join($l, '')) = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(length(array_join($l, '')) - length(array_join(array_distinct($l), '')) AS DOUBLE)" +
+        s" / CAST(length(array_join($l, '')) AS DOUBLE))"
+    def topF(n: Int) =
+      s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(${bestGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
+    // occurrence mass of DUPLICATE n-grams (runs of length >= 2):
+    // Σ run_count × (gram chars minus separators) — the same sorted
+    // run-length walk as bestGramChars with a summed, thresholded
+    // accumulator
+    def dupGramChars(n: Int): String =
+      s"""IF(size($ws) < $n, CAST(0 AS BIGINT),
+         |  element_at(transform(array(named_struct('g',
+         |    array_sort(transform(sequence(1, size($ws) - ${n - 1}),
+         |      i -> concat_ws(' ', slice($ws, i, $n)))))), t ->
+         |    element_at(transform(array(named_struct('st',
+         |      filter(sequence(1, size(t.g)),
+         |        i -> i = 1 OR element_at(t.g, i) != element_at(t.g, i - 1)))), u ->
+         |      aggregate(sequence(1, size(u.st)), CAST(0 AS BIGINT), (a, j) ->
+         |        a + element_at(transform(array(
+         |          CAST(IF(j = size(u.st), size(t.g) + 1, element_at(u.st, j + 1))
+         |            - element_at(u.st, j) AS BIGINT)), rc ->
+         |          IF(rc >= 2, rc
+         |            * CAST(length(element_at(t.g, element_at(u.st, j))) - ${n - 1} AS BIGINT),
+         |            CAST(0 AS BIGINT))), 1))),
+         |      1)), 1))""".stripMargin
+    def dupNF(n: Int) =
+      s"IF(s.tot = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(${dupGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
+    // a duplicate n-gram CONTAINS a duplicate 5-gram for every n > 5,
+    // so the 5-gram mass (bound once in the outer struct) gates the
+    // five heavier walks behind a lazy IF — a doc with no duplicate
+    // 5-gram (the overwhelming case in a real corpus) pays ONE extra
+    // sorted walk for the whole dup-gram family, not six
+    def dupHigherF(n: Int) =
+      s"IF(s.d5 = 0 OR s.tot = 0, CAST(0.0 AS DOUBLE), " +
+        s"CAST(${dupGramChars(n)} AS DOUBLE) / CAST(s.tot AS DOUBLE))"
+    expr(
+      s"""element_at(transform(array(named_struct(
+         |    'l8', ${chunks(8)}, 'l32', ${chunks(32)},
+         |    'tot', CAST(length(array_join($ws, '')) AS BIGINT),
+         |    'd5', ${dupGramChars(5)})), s ->
+         |  named_struct(
+         |    'dup_line_frac', ${dupF("s.l8")},
+         |    'dup_line_char_frac', ${dupCF("s.l8")},
+         |    'dup_para_frac', ${dupF("s.l32")},
+         |    'dup_para_char_frac', ${dupCF("s.l32")},
+         |    'top_2gram_char_frac', ${topF(2)},
+         |    'top_3gram_char_frac', ${topF(3)},
+         |    'top_4gram_char_frac', ${topF(4)},
+         |    'dup_5gram_char_frac', IF(s.tot = 0, CAST(0.0 AS DOUBLE),
+         |      CAST(s.d5 AS DOUBLE) / CAST(s.tot AS DOUBLE)),
+         |    'dup_6gram_char_frac', ${dupHigherF(6)},
+         |    'dup_7gram_char_frac', ${dupHigherF(7)},
+         |    'dup_8gram_char_frac', ${dupHigherF(8)},
+         |    'dup_9gram_char_frac', ${dupHigherF(9)},
+         |    'dup_10gram_char_frac', ${dupHigherF(10)})), 1)""".stripMargin)
+  }
+
+  test("repetition_signals kernel equals the legacy SQL expression field-for-field (repetition-heavy, unicode, short docs, sf corpus)") {
+    val tokGen = Gen.listOf(Gen.frequency(
+      (5, Gen.oneOf("a", "bb", "ccc", "dup", "x")),
+      (3, word), (1, Gen.oneOf("h\u00e9llo", "\u4e2d\u6587", "\ud83d\ude00")))).map(_.take(80))
+    val cases = samples(tokGen, 120).filter(_.nonEmpty) ++ Seq(
+      List.fill(40)("same"),
+      (0 until 40).map(i => s"w${i % 3}").toList,
+      List(""), List("one"), (1 to 9).map(_.toString).toList)
+    val df = cases.zipWithIndex.map { case (ws, i) => (i, ws) }.toDF("i", "ws")
+      .select(col("i"),
+        graft.functions.HashExprs.repetition_signals(col("ws")).as("k"),
+        legacyRepetitionSignals("ws").as("l"))
+    val fields = Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac", "dup_5gram_char_frac", "dup_6gram_char_frac",
+      "dup_7gram_char_frac", "dup_8gram_char_frac", "dup_9gram_char_frac",
+      "dup_10gram_char_frac")
+    df.collect().foreach { r =>
+      val k = r.getStruct(1); val l = r.getStruct(2)
+      fields.zipWithIndex.foreach { case (f, fi) =>
+        assert(k.isNullAt(fi) == l.isNullAt(fi) &&
+          (k.isNullAt(fi) || k.getDouble(fi) == l.getDouble(fi)),
+          s"case ${r.getInt(0)} field $f: kernel=${if (k.isNullAt(fi)) "null" else k.getDouble(fi)} " +
+            s"legacy=${if (l.isNullAt(fi)) "null" else l.getDouble(fi)}")
+      }
+    }
+    // and on the real corpus: bitwise-equal structs, every doc
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("__ws", graft.operators.TextOps.tokens(col("text")))
+      .filter(size(col("__ws")) >= 1)
+    val diff = d.select(
+        graft.functions.HashExprs.repetition_signals(col("__ws")).as("k"),
+        legacyRepetitionSignals("__ws").as("l"))
+      .filter(not(col("k") <=> col("l")))
+    assert(diff.isEmpty, "kernel drifted from legacy on the sf corpus")
+  }
+
+  test("dhash_stub_bits equals the SQL md5 pixel-walk formulation (both tweak variants, pmod edges)") {
+    // the r19 native stub decode behind phashBits vs the old Column
+    // formulation kept here as the reference (the DuckDB oracle twins
+    // the same conv(substring(md5(seed/row/col),1,4),16,10) walk)
+    def pix(r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(
+        pmod(col("doc_id"), lit(40)).cast("string"), lit("/"),
+        r.cast("string"), lit("/"), c.cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+    val legacy = transform(sequence(lit(0), lit(63)), b => {
+      val row = shiftright(b, 3)
+      val c = b.bitwiseAND(lit(7))
+      val p1 = pix(row, c) +
+        when(expr("(doc_id DIV 40) % 2 = 1") && b === 0, lit(65536L))
+          .otherwise(lit(0L))
+      (p1 < pix(row, c + 1)).cast("int")
+    })
+    // spark.range: a non-local source, so both expressions run through
+    // codegen instead of constant-folding at plan time; the +7919
+    // stride and the raw range cover every seed class and both tweak
+    // parities, including ids crossing the 40-boundary
+    val got = spark.range(0, 240).toDF("doc_id")
+      .unionByName(spark.range(0, 30).select(
+        (col("id") * 7919 + 37).as("doc_id")))
+      .select(col("doc_id"),
+        graft.functions.HashExprs.dhash_stub_bits(col("doc_id")).as("k"),
+        legacy.as("l"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"dhash stub drift at doc_id=${r.getLong(0)}")
+    }
+  }
+
   test("bits_pack is a bijection of the bit slice and bit_count(xor) of packed words equals elementwise Hamming") {
     val bitsGen = Gen.listOfN(128, Gen.oneOf(0, 1))
     val rows = samples(Gen.zip(bitsGen, bitsGen), 80)
